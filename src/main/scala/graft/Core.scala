@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One operator of the engine: a registry key, a Spark implementation, and
+  * (when ANSI-SQL-expressible) a DuckDB oracle twin.
+  *
+  * Capability surface per SURVEY.md §2 (the reference repo at
+  * /root/reference contains only README.md:1, so the contract is the
+  * canonical Canal→ClickHouse pipeline class + driver mandate).
+  */
+final case class QueryDef(
+    key: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+)
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md). */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** Cross-engine determinism helpers.
+  *
+  * Double summation is order-dependent; Spark's partial/final parallel
+  * aggregation would differ from DuckDB's sequential sum in the last ulp
+  * and fail the driver's hash compare. Fix: sum EXACTLY in decimal
+  * (order-independent), then cast the final value to double. A double can
+  * never sit exactly on a decimal rounding tie (dyadic rationals are never
+  * of the form (2n+1)/(2·10^k)), so double→decimal rounding is identical
+  * across engines regardless of their tie-break rule.
+  */
+object Det {
+  /** Exact order-independent sum of a double expression → double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+
+  /** Deterministic average: exact decimal sum (as double) / count. */
+  def davg(c: Column): Column =
+    sum(c.cast(DecimalType(30, 6))).cast("double") / count(lit(1))
+
+  /** Oracle-side spelling of [[dsum]]. */
+  def oSum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,6))) AS DOUBLE)"
+
+  /** Oracle-side spelling of [[davg]]. */
+  def oAvg(expr: String): String =
+    s"(CAST(SUM(CAST(($expr) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))"
+}

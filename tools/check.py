@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate (dev tool only; the
+shipped library is pure Scala). Usage:
+
+    python3 tools/check.py <sfDir> <outDir> [key ...]
+
+Reads <outDir>/oracle_sql.json (written by graft.Verify), runs each SQL in
+DuckDB over views named after the parquet tables in <sfDir>, and compares
+exactly (columns sorted by name; values including row order) against the
+Spark result parquet at <outDir>/<key>/.
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return float(v)
+    return v
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for key, sql in sorted(oracle.items()):
+        if only and key not in only:
+            continue
+        res_glob = glob.glob(f"{out_dir}/{key}/*.parquet")
+        if not res_glob:
+            print(f"[FAIL] {key}: no spark result parquet")
+            n_bad += 1
+            continue
+        try:
+            want = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"[FAIL] {key}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        got = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet({res_glob!r})").fetch_arrow_table()
+        wcols, gcols = sorted(want.column_names), sorted(got.column_names)
+        if wcols != gcols:
+            print(f"[FAIL] {key}: columns differ: oracle={wcols} spark={gcols}")
+            n_bad += 1
+            continue
+        w = want.select(wcols).to_pylist()
+        g = got.select(gcols).to_pylist()
+        if len(w) != len(g):
+            print(f"[FAIL] {key}: rowcount oracle={len(w)} spark={len(g)}")
+            n_bad += 1
+            continue
+        bad = None
+        for i, (rw, rg) in enumerate(zip(w, g)):
+            for c in wcols:
+                if norm(rw[c]) != norm(rg[c]):
+                    bad = (i, c, rw[c], rg[c])
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, a, b = bad
+            print(f"[FAIL] {key}: row {i} col {c}: oracle={a!r} spark={b!r}")
+            n_bad += 1
+        else:
+            print(f"[ ok ] {key}: {len(w)} rows")
+            n_ok += 1
+    # keys with spark output but no oracle (rows-only check)
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        key = os.path.basename(d.rstrip("/"))
+        if key not in oracle:
+            n = duckdb.connect().execute(
+                f"SELECT count(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
+            tag = "ok" if n > 0 else "WARN-EMPTY"
+            print(f"[{tag:>4}] {key}: rows-only check, {n} rows")
+    print(f"== {n_ok} ok, {n_bad} failed ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
