@@ -29,7 +29,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. Read it as raw nanos (legacy conf) and floor-divide
+    * to µs — integer `div`, not `/1000` (ns epoch values ≈1.7e18 exceed
+    * double's 2^53 exact range). Result matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)` truncation bit-for-bit.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** Every implemented operator from SURVEY.md §2, one QueryDef each. */
   def defs: Seq[QueryDef] =
-    Aggregates.defs
+    Scans.defs ++ Projections.defs ++ Joins.defs ++ SortSetOps.defs ++
+      Aggregates.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

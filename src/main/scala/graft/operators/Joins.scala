@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.4 Joins — the physical-strategy spectrum (broadcast / shuffle-hash /
+  * sort-merge / nested-loop) plus the ClickHouse-surface extras (ASOF,
+  * range) and the relational quantifier joins (semi/anti/outer/cross).
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins broadcast explicitly (`broadcast(dim)`) — no shuffle
+  *    of the fact side;
+  *  - fact-fact joins shuffle on the join key once, and the aggregations
+  *    that follow reuse that clustering;
+  *  - the as-of join deliberately avoids the O(probes × quotes) self-join
+  *    blow-up: it is a union + single per-key sort + running `last()`
+  *    window — the merge-join formulation of ASOF, linear in input size.
+  */
+object Joins {
+
+  private def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), Det.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name"))
+
+  private def joinShuffleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  private def joinSortMerge(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("o_orderstatus"))
+
+  private def joinNestedLoop(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(Tables.region(s, dir), col("n_regionkey") < col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  /** Event pairs of the same user within a (0, 1h] window — equi key plus
+    * range predicate; Spark plans the equi part as the join key and
+    * evaluates the range as a post-join filter.
+    */
+  private def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val e1 = Tables.events(s, dir).select(col("user_id"), col("ts").as("ts1"))
+    val e2 = Tables.events(s, dir)
+      .select(col("user_id").as("uid2"), col("ts").as("ts2"))
+    e1.join(e2,
+        col("user_id") === col("uid2") &&
+          col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ASOF join: each purchase event matched to the latest strictly-prior
+    * event of the same user (ClickHouse `ASOF JOIN` semantics).
+    * Merge-join formulation: union probes+quotes, one sort per user,
+    * running `last(quote, ignoreNulls)` over preceding rows. Equal-ts
+    * quotes sort after probes (is_probe DESC) so "strictly prior" holds;
+    * event_id breaks remaining ties deterministically.
+    */
+  private def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"), lit(null).cast("long").as("quote_id"),
+        col("ts"), col("user_id"), lit(1).as("is_probe"), col("event_id").as("tb"))
+    val quotes = ev
+      .select(lit(null).cast("long").as("probe_id"), col("event_id").as("quote_id"),
+        col("ts"), col("user_id"), lit(0).as("is_probe"), col("event_id").as("tb"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_probe").desc, col("tb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    probes.unionByName(quotes)
+      .withColumn("matched_id", last(col("quote_id"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("probe_id").as("event_id"), col("matched_id"))
+      .orderBy(col("event_id"))
+  }
+
+  private def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Full-outer reconciliation: high-value order activity vs. high-balance
+    * customers — either side may be missing (CDC-vs-snapshot diff shape).
+    */
+  private def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+    val b = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    a.join(b, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("n_big_orders"), col("c_acctbal"))
+      .orderBy(col("custkey"))
+  }
+
+  private def joinCross(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select(col("r_name"))
+      .crossJoin(Tables.nation(s, dir).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_broadcast", joinBroadcast,
+      Some(s"""SELECT r_name, COUNT(*) AS n_cust, ${Det.oSum("c_acctbal")} AS sum_bal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name""")),
+    QueryDef("join_shuffle_hash", joinShuffleHash,
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+               ${Det.oSum("l_extendedprice")} AS sum_price
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+    QueryDef("join_sort_merge", joinSortMerge,
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+               ${Det.oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+    QueryDef("join_nested_loop", joinNestedLoop,
+      Some("""SELECT r_name, COUNT(*) AS n_nations
+              FROM nation JOIN region ON n_regionkey < r_regionkey
+              GROUP BY r_name ORDER BY r_name""")),
+    QueryDef("join_range", joinRange,
+      Some("""SELECT e1.user_id, COUNT(*) AS n_pairs
+              FROM events e1 JOIN events e2
+                ON e1.user_id = e2.user_id
+               AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+               AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+              GROUP BY e1.user_id ORDER BY e1.user_id""")),
+    QueryDef("join_asof", joinAsof,
+      Some("""WITH u AS (
+                SELECT event_id AS probe_id, CAST(NULL AS BIGINT) AS quote_id,
+                       CAST(ts AS TIMESTAMP) AS mts, user_id, 1 AS is_probe,
+                       event_id AS tb
+                FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT CAST(NULL AS BIGINT), event_id, CAST(ts AS TIMESTAMP),
+                       user_id, 0, event_id
+                FROM events
+              ), m AS (
+                SELECT probe_id, is_probe,
+                  last_value(quote_id IGNORE NULLS) OVER (
+                    PARTITION BY user_id
+                    ORDER BY mts ASC, is_probe DESC, tb ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS matched_id
+                FROM u)
+              SELECT probe_id AS event_id, matched_id
+              FROM m WHERE is_probe = 1 ORDER BY event_id""")),
+    QueryDef("join_semi", joinSemi,
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+              ORDER BY c_custkey""")),
+    QueryDef("join_anti", joinAnti,
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+              ORDER BY c_custkey""")),
+    QueryDef("join_full_outer", joinFullOuter,
+      Some("""WITH a AS (SELECT o_custkey, COUNT(*) AS n_big_orders
+                FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey),
+                   b AS (SELECT c_custkey, c_acctbal
+                FROM customer WHERE c_acctbal > 5000)
+              SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+                     n_big_orders, c_acctbal
+              FROM a FULL OUTER JOIN b ON o_custkey = c_custkey
+              ORDER BY custkey""")),
+    QueryDef("join_cross", joinCross,
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+              ORDER BY r_name, n_name""")),
+  )
+}

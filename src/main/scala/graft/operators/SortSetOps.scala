@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.7 Sorts / limits / top-k + §2.8 Set operations.
+  *
+  * Scale notes: `limit_topk` compiles to TakeOrderedAndProjectExec —
+  * per-partition top-k then a k-row merge on the driver, never a global
+  * sort. `topk_per_group` is the ClickHouse `LIMIT k BY g` shape: one
+  * shuffle on the group key, per-group sort, early row_number cutoff.
+  */
+object SortSetOps {
+
+  private def sortGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  private def limitTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  private def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  private def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("value") > 150).select(col("event_type"))
+      .unionByName(e.filter(col("user_id") % 2 === 0).select(col("event_type")))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** Day-granular so the difference is non-trivial at fixture user
+    * cardinality (plain user_id EXCEPT is empty).
+    */
+  private def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def slice(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+    slice("view").except(slice("error")).orderBy(col("user_id"), col("d"))
+  }
+
+  private def dedupDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("sort_global", sortGlobal,
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey""")),
+    QueryDef("limit_topk", limitTopk,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+    QueryDef("topk_per_group", topkPerGroup,
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) t
+              WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
+    QueryDef("set_union", setUnion,
+      Some("""SELECT event_type, COUNT(*) AS n FROM (
+                SELECT event_type FROM events WHERE value > 150
+                UNION ALL
+                SELECT event_type FROM events WHERE user_id % 2 = 0) u
+              GROUP BY event_type ORDER BY event_type""")),
+    QueryDef("set_intersect", setIntersect,
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              ORDER BY user_id""")),
+    QueryDef("set_except", setExcept,
+      Some("""SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+              FROM events WHERE event_type = 'view'
+              EXCEPT
+              SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+              FROM events WHERE event_type = 'error'
+              ORDER BY user_id, d""")),
+    QueryDef("dedup_distinct", dedupDistinct,
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type""")),
+  )
+}
