@@ -5,14 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.5 Aggregations — ClickHouse's signature aggregate surface (argMax,
-  * uniq, quantile, countIf, groupArray) + standard SQL grouped aggregation,
-  * expressed as codegen'd Spark built-ins (HashAggregateExec partial→final;
-  * no UDFs on the hot path).
+  * uniq, quantile, countIf, groupArray, ROLLUP/CUBE) + standard SQL grouped
+  * aggregation, expressed as codegen'd Spark built-ins (HashAggregateExec
+  * partial→final; no UDFs on the hot path).
   *
-  * Scale notes (100 TB posture): every groupBy here aggregates map-side
-  * (partial) before the shuffle, so shuffle volume is O(groups), not
-  * O(rows). Group-key cardinality is bounded (flags, priorities, nations),
-  * so the final agg is never skewed.
+  * Scale notes (100 TB posture): every groupBy aggregates map-side before
+  * the shuffle, so shuffle volume is O(groups). approx_count_distinct is
+  * the ClickHouse-`uniq` scale path (HLL sketches merge associatively;
+  * exact distinct is a second shuffle). collect_set is only safe on
+  * bounded per-group domains — here event_type, cardinality 5.
   */
 object Aggregates {
 
@@ -53,7 +54,170 @@ object Aggregates {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  private def aggDistinctExact(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** ClickHouse `uniq` — HLL++ sketch; no oracle (approx ≠ exact), bounds
+    * asserted in ScalaTest against the exact twin.
+    */
+  private def aggDistinctApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+      .orderBy(col("event_type"))
+
+  /** Exact percentiles (interpolated) — rounded to 6dp: both engines
+    * interpolate linearly on doubles and may differ in the last ulp.
+    */
+  private def aggQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** ClickHouse argMax(x, ord) with a deterministic composite ordinal:
+    * richest customer per nation, ties broken by highest custkey.
+    */
+  private def aggArgmax(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey")))
+          .as("richest"),
+        min_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey")))
+          .as("poorest"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy(col("n_name"))
+
+  private def aggCond(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_bulk"),
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"),
+        Det.dsum(when(col("l_linestatus") === "F",
+          col("l_extendedprice")).otherwise(lit(0.0))).as("sum_f_price"))
+      .orderBy(col("l_returnflag"))
+
+  private def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), Det.dsum(col("c_acctbal")).as("sum_bal"),
+        grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("n_name")).cast("int").as("g_n"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  private def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Explicit grouping sets — SQL entry point (E2); the DataFrame API has
+    * no direct groupingSets call.
+    */
+  private def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(s"""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        ${"CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,6))) AS DOUBLE)"} AS sum_price
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
+  /** ClickHouse groupArray — deterministic via sorted distinct lists over a
+    * bounded domain (event_type, |domain| = 5).
+    */
+  private def aggCollect(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sort_array(collect_set(col("event_type"))).as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("agg_hash", flagship, Some(flagshipOracle)),
+    QueryDef("agg_distinct_exact", aggDistinctExact,
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("agg_distinct_approx", aggDistinctApprox, None),
+    QueryDef("agg_quantile", aggQuantile,
+      Some("""SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+               round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+               round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("agg_argmax", aggArgmax,
+      Some("""WITH ranked AS (
+                SELECT n_name, c_name, c_acctbal,
+                  row_number() OVER (PARTITION BY n_name
+                    ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+                  row_number() OVER (PARTITION BY n_name
+                    ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+                FROM customer JOIN nation ON c_nationkey = n_nationkey)
+              SELECT n_name,
+                MAX(CASE WHEN rmax = 1 THEN c_name END) AS richest,
+                MAX(CASE WHEN rmin = 1 THEN c_name END) AS poorest,
+                MAX(c_acctbal) AS max_bal
+              FROM ranked GROUP BY n_name ORDER BY n_name""")),
+    QueryDef("agg_cond", aggCond,
+      Some(s"""SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+               ${Det.oSum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0.0 END")} AS sum_f_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("agg_rollup", aggRollup,
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+               ${Det.oSum("c_acctbal")} AS sum_bal,
+               CAST(GROUPING(r_name) AS INTEGER) AS g_r,
+               CAST(GROUPING(n_name) AS INTEGER) AS g_n
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY ROLLUP (r_name, n_name)
+              ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
+    QueryDef("agg_cube", aggCube,
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ${Det.oSum("l_quantity")} AS sum_qty,
+               CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+    QueryDef("agg_grouping_sets", aggGroupingSets,
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ${Det.oSum("o_totalprice")} AS sum_price
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+    QueryDef("agg_collect", aggCollect,
+      Some("""SELECT user_id,
+               list(DISTINCT event_type ORDER BY event_type) AS types,
+               COUNT(*) AS n_events
+              FROM events GROUP BY user_id ORDER BY user_id""")),
   )
 }

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.9 Scalar function families — one umbrella query per family, all
+  * codegen'd built-ins (functions._), no UDFs.
+  *
+  * Cross-engine notes baked into the oracles: DuckDB dayofweek is
+  * 0=Sunday vs Spark 1=Sunday; DuckDB floor(double)→double vs Spark
+  * →bigint; DuckDB epoch()→double vs Spark unix_timestamp→bigint;
+  * transcendentals (ln/log10) are rounded to 6dp since libm
+  * implementations may differ in the last ulp.
+  */
+object Fns {
+
+  private def fnString(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        regexp_replace(col("c_name"), "^Customer#0*", "").as("id_str"),
+        regexp_extract(col("c_name"), "([1-9][0-9]*)$", 1).as("id_tail"),
+        lpad(col("c_mktsegment"), 12, ".").as("seg_pad"),
+        trim(lit("  x  ")).as("trimmed"),
+        col("c_name").like("%42%").as("has42"),
+        size(split(col("c_name"), "#")).as("n_parts"))
+      .orderBy(col("c_custkey"))
+
+  private def fnDate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("days_since_95"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
+  private def fnMath(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
+        round(log10(col("l_extendedprice") + 1), 6).as("price_log10"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        signum(col("l_quantity") - 25).cast("int").as("qty_sign"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_quantity"), col("l_discount") * 100).as("l"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_r1"),
+        col("qty_dev"))
+      .limit(5000)
+
+  private def fnArray(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("arr", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("arr")).as("n_tokens"),
+        element_at(col("arr"), 1).as("first_token"),
+        size(array_distinct(col("arr"))).as("n_distinct"),
+        array_contains(col("arr"), "spark").as("has_spark"),
+        slice(sort_array(array_distinct(col("arr"))), 1, 3).as("top3_alpha"),
+        aggregate(transform(col("arr"), x => length(x)), lit(0), _ + _)
+          .as("sum_token_len"),
+        size(filter(col("arr"), x => length(x) > 4)).as("n_long_tokens"))
+      .orderBy(col("doc_id"))
+
+  private def fnMap(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("m", map(lit("seg"), col("c_mktsegment"),
+        lit("name"), col("c_name")))
+      .select(
+        col("c_custkey"),
+        size(col("m")).as("m_size"),
+        element_at(col("m"), "seg").as("seg"),
+        concat_ws(",", sort_array(map_keys(col("m")))).as("keys_sorted"),
+        map_contains_key(col("m"), "name").as("has_name"))
+      .orderBy(col("c_custkey"))
+
+  private def fnJson(s: SparkSession, dir: String): DataFrame = {
+    val parsed = from_json(col("props"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType))))
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        parsed.getField("k").as("k_int"),
+        (parsed.getField("k") % 10).as("k_mod10"))
+      .orderBy(col("event_id"))
+  }
+
+  private def fnCond(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 3000, "low")
+          .when(col("c_acctbal") < 7000, "mid")
+          .otherwise("high").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+          .as("seg_or_other"),
+        nvl(nullif(col("c_name"), col("c_name")), lit("anon")).as("anon"))
+      .groupBy(col("tier"), col("seg_or_other"), col("anon"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("tier"), col("seg_or_other"), col("anon"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_string", fnString,
+      Some("""SELECT c_custkey,
+               substr(c_name, 1, 8) AS name_prefix,
+               upper(c_mktsegment) AS seg_upper,
+               lower(c_name) AS name_lower,
+               length(c_name) AS name_len,
+               concat_ws('-', c_mktsegment, c_name) AS seg_name,
+               regexp_replace(c_name, '^Customer#0*', '') AS id_str,
+               regexp_extract(c_name, '([1-9][0-9]*)$', 1) AS id_tail,
+               lpad(c_mktsegment, 12, '.') AS seg_pad,
+               trim('  x  ') AS trimmed,
+               c_name LIKE '%42%' AS has42,
+               len(string_split(c_name, '#')) AS n_parts
+              FROM customer ORDER BY c_custkey""")),
+    QueryDef("fn_date", fnDate,
+      Some("""SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                 AS days_since_95,
+               o_orderdate + INTERVAL 30 DAY AS due_date,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+              FROM orders ORDER BY o_orderkey""")),
+    QueryDef("fn_math", fnMath,
+      Some("""SELECT l_orderkey, l_linenumber,
+               abs(l_quantity - 25) AS qty_dev,
+               round(l_extendedprice, 1) AS price_r1,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+               l_quantity * l_quantity AS qty_sq,
+               round(sqrt(l_extendedprice), 6) AS price_sqrt,
+               round(ln(l_extendedprice + 1), 6) AS price_ln,
+               round(log10(l_extendedprice + 1), 6) AS price_log10,
+               ((l_orderkey % 7) + 7) % 7 AS key_mod7,
+               CAST(sign(l_quantity - 25) AS INTEGER) AS qty_sign,
+               greatest(l_quantity, l_discount * 100) AS g,
+               least(l_quantity, l_discount * 100) AS l
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, price_r1, qty_dev
+              LIMIT 5000""")),
+    QueryDef("fn_array", fnArray,
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr
+                FROM documents)
+              SELECT doc_id,
+               len(arr) AS n_tokens,
+               arr[1] AS first_token,
+               len(list_distinct(arr)) AS n_distinct,
+               list_contains(arr, 'spark') AS has_spark,
+               list_slice(list_sort(list_distinct(arr)), 1, 3) AS top3_alpha,
+               CAST(list_aggregate(list_transform(arr, x -> length(x)), 'sum')
+                 AS INTEGER) AS sum_token_len,
+               len(list_filter(arr, x -> length(x) > 4)) AS n_long_tokens
+              FROM t ORDER BY doc_id""")),
+    QueryDef("fn_map", fnMap,
+      Some("""WITH t AS (SELECT c_custkey,
+                map(['seg','name'], [c_mktsegment, c_name]) AS m
+                FROM customer)
+              SELECT c_custkey,
+               CAST(cardinality(m) AS INTEGER) AS m_size,
+               m['seg'][1] AS seg,
+               array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+               list_contains(map_keys(m), 'name') AS has_name
+              FROM t ORDER BY c_custkey""")),
+    QueryDef("fn_json", fnJson,
+      Some("""SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod10
+              FROM events ORDER BY event_id""")),
+    QueryDef("fn_cond", fnCond,
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                     WHEN c_acctbal < 3000 THEN 'low'
+                     WHEN c_acctbal < 7000 THEN 'mid'
+                     ELSE 'high' END AS tier,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+               COALESCE(NULLIF(c_name, c_name), 'anon') AS anon,
+               COUNT(*) AS n
+              FROM customer
+              GROUP BY tier, seg_or_other, anon
+              ORDER BY tier, seg_or_other, anon""")),
+  )
+}

@@ -93,10 +93,10 @@ object SortSetOps {
               SELECT user_id FROM events WHERE event_type = 'purchase'
               ORDER BY user_id""")),
     QueryDef("set_except", setExcept,
-      Some("""SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+      Some("""SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
               FROM events WHERE event_type = 'view'
               EXCEPT
-              SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+              SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
               FROM events WHERE event_type = 'error'
               ORDER BY user_id, d""")),
     QueryDef("dedup_distinct", dedupDistinct,

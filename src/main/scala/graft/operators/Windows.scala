@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** §2.6 Window functions — rank/ntile/lag/lead/running/moving/first-last.
+  *
+  * Every window ORDER BY ends in a unique key: rank ties are fine (same
+  * rank both engines) but row_number/ntile/frames are positional, so the
+  * order must be total or results are nondeterministic across engines —
+  * and across Spark task retries, which matters more at 100 TB than here.
+  * Running/moving sums go through decimal inside the frame (exact,
+  * order-independent) and cast to double at the edge.
+  */
+object Windows {
+
+  private def winRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  private def winNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(10).over(w).as("decile"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def winLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private def winRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)
+          .cast("double").as("running_spend"),
+        count(lit(1)).over(w).as("running_orders"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** 7-row moving average over the daily revenue series (one row per day,
+    * so rows-frame == 7-day window).
+    */
+  private def winMoving(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(sum(col("value").cast(DecimalType(30, 6))).as("rev"))
+    val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+    daily
+      .select(col("d"), col("rev").cast("double").as("rev"),
+        (sum(col("rev")).over(w).cast("double") / count(lit(1)).over(w))
+          .as("ma7"))
+      .orderBy(col("d"))
+  }
+
+  private def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"),
+        first(col("c_name")).over(w).as("richest"),
+        last(col("c_name")).over(w).as("poorest"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_rank", winRank,
+      Some("""SELECT * FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+                  row_number() OVER w AS rn
+                FROM customer
+                WINDOW w AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey)) t
+              WHERE rn <= 5 ORDER BY c_nationkey, rn""")),
+    QueryDef("win_ntile", winNtile,
+      Some("""SELECT c_custkey, c_acctbal,
+                ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+              FROM customer ORDER BY c_custkey""")),
+    QueryDef("win_lag_lead", winLagLead,
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+                lag(o_orderkey, 1) OVER w AS prev_order,
+                lead(o_orderkey, 1) OVER w AS next_order,
+                date_diff('day',
+                  CAST(lag(o_orderdate, 1) OVER w AS DATE),
+                  CAST(o_orderdate AS DATE)) AS gap_days
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+    QueryDef("win_running", winRunning,
+      Some("""SELECT o_custkey, o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                  AS running_spend,
+                COUNT(*) OVER w AS running_orders
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ORDER BY o_custkey, o_orderkey""")),
+    QueryDef("win_moving", winMoving,
+      Some("""WITH daily AS (
+                SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+                  SUM(CAST(value AS DECIMAL(30,6))) AS rev
+                FROM events GROUP BY 1)
+              SELECT d, CAST(rev AS DOUBLE) AS rev,
+                (CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w) AS ma7
+              FROM daily
+              WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              ORDER BY d""")),
+    QueryDef("win_first_last", winFirstLast,
+      Some("""SELECT c_nationkey, c_custkey,
+                first_value(c_name) OVER w AS richest,
+                last_value(c_name) OVER w AS poorest
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey
+                ORDER BY c_acctbal DESC, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY c_nationkey, c_custkey""")),
+  )
+}
