@@ -14,7 +14,7 @@ object SparkEntry {
   /** Every implemented operator from SURVEY.md §2, one QueryDef each. */
   def defs: Seq[QueryDef] =
     Scans.defs ++ Projections.defs ++ Joins.defs ++ SortSetOps.defs ++
-      Aggregates.defs ++ Windows.defs ++ Fns.defs
+      Aggregates.defs ++ Windows.defs ++ Fns.defs ++ Cdc.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

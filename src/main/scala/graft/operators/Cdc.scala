@@ -1,0 +1,346 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.2 CDC core — the reference system class's identity: Alibaba-Canal
+  * FlatMessage envelopes (JSON row-change events from a MySQL binlog) loaded
+  * with ClickHouse MergeTree-family semantics (Replacing = latest-per-key,
+  * Collapsing = signed fold), re-expressed Spark-first.
+  *
+  * The driver fixtures carry no CDC feed, so [[envelopes]] synthesizes a
+  * deterministic FlatMessage stream FROM the orders/customer tables —
+  * full JSON serialize→parse roundtrip included — and every operator's
+  * oracle states the equivalent end state relationally over the same
+  * parquet. Change script (pure functions of the key, so both engines can
+  * derive it):
+  *   - INSERT for every order      at es = epoch_ms(o_orderdate)
+  *   - UPDATE (price + 1000)       at es + 1 day,  for o_orderkey % 3 == 0
+  *   - DELETE                      at es + 2 days, for o_orderkey % 7 == 0
+  *   - INSERT for every customer   at es = 10^12 + c_custkey
+  *   - one DDL event (isDdl=true, empty data[])
+  *   - ts = es + 500 ms everywhere (constant replication lag)
+  *
+  * Scale notes (100 TB posture): every operator below is a single shuffle
+  * on the primary key (window or groupBy over pk); parse/explode/cast are
+  * narrow map-side transforms. The upsert window is the ReplacingMergeTree
+  * merge; at cluster scale the same plan fragment runs inside
+  * foreachBatch over bucketed state partitioned by pk.
+  */
+object Cdc {
+
+  /** Canal FlatMessage envelope schema (public Canal wire format). */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("pkNames", ArrayType(StringType)),
+    StructField("isDdl", BooleanType),
+    StructField("type", StringType),
+    StructField("es", LongType),
+    StructField("ts", LongType),
+    StructField("sql", StringType),
+    StructField("mysqlType", MapType(StringType, StringType)),
+    StructField("data", ArrayType(MapType(StringType, StringType))),
+    StructField("old", ArrayType(MapType(StringType, StringType))),
+  ))
+
+  val ddlSql = "ALTER TABLE orders ADD COLUMN o_note VARCHAR(64)"
+
+  private def ordersImage(price: Column): Column = map(
+    lit("o_orderkey"), col("o_orderkey").cast("string"),
+    lit("o_custkey"), col("o_custkey").cast("string"),
+    lit("o_orderstatus"), col("o_orderstatus"),
+    lit("o_totalprice"), price.cast("string"),
+    lit("o_orderdate"), col("o_orderdate").cast("string"),
+    lit("o_orderpriority"), col("o_orderpriority"))
+
+  private val ordersMysqlType: Column = map(
+    lit("o_orderkey"), lit("bigint(20)"),
+    lit("o_custkey"), lit("bigint(20)"),
+    lit("o_orderstatus"), lit("char(1)"),
+    lit("o_totalprice"), lit("decimal(15,2)"),
+    lit("o_orderdate"), lit("datetime"),
+    lit("o_orderpriority"), lit("varchar(15)"))
+
+  private def envelope(id: Column, table: String, pk: String, typ: Column,
+      es: Column, isDdl: Column, sql: Column, mysqlType: Column,
+      data: Column, old: Column): Column =
+    to_json(struct(
+      id.as("id"), lit("demo").as("database"), lit(table).as("table"),
+      array(lit(pk)).as("pkNames"), isDdl.as("isDdl"), typ.as("type"),
+      es.as("es"), (es + 500).as("ts"), sql.as("sql"),
+      mysqlType.as("mysqlType"), data.as("data"), old.as("old")))
+
+  // price + 1000.0, not price*1.1-rounded: Spark's round(double) goes via
+  // the shortest decimal string (BigDecimal.valueOf) while DuckDB rounds
+  // the exact binary value, so rounded products diverge at midpoints; an
+  // IEEE add is bit-identical in both engines.
+  private val updatedPrice: Column = col("o_totalprice") + 1000.0
+
+  /** The synthesized FlatMessage feed: one JSON string per change event. */
+  def envelopes(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    // o_orderdate is TIMESTAMP_NTZ; cast to LTZ under the pinned UTC session
+    // so unix_millis equals DuckDB's epoch_ms over the naive value.
+    val base = unix_millis(col("o_orderdate").cast("timestamp"))
+    val noOld = lit(null).cast(ArrayType(MapType(StringType, StringType)))
+    val inserts = o.select(envelope(col("o_orderkey") * 10, "orders",
+      "o_orderkey", lit("INSERT"), base, lit(false), lit(""),
+      ordersMysqlType, array(ordersImage(col("o_totalprice"))), noOld)
+      .as("value"))
+    val updates = o.filter(col("o_orderkey") % 3 === 0)
+      .select(envelope(col("o_orderkey") * 10 + 1, "orders", "o_orderkey",
+        lit("UPDATE"), base + 86400000L, lit(false), lit(""), ordersMysqlType,
+        array(ordersImage(updatedPrice)),
+        array(map(lit("o_totalprice"), col("o_totalprice").cast("string"))))
+        .as("value"))
+    val deletes = o.filter(col("o_orderkey") % 7 === 0)
+      .select(envelope(col("o_orderkey") * 10 + 2, "orders", "o_orderkey",
+        lit("DELETE"), base + 172800000L, lit(false), lit(""), ordersMysqlType,
+        array(ordersImage(when(col("o_orderkey") % 3 === 0, updatedPrice)
+          .otherwise(col("o_totalprice")))), noOld)
+        .as("value"))
+    val c = Tables.customer(s, dir)
+    val custImage = map(
+      lit("c_custkey"), col("c_custkey").cast("string"),
+      lit("c_name"), col("c_name"),
+      lit("c_nationkey"), col("c_nationkey").cast("string"),
+      lit("c_acctbal"), col("c_acctbal").cast("string"),
+      lit("c_mktsegment"), col("c_mktsegment"))
+    val custInserts = c.select(envelope(col("c_custkey") * 10, "customer",
+      "c_custkey", lit("INSERT"), lit(1000000000000L) + col("c_custkey"),
+      lit(false), lit(""),
+      map(lit("c_custkey"), lit("bigint(20)"), lit("c_name"), lit("varchar(25)"),
+        lit("c_nationkey"), lit("int(11)"), lit("c_acctbal"), lit("decimal(15,2)"),
+        lit("c_mktsegment"), lit("char(10)")),
+      array(custImage), noOld).as("value"))
+    val ddl = s.range(1).select(envelope(lit(-1L), "orders", "o_orderkey",
+      lit("ALTER"), lit(0L), lit(true), lit(ddlSql), ordersMysqlType,
+      array().cast(ArrayType(MapType(StringType, StringType))), noOld)
+      .as("value"))
+    inserts.unionByName(updates).unionByName(deletes)
+      .unionByName(custInserts).unionByName(ddl)
+  }
+
+  /** Envelope JSON → typed envelope rows (the Canal-adapter parse step). */
+  def parsed(s: SparkSession, dir: String): DataFrame =
+    envelopes(s, dir)
+      .select(from_json(col("value"), envelopeSchema).as("m"))
+      .select(col("m.*"))
+
+  /** Parsed orders-table DML with destination schema applied: stringly
+    * row image → typed columns (the adapter's type-map step).
+    */
+  def ordersTyped(s: SparkSession, dir: String): DataFrame =
+    parsed(s, dir)
+      .filter(col("table") === "orders" && !col("isDdl"))
+      .select(col("type"), col("es"), col("ts"), col("old"),
+        posexplode(col("data")).as(Seq("pos", "img")))
+      .select(
+        col("type"), col("es"), col("ts"), col("old"),
+        col("img")("o_orderkey").cast("long").as("o_orderkey"),
+        col("img")("o_custkey").cast("long").as("o_custkey"),
+        col("img")("o_orderstatus").as("o_orderstatus"),
+        col("img")("o_totalprice").cast("double").as("o_totalprice"),
+        col("img")("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("img")("o_orderpriority").as("o_orderpriority"))
+
+  // ---- operator queries ----
+
+  /** Parse + explode every row image; pk extracted via the envelope's own
+    * pkNames metadata (generic across destination tables).
+    */
+  private def cdcParse(s: SparkSession, dir: String): DataFrame =
+    parsed(s, dir)
+      .filter(!col("isDdl"))
+      .select(col("database").as("db"), col("table").as("tbl"),
+        col("type").as("typ"), col("es"), col("pkNames"),
+        explode(col("data")).as("img"))
+      .select(col("db"), col("tbl"), col("typ"), col("es"),
+        element_at(col("img"), element_at(col("pkNames"), 1)).cast("long")
+          .as("pk"))
+      .orderBy(col("tbl"), col("typ"), col("pk"))
+
+  private def cdcRoute(s: SparkSession, dir: String): DataFrame =
+    parsed(s, dir)
+      .filter(!col("isDdl"))
+      .groupBy(col("database").as("db"), col("table").as("tbl"),
+        col("type").as("typ"))
+      .agg(count(lit(1)).as("n"), min(col("es")).as("min_es"),
+        max(col("es")).as("max_es"))
+      .orderBy(col("tbl"), col("typ"))
+
+  /** Destination-schema application proved lossless: INSERT images cast
+    * back to typed columns must equal the source table bit-for-bit.
+    */
+  private def cdcTypeMap(s: SparkSession, dir: String): DataFrame =
+    ordersTyped(s, dir)
+      .filter(col("type") === "INSERT")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  /** ReplacingMergeTree: latest row image per PK wins (version = es,
+    * tiebreak ts) — DELETEs are not folded here (that's Collapsing).
+    */
+  private def cdcUpsertLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("es").desc, col("ts").desc)
+    ordersTyped(s, dir)
+      .filter(col("type") =!= "DELETE")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CollapsingMergeTree: INSERT → +1; UPDATE → (-1 old, +1 new);
+    * DELETE → -1. A key is live iff sum(sign) > 0; the collapsed table
+    * holds the latest +1 row of each live key. Single shuffle on pk:
+    * balance via window sum, survivor via window row_number.
+    */
+  private def cdcDeleteFold(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersTyped(s, dir)
+    val plus = t.filter(col("type") =!= "DELETE")
+      .select(col("o_orderkey"), col("es"), col("ts"),
+        col("o_totalprice"), lit(1).as("sign"))
+    val minusUpd = t.filter(col("type") === "UPDATE")
+      .select(col("o_orderkey"), col("es"), col("ts"),
+        element_at(element_at(col("old"), 1), "o_totalprice").cast("double")
+          .as("o_totalprice"),
+        lit(-1).as("sign"))
+    val minusDel = t.filter(col("type") === "DELETE")
+      .select(col("o_orderkey"), col("es"), col("ts"),
+        col("o_totalprice"), lit(-1).as("sign"))
+    val signed = plus.unionByName(minusUpd).unionByName(minusDel)
+    val wAll = Window.partitionBy(col("o_orderkey"))
+    val wLatest = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("es").desc, col("ts").desc)
+    signed
+      .withColumn("balance", sum(col("sign")).over(wAll))
+      .filter(col("sign") === 1 && col("balance") > 0)
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Before/after images → SCD-2 history: version valid [es, next es). */
+  private def cdcScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("es"))
+    ordersTyped(s, dir)
+      .filter(col("type") =!= "DELETE")
+      .select(col("o_orderkey"), col("o_totalprice"), col("es").as("valid_from"),
+        lead(col("es"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  private def cdcDdlFilter(s: SparkSession, dir: String): DataFrame =
+    parsed(s, dir)
+      .filter(col("isDdl"))
+      .select(col("database").as("db"), col("table").as("tbl"),
+        col("sql").as("sql_text"), col("es"))
+      .orderBy(col("es"))
+
+  /** Ops/table/type counters + replication lag — the adapters' monitoring
+    * surface (lag is ts − es, constant 500 ms by construction).
+    */
+  private def cdcChangelogStats(s: SparkSession, dir: String): DataFrame =
+    parsed(s, dir)
+      .filter(!col("isDdl"))
+      .groupBy(col("table").as("tbl"), col("type").as("typ"))
+      .agg(count(lit(1)).as("n"), Det.davg(col("ts") - col("es")).as("avg_lag_ms"))
+      .orderBy(col("tbl"), col("typ"))
+
+  // ---- oracles (relational restatement of the change script) ----
+
+  private val parseOracle = """
+    WITH ev AS (
+      SELECT 'demo' AS db, 'orders' AS tbl, 'INSERT' AS typ,
+             epoch_ms(o_orderdate) AS es, o_orderkey AS pk FROM orders
+      UNION ALL
+      SELECT 'demo', 'orders', 'UPDATE', epoch_ms(o_orderdate) + 86400000,
+             o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'demo', 'orders', 'DELETE', epoch_ms(o_orderdate) + 172800000,
+             o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT 'demo', 'customer', 'INSERT', 1000000000000 + c_custkey,
+             c_custkey FROM customer)
+    SELECT db, tbl, typ, CAST(es AS BIGINT) AS es, pk FROM ev
+    ORDER BY tbl, typ, pk"""
+
+  private val routeOracle = """
+    WITH ev AS (
+      SELECT 'demo' AS db, 'orders' AS tbl, 'INSERT' AS typ,
+             epoch_ms(o_orderdate) AS es FROM orders
+      UNION ALL
+      SELECT 'demo', 'orders', 'UPDATE', epoch_ms(o_orderdate) + 86400000
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'demo', 'orders', 'DELETE', epoch_ms(o_orderdate) + 172800000
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT 'demo', 'customer', 'INSERT', 1000000000000 + c_custkey
+      FROM customer)
+    SELECT db, tbl, typ, COUNT(*) AS n, CAST(MIN(es) AS BIGINT) AS min_es,
+           CAST(MAX(es) AS BIGINT) AS max_es
+    FROM ev GROUP BY db, tbl, typ ORDER BY tbl, typ"""
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("cdc_parse", cdcParse, Some(parseOracle)),
+    QueryDef("cdc_route", cdcRoute, Some(routeOracle)),
+    QueryDef("cdc_type_map", cdcTypeMap,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+              FROM orders ORDER BY o_orderkey""")),
+    QueryDef("cdc_upsert_latest", cdcUpsertLatest,
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 3 = 0
+                    THEN epoch_ms(o_orderdate) + 86400000
+                    ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
+              FROM orders ORDER BY o_orderkey""")),
+    QueryDef("cdc_delete_fold", cdcDeleteFold,
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""")),
+    QueryDef("cdc_scd2", cdcScd2,
+      Some("""WITH v AS (
+                SELECT o_orderkey, o_totalprice,
+                       epoch_ms(o_orderdate) AS valid_from,
+                       CASE WHEN o_orderkey % 3 = 0
+                            THEN epoch_ms(o_orderdate) + 86400000 END AS valid_to
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice + 1000.0,
+                       epoch_ms(o_orderdate) + 86400000, NULL
+                FROM orders WHERE o_orderkey % 3 = 0)
+              SELECT o_orderkey, o_totalprice,
+                     CAST(valid_from AS BIGINT) AS valid_from,
+                     CAST(valid_to AS BIGINT) AS valid_to,
+                     valid_to IS NULL AS is_current
+              FROM v ORDER BY o_orderkey, valid_from""")),
+    QueryDef("cdc_ddl_filter", cdcDdlFilter,
+      Some(s"""SELECT 'demo' AS db, 'orders' AS tbl,
+               '$ddlSql' AS sql_text, CAST(0 AS BIGINT) AS es""")),
+    QueryDef("cdc_changelog_stats", cdcChangelogStats,
+      Some("""WITH ev AS (
+                SELECT 'orders' AS tbl, 'INSERT' AS typ FROM orders
+                UNION ALL
+                SELECT 'orders', 'UPDATE' FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT 'orders', 'DELETE' FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT 'customer', 'INSERT' FROM customer)
+              SELECT tbl, typ, COUNT(*) AS n, CAST(500.0 AS DOUBLE) AS avg_lag_ms
+              FROM ev GROUP BY tbl, typ ORDER BY tbl, typ""")),
+  )
+}
