@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +15,8 @@ object SparkEntry {
   /** Every implemented operator from SURVEY.md §2, one QueryDef each. */
   def defs: Seq[QueryDef] =
     Scans.defs ++ Projections.defs ++ Joins.defs ++ SortSetOps.defs ++
-      Aggregates.defs ++ Windows.defs ++ Fns.defs ++ Cdc.defs
+      Aggregates.defs ++ Windows.defs ++ Fns.defs ++ Cdc.defs ++
+      StreamOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

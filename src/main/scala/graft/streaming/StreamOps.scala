@@ -1,0 +1,358 @@
+package graft.streaming
+
+import graft.{Det, QueryDef}
+import graft.operators.Cdc
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** §2.10 Structured Streaming + §2.1 streaming sources/sinks.
+  *
+  * Every registry entry here REALLY runs a streaming query (file/rate
+  * source → transforms → memory/parquet sink, `Trigger.AvailableNow`) and
+  * then returns the materialized result as a batch DataFrame for the
+  * driver's correctness dump. Batch-equivalent oracles exist where the
+  * computation is SQL-expressible; watermark/late-data semantics that SQL
+  * cannot state are asserted in ScalaTest with MemoryStream instead.
+  *
+  * Scale notes (100 TB posture): all stateful ops keyed by unbounded
+  * domains sit behind watermarks (state eviction);
+  * dropDuplicatesWithinWatermark bounds dedup state; the idempotent sink
+  * overwrites per-batchId partitions so at-least-once replays converge
+  * (exactly-once effect without a transactional store).
+  */
+object StreamOps {
+
+  case class Ev(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, value: Double)
+  case class UserAgg(n: Long, sum: java.math.BigDecimal)
+  case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** events.parquet as an unbounded file source (the Canal feed stand-in;
+    * no Kafka jar ships in this image). ts read as raw nanos (same
+    * TIMESTAMP(NANOS) workaround as Tables.events) → µs.
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The file source wants a directory; stage one containing a symlink to
+    * the fixture parquet (per sfDir, idempotent).
+    */
+  private def eventsDir(dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val d = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_stream/events_src_$sf")
+    java.nio.file.Files.createDirectories(d)
+    val link = d.resolve("events_0.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    d.toString
+  }
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventsRawSchema).parquet(eventsDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def fresh(prefix: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_stream/${prefix}_${System.nanoTime()}"
+    new java.io.File(d).mkdirs(); d
+  }
+
+  private val nameCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a streaming DataFrame to completion into an in-memory table. */
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_mem_${nameCtr.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", fresh(s"${name}_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // ---- sources ----
+
+  /** CDC envelope JSON dropped as files, consumed as an unbounded stream,
+    * routed per (table, type) — the Canal TCP/Kafka feed modeled as a
+    * file drop.
+    */
+  private def srcStreamFile(s: SparkSession, dir: String): DataFrame = {
+    val feed = fresh("cdc_feed")
+    Cdc.envelopes(s, dir).coalesce(1).write.mode("overwrite").text(feed)
+    val parsed = s.readStream.schema(Cdc.envelopeSchema).json(feed)
+    val agg = parsed.filter(!col("isDdl"))
+      .groupBy(col("table").as("tbl"), col("type").as("typ"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "complete").orderBy(col("tbl"), col("typ"))
+  }
+
+  /** Synthetic load generator (bench harness for streaming ops) — row
+    * count is wall-clock-dependent, so rows-only check.
+    */
+  private def srcRate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_rate_${nameCtr.incrementAndGet()}"
+    val q = s.readStream.format("rate")
+      .option("rowsPerSecond", "5000").option("numPartitions", "2").load()
+      .groupBy().agg(count(lit(1)).as("n_rows"), max(col("value")).as("max_v"))
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    Thread.sleep(1500)
+    q.stop(); q.awaitTermination()
+    s.table(name).limit(1)
+  }
+
+  // ---- sinks ----
+
+  /** foreachBatch append sink partitioned by event_type (the adapters'
+    * buffered INSERT-batch analogue); verified by reading the files back.
+    */
+  private def sinkParquet(s: SparkSession, dir: String): DataFrame = {
+    val out = fresh("sink_parquet")
+    val q = eventsStream(s, dir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("event_type").parquet(out)
+      }
+      .option("checkpointLocation", fresh("sink_parquet_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Exactly-once-per-batch sink: each micro-batch overwrites its own
+    * `batch=<id>` partition, so an at-least-once replay of the same batch
+    * converges to the same files. Demonstrated by running the SAME input
+    * through TWO independent streams (second = full replay) into one dir.
+    */
+  private def sinkIdempotent(s: SparkSession, dir: String): DataFrame = {
+    val out = fresh("sink_idem")
+    def runOnce(): Unit = {
+      val q = eventsStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .option("checkpointLocation", fresh("sink_idem_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce(); runOnce() // replay — overwrite keeps the sink idempotent
+    s.read.parquet(s"$out/batch=0")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---- windowed aggregations ----
+
+  private def streamTumbling(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+    runToMemory(s, agg, "complete")
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  private def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "complete")
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy(col("window_start"))
+  }
+
+  private def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "complete")
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Watermarked windowed agg in APPEND mode: only windows finalized below
+    * the terminal watermark (max event time − 2h) are emitted — the state
+    * eviction contract. Late-data drop semantics are ScalaTest territory
+    * (MemoryStream injection); here the driver checks rows>0.
+    */
+  private def streamWatermark(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "append")
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** At-least-once feed (input unioned with itself = full duplication)
+    * → dropDuplicatesWithinWatermark → effectively-once store.
+    */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsStream(s, dir)
+    val dup = e.unionByName(e) // simulated replay of the whole feed
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    runToMemory(s, dup, "append")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Arbitrary stateful processing: per-user running (count, exact decimal
+    * sum) via flatMapGroupsWithState. Values are scaled to 6dp decimals in
+    * state so the fold is order-independent and equals the oracle's
+    * DECIMAL(30,6) sum exactly.
+    */
+  private def streamStateful(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[Ev] = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.readStream.schema(eventsRawSchema).parquet(eventsDir(dir))
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+    }
+    val updated = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserStat](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(0L, java.math.BigDecimal.ZERO))
+          var n = prev.n
+          var sum = prev.sum
+          rows.foreach { e =>
+            n += 1
+            sum = sum.add(new java.math.BigDecimal(e.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+          }
+          state.update(UserAgg(n, sum))
+          Iterator(UserStat(uid, n, sum.doubleValue))
+      }
+    // n is monotone per user, so the final state is the max-n emission.
+    runToMemory(s, updated.toDF(), "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("sum_value"), col("n_events")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- joins ----
+
+  /** Stream–static dimension enrichment (events ⋈ customer). */
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventsStream(s, dir)
+      .join(cust, col("c_custkey") === col("user_id") + 1)
+    runToMemory(s, joined, "append")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Stream–stream join: each purchase joined to same-user clicks in the
+    * preceding hour; both sides watermarked so join state is bounded.
+    */
+  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsStream(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_uid"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_uid"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_uid") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    runToMemory(s, joined, "append")
+      .groupBy(col("p_uid").as("user_id")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- oracles ----
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("src_stream_file", srcStreamFile,
+      Some("""WITH ev AS (
+                SELECT 'orders' AS tbl, 'INSERT' AS typ FROM orders
+                UNION ALL
+                SELECT 'orders', 'UPDATE' FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT 'orders', 'DELETE' FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT 'customer', 'INSERT' FROM customer)
+              SELECT tbl, typ, COUNT(*) AS n FROM ev
+              GROUP BY tbl, typ ORDER BY tbl, typ""")),
+    QueryDef("src_rate", srcRate, None),
+    QueryDef("sink_parquet", sinkParquet,
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+               ${Det.oSum("value")} AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+    QueryDef("sink_idempotent", sinkIdempotent,
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+               ${Det.oSum("value")} AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+    QueryDef("stream_tumbling", streamTumbling,
+      Some(s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                 AS hour_start, event_type, COUNT(*) AS n,
+               ${Det.oSum("value")} AS sum_value
+              FROM events GROUP BY hour_start, event_type
+              ORDER BY hour_start, event_type""")),
+    QueryDef("stream_sliding", streamSliding,
+      Some("""WITH slides AS (
+                SELECT make_timestamp(
+                  ((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - k.k)
+                    * 900000000) AS window_start
+                FROM events, (VALUES (0),(1),(2),(3)) k(k))
+              SELECT window_start, COUNT(*) AS n
+              FROM slides GROUP BY window_start ORDER BY window_start""")),
+    QueryDef("stream_session", streamSession,
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+              m AS (SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              sess AS (SELECT user_id, ts,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+              SELECT user_id, MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     COUNT(*) AS n
+              FROM sess GROUP BY user_id, sid
+              ORDER BY user_id, session_start""")),
+    QueryDef("stream_watermark", streamWatermark, None),
+    QueryDef("stream_dedup", streamDedup,
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+              GROUP BY event_type ORDER BY event_type""")),
+    QueryDef("stream_stateful", streamStateful,
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+               ${Det.oSum("value")} AS sum_value
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+    QueryDef("stream_join", streamJoin,
+      Some("""SELECT c_mktsegment, COUNT(*) AS n
+              FROM events JOIN customer ON c_custkey = user_id + 1
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+    QueryDef("stream_stream_join", streamStreamJoin,
+      Some("""SELECT p.user_id AS user_id, COUNT(*) AS n_pairs
+              FROM events p JOIN events c
+                ON p.user_id = c.user_id
+               AND p.event_type = 'purchase' AND c.event_type = 'click'
+               AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+               AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+              GROUP BY p.user_id ORDER BY user_id""")),
+  )
+}
