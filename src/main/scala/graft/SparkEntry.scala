@@ -16,7 +16,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Scans.defs ++ Projections.defs ++ Joins.defs ++ SortSetOps.defs ++
       Aggregates.defs ++ Windows.defs ++ Fns.defs ++ Cdc.defs ++
-      StreamOps.defs
+      StreamOps.defs ++ LlmText.defs ++ LlmVector.defs ++
+      Multimodal.defs ++ UdfOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

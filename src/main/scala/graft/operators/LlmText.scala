@@ -1,0 +1,304 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.11 (text half) — LLM-corpus text analysis and deduplication over the
+  * `documents` fixture: corpus stats, language ID (stopword-profile
+  * heuristic), quality scoring, tokenize, tf-idf, n-grams, rolling-hash
+  * fingerprinting, and the dedup ladder (exact hash → exact Jaccard →
+  * SimHash buckets; MinHash-LSH lives in LlmVector with the other MLlib
+  * ops).
+  *
+  * Scale notes (100 TB posture): everything tokenizes map-side and
+  * aggregates with partial combine; the pairwise Jaccard join is blocked
+  * on a deterministic candidate sample (doc_id % 10 = 0) because an
+  * unblocked token-inverted-index self-join is quadratic in document
+  * frequency — at corpus scale the MinHash-LSH variant is the real path
+  * and this exact twin is its verification oracle.
+  */
+object LlmText {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(toks(col("text"))).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        Det.davg(col("n_tokens")).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  /** Stopword-profile language ID: score each language by its stopword
+    * hits in the document, argmax with alphabetical tiebreak. (The
+    * heuristic mechanism is the operator; the fixture's lang labels are
+    * random, so accuracy is not the point.)
+    */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("de", "le", "shi", "he"),
+  )
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val scored = langStops.foldLeft(
+      Tables.documents(s, dir).withColumn("arr", toks(col("text")))) {
+      case (df, (lang, stops)) =>
+        df.withColumn(s"hits_$lang",
+          size(filter(col("arr"), x => x.isin(stops.map(lit): _*))))
+    }
+    val hits = array(langStops.map { case (lang, _) =>
+      struct(col(s"hits_$lang").as("hits"), lit(lang).as("lang"))
+    }: _*)
+    // argmax by (hits, reverse-alphabetical lang) == max hits, ties to the
+    // alphabetically-first language
+    scored
+      .withColumn("best", array_max(hits))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("best.lang").as("predicted_lang"), col("best.hits").as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val en = Seq("the", "a", "of", "and", "to", "in")
+    Tables.documents(s, dir)
+      .withColumn("arr", toks(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("arr")).as("n_tokens"),
+        (col("n_chars").cast("double") / size(col("arr"))).as("chars_per_token"),
+        (size(filter(col("arr"), x => x.isin(en.map(lit): _*))).cast("double")
+          / size(col("arr"))).as("stopword_ratio"),
+        (size(array_distinct(col("arr"))).cast("double") / size(col("arr")))
+          .as("ttr"))
+      .withColumn("quality",
+        round(col("stopword_ratio") * 0.5 + col("ttr") * 0.5, 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private def textTokenize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("token"))
+
+  private def textTfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_total"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df_, "token").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"),
+        col("df"),
+        round(col("tf") * log(col("n_total").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
+  private def textNgram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("arr", toks(col("text")))
+      .select(explode(expr(
+        """transform(sequence(0, size(arr) - 2),
+             i -> concat(element_at(arr, i + 1), ' ', element_at(arr, i + 2)))"""))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+
+  /** Rolling polynomial fingerprint over (len·256 + first-codepoint) token
+    * codes, mod 1e9+7 — stays in bigint range so Spark and DuckDB fold
+    * identically (no overflow wrap, which DuckDB would reject).
+    */
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("arr", toks(col("text")))
+      .select(col("doc_id"),
+        expr("""aggregate(
+                  transform(arr, x -> length(x) * 256L + ascii(x)),
+                  0L, (acc, v) -> (acc * 131 + v) % 1000000007)""")
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup by normalized-text hash: keep the lowest doc_id per
+    * digest (the canonical LLM-corpus exact-dedup step).
+    */
+  private def dedupExactHash(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("digest", sha2(lower(trim(col("text"))), 256))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("digest"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("digest"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact token-set Jaccard near-dup pairs over a deterministic candidate
+    * block (doc_id % 10 = 0): inverted-index self-join → intersection
+    * counts → J = |∩| / |∪|. Serves as the recall oracle for MinHash-LSH.
+    */
+  private def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val cand = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tokset"))
+    val sizes = cand.select(col("doc_id"), size(col("tokset")).as("sz"))
+    val inv = cand.select(col("doc_id"), explode(col("tokset")).as("token"))
+    val inter = inv.as("a")
+      .join(inv.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 64-bit SimHash: per-token xxhash64, each bit votes ±1 weighted by tf,
+    * sign of the vote → bit. Near-dups share high-bit buckets. xxhash64
+    * has no DuckDB twin → rows-only here, golden-value ScalaTest.
+    */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .select(col("doc_id"), xxhash64(col("token")).as("h"),
+        explode(expr("sequence(0, 63)")).as("bit"))
+      .withColumn("vote",
+        when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+      .withColumn("bitval",
+        when(col("votes") > 0, expr("CAST(1 AS BIGINT) << bit")).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash"))
+      .withColumn("bucket", expr("simhash >> 48"))
+      .orderBy(col("doc_id"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_stats", textStats,
+      Some(s"""WITH t AS (SELECT lang, source, n_chars,
+                 len(string_split(text, ' ')) AS n_tokens FROM documents)
+              SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               ${Det.oAvg("n_tokens")} AS avg_tokens,
+               COUNT(DISTINCT source) AS n_sources
+              FROM t GROUP BY lang ORDER BY lang""")),
+    QueryDef("text_langid", textLangid,
+      Some(s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS arr
+                 FROM documents),
+              sc AS (
+                ${langStops.map { case (lang, stops) =>
+                  s"""SELECT doc_id, lang, '$lang' AS cand,
+                      len(list_filter(arr, x -> x IN (${stops.map("'" + _ + "'").mkString(",")})))
+                        AS hits FROM t"""
+                }.mkString("\n UNION ALL \n")}),
+              best AS (SELECT doc_id, lang, cand, hits,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY hits DESC, cand DESC) AS rn FROM sc)
+              SELECT doc_id, lang AS labeled_lang, cand AS predicted_lang,
+                     CAST(hits AS INTEGER) AS hits
+              FROM best WHERE rn = 1 ORDER BY doc_id""")),
+    QueryDef("text_quality", textQuality,
+      Some("""WITH t AS (SELECT doc_id, n_chars, string_split(text,' ') AS arr
+                FROM documents)
+              SELECT doc_id,
+               len(arr) AS n_tokens,
+               CAST(n_chars AS DOUBLE) / len(arr) AS chars_per_token,
+               CAST(len(list_filter(arr,
+                 x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                 / len(arr) AS stopword_ratio,
+               CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) AS ttr,
+               round(CAST(len(list_filter(arr,
+                   x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                   / len(arr) * 0.5
+                 + CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) * 0.5, 6)
+                 AS quality
+              FROM t ORDER BY doc_id""")),
+    QueryDef("text_tokenize", textTokenize,
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+                FROM documents)
+              SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+              FROM t GROUP BY token ORDER BY token""")),
+    QueryDef("text_tf_idf", textTfIdf,
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+                FROM documents),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t
+                GROUP BY doc_id, token),
+              df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf
+                GROUP BY token),
+              n AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM documents)
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                round(tf.tf * ln(CAST(n_total AS DOUBLE) / df.df), 6) AS tfidf
+              FROM tf JOIN df USING (token) CROSS JOIN n
+              ORDER BY tf.doc_id, tf.token""")),
+    QueryDef("text_ngram", textNgram,
+      Some("""WITH t AS (SELECT doc_id,
+                unnest(string_split(text,' ')) AS tok,
+                generate_subscripts(string_split(text,' '), 1) AS o
+                FROM documents),
+              b AS (SELECT a.tok || ' ' || c.tok AS bigram
+                FROM t a JOIN t c ON a.doc_id = c.doc_id AND c.o = a.o + 1)
+              SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+              ORDER BY n DESC, bigram LIMIT 50""")),
+    QueryDef("text_fingerprint", textFingerprint,
+      Some("""WITH t AS (SELECT doc_id,
+                list_transform(string_split(text,' '),
+                  x -> length(x) * 256 + unicode(x)) AS codes
+                FROM documents)
+              SELECT doc_id,
+               CAST(list_reduce(list_prepend(0, codes),
+                 (acc, v) -> (acc * 131 + v) % 1000000007) AS BIGINT)
+                 AS fingerprint
+              FROM t ORDER BY doc_id""")),
+    QueryDef("dedup_exact_hash", dedupExactHash,
+      Some("""WITH t AS (SELECT doc_id, sha256(lower(trim(text))) AS digest
+                FROM documents),
+              r AS (SELECT doc_id, digest,
+                row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY digest) AS n_copies
+                FROM t)
+              SELECT doc_id, digest, n_copies FROM r WHERE rn = 1
+              ORDER BY doc_id""")),
+    QueryDef("dedup_jaccard", dedupJaccard,
+      Some("""WITH cand AS (SELECT doc_id,
+                list_distinct(string_split(text,' ')) AS tokset
+                FROM documents WHERE doc_id % 10 = 0),
+              sizes AS (SELECT doc_id, len(tokset) AS sz FROM cand),
+              inv AS (SELECT doc_id, unnest(tokset) AS token FROM cand),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                COUNT(*) AS n_inter
+                FROM inv a JOIN inv b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+              SELECT id_a, id_b,
+                round(CAST(n_inter AS DOUBLE)
+                  / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(CAST(n_inter AS DOUBLE)
+                / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+              ORDER BY id_a, id_b""")),
+    QueryDef("dedup_simhash", dedupSimhash, None),
+  )
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.11 (vector half) — embedding-column operators over the `embeddings`
+  * fixture (float[64], 10 labels): norms, pairwise cosine, brute-force
+  * k-NN, embedding-cosine near-dup, per-label centroids, plus the MLlib
+  * approximate paths (MinHash-LSH Jaccard dedup, random-projection LSH
+  * k-NN).
+  *
+  * All exact math is done in DOUBLE with sequential left-to-right
+  * higher-order-function folds (same order as DuckDB's list kernels) and
+  * rounded to 6dp at the edges, so float32 inputs still hash-match.
+  *
+  * Scale notes (100 TB posture): brute-force k-NN is blocked — a bounded
+  * probe set broadcast against the corpus, so the big side never
+  * shuffles; the LSH variants are the real 100 TB path (bucketed join,
+  * candidates only), with the exact ops as their verification oracles.
+  */
+object LlmVector {
+
+  /** float[] → double[] (compute in f64; f32 accumulation drifts). */
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  private def vecNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("v", dbl(col("embedding")))
+      .select(col("vec_id"),
+        round(norm2(col("v")), 6).as("l2_norm"),
+        round(array_max(transform(col("v"), x => abs(x))), 6).as("max_abs"),
+        round(element_at(col("v"), 1) / norm2(col("v")), 6).as("first_unit"))
+      .orderBy(col("vec_id"))
+
+  /** Cosine between consecutive vec_ids (pairing without a quadratic
+    * join).
+    */
+  private def simCosinePair(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .orderBy(col("id_a"))
+  }
+
+  /** Brute-force k-NN: bounded probe set (vec_id % 50 = 0) broadcast
+    * against all candidates; top-5 by (rounded sim desc, vec_id).
+    */
+  private def simTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    cands.crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("cos_sim"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within label blocks
+    * (threshold 0.35 ≈ the fixture's top-0.1% of pair similarity).
+    */
+  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("label").as("label_b"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("label"), col("id_a"), col("id_b"), col("cos_sim"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  /** Per-label mean vector (cluster profile): explode positions, exact
+    * decimal mean per (label, pos), reassemble ordered.
+    */
+  private def labelCentroid(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(dbl(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(Det.davg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> round(s.m, 6))")
+        .as("centroid"))
+      .orderBy(col("label"))
+
+  /** MinHash-LSH fuzzy dedup (the 100 TB dedup path): token sets →
+    * binary HashingTF vectors → banded MinHash → approxSimilarityJoin.
+    * Seeded, so deterministic; recall vs. the exact-Jaccard twin is
+    * asserted in ScalaTest (no SQL oracle for LSH).
+    */
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("tokens", array_distinct(split(col("text"), " ")))
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+      .setNumFeatures(1024).setBinary(true)
+    val feat = tf.transform(docs).select(col("doc_id"), col("features"))
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("id_a"),
+        col("datasetB.doc_id").as("id_b"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Random-projection LSH approximate k-NN (the scale path for
+    * similarity search). Seeded; recall asserted in ScalaTest.
+    */
+  private def simLshKnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("features").as("pf"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(e)
+    model.approxSimilarityJoin(
+        e, probes.withColumnRenamed("pf", "features")
+          .withColumnRenamed("probe_id", "vec_id"), 1.2, "dist")
+      .select(col("datasetB.vec_id").as("probe_id"),
+        col("datasetA.vec_id").as("cand_id"),
+        round(col("dist"), 6).as("dist"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .orderBy(col("probe_id"), col("dist"), col("cand_id"))
+  }
+
+  // ---- oracles ----
+
+  private val oDot =
+    "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  private def oNorm(v: String): String =
+    s"sqrt(list_dot_product(CAST($v AS DOUBLE[]), CAST($v AS DOUBLE[])))"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("vec_norm", vecNorm,
+      Some(s"""SELECT vec_id,
+               round(${oNorm("embedding")}, 6) AS l2_norm,
+               round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> abs(x))), 6) AS max_abs,
+               round(CAST(embedding[1] AS DOUBLE) / ${oNorm("embedding")}, 6)
+                 AS first_unit
+              FROM embeddings ORDER BY vec_id""")),
+    QueryDef("sim_cosine_pair", simCosinePair,
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${oDot.format("a.embedding", "b.embedding")}
+                 / (${oNorm("a.embedding")} * ${oNorm("b.embedding")}), 6)
+                 AS cos_sim
+              FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+              ORDER BY id_a""")),
+    QueryDef("sim_topk", simTopk,
+      Some(s"""WITH pairs AS (
+                SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                  round(${oDot.format("p.embedding", "c.embedding")}
+                    / (${oNorm("p.embedding")} * ${oNorm("c.embedding")}), 6)
+                    AS cos_sim
+                FROM embeddings p JOIN embeddings c
+                  ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+              ranked AS (SELECT probe_id, cand_id, cos_sim,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cos_sim DESC, cand_id) AS rnk
+                FROM pairs)
+              SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cos_sim
+              FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
+    QueryDef("dedup_embed", dedupEmbed,
+      Some(s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${oDot.format("a.embedding", "b.embedding")}
+                 / (${oNorm("a.embedding")} * ${oNorm("b.embedding")}), 6)
+                 AS cos_sim
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(${oDot.format("a.embedding", "b.embedding")}
+                / (${oNorm("a.embedding")} * ${oNorm("b.embedding")}), 6) >= 0.35
+              ORDER BY a.label, id_a, id_b""")),
+    QueryDef("label_centroid", labelCentroid,
+      Some(s"""WITH e AS (SELECT label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+                FROM embeddings),
+              a AS (SELECT label, pos, ${Det.oAvg("x")} AS m
+                FROM e GROUP BY label, pos)
+              SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+              FROM a GROUP BY label ORDER BY label""")),
+    QueryDef("dedup_minhash", dedupMinhash, None),
+    QueryDef("sim_lsh_knn", simLshKnn, None),
+  )
+}

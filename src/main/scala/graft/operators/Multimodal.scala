@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (driver mandate): image/audio/video handled as
+  * opaque `binary` columns with typed metadata. The decode step itself is
+  * STUBBED (no image/audio codecs ship in this container) behind
+  * [[fakeDecode]] — a deterministic byte-level feature extractor with the
+  * same shape a real codec call would have — while the Spark-side
+  * plumbing (binary schema, metadata struct, per-partition batched
+  * processing, feature schema) is real and tested.
+  *
+  * Scale notes (100 TB posture): media decode is the canonical
+  * mapPartitions workload — per-partition batch processing amortizes
+  * codec init, binary columns stay opaque to the optimizer (no codegen
+  * on blob internals to break), and pruning/filtering happens on the
+  * typed metadata columns, never on the blobs.
+  */
+object Multimodal {
+
+  /** Pack: text → utf-8 "media" blob + typed metadata (the ingest shape
+    * for any binary modality).
+    */
+  private def mmPack(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("blob"),
+        struct(lit("text/plain").as("mime"), col("lang").as("lang"),
+          col("n_chars").as("n_chars")).as("meta"))
+      .select(col("doc_id"),
+        length(col("blob")).as("n_bytes"),
+        sha2(col("blob"), 256).as("digest"),
+        col("meta.mime").as("mime"))
+      .orderBy(col("doc_id"))
+
+  /** STUB decode — stands in for e.g. libjpeg/ffmpeg: deterministic
+    * byte-level "features" computed per partition in one imperative pass
+    * (the real thing would hand `blob` to a codec here).
+    */
+  private def fakeDecode(blob: Array[Byte]): (Int, Long, Int) = {
+    var sum = 0L
+    var i = 0
+    while (i < blob.length) { sum += (blob(i) & 0xff); i += 1 }
+    (blob.length, sum % 997, if (blob.nonEmpty) blob(0) & 0xff else -1)
+  }
+
+  private val decodeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("checksum", LongType),
+    StructField("first_byte", IntegerType)))
+
+  /** Decode / feature-extract over binary columns via mapPartitions —
+    * batch shape of a Pandas-UDF/codec pipeline, minus the codec.
+    */
+  private def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    val packed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodeSchema)
+    packed.mapPartitions { rows =>
+      // per-partition batch: a real implementation initializes the codec
+      // once here, then streams the partition through it
+      rows.map { r =>
+        val (n, ck, fb) = fakeDecode(r.getAs[Array[Byte]]("blob"))
+        Row(r.getAs[Long]("doc_id"), n, ck, fb)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  /** Frame-sample: a float[64] embedding treated as 64 "frames"; keep
+    * every 8th frame (the video keyframe-sampling shape).
+    */
+  private def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("""transform(sequence(0, 7),
+                 i -> round(CAST(element_at(embedding, i * 8 + 1) AS DOUBLE), 6))""")
+          .as("sampled_frames"))
+      .withColumn("n_frames", size(col("sampled_frames")))
+      .orderBy(col("vec_id"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_pack", mmPack,
+      Some("""SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_bytes,
+               sha256(text) AS digest,
+               'text/plain' AS mime
+              FROM documents ORDER BY doc_id""")),
+    QueryDef("mm_decode", mmDecode, None),
+    QueryDef("mm_frame_sample", mmFrameSample,
+      Some("""SELECT vec_id,
+               list_transform([0,1,2,3,4,5,6,7],
+                 i -> round(CAST(embedding[i * 8 + 1] AS DOUBLE), 6))
+                 AS sampled_frames,
+               8 AS n_frames
+              FROM embeddings ORDER BY vec_id""")),
+  )
+}

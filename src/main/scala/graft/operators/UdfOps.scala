@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** §2.12 UDF / UDAF / UDTF surface + the native-expression stretch.
+  *
+  * Order of preference (SURVEY.md §4): built-ins (codegen'd) > native
+  * Catalyst Expression > typed Aggregator > scalar UDF. The scalar UDF
+  * here exists to cover the surface; real hot paths in this engine use
+  * built-ins everywhere else.
+  */
+object UdfOps {
+
+  /** Scalar Scala UDF: parse the numeric rank out of an order priority
+    * ('2-HIGH' → 2) — codegen-opaque, hence only a demonstration.
+    */
+  private def udfScalar(s: SparkSession, dir: String): DataFrame = {
+    val rank = udf((p: String) => p.split("-")(0).toInt)
+    Tables.orders(s, dir)
+      .withColumn("prio_rank", rank(col("o_orderpriority")))
+      .groupBy(col("prio_rank"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prio_rank"))
+  }
+
+  /** Typed Aggregator: exact decimal mean (order-independent fold that
+    * matches the oracle's DECIMAL(30,6) sum bit-for-bit).
+    */
+  object ExactMean
+      extends Aggregator[Double, (Long, java.math.BigDecimal), Double] {
+    def zero: (Long, java.math.BigDecimal) = (0L, java.math.BigDecimal.ZERO)
+    def reduce(b: (Long, java.math.BigDecimal), v: Double): (Long, java.math.BigDecimal) =
+      (b._1 + 1, b._2.add(new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)))
+    def merge(a: (Long, java.math.BigDecimal),
+        b: (Long, java.math.BigDecimal)): (Long, java.math.BigDecimal) =
+      (a._1 + b._1, a._2.add(b._2))
+    def finish(b: (Long, java.math.BigDecimal)): Double =
+      b._2.doubleValue / b._1
+    def bufferEncoder: Encoder[(Long, java.math.BigDecimal)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.DECIMAL)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private def udafTyped(s: SparkSession, dir: String): DataFrame = {
+    val exactMean = udaf(ExactMean)
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(exactMean(col("o_totalprice")).as("mean_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Generator (UDTF shape): 1 row → N rows via explode(sequence(...)) —
+    * three monthly billing periods per order.
+    */
+  private def udtfGenerate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(expr(
+        """explode(sequence(date_trunc('month', o_orderdate),
+                            date_trunc('month', o_orderdate) + interval 2 month,
+                            interval 1 month))""").as("bill_month"))
+      .groupBy(col("bill_month")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bill_month"))
+
+  /** Native Catalyst expression with codegen (see CosineSim): same result
+    * as the HOF-based sim_cosine_pair, computed by the fused kernel.
+    */
+  private def exprCustom(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    a.join(b, "id_a")
+      .withColumn("cos_sim", round(expr("cosine_sim_native(va, vb)"), 6))
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .orderBy(col("id_a"))
+  }
+
+  private val oDot =
+    "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+  private def oNorm(v: String): String =
+    s"sqrt(list_dot_product(CAST($v AS DOUBLE[]), CAST($v AS DOUBLE[])))"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("udf_scalar", udfScalar,
+      Some("""SELECT CAST(string_split(o_orderpriority, '-')[1] AS INTEGER)
+                 AS prio_rank,
+               o_orderpriority, COUNT(*) AS n
+              FROM orders GROUP BY prio_rank, o_orderpriority
+              ORDER BY prio_rank""")),
+    QueryDef("udaf_typed", udafTyped,
+      Some("""SELECT o_orderstatus,
+               (CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*)) AS mean_price,
+               COUNT(*) AS n
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+    QueryDef("udtf_generate", udtfGenerate,
+      Some("""WITH m AS (SELECT unnest(generate_series(
+                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),
+                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                  + INTERVAL 2 MONTH,
+                INTERVAL 1 MONTH)) AS bill_month FROM orders)
+              SELECT bill_month, COUNT(*) AS n FROM m
+              GROUP BY bill_month ORDER BY bill_month""")),
+    QueryDef("expr_custom", exprCustom,
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${oDot.format("a.embedding", "b.embedding")}
+                 / (${oNorm("a.embedding")} * ${oNorm("b.embedding")}), 6)
+                 AS cos_sim
+              FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+              ORDER BY id_a""")),
+  )
+}
