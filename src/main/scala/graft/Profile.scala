@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling harness (not part of the driver contract): runs the named
+  * queries (or all) twice in one JVM and reports cold vs warm wall-clock,
+  * separating JIT/session warm-up from steady-state cost. Usage:
+  *   sbt "runMain graft.Profile <sfDir> [key ...]"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val keys = if (args.length > 1) args.drop(1).toSeq
+               else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // one throwaway action to absorb session/codegen start-up
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    keys.foreach { k =>
+      val fn = SparkEntry.queries(k)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => println(s"$k FAILED: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once(); val warm = once()
+      println(f"PROFILE $k%-24s cold=$cold%7.2fs warm=$warm%7.2fs")
+    }
+    spark.stop()
+  }
+}

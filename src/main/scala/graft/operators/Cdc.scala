@@ -126,16 +126,35 @@ object Cdc {
       .unionByName(custInserts).unionByName(ddl)
   }
 
+  /** Parsed envelopes are persisted once per (session, sfDir): eight
+    * operators consume the same feed, and without materialization each
+    * field projection behind the explode re-runs the from_json parse
+    * (no common-subexpression elimination across a Generate boundary).
+    */
+  private val parsedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val typedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Envelope JSON → typed envelope rows (the Canal-adapter parse step). */
   def parsed(s: SparkSession, dir: String): DataFrame =
-    envelopes(s, dir)
-      .select(from_json(col("value"), envelopeSchema).as("m"))
-      .select(col("m.*"))
+    parsedCache.computeIfAbsent((s, dir), { _ =>
+      val df = envelopes(s, dir)
+        .select(from_json(col("value"), envelopeSchema).as("m"))
+        .select(col("m.*"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize so every operator reuses the parse
+      df
+    })
 
   /** Parsed orders-table DML with destination schema applied: stringly
     * row image → typed columns (the adapter's type-map step).
     */
   def ordersTyped(s: SparkSession, dir: String): DataFrame =
+    typedCache.computeIfAbsent((s, dir), { _ => ordersTypedUncached(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+
+  private def ordersTypedUncached(s: SparkSession, dir: String): DataFrame =
     parsed(s, dir)
       .filter(col("table") === "orders" && !col("isDdl"))
       .select(col("type"), col("es"), col("ts"), col("old"),

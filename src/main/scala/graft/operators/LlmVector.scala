@@ -59,17 +59,21 @@ object LlmVector {
 
   /** Brute-force k-NN: bounded probe set (vec_id % 50 = 0) broadcast
     * against all candidates; top-5 by (rounded sim desc, vec_id).
+    * Hot path uses the fused native CosineSim expression (single pass,
+    * no per-pair array allocation) — float-op-identical to the HOF
+    * formulation and the oracle.
     */
   private def simTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
     val probes = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-    val cands = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
     cands.crossJoin(broadcast(probes))
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("cos_sim"))
@@ -80,12 +84,14 @@ object LlmVector {
     * (threshold 0.35 ≈ the fixture's top-0.1% of pair similarity).
     */
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
     val b = e.select(col("label").as("label_b"), col("vec_id").as("id_b"),
-      col("v").as("vb"))
+      col("embedding").as("vb"))
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(va, vb)"), 6))
       .filter(col("cos_sim") >= 0.35)
       .select(col("label"), col("id_a"), col("id_b"), col("cos_sim"))
       .orderBy(col("label"), col("id_a"), col("id_b"))

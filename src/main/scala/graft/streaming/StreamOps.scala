@@ -83,8 +83,11 @@ object StreamOps {
     * file drop.
     */
   private def srcStreamFile(s: SparkSession, dir: String): DataFrame = {
-    val feed = fresh("cdc_feed")
-    Cdc.envelopes(s, dir).coalesce(1).write.mode("overwrite").text(feed)
+    val sf = new java.io.File(dir).getName
+    val feed = s"${sys.props("java.io.tmpdir")}/graft_stream/cdc_feed_$sf"
+    // deterministic content — write once per JVM lifetime / sfDir
+    if (!new java.io.File(s"$feed/_SUCCESS").exists())
+      Cdc.envelopes(s, dir).coalesce(1).write.mode("overwrite").text(feed)
     val parsed = s.readStream.schema(Cdc.envelopeSchema).json(feed)
     val agg = parsed.filter(!col("isDdl"))
       .groupBy(col("table").as("tbl"), col("type").as("typ"))
