@@ -126,7 +126,10 @@ object LlmVector {
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(8).setSeed(42L)
     val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+    // distance threshold 0.6, not 0.5: MinHash Jaccard here is over the
+    // 1024-dim hashed vectors, so token hash collisions can push a pair
+    // slightly across the exact-token-set 0.5 boundary
+    model.approxSimilarityJoin(feat, feat, 0.6, "jaccard_dist")
       .select(col("datasetA.doc_id").as("id_a"),
         col("datasetB.doc_id").as("id_b"),
         round(col("jaccard_dist"), 6).as("jaccard_dist"))

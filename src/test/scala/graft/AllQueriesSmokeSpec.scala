@@ -1,0 +1,33 @@
+package graft
+
+/** One spec per registered operator (SURVEY.md §2): every `queries` entry
+  * must run to completion on sf0.001 and — unless listed as legitimately
+  * empty at this scale — produce rows.
+  */
+class AllQueriesSmokeSpec extends GraftSpec {
+
+  /** Keys whose correct sf0.001 result can be empty (near-dup thresholds
+    * exceed the fixture's max pair similarity at this scale, etc.).
+    */
+  private val mayBeEmpty = Set("dedup_jaccard", "dedup_minhash",
+    "dedup_embed", "sim_lsh_knn", "set_except", "join_anti")
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has an oracle or is a documented rows-only check") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set("agg_distinct_approx", "src_rate", "stream_watermark",
+      "dedup_simhash", "dedup_minhash", "sim_lsh_knn", "mm_decode")
+    assert(rowsOnly == documented,
+      s"undocumented rows-only keys: ${rowsOnly -- documented}")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (key, fn) =>
+    test(s"operator $key runs on sf0.001") {
+      val n = fn(spark, sf).count()
+      if (!mayBeEmpty(key)) assert(n > 0, s"$key returned no rows")
+    }
+  }
+}

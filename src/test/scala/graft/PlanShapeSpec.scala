@@ -1,0 +1,55 @@
+package graft
+
+/** 100 TB posture checks: the physical plans must have the shape that
+  * scales — filters pushed to the parquet scan, columns pruned, the right
+  * join strategies, top-k without a global sort. A query that merely
+  * returns correct rows with the wrong plan fails here.
+  */
+class PlanShapeSpec extends GraftSpec {
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val p = plan("filter_pred")
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag filter not pushed")
+  }
+
+  test("scan_parquet prunes to the projected columns only") {
+    val p = plan("scan_parquet")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_retailprice:double>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("join_broadcast uses BroadcastHashJoin (no fact-side shuffle)") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_shuffle_hash honors the shuffle_hash hint") {
+    assert(plan("join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("join_sort_merge honors the merge hint") {
+    assert(plan("join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("join_nested_loop plans BroadcastNestedLoopJoin for the theta join") {
+    assert(plan("join_nested_loop").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("limit_topk plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_hash is a two-phase hash aggregate (map-side partials)") {
+    val p = plan("agg_hash")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum"), "missing map-side partial aggregation")
+  }
+
+  test("sim_topk broadcasts the probe side") {
+    assert(plan("sim_topk").contains("BroadcastNestedLoopJoin")
+      || plan("sim_topk").contains("BroadcastExchange"))
+  }
+}

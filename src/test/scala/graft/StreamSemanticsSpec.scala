@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Watermark / late-data / dedup semantics that no batch oracle can state:
+  * injected out-of-order rows via MemoryStream, asserting what the state
+  * machinery emits and drops.
+  */
+class StreamSemanticsSpec extends GraftSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("rows later than the watermark are dropped from append output") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:04:00"), 2L))
+      q.processAllAvailable()
+      // advance watermark to 10:50 → the 10:00 window finalizes
+      in.addData((ts("2024-01-01 11:00:00"), 3L))
+      q.processAllAvailable()
+      // this row is 59 minutes late, far beyond the watermark → dropped
+      in.addData((ts("2024-01-01 10:01:00"), 4L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 12:00:00"), 5L))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test")
+        .select(col("window.start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 10:00:00") == 2L,
+        s"late row must not be counted: $rows")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark makes a replayed feed effectively-once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val dedup = in.toDF().toDF("ts", "id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      val batch = Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 2L))
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      in.addData(batch: _*) // at-least-once replay of the same rows
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+
+  test("session windows split on gaps > 30 minutes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "uid")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L),
+        (ts("2024-01-01 11:30:00"), 1L)) // 80-min gap → second session
+      q.processAllAvailable()
+      val sessions = spark.table("sess_test").collect()
+      assert(sessions.length == 2, sessions.mkString(";"))
+    } finally q.stop()
+  }
+}

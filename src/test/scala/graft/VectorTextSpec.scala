@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Properties of the LLM-pipeline operators: cosine bounds, native-vs-HOF
+  * agreement, approx-distinct error bounds, LSH recall vs the exact twin,
+  * and an independently computed fingerprint golden.
+  */
+class VectorTextSpec extends GraftSpec {
+
+  test("pairwise cosine stays within [-1, 1]") {
+    import spark.implicits._
+    val sims = SparkEntry.queries("sim_cosine_pair")(spark, sf)
+      .select("cos_sim").as[Double].collect()
+    assert(sims.nonEmpty && sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("native CosineSim matches the higher-order-function formulation") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+    val hof = e.select(
+      (aggregate(zip_with(col("v"), col("v"), (a, b) => a * b), lit(0.0),
+        (acc, x) => acc + x) /
+        (sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0),
+          (acc, x) => acc + x)) *
+          sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0),
+            (acc, x) => acc + x)))).as("s"))
+      .as[Double].collect()
+    val native = e.selectExpr("cosine_sim_native(embedding, embedding) AS s")
+      .as[Double].collect()
+    assert(hof.length == native.length)
+    hof.zip(native).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("approx_count_distinct within its 2% rsd of exact (loose 10% gate)") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("agg_distinct_approx")(spark, sf)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(2L, (n * 0.10).toLong),
+        s"$k approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("MinHash-LSH recalls every exact-Jaccard >= 0.5 pair") {
+    val exact = SparkEntry.queries("dedup_jaccard")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 OR-amplified hash tables: high recall, but HashingTF collisions can
+    // shift borderline pairs — gate on the recall fraction
+    val recall =
+      if (exact.isEmpty) 1.0
+      else (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall; missed: ${(exact -- lsh).take(5)}")
+  }
+
+  test("fingerprint matches an independent reimplementation") {
+    import spark.implicits._
+    val got = SparkEntry.queries("text_fingerprint")(spark, sf)
+      .filter(col("doc_id") < 3).select("doc_id", "fingerprint")
+      .as[(Long, Long)].collect().toMap
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 3).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    texts.foreach { case (id, text) =>
+      val want = text.split(" ").foldLeft(0L) { (acc, tok) =>
+        (acc * 131 + (tok.length * 256L + tok.head.toInt)) % 1000000007L
+      }
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+
+  test("label_centroid vectors have the embedding dimensionality") {
+    import spark.implicits._
+    val cents = SparkEntry.queries("label_centroid")(spark, sf)
+      .select("centroid").as[Seq[Double]].collect()
+    assert(cents.length == 10 && cents.forall(_.length == 64))
+  }
+}
