@@ -155,7 +155,15 @@ object Cdc {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
 
   private def ordersTypedUncached(s: SparkSession, dir: String): DataFrame =
-    parsed(s, dir)
+    typeMapOrders(parsed(s, dir))
+
+  /** The type-map transform itself, applicable to any envelope-schema
+    * DataFrame — shared by the batch operators and the streaming
+    * foreachBatch pipeline (same plan fragment both ways, which is what
+    * makes the streaming path verifiable).
+    */
+  def typeMapOrders(envelopes: DataFrame): DataFrame =
+    envelopes
       .filter(col("table") === "orders" && !col("isDdl"))
       .select(col("type"), col("es"), col("ts"), col("old"),
         posexplode(col("data")).as(Seq("pos", "img")))

@@ -131,6 +131,20 @@ object LlmText {
           .as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Token counting two ways (the LLM-pipeline budgeting step):
+    * whitespace tokens vs a BPE-ish regex lexer (letter runs / digit runs
+    * / single other chars), plus chars-per-token compression ratio.
+    */
+  private def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(toks(col("text"))).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("re_tokens"))
+      .withColumn("chars_per_ws_token",
+        round(col("n_chars").cast("double") / col("ws_tokens"), 6))
+      .orderBy(col("doc_id"))
+
   /** Exact dedup by normalized-text hash: keep the lowest doc_id per
     * digest (the canonical LLM-corpus exact-dedup step).
     */
@@ -270,6 +284,14 @@ object LlmText {
                  (acc, v) -> (acc * 131 + v) % 1000000007) AS BIGINT)
                  AS fingerprint
               FROM t ORDER BY doc_id""")),
+    QueryDef("text_token_count", textTokenCount,
+      Some("""SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                 AS re_tokens,
+               round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+                 AS chars_per_ws_token
+              FROM documents ORDER BY doc_id""")),
     QueryDef("dedup_exact_hash", dedupExactHash,
       Some("""WITH t AS (SELECT doc_id, sha256(lower(trim(text))) AS digest
                 FROM documents),

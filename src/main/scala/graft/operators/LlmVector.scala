@@ -110,6 +110,46 @@ object LlmVector {
         .as("centroid"))
       .orderBy(col("label"))
 
+  /** IVF-style approximate nearest neighbor — the other 100 TB ANN path:
+    * a coarse quantizer (here: exact per-label centroids) routes each
+    * probe to its nprobe=2 closest partitions, and only those partitions
+    * are searched. Fully deterministic (exact centroids, 6dp-rounded
+    * ranking), hence oracle-able — unlike the seeded-random LSH variant.
+    * At cluster scale: centroids broadcast; the corpus stays partitioned
+    * by list id; probes touch nprobe/nlist of the data.
+    */
+  private def simIvfKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.Det.davg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cvec"))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val wSel = Window.partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc, col("label"))
+    val selected = probes.crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("pv"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= 2)
+      .select(col("probe_id"), col("pv"), col("label"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("label"),
+      col("v").as("cv"))
+    val wKnn = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    selected.join(cands, "label")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(wKnn))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("label"),
+        col("cos_sim"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** MinHash-LSH fuzzy dedup (the 100 TB dedup path): token sets →
     * binary HashingTF vectors → banded MinHash → approxSimilarityJoin.
     * Seeded, so deterministic; recall vs. the exact-Jaccard twin is
@@ -220,6 +260,40 @@ object LlmVector {
                 FROM e GROUP BY label, pos)
               SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
               FROM a GROUP BY label ORDER BY label""")),
+    QueryDef("sim_ivf_knn", simIvfKnn,
+      Some(s"""WITH e AS (SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ex AS (SELECT label, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS pos FROM e),
+              cm AS (SELECT label, pos, ${Det.oAvg("x")} AS m
+                 FROM ex GROUP BY label, pos),
+              c AS (SELECT label, list(m ORDER BY pos) AS cv
+                 FROM cm GROUP BY label),
+              p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+                 WHERE vec_id % 100 = 0),
+              pc AS (SELECT probe_id, pv, label,
+                 round(list_dot_product(pv, cv)
+                   / (sqrt(list_dot_product(pv, pv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS csim
+                 FROM p CROSS JOIN c),
+              sel AS (SELECT probe_id, pv, label FROM (
+                 SELECT probe_id, pv, label,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY csim DESC, label) AS rn
+                 FROM pc) t WHERE rn <= 2),
+              knn AS (SELECT sel.probe_id, e.vec_id AS cand_id, e.label,
+                 round(list_dot_product(sel.pv, e.v)
+                   / (sqrt(list_dot_product(sel.pv, sel.pv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+                 FROM sel JOIN e USING (label)
+                 WHERE e.vec_id <> sel.probe_id),
+              ranked AS (SELECT probe_id, cand_id, label, cos_sim,
+                 row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cos_sim DESC, cand_id) AS rnk
+                 FROM knn)
+              SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, label,
+                     cos_sim
+              FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""")),
     QueryDef("dedup_minhash", dedupMinhash, None),
     QueryDef("sim_lsh_knn", simLshKnn, None),
   )

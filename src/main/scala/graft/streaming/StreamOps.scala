@@ -82,12 +82,19 @@ object StreamOps {
     * routed per (table, type) — the Canal TCP/Kafka feed modeled as a
     * file drop.
     */
-  private def srcStreamFile(s: SparkSession, dir: String): DataFrame = {
+  /** The CDC envelope feed as a file-drop directory (written once per
+    * JVM / sfDir — deterministic content).
+    */
+  private def feedDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
     val feed = s"${sys.props("java.io.tmpdir")}/graft_stream/cdc_feed_$sf"
-    // deterministic content — write once per JVM lifetime / sfDir
     if (!new java.io.File(s"$feed/_SUCCESS").exists())
       Cdc.envelopes(s, dir).coalesce(1).write.mode("overwrite").text(feed)
+    feed
+  }
+
+  private def srcStreamFile(s: SparkSession, dir: String): DataFrame = {
+    val feed = feedDir(s, dir)
     val parsed = s.readStream.schema(Cdc.envelopeSchema).json(feed)
     val agg = parsed.filter(!col("isDdl"))
       .groupBy(col("table").as("tbl"), col("type").as("typ"))
@@ -151,6 +158,46 @@ object StreamOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
+  }
+
+  /** The reference's whole pipeline end-to-end in streaming form: envelope
+    * feed → parse → type-map → foreachBatch ReplacingMergeTree merge into
+    * a parquet "table". Each batch unions the new change rows with prior
+    * state, keeps the latest version per PK (tombstones INCLUDED, so an
+    * out-of-order pre-delete event can never resurrect a key), and writes
+    * the ping-pong state dir. Final read filters tombstones.
+    */
+  private def streamCdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val feed = feedDir(s, dir)
+    val state = fresh("cdc_state")
+    val lastDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val q = s.readStream.schema(Cdc.envelopeSchema).json(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val typed = Cdc.typeMapOrders(batch)
+          .select(col("o_orderkey"), col("o_totalprice"), col("es"),
+            col("ts"), col("type"))
+        val prev = lastDir.get() match {
+          case null => typed.limit(0)
+          case d    => batch.sparkSession.read.parquet(d)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey"))
+          .orderBy(col("es").desc, col("ts").desc)
+        val merged = prev.unionByName(typed)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val out = s"$state/v${batchId % 2}"
+        merged.write.mode("overwrite").parquet(out)
+        lastDir.set(out)
+      }
+      .option("checkpointLocation", fresh("cdc_upsert_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(lastDir.get())
+      .filter(col("type") =!= "DELETE")
+      .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
+      .orderBy(col("o_orderkey"))
   }
 
   // ---- windowed aggregations ----
@@ -299,6 +346,15 @@ object StreamOps {
               SELECT tbl, typ, COUNT(*) AS n FROM ev
               GROUP BY tbl, typ ORDER BY tbl, typ""")),
     QueryDef("src_rate", srcRate, None),
+    QueryDef("stream_cdc_upsert", streamCdcUpsert,
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 3 = 0
+                    THEN epoch_ms(o_orderdate) + 86400000
+                    ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
+              FROM orders WHERE o_orderkey % 7 <> 0
+              ORDER BY o_orderkey""")),
     QueryDef("sink_parquet", sinkParquet,
       Some(s"""SELECT event_type, COUNT(*) AS n,
                ${Det.oSum("value")} AS sum_value
