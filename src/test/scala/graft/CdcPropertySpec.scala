@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated property tests for the CDC fold laws (SURVEY.md
+  * §5.3): MergeTree emulations must be insensitive to event arrival order
+  * and idempotent — the exact properties that make an at-least-once
+  * binlog feed safe. Samples are drawn with fixed seeds (no
+  * scalatestplus bridge in the offline cache), so runs are reproducible.
+  */
+class CdcPropertySpec extends GraftSpec {
+
+  private case class Ev(key: Long, es: Long, seq: Long, isDelete: Boolean)
+
+  private val evGen: Gen[List[Ev]] = for {
+    n <- Gen.choose(1, 25)
+    evs <- Gen.listOfN(n, for {
+      key <- Gen.choose(1L, 5L)
+      es <- Gen.choose(1L, 50L)
+      del <- Gen.oneOf(true, false)
+    } yield (key, es, del))
+  } yield evs.zipWithIndex.map { case ((k, es, d), i) => Ev(k, es, i.toLong, d) }
+
+  private def samples: Seq[List[Ev]] =
+    (1 to 8).map(i => evGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def upsert(evs: Seq[Ev]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val df = evs.map(e => (e.key, e.es, e.seq, e.isDelete))
+      .toDF("key", "es", "seq", "isDelete")
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("es").desc, col("seq").desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("key", "es", "seq").as[(Long, Long, Long)]
+      .collect().map { case (k, es, sq) => k -> (es, sq) }.toMap
+  }
+
+  test("upsert result is invariant under event arrival order") {
+    samples.foreach { evs =>
+      val shuffled = new scala.util.Random(7).shuffle(evs)
+      val a = upsert(evs)
+      assert(a == upsert(shuffled) && a == upsert(evs.reverse))
+    }
+  }
+
+  test("upsert is idempotent under full replay (at-least-once feed)") {
+    samples.foreach { evs =>
+      assert(upsert(evs) == upsert(evs ++ evs))
+    }
+  }
+
+  test("collapsing balance is a pure multiset property (order-free)") {
+    import spark.implicits._
+    samples.foreach { evs =>
+      def bal(es: Seq[Ev]): Map[Long, Long] =
+        es.map(e => (e.key, if (e.isDelete) -1L else 1L))
+          .toDF("key", "sign")
+          .groupBy("key").agg(sum("sign").as("bal"))
+          .as[(Long, Long)].collect().toMap
+      assert(bal(evs) == bal(evs.reverse))
+    }
+  }
+
+  test("scd2 intervals partition each key's timeline") {
+    import spark.implicits._
+    samples.foreach { evs =>
+      val versions = evs.filterNot(_.isDelete)
+      if (versions.nonEmpty) {
+        val df = versions.map(e => (e.key, e.es, e.seq))
+          .toDF("key", "es", "seq")
+        val w = Window.partitionBy(col("key")).orderBy(col("es"), col("seq"))
+        val scd = df
+          .withColumn("valid_to", lead(col("es"), 1).over(w))
+          .select("key", "es", "valid_to")
+          .as[(Long, Long, Option[Long])].collect()
+        val open = scd.filter(_._3.isEmpty)
+        assert(open.map(_._1).distinct.length ==
+          versions.map(_.key).distinct.length)
+        assert(scd.forall { case (_, from, to) => to.forall(from <= _) })
+      }
+    }
+  }
+}
