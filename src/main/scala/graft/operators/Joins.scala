@@ -131,7 +131,69 @@ object Joins {
       .crossJoin(Tables.nation(s, dir).select(col("n_name")))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Co-located fact-fact join via bucketing: both tables written
+    * bucketBy(8, key) + sortBy(key) once, after which every join on the
+    * key is shuffle-free (SortMergeJoin directly over bucket files). At
+    * 100 TB this is the difference between re-shuffling the fact table
+    * per query and never shuffling it; the one-time bucketed write is the
+    * amortized cost. PlanShapeSpec asserts the no-Exchange plan.
+    */
+  private def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val (tl, to) = (s"graft_li_b_$sf", s"graft_ord_b_$sf")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
+    if (!s.catalog.tableExists(tl)) {
+      Tables.lineitem(s, dir).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/$tl")
+        .mode("overwrite").saveAsTable(tl)
+      Tables.orders(s, dir).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/$to")
+        .mode("overwrite").saveAsTable(to)
+    }
+    // merge hint: at fixture scale the planner would broadcast the small
+    // side; the point here is the shuffle-free bucket-to-bucket SMJ
+    s.table(tl).join(s.table(to).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Skew mitigation by key salting: events.user_id has ~20 hot keys, so
+    * a plain shuffle join puts thousands of rows on single reducers. The
+    * fact side salts each row into one of 16 subkeys; the (small) dim
+    * side replicates across all salts; the join key becomes
+    * (user_id, salt) — 16× the parallelism on the hot keys. The oracle is
+    * the unsalted join: salting must not change results.
+    */
+  private def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    val fact = Tables.events(s, dir)
+      .withColumn("salt", (col("event_id") % salts).cast("int"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .crossJoin(s.range(salts).select(col("id").cast("int").as("salt")))
+    fact.join(dim,
+        col("c_custkey") === col("user_id") + 1 && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_bucketed", joinBucketed,
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+               ${Det.oSum("l_quantity")} AS sum_qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+    QueryDef("join_skew_salted", joinSkewSalted,
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+               ${Det.oSum("value")} AS sum_value
+              FROM events JOIN customer ON c_custkey = user_id + 1
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
     QueryDef("join_broadcast", joinBroadcast,
       Some(s"""SELECT r_name, COUNT(*) AS n_cust, ${Det.oSum("c_acctbal")} AS sum_bal
               FROM customer

@@ -48,6 +48,16 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("partial_sum"), "missing map-side partial aggregation")
   }
 
+  test("join_bucketed joins without shuffling either fact table") {
+    val p = plan("join_bucketed")
+    // the only Exchange allowed is the post-aggregation one (on the
+    // 5-row grouped result); the join inputs read bucketed files directly
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey")
+      && !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+      joinPart.take(800))
+  }
+
   test("sim_topk broadcasts the probe side") {
     assert(plan("sim_topk").contains("BroadcastNestedLoopJoin")
       || plan("sim_topk").contains("BroadcastExchange"))
