@@ -296,6 +296,57 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** Same per-user running aggregate on the Spark 4.x transformWithState
+    * API (typed ValueState, RocksDB state store) — the successor to
+    * flatMapGroupsWithState; both are kept since SURVEY.md §2.10 names
+    * transformWithState with fMGWS as the fallback.
+    */
+  private class UserAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserStat] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserAgg]("agg",
+        org.apache.spark.sql.Encoders.product[UserAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStat] = {
+      val prev = Option(state.get()).getOrElse(UserAgg(0L, java.math.BigDecimal.ZERO))
+      var n = prev.n
+      var sum = prev.sum
+      rows.foreach { e =>
+        n += 1
+        sum = sum.add(new java.math.BigDecimal(e.value)
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+      }
+      state.update(UserAgg(n, sum))
+      Iterator(UserStat(uid, n, sum.doubleValue))
+    }
+  }
+
+  private def streamStatefulTws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ds: Dataset[Ev] = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.readStream.schema(eventsRawSchema).parquet(eventsDir(dir))
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+    }
+    val updated = ds.groupByKey(_.user_id)
+      .transformWithState(new UserAggProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val out = runToMemory(s, updated.toDF(), "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("sum_value"), col("n_events")).as("sum_value"))
+      .orderBy(col("user_id"))
+    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out
+  }
+
   // ---- joins ----
 
   /** Stream–static dimension enrichment (events ⋈ customer). */
@@ -398,6 +449,10 @@ object StreamOps {
       Some("""SELECT event_type, COUNT(*) AS n FROM events
               GROUP BY event_type ORDER BY event_type""")),
     QueryDef("stream_stateful", streamStateful,
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+               ${Det.oSum("value")} AS sum_value
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+    QueryDef("stream_stateful_tws", streamStatefulTws,
       Some(s"""SELECT user_id, COUNT(*) AS n_events,
                ${Det.oSum("value")} AS sum_value
               FROM events GROUP BY user_id ORDER BY user_id""")),
