@@ -42,9 +42,10 @@ object Scans {
 
   private def scanCsv(s: SparkSession, dir: String): DataFrame = {
     val path = tmp(dir, "orders_csv")
-    Tables.orders(s, dir).write.mode("overwrite")
-      .option("header", "true").option("timestampFormat", tsFmt)
-      .csv(path)
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) // deterministic content
+      Tables.orders(s, dir).write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", tsFmt)
+        .csv(path)
     s.read.schema(ordersSchema)
       .option("header", "true").option("timestampFormat", tsFmt)
       .csv(path)
@@ -55,8 +56,9 @@ object Scans {
 
   private def scanJson(s: SparkSession, dir: String): DataFrame = {
     val path = tmp(dir, "orders_json")
-    Tables.orders(s, dir).write.mode("overwrite")
-      .option("timestampFormat", tsFmt).json(path)
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Tables.orders(s, dir).write.mode("overwrite")
+        .option("timestampFormat", tsFmt).json(path)
     s.read.schema(ordersSchema).option("timestampFormat", tsFmt).json(path)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))

@@ -112,7 +112,10 @@ object StreamOps {
       .groupBy().agg(count(lit(1)).as("n_rows"), max(col("value")).as("max_v"))
       .writeStream.format("memory").queryName(name).outputMode("complete")
       .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
-    Thread.sleep(1500)
+    // wait until the generator has actually produced rows (bounded)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (s.table(name).isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(200)
     q.stop(); q.awaitTermination()
     s.table(name).limit(1)
   }

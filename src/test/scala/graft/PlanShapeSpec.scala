@@ -58,6 +58,20 @@ class PlanShapeSpec extends GraftSpec {
       joinPart.take(800))
   }
 
+  test("join_asof is the merge formulation — no join node at all") {
+    val p = plan("join_asof")
+    assert(!p.contains("Join"), "asof must be union+sort+window, not a join")
+    assert(p.contains("Window"), "expected the running-last window")
+  }
+
+  test("cdc_upsert_latest is a single shuffle on the primary key") {
+    val p = plan("cdc_upsert_latest")
+    // one Exchange for the pk window, one for the final orderBy — nothing else
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(p).toList
+    assert(exchanges.length <= 2, s"too many shuffles: $exchanges\n${p.take(400)}")
+  }
+
   test("sim_topk broadcasts the probe side") {
     assert(plan("sim_topk").contains("BroadcastNestedLoopJoin")
       || plan("sim_topk").contains("BroadcastExchange"))
