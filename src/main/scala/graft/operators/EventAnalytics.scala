@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse-signature event analytics (windowFunnel / retention) — the
+  * workloads a Canal→ClickHouse deployment actually serves — expressed as
+  * cascaded conditional aggregations over the events stream table.
+  *
+  * Both use the standard greedy-earliest formulation (each step matches
+  * the earliest qualifying event after the previous step), which is
+  * deterministic and SQL-expressible, so both carry exact oracles.
+  *
+  * Scale notes: every phase is a groupBy(user_id) with map-side partial
+  * aggregation — no self-joins over the event log; the funnel is three
+  * conditional-min aggregations over one shuffle each, reusing the same
+  * user_id clustering.
+  */
+object EventAnalytics {
+
+  /** windowFunnel(24h): signup → view → purchase, greedy-earliest chain
+    * per user; depth = longest prefix completed within the window.
+    */
+  private def fnFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      col("ts"))
+    val win = expr("INTERVAL 24 HOURS")
+    val t1 = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"))
+    val t2 = e.join(t1, "user_id")
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(when(col("event_type") === "view" &&
+        col("ts") > col("t1") && col("ts") <= col("t1") + win, col("ts")))
+        .as("t2"))
+    val t3 = e.join(t2, "user_id")
+      .groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2") && col("ts") <= col("t1") + win, col("ts")))
+        .as("t3"))
+    t3.select(col("user_id"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).as("funnel_depth"),
+        col("t1"), col("t2"), col("t3"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention: per user, cohort day = first event day; retained
+    * on day+1 / within days 1..7. Aggregated per cohort day.
+    */
+  private def fnRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val flags = e.join(cohort, "user_id")
+      .groupBy(col("user_id"), col("cohort_day"))
+      .agg(
+        max(when(col("d") === col("cohort_day") + expr("INTERVAL 1 DAY"), 1)
+          .otherwise(0)).as("r1"),
+        max(when(col("d") > col("cohort_day") &&
+          col("d") <= col("cohort_day") + expr("INTERVAL 7 DAYS"), 1)
+          .otherwise(0)).as("r7"))
+    flags.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r1")).as("n_day1"),
+        sum(col("r7")).as("n_week1"))
+      .orderBy(col("cohort_day"))
+  }
+
+  /** ClickHouse quantileTDigest analogue: percentile_approx sketch —
+    * no oracle (approx); ScalaTest bounds it against the exact quantile.
+    */
+  private def aggQuantileApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+          .as("p90_approx"))
+      .orderBy(col("l_returnflag"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_funnel", fnFunnel,
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+              s1 AS (SELECT user_id,
+                MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+                FROM e GROUP BY user_id),
+              s2 AS (SELECT e.user_id, t1,
+                MIN(CASE WHEN event_type = 'view' AND ts > t1
+                     AND ts <= t1 + INTERVAL 24 HOUR THEN ts END) AS t2
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                GROUP BY e.user_id, t1),
+              s3 AS (SELECT e.user_id, t1, t2,
+                MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                     AND ts <= t1 + INTERVAL 24 HOUR THEN ts END) AS t3
+                FROM e JOIN s2 ON e.user_id = s2.user_id
+                GROUP BY e.user_id, t1, t2)
+              SELECT user_id,
+                CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+                t1, t2, t3
+              FROM s3 ORDER BY user_id""")),
+    QueryDef("fn_retention", fnRetention,
+      Some("""WITH e AS (SELECT user_id,
+                CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
+                FROM events),
+              c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
+              f AS (SELECT e.user_id, cohort_day,
+                MAX(CASE WHEN d = cohort_day + INTERVAL 1 DAY THEN 1 ELSE 0 END) AS r1,
+                MAX(CASE WHEN d > cohort_day
+                     AND d <= cohort_day + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS r7
+                FROM e JOIN c ON e.user_id = c.user_id
+                GROUP BY e.user_id, cohort_day)
+              SELECT cohort_day, COUNT(*) AS n_users,
+                CAST(SUM(r1) AS BIGINT) AS n_day1,
+                CAST(SUM(r7) AS BIGINT) AS n_week1
+              FROM f GROUP BY cohort_day ORDER BY cohort_day""")),
+    QueryDef("agg_quantile_approx", aggQuantileApprox, None),
+  )
+}

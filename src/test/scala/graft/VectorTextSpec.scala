@@ -79,6 +79,20 @@ class VectorTextSpec extends GraftSpec {
     }
   }
 
+  test("percentile_approx lands within 5% of the exact quantile") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("agg_quantile_approx")(spark, sf)
+      .select("l_returnflag", "p50_approx").as[(String, Double)]
+      .collect().toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (k, p) =>
+      assert(math.abs(approx(k) - p) / p < 0.05, s"$k approx=${approx(k)} exact=$p")
+    }
+  }
+
   test("label_centroid vectors have the embedding dimensionality") {
     import spark.implicits._
     val cents = SparkEntry.queries("label_centroid")(spark, sf)
