@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions installer: function injection and the
+  * redundant-round optimizer rule, exercised through a session created
+  * with `spark.sql.extensions` — the way a user of the library enables it.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // newSession() shares the SparkContext with the suite session but
+    // extensions are per-SparkSession-builder, so build a dedicated one
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-ext-test")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("cosine_sim_native is available as a SQL function via extensions") {
+    val r = spark.sql(
+      """SELECT cosine_sim_native(
+           CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+           CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS s""")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  // literals constant-fold before the optimizer rule is observable, so
+  // exercise the rule over a real (non-foldable) parquet column
+  private def rounds(sql: String): Int = {
+    spark.read.parquet(s"${GraftSpec.sf}/lineitem.parquet")
+      .createOrReplaceTempView("li_ext")
+    val df = spark.sql(sql)
+    "round\\(".r.findAllIn(df.queryExecution.optimizedPlan.toString.toLowerCase)
+      .size
+  }
+
+  test("CollapseRedundantRound removes the outer coarser round") {
+    assert(rounds(
+      "SELECT round(round(l_extendedprice, 2), 4) AS r FROM li_ext") == 1)
+  }
+
+  test("the rule does NOT fire when the outer round is finer") {
+    assert(rounds(
+      "SELECT round(round(l_extendedprice, 4), 2) AS r FROM li_ext") == 2)
+  }
+}
