@@ -65,7 +65,47 @@ object Scans {
       .orderBy(col("o_orderpriority"))
   }
 
+  private def scanOrc(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp(dir, "orders_orc")
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Tables.orders(s, dir).write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** Partitioned columnar sink + partition-pruned read-back (the
+    * cdc_route landing pattern: one directory per routing key). The
+    * filter on the partition column prunes directories at planning time —
+    * at 100 TB this is the difference between scanning one event type and
+    * scanning the lake; PlanShapeSpec asserts the pruning.
+    */
+  def partitionedEventsPath(s: SparkSession, dir: String): String = {
+    val path = tmp(dir, "events_part")
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Tables.events(s, dir).write.mode("overwrite")
+        .partitionBy("event_type").parquet(path)
+    path
+  }
+
+  private def sinkPartitioned(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(partitionedEventsPath(s, dir))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("scan_orc", scanOrc,
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              ${Det.oSum("o_totalprice")} AS sum_price
+              FROM orders GROUP BY o_orderstatus, o_orderpriority
+              ORDER BY o_orderstatus, o_orderpriority""")),
+    QueryDef("sink_partitioned", sinkPartitioned,
+      Some(s"""SELECT user_id, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id ORDER BY user_id""")),
     QueryDef("scan_parquet", scanParquet,
       Some("""SELECT p_partkey, p_retailprice FROM part ORDER BY p_partkey""")),
     QueryDef("scan_csv", scanCsv,

@@ -1,27 +1,15 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SparkSessionExtensions installer: function injection and the
-  * redundant-round optimizer rule, exercised through a session created
-  * with `spark.sql.extensions` — the way a user of the library enables it.
+  * redundant-round optimizer rule. `spark.sql.extensions` is a STATIC
+  * conf (bound at the first session created in the JVM), so the shared
+  * GraftSpec session is built with the extensions installed and this
+  * suite exercises them through it — exactly how a library user enables
+  * the module.
   */
-class ExtensionsSpec extends AnyFunSuite {
-
-  private lazy val spark: SparkSession = {
-    // newSession() shares the SparkContext with the suite session but
-    // extensions are per-SparkSession-builder, so build a dedicated one
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-ext-test")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
+class ExtensionsSpec extends AnyFunSuite with GraftSpec {
 
   test("cosine_sim_native is available as a SQL function via extensions") {
     val r = spark.sql(
@@ -35,7 +23,7 @@ class ExtensionsSpec extends AnyFunSuite {
   // literals constant-fold before the optimizer rule is observable, so
   // exercise the rule over a real (non-foldable) parquet column
   private def rounds(sql: String): Int = {
-    spark.read.parquet(s"${GraftSpec.sf}/lineitem.parquet")
+    spark.read.parquet(s"$sf/lineitem.parquet")
       .createOrReplaceTempView("li_ext")
     val df = spark.sql(sql)
     "round\\(".r.findAllIn(df.queryExecution.optimizedPlan.toString.toLowerCase)

@@ -9,6 +9,10 @@ object GraftSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // spark.sql.extensions is a STATIC conf — bound at the first session
+    // in the JVM, so the shared test session carries it (ExtensionsSpec
+    // exercises the injected surface through this session)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .appName("graft-test")
     .getOrCreate()
 

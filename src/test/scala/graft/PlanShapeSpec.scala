@@ -58,6 +58,15 @@ class PlanShapeSpec extends GraftSpec {
       joinPart.take(800))
   }
 
+  test("sink_partitioned prunes to the single matching partition") {
+    val p = plan("sink_partitioned")
+    assert(p.contains("PartitionFilters:") &&
+      p.contains("event_type"), p.linesIterator
+        .filter(_.contains("Partition")).mkString("\n"))
+    // the partition column filter must NOT appear as a data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"))
+  }
+
   test("join_asof is the merge formulation — no join node at all") {
     val p = plan("join_asof")
     assert(!p.contains("Join"), "asof must be union+sort+window, not a join")
