@@ -124,7 +124,30 @@ object Fns {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("tier"), col("seg_or_other"), col("anon"))
 
+  /** Bit manipulation family (ClickHouse bitAnd/bitOr/bitXor/bitShift*). */
+  private def fnBitwise(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(255)).as("low_byte"),
+        (col("o_orderkey").bitwiseOR(col("o_custkey"))).as("k_or"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("k_xor"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        shiftright(col("o_orderkey"), 3).as("shr3"),
+        bitwise_not(col("o_orderkey")).as("k_not"),
+        bit_count(col("o_orderkey")).as("popcount"))
+      .orderBy(col("o_orderkey"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_bitwise", fnBitwise,
+      Some("""SELECT o_orderkey,
+               o_orderkey & 255 AS low_byte,
+               o_orderkey | o_custkey AS k_or,
+               xor(o_orderkey, o_custkey) AS k_xor,
+               o_orderkey << 2 AS shl2,
+               o_orderkey >> 3 AS shr3,
+               ~o_orderkey AS k_not,
+               CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+              FROM orders ORDER BY o_orderkey""")),
     QueryDef("fn_string", fnString,
       Some("""SELECT c_custkey,
                substr(c_name, 1, 8) AS name_prefix,

@@ -87,7 +87,36 @@ object Windows {
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
+  /** RANGE frame (vs the ROWS frames above): per customer, spend over
+    * orders whose orderdate lies within the 30 VALUE-days preceding the
+    * current row — peers by value, not position.
+    */
+  private def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val dayNo = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(dayNo)
+      .rangeBetween(-30, 0)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), dayNo.as("day_no"),
+        sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)
+          .cast("double").as("spend_30d"),
+        count(lit(1)).over(w).as("orders_30d"))
+      .orderBy(col("o_custkey"), col("day_no"), col("o_orderkey"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_range_frame", winRangeFrame,
+      Some("""SELECT o_custkey, o_orderkey,
+                date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                  AS day_no,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                  AS spend_30d,
+                COUNT(*) OVER w AS orders_30d
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY date_diff('day', DATE '1990-01-01',
+                                   CAST(o_orderdate AS DATE))
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+              ORDER BY o_custkey, day_no, o_orderkey""")),
     QueryDef("win_rank", winRank,
       Some("""SELECT * FROM (
                 SELECT c_nationkey, c_custkey, c_acctbal,
