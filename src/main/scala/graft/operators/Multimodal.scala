@@ -90,7 +90,17 @@ object Multimodal {
                sha256(text) AS digest,
                'text/plain' AS mime
               FROM documents ORDER BY doc_id""")),
-    QueryDef("mm_decode", mmDecode, None),
+    // oracle valid because the fixture text is pure ASCII (verified):
+    // utf-8 bytes == codepoints, so the byte-sum checksum is expressible
+    // over characters in SQL
+    QueryDef("mm_decode", mmDecode,
+      Some("""SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_bytes,
+               CAST(list_aggregate(list_transform(
+                 regexp_extract_all(text, '.'), x -> unicode(x)), 'sum') % 997
+                 AS BIGINT) AS checksum,
+               CAST(unicode(text) AS INTEGER) AS first_byte
+              FROM documents ORDER BY doc_id""")),
     QueryDef("mm_frame_sample", mmFrameSample,
       Some("""SELECT vec_id,
                list_transform([0,1,2,3,4,5,6,7],

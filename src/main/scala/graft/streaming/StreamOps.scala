@@ -447,7 +447,19 @@ object StreamOps {
                      COUNT(*) AS n
               FROM sess GROUP BY user_id, sid
               ORDER BY user_id, session_start""")),
-    QueryDef("stream_watermark", streamWatermark, None),
+    // append-mode emission is deterministic here: one data batch (single
+    // file) + the flush batch emit exactly the windows whose end ≤
+    // final watermark (max event time − 2h)
+    QueryDef("stream_watermark", streamWatermark,
+      Some("""WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+              agg AS (SELECT
+                CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                  AS hour_start,
+                event_type, COUNT(*) AS n
+                FROM events GROUP BY hour_start, event_type)
+              SELECT hour_start, event_type, n FROM agg, m
+              WHERE hour_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+              ORDER BY hour_start, event_type""")),
     QueryDef("stream_dedup", streamDedup,
       Some("""SELECT event_type, COUNT(*) AS n FROM events
               GROUP BY event_type ORDER BY event_type""")),

@@ -19,8 +19,7 @@ class AllQueriesSmokeSpec extends GraftSpec {
   test("every query key has an oracle or is a documented rows-only check") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set("agg_distinct_approx", "agg_quantile_approx",
-      "src_rate", "stream_watermark", "dedup_simhash", "dedup_minhash",
-      "sim_lsh_knn", "mm_decode")
+      "src_rate", "dedup_simhash", "dedup_minhash", "sim_lsh_knn")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}")
   }
