@@ -137,7 +137,28 @@ object Fns {
         bit_count(col("o_orderkey")).as("popcount"))
       .orderBy(col("o_orderkey"))
 
+  /** Encoding family: base64 / hex roundtrips (ClickHouse
+    * base64Encode/hex) — binary-safe transport of blobs in text formats.
+    */
+  private def fnEncode(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        base64(col("c_name").cast("binary")).as("name_b64"),
+        unbase64(base64(col("c_name").cast("binary"))).cast("string")
+          .as("name_roundtrip"),
+        lower(hex(col("c_mktsegment").cast("binary"))).as("seg_hex"),
+        unhex(hex(col("c_mktsegment").cast("binary"))).cast("string")
+          .as("seg_roundtrip"))
+      .orderBy(col("c_custkey"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_encode", fnEncode,
+      Some("""SELECT c_custkey,
+               to_base64(ENCODE(c_name)) AS name_b64,
+               c_name AS name_roundtrip,
+               lower(hex(c_mktsegment)) AS seg_hex,
+               c_mktsegment AS seg_roundtrip
+              FROM customer ORDER BY c_custkey""")),
     QueryDef("fn_bitwise", fnBitwise,
       Some("""SELECT o_orderkey,
                o_orderkey & 255 AS low_byte,

@@ -183,7 +183,39 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Dynamic partition pruning: the fact side is partitioned by
+    * event_type; the partition filter is only known at RUNTIME from the
+    * dim-side join (is_active flags read from storage, not literals), so
+    * Catalyst injects a dynamicpruning subquery into the fact scan's
+    * PartitionFilters. At 100 TB: the lake's inactive partitions are
+    * never listed, let alone read.
+    */
+  private def joinDpp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val factPath = Scans.partitionedEventsPath(s, dir)
+    val dimPath =
+      s"${sys.props("java.io.tmpdir")}/graft_scan/event_dim_v2"
+    if (!new java.io.File(s"$dimPath/_SUCCESS").exists())
+      Seq(("click", "active"), ("purchase", "active"), ("view", "inactive"),
+        ("error", "inactive"), ("signup", "inactive"))
+        .toDF("event_type", "status")
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val fact = s.read.parquet(factPath)
+    // an EqualTo predicate, not a bare boolean flag: Catalyst's
+    // isLikelySelective check gates DPP, and `flag = true` would be
+    // boolean-simplified down to the (non-qualifying) bare attribute
+    val dim = s.read.parquet(dimPath).filter(col("status") === "active")
+    fact.join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_dpp", joinDpp,
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY event_type ORDER BY event_type""")),
     QueryDef("join_bucketed", joinBucketed,
       Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
                ${Det.oSum("l_quantity")} AS sum_qty

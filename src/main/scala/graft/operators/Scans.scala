@@ -24,10 +24,12 @@ object Scans {
     StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType),
     StructField("o_totalprice", DoubleType),
-    StructField("o_orderdate", TimestampType),
+    StructField("o_orderdate", TimestampNTZType),
     StructField("o_orderpriority", StringType),
   ))
 
+  // o_orderdate is TIMESTAMP_NTZ: CSV/JSON readers key its format off
+  // timestampNTZFormat (timestampFormat only governs the LTZ type)
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   private def tmp(sfDir: String, kind: String): String = {
@@ -44,10 +46,10 @@ object Scans {
     val path = tmp(dir, "orders_csv")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) // deterministic content
       Tables.orders(s, dir).write.mode("overwrite")
-        .option("header", "true").option("timestampFormat", tsFmt)
+        .option("header", "true").option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt)
         .csv(path)
     s.read.schema(ordersSchema)
-      .option("header", "true").option("timestampFormat", tsFmt)
+      .option("header", "true").option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt)
       .csv(path)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
@@ -58,8 +60,8 @@ object Scans {
     val path = tmp(dir, "orders_json")
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       Tables.orders(s, dir).write.mode("overwrite")
-        .option("timestampFormat", tsFmt).json(path)
-    s.read.schema(ordersSchema).option("timestampFormat", tsFmt).json(path)
+        .option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt).json(path)
+    s.read.schema(ordersSchema).option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt).json(path)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderpriority"))
@@ -96,7 +98,47 @@ object Scans {
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .orderBy(col("user_id"))
 
+  /** Malformed-input tolerance (the adapters' dirty-dump reality):
+    * PERMISSIVE parse with a corrupt-record column over a feed that
+    * contains three deterministic garbage lines; good rows aggregate,
+    * bad rows are counted, nothing throws.
+    */
+  private def scanCsvCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp(dir, "orders_csv_corrupt")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Tables.orders(s, dir).write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt)
+        .csv(path)
+      // header=true skips the first line of EVERY file — line 1 is a decoy
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/part-garbage.csv"),
+        // all three must actually fail typed parsing (an all-empty line
+        // like ",,,,," would parse as a legal all-null row)
+        "decoy,header,line,x,y,z\nnot,a,valid,order,row,1\nx\n9,9,X,notadouble,2020-01-01 00:00:00.000000,1-URGENT\n")
+    }
+    val schemaWithCorrupt = ordersSchema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val df = s.read.schema(schemaWithCorrupt)
+      .option("header", "true").option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache() // required for corrupt-record-column queries
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      Det.dsum(when(col("_corrupt_record").isNull, col("o_totalprice"))
+        .otherwise(lit(0.0))).as("sum_good_price"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("scan_csv_corrupt", scanCsvCorrupt,
+      Some(s"""SELECT (SELECT COUNT(*) FROM orders) + 3 AS n_rows,
+               (SELECT COUNT(*) FROM orders) AS n_good,
+               CAST(3 AS BIGINT) AS n_corrupt,
+               ${Det.oSum("o_totalprice")} AS sum_good_price
+              FROM orders""")),
     QueryDef("scan_orc", scanOrc,
       Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
               ${Det.oSum("o_totalprice")} AS sum_price

@@ -58,6 +58,12 @@ class PlanShapeSpec extends GraftSpec {
       joinPart.take(800))
   }
 
+  test("join_dpp injects a dynamic partition pruning subquery") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("sink_partitioned prunes to the single matching partition") {
     val p = plan("sink_partitioned")
     assert(p.contains("PartitionFilters:") &&
