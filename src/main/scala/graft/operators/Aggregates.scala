@@ -219,5 +219,41 @@ object Aggregates {
                list(DISTINCT event_type ORDER BY event_type) AS types,
                COUNT(*) AS n_events
               FROM events GROUP BY user_id ORDER BY user_id""")),
+    QueryDef("agg_pivot", aggPivot,
+      Some("""SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+    QueryDef("agg_hll_merge", aggHllMerge, None),
   )
+
+  /** Wide pivot (rows → columns): status counts per priority. Catalyst
+    * rewrites pivot to a single conditional aggregation — one shuffle,
+    * same plan as the FILTER-clause oracle, no per-value passes.
+    */
+  private def aggPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0, Seq("F", "O", "P")) // empty cells: null in pivot, 0 in SQL
+      .orderBy(col("o_orderpriority"))
+
+  /** Sketch re-aggregation — the 100 TB pattern behind ClickHouse's
+    * `uniqState`/`uniqMerge` materialized views: build small per-(day,type)
+    * HLL sketches once, then answer "distinct users per type" by merging
+    * sketches instead of re-scanning raw events. Spark 4's DataSketches
+    * HLL functions make the partial state a first-class column. Estimates
+    * have no DuckDB twin → ScalaTest bounds check (SketchSpec).
+    */
+  private def aggHllMerge(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est_users"), count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"))
 }

@@ -121,5 +121,50 @@ object EventAnalytics {
                 CAST(SUM(r7) AS BIGINT) AS n_week1
               FROM f GROUP BY cohort_day ORDER BY cohort_day""")),
     QueryDef("agg_quantile_approx", aggQuantileApprox, None),
+    QueryDef("sessionize_batch", sessionizeBatch,
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+              f AS (SELECT user_id, event_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              g AS (SELECT user_id, ts,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_idx
+                FROM f)
+              SELECT user_id, session_idx, COUNT(*) AS n_events,
+                MIN(ts) AS session_start, MAX(ts) AS session_end
+              FROM g GROUP BY user_id, session_idx
+              ORDER BY user_id, session_idx""")),
   )
+
+  /** Batch sessionization (the offline twin of `stream_session`): a new
+    * session starts after a >30 min silence. Timestamp comparison stays in
+    * the timestamp domain (no epoch doubles) for cross-engine exactness.
+    * Scale: two window passes + one agg, all clustered on user_id — one
+    * shuffle total, no self-join on the event log.
+    */
+  private def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTime))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+    flagged
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(byTime.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
 }

@@ -132,7 +132,19 @@ object Scans {
         .otherwise(lit(0.0))).as("sum_good_price"))
   }
 
+  /** ClickHouse `SAMPLE` clause analogue: seeded Bernoulli sample.
+    * Deterministic only for a fixed partition layout (per-partition RNG),
+    * so rows-only + ScalaTest statistical bounds, no SQL oracle.
+    */
+  private def scanSample(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("l_returnflag"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("scan_sample", scanSample, None),
     QueryDef("scan_csv_corrupt", scanCsvCorrupt,
       Some(s"""SELECT (SELECT COUNT(*) FROM orders) + 3 AS n_rows,
                (SELECT COUNT(*) FROM orders) AS n_good,

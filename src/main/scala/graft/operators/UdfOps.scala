@@ -83,6 +83,23 @@ object UdfOps {
       .orderBy(col("id_a"))
   }
 
+  /** ClickHouse `topK`: SpaceSaving heavy-hitters sketch as a typed
+    * Aggregator over document tokens (bounded state vs unbounded vocab —
+    * the scale path where exact top-k would shuffle every distinct term).
+    * Sketch results near the eviction boundary are merge-order-dependent,
+    * so this key is ScalaTest-verified (guarantees, not hash equality).
+    */
+  private def udafSketchTopk(s: SparkSession, dir: String): DataFrame = {
+    // capacity < vocabulary so eviction + merge truncation really happen
+    val topk = udaf(new graft.functions.SpaceSavingTopK(16, 10))
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(topk(col("token")).as("top_tokens"))
+      .select(posexplode(col("top_tokens")).as(Seq("rank", "entry")))
+      .select(col("rank"), col("entry.item").as("token"),
+        col("entry.count").as("est_count"), col("entry.error").as("max_error"))
+  }
+
   private val oDot =
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
   private def oNorm(v: String): String =
@@ -101,6 +118,7 @@ object UdfOps {
                  / COUNT(*)) AS mean_price,
                COUNT(*) AS n
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+    QueryDef("udaf_sketch_topk", udafSketchTopk, None),
     QueryDef("udtf_generate", udtfGenerate,
       Some("""WITH m AS (SELECT unnest(generate_series(
                 CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),

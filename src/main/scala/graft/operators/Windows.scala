@@ -103,7 +103,29 @@ object Windows {
       .orderBy(col("o_custkey"), col("day_no"), col("o_orderkey"))
   }
 
+  /** Distribution ranks: percent_rank = (rank-1)/(n-1) and cume_dist =
+    * peers≤current/n. Pure integer ratios evaluated in double — bitwise
+    * identical across engines, so no rounding needed.
+    */
+  private def winDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("c_custkey"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_dist", winDist,
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cdist
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey
+                ORDER BY c_acctbal, c_custkey)
+              ORDER BY c_custkey""")),
     QueryDef("win_range_frame", winRangeFrame,
       Some("""SELECT o_custkey, o_orderkey,
                 date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
