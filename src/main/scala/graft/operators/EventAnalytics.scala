@@ -121,6 +121,30 @@ object EventAnalytics {
                 CAST(SUM(r7) AS BIGINT) AS n_week1
               FROM f GROUP BY cohort_day ORDER BY cohort_day""")),
     QueryDef("agg_quantile_approx", aggQuantileApprox, None),
+    QueryDef("fn_seq_match", fnSeqMatch,
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                substr(event_type, 1, 1) AS c FROM events),
+              s AS (SELECT user_id,
+                string_agg(c, '' ORDER BY ts, event_id) AS seq
+                FROM e GROUP BY user_id)
+              SELECT user_id,
+                CAST(regexp_matches(seq, 's.*v.*p') AS INTEGER) AS m_signup_view_buy,
+                CAST(regexp_matches(seq, 'e.*e.*e') AS INTEGER) AS m_triple_error,
+                CAST(LENGTH(seq) AS INTEGER) AS n_events
+              FROM s ORDER BY user_id""")),
+    QueryDef("ts_gap_fill", tsGapFill,
+      Some(s"""WITH hourly AS (SELECT
+                CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+                COUNT(*) AS n, ${Det.oSum("value")} AS rev
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              spine AS (SELECT unnest(generate_series(
+                (SELECT MIN(h) FROM hourly), (SELECT MAX(h) FROM hourly),
+                INTERVAL 1 HOUR)) AS h)
+              SELECT spine.h AS h, COALESCE(n, 0) AS n_purchases,
+                last_value(rev IGNORE NULLS) OVER (ORDER BY spine.h
+                  ROWS UNBOUNDED PRECEDING) AS rev_locf
+              FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+              ORDER BY h""")),
     QueryDef("sessionize_batch", sessionizeBatch,
       Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                 FROM events),
@@ -139,6 +163,53 @@ object EventAnalytics {
               FROM g GROUP BY user_id, session_idx
               ORDER BY user_id, session_idx""")),
   )
+
+  /** ClickHouse `sequenceMatch('(?1).*(?2).*(?3)')`: per user, collapse the
+    * time-ordered event stream to a string of type initials (all five types
+    * start with distinct letters) and run the pattern as a real regex —
+    * the same trick ClickHouse uses internally (bitmask chain), expressed
+    * with codegen'd collect/sort/transform. One shuffle on user_id; the
+    * per-user string is bounded by that user's event count, not the corpus.
+    */
+  private def fnSeqMatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(col("ev"))), e => e("c"))).as("seq"))
+      .select(col("user_id"),
+        col("seq").rlike("s.*v.*p").cast("int").as("m_signup_view_buy"),
+        col("seq").rlike("e.*e.*e").cast("int").as("m_triple_error"),
+        length(col("seq")).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Time-series gap fill: hourly purchase rollup joined onto a generated
+    * hour spine — missing hours get count 0 and carry the last observed
+    * revenue forward (LOCF via `last(_, ignoreNulls)`). The spine is
+    * calendar-bounded (a few k rows regardless of data size), so the
+    * single-partition ordered window over it is safe at any scale; the
+    * heavy groupBy stays distributed.
+    */
+  private def tsGapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("rev"))
+    val spine = hourly
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val locf = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("n"), lit(0L)).as("n_purchases"),
+        last(col("rev"), ignoreNulls = true).over(locf).as("rev_locf"))
+      .orderBy(col("h"))
+  }
 
   /** Batch sessionization (the offline twin of `stream_session`): a new
     * session starts after a >30 min silence. Timestamp comparison stays in

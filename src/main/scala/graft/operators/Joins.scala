@@ -211,7 +211,45 @@ object Joins {
       .orderBy(col("event_type"))
   }
 
+  /** TPC-H Q5-shaped star query — the full planning showcase: both fact
+    * tables (lineitem, orders) shuffle once on orderkey; every dimension
+    * (customer, supplier, nation, region) is broadcast, so the star arms
+    * add zero shuffles; region filter prunes before the fact join via the
+    * broadcast hash table. Revenue per nation where supplier and customer
+    * share the nation.
+    */
+  private def joinStar(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_star", joinStar,
+      Some(s"""SELECT n_name,
+               ${Det.oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+               COUNT(*) AS n_items
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+                AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+              GROUP BY n_name ORDER BY n_name""")),
     QueryDef("join_dpp", joinDpp,
       Some(s"""SELECT event_type, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM events WHERE event_type IN ('click', 'purchase')

@@ -100,6 +100,18 @@ object UdfOps {
         col("entry.count").as("est_count"), col("entry.error").as("max_error"))
   }
 
+  /** ClickHouse `groupBitmap` — exact distinct via bitmap partials (see
+    * [[graft.functions.BitmapDistinct]]); exactness means it carries a
+    * plain COUNT(DISTINCT) oracle.
+    */
+  private def udafBitmap(s: SparkSession, dir: String): DataFrame = {
+    val bm = udaf(new graft.functions.BitmapDistinct)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(bm(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   private val oDot =
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
   private def oNorm(v: String): String =
@@ -119,6 +131,10 @@ object UdfOps {
                COUNT(*) AS n
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
     QueryDef("udaf_sketch_topk", udafSketchTopk, None),
+    QueryDef("udaf_bitmap", udafBitmap,
+      Some("""SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+              FROM events GROUP BY event_type ORDER BY event_type""")),
     QueryDef("udtf_generate", udtfGenerate,
       Some("""WITH m AS (SELECT unnest(generate_series(
                 CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),
