@@ -53,6 +53,17 @@ object Tables {
   * never sit exactly on a decimal rounding tie (dyadic rationals are never
   * of the form (2n+1)/(2·10^k)), so double→decimal rounding is identical
   * across engines regardless of their tie-break rule.
+  *
+  * Residual risk (documented, not triggered by current fixtures): the
+  * no-tie argument covers the exact binary value, but Spark's
+  * double→decimal cast goes via the SHORTEST decimal string
+  * (BigDecimal.valueOf) while DuckDB rounds the exact binary value. A
+  * column whose shortest representation carries >6 fractional digits
+  * sitting exactly on a 6dp midpoint (e.g. a literal `0.1234565`) could
+  * round differently. Fixture columns are 2dp prices and full-precision
+  * doubles (shortest repr ≈17 digits, never a 6dp midpoint), which are
+  * safe; if a future generator emits 7-digit decimal literals, normalize
+  * with round() at the edge first.
   */
 object Det {
   /** Exact order-independent sum of a double expression → double. */

@@ -22,12 +22,18 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(FloatType, containsNull = false)
-        || left.dataType == ArrayType(FloatType, containsNull = true))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (!ok(left.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim_native expects array<float> inputs, got ${left.dataType}")
+        s"cosine_sim_native expects array<float> inputs; left is ${left.dataType}")
+    else if (!ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim_native expects array<float> inputs; right is ${right.dataType}")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {

@@ -16,32 +16,62 @@ import scala.collection.mutable
   * aggregate — the 100 TB answer to "top K values of an unbounded-domain
   * column" where an exact groupBy would shuffle every distinct key.
   *
+  * The buffer is a LIVE mutable hash map (Spark's ScalaAggregator keeps
+  * the object across reduce calls, encoding it only at shuffle
+  * boundaries): the hit path is one HashMap lookup + counter bump, O(1);
+  * the O(capacity) minimum scan runs only on the miss-with-full-sketch
+  * eviction path. (The previous immutable-List buffer rebuilt a
+  * LinkedHashMap per input row.)
+  *
   * Results depend on merge order for elements near the eviction boundary
   * (inherent to the sketch), so the operator is verified by ScalaTest
   * properties (guaranteed hitters present; bounds hold) rather than a
   * SQL oracle.
   */
 case class SSEntry(item: String, count: Long, error: Long)
-case class SSBuf(capacity: Int, entries: List[SSEntry])
+
+object SSBuf {
+  final class Counter(var count: Long, var error: Long) extends Serializable
+}
+
+/** Mutable sketch state: item → (count, error), ≤ capacity entries. */
+final class SSBuf(val capacity: Int) extends Serializable {
+  private[functions] val m = new java.util.HashMap[String, SSBuf.Counter]()
+
+  /** Immutable snapshot view (tests / finish). */
+  def entries: Seq[SSEntry] = {
+    val b = Seq.newBuilder[SSEntry]
+    m.forEach((k, c) => b += SSEntry(k, c.count, c.error))
+    b.result()
+  }
+}
 
 class SpaceSavingTopK(capacity: Int, k: Int)
     extends Aggregator[String, SSBuf, Seq[SSEntry]] {
 
-  override def zero: SSBuf = SSBuf(capacity, Nil)
+  override def zero: SSBuf = new SSBuf(capacity)
 
   override def reduce(b: SSBuf, item: String): SSBuf = {
-    val m = mutable.LinkedHashMap(b.entries.map(e => e.item -> e): _*)
-    m.get(item) match {
-      case Some(e) => m(item) = e.copy(count = e.count + 1)
-      case None if m.size < b.capacity =>
-        m(item) = SSEntry(item, 1L, 0L)
-      case None =>
-        // evict the minimum counter; inherit its count as error bound
-        val min = m.values.minBy(e => (e.count, e.item))
-        m.remove(min.item)
-        m(item) = SSEntry(item, min.count + 1, min.count)
+    val c = b.m.get(item)
+    if (c != null) c.count += 1
+    else if (b.m.size < b.capacity) b.m.put(item, new SSBuf.Counter(1L, 0L))
+    else {
+      // evict the minimum (count, item) counter; inherit its count as the
+      // error bound — O(capacity) scan, miss-with-full-sketch path only
+      var minK: String = null
+      var minC: SSBuf.Counter = null
+      val it = b.m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (minC == null || e.getValue.count < minC.count ||
+            (e.getValue.count == minC.count && e.getKey < minK)) {
+          minK = e.getKey; minC = e.getValue
+        }
+      }
+      b.m.remove(minK)
+      b.m.put(item, new SSBuf.Counter(minC.count + 1, minC.count))
     }
-    SSBuf(b.capacity, m.values.toList)
+    b
   }
 
   /** Mergeable-summaries combine (Agarwal et al., PODS 2012): an item
@@ -51,29 +81,37 @@ class SpaceSavingTopK(capacity: Int, k: Int)
     * tree, and heavy hitters (> N/capacity) always survive truncation.
     */
   override def merge(a: SSBuf, b: SSBuf): SSBuf = {
-    if (a.entries.isEmpty) return b
-    if (b.entries.isEmpty) return a
-    val cap  = a.capacity max b.capacity
-    val minA = if (a.entries.size >= a.capacity) a.entries.map(_.count).min else 0L
-    val minB = if (b.entries.size >= b.capacity) b.entries.map(_.count).min else 0L
-    val mapA = a.entries.map(e => e.item -> e).toMap
-    val mapB = b.entries.map(e => e.item -> e).toMap
-    val combined = (mapA.keySet ++ mapB.keySet).toSeq.map { it =>
-      (mapA.get(it), mapB.get(it)) match {
-        case (Some(x), Some(y)) => SSEntry(it, x.count + y.count, x.error + y.error)
-        case (Some(x), None)    => SSEntry(it, x.count + minB, x.error + minB)
-        case (None, Some(y))    => SSEntry(it, y.count + minA, y.error + minA)
-        case _                  => SSEntry(it, 0L, 0L) // unreachable
-      }
+    if (a.m.isEmpty) return b
+    if (b.m.isEmpty) return a
+    val cap = a.capacity max b.capacity
+    def minOf(x: SSBuf): Long =
+      if (x.m.size >= x.capacity) {
+        var mn = Long.MaxValue
+        x.m.forEach((_, c) => mn = math.min(mn, c.count))
+        mn
+      } else 0L
+    val minA = minOf(a)
+    val minB = minOf(b)
+    val combined = mutable.ArrayBuffer.empty[SSEntry]
+    a.m.forEach { (k, ca) =>
+      val cb = b.m.get(k)
+      if (cb != null) combined += SSEntry(k, ca.count + cb.count, ca.error + cb.error)
+      else combined += SSEntry(k, ca.count + minB, ca.error + minB)
     }
-    val kept = combined.sortBy(e => (-e.count, e.item)).take(cap)
-    SSBuf(cap, kept.toList)
+    b.m.forEach { (k, cb) =>
+      if (!a.m.containsKey(k)) combined += SSEntry(k, cb.count + minA, cb.error + minA)
+    }
+    val out = new SSBuf(cap)
+    combined.sortBy(e => (-e.count, e.item)).take(cap)
+      .foreach(e => out.m.put(e.item, new SSBuf.Counter(e.count, e.error)))
+    out
   }
 
   override def finish(b: SSBuf): Seq[SSEntry] =
     b.entries.sortBy(e => (-e.count, e.item)).take(k)
 
-  override def bufferEncoder: Encoder[SSBuf] = Encoders.product[SSBuf]
+  override def bufferEncoder: Encoder[SSBuf] =
+    Encoders.javaSerialization(classOf[SSBuf])
   override def outputEncoder: Encoder[Seq[SSEntry]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SSEntry]]()
 }

@@ -147,13 +147,15 @@ object Aggregates {
   }
 
   /** ClickHouse groupArray — deterministic via sorted distinct lists over a
-    * bounded domain (event_type, |domain| = 5).
+    * bounded domain (event_type, |domain| = 5). The list is serialized to a
+    * canonical CSV string at the query edge: the driver's comparator hashes
+    * scalar cells, so array-typed outputs must leave as strings.
     */
   private def aggCollect(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(
-        sort_array(collect_set(col("event_type"))).as("types"),
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
@@ -216,7 +218,8 @@ object Aggregates {
               ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
     QueryDef("agg_collect", aggCollect,
       Some("""SELECT user_id,
-               list(DISTINCT event_type ORDER BY event_type) AS types,
+               array_to_string(list(DISTINCT event_type ORDER BY event_type),
+                 ',') AS types,
                COUNT(*) AS n_events
               FROM events GROUP BY user_id ORDER BY user_id""")),
     QueryDef("agg_pivot", aggPivot,

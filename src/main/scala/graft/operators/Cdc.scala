@@ -274,6 +274,168 @@ object Cdc {
         col("sql").as("sql_text"), col("es"))
       .orderBy(col("es"))
 
+  /** MySQL column type (as Canal reports it) → Spark destination type —
+    * the public Canal adapter type map for the DDL-evolution path.
+    */
+  private[graft] def mysqlToSpark(t: String): DataType = {
+    val lower = t.toLowerCase
+    val decimalRe = raw"decimal\((\d+)\s*,\s*(\d+)\).*".r
+    lower match {
+      case decimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+      case _ => lower.takeWhile(_.isLetter) match {
+        case "varchar" | "char" | "text" | "longtext" | "enum" => StringType
+        case "bigint"                                          => LongType
+        case "int" | "mediumint" | "smallint" | "tinyint"      => IntegerType
+        case "decimal"                                         => DecimalType(38, 10)
+        case "datetime" | "timestamp"                          => TimestampNTZType
+        case "date"                                            => DateType
+        case "double" | "float"                                => DoubleType
+        case _                                                 => StringType
+      }
+    }
+  }
+
+  /** DDL schema evolution applied, not just filtered: `ALTER TABLE ...
+    * ADD COLUMN` events from the feed evolve the destination schema —
+    * new columns appear null-backfilled on every existing row, exactly
+    * what a Canal→ClickHouse adapter does on a DDL envelope. DDL events
+    * are control-plane metadata: collecting them is O(#DDL statements),
+    * never O(data).
+    */
+  private def cdcDdlApply(s: SparkSession, dir: String): DataFrame = {
+    val addCol =
+      raw"(?i)ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w0-9(),]+).*".r
+    val added: Seq[(String, DataType)] = parsed(s, dir)
+      .filter(col("isDdl"))
+      .select(col("table"), col("sql"), col("es"))
+      .collect().sortBy(_.getAs[Long]("es")).toSeq
+      .flatMap { r =>
+        r.getAs[String]("sql") match {
+          case addCol(tbl, name, typ) if tbl.equalsIgnoreCase("orders") =>
+            Some(name -> mysqlToSpark(typ))
+          case _ => None
+        }
+      }
+    val snapshot = ordersTyped(s, dir)
+      .filter(col("type") === "INSERT")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    added.foldLeft(snapshot) { case (df, (name, dt)) =>
+        df.withColumn(name, lit(null).cast(dt))
+      }
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** `old`-image diff — the standard CDC audit consumer: per UPDATE, the
+    * envelope's `old` array carries the prior value of each changed
+    * column; diffing it against the new row image yields changed-column
+    * stats (which columns churn, and how the values moved).
+    */
+  private def cdcOldDiff(s: SparkSession, dir: String): DataFrame =
+    parsed(s, dir)
+      .filter(col("table") === "orders" && !col("isDdl") &&
+        col("type") === "UPDATE")
+      .select(posexplode(col("data")).as(Seq("pos", "img")), col("old"))
+      .select(col("img"),
+        explode(element_at(col("old"), col("pos") + 1))
+          .as(Seq("col_name", "old_str")))
+      .withColumn("new_str", element_at(col("img"), col("col_name")))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_changes"),
+        Det.davg(col("old_str").cast("double")).as("avg_old"),
+        Det.davg(col("new_str").cast("double")).as("avg_new"))
+      .orderBy(col("col_name"))
+
+  /** Decimal fidelity end-to-end: the FlatMessage price string (MySQL
+    * DECIMAL(15,2) per mysqlType) is parsed straight into
+    * DecimalType(15,2) and aggregated in decimal — the value never
+    * passes through a double, so there is no binary-rounding hazard at
+    * any scale. The #1 real-world Canal type trap (SURVEY §1.2).
+    */
+  private def cdcTypeMapDecimal(s: SparkSession, dir: String): DataFrame =
+    parsed(s, dir)
+      .filter(col("table") === "orders" && !col("isDdl") &&
+        col("type") === "INSERT")
+      .select(explode(col("data")).as("img"))
+      .select(
+        col("img")("o_orderpriority").as("o_orderpriority"),
+        col("img")("o_totalprice").cast(DecimalType(15, 2)).as("price_dec"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("price_dec")).cast(DecimalType(38, 2)).as("sum_price"),
+        max(col("price_dec")).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Incremental compaction — the ClickHouse background-merge mechanic
+    * for a merge-on-read store: base snapshot bucketed by pk + delta log
+    * of changes. Compaction rewrites ONLY buckets that have deltas
+    * (merging latest-per-key, dropping tombstones); untouched base
+    * buckets are left byte-identical and served as-is. Returns the ids
+    * of the buckets it compacted (unit-tested for the untouched-bucket
+    * property in CdcSpec).
+    */
+  private[graft] val compactBucketCount = 8
+
+  private[graft] def compactBuckets(s: SparkSession, base: String,
+      delta: String, out: String): Seq[Int] = {
+    val touched = Option(new java.io.File(delta).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.drop(7).toInt).toSeq.sorted
+    if (touched.nonEmpty) {
+      val basePaths = touched
+        .filter(b => new java.io.File(s"$base/bucket=$b").isDirectory)
+        .map(b => s"$base/bucket=$b")
+      val cols = Seq("o_orderkey", "o_totalprice", "es", "ts", "type")
+      val baseDf =
+        if (basePaths.isEmpty) s.read.parquet(s"$delta/bucket=${touched.head}")
+          .select(cols.map(col): _*).limit(0)
+        else s.read.parquet(basePaths: _*).select(cols.map(col): _*)
+      val deltaDf = s.read.parquet(touched.map(b => s"$delta/bucket=$b"): _*)
+        .select(cols.map(col): _*)
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("es").desc, col("ts").desc)
+      baseDf.unionByName(deltaDf)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("type") =!= "DELETE").drop("rn")
+        .withColumn("bucket",
+          pmod(col("o_orderkey"), lit(compactBucketCount)).cast("int"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    }
+    touched
+  }
+
+  /** Post-compaction view: compacted buckets + untouched base buckets. */
+  private[graft] def compactedView(s: SparkSession, base: String,
+      out: String, touched: Seq[Int]): DataFrame = {
+    val untouched = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.drop(7).toInt).filterNot(touched.contains)
+      .map(b => s"$base/bucket=$b")
+    val paths = untouched ++ touched
+      .filter(b => new java.io.File(s"$out/bucket=$b").isDirectory)
+      .map(b => s"$out/bucket=$b")
+    s.read.parquet(paths.toSeq: _*)
+      .select("o_orderkey", "o_totalprice", "es", "ts", "type")
+  }
+
+  private def cdcCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_compact/${System.nanoTime()}"
+    val t = ordersTyped(s, dir)
+      .select("o_orderkey", "o_totalprice", "es", "ts", "type")
+      .withColumn("bucket",
+        pmod(col("o_orderkey"), lit(compactBucketCount)).cast("int"))
+    t.filter(col("type") === "INSERT")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/base")
+    t.filter(col("type") =!= "INSERT")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/delta")
+    val touched = compactBuckets(s, s"$root/base", s"$root/delta", s"$root/compacted")
+    compactedView(s, s"$root/base", s"$root/compacted", touched)
+      .filter(col("type") =!= "DELETE") // untouched buckets may hold none anyway
+      .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Ops/table/type counters + replication lag — the adapters' monitoring
     * surface (lag is ts − es, constant 500 ms by construction).
     */
@@ -358,6 +520,30 @@ object Cdc {
     QueryDef("cdc_ddl_filter", cdcDdlFilter,
       Some(s"""SELECT 'demo' AS db, 'orders' AS tbl,
                '$ddlSql' AS sql_text, CAST(0 AS BIGINT) AS es""")),
+    QueryDef("cdc_ddl_apply", cdcDdlApply,
+      Some("""SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_note
+              FROM orders ORDER BY o_orderkey""")),
+    QueryDef("cdc_old_diff", cdcOldDiff,
+      Some(s"""SELECT 'o_totalprice' AS col_name, COUNT(*) AS n_changes,
+               ${Det.oAvg("o_totalprice")} AS avg_old,
+               ${Det.oAvg("o_totalprice + 1000.0")} AS avg_new
+              FROM orders WHERE o_orderkey % 3 = 0""")),
+    QueryDef("cdc_type_map_decimal", cdcTypeMapDecimal,
+      Some("""SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(38,2))
+                 AS sum_price,
+               MAX(CAST(o_totalprice AS DECIMAL(15,2))) AS max_price,
+               COUNT(*) AS n
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+    QueryDef("cdc_compact", cdcCompact,
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 3 = 0
+                    THEN epoch_ms(o_orderdate) + 86400000
+                    ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
+              FROM orders WHERE o_orderkey % 7 <> 0
+              ORDER BY o_orderkey""")),
     QueryDef("cdc_changelog_stats", cdcChangelogStats,
       Some("""WITH ev AS (
                 SELECT 'orders' AS tbl, 'INSERT' AS typ FROM orders

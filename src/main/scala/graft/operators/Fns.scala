@@ -77,7 +77,9 @@ object Fns {
         element_at(col("arr"), 1).as("first_token"),
         size(array_distinct(col("arr"))).as("n_distinct"),
         array_contains(col("arr"), "spark").as("has_spark"),
-        slice(sort_array(array_distinct(col("arr"))), 1, 3).as("top3_alpha"),
+        // arrays leave as canonical CSV strings (comparator hashes scalars)
+        array_join(slice(sort_array(array_distinct(col("arr"))), 1, 3), ",")
+          .as("top3_alpha"),
         aggregate(transform(col("arr"), x => length(x)), lit(0), _ + _)
           .as("sum_token_len"),
         size(filter(col("arr"), x => length(x) > 4)).as("n_long_tokens"))
@@ -221,7 +223,8 @@ object Fns {
                arr[1] AS first_token,
                len(list_distinct(arr)) AS n_distinct,
                list_contains(arr, 'spark') AS has_spark,
-               list_slice(list_sort(list_distinct(arr)), 1, 3) AS top3_alpha,
+               array_to_string(list_slice(list_sort(list_distinct(arr)), 1, 3),
+                 ',') AS top3_alpha,
                CAST(list_aggregate(list_transform(arr, x -> length(x)), 'sum')
                  AS INTEGER) AS sum_token_len,
                len(list_filter(arr, x -> length(x) > 4)) AS n_long_tokens

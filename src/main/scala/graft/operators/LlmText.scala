@@ -145,6 +145,42 @@ object LlmText {
         round(col("n_chars").cast("double") / col("ws_tokens"), 6))
       .orderBy(col("doc_id"))
 
+  /** Canonical text normalization (the step every corpus pipeline runs
+    * before dedup/quality): lowercase, strip non-alphanumerics to space,
+    * collapse whitespace, trim. All map-side codegen'd regexps — no
+    * shuffle, no UDF.
+    */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .select(col("doc_id"),
+        col("norm"),
+        length(col("norm")).as("norm_chars"),
+        sha2(col("norm"), 256).as("norm_digest"))
+      .orderBy(col("doc_id"))
+
+  /** PII redaction (training-data compliance step): emails and phone-ish
+    * digit groups masked with typed placeholders, plus per-doc match
+    * counts for the audit trail. The fixture text carries no PII, so a
+    * deterministic contact line is appended per doc first — the operator
+    * under test is the masking, which is pure map-side regexp codegen.
+    */
+  private def textPiiMask(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("raw", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]', 0)"))
+          .as("n_emails"),
+        size(expr("regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}', 0)"))
+          .as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("raw"), "[a-z0-9]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
+          "[0-9]{3}-[0-9]{4}", "<PHONE>").as("masked"))
+      .orderBy(col("doc_id"))
+
   /** Exact dedup by normalized-text hash: keep the lowest doc_id per
     * digest (the canonical LLM-corpus exact-dedup step).
     */
@@ -322,5 +358,27 @@ object LlmText {
                 / (sa.sz + sb.sz - n_inter), 6) >= 0.5
               ORDER BY id_a, id_b""")),
     QueryDef("dedup_simhash", dedupSimhash, None),
+    QueryDef("text_normalize", textNormalize,
+      Some("""WITH t AS (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                FROM documents)
+              SELECT doc_id, norm,
+               CAST(length(norm) AS INTEGER) AS norm_chars,
+               sha256(norm) AS norm_digest
+              FROM t ORDER BY doc_id""")),
+    QueryDef("text_pii_mask", textPiiMask,
+      Some("""WITH t AS (SELECT doc_id,
+                text || ' contact user' || doc_id || '@example.com tel 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+                FROM documents)
+              SELECT doc_id,
+               len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]'))
+                 AS n_emails,
+               len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+               regexp_replace(regexp_replace(raw,
+                 '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
+              FROM t ORDER BY doc_id""")),
   )
 }

@@ -98,7 +98,10 @@ object LlmVector {
   }
 
   /** Per-label mean vector (cluster profile): explode positions, exact
-    * decimal mean per (label, pos), reassemble ordered.
+    * decimal mean per (label, pos), reassemble ordered. The vector leaves
+    * as a canonical CSV string — each component formatted via
+    * DECIMAL(20,6) so Spark and DuckDB print identical fixed-scale text
+    * (the driver's comparator hashes scalar cells only).
     */
   private def labelCentroid(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -106,7 +109,9 @@ object LlmVector {
       .groupBy(col("label"), col("pos"))
       .agg(Det.davg(col("x")).as("m"))
       .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> round(s.m, 6))")
+      .agg(array_join(expr(
+        """transform(array_sort(collect_list(struct(pos, m))),
+           s -> cast(cast(round(s.m, 6) as decimal(20,6)) as string))"""), ",")
         .as("centroid"))
       .orderBy(col("label"))
 
@@ -258,7 +263,9 @@ object LlmVector {
                 FROM embeddings),
               a AS (SELECT label, pos, ${Det.oAvg("x")} AS m
                 FROM e GROUP BY label, pos)
-              SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+              SELECT label,
+                array_to_string(list(CAST(round(m, 6) AS DECIMAL(20,6))
+                  ORDER BY pos), ',') AS centroid
               FROM a GROUP BY label ORDER BY label""")),
     QueryDef("sim_ivf_knn", simIvfKnn,
       Some(s"""WITH e AS (SELECT vec_id, label,

@@ -72,15 +72,18 @@ object Multimodal {
   }
 
   /** Frame-sample: a float[64] embedding treated as 64 "frames"; keep
-    * every 8th frame (the video keyframe-sampling shape).
+    * every 8th frame (the video keyframe-sampling shape). Frames leave as
+    * a canonical CSV string via DECIMAL(20,6) formatting (the driver's
+    * comparator hashes scalar cells only).
     */
   private def mmFrameSample(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        expr("""transform(sequence(0, 7),
-                 i -> round(CAST(element_at(embedding, i * 8 + 1) AS DOUBLE), 6))""")
+        expr("""array_join(transform(sequence(0, 7),
+                 i -> cast(cast(round(CAST(element_at(embedding, i * 8 + 1)
+                   AS DOUBLE), 6) as decimal(20,6)) as string)), ',')""")
           .as("sampled_frames"))
-      .withColumn("n_frames", size(col("sampled_frames")))
+      .withColumn("n_frames", lit(8))
       .orderBy(col("vec_id"))
 
   def defs: Seq[QueryDef] = Seq(
@@ -103,9 +106,9 @@ object Multimodal {
               FROM documents ORDER BY doc_id""")),
     QueryDef("mm_frame_sample", mmFrameSample,
       Some("""SELECT vec_id,
-               list_transform([0,1,2,3,4,5,6,7],
-                 i -> round(CAST(embedding[i * 8 + 1] AS DOUBLE), 6))
-                 AS sampled_frames,
+               array_to_string(list_transform([0,1,2,3,4,5,6,7],
+                 i -> CAST(round(CAST(embedding[i * 8 + 1] AS DOUBLE), 6)
+                   AS DECIMAL(20,6))), ',') AS sampled_frames,
                8 AS n_frames
               FROM embeddings ORDER BY vec_id""")),
   )

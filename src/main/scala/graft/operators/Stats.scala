@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistics / CBO posture (SURVEY §4): ClickHouse sizes its hash tables
+  * and join order from table statistics; Spark's equivalent is ANALYZE
+  * TABLE + the cost-based optimizer. At 100 TB, syntax-order joins are a
+  * liability — stats-driven join reorder picks the small build side and
+  * the cheapest tree, and per-column NDV/min/max feed selectivity
+  * estimates for filter pushup/pushdown decisions.
+  */
+object Stats {
+
+  /** External catalog tables over the fixture parquet, ANALYZEd with
+    * table + all-column stats — once per (session, sfDir). O(1 scan) per
+    * table, the amortized "background statistics" cost of the posture.
+    */
+  def ensureAnalyzed(s: SparkSession, dir: String): Map[String, String] = {
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val names = Seq("customer", "orders", "nation")
+      .map(t => t -> s"graft_stat_${t}_$sf").toMap
+    if (!s.catalog.tableExists(names("customer"))) {
+      names.foreach { case (t, tn) =>
+        s.sql(s"CREATE TABLE IF NOT EXISTS $tn USING parquet " +
+          s"LOCATION '$dir/$t.parquet'")
+        s.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    }
+    names
+  }
+
+  /** Multi-join written in a deliberately bad syntactic order; with stats
+    * + CBO join reorder enabled, Catalyst rebuilds the tree by cost
+    * (PlanShapeSpec asserts catalog row counts and column stats are
+    * present and feeding the optimizer). CBO stays enabled for the
+    * session — that IS the posture, and it is only active where stats
+    * exist (plain parquet reads are unaffected).
+    */
+  private def statsCbo(s: SparkSession, dir: String): DataFrame = {
+    val names = ensureAnalyzed(s, dir)
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s.sql(s"""
+      SELECT n_name, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS sum_price
+      FROM ${names("orders")} o
+      JOIN ${names("customer")} c ON o.o_custkey = c.c_custkey
+      JOIN ${names("nation")} n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY n_name ORDER BY n_name""")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_cbo", statsCbo,
+      Some("""SELECT n_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                 AS sum_price
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY n_name ORDER BY n_name""")),
+  )
+}

@@ -29,11 +29,45 @@ object Windows {
       .orderBy(col("c_nationkey"), col("rn"))
   }
 
+  /** Global ntile WITHOUT the unpartitioned-Window scale killer (a bare
+    * `ntile(k) OVER (ORDER BY ...)` funnels every row through ONE task).
+    * Scale-safe formulation, identical output to SQL ntile at any size:
+    *   1. range-repartition on the sort key (partition i holds keys < j>i);
+    *   2. row_number within each partition — parallel;
+    *   3. per-partition counts (O(numPartitions) metadata) → broadcast
+    *      cumulative offsets via a 32×32 broadcast NLJ, no SinglePartition
+    *      window anywhere;
+    *   4. global rn = offset + local rn; tile assignment is pure
+    *      arithmetic on (rn, n): SQL ntile gives the first n%k tiles
+    *      ⌈n/k⌉ rows and the rest ⌊n/k⌋.
+    * PlanShapeSpec asserts no WindowExec runs over SinglePartition.
+    */
   private def winNtile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_acctbal"),
-        ntile(10).over(w).as("decile"))
+    val k = 10
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .repartitionByRange(32, col("c_acctbal").desc, col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val local = base.withColumn("lrn", row_number().over(localW).cast("long"))
+    val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val offs = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    local.join(broadcast(offs), "pid")
+      .crossJoin(broadcast(total))
+      .withColumn("rn", col("off") + col("lrn"))
+      .withColumn("q", expr(s"n_total div $k"))
+      .withColumn("r", col("n_total") % k)
+      .withColumn("decile",
+        when(col("rn") <= col("r") * (col("q") + 1),
+          expr("(rn - 1) div (q + 1) + 1"))
+          .otherwise(expr("r + (rn - r * (q + 1) - 1) div q + 1"))
+          .cast("int"))
+      .select(col("c_custkey"), col("c_acctbal"), col("decile"))
       .orderBy(col("c_custkey"))
   }
 

@@ -76,6 +76,14 @@ object StreamOps {
     s.table(name)
   }
 
+  /** One-time staged inputs (feed files, symlinked source dirs) — shared
+    * fixture ETL, pre-created by Bench's warm-up so measured queries pay
+    * for the pipeline, not the staging.
+    */
+  def prepareFixtures(s: SparkSession, dir: String): Unit = {
+    feedDir(s, dir); eventsDir(dir); ()
+  }
+
   // ---- sources ----
 
   /** CDC envelope JSON dropped as files, consumed as an unbounded stream,
@@ -165,39 +173,90 @@ object StreamOps {
 
   /** The reference's whole pipeline end-to-end in streaming form: envelope
     * feed → parse → type-map → foreachBatch ReplacingMergeTree merge into
-    * a parquet "table". Each batch unions the new change rows with prior
-    * state, keeps the latest version per PK (tombstones INCLUDED, so an
-    * out-of-order pre-delete event can never resurrect a key), and writes
-    * the ping-pong state dir. Final read filters tombstones.
+    * a bucketed parquet "table" (the ClickHouse background-merge analogue).
+    *
+    * State layout: `state/v=<batchId>/bucket=<pk % N>/`. Each micro-batch
+    * merges ONLY the buckets its keys touch — prior versions of untouched
+    * buckets stay as-is and are never re-read or rewritten, so per-batch
+    * I/O is O(touched buckets), not O(table). Replay-safe by construction:
+    * the merge for batch b reads only versions `< b` off disk (never an
+    * in-memory "latest" pointer), so an at-least-once re-execution of
+    * batch b reads the same inputs and idempotently overwrites `v=b`.
+    * Tombstones are kept in state (an out-of-order pre-delete event can
+    * never resurrect a key); the final read filters them.
     */
+  private[graft] val cdcStateBuckets = 8
+
+  /** bucket → latest state dir, considering only versions < ltBatch. */
+  private[graft] def cdcBucketPaths(state: String, ltBatch: Long): Map[Int, String] = {
+    val root = new java.io.File(state)
+    val versions = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.drop(2).toLong).filter(_ < ltBatch).sorted
+    val latest = scala.collection.mutable.Map[Int, String]()
+    versions.foreach { v =>
+      Option(new java.io.File(root, s"v=$v").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .foreach(b => latest(b.getName.drop(7).toInt) = s"$state/v=$v/${b.getName}")
+    }
+    latest.toMap
+  }
+
+  /** Merge one typed change batch into the bucketed state (unit-tested
+    * directly in StreamSemanticsSpec for the incremental + replay
+    * properties). `typed` columns: o_orderkey, o_totalprice, es, ts, type.
+    */
+  private[graft] def mergeCdcTyped(typed: DataFrame, batchId: Long,
+      state: String): Unit = {
+    val ss = typed.sparkSession
+    val withBucket = typed
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(cdcStateBuckets)).cast("int"))
+    // O(buckets) metadata, not data — bounded by cdcStateBuckets
+    val touched = withBucket.select("bucket").distinct().collect()
+      .map(_.getInt(0)).toSet
+    if (touched.nonEmpty) {
+      val prevPaths = cdcBucketPaths(state, batchId)
+        .collect { case (b, p) if touched(b) => p }.toSeq
+      val prev =
+        if (prevPaths.isEmpty) typed.limit(0)
+        else ss.read.parquet(prevPaths: _*)
+          .select("o_orderkey", "o_totalprice", "es", "ts", "type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey"))
+        .orderBy(col("es").desc, col("ts").desc)
+      prev.unionByName(typed.select("o_orderkey", "o_totalprice", "es", "ts", "type"))
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(cdcStateBuckets)).cast("int"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$state/v=$batchId")
+    }
+  }
+
+  /** Read the merge-on-disk view: latest version of every bucket. */
+  private[graft] def readCdcState(s: SparkSession, state: String): DataFrame = {
+    val paths = cdcBucketPaths(state, Long.MaxValue).values.toSeq
+    s.read.parquet(paths: _*)
+      .select("o_orderkey", "o_totalprice", "es", "ts", "type")
+  }
+
   private def streamCdcUpsert(s: SparkSession, dir: String): DataFrame = {
     val feed = feedDir(s, dir)
     val state = fresh("cdc_state")
-    val lastDir = new java.util.concurrent.atomic.AtomicReference[String](null)
     val q = s.readStream.schema(Cdc.envelopeSchema).json(feed)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val typed = Cdc.typeMapOrders(batch)
-          .select(col("o_orderkey"), col("o_totalprice"), col("es"),
-            col("ts"), col("type"))
-        val prev = lastDir.get() match {
-          case null => typed.limit(0)
-          case d    => batch.sparkSession.read.parquet(d)
-        }
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("o_orderkey"))
-          .orderBy(col("es").desc, col("ts").desc)
-        val merged = prev.unionByName(typed)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        val out = s"$state/v${batchId % 2}"
-        merged.write.mode("overwrite").parquet(out)
-        lastDir.set(out)
+        mergeCdcTyped(
+          Cdc.typeMapOrders(batch)
+            .select(col("o_orderkey"), col("o_totalprice"), col("es"),
+              col("ts"), col("type")),
+          batchId, state)
       }
       .option("checkpointLocation", fresh("cdc_upsert_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(lastDir.get())
+    readCdcState(s, state)
       .filter(col("type") =!= "DELETE")
       .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
       .orderBy(col("o_orderkey"))

@@ -19,7 +19,8 @@ class AllQueriesSmokeSpec extends GraftSpec {
   test("every query key has an oracle or is a documented rows-only check") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set("agg_distinct_approx", "agg_quantile_approx",
-      "src_rate", "dedup_simhash", "dedup_minhash", "sim_lsh_knn")
+      "src_rate", "dedup_simhash", "dedup_minhash", "sim_lsh_knn",
+      "scan_sample", "agg_hll_merge", "udaf_sketch_topk")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}")
   }

@@ -87,8 +87,26 @@ class PlanShapeSpec extends GraftSpec {
     assert(exchanges.length <= 2, s"too many shuffles: $exchanges\n${p.take(400)}")
   }
 
+  test("win_ntile: every Window is partitioned (no single-task global sort)") {
+    val p = plan("win_ntile")
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(winLines.nonEmpty, p.take(600))
+    winLines.foreach(l =>
+      assert(l.contains("pid"), s"unpartitioned Window over the data: $l"))
+  }
+
   test("sim_topk broadcasts the probe side") {
     assert(plan("sim_topk").contains("BroadcastNestedLoopJoin")
       || plan("sim_topk").contains("BroadcastExchange"))
+  }
+
+  test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
+    SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
+    val names = graft.operators.Stats.ensureAnalyzed(spark, sf)
+    val stats = spark.table(names("customer"))
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.nonEmpty, "table row count missing from catalog")
+    assert(stats.attributeStats.nonEmpty, "column-level stats missing")
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
   }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Cdc
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Incremental-state properties of the CDC upsert store and the
+  * compaction operator: per-batch I/O is O(touched buckets), untouched
+  * buckets are never rewritten, and at-least-once replay of a batch is
+  * idempotent (the merge reads only versions strictly below its own
+  * batchId — never a mutable "latest" pointer).
+  */
+class StateMaintenanceSpec extends GraftSpec {
+
+  private def typed(rows: Seq[(Long, Double, Long, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("o_orderkey", "o_totalprice", "es", "ts", "type")
+  }
+
+  private def bucketDirs(path: String): Set[String] =
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName).toSet
+
+  test("bucketed CDC upsert rewrites only touched buckets; replay idempotent") {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_cdc_state_test").toString
+    // batch 0: keys 0..7 → every bucket (pk % 8)
+    StreamOps.mergeCdcTyped(
+      typed((0L until 8L).map(k => (k, 100.0 + k, 10L, 10L, "INSERT"))),
+      0L, state)
+    assert(bucketDirs(s"$state/v=0").size == StreamOps.cdcStateBuckets)
+    // batch 1 touches buckets 0 (new key 8) and 1 (update key 1) only
+    val b1 = typed(Seq((8L, 200.0, 20L, 20L, "INSERT"),
+      (1L, 999.0, 20L, 21L, "UPDATE")))
+    StreamOps.mergeCdcTyped(b1, 1L, state)
+    assert(bucketDirs(s"$state/v=1") == Set("bucket=0", "bucket=1"),
+      "untouched buckets must not be rewritten")
+    // untouched buckets still served from v=0; touched ones from v=1
+    val latest = StreamOps.cdcBucketPaths(state, Long.MaxValue)
+    assert(latest(2).contains("/v=0/") && latest(0).contains("/v=1/"))
+    val before = StreamOps.readCdcState(spark, state)
+      .orderBy("o_orderkey", "es").collect().toSeq
+    // at-least-once replay of batch 1: the merge reads only versions < 1,
+    // so re-executing it cannot read its own half-written output
+    StreamOps.mergeCdcTyped(b1, 1L, state)
+    val after = StreamOps.readCdcState(spark, state)
+      .orderBy("o_orderkey", "es").collect().toSeq
+    assert(before == after, "replay of the same batchId must be a no-op")
+    val m = StreamOps.readCdcState(spark, state)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 999.0 && m(8L) == 200.0 && m(2L) == 102.0 && m.size == 9)
+  }
+
+  test("compaction rewrites only delta buckets; view equals merge-on-read") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_test").toString
+    val nb = Cdc.compactBucketCount
+    typed((0L until 16L).map(k => (k, 100.0 + k, 10L, 10L, "INSERT")))
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(nb)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$root/base")
+    // deltas touch buckets 0 (update key 8) and 3 (tombstone key 3) only
+    typed(Seq((8L, 888.0, 20L, 20L, "UPDATE"), (3L, 103.0, 20L, 20L, "DELETE")))
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(nb)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$root/delta")
+    val touched = Cdc.compactBuckets(spark, s"$root/base", s"$root/delta",
+      s"$root/out")
+    assert(touched == Seq(0, 3))
+    assert(bucketDirs(s"$root/out") == Set("bucket=0", "bucket=3"),
+      "compaction must only write buckets that had deltas")
+    val view = Cdc.compactedView(spark, s"$root/base", s"$root/out", touched)
+    val m = view.select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(8L) == 888.0, "update not applied")
+    assert(!m.contains(3L), "tombstone not folded")
+    assert(m(5L) == 105.0, "untouched bucket corrupted")
+    assert(m.size == 15)
+  }
+}

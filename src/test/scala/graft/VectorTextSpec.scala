@@ -95,8 +95,10 @@ class VectorTextSpec extends GraftSpec {
 
   test("label_centroid vectors have the embedding dimensionality") {
     import spark.implicits._
+    // centroid leaves the query as a canonical CSV string (comparator edge)
     val cents = SparkEntry.queries("label_centroid")(spark, sf)
-      .select("centroid").as[Seq[Double]].collect()
+      .select("centroid").as[String].collect()
+      .map(_.split(",").map(_.toDouble))
     assert(cents.length == 10 && cents.forall(_.length == 64))
   }
 }
