@@ -365,6 +365,30 @@ object Cdc {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** Summing/AggregatingMergeTree analogue — the remaining MergeTree
+    * family member (Replacing = cdc_upsert_latest, Collapsing =
+    * cdc_delete_fold): the change stream folds DIRECTLY into per-customer
+    * aggregate state, no per-PK window and no row state. INSERT
+    * contributes +price, UPDATE contributes its delta (new − old image —
+    * the second consumer of the envelope's `old` field), DELETE −(last
+    * image). One shuffle on the group key; at 100 TB the state is
+    * O(customers), not O(orders) — the point of ClickHouse aggregate-state
+    * materialized views.
+    */
+  private def cdcSummingMv(s: SparkSession, dir: String): DataFrame = {
+    val oldPrice = element_at(element_at(col("old"), 1), "o_totalprice")
+      .cast("double")
+    val contrib = when(col("type") === "INSERT", col("o_totalprice"))
+      .when(col("type") === "UPDATE", col("o_totalprice") - oldPrice)
+      .otherwise(-col("o_totalprice"))
+    ordersTyped(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(Det.dsum(contrib).as("live_spend"),
+        sum(when(col("type") === "INSERT", 1)
+          .when(col("type") === "DELETE", -1).otherwise(0)).as("live_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Incremental compaction — the ClickHouse background-merge mechanic
     * for a merge-on-read store: base snapshot bucketed by pk + delta log
     * of changes. Compaction rewrites ONLY buckets that have deltas
@@ -544,6 +568,25 @@ object Cdc {
                     ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
               FROM orders WHERE o_orderkey % 7 <> 0
               ORDER BY o_orderkey""")),
+    // oracle restates the fold per source order with the SAME IEEE double
+    // expressions the envelopes carry ((p + 1000.0) - p, not a literal
+    // 1000), each term decimal-cast exactly as Det.dsum does per row
+    QueryDef("cdc_summing_mv", cdcSummingMv,
+      Some("""SELECT o_custkey,
+               CAST(SUM(
+                 CAST(o_totalprice AS DECIMAL(30,6))
+                 + CASE WHEN o_orderkey % 3 = 0
+                     THEN CAST((o_totalprice + 1000.0) - o_totalprice
+                       AS DECIMAL(30,6))
+                     ELSE 0 END
+                 - CASE WHEN o_orderkey % 7 = 0
+                     THEN CAST(CASE WHEN o_orderkey % 3 = 0
+                         THEN o_totalprice + 1000.0
+                         ELSE o_totalprice END AS DECIMAL(30,6))
+                     ELSE 0 END) AS DOUBLE) AS live_spend,
+               CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 1 END)
+                 AS BIGINT) AS live_orders
+              FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
     QueryDef("cdc_changelog_stats", cdcChangelogStats,
       Some("""WITH ev AS (
                 SELECT 'orders' AS tbl, 'INSERT' AS typ FROM orders

@@ -143,8 +143,35 @@ object Scans {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("l_returnflag"))
 
+  /** Schema evolution across file generations (lake reality at 100 TB:
+    * files written before an ALTER lack the new columns). Generation 2
+    * adds `is_urgent`; mergeSchema reconciles at read time and
+    * null-backfills generation-1 rows — the read-side complement of
+    * cdc_ddl_apply.
+    */
+  private def scanSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = tmp(dir, "orders_evo")
+    if (!new java.io.File(s"$base/gen1/_SUCCESS").exists()) {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderpriority") === "1-URGENT").as("is_urgent"))
+        .write.mode("overwrite").parquet(s"$base/gen2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$base/gen1", s"$base/gen2")
+      .orderBy(col("o_orderkey"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("scan_sample", scanSample, None),
+    QueryDef("scan_schema_evolution", scanSchemaEvolution,
+      Some("""SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 2 <> 0
+                    THEN o_orderpriority = '1-URGENT' END AS is_urgent
+              FROM orders ORDER BY o_orderkey""")),
     QueryDef("scan_csv_corrupt", scanCsvCorrupt,
       Some(s"""SELECT (SELECT COUNT(*) FROM orders) + 3 AS n_rows,
                (SELECT COUNT(*) FROM orders) AS n_good,
