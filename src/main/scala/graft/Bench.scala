@@ -28,8 +28,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total sums SUCCESSFUL queries only; -1 sentinels are excluded
+    val ok = results.values.filter(_ >= 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val nFailed = results.values.count(_ < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // compact line LAST: the driver's tail capture truncates long lines
+    // from the front, so the parseable summary must be short and final
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
