@@ -295,6 +295,45 @@ object Cdc {
     }
   }
 
+  /** Table-GENERIC type-map: the destination schema is derived from the
+    * envelope's own `mysqlType` metadata via [[mysqlToSpark]] — no
+    * hard-coded column list, exactly how a real Canal adapter creates and
+    * populates a destination table it has never seen. The mysqlType map is
+    * constant per table between DDLs, so reading it from one envelope is
+    * O(1) control-plane metadata (same class as the DDL-apply collect),
+    * never O(data); the cast projection itself is a narrow map-side
+    * transform.
+    */
+  def typeMapGeneric(envelopes: DataFrame, table: String): DataFrame = {
+    val one = envelopes
+      .filter(col("table") === table && !col("isDdl"))
+      .select(map_keys(col("mysqlType")).as("ks"), col("mysqlType").as("mt"))
+      .limit(1).collect()
+    require(one.nonEmpty, s"no DML envelopes for table $table")
+    val colNames = one.head.getSeq[String](0)
+    val types = one.head.getMap[String, String](1)
+    val typedCols = colNames.map { c =>
+      element_at(col("img"), c).cast(mysqlToSpark(types(c))).as(c)
+    }
+    envelopes
+      .filter(col("table") === table && !col("isDdl"))
+      .select(col("type"), col("es"), col("ts"), col("old"),
+        posexplode(col("data")).as(Seq("pos", "img")))
+      .select(Seq(col("type"), col("es"), col("ts")) ++ typedCols: _*)
+  }
+
+  /** The generic map applied to the customer feed (whose images were
+    * previously parsed but never schema-applied): INSERT images must
+    * reproduce the customer table, with c_acctbal landing as the
+    * DECIMAL(15,2) its mysqlType declares.
+    */
+  private def cdcTypeMapGeneric(s: SparkSession, dir: String): DataFrame =
+    typeMapGeneric(parsed(s, dir), "customer")
+      .filter(col("type") === "INSERT")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
   /** DDL schema evolution applied, not just filtered: `ALTER TABLE ...
     * ADD COLUMN` events from the feed evolve the destination schema —
     * new columns appear null-backfilled on every existing row, exactly
@@ -544,6 +583,10 @@ object Cdc {
     QueryDef("cdc_ddl_filter", cdcDdlFilter,
       Some(s"""SELECT 'demo' AS db, 'orders' AS tbl,
                '$ddlSql' AS sql_text, CAST(0 AS BIGINT) AS es""")),
+    QueryDef("cdc_type_map_generic", cdcTypeMapGeneric,
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(15,2)) AS c_acctbal, c_mktsegment
+              FROM customer ORDER BY c_custkey""")),
     QueryDef("cdc_ddl_apply", cdcDdlApply,
       Some("""SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_note
               FROM orders ORDER BY o_orderkey""")),

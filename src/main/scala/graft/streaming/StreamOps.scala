@@ -183,24 +183,60 @@ object StreamOps {
     * in-memory "latest" pointer), so an at-least-once re-execution of
     * batch b reads the same inputs and idempotently overwrites `v=b`.
     * Tombstones are kept in state (an out-of-order pre-delete event can
-    * never resurrect a key); the final read filters them.
+    * never resurrect a key); the final read filters them. Fully-superseded
+    * version dirs are GC'd after each merge (see [[gcCdcVersions]]), so
+    * live metadata stays O(buckets) over an unbounded batch history.
     */
   private[graft] val cdcStateBuckets = 8
 
-  /** bucket → latest state dir, considering only versions < ltBatch. */
-  private[graft] def cdcBucketPaths(state: String, ltBatch: Long): Map[Int, String] = {
+  /** bucket → latest version holding it, considering versions < ltBatch. */
+  private[graft] def cdcBucketVersions(state: String, ltBatch: Long): Map[Int, Long] = {
     val root = new java.io.File(state)
     val versions = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
       .map(_.getName.drop(2).toLong).filter(_ < ltBatch).sorted
-    val latest = scala.collection.mutable.Map[Int, String]()
+    val latest = scala.collection.mutable.Map[Int, Long]()
     versions.foreach { v =>
       Option(new java.io.File(root, s"v=$v").listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-        .foreach(b => latest(b.getName.drop(7).toInt) = s"$state/v=$v/${b.getName}")
+        .foreach(b => latest(b.getName.drop(7).toInt) = v)
     }
     latest.toMap
+  }
+
+  /** bucket → latest state dir, considering only versions < ltBatch. */
+  private[graft] def cdcBucketPaths(state: String, ltBatch: Long): Map[Int, String] =
+    cdcBucketVersions(state, ltBatch).map { case (b, v) =>
+      b -> s"$state/v=$v/bucket=$b"
+    }
+
+  /** Version GC: delete every `v=<k>` dir (k < batchId) that is not the
+    * latest version of ANY bucket among versions strictly below batchId.
+    * Replay-safe by construction: an at-least-once re-execution of batch
+    * `batchId` reads exactly `cdcBucketPaths(state, batchId)` — the live
+    * set this GC preserves — so versions superseded only by the
+    * just-written v=batchId survive one more batch (the replay margin)
+    * and are collected on the next merge. Steady state is therefore
+    * bounded at ≤ cdcStateBuckets + 2 version dirs regardless of how many
+    * micro-batches have run — the listing in cdcBucketVersions stays
+    * O(buckets), not O(history). Returns the deleted version ids.
+    */
+  private[graft] def gcCdcVersions(state: String, batchId: Long): Seq[Long] = {
+    val root = new java.io.File(state)
+    val live = cdcBucketVersions(state, batchId).values.toSet
+    val dead = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.drop(2).toLong)
+      .filter(v => v < batchId && !live.contains(v)).sorted.toSeq
+    dead.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(root, s"v=$v"))
+    }
+    dead
   }
 
   /** Merge one typed change batch into the bucketed state (unit-tested
@@ -231,6 +267,8 @@ object StreamOps {
         .filter(col("rn") === 1).drop("rn")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$state/v=$batchId")
+      gcCdcVersions(state, batchId)
+      ()
     }
   }
 

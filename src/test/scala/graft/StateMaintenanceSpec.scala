@@ -54,6 +54,48 @@ class StateMaintenanceSpec extends GraftSpec {
     assert(m(1L) == 999.0 && m(8L) == 200.0 && m(2L) == 102.0 && m.size == 9)
   }
 
+  test("version GC prunes superseded dirs with a one-batch replay margin") {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_cdc_gc_test").toString
+    def versionDirs(): Set[String] =
+      Option(new java.io.File(state).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .map(_.getName).toSet
+    // batch 0: all 8 buckets; batch 1: buckets 0,1 only
+    StreamOps.mergeCdcTyped(
+      typed((0L until 8L).map(k => (k, 100.0 + k, 10L, 10L, "INSERT"))),
+      0L, state)
+    StreamOps.mergeCdcTyped(
+      typed(Seq((8L, 200.0, 20L, 20L, "INSERT"),
+        (1L, 999.0, 20L, 21L, "UPDATE"))), 1L, state)
+    // batch 2 rewrites every bucket — v=0/v=1 become dead, but only
+    // w.r.t. v=2 itself, so the replay margin keeps them this batch
+    StreamOps.mergeCdcTyped(
+      typed((0L until 8L).map(k => (k, 300.0 + k, 30L, 30L, "UPDATE"))),
+      2L, state)
+    assert(versionDirs() == Set("v=0", "v=1", "v=2"),
+      "versions a replay of batch 2 would read must survive its own GC")
+    // batch 3: every pre-2 version is now fully superseded below 3 → GC'd
+    StreamOps.mergeCdcTyped(
+      typed(Seq((16L, 400.0, 40L, 40L, "INSERT"))), 3L, state)
+    assert(versionDirs() == Set("v=2", "v=3"),
+      s"superseded versions not collected: ${versionDirs()}")
+    // state is still correct after pruning
+    val m = StreamOps.readCdcState(spark, state)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(0L) == 300.0 && m(7L) == 307.0 && m(16L) == 400.0
+      && m(8L) == 200.0 && m.size == 10)
+    // replay of batch 3 after its GC still reads intact inputs
+    StreamOps.mergeCdcTyped(
+      typed(Seq((16L, 400.0, 40L, 40L, "INSERT"))), 3L, state)
+    val m2 = StreamOps.readCdcState(spark, state)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m2 == m, "replay after GC must be a no-op")
+  }
+
   test("compaction rewrites only delta buckets; view equals merge-on-read") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_compact_test").toString
