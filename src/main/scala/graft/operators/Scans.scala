@@ -165,7 +165,65 @@ object Scans {
       .orderBy(col("o_orderkey"))
   }
 
+  /** MergeTree `TTL ... DELETE` analogue — age-based retention applied at
+    * the PARTITION level: delete every `day=<d>` partition directory
+    * older than (max day − retentionDays). The expiry never reads a data
+    * row — O(partitions) filesystem metadata, exactly how ClickHouse
+    * drops expired parts — and returns the cutoff so the survivor scan
+    * can assert partition pruning. Returns (cutoff, dropped partition
+    * names).
+    */
+  private[graft] def ttlApply(root: String,
+      retentionDays: Int): (java.time.LocalDate, Seq[String]) = {
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    require(dirs.nonEmpty, s"no day= partitions under $root")
+    val maxDay = dirs.map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
+    val cutoff = maxDay.minusDays(retentionDays.toLong)
+    val dropped = dirs
+      .filter(f => java.time.LocalDate.parse(f.getName.drop(4)).isBefore(cutoff))
+      .sortBy(_.getName)
+    dropped.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    (cutoff, dropped.map(_.getName).toSeq)
+  }
+
+  /** TTL retention over the day-partitioned events table: stage the
+    * partitioned layout, expire partitions older than 14 days before the
+    * newest, then aggregate the survivors. The survivor read carries the
+    * cutoff as a partition filter (redundant with the deletion, but it
+    * makes the scan's PartitionFilters prove the pruning — asserted in
+    * PlanShapeSpec). Fresh staging dir per run: expiry mutates the
+    * layout, so reusing a pruned dir would shift the max-day anchor.
+    */
+  private def ttlExpire(s: SparkSession, dir: String): DataFrame = {
+    val root =
+      s"${sys.props("java.io.tmpdir")}/graft_ttl/${System.nanoTime()}"
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(root)
+    val (cutoff, _) = ttlApply(root, 14)
+    s.read.parquet(root)
+      .filter(col("day") >= lit(java.sql.Date.valueOf(cutoff)))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ttl_expire", ttlExpire,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 value FROM events),
+               m AS (SELECT max(day) AS mx FROM e)
+              SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
+              FROM e, m WHERE day >= mx - 14
+              GROUP BY day ORDER BY day""")),
     QueryDef("scan_sample", scanSample, None),
     QueryDef("scan_schema_evolution", scanSchemaEvolution,
       Some("""SELECT o_orderkey, o_totalprice,

@@ -100,6 +100,15 @@ class PlanShapeSpec extends GraftSpec {
       || plan("sim_topk").contains("BroadcastExchange"))
   }
 
+  test("ttl_expire survivor scan prunes on the day partition column") {
+    val p = plan("ttl_expire")
+    val scanLine = p.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanLine.contains("day"), s"no partition filter on day:\n$scanLine")
+    assert(!p.contains("PushedFilters: [IsNotNull(day)"),
+      "day must prune partitions, not filter rows")
+  }
+
   test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
     SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
     val names = graft.operators.Stats.ensureAnalyzed(spark, sf)

@@ -60,6 +60,59 @@ class StreamSemanticsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("checkpoint kill-and-recover: crash mid-batch, restart converges") {
+    import graft.operators.Cdc
+    import graft.streaming.StreamOps
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_recover_test").toString
+    // multi-file feed: the synthesized envelope stream split in two files
+    // so maxFilesPerTrigger=1 yields two distinct micro-batches
+    val all = Cdc.envelopes(spark, sf).collect().map(_.getString(0))
+    val (f0, f1) = all.splitAt(all.length / 2)
+    val feed = s"$root/feed"; new java.io.File(feed).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$feed/part0.json"),
+      f0.mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$feed/part1.json"),
+      f1.mkString("\n").getBytes)
+
+    def run(state: String, ckpt: String,
+        crashOnBatch: Option[Long]): Unit = {
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q = spark.readStream.schema(Cdc.envelopeSchema)
+        .option("maxFilesPerTrigger", "1").json(feed)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamOps.mergeCdcTyped(
+            Cdc.typeMapOrders(batch).select("o_orderkey", "o_totalprice",
+              "es", "ts", "type"), id, state)
+          // crash AFTER the merge wrote v=<id> but BEFORE the checkpoint
+          // commits — the worst-case kill point; restart must re-execute
+          // this batch and converge (the merge reads only versions < id)
+          if (crashOnBatch.contains(id) && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    }
+
+    // interrupted run: batch 0 commits, batch 1 merges then dies uncommitted
+    run(s"$root/state_a", s"$root/ckpt_a", crashOnBatch = Some(1L))
+    // restart from the SAME checkpoint: batch 1 re-executes, stream drains
+    run(s"$root/state_a", s"$root/ckpt_a", crashOnBatch = None)
+    // uninterrupted control run
+    run(s"$root/state_b", s"$root/ckpt_b", crashOnBatch = None)
+
+    def snap(state: String) =
+      StreamOps.readCdcState(spark, state)
+        .orderBy("o_orderkey", "es", "ts", "type").collect().toSeq
+    val a = snap(s"$root/state_a")
+    assert(a == snap(s"$root/state_b"),
+      "recovered state must equal the uninterrupted run")
+    assert(a.nonEmpty)
+  }
+
   test("session windows split on gaps > 30 minutes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
