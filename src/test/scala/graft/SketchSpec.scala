@@ -59,6 +59,23 @@ class SketchSpec extends GraftSpec {
     assert(agg.finish(merged).size <= 5)
   }
 
+  test("chunked bitmap counts the full long domain, partials merge exactly") {
+    val agg = new graft.functions.BitmapDistinct
+    // keys far beyond Int.MaxValue (64-bit surrogate ids), negatives,
+    // chunk boundaries, and duplicates across the two partials
+    val a = Seq(0L, 1L, 65535L, 65536L, Int.MaxValue.toLong + 10,
+      5_000_000_000L, -1L, -65536L)
+    val b = Seq(1L, 65536L, 5_000_000_000L, 5_000_000_001L,
+      Long.MaxValue - 1, Long.MinValue + 1)
+    val pa = a.foldLeft(agg.zero)(agg.reduce)
+    val pb = b.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(pa, pb)) == (a ++ b).distinct.size.toLong)
+    // dense-range sanity: 100k consecutive ids in few chunks
+    val dense = (0L until 100000L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(dense) == 100000L)
+    assert(dense.size() == 2, "100k consecutive ids must touch 2 chunks")
+  }
+
   test("HLL sketch-merge estimate tracks exact distinct counts") {
     import spark.implicits._
     val exact = Tables.events(spark, sf)
