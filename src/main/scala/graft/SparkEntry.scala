@@ -17,7 +17,8 @@ object SparkEntry {
     Scans.defs ++ Projections.defs ++ Joins.defs ++ SortSetOps.defs ++
       Aggregates.defs ++ Windows.defs ++ Fns.defs ++ Cdc.defs ++
       StreamOps.defs ++ LlmText.defs ++ LlmVector.defs ++
-      Multimodal.defs ++ UdfOps.defs ++ EventAnalytics.defs ++ Stats.defs
+      Multimodal.defs ++ UdfOps.defs ++ EventAnalytics.defs ++ Stats.defs ++
+      MvOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DecimalType
+
+/** ClickHouse-projection-style materialized-view routing, Spark-first: a
+  * pre-aggregated MV registered against a base table path, and a Catalyst
+  * optimizer rule that TRANSPARENTLY rewrites a matching `Aggregate` over
+  * the base scan into a re-aggregation of the MV — the query text never
+  * changes, exactly how MergeTree projections / aggregate materialized
+  * views are picked in ClickHouse's analyzer.
+  *
+  * Soundness: the MV stores decimal partial sums (the house Det.dsum
+  * pattern) plus a per-group row count, both of which form a commutative
+  * monoid — re-aggregating partials over any grouping SUBSET is exact,
+  * never approximate. A query is routed only when
+  *   - its grouping columns ⊆ the MV's grouping columns,
+  *   - every aggregate is `sum(cast(col as decimal(30,6)))` over a column
+  *     the MV covers, or `count(1)` (no DISTINCT, no FILTER),
+  *   - the aggregate sits directly on the base scan (no intervening
+  *     Filter — a row-level predicate can't be answered post-aggregation).
+  * Anything else falls through to the base table untouched.
+  *
+  * At 100 TB this is the difference between scanning the fact table and
+  * scanning |groups| rows; the rewrite itself is O(plan) driver work.
+  */
+object MvRouting {
+
+  /** @param basePath  base table path (as passed to spark.read.parquet)
+    * @param mvPath    pre-aggregated MV parquet path
+    * @param groupCols MV grouping columns (same names as base)
+    * @param sumMap    base column → MV column holding
+    *                  sum(cast(base as decimal(30,6))) per group
+    * @param countCol  MV column holding count(*) per group
+    */
+  case class MvDef(basePath: String, mvPath: String, groupCols: Set[String],
+      sumMap: Map[String, String], countCol: String)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  private def norm(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  def register(d: MvDef): Unit = { registry.put(norm(d.basePath), d); () }
+
+  def forPath(p: String): Option[MvDef] = Option(registry.get(norm(p)))
+
+  /** Install the routing rule into a session at runtime (extraOptimizations
+    * runs after the main optimizer batches; extensions-based injection is
+    * static-conf-only and absent in driver sessions).
+    */
+  def enable(s: SparkSession): Unit = {
+    val cur = s.experimental.extraOptimizations
+    if (!cur.contains(RouteAggregateToMv))
+      s.experimental.extraOptimizations = cur :+ RouteAggregateToMv
+  }
+}
+
+object RouteAggregateToMv extends Rule[LogicalPlan] {
+  import MvRouting._
+
+  /** The base scan under an Aggregate, tolerating the column-pruning
+    * Project; anything else (Filter, Join, …) blocks routing.
+    */
+  private def baseScan(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation => Some(fs)
+      case _ => None
+    }
+    case Project(projList, l: LogicalRelation)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      l.relation match {
+        case fs: HadoopFsRelation => Some(fs)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The Det.dsum shape: cast(col as decimal(30,6)) summed. */
+  private def dsumSource(e: Expression): Option[String] = e match {
+    case c: Cast if c.dataType == DecimalType(30, 6) => c.child match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate
+        if baseScan(agg.child).exists(fs => fs.location.rootPaths
+          .exists(rp => forPath(rp.toString).isDefined)) =>
+      val fs = baseScan(agg.child).get
+      val mv = fs.location.rootPaths.flatMap(rp => forPath(rp.toString)).head
+      rewrite(agg, agg.groupingExpressions, agg.aggregateExpressions, mv)
+        .getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], mv: MvDef): Option[Aggregate] = {
+    val groupNames = groupExprs.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (!groupNames.forall(mv.groupCols)) return None
+
+    // fresh resolved MV scan; exprIds are new, output aliases keep the
+    // ORIGINAL exprIds so parent operators still resolve
+    val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
+      .queryExecution.analyzed
+    val mvAttr: Map[String, AttributeReference] =
+      mvPlan.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+
+    def rewriteAggFn(ae: AggregateExpression): Option[AggregateExpression] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case s: Sum =>
+          dsumSource(s.child).flatMap(mv.sumMap.get)
+            .flatMap(mvAttr.get)
+            .map(a => ae.copy(aggregateFunction = s.copy(child = a)))
+        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+          mvAttr.get(mv.countCol)
+            .map(a => ae.copy(aggregateFunction = Sum(a)))
+        case _ => None
+      }
+    }
+
+    // explicit recursion, NOT transformUp/Down: an AggregateExpression is
+    // rewritten as a whole (its internal base attributes disappear with
+    // it), a bare attribute is only legal if it is a grouping column, and
+    // any shape we can't prove equivalent aborts the whole rewrite
+    def rw(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAggFn(ae)
+      case a: AttributeReference =>
+        if (mv.groupCols(a.name)) mvAttr.get(a.name) else None
+      case other =>
+        val kids = other.children.map(rw)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    val newAggExprs = aggExprs.map {
+      case a: AttributeReference if mv.groupCols(a.name) && mvAttr.contains(a.name) =>
+        Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+      case al: Alias =>
+        rw(al.child).map(c => Alias(c, al.name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (newAggExprs.exists(_.isEmpty)) return None
+    val newGroup = groupNames.map(mvAttr)
+    Some(agg.copy(groupingExpressions = newGroup,
+      aggregateExpressions = newAggExprs.map(_.get), child = mvPlan))
+  }
+}

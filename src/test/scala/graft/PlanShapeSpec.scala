@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** 100 TB posture checks: the physical plans must have the shape that
   * scales — filters pushed to the parquet scan, columns pruned, the right
   * join strategies, top-k without a global sort. A query that merely
@@ -98,6 +100,20 @@ class PlanShapeSpec extends GraftSpec {
   test("sim_topk broadcasts the probe side") {
     assert(plan("sim_topk").contains("BroadcastNestedLoopJoin")
       || plan("sim_topk").contains("BroadcastExchange"))
+  }
+
+  test("mv_route reads the materialized view, not the fact table") {
+    val p = plan("mv_route")
+    assert(p.contains("graft_mv"), s"aggregate not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      "routed query must not scan the base table")
+    // routing must not break the UNROUTED path: a non-matching aggregate
+    // (different agg function) over the same base table stays on the base
+    val unrouted = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.avg("l_discount").as("a"))
+      .queryExecution.executedPlan.toString
+    assert(unrouted.contains("lineitem.parquet"), unrouted.take(500))
   }
 
   test("ttl_expire survivor scan prunes on the day partition column") {
