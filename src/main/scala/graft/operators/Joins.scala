@@ -245,7 +245,37 @@ object Joins {
         .as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
 
+  /** ClickHouse `dictGet` — a small dimension pinned as an in-memory
+    * dictionary and probed per row, with a default on miss: join
+    * ELIMINATION, not join execution. The nation table (25 rows,
+    * O(dimension) driver collect, documented) becomes a literal
+    * `map(...)` expression, so the lookup is pure codegen'd
+    * `element_at` + coalesce on the fact scan — no shuffle, no build
+    * side, no join node at all (asserted in PlanShapeSpec). At cluster
+    * scale the map literal ships inside the serialized plan to every
+    * executor, exactly like a ClickHouse dictionary replica.
+    */
+  private def dictGet(s: SparkSession, dir: String): DataFrame = {
+    val dict: Seq[Column] = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+      .collect() // O(|dimension|) = 25 rows — control-plane, never O(data)
+      .flatMap(r => Seq(lit(r.get(0)), lit(r.getString(1)))).toSeq
+    val lookup = map(dict: _*)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        coalesce(element_at(lookup, col("c_nationkey")), lit("UNKNOWN"))
+          .as("nation_name"))
+      .groupBy(col("nation_name"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("nation_name"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dict_get", dictGet,
+      Some("""SELECT COALESCE(n_name, 'UNKNOWN') AS nation_name,
+               COUNT(*) AS n_cust
+              FROM customer LEFT JOIN nation ON n_nationkey = c_nationkey
+              GROUP BY nation_name ORDER BY nation_name""")),
     QueryDef("join_star", joinStar,
       Some(s"""SELECT n_name,
                ${Det.oSum("l_extendedprice * (1 - l_discount)")} AS revenue,

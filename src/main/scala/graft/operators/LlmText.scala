@@ -224,6 +224,48 @@ object LlmText {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The production corpus-dedup chain END-TO-END on one deterministic
+    * candidate block (doc_id % 10 = 0): (1) exact dedup — keep the
+    * lowest doc_id per normalized sha2 digest; (2) near-dup removal
+    * among the exact survivors — drop any doc with an exact-Jaccard
+    * ≥ 0.5 pair against a LOWER-id survivor (greedy keep-lowest;
+    * transitive union-find clustering is deliberately out of scope so
+    * the chain stays oracle-able). At 100 TB stage (2)'s pair source
+    * swaps to the MinHash-LSH candidate join (dedup_minhash) with
+    * identical downstream algebra — the exact inverted-index pair
+    * source here doubles as its verification oracle.
+    */
+  private def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+    val exact = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("digest", sha2(lower(trim(col("text"))), 256))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("digest"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("n_copies"))
+    val cand = exact
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tokset"))
+    val sizes = cand.select(col("doc_id"), size(col("tokset")).as("sz"))
+    val inv = cand.select(col("doc_id"), explode(col("tokset")).as("token"))
+    val drops = inv.as("a")
+      .join(inv.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .filter(round(col("n_inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("n_inter")), 6) >= 0.5)
+      .select(col("id_b")).distinct()
+    exact.join(drops, exact("doc_id") === drops("id_b"), "left_anti")
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash: per-token xxhash64, each bit votes ±1 weighted by tf,
     * sign of the vote → bit. Near-dups share high-bit buckets. xxhash64
     * has no DuckDB twin → rows-only here, golden-value ScalaTest.
@@ -357,6 +399,32 @@ object LlmText {
               WHERE round(CAST(n_inter AS DOUBLE)
                 / (sa.sz + sb.sz - n_inter), 6) >= 0.5
               ORDER BY id_a, id_b""")),
+    QueryDef("dedup_pipeline", dedupPipeline,
+      Some("""WITH blk AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+              t AS (SELECT doc_id, text,
+                sha256(lower(trim(text))) AS digest FROM blk),
+              r AS (SELECT doc_id, text,
+                row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY digest) AS n_copies FROM t),
+              ex AS (SELECT doc_id, text, n_copies FROM r WHERE rn = 1),
+              cand AS (SELECT doc_id,
+                list_distinct(string_split(text,' ')) AS tokset FROM ex),
+              sizes AS (SELECT doc_id, len(tokset) AS sz FROM cand),
+              inv AS (SELECT doc_id, unnest(tokset) AS token FROM cand),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                COUNT(*) AS n_inter
+                FROM inv a JOIN inv b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+              drops AS (SELECT DISTINCT id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE round(CAST(n_inter AS DOUBLE)
+                  / (sa.sz + sb.sz - n_inter), 6) >= 0.5)
+              SELECT doc_id, n_copies FROM ex
+              WHERE doc_id NOT IN (SELECT id_b FROM drops)
+              ORDER BY doc_id""")),
     QueryDef("dedup_simhash", dedupSimhash, None),
     QueryDef("text_normalize", textNormalize,
       Some("""WITH t AS (SELECT doc_id,

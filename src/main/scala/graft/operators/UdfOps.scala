@@ -112,6 +112,25 @@ object UdfOps {
       .orderBy(col("event_type"))
   }
 
+  /** ClickHouse `groupBitmapAnd`/`groupBitmapOr` — segment-audience set
+    * algebra: level 1 builds one bitmap per event_type segment
+    * (`groupBitmapState`), level 2 combines the SEGMENT BITMAPS (never
+    * the fact rows again) into intersection/union cardinalities. At
+    * 100 TB the second level moves |segments| compact binaries, which is
+    * why ClickHouse ships -State columns rather than re-scanning.
+    */
+  private def udafBitmapAnd(s: SparkSession, dir: String): DataFrame = {
+    val build = udaf(new graft.functions.BitmapBuild)
+    val andC = udaf(new graft.functions.BitmapAndCard)
+    val orC = udaf(new graft.functions.BitmapOrCard)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(build(col("user_id")).as("bm"))
+      .agg(count(lit(1)).as("n_segments"),
+        andC(col("bm")).as("n_intersection"),
+        orC(col("bm")).as("n_union"))
+  }
+
   private val oDot =
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
   private def oNorm(v: String): String =
@@ -135,6 +154,15 @@ object UdfOps {
       Some("""SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
               FROM events GROUP BY event_type ORDER BY event_type""")),
+    QueryDef("udaf_bitmap_and", udafBitmapAnd,
+      Some("""SELECT (SELECT COUNT(DISTINCT event_type) FROM events)
+                 AS n_segments,
+               (SELECT COUNT(*) FROM (
+                  SELECT user_id FROM events GROUP BY user_id
+                  HAVING COUNT(DISTINCT event_type) =
+                    (SELECT COUNT(DISTINCT event_type) FROM events)) t)
+                 AS n_intersection,
+               (SELECT COUNT(DISTINCT user_id) FROM events) AS n_union""")),
     QueryDef("udtf_generate", udtfGenerate,
       Some("""WITH m AS (SELECT unnest(generate_series(
                 CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),

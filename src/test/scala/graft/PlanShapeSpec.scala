@@ -102,6 +102,13 @@ class PlanShapeSpec extends GraftSpec {
       || plan("sim_topk").contains("BroadcastExchange"))
   }
 
+  test("dict_get is join elimination: no join node, no dimension scan") {
+    val p = plan("dict_get")
+    assert(!p.contains("Join"), s"dictionary lookup must not plan a join:\n${p.take(600)}")
+    assert(!p.contains("nation.parquet"),
+      "dimension must be a plan literal, not a scan")
+  }
+
   test("mv_route reads the materialized view, not the fact table") {
     val p = plan("mv_route")
     assert(p.contains("graft_mv"), s"aggregate not routed to the MV:\n${p.take(800)}")
