@@ -499,6 +499,28 @@ object Cdc {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Point-in-time restore (time travel) from the change log: the table
+    * state AS OF es ≤ T is the latest surviving event per key at T —
+    * exactly the ReplacingMergeTree merge with the version domain
+    * truncated. One shuffle on pk; at 100 TB the es ≤ T predicate prunes
+    * the log scan (es-partitioned log → partition pruning) before the
+    * window runs. T is pinned to 1998-07-01T00:00Z, mid-range of the
+    * fixture's orderdates (1995..2001), so all three event kinds straddle
+    * the cut.
+    */
+  private val travelT = 899251200000L // 1998-07-01 00:00:00 UTC, epoch ms
+
+  private def cdcTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("es").desc, col("ts").desc)
+    ordersTyped(s, dir)
+      .filter(col("es") <= travelT)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("type") =!= "DELETE")
+      .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Ops/table/type counters + replication lag — the adapters' monitoring
     * surface (lag is ts − es, constant 500 ms by construction).
     */
@@ -630,6 +652,25 @@ object Cdc {
                CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 1 END)
                  AS BIGINT) AS live_orders
               FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+    QueryDef("cdc_time_travel", cdcTimeTravel,
+      Some("""WITH ev AS (
+                SELECT o_orderkey, o_totalprice AS price,
+                       epoch_ms(o_orderdate) AS es, 1 AS keep FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice + 1000.0,
+                       epoch_ms(o_orderdate) + 86400000, 1
+                FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT o_orderkey, NULL,
+                       epoch_ms(o_orderdate) + 172800000, 0
+                FROM orders WHERE o_orderkey % 7 = 0),
+              f AS (SELECT * FROM ev WHERE es <= 899251200000),
+              r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY es DESC) AS rn FROM f)
+              SELECT o_orderkey, price AS o_totalprice,
+                     CAST(es AS BIGINT) AS version_es
+              FROM r WHERE rn = 1 AND keep = 1
+              ORDER BY o_orderkey""")),
     QueryDef("cdc_changelog_stats", cdcChangelogStats,
       Some("""WITH ev AS (
                 SELECT 'orders' AS tbl, 'INSERT' AS typ FROM orders

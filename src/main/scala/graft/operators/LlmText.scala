@@ -266,6 +266,49 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic hash-based corpus split (ClickHouse `SAMPLE` /
+    * training-data holdout): Knuth multiplicative hash of the doc id →
+    * bucket 0..99 → train/val/test at 80/10/10. Hash-based, NOT seeded
+    * RNG: the same doc lands in the same split on every run, any engine,
+    * any partitioning — the property a held-out set actually requires.
+    * Pure map-side arithmetic (exact in int64 on both engines), then one
+    * partial-agg shuffle on the 3-row split key.
+    */
+  private def sampleHashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        (col("doc_id") * lit(2654435761L)) % 4294967296L % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text")))).as("n_tokens"))
+      .orderBy(col("split"))
+
+  /** GPT-style sequence packing (concat-and-chunk): within each shard
+    * (doc_id % 8 — the parallel unit), documents are concatenated in
+    * doc_id order and chunked into fixed 512-token context windows; each
+    * doc's pack is its starting token offset div 512. One window per
+    * shard — shards are independent, so at 100 TB parallelism is
+    * O(shards) and no shard ever sees another's offsets (the same layout
+    * a distributed tokenizer-packer job uses).
+    */
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(toks(col("text"))).as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("start_offset") / 512).cast("long"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        col("start_offset"), col("pack_id"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
   /** 64-bit SimHash: per-token xxhash64, each bit votes ±1 weighted by tf,
     * sign of the vote → bit. Near-dups share high-bit buckets. xxhash64
     * has no DuckDB twin → rows-only here, golden-value ScalaTest.
@@ -425,6 +468,28 @@ object LlmText {
               SELECT doc_id, n_copies FROM ex
               WHERE doc_id NOT IN (SELECT id_b FROM drops)
               ORDER BY doc_id""")),
+    QueryDef("sample_hash_split", sampleHashSplit,
+      Some("""WITH b AS (SELECT doc_id, text,
+                ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+                FROM documents)
+              SELECT CASE WHEN bucket < 80 THEN 'train'
+                          WHEN bucket < 90 THEN 'val'
+                          ELSE 'test' END AS split,
+                COUNT(*) AS n_docs,
+                CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+              FROM b GROUP BY split ORDER BY split""")),
+    QueryDef("pack_sequences", packSequences,
+      Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens
+                FROM documents),
+              o AS (SELECT shard, doc_id, n_tokens,
+                CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+                FROM d)
+              SELECT shard, doc_id, n_tokens, start_offset,
+                start_offset // 512 AS pack_id
+              FROM o ORDER BY shard, doc_id""")),
     QueryDef("dedup_simhash", dedupSimhash, None),
     QueryDef("text_normalize", textNormalize,
       Some("""WITH t AS (SELECT doc_id,

@@ -155,6 +155,29 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Symmetric int8 quantization of the embedding column (the ANN memory
+    * play: 4× smaller vectors, SIMD-able codes): per-vector scale =
+    * max|x|/127, code = floor(x/scale + 0.5) ∈ [-127, 127], plus the
+    * reconstruction-error stats a quantization job must report. floor(x+½)
+    * instead of round(): IEEE-identical on both engines, no
+    * HALF_UP-vs-binary midpoint hazard. Pure map-side transform — at
+    * 100 TB this runs in the scan projection, no shuffle.
+    */
+  private def vecQuantize(s: SparkSession, dir: String): DataFrame = {
+    val v = dbl(col("embedding"))
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    val err = transform(v, x =>
+      abs(x - floor(x / scale + 0.5) * scale))
+    val codes = transform(v, x => floor(x / scale + 0.5))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        round(scale, 6).as("q_scale"),
+        array_max(transform(codes, c => abs(c))).cast("int").as("max_code"),
+        round(aggregate(err, lit(0.0), (acc, x) => acc + x)
+          / size(col("embedding")), 6).as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** MinHash-LSH fuzzy dedup (the 100 TB dedup path): token sets →
     * binary HashingTF vectors → banded MinHash → approxSimilarityJoin.
     * Seeded, so deterministic; recall vs. the exact-Jaccard twin is
@@ -313,6 +336,19 @@ object LlmVector {
               SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, label,
                      cos_sim
               FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""")),
+    QueryDef("vec_quantize", vecQuantize,
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+              s AS (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                FROM e)
+              SELECT vec_id, round(scale, 6) AS q_scale,
+                CAST(list_max(list_transform(v,
+                  x -> abs(floor(x/scale + 0.5)))) AS INTEGER) AS max_code,
+                round(list_reduce(list_prepend(0.0, list_transform(v,
+                    x -> abs(x - floor(x/scale + 0.5)*scale))),
+                    (a,b) -> a+b) / len(v), 6) AS mean_abs_err
+              FROM s ORDER BY vec_id""")),
     QueryDef("dedup_minhash", dedupMinhash, None),
     QueryDef("sim_lsh_knn", simLshKnn, None),
   )
