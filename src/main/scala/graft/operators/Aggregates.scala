@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** §2.5 Aggregations — ClickHouse's signature aggregate surface (argMax,
   * uniq, quantile, countIf, groupArray, ROLLUP/CUBE) + standard SQL grouped
@@ -159,7 +160,74 @@ object Aggregates {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** ClickHouse `simpleLinearRegression` / `corr` / `covarPop` — but
+    * cross-engine deterministic: the five moments (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) are summed EXACTLY in decimal (products of 2dp fixture values
+    * are dyadic-exact doubles, so cast-to-decimal is lossless), then the
+    * closed forms run in double with an identical operation order on both
+    * engines. Moments are a single map-side partial agg — the textbook
+    * one-pass distributed regression.
+    */
+  private def aggRegression(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        m(x).as("sx"), m(y).as("sy"), m(x * y).as("sxy"),
+        m(x * x).as("sxx"), m(y * y).as("syy"))
+      .select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("n"), 6).as("intercept"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"),
+        col("n").cast("long").as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ClickHouse `histogram`-style fixed-bound equi-width histogram:
+    * bucket = min(floor(price / 10k), 9) over [0, 100k). Fixed literal
+    * bounds keep it ONE pass (a data-driven min/max needs a second scan
+    * or an approx sketch — the streaming-friendly trade ClickHouse's
+    * adaptive histogram also makes per block).
+    */
+  private def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("bucket",
+        least(floor(col("o_totalprice") / 10000.0), lit(9.0)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_regression", aggRegression,
+      Some("""WITH m AS (SELECT l_returnflag,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                  / n, 6) AS intercept,
+                round((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                  AS corr,
+                CAST(n AS BIGINT) AS n
+              FROM m ORDER BY l_returnflag""")),
+    QueryDef("agg_histogram", aggHistogram,
+      Some(s"""SELECT CAST(LEAST(FLOOR(o_totalprice / 10000.0), 9.0)
+                 AS INTEGER) AS bucket,
+               COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS sum_price
+              FROM orders GROUP BY bucket ORDER BY bucket""")),
     QueryDef("agg_hash", flagship, Some(flagshipOracle)),
     QueryDef("agg_distinct_exact", aggDistinctExact,
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
