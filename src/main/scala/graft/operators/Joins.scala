@@ -270,7 +270,43 @@ object Joins {
       .orderBy(col("nation_name"))
   }
 
+  /** AQE runtime bloom-filter join (semi-join reduction): a selective dim
+    * filter is turned into a bloom filter broadcast into the FACT scan,
+    * so fact rows that cannot join are dropped before the shuffle — at
+    * 100 TB this is the difference between shuffling the whole fact table
+    * and shuffling the ~matching fraction. Spark's injection thresholds
+    * target production sizes (10 GB application side), so the query runs
+    * in a `newSession()` clone with fixture-scale thresholds — conf
+    * isolation keeps every other query's plan untouched. PlanShapeSpec
+    * asserts the might_contain filter reached the fact side.
+    */
+  private def joinBloom(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // the rule only targets probably-shuffle joins (bloom is pointless
+    // under a broadcast join); at fixture scale the dim is broadcastable,
+    // so disable auto-broadcast in this clone — the 100 TB condition
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sel = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Tables.lineitem(s, dir)
+      .join(sel.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_bloom", joinBloom,
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+               ${Det.oSum("l_extendedprice")} AS sum_price
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderpriority = '1-URGENT'
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("dict_get", dictGet,
       Some("""SELECT COALESCE(n_name, 'UNKNOWN') AS nation_name,
                COUNT(*) AS n_cust

@@ -216,7 +216,46 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** Small-files compaction (the OPTIMIZE / ClickHouse merge-parts
+    * mechanic): a partitioned table fragmented into many small files per
+    * partition is rewritten to one file per partition — the single
+    * biggest operational lever on a 100 TB lake, where listing and
+    * opening 10⁶ tiny files dominates scan cost. Per-partition coalesce:
+    * each partition compacts independently (parallel across partitions at
+    * cluster scale). Content parity is the oracle; the file-count drop is
+    * asserted here in the returned row (n_files counted off the
+    * compacted layout).
+    */
+  private def sinkCompactFiles(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_compactf/${System.nanoTime()}"
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .repartition(8) // fragment: 8 writers per partition dir
+      .write.partitionBy("event_type").parquet(s"$root/frag")
+    val parts = Option(new java.io.File(s"$root/frag").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    parts.foreach { p =>
+      s.read.parquet(p.getAbsolutePath).coalesce(1)
+        .write.parquet(s"$root/compact/${p.getName}")
+    }
+    val nFiles = udf((et: String) =>
+      Option(new java.io.File(s"$root/compact/event_type=$et").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(_.getName.endsWith(".parquet")))
+    s.read.parquet(s"$root/compact")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), Det.dsum(col("value")).as("sum_value"))
+      .withColumn("n_files", nFiles(col("event_type")).cast("long"))
+      .select(col("event_type"), col("n_files"), col("n_rows"), col("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sink_compact_files", sinkCompactFiles,
+      Some(s"""SELECT event_type, CAST(1 AS BIGINT) AS n_files,
+               COUNT(*) AS n_rows, ${Det.oSum("value")} AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
     QueryDef("ttl_expire", ttlExpire,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  value FROM events),

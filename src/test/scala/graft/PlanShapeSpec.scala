@@ -102,6 +102,12 @@ class PlanShapeSpec extends GraftSpec {
       || plan("sim_topk").contains("BroadcastExchange"))
   }
 
+  test("join_bloom injects a runtime bloom filter on the fact side") {
+    val p = plan("join_bloom")
+    assert(p.contains("might_contain") || p.contains("bloom_filter"),
+      s"no runtime bloom filter in plan:\n${p.take(800)}")
+  }
+
   test("dict_get is join elimination: no join node, no dimension scan") {
     val p = plan("dict_get")
     assert(!p.contains("Join"), s"dictionary lookup must not plan a join:\n${p.take(600)}")
