@@ -279,6 +279,76 @@ object StreamOps {
       .select("o_orderkey", "o_totalprice", "es", "ts", "type")
   }
 
+  /** Streaming aggregate-state MV maintenance (AggregatingMergeTree as a
+    * continuously-maintained view): each micro-batch folds its typed
+    * changes into per-customer aggregate state — INSERT adds price,
+    * UPDATE adds its delta (new − old image), DELETE subtracts — and
+    * merges with the prior state by SUMMING, never replaying history.
+    * State is O(customers) regardless of how many change events have
+    * flowed; versioned `v=<batchId>` dirs give replay-idempotence and
+    * version GC exactly like the upsert store. Exact decimal state, so
+    * the result equals the batch recompute bit-for-bit (same oracle as
+    * cdc_summing_mv).
+    */
+  private[graft] def mergeSummingState(deltas: DataFrame, batchId: Long,
+      state: String): Unit = {
+    val ss = deltas.sparkSession
+    val prevDirs = Option(new java.io.File(state).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.drop(2).toLong).filter(_ < batchId)
+    val prev =
+      if (prevDirs.isEmpty) deltas.limit(0)
+      else ss.read.parquet(s"$state/v=${prevDirs.max}")
+    prev.unionByName(deltas)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("spend_state")).as("spend_state"),
+        sum(col("orders_state")).as("orders_state"))
+      .write.mode("overwrite").parquet(s"$state/v=$batchId")
+    // keep only the latest version < batchId (replay margin) + v=batchId
+    prevDirs.filter(_ < (if (prevDirs.isEmpty) batchId else prevDirs.max))
+      .foreach { v =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(state, s"v=$v"))
+      }
+  }
+
+  private def streamSummingMv(s: SparkSession, dir: String): DataFrame = {
+    val feed = feedDir(s, dir)
+    val state = fresh("summing_state")
+    val oldPrice = element_at(element_at(col("old"), 1), "o_totalprice")
+      .cast("double")
+    val q = s.readStream.schema(Cdc.envelopeSchema).json(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = Cdc.typeMapOrders(batch)
+        val contrib = when(col("type") === "INSERT", col("o_totalprice"))
+          .when(col("type") === "UPDATE", col("o_totalprice") - oldPrice)
+          .otherwise(-col("o_totalprice"))
+        val deltas = t.groupBy(col("o_custkey"))
+          .agg(sum(contrib.cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .as("spend_state"),
+            sum(when(col("type") === "INSERT", 1L)
+              .when(col("type") === "DELETE", -1L).otherwise(0L))
+              .as("orders_state"))
+        mergeSummingState(deltas, batchId, state)
+      }
+      .option("checkpointLocation", fresh("summing_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val latest = Option(new java.io.File(state).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.drop(2).toLong).max
+    s.read.parquet(s"$state/v=$latest")
+      .select(col("o_custkey"),
+        col("spend_state").cast("double").as("live_spend"),
+        col("orders_state").cast("bigint").as("live_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
   private def streamCdcUpsert(s: SparkSession, dir: String): DataFrame = {
     val feed = feedDir(s, dir)
     val state = fresh("cdc_state")
@@ -506,6 +576,24 @@ object StreamOps {
                     ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
               FROM orders WHERE o_orderkey % 7 <> 0
               ORDER BY o_orderkey""")),
+    // same end-state algebra as the batch cdc_summing_mv — the oracle
+    // restates the fold relationally with identical per-row decimal casts
+    QueryDef("stream_summing_mv", streamSummingMv,
+      Some("""SELECT o_custkey,
+               CAST(SUM(
+                 CAST(o_totalprice AS DECIMAL(30,6))
+                 + CASE WHEN o_orderkey % 3 = 0
+                     THEN CAST((o_totalprice + 1000.0) - o_totalprice
+                       AS DECIMAL(30,6))
+                     ELSE 0 END
+                 - CASE WHEN o_orderkey % 7 = 0
+                     THEN CAST(CASE WHEN o_orderkey % 3 = 0
+                         THEN o_totalprice + 1000.0
+                         ELSE o_totalprice END AS DECIMAL(30,6))
+                     ELSE 0 END) AS DOUBLE) AS live_spend,
+               CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 1 END)
+                 AS BIGINT) AS live_orders
+              FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
     QueryDef("sink_parquet", sinkParquet,
       Some(s"""SELECT event_type, COUNT(*) AS n,
                ${Det.oSum("value")} AS sum_value

@@ -96,6 +96,38 @@ class StateMaintenanceSpec extends GraftSpec {
     assert(m2 == m, "replay after GC must be a no-op")
   }
 
+  test("summing-state MV folds deltas across batches; replay + GC safe") {
+    import spark.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_summing_test").toString
+    def deltas(rows: Seq[(Long, java.math.BigDecimal, Long)]) =
+      rows.toDF("o_custkey", "spend_state", "orders_state")
+        .withColumn("spend_state",
+          col("spend_state").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+    def dec(v: String) = new java.math.BigDecimal(v)
+    StreamOps.mergeSummingState(
+      deltas(Seq((1L, dec("100.5"), 1L), (2L, dec("50.0"), 1L))), 0L, state)
+    StreamOps.mergeSummingState(
+      deltas(Seq((1L, dec("-20.5"), 0L), (3L, dec("7.0"), 1L))), 1L, state)
+    val b2 = deltas(Seq((2L, dec("-50.0"), -1L)))
+    StreamOps.mergeSummingState(b2, 2L, state)
+    // replay of batch 2 must read the same inputs and converge
+    StreamOps.mergeSummingState(b2, 2L, state)
+    def snap() = {
+      val latest = new java.io.File(state).listFiles()
+        .filter(_.getName.startsWith("v=")).map(_.getName.drop(2).toLong).max
+      spark.read.parquet(s"$state/v=$latest")
+        .collect().map(r => r.getLong(0) ->
+          (r.getDecimal(1).doubleValue, r.getLong(2))).toMap
+    }
+    val m = snap()
+    assert(m(1L) == ((80.0, 1L)) && m(2L) == ((0.0, 0L)) && m(3L) == ((7.0, 1L)))
+    // GC: only the replay-margin version and the latest survive
+    val vs = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSet
+    assert(vs == Set("v=1", "v=2"), s"stale versions not collected: $vs")
+  }
+
   test("compaction rewrites only delta buckets; view equals merge-on-read") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_compact_test").toString
