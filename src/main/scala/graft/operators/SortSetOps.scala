@@ -36,6 +36,28 @@ object SortSetOps {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** The same LIMIT-k-BY-group semantics on the custom physical operator
+    * ([[graft.plans.TopKPerGroupExec]]): partial bounded-heap top-k
+    * before the shuffle, final merge after — the shuffle carries ≤ k
+    * rows per (group, map task) instead of every row. Same oracle
+    * associates it with the window formulation above; PlanShapeSpec
+    * asserts the partial node sits below the exchange.
+    */
+  private def topkPerGroupNative(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    graft.plans.TopKPerGroupStrategy.install(s)
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val analyzed = base.queryExecution.analyzed
+    def a(n: String) = analyzed.output.find(_.name == n).get
+    val node = graft.plans.TopKPerGroup(3, Seq(a("o_orderpriority")),
+      Seq(SortOrder(a("o_totalprice"), Descending),
+        SortOrder(a("o_orderkey"), Ascending)), analyzed)
+    org.apache.spark.sql.graft.Bridge.ofRows(s, node)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+  }
+
   private def setUnion(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     e.filter(col("value") > 150).select(col("event_type"))
@@ -81,6 +103,14 @@ object SortSetOps {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
                 FROM orders) t
               WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
+    QueryDef("topk_per_group_native", topkPerGroupNative,
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) t
+              WHERE rn <= 3
+              ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""")),
     QueryDef("set_union", setUnion,
       Some("""SELECT event_type, COUNT(*) AS n FROM (
                 SELECT event_type FROM events WHERE value > 150

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` door a plan-level extension needs: wrap a
+  * hand-built LogicalPlan as a DataFrame. Lives under
+  * `org.apache.spark.sql` for access, same as every published Spark
+  * extension library does it; nothing else of Spark's internals is
+  * touched.
+  */
+object Bridge {
+  def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

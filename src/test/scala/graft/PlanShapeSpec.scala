@@ -102,6 +102,16 @@ class PlanShapeSpec extends GraftSpec {
       || plan("sim_topk").contains("BroadcastExchange"))
   }
 
+  test("topk_per_group_native: partial heap below the exchange, final above") {
+    val p = plan("topk_per_group_native")
+    val fi = p.indexOf("TopKPerGroupFinal")
+    val ex = p.indexOf("Exchange hashpartitioning(o_orderpriority", fi)
+    val pa = p.indexOf("TopKPerGroupPartial")
+    assert(fi >= 0 && pa >= 0, s"custom exec nodes missing:\n${p.take(600)}")
+    assert(ex >= 0 && fi < ex && ex < pa,
+      s"partial top-k must run below the group exchange:\n${p.take(800)}")
+  }
+
   test("join_bloom injects a runtime bloom filter on the fact side") {
     val p = plan("join_bloom")
     assert(p.contains("might_contain") || p.contains("bloom_filter"),
