@@ -213,6 +213,53 @@ object LlmVector {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Banded MinHash built from Spark primitives only — no MLlib model
+    * fit, no Vector conversion UDF: per-doc signature = 8 min-hashes
+    * (xxhash64 of salted tokens, min over the token set, computed as a
+    * map-side array expression), banded 4×2; docs sharing any band bucket
+    * become candidates (one self-join on the band key — the banded-LSH
+    * join, touching candidates only); candidates are then verified with
+    * EXACT token-set Jaccard (array_intersect) so the output has no
+    * false positives, only LSH recall loss (bounded by the ScalaTest
+    * recall gate, same as the MLlib path). Same 100 TB shape as
+    * dedup_minhash at a fraction of its constant factor — Bench shows
+    * the difference directly.
+    */
+  private def dedupMinhashNative(s: SparkSession, dir: String): DataFrame = {
+    val nHash = 8
+    val bands = 4 // 2 hashes per band
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("tokset"))
+    val sig = docs.withColumn("sig", array(
+      (0 until nHash).map(i =>
+        array_min(transform(col("tokset"),
+          t => xxhash64(concat(t, lit(s"#$i")))))): _*))
+    val banded = sig.select(col("doc_id"), col("tokset"),
+      posexplode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(element_at(col("sig"), b * 2 + 1),
+            element_at(col("sig"), b * 2 + 2)).as("bucket"))): _*))
+        .as(Seq("pos", "bb")))
+      .select(col("doc_id"), col("tokset"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.tokset").as("ts_a"), col("b.tokset").as("ts_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("n_inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .withColumn("jaccard", round(col("n_inter").cast("double")
+        / (size(col("ts_a")) + size(col("ts_b")) - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Random-projection LSH approximate k-NN (the scale path for
     * similarity search). Seeded; recall asserted in ScalaTest.
     */
@@ -350,6 +397,7 @@ object LlmVector {
                     (a,b) -> a+b) / len(v), 6) AS mean_abs_err
               FROM s ORDER BY vec_id""")),
     QueryDef("dedup_minhash", dedupMinhash, None),
+    QueryDef("dedup_minhash_native", dedupMinhashNative, None),
     QueryDef("sim_lsh_knn", simLshKnn, None),
   )
 }

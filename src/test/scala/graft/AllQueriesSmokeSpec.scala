@@ -10,7 +10,8 @@ class AllQueriesSmokeSpec extends GraftSpec {
     * exceed the fixture's max pair similarity at this scale, etc.).
     */
   private val mayBeEmpty = Set("dedup_jaccard", "dedup_minhash",
-    "dedup_embed", "sim_lsh_knn", "set_except", "join_anti")
+    "dedup_minhash_native", "dedup_embed", "sim_lsh_knn", "set_except",
+    "join_anti")
 
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -19,8 +20,8 @@ class AllQueriesSmokeSpec extends GraftSpec {
   test("every query key has an oracle or is a documented rows-only check") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set("agg_distinct_approx", "agg_quantile_approx",
-      "src_rate", "dedup_simhash", "dedup_minhash", "sim_lsh_knn",
-      "scan_sample", "agg_hll_merge", "udaf_sketch_topk")
+      "src_rate", "dedup_simhash", "dedup_minhash", "dedup_minhash_native",
+      "sim_lsh_knn", "scan_sample", "agg_hll_merge", "udaf_sketch_topk")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}")
   }

@@ -63,6 +63,21 @@ class VectorTextSpec extends GraftSpec {
     assert(recall >= 0.9, s"recall $recall; missed: ${(exact -- lsh).take(5)}")
   }
 
+  test("native banded MinHash recalls exact pairs; no false positives") {
+    val exact = SparkEntry.queries("dedup_jaccard")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = SparkEntry.queries("dedup_minhash_native")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-Jaccard verification step ⇒ candidates never overshoot
+    assert((native -- exact).isEmpty,
+      s"false positives: ${(native -- exact).take(5)}")
+    val recall =
+      if (exact.isEmpty) 1.0 else (exact & native).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall; missed: ${(exact -- native).take(5)}")
+  }
+
   test("fingerprint matches an independent reimplementation") {
     import spark.implicits._
     val got = SparkEntry.queries("text_fingerprint")(spark, sf)
