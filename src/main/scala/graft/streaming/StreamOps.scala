@@ -370,6 +370,37 @@ object StreamOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The adapter's physical fan-out: ONE pass over the mixed-table
+    * envelope stream writes every destination table's rows under its own
+    * `table=` directory (partitionBy on the routing key) — no per-table
+    * re-scan of the feed. Read back per destination for verification.
+    */
+  private def streamFanoutSink(s: SparkSession, dir: String): DataFrame = {
+    val feed = feedDir(s, dir)
+    val out = fresh("fanout_sink")
+    val q = s.readStream.schema(Cdc.envelopeSchema).json(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.filter(!col("isDdl"))
+          .select(col("table"), col("type"), col("es"),
+            element_at(col("pkNames"), 1).as("pk_name"),
+            explode(col("data")).as("img"))
+          .withColumn("pk",
+            element_at(col("img"), col("pk_name")).cast("long"))
+          .drop("img", "pk_name")
+          .write.mode("append").partitionBy("table").parquet(out)
+      }
+      .option("checkpointLocation", fresh("fanout_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("table").as("tbl"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("pk")).as("n_keys"),
+        max(col("es")).as("max_es"))
+      .orderBy(col("tbl"))
+  }
+
   // ---- windowed aggregations ----
 
   private def streamTumbling(s: SparkSession, dir: String): DataFrame = {
@@ -602,6 +633,23 @@ object StreamOps {
       Some(s"""SELECT event_type, COUNT(*) AS n,
                ${Det.oSum("value")} AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
+    QueryDef("stream_fanout_sink", streamFanoutSink,
+      Some("""WITH ev AS (
+                SELECT 'orders' AS tbl, o_orderkey AS pk,
+                       epoch_ms(o_orderdate) AS es FROM orders
+                UNION ALL
+                SELECT 'orders', o_orderkey, epoch_ms(o_orderdate) + 86400000
+                FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT 'orders', o_orderkey, epoch_ms(o_orderdate) + 172800000
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT 'customer', c_custkey, 1000000000000 + c_custkey
+                FROM customer)
+              SELECT tbl, COUNT(*) AS n_rows,
+                     COUNT(DISTINCT pk) AS n_keys,
+                     CAST(MAX(es) AS BIGINT) AS max_es
+              FROM ev GROUP BY tbl ORDER BY tbl""")),
     QueryDef("stream_tumbling", streamTumbling,
       Some(s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
                  AS hour_start, event_type, COUNT(*) AS n,
