@@ -102,6 +102,58 @@ class PlanShapeSpec extends GraftSpec {
       || plan("sim_topk").contains("BroadcastExchange"))
   }
 
+  test("topk_per_group_native equals the window formulation on random data") {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    graft.plans.TopKPerGroupStrategy.install(spark)
+    val gen = Gen.listOfN(200, for {
+      g <- Gen.choose(0, 7)
+      v <- Gen.choose(-1000, 1000)
+    } yield (g, v))
+    (1 to 5).foreach { i =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+        .zipWithIndex.map { case ((g, v), id) => (g.toLong, v.toLong, id.toLong) }
+      val df = rows.toDF("g", "v", "id").repartition(7)
+      val analyzed = df.queryExecution.analyzed
+      def a(n: String) = analyzed.output.find(_.name == n).get
+      val native = org.apache.spark.sql.graft.Bridge.ofRows(spark,
+        graft.plans.TopKPerGroup(4, Seq(a("g")),
+          Seq(SortOrder(a("v"), Descending), SortOrder(a("id"), Ascending)),
+          analyzed))
+        .select("g", "v", "id").as[(Long, Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val oracle = df.withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= 4).select("g", "v", "id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(native == oracle,
+        s"seed $i: native-only=${(native -- oracle).take(3)} " +
+          s"oracle-only=${(oracle -- native).take(3)}")
+    }
+  }
+
+  test("mv routing stays off for filter-blocked and uncovered aggregates") {
+    SparkEntry.queries("mv_route")(spark, sf) // registers + enables the MV
+    // a row-level filter cannot be answered post-aggregation → no routing
+    val filtered = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 25)
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"), "filtered aggregate must not route")
+    // grouping outside the MV key set → no routing
+    val otherGroup = Tables.lineitem(spark, sf)
+      .groupBy(col("l_shipdate"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(otherGroup.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"), "uncovered grouping must not route")
+  }
+
   test("topk_per_group_native: partial heap below the exchange, final above") {
     val p = plan("topk_per_group_native")
     val fi = p.indexOf("TopKPerGroupFinal")
