@@ -499,6 +499,60 @@ object Cdc {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Malformed-envelope handling (the adapter's dead-letter queue): the
+    * feed is salted with broken JSON lines; PERMISSIVE parsing with a
+    * corrupt-record column routes good rows onward and quarantines bad
+    * ones — the pipeline neither crashes (FAILFAST) nor silently drops
+    * (DROPMALFORMED). Counts + a digest of the quarantined lines prove
+    * the routing. Map-side only.
+    */
+  private def cdcParseCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val bad = {
+      import s.implicits._
+      Seq("{not json", "{\"id\": 1, \"table\":", "plain garbage").toDF("value")
+    }
+    val feed = envelopes(s, dir).unionByName(bad)
+    val schemaWithCorrupt = StructType(
+      envelopeSchema.fields :+ StructField("_corrupt", StringType))
+    val parsed = feed.select(from_json(col("value"), schemaWithCorrupt,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+      .as("m")).select(col("m.*"))
+    parsed.agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("_corrupt").isNull, 1)).as("n_good"),
+      count(col("_corrupt")).as("n_quarantined"),
+      sum(length(col("_corrupt"))).as("dlq_bytes"))
+  }
+
+  /** Bootstrap-then-stream (the standard adapter deployment): an initial
+    * snapshot of the destination table plus a change log that OVERLAPS
+    * the snapshot (full replay). The merge is the same latest-per-key
+    * window with the snapshot injected at es = −∞ — overlapping events
+    * reduce to their latest version, pre-snapshot duplicates are
+    * harmless, and no key is double-counted. Proves the bootstrap path
+    * composes with the incremental path without a seam.
+    */
+  private def cdcBackfillMerge(s: SparkSession, dir: String): DataFrame = {
+    val snapshot = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        lit(Long.MinValue).as("es"), lit(Long.MinValue).as("ts"),
+        lit("SNAPSHOT").as("type"))
+    // CDC began mid-life: the log only covers half the keyspace — the
+    // snapshot must carry the untouched keys through the merge
+    val changes = ordersTyped(s, dir)
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("es"), col("ts"),
+        col("type"))
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("es").desc, col("ts").desc)
+    snapshot.unionByName(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("type") =!= "DELETE")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Point-in-time restore (time travel) from the change log: the table
     * state AS OF es ≤ T is the latest surviving event per key at T —
     * exactly the ReplacingMergeTree merge with the version domain
@@ -652,6 +706,24 @@ object Cdc {
                CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 1 END)
                  AS BIGINT) AS live_orders
               FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+    QueryDef("cdc_parse_corrupt", cdcParseCorrupt,
+      Some("""WITH n AS (
+                SELECT (SELECT COUNT(*) FROM orders)
+                  + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+                  + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+                  + (SELECT COUNT(*) FROM customer) + 1 AS good)
+              SELECT good + 3 AS n_total, good AS n_good,
+                CAST(3 AS BIGINT) AS n_quarantined,
+                CAST(40 AS BIGINT) AS dlq_bytes
+              FROM n""")),
+    QueryDef("cdc_backfill_merge", cdcBackfillMerge,
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+                    THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+              FROM orders
+              WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 7 = 0)
+              ORDER BY o_orderkey""")),
     QueryDef("cdc_time_travel", cdcTimeTravel,
       Some("""WITH ev AS (
                 SELECT o_orderkey, o_totalprice AS price,
