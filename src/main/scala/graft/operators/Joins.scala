@@ -245,6 +245,34 @@ object Joins {
         .as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
 
+  /** Temporal dimension lookup against the SCD-2 history (the other half
+    * of cdc_scd2): each lineitem joins the order VERSION in effect when
+    * the line shipped — equi-join on the key plus a validity-interval
+    * residual, the canonical "fact joins slowly-changing dimension"
+    * shape. One shuffle on the join key; the interval predicate is a
+    * residual filter on the matched pairs, never a blow-up (each fact
+    * row matches exactly one version).
+    */
+  private def joinTemporalScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("es"))
+    val hist = Cdc.ordersTyped(s, dir)
+      .filter(col("type") =!= "DELETE")
+      .select(col("o_orderkey"), col("o_totalprice").as("version_price"),
+        col("es").as("valid_from"),
+        lead(col("es"), 1).over(w).as("valid_to"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+    li.join(hist,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("ship_ms") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ship_ms") < col("valid_to")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("version_price")).as("sum_version_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** ClickHouse `dictGet` — a small dimension pinned as an in-memory
     * dictionary and probed per row, with a default on miss: join
     * ELIMINATION, not join execution. The nation table (25 rows,
@@ -306,6 +334,24 @@ object Joins {
                ${Det.oSum("l_extendedprice")} AS sum_price
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               WHERE o_orderpriority = '1-URGENT'
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("join_temporal_scd2", joinTemporalScd2,
+      Some(s"""WITH hist AS (
+                SELECT o_orderkey, o_totalprice AS version_price,
+                       epoch_ms(o_orderdate) AS valid_from,
+                       CASE WHEN o_orderkey % 3 = 0
+                            THEN epoch_ms(o_orderdate) + 86400000
+                       END AS valid_to
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice + 1000.0,
+                       epoch_ms(o_orderdate) + 86400000, NULL
+                FROM orders WHERE o_orderkey % 3 = 0)
+              SELECT l_returnflag, COUNT(*) AS n,
+                ${Det.oSum("version_price")} AS sum_version_price
+              FROM lineitem l JOIN hist h ON l.l_orderkey = h.o_orderkey
+               AND epoch_ms(l.l_shipdate) >= h.valid_from
+               AND (h.valid_to IS NULL OR epoch_ms(l.l_shipdate) < h.valid_to)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("dict_get", dictGet,
       Some("""SELECT COALESCE(n_name, 'UNKNOWN') AS nation_name,
