@@ -53,7 +53,38 @@ object Stats {
       GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** Pipeline health counters via the Observation API: metrics are
+    * accumulated AS A SIDE EFFECT of the main pass (accumulator-backed,
+    * no second scan) — how a production job reports rows-in/nulls/sums
+    * without paying another aggregate over 100 TB. The observed values
+    * are returned as the result row, so the DuckDB oracle verifies the
+    * counters themselves.
+    */
+  private def observeMetrics(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation("pipeline_health")
+    val e = graft.Tables.events(s, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(when(col("props").isNull, 1)).as("n_null_props"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("sum_value"))
+    // main pass: a write-shaped action drains the stream once
+    e.write.mode("overwrite")
+      .parquet(s"${sys.props("java.io.tmpdir")}/graft_observe/${System.nanoTime()}")
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("n_null_props").asInstanceOf[Long],
+      m("sum_value").asInstanceOf[Double]))
+      .toDF("n_rows", "n_null_props", "sum_value")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("observe_metrics", observeMetrics,
+      Some(s"""SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN props IS NULL THEN 1 END) AS n_null_props,
+               ${graft.Det.oSum("value")} AS sum_value
+              FROM events""")),
     QueryDef("stats_cbo", statsCbo,
       Some("""SELECT n_name, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)

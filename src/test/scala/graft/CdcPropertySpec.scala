@@ -64,6 +64,28 @@ class CdcPropertySpec extends GraftSpec {
     }
   }
 
+  test("backfill merge: snapshot-only keys survive, logged keys fold") {
+    import spark.implicits._
+    samples.foreach { evs =>
+      // snapshot covers keys 1..8; the log only the generated keys (1..5)
+      val snapKeys = (1L to 8L)
+      val snapshot = snapKeys.map(k => (k, Long.MinValue, Long.MinValue, false))
+      val log = evs.map(e => (e.key, e.es, e.seq, e.isDelete))
+      val merged = {
+        val df = (snapshot ++ log).toDF("key", "es", "seq", "isDelete")
+        val w = Window.partitionBy(col("key"))
+          .orderBy(col("es").desc, col("seq").desc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .filter(!col("isDelete")).select("key").as[Long].collect().toSet
+      }
+      val expected = snapKeys.toSet.filter { k =>
+        evs.filter(_.key == k).sortBy(e => (e.es, e.seq)).lastOption
+          .forall(!_.isDelete) // no log → snapshot survives; else latest wins
+      }
+      assert(merged == expected, s"merged=$merged expected=$expected")
+    }
+  }
+
   test("scd2 intervals partition each key's timeline") {
     import spark.implicits._
     samples.foreach { evs =>
