@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns (driver mandate): image/audio/video handled as
-  * opaque `binary` columns with typed metadata. The decode step itself is
-  * STUBBED (no image/audio codecs ship in this container) behind
-  * [[fakeDecode]] — a deterministic byte-level feature extractor with the
-  * same shape a real codec call would have — while the Spark-side
-  * plumbing (binary schema, metadata struct, per-partition batched
-  * processing, feature schema) is real and tested.
+  * opaque `binary` columns with typed metadata. Raw formats are decoded
+  * FOR REAL — [[ppmDecode]] is a genuine PPM "P6" image parser fed by an
+  * actual encoder, oracle-verified end to end. Only codec-REQUIRED
+  * formats (JPEG/MP3/H.264 — no codec libs ship in this container) stay
+  * behind [[fakeDecode]], a deterministic byte-level stand-in with the
+  * same shape a real codec call would have; the Spark-side plumbing
+  * (binary schema, metadata struct, per-partition batched processing,
+  * feature schema) is real and tested either way.
   *
   * Scale notes (100 TB posture): media decode is the canonical
   * mapPartitions workload — per-partition batch processing amortizes
@@ -86,7 +88,87 @@ object Multimodal {
       .withColumn("n_frames", lit(8))
       .orderBy(col("vec_id"))
 
+  /** REAL image decode, no codec libs: each embedding becomes an actual
+    * 8×8 grayscale image in PPM "P6" (the raw RGB format: ASCII header +
+    * pixel bytes), and a genuine parser — header tokenizer, dimension
+    * extraction, pixel plane walk — decodes it back. Unlike
+    * [[fakeDecode]] (which stands in for codec-REQUIRED formats like
+    * JPEG), this is a true encode→parse roundtrip over a real format,
+    * with the parser's output verified against the pixel math restated
+    * relationally in the oracle. Same mapPartitions batch shape as the
+    * production codec pipeline.
+    */
+  private def ppmEncode(vals: Seq[Double]): Array[Byte] = {
+    val q = vals.map(x =>
+      math.max(0.0, math.min(255.0, math.floor((x + 1.0) * 127.5))).toInt)
+    val header = s"P6\n8 8\n255\n".getBytes("US-ASCII")
+    val pixels = new Array[Byte](q.length * 3)
+    var i = 0
+    while (i < q.length) {
+      val b = q(i).toByte
+      pixels(i * 3) = b; pixels(i * 3 + 1) = b; pixels(i * 3 + 2) = b
+      i += 1
+    }
+    header ++ pixels
+  }
+
+  private def ppmDecode(blob: Array[Byte]): (Int, Int, Double, Int) = {
+    // real parser: magic, whitespace-delimited header ints, pixel plane
+    require(blob(0) == 'P' && blob(1) == '6', "not a P6 PPM")
+    var pos = 2
+    def nextInt(): Int = {
+      while (blob(pos).toChar.isWhitespace) pos += 1
+      var v = 0
+      while (pos < blob.length && blob(pos).toChar.isDigit) {
+        v = v * 10 + (blob(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
+    require(maxVal == 255, s"unsupported maxval $maxVal")
+    pos += 1 // single whitespace after maxval per spec
+    var sum = 0L
+    var i = pos
+    while (i < blob.length) { sum += (blob(i) & 0xff); i += 1 }
+    val p00 = blob(pos) & 0xff
+    (w, h, sum.toDouble / (w * h * 3), p00)
+  }
+
+  private val imageSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_pixel", DoubleType),
+    StructField("p00", IntegerType)))
+
+  private def mmImageRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(imageSchema)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+            .map(_.toDouble).toSeq
+          val (w, h, mean, p00) = ppmDecode(ppmEncode(v))
+          Row(r.getAs[Long]("vec_id"), w, h, mean, p00)
+        }
+      }(enc)
+      .withColumn("mean_pixel", round(col("mean_pixel"), 6))
+      .orderBy(col("vec_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_image_roundtrip", mmImageRoundtrip,
+      Some("""WITH q AS (SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> GREATEST(0.0, LEAST(255.0, FLOOR((x + 1.0) * 127.5))))
+                  AS px
+               FROM embeddings)
+              SELECT vec_id, 8 AS width, 8 AS height,
+                round(list_aggregate(px, 'sum') * 3 / 192.0, 6) AS mean_pixel,
+                CAST(px[1] AS INTEGER) AS p00
+              FROM q ORDER BY vec_id""")),
     QueryDef("mm_pack", mmPack,
       Some("""SELECT doc_id,
                CAST(length(text) AS INTEGER) AS n_bytes,
