@@ -230,7 +230,7 @@ object Scans {
     val root = s"${sys.props("java.io.tmpdir")}/graft_compactf/${System.nanoTime()}"
     Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("value"))
-      .repartition(8) // fragment: 8 writers per partition dir
+      .repartition(4) // fragment: 4 writers per partition dir
       .write.partitionBy("event_type").parquet(s"$root/frag")
     val parts = Option(new java.io.File(s"$root/frag").listFiles())
       .getOrElse(Array.empty[java.io.File])
