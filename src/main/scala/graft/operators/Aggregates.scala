@@ -228,6 +228,10 @@ object Aggregates {
                  AS INTEGER) AS bucket,
                COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS sum_price
               FROM orders GROUP BY bucket ORDER BY bucket""")),
+    QueryDef("agg_unpivot", aggUnpivot,
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+              FROM orders GROUP BY o_orderpriority, o_orderstatus
+              ORDER BY o_orderpriority, o_orderstatus""")),
     QueryDef("agg_hash", flagship, Some(flagshipOracle)),
     QueryDef("agg_distinct_exact", aggDistinctExact,
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
@@ -311,6 +315,23 @@ object Aggregates {
       .count()
       .na.fill(0, Seq("F", "O", "P")) // empty cells: null in pivot, 0 in SQL
       .orderBy(col("o_orderpriority"))
+
+  /** Unpivot (melt) — the inverse of pivot: wide per-status columns back
+    * to (priority, status, n) rows via the native `unpivot` operator
+    * (an Expand node: one pass, rows × |value columns| output, no
+    * per-column scans). Round-trips the pivot above, which is the test:
+    * pivot ∘ unpivot = groupBy count.
+    */
+  private def aggUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0, Seq("F", "O", "P"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "o_orderstatus", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
 
   /** Sketch re-aggregation — the 100 TB pattern behind ClickHouse's
     * `uniqState`/`uniqMerge` materialized views: build small per-(day,type)

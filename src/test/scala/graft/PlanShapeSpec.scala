@@ -200,6 +200,15 @@ class PlanShapeSpec extends GraftSpec {
       "day must prune partitions, not filter rows")
   }
 
+  test("AQE re-plans at runtime: post-shuffle partitions coalesce") {
+    val df = SparkEntry.queries("agg_hash")(spark, sf)
+    df.collect() // materialize so the adaptive plan finalizes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("coalesced"),
+      s"tiny shuffle partitions were not coalesced:\n${p.take(800)}")
+  }
+
   test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
     SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
     val names = graft.operators.Stats.ensureAnalyzed(spark, sf)
