@@ -64,6 +64,20 @@ object StreamOps {
     new java.io.File(d).mkdirs(); d
   }
 
+  /** Streaming state sizing: the state-store instance count is pinned to
+    * `spark.sql.shuffle.partitions` AT CHECKPOINT CREATION — a
+    * first-class production knob that should track expected STATE
+    * volume, not the batch-side shuffle width (each instance carries
+    * store init, snapshot, and commit overhead per micro-batch). The
+    * conf is scoped to a session clone so batch queries keep the
+    * bench-wide setting; at 100 TB the same knob is simply set higher.
+    */
+  private def stateSized(s: SparkSession): SparkSession = {
+    val c = s.newSession()
+    c.conf.set("spark.sql.shuffle.partitions", "8")
+    c
+  }
+
   private val nameCtr = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Run a streaming DataFrame to completion into an in-memory table. */
@@ -101,7 +115,8 @@ object StreamOps {
     feed
   }
 
-  private def srcStreamFile(s: SparkSession, dir: String): DataFrame = {
+  private def srcStreamFile(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val feed = feedDir(s, dir)
     val parsed = s.readStream.schema(Cdc.envelopeSchema).json(feed)
     val agg = parsed.filter(!col("isDdl"))
@@ -133,7 +148,8 @@ object StreamOps {
   /** foreachBatch append sink partitioned by event_type (the adapters'
     * buffered INSERT-batch analogue); verified by reading the files back.
     */
-  private def sinkParquet(s: SparkSession, dir: String): DataFrame = {
+  private def sinkParquet(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val out = fresh("sink_parquet")
     val q = eventsStream(s, dir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -153,7 +169,8 @@ object StreamOps {
     * converges to the same files. Demonstrated by running the SAME input
     * through TWO independent streams (second = full replay) into one dir.
     */
-  private def sinkIdempotent(s: SparkSession, dir: String): DataFrame = {
+  private def sinkIdempotent(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val out = fresh("sink_idem")
     def runOnce(): Unit = {
       val q = eventsStream(s, dir).writeStream
@@ -316,7 +333,8 @@ object StreamOps {
       }
   }
 
-  private def streamSummingMv(s: SparkSession, dir: String): DataFrame = {
+  private def streamSummingMv(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val feed = feedDir(s, dir)
     val state = fresh("summing_state")
     val oldPrice = element_at(element_at(col("old"), 1), "o_totalprice")
@@ -349,7 +367,8 @@ object StreamOps {
       .orderBy(col("o_custkey"))
   }
 
-  private def streamCdcUpsert(s: SparkSession, dir: String): DataFrame = {
+  private def streamCdcUpsert(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val feed = feedDir(s, dir)
     val state = fresh("cdc_state")
     val q = s.readStream.schema(Cdc.envelopeSchema).json(feed)
@@ -375,7 +394,8 @@ object StreamOps {
     * `table=` directory (partitionBy on the routing key) — no per-table
     * re-scan of the feed. Read back per destination for verification.
     */
-  private def streamFanoutSink(s: SparkSession, dir: String): DataFrame = {
+  private def streamFanoutSink(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val feed = feedDir(s, dir)
     val out = fresh("fanout_sink")
     val q = s.readStream.schema(Cdc.envelopeSchema).json(feed)
@@ -403,7 +423,8 @@ object StreamOps {
 
   // ---- windowed aggregations ----
 
-  private def streamTumbling(s: SparkSession, dir: String): DataFrame = {
+  private def streamTumbling(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val agg = eventsStream(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
@@ -413,7 +434,8 @@ object StreamOps {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
-  private def streamSliding(s: SparkSession, dir: String): DataFrame = {
+  private def streamSliding(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val agg = eventsStream(s, dir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"))
@@ -422,7 +444,8 @@ object StreamOps {
       .orderBy(col("window_start"))
   }
 
-  private def streamSession(s: SparkSession, dir: String): DataFrame = {
+  private def streamSession(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val agg = eventsStream(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
@@ -437,7 +460,8 @@ object StreamOps {
     * eviction contract. Late-data drop semantics are ScalaTest territory
     * (MemoryStream injection); here the driver checks rows>0.
     */
-  private def streamWatermark(s: SparkSession, dir: String): DataFrame = {
+  private def streamWatermark(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -450,7 +474,8 @@ object StreamOps {
   /** At-least-once feed (input unioned with itself = full duplication)
     * → dropDuplicatesWithinWatermark → effectively-once store.
     */
-  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+  private def streamDedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val e = eventsStream(s, dir)
     val dup = e.unionByName(e) // simulated replay of the whole feed
       .withWatermark("ts", "1 hour")
@@ -465,7 +490,8 @@ object StreamOps {
     * state so the fold is order-independent and equals the oracle's
     * DECIMAL(30,6) sum exactly.
     */
-  private def streamStateful(s: SparkSession, dir: String): DataFrame = {
+  private def streamStateful(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     import s.implicits._
     val ds: Dataset[Ev] = {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -525,7 +551,8 @@ object StreamOps {
     }
   }
 
-  private def streamStatefulTws(s: SparkSession, dir: String): DataFrame = {
+  private def streamStatefulTws(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     import s.implicits._
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -551,7 +578,8 @@ object StreamOps {
   // ---- joins ----
 
   /** Stream–static dimension enrichment (events ⋈ customer). */
-  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+  private def streamJoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val cust = graft.Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = eventsStream(s, dir)
@@ -564,7 +592,8 @@ object StreamOps {
   /** Stream–stream join: each purchase joined to same-user clicks in the
     * preceding hour; both sides watermarked so join state is bounded.
     */
-  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+  private def streamStreamJoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
     val e = eventsStream(s, dir)
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
