@@ -65,6 +65,33 @@ object Tables {
   * safe; if a future generator emits 7-digit decimal literals, normalize
   * with round() at the edge first.
   */
+/** Per-run scratch dirs, deleted on JVM exit — repeated Verify/Bench
+  * invocations must not accumulate staging data on shared tmp storage
+  * (the operational discipline a production job's staging prefix gets
+  * from a lifecycle rule).
+  */
+object Scratch {
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val hook = new Thread(() => {
+    created.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
+  })
+  Runtime.getRuntime.addShutdownHook(hook)
+
+  /** A fresh tracked scratch dir under java.io.tmpdir. */
+  def dir(prefix: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_scratch/${prefix}_${System.nanoTime()}"
+    new java.io.File(d).mkdirs()
+    created.add(d)
+    d
+  }
+}
+
 object Det {
   /** Exact order-independent sum of a double expression → double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")

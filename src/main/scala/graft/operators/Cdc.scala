@@ -483,7 +483,7 @@ object Cdc {
   }
 
   private def cdcCompact(s: SparkSession, dir: String): DataFrame = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_compact/${System.nanoTime()}"
+    val root = graft.Scratch.dir("compact")
     val t = ordersTyped(s, dir)
       .select("o_orderkey", "o_totalprice", "es", "ts", "type")
       .withColumn("bucket",

@@ -203,8 +203,7 @@ object Scans {
     * layout, so reusing a pruned dir would shift the max-day anchor.
     */
   private def ttlExpire(s: SparkSession, dir: String): DataFrame = {
-    val root =
-      s"${sys.props("java.io.tmpdir")}/graft_ttl/${System.nanoTime()}"
+    val root = s"${graft.Scratch.dir("ttl")}/t"
     Tables.events(s, dir)
       .withColumn("day", to_date(col("ts")))
       .write.partitionBy("day").parquet(root)
@@ -227,7 +226,7 @@ object Scans {
     * compacted layout).
     */
   private def sinkCompactFiles(s: SparkSession, dir: String): DataFrame = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_compactf/${System.nanoTime()}"
+    val root = graft.Scratch.dir("compactf")
     Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("value"))
       .repartition(4) // fragment: 4 writers per partition dir

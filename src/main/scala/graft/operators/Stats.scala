@@ -70,7 +70,7 @@ object Stats {
           .cast("double").as("sum_value"))
     // main pass: a write-shaped action drains the stream once
     e.write.mode("overwrite")
-      .parquet(s"${sys.props("java.io.tmpdir")}/graft_observe/${System.nanoTime()}")
+      .parquet(graft.Scratch.dir("observe"))
     val m = obs.get
     import s.implicits._
     Seq((m("n_rows").asInstanceOf[Long],

@@ -60,8 +60,7 @@ object StreamOps {
   }
 
   private def fresh(prefix: String): String = {
-    val d = s"${sys.props("java.io.tmpdir")}/graft_stream/${prefix}_${System.nanoTime()}"
-    new java.io.File(d).mkdirs(); d
+    graft.Scratch.dir(prefix)
   }
 
   /** Streaming state sizing: the state-store instance count is pinned to
