@@ -28,14 +28,19 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // total sums SUCCESSFUL queries only; -1 sentinels are excluded
-    val ok = results.values.filter(_ >= 0)
-    val total = if (ok.nonEmpty) ok.sum else 0.0
-    val nFailed = results.values.count(_ < 0)
+    val (total, nOk, nFailed) = summarize(results)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // compact line LAST: the driver's tail capture truncates long lines
     // from the front, so the parseable summary must be short and final
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** (total over successful queries, #ok, #failed) — the -1 failure
+    * sentinel must never pollute the summed total (unit-tested).
+    */
+  private[graft] def summarize(results: Map[String, Double]): (Double, Int, Int) = {
+    val ok = results.values.filter(_ >= 0)
+    (if (ok.nonEmpty) ok.sum else 0.0, ok.size, results.values.count(_ < 0))
   }
 }

@@ -26,6 +26,13 @@ class AllQueriesSmokeSpec extends GraftSpec {
       s"undocumented rows-only keys: ${rowsOnly -- documented}")
   }
 
+  test("bench total excludes the -1 failure sentinel") {
+    val (total, nOk, nFailed) =
+      Bench.summarize(Map("a" -> 2.0, "b" -> -1.0, "c" -> 3.5))
+    assert(total == 5.5 && nOk == 2 && nFailed == 1)
+    assert(Bench.summarize(Map("x" -> -1.0)) == ((0.0, 0, 1)))
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (key, fn) =>
     test(s"operator $key runs on sf0.001") {
       val n = fn(spark, sf).count()
