@@ -525,6 +525,34 @@ object Cdc {
       sum(length(col("_corrupt"))).as("dlq_bytes"))
   }
 
+  /** Schema DRIFT quarantine (valid JSON, wrong value type — the other
+    * dirty-feed failure mode next to cdc_parse_corrupt's malformed
+    * lines): envelopes whose price image no longer casts to the declared
+    * decimal are detected by `cast yields null while the raw image is
+    * non-null` and counted into quarantine instead of silently becoming
+    * null columns downstream. Map-side detection, no extra pass.
+    */
+  private def cdcTypeDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bad = Seq(-100L, -101L, -102L).map(k =>
+      s"""{"id":$k,"database":"demo","table":"orders","pkNames":["o_orderkey"],"isDdl":false,"type":"INSERT","es":1,"ts":501,"sql":"","mysqlType":{"o_orderkey":"bigint(20)","o_totalprice":"decimal(15,2)"},"data":[{"o_orderkey":"$k","o_totalprice":"CORRUPT"}],"old":null}""")
+      .toDF("value")
+    val typed = envelopes(s, dir).unionByName(bad)
+      .select(from_json(col("value"), envelopeSchema).as("m"))
+      .select(col("m.*"))
+      .filter(col("table") === "orders" && !col("isDdl"))
+      .select(posexplode(col("data")).as(Seq("pos", "img")))
+      .select(col("img")("o_orderkey").cast("long").as("pk"),
+        col("img")("o_totalprice").as("price_raw"),
+        // try_cast, not cast: under ANSI semantics a malformed value must
+        // quarantine as null, not kill the pipeline
+        col("img")("o_totalprice").try_cast(DecimalType(15, 2)).as("price"))
+    val drifted = col("price").isNull && col("price_raw").isNotNull
+    typed.agg(count(lit(1)).as("n_total"),
+      count(when(drifted, 1)).as("n_drifted"),
+      min(when(drifted, col("pk"))).as("first_drift_pk"))
+  }
+
   /** Bootstrap-then-stream (the standard adapter deployment): an initial
     * snapshot of the destination table plus a change log that OVERLAPS
     * the snapshot (full replay). The merge is the same latest-per-key
@@ -716,6 +744,13 @@ object Cdc {
                 CAST(3 AS BIGINT) AS n_quarantined,
                 CAST(40 AS BIGINT) AS dlq_bytes
               FROM n""")),
+    QueryDef("cdc_type_drift", cdcTypeDrift,
+      Some("""SELECT (SELECT COUNT(*) FROM orders)
+                + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+                + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+                + 3 AS n_total,
+               CAST(3 AS BIGINT) AS n_drifted,
+               CAST(-102 AS BIGINT) AS first_drift_pk""")),
     QueryDef("cdc_backfill_merge", cdcBackfillMerge,
       Some("""SELECT o_orderkey,
                CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 3 = 0

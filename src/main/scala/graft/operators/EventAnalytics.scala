@@ -145,6 +145,36 @@ object EventAnalytics {
                   ROWS UNBOUNDED PRECEDING) AS rev_locf
               FROM spine LEFT JOIN hourly ON spine.h = hourly.h
               ORDER BY h""")),
+    QueryDef("ts_interpolate", tsInterpolate,
+      Some(s"""WITH hourly AS (SELECT
+                CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+                ${Det.oSum("value")} AS rev
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              spine AS (SELECT unnest(generate_series(
+                (SELECT MIN(h) FROM hourly), (SELECT MAX(h) FROM hourly),
+                INTERVAL 1 HOUR)) AS h),
+              j AS (SELECT spine.h AS h, rev
+                FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
+              w AS (SELECT h, rev,
+                last_value(rev IGNORE NULLS) OVER (ORDER BY h
+                  ROWS UNBOUNDED PRECEDING) AS pv,
+                last_value(CASE WHEN rev IS NOT NULL THEN h END IGNORE NULLS)
+                  OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS ph,
+                first_value(rev IGNORE NULLS) OVER (ORDER BY h
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN rev IS NOT NULL THEN h END IGNORE NULLS)
+                  OVER (ORDER BY h
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+                FROM j)
+              SELECT h, round(CASE
+                WHEN rev IS NOT NULL THEN rev
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                  * CAST(epoch(h) - epoch(ph) AS DOUBLE)
+                  / CAST(epoch(nh) - epoch(ph) AS DOUBLE) END, 6)
+                AS rev_interp
+              FROM w ORDER BY h""")),
     QueryDef("sessionize_batch", sessionizeBatch,
       Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                 FROM events),
@@ -208,6 +238,47 @@ object EventAnalytics {
       .select(col("h"),
         coalesce(col("n"), lit(0L)).as("n_purchases"),
         last(col("rev"), ignoreNulls = true).over(locf).as("rev_locf"))
+      .orderBy(col("h"))
+  }
+
+  /** Linear interpolation over the filled spine (ClickHouse `WITH FILL
+    * INTERPOLATE`): missing hours get the straight line between the
+    * previous and next KNOWN revenue points, weighted by time distance;
+    * edges extend the nearest known value. Deterministic because the
+    * known points are exact decimal sums and the interpolation runs the
+    * identical double expression on both engines. Same calendar-bounded
+    * spine caveat as ts_gap_fill — the ordered window runs over a few
+    * thousand spine rows, never over the event log.
+    */
+  private def tsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(Det.dsum(col("value")).as("rev"))
+    val spine = hourly
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val back = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownH = when(col("rev").isNotNull, col("h"))
+    spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), col("rev"),
+        last(col("rev"), ignoreNulls = true).over(back).as("pv"),
+        last(knownH, ignoreNulls = true).over(back).as("ph"),
+        first(col("rev"), ignoreNulls = true).over(fwd).as("nv"),
+        first(knownH, ignoreNulls = true).over(fwd).as("nh"))
+      .select(col("h"), round(
+        when(col("rev").isNotNull, col("rev"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * (unix_timestamp(col("h")) - unix_timestamp(col("ph"))).cast("double")
+            / (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast("double")),
+        6).as("rev_interp"))
       .orderBy(col("h"))
   }
 

@@ -273,6 +273,26 @@ object Joins {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Correlated LATERAL subquery — the per-row aggregate lookup written
+    * the way an analyst writes it; Catalyst DECORRELATES it into one
+    * aggregate + one join (no per-row re-execution), which is the whole
+    * point at scale: the naive reading is O(rows × subquery), the
+    * decorrelated plan is two passes.
+    */
+  private def joinLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).filter(col("o_orderkey") < 500)
+      .createOrReplaceTempView("graft_orders_small")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT o.o_orderkey, o.o_totalprice, t.top_price, t.n_lines
+      FROM graft_orders_small o,
+      LATERAL (SELECT MAX(l.l_extendedprice) AS top_price,
+                      COUNT(*) AS n_lines
+               FROM graft_lineitem l
+               WHERE l.l_orderkey = o.o_orderkey) t
+      ORDER BY o.o_orderkey""")
+  }
+
   /** ClickHouse `dictGet` — a small dimension pinned as an in-memory
     * dictionary and probed per row, with a default on miss: join
     * ELIMINATION, not join execution. The nation table (25 rows,
@@ -335,6 +355,14 @@ object Joins {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               WHERE o_orderpriority = '1-URGENT'
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("join_lateral", joinLateral,
+      Some("""SELECT o.o_orderkey, o.o_totalprice, t.top_price, t.n_lines
+              FROM (SELECT * FROM orders WHERE o_orderkey < 500) o,
+              LATERAL (SELECT MAX(l.l_extendedprice) AS top_price,
+                              COUNT(*) AS n_lines
+                       FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey) t
+              ORDER BY o.o_orderkey""")),
     QueryDef("join_temporal_scd2", joinTemporalScd2,
       Some(s"""WITH hist AS (
                 SELECT o_orderkey, o_totalprice AS version_price,

@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CosineSim(args(0), args(1)),
     ))
     ext.injectOptimizerRule(_ => CollapseRedundantRound)
+    // the same rule/strategy pair that operators install at runtime via
+    // experimental.* — extension-configured sessions get them statically
+    ext.injectOptimizerRule(_ => RouteAggregateToMv)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
 
