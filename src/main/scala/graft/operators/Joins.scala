@@ -273,6 +273,25 @@ object Joins {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Null-safe equality join (`<=>`): nullable keys where NULL must
+    * MATCH NULL (dirty-dimension reality — unknown bucket is itself a
+    * bucket). EqualNullSafe is a hashable join key, so the plan stays a
+    * hash/merge join, not a nested loop.
+    */
+  private def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .withColumn("cb", when(col("c_nationkey") % 5 === 0, lit(null))
+        .otherwise(col("c_nationkey") % 5))
+    val dim = Seq((Option.empty[Int], "grp_null"), (Some(1), "grp_1"),
+      (Some(2), "grp_2"), (Some(3), "grp_3"), (Some(4), "grp_4"))
+      .toDF("db", "grp")
+    c.join(dim, col("cb") <=> col("db"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("grp"))
+  }
+
   /** Correlated LATERAL subquery — the per-row aggregate lookup written
     * the way an analyst writes it; Catalyst DECORRELATES it into one
     * aggregate + one join (no per-row re-execution), which is the whole
@@ -355,6 +374,14 @@ object Joins {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               WHERE o_orderpriority = '1-URGENT'
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("join_null_safe", joinNullSafe,
+      Some(s"""WITH c AS (SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL
+                 ELSE c_nationkey % 5 END AS cb, c_acctbal FROM customer),
+               d(db, grp) AS (VALUES (NULL, 'grp_null'), (1, 'grp_1'),
+                 (2, 'grp_2'), (3, 'grp_3'), (4, 'grp_4'))
+              SELECT grp, COUNT(*) AS n, ${Det.oSum("c_acctbal")} AS sum_bal
+              FROM c JOIN d ON cb IS NOT DISTINCT FROM db
+              GROUP BY grp ORDER BY grp""")),
     QueryDef("join_lateral", joinLateral,
       Some("""SELECT o.o_orderkey, o.o_totalprice, t.top_price, t.n_lines
               FROM (SELECT * FROM orders WHERE o_orderkey < 500) o,

@@ -121,6 +121,21 @@ object Windows {
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
+  /** nth_value over the full-partition frame: the 2nd- and 3rd-richest
+    * customer name per nation alongside each row (null when the nation
+    * has fewer members) — completes the positional window family.
+    */
+  private def winNth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"),
+        nth_value(col("c_name"), 2).over(w).as("second_richest"),
+        nth_value(col("c_name"), 3).over(w).as("third_richest"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
   /** RANGE frame (vs the ROWS frames above): per customer, spend over
     * orders whose orderdate lies within the 30 VALUE-days preceding the
     * current row — peers by value, not position.
@@ -216,6 +231,15 @@ object Windows {
               FROM daily
               WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
               ORDER BY d""")),
+    QueryDef("win_nth", winNth,
+      Some("""SELECT c_nationkey, c_custkey,
+                nth_value(c_name, 2) OVER w AS second_richest,
+                nth_value(c_name, 3) OVER w AS third_richest
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey
+                ORDER BY c_acctbal DESC, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY c_nationkey, c_custkey""")),
     QueryDef("win_first_last", winFirstLast,
       Some("""SELECT c_nationkey, c_custkey,
                 first_value(c_name) OVER w AS richest,

@@ -164,6 +164,18 @@ class PlanShapeSpec extends GraftSpec {
       s"partial top-k must run below the group exchange:\n${p.take(800)}")
   }
 
+  test("join_lateral decorrelates: no per-row nested-loop execution") {
+    val p = plan("join_lateral")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"correlated subquery was not decorrelated:\n${p.take(600)}")
+  }
+
+  test("join_temporal_scd2 keeps the equi key: no nested-loop degradation") {
+    val p = plan("join_temporal_scd2")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"interval residual degraded the join:\n${p.take(600)}")
+  }
+
   test("join_bloom injects a runtime bloom filter on the fact side") {
     val p = plan("join_bloom")
     assert(p.contains("might_contain") || p.contains("bloom_filter"),
