@@ -112,6 +112,32 @@ object UdfOps {
       .orderBy(col("event_type"))
   }
 
+  /** Count-Min frequency sketch over the token stream: the sketch is
+    * built distributed (one partial-agg pass, d×w longs of state), then
+    * the top-10 exact tokens are point-queried against it — estimates
+    * must never undercount (one-sided CM guarantee, asserted per row
+    * here and over the whole vocabulary in SketchSpec). The driver-side
+    * step touches O(sketch + 10 probes), never the data.
+    */
+  private def udafCmSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.CountMin(4, 256)
+    val cm = udaf(agg)
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val sketch = toks.agg(cm(col("token")).as("sk"))
+      .head.getSeq[Long](0)
+    val top = toks.groupBy("token").count()
+      .orderBy(col("count").desc, col("token")).limit(10)
+      .as[(String, Long)].collect()
+    top.map { case (tok, exact) =>
+      (tok, exact,
+        graft.functions.CountMin.estimate(sketch, agg.depth, agg.width, tok))
+    }.toSeq.toDF("token", "exact_n", "est_n")
+      .withColumn("never_undercounts", col("est_n") >= col("exact_n"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
   /** ClickHouse `groupBitmapAnd`/`groupBitmapOr` — segment-audience set
     * algebra: level 1 builds one bitmap per event_type segment
     * (`groupBitmapState`), level 2 combines the SEGMENT BITMAPS (never
@@ -150,6 +176,7 @@ object UdfOps {
                COUNT(*) AS n
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
     QueryDef("udaf_sketch_topk", udafSketchTopk, None),
+    QueryDef("udaf_cm_sketch", udafCmSketch, None),
     QueryDef("udaf_bitmap", udafBitmap,
       Some("""SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events

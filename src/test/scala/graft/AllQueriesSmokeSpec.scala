@@ -21,7 +21,8 @@ class AllQueriesSmokeSpec extends GraftSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set("agg_distinct_approx", "agg_quantile_approx",
       "src_rate", "dedup_simhash", "dedup_minhash", "dedup_minhash_native",
-      "sim_lsh_knn", "scan_sample", "agg_hll_merge", "udaf_sketch_topk")
+      "sim_lsh_knn", "scan_sample", "agg_hll_merge", "udaf_sketch_topk",
+      "udaf_cm_sketch")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}")
   }

@@ -59,6 +59,34 @@ class SketchSpec extends GraftSpec {
     assert(agg.finish(merged).size <= 5)
   }
 
+  test("count-min: one-sided error, bounded overcount, partials merge") {
+    import spark.implicits._
+    val agg = new graft.functions.CountMin(4, 256)
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val exact = toks.groupBy("token").count().as[(String, Long)]
+      .collect().toMap
+    val n = exact.values.sum
+    val cmUdaf = udaf(agg)
+    val sketch = toks.agg(cmUdaf(col("token"))).head.getSeq[Long](0)
+    // CM guarantee: never undercounts; overcount ≤ (e/w)·N whp — use a
+    // generous deterministic bound of 4·N/w for the fixed fixture
+    exact.foreach { case (tok, truth) =>
+      val est = graft.functions.CountMin.estimate(sketch, 4, 256, tok)
+      assert(est >= truth, s"$tok undercounted: $est < $truth")
+      assert(est - truth <= 4 * n / 256, s"$tok overcount ${est - truth}")
+    }
+    // mergeability: two partials == one pass
+    val half = exact.keys.toSeq.sorted
+    val (a, b) = half.splitAt(half.size / 2)
+    def fold(keys: Seq[String]) = keys.foldLeft(agg.zero) { (buf, k) =>
+      (1L to exact(k)).foldLeft(buf)((bb, _) => agg.reduce(bb, k))
+    }
+    val merged = agg.merge(fold(a), fold(b))
+    assert(merged.toSeq == sketch.toSeq,
+      "merged partials must equal the single-pass sketch")
+  }
+
   test("chunked bitmap counts the full long domain, partials merge exactly") {
     val agg = new graft.functions.BitmapDistinct
     // keys far beyond Int.MaxValue (64-bit surrogate ids), negatives,
