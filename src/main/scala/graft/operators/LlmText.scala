@@ -286,6 +286,29 @@ object LlmText {
         sum(size(toks(col("text")))).as("n_tokens"))
       .orderBy(col("split"))
 
+  /** Corpus-mixture resampling (training-mix domain weighting): each
+    * language stratum keeps a different target fraction — en 90%,
+    * zh 30%, everything else 60% — selected by the SAME multiplicative
+    * hash as sample_hash_split, so membership is deterministic across
+    * engines/partitionings AND consistent with the train/val/test split
+    * (a doc's hash decides both). Map-side filter + one partial-agg
+    * shuffle on the 5-row language key; reweighting 100 TB never
+    * shuffles the corpus.
+    */
+  private def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("doc_id") * lit(2654435761L)) % 4294967296L % 100
+    val rate = when(col("lang") === "en", 90)
+      .when(col("lang") === "zh", 30).otherwise(60)
+    Tables.documents(s, dir)
+      .withColumn("kept", bucket < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(when(col("kept"), size(toks(col("text"))))
+          .otherwise(0)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): within each shard
     * (doc_id % 8 — the parallel unit), documents are concatenated in
     * doc_id order and chunked into fixed 512-token context windows; each
@@ -307,6 +330,45 @@ object LlmText {
       .select(col("shard"), col("doc_id"), col("n_tokens"),
         col("start_offset"), col("pack_id"))
       .orderBy(col("shard"), col("doc_id"))
+  }
+
+  /** n-gram (shingle) Jaccard near-dup pairs — word-ORDER-sensitive
+    * where the unigram twin is bag-of-words: 3-token shingles make
+    * reordered copies dissimilar and phrase-level copies similar, the
+    * standard shingling step under MinHash (Broder '97). Same
+    * inverted-index-within-block shape as dedup_jaccard; at 100 TB the
+    * shingle sets feed the banded-MinHash path unchanged. The fixture
+    * texts are independent word draws, so shingle similarity tops out
+    * near 0.02 where the unigram twin sees 0.5+ on the same pairs —
+    * exactly the order-sensitivity the shingling exists to add; the
+    * threshold is set at the fixture's phrase-overlap ceiling.
+    */
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val cand = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("t", toks(col("text")))
+      // floor at 1: sequence(1, 0) would generate DESCENDING [1, 0] and
+      // slice(_, 0, _) throws; a <3-token doc yields its whole text as
+      // the single shingle (same on the DuckDB side)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, greatest(size(t) - 2, 1)), i -> array_join(slice(t, i, 3), ' '))"))
+        .as("shingles"))
+    val sizes = cand.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val inv = cand.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", round(col("n_inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.02)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** 64-bit SimHash: per-token xxhash64, each bit votes ±1 weighted by tf,
@@ -442,6 +504,29 @@ object LlmText {
               WHERE round(CAST(n_inter AS DOUBLE)
                 / (sa.sz + sb.sz - n_inter), 6) >= 0.5
               ORDER BY id_a, id_b""")),
+    QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
+      Some("""WITH cand AS (SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+                  i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                  AS shingles
+                FROM documents WHERE doc_id % 10 = 0),
+              sizes AS (SELECT doc_id, len(shingles) AS sz FROM cand),
+              inv AS (SELECT doc_id, unnest(shingles) AS sh FROM cand),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                COUNT(*) AS n_inter
+                FROM inv a JOIN inv b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+              SELECT id_a, id_b,
+                round(CAST(n_inter AS DOUBLE)
+                  / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(CAST(n_inter AS DOUBLE)
+                / (sa.sz + sb.sz - n_inter), 6) >= 0.02
+              ORDER BY id_a, id_b""")),
     QueryDef("dedup_pipeline", dedupPipeline,
       Some("""WITH blk AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 10 = 0),
@@ -478,6 +563,18 @@ object LlmText {
                 COUNT(*) AS n_docs,
                 CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
               FROM b GROUP BY split ORDER BY split""")),
+    QueryDef("sample_mixture", sampleMixture,
+      Some("""WITH b AS (SELECT lang, text,
+                ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+                CASE WHEN lang = 'en' THEN 90
+                     WHEN lang = 'zh' THEN 30 ELSE 60 END AS rate
+                FROM documents)
+              SELECT lang, COUNT(*) AS n_total,
+                COUNT(CASE WHEN bucket < rate THEN 1 END) AS n_kept,
+                CAST(SUM(CASE WHEN bucket < rate
+                  THEN len(string_split(text,' ')) ELSE 0 END) AS BIGINT)
+                  AS kept_tokens
+              FROM b GROUP BY lang ORDER BY lang""")),
     QueryDef("pack_sequences", packSequences,
       Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
                 CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens

@@ -10,8 +10,8 @@ class AllQueriesSmokeSpec extends GraftSpec {
     * exceed the fixture's max pair similarity at this scale, etc.).
     */
   private val mayBeEmpty = Set("dedup_jaccard", "dedup_minhash",
-    "dedup_minhash_native", "dedup_embed", "sim_lsh_knn", "set_except",
-    "join_anti")
+    "dedup_minhash_native", "dedup_ngram_jaccard", "dedup_embed",
+    "sim_lsh_knn", "set_except", "join_anti")
 
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
