@@ -228,6 +228,15 @@ object Aggregates {
                  AS INTEGER) AS bucket,
                COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS sum_price
               FROM orders GROUP BY bucket ORDER BY bucket""")),
+    QueryDef("agg_quantile_weighted", aggQuantileWeighted,
+      Some("""SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS wq50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS wq90,
+               COUNT(*) AS total_weight
+              FROM (SELECT l_returnflag, l_extendedprice,
+                      unnest(range(CAST(l_linenumber AS BIGINT)))
+                    FROM lineitem)
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("agg_unpivot", aggUnpivot,
       Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
               FROM orders GROUP BY o_orderpriority, o_orderstatus
@@ -315,6 +324,25 @@ object Aggregates {
       .count()
       .na.fill(0, Seq("F", "O", "P")) // empty cells: null in pivot, 0 in SQL
       .orderBy(col("o_orderpriority"))
+
+  /** ClickHouse `quantileExactWeighted`: each value carries an integer
+    * weight (here l_linenumber — e.g. units, repetitions, importance);
+    * the quantile is taken over the weight-expanded multiset WITHOUT
+    * materializing it — Spark's percentile(col, p, freq) aggregates
+    * (value, weight) pairs directly. The oracle proves the semantics by
+    * actually expanding: each row replicated weight times via a lateral
+    * series, then plain quantile_cont.
+    */
+  private def aggQuantileWeighted(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5, l_linenumber)"), 6)
+          .as("wq50"),
+        round(expr("percentile(l_extendedprice, 0.9, l_linenumber)"), 6)
+          .as("wq90"),
+        sum(col("l_linenumber")).as("total_weight"))
+      .orderBy(col("l_returnflag"))
 
   /** Unpivot (melt) — the inverse of pivot: wide per-status columns back
     * to (priority, status, n) rows via the native `unpivot` operator
