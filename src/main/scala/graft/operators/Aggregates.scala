@@ -189,6 +189,60 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ClickHouse `skewPop` / `kurtPop` via the same exact-moment scheme
+    * as agg_regression: Σx..Σx⁴ summed in decimal (l_quantity is
+    * integer-valued ≤ 50, so q⁴ ≤ 6.25e6 is dyadic-exact), central
+    * moments and the closed forms evaluated in double with identical
+    * operation order on both engines — deterministic where the built-in
+    * skewness()/kurtosis() would drift in the last ulp with partition
+    * order.
+    */
+  private def aggSkewKurt(s: SparkSession, dir: String): DataFrame = {
+    def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val x = col("l_quantity")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"), m(x).as("s1"),
+        m(x * x).as("s2"), m(x * x * x).as("s3"),
+        m(x * x * x * x).as("s4"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n"), {
+          val mean = col("s1") / col("n")
+          val m2 = col("s2") / col("n") - mean * mean
+          val m3 = col("s3") / col("n") -
+            lit(3.0) * mean * (col("s2") / col("n")) +
+            lit(2.0) * mean * mean * mean
+          val m4 = col("s4") / col("n") -
+            lit(4.0) * mean * (col("s3") / col("n")) +
+            lit(6.0) * mean * mean * (col("s2") / col("n")) -
+            lit(3.0) * mean * mean * mean * mean
+          struct(round(m3 / sqrt(m2 * m2 * m2), 6).as("skew"),
+            round(m4 / (m2 * m2), 6).as("kurt"))
+        }.as("sk"))
+      .select(col("l_returnflag"), col("n"), col("sk.skew").as("skew_pop"),
+        col("sk.kurt").as("kurt_pop"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Shannon entropy of each user's event-type distribution (ClickHouse
+    * `entropy`) — deterministic formulation: the per-type counts leave
+    * the aggregation as a SORTED array and the -Σ p·log2 p fold runs
+    * sequentially over it, so summation order is fixed on both engines
+    * (a plain SUM over double terms would be partition-order-dependent).
+    */
+  private def aggEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        expr("array_sort(collect_list(c))").as("cs"))
+      .select(col("user_id"), col("n").as("n_events"),
+        round(expr(
+          "aggregate(cs, cast(0.0 as double), (acc, c) -> acc - (c / cast(n as double)) * log2(c / cast(n as double)))"),
+          6).as("entropy"))
+      .orderBy(col("user_id"))
+
   /** ClickHouse `histogram`-style fixed-bound equi-width histogram:
     * bucket = min(floor(price / 10k), 9) over [0, 100k). Fixed literal
     * bounds keep it ONE pass (a data-driven min/max needs a second scan
@@ -228,6 +282,38 @@ object Aggregates {
                  AS INTEGER) AS bucket,
                COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS sum_price
               FROM orders GROUP BY bucket ORDER BY bucket""")),
+    QueryDef("agg_skew_kurt", aggSkewKurt,
+      Some("""WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+                CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,6)))
+                  AS DOUBLE) AS s2,
+                CAST(SUM(CAST(l_quantity*l_quantity*l_quantity
+                  AS DECIMAL(30,6))) AS DOUBLE) AS s3,
+                CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity
+                  AS DECIMAL(30,6))) AS DOUBLE) AS s4
+                FROM lineitem GROUP BY l_returnflag),
+              c AS (SELECT l_returnflag, n, s1/n AS mean, s2, s3, s4 FROM m),
+              d AS (SELECT l_returnflag, n,
+                s2/n - mean*mean AS m2,
+                s3/n - 3.0*mean*(s2/n) + 2.0*mean*mean*mean AS m3,
+                s4/n - 4.0*mean*(s3/n) + 6.0*mean*mean*(s2/n)
+                  - 3.0*mean*mean*mean*mean AS m4
+                FROM c)
+              SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round(m3 / sqrt(m2*m2*m2), 6) AS skew_pop,
+                round(m4 / (m2*m2), 6) AS kurt_pop
+              FROM d ORDER BY l_returnflag""")),
+    QueryDef("agg_entropy", aggEntropy,
+      Some("""WITH t AS (SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY 1, 2),
+              g AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+                list_sort(list(c)) AS cs FROM t GROUP BY 1)
+              SELECT user_id, n AS n_events,
+                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(cs, c ->
+                    -(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)))),
+                  (a, b) -> a + b), 6) AS entropy
+              FROM g ORDER BY user_id""")),
     QueryDef("agg_quantile_weighted", aggQuantileWeighted,
       Some("""SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.5), 6) AS wq50,

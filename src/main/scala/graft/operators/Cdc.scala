@@ -525,6 +525,30 @@ object Cdc {
       sum(length(col("_corrupt"))).as("dlq_bytes"))
   }
 
+  /** Binlog continuity monitoring: envelope ids are sequenced per
+    * (table, type) stream by construction (orderkey·10 + kind), so a
+    * missing id = a lost change event — the gap detector every CDC
+    * deployment runs against GTID/offset sequences. One window pass per
+    * stream (lag over id), emitting gap count + widest gap. The fixture
+    * feed drops keys that fail the %3/%7 predicates, so the "gaps" are
+    * known exactly and the oracle states them relationally.
+    */
+  private def cdcGapDetect(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("typ")).orderBy(col("id"))
+    parsed(s, dir)
+      .filter(col("table") === "orders" && !col("isDdl"))
+      .select(col("type").as("typ"), col("id"))
+      .withColumn("prev_id", lag(col("id"), 1).over(w))
+      .withColumn("gap", (col("id") - col("prev_id")) / 10 - 1)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap") > 0, col("gap")).otherwise(0)).cast("long")
+          .as("missing_seqs"),
+        max(when(col("gap") > 0, col("gap")).otherwise(0)).cast("long")
+          .as("widest_gap"))
+      .orderBy(col("typ"))
+  }
+
   /** Schema DRIFT quarantine (valid JSON, wrong value type — the other
     * dirty-feed failure mode next to cdc_parse_corrupt's malformed
     * lines): envelopes whose price image no longer casts to the declared
@@ -744,6 +768,24 @@ object Cdc {
                 CAST(3 AS BIGINT) AS n_quarantined,
                 CAST(40 AS BIGINT) AS dlq_bytes
               FROM n""")),
+    QueryDef("cdc_gap_detect", cdcGapDetect,
+      Some("""WITH ev AS (
+                SELECT 'INSERT' AS typ, o_orderkey*10 AS id FROM orders
+                UNION ALL
+                SELECT 'UPDATE', o_orderkey*10+1 FROM orders
+                WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT 'DELETE', o_orderkey*10+2 FROM orders
+                WHERE o_orderkey % 7 = 0),
+              g AS (SELECT typ, id,
+                (id - lag(id) OVER (PARTITION BY typ ORDER BY id)) // 10 - 1
+                  AS gap FROM ev)
+              SELECT typ, COUNT(*) AS n_events,
+                CAST(SUM(CASE WHEN gap > 0 THEN gap ELSE 0 END) AS BIGINT)
+                  AS missing_seqs,
+                CAST(MAX(CASE WHEN gap > 0 THEN gap ELSE 0 END) AS BIGINT)
+                  AS widest_gap
+              FROM g GROUP BY typ ORDER BY typ""")),
     QueryDef("cdc_type_drift", cdcTypeDrift,
       Some("""SELECT (SELECT COUNT(*) FROM orders)
                 + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)

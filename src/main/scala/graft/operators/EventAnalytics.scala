@@ -145,6 +145,19 @@ object EventAnalytics {
                   ROWS UNBOUNDED PRECEDING) AS rev_locf
               FROM spine LEFT JOIN hourly ON spine.h = hourly.h
               ORDER BY h""")),
+    QueryDef("fn_seq_count", fnSeqCount,
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS d
+                FROM events WHERE event_type IN ('signup', 'purchase')),
+              r AS (SELECT user_id, d,
+                SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS excess
+                FROM e)
+              SELECT user_id,
+                COUNT(CASE WHEN d = 1 THEN 1 END) AS n_purchases,
+                CAST(COUNT(CASE WHEN d = 1 THEN 1 END)
+                  - GREATEST(MAX(excess), 0) AS BIGINT) AS n_seq_matches
+              FROM r GROUP BY user_id ORDER BY user_id""")),
     QueryDef("ts_interpolate", tsInterpolate,
       Some(s"""WITH hourly AS (SELECT
                 CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
@@ -239,6 +252,31 @@ object EventAnalytics {
         coalesce(col("n"), lit(0L)).as("n_purchases"),
         last(col("rev"), ignoreNulls = true).over(locf).as("rev_locf"))
       .orderBy(col("h"))
+  }
+
+  /** ClickHouse `sequenceCount('(?1)(?2)')` — NON-OVERLAPPING greedy
+    * signup→purchase matches per user — via the bracket-matching closed
+    * form instead of a sequential scan: greedy pair count = #purchases −
+    * max-prefix(#purchases − #signups)⁺ (signups are opens, purchases
+    * closes; the running max counts the unmatchable closes). Two window
+    * passes clustered on user_id — no imperative state, no UDF.
+    */
+  private def fnSeqCount(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 1).otherwise(-1).as("d"))
+      .withColumn("excess", sum(col("d")).over(byTime))
+      .groupBy(col("user_id"))
+      .agg(count(when(col("d") === 1, 1)).as("n_purchases"),
+        greatest(max(col("excess")), lit(0L)).as("unmatched"))
+      .select(col("user_id"), col("n_purchases"),
+        (col("n_purchases") - col("unmatched")).as("n_seq_matches"))
+      .orderBy(col("user_id"))
   }
 
   /** Linear interpolation over the filled spine (ClickHouse `WITH FILL
