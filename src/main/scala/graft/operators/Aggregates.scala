@@ -243,6 +243,27 @@ object Aggregates {
           6).as("entropy"))
       .orderBy(col("user_id"))
 
+  /** Deterministic mode (most frequent value per group): count-then-pick
+    * with an explicit (count desc, value asc) tiebreak — Spark's built-in
+    * mode() leaves ties unspecified, which a hash-compared pipeline can
+    * never use. Two-level aggregate: the heavy first groupBy reduces to
+    * |group × distinct value| rows, the pick is a window over that small
+    * set.
+    */
+  private def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"),
+        col("cnt").as("mode_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** ClickHouse `histogram`-style fixed-bound equi-width histogram:
     * bucket = min(floor(price / 10k), 9) over [0, 100k). Fixed literal
     * bounds keep it ONE pass (a data-driven min/max needs a second scan
@@ -282,6 +303,14 @@ object Aggregates {
                  AS INTEGER) AS bucket,
                COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS sum_price
               FROM orders GROUP BY bucket ORDER BY bucket""")),
+    QueryDef("agg_mode", aggMode,
+      Some("""SELECT l_returnflag, l_quantity AS mode_quantity,
+               cnt AS mode_count
+              FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY COUNT(*) DESC, l_quantity) AS rn
+                    FROM lineitem GROUP BY l_returnflag, l_quantity) t
+              WHERE rn = 1 ORDER BY l_returnflag""")),
     QueryDef("agg_skew_kurt", aggSkewKurt,
       Some("""WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s1,
