@@ -561,9 +561,9 @@ object Cdc {
     val bad = Seq(-100L, -101L, -102L).map(k =>
       s"""{"id":$k,"database":"demo","table":"orders","pkNames":["o_orderkey"],"isDdl":false,"type":"INSERT","es":1,"ts":501,"sql":"","mysqlType":{"o_orderkey":"bigint(20)","o_totalprice":"decimal(15,2)"},"data":[{"o_orderkey":"$k","o_totalprice":"CORRUPT"}],"old":null}""")
       .toDF("value")
-    val typed = envelopes(s, dir).unionByName(bad)
-      .select(from_json(col("value"), envelopeSchema).as("m"))
-      .select(col("m.*"))
+    // the clean feed comes from the shared parse cache (one parse per
+    // session/feed); only the 3 injected drift lines are parsed here
+    def project(envs: DataFrame): DataFrame = envs
       .filter(col("table") === "orders" && !col("isDdl"))
       .select(posexplode(col("data")).as(Seq("pos", "img")))
       .select(col("img")("o_orderkey").cast("long").as("pk"),
@@ -571,6 +571,9 @@ object Cdc {
         // try_cast, not cast: under ANSI semantics a malformed value must
         // quarantine as null, not kill the pipeline
         col("img")("o_totalprice").try_cast(DecimalType(15, 2)).as("price"))
+    val typed = project(parsed(s, dir)).unionByName(project(
+      bad.select(from_json(col("value"), envelopeSchema).as("m"))
+        .select(col("m.*"))))
     val drifted = col("price").isNull && col("price_raw").isNotNull
     typed.agg(count(lit(1)).as("n_total"),
       count(when(drifted, 1)).as("n_drifted"),
