@@ -325,13 +325,19 @@ object Cdc {
   /** The generic map applied to the customer feed (whose images were
     * previously parsed but never schema-applied): INSERT images must
     * reproduce the customer table, with c_acctbal landing as the
-    * DECIMAL(15,2) its mysqlType declares.
+    * DECIMAL(15,2) its mysqlType declares. At the comparison edge the
+    * decimal is re-cast to double (values are exact 2dp, so the decimal
+    * → double conversion is lossless and bit-identical in both engines);
+    * a raw wide decimal column hash-mismatched the driver comparator in
+    * r03 despite exact value equality — same representational hazard the
+    * label_centroid CSV edge guards against. The decimal typing itself
+    * is still exercised (and oracle-proven) by cdc_type_map_decimal.
     */
   private def cdcTypeMapGeneric(s: SparkSession, dir: String): DataFrame =
     typeMapGeneric(parsed(s, dir), "customer")
       .filter(col("type") === "INSERT")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        col("c_acctbal"), col("c_mktsegment"))
+        col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
   /** DDL schema evolution applied, not just filtered: `ALTER TABLE ...
@@ -716,7 +722,8 @@ object Cdc {
                '$ddlSql' AS sql_text, CAST(0 AS BIGINT) AS es""")),
     QueryDef("cdc_type_map_generic", cdcTypeMapGeneric,
       Some("""SELECT c_custkey, c_name, c_nationkey,
-               CAST(c_acctbal AS DECIMAL(15,2)) AS c_acctbal, c_mktsegment
+               CAST(CAST(c_acctbal AS DECIMAL(15,2)) AS DOUBLE) AS c_acctbal,
+               c_mktsegment
               FROM customer ORDER BY c_custkey""")),
     QueryDef("cdc_ddl_apply", cdcDdlApply,
       Some("""SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_note
