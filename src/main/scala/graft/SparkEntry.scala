@@ -16,7 +16,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Scans.defs ++ Projections.defs ++ Joins.defs ++ SortSetOps.defs ++
       Aggregates.defs ++ Windows.defs ++ Fns.defs ++ Cdc.defs ++
-      StreamOps.defs ++ LlmText.defs ++ LlmVector.defs ++
+      StreamOps.defs ++ LlmText.defs ++ LlmVector.defs ++ DedupGraph.defs ++
       Multimodal.defs ++ UdfOps.defs ++ EventAnalytics.defs ++ Stats.defs ++
       MvOps.defs
 

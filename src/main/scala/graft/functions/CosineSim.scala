@@ -79,7 +79,12 @@ case class CosineSim(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Register the native functions into the session's function registry. */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim_native", args => CosineSim(args(0), args(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ipv4_to_long", args => Ipv4ToLong(args(0)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_to_ipv4", args => LongToIpv4(args(0)), "built-in")
+  }
 }

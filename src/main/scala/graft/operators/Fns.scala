@@ -153,7 +153,98 @@ object Fns {
           .as("seg_roundtrip"))
       .orderBy(col("c_custkey"))
 
+  /** URL family (ClickHouse URL functions: domain/path/
+    * extractURLParameter/cutQueryStringAndFragment): parse a URL built
+    * deterministically from fixture columns, extract components with
+    * Spark's codegen'd `parse_url`, and produce the canonical form a
+    * crawl-dedup pipeline keys on (lowercased host, tracking params
+    * stripped, fragment cut). Map-side only — no shuffle except the
+    * presentation sort; at corpus scale canonicalization feeds
+    * dedup_exact_hash unchanged.
+    */
+  private def fnUrl(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://WWW.Example"), col("doc_id") % 7,
+      lit(".COM/"), col("source"), lit("/a"), col("doc_id"),
+      lit("?utm_source=feed&id="), col("doc_id"), lit("&ref=x#s"),
+      col("doc_id") % 3)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"),
+        col("url"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query_str"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).as("id_param"))
+      .withColumn("canonical",
+        concat(lit("https://"), lower(col("host")), col("path"),
+          lit("?id="), col("id_param")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** IPv4 family (ClickHouse IPv4StringToNum/IPv4NumToString/toIPv4):
+    * string↔numeric codec via the native codegen'd [[graft.functions
+    * .Ipv4ToLong]]/[[graft.functions.LongToIpv4]] expressions, plus /16
+    * subnet extraction — the grouping key of every access-log rollup.
+    * The oracle recomputes the packing arithmetically from the octets,
+    * so the expression pair is proven against first principles, not
+    * against itself (roundtrip asserts decode∘encode = id).
+    */
+  private def fnIp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ip = concat_ws(".",
+      ((col("user_id") % 223) + 1).cast("string"),
+      ((col("user_id") * 7) % 256).cast("string"),
+      ((col("user_id") * 13) % 256).cast("string"),
+      (col("user_id") % 256).cast("string"))
+    Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .select(col("user_id"), ip.as("ip"))
+      .select(
+        col("user_id"), col("ip"),
+        expr("ipv4_to_long(ip)").as("ip_num"),
+        expr("long_to_ipv4(ipv4_to_long(ip))").as("ip_roundtrip"),
+        expr("long_to_ipv4((ipv4_to_long(ip) div 65536) * 65536)")
+          .as("subnet16"),
+        expr("ipv4_to_long('999.1.2.3')").as("bad_is_null"))
+      .orderBy(col("user_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_url", fnUrl,
+      Some("""WITH u AS (SELECT doc_id,
+               'https://WWW.Example' || (doc_id % 7) || '.COM/' || source
+                 || '/a' || doc_id || '?utm_source=feed&id=' || doc_id
+                 || '&ref=x#s' || (doc_id % 3) AS url
+              FROM documents)
+              SELECT doc_id, url,
+               regexp_extract(url, '^([a-zA-Z]+)://', 1) AS proto,
+               regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS host,
+               regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '\?([^#]*)', 1) AS query_str,
+               regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param,
+               'https://' || lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+                 || regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)
+                 || '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1) AS canonical
+              FROM u ORDER BY doc_id""")),
+    QueryDef("fn_ip", fnIp,
+      Some("""WITH ids AS (SELECT DISTINCT user_id FROM events),
+              ips AS (SELECT user_id,
+               ((user_id % 223) + 1) || '.' || ((user_id * 7) % 256) || '.'
+                 || ((user_id * 13) % 256) || '.' || (user_id % 256) AS ip
+              FROM ids),
+              num AS (SELECT user_id, ip,
+               CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+                 + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+                 + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+                 + CAST(split_part(ip, '.', 4) AS BIGINT) AS ip_num
+              FROM ips)
+              SELECT user_id, ip, ip_num, ip AS ip_roundtrip,
+               split_part(ip, '.', 1) || '.' || split_part(ip, '.', 2)
+                 || '.0.0' AS subnet16,
+               CAST(NULL AS BIGINT) AS bad_is_null
+              FROM num ORDER BY user_id""")),
     QueryDef("fn_encode", fnEncode,
       Some("""SELECT c_custkey,
                to_base64(ENCODE(c_name)) AS name_b64,

@@ -309,6 +309,50 @@ object LlmText {
       .orderBy(col("lang"))
   }
 
+  /** Context-window chunking (the RAG/pretraining doc-splitter): each
+    * document becomes overlapping 64-token windows on a 48-token stride
+    * (16-token overlap), each chunk carrying its token offset so spans
+    * map back to the source. Pure map-side Generate — sequence() builds
+    * the stride starts, slice() cuts each window; no shuffle except the
+    * presentation sort, so 100 TB chunks at scan speed with output
+    * parallelism = input parallelism.
+    */
+  private def docChunk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(48))).as("start"))
+      .select(
+        col("doc_id"),
+        expr("start div 48").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        size(slice(col("t"), col("start") + 1, lit(64))).cast("long")
+          .as("chunk_len"),
+        array_join(slice(col("t"), col("start") + 1, lit(64)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Deterministic stratified downsampling: exactly min(n, 20) docs per
+    * language stratum, selected by md5(doc_id) order — a content-blind,
+    * engine-independent "random" order that is reproducible across runs,
+    * engines, and partitionings (the property an eval-set draw needs;
+    * seeded RNG sampling is partitioning-dependent in any distributed
+    * engine). One shuffle on the stratum key; the per-group sort is
+    * bounded by stratum size. When quotas needn't be exact, the
+    * shuffle-free hash-threshold filter (sample_mixture) is the 100 TB
+    * path — this operator is for exact per-stratum draws.
+    */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): within each shard
     * (doc_id % 8 — the parallel unit), documents are concatenated in
     * doc_id order and chunked into fixed 512-token context windows; each
@@ -553,6 +597,23 @@ object LlmText {
               SELECT doc_id, n_copies FROM ex
               WHERE doc_id NOT IN (SELECT id_b FROM drops)
               ORDER BY doc_id""")),
+    QueryDef("doc_chunk", docChunk,
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+              x AS (SELECT doc_id, t,
+                unnest(range(0, len(t), 48)) AS start FROM t)
+              SELECT doc_id, start // 48 AS chunk_id, start AS start_tok,
+                CAST(len(t[start+1 : start+64]) AS BIGINT) AS chunk_len,
+                array_to_string(t[start+1 : start+64], ' ') AS chunk_text
+              FROM x ORDER BY doc_id, chunk_id""")),
+    QueryDef("sample_stratified", sampleStratified,
+      Some("""SELECT lang, doc_id, rk FROM (
+                SELECT lang, doc_id, CAST(row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER)
+                  AS rk
+                FROM documents) WHERE rk <= 20
+              ORDER BY lang, rk""")),
     QueryDef("sample_hash_split", sampleHashSplit,
       Some("""WITH b AS (SELECT doc_id, text,
                 ((doc_id * 2654435761) % 4294967296) % 100 AS bucket

@@ -60,7 +60,53 @@ object MvOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** AggregatingMergeTree two-phase contract, made explicit: phase 1
+    * computes PARTIAL aggregate states per (group, shard) and persists
+    * them (the "parts" a merge-tree table accumulates); phase 2 reads the
+    * states back and MERGES them into finals — count states add, decimal
+    * sum states add (order-independent, exactly mergeable — the reason
+    * the state is decimal, not double), min/max states combine by
+    * min/max, and avg derives from merged sum/count rather than being a
+    * state itself (avg states don't merge; sum+count do — the mergeable-
+    * summaries rule, Agarwal PODS'12).
+    *
+    * Scale notes: this IS Spark's own partial→final aggregation, but
+    * with the partial boundary materialized — the pattern that lets
+    * incremental jobs aggregate each day's partition once and fold
+    * history by merging O(groups × shards) state rows instead of
+    * rescanning O(rows) of raw data. The merge phase shuffles state
+    * rows only.
+    */
+  private def aggStateMerge(s: SparkSession, dir: String): DataFrame = {
+    val statePath = graft.Scratch.dir("agg_state") + "/orders_by_priority"
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), (col("o_orderkey") % 8).as("shard"))
+      .agg(
+        count(lit(1)).as("cnt_state"),
+        sum(col("o_totalprice").cast(DecimalType(30, 6))).as("sum_state"),
+        min(col("o_totalprice")).as("min_state"),
+        max(col("o_totalprice")).as("max_state"))
+      .write.mode("overwrite").parquet(statePath)
+    s.read.parquet(statePath)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("cnt_state")).as("n"),
+        sum(col("sum_state")).cast("double").as("total"),
+        min(col("min_state")).as("min_price"),
+        max(col("max_state")).as("max_price"))
+      .withColumn("avg_price", col("total") / col("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_state_merge", aggStateMerge,
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+               ${Det.oSum("o_totalprice")} AS total,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               ${Det.oSum("o_totalprice")} / COUNT(*) AS avg_price
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
     QueryDef("mv_route", mvRoute,
       Some(s"""SELECT l_returnflag, ${Det.oSum("l_quantity")} AS sum_qty,
                ${Det.oSum("l_extendedprice")} AS sum_price, COUNT(*) AS n

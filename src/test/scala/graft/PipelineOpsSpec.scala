@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.DedupGraph
+import org.apache.spark.sql.functions._
+
+/** Round-4 pipeline operators: IPv4 codec expressions, transitive
+  * dedup clustering, context-window chunking, stratified sampling, and
+  * aggregate-state merge.
+  */
+class PipelineOpsSpec extends GraftSpec {
+
+  test("ipv4 codec: roundtrip, strict parse, null on malformed") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // roundtrip over the full octet range incl. boundaries (codegen path:
+    // whole-stage compiles the expression pair into the generated loop)
+    val nums = Seq(0L, 1L, 255L, 256L, 65535L, 16777216L,
+      3232235777L /* 192.168.1.1 */, 0xffffffffL)
+    val rt = nums.toDF("n")
+      .selectExpr("n", "ipv4_to_long(long_to_ipv4(n)) AS back")
+      .as[(Long, Long)].collect()
+    rt.foreach { case (n, back) => assert(back == n, s"roundtrip $n") }
+    // out-of-range numeric → null string
+    val oob = Seq(-1L, 4294967296L).toDF("n")
+      .selectExpr("long_to_ipv4(n) AS s").filter(col("s").isNotNull).count()
+    assert(oob == 0)
+    // malformed strings → null, valid ones parse to the packed value
+    val cases = Seq(
+      "1.2.3.4" -> Some((1L << 24) + (2L << 16) + (3L << 8) + 4L),
+      "0.0.0.0" -> Some(0L),
+      "255.255.255.255" -> Some(0xffffffffL),
+      "256.1.1.1" -> None, "1.2.3" -> None, "1.2.3.4.5" -> None,
+      "1..3.4" -> None, "a.b.c.d" -> None, "" -> None,
+      " 1.2.3.4" -> None, "1.2.3.4 " -> None, "-1.2.3.4" -> None)
+    val got = cases.map(_._1).toDF("ip")
+      .selectExpr("ip", "ipv4_to_long(ip) AS v")
+      .as[(String, Option[Long])].collect().toMap
+    cases.foreach { case (ip, want) =>
+      assert(got(ip) == want, s"parse '$ip': got ${got(ip)} want $want")
+    }
+  }
+
+  test("dedup_cluster equals union-find over the same edge set") {
+    import spark.implicits._
+    val pairs = DedupGraph.edges(spark, sf).as[(Long, Long)].collect()
+    val labels = SparkEntry.queries("dedup_cluster")(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    // reference: driver-side union-find over the identical edge list
+    val parent = scala.collection.mutable.Map(labels.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = labels.keys.groupBy(find).map { case (_, ms) => ms.min -> ms.toSet }
+    labels.foreach { case (id, c) =>
+      assert(comp(c).contains(id), s"doc $id labelled $c but not in that component")
+    }
+    assert(labels.values.toSet == comp.keySet,
+      "cluster ids must be exactly the component minima")
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+  }
+
+  test("doc_chunk: stride-48 windows reassemble the source text exactly") {
+    import spark.implicits._
+    val chunks = SparkEntry.queries("doc_chunk")(spark, sf)
+      .select("doc_id", "chunk_id", "start_tok", "chunk_len", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val cs = chunks(id)
+      // offsets are the stride grid; every token lands in some chunk
+      cs.zipWithIndex.foreach { case ((_, cid, start, len, body), i) =>
+        assert(cid == i && start == 48L * i)
+        val want = toks.slice(start.toInt, start.toInt + 64)
+        assert(len == want.length)
+        assert(body == want.mkString(" "), s"doc $id chunk $cid")
+      }
+      // dropping each chunk's 16-token overlap tail reassembles the doc
+      val rebuilt = cs.flatMap { case (_, _, start, _, body) =>
+        body.split(" ").take(48)
+      }
+      assert(rebuilt.sameElements(toks), s"doc $id reassembly")
+    }
+  }
+
+  test("sample_stratified: exact per-stratum quotas, stable across runs") {
+    import spark.implicits._
+    val out = SparkEntry.queries("sample_stratified")(spark, sf)
+      .as[(String, Long, Int)].collect()
+    val strata = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val perLang = out.groupBy(_._1).view.mapValues(_.length).toMap
+    strata.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(n, 20L).toInt, lang)
+    }
+    val again = SparkEntry.queries("sample_stratified")(spark, sf)
+      .as[(String, Long, Int)].collect()
+    assert(out.sorted.sameElements(again.sorted), "draw must be deterministic")
+  }
+
+  test("agg_state_merge: merged partial states equal the direct aggregate") {
+    import spark.implicits._
+    val merged = SparkEntry.queries("agg_state_merge")(spark, sf)
+      .select("o_orderpriority", "n", "total", "min_price", "max_price")
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"),
+        min("o_totalprice"), max("o_totalprice"))
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+    // exact equality, not tolerance: decimal states merge losslessly
+    assert(merged.sameElements(direct))
+  }
+}
