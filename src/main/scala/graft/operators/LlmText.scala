@@ -415,6 +415,38 @@ object LlmText {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Train/eval decontamination — the corpus-hygiene step every LLM
+    * training pipeline runs before a benchmark is trusted: flag training
+    * documents that share any 3-token shingle with a held-out evaluation
+    * set (the GPT-3-style n-gram decontamination protocol). The split is
+    * deterministic (doc_id % 97 = 0 → eval, ~1%). Output: each
+    * contaminated train doc with how many distinct shingles it shares and
+    * how many eval docs it collides with.
+    *
+    * Scale notes: the eval side is a fixed benchmark — O(benchmark), not
+    * O(corpus) — so its shingle set is broadcast and the 100 TB train side
+    * is probed map-side with a partial-agg count on top: the corpus never
+    * shuffles. (The broadcast is explicit; at fixture scale Catalyst
+    * would pick it anyway, at real scale the eval set still fits.)
+    */
+  private def decontamNgram(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .withColumn("t", toks(col("text")))
+      // same shingling (and same <3-token floor) as dedup_ngram_jaccard
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, greatest(size(t) - 2, 1)), i -> array_join(slice(t, i, 3), ' '))"))
+        .as("shingles"))
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh"))
+    train.join(broadcast(ev), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_hit"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash: per-token xxhash64, each bit votes ±1 weighted by tf,
     * sign of the vote → bit. Near-dups share high-bit buckets. xxhash64
     * has no DuckDB twin → rows-only here, golden-value ScalaTest.
@@ -548,6 +580,21 @@ object LlmText {
               WHERE round(CAST(n_inter AS DOUBLE)
                 / (sa.sz + sb.sz - n_inter), 6) >= 0.5
               ORDER BY id_a, id_b""")),
+    QueryDef("decontam_ngram", decontamNgram,
+      Some("""WITH sh AS (SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+                  i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                  AS shingles
+                FROM documents),
+              tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+                WHERE doc_id % 97 <> 0),
+              ev AS (SELECT doc_id AS eval_id, unnest(shingles) AS s FROM sh
+                WHERE doc_id % 97 = 0)
+              SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n_shared,
+                COUNT(DISTINCT ev.eval_id) AS n_eval_hit
+              FROM tr JOIN ev ON tr.s = ev.s
+              GROUP BY tr.doc_id ORDER BY doc_id""")),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
       Some("""WITH cand AS (SELECT doc_id,
                 list_distinct(list_transform(

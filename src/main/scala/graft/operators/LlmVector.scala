@@ -290,6 +290,74 @@ object LlmVector {
       .orderBy(col("probe_id"), col("dist"), col("cand_id"))
   }
 
+  /** K-means ASSIGNMENT step, relationally: the model is the exact
+    * per-label centroid set (same coarse quantizer as sim_ivf_knn);
+    * every vector is assigned to its nearest centroid by cosine (6dp,
+    * label tiebreak) and the result is the label x assigned confusion
+    * matrix. Together with label_centroid (the UPDATE step) this is one
+    * full Lloyd's iteration — iterate the pair for k-means proper.
+    *
+    * Scale notes: centroids are O(k·d) and broadcast; the corpus side is
+    * a map-side probe against k rows plus a partial-agg count — the big
+    * side never shuffles. The per-vector argmin is a k-row window INSIDE
+    * a vec_id partition that exists only in the joined intermediate, so
+    * no skew: at 100 TB this is exactly how MLlib's KMeans scores, minus
+    * the RDD detour.
+    */
+  private def vecKmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.Det.davg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cvec"))
+      .withColumnRenamed("label", "clabel")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("clabel"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("v"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("label"), col("clabel").as("assigned_label"), col("n"))
+      .orderBy(col("label"), col("assigned_label"))
+  }
+
+  /** Sign-random-projection (SRP) dimensionality reduction (Charikar'02;
+    * Achlioptas'01 database-friendly projections): 64-d float vectors
+    * projected onto 8 ±1 hyperplanes whose signs are derived
+    * in-expression from a fixed integer mix — the projection matrix is
+    * never materialized. The 8 projection signs are the vector's SimHash
+    * bucket, i.e. this is the deterministic oracle-able core of what
+    * BucketedRandomProjectionLSH (sim_lsh_knn) does with seeded RNG.
+    *
+    * Scale notes: a pure per-row map — zero shuffle (the edge orderBy is
+    * t2 determinism only); accumulation is exact DECIMAL(30,6) inside a
+    * sequential HOF fold so the result is bit-identical to DuckDB's
+    * group-sum regardless of either engine's evaluation order.
+    */
+  private def vecRpProject(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("v", dbl(col("embedding")))
+      .select(col("vec_id"), posexplode(expr(
+        """transform(sequence(0, 7), j ->
+             aggregate(
+               zip_with(v, sequence(1, size(v)), (x, i) ->
+                 x * (case when (cast(i as bigint) * 73856093
+                            + cast(j as bigint) * 19349663) % 104729 % 2 = 0
+                      then cast(1 as double) else cast(-1 as double) end)),
+               cast(0 as decimal(30,6)),
+               (acc, t) -> cast(acc + cast(t as decimal(30,6))
+                                as decimal(30,6))))"""))
+        .as(Seq("dim", "p")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("p").cast("double").as("proj"),
+        (col("p") > 0).as("srp_bit"))
+      .orderBy(col("vec_id"), col("dim"))
+
   // ---- oracles ----
 
   private val oDot =
@@ -396,6 +464,42 @@ object LlmVector {
                     x -> abs(x - floor(x/scale + 0.5)*scale))),
                     (a,b) -> a+b) / len(v), 6) AS mean_abs_err
               FROM s ORDER BY vec_id""")),
+    QueryDef("vec_kmeans_assign", vecKmeansAssign,
+      Some(s"""WITH e AS (SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ex AS (SELECT label, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS pos FROM e),
+              cm AS (SELECT label AS clabel, pos, ${graft.Det.oAvg("x")} AS m
+                 FROM ex GROUP BY label, pos),
+              c AS (SELECT clabel, list(m ORDER BY pos) AS cv
+                 FROM cm GROUP BY clabel),
+              sc AS (SELECT e.vec_id, e.label, c.clabel,
+                 round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
+                 FROM e CROSS JOIN c),
+              a AS (SELECT vec_id, label, clabel,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, clabel) AS rn
+                 FROM sc)
+              SELECT label, clabel AS assigned_label, COUNT(*) AS n
+              FROM a WHERE rn = 1
+              GROUP BY label, clabel ORDER BY label, assigned_label""")),
+    QueryDef("vec_rp_project", vecRpProject,
+      Some("""WITH e AS (SELECT vec_id,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ex AS (SELECT vec_id, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS i FROM e),
+              t AS (SELECT vec_id, j,
+                 SUM(CAST(x * (CASE WHEN (i * 73856093
+                        + j * 19349663) % 104729 % 2 = 0
+                      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+                     AS DECIMAL(30,6))) AS p
+                 FROM ex CROSS JOIN range(0, 8) r(j)
+                 GROUP BY vec_id, j)
+              SELECT vec_id, j AS dim, CAST(p AS DOUBLE) AS proj,
+                p > 0 AS srp_bit
+              FROM t ORDER BY vec_id, dim""")),
     QueryDef("dedup_minhash", dedupMinhash, None),
     QueryDef("dedup_minhash_native", dedupMinhashNative, None),
     QueryDef("sim_lsh_knn", simLshKnn, None),

@@ -116,4 +116,40 @@ class VectorTextSpec extends GraftSpec {
       .map(_.split(",").map(_.toDouble))
     assert(cents.length == 10 && cents.forall(_.length == 64))
   }
+
+  test("kmeans assignment is total and beats chance on the diagonal") {
+    import spark.implicits._
+    val conf = SparkEntry.queries("vec_kmeans_assign")(spark, sf)
+      .select("label", "assigned_label", "n")
+      .as[(String, String, Long)].collect()
+    val total = conf.map(_._3).sum
+    val diag = conf.filter(c => c._1 == c._2).map(_._3).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+    // 10 labels → chance diagonal is ~10%; the labelled clusters must
+    // pull assignment well above that for the centroid model to mean
+    // anything
+    assert(diag.toDouble / total > 0.2, s"diagonal $diag / $total")
+  }
+
+  test("SRP hyperplanes split the corpus near-evenly on every dim") {
+    import spark.implicits._
+    val bits = SparkEntry.queries("vec_rp_project")(spark, sf)
+      .groupBy(col("dim"))
+      .agg(avg(when(col("srp_bit"), 1.0).otherwise(0.0)).as("frac"))
+      .select("frac").as[Double].collect()
+    assert(bits.length == 8)
+    bits.foreach(f => assert(f > 0.3 && f < 0.7, s"unbalanced hyperplane: $f"))
+  }
+
+  test("decontamination never flags eval docs and only reports real hits") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("decontam_ngram")(spark, sf)
+      .select("doc_id", "n_shared", "n_eval_hit")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, shared, hits) =>
+      assert(id % 97 != 0, s"eval doc $id flagged as contaminated train doc")
+      assert(shared >= 1 && hits >= 1)
+    }
+  }
 }
