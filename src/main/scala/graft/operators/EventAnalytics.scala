@@ -132,6 +132,16 @@ object EventAnalytics {
                 CAST(regexp_matches(seq, 'e.*e.*e') AS INTEGER) AS m_triple_error,
                 CAST(LENGTH(seq) AS INTEGER) AS n_events
               FROM s ORDER BY user_id""")),
+    QueryDef("ts_ema", tsEma,
+      Some("""WITH l AS (SELECT user_id,
+                 list(value ORDER BY ts, event_id) AS xs
+                 FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       event_id, value FROM events
+                       WHERE event_type = 'purchase') s
+                 GROUP BY user_id)
+              SELECT user_id, CAST(len(xs) AS INTEGER) AS n_purchases,
+                list_reduce(xs, (acc, x) -> x * 0.1 + acc * 0.9) AS ema
+              FROM l ORDER BY user_id""")),
     QueryDef("ts_gap_fill", tsGapFill,
       Some(s"""WITH hourly AS (SELECT
                 CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
@@ -319,6 +329,35 @@ object EventAnalytics {
         6).as("rev_interp"))
       .orderBy(col("h"))
   }
+
+  /** Exponential moving average (ClickHouse `exponentialMovingAverage`):
+    * per-user EMA over purchase values, α = 0.1, seeded with the first
+    * value in (ts, event_id) order. EMA is an inherently sequential
+    * recursion — here it runs as a HOF left fold over the user's ordered
+    * value array, which makes the result bit-identical across engines:
+    * both execute the SAME chain of IEEE ops in the SAME order, so no
+    * rounding is needed at the edge (the one place raw doubles are safe
+    * to hash-compare).
+    *
+    * Scale notes: one shuffle on user_id with map-side combine into the
+    * collect_list; the fold is O(events-per-user) inside each group. The
+    * per-key array materializes a user's history — fine when per-key
+    * cardinality is bounded (it is: a user's events, not the corpus); for
+    * unbounded keys the streaming twin (stream_stateful) carries the
+    * running state instead.
+    */
+  private def tsEma(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(expr("""array_sort(collect_list(struct(ts, event_id, value)))""")
+        .as("xs"))
+      .select(col("user_id"), size(col("xs")).as("n_purchases"),
+        expr("""aggregate(
+                  slice(xs, 2, size(xs) - 1),
+                  cast(element_at(xs, 1).value as double),
+                  (acc, x) -> x.value * 0.1D + acc * 0.9D)""").as("ema"))
+      .orderBy(col("user_id"))
 
   /** Batch sessionization (the offline twin of `stream_session`): a new
     * session starts after a >30 min silence. Timestamp comparison stays in

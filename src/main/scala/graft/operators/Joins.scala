@@ -337,6 +337,53 @@ object Joins {
       .orderBy(col("nation_name"))
   }
 
+  /** ClickHouse `range_hashed` dictionary (`dictGet(dict, attr, key,
+    * date)`): the ranged twin of [[dictGet]] — each key maps to
+    * date-interval versions of an attribute and the probe picks the
+    * interval containing the row's date, with a default on miss. Here a
+    * quarterly rate card (rate = ((key·7 + quarterIdx) mod 10)/100,
+    * nation 13 deliberately absent to exercise the miss default) is built
+    * as ONE literal map(key → array<struct(from,to,rate)>) expression:
+    * the per-row lookup is codegen'd element_at + HOF interval filter —
+    * no join node for the dictionary, exactly the ClickHouse execution
+    * shape (the orders↔customer key join is real and broadcast).
+    *
+    * Scale notes: the dictionary literal is O(keys × ranges) — control
+    * plane, shipped inside the serialized plan like a dictionary replica;
+    * the probe is map-side. One broadcast join + one partial-agg shuffle.
+    */
+  private def dictGetRange(s: SparkSession, dir: String): DataFrame = {
+    val qStart = (0 to 28).map { q =>
+      java.time.LocalDate.of(1995 + q / 4, 1 + (q % 4) * 3, 1)
+    }
+    def ms(d: java.time.LocalDate): Long =
+      d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val entries: Seq[Column] = (0 until 25).filterNot(_ == 13).flatMap { k =>
+      val ranges = (0 until 28).map { q =>
+        struct(lit(ms(qStart(q))).as("from_ms"),
+          lit(ms(qStart(q + 1))).as("to_ms"),
+          lit(((k * 7 + q) % 10) / 100.0).as("rate"))
+      }
+      Seq(lit(k.toLong), array(ranges: _*))
+    }
+    val dict = map(entries: _*)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    Tables.orders(s, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .withColumn("ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      .withColumn("rs", element_at(dict, col("c_nationkey").cast("long")))
+      .withColumn("rate", coalesce(
+        element_at(filter(col("rs"),
+          r => r("from_ms") <= col("ms") && col("ms") < r("to_ms")), 1)("rate"),
+        lit(0.0)))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice") * (lit(1.0) - col("rate")))
+          .as("net_revenue"))
+      .orderBy(col("nationkey"))
+  }
+
   /** AQE runtime bloom-filter join (semi-join reduction): a selective dim
     * filter is turned into a bloom filter broadcast into the FACT scan,
     * so fact rows that cannot join are dropped before the shuffle — at
@@ -408,6 +455,16 @@ object Joins {
                AND epoch_ms(l.l_shipdate) >= h.valid_from
                AND (h.valid_to IS NULL OR epoch_ms(l.l_shipdate) < h.valid_to)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("dict_get_range", dictGetRange,
+      Some(s"""SELECT c_nationkey AS nationkey, COUNT(*) AS n_orders,
+               ${Det.oSum("""o_totalprice * (1 - CASE
+                 WHEN c_nationkey = 13 THEN 0.0
+                 ELSE CAST((c_nationkey * 7
+                   + (EXTRACT(year FROM o_orderdate) - 1995) * 4
+                   + EXTRACT(quarter FROM o_orderdate) - 1) % 10 AS DOUBLE)
+                   / 100.0 END)""")} AS net_revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_nationkey ORDER BY nationkey""")),
     QueryDef("dict_get", dictGet,
       Some("""SELECT COALESCE(n_name, 'UNKNOWN') AS nation_name,
                COUNT(*) AS n_cust

@@ -447,6 +447,87 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * quality-filter family that catches degenerate/boilerplate text by
+    * how much of it repeats — fraction of duplicate bigrams/trigrams and
+    * the share of the doc taken by its single most frequent token. The
+    * flag thresholds are the published Gopher cuts (dup n-gram > 0.2,
+    * top token > 0.3).
+    *
+    * Scale notes: the n-gram duplicate fractions are pure per-row HOF
+    * expressions (zero shuffle); the top-token share is the canonical
+    * explode → partial-agg tf → per-doc max, one shuffle on
+    * (doc_id, token) with map-side combine, re-joined on doc_id. All
+    * ratios are single IEEE divisions of exact integer counts — identical
+    * bits in both engines, no rounding needed at the edge.
+    */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("arr", toks(col("text")))
+    val grams = docs.select(
+      col("doc_id"),
+      expr("""transform(sequence(1, greatest(size(arr) - 1, 1)),
+                i -> array_join(slice(arr, i, 2), ' '))""").as("g2"),
+      expr("""transform(sequence(1, greatest(size(arr) - 2, 1)),
+                i -> array_join(slice(arr, i, 3), ' '))""").as("g3"))
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+          / size(col("g2"))).as("dup_bigram_frac"),
+        (lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+          / size(col("g3"))).as("dup_trigram_frac"))
+    val topTok = docs
+      .select(col("doc_id"), explode(col("arr")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("tf")).cast("double") / sum(col("tf")))
+        .as("top_token_frac"))
+    grams.join(topTok, "doc_id")
+      .withColumn("is_repetitive",
+        col("dup_bigram_frac") > 0.2 || col("top_token_frac") > 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-frequency boilerplate detection (the RefinedWeb / CCNet
+    * line-dedup step, shingle-shaped because the fixture text has no line
+    * structure): a 3-token shingle appearing in ≥ 5 distinct documents is
+    * boilerplate; each document reports how much of it is boilerplate and
+    * is flagged when the ratio passes 0.1 (a tunable cut; the synthetic
+    * corpus tops out at ~0.27, real crawls run far higher) — the
+    * "mostly template" docs a crawl pipeline drops before training.
+    *
+    * Scale notes: shingle document-frequency is one explode +
+    * partial-agg shuffle (the same inverted index dedup_ngram_jaccard
+    * builds, aggregated instead of self-joined — never pairwise). The
+    * boilerplate set is then broadcast back against the per-doc shingle
+    * lists: the corpus-side probe is map-side, and the final per-doc
+    * ratio is a groupBy on doc_id that AQE coalesces. At 100 TB the
+    * boilerplate set is df-bounded (high-df shingles are by construction
+    * few relative to the corpus) — if it outgrew broadcast, the same plan
+    * degrades gracefully to a shuffle join on the shingle key.
+    */
+  private def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, greatest(size(t) - 2, 1)), i -> array_join(slice(t, i, 3), ' '))"))
+        .as("shingles"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val boiler = inv.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 5)
+      .select(col("sh"))
+    inv.join(broadcast(boiler), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+      .join(sh.select(col("doc_id"), size(col("shingles")).as("n_shingles")),
+        Seq("doc_id"), "right_outer")
+      .na.fill(0L, Seq("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_shingles"))
+      .withColumn("is_boilerplate", col("boiler_ratio") > 0.1)
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        col("boiler_ratio"), col("is_boilerplate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash: per-token xxhash64, each bit votes ±1 weighted by tf,
     * sign of the vote → bit. Near-dups share high-bit buckets. xxhash64
     * has no DuckDB twin → rows-only here, golden-value ScalaTest.
@@ -595,6 +676,53 @@ object LlmText {
                 COUNT(DISTINCT ev.eval_id) AS n_eval_hit
               FROM tr JOIN ev ON tr.s = ev.s
               GROUP BY tr.doc_id ORDER BY doc_id""")),
+    QueryDef("text_repetition", textRepetition,
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+                FROM documents),
+              g AS (SELECT doc_id,
+                list_transform(range(1, greatest(len(arr) - 0, 2)),
+                  i -> array_to_string(arr[i:i+1], ' ')) AS g2,
+                list_transform(range(1, greatest(len(arr) - 1, 2)),
+                  i -> array_to_string(arr[i:i+2], ' ')) AS g3
+                FROM d),
+              f AS (SELECT doc_id,
+                1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                  AS dup_bigram_frac,
+                1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                  AS dup_trigram_frac
+                FROM g),
+              tf AS (SELECT doc_id, unnest(arr) AS token FROM d),
+              tc AS (SELECT doc_id, token, COUNT(*) AS n FROM tf
+                GROUP BY doc_id, token),
+              tt AS (SELECT doc_id,
+                CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_token_frac
+                FROM tc GROUP BY doc_id)
+              SELECT f.doc_id, dup_bigram_frac, dup_trigram_frac,
+                top_token_frac,
+                (dup_bigram_frac > 0.2 OR top_token_frac > 0.3)
+                  AS is_repetitive
+              FROM f JOIN tt ON f.doc_id = tt.doc_id
+              ORDER BY f.doc_id""")),
+    QueryDef("text_boilerplate", textBoilerplate,
+      Some("""WITH sh AS (SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+                  i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                  AS shingles
+                FROM documents),
+              inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+              b AS (SELECT s FROM inv GROUP BY s
+                HAVING COUNT(DISTINCT doc_id) >= 5),
+              nb AS (SELECT doc_id, COUNT(*) AS n_boiler FROM inv
+                WHERE s IN (SELECT s FROM b) GROUP BY doc_id)
+              SELECT sh.doc_id, len(sh.shingles) AS n_shingles,
+                COALESCE(nb.n_boiler, 0) AS n_boiler,
+                CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / len(sh.shingles)
+                  AS boiler_ratio,
+                CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / len(sh.shingles)
+                  > 0.1 AS is_boilerplate
+              FROM sh LEFT JOIN nb ON sh.doc_id = nb.doc_id
+              ORDER BY sh.doc_id""")),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
       Some("""WITH cand AS (SELECT doc_id,
                 list_distinct(list_transform(

@@ -215,6 +215,68 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** TTL GROUP BY — ClickHouse's age-tiered rollup (`TTL ts + INTERVAL 14
+    * DAY GROUP BY day, type SET value = sum(value)`): partitions older
+    * than the retention window are REWRITTEN as one aggregated row per
+    * group key instead of being dropped, so old data stays queryable at
+    * coarser grain while storage collapses from O(rows) to O(group keys).
+    * Raw rows carry n_rows = 1 so logical counts survive the rollup.
+    *
+    * Mechanics mirror a production compaction job: the rolled replacement
+    * is written to a staging dir FIRST, the expired partitions are
+    * deleted, then the staged rows are appended — at no point is state
+    * read after its files are gone. Rolled values are decimal-exact sums
+    * (order-independent), so the rollup is deterministic at any
+    * parallelism.
+    *
+    * Scale notes: the rollup aggregates only expired partitions (one
+    * partial-agg shuffle over the old tier); untouched recent partitions
+    * are never read. Per-day output rewrites are independent — at cluster
+    * scale each day compacts in parallel, same as sink_compact_files.
+    */
+  private def ttlRollup(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("ttlgb")
+    val root = s"$base/t"
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_type"), col("value"),
+        lit(1L).as("n_rows"))
+      .write.partitionBy("day").parquet(root)
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    val maxDay = dirs.map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
+    val cutoff = java.sql.Date.valueOf(maxDay.minusDays(14))
+    // stage the rolled tier before touching the layout
+    val staged = s"$base/rolled"
+    s.read.parquet(root)
+      .filter(col("day") < lit(cutoff))
+      .groupBy(col("day"), col("event_type"))
+      .agg(Det.dsum(col("value")).as("value"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(col("event_type"), col("value"), col("n_rows"), col("day"))
+      .write.partitionBy("day").parquet(staged)
+    dirs.filter(f => java.time.LocalDate.parse(f.getName.drop(4))
+        .isBefore(cutoff.toLocalDate))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    s.read.parquet(staged).write.mode("append").partitionBy("day").parquet(root)
+    s.read.parquet(root)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_stored"), sum(col("n_rows")).as("n_logical"),
+        Det.dsum(col("value")).as("sum_value"))
+      .withColumn("tier",
+        when(col("day") < lit(cutoff), "rolled").otherwise("raw"))
+      .select(col("day"), col("tier"), col("n_stored"), col("n_logical"),
+        col("sum_value"))
+      .orderBy(col("day"))
+  }
+
   /** Small-files compaction (the OPTIMIZE / ClickHouse merge-parts
     * mechanic): a partitioned table fragmented into many small files per
     * partition is rewritten to one file per partition — the single
@@ -262,6 +324,23 @@ object Scans {
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM e, m WHERE day >= mx - 14
               GROUP BY day ORDER BY day""")),
+    QueryDef("ttl_rollup", ttlRollup,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_type, value FROM events),
+               m AS (SELECT max(day) - 14 AS cut FROM e),
+               rolled AS (SELECT day, event_type,
+                 ${Det.oSum("value")} AS v, COUNT(*) AS nl
+                 FROM e, m WHERE day < cut GROUP BY day, event_type),
+               old_tier AS (SELECT day, 'rolled' AS tier,
+                 COUNT(*) AS n_stored, CAST(SUM(nl) AS BIGINT) AS n_logical,
+                 ${Det.oSum("v")} AS sum_value
+                 FROM rolled GROUP BY day),
+               raw_tier AS (SELECT day, 'raw' AS tier,
+                 COUNT(*) AS n_stored, COUNT(*) AS n_logical,
+                 ${Det.oSum("value")} AS sum_value
+                 FROM e, m WHERE day >= cut GROUP BY day)
+              SELECT * FROM old_tier UNION ALL SELECT * FROM raw_tier
+              ORDER BY day""")),
     QueryDef("scan_sample", scanSample, None),
     QueryDef("scan_schema_evolution", scanSchemaEvolution,
       Some("""SELECT o_orderkey, o_totalprice,

@@ -105,6 +105,43 @@ class PipelineOpsSpec extends GraftSpec {
     assert(out.sorted.sameElements(again.sorted), "draw must be deterministic")
   }
 
+  test("ttl_rollup: old tier collapses storage, logical counts survive") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("ttl_rollup")(spark, sf)
+      .select("tier", "n_stored", "n_logical")
+      .as[(String, Long, Long)].collect()
+    val (rolled, raw) = rows.partition(_._1 == "rolled")
+    assert(rolled.nonEmpty && raw.nonEmpty, s"both tiers must exist: $rows")
+    // rolled days store one row per group key, never more than logical
+    rolled.foreach { case (_, st, lg) => assert(st <= lg && st > 0) }
+    assert(rolled.exists { case (_, st, lg) => st < lg },
+      "rollup never collapsed anything")
+    // raw days are untouched
+    raw.foreach { case (_, st, lg) => assert(st == lg) }
+    // nothing is lost logically
+    val totalLogical = rows.map(_._3).sum
+    assert(totalLogical == Tables.events(spark, sf).count())
+  }
+
+  test("ts_ema: fold equals an independent sequential recursion") {
+    import spark.implicits._
+    val got = SparkEntry.queries("ts_ema")(spark, sf)
+      .select("user_id", "ema").as[(Long, Double)].collect().toMap
+    val byUser = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .groupBy(_._1)
+    assert(got.nonEmpty && got.size == byUser.size)
+    byUser.foreach { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+        .map(_._4)
+      val want = ordered.tail.foldLeft(ordered.head)((acc, x) =>
+        x * 0.1 + acc * 0.9)
+      assert(got(uid) == want, s"user $uid: ${got(uid)} != $want")
+    }
+  }
+
   test("agg_state_merge: merged partial states equal the direct aggregate") {
     import spark.implicits._
     val merged = SparkEntry.queries("agg_state_merge")(spark, sf)

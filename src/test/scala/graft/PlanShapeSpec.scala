@@ -189,6 +189,19 @@ class PlanShapeSpec extends GraftSpec {
       "dimension must be a plan literal, not a scan")
   }
 
+  test("dict_get_range probes a plan-literal rate card: one real join only") {
+    val p = plan("dict_get_range")
+    // the customer key join is real (broadcast); the ranged dictionary
+    // itself must be an expression, never a second join or a scan
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer key join should broadcast:\n${p.take(800)}")
+    val joins = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin") || l.contains("NestedLoopJoin") ||
+        l.contains("CartesianProduct"))
+    assert(joins == 1, s"dictionary must not plan a join of its own:\n${p.take(800)}")
+  }
+
   test("mv_route reads the materialized view, not the fact table") {
     val p = plan("mv_route")
     assert(p.contains("graft_mv"), s"aggregate not routed to the MV:\n${p.take(800)}")

@@ -141,6 +141,40 @@ class VectorTextSpec extends GraftSpec {
     bits.foreach(f => assert(f > 0.3 && f < 0.7, s"unbalanced hyperplane: $f"))
   }
 
+  test("repetition signals are valid fractions and flags replay the rule") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_repetition")(spark, sf)
+      .select("dup_bigram_frac", "dup_trigram_frac", "top_token_frac",
+        "is_repetitive")
+      .as[(Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, t, top, flag) =>
+      assert(b >= 0.0 && b < 1.0 && t >= 0.0 && t < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      // a trigram window is strictly harder to duplicate than its bigrams
+      assert(t <= b + 1e-12)
+      assert(flag == (b > 0.2 || top > 0.3))
+    }
+    // the signals must actually spread, not collapse to a constant
+    assert(rows.map(_._3).distinct.length > 10)
+  }
+
+  test("boilerplate ratio is consistent and the cut discriminates") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_boilerplate")(spark, sf)
+      .select("n_shingles", "n_boiler", "boiler_ratio", "is_boilerplate")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, nb, r, flag) =>
+      assert(nb >= 0 && nb <= n)
+      assert(math.abs(r - nb.toDouble / n) < 1e-12)
+      assert(flag == (r > 0.1))
+    }
+    val flagged = rows.count(_._4)
+    assert(flagged > 0 && flagged < rows.length,
+      s"cut does not discriminate: $flagged/${rows.length}")
+  }
+
   test("decontamination never flags eval docs and only reports real hits") {
     import spark.implicits._
     val rows = SparkEntry.queries("decontam_ngram")(spark, sf)
