@@ -358,6 +358,69 @@ object LlmVector {
         (col("p") > 0).as("srp_bit"))
       .orderBy(col("vec_id"), col("dim"))
 
+  /** Product quantization (Jégou et al. PAMI'11) — the workhorse ANN
+    * compression: the 64-d vector splits into 8 subspaces of 8 dims, each
+    * subvector snaps to its nearest sub-codeword, and the vector is
+    * stored as 8 codes (64 floats → 8 bytes, 32× compression). The
+    * codebook here is the deterministic one this repo already proves
+    * correct elsewhere: per-label exact sub-centroids (the
+    * vec_kmeans_assign model restricted to each subspace) — a real PQ
+    * trains per-subspace k-means, which is this assignment step iterated.
+    * Output per vector: its 8-code word and the quantized reconstruction
+    * error ‖v − dec(codes)‖², i.e. the sum of per-subspace argmin
+    * distances.
+    *
+    * Determinism across engines: sub-distances fold sequentially over
+    * dims (identical IEEE op chain both sides), argmin tiebreaks on
+    * (dist, label), and the error is edge-quantized with floor(x·1e6 +
+    * 0.5) — never round() (Spark rounds the shortest decimal string,
+    * DuckDB the exact binary).
+    *
+    * Scale notes: the codebook is O(k·d) and broadcast; per-row work is
+    * the 8×k distance table — map-side. The argmin window partitions by
+    * (vec_id, m), which only exists in the crossed intermediate, so no
+    * skew; the final regroup is one shuffle on vec_id. At 100 TB the
+    * codes column (8 bytes/row) is what an IVF-PQ index stores — probing
+    * it is sim_ivf_knn's routing plus an ADC table lookup over these
+    * codes.
+    */
+  private def vecPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.Det.davg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cvec"))
+      .withColumnRenamed("label", "clabel")
+    val dists = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("clabel"),
+        posexplode(expr(
+          """transform(sequence(0, 7), m ->
+               aggregate(
+                 transform(sequence(1, 8), i ->
+                   (element_at(v, m * 8 + i) - element_at(cvec, m * 8 + i))
+                     * (element_at(v, m * 8 + i)
+                        - element_at(cvec, m * 8 + i))),
+                 cast(0 as double), (acc, x) -> acc + x))"""))
+          .as(Seq("m", "d")))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("clabel"))
+    dists
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        expr("""array_join(transform(array_sort(collect_list(struct(m, clabel))),
+                 s -> s.clabel), ',')""").as("codes"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(m, d))),
+                 s -> s.d), cast(0 as double), (acc, x) -> acc + x)""")
+          .as("recon"))
+      .select(col("vec_id"), col("codes"),
+        floor(col("recon") * 1e6 + 0.5).cast("long").as("recon_q"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- oracles ----
 
   private val oDot =
@@ -500,6 +563,30 @@ object LlmVector {
               SELECT vec_id, j AS dim, CAST(p AS DOUBLE) AS proj,
                 p > 0 AS srp_bit
               FROM t ORDER BY vec_id, dim""")),
+    QueryDef("vec_pq", vecPq,
+      Some(s"""WITH e AS (SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ex AS (SELECT label, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS pos FROM e),
+              cm AS (SELECT label AS clabel, pos, ${graft.Det.oAvg("x")} AS m
+                 FROM ex GROUP BY label, pos),
+              c AS (SELECT clabel, list(m ORDER BY pos) AS cv
+                 FROM cm GROUP BY clabel),
+              d AS (SELECT e.vec_id, c.clabel, r.m,
+                 list_reduce(list_transform(range(1, 9), i ->
+                   (v[m * 8 + i] - cv[m * 8 + i])
+                     * (v[m * 8 + i] - cv[m * 8 + i])),
+                   (a, b) -> a + b) AS d
+                 FROM e CROSS JOIN c CROSS JOIN range(0, 8) r(m)),
+              a AS (SELECT vec_id, m, clabel, d,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY d, clabel) AS rn
+                 FROM d)
+              SELECT vec_id,
+                string_agg(clabel, ',' ORDER BY m) AS codes,
+                CAST(floor(list_reduce(list(d ORDER BY m), (a, b) -> a + b)
+                  * 1e6 + 0.5) AS BIGINT) AS recon_q
+              FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""")),
     QueryDef("dedup_minhash", dedupMinhash, None),
     QueryDef("dedup_minhash_native", dedupMinhashNative, None),
     QueryDef("sim_lsh_knn", simLshKnn, None),

@@ -141,6 +141,36 @@ class VectorTextSpec extends GraftSpec {
     bits.foreach(f => assert(f > 0.3 && f < 0.7, s"unbalanced hyperplane: $f"))
   }
 
+  test("vec_pq: 8-code words; recon error never worse than coarse argmin") {
+    import spark.implicits._
+    val pq = SparkEntry.queries("vec_pq")(spark, sf)
+      .select("vec_id", "codes", "recon_q")
+      .as[(Long, String, Long)].collect()
+    assert(pq.nonEmpty)
+    pq.foreach { case (_, codes, q) =>
+      assert(codes.split(",").length == 8)
+      assert(q >= 0)
+    }
+    // independent model: exact per-label centroids computed in Scala
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, String, Seq[Double])].collect()
+    val cents = vecs.groupBy(_._2).map { case (l, vs) =>
+      l -> (0 until 64).map(i => vs.map(_._3(i)).sum / vs.size)
+    }
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val reconByVec = pq.map(r => r._1 -> r._3 / 1e6).toMap
+    vecs.foreach { case (id, _, v) =>
+      // per-subspace argmin is at least as good as the best single
+      // full-vector codeword used across all 8 subspaces
+      val coarse = cents.values.map(c => l2(v, c)).min
+      assert(reconByVec(id) <= coarse + 1e-3,
+        s"vec $id: pq ${reconByVec(id)} > coarse $coarse")
+    }
+  }
+
   test("repetition signals are valid fractions and flags replay the rule") {
     import spark.implicits._
     val rows = SparkEntry.queries("text_repetition")(spark, sf)
