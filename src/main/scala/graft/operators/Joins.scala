@@ -73,6 +73,46 @@ object Joins {
       .orderBy(col("user_id"))
   }
 
+  /** Interval-overlap join with NO equi key — the classic scale killer
+    * (Spark plans a raw `s1 < e2 AND s2 < e1` as a nested-loop over the
+    * full cross product). The bucketed formulation restores an equi key:
+    * each interval explodes to the 1-hour buckets it spans, the join runs
+    * on the bucket id, and the true overlap predicate refines the
+    * candidates. A pair spanning several shared buckets would duplicate,
+    * so each pair is counted only in the bucket containing the overlap's
+    * START (`b == floor(max(s1,s2)/W)`) — exactly-once without a
+    * distinct. Workload: every purchase's 1-hour window vs overlapping
+    * error windows, across ALL users (incident correlation).
+    *
+    * Scale notes: work is O(rows · spanned-buckets) map-side plus one
+    * shuffle on the bucket id, vs O(|A|·|B|) for the nested loop; bucket
+    * width trades fan-out (intervals explode into e/W buckets) against
+    * candidate density per bucket. Hot buckets (incident storms) can be
+    * salted with a second-level split of the same construction.
+    * PlanShapeSpec asserts no nested-loop/cartesian node survives.
+    */
+  private def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val W = 3600000000L // 1 h in µs
+    val len = 3600000000L
+    def side(typ: String, idc: String, sc: String) =
+      Tables.events(s, dir)
+        .filter(col("event_type") === typ)
+        .select(col("event_id").as(idc),
+          unix_micros(col("ts")).as(sc))
+    val a = side("purchase", "pid", "s1")
+      .withColumn("b", explode(sequence(
+        expr(s"s1 div $W"), expr(s"(s1 + ${len - 1}) div $W"))))
+    val b = side("error", "xid", "s2")
+      .withColumn("b", explode(sequence(
+        expr(s"s2 div $W"), expr(s"(s2 + ${len - 1}) div $W"))))
+    a.join(b, Seq("b"))
+      .filter(col("s1") < col("s2") + len && col("s2") < col("s1") + len)
+      .filter(col("b") === expr(s"greatest(s1, s2) div $W"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("pid"))
+  }
+
   /** ASOF join: each purchase event matched to the latest strictly-prior
     * event of the same user (ClickHouse `ASOF JOIN` semantics).
     * Merge-join formulation: union probes+quotes, one sort per user,
@@ -455,6 +495,16 @@ object Joins {
                AND epoch_ms(l.l_shipdate) >= h.valid_from
                AND (h.valid_to IS NULL OR epoch_ms(l.l_shipdate) < h.valid_to)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("join_interval", joinInterval,
+      Some("""WITH p AS (SELECT event_id AS pid,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS s1 FROM events
+                 WHERE event_type = 'purchase'),
+               x AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS s2 FROM events
+                 WHERE event_type = 'error')
+              SELECT pid, COUNT(*) AS n_overlap
+              FROM p JOIN x ON s1 < s2 + 3600000000
+                           AND s2 < s1 + 3600000000
+              GROUP BY pid ORDER BY pid""")),
     QueryDef("dict_get_range", dictGetRange,
       Some(s"""SELECT c_nationkey AS nationkey, COUNT(*) AS n_orders,
                ${Det.oSum("""o_totalprice * (1 - CASE

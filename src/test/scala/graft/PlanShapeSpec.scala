@@ -189,6 +189,16 @@ class PlanShapeSpec extends GraftSpec {
       "dimension must be a plan literal, not a scan")
   }
 
+  test("join_interval buckets restore an equi key: no nested loop") {
+    val p = plan("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"interval overlap must join on the bucket key:\n${p.take(800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi join on the bucket id:\n${p.take(800)}")
+  }
+
   test("dict_get_range probes a plan-literal rate card: one real join only") {
     val p = plan("dict_get_range")
     // the customer key join is real (broadcast); the ranged dictionary
