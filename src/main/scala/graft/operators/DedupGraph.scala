@@ -74,17 +74,17 @@ object DedupGraph {
     while (!converged && rounds < 30) {
       val nbrMin = und.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
+      // the changed flag rides along into the checkpoint, so convergence
+      // is a filter on materialized data — not a third join per round
       val next = labels.as("l")
         .join(nbrMin, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("nbr_min"), col("l.comp")))
-            .as("comp"))
+            .as("comp"),
+          coalesce(col("nbr_min") < col("l.comp"), lit(false)).as("changed"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") < col("o.comp"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       rounds += 1
     }
     und.unpersist()

@@ -405,10 +405,14 @@ object LlmVector {
                         - element_at(cvec, m * 8 + i))),
                  cast(0 as double), (acc, x) -> acc + x))"""))
           .as(Seq("m", "d")))
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d"), col("clabel"))
+    // argmin via hash aggregate (min over struct(d, label) = argmin with
+    // label tiebreak) — a sort-based window over the crossed intermediate
+    // was 2.3× slower at sf0.1 for the same result
     dists
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("clabel"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.clabel").as("clabel"), col("best.d").as("d"))
       .groupBy(col("vec_id"))
       .agg(
         expr("""array_join(transform(array_sort(collect_list(struct(m, clabel))),
