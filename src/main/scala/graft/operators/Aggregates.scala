@@ -160,6 +160,31 @@ object Aggregates {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** ClickHouse `sumMap` — SummingMergeTree's map-column semantics: per
+    * group, values are summed BY MAP KEY and the result is one map column
+    * (here per user: event_type → spend in cents). Money is fixed-point
+    * (`floor(value·100)` — floor, not cast: Spark's double→int cast
+    * truncates while DuckDB's rounds) so the sums are exact bigints. The
+    * map serializes to a canonical sorted `k:v` string at the comparison
+    * edge — same representational guard as agg_collect/fn_map.
+    *
+    * Scale notes: one partial-agg shuffle on (user, key) then a
+    * map-assembly agg on user — never a collect of raw rows into maps;
+    * per-group state is O(distinct keys), the SummingMergeTree invariant.
+    */
+  private def aggSumMap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("cents")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(expr("""array_join(transform(
+             array_sort(collect_list(struct(event_type, v))),
+             s -> concat(s.event_type, ':', s.v)), ',')""").as("spend_map"),
+        sum(col("v")).as("total_cents"))
+      .orderBy(col("user_id"))
+
   /** ClickHouse `simpleLinearRegression` / `corr` / `covarPop` — but
     * cross-engine deterministic: the five moments (n, Σx, Σy, Σxy, Σx²,
     * Σy²) are summed EXACTLY in decimal (products of 2dp fixture values
@@ -357,6 +382,15 @@ object Aggregates {
               FROM orders GROUP BY o_orderpriority, o_orderstatus
               ORDER BY o_orderpriority, o_orderstatus""")),
     QueryDef("agg_hash", flagship, Some(flagshipOracle)),
+    QueryDef("agg_sum_map", aggSumMap,
+      Some("""WITH c AS (SELECT user_id, event_type,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+                 FROM events GROUP BY user_id, event_type)
+              SELECT user_id,
+                string_agg(event_type || ':' || v, ',' ORDER BY event_type)
+                  AS spend_map,
+                CAST(SUM(v) AS BIGINT) AS total_cents
+              FROM c GROUP BY user_id ORDER BY user_id""")),
     QueryDef("agg_distinct_exact", aggDistinctExact,
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
                COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows

@@ -425,6 +425,35 @@ object LlmVector {
       .orderBy(col("vec_id"))
   }
 
+  /** Matryoshka truncation analysis (Kusupati et al. NeurIPS'22 MRL):
+    * before serving embeddings at a cheaper dimensionality, measure how
+    * much of each vector's energy (squared L2 norm) its 8/16/32-dim
+    * prefixes capture — the data-driven basis for storage tiering (e.g.
+    * keep 16 dims hot, 64 cold). Per-label averages expose whether any
+    * class concentrates information in late dimensions and would degrade
+    * under truncation.
+    *
+    * Scale notes: pure per-row HOF folds + one partial-agg shuffle on
+    * label. Energies fold sequentially (identical IEEE chain both
+    * engines) and the per-label means are exact decimal sums — no
+    * rounding anywhere at the edge.
+    */
+  private def vecMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    def energy(k: Int) = expr(
+      s"aggregate(slice(v, 1, $k), cast(0 as double), (acc, x) -> acc + x * x)")
+    e.select(col("label"),
+      (energy(8) / energy(64)).as("f8"),
+      (energy(16) / energy(64)).as("f16"),
+      (energy(32) / energy(64)).as("f32"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        Det.davg(col("f8")).as("avg_frac_8"),
+        Det.davg(col("f16")).as("avg_frac_16"),
+        Det.davg(col("f32")).as("avg_frac_32"))
+      .orderBy(col("label"))
+  }
+
   // ---- oracles ----
 
   private val oDot =
@@ -567,6 +596,28 @@ object LlmVector {
               SELECT vec_id, j AS dim, CAST(p AS DOUBLE) AS proj,
                 p > 0 AS srp_bit
               FROM t ORDER BY vec_id, dim""")),
+    QueryDef("vec_matryoshka", vecMatryoshka,
+      Some(s"""WITH e AS (SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              f AS (SELECT label,
+                 list_reduce(list_transform(v[1:8], x -> x * x),
+                   (a, b) -> a + b)
+                 / list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b) AS f8,
+                 list_reduce(list_transform(v[1:16], x -> x * x),
+                   (a, b) -> a + b)
+                 / list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b) AS f16,
+                 list_reduce(list_transform(v[1:32], x -> x * x),
+                   (a, b) -> a + b)
+                 / list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b) AS f32
+                 FROM e)
+              SELECT label, COUNT(*) AS n,
+                ${graft.Det.oAvg("f8")} AS avg_frac_8,
+                ${graft.Det.oAvg("f16")} AS avg_frac_16,
+                ${graft.Det.oAvg("f32")} AS avg_frac_32
+              FROM f GROUP BY label ORDER BY label""")),
     QueryDef("vec_pq", vecPq,
       Some(s"""WITH e AS (SELECT vec_id, label,
                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -171,6 +171,18 @@ class VectorTextSpec extends GraftSpec {
     }
   }
 
+  test("matryoshka energy fractions are monotone in prefix length") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("vec_matryoshka")(spark, sf)
+      .select("avg_frac_8", "avg_frac_16", "avg_frac_32")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (f8, f16, f32) =>
+      assert(f8 > 0 && f8 <= f16 && f16 <= f32 && f32 <= 1.0 + 1e-9,
+        s"($f8, $f16, $f32)")
+    }
+  }
+
   test("repetition signals are valid fractions and flags replay the rule") {
     import spark.implicits._
     val rows = SparkEntry.queries("text_repetition")(spark, sf)
