@@ -312,7 +312,65 @@ object Scans {
       .orderBy(col("event_type"))
   }
 
+  /** Atomic publish (ClickHouse `EXCHANGE TABLES` / lakehouse snapshot
+    * commit): each publish writes a COMPLETE new `v=N` dir, then flips a
+    * one-line `_CURRENT` manifest via atomic rename — readers resolve the
+    * manifest once and scan only that version, so they never observe a
+    * half-written table and a reader that resolved before a flip keeps
+    * its consistent snapshot (reader isolation, test-asserted). Two
+    * publishes run here (initial snapshot state, then the post-CDC-upsert
+    * state); the query reads through the manifest and must see exactly
+    * publish #2.
+    *
+    * Scale notes: the data write is the normal distributed sink; only the
+    * pointer flip is O(1) control-plane (a rename on the manifest file —
+    * the same commit primitive every table format reduces to). Old
+    * versions stay for time travel until the cdc-state-style GC drops
+    * them.
+    */
+  private[graft] def publishVersion(s: SparkSession, root: String,
+      df: DataFrame): Int = {
+    val cur = new java.io.File(s"$root/_CURRENT")
+    val n = if (cur.exists())
+      scala.io.Source.fromFile(cur).mkString.trim.toInt + 1 else 1
+    df.write.parquet(s"$root/v=$n")
+    val tmp = new java.io.File(s"$root/_CURRENT.tmp")
+    val w = new java.io.PrintWriter(tmp); w.print(n); w.close()
+    java.nio.file.Files.move(tmp.toPath, cur.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    n
+  }
+
+  private[graft] def readCurrent(s: SparkSession, root: String): DataFrame = {
+    val n = scala.io.Source.fromFile(s"$root/_CURRENT").mkString.trim.toInt
+    s.read.parquet(s"$root/v=$n")
+  }
+
+  private def sinkAtomicSwap(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("swap")
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    publishVersion(s, root, base) // v1: snapshot
+    val updated = base.withColumn("o_totalprice",
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+        .otherwise(col("o_totalprice")))
+    publishVersion(s, root, updated) // v2: post-upsert state
+    readCurrent(s, root)
+      .groupBy((col("o_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sink_atomic_swap", sinkAtomicSwap,
+      Some(s"""WITH u AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                      ELSE o_totalprice END AS o_totalprice
+                 FROM orders)
+              SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+                ${Det.oSum("o_totalprice")} AS sum_price
+              FROM u GROUP BY bucket ORDER BY bucket""")),
     QueryDef("sink_compact_files", sinkCompactFiles,
       Some(s"""SELECT event_type, CAST(1 AS BIGINT) AS n_files,
                COUNT(*) AS n_rows, ${Det.oSum("value")} AS sum_value

@@ -128,6 +128,28 @@ class StateMaintenanceSpec extends GraftSpec {
     assert(vs == Set("v=1", "v=2"), s"stale versions not collected: $vs")
   }
 
+  test("atomic swap: readers keep their snapshot across a publish") {
+    import spark.implicits._
+    import graft.operators.Scans.{publishVersion, readCurrent}
+    val root = graft.Scratch.dir("swaptest")
+    publishVersion(spark, root, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"))
+    // a reader resolves the manifest BEFORE the next publish
+    val snapshot = readCurrent(spark, root)
+    val before = snapshot.as[(Long, Double)].collect().sortBy(_._1)
+    publishVersion(spark, root, Seq((1L, 99.0)).toDF("k", "x"))
+    // the resolved snapshot is immutable — re-collecting the SAME plan
+    // must replay v1 even though _CURRENT now points at v2
+    val after = snapshot.as[(Long, Double)].collect().sortBy(_._1)
+    assert(before.sameElements(after), "snapshot changed under the reader")
+    assert(before.toSeq == Seq((1L, 10.0), (2L, 20.0)))
+    // a NEW reader sees exactly the new version
+    val fresh = readCurrent(spark, root).as[(Long, Double)].collect()
+    assert(fresh.toSeq == Seq((1L, 99.0)))
+    // the manifest is a single version pointer, never a partial state
+    val cur = scala.io.Source.fromFile(s"$root/_CURRENT").mkString.trim
+    assert(cur == "2")
+  }
+
   test("compaction rewrites only delta buckets; view equals merge-on-read") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_compact_test").toString
