@@ -113,6 +113,32 @@ object Joins {
       .orderBy(col("pid"))
   }
 
+  /** The NAIVE overlap join — `a.s < b.e AND b.s < a.e`, no equi key, the
+    * query a user actually writes — executed with
+    * [[graft.plans.IntervalJoinRewrite]] installed: the optimizer rule
+    * rewrites it into join_interval's bucketed equi-join plan
+    * transparently (asserted nested-loop-free in PlanShapeSpec). Session
+    * clone isolates the rule + bucket-width conf; results must equal the
+    * hand-bucketed operator (same oracle).
+    */
+  private def joinIntervalAuto(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    graft.plans.IntervalJoinRewrite.install(s)
+    s.conf.set(graft.plans.IntervalJoinRewrite.WidthConf, "3600000000")
+    val len = 3600000000L
+    def side(typ: String, idc: String, sc: String, ec: String) =
+      Tables.events(s, dir)
+        .filter(col("event_type") === typ)
+        .select(col("event_id").as(idc), unix_micros(col("ts")).as(sc))
+        .withColumn(ec, col(sc) + len)
+    val a = side("purchase", "pid", "s1", "e1")
+    val b = side("error", "xid", "s2", "e2")
+    a.join(b, col("s1") < col("e2") && col("s2") < col("e1"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("pid"))
+  }
+
   /** ASOF join: each purchase event matched to the latest strictly-prior
     * event of the same user (ClickHouse `ASOF JOIN` semantics).
     * Merge-join formulation: union probes+quotes, one sort per user,
@@ -496,6 +522,16 @@ object Joins {
                AND (h.valid_to IS NULL OR epoch_ms(l.l_shipdate) < h.valid_to)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("join_interval", joinInterval,
+      Some("""WITH p AS (SELECT event_id AS pid,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS s1 FROM events
+                 WHERE event_type = 'purchase'),
+               x AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS s2 FROM events
+                 WHERE event_type = 'error')
+              SELECT pid, COUNT(*) AS n_overlap
+              FROM p JOIN x ON s1 < s2 + 3600000000
+                           AND s2 < s1 + 3600000000
+              GROUP BY pid ORDER BY pid""")),
+    QueryDef("join_interval_auto", joinIntervalAuto,
       Some("""WITH p AS (SELECT event_id AS pid,
                  epoch_us(CAST(ts AS TIMESTAMP)) AS s1 FROM events
                  WHERE event_type = 'purchase'),

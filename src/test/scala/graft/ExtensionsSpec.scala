@@ -30,6 +30,36 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
       .size
   }
 
+  test("IntervalJoinRewrite equals the naive join on random intervals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // seeded pseudo-random intervals with varied lengths, incl. ties and
+    // boundary-touching pairs (strict < must exclude touching)
+    def mk(n: Int, salt: Long) = (0 until n).map { i =>
+      val s = ((i * 2654435761L + salt) % 10000 + 10000) % 10000
+      (i.toLong, s, s + 1 + (i * 7919 + salt) % 300)
+    }
+    val a = mk(200, 17).toDF("ida", "s1", "e1")
+    val b = mk(200, 923).toDF("idb", "s2", "e2")
+    val cond = col("s1") < col("e2") && col("s2") < col("e1")
+    val naive = a.join(b, cond)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val s2 = spark.newSession()
+    graft.plans.IntervalJoinRewrite.install(s2)
+    s2.conf.set(graft.plans.IntervalJoinRewrite.WidthConf, "128")
+    // rebuild the frames on the clone so the rule session owns the plans
+    val aa = s2.createDataFrame(mk(200, 17)).toDF("ida", "s1", "e1")
+    val bb = s2.createDataFrame(mk(200, 923)).toDF("idb", "s2", "e2")
+    val rewritten = aa.join(bb, col("s1") < col("e2") && col("s2") < col("e1"))
+    val rp = rewritten.queryExecution.executedPlan.toString
+    assert(!rp.contains("NestedLoopJoin") && !rp.contains("CartesianProduct"),
+      s"rule did not fire:\n${rp.take(600)}")
+    val got = rewritten.select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive,
+      s"mismatch: missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+  }
+
   test("CollapseRedundantRound removes the outer coarser round") {
     assert(rounds(
       "SELECT round(round(l_extendedprice, 2), 4) AS r FROM li_ext") == 1)

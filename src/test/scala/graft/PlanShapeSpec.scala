@@ -199,6 +199,32 @@ class PlanShapeSpec extends GraftSpec {
       s"expected an equi join on the bucket id:\n${p.take(800)}")
   }
 
+  test("IntervalJoinRewrite turns the naive overlap join into the bucketed plan") {
+    val p = plan("join_interval_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"rule did not fire — naive plan survived:\n${p.take(1200)}")
+    assert(p.contains("Generate"),
+      s"expected the bucket explode in the rewritten plan:\n${p.take(1200)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi join on the injected bucket id:\n${p.take(1200)}")
+    // and without the conf, the rule must stay dormant
+    val s = spark.newSession()
+    graft.plans.IntervalJoinRewrite.install(s)
+    import org.apache.spark.sql.functions._
+    val a = Tables.events(s, sf).filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("s1"))
+      .withColumn("e1", col("s1") + 100L)
+    val b = Tables.events(s, sf).filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("s2"))
+      .withColumn("e2", col("s2") + 100L)
+    val naive = a.join(b, col("s1") < col("e2") && col("s2") < col("e1"))
+    val np = naive.queryExecution.executedPlan.toString
+    assert(np.contains("BroadcastNestedLoopJoin") || np.contains("CartesianProduct"),
+      s"rule fired without its width conf:\n${np.take(600)}")
+  }
+
   test("dict_get_range probes a plan-literal rate card: one real join only") {
     val p = plan("dict_get_range")
     // the customer key join is real (broadcast); the ranged dictionary
