@@ -214,6 +214,44 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ClickHouse `welchTTest` — the A/B-testing aggregate: Welch's unequal-
+    * variance t statistic and Welch–Satterthwaite degrees of freedom
+    * comparing purchase vs view values. Same determinism scheme as
+    * agg_regression: counts and (value, value²) sums accumulate EXACTLY
+    * in decimal in ONE conditional-aggregation pass, then the closed
+    * forms run in double with an identical operation order on both
+    * engines. Full-precision doubles are safe through the decimal cast
+    * (a 17-significant-digit shortest representation can never sit on a
+    * 6dp midpoint — see Det).
+    */
+  private def aggTtest(s: SparkSession, dir: String): DataFrame = {
+    def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val v = col("value")
+    val isA = col("event_type") === "purchase"
+    val isB = col("event_type") === "view"
+    Tables.events(s, dir).filter(isA || isB)
+      .agg(
+        count(when(isA, 1)).cast("double").as("na"),
+        count(when(isB, 1)).cast("double").as("nb"),
+        m(when(isA, v)).as("sa"), m(when(isA, v * v)).as("qa"),
+        m(when(isB, v)).as("sb"), m(when(isB, v * v)).as("qb"))
+      .select({
+        val ma = col("sa") / col("na"); val mb = col("sb") / col("nb")
+        val va = (col("qa") - col("sa") * col("sa") / col("na")) /
+          (col("na") - 1)
+        val vb = (col("qb") - col("sb") * col("sb") / col("nb")) /
+          (col("nb") - 1)
+        val sea = va / col("na"); val seb = vb / col("nb")
+        val se2 = sea + seb
+        Seq(col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+          round((ma - mb) / sqrt(se2), 6).as("t_stat"),
+          round(se2 * se2 / (sea * sea / (col("na") - 1) +
+            seb * seb / (col("nb") - 1)), 6).as("df"))
+      }: _*)
+  }
+
   /** ClickHouse `skewPop` / `kurtPop` via the same exact-moment scheme
     * as agg_regression: Σx..Σx⁴ summed in decimal (l_quantity is
     * integer-valued ≤ 50, so q⁴ ≤ 6.25e6 is dyadic-exact), central
@@ -382,6 +420,31 @@ object Aggregates {
               FROM orders GROUP BY o_orderpriority, o_orderstatus
               ORDER BY o_orderpriority, o_orderstatus""")),
     QueryDef("agg_hash", flagship, Some(flagshipOracle)),
+    QueryDef("agg_ttest", aggTtest,
+      Some("""WITH m AS (SELECT
+                CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS DOUBLE) AS na,
+                CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS DOUBLE) AS nb,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS sa,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value * value AS DECIMAL(30,6)) END) AS DOUBLE) AS qa,
+                CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS sb,
+                CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value * value AS DECIMAL(30,6)) END) AS DOUBLE) AS qb
+                FROM events WHERE event_type IN ('purchase', 'view')),
+              f AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                (qa - sa * sa / na) / (na - 1) / na AS sea,
+                (qb - sb * sb / nb) / (nb - 1) / nb AS seb
+                FROM m)
+              SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+                round((sea + seb) * (sea + seb)
+                  / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
+              FROM f""")),
     QueryDef("agg_sum_map", aggSumMap,
       Some("""WITH c AS (SELECT user_id, event_type,
                  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v

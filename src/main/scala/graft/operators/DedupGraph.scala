@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -59,7 +60,10 @@ object DedupGraph {
       .select(col("id_a"), col("id_b"))
   }
 
-  private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+  /** The propagation loop itself, shared by dedup_cluster (reports the
+    * components) and dedup_canonical (uses them to pick survivors).
+    */
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
     // undirected: propagate labels both ways
     val und = e.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -88,9 +92,43 @@ object DedupGraph {
       rounds += 1
     }
     und.unpersist()
-    labels
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  private def dedupCluster(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  /** Quality-based survivor selection — the decision step a production
+    * dedup actually runs: within each near-dup cluster keep the HIGHEST
+    * QUALITY member (text_quality's score), not the smallest id. Min-id
+    * canonicalization (dedup_cluster) is the bookkeeping answer; a
+    * training pipeline wants the best copy of each duplicated document to
+    * survive. Tiebreak doc_id for determinism.
+    *
+    * Scale notes: labels are O(docs in blocks); the quality score is the
+    * map-side text_quality expression computed only for clustered docs;
+    * survivor choice is one window over clusters (bounded groups — a
+    * cluster is a near-dup set, not the corpus).
+    */
+  private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val en = Seq("the", "a", "of", "and", "to", "in")
+    val quality = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"),
+        round(
+          (size(filter(col("arr"), x => x.isin(en.map(lit): _*))).cast("double")
+            / size(col("arr"))) * 0.5 +
+            (size(array_distinct(col("arr"))).cast("double") / size(col("arr")))
+              * 0.5, 6).as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusterLabels(s, dir)
+      .join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -124,5 +162,45 @@ object DedupGraph {
               SELECT src AS doc_id, MIN(dst) AS cluster_id,
                 src = MIN(dst) AS is_canonical
               FROM reach GROUP BY src ORDER BY doc_id""")),
+    QueryDef("dedup_canonical", dedupCanonical,
+      Some("""WITH RECURSIVE
+              cand AS (SELECT doc_id,
+                list_distinct(string_split(text, ' ')) AS tokset
+                FROM documents WHERE doc_id % 10 = 0),
+              sizes AS (SELECT doc_id, len(tokset) AS sz FROM cand),
+              inv AS (SELECT doc_id, unnest(tokset) AS token FROM cand),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                COUNT(*) AS n_inter
+                FROM inv a JOIN inv b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+              pairs AS (SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(n_inter AS DOUBLE)
+                  / (sa.sz + sb.sz - n_inter) >= 0.8),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+              reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM cand
+                UNION
+                SELECT r.src, e.dst FROM reach r
+                JOIN edges e ON r.dst = e.src),
+              labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src),
+              q AS (SELECT doc_id,
+                round(CAST(len(list_filter(arr,
+                    x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                    / len(arr) * 0.5
+                  + CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) * 0.5,
+                  6) AS quality
+                FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                      FROM documents WHERE doc_id % 10 = 0) t),
+              j AS (SELECT l.doc_id, l.cluster_id, q.quality,
+                row_number() OVER (PARTITION BY l.cluster_id
+                  ORDER BY q.quality DESC, l.doc_id) AS rn
+                FROM labels l JOIN q ON l.doc_id = q.doc_id)
+              SELECT doc_id, cluster_id, quality, rn = 1 AS keep
+              FROM j ORDER BY doc_id""")),
   )
 }

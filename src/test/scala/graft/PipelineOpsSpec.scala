@@ -142,6 +142,45 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("dedup_canonical keeps exactly the best-quality member per cluster") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("dedup_canonical")(spark, sf)
+      .select("doc_id", "cluster_id", "quality", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $c: ${keepers.length} keepers")
+      val best = members.map(m => (-m._3, m._1)).min
+      assert((- keepers.head._3, keepers.head._1) == best,
+        s"cluster $c keeper is not argmax-quality")
+    }
+  }
+
+  test("agg_ttest matches an independent Welch computation") {
+    import spark.implicits._
+    val row = SparkEntry.queries("agg_ttest")(spark, sf)
+      .select("n_a", "n_b", "t_stat", "df")
+      .as[(Long, Long, Double, Double)].collect().head
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select("event_type", "value").as[(String, Double)].collect()
+    val a = vals.filter(_._1 == "purchase").map(_._2)
+    val b = vals.filter(_._1 == "view").map(_._2)
+    def stats(x: Array[Double]) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    val (ma, va) = stats(a); val (mb, vb) = stats(b)
+    val se2 = va / a.length + vb / b.length
+    val t = (ma - mb) / math.sqrt(se2)
+    val df = se2 * se2 / (math.pow(va / a.length, 2) / (a.length - 1) +
+      math.pow(vb / b.length, 2) / (b.length - 1))
+    assert(row._1 == a.length && row._2 == b.length)
+    assert(math.abs(row._3 - t) < 1e-4, s"t: ${row._3} vs $t")
+    assert(math.abs(row._4 - df) < 1e-2, s"df: ${row._4} vs $df")
+  }
+
   test("agg_state_merge: merged partial states equal the direct aggregate") {
     import spark.implicits._
     val merged = SparkEntry.queries("agg_state_merge")(spark, sf)
