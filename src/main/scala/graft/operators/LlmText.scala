@@ -432,10 +432,13 @@ object LlmText {
   private def decontamNgram(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
       .withColumn("t", toks(col("text")))
-      // same shingling (and same <3-token floor) as dedup_ngram_jaccard
+      // same shingling (and same <3-token floor) as dedup_ngram_jaccard;
+      // persisted: the train and eval branches would otherwise both
+      // re-tokenize the full corpus
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(1, greatest(size(t) - 2, 1)), i -> array_join(slice(t, i, 3), ' '))"))
         .as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = sh.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val ev = sh.filter(col("doc_id") % 97 === 0)
@@ -505,11 +508,14 @@ object LlmText {
     * degrades gracefully to a shuffle join on the shingle key.
     */
   private def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    // identical shingle plan to decontam_ngram → CacheManager shares the
+    // persisted data between the two operators (keyed on canonical plan)
     val sh = Tables.documents(s, dir)
       .withColumn("t", toks(col("text")))
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(1, greatest(size(t) - 2, 1)), i -> array_join(slice(t, i, 3), ' '))"))
         .as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val boiler = inv.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"))

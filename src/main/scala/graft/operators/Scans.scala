@@ -215,6 +215,38 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** ClickHouse skip-index analogue (bloom_filter + minmax granule
+    * pruning) at the parquet layer: the staged table is SORTED by the
+    * lookup key (→ tight per-row-group min/max stats = the minmax index)
+    * and written with a parquet bloom filter on that column (= the
+    * bloom_filter index). A point lookup then prunes at THREE levels
+    * before touching rows: Catalyst pushes the predicate to the scan
+    * (PushedFilters), parquet-mr drops row groups whose [min,max] miss,
+    * and the bloom filter rejects the rest without decoding pages. The
+    * pruning machinery is storage-level (inside parquet-mr); the
+    * plan-level pushdown is asserted in PlanShapeSpec.
+    *
+    * Scale notes: this is THE point-lookup answer on a 100 TB lake —
+    * sort-on-write concentrates each key into one row group out of
+    * millions, and bloom filters make negative lookups (the common case
+    * in CDC reconciliation) O(footer reads). Write cost is one sort,
+    * paid once, amortized over every probe.
+    */
+  private def scanBloomIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir("bloomidx")}/t"
+    Tables.orders(s, dir)
+      .sort(col("o_orderkey")) // minmax: tight row-group key ranges
+      .write
+      .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_orderkey", "100000")
+      .parquet(root)
+    val keys = Seq(1L, 7L, 1000L, 999999999L) // incl. a guaranteed miss
+    s.read.parquet(root)
+      .filter(col("o_orderkey").isin(keys: _*))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** TTL GROUP BY — ClickHouse's age-tiered rollup (`TTL ts + INTERVAL 14
     * DAY GROUP BY day, type SET value = sum(value)`): partitions older
     * than the retention window are REWRITTEN as one aggregated row per
@@ -382,6 +414,10 @@ object Scans {
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM e, m WHERE day >= mx - 14
               GROUP BY day ORDER BY day""")),
+    QueryDef("scan_bloom_index", scanBloomIndex,
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey IN (1, 7, 1000, 999999999)
+              ORDER BY o_orderkey""")),
     QueryDef("ttl_rollup", ttlRollup,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_type, value FROM events),

@@ -252,6 +252,14 @@ class PlanShapeSpec extends GraftSpec {
     assert(unrouted.contains("lineitem.parquet"), unrouted.take(500))
   }
 
+  test("scan_bloom_index pushes the point lookup into the parquet scan") {
+    val p = plan("scan_bloom_index")
+    val scanLine = p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scanLine.contains("In(o_orderkey"),
+      s"point-lookup predicate must reach the scan:\n$scanLine")
+  }
+
   test("ttl_expire survivor scan prunes on the day partition column") {
     val p = plan("ttl_expire")
     val scanLine = p.linesIterator
