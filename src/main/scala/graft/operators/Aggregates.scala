@@ -523,7 +523,104 @@ object Aggregates {
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")),
     QueryDef("agg_hll_merge", aggHllMerge, None),
+    QueryDef("agg_anova", aggAnova,
+      Some("""WITH g AS (SELECT event_type,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
+                CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS q
+                FROM events GROUP BY event_type),
+              tot AS (SELECT CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE)
+                  / SUM(n) AS gm FROM g),
+              parts AS (SELECT COUNT(*) AS k, SUM(n) AS nt,
+                CAST(SUM(CAST(n * (s / n - gm) * (s / n - gm)
+                  AS DECIMAL(30,6))) AS DOUBLE) AS ssb,
+                CAST(SUM(CAST(q - s * s / n AS DECIMAL(30,6))) AS DOUBLE)
+                  AS ssw
+                FROM g CROSS JOIN tot)
+              SELECT CAST(k AS INTEGER) AS k, CAST(nt AS BIGINT) AS n_total,
+                round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+                round((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS f_stat
+              FROM parts""")),
+    QueryDef("agg_corr_matrix", aggCorrMatrix,
+      Some { // deterministic corr from exact decimal moments, one pass
+        val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+          "l_discount" -> "d", "l_tax" -> "t")
+        def m(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
+        val singles = cols.map { case (c, a) =>
+          s"${m(c)} AS s_$a, ${m(s"$c * $c")} AS q_$a" }.mkString(",\n                ")
+        val crosses = cols.combinations(2).map { case Seq((ca, a), (cb, b)) =>
+          s"${m(s"$ca * $cb")} AS x_${a}_$b" }.mkString(",\n                ")
+        val rows = cols.combinations(2).map { case Seq((ca, a), (cb, b)) =>
+          s"""SELECT '${ca}~${cb}' AS pair,
+              round((n * x_${a}_$b - s_$a * s_$b)
+                / sqrt((n * q_$a - s_$a * s_$a) * (n * q_$b - s_$b * s_$b)),
+                6) AS corr FROM mom""" }.mkString("\n UNION ALL \n")
+        s"""WITH mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                $singles,
+                $crosses
+                FROM lineitem)
+            SELECT pair, corr FROM ($rows) ORDER BY pair"""
+      }),
   )
+
+  /** One-way ANOVA F over the five event-type groups on `value`
+    * (ClickHouse `analysisOfVariance`/`anova`). Same exact-moment scheme
+    * as agg_ttest: per-group count/Σx/Σx² accumulate in decimal in ONE
+    * grouped pass; SSB/SSW assemble from the 5-row group frame with the
+    * per-group double terms re-cast to decimal so the tiny final sum is
+    * also partition-order-independent. Shuffle volume is O(groups).
+    */
+  private def aggAnova(s: SparkSession, dir: String): DataFrame = {
+    def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val v = col("value")
+    val g = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        m(v).as("s"), m(v * v).as("q"))
+    val tot = g.agg((m(col("s")) / sum(col("n"))).as("gm"))
+    g.crossJoin(tot)
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        m(col("n") * (col("s") / col("n") - col("gm"))
+          * (col("s") / col("n") - col("gm"))).as("ssb"),
+        m(col("q") - col("s") * col("s") / col("n")).as("ssw"))
+      .select(col("k").cast("int").as("k"),
+        col("nt").cast("long").as("n_total"),
+        round(col("ssb"), 6).as("ss_between"),
+        round(col("ssw"), 6).as("ss_within"),
+        round((col("ssb") / (col("k") - 1))
+          / (col("ssw") / (col("nt") - col("k"))), 6).as("f_stat"))
+  }
+
+  /** Pairwise Pearson correlation matrix over lineitem's four numeric
+    * measures (ClickHouse `corrMatrix`) — all 15 moments (4 sums, 4
+    * squares, 6 cross products, count) accumulate exactly in decimal in
+    * ONE pass over the table, then the 6 closed-form corr values unpivot
+    * to rows. The built-in `corr()` would drift in the last ulp with
+    * partition order; this stays hash-stable. One scan, one reduce to a
+    * single row — no shuffle of data rows.
+    */
+  private def aggCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+      "l_discount" -> "d", "l_tax" -> "t")
+    val singles = cols.flatMap { case (c, a) =>
+      Seq(m(col(c)).as(s"s_$a"), m(col(c) * col(c)).as(s"q_$a")) }
+    val crosses = cols.combinations(2).toSeq.map { case Seq((ca, a), (cb, b)) =>
+      m(col(ca) * col(cb)).as(s"x_${a}_$b") }
+    val mom = Tables.lineitem(s, dir)
+      .agg(count(lit(1)).cast("double").as("n"),
+        (singles ++ crosses): _*)
+    val pairs = cols.combinations(2).toSeq.map { case Seq((ca, a), (cb, b)) =>
+      struct(lit(s"${ca}~${cb}").as("pair"),
+        round((col("n") * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+          / sqrt((col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a"))
+            * (col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b"))),
+          6).as("corr"))
+    }
+    mom.select(explode(array(pairs: _*)).as("r"))
+      .select(col("r.pair").as("pair"), col("r.corr").as("corr"))
+      .orderBy(col("pair"))
+  }
 
   /** Wide pivot (rows → columns): status counts per priority. Catalyst
     * rewrites pivot to a single conditional aggregation — one shuffle,

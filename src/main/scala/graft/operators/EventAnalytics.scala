@@ -198,6 +198,26 @@ object EventAnalytics {
                   / CAST(epoch(nh) - epoch(ph) AS DOUBLE) END, 6)
                 AS rev_interp
               FROM w ORDER BY h""")),
+    QueryDef("ts_downsample", tsDownsample,
+      Some(s"""WITH e AS (SELECT user_id, event_id, value,
+                CAST(ts AS TIMESTAMP) AS ts FROM events
+                WHERE event_type = 'purchase'),
+              b AS (SELECT user_id, event_id, value, ts,
+                TIMESTAMP '1970-01-01 00:00:00'
+                  + CAST(floor(epoch(ts) / 300) AS BIGINT) * 300
+                    * INTERVAL 1 SECOND AS bucket
+                FROM e),
+              w AS (SELECT user_id, bucket, value,
+                first_value(value) OVER pw AS open,
+                last_value(value) OVER pw AS close
+                FROM b WINDOW pw AS (PARTITION BY user_id, bucket
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+              SELECT user_id, bucket, COUNT(*) AS n_events,
+                MAX(open) AS open, MAX(value) AS high, MIN(value) AS low,
+                MAX(close) AS close,
+                round(${Det.oAvg("value")}, 6) AS avg_value
+              FROM w GROUP BY user_id, bucket ORDER BY user_id, bucket""")),
     QueryDef("sessionize_batch", sessionizeBatch,
       Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                 FROM events),
@@ -358,6 +378,32 @@ object EventAnalytics {
                   cast(element_at(xs, 1).value as double),
                   (acc, x) -> x.value * 0.1D + acc * 0.9D)""").as("ema"))
       .orderBy(col("user_id"))
+
+  /** Time-bucket downsample (ClickHouse `toStartOfInterval` + argMin/
+    * argMax rollup, the OHLC shape): purchase values per user per 5-min
+    * bucket — open/close via min_by/max_by on the unique (ts, event_id)
+    * order, high/low plain extrema (exact doubles), mean via exact
+    * decimal sum. Bucketing is integer epoch arithmetic, not
+    * `time_bucket`, so both engines floor to identical boundaries.
+    * Scale: one groupBy with map-side combine; shuffle volume is
+    * O(user × bucket), the downsampled size — this is the rollup that
+    * turns a raw 100 TB event log into a servable time series.
+    */
+  private def tsDownsample(s: SparkSession, dir: String): DataFrame = {
+    val key = struct(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("bucket", timestamp_seconds(
+        (unix_timestamp(col("ts")) / lit(300)).cast("long") * 300))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"),
+        round(Det.davg(col("value")), 6).as("avg_value"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
 
   /** Batch sessionization (the offline twin of `stream_session`): a new
     * session starts after a >30 min silence. Timestamp comparison stays in

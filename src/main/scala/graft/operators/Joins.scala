@@ -164,6 +164,40 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join WITH TOLERANCE (pandas merge_asof `tolerance=`, the kdb
+    * wj shape): each purchase matches the latest STRICTLY PRIOR view by
+    * the same user, but only if it happened within the last 15 minutes —
+    * otherwise NULL. Same union-tag + running-last formulation as
+    * join_asof (one shuffle on user_id, no range self-join); the carried
+    * value is a (ts, id) struct so the tolerance check is a map-side
+    * filter after the window, not a second join.
+    */
+  private def joinAsofTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"),
+        lit(null).cast("timestamp").as("qts"),
+        lit(null).cast("long").as("quote_id"),
+        col("ts"), col("user_id"), lit(1).as("is_probe"),
+        col("event_id").as("tb"))
+    val quotes = ev.filter(col("event_type") === "view")
+      .select(lit(null).cast("long").as("probe_id"),
+        col("ts").as("qts"), col("event_id").as("quote_id"),
+        col("ts"), col("user_id"), lit(0).as("is_probe"),
+        col("event_id").as("tb"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_probe").desc, col("tb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    probes.unionByName(quotes)
+      .withColumn("m", last(when(col("is_probe") === 0,
+        struct(col("qts"), col("quote_id"))), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("probe_id").as("event_id"),
+        when(col("m.qts") >= col("ts") - expr("INTERVAL 15 MINUTES"),
+          col("m.quote_id")).as("matched_id"))
+      .orderBy(col("event_id"))
+  }
+
   private def joinSemi(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
@@ -629,6 +663,17 @@ object Joins {
                 FROM u)
               SELECT probe_id AS event_id, matched_id
               FROM m WHERE is_probe = 1 ORDER BY event_id""")),
+    QueryDef("join_asof_tol", joinAsofTol,
+      Some("""SELECT p.event_id,
+                (SELECT q.event_id FROM events q
+                  WHERE q.user_id = p.user_id AND q.event_type = 'view'
+                    AND CAST(q.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+                    AND CAST(q.ts AS TIMESTAMP)
+                      >= CAST(p.ts AS TIMESTAMP) - INTERVAL 15 MINUTE
+                  ORDER BY CAST(q.ts AS TIMESTAMP) DESC, q.event_id DESC
+                  LIMIT 1) AS matched_id
+              FROM events p WHERE p.event_type = 'purchase'
+              ORDER BY p.event_id""")),
     QueryDef("join_semi", joinSemi,
       Some("""SELECT c_custkey, c_name FROM customer
               WHERE EXISTS (SELECT 1 FROM orders

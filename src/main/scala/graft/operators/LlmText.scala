@@ -106,6 +106,34 @@ object LlmText {
       .orderBy(col("doc_id"), col("token"))
   }
 
+  /** Unigram corpus language-model score (the KenLM-perplexity quality
+    * signal of CCNet/RedPajama, reduced to its deterministic unigram
+    * core): per-token log-probability ln(count/total) under the corpus's
+    * own unigram distribution, averaged per document. Low scorers are
+    * rare-token-heavy (gibberish/OCR noise); high scorers are stopword
+    * soup — both tails are what a quality cut removes.
+    *
+    * Scale notes: vocab (token→count) is one map-side-combined shuffle
+    * and is tiny relative to the corpus, so it joins back BROADCAST —
+    * the token stream itself never shuffles for the probability lookup;
+    * the per-doc average is a second map-side-combined agg on doc_id.
+    * Per-token ln terms sum exactly in decimal so the per-doc fold is
+    * partition-order-independent.
+    */
+  private def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("total"))
+    tok.join(broadcast(vocab), "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(Det.davg(log(col("c").cast("double") / col("total"))), 6)
+          .as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   private def textNgram(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("arr", toks(col("text")))
@@ -611,6 +639,16 @@ object LlmText {
                 round(tf.tf * ln(CAST(n_total AS DOUBLE) / df.df), 6) AS tfidf
               FROM tf JOIN df USING (token) CROSS JOIN n
               ORDER BY tf.doc_id, tf.token""")),
+    QueryDef("text_lm_score", textLmScore,
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+                FROM documents),
+              v AS (SELECT token, COUNT(*) AS c FROM t GROUP BY token),
+              n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM v)
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                round(CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / total)
+                    AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+              FROM t JOIN v USING (token) CROSS JOIN n
+              GROUP BY doc_id ORDER BY doc_id""")),
     QueryDef("text_ngram", textNgram,
       Some("""WITH t AS (SELECT doc_id,
                 unnest(string_split(text,' ')) AS tok,

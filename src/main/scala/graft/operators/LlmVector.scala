@@ -80,6 +80,30 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Radius search (the fixed-threshold complement of top-k ANN): for
+    * each probe (every 50th vec_id), ALL corpus neighbors with rounded
+    * cosine ≥ 0.30 — the retrieval primitive behind near-dup expansion
+    * and diversity filtering, where the neighbor COUNT is unknown a
+    * priori so top-k under-reports. Same scale shape as sim_topk: the
+    * bounded probe set broadcasts against the corpus, the big side never
+    * shuffles, and the fused native CosineSim expression runs the pair
+    * scoring in a single codegen'd pass. The threshold filter is
+    * map-side — output volume, not candidate volume, hits the shuffle.
+    */
+  private def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    cands.crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
+      .filter(col("cos_sim") >= 0.30)
+      .select(col("probe_id"), col("cand_id"), col("cos_sim"))
+      .orderBy(col("probe_id"), col("cand_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within label blocks
     * (threshold 0.35 ≈ the fixture's top-0.1% of pair similarity).
     */
@@ -326,6 +350,55 @@ object LlmVector {
       .orderBy(col("label"), col("assigned_label"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication = cluster the
+    * embedding space coarsely, then drop all but one member of each
+    * near-duplicate pair WITHIN a cluster — never across the corpus.
+    * Here the coarse step is the deterministic k-means assignment
+    * (exact per-label centroids as the codebook, same as
+    * vec_kmeans_assign) and the fine step is the 0.35-cosine pair cut
+    * with keep-lowest-id survivorship; a vector is dropped iff an
+    * earlier same-cluster member sits above the threshold.
+    *
+    * Scale notes: centroids broadcast (KB); the corpus shuffles ONCE on
+    * assigned cluster; the quadratic pair scan is confined to each
+    * cluster's partition (the SemDeDup trick — clusters bound the
+    * all-pairs blow-up), and the fused native CosineSim expression
+    * scores pairs in a single codegen'd pass.
+    */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.Det.davg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cvec"))
+      .withColumnRenamed("label", "clabel")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("clabel"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("v"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cluster"), col("embedding"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cluster").as("cluster_b"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val dropped = a
+      .join(b, col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+      .withColumn("cs", round(expr("cosine_sim_native(va, vb)"), 6))
+      .filter(col("cs") >= 0.35)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("hit", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("hit").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Sign-random-projection (SRP) dimensionality reduction (Charikar'02;
     * Achlioptas'01 database-friendly projections): 64-d float vectors
     * projected onto 8 ±1 hyperplanes whose signs are derived
@@ -492,6 +565,17 @@ object LlmVector {
                 FROM pairs)
               SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cos_sim
               FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
+    QueryDef("sim_range_search", simRangeSearch,
+      Some(s"""SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                round(${oDot.format("p.embedding", "c.embedding")}
+                  / (${oNorm("p.embedding")} * ${oNorm("c.embedding")}), 6)
+                  AS cos_sim
+              FROM embeddings p JOIN embeddings c
+                ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id
+              WHERE round(${oDot.format("p.embedding", "c.embedding")}
+                / (${oNorm("p.embedding")} * ${oNorm("c.embedding")}), 6)
+                >= 0.30
+              ORDER BY probe_id, cand_id""")),
     QueryDef("dedup_embed", dedupEmbed,
       Some(s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
                round(${oDot.format("a.embedding", "b.embedding")}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 analytics additions: ANOVA, correlation matrix, OHLC
+  * downsample, tolerance as-of join, unigram LM score, radius search —
+  * each checked against an independent driver-side recomputation on the
+  * sf0.001 fixture (the DuckDB oracle is the cross-engine gate; these
+  * pin the math itself).
+  */
+class AnalyticsOpsSpec extends GraftSpec {
+
+  test("agg_anova matches an independent one-way ANOVA") {
+    import spark.implicits._
+    val row = SparkEntry.queries("agg_anova")(spark, sf)
+      .select("k", "n_total", "f_stat")
+      .as[(Int, Long, Double)].collect().head
+    val vals = Tables.events(spark, sf)
+      .select("event_type", "value").as[(String, Double)].collect()
+    val groups = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = vals.length.toDouble
+    val grand = vals.map(_._2).sum / n
+    val ssb = groups.values.map { g =>
+      val m = g.sum / g.length; g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.map { g =>
+      val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum
+    }.sum
+    val f = (ssb / (groups.size - 1)) / (ssw / (n - groups.size))
+    assert(row._1 == groups.size && row._2 == vals.length)
+    assert(math.abs(row._3 - f) < 1e-3, s"F: ${row._3} vs $f")
+  }
+
+  test("agg_corr_matrix matches independent Pearson per pair") {
+    import spark.implicits._
+    val got = SparkEntry.queries("agg_corr_matrix")(spark, sf)
+      .as[(String, Double)].collect().toMap
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rows = Tables.lineitem(spark, sf).select(cols.map(col): _*)
+      .as[(Double, Double, Double, Double)].collect()
+      .map(t => Array(t._1, t._2, t._3, t._4))
+    def corr(i: Int, j: Int): Double = {
+      val n = rows.length.toDouble
+      val (x, y) = (rows.map(_(i)), rows.map(_(j)))
+      val (sx, sy) = (x.sum, y.sum)
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      (n * sxy - sx * sy) / math.sqrt(
+        (n * x.map(v => v * v).sum - sx * sx) *
+          (n * y.map(v => v * v).sum - sy * sy))
+    }
+    assert(got.size == 6)
+    for (i <- cols.indices; j <- cols.indices if i < j) {
+      val want = corr(i, j)
+      val g = got(s"${cols(i)}~${cols(j)}")
+      assert(math.abs(g - want) < 1e-4, s"${cols(i)}~${cols(j)}: $g vs $want")
+    }
+  }
+
+  test("ts_downsample OHLC equals a per-bucket sequential recompute") {
+    import spark.implicits._
+    val got = SparkEntry.queries("ts_downsample")(spark, sf)
+      .select("user_id", "bucket", "n_events", "open", "high", "low", "close")
+      .as[(Long, java.sql.Timestamp, Long, Double, Double, Double, Double)]
+      .collect()
+    assert(got.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    val byBucket = raw.groupBy(e => (e._1, e._2.getTime / 1000 / 300 * 300))
+    assert(got.length == byBucket.size)
+    got.foreach { case (uid, bucket, nEv, open, high, low, close) =>
+      val evs = byBucket((uid, bucket.getTime / 1000))
+        .sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+      assert(evs.length == nEv, s"($uid,$bucket) count")
+      assert(open == evs.head._4 && close == evs.last._4, s"($uid,$bucket) o/c")
+      assert(high == evs.map(_._4).max && low == evs.map(_._4).min)
+    }
+  }
+
+  test("join_asof_tol: latest prior view within 15 min, else null") {
+    import spark.implicits._
+    val got = SparkEntry.queries("join_asof_tol")(spark, sf)
+      .as[(Long, Option[Long])].collect().toMap
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts")
+      .as[(Long, Long, String, java.sql.Timestamp)].collect()
+    val views = evs.filter(_._3 == "view").groupBy(_._2)
+    val purchases = evs.filter(_._3 == "purchase")
+    assert(got.size == purchases.length)
+    purchases.foreach { case (pid, uid, _, pts) =>
+      val want = views.getOrElse(uid, Array.empty)
+        .filter(v => v._4.getTime < pts.getTime &&
+          v._4.getTime >= pts.getTime - 15 * 60 * 1000)
+        .sortBy(v => (-v._4.getTime, -v._1)).headOption.map(_._1)
+      assert(got(pid) == want, s"purchase $pid: ${got(pid)} vs $want")
+    }
+  }
+
+  test("text_lm_score: rare-token docs score below stopword-soup docs") {
+    import spark.implicits._
+    val scores = SparkEntry.queries("text_lm_score")(spark, sf)
+      .select("doc_id", "n_tokens", "lm_score")
+      .as[(Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(scores.length == docs.size)
+    // independent recompute of the corpus unigram model
+    val counts = docs.values.flatMap(_.split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum.toDouble
+    scores.foreach { case (id, nTok, score) =>
+      val toks = docs(id).split(" ")
+      assert(toks.length == nTok)
+      val want = toks.map(t => math.log(counts(t) / total)).sum / toks.length
+      assert(math.abs(score - want) < 1e-4, s"doc $id: $score vs $want")
+      assert(score < 0)
+    }
+  }
+
+  test("sim_range_search equals brute force for every probe") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_range_search")(spark, sf)
+      .select("probe_id", "cand_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = for {
+      (pid, pv) <- embs if pid % 50 == 0
+      (cid, cv) <- embs if cid != pid
+      s = BigDecimal(cos(pv, cv)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s >= 0.30
+    } yield (pid, cid) -> s
+    assert(got.keySet == want.map(_._1).toSet,
+      s"pair set: ${got.size} vs ${want.size}")
+    want.foreach { case (k, s) =>
+      assert(math.abs(got(k) - s) < 2e-6, s"$k: ${got(k)} vs $s")
+    }
+  }
+}
