@@ -153,6 +153,21 @@ object Fns {
           .as("seg_roundtrip"))
       .orderBy(col("c_custkey"))
 
+  /** Hash family (ClickHouse MD5/SHA256/sipHash-class surface): the
+    * digests every dedup/bucketing path keys on, as codegen'd built-ins
+    * over customer names — md5 hex, sha256 hex, and the first 8 digest
+    * bytes reinterpreted as an unsigned-ish bucket id (the
+    * content-addressed shard key pattern). Map-side only.
+    */
+  private def fnHash(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("name_md5"),
+        sha2(col("c_name").cast("binary"), 256).as("name_sha256"),
+        (conv(substring(md5(col("c_name").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 1024).as("md5_bucket"))
+      .orderBy(col("c_custkey"))
+
   /** URL family (ClickHouse URL functions: domain/path/
     * extractURLParameter/cutQueryStringAndFragment): parse a URL built
     * deterministically from fixture columns, extract components with
@@ -245,6 +260,13 @@ object Fns {
                  || '.0.0' AS subnet16,
                CAST(NULL AS BIGINT) AS bad_is_null
               FROM num ORDER BY user_id""")),
+    QueryDef("fn_hash", fnHash,
+      Some("""SELECT c_custkey,
+                md5(c_name) AS name_md5,
+                lower(sha256(c_name)) AS name_sha256,
+                CAST(CAST('0x' || substr(md5(c_name), 1, 8) AS BIGINT) % 1024
+                  AS BIGINT) AS md5_bucket
+              FROM customer ORDER BY c_custkey""")),
     QueryDef("fn_encode", fnEncode,
       Some("""SELECT c_custkey,
                to_base64(ENCODE(c_name)) AS name_b64,

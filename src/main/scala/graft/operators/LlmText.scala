@@ -478,6 +478,83 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring decontamination (the GPT-2/OpenWebText protocol,
+    * complementing decontam_ngram's shingle overlap): each held-out eval
+    * doc contributes its leading 3-token string as a needle; any train
+    * doc CONTAINING that needle verbatim is contamination. Per eval
+    * needle: how many train docs it taints (0 = clean).
+    *
+    * Scale notes: the needle set is the eval benchmark — thousands of
+    * rows, KBs — so it broadcasts and the contains() probe is a
+    * map-side scan of the corpus (one pass, zero shuffle of train
+    * text); the per-eval tallies shuffle only eval-set-sized counts.
+    */
+  private def decontamExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ev = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"),
+        array_join(slice(toks(col("text")), 1, 3), " ").as("needle"))
+    val hits = docs.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(ev), col("text").contains(col("needle")))
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n"))
+    ev.join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("needle"),
+        coalesce(col("n"), lit(0L)).as("n_train_hits"))
+      .orderBy(col("eval_id"))
+  }
+
+  /** Temperature-scaled mixture resampling (multilingual-LM sampling,
+    * α = 0.5): per-source target share ∝ √count renormalized — upsamples
+    * the tail, downsamples the head relative to natural frequency. The
+    * overall budget is 20% of the corpus; each source keeps
+    * min(n, ⌊share·budget⌋) docs. √ is IEEE-correctly-rounded (unlike
+    * pow), each √n is 6dp-rounded into an exact decimal sum, and shares
+    * are 6dp-rounded before the floor, so both engines floor the same
+    * value (boundary risk only if share·budget lands exactly on an
+    * integer at 6dp — not the case for these fixtures, same residual
+    * class as Det.dsum).
+    *
+    * Scale notes: one count-by-source shuffle (O(sources) rows); the
+    * actual document draw (not materialized here) is the
+    * sample_stratified md5-rank filter with these quotas — map-side.
+    */
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(
+      sum(sqrt(col("n")).cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+        .cast("double").as("sw"),
+      sum(col("n")).as("nt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        round(sqrt(col("n")) / col("sw"), 6).as("share"),
+        least(col("n"),
+          floor(round(sqrt(col("n")) / col("sw"), 6)
+            * floor(col("nt") * 0.2)).cast("long")).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Prefix-duplicate detection (the URL/boilerplate-header dup shape:
+    * crawls re-serve the same page with a mutated tail): docs sharing an
+    * identical 8-token prefix collapse to the lowest doc_id. Same
+    * digest-groupBy-keep-first shape as dedup_exact_hash — one shuffle
+    * on the prefix digest, map-side combined; at 100 TB the digest is
+    * the shuffle key so payload text never moves twice.
+    */
+  private def dedupPrefix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        sha2(array_join(slice(toks(col("text")), 1, 8), " "), 256)
+          .as("digest"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(
+        Window.partitionBy(col("digest"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("digest"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
     * quality-filter family that catches degenerate/boilerplate text by
     * how much of it repeats — fraction of duplicate bigrams/trigrams and
@@ -676,6 +753,39 @@ object LlmText {
                round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
                  AS chars_per_ws_token
               FROM documents ORDER BY doc_id""")),
+    QueryDef("decontam_exact", decontamExact,
+      Some("""WITH ev AS (SELECT doc_id AS eval_id,
+                array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+                  AS needle
+                FROM documents WHERE doc_id % 97 = 0),
+              h AS (SELECT eval_id, COUNT(*) AS n
+                FROM documents d JOIN ev
+                  ON d.doc_id % 97 <> 0 AND contains(d.text, ev.needle)
+                GROUP BY eval_id)
+              SELECT eval_id, needle, COALESCE(n, 0) AS n_train_hits
+              FROM ev LEFT JOIN h USING (eval_id) ORDER BY eval_id""")),
+    QueryDef("sample_temperature", sampleTemperature,
+      Some("""WITH per AS (SELECT source, COUNT(*) AS n FROM documents
+                GROUP BY source),
+              tot AS (SELECT
+                CAST(SUM(CAST(sqrt(n) AS DECIMAL(30,6))) AS DOUBLE) AS sw,
+                SUM(n) AS nt FROM per)
+              SELECT source, n AS n_docs,
+                round(sqrt(n) / sw, 6) AS share,
+                LEAST(n, CAST(floor(round(sqrt(n) / sw, 6)
+                  * floor(nt * 0.2)) AS BIGINT)) AS n_kept
+              FROM per CROSS JOIN tot ORDER BY source""")),
+    QueryDef("dedup_prefix", dedupPrefix,
+      Some("""WITH t AS (SELECT doc_id,
+                sha256(array_to_string(
+                  list_slice(string_split(text, ' '), 1, 8), ' ')) AS digest
+                FROM documents),
+              r AS (SELECT doc_id, digest,
+                row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY digest) AS n_copies
+                FROM t)
+              SELECT doc_id, digest, n_copies FROM r WHERE rn = 1
+              ORDER BY doc_id""")),
     QueryDef("dedup_exact_hash", dedupExactHash,
       Some("""WITH t AS (SELECT doc_id, sha256(lower(trim(text))) AS digest
                 FROM documents),

@@ -665,6 +665,35 @@ object LlmVector {
               SELECT label, clabel AS assigned_label, COUNT(*) AS n
               FROM a WHERE rn = 1
               GROUP BY label, clabel ORDER BY label, assigned_label""")),
+    QueryDef("dedup_semantic", dedupSemantic,
+      Some(s"""WITH e AS (SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ex AS (SELECT label, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS pos FROM e),
+              cm AS (SELECT label AS clabel, pos, ${graft.Det.oAvg("x")} AS m
+                 FROM ex GROUP BY label, pos),
+              c AS (SELECT clabel, list(m ORDER BY pos) AS cv
+                 FROM cm GROUP BY clabel),
+              sc AS (SELECT e.vec_id, c.clabel,
+                 round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
+                 FROM e CROSS JOIN c),
+              a AS (SELECT vec_id, clabel,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, clabel) AS rn
+                 FROM sc),
+              asg AS (SELECT a.vec_id, a.clabel AS cluster, e.v
+                 FROM a JOIN e USING (vec_id) WHERE rn = 1),
+              drp AS (SELECT DISTINCT y.vec_id FROM asg x JOIN asg y
+                 ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 WHERE round(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.35)
+              SELECT asg.vec_id, asg.cluster,
+                (drp.vec_id IS NULL) AS keep
+              FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
+              ORDER BY asg.vec_id""")),
     QueryDef("vec_rp_project", vecRpProject,
       Some("""WITH e AS (SELECT vec_id,
                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -118,6 +118,107 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("dedup_semantic: keep set equals brute-force SemDeDup per cluster") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sf)
+      .select("vec_id", "cluster", "keep")
+      .as[(Long, Int, Boolean)].collect()
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    assert(rows.length == embs.size)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val ids = members.map(_._1).sorted
+      val kept = members.filter(_._3).map(_._1).toSet
+      // brute-force survivorship in id order within the cluster
+      ids.foreach { id =>
+        val dup = ids.filter(_ < id)
+          .exists(e => r6(cos(embs(e), embs(id))) >= 0.35)
+        assert(kept.contains(id) == !dup, s"cluster $c vec $id")
+      }
+    }
+    // something must actually be dropped for the op to mean anything
+    assert(rows.exists(!_._3), "no near-duplicates dropped")
+  }
+
+  test("decontam_exact matches an independent substring scan") {
+    import spark.implicits._
+    val got = SparkEntry.queries("decontam_exact")(spark, sf)
+      .as[(Long, String, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val evals = docs.filter(_._1 % 97 == 0)
+    assert(got.length == evals.length)
+    got.foreach { case (eid, needle, n) =>
+      val text = docs.find(_._1 == eid).get._2
+      assert(needle == text.split(" ").take(3).mkString(" "))
+      val want = docs.count { case (id, t) =>
+        id % 97 != 0 && t.contains(needle)
+      }
+      assert(n == want, s"eval $eid: $n vs $want")
+    }
+  }
+
+  test("sample_temperature: shares flatten the source distribution") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_temperature")(spark, sf)
+      .as[(String, Long, Double, Long)].collect()
+    val nTotal = rows.map(_._2).sum
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares sum to 1")
+    rows.foreach { case (src, n, share, kept) =>
+      assert(kept <= n, src)
+      val want = math.min(n,
+        math.floor(share * math.floor(nTotal * 0.2)).toLong)
+      assert(kept == want, s"$src: $kept vs $want")
+    }
+    // temperature flattens: kept share of a big source < its natural share
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    assert(big._4.toDouble / big._2 <= small._4.toDouble / small._2 + 1e-9,
+      "head not downsampled relative to tail")
+  }
+
+  test("dedup_prefix groups exactly by 8-token prefix, keeps first") {
+    import spark.implicits._
+    val got = SparkEntry.queries("dedup_prefix")(spark, sf)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val groups = docs.groupBy(_._2.split(" ").take(8).mkString(" "))
+    assert(got.size == groups.size)
+    groups.values.foreach { ms =>
+      val ids = ms.map(_._1).sorted
+      assert(got.get(ids.head).contains(ids.length.toLong),
+        s"group of ${ids.head}")
+      ids.tail.foreach(id => assert(!got.contains(id), s"dup $id survived"))
+    }
+  }
+
+  test("fn_hash digests match java.security.MessageDigest") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("fn_hash")(spark, sf)
+      .as[(Long, String, String, Long)].collect()
+    val names = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name").as[(Long, String)].collect().toMap
+    def hex(alg: String, s: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (k, m, sh, bucket) =>
+      assert(m == hex("MD5", names(k)))
+      assert(sh == hex("SHA-256", names(k)))
+      assert(bucket == java.lang.Long.parseLong(m.take(8), 16) % 1024)
+    }
+  }
+
   test("sim_range_search equals brute force for every probe") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_range_search")(spark, sf)
