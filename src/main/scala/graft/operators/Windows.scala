@@ -95,6 +95,30 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Running DISTINCT count (ClickHouse `uniqState` merged over an
+    * ORDER BY window — e.g. "how many distinct event types has this user
+    * touched so far"). COUNT(DISTINCT) isn't a window function in either
+    * engine, so it runs as the first-seen-flag decomposition: row_number
+    * over (user, event_type) marks each type's first occurrence, and a
+    * running SUM of the flag over the user's timeline gives the
+    * cumulative distinct count. Two window passes sharing one user_id
+    * clustering — a single shuffle, no quadratic rescans.
+    */
+  private def winRunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("first_seen",
+        when(row_number().over(firstSeen) === 1, 1).otherwise(0))
+      .withColumn("n_distinct_types", sum(col("first_seen")).over(timeline))
+      .select(col("user_id"), col("event_id"), col("n_distinct_types"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** 7-row moving average over the daily revenue series (one row per day,
     * so rows-frame == 7-day window).
     */
@@ -221,6 +245,20 @@ object Windows {
                 ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               ORDER BY o_custkey, o_orderkey""")),
+    QueryDef("win_running_distinct", winRunningDistinct,
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                CAST(ts AS TIMESTAMP) AS ts FROM events),
+              f AS (SELECT user_id, event_id, ts,
+                CASE WHEN row_number() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+                FROM e)
+              SELECT user_id, event_id,
+                CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_distinct_types
+              FROM f ORDER BY user_id, event_id""")),
     QueryDef("win_moving", winMoving,
       Some("""WITH daily AS (
                 SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,

@@ -219,6 +219,45 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("win_running_distinct equals a sequential seen-set scan") {
+    import spark.implicits._
+    val got = SparkEntry.queries("win_running_distinct")(spark, sf)
+      .select("event_id", "n_distinct_types")
+      .as[(Long, Long)].collect().toMap
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts")
+      .as[(Long, Long, String, java.sql.Timestamp)].collect()
+    assert(got.size == evs.length)
+    evs.groupBy(_._1).values.foreach { es =>
+      val seen = scala.collection.mutable.Set[String]()
+      es.sortBy(e => (e._4.getTime, e._4.getNanos, e._2)).foreach { e =>
+        seen += e._3
+        assert(got(e._2) == seen.size, s"event ${e._2}")
+      }
+    }
+  }
+
+  test("fn_retention_matrix: triangle counts match a direct recompute") {
+    import spark.implicits._
+    val got = SparkEntry.queries("fn_retention_matrix")(spark, sf)
+      .as[(java.sql.Timestamp, Int, Long)].collect()
+      .map(r => (r._1.getTime, r._2) -> r._3).toMap
+    val dayMs = 24L * 3600 * 1000
+    val e = Tables.events(spark, sf)
+      .select("user_id", "ts").as[(Long, java.sql.Timestamp)].collect()
+      .map { case (u, t) => (u, t.getTime / dayMs * dayMs) }.distinct
+    val cohort = e.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = e.map { case (u, d) =>
+      (cohort(u), ((d - cohort(u)) / dayMs).toInt) -> u
+    }.filter(_._1._2 <= 7).groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(got == want)
+    // offset 0 row of each cohort counts the whole cohort
+    cohort.values.toSeq.distinct.foreach { d =>
+      assert(got((d, 0)) == cohort.count(_._2 == d).toLong)
+    }
+  }
+
   test("sim_range_search equals brute force for every probe") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_range_search")(spark, sf)

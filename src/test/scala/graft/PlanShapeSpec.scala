@@ -269,6 +269,26 @@ class PlanShapeSpec extends GraftSpec {
       "day must prune partitions, not filter rows")
   }
 
+  test("sim_range_search broadcasts the probe set (corpus never shuffles)") {
+    val p = plan("sim_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join")
+  }
+
+  test("text_lm_score joins the vocab broadcast, not by shuffle") {
+    val p = plan("text_lm_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "vocab lookup must not shuffle the token stream")
+  }
+
+  test("join_asof_tol is the union+window plan — no join operator at all") {
+    val p = plan("join_asof_tol")
+    assert(!p.contains("Join"), p.take(600))
+    assert(p.contains("Window"), "missing running-last window")
+  }
+
   test("AQE re-plans at runtime: post-shuffle partitions coalesce") {
     val df = SparkEntry.queries("agg_hash")(spark, sf)
     df.collect() // materialize so the adaptive plan finalizes
