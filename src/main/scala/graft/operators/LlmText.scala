@@ -534,6 +534,52 @@ object LlmText {
       .orderBy(col("source"))
   }
 
+  /** One BPE training step (Sennrich et al. 2016): count adjacent
+    * character pairs across the corpus vocabulary, weighted by word
+    * frequency — the argmax pair is the next merge a byte-pair-encoding
+    * tokenizer would learn. The full train loop is this step iterated
+    * driver-side with the merged symbol substituted; the heavy lifting
+    * (the corpus-wide pair count) is what has to scale, and it is the
+    * classic two-level rollup: word frequencies first (map-side
+    * combined), then pairs exploded from the DISTINCT vocab — O(vocab)
+    * rows, not O(corpus) — so 100 TB of text reduces to a vocabulary
+    * before any per-character work happens.
+    */
+  private def tokBpeStep(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    vocab
+      // single-char words carry no pair; the filter also guards Spark's
+      // sequence(1, 0), which counts DOWN rather than returning empty
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+             i -> substring(word, i, 2))"""))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** Content-addressed dataset fingerprint (the reproducibility primitive
+    * a training-data pipeline version-pins mixtures with): per source,
+    * an ORDER-INDEPENDENT digest = exact decimal sum of each doc's
+    * 60-bit sha256 prefix. Any added/removed/edited doc changes the
+    * fingerprint; partition order, shuffle plan, and engine cannot.
+    * Map-side hash + one O(sources) shuffle — fingerprinting is scan
+    * speed at any scale, and per-source digests compose into a manifest
+    * (sink_atomic_swap's natural companion).
+    */
+  private def datasetFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        conv(substring(sha2(col("text").cast("binary"), 256), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("fingerprint"))
+      .orderBy(col("source"))
+
   /** Prefix-duplicate detection (the URL/boilerplate-header dup shape:
     * crawls re-serve the same page with a mutated tail): docs sharing an
     * identical 8-token prefix collapse to the lowest doc_id. Same
@@ -753,6 +799,20 @@ object LlmText {
                round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
                  AS chars_per_ws_token
               FROM documents ORDER BY doc_id""")),
+    QueryDef("tok_bpe_step", tokBpeStep,
+      Some("""WITH v AS (SELECT word, COUNT(*) AS freq FROM (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents) GROUP BY word),
+              p AS (SELECT freq, unnest(list_transform(
+                  range(1, length(word)), i -> substr(word, i, 2))) AS pair
+                FROM v WHERE length(word) >= 2)
+              SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+              FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+    QueryDef("dataset_fingerprint", datasetFingerprint,
+      Some("""SELECT source, COUNT(*) AS n_docs,
+                SUM(CAST(CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT)
+                  AS DECIMAL(38,0))) AS fingerprint
+              FROM documents GROUP BY source ORDER BY source""")),
     QueryDef("decontam_exact", decontamExact,
       Some("""WITH ev AS (SELECT doc_id AS eval_id,
                 array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')

@@ -350,6 +350,34 @@ object LlmVector {
       .orderBy(col("label"), col("assigned_label"))
   }
 
+  /** Hard-negative mining (the contrastive-training companion of
+    * sim_topk): for each probe, the top-3 most similar vectors with a
+    * DIFFERENT label — the near-miss impostors an embedding model
+    * trains against (triplet/InfoNCE negatives). Identical scale shape
+    * to sim_topk — bounded probe set broadcast, corpus never shuffles,
+    * fused native cosine — plus a map-side label-inequality filter that
+    * shrinks the ranked set before the window.
+    */
+  private def simHardNegative(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("pv"))
+    val cands = e.select(col("vec_id").as("cand_id"),
+      col("label").as("cand_label"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    cands.crossJoin(broadcast(probes))
+      .filter(col("cand_label") =!= col("probe_label"))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("rnk"), col("cand_id"),
+        col("cand_label"), col("cos_sim"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication = cluster the
     * embedding space coarsely, then drop all but one member of each
     * near-duplicate pair WITHIN a cluster — never across the corpus.
@@ -665,6 +693,22 @@ object LlmVector {
               SELECT label, clabel AS assigned_label, COUNT(*) AS n
               FROM a WHERE rn = 1
               GROUP BY label, clabel ORDER BY label, assigned_label""")),
+    QueryDef("sim_hard_negative", simHardNegative,
+      Some(s"""WITH pairs AS (
+                SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                  c.label AS cand_label,
+                  round(${oDot.format("p.embedding", "c.embedding")}
+                    / (${oNorm("p.embedding")} * ${oNorm("c.embedding")}), 6)
+                    AS cos_sim
+                FROM embeddings p JOIN embeddings c
+                  ON p.vec_id % 50 = 0 AND c.label <> p.label),
+              ranked AS (SELECT probe_id, cand_id, cand_label, cos_sim,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cos_sim DESC, cand_id) AS rnk
+                FROM pairs)
+              SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id,
+                cand_label, cos_sim
+              FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""")),
     QueryDef("dedup_semantic", dedupSemantic,
       Some(s"""WITH e AS (SELECT vec_id, label,
                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

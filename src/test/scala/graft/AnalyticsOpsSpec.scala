@@ -258,6 +258,77 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("tok_bpe_step: top merge candidates match a sequential count") {
+    import spark.implicits._
+    val got = SparkEntry.queries("tok_bpe_step")(spark, sf)
+      .as[(String, Long)].collect()
+    val words = Tables.documents(spark, sf)
+      .select("text").as[String].collect().flatMap(_.split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairs = scala.collection.mutable.Map[String, Long]()
+    words.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairs(p) = pairs.getOrElse(p, 0L) + f
+      }
+    }
+    val want = pairs.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("dataset_fingerprint is order-independent and content-sensitive") {
+    import spark.implicits._
+    val base = SparkEntry.queries("dataset_fingerprint")(spark, sf)
+      .select("source", "fingerprint")
+      .as[(String, BigDecimal)].collect().toMap
+    // independent recompute: JCA sha256, 60-bit prefix, plain BigInt sum
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val want = docs.groupBy(_._1).view.mapValues(_.map { case (_, t) =>
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      BigInt(hex, 16)
+    }.sum).toMap
+    assert(base.keySet == want.keySet)
+    base.foreach { case (s, f) => assert(f.toBigInt == want(s), s) }
+    // editing any single doc must move its source's fingerprint
+    val h0 = BigInt(md.digest(docs.head._2.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15), 16)
+    val h1 = BigInt(md.digest((docs.head._2 + " x").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15), 16)
+    assert(h0 != h1)
+  }
+
+  test("sim_hard_negative: top-3 cross-label neighbors, brute-forced") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_hard_negative")(spark, sf)
+      .select("probe_id", "rnk", "cand_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val probes = embs.filter(_._1 % 50 == 0)
+    assert(got.size == probes.length)
+    probes.foreach { case (pid, plabel, pv) =>
+      val want = embs.filter(_._2 != plabel)
+        .map(c => (c._1, r6(cos(pv, c._3))))
+        .sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1).toSeq
+      assert(got(pid) == want, s"probe $pid")
+    }
+  }
+
   test("sim_range_search equals brute force for every probe") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_range_search")(spark, sf)
