@@ -90,6 +90,81 @@ object EventAnalytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** ClickHouse `deltaSum`: the sum of POSITIVE deltas in an ordered
+    * series (odometer-style counters that occasionally reset — only the
+    * climbs count). Per-user purchase values in (ts, event_id) order;
+    * the diff is a lag window, the positive-part sum is exact decimal.
+    * One shuffle on user_id; the recursion-free formulation means no
+    * per-key sequential fold is needed.
+    */
+  private def aggDeltaSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(Det.dsum(when(col("value") > col("prev"),
+          col("value") - col("prev")).otherwise(lit(0.0))), 6)
+          .as("delta_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ClickHouse `maxIntersections`: the maximum number of concurrently
+    * open intervals — here each event opens a half-open 30-min activity
+    * interval [ts, ts+30m). The classic sweep: +1/−1 deltas NETTED PER
+    * TIMESTAMP first (which makes tie order irrelevant — ends at t
+    * cancel starts at t before the running sum ever sees them, the
+    * half-open convention), then a running sum per user, then max.
+    * Scale: O(2·events) sweep points, one user_id clustering shared by
+    * the window and the final rollup.
+    */
+  private def aggMaxIntersections(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+    val pts = e.select(col("user_id"), col("ts").as("t"), lit(1).as("d"))
+      .unionByName(e.select(col("user_id"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"), lit(-1).as("d")))
+      .groupBy(col("user_id"), col("t"))
+      .agg(sum(col("d")).as("net"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("active", sum(col("net")).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("active")).cast("int").as("max_concurrent"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ClickHouse `intervalLengthSum`: total time covered by the UNION of
+    * (overlapping) intervals — the user's true active time, double-count
+    * free. Same netted sweep as maxIntersections; a segment between
+    * consecutive sweep points counts iff the running active count is
+    * positive on its left edge. All arithmetic is exact integer millis.
+    */
+  private def aggIntervalLengthSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val pts = e.select(col("user_id"),
+        unix_millis(col("ts")).as("t"), lit(1).as("d"))
+      .unionByName(e.select(col("user_id"),
+        (unix_millis(col("ts")) + lit(1800000L)).as("t"), lit(-1).as("d")))
+      .groupBy(col("user_id"), col("t"))
+      .agg(sum(col("d")).as("net"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nxt = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    pts
+      .withColumn("active", sum(col("net")).over(run))
+      .withColumn("seg", when(col("active") > 0,
+        lead(col("t"), 1).over(nxt) - col("t")).otherwise(lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(sum(col("seg")).as("covered_ms"))
+      .orderBy(col("user_id"))
+  }
+
   /** ClickHouse quantileTDigest analogue: percentile_approx sketch —
     * no oracle (approx); ScalaTest bounds it against the exact quantile.
     */
@@ -141,6 +216,50 @@ object EventAnalytics {
                 CAST(SUM(r1) AS BIGINT) AS n_day1,
                 CAST(SUM(r7) AS BIGINT) AS n_week1
               FROM f GROUP BY cohort_day ORDER BY cohort_day""")),
+    QueryDef("agg_delta_sum", aggDeltaSum,
+      Some(s"""WITH e AS (SELECT user_id, event_id, value,
+                CAST(ts AS TIMESTAMP) AS ts FROM events
+                WHERE event_type = 'purchase'),
+              d AS (SELECT user_id, value,
+                lag(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev
+                FROM e)
+              SELECT user_id, COUNT(*) AS n,
+                round(${Det.oSum(
+                  "CASE WHEN value > prev THEN value - prev ELSE 0.0 END")}, 6)
+                  AS delta_sum
+              FROM d GROUP BY user_id ORDER BY user_id""")),
+    QueryDef("agg_max_intersections", aggMaxIntersections,
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+              pts AS (SELECT user_id, t, SUM(d) AS net FROM (
+                  SELECT user_id, ts AS t, 1 AS d FROM e
+                  UNION ALL
+                  SELECT user_id, ts + INTERVAL 30 MINUTE, -1 FROM e)
+                GROUP BY user_id, t),
+              sw AS (SELECT user_id,
+                SUM(net) OVER (PARTITION BY user_id ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+                FROM pts)
+              SELECT user_id, CAST(MAX(active) AS INTEGER) AS max_concurrent
+              FROM sw GROUP BY user_id ORDER BY user_id""")),
+    QueryDef("agg_interval_length_sum", aggIntervalLengthSum,
+      Some("""WITH e AS (SELECT user_id,
+                epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+              pts AS (SELECT user_id, t, SUM(d) AS net FROM (
+                  SELECT user_id, ms AS t, 1 AS d FROM e
+                  UNION ALL
+                  SELECT user_id, ms + 1800000, -1 FROM e)
+                GROUP BY user_id, t),
+              sw AS (SELECT user_id, t,
+                SUM(net) OVER w AS active,
+                lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt
+                FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              SELECT user_id,
+                CAST(SUM(CASE WHEN active > 0 THEN nt - t ELSE 0 END)
+                  AS BIGINT) AS covered_ms
+              FROM sw GROUP BY user_id ORDER BY user_id""")),
     QueryDef("fn_retention_matrix", fnRetentionMatrix,
       Some("""WITH e AS (SELECT DISTINCT user_id,
                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)

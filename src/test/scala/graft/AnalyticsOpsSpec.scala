@@ -329,6 +329,48 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("agg_delta_sum equals a sequential positive-delta scan") {
+    import spark.implicits._
+    val got = SparkEntry.queries("agg_delta_sum")(spark, sf)
+      .select("user_id", "delta_sum").as[(Long, Double)].collect().toMap
+    val byUser = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().groupBy(_._1)
+    assert(got.size == byUser.size)
+    byUser.foreach { case (uid, evs) =>
+      val vs = evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4)
+      val want = vs.zip(vs.drop(1)).map { case (a, b) => math.max(b - a, 0) }.sum
+      assert(math.abs(got(uid) - want) < 1e-4, s"user $uid")
+    }
+  }
+
+  test("agg_max_intersections / agg_interval_length_sum match a sweep") {
+    import spark.implicits._
+    val maxes = SparkEntry.queries("agg_max_intersections")(spark, sf)
+      .as[(Long, Int)].collect().toMap
+    val lens = SparkEntry.queries("agg_interval_length_sum")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "ts").as[(Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1)
+    assert(maxes.size == evs.size && lens.size == evs.size)
+    val len = 30L * 60 * 1000
+    evs.foreach { case (uid, es) =>
+      val pts = es.flatMap(e => Seq((e._2.getTime, 1), (e._2.getTime + len, -1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var active = 0L; var maxA = 0L; var covered = 0L
+      pts.zipWithIndex.foreach { case ((t, net), i) =>
+        active += net; maxA = math.max(maxA, active)
+        if (active > 0 && i + 1 < pts.length) covered += pts(i + 1)._1 - t
+      }
+      assert(maxes(uid) == maxA, s"user $uid max")
+      assert(lens(uid) == covered, s"user $uid covered")
+      // union length never exceeds the naive sum, never less than one interval
+      assert(covered <= es.length * len && covered >= len)
+    }
+  }
+
   test("sim_range_search equals brute force for every probe") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_range_search")(spark, sf)
