@@ -526,6 +526,77 @@ object LlmVector {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF-PQ search (Jégou et al. TPAMI'11, the FAISS index shape):
+    * coarse quantizer routes each probe to its nprobe=2 nearest lists,
+    * and candidates in those lists are scored by ASYMMETRIC DISTANCE —
+    * the probe's per-subspace distances to each candidate's PQ
+    * CODEWORDS, never to the raw vector. Fully deterministic (exact
+    * centroids double as coarse lists AND subspace codebooks; exact
+    * decimal term sums), hence oracle-able end to end.
+    *
+    * Scale notes: this is the ANN serving plan at 100 TB — (1) PQ
+    * encode is an index-build pass: broadcast codebook, map-side argmin,
+    * 8 single-byte codes per vector stored instead of 64 floats;
+    * (2) per query only an O(nlist × m) distance LUT is computed and
+    * broadcast; (3) the scan touches nprobe/nlist of the corpus and
+    * reads CODES, not vectors — the shuffle carries candidate scores
+    * only. The shared (vec × codeword × subspace) distance frame is
+    * persisted: encode, routing and LUT all derive from it.
+    */
+  private def simIvfPqKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.Det.davg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cvec"))
+      .withColumnRenamed("label", "clabel")
+    val sub = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        posexplode(expr(
+          """transform(sequence(0, 7), m ->
+               aggregate(
+                 transform(sequence(1, 8), i ->
+                   (element_at(v, m * 8 + i) - element_at(cvec, m * 8 + i))
+                     * (element_at(v, m * 8 + i)
+                        - element_at(cvec, m * 8 + i))),
+                 cast(0 as double), (acc, x) -> acc + x))"""))
+          .as(Seq("m", "d")))
+      .persist()
+    val codes = sub.groupBy(col("vec_id"), col("label"), col("m"))
+      .agg(min(struct(col("d"), col("clabel"))).as("best"))
+      .select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+        col("m").as("cm"), col("best.clabel").as("code"))
+    val isProbe = col("vec_id") % 100 === 0
+    val rfull = Window.partitionBy(col("probe_id"))
+      .orderBy(col("fd"), col("clabel"))
+    val route = sub.filter(isProbe)
+      .groupBy(col("vec_id").as("probe_id"), col("clabel"))
+      .agg(graft.Det.dsum(col("d")).as("fd"))
+      .withColumn("rn", row_number().over(rfull))
+      .filter(col("rn") <= 2)
+      .select(col("probe_id"), col("clabel").as("list_label"))
+    val lut = sub.filter(isProbe)
+      .select(col("vec_id").as("lprobe"), col("m").as("lm"),
+        col("clabel").as("lcode"), col("d").as("ld"))
+    val radc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist"), col("cand_id"))
+    route
+      .join(codes, col("cand_label") === col("list_label") &&
+        col("cand_id") =!= col("probe_id"))
+      .join(broadcast(lut), col("lprobe") === col("probe_id") &&
+        col("lm") === col("cm") && col("lcode") === col("code"))
+      .groupBy(col("probe_id"), col("cand_id"), col("cand_label"))
+      .agg(round(graft.Det.dsum(col("ld")), 6).as("adc_dist"))
+      .withColumn("rnk", row_number().over(radc))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("rnk"), col("cand_id"),
+        col("cand_label"), col("adc_dist"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** Matryoshka truncation analysis (Kusupati et al. NeurIPS'22 MRL):
     * before serving embeddings at a cheaper dimensionality, measure how
     * much of each vector's energy (squared L2 norm) its 8/16/32-dim
@@ -799,6 +870,50 @@ object LlmVector {
                 CAST(floor(list_reduce(list(d ORDER BY m), (a, b) -> a + b)
                   * 1e6 + 0.5) AS BIGINT) AS recon_q
               FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""")),
+    QueryDef("sim_ivfpq_knn", simIvfPqKnn,
+      Some(s"""WITH e AS (SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ex AS (SELECT label, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS pos FROM e),
+              cm AS (SELECT label AS clabel, pos, ${graft.Det.oAvg("x")} AS m
+                 FROM ex GROUP BY label, pos),
+              c AS (SELECT clabel, list(m ORDER BY pos) AS cv
+                 FROM cm GROUP BY clabel),
+              sub AS (SELECT e.vec_id, e.label, c.clabel, r.m,
+                 list_reduce(list_transform(range(1, 9), i ->
+                   (v[r.m * 8 + i] - cv[r.m * 8 + i])
+                     * (v[r.m * 8 + i] - cv[r.m * 8 + i])),
+                   (a, b) -> a + b) AS d
+                 FROM e CROSS JOIN c CROSS JOIN range(0, 8) r(m)),
+              codes AS (SELECT vec_id AS cand_id, label AS cand_label,
+                 m AS cm, clabel AS code FROM (
+                 SELECT vec_id, label, m, clabel,
+                   row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d, clabel) AS rn
+                 FROM sub) t WHERE rn = 1),
+              route AS (SELECT probe_id, clabel AS list_label FROM (
+                 SELECT vec_id AS probe_id, clabel,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY
+                     CAST(SUM(CAST(d AS DECIMAL(30,6))) AS DOUBLE), clabel)
+                     AS rn
+                 FROM sub WHERE vec_id % 100 = 0
+                 GROUP BY vec_id, clabel) t WHERE rn <= 2),
+              lut AS (SELECT vec_id AS lprobe, m AS lm, clabel AS lcode, d
+                 FROM sub WHERE vec_id % 100 = 0),
+              adc AS (SELECT probe_id, cand_id, cand_label,
+                 round(CAST(SUM(CAST(lut.d AS DECIMAL(30,6))) AS DOUBLE), 6)
+                   AS adc_dist
+                 FROM route JOIN codes ON cand_label = list_label
+                   AND cand_id <> probe_id
+                 JOIN lut ON lprobe = probe_id AND lm = cm AND lcode = code
+                 GROUP BY probe_id, cand_id, cand_label),
+              ranked AS (SELECT probe_id, cand_id, cand_label, adc_dist,
+                 row_number() OVER (PARTITION BY probe_id
+                   ORDER BY adc_dist, cand_id) AS rnk
+                 FROM adc)
+              SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id,
+                cand_label, adc_dist
+              FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""")),
     QueryDef("dedup_minhash", dedupMinhash, None),
     QueryDef("dedup_minhash_native", dedupMinhashNative, None),
     QueryDef("sim_lsh_knn", simLshKnn, None),

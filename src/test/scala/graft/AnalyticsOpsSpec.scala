@@ -371,6 +371,57 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("sim_ivfpq_knn equals an independent IVF-PQ (route + ADC) recompute") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_ivfpq_knn")(spark, sf)
+      .select("probe_id", "rnk", "cand_id", "adc_dist")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+      .map { case (id, l, v) => (id, l, v.map(_.toDouble)) }
+    // centroids exactly as Det.davg: per-element decimal(,6) sum / count
+    def dec6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val cents = embs.groupBy(_._2).view.mapValues { ms =>
+      (0 until 64).map(p =>
+        ms.map(m => dec6(m._3(p))).sum.toDouble / ms.length).toArray
+    }.toMap
+    // per (vec, codeword, subspace) distance, sequential fold order
+    def subD(v: Array[Double], cv: Array[Double], m: Int): Double = {
+      var acc = 0.0
+      (1 to 8).foreach { i =>
+        val diff = v(m * 8 + i - 1) - cv(m * 8 + i - 1); acc += diff * diff
+      }
+      acc
+    }
+    val labels = cents.keys.toSeq.sorted
+    val codes = embs.map { case (id, l, v) =>
+      (id, l, (0 until 8).map(m =>
+        labels.minBy(c => (subD(v, cents(c), m), c))).toArray)
+    }
+    embs.filter(_._1 % 100 == 0).foreach { case (pid, _, pv) =>
+      val routed = labels.sortBy(c =>
+        ((0 until 8).map(m => dec6(subD(pv, cents(c), m))).sum.toDouble, c))
+        .take(2).toSet
+      val want = codes
+        .filter(c => routed.contains(c._2) && c._1 != pid)
+        .map { case (cid, _, code) =>
+          val adc = (0 until 8).map(m => dec6(subD(pv, cents(code(m)), m)))
+            .sum.toDouble
+          (cid, BigDecimal(adc).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (cid, d) => (d, cid) }.take(3)
+      val g = got(pid).map(r => (r._3, r._4))
+      assert(g.length == want.length, s"probe $pid count")
+      g.zip(want).foreach { case ((gc, gd), (wc, wd)) =>
+        assert(gc == wc && math.abs(gd - wd) < 1e-6, s"probe $pid: $g vs $want")
+      }
+    }
+  }
+
   test("sim_range_search equals brute force for every probe") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_range_search")(spark, sf)
