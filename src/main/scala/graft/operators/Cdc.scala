@@ -636,6 +636,91 @@ object Cdc {
       .orderBy(col("o_orderkey"))
   }
 
+  /** VersionedCollapsingMergeTree: every state row carries (sign, version);
+    * a cancel row (−1) annihilates exactly the +1 row with the SAME
+    * version, so the fold is correct under ARBITRARY arrival order —
+    * unlike plain Collapsing, which trusts stream order. The adapter side
+    * materializes cancel rows by copying the prior state (version AND
+    * payload) via one lag() pass per key — exactly the bookkeeping a real
+    * Canal consumer does from its own last-applied state. The merge itself
+    * is a pure groupBy over (pk, version, payload): net = Σsign, survivors
+    * net > 0, final state = max surviving version — no window over input
+    * order anywhere downstream of the cancel-row derivation, which is the
+    * out-of-order-safety claim made concrete.
+    *
+    * Scale notes: one shuffle on pk for the lag pass, one partial-agg
+    * shuffle on (pk, version) for the merge — both key-clustered; at
+    * cluster scale the merge runs incrementally inside foreachBatch
+    * against bucketed state, same as stream_cdc_upsert.
+    */
+  private def cdcVersionedCollapse(s: SparkSession, dir: String): DataFrame = {
+    val byVersion = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("es"), col("ts"))
+    val t = ordersTyped(s, dir)
+      .select(col("type"), col("es"), col("ts"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("prev_es", lag(col("es"), 1).over(byVersion))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(byVersion))
+    val plus = t.filter(col("type") =!= "DELETE")
+      .select(col("o_orderkey"), col("es").as("version"),
+        col("o_totalprice"), lit(1).as("sign"))
+    val minus = t.filter(col("type").isin("UPDATE", "DELETE"))
+      .select(col("o_orderkey"), col("prev_es").as("version"),
+        col("prev_price").as("o_totalprice"), lit(-1).as("sign"))
+    val wLatest = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("version").desc)
+    plus.unionByName(minus)
+      .groupBy(col("o_orderkey"), col("version"), col("o_totalprice"))
+      .agg(sum(col("sign")).as("net"))
+      .filter(col("net") > 0)
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("version").as("version_es"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Partial-column update (ClickHouse `ALTER TABLE ... UPDATE` mutation /
+    * partial_update semantics): Canal UPDATE envelopes name the changed
+    * columns in `old`, so the patch stream is (pk, column, new value,
+    * version) — NOT a full row image. The operator applies the latest
+    * patch per (pk, column) onto the base snapshot at read time: rows
+    * never rewritten, untouched columns never moved. This is the
+    * column-granular complement of cdc_upsert_latest (which replaces whole
+    * rows).
+    *
+    * Scale notes: the patch stream is O(changed cells), usually orders of
+    * magnitude smaller than the table; it aggregates to one map per
+    * patched pk (partial-agg shuffle on pk) and joins the base on pk —
+    * AQE broadcasts it when small. The base table is scanned once, never
+    * shuffled (join key = its layout key at cluster scale).
+    */
+  private def cdcPartialUpdate(s: SparkSession, dir: String): DataFrame = {
+    val wPatch = Window.partitionBy(col("o_orderkey"), col("col_name"))
+      .orderBy(col("es").desc, col("ts").desc)
+    val patches = parsed(s, dir)
+      .filter(col("table") === "orders" && col("type") === "UPDATE")
+      .select(col("es"), col("ts"),
+        element_at(element_at(col("data"), 1), "o_orderkey").cast("long")
+          .as("o_orderkey"),
+        element_at(col("data"), 1).as("img"),
+        explode(map_keys(element_at(col("old"), 1))).as("col_name"))
+      .select(col("o_orderkey"), col("col_name"), col("es"), col("ts"),
+        element_at(col("img"), col("col_name")).as("new_val"))
+      .withColumn("rn", row_number().over(wPatch))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderkey"))
+      .agg(map_from_entries(collect_list(struct(col("col_name"),
+        col("new_val")))).as("patch"))
+    Tables.orders(s, dir)
+      .join(patches, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(element_at(col("patch"), "o_totalprice").cast("double"),
+          col("o_totalprice")).as("o_totalprice"),
+        col("patch").isNotNull.as("patched"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Ops/table/type counters + replication lag — the adapters' monitoring
     * surface (lag is ts − es, constant 500 ms by construction).
     */
@@ -701,6 +786,20 @@ object Cdc {
                CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
                     ELSE o_totalprice END AS o_totalprice
               FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""")),
+    QueryDef("cdc_versioned_collapse", cdcVersionedCollapse,
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 3 = 0
+                    THEN epoch_ms(o_orderdate) + 86400000
+                    ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
+              FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""")),
+    QueryDef("cdc_partial_update", cdcPartialUpdate,
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               (o_orderkey % 3 = 0) AS patched
+              FROM orders ORDER BY o_orderkey""")),
     QueryDef("cdc_scd2", cdcScd2,
       Some("""WITH v AS (
                 SELECT o_orderkey, o_totalprice,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -309,6 +309,99 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** Column-level TTL (ClickHouse `col TTL ts + INTERVAL 14 DAY`): the
+    * VALUE expires before the ROW — expired partitions are rewritten with
+    * the TTL'd column nulled while every other column (and the row count)
+    * survives. Complements ttl_expire (row TTL, drops partitions) and
+    * ttl_rollup (aggregating TTL): here history stays queryable at full
+    * row grain, only the heavy column is shed.
+    *
+    * Mechanics: expired day partitions are rewritten to a staging dir
+    * first, then swapped into place via directory rename — state is never
+    * read after its files are gone, and untouched recent partitions are
+    * never opened. Scale notes: the rewrite is map-side only (no shuffle,
+    * a projection per expired partition); partitions rewrite independently
+    * — embarrassingly parallel at cluster scale, and at 100 TB the nulled
+    * column's pages compress to near-zero (RLE null runs), which is the
+    * entire storage win this mutation exists for.
+    */
+  private def ttlColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("ttlcol")
+    val root = s"$base/t"
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("day").parquet(root)
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    val maxDay = dirs.map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
+    val cutoff = maxDay.minusDays(14)
+    dirs.filter(f => java.time.LocalDate.parse(f.getName.drop(4))
+        .isBefore(cutoff))
+      .foreach { d =>
+        val staged = new java.io.File(s"$base/staged/${d.getName}")
+        s.read.parquet(d.getAbsolutePath)
+          .withColumn("value", lit(null).cast("double"))
+          .write.parquet(staged.getAbsolutePath)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+        java.nio.file.Files.move(staged.toPath, d.toPath)
+      }
+    s.read.parquet(root)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_live"),
+        Det.dsum(coalesce(col("value"), lit(0.0))).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  /** Z-order clustered write (ClickHouse `ORDER BY (a, b)` generalized to
+    * multi-dimensional locality / Delta OPTIMIZE ZORDER): interleave the
+    * bits of two lookup keys into one Morton value, range-partition and
+    * sort the write on it. Every file then covers a small RECTANGLE in
+    * (orderkey, partkey) space instead of a stripe — so min/max file stats
+    * prune scans filtered on EITHER key, which a single-column sort gives
+    * only for its leading key. The bit-spread is four mask-shift rounds
+    * (magic-number Morton encoding), pure int64 arithmetic, identical in
+    * both engines; the bucket aggregation proves the locality (per-bucket
+    * key ranges are narrow; the oracle recomputes them relationally) and
+    * the non-overlap of per-file z-ranges is asserted in PipelineOpsSpec.
+    *
+    * Scale notes: one repartitionByRange shuffle at write time (sampled
+    * range bounds — balanced output files regardless of key skew), paid
+    * once, amortized over every subsequent two-key scan, exactly like
+    * join_bucketed's write-time shuffle.
+    */
+  private[graft] def zSpread16(c: Column): Column =
+    Seq((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
+      .foldLeft(c % 65536) { case (x, (sh, mask)) =>
+        x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask)) }
+
+  private[graft] def zorderPath(s: SparkSession, dir: String): String = {
+    val root = s"${graft.Scratch.dir("zorder")}/t"
+    Tables.lineitem(s, dir)
+      .select(
+        (col("l_orderkey") % 65536).as("xk"),
+        (col("l_partkey") % 65536).as("yk"),
+        zSpread16(col("l_orderkey"))
+          .bitwiseOR(shiftleft(zSpread16(col("l_partkey")), 1)).as("zv"))
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .write.parquet(root)
+    root
+  }
+
+  private def sinkZorder(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(zorderPath(s, dir))
+      .groupBy(shiftright(col("zv"), 22).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xk")).as("min_x"), max(col("xk")).as("max_x"),
+        min(col("yk")).as("min_y"), max(col("yk")).as("max_y"))
+      .orderBy(col("bucket"))
+
   /** Small-files compaction (the OPTIMIZE / ClickHouse merge-parts
     * mechanic): a partitioned table fragmented into many small files per
     * partition is rewritten to one file per partition — the single
@@ -414,6 +507,35 @@ object Scans {
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM e, m WHERE day >= mx - 14
               GROUP BY day ORDER BY day""")),
+    QueryDef("ttl_column", ttlColumn,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 value FROM events),
+               m AS (SELECT max(day) - 14 AS cut FROM e)
+              SELECT day, COUNT(*) AS n_rows,
+                COUNT(CASE WHEN day >= cut THEN value END) AS n_live,
+                ${Det.oSum("CASE WHEN day >= cut THEN value ELSE 0 END")}
+                  AS sum_value
+              FROM e, m GROUP BY day ORDER BY day""")),
+    QueryDef("sink_zorder", sinkZorder,
+      Some("""WITH k AS (SELECT l_orderkey % 65536 AS xk,
+                 l_partkey % 65536 AS yk FROM lineitem),
+               s1 AS (SELECT xk, yk,
+                 (xk | (xk << 8)) & 16711935 AS xa,
+                 (yk | (yk << 8)) & 16711935 AS ya FROM k),
+               s2 AS (SELECT xk, yk,
+                 (xa | (xa << 4)) & 252645135 AS xb,
+                 (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+               s3 AS (SELECT xk, yk,
+                 (xb | (xb << 2)) & 858993459 AS xc,
+                 (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+               s4 AS (SELECT xk, yk,
+                 (xc | (xc << 1)) & 1431655765 AS xd,
+                 (yc | (yc << 1)) & 1431655765 AS yd FROM s3),
+               z AS (SELECT xk, yk, xd | (yd << 1) AS zv FROM s4)
+              SELECT zv >> 22 AS bucket, COUNT(*) AS n,
+                MIN(xk) AS min_x, MAX(xk) AS max_x,
+                MIN(yk) AS min_y, MAX(yk) AS max_y
+              FROM z GROUP BY bucket ORDER BY bucket""")),
     QueryDef("scan_bloom_index", scanBloomIndex,
       Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
               FROM orders WHERE o_orderkey IN (1, 7, 1000, 999999999)

@@ -40,6 +40,39 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("sink_zorder: per-file z-ranges are disjoint (clustered layout)") {
+    import spark.implicits._
+    val root = graft.operators.Scans.zorderPath(spark, sf)
+    // range-partitioned + sorted-within-partition ⇒ every file owns a
+    // contiguous, non-overlapping slice of z-space (THE property min/max
+    // file stats need to prune on either underlying key)
+    val ranges = spark.read.parquet(root)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("zv")).as("lo"), max(col("zv")).as("hi"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(_._2)
+    assert(ranges.length > 1, "expected multiple output files")
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) =>
+        assert(hi1 <= lo2, s"overlapping file z-ranges: $hi1 > $lo2")
+      case _ =>
+    }
+    // and the z-value really is the Morton interleave of (xk, yk)
+    val probe = spark.read.parquet(root).limit(200)
+      .as[(Long, Long, Long)].collect()
+    def spread(v: Long): Long = {
+      var x = v & 0xffffL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    probe.foreach { case (xk, yk, zv) =>
+      assert(zv == (spread(xk) | (spread(yk) << 1)), s"z($xk,$yk)")
+    }
+  }
+
   test("dedup_cluster equals union-find over the same edge set") {
     import spark.implicits._
     val pairs = DedupGraph.edges(spark, sf).as[(Long, Long)].collect()
