@@ -185,6 +185,59 @@ object Aggregates {
         sum(col("v")).as("total_cents"))
       .orderBy(col("user_id"))
 
+  /** ClickHouse `minMap` / `maxMap` — per-key extrema assembled into one
+    * map column per group (cheapest/priciest event per type per user).
+    * Same fixed-point cents + canonical sorted `k:v` string edge as
+    * agg_sum_map; extrema are exact bigints so no rounding anywhere.
+    *
+    * Scale notes: identical shape to sumMap — partial min/max on
+    * (user, key) then O(distinct keys) map assembly per user; min/max
+    * partials are idempotent merges, the cheapest combiner there is.
+    */
+  private def aggMinMaxMap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("""array_join(transform(
+               array_sort(collect_list(struct(event_type, mn))),
+               s -> concat(s.event_type, ':', s.mn)), ',')""").as("min_map"),
+        expr("""array_join(transform(
+               array_sort(collect_list(struct(event_type, mx))),
+               s -> concat(s.event_type, ':', s.mx)), ',')""").as("max_map"))
+      .orderBy(col("user_id"))
+
+  /** Weight-of-evidence / Information Value — the feature-screening
+    * statistic every scoring pipeline computes before training: per
+    * feature bin, WOE = ln((good_i/goodΣ)/(bad_i/badΣ)) and
+    * IV_i = (good_i/goodΣ − bad_i/badΣ)·WOE. Outcome: line item returned
+    * (l_returnflag = 'R'); feature bins: the discount tiers. Counts are
+    * exact; the ratios and ln run in double with an IDENTICAL operation
+    * order on both engines and round to 6dp at the edge (the lm_score
+    * transcendental-parity pattern).
+    *
+    * Scale notes: one partial-count shuffle on the bin key (|bins| ≈ 11),
+    * the totals broadcast back as a 1-row cross join — nothing touches
+    * the fact table twice.
+    */
+  private def aggInfoValue(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.lineitem(s, dir)
+      .groupBy(col("l_discount").as("bin"))
+      .agg(count(when(col("l_returnflag") =!= "R", 1)).as("n_good"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_bad"))
+    val tot = binned.agg(sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb"))
+    val pg = col("n_good").cast("double") / col("tg").cast("double")
+    val pb = col("n_bad").cast("double") / col("tb").cast("double")
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_good"), col("n_bad"),
+        round(log(pg / pb), 6).as("woe"),
+        round((pg - pb) * log(pg / pb), 6).as("iv_term"))
+      .orderBy(col("bin"))
+  }
+
   /** ClickHouse `simpleLinearRegression` / `corr` / `covarPop` — but
     * cross-engine deterministic: the five moments (n, Σx, Σy, Σxy, Σx²,
     * Σy²) are summed EXACTLY in decimal (products of 2dp fixture values
@@ -445,6 +498,33 @@ object Aggregates {
                 round((sea + seb) * (sea + seb)
                   / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
               FROM f""")),
+    QueryDef("agg_minmax_map", aggMinMaxMap,
+      Some("""WITH c AS (SELECT user_id, event_type,
+                 MIN(CAST(floor(value * 100) AS BIGINT)) AS mn,
+                 MAX(CAST(floor(value * 100) AS BIGINT)) AS mx
+                 FROM events GROUP BY user_id, event_type)
+              SELECT user_id,
+                string_agg(event_type || ':' || mn, ',' ORDER BY event_type)
+                  AS min_map,
+                string_agg(event_type || ':' || mx, ',' ORDER BY event_type)
+                  AS max_map
+              FROM c GROUP BY user_id ORDER BY user_id""")),
+    QueryDef("agg_info_value", aggInfoValue,
+      Some("""WITH b AS (SELECT l_discount AS bin,
+                 COUNT(CASE WHEN l_returnflag <> 'R' THEN 1 END) AS n_good,
+                 COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_bad
+                 FROM lineitem GROUP BY l_discount),
+               t AS (SELECT CAST(SUM(n_good) AS BIGINT) AS tg,
+                 CAST(SUM(n_bad) AS BIGINT) AS tb FROM b)
+              SELECT bin, n_good, n_bad,
+                round(ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+                  / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))), 6) AS woe,
+                round(((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+                  - (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)))
+                  * ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+                  / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))), 6)
+                  AS iv_term
+              FROM b, t ORDER BY bin""")),
     QueryDef("agg_sum_map", aggSumMap,
       Some("""WITH c AS (SELECT user_id, event_type,
                  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v

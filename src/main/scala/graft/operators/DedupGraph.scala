@@ -132,7 +132,46 @@ object DedupGraph {
       .orderBy(col("doc_id"))
   }
 
+  /** One PageRank iteration over the customer→supplier purchase graph
+    * (who supplies the important buyers?), in FIXED-POINT micro-units so
+    * the damped contribution `0.85/outdeg` is integer division — exact
+    * and identical on both engines, no double summation anywhere. From a
+    * uniform prior (1.0 per node): pr_micro(s) = 150000 +
+    * Σ_{c→s} 850000 div outdeg(c). One iteration is THE production step —
+    * at 100 TB you checkpoint between iterations (dedup_cluster's loop
+    * pattern), you don't fuse them.
+    *
+    * Scale notes: distinct edges = one shuffle on (cust, supp); outdeg =
+    * partial count on cust broadcast back onto edges (dim-sized); the
+    * contribution sum is one partial-agg shuffle on supp. Linear in
+    * |edges|, the textbook distributed PR step.
+    */
+  private def graphPagerankStep(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    edges.join(broadcast(outdeg), "src")
+      .groupBy(col("dst").as("s_suppkey"))
+      .agg((lit(150000L) + sum(expr("850000 div outdeg"))).as("pr_micro"),
+        count(lit(1)).as("n_in"))
+      .orderBy(col("s_suppkey"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_pagerank_step", graphPagerankStep,
+      Some("""WITH edges AS (SELECT DISTINCT o_custkey AS src,
+                 l_suppkey AS dst
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+               deg AS (SELECT src, COUNT(*) AS outdeg
+                 FROM edges GROUP BY src)
+              SELECT dst AS s_suppkey,
+                CAST(150000 + SUM(850000 // outdeg) AS BIGINT) AS pr_micro,
+                COUNT(*) AS n_in
+              FROM edges JOIN deg USING (src)
+              GROUP BY dst ORDER BY s_suppkey""")),
     QueryDef("dedup_cluster", dedupCluster,
       // oracle: transitive closure by recursive CTE — exact fixpoint
       // semantics, feasible because blocking bounds component size

@@ -201,6 +201,37 @@ object EventAnalytics {
                      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
                 t1, t2, t3
               FROM s3 ORDER BY user_id""")),
+    QueryDef("seq_next_node", seqNextNode,
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events),
+               o AS (SELECT user_id, event_type, ts, event_id,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS next_et
+                 FROM e),
+               f AS (SELECT user_id, next_et, ROW_NUMBER() OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                 FROM o WHERE event_type = 'signup')
+              SELECT user_id, next_et AS next_after_signup
+              FROM f WHERE rn = 1 ORDER BY user_id""")),
+    QueryDef("agg_bounding_ratio", aggBoundingRatio,
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events
+                 WHERE event_type = 'purchase'),
+               o AS (SELECT user_id, value, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rd FROM e),
+               g AS (SELECT user_id, COUNT(*) AS n,
+                 MIN(CASE WHEN ra = 1 THEN value END) AS v_first,
+                 MIN(CASE WHEN rd = 1 THEN value END) AS v_last,
+                 MIN(epoch_us(ts)) AS t_first, MAX(epoch_us(ts)) AS t_last
+                 FROM o GROUP BY user_id)
+              SELECT user_id, n,
+                round((v_last - v_first)
+                  / (CAST(t_last - t_first AS DOUBLE) / 1000000.0), 6)
+                  AS slope
+              FROM g WHERE t_last > t_first ORDER BY user_id""")),
     QueryDef("fn_retention", fnRetention,
       Some("""WITH e AS (SELECT user_id,
                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
@@ -556,6 +587,58 @@ object EventAnalytics {
         max_by(col("value"), key).as("close"),
         round(Det.davg(col("value")), 6).as("avg_value"))
       .orderBy(col("user_id"), col("bucket"))
+  }
+
+  /** ClickHouse `sequenceNextNode` (forward, head-anchored): what does a
+    * user do RIGHT AFTER their first signup? One ordered-window pass
+    * computes each event's successor; the first signup per user is
+    * selected by row_number over the same clustering — no self-join on
+    * the event log. Null successor = signup was the user's last event.
+    *
+    * Scale notes: both window passes share one shuffle on user_id; the
+    * output is O(users). This is the navigation primitive behind
+    * next-action product analytics at event-log scale.
+    */
+  private def seqNextNode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("next_et", lead(col("event_type"), 1).over(byTime))
+      .filter(col("event_type") === "signup")
+      .withColumn("rn", row_number().over(byTime))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("next_et").as("next_after_signup"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ClickHouse `boundingRatio` — the slope between a series' first and
+    * last points: (v_last − v_first) / (t_last − t_first) per user over
+    * purchase values. Endpoints are exact (window row_number on the
+    * unique (ts, event_id) order, integer epoch seconds); only the final
+    * division is double, identical on both engines, rounded at the edge.
+    *
+    * Scale notes: endpoints via one window pass clustered on user_id —
+    * at scale this is a min_by/max_by partial agg (no full sort), the
+    * same two-sided argMin/argMax shape as ts_downsample.
+    */
+  private def aggBoundingRatio(s: SparkSession, dir: String): DataFrame = {
+    val key = struct(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), key).as("v_first"),
+        max_by(col("value"), key).as("v_last"),
+        min(unix_micros(col("ts"))).as("t_first"),
+        max(unix_micros(col("ts"))).as("t_last"))
+      .filter(col("t_last") > col("t_first"))
+      .select(col("user_id"), col("n"),
+        round((col("v_last") - col("v_first"))
+          / ((col("t_last") - col("t_first")).cast("double") / 1000000.0), 6)
+          .as("slope"))
+      .orderBy(col("user_id"))
   }
 
   /** Batch sessionization (the offline twin of `stream_session`): a new

@@ -10,6 +10,41 @@ import org.apache.spark.sql.functions._
   */
 class AnalyticsOpsSpec extends GraftSpec {
 
+  test("graph_pagerank_step equals a sequential fixed-point recompute") {
+    import spark.implicits._
+    val got = SparkEntry.queries("graph_pagerank_step")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, pr, n) => k -> ((pr, n)) }.toMap
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").as[(Long, Long)].collect()
+    val ord = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val edges = li.flatMap { case (ok, sk) => ord.get(ok).map(_ -> sk) }
+      .distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    val want = edges.groupBy(_._2).view.mapValues { es =>
+      (150000L + es.map(e => 850000L / outdeg(e._1)).sum, es.length.toLong)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("seq_next_node: successor of the FIRST signup, null when last") {
+    import spark.implicits._
+    val got = SparkEntry.queries("seq_next_node")(spark, sf)
+      .as[(Long, Option[String])].collect().toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val want = evs.groupBy(_._1).collect { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val i = ordered.indexWhere(_._4 == "signup")
+      if (i < 0) None
+      else Some(u -> ordered.lift(i + 1).map(_._4))
+    }.flatten.toMap
+    assert(got == want)
+  }
+
   test("agg_anova matches an independent one-way ANOVA") {
     import spark.implicits._
     val row = SparkEntry.queries("agg_anova")(spark, sf)
