@@ -705,7 +705,120 @@ object LlmText {
       .withColumn("bucket", expr("simhash >> 48"))
       .orderBy(col("doc_id"))
 
+  /** ClickHouse `topKWeighted` — exact formulation: top tokens by a
+    * per-occurrence weight (here the host document's size, so tokens from
+    * heavyweight docs rank up even at equal frequency). This is the
+    * oracle-able twin of the SpaceSaving sketch (udaf_sketch_topk): at
+    * 100 TB the sketch's mergeable O(k) partials are the real path and
+    * this exact two-phase agg verifies it at test scale.
+    */
+  private def topkWeighted(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("n_chars"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(col("n_chars")).as("w"), count(lit(1)).as("n_occ"))
+      .orderBy(col("w").desc, col("tok"))
+      .limit(10)
+
+  /** Zipf's-law fit over the token frequency spectrum: regress
+    * ln(freq) on ln(rank) for the top 100 tokens — the standard corpus
+    * health check (natural text ⇒ slope ≈ −1; word-soup/generated text
+    * drifts off). Per-point ln values round to 6dp (doubles never sit on
+    * a decimal midpoint, so both engines round identically), moments are
+    * exact decimal sums, the closed form runs in double with one
+    * operation order — the agg_regression determinism recipe.
+    *
+    * Scale notes: frequency = one partial-agg shuffle over tokens; the
+    * top-100 rank window runs on the aggregated spectrum (O(vocab), not
+    * O(corpus)); the 100-point regression is a broadcastable scalar agg.
+    */
+  private def textZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("f").desc, col("tok"))))
+      .filter(col("r") <= 100)
+      .select(round(log(col("r").cast("double")), 6).as("lx"),
+        round(log(col("f").cast("double")), 6).as("ly"))
+    ranked
+      .agg(count(lit(1)).cast("double").as("n"),
+        Det.dsum(col("lx")).as("sx"), Det.dsum(col("ly")).as("sy"),
+        Det.dsum(col("lx") * col("ly")).as("sxy"),
+        Det.dsum(col("lx") * col("lx")).as("sxx"))
+      .select(col("n").cast("long").as("n_points"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("n"), 6).as("intercept"))
+  }
+
+  /** Tokenizer vocabulary coverage: with vocab = the 50 highest-frequency
+    * tokens (deterministic tiebreak), per-doc out-of-vocabulary OCCURRENCE
+    * rate — the statistic that decides whether a tokenizer's vocab fits a
+    * new corpus before any training run. The vocab is dimension-sized and
+    * broadcast; token occurrences never shuffle (map-side membership
+    * probe + per-doc partial count).
+    */
+  private def tokOovRate(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("f").desc, col("tok"))))
+      .filter(col("r") <= 50)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    occ.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"),
+          6).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("topk_weighted", topkWeighted,
+      Some("""WITH t AS (SELECT n_chars,
+                 unnest(string_split(text, ' ')) AS tok FROM documents)
+              SELECT tok, CAST(SUM(n_chars) AS BIGINT) AS w,
+                COUNT(*) AS n_occ
+              FROM t GROUP BY tok ORDER BY w DESC, tok LIMIT 10""")),
+    QueryDef("text_zipf_fit", textZipfFit,
+      Some(s"""WITH f AS (SELECT tok, COUNT(*) AS f FROM (SELECT
+                 unnest(string_split(text, ' ')) AS tok FROM documents) t
+                 GROUP BY tok),
+               rk AS (SELECT f, ROW_NUMBER() OVER
+                 (ORDER BY f DESC, tok) AS r FROM f),
+               pts AS (SELECT round(ln(CAST(r AS DOUBLE)), 6) AS lx,
+                 round(ln(CAST(f AS DOUBLE)), 6) AS ly
+                 FROM rk WHERE r <= 100),
+               mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${Det.oSum("lx")} AS sx, ${Det.oSum("ly")} AS sy,
+                 ${Det.oSum("lx * ly")} AS sxy,
+                 ${Det.oSum("lx * lx")} AS sxx FROM pts)
+              SELECT CAST(n AS BIGINT) AS n_points,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                  AS zipf_slope,
+                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                  / n, 6) AS intercept
+              FROM mom""")),
+    QueryDef("tok_oov_rate", tokOovRate,
+      Some("""WITH occ AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok FROM documents),
+               v AS (SELECT tok FROM (SELECT tok, ROW_NUMBER() OVER
+                 (ORDER BY COUNT(*) DESC, tok) AS r
+                 FROM occ GROUP BY tok) f WHERE r <= 50)
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                COUNT(CASE WHEN occ.tok NOT IN (SELECT tok FROM v)
+                  THEN 1 END) AS n_oov,
+                round(CAST(COUNT(CASE WHEN occ.tok NOT IN
+                    (SELECT tok FROM v) THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+              FROM occ GROUP BY doc_id ORDER BY doc_id""")),
     QueryDef("text_stats", textStats,
       Some(s"""WITH t AS (SELECT lang, source, n_chars,
                  len(string_split(text, ' ')) AS n_tokens FROM documents)

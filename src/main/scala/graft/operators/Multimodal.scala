@@ -158,7 +158,51 @@ object Multimodal {
       .orderBy(col("vec_id"))
   }
 
+  /** Audio chunking: an opaque "audio" blob (text bytes standing in for
+    * PCM — 50 ms per byte) is segmented into fixed 1 s windows, each
+    * segment carrying its time span AND its byte slice offsets computed
+    * by proportional integer division — the generic blob-slicing map
+    * every audio/video pipeline runs before feature extraction. Pure
+    * integer arithmetic end to end (no codec in the loop), so the whole
+    * segmentation plan is oracle-able — the plumbing (explode over a
+    * per-row sequence, metadata-driven slicing) IS the production shape;
+    * a real codec only replaces what happens to the slice afterwards.
+    *
+    * Scale notes: segmentation is a map-side generate — no shuffle, no
+    * blob movement (offsets are computed from metadata; the slice read
+    * happens where the blob already lives). Output is O(total duration /
+    * window), independent of blob sizes.
+    */
+  private def mmAudioSegment(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .withColumn("dur_ms", col("n_bytes") * 50)
+      .select(col("doc_id"), col("n_bytes"), col("dur_ms"),
+        explode(expr("sequence(0, dur_ms - 1, 1000)")).as("start_ms"))
+      .select(col("doc_id"),
+        (col("start_ms") / 1000).cast("long").as("seg_idx"),
+        col("start_ms"),
+        least(col("start_ms") + 1000, col("dur_ms")).as("end_ms"),
+        expr("n_bytes * start_ms div dur_ms").as("byte_off"),
+        (expr("n_bytes * least(start_ms + 1000, dur_ms) div dur_ms")
+          - expr("n_bytes * start_ms div dur_ms")).as("byte_len"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_audio_segment", mmAudioSegment,
+      Some("""WITH b AS (SELECT doc_id,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes,
+                 CAST(strlen(text) AS BIGINT) * 50 AS dur_ms
+                 FROM documents),
+               seg AS (SELECT doc_id, n_bytes, dur_ms,
+                 unnest(range(0, dur_ms, 1000)) AS start_ms FROM b)
+              SELECT doc_id, start_ms // 1000 AS seg_idx, start_ms,
+                LEAST(start_ms + 1000, dur_ms) AS end_ms,
+                n_bytes * start_ms // dur_ms AS byte_off,
+                n_bytes * LEAST(start_ms + 1000, dur_ms) // dur_ms
+                  - n_bytes * start_ms // dur_ms AS byte_len
+              FROM seg ORDER BY doc_id, seg_idx""")),
     QueryDef("mm_image_roundtrip", mmImageRoundtrip,
       Some("""WITH q AS (SELECT vec_id,
                 list_transform(CAST(embedding AS DOUBLE[]),
