@@ -611,6 +611,76 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** Stream–stream LEFT OUTER join: unmatched purchases must surface as
+    * null-padded rows — but an outer result can only be emitted once the
+    * watermark proves no matching click can still arrive. A finite file
+    * feed would end before that proof for its tail rows, so the staged
+    * source appends a far-future SENTINEL event pair (user −1, filtered
+    * out of the result): in production the next real event plays exactly
+    * this role — streams don't end, and the sentinel models that. After
+    * the data batch, the watermark sits past every real row and the
+    * engine's no-data batch flushes all remaining outer state.
+    *
+    * Scale notes: same bounded-state shape as stream_stream_join (both
+    * sides watermarked, time-range condition ⇒ state eviction); the
+    * outer variant adds no state, only the eviction-time null emission.
+    */
+  private def outerEventsDir(s: SparkSession, dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val d = s"${sys.props("java.io.tmpdir")}/graft_stream/events_outer_$sf"
+    if (!new java.io.File(s"$d/events_1.parquet").exists()) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      val link = java.nio.file.Paths.get(s"$d/events_0.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val mxNs = s.read.schema(eventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).head().getLong(0)
+      val sentNs = mxNs + 30L * 86400 * 1000 * 1000 * 1000 // +30 days
+      val rows = java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, sentNs, -1L, "purchase", 0.0, "{}"),
+        org.apache.spark.sql.Row(-2L, sentNs, -1L, "click", 0.0, "{}"))
+      val stage = fresh("outer_sentinel")
+      s.createDataFrame(rows, eventsRawSchema).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$d/events_1.parquet"))
+    }
+    d
+  }
+
+  private def streamOuterJoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = s.readStream.schema(eventsRawSchema)
+      .parquet(outerEventsDir(s, dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_uid"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_uid"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_uid") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "leftOuter")
+    runToMemory(s, joined, "append")
+      .filter(col("p_uid") >= 0) // drop the sentinel's own outer row
+      .groupBy(col("p_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("c_id")).as("n_matched"),
+        count(when(col("c_id").isNull, 1)).as("n_unmatched"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- oracles ----
 
   def defs: Seq[QueryDef] = Seq(
@@ -736,6 +806,20 @@ object StreamOps {
       Some("""SELECT c_mktsegment, COUNT(*) AS n
               FROM events JOIN customer ON c_custkey = user_id + 1
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+    QueryDef("stream_outer_join", streamOuterJoin,
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events
+                 WHERE event_type = 'purchase'),
+               c AS (SELECT event_id AS c_id, user_id,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events
+                 WHERE event_type = 'click'),
+               j AS (SELECT p.user_id, c.c_id FROM p LEFT JOIN c
+                 ON p.user_id = c.user_id
+                AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+              SELECT user_id, COUNT(*) AS n_rows,
+                COUNT(c_id) AS n_matched,
+                COUNT(CASE WHEN c_id IS NULL THEN 1 END) AS n_unmatched
+              FROM j GROUP BY user_id ORDER BY user_id""")),
     QueryDef("stream_stream_join", streamStreamJoin,
       Some("""SELECT p.user_id AS user_id, COUNT(*) AS n_pairs
               FROM events p JOIN events c
