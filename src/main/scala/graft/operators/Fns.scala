@@ -226,7 +226,43 @@ object Fns {
       .orderBy(col("user_id"))
   }
 
+  /** ClickHouse geo functions (`greatCircleDistance`): haversine distance
+    * from a synthetic per-customer coordinate (pure integer function of
+    * the key, so both engines derive identical inputs) to a fixed anchor.
+    * The trig chain runs in double with ONE operation order on both
+    * engines and the result rounds to whole meters — at 1e7 m magnitude
+    * a last-ulp libm difference is 1e-9 m, eleven orders below the
+    * rounding step. Map-side only: geo scoring is a projection, the
+    * 100 TB shape is simply "no shuffle anywhere".
+    */
+  private def fnGeo(s: SparkSession, dir: String): DataFrame = {
+    val lat = (col("c_custkey") % 180).cast("double") - 90.0 + 0.5
+    val lon = ((col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5
+    val aLat = lit(48.8566); val aLon = lit(2.3522) // anchor: Paris
+    val a = pow(sin(radians(aLat - lat) / 2), 2) +
+      cos(radians(lat)) * cos(radians(aLat)) *
+        pow(sin(radians(aLon - lon) / 2), 2)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), lat.as("lat"), lon.as("lon"),
+        round(lit(2) * lit(6371000.0) * asin(sqrt(a)), 0).cast("long")
+          .as("dist_m"))
+      .orderBy(col("c_custkey"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_geo", fnGeo,
+      Some("""SELECT c_custkey,
+               CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5 AS lat,
+               CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+               CAST(round(2 * 6371000.0 * asin(sqrt(
+                 pow(sin(radians(48.8566
+                   - (CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5)) / 2), 2)
+                 + cos(radians(CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5))
+                 * cos(radians(48.8566))
+                 * pow(sin(radians(2.3522
+                   - (CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5))
+                   / 2), 2))), 0) AS BIGINT) AS dist_m
+              FROM customer ORDER BY c_custkey""")),
     QueryDef("fn_url", fnUrl,
       Some("""WITH u AS (SELECT doc_id,
                'https://WWW.Example' || (doc_id % 7) || '.COM/' || source

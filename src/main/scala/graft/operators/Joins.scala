@@ -437,6 +437,38 @@ object Joins {
       .orderBy(col("nation_name"))
   }
 
+  /** ClickHouse `dictGetHierarchy` — the ancestor chain of a hierarchical
+    * dictionary (customer → nation → region), resolved with ZERO joins:
+    * the transitive closure is flattened driver-side into one literal
+    * map(nationkey → "nation>region" path), so the per-row walk the
+    * ClickHouse function does against dictionary RAM becomes a single
+    * codegen'd element_at on the fact scan. The oracle resolves the same
+    * hierarchy with real joins — parity proves the flattening.
+    *
+    * Scale notes: hierarchy dictionaries are dimension-sized (here
+    * 25+5 rows, O(dimension) collect — control plane); the flattened
+    * closure ships inside the serialized plan like any dictionary
+    * replica, and the fact side is map-side only, no shuffle.
+    */
+  private def dictGetHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val regionName = Tables.region(s, dir)
+      .select(col("r_regionkey"), col("r_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val entries: Seq[Column] = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .collect() // O(|dimension|) — control-plane, never O(data)
+      .flatMap { r =>
+        Seq(lit(r.getInt(0)),
+          lit(s"${r.getString(1)}>${regionName(r.getInt(2))}"))
+      }.toSeq
+    val pathDict = map(entries: _*)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        element_at(pathDict, col("c_nationkey")).as("path"),
+        lit(2).as("depth"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** ClickHouse `range_hashed` dictionary (`dictGet(dict, attr, key,
     * date)`): the ranged twin of [[dictGet]] — each key maps to
     * date-interval versions of an attribute and the probe picks the
@@ -590,6 +622,13 @@ object Joins {
                COUNT(*) AS n_cust
               FROM customer LEFT JOIN nation ON n_nationkey = c_nationkey
               GROUP BY nation_name ORDER BY nation_name""")),
+    QueryDef("dict_get_hierarchy", dictGetHierarchy,
+      Some("""SELECT c_custkey, n_name || '>' || r_name AS path,
+               2 AS depth
+              FROM customer
+              JOIN nation ON n_nationkey = c_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              ORDER BY c_custkey""")),
     QueryDef("join_star", joinStar,
       Some(s"""SELECT n_name,
                ${Det.oSum("l_extendedprice * (1 - l_discount)")} AS revenue,

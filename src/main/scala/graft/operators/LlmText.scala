@@ -705,6 +705,24 @@ object LlmText {
       .withColumn("bucket", expr("simhash >> 48"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic reservoir sample: rank every doc by a cryptographic
+    * hash of its id and keep the k smallest — uniform over any input
+    * order/partitioning, REPRODUCIBLE across engines and reruns (the
+    * property `rand()`-based reservoirs lose the moment parallelism or
+    * retry enters). Spark plans the hash-order LIMIT as
+    * TakeOrderedAndProject — distributed top-k, never a global sort; the
+    * final rank attaches on the k-row result, not the corpus.
+    */
+  private def sampleReservoir(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("tag"))
+      .orderBy(col("tag"), col("doc_id"))
+      .limit(100)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tag"), col("doc_id"))))
+      .orderBy(col("rank"))
+
   /** ClickHouse `topKWeighted` — exact formulation: top tokens by a
     * per-occurrence weight (here the host document's size, so tokens from
     * heavyweight docs rank up even at equal frequency). This is the
@@ -781,6 +799,13 @@ object LlmText {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sample_reservoir", sampleReservoir,
+      Some("""WITH h AS (SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR)) AS tag FROM documents),
+               k AS (SELECT doc_id, tag, ROW_NUMBER() OVER
+                 (ORDER BY tag, doc_id) AS rank FROM h)
+              SELECT doc_id, tag, rank FROM k
+              WHERE rank <= 100 ORDER BY rank""")),
     QueryDef("topk_weighted", topkWeighted,
       Some("""WITH t AS (SELECT n_chars,
                  unnest(string_split(text, ' ')) AS tok FROM documents)

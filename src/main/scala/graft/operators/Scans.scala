@@ -316,14 +316,15 @@ object Scans {
     * ttl_rollup (aggregating TTL): here history stays queryable at full
     * row grain, only the heavy column is shed.
     *
-    * Mechanics: expired day partitions are rewritten to a staging dir
-    * first, then swapped into place via directory rename — state is never
-    * read after its files are gone, and untouched recent partitions are
-    * never opened. Scale notes: the rewrite is map-side only (no shuffle,
-    * a projection per expired partition); partitions rewrite independently
-    * — embarrassingly parallel at cluster scale, and at 100 TB the nulled
-    * column's pages compress to near-zero (RLE null runs), which is the
-    * entire storage win this mutation exists for.
+    * Mechanics: ALL expired day partitions are rewritten in ONE
+    * distributed job (partition-pruned scan, partitionBy write — per-day
+    * output dirs materialize in parallel), staged first, then swapped
+    * into place via directory renames — state is never read after its
+    * files are gone, and untouched recent partitions are never opened.
+    * Scale notes: the rewrite is map-side only (no shuffle, a projection
+    * over the expired tier); at 100 TB the nulled column's pages
+    * compress to near-zero (RLE null runs), which is the entire storage
+    * win this mutation exists for.
     */
   private def ttlColumn(s: SparkSession, dir: String): DataFrame = {
     val base = graft.Scratch.dir("ttlcol")
@@ -337,19 +338,21 @@ object Scans {
       .filter(f => f.isDirectory && f.getName.startsWith("day="))
     val maxDay = dirs.map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
     val cutoff = maxDay.minusDays(14)
+    val staged = s"$base/staged"
+    s.read.parquet(root)
+      .filter(col("day") < lit(java.sql.Date.valueOf(cutoff)))
+      .withColumn("value", lit(null).cast("double"))
+      .write.partitionBy("day").parquet(staged)
     dirs.filter(f => java.time.LocalDate.parse(f.getName.drop(4))
         .isBefore(cutoff))
       .foreach { d =>
-        val staged = new java.io.File(s"$base/staged/${d.getName}")
-        s.read.parquet(d.getAbsolutePath)
-          .withColumn("value", lit(null).cast("double"))
-          .write.parquet(staged.getAbsolutePath)
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
           f.delete(); ()
         }
         rm(d)
-        java.nio.file.Files.move(staged.toPath, d.toPath)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$staged/${d.getName}"), d.toPath)
       }
     s.read.parquet(root)
       .groupBy(col("day"))

@@ -94,7 +94,7 @@ object StreamOps {
     * for the pipeline, not the staging.
     */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
-    feedDir(s, dir); eventsDir(dir); ()
+    feedDir(s, dir); eventsDir(dir); outerEventsDir(s, dir); ()
   }
 
   // ---- sources ----
