@@ -86,5 +86,19 @@ object GraftFunctions {
       "ipv4_to_long", args => Ipv4ToLong(args(0)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_to_ipv4", args => LongToIpv4(args(0)), "built-in")
+    // Spark's runtime-filter bloom expressions, exposed for explicit
+    // cross-batch filtering (they are registry-hidden upstream because
+    // AQE injects them; the expressions themselves are public classes)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg",
+      args => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1), args(2))
+        .toAggregateExpression(),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_contains",
+      args => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args(0), args(1)),
+      "built-in")
   }
 }

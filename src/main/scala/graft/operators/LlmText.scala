@@ -705,6 +705,34 @@ object LlmText {
       .withColumn("bucket", expr("simhash >> 48"))
       .orderBy(col("doc_id"))
 
+  /** Cross-batch bloom dedup — the incremental-ingest complement of
+    * dedup_exact_hash: yesterday's content hashes fold into ONE mergeable
+    * bloom filter (Spark's own runtime-filter aggregate, exposed via the
+    * graft registry) and today's batch probes it as a scalar subquery —
+    * a broadcast-sized membership oracle instead of a join against
+    * yesterday's corpus. Bit-OR merge makes the filter deterministic
+    * under any partitioning; sized at 2^20 bits for ~10⁵ items the
+    * false-positive rate is ≈1e-19 at fixture scale, so the exact
+    * semi-join oracle holds.
+    *
+    * Scale notes: THIS is how 100 TB pipelines dedup against history —
+    * the historical corpus is never re-scanned (its bloom is a few MB of
+    * state, merged incrementally per batch), and the probe is map-side.
+    * False positives only ever drop a duplicate-looking NEW doc (tunable
+    * via bits/item); false negatives cannot happen.
+    */
+  private def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("docs_bloom")
+    s.sql("""
+      SELECT doc_id,
+        bloom_contains(
+          (SELECT bloom_agg(xxhash64(text), 100000L, 1048576L)
+           FROM docs_bloom WHERE doc_id % 2 = 0),
+          xxhash64(text)) AS seen
+      FROM docs_bloom WHERE doc_id % 2 <> 0 ORDER BY doc_id""")
+  }
+
   /** Deterministic reservoir sample: rank every doc by a cryptographic
     * hash of its id and keep the k smallest — uniform over any input
     * order/partitioning, REPRODUCIBLE across engines and reruns (the
@@ -799,6 +827,11 @@ object LlmText {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_bloom", dedupBloom,
+      Some("""SELECT doc_id,
+               text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+                 AS seen
+              FROM documents WHERE doc_id % 2 <> 0 ORDER BY doc_id""")),
     QueryDef("sample_reservoir", sampleReservoir,
       Some("""WITH h AS (SELECT doc_id,
                  md5(CAST(doc_id AS VARCHAR)) AS tag FROM documents),
