@@ -238,6 +238,107 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** ClickHouse `cramersV` / `contingency` — association strength between
+    * two categoricals (returnflag × linestatus) from the exact
+    * contingency table: χ² = Σ(o−e)²/e with e = rowΣ·colΣ/n, then
+    * V = √(χ²/(n·min(r−1,c−1))) and C = √(χ²/(χ²+n)). Cell counts are
+    * exact; per-cell χ² terms run in double with one operation order and
+    * decimal-sum (order-free) before the closed forms round at the edge.
+    *
+    * Scale notes: one partial-count shuffle on the (tiny) cell key;
+    * row/col margins broadcast back onto the cells. The fact table is
+    * scanned once.
+    */
+  private def aggCramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("rf")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("ls")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("rf")).as("r"), countDistinct(col("ls")).as("c"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val chi = cells
+      .join(broadcast(rowTot), "rf").join(broadcast(colTot), "ls")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"),
+        ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+          .as("term"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(Det.dsum(col("term")).as("chi2"))
+    chi.select(col("n"), round(col("chi2"), 6).as("chi2"),
+      round(sqrt(col("chi2") / (col("n").cast("double")
+        * least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+        .as("cramers_v"),
+      round(sqrt(col("chi2") / (col("chi2") + col("n").cast("double"))), 6)
+        .as("contingency_c"))
+  }
+
+  /** Equi-HEIGHT histogram (the quantile-bucket complement of
+    * agg_histogram's equi-width buckets): each distinct value lands in
+    * bucket ⌊cumBefore·k/N⌋ — ties are atomic (a value never splits), so
+    * the bucketing is deterministic at any parallelism.
+    *
+    * Scale notes: the fact table collapses to its value DOMAIN with one
+    * partial-count shuffle; the cumulative runs over the aggregated
+    * domain (O(distinct values), not O(rows)) — if even the domain is
+    * huge, the same win_ntile cut-point decomposition applies one level
+    * down.
+    */
+  private def aggHistogramEq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val domain = Tables.orders(s, dir)
+      .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    domain
+      .withColumn("cum_before", sum(col("cnt")).over(cum) - col("cnt"))
+      .crossJoin(broadcast(domain.agg(sum(col("cnt")).as("n_total"))))
+      .withColumn("bucket", expr(s"cum_before * $k div n_total"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** One full-batch logistic-regression gradient step — distributed ML
+    * as an aggregation, with NO transcendental in sight: from zero
+    * weights σ(0) = ½ exactly, so the gradient is Σ xⱼ·(½ − y) (a
+    * decimal-exact sum), and the post-step prediction threshold
+    * σ(w·x) > ½ ⇔ w·x > 0 needs only IEEE mult/add — bit-identical on
+    * both engines since w itself is rounded to 6dp first. Features:
+    * quantity/50, discount·10, bias; label: line item returned.
+    *
+    * Scale notes: the gradient is one map-side partial agg (three
+    * moments); the evaluation pass broadcasts three scalars. This is the
+    * exact shape every distributed full-batch GD iteration has — per
+    * step: one agg, one broadcast.
+    */
+  private def mlLogregStep(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      (col("l_quantity") / 50.0).as("x1"),
+      (col("l_discount") * 10.0).as("x2"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+    val g = li.agg(
+      count(lit(1)).as("n"),
+      Det.dsum(col("x1") * (lit(0.5) - col("y"))).as("g1"),
+      Det.dsum(col("x2") * (lit(0.5) - col("y"))).as("g2"),
+      Det.dsum(lit(0.5) - col("y")).as("g0"))
+      .select(col("n"),
+        round(lit(-0.1) * col("g1") / col("n").cast("double"), 6).as("w1"),
+        round(lit(-0.1) * col("g2") / col("n").cast("double"), 6).as("w2"),
+        round(lit(-0.1) * col("g0") / col("n").cast("double"), 6).as("w0"))
+    li.crossJoin(broadcast(g))
+      .select(col("n"), col("w1"), col("w2"), col("w0"),
+        when((col("w0") + col("x1") * col("w1") + col("x2") * col("w2") > 0)
+          === (col("y") === 1.0), 1L).otherwise(0L).as("hit"))
+      .groupBy(col("n"), col("w1"), col("w2"), col("w0"))
+      .agg(sum(col("hit")).as("n_correct"))
+      .select(col("n"), col("w0"), col("w1"), col("w2"), col("n_correct"))
+  }
+
   /** ClickHouse `simpleLinearRegression` / `corr` / `covarPop` — but
     * cross-engine deterministic: the five moments (n, Σx, Σy, Σxy, Σx²,
     * Σy²) are summed EXACTLY in decimal (products of 2dp fixture values
@@ -498,6 +599,62 @@ object Aggregates {
                 round((sea + seb) * (sea + seb)
                   / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
               FROM f""")),
+    QueryDef("agg_cramers_v", aggCramersV,
+      Some(s"""WITH cells AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                 COUNT(*) AS o FROM lineitem GROUP BY rf, ls),
+               rtot AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS rt
+                 FROM cells GROUP BY rf),
+               ctot AS (SELECT ls, CAST(SUM(o) AS BIGINT) AS ct
+                 FROM cells GROUP BY ls),
+               tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 COUNT(DISTINCT rf) AS r, COUNT(DISTINCT ls) AS c
+                 FROM cells),
+               terms AS (SELECT n, r, c,
+                 (CAST(o AS DOUBLE)
+                   - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                 * (CAST(o AS DOUBLE)
+                   - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(n AS DOUBLE)) AS term
+                 FROM cells JOIN rtot USING (rf) JOIN ctot USING (ls)
+                 CROSS JOIN tot),
+               chi AS (SELECT n, r, c, ${Det.oSum("term")} AS chi2
+                 FROM terms GROUP BY n, r, c)
+              SELECT n, round(chi2, 6) AS chi2,
+                round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                  * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v,
+                round(sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))), 6)
+                  AS contingency_c
+              FROM chi""")),
+    QueryDef("agg_histogram_eq", aggHistogramEq,
+      Some("""WITH d AS (SELECT o_totalprice AS v, COUNT(*) AS cnt
+                 FROM orders GROUP BY v),
+               c AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                 AS BIGINT) AS cum_before FROM d),
+               t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM d)
+              SELECT CAST(cum_before * 10 // n_total AS BIGINT) AS bucket,
+                CAST(SUM(cnt) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+              FROM c, t GROUP BY bucket ORDER BY bucket""")),
+    QueryDef("ml_logreg_step", mlLogregStep,
+      Some(s"""WITH li AS (SELECT l_quantity / 50.0 AS x1,
+                 l_discount * 10.0 AS x2,
+                 CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+                 FROM lineitem),
+               g AS (SELECT COUNT(*) AS n,
+                 ${Det.oSum("x1 * (0.5 - y)")} AS g1,
+                 ${Det.oSum("x2 * (0.5 - y)")} AS g2,
+                 ${Det.oSum("0.5 - y")} AS g0 FROM li),
+               w AS (SELECT n,
+                 round(-0.1 * g1 / CAST(n AS DOUBLE), 6) AS w1,
+                 round(-0.1 * g2 / CAST(n AS DOUBLE), 6) AS w2,
+                 round(-0.1 * g0 / CAST(n AS DOUBLE), 6) AS w0 FROM g)
+              SELECT n, w0, w1, w2,
+                CAST(SUM(CASE WHEN (w0 + x1 * w1 + x2 * w2 > 0) = (y = 1.0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+              FROM li, w GROUP BY n, w0, w1, w2""")),
     QueryDef("agg_minmax_map", aggMinMaxMap,
       Some("""WITH c AS (SELECT user_id, event_type,
                  MIN(CAST(floor(value * 100) AS BIGINT)) AS mn,

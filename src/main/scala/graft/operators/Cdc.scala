@@ -721,6 +721,42 @@ object Cdc {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Snapshot diff — reconcile a STALE REPLICA against the live state:
+    * s1 is the initial-load image of a replica that stopped replicating
+    * at [[travelT]] (INSERT rows up to T, never updated since); s2 is
+    * today's ReplacingMergeTree state from the full changelog. Every key
+    * classifies added / removed / changed / unchanged with the net price
+    * delta per class — the audit a backfill or replica-repair job runs
+    * BEFORE it writes anything, and the number it reports afterwards to
+    * prove convergence.
+    *
+    * Scale notes: both sides share the changelog scan and its pk-window
+    * shuffle; the diff join is pk-on-pk co-partitioned. Output is
+    * O(classes).
+    */
+  private def cdcSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("es").desc, col("ts").desc)
+    val s1 = ordersTyped(s, dir)
+      .filter(col("type") === "INSERT" && col("es") <= travelT)
+      .select(col("o_orderkey"), col("o_totalprice").as("p1"))
+    val s2 = ordersTyped(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("type") =!= "DELETE")
+      .select(col("o_orderkey"), col("o_totalprice").as("p2"))
+    s1.join(s2, Seq("o_orderkey"), "full_outer")
+      .withColumn("class",
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(col("p1") =!= col("p2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(coalesce(col("p2"), lit(0.0))
+          - coalesce(col("p1"), lit(0.0))).as("price_delta"))
+      .orderBy(col("class"))
+  }
+
   /** Ops/table/type counters + replication lag — the adapters' monitoring
     * surface (lag is ts − es, constant 500 ms by construction).
     */
@@ -794,6 +830,23 @@ object Cdc {
                     THEN epoch_ms(o_orderdate) + 86400000
                     ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
               FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""")),
+    QueryDef("cdc_snapshot_diff", cdcSnapshotDiff,
+      Some(s"""WITH s1 AS (SELECT o_orderkey, o_totalprice AS p1
+                 FROM orders WHERE epoch_ms(o_orderdate) <= $travelT),
+               s2 AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                      ELSE o_totalprice END AS p2
+                 FROM orders WHERE o_orderkey % 7 <> 0),
+               j AS (SELECT
+                 CASE WHEN p1 IS NULL THEN 'added'
+                      WHEN p2 IS NULL THEN 'removed'
+                      WHEN p1 <> p2 THEN 'changed'
+                      ELSE 'unchanged' END AS class,
+                 COALESCE(p2, 0) - COALESCE(p1, 0) AS delta
+                 FROM s1 FULL JOIN s2 USING (o_orderkey))
+              SELECT class, COUNT(*) AS n,
+                ${Det.oSum("delta")} AS price_delta
+              FROM j GROUP BY class ORDER BY class""")),
     QueryDef("cdc_partial_update", cdcPartialUpdate,
       Some("""SELECT o_orderkey,
                CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0

@@ -37,6 +37,17 @@ object Scans {
     s"${sys.props("java.io.tmpdir")}/graft_scan/${kind}_$sf"
   }
 
+  /** ClickHouse `system.numbers` / `numbers(N)` — the generator table
+    * source: a pure computed scan with no storage behind it (Spark's
+    * Range exec — splittable, codegen'd, zero I/O), aggregated to prove
+    * content parity with DuckDB's range().
+    */
+  private def srcNumbers(s: SparkSession, dir: String): DataFrame =
+    s.range(0, 100000)
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        sum(expr("id * id")).as("sum_sq"),
+        count(when(col("id") % 7 === 0, 1)).as("n_mod7"))
+
   private def scanParquet(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
       .select(col("p_partkey"), col("p_retailprice"))
@@ -561,6 +572,11 @@ object Scans {
               SELECT * FROM old_tier UNION ALL SELECT * FROM raw_tier
               ORDER BY day""")),
     QueryDef("scan_sample", scanSample, None),
+    QueryDef("src_numbers", srcNumbers,
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(id * id) AS BIGINT) AS sum_sq,
+               COUNT(CASE WHEN id % 7 = 0 THEN 1 END) AS n_mod7
+              FROM range(100000) t(id)""")),
     QueryDef("scan_schema_evolution", scanSchemaEvolution,
       Some("""SELECT o_orderkey, o_totalprice,
                CASE WHEN o_orderkey % 2 <> 0
