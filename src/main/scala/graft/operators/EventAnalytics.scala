@@ -201,6 +201,22 @@ object EventAnalytics {
                      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
                 t1, t2, t3
               FROM s3 ORDER BY user_id""")),
+    QueryDef("fn_funnel_strict", fnFunnelStrict,
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events
+                 WHERE event_type IN ('signup', 'view', 'purchase')),
+               o AS (SELECT user_id, event_type AS e1, ts AS t1,
+                 lead(event_type, 1) OVER w AS e2, lead(ts, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS e3, lead(ts, 2) OVER w AS t3
+                 FROM e WINDOW w AS
+                   (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT user_id, MAX(CASE
+                WHEN e1 = 'signup' AND e2 = 'view' AND e3 = 'purchase'
+                  AND t3 <= t1 + INTERVAL 24 HOUR THEN 3
+                WHEN e1 = 'signup' AND e2 = 'view'
+                  AND t2 <= t1 + INTERVAL 24 HOUR THEN 2
+                WHEN e1 = 'signup' THEN 1 ELSE 0 END) AS strict_depth
+              FROM o GROUP BY user_id ORDER BY user_id""")),
     QueryDef("seq_next_node", seqNextNode,
       Some("""WITH e AS (SELECT user_id, event_id, event_type,
                  CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -587,6 +603,39 @@ object EventAnalytics {
         max_by(col("value"), key).as("close"),
         round(Det.davg(col("value")), 6).as("avg_value"))
       .orderBy(col("user_id"), col("bucket"))
+  }
+
+  /** ClickHouse `windowFunnel(24h)(strict_order)` — the strict variant of
+    * fn_funnel: steps must be CONSECUTIVE among the funnel's own event
+    * types (another signup/view/purchase between two steps breaks the
+    * chain, where the loose funnel would skip over it). Each row's
+    * two successors come from one lead() pass over the funnel-filtered
+    * timeline; per-user depth is the max chain anchored anywhere. One
+    * shuffle on user_id, O(funnel events) state — same cost as the loose
+    * funnel, stricter semantics.
+    */
+  private def fnFunnelStrict(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t1"), col("event_id"))
+    val win = expr("INTERVAL 24 HOURS")
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"), col("event_type").as("e1"), col("ts").as("t1"),
+        col("event_id"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(
+        when(col("e1") === "signup" && col("e2") === "view" &&
+          col("e3") === "purchase" && col("t3") <= col("t1") + win, 3)
+          .when(col("e1") === "signup" && col("e2") === "view" &&
+            col("t2") <= col("t1") + win, 2)
+          .when(col("e1") === "signup", 1)
+          .otherwise(0)).as("strict_depth"))
+      .orderBy(col("user_id"))
   }
 
   /** ClickHouse `sequenceNextNode` (forward, head-anchored): what does a

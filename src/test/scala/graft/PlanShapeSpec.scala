@@ -289,6 +289,25 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("Window"), "missing running-last window")
   }
 
+  test("dict_get_hierarchy resolves the ancestor chain with zero joins") {
+    val p = plan("dict_get_hierarchy")
+    assert(!p.contains("Join"), p.take(600))
+  }
+
+  test("sample_reservoir plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("sample_reservoir").contains("TakeOrderedAndProject"))
+  }
+
+  test("dedup_bloom probes the bloom as a subquery — no join on history") {
+    val p = plan("dedup_bloom")
+    assert(!p.contains("Join"), p.take(600))
+    assert(p.contains("Subquery") || p.contains("subquery"), p.take(600))
+  }
+
+  test("graph_pagerank_step broadcasts outdegrees onto the edge list") {
+    assert(plan("graph_pagerank_step").contains("BroadcastHashJoin"))
+  }
+
   test("AQE re-plans at runtime: post-shuffle partitions coalesce") {
     val df = SparkEntry.queries("agg_hash")(spark, sf)
     df.collect() // materialize so the adaptive plan finalizes
