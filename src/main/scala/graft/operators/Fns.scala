@@ -226,6 +226,54 @@ object Fns {
       .orderBy(col("user_id"))
   }
 
+  /** ClickHouse array-fold family — `arrayCumSum`, `arrayDifference`,
+    * `arrayZip` — as Catalyst higher-order functions over each order's
+    * line-quantity array (assembled once, sorted on the unique line
+    * number). Quantities are integral fixture doubles, so the bigint
+    * casts agree across engines and every fold is exact integer math.
+    * Arrays leave as canonical CSV strings (comparator hashes scalars).
+    *
+    * Scale notes: one partial-agg shuffle to assemble per-key arrays
+    * (bounded: ≤7 lines/order); the folds are map-side HOFs inside
+    * whole-stage codegen — no UDF, no reshuffles.
+    */
+  private def fnArrayFold(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(expr("array_sort(collect_list(struct(l_linenumber, l_quantity)))")
+        .as("xs"))
+      .select(col("l_orderkey"),
+        expr("transform(xs, x -> cast(x.l_quantity as bigint))").as("q"),
+        expr("transform(xs, x -> x.l_linenumber)").as("ln"))
+      .select(col("l_orderkey"), size(col("q")).as("n_lines"),
+        expr("""array_join(transform(sequence(1, size(q)),
+               i -> aggregate(slice(q, 1, i), cast(0 as bigint),
+                 (a, x) -> a + x)), ',')""").as("cum_qty"),
+        expr("""array_join(transform(sequence(1, size(q)),
+               i -> if(i = 1, cast(0 as bigint),
+                 element_at(q, i) - element_at(q, i - 1))), ',')""")
+          .as("diff_qty"),
+        expr("""array_join(zip_with(ln, q,
+               (a, b) -> concat(cast(a as string), ':',
+                 cast(b as string))), ',')""").as("zip_ln_qty"))
+      .orderBy(col("l_orderkey"))
+
+  /** ClickHouse `multiSearchAny` / `multiSearchAllPositions` — probe each
+    * document against a needle set in one map-side pass: per-needle
+    * 1-based positions (0 = absent) plus the any-hit flag. No shuffle,
+    * no UDF — the multi-needle scan every content-filter pipeline runs
+    * before the expensive classifiers.
+    */
+  private def fnMultiSearch(s: SparkSession, dir: String): DataFrame = {
+    val needles = Seq("the", "fast", "zebra")
+    val posCols = needles.map(n => locate(n, col("text")).as(s"pos_$n"))
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: posCols: _*)
+      .withColumn("any_hit",
+        needles.map(n => col(s"pos_$n") > 0).reduce(_ || _))
+      .orderBy(col("doc_id"))
+  }
+
   /** ClickHouse geo functions (`greatCircleDistance`): haversine distance
     * from a synthetic per-customer coordinate (pure integer function of
     * the key, so both engines derive identical inputs) to a fixed anchor.
@@ -250,6 +298,33 @@ object Fns {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_array_fold", fnArrayFold,
+      Some("""WITH g AS (SELECT l_orderkey,
+                 list(CAST(l_quantity AS BIGINT)
+                   ORDER BY l_linenumber, l_quantity) AS q,
+                 list(l_linenumber
+                   ORDER BY l_linenumber, l_quantity) AS ln
+                 FROM lineitem GROUP BY l_orderkey)
+              SELECT l_orderkey, CAST(len(q) AS INTEGER) AS n_lines,
+                array_to_string(list_transform(
+                  generate_series(1, len(q)),
+                  i -> list_aggregate(q[1:i], 'sum')), ',') AS cum_qty,
+                array_to_string(list_transform(
+                  generate_series(1, len(q)),
+                  i -> CASE WHEN i = 1 THEN 0
+                       ELSE q[i] - q[i-1] END), ',') AS diff_qty,
+                array_to_string(list_transform(
+                  generate_series(1, len(q)),
+                  i -> ln[i] || ':' || q[i]), ',') AS zip_ln_qty
+              FROM g ORDER BY l_orderkey""")),
+    QueryDef("fn_multi_search", fnMultiSearch,
+      Some("""SELECT doc_id,
+               CAST(strpos(text, 'the') AS INTEGER) AS pos_the,
+               CAST(strpos(text, 'fast') AS INTEGER) AS pos_fast,
+               CAST(strpos(text, 'zebra') AS INTEGER) AS pos_zebra,
+               (strpos(text, 'the') > 0 OR strpos(text, 'fast') > 0
+                 OR strpos(text, 'zebra') > 0) AS any_hit
+              FROM documents ORDER BY doc_id""")),
     QueryDef("fn_geo", fnGeo,
       Some("""SELECT c_custkey,
                CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5 AS lat,

@@ -634,7 +634,52 @@ object LlmVector {
   private def oNorm(v: String): String =
     s"sqrt(list_dot_product(CAST($v AS DOUBLE[]), CAST($v AS DOUBLE[])))"
 
+  /** One PCA power-iteration step, v₁ = normalize(XᵀX·v₀), distributed as
+    * two aggregations — the building block of spectral embedding analysis
+    * (effective dimensionality, whitening) without any eigensolver
+    * dependency. v₀ is the uniform direction (0.125 per dim — dyadic, so
+    * exact); the per-row score s = v·v₀ is one explicit left fold
+    * (identical IEEE op chain on both engines — DuckDB's list_reduce
+    * seeds with x₁, Spark's aggregate with 0+x₁, bit-equal); the per-dim
+    * back-projection Σ s·xⱼ and the norm are exact decimal sums; only the
+    * final normalize divides, rounded at the edge.
+    *
+    * Scale notes: per step — one map-side fold, one partial-agg shuffle
+    * keyed by dimension (64 groups), one broadcast of the 64-double
+    * result. X never materializes transposed; iterating is a driver loop
+    * with checkpoint, like dedup_cluster's rounds.
+    */
+  private def vecPcaPowerIter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val scored = Tables.embeddings(s, dir)
+      .withColumn("v", dbl(col("embedding")))
+      .withColumn("sc",
+        expr("aggregate(v, cast(0 as double), (a, x) -> a + x)") * 0.125)
+    val w = scored
+      .select(col("sc"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(Det.dsum(col("sc") * col("x")).as("w"))
+    val nrm = w.agg(sqrt(sum((col("w") * col("w"))
+      .cast(DecimalType(30, 6))).cast("double")).as("nrm"))
+    w.crossJoin(broadcast(nrm))
+      .select(col("pos"), round(col("w"), 6).as("w_j"),
+        round(col("w") / col("nrm"), 6).as("v1_j"))
+      .orderBy(col("pos"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("vec_pca_power_iter", vecPcaPowerIter,
+      Some(s"""WITH e AS (SELECT vec_id,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               sc AS (SELECT vec_id, v,
+                 list_reduce(v, (a, x) -> a + x) * 0.125 AS s FROM e),
+               ex AS (SELECT s, unnest(v) AS x,
+                 generate_subscripts(v, 1) - 1 AS pos FROM sc),
+               w AS (SELECT pos, ${Det.oSum("s * x")} AS w
+                 FROM ex GROUP BY pos),
+               n AS (SELECT sqrt(${Det.oSum("w * w")}) AS nrm FROM w)
+              SELECT pos, round(w, 6) AS w_j, round(w / nrm, 6) AS v1_j
+              FROM w, n ORDER BY pos""")),
     QueryDef("vec_norm", vecNorm,
       Some(s"""SELECT vec_id,
                round(${oNorm("embedding")}, 6) AS l2_norm,
