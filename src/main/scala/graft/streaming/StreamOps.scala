@@ -574,6 +574,99 @@ object StreamOps {
     out
   }
 
+  case class EvT(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+  case class SessAgg(startUs: Long, endUs: Long, n: Long)
+  case class SessOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Event-time TIMERS on the transformWithState API: sessionization
+    * where the CLOSE of the trailing session is driven by a registered
+    * timer firing when the watermark passes sessionEnd + 30 min — the
+    * mechanism a production processor uses to emit "this session is
+    * over" without waiting for the user's next event. Sessions closed by
+    * a later event emit inline; only the open tail holds state + one
+    * timer. Stale timers (session extended or already closed) are
+    * detected by expiry mismatch and ignored. The far-future sentinel
+    * advances the watermark past every real timer before the finite feed
+    * ends (the never-ending-stream stand-in, as in stream_outer_join).
+    * Oracle: identical to batch sessionization — timer-driven closing
+    * must change WHEN sessions emit, never WHAT they contain.
+    */
+  private class SessionTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvT, SessOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessAgg] = _
+    private val gapMs = 30L * 60 * 1000
+    private def tUs(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    private def expiryOf(a: SessAgg): Long = a.endUs / 1000 + gapMs
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessAgg]("sess",
+        org.apache.spark.sql.Encoders.product[SessAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[EvT],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessOut] = {
+      val evs = rows.toArray.sortBy(e => (tUs(e.ts), e.event_id))
+      var out = List.empty[SessOut]
+      var open = Option(st.get())
+      evs.foreach { e =>
+        val t = tUs(e.ts)
+        open match {
+          case Some(a) if t - a.endUs <= gapMs * 1000 =>
+            open = Some(SessAgg(a.startUs, math.max(a.endUs, t), a.n + 1))
+          case Some(a) => // closed inline by a later event
+            out ::= SessOut(uid, a.startUs, a.endUs, a.n)
+            open = Some(SessAgg(t, t, 1))
+          case None =>
+            open = Some(SessAgg(t, t, 1))
+        }
+      }
+      open.foreach { a =>
+        st.update(a)
+        getHandle.registerTimer(expiryOf(a))
+      }
+      out.reverseIterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessOut] =
+      Option(st.get()) match {
+        case Some(a) if expiryOf(a) == info.getExpiryTimeInMs =>
+          st.clear()
+          Iterator.single(SessOut(uid, a.startUs, a.endUs, a.n))
+        case _ => Iterator.empty
+      }
+  }
+
+  private def streamTwsTimers(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ds = s.readStream.schema(eventsRawSchema)
+      .parquet(outerEventsDir(s, dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[EvT]
+    val sessions = ds.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("start_us"))
+    val out = runToMemory(s, sessions.toDF(), "append")
+      .filter(col("user_id") >= 0) // drop the sentinel's session
+      .withColumn("session_idx", row_number().over(byStart).cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"))
+      .orderBy(col("user_id"), col("session_idx"))
+    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out
+  }
+
   // ---- joins ----
 
   /** Stream–static dimension enrichment (events ⋈ customer). */
@@ -806,6 +899,23 @@ object StreamOps {
       Some("""SELECT c_mktsegment, COUNT(*) AS n
               FROM events JOIN customer ON c_custkey = user_id + 1
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+    QueryDef("stream_tws_timers", streamTwsTimers,
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+              f AS (SELECT user_id, event_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              g AS (SELECT user_id, ts,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_idx
+                FROM f)
+              SELECT user_id, session_idx, COUNT(*) AS n_events,
+                MIN(ts) AS session_start, MAX(ts) AS session_end
+              FROM g GROUP BY user_id, session_idx
+              ORDER BY user_id, session_idx""")),
     QueryDef("stream_outer_join", streamOuterJoin,
       Some("""WITH p AS (SELECT event_id AS p_id, user_id,
                  CAST(ts AS TIMESTAMP) AS ts FROM events
