@@ -757,6 +757,55 @@ object Cdc {
       .orderBy(col("class"))
   }
 
+  /** Transaction-consistent multi-table apply: a binlog transaction can
+    * touch several tables, and consumers must never observe table A at
+    * txn N with table B at txn N−1. Every publish writes COMPLETE new
+    * states for ALL tables under one `v=N/` prefix, then flips a single
+    * shared `_CURRENT` manifest via atomic rename — the commit point for
+    * the whole set. A crash after some table writes but before the flip
+    * leaves readers on the previous consistent PAIR (asserted in
+    * StateMaintenanceSpec with a deliberately torn publish).
+    *
+    * Scale notes: data writes are ordinary distributed sinks, per-table
+    * in parallel; the commit is one O(1) control-plane rename regardless
+    * of table count — the same primitive every lakehouse table format
+    * reduces to, here spanning tables.
+    */
+  private[graft] def txnPublish(root: String, n: Int,
+      tables: Map[String, DataFrame]): Unit = {
+    tables.foreach { case (t, df) => df.write.parquet(s"$root/v=$n/$t") }
+    val tmp = new java.io.File(s"$root/_CURRENT.tmp")
+    val w = new java.io.PrintWriter(tmp); w.print(n); w.close()
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(s"$root/_CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def txnCurrent(root: String): Int =
+    scala.io.Source.fromFile(s"$root/_CURRENT").mkString.trim.toInt
+
+  private def cdcMultiTableTxn(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("mttxn")
+    val cust = typeMapGeneric(parsed(s, dir), "customer")
+    val v1Orders = ordersTyped(s, dir)
+      .filter(col("type") === "INSERT")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    txnPublish(root, 1, Map("orders" -> v1Orders, "customer" -> cust))
+    txnPublish(root, 2,
+      Map("orders" -> cdcDeleteFold(s, dir), "customer" -> cust))
+    val n = txnCurrent(root)
+    val o = s.read.parquet(s"$root/v=$n/orders")
+      .agg(count(lit(1)).as("n_rows"),
+        Det.dsum(col("o_totalprice")).as("sum_val"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("sum_val"))
+    val c = s.read.parquet(s"$root/v=$n/customer")
+      .agg(count(lit(1)).as("n_rows"),
+        Det.dsum(col("c_acctbal")).as("sum_val"))
+      .select(lit("customer").as("tbl"), col("n_rows"), col("sum_val"))
+    o.unionByName(c).orderBy(col("tbl"))
+  }
+
   /** Ops/table/type counters + replication lag — the adapters' monitoring
     * surface (lag is ts − es, constant 500 ms by construction).
     */
@@ -830,6 +879,18 @@ object Cdc {
                     THEN epoch_ms(o_orderdate) + 86400000
                     ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
               FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""")),
+    QueryDef("cdc_multi_table_txn", cdcMultiTableTxn,
+      Some(s"""WITH o AS (SELECT CASE WHEN o_orderkey % 3 = 0
+                 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS p
+                 FROM orders WHERE o_orderkey % 7 <> 0),
+               c AS (SELECT CAST(CAST(c_acctbal AS DECIMAL(15,2)) AS DOUBLE)
+                 AS b FROM customer)
+              SELECT 'customer' AS tbl, (SELECT COUNT(*) FROM c) AS n_rows,
+                (SELECT ${Det.oSum("b")} FROM c) AS sum_val
+              UNION ALL
+              SELECT 'orders', (SELECT COUNT(*) FROM o),
+                (SELECT ${Det.oSum("p")} FROM o)
+              ORDER BY tbl""")),
     QueryDef("cdc_snapshot_diff", cdcSnapshotDiff,
       Some(s"""WITH s1 AS (SELECT o_orderkey, o_totalprice AS p1
                  FROM orders WHERE epoch_ms(o_orderdate) <= $travelT),

@@ -634,6 +634,32 @@ object LlmVector {
   private def oNorm(v: String): String =
     s"sqrt(list_dot_product(CAST($v AS DOUBLE[]), CAST($v AS DOUBLE[])))"
 
+  /** Dedup threshold calibration — the sweep every semantic-dedup rollout
+    * runs BEFORE picking its cutoff: one pass over the blocked candidate
+    * pairs, each pair counted against every threshold in the grid, giving
+    * pairs-flagged and docs-dropped per threshold (the dedup
+    * aggressiveness curve). The pair set is computed ONCE (label-blocked,
+    * fused native cosine) and fanned out by a 5-element explode — the
+    * sweep costs one aggregation more than a single-threshold run.
+    */
+  private def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = e.select(col("label").as("label_b"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(va, vb)"), 6))
+      .select(col("id_b"), col("cos_sim"),
+        explode(expr("array(0.2D, 0.25D, 0.3D, 0.35D, 0.4D)")).as("thr"))
+      .filter(col("cos_sim") >= col("thr"))
+      .groupBy(col("thr"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dropped"))
+      .orderBy(col("thr"))
+  }
+
   /** One PCA power-iteration step, v₁ = normalize(XᵀX·v₀), distributed as
     * two aggregations — the building block of spectral embedding analysis
     * (effective dimensionality, whitening) without any eigensolver
@@ -668,6 +694,19 @@ object LlmVector {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_threshold_sweep", dedupThresholdSweep,
+      Some(s"""WITH p AS (SELECT b.vec_id AS id_b,
+                 round(${oDot.format("a.embedding", "b.embedding")}
+                   / (${oNorm("a.embedding")} * ${oNorm("b.embedding")}), 6)
+                   AS cos_sim
+                 FROM embeddings a JOIN embeddings b
+                   ON a.label = b.label AND a.vec_id < b.vec_id),
+               t AS (SELECT unnest(CAST([0.2, 0.25, 0.3, 0.35, 0.4]
+                 AS DOUBLE[])) AS thr)
+              SELECT thr, COUNT(*) AS n_pairs,
+                COUNT(DISTINCT id_b) AS n_dropped
+              FROM p, t WHERE cos_sim >= thr
+              GROUP BY thr ORDER BY thr""")),
     QueryDef("vec_pca_power_iter", vecPcaPowerIter,
       Some(s"""WITH e AS (SELECT vec_id,
                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

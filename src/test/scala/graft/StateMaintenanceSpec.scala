@@ -128,6 +128,27 @@ class StateMaintenanceSpec extends GraftSpec {
     assert(vs == Set("v=1", "v=2"), s"stale versions not collected: $vs")
   }
 
+  test("multi-table txn: a torn publish never exposes a mixed pair") {
+    import spark.implicits._
+    val root = graft.Scratch.dir("mttxn_test")
+    val tA1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val tB1 = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    Cdc.txnPublish(root, 1, Map("a" -> tA1, "b" -> tB1))
+    // torn publish of v2: table a written, CRASH before b + manifest flip
+    Seq((1L, 99.0)).toDF("k", "v").write.parquet(s"$root/v=2/a")
+    assert(Cdc.txnCurrent(root) == 1, "manifest must still point at v1")
+    val a = spark.read.parquet(s"$root/v=${Cdc.txnCurrent(root)}/a")
+    val b = spark.read.parquet(s"$root/v=${Cdc.txnCurrent(root)}/b")
+    // the readable pair is the COMPLETE v1 transaction, not a mix
+    assert(a.count() == 2 && b.count() == 2)
+    // completing the publish flips both tables at once
+    Seq((1L, "z")).toDF("k", "s").write.parquet(s"$root/v=2/b")
+    Cdc.txnPublish(root, 2, Map.empty) // data already staged; commit only
+    assert(Cdc.txnCurrent(root) == 2)
+    assert(spark.read.parquet(s"$root/v=2/a").count() == 1
+      && spark.read.parquet(s"$root/v=2/b").count() == 1)
+  }
+
   test("atomic swap: readers keep their snapshot across a publish") {
     import spark.implicits._
     import graft.operators.Scans.{publishVersion, readCurrent}
