@@ -634,6 +634,35 @@ object LlmVector {
   private def oNorm(v: String): String =
     s"sqrt(list_dot_product(CAST($v AS DOUBLE[]), CAST($v AS DOUBLE[])))"
 
+  /** Embedding outlier score — diagonal Mahalanobis z² = Σⱼ(xⱼ−μⱼ)²/σ²ⱼ,
+    * the embedding-health check that catches collapsed or corrupted
+    * vectors before they poison retrieval. Per-dim moments are exact
+    * decimal sums (both engines produce bit-equal μ, σ²); per-row terms
+    * run in double with one op order and decimal-sum per vector —
+    * nothing anywhere depends on fold or partition order. Top-20
+    * outliers by score.
+    *
+    * Scale notes: moments = one partial-agg shuffle keyed by dimension
+    * (64 groups) broadcast back; scoring is map-side; the top-20 is
+    * TakeOrdered. Two passes over X, no pairwise anything.
+    */
+  private def vecOutlier(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(dbl(col("embedding"))).as(Seq("pos", "x")))
+    val st = ex.groupBy(col("pos"))
+      .agg(Det.davg(col("x")).as("mu"),
+        Det.davg(col("x") * col("x")).as("m2"))
+    ex.join(broadcast(st), "pos")
+      .select(col("vec_id"), col("label"),
+        ((col("x") - col("mu")) * (col("x") - col("mu")) /
+          (col("m2") - col("mu") * col("mu"))).as("term"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(Det.dsum(col("term")), 6).as("z2"))
+      .orderBy(col("z2").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** Dedup threshold calibration — the sweep every semantic-dedup rollout
     * runs BEFORE picking its cutoff: one pass over the blocked candidate
     * pairs, each pair counted against every threshold in the grid, giving
@@ -694,6 +723,20 @@ object LlmVector {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("vec_outlier", vecOutlier,
+      Some(s"""WITH ex AS (SELECT vec_id, label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) AS pos FROM embeddings),
+               st AS (SELECT pos, ${Det.oAvg("x")} AS mu,
+                 ${Det.oAvg("x * x")} AS m2 FROM ex GROUP BY pos),
+               t AS (SELECT vec_id, label,
+                 (x - mu) * (x - mu) / (m2 - mu * mu) AS term
+                 FROM ex JOIN st USING (pos)),
+               z AS (SELECT vec_id, label,
+                 round(${Det.oSum("term")}, 6) AS z2
+                 FROM t GROUP BY vec_id, label)
+              SELECT vec_id, label, z2 FROM z
+              ORDER BY z2 DESC, vec_id LIMIT 20""")),
     QueryDef("dedup_threshold_sweep", dedupThresholdSweep,
       Some(s"""WITH p AS (SELECT b.vec_id AS id_b,
                  round(${oDot.format("a.embedding", "b.embedding")}

@@ -258,6 +258,36 @@ object Scans {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Manifest-level FILE skipping — the lakehouse table-format mechanic
+    * (Iceberg/Delta manifests) one level above scan_bloom_index's
+    * row-group pruning: the clustered write is paired with a manifest
+    * listing each file's key range; a point lookup consults the manifest
+    * FIRST (dimension-sized, driver/control plane) and opens ONLY the
+    * files whose [min,max] admit the key. At 10⁶-file scale this is the
+    * difference between listing a lake and reading one footer — the scan
+    * below it then still row-group-prunes as usual.
+    */
+  private def scanManifestSkip(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("manifest")
+    Tables.orders(s, dir)
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.parquet(s"$root/t")
+    val manifest = s.read.parquet(s"$root/t")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect() // O(files) — the manifest IS control-plane metadata
+    val keys = Seq(1L, 500L, 7777L)
+    val hits = manifest.filter(m => keys.exists(k =>
+      k >= m.getLong(1) && k <= m.getLong(2))).map(_.getString(0))
+    require(hits.length < manifest.length,
+      "manifest must actually prune files")
+    s.read.parquet(hits.toIndexedSeq: _*)
+      .filter(col("o_orderkey").isin(keys: _*))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** TTL GROUP BY — ClickHouse's age-tiered rollup (`TTL ts + INTERVAL 14
     * DAY GROUP BY day, type SET value = sum(value)`): partitions older
     * than the retention window are REWRITTEN as one aggregated row per
@@ -550,6 +580,10 @@ object Scans {
                 MIN(xk) AS min_x, MAX(xk) AS max_x,
                 MIN(yk) AS min_y, MAX(yk) AS max_y
               FROM z GROUP BY bucket ORDER BY bucket""")),
+    QueryDef("scan_manifest_skip", scanManifestSkip,
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey IN (1, 500, 7777)
+              ORDER BY o_orderkey""")),
     QueryDef("scan_bloom_index", scanBloomIndex,
       Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
               FROM orders WHERE o_orderkey IN (1, 7, 1000, 999999999)
