@@ -172,6 +172,37 @@ object Joins {
     * value is a (ts, id) struct so the tolerance check is a map-side
     * filter after the window, not a second join.
     */
+  /** FORWARD as-of: each purchase matched to the FIRST view at-or-after
+    * it (pandas merge_asof direction='forward') — same merge formulation
+    * as the backward variant (union + one per-key sort), with the
+    * running last() mirrored to a first() over the following frame.
+    * Same-ts views are eligible: probes sort before quotes on ties and
+    * the frame starts at the next row. Linear, no self-join, no Join
+    * node at all.
+    */
+  private def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"),
+        lit(null).cast("long").as("quote_id"),
+        col("ts"), col("user_id"), lit(1).as("is_probe"),
+        col("event_id").as("tb"))
+    val quotes = ev.filter(col("event_type") === "view")
+      .select(lit(null).cast("long").as("probe_id"),
+        col("event_id").as("quote_id"),
+        col("ts"), col("user_id"), lit(0).as("is_probe"),
+        col("event_id").as("tb"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_probe").desc, col("tb").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    probes.unionByName(quotes)
+      .withColumn("matched_id",
+        first(col("quote_id"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("probe_id").as("event_id"), col("matched_id"))
+      .orderBy(col("event_id"))
+  }
+
   private def joinAsofTol(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val probes = ev.filter(col("event_type") === "purchase")
@@ -683,6 +714,19 @@ object Joins {
                AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
                AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
               GROUP BY e1.user_id ORDER BY e1.user_id""")),
+    QueryDef("join_asof_forward", joinAsofForward,
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'purchase'),
+              q AS (SELECT event_id AS quote_id, user_id,
+                CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'view'),
+              j AS (SELECT p.event_id, q.quote_id,
+                ROW_NUMBER() OVER (PARTITION BY p.event_id
+                  ORDER BY q.ts, q.quote_id) AS rn
+                FROM p LEFT JOIN q
+                  ON p.user_id = q.user_id AND q.ts >= p.ts)
+              SELECT event_id, quote_id AS matched_id
+              FROM j WHERE rn = 1 ORDER BY event_id""")),
     QueryDef("join_asof", joinAsof,
       Some("""WITH u AS (
                 SELECT event_id AS probe_id, CAST(NULL AS BIGINT) AS quote_id,
