@@ -86,6 +86,48 @@ class CdcPropertySpec extends GraftSpec {
     }
   }
 
+  test("versioned collapse: merge is invariant under signed-row order") {
+    import spark.implicits._
+    // generate (key, version, payload, sign) multisets where cancels copy
+    // a prior state row — then the merge must give the same survivors for
+    // ANY permutation, the VersionedCollapsingMergeTree contract
+    def collapse(rows: Seq[(Long, Long, Double, Int)]): Map[Long, (Long, Double)] = {
+      val df = rows.toDF("key", "version", "payload", "sign")
+      val w = Window.partitionBy(col("key")).orderBy(col("version").desc)
+      df.groupBy(col("key"), col("version"), col("payload"))
+        .agg(sum(col("sign")).as("net")).filter(col("net") > 0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("key", "version", "payload").as[(Long, Long, Double)]
+        .collect().map { case (k, v, p) => k -> ((v, p)) }.toMap
+    }
+    samples.foreach { evs =>
+      // build a versioned state/cancel script from the generated events:
+      // per key, sorted by (es, seq): each event adds state (v=2*seq) and
+      // cancels the prior state row exactly (same version AND payload)
+      val rows = evs.groupBy(_.key).toSeq.flatMap { case (k, es) =>
+        val ordered = es.sortBy(e => (e.es, e.seq))
+        ordered.zipWithIndex.flatMap { case (e, i) =>
+          val st = (k, 2L * e.seq, e.es.toDouble, 1)
+          val cancel = if (i == 0) Nil else {
+            val p = ordered(i - 1)
+            Seq((k, 2L * p.seq, p.es.toDouble, -1))
+          }
+          cancel :+ st
+        }
+      }
+      val base = collapse(rows)
+      val rnd = new scala.util.Random(11)
+      assert(base == collapse(rnd.shuffle(rows)))
+      assert(base == collapse(rows.reverse))
+      // survivors are exactly each key's LAST state row
+      val want = evs.groupBy(_.key).map { case (k, es) =>
+        val last = es.maxBy(e => (e.es, e.seq))
+        k -> ((2L * last.seq, last.es.toDouble))
+      }
+      assert(base == want)
+    }
+  }
+
   test("scd2 intervals partition each key's timeline") {
     import spark.implicits._
     samples.foreach { evs =>
