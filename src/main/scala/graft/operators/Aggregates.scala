@@ -238,6 +238,27 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** ClickHouse aggregate-combinator algebra (`-If` family) spelled out
+    * as one query: countIf / sumIf / avgIf / minIf / maxIf, each the
+    * plain aggregate over a predicate-masked input — in Spark a
+    * conditional expression INSIDE the aggregate, so everything stays in
+    * one two-phase hash aggregation (one scan, one shuffle, regardless
+    * of how many conditions ride along).
+    */
+  private def aggCombinators(s: SparkSession, dir: String): DataFrame = {
+    val isR = col("l_returnflag") === "R"
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(when(isR, 1)).as("count_if"),
+        Det.dsum(when(isR, col("l_quantity")).otherwise(0.0)).as("sum_if"),
+        (Det.dsum(when(isR, col("l_quantity")).otherwise(0.0))
+          / count(when(isR, 1)).cast("double")).as("avg_if"),
+        min(when(isR, col("l_extendedprice"))).as("min_if"),
+        max(when(isR, col("l_extendedprice"))).as("max_if"))
+      .orderBy(col("l_linestatus"))
+  }
+
   /** ClickHouse `cramersV` / `contingency` — association strength between
     * two categoricals (returnflag × linestatus) from the exact
     * contingency table: χ² = Σ(o−e)²/e with e = rowΣ·colΣ/n, then
@@ -599,6 +620,19 @@ object Aggregates {
                 round((sea + seb) * (sea + seb)
                   / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
               FROM f""")),
+    QueryDef("agg_combinators", aggCombinators,
+      Some(s"""SELECT l_linestatus,
+               COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS count_if,
+               ${Det.oSum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END")}
+                 AS sum_if,
+               ${Det.oSum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END")}
+                 / CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                   AS DOUBLE) AS avg_if,
+               MIN(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
+                 AS min_if,
+               MAX(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
+                 AS max_if
+              FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
     QueryDef("agg_cramers_v", aggCramersV,
       Some(s"""WITH cells AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
                  COUNT(*) AS o FROM lineitem GROUP BY rf, ls),

@@ -243,6 +243,30 @@ object Joins {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** NULL-AWARE anti join — `NOT IN (subquery)` three-valued-logic
+    * semantics: a NULL probe key is UNKNOWN, never a match, so the
+    * injected null-key row must vanish (a plain left_anti would keep
+    * it). Spark plans this as BroadcastHashJoin with
+    * isNullAwareAntiJoin=true (asserted in PlanShapeSpec) — the single-
+    * column NOT IN fast path instead of the naive null-checking
+    * BroadcastNestedLoopJoin.
+    */
+  private def joinAntiNullAware(s: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .unionByName(
+        Tables.customer(s, dir).limit(1)
+          .select(lit(null).cast("long").as("c_custkey"),
+            lit("null-key probe").as("c_name")))
+    probe.createOrReplaceTempView("anti_probe")
+    Tables.orders(s, dir).createOrReplaceTempView("anti_orders")
+    s.sql("""
+      SELECT c_custkey, c_name FROM anti_probe
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM anti_orders
+                              WHERE o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")
+  }
+
   /** Full-outer reconciliation: high-value order activity vs. high-balance
     * customers — either side may be missing (CDC-vs-snapshot diff shape).
     */
@@ -714,6 +738,13 @@ object Joins {
                AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
                AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
               GROUP BY e1.user_id ORDER BY e1.user_id""")),
+    QueryDef("join_anti_null_aware", joinAntiNullAware,
+      Some("""WITH probe AS (SELECT c_custkey, c_name FROM customer
+              UNION ALL SELECT NULL, 'null-key probe')
+              SELECT c_custkey, c_name FROM probe
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE o_orderpriority = '1-URGENT')
+              ORDER BY c_custkey""")),
     QueryDef("join_asof_forward", joinAsofForward,
       Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                 FROM events WHERE event_type = 'purchase'),

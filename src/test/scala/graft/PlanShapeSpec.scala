@@ -308,6 +308,12 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan("graph_pagerank_step").contains("BroadcastHashJoin"))
   }
 
+  test("join_anti_null_aware plans the null-aware single-column fast path") {
+    // BroadcastHashJoin's trailing positional flag is isNullAwareAntiJoin
+    assert(plan("join_anti_null_aware")
+      .contains("LeftAnti, BuildRight, true"))
+  }
+
   test("AQE re-plans at runtime: post-shuffle partitions coalesce") {
     val df = SparkEntry.queries("agg_hash")(spark, sf)
     df.collect() // materialize so the adaptive plan finalizes
