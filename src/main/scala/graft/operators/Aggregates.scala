@@ -238,6 +238,29 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** TPC-H Q3 (shipping priority) — the classic three-table
+    * join-aggregate-topk: segment-filtered customers ⋈ pre-cutoff orders
+    * ⋈ post-cutoff lineitems, revenue per order, top 10. The value here
+    * is the PLAN: both dimension-side filters cut before the joins,
+    * customer broadcasts, the aggregation is two-phase, and the top-10
+    * is TakeOrderedAndProject — the optimizer doing on one recognizable
+    * query everything the individual operator keys assert in isolation.
+    */
+  private def q3Shipping(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir)
+        .filter(expr("o_orderdate < TIMESTAMP_NTZ '1998-03-15'")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate > TIMESTAMP '1998-03-15'")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+
   /** ClickHouse aggregate-combinator algebra (`-If` family) spelled out
     * as one query: countIf / sumIf / avgIf / minIf / maxIf, each the
     * plain aggregate over a predicate-masked input — in Spark a
@@ -620,6 +643,18 @@ object Aggregates {
                 round((sea + seb) * (sea + seb)
                   / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
               FROM f""")),
+    QueryDef("q3_shipping", q3Shipping,
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+               ${Det.oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-03-15'
+                AND CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1998-03-15'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, o_orderdate, l_orderkey
+              LIMIT 10""")),
     QueryDef("agg_combinators", aggCombinators,
       Some(s"""SELECT l_linestatus,
                COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS count_if,

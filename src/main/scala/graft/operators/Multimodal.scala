@@ -189,7 +189,54 @@ object Multimodal {
           - expr("n_bytes * start_ms div dur_ms")).as("byte_len"))
       .orderBy(col("doc_id"), col("seg_idx"))
 
+  /** Video scene splitting by embedding distance — each label is a
+    * pseudo-video whose frames (embeddings, ordered by id) are compared
+    * to their predecessor with the fused native cosine; a drop below the
+    * similarity threshold opens a new scene, and scenes aggregate to
+    * (first/last frame, length). This is the standard shot-boundary
+    * pipeline shape: per-frame features ride a single ordered window
+    * pass clustered by video — one shuffle on the video key, no
+    * pairwise joins, scenes parallel across videos at any scale.
+    */
+  private def mmSceneSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val byFrame = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    Tables.embeddings(s, dir)
+      .withColumn("prev", lag(col("embedding"), 1).over(byFrame))
+      .withColumn("sim",
+        round(expr("cosine_sim_native(prev, embedding)"), 6))
+      .withColumn("boundary",
+        when(col("sim").isNull || col("sim") < 0.1, 1).otherwise(0))
+      .withColumn("scene_idx", sum(col("boundary")).over(
+        byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("label"), col("scene_idx"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("vec_id")).as("first_frame"),
+        max(col("vec_id")).as("last_frame"))
+      .orderBy(col("label"), col("scene_idx"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_scene_split", mmSceneSplit,
+      Some("""WITH f AS (SELECT label, vec_id,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               p AS (SELECT label, vec_id, v,
+                 lag(v) OVER (PARTITION BY label ORDER BY vec_id) AS pv
+                 FROM f),
+               b AS (SELECT label, vec_id,
+                 CASE WHEN pv IS NULL OR round(list_dot_product(pv, v)
+                   / (sqrt(list_dot_product(pv, pv))
+                     * sqrt(list_dot_product(v, v))), 6) < 0.1
+                 THEN 1 ELSE 0 END AS boundary FROM p),
+               sc AS (SELECT label, vec_id,
+                 CAST(SUM(boundary) OVER (PARTITION BY label ORDER BY vec_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_idx
+                 FROM b)
+              SELECT label, scene_idx, COUNT(*) AS n_frames,
+                MIN(vec_id) AS first_frame, MAX(vec_id) AS last_frame
+              FROM sc GROUP BY label, scene_idx
+              ORDER BY label, scene_idx""")),
     QueryDef("mm_audio_segment", mmAudioSegment,
       Some("""WITH b AS (SELECT doc_id,
                  CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -667,6 +667,63 @@ object StreamOps {
     out
   }
 
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MapState on transformWithState — per-user per-event-type running
+    * counts held as keyed sub-state (the streaming twin of agg_sum_map's
+    * SummingMergeTree map column). MapState stores each (type → count)
+    * entry as its OWN state-store key, so updating one event type never
+    * rewrites the user's other entries — the point of MapState over a
+    * ValueState[Map] blob, and exactly how per-key running maps stay
+    * O(touched entries) per batch at 100 TB. Update-mode emission:
+    * latest count per (user, type) wins downstream (max fold — counts
+    * are monotone).
+    */
+  private class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TypeCount] {
+    @transient private var m: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      m = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.Set[String]()
+      rows.foreach { e =>
+        val cur = if (m.containsKey(e.event_type)) m.getValue(e.event_type)
+                  else 0L
+        m.updateValue(e.event_type, cur + 1)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(uid, t, m.getValue(t)))
+    }
+  }
+
+  private def streamTwsMapState(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ds: Dataset[Ev] = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.readStream.schema(eventsRawSchema).parquet(eventsDir(dir))
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+    }
+    val counts = ds.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val out = runToMemory(s, counts.toDF(), "update")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n")) // counts are monotone; latest = max
+      .orderBy(col("user_id"), col("event_type"))
+    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out
+  }
+
   // ---- joins ----
 
   /** Stream–static dimension enrichment (events ⋈ customer). */
@@ -899,6 +956,10 @@ object StreamOps {
       Some("""SELECT c_mktsegment, COUNT(*) AS n
               FROM events JOIN customer ON c_custkey = user_id + 1
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+    QueryDef("stream_tws_map_state", streamTwsMapState,
+      Some("""SELECT user_id, event_type, COUNT(*) AS n
+              FROM events GROUP BY user_id, event_type
+              ORDER BY user_id, event_type""")),
     QueryDef("stream_tws_timers", streamTwsTimers,
       Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                 FROM events),
