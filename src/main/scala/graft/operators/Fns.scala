@@ -274,6 +274,23 @@ object Fns {
       .orderBy(col("doc_id"))
   }
 
+  /** String-distance family (ClickHouse `editDistance`): Levenshtein
+    * between each document's first two tokens (an intra-doc word-shape
+    * signal) and between its language tag and 'en' — both engines ship
+    * the same DP kernel as a built-in, so the surface is purely
+    * map-side codegen'd projection.
+    */
+  private def fnEditDistance(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"),
+        element_at(col("arr"), 1).as("tok1"),
+        element_at(col("arr"), 2).as("tok2"),
+        levenshtein(element_at(col("arr"), 1), element_at(col("arr"), 2))
+          .as("tok_dist"),
+        levenshtein(col("lang"), lit("en")).as("lang_dist"))
+      .orderBy(col("doc_id"))
+
   /** ClickHouse geo functions (`greatCircleDistance`): haversine distance
     * from a synthetic per-customer coordinate (pure integer function of
     * the key, so both engines derive identical inputs) to a fixed anchor.
@@ -325,6 +342,13 @@ object Fns {
                (strpos(text, 'the') > 0 OR strpos(text, 'fast') > 0
                  OR strpos(text, 'zebra') > 0) AS any_hit
               FROM documents ORDER BY doc_id""")),
+    QueryDef("fn_edit_distance", fnEditDistance,
+      Some("""WITH t AS (SELECT doc_id, lang,
+                 string_split(text, ' ') AS arr FROM documents)
+              SELECT doc_id, arr[1] AS tok1, arr[2] AS tok2,
+                CAST(levenshtein(arr[1], arr[2]) AS INTEGER) AS tok_dist,
+                CAST(levenshtein(lang, 'en') AS INTEGER) AS lang_dist
+              FROM t ORDER BY doc_id""")),
     QueryDef("fn_geo", fnGeo,
       Some("""SELECT c_custkey,
                CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5 AS lat,

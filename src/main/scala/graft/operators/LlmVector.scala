@@ -634,6 +634,45 @@ object LlmVector {
   private def oNorm(v: String): String =
     s"sqrt(list_dot_product(CAST($v AS DOUBLE[]), CAST($v AS DOUBLE[])))"
 
+  /** 1-bit (sign) binary quantization — the most aggressive embedding
+    * compression tier (64 dims → one BIGINT, 256× smaller than float32)
+    * with Hamming distance as the similarity proxy: probes rank the
+    * corpus by popcount(sig_a XOR sig_b). Signatures are sums of
+    * distinct powers of two (order-free integer math — deterministic at
+    * any parallelism); XOR/bit_count are single codegen'd instructions.
+    *
+    * Scale notes: the signature table is ~0.8 GB per billion vectors —
+    * it BROADCASTS where the float corpus never could, which is why
+    * binary pre-ranking + float re-ranking is the standard two-stage
+    * retrieval layout. Probe set broadcast; corpus side never shuffles.
+    */
+  private def vecBinaryQuantize(s: SparkSession, dir: String): DataFrame = {
+    // one 32-bit word per 32 dims (the general multi-word layout; also
+    // sidesteps engines that refuse a 1<<63 bigint shift)
+    val sigs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(expr("if(x > 0 and i < 32, " +
+          "shiftleft(cast(1 as bigint), i), cast(0 as bigint))")).as("lo"),
+        sum(expr("if(x > 0 and i >= 32, " +
+          "shiftleft(cast(1 as bigint), i - 32), cast(0 as bigint))"))
+          .as("hi"))
+    val probes = sigs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("lo").as("plo"),
+        col("hi").as("phi"))
+    val wKnn = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    probes.join(sigs.select(col("vec_id").as("cand_id"), col("lo"),
+        col("hi")), col("cand_id") =!= col("probe_id"))
+      .withColumn("hamming",
+        expr("bit_count(plo ^ lo) + bit_count(phi ^ hi)"))
+      .withColumn("rnk", row_number().over(wKnn))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("hamming"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** Embedding outlier score — diagonal Mahalanobis z² = Σⱼ(xⱼ−μⱼ)²/σ²ⱼ,
     * the embedding-health check that catches collapsed or corrupted
     * vectors before they poison retrieval. Per-dim moments are exact
@@ -723,6 +762,27 @@ object LlmVector {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("vec_binary_quantize", vecBinaryQuantize,
+      Some("""WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS i
+                 FROM embeddings),
+               sig AS (SELECT vec_id,
+                 CAST(SUM(CASE WHEN x > 0 AND i < 32 THEN 1::BIGINT << i
+                   ELSE 0 END) AS BIGINT) AS lo,
+                 CAST(SUM(CASE WHEN x > 0 AND i >= 32
+                   THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS hi
+                 FROM ex GROUP BY vec_id),
+               pr AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi
+                 FROM sig WHERE vec_id % 100 = 0),
+               h AS (SELECT probe_id, s.vec_id AS cand_id,
+                 CAST(bit_count(xor(plo, s.lo))
+                   + bit_count(xor(phi, s.hi)) AS BIGINT) AS hamming,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY bit_count(xor(plo, s.lo))
+                     + bit_count(xor(phi, s.hi)), s.vec_id) AS rnk
+                 FROM pr, sig s WHERE s.vec_id <> probe_id)
+              SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, hamming
+              FROM h WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
     QueryDef("vec_outlier", vecOutlier,
       Some(s"""WITH ex AS (SELECT vec_id, label,
                  unnest(CAST(embedding AS DOUBLE[])) AS x,
