@@ -667,6 +667,51 @@ object StreamOps {
     out
   }
 
+  /** Streaming SCD-2 maintenance: the history table is APPEND-ONLY —
+    * each micro-batch lands its typed INSERT/UPDATE rows under a
+    * `v=<batchId>` dir (idempotent per-batch overwrite, the
+    * sink_idempotent discipline), and version intervals are derived ON
+    * READ by the same lead() window as the batch operator. This is the
+    * production layout: writes never touch existing history (no
+    * read-modify-write race, replay converges), and interval closing is
+    * either read-time (here) or folded in by the periodic compaction job
+    * (cdc_compact). Multi-file feed + maxFilesPerTrigger=1 forces
+    * genuine cross-batch accumulation.
+    */
+  private def multiFeedDir(s: SparkSession, dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val feed = s"${sys.props("java.io.tmpdir")}/graft_stream/cdc_feed4_$sf"
+    if (!new java.io.File(s"$feed/_SUCCESS").exists())
+      Cdc.envelopes(s, dir).repartition(4).write.mode("overwrite").text(feed)
+    feed
+  }
+
+  private def streamCdcScd2(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
+    val feed = multiFeedDir(s, dir)
+    val hist = fresh("scd2_hist")
+    val q = s.readStream.schema(Cdc.envelopeSchema)
+      .option("maxFilesPerTrigger", "1").json(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Cdc.typeMapOrders(batch)
+          .filter(col("type") =!= "DELETE")
+          .select(col("o_orderkey"), col("o_totalprice"), col("es"))
+          .write.mode("overwrite").parquet(s"$hist/v=$batchId")
+      }
+      .option("checkpointLocation", fresh("scd2_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("es"))
+    s.read.parquet(hist)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("es").as("valid_from"),
+        lead(col("es"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
   case class TypeCount(user_id: Long, event_type: String, n: Long)
 
   /** MapState on transformWithState — per-user per-event-type running
@@ -956,6 +1001,22 @@ object StreamOps {
       Some("""SELECT c_mktsegment, COUNT(*) AS n
               FROM events JOIN customer ON c_custkey = user_id + 1
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+    QueryDef("stream_cdc_scd2", streamCdcScd2,
+      Some("""WITH v AS (
+                SELECT o_orderkey, o_totalprice,
+                       epoch_ms(o_orderdate) AS valid_from,
+                       CASE WHEN o_orderkey % 3 = 0
+                            THEN epoch_ms(o_orderdate) + 86400000 END AS valid_to
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice + 1000.0,
+                       epoch_ms(o_orderdate) + 86400000, NULL
+                FROM orders WHERE o_orderkey % 3 = 0)
+              SELECT o_orderkey, o_totalprice,
+                     CAST(valid_from AS BIGINT) AS valid_from,
+                     CAST(valid_to AS BIGINT) AS valid_to,
+                     valid_to IS NULL AS is_current
+              FROM v ORDER BY o_orderkey, valid_from""")),
     QueryDef("stream_tws_map_state", streamTwsMapState,
       Some("""SELECT user_id, event_type, COUNT(*) AS n
               FROM events GROUP BY user_id, event_type
