@@ -22,7 +22,11 @@ object EventAnalytics {
   /** windowFunnel(24h): signup → view → purchase, greedy-earliest chain
     * per user; depth = longest prefix completed within the window.
     */
-  private def fnFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** The chained min-per-step funnel times (t1=signup, t2=view within
+    * 24 h, t3=purchase within the same window) — shared by fn_funnel and
+    * fn_funnel_latency.
+    */
+  private def funnelTimes(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
       col("ts"))
     val win = expr("INTERVAL 24 HOURS")
@@ -33,12 +37,15 @@ object EventAnalytics {
       .agg(min(when(col("event_type") === "view" &&
         col("ts") > col("t1") && col("ts") <= col("t1") + win, col("ts")))
         .as("t2"))
-    val t3 = e.join(t2, "user_id")
+    e.join(t2, "user_id")
       .groupBy(col("user_id"), col("t1"), col("t2"))
       .agg(min(when(col("event_type") === "purchase" &&
         col("ts") > col("t2") && col("ts") <= col("t1") + win, col("ts")))
         .as("t3"))
-    t3.select(col("user_id"),
+  }
+
+  private def fnFunnel(s: SparkSession, dir: String): DataFrame = {
+    funnelTimes(s, dir).select(col("user_id"),
         when(col("t3").isNotNull, 3)
           .when(col("t2").isNotNull, 2)
           .when(col("t1").isNotNull, 1)
@@ -201,6 +208,30 @@ object EventAnalytics {
                      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
                 t1, t2, t3
               FROM s3 ORDER BY user_id""")),
+    QueryDef("fn_funnel_latency", fnFunnelLatency,
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+              s1 AS (SELECT user_id,
+                MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+                FROM e GROUP BY user_id),
+              s2 AS (SELECT e.user_id, t1,
+                MIN(CASE WHEN event_type = 'view' AND ts > t1
+                     AND ts <= t1 + INTERVAL 24 HOUR THEN ts END) AS t2
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                GROUP BY e.user_id, t1),
+              s3 AS (SELECT e.user_id, t1, t2,
+                MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                     AND ts <= t1 + INTERVAL 24 HOUR THEN ts END) AS t3
+                FROM e JOIN s2 ON e.user_id = s2.user_id
+                GROUP BY e.user_id, t1, t2),
+              lat AS (SELECT CAST(epoch_us(t3) - epoch_us(t1) AS DOUBLE)
+                  / 1000000.0 AS lat_s
+                FROM s3 WHERE t3 IS NOT NULL)
+              SELECT COUNT(*) AS n_converted,
+                round(MIN(lat_s), 6) AS min_s,
+                round(quantile_cont(lat_s, 0.5), 6) AS median_s,
+                round(MAX(lat_s), 6) AS max_s
+              FROM lat""")),
     QueryDef("fn_funnel_strict", fnFunnelStrict,
       Some("""WITH e AS (SELECT user_id, event_id, event_type,
                  CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -604,6 +635,22 @@ object EventAnalytics {
         round(Det.davg(col("value")), 6).as("avg_value"))
       .orderBy(col("user_id"), col("bucket"))
   }
+
+  /** Time-to-convert distribution: among fully-converted funnel users,
+    * the signup→purchase latency's count / min / exact median / max (in
+    * whole seconds — integer µs arithmetic end to end). The metric
+    * product teams read NEXT after the funnel counts; costs one extra
+    * aggregation over the O(users) funnel-times table.
+    */
+  private def fnFunnelLatency(s: SparkSession, dir: String): DataFrame =
+    funnelTimes(s, dir)
+      .filter(col("t3").isNotNull)
+      .select(((unix_micros(col("t3")) - unix_micros(col("t1")))
+        .cast("double") / 1000000.0).as("lat_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(min(col("lat_s")), 6).as("min_s"),
+        round(expr("percentile(lat_s, 0.5)"), 6).as("median_s"),
+        round(max(col("lat_s")), 6).as("max_s"))
 
   /** ClickHouse `windowFunnel(24h)(strict_order)` — the strict variant of
     * fn_funnel: steps must be CONSECUTIVE among the funnel's own event

@@ -801,6 +801,29 @@ object LlmText {
           / col("n"), 6).as("intercept"))
   }
 
+  /** Heaps'-law vocabulary growth — |vocab| as the corpus grows, the
+    * companion diagnostic to text_zipf_fit (natural text grows ∝ n^β,
+    * β≈0.5; saturating growth flags templated/duplicated corpora). The
+    * naive way is one distinct-count per prefix (k passes over 100 TB);
+    * here each token contributes only its FIRST bucket (min over a
+    * deciled corpus order) and the growth curve is a running sum over
+    * the 10-row bucket histogram — ONE pass, one shuffle on token.
+    */
+  private def textVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstBucket = Tables.documents(s, dir)
+      .select((col("doc_id") % 10).as("bucket"),
+        explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("bucket")).as("first_bucket"))
+      .groupBy(col("first_bucket")).agg(count(lit(1)).as("new_tokens"))
+    val w = Window.orderBy(col("first_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstBucket
+      .withColumn("vocab_size", sum(col("new_tokens")).over(w))
+      .select(col("first_bucket").as("prefix_buckets"), col("new_tokens"),
+        col("vocab_size"))
+      .orderBy(col("prefix_buckets"))
+  }
+
   /** Tokenizer vocabulary coverage: with vocab = the 50 highest-frequency
     * tokens (deterministic tiebreak), per-doc out-of-vocabulary OCCURRENCE
     * rate — the statistic that decides whether a tokenizer's vocab fits a
@@ -864,6 +887,17 @@ object LlmText {
                 round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
                   / n, 6) AS intercept
               FROM mom""")),
+    QueryDef("text_vocab_growth", textVocabGrowth,
+      Some("""WITH fb AS (SELECT tok, MIN(bucket) AS first_bucket
+                 FROM (SELECT doc_id % 10 AS bucket,
+                   unnest(string_split(text, ' ')) AS tok FROM documents) t
+                 GROUP BY tok),
+               h AS (SELECT first_bucket, COUNT(*) AS new_tokens
+                 FROM fb GROUP BY first_bucket)
+              SELECT first_bucket AS prefix_buckets, new_tokens,
+                CAST(SUM(new_tokens) OVER (ORDER BY first_bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+              FROM h ORDER BY prefix_buckets""")),
     QueryDef("tok_oov_rate", tokOovRate,
       Some("""WITH occ AS (SELECT doc_id,
                  unnest(string_split(text, ' ')) AS tok FROM documents),
