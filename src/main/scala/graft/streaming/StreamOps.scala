@@ -592,7 +592,7 @@ object StreamOps {
     * Oracle: identical to batch sessionization — timer-driven closing
     * must change WHEN sessions emit, never WHAT they contain.
     */
-  private class SessionTimerProcessor
+  private[graft] class SessionTimerProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvT, SessOut] {
     @transient private var st: org.apache.spark.sql.streaming.ValueState[SessAgg] = _
     private val gapMs = 30L * 60 * 1000

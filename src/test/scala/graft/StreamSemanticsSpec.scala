@@ -60,6 +60,96 @@ class StreamSemanticsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("tws timers kill-and-recover: crash between batches, sessions converge") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.types._
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tws_recover").toString
+
+    // time-ordered two-file feed (an ordered replayable log, Kafka-style)
+    // + a far-future sentinel file LAST so the final watermark fires all
+    // remaining timers
+    def tUs(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    val ev = Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .sortBy(e => (tUs(e._3), e._1))
+    val feed = s"$root/feed"; new java.io.File(feed).mkdirs()
+    val (f0, f1) = ev.splitAt(ev.length / 2)
+    val sentinel = {
+      val mx = ev.map(_._3.getTime).max
+      Array((-1L, -1L, new java.sql.Timestamp(mx + 30L * 86400000L)))
+    }
+    Seq(("part0", f0), ("part1", f1), ("zz_sentinel", sentinel))
+      .foreach { case (name, rows) =>
+        val stage = s"$root/stage_$name"
+        rows.toSeq.toDF("event_id", "user_id", "ts")
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$feed/$name.parquet"))
+        Thread.sleep(5) // distinct mtimes → deterministic ingest order
+      }
+
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def run(ckpt: String, out: String, crashOnBatch: Option[Long]): Unit = {
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val sessions = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .withWatermark("ts", "1 second")
+        .as[StreamOps.EvT]
+        .groupByKey(_.user_id)
+        .transformWithState(new StreamOps.SessionTimerProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = sessions.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/v=$id")
+          // crash AFTER the emission write, BEFORE the checkpoint commit:
+          // restart must re-execute from the checkpointed state version
+          // and the per-batch overwrite must absorb the replay
+          if (crashOnBatch.contains(id) && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    }
+
+    run(s"$root/ckpt_a", s"$root/out_a", crashOnBatch = Some(1L))
+    run(s"$root/ckpt_a", s"$root/out_a", crashOnBatch = None)
+    run(s"$root/ckpt_b", s"$root/out_b", crashOnBatch = None)
+
+    def snap(out: String): Set[(Long, Long, Long, Long)] =
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val a = snap(s"$root/out_a")
+    assert(a == snap(s"$root/out_b"),
+      "recovered sessions must equal the uninterrupted run")
+    // and both equal an independent sequential sessionization
+    val want = ev.groupBy(_._2).flatMap { case (uid, rows) =>
+      val ts = rows.sortBy(e => (tUs(e._3), e._1)).map(e => tUs(e._3))
+      val splits = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head <= 30L * 60 * 1000 * 1000)
+          (t :: acc.head) :: acc.tail
+        else List(t) :: acc
+      }
+      splits.map(sess => (uid, sess.last, sess.head, sess.length.toLong))
+    }.toSet
+    assert(a == want, "sessions must equal the sequential recompute")
+    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpoint kill-and-recover: crash mid-batch, restart converges") {
     import graft.operators.Cdc
     import graft.streaming.StreamOps
