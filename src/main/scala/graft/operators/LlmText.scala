@@ -801,6 +801,42 @@ object LlmText {
           / col("n"), 6).as("intercept"))
   }
 
+  /** Compression-ratio quality signal (the Gopher/C4-family
+    * repetitiveness proxy): deflate(text) length over raw length — near-
+    * duplicate or templated text compresses far below natural prose.
+    * DEFLATE level 6 is deterministic for fixed input, but no SQL engine
+    * ships a zlib twin, so this is a rows-only key with golden + ordering
+    * ScalaTests (CorpusQualitySpec). Runs as the canonical mapPartitions
+    * batch shape: one Deflater per partition, reset per doc — exactly the
+    * codec-amortization layout mm_decode documents.
+    */
+  private def textCompressRatio(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("raw_len", IntegerType),
+      StructField("comp_len", IntegerType),
+      StructField("ratio", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          Row(r.getLong(0), bytes.length, n,
+            math.rint(n.toDouble / bytes.length * 1e6) / 1e6)
+        }
+      }(enc)
+      .orderBy(col("doc_id"))
+  }
+
   /** Heaps'-law vocabulary growth — |vocab| as the corpus grows, the
     * companion diagnostic to text_zipf_fit (natural text grows ∝ n^β,
     * β≈0.5; saturating growth flags templated/duplicated corpora). The
@@ -887,6 +923,7 @@ object LlmText {
                 round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
                   / n, 6) AS intercept
               FROM mom""")),
+    QueryDef("text_compress_ratio", textCompressRatio, None),
     QueryDef("text_vocab_growth", textVocabGrowth,
       Some("""WITH fb AS (SELECT tok, MIN(bucket) AS first_bucket
                  FROM (SELECT doc_id % 10 AS bucket,

@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
   */
 class VectorTextSpec extends GraftSpec {
 
+  test("text_compress_ratio: deterministic, and repetition compresses") {
+    import spark.implicits._
+    val out = SparkEntry.queries("text_compress_ratio")(spark, sf)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.foreach { case (_, raw, comp, ratio) =>
+      assert(raw > 0 && comp > 0 && math.abs(ratio - comp.toDouble / raw) < 1e-6)
+    }
+    // rerun = identical (Deflater level 6 is deterministic per input)
+    val again = SparkEntry.queries("text_compress_ratio")(spark, sf)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(out.toSeq == again.toSeq)
+    // the signal: pure repetition compresses far below varied text
+    def ratioOf(s0: String): Double = {
+      val d = new java.util.zip.Deflater(6)
+      val b = s0.getBytes("UTF-8"); d.setInput(b); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      n.toDouble / b.length
+    }
+    val rep = ratioOf("spam ham " * 200)
+    val varied = ratioOf((1 to 400).map(i => s"w${i * 2654435761L % 9973}")
+      .mkString(" "))
+    assert(rep < varied * 0.3, s"rep=$rep varied=$varied")
+  }
+
   test("pairwise cosine stays within [-1, 1]") {
     import spark.implicits._
     val sims = SparkEntry.queries("sim_cosine_pair")(spark, sf)
