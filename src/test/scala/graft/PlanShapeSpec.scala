@@ -314,6 +314,40 @@ class PlanShapeSpec extends GraftSpec {
       .contains("LeftAnti, BuildRight, true"))
   }
 
+  test("q3_shipping: broadcast dims, partial agg, TakeOrderedAndProject") {
+    val p = plan("q3_shipping")
+    assert(p.contains("BroadcastHashJoin"), "dimension join must broadcast")
+    assert(p.contains("partial_sum"), "aggregation must be two-phase")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+  }
+
+  test("AQE splits a genuinely skewed join at runtime") {
+    import spark.implicits._
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // thresholds lowered so the fixture-scale hot key trips the detector
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import org.apache.spark.sql.functions._
+    // one hot key carrying ~99% of the left side
+    val left = s.range(0, 200000)
+      .select(when(col("id") % 100 === 0, col("id")).otherwise(0L).as("k"),
+        col("id").as("payload"))
+    val right = s.range(0, 100).select(col("id").as("k"),
+      (col("id") * 2).as("attr"))
+    val joined = left.join(right, "k")
+    // execute THIS DataFrame's plan so AQE finalizes it (count() would
+    // plan a separate query and leave this one isFinalPlan=false)
+    assert(joined.collect().length > 0)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      "AQE must mark the skewed join split:\n" + p.take(1200))
+  }
+
   test("AQE re-plans at runtime: post-shuffle partitions coalesce") {
     val df = SparkEntry.queries("agg_hash")(spark, sf)
     df.collect() // materialize so the adaptive plan finalizes
