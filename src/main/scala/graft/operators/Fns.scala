@@ -226,6 +226,32 @@ object Fns {
       .orderBy(col("user_id"))
   }
 
+  /** ClickHouse `isIPAddressInRange` — CIDR membership over the native
+    * ipv4 codec: ip ∈ net/p ⇔ the two addresses agree on the top p bits
+    * (one shift-compare, codegen'd). The oracle re-derives the packed
+    * address from the octets arithmetically, proving codec AND range
+    * check against first principles.
+    */
+  private def fnCidr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ip = concat_ws(".",
+      ((col("user_id") % 223) + 1).cast("string"),
+      ((col("user_id") * 7) % 256).cast("string"),
+      ((col("user_id") * 13) % 256).cast("string"),
+      (col("user_id") % 256).cast("string"))
+    Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .select(col("user_id"), ip.as("ip"))
+      .select(col("user_id"), col("ip"),
+        expr("ipv4_to_long(ip) div 16777216 = ipv4_to_long('10.0.0.0') div 16777216")
+          .as("in_10_8"),
+        expr("ipv4_to_long(ip) div 1048576 = ipv4_to_long('172.16.0.0') div 1048576")
+          .as("in_172_16_12"),
+        expr("ipv4_to_long(ip) div 65536 = ipv4_to_long('192.168.0.0') div 65536")
+          .as("in_192_168_16"))
+      .orderBy(col("user_id"))
+  }
+
   /** ClickHouse array-fold family — `arrayCumSum`, `arrayDifference`,
     * `arrayZip` — as Catalyst higher-order functions over each order's
     * line-quantity array (assembled once, sorted on the unique line
@@ -342,6 +368,21 @@ object Fns {
                (strpos(text, 'the') > 0 OR strpos(text, 'fast') > 0
                  OR strpos(text, 'zebra') > 0) AS any_hit
               FROM documents ORDER BY doc_id""")),
+    QueryDef("fn_cidr", fnCidr,
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+               ips AS (SELECT user_id,
+                 (user_id % 223) + 1 AS o1, (user_id * 7) % 256 AS o2,
+                 (user_id * 13) % 256 AS o3, user_id % 256 AS o4
+                 FROM u),
+               n AS (SELECT user_id,
+                 o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+                 o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS num
+                 FROM ips)
+              SELECT user_id, ip,
+                num // 16777216 = 167772160 // 16777216 AS in_10_8,
+                num // 1048576 = 2886729728 // 1048576 AS in_172_16_12,
+                num // 65536 = 3232235520 // 65536 AS in_192_168_16
+              FROM n ORDER BY user_id""")),
     QueryDef("fn_edit_distance", fnEditDistance,
       Some("""WITH t AS (SELECT doc_id, lang,
                  string_split(text, ' ') AS arr FROM documents)
