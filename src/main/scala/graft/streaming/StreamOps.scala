@@ -680,9 +680,12 @@ object StreamOps {
     */
   private def multiFeedDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val feed = s"${sys.props("java.io.tmpdir")}/graft_stream/cdc_feed4_$sf"
+    val feed = s"${sys.props("java.io.tmpdir")}/graft_stream/cdc_feed2_$sf"
     if (!new java.io.File(s"$feed/_SUCCESS").exists())
-      Cdc.envelopes(s, dir).repartition(4).write.mode("overwrite").text(feed)
+      // two files: the minimum that still forces cross-batch accumulation
+      // under maxFilesPerTrigger=1 (each extra micro-batch is pure
+      // fixed-cost machinery at bench time)
+      Cdc.envelopes(s, dir).repartition(2).write.mode("overwrite").text(feed)
     feed
   }
 
