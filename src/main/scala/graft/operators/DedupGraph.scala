@@ -153,7 +153,10 @@ object DedupGraph {
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    edges.join(broadcast(outdeg), "src")
+    // no broadcast hint: AQE broadcasts while outdeg is dimension-sized
+    // and falls back to a src-co-partitioned shuffle join when the node
+    // set outgrows the threshold — the right call at both scales
+    edges.join(outdeg, "src")
       .groupBy(col("dst").as("s_suppkey"))
       .agg((lit(150000L) + sum(expr("850000 div outdeg"))).as("pr_micro"),
         count(lit(1)).as("n_in"))

@@ -276,11 +276,14 @@ object Scans {
     val manifest = s.read.parquet(s"$root/t")
       .groupBy(input_file_name().as("file"))
       .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
-      .collect() // O(files) — the manifest IS control-plane metadata
     val keys = Seq(1L, 500L, 7777L)
-    val hits = manifest.filter(m => keys.exists(k =>
-      k >= m.getLong(1) && k <= m.getLong(2))).map(_.getString(0))
-    require(hits.length < manifest.length,
+    // the manifest is FILTERED distributively and only the admitting
+    // file paths reach the driver — collect is O(hits), never O(files),
+    // which is what keeps this workable at 10⁶-file manifests
+    val hits = manifest
+      .filter(keys.map(k => col("lo") <= k && col("hi") >= k).reduce(_ || _))
+      .select(col("file")).collect().map(_.getString(0))
+    require(hits.nonEmpty && hits.length < 8,
       "manifest must actually prune files")
     s.read.parquet(hits.toIndexedSeq: _*)
       .filter(col("o_orderkey").isin(keys: _*))
