@@ -238,6 +238,28 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** Median absolute deviation — the outlier-robust dispersion every
+    * monitoring rule should use instead of stddev (one wild value moves
+    * stddev arbitrarily, moves MAD not at all). Two exact-percentile
+    * passes over the group: median first, then the median of absolute
+    * deviations from it; both interpolate identically across engines
+    * (the agg_quantile parity) and the deviation arithmetic is one op
+    * order, rounded at the edge.
+    */
+  private def aggMad(s: SparkSession, dir: String): DataFrame = {
+    val med = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(med), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("median_price"),
+        round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 6)
+          .as("mad"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** TPC-H Q3 (shipping priority) — the classic three-table
     * join-aggregate-topk: segment-filtered customers ⋈ pre-cutoff orders
     * ⋈ post-cutoff lineitems, revenue per order, top 10. The value here
@@ -643,6 +665,16 @@ object Aggregates {
                 round((sea + seb) * (sea + seb)
                   / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
               FROM f""")),
+    QueryDef("agg_mad", aggMad,
+      Some("""WITH m AS (SELECT l_returnflag,
+                 quantile_cont(l_extendedprice, 0.5) AS med
+                 FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, COUNT(*) AS n,
+                round(MAX(med), 6) AS median_price,
+                round(quantile_cont(abs(l_extendedprice - med), 0.5), 6)
+                  AS mad
+              FROM lineitem JOIN m USING (l_returnflag)
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("q3_shipping", q3Shipping,
       Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
                ${Det.oSum("l_extendedprice * (1 - l_discount)")} AS revenue

@@ -801,6 +801,45 @@ object LlmText {
           / col("n"), 6).as("intercept"))
   }
 
+  /** Corpus drift — Jensen-Shannon divergence between two source halves'
+    * token distributions (src0-9 vs src10-19), in bits: THE monitoring
+    * statistic for "did the mixture shift between snapshots". Per-token
+    * contributions are doubles with one operation order (ln-parity
+    * pattern, 6dp per-term round), decimal-summed so the reduction is
+    * order-free; disjoint-support tokens contribute p·ln2 exactly.
+    *
+    * Scale notes: two partial-count shuffles collapse 100 TB of text to
+    * O(vocab) rows; the A/B join is token-co-partitioned; totals ride a
+    * broadcast 1-row cross join. JSD(bits) ∈ [0,1] regardless of corpus
+    * size.
+    */
+  private def textCorpusDivergence(s: SparkSession, dir: String): DataFrame = {
+    def freq(half: Column) = Tables.documents(s, dir)
+      .filter(half)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val a = freq(srcNum < 10).withColumnRenamed("cnt", "ca")
+    val b = freq(srcNum >= 10).withColumnRenamed("cnt", "cb")
+    val joined = a.join(b, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val p = col("ca").cast("double") / col("ta").cast("double")
+    val q = col("cb").cast("double") / col("tb").cast("double")
+    val ln2 = lit(0.6931471805599453) // literal, not libm — no 1-ulp risk
+    val term =
+      when(col("ca") > 0 && col("cb") > 0,
+        p * log(lit(2.0) * p / (p + q)) + q * log(lit(2.0) * q / (p + q)))
+        .when(col("ca") > 0, p * ln2)
+        .otherwise(q * ln2)
+    joined.crossJoin(broadcast(tot))
+      .select(round(term, 6).as("c"))
+      .agg(count(lit(1)).as("vocab_union"),
+        round(Det.dsum(col("c")) / lit(1.3862943611198906), 6)
+          .as("jsd_bits"))
+  }
+
   /** Compression-ratio quality signal (the Gopher/C4-family
     * repetitiveness proxy): deflate(text) length over raw length — near-
     * duplicate or templated text compresses far below natural prose.
@@ -924,6 +963,39 @@ object LlmText {
                   / n, 6) AS intercept
               FROM mom""")),
     QueryDef("text_compress_ratio", textCompressRatio, None),
+    QueryDef("text_corpus_divergence", textCorpusDivergence,
+      Some("""WITH a AS (SELECT tok, COUNT(*) AS ca FROM (SELECT
+                 unnest(string_split(text, ' ')) AS tok FROM documents
+                 WHERE CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER)
+                   < 10) t GROUP BY tok),
+               b AS (SELECT tok, COUNT(*) AS cb FROM (SELECT
+                 unnest(string_split(text, ' ')) AS tok FROM documents
+                 WHERE CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER)
+                   >= 10) t GROUP BY tok),
+               j AS (SELECT COALESCE(a.tok, b.tok) AS tok,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+                 FROM a FULL JOIN b ON a.tok = b.tok),
+               tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+                 CAST(SUM(cb) AS BIGINT) AS tb FROM j),
+               terms AS (SELECT round(CASE
+                 WHEN ca > 0 AND cb > 0 THEN
+                   (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                     * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                       / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                         + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+                   + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                     * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                       / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                         + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+                 WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                   * 0.6931471805599453
+                 ELSE (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                   * 0.6931471805599453 END, 6) AS c
+                 FROM j, tot)
+              SELECT COUNT(*) AS vocab_union,
+                round(CAST(SUM(CAST((c) AS DECIMAL(30,6))) AS DOUBLE)
+                  / 1.3862943611198906, 6) AS jsd_bits
+              FROM terms""")),
     QueryDef("text_vocab_growth", textVocabGrowth,
       Some("""WITH fb AS (SELECT tok, MIN(bucket) AS first_bucket
                  FROM (SELECT doc_id % 10 AS bucket,
