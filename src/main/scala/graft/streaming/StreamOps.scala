@@ -715,6 +715,69 @@ object StreamOps {
       .orderBy(col("o_orderkey"), col("valid_from"))
   }
 
+  case class Recent(ts_us: Long, event_id: Long, value: Double)
+  case class RecentOut(user_id: Long, n_recent: Long, recent_ids: String)
+
+  /** ListState on transformWithState — a bounded per-user "recent
+    * purchases" buffer (the feature-store primitive behind last-N
+    * features and session context windows). Each batch appends the new
+    * purchases and trims the list to the 3 latest by (ts, event_id);
+    * emission is the current buffer, so the final update per user is the
+    * converged window. ListState appends without rewriting existing
+    * entries — O(arrivals) per batch, the reason it beats a
+    * ValueState[Seq] blob at scale. Completes the typed-state API
+    * surface: ValueState (stream_stateful_tws), MapState
+    * (stream_tws_map_state), timers (stream_tws_timers), ListState here.
+    */
+  private class RecentBufferProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, RecentOut] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Recent] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getListState[Recent]("recent",
+        org.apache.spark.sql.Encoders.product[Recent],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RecentOut] = {
+      rows.foreach(e => buf.appendValue(Recent(e.ts_us, e.event_id, e.value)))
+      val kept = buf.get().toArray
+        .sortBy(r => (-r.ts_us, -r.event_id)).take(3)
+      buf.put(kept.reverse) // stored oldest-first, bounded at 3
+      Iterator.single(RecentOut(uid, kept.length,
+        kept.map(_.event_id).mkString(",")))
+    }
+  }
+
+  private def streamTwsListState(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ds: Dataset[Ev] = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.readStream.schema(eventsRawSchema).parquet(eventsDir(dir))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+    }
+    val recent = ds.groupByKey(_.user_id)
+      .transformWithState(new RecentBufferProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    // single-file feed → exactly one emission per user, so max() is a
+    // deterministic pass-through (a multi-batch feed would need a
+    // monotone emission version to pick the final buffer; the oracled
+    // key deliberately uses the one-batch feed)
+    val out = runToMemory(s, recent.toDF(), "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_recent")).as("n_recent"),
+        max(col("recent_ids")).as("recent_ids"))
+      .select(col("user_id"), col("n_recent"), col("recent_ids"))
+      .orderBy(col("user_id"))
+    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out
+  }
+
   case class TypeCount(user_id: Long, event_type: String, n: Long)
 
   /** MapState on transformWithState — per-user per-event-type running
@@ -1020,6 +1083,17 @@ object StreamOps {
                      CAST(valid_to AS BIGINT) AS valid_to,
                      valid_to IS NULL AS is_current
               FROM v ORDER BY o_orderkey, valid_from""")),
+    QueryDef("stream_tws_list_state", streamTwsListState,
+      Some("""WITH p AS (SELECT user_id, event_id,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events
+                 WHERE event_type = 'purchase'),
+               r AS (SELECT user_id, event_id, ROW_NUMBER() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                 AS rn FROM p)
+              SELECT user_id, COUNT(*) AS n_recent,
+                string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn)
+                  AS recent_ids
+              FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""")),
     QueryDef("stream_tws_map_state", streamTwsMapState,
       Some("""SELECT user_id, event_type, COUNT(*) AS n
               FROM events GROUP BY user_id, event_type
