@@ -64,6 +64,14 @@ object Tables {
   * doubles (shortest repr ≈17 digits, never a 6dp midpoint), which are
   * safe; if a future generator emits 7-digit decimal literals, normalize
   * with round() at the edge first.
+  *
+  * CONFIRMED instance (text_lm_bigram, sf0.01 row 484): round(sum/n, 6)
+  * where sum is an exact 6dp decimal — the quotient's shortest repr
+  * landed on a 6dp midpoint and Spark (shortest-string HALF_UP) and
+  * DuckDB (exact-binary) rounded apart by 1e-6. Rule of thumb: never
+  * round a DIVISION result at the comparison edge when the numerator is
+  * already exact at the target scale — ship the exact sum (identity
+  * under round) and let consumers divide.
   */
 /** Per-run scratch dirs, deleted on JVM exit — repeated Verify/Bench
   * invocations must not accumulate staging data on shared tmp storage

@@ -801,6 +801,47 @@ object LlmText {
           / col("n"), 6).as("intercept"))
   }
 
+  /** Interpolated bigram language-model score — the perplexity-filter
+    * upgrade over text_lm_score's unigram model: per token,
+    * p = 0.7·C(prev,cur)/C(prev,·) + 0.3·C(cur)/N, per-doc mean of
+    * ln p. Counts are exact corpus aggregates; each term runs the same
+    * double expression on both engines, rounds to 6dp, and decimal-sums
+    * per doc (order-free). Self-scored on the corpus itself, so docs
+    * whose transitions are corpus-typical score high — the
+    * KenLM-style quality signal with zero model dependency.
+    *
+    * Scale notes: the LM tables (bigram, prefix, unigram counts) are
+    * vocab-sized — they broadcast, so the token stream is scored
+    * map-side after ONE shuffle to build the counts; per-doc reduction
+    * is a partial agg on doc_id.
+    */
+  private def textLmBigram(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("o", "tok")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("o"))
+    val bi = t.withColumn("prev", lag(col("tok"), 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+    val cBi = bi.groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).as("c_bi"))
+    val cPref = bi.groupBy(col("prev")).agg(count(lit(1)).as("c_pref"))
+    val cUni = t.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    val nTot = t.agg(count(lit(1)).as("n_tot"))
+    val p = lit(0.7) * (col("c_bi").cast("double") / col("c_pref").cast("double")) +
+      lit(0.3) * (col("c_uni").cast("double") / col("n_tot").cast("double"))
+    bi.join(broadcast(cBi), Seq("prev", "tok"))
+      .join(broadcast(cPref), Seq("prev"))
+      .join(broadcast(cUni), Seq("tok"))
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"), round(log(p), 6).as("term"))
+      .groupBy(col("doc_id"))
+      // SUM, not mean: the decimal sum of 6dp terms is exact at 6dp,
+      // while a sum/n division can land on a 6dp midpoint and round
+      // differently across engines (observed at sf0.01, row 484)
+      .agg(count(lit(1)).as("n_terms"),
+        round(Det.dsum(col("term")), 6).as("sum_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus drift — Jensen-Shannon divergence between two source halves'
     * token distributions (src0-9 vs src10-19), in bits: THE monitoring
     * statistic for "did the mixture shift between snapshots". Per-token
@@ -963,6 +1004,31 @@ object LlmText {
                   / n, 6) AS intercept
               FROM mom""")),
     QueryDef("text_compress_ratio", textCompressRatio, None),
+    QueryDef("text_lm_bigram", textLmBigram,
+      Some("""WITH t AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS o
+                 FROM documents),
+               bi AS (SELECT doc_id, tok, lag(tok) OVER
+                 (PARTITION BY doc_id ORDER BY o) AS prev FROM t),
+               bg AS (SELECT * FROM bi WHERE prev IS NOT NULL),
+               cbi AS (SELECT prev, tok, COUNT(*) AS c_bi
+                 FROM bg GROUP BY prev, tok),
+               cpref AS (SELECT prev, COUNT(*) AS c_pref
+                 FROM bg GROUP BY prev),
+               cuni AS (SELECT tok, COUNT(*) AS c_uni FROM t GROUP BY tok),
+               ntot AS (SELECT COUNT(*) AS n_tot FROM t),
+               terms AS (SELECT doc_id, round(ln(
+                 0.7 * (CAST(c_bi AS DOUBLE) / CAST(c_pref AS DOUBLE))
+                 + 0.3 * (CAST(c_uni AS DOUBLE) / CAST(n_tot AS DOUBLE))),
+                 6) AS term
+                 FROM bg JOIN cbi USING (prev, tok)
+                 JOIN cpref USING (prev) JOIN cuni USING (tok)
+                 CROSS JOIN ntot)
+              SELECT doc_id, COUNT(*) AS n_terms,
+                round(CAST(SUM(CAST((term) AS DECIMAL(30,6))) AS DOUBLE),
+                  6) AS sum_logprob
+              FROM terms GROUP BY doc_id ORDER BY doc_id""")),
     QueryDef("text_corpus_divergence", textCorpusDivergence,
       Some("""WITH a AS (SELECT tok, COUNT(*) AS ca FROM (SELECT
                  unnest(string_split(text, ' ')) AS tok FROM documents
