@@ -9,6 +9,23 @@ import org.apache.spark.sql.functions._
   */
 class VectorTextSpec extends GraftSpec {
 
+  test("dedup_bloom: zero false negatives; FP rate within sizing bound") {
+    import spark.implicits._
+    val seen = SparkEntry.queries("dedup_bloom")(spark, sf)
+      .as[(Long, Boolean)].collect().toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val yesterday = docs.filter(_._1 % 2 == 0).map(_._2).toSet
+    docs.filter(_._1 % 2 != 0).foreach { case (id, text) =>
+      if (yesterday.contains(text))
+        assert(seen(id), s"FALSE NEGATIVE on doc $id — bloom cannot do that")
+    }
+    // false positives bounded far below the 2^20-bit sizing's guarantee
+    val fp = docs.filter(_._1 % 2 != 0)
+      .count { case (id, text) => seen(id) && !yesterday.contains(text) }
+    assert(fp == 0, s"$fp false positives at fixture scale (expected 0)")
+  }
+
   test("text_compress_ratio: deterministic, and repetition compresses") {
     import spark.implicits._
     val out = SparkEntry.queries("text_compress_ratio")(spark, sf)
