@@ -238,6 +238,29 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** Population Stability Index — the model-monitoring statistic for
+    * "did this feature's distribution shift between snapshots":
+    * PSI = Σ_bins (pA−pB)·ln(pA/pB) over price bands, comparing early
+    * vs late orders (split at the median order date's year). Bin counts
+    * are exact; per-bin terms run one double op order, round to 6dp and
+    * decimal-sum — the same ln-parity discipline as the JSD drift op,
+    * on numeric bins instead of a vocabulary. PSI < 0.1 = stable.
+    */
+  private def aggPsi(s: SparkSession, dir: String): DataFrame = {
+    val half = year(col("o_orderdate")) < 1998
+    val bin = least(floor(col("o_totalprice") / 50000.0), lit(5.0)).cast("int")
+    val binned = Tables.orders(s, dir)
+      .groupBy(bin.as("bin"))
+      .agg(count(when(half, 1)).as("na"), count(when(!half, 1)).as("nb"))
+    val tot = binned.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val pa = col("na").cast("double") / col("ta").cast("double")
+    val pb = col("nb").cast("double") / col("tb").cast("double")
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("na"), col("nb"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   /** Median absolute deviation — the outlier-robust dispersion every
     * monitoring rule should use instead of stddev (one wild value moves
     * stddev arbitrarily, moves MAD not at all). Two exact-percentile
@@ -665,6 +688,24 @@ object Aggregates {
                 round((sea + seb) * (sea + seb)
                   / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
               FROM f""")),
+    QueryDef("agg_psi", aggPsi,
+      Some("""WITH b AS (SELECT
+                 CAST(LEAST(floor(o_totalprice / 50000.0), 5.0) AS INTEGER)
+                   AS bin,
+                 COUNT(CASE WHEN EXTRACT(year FROM o_orderdate) < 1998
+                   THEN 1 END) AS na,
+                 COUNT(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1998
+                   THEN 1 END) AS nb
+                 FROM orders GROUP BY bin),
+               t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                 CAST(SUM(nb) AS BIGINT) AS tb FROM b)
+              SELECT bin, na, nb,
+                round((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+                    - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+                  * ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                    / (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))), 6)
+                  AS psi_term
+              FROM b, t ORDER BY bin""")),
     QueryDef("agg_mad", aggMad,
       Some("""WITH m AS (SELECT l_returnflag,
                  quantile_cont(l_extendedprice, 0.5) AS med

@@ -757,6 +757,38 @@ object Cdc {
       .orderBy(col("class"))
   }
 
+  /** Tombstone lifecycle (Kafka log-compaction `delete.retention.ms` /
+    * ClickHouse `is_deleted` + `clean_deleted_rows` semantics): a
+    * DELETE must survive as a TOMBSTONE long enough for late-arriving
+    * duplicates of the deleted key to still collapse against it, then
+    * get garbage-collected. Retention anchor: the stream's max es (the
+    * compaction horizon); tombstones younger than 500 days stay, older
+    * ones vanish with their key. Output = live rows plus retained
+    * tombstones, each tagged — the exact state a compacted changelog
+    * topic materializes to.
+    *
+    * Scale notes: same single pk-window pass as the upsert; the GC
+    * predicate is a map-side filter against the broadcast horizon. No
+    * extra shuffle for the lifecycle.
+    */
+  private def cdcTombstoneGc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("es").desc, col("ts").desc)
+    val latest = ordersTyped(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val horizon = latest.agg(max(col("es")).as("h_es"))
+    latest.crossJoin(broadcast(horizon))
+      .filter(col("type") =!= "DELETE" ||
+        col("es") > col("h_es") - lit(500L * 86400000L))
+      .select(col("o_orderkey"),
+        when(col("type") === "DELETE", lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        (col("type") === "DELETE").as("is_tombstone"),
+        col("es").as("version_es"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Transaction-consistent multi-table apply: a binlog transaction can
     * touch several tables, and consumers must never observe table A at
     * txn N with table B at txn N−1. Every publish writes COMPLETE new
@@ -879,6 +911,24 @@ object Cdc {
                     THEN epoch_ms(o_orderdate) + 86400000
                     ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
               FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""")),
+    QueryDef("cdc_tombstone_gc", cdcTombstoneGc,
+      Some("""WITH lat AS (SELECT o_orderkey, o_totalprice,
+                 epoch_ms(o_orderdate) + CASE
+                   WHEN o_orderkey % 7 = 0 THEN 172800000
+                   WHEN o_orderkey % 3 = 0 THEN 86400000
+                   ELSE 0 END AS es,
+                 o_orderkey % 7 = 0 AS del,
+                 CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                      ELSE o_totalprice END AS price
+                 FROM orders),
+               h AS (SELECT MAX(es) AS h_es FROM lat)
+              SELECT o_orderkey,
+                CASE WHEN del THEN NULL ELSE price END AS o_totalprice,
+                del AS is_tombstone,
+                CAST(es AS BIGINT) AS version_es
+              FROM lat, h
+              WHERE NOT del OR es > h_es - 43200000000
+              ORDER BY o_orderkey""")),
     QueryDef("cdc_multi_table_txn", cdcMultiTableTxn,
       Some(s"""WITH o AS (SELECT CASE WHEN o_orderkey % 3 = 0
                  THEN o_totalprice + 1000.0 ELSE o_totalprice END AS p
