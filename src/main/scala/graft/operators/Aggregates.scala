@@ -238,6 +238,38 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** Gini coefficient of spend concentration per nation — the standard
+    * inequality statistic (0 = spend spread evenly across customers,
+    * →1 = one whale): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over per-customer
+    * spend sorted ascending. The event log first collapses to O(customers)
+    * exact decimal spends; the rank window runs per nation over that
+    * dimension-sized table; moments are decimal-exact and only the final
+    * closed form is double, one op order, rounded at the edge.
+    */
+  private def aggGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(Det.dsum(col("o_totalprice")).as("x"))
+    val bySpend = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("x"), col("c_custkey"))
+    spend
+      .withColumn("i", row_number().over(bySpend))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("x")).as("sx"),
+        Det.dsum(col("i").cast("double") * col("x")).as("six"))
+      .select(col("c_nationkey"), col("n"),
+        round(lit(2.0) * col("six")
+          / (col("n").cast("double") * col("sx"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Population Stability Index — the model-monitoring statistic for
     * "did this feature's distribution shift between snapshots":
     * PSI = Σ_bins (pA−pB)·ln(pA/pB) over price bands, comparing early
@@ -688,6 +720,22 @@ object Aggregates {
                 round((sea + seb) * (sea + seb)
                   / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
               FROM f""")),
+    QueryDef("agg_gini", aggGini,
+      Some(s"""WITH spend AS (SELECT c_nationkey, c_custkey,
+                 ${Det.oSum("o_totalprice")} AS x
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY c_nationkey, c_custkey),
+               r AS (SELECT c_nationkey, c_custkey, x, ROW_NUMBER() OVER
+                 (PARTITION BY c_nationkey ORDER BY x, c_custkey) AS i
+                 FROM spend),
+               g AS (SELECT c_nationkey, COUNT(*) AS n,
+                 ${Det.oSum("x")} AS sx,
+                 ${Det.oSum("CAST(i AS DOUBLE) * x")} AS six
+                 FROM r GROUP BY c_nationkey)
+              SELECT c_nationkey, n,
+                round(2.0 * six / (CAST(n AS DOUBLE) * sx)
+                  - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+              FROM g ORDER BY c_nationkey""")),
     QueryDef("agg_psi", aggPsi,
       Some("""WITH b AS (SELECT
                  CAST(LEAST(floor(o_totalprice / 50000.0), 5.0) AS INTEGER)

@@ -203,6 +203,45 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of (pandas direction='nearest'): both directional
+    * candidates come from the SAME union+window pass — running last()
+    * over the preceding frame and first() over the following frame — and
+    * the smaller |Δt| wins (tie → backward, pandas' rule). Completes the
+    * as-of family (backward / backward+tolerance / forward / nearest)
+    * at the same linear cost: one shuffle on the join key, no Join node.
+    */
+  private def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"),
+        lit(null).cast("long").as("quote_id"),
+        lit(null).cast("timestamp").as("qts"),
+        col("ts"), col("user_id"), lit(1).as("is_probe"),
+        col("event_id").as("tb"))
+    val quotes = ev.filter(col("event_type") === "view")
+      .select(lit(null).cast("long").as("probe_id"),
+        col("event_id").as("quote_id"), col("ts").as("qts"),
+        col("ts"), col("user_id"), lit(0).as("is_probe"),
+        col("event_id").as("tb"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_probe").desc, col("tb").asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+    val q = when(col("is_probe") === 0, struct(col("qts"), col("quote_id")))
+    probes.unionByName(quotes)
+      .withColumn("b", last(q, ignoreNulls = true).over(back))
+      .withColumn("f", first(q, ignoreNulls = true).over(fwd))
+      .filter(col("is_probe") === 1)
+      .withColumn("db", unix_micros(col("ts")) - unix_micros(col("b.qts")))
+      .withColumn("df", unix_micros(col("f.qts")) - unix_micros(col("ts")))
+      .select(col("probe_id").as("event_id"),
+        when(col("b").isNull, col("f.quote_id"))
+          .when(col("f").isNull, col("b.quote_id"))
+          .when(col("df") < col("db"), col("f.quote_id"))
+          .otherwise(col("b.quote_id")).as("matched_id"))
+      .orderBy(col("event_id"))
+  }
+
   private def joinAsofTol(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val probes = ev.filter(col("event_type") === "purchase")
@@ -745,6 +784,33 @@ object Joins {
               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                       WHERE o_orderpriority = '1-URGENT')
               ORDER BY c_custkey""")),
+    QueryDef("join_asof_nearest", joinAsofNearest,
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'purchase'),
+              q AS (SELECT event_id AS quote_id, user_id,
+                CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'view'),
+              b AS (SELECT p.event_id, q.quote_id, q.ts,
+                ROW_NUMBER() OVER (PARTITION BY p.event_id
+                  ORDER BY q.ts DESC, q.quote_id DESC) AS rn
+                FROM p JOIN q ON p.user_id = q.user_id AND q.ts < p.ts),
+              f AS (SELECT p.event_id, q.quote_id, q.ts,
+                ROW_NUMBER() OVER (PARTITION BY p.event_id
+                  ORDER BY q.ts, q.quote_id) AS rn
+                FROM p JOIN q ON p.user_id = q.user_id AND q.ts >= p.ts),
+              j AS (SELECT p.event_id, p.ts,
+                b.quote_id AS bq, b.ts AS bts,
+                f.quote_id AS fq, f.ts AS fts
+                FROM p
+                LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (event_id)
+                LEFT JOIN (SELECT * FROM f WHERE rn = 1) f USING (event_id))
+              SELECT event_id,
+                CASE WHEN bq IS NULL THEN fq
+                     WHEN fq IS NULL THEN bq
+                     WHEN epoch_us(fts) - epoch_us(ts)
+                        < epoch_us(ts) - epoch_us(bts) THEN fq
+                     ELSE bq END AS matched_id
+              FROM j ORDER BY event_id""")),
     QueryDef("join_asof_forward", joinAsofForward,
       Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                 FROM events WHERE event_type = 'purchase'),
