@@ -248,6 +248,35 @@ object EventAnalytics {
                   AND t2 <= t1 + INTERVAL 24 HOUR THEN 2
                 WHEN e1 = 'signup' THEN 1 ELSE 0 END) AS strict_depth
               FROM o GROUP BY user_id ORDER BY user_id""")),
+    QueryDef("fn_journey_regex", fnJourneyRegex,
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events),
+               j AS (SELECT user_id,
+                 string_agg(substring(event_type, 1, 1), ''
+                   ORDER BY ts, event_id) AS journey
+                 FROM e GROUP BY user_id)
+              SELECT user_id,
+                CAST(length(journey) AS INTEGER) AS n_events,
+                regexp_matches(journey, 's.*v.*p') AS has_funnel_path,
+                CAST((length(journey)
+                  - length(regexp_replace(journey, 'vp', '', 'g'))) // 2
+                  AS BIGINT) AS n_direct_vp
+              FROM j ORDER BY user_id""")),
+    QueryDef("seq_transition_matrix", seqTransitionMatrix,
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events),
+               pr AS (SELECT user_id, event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type FROM e),
+               pairs AS (SELECT from_type, to_type, COUNT(*) AS n
+                 FROM pr WHERE to_type IS NOT NULL
+                 GROUP BY from_type, to_type),
+               m AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+                 FROM pairs GROUP BY from_type)
+              SELECT from_type, to_type, n,
+                round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p
+              FROM pairs JOIN m USING (from_type)
+              ORDER BY from_type, to_type""")),
     QueryDef("seq_next_node", seqNextNode,
       Some("""WITH e AS (SELECT user_id, event_id, event_type,
                  CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -683,6 +712,54 @@ object EventAnalytics {
           .when(col("e1") === "signup", 1)
           .otherwise(0)).as("strict_depth"))
       .orderBy(col("user_id"))
+  }
+
+  /** Behavior-journey regex (how `sequenceMatch` patterns get implemented
+    * when the chain grammar outgrows fixed slots): each user's timeline
+    * string-encodes to its event-type initials in time order, and the
+    * journey string is probed with regexes — full funnel match
+    * 's.*v.*p', direct view→purchase transitions counted via
+    * regexp_replace. One ordered aggregation per user; the regex scan is
+    * map-side over O(users) strings, never over the event log.
+    */
+  private def fnJourneyRegex(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("""array_join(transform(
+             array_sort(collect_list(struct(ts, event_id, event_type))),
+             x -> substring(x.event_type, 1, 1)), '')""").as("journey"))
+      .select(col("user_id"), length(col("journey")).as("n_events"),
+        col("journey").rlike("s.*v.*p").as("has_funnel_path"),
+        ((length(col("journey")) -
+          length(regexp_replace(col("journey"), "vp", ""))) / 2)
+          .cast("long").as("n_direct_vp"))
+      .orderBy(col("user_id"))
+
+  /** Markov transition matrix over the event stream: P(next | current)
+    * from consecutive-event counts per user timeline — the chain view
+    * that seq_next_node (single-step, signup-anchored) generalizes to.
+    * One lead() pass clustered on user_id, one partial-count shuffle on
+    * the 5×5 transition key; probabilities are exact-count ratios in one
+    * double op order, rounded at the edge.
+    */
+  private def seqTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byTime))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val margin = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(margin), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("p"))
+      .orderBy(col("from_type"), col("to_type"))
   }
 
   /** ClickHouse `sequenceNextNode` (forward, head-anchored): what does a
