@@ -801,6 +801,34 @@ object LlmText {
           / col("n"), 6).as("intercept"))
   }
 
+  /** Keyword extraction — top-3 terms per doc by tf-idf (deterministic
+    * tiebreak on the rounded score, then token): the retrieval-index /
+    * tagging primitive one window pass above text_tf_idf. The rank runs
+    * over the aggregated (doc, token) table clustered by doc — never the
+    * token stream — and keywords leave as one canonical CSV per doc.
+    */
+  private def textKeywords(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_total"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val byScore = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(df_, "token").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_total").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") <= 3)
+      .groupBy(col("doc_id"))
+      .agg(expr("""array_join(transform(
+             array_sort(collect_list(struct(rk, token))),
+             x -> x.token), ',')""").as("keywords"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Interpolated bigram language-model score — the perplexity-filter
     * upgrade over text_lm_score's unigram model: per token,
     * p = 0.7·C(prev,cur)/C(prev,·) + 0.3·C(cur)/N, per-doc mean of
@@ -1004,6 +1032,24 @@ object LlmText {
                   / n, 6) AS intercept
               FROM mom""")),
     QueryDef("text_compress_ratio", textCompressRatio, None),
+    QueryDef("text_keywords", textKeywords,
+      Some("""WITH t AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS token FROM documents),
+               tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t
+                 GROUP BY doc_id, token),
+               df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf
+                 GROUP BY token),
+               n AS (SELECT COUNT(DISTINCT doc_id) AS n_total
+                 FROM documents),
+               sc AS (SELECT doc_id, token,
+                 round(tf * ln(CAST(n_total AS DOUBLE) / df), 6) AS tfidf
+                 FROM tf JOIN df USING (token) CROSS JOIN n),
+               rk AS (SELECT doc_id, token, ROW_NUMBER() OVER
+                 (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+                 FROM sc)
+              SELECT doc_id,
+                string_agg(token, ',' ORDER BY rk) AS keywords
+              FROM rk WHERE rk <= 3 GROUP BY doc_id ORDER BY doc_id""")),
     QueryDef("text_lm_bigram", textLmBigram,
       Some("""WITH t AS (SELECT doc_id,
                  unnest(string_split(text, ' ')) AS tok,

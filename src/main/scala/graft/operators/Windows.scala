@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -190,7 +190,59 @@ object Windows {
       .orderBy(col("c_custkey"))
   }
 
+  /** Rolling z-score anomaly signal: each order scored against the
+    * customer's OWN trailing history (10 preceding orders, current row
+    * excluded — the standard self-exclusion that keeps an outlier from
+    * masking itself). Mean/variance come from exact decimal window sums;
+    * degenerate history (n < 5 or zero variance) yields null instead of
+    * NaN. One window clustering on the customer key carries all three
+    * running moments.
+    */
+  private def winZscore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-10, -1)
+    def dsumW(c: Column) =
+      sum(c.cast(DecimalType(30, 6))).over(w).cast("double")
+    val n = col("n_hist").cast("double")
+    val m = col("sx") / n
+    val v = col("sxx") / n - (col("sx") / n) * (col("sx") / n)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        count(lit(1)).over(w).as("n_hist"),
+        dsumW(col("o_totalprice")).as("sx"),
+        dsumW(col("o_totalprice") * col("o_totalprice")).as("sxx"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("n_hist"),
+        when(col("n_hist") >= 5 && v > 0,
+          round((col("o_totalprice") - m) / sqrt(v), 6)).as("z"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_zscore", winZscore,
+      Some("""WITH h AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                 COUNT(*) OVER w AS n_hist,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w
+                   AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(o_totalprice * o_totalprice
+                   AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sxx
+                 FROM orders
+                 WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+              SELECT o_custkey, o_orderkey, o_totalprice, n_hist,
+                CASE WHEN n_hist >= 5
+                      AND sxx / CAST(n_hist AS DOUBLE)
+                        - (sx / CAST(n_hist AS DOUBLE))
+                        * (sx / CAST(n_hist AS DOUBLE)) > 0
+                     THEN round((o_totalprice - sx / CAST(n_hist AS DOUBLE))
+                       / sqrt(sxx / CAST(n_hist AS DOUBLE)
+                         - (sx / CAST(n_hist AS DOUBLE))
+                         * (sx / CAST(n_hist AS DOUBLE))), 6)
+                END AS z
+              FROM h ORDER BY o_custkey, o_orderkey""")),
     QueryDef("win_dist", winDist,
       Some("""SELECT c_nationkey, c_custkey, c_acctbal,
                 percent_rank() OVER w AS pct_rank,
