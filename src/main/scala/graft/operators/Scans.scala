@@ -449,6 +449,30 @@ object Scans {
         min(col("yk")).as("min_y"), max(col("yk")).as("max_y"))
       .orderBy(col("bucket"))
 
+  /** Partition-scheme migration (day → month): the table-lifecycle job
+    * that runs when a partition key turns out too fine (10³ daily dirs
+    * → 10¹ monthly dirs; listing cost and small files drop with it).
+    * The migration is one distributed read→write pass over the legacy
+    * layout; the verification aggregates the NEW layout and reports how
+    * many legacy partitions each new one absorbed. At 100 TB months
+    * rewrite independently and the old layout stays live until the
+    * atomic-swap pointer flips (sink_atomic_swap's commit).
+    */
+  private def sinkRepartitionScheme(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("repart")
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(s"$base/legacy")
+    s.read.parquet(s"$base/legacy")
+      .withColumn("month", date_trunc("month", col("day")).cast("date"))
+      .write.partitionBy("month").parquet(s"$base/migrated")
+    s.read.parquet(s"$base/migrated")
+      .groupBy(col("month"))
+      .agg(countDistinct(col("day")).as("n_days_absorbed"),
+        count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("month"))
+  }
+
   /** Small-files compaction (the OPTIMIZE / ClickHouse merge-parts
     * mechanic): a partitioned table fragmented into many small files per
     * partition is rewritten to one file per partition — the single
@@ -543,6 +567,13 @@ object Scans {
               SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
                 ${Det.oSum("o_totalprice")} AS sum_price
               FROM u GROUP BY bucket ORDER BY bucket""")),
+    QueryDef("sink_repartition_scheme", sinkRepartitionScheme,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 value FROM events)
+              SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+                COUNT(DISTINCT day) AS n_days_absorbed,
+                COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
+              FROM e GROUP BY month ORDER BY month""")),
     QueryDef("sink_compact_files", sinkCompactFiles,
       Some(s"""SELECT event_type, CAST(1 AS BIGINT) AS n_files,
                COUNT(*) AS n_rows, ${Det.oSum("value")} AS sum_value

@@ -715,6 +715,35 @@ object StreamOps {
       .orderBy(col("o_orderkey"), col("valid_from"))
   }
 
+  /** State-store observability (the `system.metrics` / streaming-UI
+    * surface as a QUERY): run the watermarked dedup pipeline and report
+    * each stateful operator's retained row count from the engine's own
+    * progress telemetry. For a deterministic finite feed the state
+    * census is itself deterministic — dedup retains exactly one row per
+    * distinct event id — so the observability path gets a DuckDB oracle
+    * like any data query: monitoring that can be WRONG is worse than no
+    * monitoring.
+    */
+  private def streamStateMetrics(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
+    import s.implicits._
+    val dup = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_mem_${nameCtr.incrementAndGet()}"
+    val q = dup.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", fresh(s"${name}_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress
+      .flatMap(p => p.stateOperators.map(o =>
+        (o.operatorName, o.numRowsTotal)))
+      .groupBy(_._1).map { case (op, xs) => (op, xs.map(_._2).max) }.toSeq
+    stateRows.toDF("operator", "state_rows")
+      .orderBy(col("operator"))
+  }
+
   case class Recent(ts_us: Long, event_id: Long, value: Double)
   case class RecentOut(user_id: Long, n_recent: Long, recent_ids: String)
 
@@ -1067,6 +1096,10 @@ object StreamOps {
       Some("""SELECT c_mktsegment, COUNT(*) AS n
               FROM events JOIN customer ON c_custkey = user_id + 1
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+    QueryDef("stream_state_metrics", streamStateMetrics,
+      Some("""SELECT 'dedupeWithinWatermark' AS operator,
+               COUNT(DISTINCT event_id) AS state_rows
+              FROM events""")),
     QueryDef("stream_cdc_scd2", streamCdcScd2,
       Some("""WITH v AS (
                 SELECT o_orderkey, o_totalprice,
