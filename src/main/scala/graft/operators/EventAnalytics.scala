@@ -392,6 +392,7 @@ object EventAnalytics {
                 CAST(regexp_matches(seq, 'e.*e.*e') AS INTEGER) AS m_triple_error,
                 CAST(LENGTH(seq) AS INTEGER) AS n_events
               FROM s ORDER BY user_id""")),
+    QueryDef("ts_holt", tsHolt, None),
     QueryDef("ts_ema", tsEma,
       Some("""WITH l AS (SELECT user_id,
                  list(value ORDER BY ts, event_id) AS xs
@@ -626,6 +627,42 @@ object EventAnalytics {
     * unbounded keys the streaming twin (stream_stateful) carries the
     * running state instead.
     */
+  /** Holt double-exponential smoothing (level + trend, α=0.3 β=0.2) —
+    * the forecasting recursion one step above ts_ema, as a per-user
+    * STRUCT fold. Rows-only by DELIBERATE choice: DuckDB 1.0.0's
+    * list_reduce reuses its accumulator buffer in place from the second
+    * iteration on, so a struct-state lambda sees PARTIALLY-UPDATED
+    * accumulator fields (verified: field written first leaks into later
+    * fields' reads) — an oracle would have to encode that quirk and
+    * would silently break on a DuckDB upgrade. The scalar fold (ts_ema)
+    * is unaffected. Verified instead against a sequential Scala
+    * recompute in AnalyticsOpsSpec.
+    *
+    * Scale notes: same shape as ts_ema — one shuffle to assemble each
+    * user's bounded ordered history, fold is O(events-per-user)
+    * map-side; the streaming twin carries (l, b) in ValueState.
+    */
+  private def tsHolt(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(expr("array_sort(collect_list(struct(ts, event_id, value)))")
+        .as("xs"))
+      .select(col("user_id"), size(col("xs")).as("n_purchases"),
+        expr("""aggregate(
+                  slice(transform(xs, x -> struct(x.value AS l,
+                    cast(0 as double) AS b)), 2, size(xs) - 1),
+                  struct(element_at(xs, 1).value AS l,
+                    cast(0 as double) AS b),
+                  (acc, e) -> struct(
+                    0.3D * e.l + 0.7D * (acc.l + acc.b) AS l,
+                    0.2D * ((0.3D * e.l + 0.7D * (acc.l + acc.b)) - acc.l)
+                      + 0.8D * acc.b AS b))""").as("st"))
+      .select(col("user_id"), col("n_purchases"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + col("st.b")).as("forecast_1"))
+      .orderBy(col("user_id"))
+
   private def tsEma(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter(col("event_type") === "purchase")

@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 class AnalyticsOpsSpec extends GraftSpec {
 
+  test("ts_holt equals a sequential Holt recursion, bit for bit") {
+    import spark.implicits._
+    val got = SparkEntry.queries("ts_holt")(spark, sf)
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val evs = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val want = evs.groupBy(_._1).map { case (uid, rows) =>
+      val xs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      var l = xs.head; var b = 0.0
+      xs.tail.foreach { x =>
+        val nl = 0.3 * x + 0.7 * (l + b)
+        b = 0.2 * (nl - l) + 0.8 * b
+        l = nl
+      }
+      uid -> ((xs.length, l, b, l + b))
+    }
+    assert(got == want)
+  }
+
   test("graph_pagerank_step equals a sequential fixed-point recompute") {
     import spark.implicits._
     val got = SparkEntry.queries("graph_pagerank_step")(spark, sf)
