@@ -305,7 +305,7 @@ object EventAnalytics {
                  FROM o GROUP BY user_id)
               SELECT user_id, n,
                 round((v_last - v_first)
-                  / (CAST(t_last - t_first AS DOUBLE) / 1000000.0), 6)
+                  / (CAST(t_last - t_first AS DOUBLE) / 1000000.0), 6) + 0.0
                   AS slope
               FROM g WHERE t_last > t_first ORDER BY user_id""")),
     QueryDef("fn_retention", fnRetention,
@@ -845,9 +845,12 @@ object EventAnalytics {
         max(unix_micros(col("ts"))).as("t_last"))
       .filter(col("t_last") > col("t_first"))
       .select(col("user_id"), col("n"),
-        round((col("v_last") - col("v_first"))
+        // + 0.0 normalizes IEEE signed zero: DuckDB's round keeps -0.0 on a
+        // tiny negative slope while Spark's (BigDecimal HALF_UP) drops the
+        // sign — value-equal but byte-different at the comparison edge.
+        (round((col("v_last") - col("v_first"))
           / ((col("t_last") - col("t_first")).cast("double") / 1000000.0), 6)
-          .as("slope"))
+          + lit(0.0)).as("slope"))
       .orderBy(col("user_id"))
   }
 

@@ -570,6 +570,11 @@ object LlmText {
     * Map-side hash + one O(sources) shuffle — fingerprinting is scan
     * speed at any scale, and per-source digests compose into a manifest
     * (sink_atomic_swap's natural companion).
+    *
+    * The digest sum exceeds 2^63 (sums of 60-bit prefixes), so it is
+    * emitted as a canonical digit STRING: >64-bit DECIMAL value
+    * representations diverge between engines at the comparison edge
+    * even when the integers are bit-identical.
     */
   private def datasetFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -577,7 +582,8 @@ object LlmText {
         conv(substring(sha2(col("text").cast("binary"), 256), 1, 15), 16, 10)
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("h")).cast("string").as("fingerprint"))
       .orderBy(col("source"))
 
   /** Prefix-duplicate detection (the URL/boilerplate-header dup shape:
@@ -1236,8 +1242,8 @@ object LlmText {
               FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
     QueryDef("dataset_fingerprint", datasetFingerprint,
       Some("""SELECT source, COUNT(*) AS n_docs,
-                SUM(CAST(CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT)
-                  AS DECIMAL(38,0))) AS fingerprint
+                CAST(SUM(CAST(CAST('0x' || substr(sha256(text), 1, 15)
+                  AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
               FROM documents GROUP BY source ORDER BY source""")),
     QueryDef("decontam_exact", decontamExact,
       Some("""WITH ev AS (SELECT doc_id AS eval_id,
