@@ -98,6 +98,24 @@ object Scratch {
     created.add(d)
     d
   }
+
+  /** Durable small-file write for manifest commit points: the bytes are
+    * fsync'd before returning so a subsequent ATOMIC_MOVE can never
+    * publish an empty or partially-flushed manifest (a buffered
+    * PrintWriter both swallows I/O errors and leaves unsynced pages).
+    */
+  def writeDurable(path: java.nio.file.Path, content: String): Unit = {
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val buf = java.nio.ByteBuffer.wrap(
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(true)
+    } finally ch.close()
+  }
 }
 
 object Det {

@@ -807,7 +807,9 @@ object Cdc {
       tables: Map[String, DataFrame]): Unit = {
     tables.foreach { case (t, df) => df.write.parquet(s"$root/v=$n/$t") }
     val tmp = new java.io.File(s"$root/_CURRENT.tmp")
-    val w = new java.io.PrintWriter(tmp); w.print(n); w.close()
+    // Durable (fsync'd) manifest bytes BEFORE the atomic rename — the
+    // rename is the commit point and must never publish a partial file.
+    graft.Scratch.writeDurable(tmp.toPath, n.toString)
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(s"$root/_CURRENT").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

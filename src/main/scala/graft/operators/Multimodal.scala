@@ -178,6 +178,10 @@ object Multimodal {
       .select(col("doc_id"),
         length(col("text").cast("binary")).cast("long").as("n_bytes"))
       .withColumn("dur_ms", col("n_bytes") * 50)
+      // dur_ms = 0 (empty blob) would make sequence(0, -1, +1000) throw,
+      // while the oracle's range(0, 0) is just empty — filter on both
+      // engines so empty documents yield zero segments, not a crash.
+      .filter(col("dur_ms") > 0)
       .select(col("doc_id"), col("n_bytes"), col("dur_ms"),
         explode(expr("sequence(0, dur_ms - 1, 1000)")).as("start_ms"))
       .select(col("doc_id"),

@@ -496,14 +496,21 @@ object Scans {
       s.read.parquet(p.getAbsolutePath).coalesce(1)
         .write.parquet(s"$root/compact/${p.getName}")
     }
-    val nFiles = udf((et: String) =>
-      Option(new java.io.File(s"$root/compact/event_type=$et").listFiles())
+    // File counts are DRIVER-side metadata (the driver just wrote the
+    // compacted layout): listing inside an executor UDF would read the
+    // executor's local FS, which is not the driver's on a real cluster.
+    // O(partitions) literal map, attached as a codegen'd lookup.
+    val fileCounts: Map[String, Long] = parts.map { p =>
+      val et = p.getName.stripPrefix("event_type=")
+      et -> Option(new java.io.File(s"$root/compact/${p.getName}").listFiles())
         .getOrElse(Array.empty[java.io.File])
-        .count(_.getName.endsWith(".parquet")))
+        .count(_.getName.endsWith(".parquet")).toLong
+    }.toMap
     s.read.parquet(s"$root/compact")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), Det.dsum(col("value")).as("sum_value"))
-      .withColumn("n_files", nFiles(col("event_type")).cast("long"))
+      .withColumn("n_files",
+        element_at(typedLit(fileCounts), col("event_type")))
       .select(col("event_type"), col("n_files"), col("n_rows"), col("sum_value"))
       .orderBy(col("event_type"))
   }
@@ -531,7 +538,9 @@ object Scans {
       scala.io.Source.fromFile(cur).mkString.trim.toInt + 1 else 1
     df.write.parquet(s"$root/v=$n")
     val tmp = new java.io.File(s"$root/_CURRENT.tmp")
-    val w = new java.io.PrintWriter(tmp); w.print(n); w.close()
+    // Durable (fsync'd) manifest bytes BEFORE the atomic rename — the
+    // rename is the commit point and must never publish a partial file.
+    graft.Scratch.writeDurable(tmp.toPath, n.toString)
     java.nio.file.Files.move(tmp.toPath, cur.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
