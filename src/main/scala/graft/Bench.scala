@@ -30,7 +30,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val (total, nOk, nFailed) = summarize(results)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full per-query map also persisted to a file: the driver's tail
+    // capture keeps only ~64 of 260+ entries of the stdout line, so
+    // round-over-round per-query diffs need the at-rest copy
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_queries.json"), line)
+    } catch { case _: Throwable => () }
+    println(line)
     // compact line LAST: the driver's tail capture truncates long lines
     // from the front, so the parseable summary must be short and final
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"failed":$nFailed,"sf":"$sfDir"}""")

@@ -607,6 +607,58 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide repeated-substring self-dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * suffix-array ExactSubstr step, re-expressed relationally): every
+    * k-token gram that occurs ≥ 2 times ANYWHERE in the corpus marks its
+    * positions, and runs of adjacent repeated positions merge into
+    * maximal spans per document — the spans ExactSubstr would cut before
+    * training. Per doc: repeated-gram count, span count, covered tokens
+    * and coverage fraction.
+    *
+    * Scale notes: this is the suffix-array formulation without the
+    * suffix array — the ONE data shuffle is on the gram digest (window
+    * count partitioned by digest ≡ sort/group of grams, the relational
+    * twin of suffix-array construction); corpus text never moves as
+    * pairs and nothing is broadcast, unlike decontam_exact's
+    * needle-probe shape. Island-merge is a second window clustered on
+    * doc_id (the partitioning the digest shuffle's output reuses for
+    * its groupBys). O(corpus × k) gram records, linear; at 100 TB pick
+    * k≈50 and hash grams to 8-byte digests so the shuffle payload is
+    * (digest, doc, pos) triples, never text.
+    */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val byDigest = Window.partitionBy(col("digest"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(s, dir)
+      .withColumn("arr", toks(col("text")))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          s"""if(size(arr) < $k, array(),
+                transform(sequence(1, size(arr) - ${k - 1}),
+                  i -> sha2(array_join(slice(arr, i, $k), ' '), 256)))""")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).as("pos"), col("col").as("digest"))
+    val spans = grams
+      .withColumn("cnt", count(lit(1)).over(byDigest))
+      .filter(col("cnt") >= 2)
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(count(lit(1)).as("n_grams"), min(col("pos")).as("spos"),
+        (max(col("pos")) + lit(k - 1)).as("epos"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("n_grams")).as("n_rep_grams"),
+        count(lit(1)).as("n_spans"),
+        sum(col("epos") - col("spos") + 1).as("covered_tokens"),
+        max(col("epos") - col("spos") + 1).as("max_span_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rep_grams"),
+        col("n_spans"), col("covered_tokens"), col("max_span_tokens"),
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 6)
+          .as("rep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
     * quality-filter family that catches degenerate/boilerplate text by
     * how much of it repeats — fraction of duplicate bigrams/trigrams and
@@ -1392,6 +1444,31 @@ object LlmText {
               WHERE round(CAST(n_inter AS DOUBLE)
                 / (sa.sz + sb.sz - n_inter), 6) >= 0.02
               ORDER BY id_a, id_b""")),
+    QueryDef("dedup_substring", dedupSubstring,
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, len(toks) AS n_tokens,
+                unnest(range(1, greatest(len(toks) - 3, 1))) AS pos, toks
+                FROM t),
+              gr AS (SELECT doc_id, n_tokens, pos,
+                array_to_string(toks[pos:pos+4], ' ') AS gram FROM g),
+              r AS (SELECT doc_id, n_tokens, pos,
+                COUNT(*) OVER (PARTITION BY gram) AS cnt FROM gr),
+              i AS (SELECT doc_id, n_tokens, pos,
+                pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS island
+                FROM r WHERE cnt >= 2),
+              sp AS (SELECT doc_id, n_tokens, island, COUNT(*) AS n_grams,
+                MIN(pos) AS spos, MAX(pos) + 4 AS epos
+                FROM i GROUP BY doc_id, n_tokens, island)
+              SELECT doc_id, n_tokens,
+                CAST(SUM(n_grams) AS BIGINT) AS n_rep_grams,
+                COUNT(*) AS n_spans,
+                CAST(SUM(epos - spos + 1) AS BIGINT) AS covered_tokens,
+                CAST(MAX(epos - spos + 1) AS BIGINT) AS max_span_tokens,
+                round(CAST(SUM(epos - spos + 1) AS DOUBLE) / n_tokens, 6)
+                  AS rep_frac
+              FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""")),
     QueryDef("dedup_pipeline", dedupPipeline,
       Some("""WITH blk AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 10 = 0),

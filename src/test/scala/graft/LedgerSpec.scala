@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The docs' verification ledger must equal the registry — round 4 shipped
+  * a README/SURVEY claim of "253 oracle-matched" while the correctness
+  * artifact said 251. This spec makes that drift a build failure: the
+  * canonical `Ledger: N keys / M oracled / K rows-only` line in README.md
+  * and SURVEY.md §8 is recomputed from `SparkEntry` itself, and the
+  * rows-only set must equal an explicit, reasoned allowlist so a new key
+  * can never silently ship without an oracle.
+  */
+class LedgerSpec extends AnyFunSuite {
+
+  /** Keys that are rows-only BY DESIGN (approximate / seeded /
+    * wall-clock-dependent), each carrying a named ScalaTest instead of a
+    * DuckDB oracle. Additions require touching this list consciously.
+    */
+  private val declaredNoOracle: Set[String] = Set(
+    "agg_distinct_approx",  // HLL estimate — SketchSpec error bound
+    "agg_hll_merge",        // HLL partial merge — SketchSpec
+    "agg_quantile_approx",  // percentile_approx sketch — SketchSpec
+    "dedup_minhash",        // seeded MLlib LSH — recall-vs-exact test
+    "dedup_minhash_native", // seeded native minhash — recall-vs-exact test
+    "dedup_simhash",        // seeded hyperplanes — golden test
+    "scan_sample",          // TABLESAMPLE is engine-seeded
+    "sim_lsh_knn",          // seeded LSH buckets — recall test
+    "src_rate",             // wall-clock rate source
+    "text_compress_ratio",  // deflate impl differs per engine — golden test
+    "ts_holt",              // iterated double fold drifts in last ulp
+    "udaf_cm_sketch",       // CountMin estimate — SketchSpec
+    "udaf_sketch_topk",     // SpaceSaving estimate — SketchSpec
+  )
+
+  private val ledgerRe =
+    """Ledger: (\d+) keys / (\d+) oracled / (\d+) rows-only""".r.unanchored
+
+  private def docCounts(path: String): (Int, Int, Int) = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    ledgerRe.findFirstMatchIn(text) match {
+      case Some(m) => (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+      case None => fail(s"$path has no canonical 'Ledger: N keys / M oracled" +
+        s" / K rows-only' line")
+    }
+  }
+
+  test("oracleSql keys are a subset of the query registry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("every key without an oracle is on the declared rows-only list") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == declaredNoOracle,
+      s"undeclared rows-only keys: ${noOracle -- declaredNoOracle}; " +
+        s"stale declarations: ${declaredNoOracle -- noOracle}")
+  }
+
+  test("README.md ledger line equals the registry") {
+    val (n, m, k) = docCounts("README.md")
+    assert(n == SparkEntry.queries.size, s"README claims $n keys")
+    assert(m == SparkEntry.oracleSql.size, s"README claims $m oracled")
+    assert(k == n - m, s"README claims $k rows-only")
+  }
+
+  test("SURVEY.md ledger line equals the registry") {
+    val (n, m, k) = docCounts("SURVEY.md")
+    assert(n == SparkEntry.queries.size, s"SURVEY claims $n keys")
+    assert(m == SparkEntry.oracleSql.size, s"SURVEY claims $m oracled")
+    assert(k == n - m, s"SURVEY claims $k rows-only")
+  }
+}
