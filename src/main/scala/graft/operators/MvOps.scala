@@ -98,7 +98,53 @@ object MvOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Mergeable QUANTILE state — the piece agg_state_merge's
+    * count/sum/min/max algebra can't cover (ClickHouse
+    * `quantileTDigestState` parts + `-Merge` finalization): phase 1
+    * computes a bounded t-digest-shaped centroid state per
+    * (group, shard) and persists it; phase 2 folds the state rows back
+    * through the SAME Aggregator (weighted points) and reads p50/p90/p99
+    * off the merged digest. Incremental percentile MVs follow: each new
+    * partition appends one state row per group, history is never
+    * rescanned.
+    *
+    * Scale notes: state is O(δ) per (group, shard) regardless of row
+    * count; phase 1 is one partial-agg shuffle of sketch buffers, phase
+    * 2 shuffles only O(groups × shards × δ) centroid rows. The final
+    * per-group quantile read collects O(groups × δ) state — 3 groups
+    * here — which is the O(metadata) driver-side pattern, annotated.
+    * Estimates are order-sensitive at the margin (bounded summary), so
+    * the key is rows-only; SketchSpec asserts the rank-error bound and
+    * merge-shape invariance.
+    */
+  private def aggQuantileState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val delta = 100
+    val statePath = graft.Scratch.dir("q_state") + "/lineitem_price_digest"
+    val qagg = udaf(new graft.functions.QuantileState(delta))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), (col("l_orderkey") % 8).as("shard"),
+        col("l_extendedprice").cast("double").as("v"), lit(1L).as("w"))
+      .groupBy(col("l_returnflag"), col("shard"))
+      .agg(qagg(col("v"), col("w")).as("state"))
+      .write.mode("overwrite").parquet(statePath)
+    val merged = s.read.parquet(statePath)
+      .select(col("l_returnflag"), explode(col("state")).as("c"))
+      .select(col("l_returnflag"), col("c._1").as("m"), col("c._2").as("w"))
+      .groupBy(col("l_returnflag"))
+      .agg(qagg(col("m"), col("w")).as("state"))
+      .as[(String, Seq[(Double, Long)])]
+      .collect() // O(groups × δ) state rows — driver-side by design
+    merged.toSeq.map { case (g, state) =>
+      val Seq(p50, p90, p99) = graft.functions.QuantileState
+        .quantileOf(state, delta, Seq(0.5, 0.9, 0.99))
+      (g, state.map(_._2).sum, state.length, p50, p90, p99)
+    }.toDF("l_returnflag", "n_rows", "n_centroids", "p50", "p90", "p99")
+      .orderBy(col("l_returnflag"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_quantile_state", aggQuantileState, None),
     QueryDef("agg_state_merge", aggStateMerge,
       Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
                ${Det.oSum("o_totalprice")} AS total,

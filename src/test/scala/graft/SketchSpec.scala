@@ -129,4 +129,109 @@ class SketchSpec extends GraftSpec {
     val frac = sampled.toDouble / total
     assert(frac > 0.05 && frac < 0.15, s"fraction $frac out of bounds")
   }
+
+  // ---- mergeable quantile state (QuantileState / QSketch) ----
+
+  /** True rank of estimate v in sorted data, as a fraction of n. */
+  private def rankOf(sorted: Array[Double], v: Double): Double = {
+    val below = sorted.count(_ <= v)
+    below.toDouble / sorted.length
+  }
+
+  test("quantile sketch: rank error bounded vs exact, state bounded by δ") {
+    val delta = 100
+    val agg = new graft.functions.QuantileState(delta)
+    // heavy-tailed deterministic data: exp of uniform, fixed seed
+    val rnd = new scala.util.Random(42)
+    val data = Array.fill(50000)(math.exp(rnd.nextDouble() * 10))
+    val sk = data.foldLeft(agg.zero)((b, x) => agg.reduce(b, (x, 1L)))
+    val sorted = data.sorted
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = sk.quantile(q)
+      val err = math.abs(rankOf(sorted, est) - q)
+      assert(err <= 0.02, s"q=$q est=$est rank err $err > 0.02")
+    }
+    assert(sk.nCentroids <= 2 * delta,
+      s"state ${sk.nCentroids} centroids exceeds 2δ")
+    assert(sk.totalWeight == data.length)
+  }
+
+  test("quantile sketch: estimate is merge-shape invariant within bounds") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val delta = 100
+    val agg = new graft.functions.QuantileState(delta)
+    val gen = for {
+      n <- Gen.choose(500, 3000)
+      xs <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+      nSplits <- Gen.choose(2, 12)
+    } yield (xs.toArray, nSplits)
+    (1 to 6).foreach { seed =>
+      val (data, nSplits) =
+        gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val sorted = data.sorted
+      // split into shards, sketch each shard independently
+      val shards = data.grouped(math.max(1, data.length / nSplits)).toSeq
+        .map(_.foldLeft(agg.zero)((b, x) => agg.reduce(b, (x, 1L))))
+      // two different merge trees: left fold and balanced pairwise
+      val leftFold = shards.reduceLeft(agg.merge)
+      def pairwise(s: Seq[graft.functions.QSketch]): graft.functions.QSketch =
+        if (s.length == 1) s.head
+        else pairwise(s.grouped(2).map(g =>
+          if (g.length == 2) agg.merge(g(0), g(1)) else g(0)).toSeq)
+      // leftFold mutates its operands; rebuild shards for the second tree
+      val shards2 = data.grouped(math.max(1, data.length / nSplits)).toSeq
+        .map(_.foldLeft(agg.zero)((b, x) => agg.reduce(b, (x, 1L))))
+      val balanced = pairwise(shards2)
+      for (q <- Seq(0.1, 0.5, 0.9); sk <- Seq(leftFold, balanced)) {
+        val err = math.abs(rankOf(sorted, sk.quantile(q)) - q)
+        assert(err <= 0.05, s"seed=$seed q=$q rank err $err > 0.05")
+      }
+      assert(leftFold.totalWeight == data.length)
+      assert(balanced.totalWeight == data.length)
+    }
+  }
+
+  test("quantile sketch: persisted state rows fold back losslessly") {
+    val delta = 100
+    val agg = new graft.functions.QuantileState(delta)
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(20000)(rnd.nextGaussian() * 100)
+    val sk = data.foldLeft(agg.zero)((b, x) => agg.reduce(b, (x, 1L)))
+    val state = agg.finish(sk) // the parquet-persistable centroid rows
+    assert(state.map(_._2).sum == data.length)
+    // rebuild from state (the -Merge read path) — same bounded error
+    val sorted = data.sorted
+    val qs = Seq(0.1, 0.5, 0.9)
+    val re = graft.functions.QuantileState.quantileOf(state, delta, qs)
+    qs.zip(re).foreach { case (q, est) =>
+      val err = math.abs(rankOf(sorted, est) - q)
+      assert(err <= 0.03, s"rebuilt q=$q est=$est rank err $err")
+    }
+  }
+
+  test("agg_quantile_state query: ordered percentiles, all groups present") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("agg_quantile_state")(spark, sf)
+      .as[(String, Long, Int, Double, Double, Double)].collect()
+    assert(rows.length == 3) // l_returnflag ∈ {A, N, R}
+    val exactN = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (g, n, nc, p50, p90, p99) =>
+      assert(n == exactN(g), s"$g row count $n != ${exactN(g)}")
+      assert(nc <= 8 * 200, s"$g state unexpectedly large")
+      assert(p50 <= p90 && p90 <= p99, s"$g quantiles out of order")
+    }
+    // p50 within 2% rank of the exact median per group
+    val exact = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    rows.foreach { case (g, _, _, p50, _, _) =>
+      val vs = exact(g)
+      val rank = vs.count(_ <= p50).toDouble / vs.length
+      assert(math.abs(rank - 0.5) <= 0.02, s"$g p50 rank $rank")
+    }
+  }
 }
