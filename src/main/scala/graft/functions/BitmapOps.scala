@@ -3,31 +3,49 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Bitmap ALGEBRA over the chunked layout of [[BitmapDistinct]] — the
-  * ClickHouse `groupBitmapState` / `groupBitmapAnd` / `groupBitmapOr`
-  * family: build a bitmap per segment, then combine segment bitmaps with
-  * set algebra (audience intersection/union) without ever re-touching the
-  * fact rows. The bitmap travels between the two aggregation levels as a
-  * compact binary column ([nChunks][chunkKey, 1024 words]*), exactly how
-  * ClickHouse ships -State columns into an AggregatingMergeTree.
+/** Bitmap ALGEBRA over the chunked container layout of [[BitmapDistinct]]
+  * — the ClickHouse `groupBitmapState` / `groupBitmapAnd` /
+  * `groupBitmapOr` family: build a bitmap per segment, then combine
+  * segment bitmaps with set algebra (audience intersection/union) without
+  * ever re-touching the fact rows. The bitmap travels between the two
+  * aggregation levels as a compact binary column —
+  * `[nChunks][chunkKey, form, payload]*` where a sparse container ships
+  * its sorted 16-bit offsets (2 B each) and only dense containers ship
+  * the full 8 KiB word array — exactly how ClickHouse ships -State
+  * columns into an AggregatingMergeTree, with Roaring's size rule
+  * deciding the wire form per chunk.
   *
   * Scale: level 1 shuffles fact rows once (by segment); level 2 moves
-  * only |segments| bitmaps, each proportional to the touched key ranges.
+  * only |segments| bitmaps, each proportional to the keys actually
+  * present (sparse chunks no longer pay the dense 8 KiB floor).
   */
 object BitmapCodec {
-  type BM = java.util.HashMap[Long, Array[Long]]
-  val chunkWords = 1024
+  import BitmapDistinct.{ChunkWords, Container, SparseMax}
+  type BM = java.util.HashMap[Long, Container]
 
   def toBytes(b: BM): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + b.size * (8 + chunkWords * 8))
+    var size = 4
+    val sit = b.values().iterator()
+    while (sit.hasNext) {
+      val c = sit.next()
+      size += 8 + 4 + (if (c.dense) ChunkWords * 8 else c.n * 2)
+    }
+    val bb = java.nio.ByteBuffer.allocate(size)
     bb.putInt(b.size)
     val it = b.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       bb.putLong(e.getKey)
-      val w = e.getValue
-      var i = 0
-      while (i < chunkWords) { bb.putLong(w(i)); i += 1 }
+      val c = e.getValue
+      if (c.dense) {
+        bb.putInt(-1)
+        var i = 0
+        while (i < ChunkWords) { bb.putLong(c.words(i)); i += 1 }
+      } else {
+        bb.putInt(c.n)
+        var i = 0
+        while (i < c.n) { bb.putChar(c.arr(i)); i += 1 }
+      }
     }
     bb.array()
   }
@@ -39,16 +57,102 @@ object BitmapCodec {
     var c = 0
     while (c < n) {
       val key = bb.getLong
-      val w = new Array[Long](chunkWords)
-      var i = 0
-      while (i < chunkWords) { w(i) = bb.getLong; i += 1 }
-      m.put(key, w)
+      val form = bb.getInt
+      val cont = new Container
+      if (form < 0) {
+        val w = new Array[Long](ChunkWords)
+        var i = 0
+        while (i < ChunkWords) { w(i) = bb.getLong; i += 1 }
+        cont.words = w
+        cont.arr = null
+      } else {
+        val arr = new Array[Char](math.max(form, 8))
+        var i = 0
+        while (i < form) { arr(i) = bb.getChar; i += 1 }
+        cont.arr = arr
+        cont.n = form
+      }
+      m.put(key, cont)
       c += 1
     }
     m
   }
 
-  /** a ∩= b (chunks absent from either side vanish). */
+  private def containsOff(c: Container, off: Int): Boolean =
+    if (c.dense) (c.words(off >> 6) & (1L << (off & 63))) != 0L
+    else {
+      var lo = 0
+      var hi = c.n
+      val t = off.toChar
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (c.arr(mid) < t) lo = mid + 1 else hi = mid
+      }
+      lo < c.n && c.arr(lo) == t
+    }
+
+  /** x ∩ y as a fresh container, or null when empty. Dense∩dense stays
+    * word-wise; any sparse side probes the other (Roaring's galloping
+    * shape) and the result demotes to sparse when it fits.
+    */
+  private def intersect(x: Container, y: Container): Container = {
+    if (x.dense && y.dense) {
+      val w = new Array[Long](ChunkWords)
+      var card = 0L
+      var i = 0
+      while (i < ChunkWords) {
+        w(i) = x.words(i) & y.words(i)
+        card += java.lang.Long.bitCount(w(i))
+        i += 1
+      }
+      if (card == 0) return null
+      val out = new Container
+      if (card < SparseMax) {
+        // demote: AND results are usually much smaller than their inputs
+        val arr = new Array[Char](math.max(card.toInt, 8))
+        var k = 0
+        var off = 0
+        while (off < ChunkWords * 64) {
+          if ((w(off >> 6) & (1L << (off & 63))) != 0L) {
+            arr(k) = off.toChar; k += 1
+          }
+          off += 1
+        }
+        out.arr = arr
+        out.n = k
+      } else {
+        out.words = w
+        out.arr = null
+      }
+      out
+    } else {
+      // probe the sparse side's sorted offsets against the other
+      val (sp, other) = if (!x.dense) (x, y) else (y, x)
+      val arr = new Array[Char](math.max(sp.n, 8))
+      var k = 0
+      var i = 0
+      while (i < sp.n) {
+        if (containsOff(other, sp.arr(i).toInt)) { arr(k) = sp.arr(i); k += 1 }
+        i += 1
+      }
+      if (k == 0) null
+      else {
+        val out = new Container
+        out.arr = arr
+        out.n = k
+        out
+      }
+    }
+  }
+
+  private def copyOf(c: Container): Container = {
+    val out = new Container
+    if (c.dense) { out.words = c.words.clone(); out.arr = null }
+    else { out.arr = c.arr.clone(); out.n = c.n }
+    out
+  }
+
+  /** a ∩ b (chunks absent from either side vanish). */
   def and(a: BM, b: BM): BM = {
     val out = new BM()
     val it = a.entrySet().iterator()
@@ -56,15 +160,8 @@ object BitmapCodec {
       val e = it.next()
       val theirs = b.get(e.getKey)
       if (theirs != null) {
-        val w = new Array[Long](chunkWords)
-        var i = 0
-        var any = false
-        while (i < chunkWords) {
-          w(i) = e.getValue()(i) & theirs(i)
-          any ||= w(i) != 0L
-          i += 1
-        }
-        if (any) out.put(e.getKey, w)
+        val c = intersect(e.getValue, theirs)
+        if (c != null) out.put(e.getKey, c)
       }
     }
     out
@@ -76,11 +173,8 @@ object BitmapCodec {
     while (it.hasNext) {
       val e = it.next()
       val mine = a.get(e.getKey)
-      if (mine == null) a.put(e.getKey, e.getValue.clone())
-      else {
-        var i = 0
-        while (i < chunkWords) { mine(i) |= e.getValue()(i); i += 1 }
-      }
+      if (mine == null) a.put(e.getKey, copyOf(e.getValue))
+      else mine.or(e.getValue)
     }
     a
   }
@@ -88,11 +182,7 @@ object BitmapCodec {
   def cardinality(b: BM): Long = {
     var n = 0L
     val it = b.values().iterator()
-    while (it.hasNext) {
-      val w = it.next()
-      var i = 0
-      while (i < chunkWords) { n += java.lang.Long.bitCount(w(i)); i += 1 }
-    }
+    while (it.hasNext) n += it.next().cardinality
     n
   }
 }

@@ -104,6 +104,75 @@ class SketchSpec extends GraftSpec {
     assert(dense.size() == 2, "100k consecutive ids must touch 2 chunks")
   }
 
+  test("bitmap sparse containers: huge-spread domain stays small") {
+    val agg = new graft.functions.BitmapDistinct
+    // 20k keys spread over ~2e13: every key lands in its own 64 Ki chunk,
+    // so a dense-only layout would hold 20k × 8 KiB = 160 MB of words
+    val keys = (0 until 20000).map(i => i.toLong * 1_000_000_007L)
+    val sk = keys.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(sk) == 20000L)
+    sk.values().forEach(c => assert(!c.dense, "singleton chunk went dense"))
+    // wire form (the -State column): proportional to keys present
+    val bytes = graft.functions.BitmapCodec.toBytes(sk)
+    assert(bytes.length < (1 << 20),
+      s"serialized sparse bitmap ${bytes.length} B; dense floor would be " +
+        s"${sk.size().toLong * 8 * 1024} B")
+    // shuffle-boundary form (java serialization of the live buffer)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(sk); oos.close()
+    assert(bos.size() < (4 << 20),
+      s"java-serialized buffer ${bos.size()} B exceeds sparse expectation")
+    // round-trip through the codec preserves cardinality
+    val rt = graft.functions.BitmapCodec.fromBytes(bytes)
+    assert(graft.functions.BitmapCodec.cardinality(rt) == 20000L)
+  }
+
+  test("bitmap container promotion: crossing 4096 stays exact") {
+    import graft.functions.BitmapDistinct.SparseMax
+    val agg = new graft.functions.BitmapDistinct
+    // single chunk filled past the threshold by reduce
+    val n = SparseMax * 2
+    val sk = (0L until n.toLong).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(sk) == n.toLong)
+    assert(sk.get(0L).dense, "chunk past 4096 keys must promote to dense")
+    // sparse + sparse merge whose UNION crosses the threshold
+    val a = (0L until 3000L).foldLeft(agg.zero)(agg.reduce)
+    val b = (2000L until 6000L).foldLeft(agg.zero)(agg.reduce)
+    assert(!a.get(0L).dense && !b.get(0L).dense)
+    val m = agg.merge(a, b)
+    assert(agg.finish(m) == 6000L)
+    assert(m.get(0L).dense, "merged union of 6000 must be dense")
+    // sparse + sparse merge that stays under the threshold
+    val c = (0L until 1000L).foldLeft(agg.zero)(agg.reduce)
+    val d = (500L until 1500L).foldLeft(agg.zero)(agg.reduce)
+    val m2 = agg.merge(c, d)
+    assert(agg.finish(m2) == 1500L)
+    assert(!m2.get(0L).dense, "1500-key union must stay sparse")
+  }
+
+  test("bitmap AND/OR algebra is exact across mixed container forms") {
+    import graft.functions.BitmapCodec
+    val agg = new graft.functions.BitmapDistinct
+    def bm(keys: Seq[Long]) = keys.foldLeft(agg.zero)(agg.reduce)
+    // segment A dense in chunk 0, sparse in a far chunk; B overlaps both
+    val aKeys = (0L until 5000L) ++ Seq(10_000_000_000L, 10_000_000_001L)
+    val bKeys = (4000L until 9000L) ++ Seq(10_000_000_001L, 77L)
+    val aS = aKeys.toSet
+    val bS = bKeys.toSet
+    val A = bm(aKeys)
+    val B = bm(bKeys)
+    assert(BitmapCodec.cardinality(BitmapCodec.and(A, B)) ==
+      (aS & bS).size.toLong)
+    // or() mutates its left side — rebuild A
+    assert(BitmapCodec.cardinality(BitmapCodec.or(bm(aKeys), B)) ==
+      (aS | bS).size.toLong)
+    // codec round-trip preserves both forms bit-exactly
+    val rt = BitmapCodec.fromBytes(BitmapCodec.toBytes(A))
+    assert(BitmapCodec.cardinality(BitmapCodec.and(rt, B)) ==
+      (aS & bS).size.toLong)
+  }
+
   test("HLL sketch-merge estimate tracks exact distinct counts") {
     import spark.implicits._
     val exact = Tables.events(spark, sf)
