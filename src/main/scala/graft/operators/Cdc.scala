@@ -176,6 +176,23 @@ object Cdc {
         col("img")("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
         col("img")("o_orderpriority").as("o_orderpriority"))
 
+  /** The same change script as [[envelopes]], shipped in canal-server's
+    * NATIVE binary form: one protobuf `Entry` blob per event (see
+    * [[CanalEntry]] for the wire layout). Encode is a narrow
+    * mapPartitions over the typed envelope — no shuffle, blobs born
+    * where the rows live.
+    */
+  def entryFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    parsed(s, dir)
+      .select(col("id"), col("database"), col("table"), col("pkNames"),
+        col("isDdl"), col("type").as("typ"), col("es"), col("sql"),
+        col("mysqlType"), col("data"), col("old"))
+      .as[CanalEntry.Env]
+      .mapPartitions(_.map(CanalEntry.encode))
+      .toDF("value")
+  }
+
   // ---- operator queries ----
 
   /** Parse + explode every row image; pk extracted via the envelope's own
@@ -191,6 +208,35 @@ object Cdc {
         element_at(col("img"), element_at(col("pkNames"), 1)).cast("long")
           .as("pk"))
       .orderBy(col("tbl"), col("typ"), col("pk"))
+
+  /** Canal-server NATIVE protocol ingest: the binary protobuf `Entry`
+    * feed is written to parquet (the at-rest fixture a wire tap or
+    * store-and-forward stage produces), read back, decoded, and parsed
+    * into the SAME typed rows as the FlatMessage path — proven by
+    * sharing cdc_parse's oracle verbatim. A user pointing the library at
+    * a default canal-server deployment (no adapter, no JSON) lands here.
+    *
+    * Scale notes: decode is a narrow per-row byte transform behind the
+    * scan; everything relational (explode, pk extraction, ordering)
+    * happens on the decoded envelope exactly like cdc_parse, so the two
+    * ingest paths share one downstream plan shape.
+    */
+  private def cdcParseEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binRoot = graft.Scratch.dir("entrybin")
+    entryFeed(s, dir).write.mode("overwrite").parquet(binRoot)
+    s.read.parquet(binRoot).select(col("value")).as[Array[Byte]]
+      .mapPartitions(_.map(CanalEntry.decode))
+      .toDF()
+      .filter(!col("isDdl"))
+      .select(col("database").as("db"), col("table").as("tbl"),
+        col("typ"), col("es"), col("pkNames"),
+        explode(col("data")).as("img"))
+      .select(col("db"), col("tbl"), col("typ"), col("es"),
+        element_at(col("img"), element_at(col("pkNames"), 1)).cast("long")
+          .as("pk"))
+      .orderBy(col("tbl"), col("typ"), col("pk"))
+  }
 
   private def cdcRoute(s: SparkSession, dir: String): DataFrame =
     parsed(s, dir)
@@ -887,6 +933,7 @@ object Cdc {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_parse", cdcParse, Some(parseOracle)),
+    QueryDef("cdc_parse_entry", cdcParseEntry, Some(parseOracle)),
     QueryDef("cdc_route", cdcRoute, Some(routeOracle)),
     QueryDef("cdc_type_map", cdcTypeMap,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CanalEntry
+import graft.operators.CanalEntry.Env
+
+/** Wire-format roundtrip laws for the hand-rolled protobuf Entry codec:
+  * every envelope shape the Canal protocol produces (insert/update/
+  * delete images, DDL, nulls, unicode, empty strings, multi-row
+  * changes) must decode back to the same typed envelope — the property
+  * that makes the binary ingest path share cdc_parse's oracle.
+  */
+class CanalEntrySpec extends AnyFunSuite {
+
+  private def rt(e: Env): Env = CanalEntry.decode(CanalEntry.encode(e))
+
+  private val mt = Map("k" -> "bigint(20)", "v" -> "varchar(64)")
+
+  test("INSERT roundtrip: data in afterColumns, no old") {
+    val e = Env(10L, "demo", "orders", Seq("k"), isDdl = false, "INSERT",
+      1234567890123L, "", mt, Seq(Map("k" -> "1", "v" -> "café ✓")), null)
+    val d = rt(e)
+    assert(d == e)
+  }
+
+  test("UPDATE roundtrip: old fields ride beforeColumns, aligned per row") {
+    val e = Env(11L, "demo", "orders", Seq("k"), isDdl = false, "UPDATE",
+      5L, "", mt,
+      Seq(Map("k" -> "1", "v" -> "new1"), Map("k" -> "2", "v" -> "new2")),
+      Seq(Map("v" -> "old1"), Map("v" -> "old2")))
+    val d = rt(e)
+    assert(d == e)
+  }
+
+  test("DELETE roundtrip: image rides beforeColumns and comes back as data") {
+    val e = Env(12L, "demo", "orders", Seq("k"), isDdl = false, "DELETE",
+      7L, "", mt, Seq(Map("k" -> "3", "v" -> "gone")), null)
+    val d = rt(e)
+    assert(d == e)
+  }
+
+  test("DDL roundtrip: isDdl + sql survive, no row images") {
+    val e = Env(-1L, "demo", "orders", Seq.empty, isDdl = true, "ALTER",
+      0L, "ALTER TABLE orders ADD COLUMN o_note VARCHAR(64)",
+      Map.empty, Seq.empty, null)
+    val d = rt(e)
+    assert(d.isDdl && d.typ == "ALTER" && d.sql == e.sql)
+    assert(d.data.isEmpty && d.old == null)
+  }
+
+  test("null column values carry the isNull flag, not an empty string") {
+    val e = Env(13L, "demo", "orders", Seq("k"), isDdl = false, "INSERT",
+      9L, "", mt, Seq(Map("k" -> "4", "v" -> null)), null)
+    val d = rt(e)
+    assert(d.data.head("v") == null)
+    assert(d.data.head("k") == "4")
+  }
+
+  test("empty string value is distinct from null") {
+    val e = Env(14L, "demo", "orders", Seq("k"), isDdl = false, "INSERT",
+      9L, "", mt, Seq(Map("k" -> "5", "v" -> "")), null)
+    val d = rt(e)
+    assert(d.data.head("v") == "")
+  }
+
+  test("mixed UPDATE rows: rows without old fields decode to null entries") {
+    val e = Env(15L, "demo", "orders", Seq("k"), isDdl = false, "UPDATE",
+      5L, "", mt,
+      Seq(Map("k" -> "1", "v" -> "n1"), Map("k" -> "2", "v" -> "n2")),
+      Seq(Map("v" -> "o1"), null))
+    val d = rt(e)
+    assert(d.data == e.data)
+    assert(d.old == Seq(Map("v" -> "o1"), null))
+  }
+
+  test("multi-key tables recover all pkNames from isKey flags") {
+    val e = Env(16L, "demo", "link", Seq("a", "b"), isDdl = false, "INSERT",
+      5L, "", Map("a" -> "int(11)", "b" -> "int(11)", "x" -> "text"),
+      Seq(Map("a" -> "1", "b" -> "2", "x" -> "payload")), null)
+    val d = rt(e)
+    assert(d.pkNames.toSet == Set("a", "b"))
+    assert(d.mysqlType == e.mysqlType)
+  }
+
+  test("varint 64-bit boundaries: large es/offset survive") {
+    val e = Env(Long.MaxValue - 3, "demo", "orders", Seq("k"),
+      isDdl = false, "INSERT", Long.MaxValue / 2, "", mt,
+      Seq(Map("k" -> "1")), null)
+    val d = rt(e)
+    assert(d.id == e.id && d.es == e.es)
+  }
+}
