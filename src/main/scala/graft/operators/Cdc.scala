@@ -176,6 +176,43 @@ object Cdc {
         col("img")("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
         col("img")("o_orderpriority").as("o_orderpriority"))
 
+  /** Two-epoch evolving feed for the streaming DDL path, split around the
+    * ALTER: epoch 1 is the plain INSERT script (schema v1); epoch 2 is
+    * the DDL envelope followed by the UPDATE script whose images AND
+    * mysqlType metadata carry the new `o_note` column — the shape a real
+    * binlog takes when an ALTER lands mid-replication.
+    */
+  def envelopesPreDdl(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val base = unix_millis(col("o_orderdate").cast("timestamp"))
+    val noOld = lit(null).cast(ArrayType(MapType(StringType, StringType)))
+    o.select(envelope(col("o_orderkey") * 10, "orders",
+      "o_orderkey", lit("INSERT"), base, lit(false), lit(""),
+      ordersMysqlType, array(ordersImage(col("o_totalprice"))), noOld)
+      .as("value"))
+  }
+
+  def envelopesPostDdl(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val base = unix_millis(col("o_orderdate").cast("timestamp"))
+    val noOld = lit(null).cast(ArrayType(MapType(StringType, StringType)))
+    val evolvedType = map_concat(ordersMysqlType,
+      map(lit("o_note"), lit("varchar(64)")))
+    val evolvedImage = map_concat(ordersImage(updatedPrice),
+      map(lit("o_note"), concat(lit("n-"), col("o_orderkey").cast("string"))))
+    val ddl = s.range(1).select(envelope(lit(-1L), "orders", "o_orderkey",
+      lit("ALTER"), lit(0L), lit(true), lit(ddlSql), evolvedType,
+      array().cast(ArrayType(MapType(StringType, StringType))), noOld)
+      .as("value"))
+    val updates = o.filter(col("o_orderkey") % 3 === 0)
+      .select(envelope(col("o_orderkey") * 10 + 1, "orders", "o_orderkey",
+        lit("UPDATE"), base + 86400000L, lit(false), lit(""), evolvedType,
+        array(evolvedImage),
+        array(map(lit("o_totalprice"), col("o_totalprice").cast("string"))))
+        .as("value"))
+    ddl.unionByName(updates)
+  }
+
   /** The same change script as [[envelopes]], shipped in canal-server's
     * NATIVE binary form: one protobuf `Entry` blob per event (see
     * [[CanalEntry]] for the wire layout). Encode is a narrow

@@ -20,9 +20,9 @@ class AllQueriesSmokeSpec extends GraftSpec {
   test("every query key has an oracle or is a documented rows-only check") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set("agg_distinct_approx", "agg_quantile_approx",
-      "src_rate", "dedup_simhash", "dedup_minhash", "dedup_minhash_native",
-      "sim_lsh_knn", "scan_sample", "agg_hll_merge", "udaf_sketch_topk",
-      "udaf_cm_sketch", "text_compress_ratio", "ts_holt")
+      "agg_quantile_state", "src_rate", "dedup_simhash", "dedup_minhash",
+      "dedup_minhash_native", "sim_lsh_knn", "scan_sample", "agg_hll_merge",
+      "udaf_sketch_topk", "udaf_cm_sketch", "text_compress_ratio", "ts_holt")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}")
   }

@@ -336,9 +336,11 @@ class AnalyticsOpsSpec extends GraftSpec {
 
   test("dataset_fingerprint is order-independent and content-sensitive") {
     import spark.implicits._
+    // fingerprint is emitted as a canonical digit STRING (the >2^63
+    // DECIMAL representation diverged between engine comparators in r4)
     val base = SparkEntry.queries("dataset_fingerprint")(spark, sf)
       .select("source", "fingerprint")
-      .as[(String, BigDecimal)].collect().toMap
+      .as[(String, String)].collect().toMap
     // independent recompute: JCA sha256, 60-bit prefix, plain BigInt sum
     val docs = Tables.documents(spark, sf)
       .select("source", "text").as[(String, String)].collect()
@@ -349,7 +351,7 @@ class AnalyticsOpsSpec extends GraftSpec {
       BigInt(hex, 16)
     }.sum).toMap
     assert(base.keySet == want.keySet)
-    base.foreach { case (s, f) => assert(f.toBigInt == want(s), s) }
+    base.foreach { case (s, f) => assert(BigInt(f) == want(s), s) }
     // editing any single doc must move its source's fingerprint
     val h0 = BigInt(md.digest(docs.head._2.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(15), 16)

@@ -221,4 +221,59 @@ class StreamSemanticsSpec extends GraftSpec {
       assert(sessions.length == 2, sessions.mkString(";"))
     } finally q.stop()
   }
+
+  test("mid-stream ALTER: new column lands after the DDL batch, state survives") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // hand-built FlatMessage JSON so the envelope can GAIN a column
+    // between addData calls — one running query, true in-run evolution
+    def j(m: Map[String, String]): String =
+      m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    def env(id: Long, typ: String, es: Long, img: Map[String, String],
+        mt: Map[String, String], isDdl: Boolean = false,
+        sql: String = ""): String =
+      s"""{"id":$id,"database":"demo","table":"orders","pkNames":["o_orderkey"],""" +
+        s""""isDdl":$isDdl,"type":"$typ","es":$es,"ts":${es + 500},""" +
+        s""""sql":"$sql","mysqlType":${j(mt)},"data":[${j(img)}],"old":null}"""
+    val mtV1 = Map("o_orderkey" -> "bigint(20)", "o_totalprice" -> "decimal(15,2)")
+    val mtV2 = mtV1 + ("o_note" -> "varchar(64)")
+    val state = graft.Scratch.dir("evolve_test") + "/state"
+    val in = MemoryStream[String]
+    val parsed = in.toDF()
+      .select(from_json(col("value"), graft.operators.Cdc.envelopeSchema).as("m"))
+      .select(col("m.*"))
+    val q = parsed.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamOps.mergeEvolving(batch, state))
+      .option("checkpointLocation", graft.Scratch.dir("evolve_test_ckpt"))
+      .start()
+    try {
+      // epoch 1: schema v1 inserts for keys 1 and 2
+      in.addData(
+        env(10, "INSERT", 100, Map("o_orderkey" -> "1", "o_totalprice" -> "10.00"), mtV1),
+        env(20, "INSERT", 100, Map("o_orderkey" -> "2", "o_totalprice" -> "20.00"), mtV1))
+      q.processAllAvailable()
+      val v1 = spark.read.option("mergeSchema", "true").parquet(state)
+      assert(!v1.columns.contains("o_note"),
+        "o_note must not exist before the DDL")
+      // epoch 2, same running query: DDL + post-DDL update carrying o_note
+      in.addData(
+        env(-1, "ALTER", 150, Map.empty, mtV2, isDdl = true,
+          sql = "ALTER TABLE orders ADD COLUMN o_note VARCHAR(64)"),
+        env(21, "UPDATE", 200,
+          Map("o_orderkey" -> "2", "o_totalprice" -> "21.00", "o_note" -> "x2"),
+          mtV2))
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("es").desc)
+    val latest = spark.read.option("mergeSchema", "true").parquet(state)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double"),
+        col("o_note"))
+      .as[(Long, Double, Option[String])].collect().sortBy(_._1)
+    // pre-DDL state survived (key 1), and the new column landed (key 2)
+    assert(latest.toSeq == Seq(
+      (1L, 10.0, None), (2L, 21.0, Some("x2"))), latest.mkString(";"))
+  }
 }
