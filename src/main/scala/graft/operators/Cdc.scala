@@ -81,29 +81,46 @@ object Cdc {
   // IEEE add is bit-identical in both engines.
   private val updatedPrice: Column = col("o_totalprice") + 1000.0
 
+  // o_orderdate is TIMESTAMP_NTZ; cast to LTZ under the pinned UTC session
+  // so unix_millis equals DuckDB's epoch_ms over the naive value.
+  private def esBase: Column = unix_millis(col("o_orderdate").cast("timestamp"))
+  private def noOld: Column =
+    lit(null).cast(ArrayType(MapType(StringType, StringType)))
+
+  private def updateEnvelopes(o: DataFrame): DataFrame =
+    o.filter(col("o_orderkey") % 3 === 0)
+      .select(envelope(col("o_orderkey") * 10 + 1, "orders", "o_orderkey",
+        lit("UPDATE"), esBase + 86400000L, lit(false), lit(""), ordersMysqlType,
+        array(ordersImage(updatedPrice)),
+        array(map(lit("o_totalprice"), col("o_totalprice").cast("string"))))
+        .as("value"))
+
+  private def deleteEnvelopes(o: DataFrame): DataFrame =
+    o.filter(col("o_orderkey") % 7 === 0)
+      .select(envelope(col("o_orderkey") * 10 + 2, "orders", "o_orderkey",
+        lit("DELETE"), esBase + 172800000L, lit(false), lit(""), ordersMysqlType,
+        array(ordersImage(when(col("o_orderkey") % 3 === 0, updatedPrice)
+          .otherwise(col("o_totalprice")))), noOld)
+        .as("value"))
+
+  /** The binlog TAIL only (updates + deletes, no initial inserts) — what
+    * a consumer that bootstrapped from a snapshot still has to read.
+    */
+  def envelopesTail(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    updateEnvelopes(o).unionByName(deleteEnvelopes(o))
+  }
+
   /** The synthesized FlatMessage feed: one JSON string per change event. */
   def envelopes(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    // o_orderdate is TIMESTAMP_NTZ; cast to LTZ under the pinned UTC session
-    // so unix_millis equals DuckDB's epoch_ms over the naive value.
-    val base = unix_millis(col("o_orderdate").cast("timestamp"))
-    val noOld = lit(null).cast(ArrayType(MapType(StringType, StringType)))
+    val base = esBase
     val inserts = o.select(envelope(col("o_orderkey") * 10, "orders",
       "o_orderkey", lit("INSERT"), base, lit(false), lit(""),
       ordersMysqlType, array(ordersImage(col("o_totalprice"))), noOld)
       .as("value"))
-    val updates = o.filter(col("o_orderkey") % 3 === 0)
-      .select(envelope(col("o_orderkey") * 10 + 1, "orders", "o_orderkey",
-        lit("UPDATE"), base + 86400000L, lit(false), lit(""), ordersMysqlType,
-        array(ordersImage(updatedPrice)),
-        array(map(lit("o_totalprice"), col("o_totalprice").cast("string"))))
-        .as("value"))
-    val deletes = o.filter(col("o_orderkey") % 7 === 0)
-      .select(envelope(col("o_orderkey") * 10 + 2, "orders", "o_orderkey",
-        lit("DELETE"), base + 172800000L, lit(false), lit(""), ordersMysqlType,
-        array(ordersImage(when(col("o_orderkey") % 3 === 0, updatedPrice)
-          .otherwise(col("o_totalprice")))), noOld)
-        .as("value"))
+    val updates = updateEnvelopes(o)
+    val deletes = deleteEnvelopes(o)
     val c = Tables.customer(s, dir)
     val custImage = map(
       lit("c_custkey"), col("c_custkey").cast("string"),

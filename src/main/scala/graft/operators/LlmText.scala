@@ -607,6 +607,41 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
+  /** TOKEN-budget mixture sampling (how training mixtures are actually
+    * specified — The Pile / Dolma quotas are token counts, not document
+    * counts; a doc-count quota over-weights sources with long
+    * documents): each source gets a budget of 30% of its own token
+    * mass, docs are ranked by a deterministic content-free hash (stable
+    * under reruns, engines, partitionings — the sample_hash_split
+    * discipline), and docs are taken while the running token total fits
+    * the budget. Per-source admission stats come back for the mixture
+    * manifest.
+    *
+    * Scale notes: one cumulative-sum window clustered per source (the
+    * same one shuffle a per-source sort costs) + an O(sources) budget
+    * aggregate joined back broadcast. No RNG state, no global sort; the
+    * admitted set is reproducible on any engine from the data alone.
+    */
+  private def sampleTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_toks"),
+        md5(col("doc_id").cast("string")).as("rk"))
+    val budgets = t.groupBy(col("source"))
+      .agg(floor(sum(col("n_toks")) * 0.3).as("budget_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_toks")).over(w))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum") <= col("budget_tokens"))
+      .groupBy(col("source"), col("budget_tokens"))
+      .agg(count(lit(1)).as("n_docs_taken"),
+        sum(col("n_toks")).as("tokens_taken"))
+      .select(col("source"), col("n_docs_taken"), col("tokens_taken"),
+        col("budget_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus-wide repeated-substring self-dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" — the
     * suffix-array ExactSubstr step, re-expressed relationally): every
@@ -1444,6 +1479,22 @@ object LlmText {
               WHERE round(CAST(n_inter AS DOUBLE)
                 / (sa.sz + sb.sz - n_inter), 6) >= 0.02
               ORDER BY id_a, id_b""")),
+    QueryDef("sample_token_budget", sampleTokenBudget,
+      Some("""WITH t AS (SELECT source, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents),
+              b AS (SELECT source,
+                CAST(FLOOR(SUM(n_toks) * 0.3) AS BIGINT) AS budget_tokens
+                FROM t GROUP BY source),
+              c AS (SELECT source, doc_id, n_toks, rk,
+                SUM(n_toks) OVER (PARTITION BY source
+                  ORDER BY rk, doc_id) AS cum FROM t)
+              SELECT c.source, COUNT(*) AS n_docs_taken,
+                CAST(SUM(n_toks) AS BIGINT) AS tokens_taken,
+                b.budget_tokens
+              FROM c JOIN b ON c.source = b.source
+              WHERE cum <= budget_tokens
+              GROUP BY c.source, b.budget_tokens ORDER BY c.source""")),
     QueryDef("dedup_substring", dedupSubstring,
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                 FROM documents),

@@ -450,6 +450,48 @@ object StreamOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The canonical CDC ONBOARDING shape — batch snapshot bootstrap, then
+    * the streaming tail resumes into the same store: the snapshot's
+    * INSERT image is published as state version 0 (the batch backfill a
+    * new consumer loads), and only the UPDATE/DELETE tail streams
+    * through foreachBatch into versions > 0. End state must equal the
+    * full-feed streaming upsert — proven by sharing stream_cdc_upsert's
+    * oracle. The batch twin is cdc_backfill_merge; this is its streaming
+    * composition (snapshot seam + live tail + bucketed state store).
+    *
+    * Scale notes: the bootstrap is one distributed write of O(keys)
+    * state; the tail path rewrites only touched buckets per micro-batch
+    * (same store discipline as stream_cdc_upsert, kill-and-recover
+    * tested there). No event is processed twice and no history replays.
+    */
+  private def streamBackfillTail(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
+    val root = fresh("backfill_tail")
+    val state = s"$root/state"
+    mergeCdcTyped(
+      Cdc.ordersTyped(s, dir).filter(col("type") === "INSERT")
+        .select("o_orderkey", "o_totalprice", "es", "ts", "type"),
+      0L, state)
+    val feed = s"$root/feed"
+    Cdc.envelopesTail(s, dir).coalesce(1).write.mode("overwrite").text(feed)
+    val q = s.readStream.schema(Cdc.envelopeSchema).json(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeCdcTyped(
+          Cdc.typeMapOrders(batch)
+            .select(col("o_orderkey"), col("o_totalprice"), col("es"),
+              col("ts"), col("type")),
+          batchId + 1, state)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    readCdcState(s, state)
+      .filter(col("type") =!= "DELETE")
+      .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** The adapter's physical fan-out: ONE pass over the mixed-table
     * envelope stream writes every destination table's rows under its own
     * `table=` directory (partitionBy on the routing key) — no per-table
@@ -1060,6 +1102,17 @@ object StreamOps {
                     THEN 'n-' || CAST(o_orderkey AS VARCHAR) END AS o_note
               FROM orders ORDER BY o_orderkey""")),
     QueryDef("stream_cdc_upsert", streamCdcUpsert,
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 3 = 0
+                    THEN epoch_ms(o_orderdate) + 86400000
+                    ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
+              FROM orders WHERE o_orderkey % 7 <> 0
+              ORDER BY o_orderkey""")),
+    // snapshot bootstrap + streamed tail must converge to the same end
+    // state as the full-feed upsert (same oracle by construction)
+    QueryDef("stream_backfill_tail", streamBackfillTail,
       Some("""SELECT o_orderkey,
                CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
                     ELSE o_totalprice END AS o_totalprice,
