@@ -80,6 +80,35 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Maximum-inner-product search (MIPS — the retrieval-training
+    * workhorse: dual-encoder scoring is raw dot product, NOT cosine;
+    * normalizing first changes the ranking whenever norms carry signal).
+    * Same scale shape as sim_topk: bounded probe set broadcasts, the
+    * corpus never shuffles, per-pair scoring is a codegen'd HOF fold
+    * with elements cast to double BEFORE the multiply so both engines
+    * run the same double arithmetic in the same order.
+    */
+  private def simMips(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot").desc, col("cand_id"))
+    cands.crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("dot", expr(
+        """round(aggregate(
+             zip_with(transform(pv, x -> CAST(x AS DOUBLE)),
+                      transform(cv, x -> CAST(x AS DOUBLE)),
+                      (a, b) -> a * b),
+             CAST(0 AS DOUBLE), (acc, x) -> acc + x), 6)"""))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("dot"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** Radius search (the fixed-threshold complement of top-k ANN): for
     * each probe (every 50th vec_id), ALL corpus neighbors with rounded
     * cosine ≥ 0.30 — the retrieval primitive behind near-dup expansion
@@ -850,6 +879,19 @@ object LlmVector {
                   ORDER BY cos_sim DESC, cand_id) AS rnk
                 FROM pairs)
               SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cos_sim
+              FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
+    QueryDef("sim_mips", simMips,
+      Some(s"""WITH pairs AS (
+                SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                  round(${oDot.format("p.embedding", "c.embedding")}, 6)
+                    AS dot
+                FROM embeddings p JOIN embeddings c
+                  ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+              ranked AS (SELECT probe_id, cand_id, dot,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY dot DESC, cand_id) AS rnk
+                FROM pairs)
+              SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, dot
               FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
     QueryDef("sim_range_search", simRangeSearch,
       Some(s"""SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

@@ -357,6 +357,32 @@ class PlanShapeSpec extends GraftSpec {
       s"tiny shuffle partitions were not coalesced:\n${p.take(800)}")
   }
 
+  test("sample_token_budget broadcasts the per-source budgets") {
+    val p = plan("sample_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      "budget join must broadcast the O(sources) side:\n" + p.take(800))
+  }
+
+  test("dedup_substring shuffles on the gram digest, not the gram text") {
+    val p = plan("dedup_substring")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(p.contains("hashpartitioning(digest"),
+      "first shuffle must key on the gram digest:\n" + exchanges)
+    assert(!exchanges.contains("gram"),
+      "no exchange may be keyed on raw gram text:\n" + exchanges)
+  }
+
+  test("cdc_parse_entry: decode is a narrow transform (no extra shuffle)") {
+    val p = plan("cdc_parse_entry")
+    // one exchange for the final orderBy (range partitioning) only —
+    // decode/explode/pk-extraction must all be narrow
+    val n = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith(":- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(n <= 1, s"expected at most the sort exchange, saw $n:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
     SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
     val names = graft.operators.Stats.ensureAnalyzed(spark, sf)
