@@ -404,6 +404,52 @@ object LlmText {
       .orderBy(col("shard"), col("doc_id"))
   }
 
+  /** Best-fit-decreasing sequence packing — the padding-waste
+    * minimizer `pack_sequences`' concatenate-and-split can't be when
+    * documents must stay WHOLE (no mid-doc truncation into a
+    * neighboring sequence): docs sort by token count descending and
+    * each goes to the FULLEST bin that still fits, opening a new bin
+    * only when none does. Classic BFD guarantees ≤ 11/9·OPT + 1 bins
+    * (Johnson 1973); the ScalaTest asserts no-overflow, ≤ first-fit
+    * bin counts, and determinism. Docs longer than the 512 capacity
+    * are clamped (doc_chunk is the splitting path).
+    *
+    * Scale notes: packing is inherently sequential WITHIN a bin set,
+    * so the corpus shards first (the same shard key pack_sequences
+    * uses) and each shard packs independently in one mapGroups pass —
+    * parallelism O(shards), per-shard state O(bins), no global
+    * coordination. This is the one deliberate typed-imperative operator
+    * class (per-partition sequential logic Catalyst cannot express);
+    * everything around it stays relational.
+    */
+  private def packBestfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 512
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        least(size(toks(col("text"))), lit(cap)).cast("int").as("n_tokens"))
+      .as[(Long, Long, Int)]
+    docs.groupByKey(_._2).flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Int)]) =>
+      val ds = it.toSeq.sortBy { case (id, _, n) => (-n, id) }
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Int]
+      ds.map { case (id, _, n) =>
+        var best = -1
+        var bestLoad = -1
+        var i = 0
+        while (i < loads.length) {
+          if (loads(i) + n <= cap && loads(i) > bestLoad) {
+            best = i; bestLoad = loads(i)
+          }
+          i += 1
+        }
+        val bin = if (best < 0) { loads += 0; loads.length - 1 } else best
+        loads(bin) += n
+        (shard, id, n, bin)
+      }
+    }.toDF("shard", "doc_id", "n_tokens", "bin_id")
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
   /** n-gram (shingle) Jaccard near-dup pairs — word-ORDER-sensitive
     * where the unigram twin is bag-of-words: 3-token shingles make
     * reordered copies dissimilar and phrase-level copies similar, the
@@ -1479,6 +1525,7 @@ object LlmText {
               WHERE round(CAST(n_inter AS DOUBLE)
                 / (sa.sz + sb.sz - n_inter), 6) >= 0.02
               ORDER BY id_a, id_b""")),
+    QueryDef("pack_bestfit", packBestfit, None),
     QueryDef("sample_token_budget", sampleTokenBudget,
       Some("""WITH t AS (SELECT source, doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,

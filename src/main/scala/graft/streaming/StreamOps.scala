@@ -388,6 +388,64 @@ object StreamOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Continuously-maintained PERCENTILE materialized view — the
+    * composition `stream_summing_mv` (additive states) cannot express:
+    * each micro-batch folds its events into per-event_type quantile
+    * sketch states ([[graft.functions.QuantileState]]) and MERGES them
+    * with the prior state rows through the same weighted-point
+    * Aggregator — ClickHouse's `quantileTDigestState` MV + `-Merge`
+    * read, maintained incrementally. State is O(types × δ) centroids
+    * regardless of event volume; versioned `v=<batchId>` dirs give
+    * replay idempotence like the other streaming stores. Estimates are
+    * order-sensitive at the margin (bounded summary) → rows-only;
+    * SketchSpec bounds the rank error against the exact percentiles.
+    */
+  private def streamQuantileMv(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
+    val state = fresh("q_mv_state")
+    val delta = 100
+    val qagg = udaf(new graft.functions.QuantileState(delta))
+    val q = eventsStream(s, dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val deltas = batch
+          .select(col("event_type"), col("value").cast("double").as("m"),
+            lit(1L).as("w"))
+        val prevDirs = Option(new java.io.File(state).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("v="))
+          .map(_.getName.drop(2).toLong).filter(_ < batchId)
+        val prev =
+          if (prevDirs.isEmpty) deltas.limit(0)
+          else ss.read.parquet(s"$state/v=${prevDirs.max}")
+            .select(col("event_type"), explode(col("state")).as("c"))
+            .select(col("event_type"), col("c._1").as("m"),
+              col("c._2").as("w"))
+        prev.unionByName(deltas)
+          .groupBy(col("event_type"))
+          .agg(qagg(col("m"), col("w")).as("state"))
+          .write.mode("overwrite").parquet(s"$state/v=$batchId")
+      }
+      .option("checkpointLocation", fresh("q_mv_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import s.implicits._
+    val vmax = Option(new java.io.File(state).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.drop(2).toLong).max
+    val merged = s.read.parquet(s"$state/v=$vmax")
+      .as[(String, Seq[(Double, Long)])]
+      .collect() // O(types × δ) state rows — driver-side by design
+    merged.toSeq.map { case (et, st) =>
+      val Seq(p50, p90, p99) = graft.functions.QuantileState
+        .quantileOf(st, delta, Seq(0.5, 0.9, 0.99))
+      (et, st.map(_._2).sum, p50, p90, p99)
+    }.toDF("event_type", "n_events", "p50", "p90", "p99")
+      .orderBy(col("event_type"))
+  }
+
   /** The evolving-sink micro-batch body (shared verbatim by the
     * stream_ddl_evolve operator and StreamSemanticsSpec's in-run
     * MemoryStream test): the destination schema is re-resolved EVERY
@@ -1110,6 +1168,7 @@ object StreamOps {
                     ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
               FROM orders WHERE o_orderkey % 7 <> 0
               ORDER BY o_orderkey""")),
+    QueryDef("stream_quantile_mv", streamQuantileMv, None),
     // snapshot bootstrap + streamed tail must converge to the same end
     // state as the full-feed upsert (same oracle by construction)
     QueryDef("stream_backfill_tail", streamBackfillTail,

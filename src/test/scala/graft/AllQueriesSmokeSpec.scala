@@ -22,7 +22,8 @@ class AllQueriesSmokeSpec extends GraftSpec {
     val documented = Set("agg_distinct_approx", "agg_quantile_approx",
       "agg_quantile_state", "src_rate", "dedup_simhash", "dedup_minhash",
       "dedup_minhash_native", "sim_lsh_knn", "scan_sample", "agg_hll_merge",
-      "udaf_sketch_topk", "udaf_cm_sketch", "text_compress_ratio", "ts_holt")
+      "udaf_sketch_topk", "udaf_cm_sketch", "text_compress_ratio", "ts_holt",
+      "pack_bestfit", "stream_quantile_mv")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}")
   }

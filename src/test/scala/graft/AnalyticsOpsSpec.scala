@@ -512,4 +512,37 @@ class AnalyticsOpsSpec extends GraftSpec {
       assert(math.abs(got(k) - s) < 2e-6, s"$k: ${got(k)} vs $s")
     }
   }
+
+  test("pack_bestfit: no overflow, beats first-fit-in-id-order, deterministic") {
+    import spark.implicits._
+    val cap = 512
+    val run1 = SparkEntry.queries("pack_bestfit")(spark, sf)
+      .as[(Long, Long, Int, Int)].collect()
+    // 1. no bin exceeds capacity
+    run1.groupBy(r => (r._1, r._4)).foreach { case ((sh, bin), rs) =>
+      val load = rs.map(_._3).sum
+      assert(load <= cap, s"shard $sh bin $bin overflows: $load")
+    }
+    // 2. every doc packed exactly once
+    val docIds = run1.map(_._2)
+    assert(docIds.length == docIds.distinct.length)
+    assert(docIds.length == Tables.documents(spark, sf).count())
+    // 3. BFD bin count <= naive first-fit-in-arrival-order bin count
+    run1.groupBy(_._1).foreach { case (sh, rs) =>
+      val bfd = rs.map(_._4).distinct.length
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Int]
+      rs.sortBy(_._2).foreach { case (_, _, n, _) =>
+        loads.indexWhere(_ + n <= cap) match {
+          case -1 => loads += n
+          case i  => loads(i) += n
+        }
+      }
+      assert(bfd <= loads.length,
+        s"shard $sh: BFD $bfd bins > first-fit ${loads.length}")
+    }
+    // 4. deterministic across reruns
+    val run2 = SparkEntry.queries("pack_bestfit")(spark, sf)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(run1.toSeq == run2.toSeq)
+  }
 }

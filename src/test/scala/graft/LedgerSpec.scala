@@ -24,6 +24,8 @@ class LedgerSpec extends AnyFunSuite {
     "dedup_minhash",        // seeded MLlib LSH — recall-vs-exact test
     "dedup_minhash_native", // seeded native minhash — recall-vs-exact test
     "dedup_simhash",        // seeded hyperplanes — golden test
+    "pack_bestfit",         // BFD fold not SQL-expressible — invariant tests
+    "stream_quantile_mv",   // sketch-state MV — SketchSpec rank bounds
     "scan_sample",          // TABLESAMPLE is engine-seeded
     "sim_lsh_knn",          // seeded LSH buckets — recall test
     "src_rate",             // wall-clock rate source

@@ -279,6 +279,26 @@ class SketchSpec extends GraftSpec {
     }
   }
 
+  test("stream_quantile_mv: incremental sketch MV tracks exact percentiles") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("stream_quantile_mv")(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    val exact = Tables.events(spark, sf)
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (et, vs) => et -> vs.map(_._2).sorted }
+    assert(rows.map(_._1).toSet == exact.keySet)
+    rows.foreach { case (et, n, p50, p90, p99) =>
+      val vs = exact(et)
+      assert(n == vs.length, s"$et folded $n of ${vs.length} events")
+      assert(p50 <= p90 && p90 <= p99, s"$et quantiles out of order")
+      for ((q, est) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+        val rank = vs.count(_ <= est).toDouble / vs.length
+        assert(math.abs(rank - q) <= 0.03, s"$et q=$q rank=$rank est=$est")
+      }
+    }
+  }
+
   test("agg_quantile_state query: ordered percentiles, all groups present") {
     import spark.implicits._
     val rows = SparkEntry.queries("agg_quantile_state")(spark, sf)
