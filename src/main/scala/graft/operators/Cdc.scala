@@ -263,12 +263,26 @@ object Cdc {
           .as("pk"))
       .orderBy(col("tbl"), col("typ"), col("pk"))
 
+  /** The Entry binary feed staged at rest, once per (JVM, sfDir) — the
+    * same fixture-staging discipline as the JSON feed dir (StreamOps
+    * `feedDir`): the feed a canal-server deployment would have produced
+    * already exists before any query runs, so measured queries pay for
+    * the INGEST pipeline, not for synthesizing the fixture.
+    */
+  private[graft] def entryFeedDir(s: SparkSession, dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream/entry_feed_$sf"
+    if (!new java.io.File(s"$root/_SUCCESS").exists())
+      entryFeed(s, dir).write.mode("overwrite").parquet(root)
+    root
+  }
+
   /** Canal-server NATIVE protocol ingest: the binary protobuf `Entry`
-    * feed is written to parquet (the at-rest fixture a wire tap or
-    * store-and-forward stage produces), read back, decoded, and parsed
-    * into the SAME typed rows as the FlatMessage path — proven by
-    * sharing cdc_parse's oracle verbatim. A user pointing the library at
-    * a default canal-server deployment (no adapter, no JSON) lands here.
+    * feed (at rest — the fixture a wire tap or store-and-forward stage
+    * produces) is read, decoded, and parsed into the SAME typed rows as
+    * the FlatMessage path — proven by sharing cdc_parse's oracle
+    * verbatim. A user pointing the library at a default canal-server
+    * deployment (no adapter, no JSON) lands here.
     *
     * Scale notes: decode is a narrow per-row byte transform behind the
     * scan; everything relational (explode, pk extraction, ordering)
@@ -277,8 +291,7 @@ object Cdc {
     */
   private def cdcParseEntry(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val binRoot = graft.Scratch.dir("entrybin")
-    entryFeed(s, dir).write.mode("overwrite").parquet(binRoot)
+    val binRoot = entryFeedDir(s, dir)
     s.read.parquet(binRoot).select(col("value")).as[Array[Byte]]
       .mapPartitions(_.map(CanalEntry.decode))
       .toDF()

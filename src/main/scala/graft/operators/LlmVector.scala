@@ -80,6 +80,40 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** SEMANTIC decontamination (the paraphrase-robust tier above the
+    * exact/n-gram decontam pair: a reworded eval question shares no
+    * 3-gram with its source but sits next to it in embedding space):
+    * every 97th vector plays the eval benchmark; a train vector is
+    * contaminated when its max cosine against ANY eval probe passes the
+    * 0.35 threshold. Per-probe contamination counts come back for the
+    * eval-integrity report.
+    *
+    * Scale notes: decontam_exact's posture with vectors — the eval set
+    * is O(benchmark) and broadcasts; the 100 TB train side is scored
+    * map-side by the fused codegen'd cosine and never shuffles; only
+    * the O(eval) count rows reach the final aggregation. At larger eval
+    * sets the IVF routing (sim_ivf_knn) bounds probes per train vector.
+    */
+  private def decontamEmbed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val eval = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val train = e.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").as("train_id"), col("embedding").as("tv"))
+    val hits = train.crossJoin(broadcast(eval))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(ev, tv)"), 6))
+      .filter(col("cos_sim") >= 0.35)
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n"), max(col("cos_sim")).as("max_sim"))
+    eval.select(col("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n"), lit(0L)).as("n_contaminated"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
+      .orderBy(col("eval_id"))
+  }
+
   /** Maximum-inner-product search (MIPS — the retrieval-training
     * workhorse: dual-encoder scoring is raw dot product, NOT cosine;
     * normalizing first changes the ranking whenever norms carry signal).
@@ -880,6 +914,22 @@ object LlmVector {
                 FROM pairs)
               SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cos_sim
               FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
+    QueryDef("decontam_embed", decontamEmbed,
+      Some(s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS e
+                FROM embeddings WHERE vec_id % 97 = 0),
+              h AS (SELECT eval_id, COUNT(*) AS n,
+                MAX(round(${oDot.format("t.embedding", "ev.e")}
+                  / (${oNorm("t.embedding")} * ${oNorm("ev.e")}), 6))
+                  AS max_sim
+                FROM embeddings t JOIN ev
+                  ON t.vec_id % 97 <> 0
+                 AND round(${oDot.format("t.embedding", "ev.e")}
+                   / (${oNorm("t.embedding")} * ${oNorm("ev.e")}), 6) >= 0.35
+                GROUP BY eval_id)
+              SELECT ev.eval_id, COALESCE(h.n, 0) AS n_contaminated,
+                COALESCE(h.max_sim, 0.0) AS max_sim
+              FROM ev LEFT JOIN h ON ev.eval_id = h.eval_id
+              ORDER BY ev.eval_id""")),
     QueryDef("sim_mips", simMips,
       Some(s"""WITH pairs AS (
                 SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

@@ -94,7 +94,8 @@ object StreamOps {
     * for the pipeline, not the staging.
     */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
-    feedDir(s, dir); eventsDir(dir); outerEventsDir(s, dir); ()
+    feedDir(s, dir); eventsDir(dir); outerEventsDir(s, dir)
+    Cdc.entryFeedDir(s, dir); ()
   }
 
   // ---- sources ----
