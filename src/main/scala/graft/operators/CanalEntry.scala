@@ -11,8 +11,10 @@ import scala.collection.mutable
   * message subset Canal uses. Field numbers follow the public
   * EntryProtocol.proto layout:
   *
-  *   Entry     { Header header = 1; EntryType entryType = 2 (ROWDATA=1);
+  *   Entry     { Header header = 1; EntryType entryType = 2;
   *               bytes storeValue = 3  // serialized RowChange }
+  *   EntryType { TRANSACTIONBEGIN = 1; ROWDATA = 2; TRANSACTIONEND = 3;
+  *               HEARTBEAT = 4 } — boundary entries carry no RowChange
   *   Header    { string logfileName = 2; int64 logfileOffset = 3;
   *               int64 serverId = 4; int64 executeTime = 6;
   *               string schemaName = 8; string tableName = 9;
@@ -122,7 +124,13 @@ object CanalEntry {
       sql: String,
       mysqlType: Map[String, String],
       data: Seq[Map[String, String]],
-      old: Seq[Map[String, String]])
+      old: Seq[Map[String, String]],
+      entryType: Int = RowData)
+
+  /** EntryType constants (public EntryProtocol.proto). */
+  final val TxnBegin = 1
+  final val RowData = 2
+  final val TxnEnd = 3
 
   private val evCode = Map("INSERT" -> 1L, "UPDATE" -> 2L, "DELETE" -> 3L,
     "CREATE" -> 4L, "ALTER" -> 5L, "ERASE" -> 6L, "QUERY" -> 7L,
@@ -180,13 +188,15 @@ object CanalEntry {
     h.int(11, evCode.getOrElse(e.typ, 7L))
     val entry = new Writer
     entry.bytes(1, h.toArray)
-    entry.int(2, 1L) // EntryType.ROWDATA
-    entry.bytes(3, rc.toArray)
+    entry.int(2, e.entryType.toLong)
+    // boundary entries (TRANSACTIONBEGIN/END) carry no RowChange
+    if (e.entryType == RowData) entry.bytes(3, rc.toArray)
     entry.toArray
   }
 
   def decode(a: Array[Byte]): Env = {
     var db = ""; var tbl = ""; var es = 0L; var offset = 0L
+    var entryType = RowData
     var rcr: Reader = null
     val er = new Reader(a, 0, a.length)
     while (er.hasNext) {
@@ -204,6 +214,7 @@ object CanalEntry {
               case (_, hw) => hr.skip(hw)
             }
           }
+        case (2, _) => entryType = er.varint().toInt
         case (3, _) => rcr = er.lenDelim()
         case (_, w) => er.skip(w)
       }
@@ -263,6 +274,7 @@ object CanalEntry {
     }
     Env(offset, db, tbl, pk.toSeq, isDdl, typ, es, sql, mysqlType.toMap,
       data.toSeq,
-      if (old.exists(_ != null)) old.toSeq else null)
+      if (old.exists(_ != null)) old.toSeq else null,
+      entryType)
   }
 }

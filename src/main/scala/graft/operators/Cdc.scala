@@ -241,7 +241,46 @@ object Cdc {
     parsed(s, dir)
       .select(col("id"), col("database"), col("table"), col("pkNames"),
         col("isDdl"), col("type").as("typ"), col("es"), col("sql"),
-        col("mysqlType"), col("data"), col("old"))
+        col("mysqlType"), col("data"), col("old"),
+        lit(CanalEntry.RowData).as("entryType"))
+      .as[CanalEntry.Env]
+      .mapPartitions(_.map(CanalEntry.encode))
+      .toDF("value")
+  }
+
+  /** The Entry feed with real transaction framing: each binlog
+    * transaction's row entries sit between a TRANSACTIONBEGIN and a
+    * TRANSACTIONEND entry, and membership is carried by the header's
+    * logfileOffset (txn = offset div 10^12) — exactly how a canal
+    * client reassembles transactions from the entry stream. Txn id is a
+    * pure function of the primary key (o_orderkey % 100) so the oracle
+    * can restate membership relationally.
+    */
+  def entryFeedTxn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txnSpan = 1000000000000L
+    val members = parsed(s, dir)
+      .filter(col("table") === "orders" && !col("isDdl"))
+      .withColumn("pk",
+        element_at(element_at(col("data"), 1), "o_orderkey").cast("long"))
+      .withColumn("txn", pmod(col("pk"), lit(100L)))
+    val bounds = members.select(col("txn")).distinct()
+    def boundary(off: Column, et: Int) = bounds.select(
+      off.as("id"), lit("demo").as("database"), lit("").as("table"),
+      array().cast(ArrayType(StringType)).as("pkNames"),
+      lit(false).as("isDdl"), lit("").as("typ"), col("txn").as("es"),
+      lit("").as("sql"),
+      map().cast(MapType(StringType, StringType)).as("mysqlType"),
+      array().cast(ArrayType(MapType(StringType, StringType))).as("data"),
+      lit(null).cast(ArrayType(MapType(StringType, StringType))).as("old"),
+      lit(et).as("entryType"))
+    members
+      .select((col("txn") * txnSpan + col("id")).as("id"), col("database"),
+        col("table"), col("pkNames"), col("isDdl"), col("type").as("typ"),
+        col("es"), col("sql"), col("mysqlType"), col("data"), col("old"),
+        lit(CanalEntry.RowData).as("entryType"))
+      .unionByName(boundary(col("txn") * txnSpan, CanalEntry.TxnBegin))
+      .unionByName(boundary((col("txn") + 1) * txnSpan - 1, CanalEntry.TxnEnd))
       .as[CanalEntry.Env]
       .mapPartitions(_.map(CanalEntry.encode))
       .toDF("value")
@@ -303,6 +342,38 @@ object Cdc {
         element_at(col("img"), element_at(col("pkNames"), 1)).cast("long")
           .as("pk"))
       .orderBy(col("tbl"), col("typ"), col("pk"))
+  }
+
+  /** Transaction reassembly from the framed Entry stream — the client-
+    * side contract the binlog's BEGIN/END framing exists for: group row
+    * entries by their transaction (logfileOffset span), count changes
+    * and row images per txn, and assert each group is COMPLETE (exactly
+    * one BEGIN and one END observed). A consumer that applies a
+    * transaction missing its END risks a torn apply — this is the check
+    * that gates it (the publish-side twin is cdc_multi_table_txn).
+    *
+    * Scale notes: one groupBy shuffle on the txn id over decoded
+    * entries; framing entries are O(txns) rows riding the same shuffle.
+    */
+  private def cdcTxnBoundary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binRoot = graft.Scratch.dir("txnbin")
+    entryFeedTxn(s, dir).write.mode("overwrite").parquet(binRoot)
+    s.read.parquet(binRoot).select(col("value")).as[Array[Byte]]
+      .mapPartitions(_.map(CanalEntry.decode))
+      .toDF()
+      .withColumn("txn", expr("id div 1000000000000"))
+      .groupBy(col("txn"))
+      .agg(
+        sum(when(col("entryType") === CanalEntry.RowData, 1L).otherwise(0L))
+          .as("n_changes"),
+        sum(when(col("entryType") === CanalEntry.RowData,
+          size(col("data")).cast("long")).otherwise(0L)).as("n_rows"),
+        (sum(when(col("entryType") === CanalEntry.TxnBegin, 1L)
+          .otherwise(0L)) === 1L &&
+          sum(when(col("entryType") === CanalEntry.TxnEnd, 1L)
+            .otherwise(0L)) === 1L).as("complete"))
+      .orderBy(col("txn"))
   }
 
   private def cdcRoute(s: SparkSession, dir: String): DataFrame =
@@ -1001,6 +1072,16 @@ object Cdc {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_parse", cdcParse, Some(parseOracle)),
     QueryDef("cdc_parse_entry", cdcParseEntry, Some(parseOracle)),
+    QueryDef("cdc_txn_boundary", cdcTxnBoundary,
+      Some("""WITH m AS (
+                SELECT o_orderkey % 100 AS txn FROM orders
+                UNION ALL
+                SELECT o_orderkey % 100 FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT o_orderkey % 100 FROM orders WHERE o_orderkey % 7 = 0)
+              SELECT txn, COUNT(*) AS n_changes, COUNT(*) AS n_rows,
+                TRUE AS complete
+              FROM m GROUP BY txn ORDER BY txn""")),
     QueryDef("cdc_route", cdcRoute, Some(routeOracle)),
     QueryDef("cdc_type_map", cdcTypeMap,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

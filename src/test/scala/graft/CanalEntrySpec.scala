@@ -82,6 +82,22 @@ class CanalEntrySpec extends AnyFunSuite {
     assert(d.mysqlType == e.mysqlType)
   }
 
+  test("transaction boundary entries: framed entryType, no RowChange") {
+    val begin = Env(5L * 1000000000000L, "demo", "", Seq.empty,
+      isDdl = false, "", 5L, "", Map.empty, Seq.empty, null,
+      CanalEntry.TxnBegin)
+    val d = rt(begin)
+    assert(d.entryType == CanalEntry.TxnBegin)
+    assert(d.data.isEmpty && d.old == null && d.pkNames.isEmpty)
+    assert(d.id == begin.id && d.es == 5L && d.database == "demo")
+    val end = rt(begin.copy(entryType = CanalEntry.TxnEnd))
+    assert(end.entryType == CanalEntry.TxnEnd && end.data.isEmpty)
+    // row entries carry ROWDATA explicitly
+    val row = rt(Env(10L, "demo", "orders", Seq("k"), isDdl = false,
+      "INSERT", 1L, "", mt, Seq(Map("k" -> "1")), null))
+    assert(row.entryType == CanalEntry.RowData)
+  }
+
   test("varint 64-bit boundaries: large es/offset survive") {
     val e = Env(Long.MaxValue - 3, "demo", "orders", Seq("k"),
       isDdl = false, "INSERT", Long.MaxValue / 2, "", mt,
