@@ -357,6 +357,12 @@ class PlanShapeSpec extends GraftSpec {
       s"tiny shuffle partitions were not coalesced:\n${p.take(800)}")
   }
 
+  test("decontam_embed broadcasts the eval probes (train side never shuffles)") {
+    val p = plan("decontam_embed")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "eval probe set must broadcast:\n" + p.take(800))
+  }
+
   test("sample_token_budget broadcasts the per-source budgets") {
     val p = plan("sample_token_budget")
     assert(p.contains("BroadcastHashJoin"),
