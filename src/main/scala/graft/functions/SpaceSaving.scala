@@ -115,3 +115,28 @@ class SpaceSavingTopK(capacity: Int, k: Int)
   override def outputEncoder: Encoder[Seq[SSEntry]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SSEntry]]()
 }
+
+/** The -Merge half of the SpaceSaving state pair (ClickHouse
+  * `topKState`/`topKMerge`): each INPUT row is one shard's COMPLETE
+  * persisted sketch (its entry list, as finish() emits it), rebuilt into
+  * a live buffer and folded through the exact same mergeable-summaries
+  * combine as the in-flight partials — so states written to parquet by
+  * one job merge in a later job with identical guarantees (heavy hitters
+  * survive, est ≥ true, error bound holds across the merge tree).
+  */
+class SpaceSavingMergeState(capacity: Int, k: Int)
+    extends Aggregator[Seq[SSEntry], SSBuf, Seq[SSEntry]] {
+  private val inner = new SpaceSavingTopK(capacity, k)
+  override def zero: SSBuf = new SSBuf(capacity)
+  override def reduce(b: SSBuf, state: Seq[SSEntry]): SSBuf = {
+    val s = new SSBuf(capacity)
+    state.foreach(e => s.m.put(e.item, new SSBuf.Counter(e.count, e.error)))
+    inner.merge(b, s)
+  }
+  override def merge(a: SSBuf, b: SSBuf): SSBuf = inner.merge(a, b)
+  override def finish(b: SSBuf): Seq[SSEntry] = inner.finish(b)
+  override def bufferEncoder: Encoder[SSBuf] =
+    Encoders.javaSerialization(classOf[SSBuf])
+  override def outputEncoder: Encoder[Seq[SSEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SSEntry]]()
+}

@@ -100,6 +100,33 @@ object UdfOps {
         col("entry.count").as("est_count"), col("entry.error").as("max_error"))
   }
 
+  /** topKState/-Merge two-phase (the heavy-hitter member of the
+    * mergeable -State family, with agg_state_merge for sum/count/min/max
+    * and agg_quantile_state for percentiles): phase 1 persists one
+    * COMPLETE SpaceSaving sketch per shard to parquet; phase 2 rebuilds
+    * and folds them through the same mergeable-summaries combine. The
+    * incremental heavy-hitters MV: each new partition appends one state
+    * row per shard; history is never rescanned. Estimates depend on
+    * eviction order near the boundary → rows-only; SketchSpec asserts
+    * the guarantees survive the parquet roundtrip.
+    */
+  private def aggTopkState(s: SparkSession, dir: String): DataFrame = {
+    val statePath = graft.Scratch.dir("topk_state") + "/token_topk"
+    val stateAgg = udaf(new graft.functions.SpaceSavingTopK(16, 16))
+    Tables.documents(s, dir)
+      .select((col("doc_id") % 8).as("shard"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("shard"))
+      .agg(stateAgg(col("token")).as("state"))
+      .write.mode("overwrite").parquet(statePath)
+    val mergeAgg = udaf(new graft.functions.SpaceSavingMergeState(16, 10))
+    s.read.parquet(statePath)
+      .agg(mergeAgg(col("state")).as("top_tokens"))
+      .select(posexplode(col("top_tokens")).as(Seq("rank", "entry")))
+      .select(col("rank"), col("entry.item").as("token"),
+        col("entry.count").as("est_count"), col("entry.error").as("max_error"))
+  }
+
   /** ClickHouse `groupBitmap` — exact distinct via bitmap partials (see
     * [[graft.functions.BitmapDistinct]]); exactness means it carries a
     * plain COUNT(DISTINCT) oracle.
@@ -176,6 +203,7 @@ object UdfOps {
                COUNT(*) AS n
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
     QueryDef("udaf_sketch_topk", udafSketchTopk, None),
+    QueryDef("agg_topk_state", aggTopkState, None),
     QueryDef("udaf_cm_sketch", udafCmSketch, None),
     QueryDef("udaf_bitmap", udafBitmap,
       Some("""SELECT event_type,

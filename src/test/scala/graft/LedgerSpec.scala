@@ -21,6 +21,7 @@ class LedgerSpec extends AnyFunSuite {
     "agg_hll_merge",        // HLL partial merge — SketchSpec
     "agg_quantile_approx",  // percentile_approx sketch — SketchSpec
     "agg_quantile_state",   // mergeable t-digest-shaped state — SketchSpec
+    "agg_topk_state",       // persisted SpaceSaving states — SketchSpec
     "dedup_minhash",        // seeded MLlib LSH — recall-vs-exact test
     "dedup_minhash_native", // seeded native minhash — recall-vs-exact test
     "dedup_simhash",        // seeded hyperplanes — golden test

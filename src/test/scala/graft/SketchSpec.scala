@@ -279,6 +279,29 @@ class SketchSpec extends GraftSpec {
     }
   }
 
+  test("agg_topk_state: guarantees survive the parquet state roundtrip") {
+    import spark.implicits._
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val got = SparkEntry.queries("agg_topk_state")(spark, sf)
+      .select("token", "est_count", "max_error")
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 10)
+    got.foreach { case (tok, est, err) =>
+      val truth = exact.getOrElse(tok, 0L)
+      assert(est >= truth && est - truth <= err,
+        s"$tok est=$est true=$truth err=$err")
+    }
+    // guaranteed heavy hitters (> N/capacity) must be present
+    val guaranteed = exact.filter(_._2 > n / 16).keySet
+    val present = got.map(_._1).toSet
+    assert(guaranteed.subsetOf(present),
+      s"missing guaranteed hitters: ${guaranteed -- present}")
+  }
+
   test("stream_quantile_mv: incremental sketch MV tracks exact percentiles") {
     import spark.implicits._
     val rows = SparkEntry.queries("stream_quantile_mv")(spark, sf)
