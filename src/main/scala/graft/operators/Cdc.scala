@@ -355,10 +355,20 @@ object Cdc {
     * Scale notes: one groupBy shuffle on the txn id over decoded
     * entries; framing entries are O(txns) rows riding the same shuffle.
     */
+  /** Txn-framed Entry feed staged at rest, once per (JVM, sfDir) — same
+    * fixture discipline as [[entryFeedDir]].
+    */
+  private[graft] def entryFeedTxnDir(s: SparkSession, dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream/entry_txn_feed_$sf"
+    if (!new java.io.File(s"$root/_SUCCESS").exists())
+      entryFeedTxn(s, dir).write.mode("overwrite").parquet(root)
+    root
+  }
+
   private def cdcTxnBoundary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val binRoot = graft.Scratch.dir("txnbin")
-    entryFeedTxn(s, dir).write.mode("overwrite").parquet(binRoot)
+    val binRoot = entryFeedTxnDir(s, dir)
     s.read.parquet(binRoot).select(col("value")).as[Array[Byte]]
       .mapPartitions(_.map(CanalEntry.decode))
       .toDF()

@@ -95,7 +95,7 @@ object StreamOps {
     */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
     feedDir(s, dir); eventsDir(dir); outerEventsDir(s, dir)
-    Cdc.entryFeedDir(s, dir); ()
+    Cdc.entryFeedDir(s, dir); Cdc.entryFeedTxnDir(s, dir); ()
   }
 
   // ---- sources ----
