@@ -143,7 +143,88 @@ object MvOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Incremental view maintenance for a JOIN view — the ClickHouse
+    * MV-with-JOIN footgun (their MVs fire only on the left table's
+    * inserts, silently missing right-side arrivals) done with the
+    * correct delta algebra: for V = γ(O ⋈ C), each epoch applies
+    *
+    *   ΔV = γ(ΔO ⋈ C_new) + γ(O_old ⋈ ΔC)
+    *
+    * (ΔO⋈ΔC is counted exactly once — through the first term, because
+    * C_new already contains ΔC). Updates and deletes enter ΔO as SIGNED
+    * price deltas (new−old, −price), so the view state is a plain sum
+    * that never replays history. Two epochs exercise both terms with
+    * out-of-order dimension arrival: epoch 1 delivers odd customers +
+    * all order INSERTs (orders of even customers dangle, matching
+    * nothing yet); epoch 2 delivers even customers + order
+    * UPDATEs/DELETEs — the dangling orders join in through O_old ⋈ ΔC
+    * while the signed deltas flow through ΔO ⋈ C_new. Final state is
+    * hash-equal to the full recompute (the oracle).
+    *
+    * Scale notes: each epoch shuffles only its deltas (ΔO aggregated to
+    * O(custkeys-touched) signed rows; ΔC broadcast when dimension-sized);
+    * O_old is the bucketed upsert state the CDC store already maintains
+    * — history is never rescanned, and view state is O(groups).
+    */
+  private def mvJoinIncremental(s: SparkSession, dir: String): DataFrame = {
+    val typed = graft.operators.Cdc.ordersTyped(s, dir)
+      .select(col("type"), col("es"), col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val custA = cust.filter(col("c_custkey") % 2 === 1)
+    val custB = cust.filter(col("c_custkey") % 2 === 0)
+
+    // signed per-order contributions per epoch (collapsing algebra)
+    val insA = typed.filter(col("type") === "INSERT")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(30, 6)).as("delta"))
+    // UPDATE contributes new − old = +1000 exactly (the change script's
+    // update is an IEEE add, so the signed delta is exact); DELETE
+    // contributes −(image price), which the envelope already carries
+    // post-update for keys hit by both
+    val deltaB = typed
+      .filter(col("type") =!= "INSERT")
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("type") === "UPDATE",
+          lit(1000.0).cast(DecimalType(30, 6)))
+          .otherwise(col("o_totalprice").cast(DecimalType(30, 6)) * -1)
+          .as("delta"))
+
+    // live orders state after epoch 1 (insert-only upsert store)
+    val oldStateA = insA.select(col("o_orderkey"), col("o_custkey"),
+      col("delta").as("o_totalprice"))
+
+    def gamma(deltas: DataFrame, dim: DataFrame): DataFrame =
+      deltas.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("delta")).as("dv"))
+
+    // epoch 1: ΔO = inserts, C_new = custA (O_old empty, ΔC term void)
+    val v1 = gamma(insA, custA)
+    // epoch 2: ΔO = signed updates/deletes against C_new = custA ∪ custB;
+    //          O_old (epoch-1 live state) joins the arriving ΔC = custB
+    val v2a = gamma(deltaB, custA.unionByName(custB))
+    val v2b = gamma(
+      oldStateA.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("delta")), custB)
+    v1.unionByName(v2a).unionByName(v2b)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("dv")).cast("double").as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mv_join_incremental", mvJoinIncremental,
+      Some("""WITH live AS (
+                SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                       ELSE o_totalprice END AS price
+                FROM orders WHERE o_orderkey % 7 <> 0)
+              SELECT c_mktsegment,
+                CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+              FROM live JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
     QueryDef("agg_quantile_state", aggQuantileState, None),
     QueryDef("agg_state_merge", aggStateMerge,
       Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
