@@ -194,6 +194,23 @@ object CanalEntry {
     entry.toArray
   }
 
+  /** Total decode for untrusted bytes — the dead-letter-queue seam: a
+    * truncated/bit-flipped blob returns Left(reason) instead of
+    * throwing, so one poisoned entry can't kill the micro-batch (the
+    * binary twin of the PERMISSIVE-mode corrupt-record column).
+    */
+  def decodeSafe(a: Array[Byte]): Either[String, Env] =
+    try {
+      val e = decode(a)
+      // structural sanity: a real Entry always carries a header
+      if (e.database.isEmpty && e.table.isEmpty && e.es == 0L)
+        Left("missing header")
+      else Right(e)
+    } catch {
+      case ex: Exception =>
+        Left(s"${ex.getClass.getSimpleName}: ${String.valueOf(ex.getMessage).take(60)}")
+    }
+
   def decode(a: Array[Byte]): Env = {
     var db = ""; var tbl = ""; var es = 0L; var offset = 0L
     var entryType = RowData

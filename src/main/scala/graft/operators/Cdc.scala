@@ -344,6 +344,37 @@ object Cdc {
       .orderBy(col("tbl"), col("typ"), col("pk"))
   }
 
+  /** Binary dead-letter queue (the Entry twin of cdc_parse_corrupt's
+    * PERMISSIVE JSON mode): three poisoned blobs — a truncation, a
+    * mangled leading tag, and plain garbage — ride the clean staged
+    * feed; [[CanalEntry.decodeSafe]] quarantines each with a reason
+    * instead of throwing, so one bad entry cannot kill the micro-batch.
+    * Counts are oracled against the change script.
+    */
+  private def cdcParseEntryCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = s.read.parquet(entryFeedDir(s, dir))
+      .select(col("value")).as[Array[Byte]]
+    val probe = CanalEntry.encode(CanalEntry.Env(1L, "demo", "orders",
+      Seq("k"), isDdl = false, "INSERT", 9L, "",
+      Map("k" -> "bigint(20)"), Seq(Map("k" -> "1")), null))
+    val mangled = probe.clone()
+    mangled(0) = 0x7f.toByte // field 15 / wire 7: invalid wire type
+    val bad: Seq[Array[Byte]] = Seq(
+      probe.take(7),                // truncated mid-header
+      mangled,
+      Array[Byte](1, 2, 3, 4, 5))  // plain garbage
+    feed.union(s.createDataset(bad))
+      .map(b => CanalEntry.decodeSafe(b) match {
+        case Right(_) => (1L, 0L)
+        case Left(_)  => (0L, 1L)
+      })
+      .toDF("ok", "dlq")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("ok")).cast("long").as("n_good"),
+        sum(col("dlq")).cast("long").as("n_quarantined"))
+  }
+
   /** Transaction reassembly from the framed Entry stream — the client-
     * side contract the binlog's BEGIN/END framing exists for: group row
     * entries by their transaction (logfileOffset span), count changes
@@ -1082,6 +1113,14 @@ object Cdc {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_parse", cdcParse, Some(parseOracle)),
     QueryDef("cdc_parse_entry", cdcParseEntry, Some(parseOracle)),
+    QueryDef("cdc_parse_entry_corrupt", cdcParseEntryCorrupt,
+      Some("""WITH n AS (SELECT
+                (SELECT COUNT(*) FROM orders)
+                + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+                + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+                + (SELECT COUNT(*) FROM customer) + 1 AS n_events)
+              SELECT n_events + 3 AS n_total, n_events AS n_good,
+                CAST(3 AS BIGINT) AS n_quarantined FROM n""")),
     QueryDef("cdc_txn_boundary", cdcTxnBoundary,
       Some("""WITH m AS (
                 SELECT o_orderkey % 100 AS txn FROM orders

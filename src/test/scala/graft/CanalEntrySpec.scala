@@ -105,4 +105,76 @@ class CanalEntrySpec extends AnyFunSuite {
     val d = rt(e)
     assert(d.id == e.id && d.es == e.es)
   }
+
+  test("fuzz: random envelopes roundtrip bit-faithfully") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genStr = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(20)),
+      Gen.const(""),
+      Gen.const("späßig-日本語-"),
+      Gen.listOfN(5, Gen.choose(Char.MinValue, '퟿')).map(_.mkString))
+    val genVal = Gen.oneOf(genStr, Gen.const(null: String))
+    val genImg = for {
+      n <- Gen.choose(1, 5)
+      ks <- Gen.listOfN(n, Gen.identifier.map(_.take(8)))
+      vs <- Gen.listOfN(n, genVal)
+    } yield ks.distinct.zip(vs).toMap
+    val genEnv = for {
+      id <- Gen.choose(0L, Long.MaxValue)
+      es <- Gen.choose(0L, Long.MaxValue)
+      typ <- Gen.oneOf("INSERT", "UPDATE", "DELETE")
+      nRows <- Gen.choose(1, 4)
+      imgs <- Gen.listOfN(nRows, genImg)
+      withOld <- Gen.oneOf(true, false)
+      olds <- Gen.listOfN(nRows, genImg)
+      db <- genStr.map(s => if (s.isEmpty) "d" else s)
+      tbl <- genStr.map(s => if (s.isEmpty) "t" else s)
+    } yield {
+      val pk = imgs.head.keys.take(1).toSeq
+      val mtm = imgs.flatMap(_.keys).distinct.map(_ -> "varchar(64)").toMap
+      Env(id, db, tbl, pk, isDdl = false, typ, es, "", mtm, imgs,
+        if (withOld && typ == "UPDATE")
+          olds.zip(imgs).map { case (o, img) =>
+            o.filter { case (k, _) => img.contains(k) } }
+          .map(m => if (m.isEmpty) null else m)
+        else null)
+    }
+    (1 to 40).foreach { seed =>
+      val e = genEnv.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val d = rt(e)
+      // old alignment: an all-null old array decodes as null (proto3
+      // cannot distinguish "absent" from "present and empty")
+      val eNorm =
+        if (e.old != null && e.old.forall(_ == null)) e.copy(old = null)
+        else e
+      assert(d == eNorm, s"seed=$seed\n e=$eNorm\n d=$d")
+    }
+  }
+
+  test("fuzz: corrupted bytes never throw from decodeSafe") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val base = CanalEntry.encode(Env(10L, "demo", "orders", Seq("k"),
+      isDdl = false, "INSERT", 99L, "", mt,
+      Seq(Map("k" -> "1", "v" -> "payload")), null))
+    val genCorrupt = for {
+      mode <- Gen.choose(0, 2)
+      pos <- Gen.choose(0, base.length - 1)
+      b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      len <- Gen.choose(0, base.length)
+    } yield mode match {
+      case 0 => base.take(len)                        // truncation
+      case 1 => val a = base.clone(); a(pos) = b; a   // bit flip
+      case _ => Array.fill(len)(b)                    // garbage
+    }
+    (1 to 200).foreach { seed =>
+      val bytes = genCorrupt.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      CanalEntry.decodeSafe(bytes) match {
+        case Right(env) => assert(env.database.nonEmpty || env.table.nonEmpty
+          || env.es != 0L) // structurally plausible survivors only
+        case Left(reason) => assert(reason.nonEmpty)
+      }
+    }
+  }
 }
