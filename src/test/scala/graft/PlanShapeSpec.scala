@@ -357,6 +357,15 @@ class PlanShapeSpec extends GraftSpec {
       s"tiny shuffle partitions were not coalesced:\n${p.take(800)}")
   }
 
+  test("mv_join_incremental joins every delta term broadcast (dim-sized sides)") {
+    val p = plan("mv_join_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      "delta-to-dimension joins must broadcast:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "no delta term may pay a sort-merge shuffle:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("decontam_embed broadcasts the eval probes (train side never shuffles)") {
     val p = plan("decontam_embed")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
