@@ -116,6 +116,18 @@ object Scratch {
       ch.force(true)
     } finally ch.close()
   }
+
+  /** Fsync a DIRECTORY: an ATOMIC_MOVE is only a durable commit point
+    * once the directory entry itself is flushed — without this, power
+    * loss after the rename can roll the pointer back to the previous
+    * version on ext4/xfs even though the rename "succeeded".
+    */
+  def fsyncDir(dir: java.nio.file.Path): Unit = {
+    val ch = java.nio.channels.FileChannel.open(dir,
+      java.nio.file.StandardOpenOption.READ)
+    try ch.force(true)
+    finally ch.close()
+  }
 }
 
 object Det {

@@ -83,14 +83,26 @@ object CanalEntry {
       }
       r
     }
-    def lenDelim(): Reader = {
+    /** Length prefix for a delimited field — REJECTS negative or
+      * out-of-bounds lengths: a crafted varint whose low 32 bits are
+      * negative would otherwise move `pos` BACKWARDS and loop decode
+      * forever (net-zero progress), hanging the very micro-batch the
+      * decodeSafe DLQ seam exists to protect.
+      */
+    private def lenPrefix(): Int = {
       val n = varint().toInt
+      if (n < 0 || pos + n > end)
+        throw new IllegalArgumentException(s"bad length $n at $pos")
+      n
+    }
+    def lenDelim(): Reader = {
+      val n = lenPrefix()
       val r = new Reader(buf, pos, pos + n)
       pos += n
       r
     }
     def strVal(): String = {
-      val n = varint().toInt
+      val n = lenPrefix()
       val s = new String(buf, pos, n, UTF_8)
       pos += n
       s
@@ -101,7 +113,7 @@ object CanalEntry {
       case 2 =>
         // NOT `pos += varint()`: += reads the old pos BEFORE varint()
         // advances past the length byte, landing one byte short
-        val n = varint().toInt
+        val n = lenPrefix()
         pos += n
       case 5 => pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")

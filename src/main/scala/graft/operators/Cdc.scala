@@ -199,20 +199,14 @@ object Cdc {
     * mysqlType metadata carry the new `o_note` column — the shape a real
     * binlog takes when an ALTER lands mid-replication.
     */
-  def envelopesPreDdl(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val base = unix_millis(col("o_orderdate").cast("timestamp"))
-    val noOld = lit(null).cast(ArrayType(MapType(StringType, StringType)))
-    o.select(envelope(col("o_orderkey") * 10, "orders",
-      "o_orderkey", lit("INSERT"), base, lit(false), lit(""),
+  def envelopesPreDdl(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(envelope(col("o_orderkey") * 10, "orders",
+      "o_orderkey", lit("INSERT"), esBase, lit(false), lit(""),
       ordersMysqlType, array(ordersImage(col("o_totalprice"))), noOld)
       .as("value"))
-  }
 
   def envelopesPostDdl(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    val base = unix_millis(col("o_orderdate").cast("timestamp"))
-    val noOld = lit(null).cast(ArrayType(MapType(StringType, StringType)))
     val evolvedType = map_concat(ordersMysqlType,
       map(lit("o_note"), lit("varchar(64)")))
     val evolvedImage = map_concat(ordersImage(updatedPrice),
@@ -223,7 +217,7 @@ object Cdc {
       .as("value"))
     val updates = o.filter(col("o_orderkey") % 3 === 0)
       .select(envelope(col("o_orderkey") * 10 + 1, "orders", "o_orderkey",
-        lit("UPDATE"), base + 86400000L, lit(false), lit(""), evolvedType,
+        lit("UPDATE"), esBase + 86400000L, lit(false), lit(""), evolvedType,
         array(evolvedImage),
         array(map(lit("o_totalprice"), col("o_totalprice").cast("string"))))
         .as("value"))
@@ -1039,6 +1033,8 @@ object Cdc {
       new java.io.File(s"$root/_CURRENT").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // ...and the rename is only durable once the DIRECTORY entry flushes
+    graft.Scratch.fsyncDir(new java.io.File(root).toPath)
   }
 
   private[graft] def txnCurrent(root: String): Int =

@@ -724,7 +724,15 @@ object LlmText {
     val spans = grams
       .withColumn("cnt", count(lit(1)).over(byDigest))
       .filter(col("cnt") >= 2)
-      .withColumn("island", col("pos") - row_number().over(byDoc))
+      // spans must merge whenever their k-token RANGES overlap (start
+      // positions within k-1), not only when positions are adjacent —
+      // otherwise covered_tokens double-counts the overlap and the
+      // coverage fraction can exceed 1 on heavily repetitive docs
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k - 1, 0)
+          .otherwise(1))
+      .withColumn("island", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("n_tokens"), col("island"))
       .agg(count(lit(1)).as("n_grams"), min(col("pos")).as("spos"),
         (max(col("pos")) + lit(k - 1)).as("epos"))
@@ -1553,12 +1561,16 @@ object LlmText {
               r AS (SELECT doc_id, n_tokens, pos,
                 COUNT(*) OVER (PARTITION BY gram) AS cnt FROM gr),
               i AS (SELECT doc_id, n_tokens, pos,
-                pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
-                  AS island
+                CASE WHEN pos - LAG(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) <= 4
+                  THEN 0 ELSE 1 END AS new_span
                 FROM r WHERE cnt >= 2),
+              isl AS (SELECT doc_id, n_tokens, pos,
+                SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS island FROM i),
               sp AS (SELECT doc_id, n_tokens, island, COUNT(*) AS n_grams,
                 MIN(pos) AS spos, MAX(pos) + 4 AS epos
-                FROM i GROUP BY doc_id, n_tokens, island)
+                FROM isl GROUP BY doc_id, n_tokens, island)
               SELECT doc_id, n_tokens,
                 CAST(SUM(n_grams) AS BIGINT) AS n_rep_grams,
                 COUNT(*) AS n_spans,

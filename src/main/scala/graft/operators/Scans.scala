@@ -544,6 +544,8 @@ object Scans {
     java.nio.file.Files.move(tmp.toPath, cur.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // ...and the rename is only durable once the DIRECTORY entry flushes
+    graft.Scratch.fsyncDir(new java.io.File(root).toPath)
     n
   }
 

@@ -513,6 +513,22 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("dedup_substring: spans never overlap, coverage bounded by doc length") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("dedup_substring")(spark, sf)
+      .select("doc_id", "n_tokens", "n_rep_grams", "n_spans",
+        "covered_tokens", "max_span_tokens")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nGrams, nSpans, covered, maxSpan) =>
+      // merged spans are disjoint, so coverage can never exceed the doc
+      assert(covered <= nTok, s"doc $id covers $covered of $nTok tokens")
+      assert(maxSpan <= covered && nSpans >= 1 && nGrams >= nSpans, s"doc $id")
+      // k=5: every span covers at least one whole gram
+      assert(maxSpan >= 5, s"doc $id max span $maxSpan < k")
+    }
+  }
+
   test("pack_bestfit: no overflow, beats first-fit-in-id-order, deterministic") {
     import spark.implicits._
     val cap = 512

@@ -152,6 +152,23 @@ class CanalEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("negative-length varint cannot loop decode forever") {
+    // tag 0x22 (field 4, wire 2) followed by a 5-byte varint whose low
+    // 32 bits are negative: an unchecked `pos += len.toInt` would move
+    // the reader BACKWARDS to the same tag — net-zero progress, infinite
+    // loop inside the DLQ seam. Must return Left promptly instead.
+    val crafted = Array[Byte](0x22, 0xFA.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0x7F)
+    val t0 = System.nanoTime()
+    val out = CanalEntry.decodeSafe(crafted)
+    assert(out.isLeft, s"crafted blob decoded as $out")
+    assert((System.nanoTime() - t0) < 1e9, "decodeSafe did not return promptly")
+    // same guard through the length-delimited submessage path (field 1)
+    val crafted2 = Array[Byte](0x0a, 0xFA.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0x7F)
+    assert(CanalEntry.decodeSafe(crafted2).isLeft)
+  }
+
   test("fuzz: corrupted bytes never throw from decodeSafe") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
