@@ -38,7 +38,12 @@ object Bench {
       new java.io.File("target").mkdirs()
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_queries.json"), line)
-    } catch { case _: Throwable => () }
+    } catch {
+      // warn, don't swallow silently: a stale file from a previous run
+      // would otherwise be diffed as if it were this run's data
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] bench_queries.json not written: $e")
+    }
     println(line)
     // compact line LAST: the driver's tail capture truncates long lines
     // from the front, so the parseable summary must be short and final

@@ -122,12 +122,18 @@ object Scratch {
     * loss after the rename can roll the pointer back to the previous
     * version on ext4/xfs even though the rename "succeeded".
     */
-  def fsyncDir(dir: java.nio.file.Path): Unit = {
-    val ch = java.nio.channels.FileChannel.open(dir,
-      java.nio.file.StandardOpenOption.READ)
-    try ch.force(true)
-    finally ch.close()
-  }
+  def fsyncDir(dir: java.nio.file.Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true)
+      finally ch.close()
+    } catch {
+      // directories cannot be opened/fsync'd on some platforms
+      // (Windows) — same guarded pattern Kafka/Lucene use; on POSIX
+      // the force above is the real directory-entry flush
+      case _: java.io.IOException => ()
+    }
 }
 
 object Det {

@@ -72,10 +72,20 @@ object CanalEntry {
 
   final class Reader(buf: Array[Byte], var pos: Int, end: Int) {
     def hasNext: Boolean = pos < end
+    /** Bounds-checked varint: a sub-reader must never consume its
+      * PARENT's bytes past its own `end` (a truncated submessage would
+      * otherwise decode to silently-wrong values instead of an error),
+      * and a >10-byte varint must error rather than alias bits once the
+      * shift wraps past 63.
+      */
     def varint(): Long = {
       var shift = 0
       var r = 0L
       while (true) {
+        if (pos >= end)
+          throw new IllegalArgumentException(s"varint past end $end")
+        if (shift > 63)
+          throw new IllegalArgumentException("varint longer than 10 bytes")
         val b = buf(pos); pos += 1
         r |= (b & 0x7FL) << shift
         if ((b & 0x80) == 0) return r
@@ -109,13 +119,19 @@ object CanalEntry {
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint(); ()
-      case 1 => pos += 8
+      case 1 =>
+        if (pos + 8 > end)
+          throw new IllegalArgumentException("fixed64 past end")
+        pos += 8
       case 2 =>
         // NOT `pos += varint()`: += reads the old pos BEFORE varint()
         // advances past the length byte, landing one byte short
         val n = lenPrefix()
         pos += n
-      case 5 => pos += 4
+      case 5 =>
+        if (pos + 4 > end)
+          throw new IllegalArgumentException("fixed32 past end")
+        pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
   }

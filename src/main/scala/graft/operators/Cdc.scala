@@ -517,22 +517,28 @@ object Cdc {
   /** Table-GENERIC type-map: the destination schema is derived from the
     * envelope's own `mysqlType` metadata via [[mysqlToSpark]] — no
     * hard-coded column list, exactly how a real Canal adapter creates and
-    * populates a destination table it has never seen. The mysqlType map is
-    * constant per table between DDLs, so reading it from one envelope is
-    * O(1) control-plane metadata (same class as the DDL-apply collect),
-    * never O(data); the cast projection itself is a narrow map-side
-    * transform.
+    * populates a destination table it has never seen.
+    *
+    * The metadata is the UNION of mysqlType entries across the batch
+    * (per column, the declaration from the LATEST es wins): a batch that
+    * straddles a DDL contains both pre- and post-ALTER envelopes, and
+    * resolving from an arbitrary single envelope would nondeterministically
+    * drop the new column for the whole batch. The aggregate is
+    * O(distinct columns) control-plane metadata (same class as the
+    * DDL-apply collect), never O(data); the cast projection itself is a
+    * narrow map-side transform.
     */
   def typeMapGeneric(envelopes: DataFrame, table: String): DataFrame = {
-    val one = envelopes
+    val meta = envelopes
       .filter(col("table") === table && !col("isDdl"))
-      .select(map_keys(col("mysqlType")).as("ks"), col("mysqlType").as("mt"))
-      .limit(1).collect()
-    require(one.nonEmpty, s"no DML envelopes for table $table")
-    val colNames = one.head.getSeq[String](0)
-    val types = one.head.getMap[String, String](1)
-    val typedCols = colNames.map { c =>
-      element_at(col("img"), c).cast(mysqlToSpark(types(c))).as(c)
+      .select(col("es"), explode(col("mysqlType")).as(Seq("k", "v")))
+      .groupBy(col("k")).agg(max_by(col("v"), col("es")).as("v"))
+      .orderBy(col("k"))
+      .collect()
+    require(meta.nonEmpty, s"no DML envelopes for table $table")
+    val typedCols = meta.toSeq.map { r =>
+      val (c, t) = (r.getString(0), r.getString(1))
+      element_at(col("img"), c).cast(mysqlToSpark(t)).as(c)
     }
     envelopes
       .filter(col("table") === table && !col("isDdl"))

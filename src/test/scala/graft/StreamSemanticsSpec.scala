@@ -276,4 +276,44 @@ class StreamSemanticsSpec extends GraftSpec {
     assert(latest.toSeq == Seq(
       (1L, 10.0, None), (2L, 21.0, Some("x2"))), latest.mkString(";"))
   }
+
+  test("one micro-batch straddling the ALTER still lands the new column") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def j(m: Map[String, String]): String =
+      m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    def env(id: Long, typ: String, es: Long, img: Map[String, String],
+        mt: Map[String, String]): String =
+      s"""{"id":$id,"database":"demo","table":"orders","pkNames":["o_orderkey"],""" +
+        s""""isDdl":false,"type":"$typ","es":$es,"ts":${es + 500},""" +
+        s""""sql":"","mysqlType":${j(mt)},"data":[${j(img)}],"old":null}"""
+    val mtV1 = Map("o_orderkey" -> "bigint(20)", "o_totalprice" -> "decimal(15,2)")
+    val mtV2 = mtV1 + ("o_note" -> "varchar(64)")
+    val state = graft.Scratch.dir("straddle_test") + "/state"
+    val in = MemoryStream[String]
+    val parsed = in.toDF()
+      .select(from_json(col("value"), graft.operators.Cdc.envelopeSchema).as("m"))
+      .select(col("m.*"))
+    val q = parsed.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamOps.mergeEvolving(batch, state))
+      .option("checkpointLocation", graft.Scratch.dir("straddle_ckpt"))
+      .start()
+    try {
+      // a consumer catching up after downtime reads pre- AND post-ALTER
+      // envelopes in ONE batch: schema resolution must take the union
+      // (latest declaration per column), never an arbitrary envelope
+      in.addData(
+        env(10, "INSERT", 100, Map("o_orderkey" -> "1", "o_totalprice" -> "10.00"), mtV1),
+        env(20, "INSERT", 200,
+          Map("o_orderkey" -> "2", "o_totalprice" -> "20.00", "o_note" -> "n2"), mtV2))
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val rows = spark.read.parquet(state)
+      .select(col("o_orderkey"), col("o_note"))
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, None), (2L, Some("n2"))),
+      rows.mkString(";"))
+  }
 }
