@@ -392,6 +392,23 @@ object EventAnalytics {
                 CAST(regexp_matches(seq, 'e.*e.*e') AS INTEGER) AS m_triple_error,
                 CAST(LENGTH(seq) AS INTEGER) AS n_events
               FROM s ORDER BY user_id""")),
+    QueryDef("fn_seq_match_time", fnSeqMatchTime,
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                CAST(ts AS TIMESTAMP) AS ts FROM events),
+              o AS (SELECT user_id, event_type, ts,
+                MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS last_signup
+                FROM e),
+              l AS (SELECT user_id,
+                epoch_us(ts) - epoch_us(last_signup) AS lat
+                FROM o WHERE event_type = 'purchase'
+                  AND last_signup IS NOT NULL)
+              SELECT user_id,
+                CAST(MAX(CASE WHEN lat <= 3600000000 THEN 1 ELSE 0 END)
+                  AS INTEGER) AS matched,
+                MIN(CASE WHEN lat <= 3600000000 THEN lat END) AS min_lat_us
+              FROM l GROUP BY user_id ORDER BY user_id""")),
     QueryDef("ts_holt", tsHolt, None),
     QueryDef("ts_ema", tsEma,
       Some("""WITH l AS (SELECT user_id,
@@ -505,6 +522,32 @@ object EventAnalytics {
     * with codegen'd collect/sort/transform. One shuffle on user_id; the
     * per-user string is bounded by that user's event count, not the corpus.
     */
+  /** `sequenceMatch` with a TIME constraint — ClickHouse's
+    * `(?1)(?t<=3600)(?2)` operator, which the plain regex formulation
+    * (fn_seq_match) cannot express: signup followed by a purchase
+    * WITHIN ONE HOUR. Relational shape: a running last-signup timestamp
+    * over the user's ordered timeline turns the pair search into a
+    * map-side latency check — one window pass clustered on user_id, no
+    * self-join over the event log, exactly the funnel-family plan.
+    */
+  private def fnSeqMatchTime(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("last_signup",
+        max(when(col("event_type") === "signup", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase" && col("last_signup").isNotNull)
+      .withColumn("lat",
+        unix_micros(col("ts")) - unix_micros(col("last_signup")))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("lat") <= 3600000000L, 1).otherwise(0))
+          .cast("int").as("matched"),
+        min(when(col("lat") <= 3600000000L, col("lat"))).as("min_lat_us"))
+      .orderBy(col("user_id"))
+  }
+
   private def fnSeqMatch(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id"),

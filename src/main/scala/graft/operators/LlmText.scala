@@ -404,6 +404,33 @@ object LlmText {
       .orderBy(col("shard"), col("doc_id"))
   }
 
+  /** Deterministic training-order shuffle + shard assignment (the
+    * epoch-order step every trainer runs before reading a corpus): each
+    * doc hashes to a shard and to a position WITHIN that shard, both
+    * pure functions of content-free ids — reproducible on any engine,
+    * any partitioning, any rerun, with no RNG state (the
+    * sample_hash_split discipline applied to ordering). Readers stream
+    * shard files independently; the global order is the (pos, shard)
+    * interleave.
+    *
+    * Scale notes: no global sort — position is a row_number clustered
+    * per shard (N independent sorts of corpus/N), which is the whole
+    * point vs. ORDER BY rand(): the one shuffle is the shard
+    * partitioning itself.
+    */
+  private def shuffleShard(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val w = Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch1-"), col("doc_id").cast("string"))).as("rk"))
+      .withColumn("shard",
+        pmod(conv(substring(col("rk"), 1, 8), 16, 10).cast("long"), lit(n)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Best-fit-decreasing sequence packing — the padding-waste
     * minimizer `pack_sequences`' concatenate-and-split can't be when
     * documents must stay WHOLE (no mid-doc truncation into a
@@ -1534,6 +1561,17 @@ object LlmText {
                 / (sa.sz + sb.sz - n_inter), 6) >= 0.02
               ORDER BY id_a, id_b""")),
     QueryDef("pack_bestfit", packBestfit, None),
+    QueryDef("shuffle_shard", shuffleShard,
+      Some("""WITH t AS (SELECT doc_id,
+                md5('epoch1-' || CAST(doc_id AS VARCHAR)) AS rk
+                FROM documents),
+              sh AS (SELECT doc_id, rk,
+                CAST(CAST('0x' || substr(rk, 1, 8) AS BIGINT) % 8 AS BIGINT)
+                  AS shard FROM t)
+              SELECT doc_id, shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                  ORDER BY rk, doc_id) AS BIGINT) AS pos
+              FROM sh ORDER BY shard, pos""")),
     QueryDef("sample_token_budget", sampleTokenBudget,
       Some("""WITH t AS (SELECT source, doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
