@@ -527,6 +527,45 @@ object Aggregates {
       }: _*)
   }
 
+  /** ClickHouse `mannWhitneyUTest` — the rank-based non-parametric
+    * member of the hypothesis-test family (with agg_ttest's Welch t,
+    * agg_anova, agg_cramers_v): purchase vs view values compared by
+    * rank sums, tie-aware (average ranks). Formulated over the
+    * DISTINCT-value table: R₁ = Σ_v cntA(v)·(below(v) + (ties(v)+1)/2),
+    * where below(v) is a running count over values — every term is a
+    * dyadic rational (counts and halves), so the double sum is EXACT
+    * and order-independent on both engines; only the final z divides.
+    *
+    * Scale notes: the running count rides the compressed distinct-value
+    * domain (the same object a quantile/histogram sketch bins); at
+    * 100 TB values bin first and the window becomes a range-partitioned
+    * prefix sum over O(bins) — never a sort of the raw rows.
+    */
+  private def aggMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isA = col("event_type") === "purchase"
+    val byVal = Tables.events(s, dir)
+      .filter(isA || col("event_type") === "view")
+      .select(when(isA, 1L).otherwise(0L).as("a"), col("value"))
+      .groupBy(col("value"))
+      .agg(sum(col("a")).as("ca"), (count(lit(1)) - sum(col("a"))).as("cb"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("below", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .agg(
+        sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+        sum(col("ca").cast("double") *
+          (col("below").cast("double")
+            + (col("ca") + col("cb") + 1).cast("double") / 2.0)).as("r1"))
+      .select({
+        val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+        val u1 = col("r1") - n1 * (n1 + 1) / 2.0
+        val z = (u1 - n1 * n2 / 2.0) / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+        Seq(col("n1"), col("n2"), u1.as("u1"), round(z, 6).as("z"))
+      }: _*)
+  }
+
   /** ClickHouse `skewPop` / `kurtPop` via the same exact-moment scheme
     * as agg_regression: Σx..Σx⁴ summed in decimal (l_quantity is
     * integer-valued ≤ 50, so q⁴ ≤ 6.25e6 is dyadic-exact), central
@@ -695,6 +734,30 @@ object Aggregates {
               FROM orders GROUP BY o_orderpriority, o_orderstatus
               ORDER BY o_orderpriority, o_orderstatus""")),
     QueryDef("agg_hash", flagship, Some(flagshipOracle)),
+    QueryDef("agg_mannwhitney", aggMannWhitney,
+      Some("""WITH e AS (SELECT CASE WHEN event_type = 'purchase'
+                  THEN 1 ELSE 0 END AS a, value
+                FROM events WHERE event_type IN ('purchase', 'view')),
+              v AS (SELECT value, CAST(SUM(a) AS BIGINT) AS ca,
+                COUNT(*) - CAST(SUM(a) AS BIGINT) AS cb
+                FROM e GROUP BY value),
+              r AS (SELECT ca, cb, COALESCE(SUM(ca + cb) OVER
+                  (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS below FROM v),
+              m AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+                CAST(SUM(cb) AS BIGINT) AS n2,
+                SUM(CAST(ca AS DOUBLE) * (CAST(below AS DOUBLE)
+                  + CAST(ca + cb + 1 AS DOUBLE) / 2.0)) AS r1
+                FROM r)
+              SELECT n1, n2,
+                r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0
+                  AS u1,
+                round((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0
+                    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1) / 12.0),
+                  6) AS z
+              FROM m""")),
     QueryDef("agg_ttest", aggTtest,
       Some("""WITH m AS (SELECT
                 CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
