@@ -198,6 +198,32 @@ object Fns {
       .orderBy(col("doc_id"))
   }
 
+  /** ClickHouse `URLHierarchy`: a URL expands to its progressively
+    * deeper prefixes (site, site/section, site/section/page) — the
+    * aggregation key family behind per-section traffic rollups, where
+    * grouping by each hierarchy level turns one scan into every depth's
+    * report. Map-side generate (sequence + slice over path segments),
+    * output O(rows × depth), no shuffle before the consumer's groupBy.
+    */
+  private def fnUrlHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://WWW.Example"), col("doc_id") % 7,
+      lit(".COM/"), col("source"), lit("/a"), col("doc_id"),
+      lit("?utm_source=feed&id="), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("segs",
+        expr("filter(split(parse_url(url, 'PATH'), '/'), x -> x != '')"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, size(segs)), i ->
+               if(i = 0, concat('https://', host),
+                  concat('https://', host, '/',
+                    array_join(slice(segs, 1, i), '/'))))""")))
+      .select(col("doc_id"), col("pos").as("depth"), col("col").as("prefix"))
+      .orderBy(col("doc_id"), col("depth"))
+  }
+
   /** IPv4 family (ClickHouse IPv4StringToNum/IPv4NumToString/toIPv4):
     * string↔numeric codec via the native codegen'd [[graft.functions
     * .Ipv4ToLong]]/[[graft.functions.LongToIpv4]] expressions, plus /16
@@ -403,6 +429,18 @@ object Fns {
                    - (CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5))
                    / 2), 2))), 0) AS BIGINT) AS dist_m
               FROM customer ORDER BY c_custkey""")),
+    QueryDef("fn_url_hierarchy", fnUrlHierarchy,
+      Some("""WITH u AS (SELECT doc_id,
+                'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                  AS host,
+                [source, 'a' || CAST(doc_id AS VARCHAR)] AS segs
+                FROM documents)
+              SELECT doc_id, CAST(i AS INTEGER) AS depth,
+                CASE WHEN i = 0 THEN 'https://' || host
+                     ELSE 'https://' || host || '/'
+                       || array_to_string(segs[1:i], '/') END AS prefix
+              FROM u, unnest(range(0, 3)) AS t(i)
+              ORDER BY doc_id, depth""")),
     QueryDef("fn_url", fnUrl,
       Some("""WITH u AS (SELECT doc_id,
                'https://WWW.Example' || (doc_id % 7) || '.COM/' || source

@@ -202,6 +202,39 @@ object LlmVector {
         .as("centroid"))
       .orderBy(col("label"))
 
+  /** Inter-class centroid similarity matrix — the label-space structure
+    * report a curriculum/mixture designer reads before merging or
+    * re-weighting classes (two labels whose centroids sit at cosine
+    * ≈ 1 are candidates for merging; near-orthogonal ones are safe
+    * negatives for sim_hard_negative). O(labels²) pairs over exact
+    * decimal centroids — entirely deterministic, so the matrix carries
+    * a full oracle where per-vector ANN variants cannot.
+    *
+    * Scale notes: centroids are one partial-agg shuffle over
+    * (label, dim) (the label_centroid plan); the pair matrix is
+    * O(labels²) driver-scale rows from a broadcast self-join — the
+    * corpus is never touched twice.
+    */
+  private def labelCentroidSim(s: SparkSession, dir: String): DataFrame = {
+    val cent = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(dbl(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(Det.davg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("c"))
+    val a = cent.select(col("label").as("la"), col("c").as("ca"))
+    val b = cent.select(col("label").as("lb"), col("c").as("cb"))
+    def dot(x: String, y: String) =
+      expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
+    a.join(broadcast(b), col("la") < col("lb"))
+      .select(col("la"), col("lb"),
+        round(dot("ca", "cb")
+          / (sqrt(dot("ca", "ca")) * sqrt(dot("cb", "cb"))), 6)
+          .as("cos_sim"))
+      .orderBy(col("la"), col("lb"))
+  }
+
   /** IVF-style approximate nearest neighbor — the other 100 TB ANN path:
     * a coarse quantizer (here: exact per-label centroids) routes each
     * probe to its nprobe=2 closest partitions, and only those partitions
@@ -975,6 +1008,21 @@ object LlmVector {
                 array_to_string(list(CAST(round(m, 6) AS DECIMAL(20,6))
                   ORDER BY pos), ',') AS centroid
               FROM a GROUP BY label ORDER BY label""")),
+    QueryDef("label_centroid_sim", labelCentroidSim,
+      Some(s"""WITH e AS (SELECT label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+                FROM embeddings),
+              a AS (SELECT label, pos, ${Det.oAvg("x")} AS m
+                FROM e GROUP BY label, pos),
+              v AS (SELECT label, list(m ORDER BY pos) AS c
+                FROM a GROUP BY label)
+              SELECT x.label AS la, y.label AS lb,
+                round(list_dot_product(x.c, y.c)
+                  / (sqrt(list_dot_product(x.c, x.c))
+                     * sqrt(list_dot_product(y.c, y.c))), 6) AS cos_sim
+              FROM v x JOIN v y ON x.label < y.label
+              ORDER BY la, lb""")),
     QueryDef("sim_ivf_knn", simIvfKnn,
       Some(s"""WITH e AS (SELECT vec_id, label,
                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
