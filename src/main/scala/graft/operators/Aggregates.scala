@@ -535,6 +535,12 @@ object Aggregates {
     * where below(v) is a running count over values — every term is a
     * dyadic rational (counts and halves), so the double sum is EXACT
     * and order-independent on both engines; only the final z divides.
+    * The z denominator carries the standard TIE CORRECTION (ClickHouse
+    * does the same): σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))) with
+    * t = ties(v) — on the heavily tied integer `value` domain the
+    * uncorrected variance would overstate σ and deflate |z|. Σ(t³−t)
+    * terms are integers (exact in double below 2⁵³), so the correction
+    * sum is order-independent too.
     *
     * Scale notes: the running count rides the compressed distinct-value
     * domain (the same object a quantile/histogram sketch bins); at
@@ -557,11 +563,17 @@ object Aggregates {
         sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
         sum(col("ca").cast("double") *
           (col("below").cast("double")
-            + (col("ca") + col("cb") + 1).cast("double") / 2.0)).as("r1"))
+            + (col("ca") + col("cb") + 1).cast("double") / 2.0)).as("r1"),
+        sum({
+          val t = (col("ca") + col("cb")).cast("double")
+          t * t * t - t
+        }).as("tcorr"))
       .select({
         val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
         val u1 = col("r1") - n1 * (n1 + 1) / 2.0
-        val z = (u1 - n1 * n2 / 2.0) / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+        val variance = n1 * n2 / 12.0 *
+          ((n1 + n2 + 1) - col("tcorr") / ((n1 + n2) * (n1 + n2 - 1)))
+        val z = (u1 - n1 * n2 / 2.0) / sqrt(variance)
         Seq(col("n1"), col("n2"), u1.as("u1"), round(z, 6).as("z"))
       }: _*)
   }
@@ -747,15 +759,20 @@ object Aggregates {
               m AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
                 CAST(SUM(cb) AS BIGINT) AS n2,
                 SUM(CAST(ca AS DOUBLE) * (CAST(below AS DOUBLE)
-                  + CAST(ca + cb + 1 AS DOUBLE) / 2.0)) AS r1
+                  + CAST(ca + cb + 1 AS DOUBLE) / 2.0)) AS r1,
+                SUM(CAST(ca + cb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                  * CAST(ca + cb AS DOUBLE) - CAST(ca + cb AS DOUBLE))
+                  AS tcorr
                 FROM r)
               SELECT n1, n2,
                 r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0
                   AS u1,
                 round((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0
                     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
-                  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-                    * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1) / 12.0),
+                  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                      - tcorr / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))),
                   6) AS z
               FROM m""")),
     QueryDef("agg_ttest", aggTtest,

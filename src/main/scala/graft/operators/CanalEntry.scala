@@ -25,7 +25,13 @@ import scala.collection.mutable
   *               repeated Column afterColumns = 2 }
   *   Column    { int32 index = 1; int32 sqlType = 2; string name = 3;
   *               bool isKey = 4; bool updated = 5; bool isNull = 6;
-  *               string value = 7; string mysqlType = 8 }
+  *               repeated Pair props = 7; string value = 8;
+  *               int32 length = 9; string mysqlType = 10 }
+  *               — props (field 7) is an extension-attribute bag this
+  *               pipeline never emits; the decoder skips it as a
+  *               length-delimited submessage so real canal-server blobs
+  *               (which do populate it) frame correctly. length (9) is
+  *               the declared MySQL column length, ignored on decode.
   *
   * EventType: INSERT=1 UPDATE=2 DELETE=3 CREATE=4 ALTER=5 ERASE=6
   * QUERY=7 TRUNCATE=8 RENAME=9.
@@ -97,13 +103,17 @@ object CanalEntry {
       * out-of-bounds lengths: a crafted varint whose low 32 bits are
       * negative would otherwise move `pos` BACKWARDS and loop decode
       * forever (net-zero progress), hanging the very micro-batch the
-      * decodeSafe DLQ seam exists to protect.
+      * decodeSafe DLQ seam exists to protect. Validation happens on the
+      * FULL 64-bit varint BEFORE narrowing: a crafted length in
+      * [2^32, 2^63) with benign low 32 bits (e.g. 2^32+5 → 5 after
+      * .toInt) would otherwise pass the sign check and silently
+      * mis-frame the parse into structurally-plausible wrong envelopes.
       */
     private def lenPrefix(): Int = {
-      val n = varint().toInt
-      if (n < 0 || pos + n > end)
-        throw new IllegalArgumentException(s"bad length $n at $pos")
-      n
+      val n64 = varint()
+      if (n64 < 0L || n64 > (end - pos).toLong)
+        throw new IllegalArgumentException(s"bad length $n64 at $pos")
+      n64.toInt
     }
     def lenDelim(): Reader = {
       val n = lenPrefix()
@@ -175,8 +185,8 @@ object CanalEntry {
       w.bool(4, e.pkNames != null && e.pkNames.contains(name))
       w.bool(5, updated)
       w.bool(6, value == null)
-      w.str(7, value)
-      w.str(8, mt.getOrElse(name, ""))
+      w.str(8, value)
+      w.str(10, mt.getOrElse(name, ""))
       w.toArray
     }
     val rc = new Writer
@@ -288,8 +298,10 @@ object CanalEntry {
               case (3, _) => name = cr.strVal()
               case (4, _) => isKey = cr.varint() != 0L
               case (6, _) => isNull = cr.varint() != 0L
-              case (7, _) => value = cr.strVal()
-              case (8, _) => mt = cr.strVal()
+              // field 7 (repeated Pair props) falls through to skip —
+              // a length-delimited submessage, framed past correctly
+              case (8, _) => value = cr.strVal()
+              case (10, _) => mt = cr.strVal()
               case (_, cw) => cr.skip(cw)
             }
           }

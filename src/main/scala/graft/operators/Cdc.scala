@@ -304,7 +304,11 @@ object Cdc {
     */
   private[graft] def entryFeedDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream/entry_feed_$sf"
+    // _v2: wire layout changed (Column value=8/mysqlType=10 per the
+    // public proto) — a stale fixture staged by an older JVM would
+    // mis-frame under the corrected decoder, so the dir name is
+    // versioned with the codec
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream/entry_feed_v2_$sf"
     if (!new java.io.File(s"$root/_SUCCESS").exists())
       entryFeed(s, dir).write.mode("overwrite").parquet(root)
     root
@@ -385,7 +389,8 @@ object Cdc {
     */
   private[graft] def entryFeedTxnDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream/entry_txn_feed_$sf"
+    // _v2: versioned with the Column wire layout, same as entryFeedDir
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream/entry_txn_feed_v2_$sf"
     if (!new java.io.File(s"$root/_SUCCESS").exists())
       entryFeedTxn(s, dir).write.mode("overwrite").parquet(root)
     root

@@ -474,11 +474,13 @@ object StreamOps {
     * written before the DDL survives; the new column appears on every
     * post-DDL version and reads as NULL on pre-DDL-only keys.
     *
-    * Scale notes: per-batch schema re-resolution is O(1) control-plane
-    * metadata (one limit(1) collect of the mysqlType map); the data path
-    * stays a narrow cast projection + append, and the merge-on-read
-    * window is the same single pk-clustered shuffle as every Replacing
-    * read.
+    * Scale notes: per-batch schema re-resolution is the union-of-
+    * declarations aggregate from [[Cdc.typeMapGeneric]] — an O(batch)
+    * map-side explode of mysqlType metadata folded to an O(distinct
+    * columns) collect (latest-es declaration wins per column; see the
+    * DDL-straddling-batch rationale there). The data path stays a
+    * narrow cast projection + append, and the merge-on-read window is
+    * the same single pk-clustered shuffle as every Replacing read.
     */
   private def streamDdlEvolve(s0: SparkSession, dir: String): DataFrame = {
     val s = stateSized(s0)

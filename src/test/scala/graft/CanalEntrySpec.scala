@@ -169,6 +169,46 @@ class CanalEntrySpec extends AnyFunSuite {
     assert(CanalEntry.decodeSafe(crafted2).isLeft)
   }
 
+  test("real-proto Column layout: props (field 7) skipped, value read from 8") {
+    // A canal-server blob populates Column.props (repeated Pair, field
+    // 7) with attribute pairs this pipeline never emits. Hand-assemble
+    // one such Column to prove the decoder frames past props and reads
+    // value/mysqlType from their true public-proto numbers (8/10) — the
+    // r5 codec had value=7 and would have decoded the Pair bytes as the
+    // value string here.
+    val pair = new CanalEntry.Writer
+    pair.str(1, "charset"); pair.str(2, "utf8mb4")
+    val colW = new CanalEntry.Writer
+    colW.int(1, 0L); colW.str(3, "k"); colW.bool(4, v = true)
+    colW.bytes(7, pair.toArray)  // props — must be skipped
+    colW.str(8, "77")            // value
+    colW.int(9, 20L)             // length — ignored
+    colW.str(10, "bigint(20)")   // mysqlType
+    val rd = new CanalEntry.Writer; rd.bytes(2, colW.toArray)
+    val rc = new CanalEntry.Writer
+    rc.int(2, 1L); rc.bytes(12, rd.toArray)
+    val h = new CanalEntry.Writer
+    h.int(6, 42L); h.str(8, "demo"); h.str(9, "orders")
+    val entry = new CanalEntry.Writer
+    entry.bytes(1, h.toArray); entry.int(2, 2L); entry.bytes(3, rc.toArray)
+    val env = CanalEntry.decode(entry.toArray)
+    assert(env.data == Seq(Map("k" -> "77")))
+    assert(env.mysqlType == Map("k" -> "bigint(20)"))
+    assert(env.pkNames == Seq("k"))
+    assert(env.typ == "INSERT" && env.database == "demo")
+  }
+
+  test("length varint in [2^32, 2^63) rejected before Int narrowing") {
+    // 2^32+5 has benign low 32 bits (.toInt = 5): an Int-narrowed check
+    // would pass n<0 and bounds (5 bytes of padding follow), silently
+    // mis-framing the parse. Must be IllegalArgumentException from the
+    // unsafe path, not an AIOOBE or a plausible-but-wrong envelope.
+    val crafted = Array[Byte](0x0a, 0x85.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x10, 1, 2, 3, 4, 5)
+    intercept[IllegalArgumentException](CanalEntry.decode(crafted))
+    assert(CanalEntry.decodeSafe(crafted).isLeft)
+  }
+
   test("fuzz: corrupted bytes never throw from decodeSafe") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
