@@ -4,12 +4,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-loop isolation mode: trailing args restrict the run to those
+    // keys (and repeat each `SPARK_GRAFT_BENCH_REPS` times) so a
+    // suspected regression can be timed in a fresh JVM without the
+    // other 280+ queries' GC/cache pressure. The driver passes no args
+    // → full suite, identical behavior to prior rounds.
+    val only = args.toSet
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // previous run's at-rest per-query map, read BEFORE overwrite: the
+    // standing regression guard diffs against it at the end of the run
+    val prev = readPrev("target/bench_queries.json")
     // one-time shared-fixture ETL (bucketed tables, staged stream feeds):
     // amortized setup at cluster scale, so it isn't part of any query's time
     try {
@@ -19,13 +29,18 @@ object Bench {
       graft.operators.Stats.ensureAnalyzed(spark, sfDir)
       graft.operators.MvOps.ensureMv(spark, sfDir) // MV staging, not query
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // contract (BASELINE.md): failed queries record -1, not elapsed time
-      val elapsed =
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // contract (BASELINE.md): failed queries record -1, not elapsed
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      name -> elapsed
+      }
+      if (reps > 1) println(s"""{"bench_reps":"$name","times":[${times.mkString(",")}]}""")
+      name -> times.head
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -34,17 +49,27 @@ object Bench {
     // capture keeps only ~64 of 260+ entries of the stdout line, so
     // round-over-round per-query diffs need the at-rest copy
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    try {
-      new java.io.File("target").mkdirs()
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_queries.json"), line)
-    } catch {
-      // warn, don't swallow silently: a stale file from a previous run
-      // would otherwise be diffed as if it were this run's data
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] bench_queries.json not written: $e")
+    if (only.isEmpty) {
+      try {
+        new java.io.File("target").mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/bench_queries.json"), line)
+      } catch {
+        // warn, don't swallow silently: a stale file from a previous run
+        // would otherwise be diffed as if it were this run's data
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] bench_queries.json not written: $e")
+      }
     }
     println(line)
+    // standing regression guard (VERDICT r5 task 8): every overlapping
+    // key >1.5x the previous run's time, floored at 0.2s so sub-JIT
+    // noise on trivial queries can't page anyone. One short JSON line —
+    // empty list is the expected, asserted-on-by-eyeball state.
+    val regs = regressions(prev, results)
+    println(s"""{"metric":"bench_regressions","threshold":1.5,"keys":${
+      regs.map { case (k, o, n) =>
+        s"""{"key":"$k","prev":$o,"now":$n}""" }.mkString("[", ",", "]")}}""")
     // compact line LAST: the driver's tail capture truncates long lines
     // from the front, so the parseable summary must be short and final
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"failed":$nFailed,"sf":"$sfDir"}""")
@@ -58,4 +83,36 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     (if (ok.nonEmpty) ok.sum else 0.0, ok.size, results.values.count(_ < 0))
   }
+
+  /** Overlapping keys whose time grew >1.5x vs the previous per-query
+    * map, previous time ≥ 0.2s (unit-tested). Sorted worst-first.
+    */
+  private[graft] def regressions(prev: Map[String, Double],
+      now: Map[String, Double]): Seq[(String, Double, Double)] =
+    now.toSeq.collect {
+      case (k, n) if n >= 0 && prev.get(k).exists(o => o >= 0.2 && n > 1.5 * o) =>
+        (k, prev(k), n)
+    }.sortBy { case (_, o, n) => -(n / o) }
+
+  /** Best-effort parse of the prior run's `{"queries":{k:v,...}}` line;
+    * a missing/garbled file just disables the guard for this run.
+    */
+  private[graft] def readPrev(path: String): Map[String, Double] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val qStart = s.indexOf("\"queries\":{")
+      if (qStart < 0) Map.empty
+      else {
+        val body = s.substring(qStart + 11, s.indexOf('}', qStart))
+        body.split(',').iterator.flatMap { kv =>
+          kv.split(':') match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 }

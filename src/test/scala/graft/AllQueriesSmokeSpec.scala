@@ -35,6 +35,28 @@ class AllQueriesSmokeSpec extends GraftSpec {
     assert(Bench.summarize(Map("x" -> -1.0)) == ((0.0, 0, 1)))
   }
 
+  test("bench regression guard: >1.5x over a >=0.2s prior, worst first") {
+    val prev = Map("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "d" -> 0.5)
+    val now = Map("a" -> 1.6, "b" -> 0.9, "c" -> 2.9, "d" -> -1.0,
+      "e" -> 9.9)
+    // b: prior under the 0.2s noise floor; c: under 1.5x; d: failed now
+    // (sentinel never compares); e: no prior → not a regression
+    assert(Bench.regressions(prev, now) == Seq(("a", 1.0, 1.6)))
+    assert(Bench.regressions(Map.empty, now).isEmpty)
+  }
+
+  test("bench prev-map parse: queries extracted, garbage disables guard") {
+    val dir = java.nio.file.Files.createTempDirectory("benchprev")
+    val good = dir.resolve("good.json")
+    java.nio.file.Files.writeString(good,
+      """{"metric":"total","value":3.0,"queries":{"q1":1.25,"q2":1.75},"sf":"x"}""")
+    assert(Bench.readPrev(good.toString) == Map("q1" -> 1.25, "q2" -> 1.75))
+    val bad = dir.resolve("bad.json")
+    java.nio.file.Files.writeString(bad, "not json at all")
+    assert(Bench.readPrev(bad.toString).isEmpty)
+    assert(Bench.readPrev(dir.resolve("absent.json").toString).isEmpty)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (key, fn) =>
     test(s"operator $key runs on sf0.001") {
       val n = fn(spark, sf).count()
