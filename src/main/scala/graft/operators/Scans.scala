@@ -405,6 +405,105 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** Core of ClickHouse `ALTER TABLE ... DELETE/UPDATE WHERE` (MergeTree
+    * mutations): rewrite ONLY the partitions whose partition value can
+    * admit the predicate, leave every other partition's files untouched
+    * on disk (byte-identical — asserted in PipelineOpsSpec). `admit`
+    * decides at the partition-DIRECTORY level (the analog of ClickHouse
+    * skipping parts whose min/max excludes the predicate — O(partitions)
+    * metadata, no data read for excluded parts); `rewrite` is the
+    * row-level mutation applied inside admitting partitions only. The
+    * rewrite stages to a sibling dir and swaps per-partition (the
+    * ttl_column discipline), so a reader never observes a half-mutated
+    * partition; a partition whose rows are all deleted is dropped.
+    *
+    * Scale notes: I/O is O(admitting partitions), not O(table) — the
+    * property that makes mutations affordable on a 100 TB table when
+    * the predicate carries the partition key. The admitting read lists
+    * only those directories (basePath keeps the partition column), so
+    * nothing outside them is even scanned.
+    */
+  private[graft] def mutatePartitions(s: SparkSession, root: String,
+      partCol: String, admit: String => Boolean,
+      rewrite: DataFrame => DataFrame): Set[String] = {
+    val touched = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol=")
+        && admit(f.getName.drop(partCol.length + 1)))
+    if (touched.isEmpty) return Set.empty
+    val staged = s"${root}_staged_${System.nanoTime()}"
+    rewrite(s.read.option("basePath", root)
+        .parquet(touched.map(_.getPath).toIndexedSeq: _*))
+      .write.partitionBy(partCol).parquet(staged)
+    touched.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+      val src = java.nio.file.Paths.get(s"$staged/${d.getName}")
+      // fully-deleted partition: no staged dir → the partition is dropped
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.move(src, d.toPath)
+    }
+    touched.map(_.getName).toSet
+  }
+
+  /** Stage events partitioned by day and return (root, cutoff): the
+    * shared fixture both mutation queries and their spec start from.
+    */
+  private[graft] def mutationStage(s: SparkSession, dir: String,
+      scratch: String): (String, java.time.LocalDate) = {
+    val root = s"$scratch/t"
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("day").parquet(root)
+    val maxDay = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
+    (root, maxDay.minusDays(7))
+  }
+
+  /** `ALTER TABLE events DELETE WHERE day >= cut AND event_type='click'`:
+    * the partition half of the predicate prunes to the last week's
+    * partitions; inside them the row filter drops the matching rows.
+    * Older partitions keep their exact bytes (no rewrite at all).
+    */
+  private def mutationDeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val (root, cut) = mutationStage(s, dir, graft.Scratch.dir("mutdel"))
+    mutatePartitions(s, root, "day",
+      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      _.filter(col("event_type") =!= "click"))
+    s.read.parquet(root)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  /** `ALTER TABLE events UPDATE value = value + 10 WHERE day >= cut AND
+    * event_type='purchase'` — same pruned staged-swap; non-matching rows
+    * inside admitting partitions are rewritten verbatim (a mutation
+    * rewrites whole parts, row identity preserved), everything older is
+    * byte-identical. The +10.0 delta is an exact IEEE op on both
+    * engines (the sink_atomic_swap precedent), so sums stay hashable.
+    */
+  private def mutationUpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val (root, cut) = mutationStage(s, dir, graft.Scratch.dir("mutupd"))
+    mutatePartitions(s, root, "day",
+      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      _.withColumn("value",
+        when(col("event_type") === "purchase", col("value") + 10.0)
+          .otherwise(col("value"))))
+    s.read.parquet(root)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
   /** Z-order clustered write (ClickHouse `ORDER BY (a, b)` generalized to
     * multi-dimensional locality / Delta OPTIMIZE ZORDER): interleave the
     * bits of two lookup keys into one Morton value, range-partition and
@@ -603,6 +702,23 @@ object Scans {
               SELECT day, COUNT(*) AS n_rows,
                 COUNT(CASE WHEN day >= cut THEN value END) AS n_live,
                 ${Det.oSum("CASE WHEN day >= cut THEN value ELSE 0 END")}
+                  AS sum_value
+              FROM e, m GROUP BY day ORDER BY day""")),
+    QueryDef("mutation_delete_where", mutationDeleteWhere,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_type, value FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e)
+              SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
+              FROM e, m WHERE NOT (day >= cut AND event_type = 'click')
+              GROUP BY day ORDER BY day""")),
+    QueryDef("mutation_update_where", mutationUpdateWhere,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_type, value FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e)
+              SELECT day, COUNT(*) AS n,
+                COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS n_purchase,
+                ${Det.oSum("CASE WHEN day >= cut AND event_type = 'purchase' THEN value + 10.0 ELSE value END")}
                   AS sum_value
               FROM e, m GROUP BY day ORDER BY day""")),
     QueryDef("sink_zorder", sinkZorder,

@@ -138,6 +138,46 @@ class PipelineOpsSpec extends GraftSpec {
     assert(out.sorted.sameElements(again.sorted), "draw must be deterministic")
   }
 
+  test("mutation: non-admitting partitions byte-identical; admitting rewritten") {
+    import graft.operators.Scans
+    val scratch = graft.Scratch.dir("muttest")
+    val (root, cut) = Scans.mutationStage(spark, sf, scratch)
+    def digests(): Map[String, Seq[(String, String)]] =
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("day=")).map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).toSeq.map { f =>
+              f.getName -> java.util.Base64.getEncoder.encodeToString(
+                java.security.MessageDigest.getInstance("SHA-256").digest(
+                  java.nio.file.Files.readAllBytes(f.toPath)))
+            }
+        }.toMap
+    val before = digests()
+    val admitted = Scans.mutatePartitions(spark, root, "day",
+      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      _.filter(col("event_type") =!= "click"))
+    assert(admitted.nonEmpty, "fixture must span the cutoff")
+    val after = digests()
+    val untouched = before.keySet -- admitted
+    assert(untouched.nonEmpty, "fixture must have pre-cutoff partitions")
+    // ClickHouse-mutation contract: parts the predicate cannot admit are
+    // not rewritten — their FILES (names and bytes) are identical
+    untouched.foreach { p =>
+      assert(after(p) == before(p), s"partition $p was rewritten")
+    }
+    admitted.foreach { p =>
+      assert(!after.get(p).contains(before(p)), s"partition $p not rewritten")
+    }
+    // row-level effect: no clicks remain past the cutoff, none lost before
+    val out = spark.read.parquet(root)
+    assert(out.filter(col("day") >= java.sql.Date.valueOf(cut)
+      && col("event_type") === "click").count() == 0)
+    val preClicks = out.filter(col("day") < java.sql.Date.valueOf(cut)
+      && col("event_type") === "click").count()
+    assert(preClicks > 0, "pre-cutoff clicks must survive the mutation")
+  }
+
   test("ttl_rollup: old tier collapses storage, logical counts survive") {
     import spark.implicits._
     val rows = SparkEntry.queries("ttl_rollup")(spark, sf)
