@@ -60,6 +60,54 @@ object MvOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Stage the two event layouts (idempotent per sfDir): the BASE copy
+    * range-clustered + sorted on day (serves time predicates via file
+    * min/max stats), the PROJECTION the same rows range-clustered +
+    * sorted on user_id (serves user lookups). Registration wires the
+    * [[ProjectionRouting]] rule so a filtered scan of the base path is
+    * transparently re-targeted. Returns the base path.
+    */
+  private[graft] def ensureProjection(s: SparkSession, dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val basePath = s"${sys.props("java.io.tmpdir")}/graft_mv/events_byday_$sf"
+    val altPath = s"${sys.props("java.io.tmpdir")}/graft_mv/events_byuser_$sf"
+    def ev = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        col("event_type"), col("value"), col("event_id"))
+    if (!new java.io.File(s"$basePath/_SUCCESS").exists())
+      ev.repartitionByRange(4, col("day")).sortWithinPartitions(col("day"))
+        .write.mode("overwrite").parquet(basePath)
+    if (!new java.io.File(s"$altPath/_SUCCESS").exists())
+      ev.repartitionByRange(4, col("user_id"))
+        .sortWithinPartitions(col("user_id"))
+        .write.mode("overwrite").parquet(altPath)
+    graft.plans.ProjectionRouting.register(graft.plans.ProjectionRouting
+      .ProjDef(basePath, "day", altPath, "user_id"))
+    graft.plans.ProjectionRouting.enable(s)
+    basePath
+  }
+
+  /** ClickHouse non-aggregate PROJECTION (`ADD PROJECTION (SELECT *
+    * ORDER BY user_id)`): two predicate shapes over the SAME base-table
+    * scan — a user point lookup (the rule must route it to the user-
+    * clustered projection; PlanShapeSpec asserts the scan path) and a
+    * trailing-week time range (stays on the day-clustered base). Both
+    * hash-match one DuckDB oracle over raw events, proving the two
+    * layouts hold identical rows — the projection-maintenance contract.
+    */
+  private def projectionRoute(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(ensureProjection(s, dir))
+    val byUser = base.filter(col("user_id") === 7L)
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(lit("by_user").as("probe"), col("n"), col("sum_value"))
+    val cut = base.agg(date_sub(max(col("day")), 7).as("cut"))
+    val byTime = base.join(broadcast(cut))
+      .filter(col("day") >= col("cut"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(lit("by_time").as("probe"), col("n"), col("sum_value"))
+    byTime.unionByName(byUser).orderBy(col("probe"))
+  }
+
   /** AggregatingMergeTree two-phase contract, made explicit: phase 1
     * computes PARTIAL aggregate states per (group, shard) and persists
     * them (the "parts" a merge-tree table accumulates); phase 2 reads the
@@ -234,6 +282,16 @@ object MvOps {
                ${Det.oSum("o_totalprice")} / COUNT(*) AS avg_price
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")),
+    QueryDef("projection_route", projectionRoute,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 user_id, value FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e)
+              SELECT 'by_time' AS probe, COUNT(*) AS n,
+                ${Det.oSum("value")} AS sum_value FROM e, m WHERE day >= cut
+              UNION ALL
+              SELECT 'by_user' AS probe, COUNT(*) AS n,
+                ${Det.oSum("value")} AS sum_value FROM e WHERE user_id = 7
+              ORDER BY probe""")),
     QueryDef("mv_route", mvRoute,
       Some(s"""SELECT l_returnflag, ${Det.oSum("l_quantity")} AS sum_qty,
                ${Det.oSum("l_extendedprice")} AS sum_price, COUNT(*) AS n

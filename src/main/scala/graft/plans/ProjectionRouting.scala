@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** ClickHouse non-aggregate PROJECTION routing: a second physical copy
+  * of the SAME rows, clustered/sorted on a different key, registered
+  * against the base table path — and an optimizer rule that rewrites a
+  * filtered scan to whichever layout the predicate matches, without the
+  * query text changing. This is the `ADD PROJECTION (SELECT * ORDER BY
+  * other_key)` mechanic: ClickHouse picks the projection part whose
+  * sort order serves the WHERE clause; here the scan path is swapped so
+  * parquet min/max file stats prune on the alternate key.
+  *
+  * Soundness: both layouts hold identical rows (the projection is
+  * maintained from the same write — asserted by the shared oracle), so
+  * routing any predicate is value-preserving; the rule routes only when
+  * the predicate references the alternate cluster key and NOT the
+  * base's own sort key (a predicate the base layout already serves
+  * stays put — no routing ping-pong).
+  *
+  * At 100 TB: a point/range lookup on the alternate key scans O(files
+  * admitted by min/max) instead of every file — the same reason the
+  * base layout serves time predicates. The projection doubles write
+  * amplification (each mutation maintains both layouts), which is the
+  * documented ClickHouse trade too; the rewrite itself is O(plan)
+  * driver work.
+  */
+object ProjectionRouting {
+
+  /** @param basePath base layout path (registered scan target)
+    * @param baseCol  the base layout's cluster key (predicates on it
+    *                 stay on the base layout)
+    * @param altPath  projection path: same rows clustered by altCol
+    * @param altCol   the projection's cluster key
+    */
+  case class ProjDef(basePath: String, baseCol: String,
+      altPath: String, altCol: String)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, ProjDef]()
+
+  private def norm(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  def register(d: ProjDef): Unit = { registry.put(norm(d.basePath), d); () }
+
+  def forPath(p: String): Option[ProjDef] = Option(registry.get(norm(p)))
+
+  def enable(s: SparkSession): Unit = {
+    val cur = s.experimental.extraOptimizations
+    if (!cur.contains(RouteFilterToProjection))
+      s.experimental.extraOptimizations = cur :+ RouteFilterToProjection
+  }
+}
+
+object RouteFilterToProjection extends Rule[LogicalPlan] {
+  import ProjectionRouting._
+
+  /** The registered base relation under a Filter, tolerating the
+    * column-pruning Project; anything else blocks routing.
+    */
+  private def baseRel(p: LogicalPlan): Option[(LogicalRelation, ProjDef)] = {
+    def of(l: LogicalRelation): Option[(LogicalRelation, ProjDef)] =
+      l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths
+          .flatMap(rp => forPath(rp.toString)).headOption.map(d => (l, d))
+        case _ => None
+      }
+    p match {
+      case l: LogicalRelation => of(l)
+      case Project(projList, l: LogicalRelation)
+          if projList.forall(_.isInstanceOf[AttributeReference]) => of(l)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      baseRel(child) match {
+        case Some((rel, d))
+            if cond.references.exists(_.name == d.altCol)
+              && !cond.references.exists(_.name == d.baseCol) =>
+          // fresh resolved projection scan; the original exprIds are
+          // re-established by aliasing each projection attribute back to
+          // the base attribute's id, so the Filter (and everything above
+          // it) resolves unchanged
+          val altPlan = SparkSession.active.read.parquet(d.altPath)
+            .queryExecution.analyzed
+          val altAttr = altPlan.output
+            .map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+          if (rel.output.forall(a => altAttr.get(a.name)
+              .exists(_.dataType == a.dataType))) {
+            val restore = Project(rel.output.map(a =>
+              Alias(altAttr(a.name), a.name)(exprId = a.exprId)), altPlan)
+            // re-apply the pruning Project if one sat under the Filter
+            val newChild = child match {
+              case Project(projList, _) => Project(projList, restore)
+              case _ => restore
+            }
+            Filter(cond, newChild)
+          } else f
+        case _ => f
+      }
+  }
+}

@@ -238,6 +238,36 @@ class PlanShapeSpec extends GraftSpec {
     assert(joins == 1, s"dictionary must not plan a join of its own:\n${p.take(800)}")
   }
 
+  test("projection_route: each predicate shape reads its matching layout") {
+    SparkEntry.queries("projection_route")(spark, sf) // stages + registers
+    val basePath = graft.operators.MvOps.ensureProjection(spark, sf)
+    val base = spark.read.parquet(basePath)
+    // user point lookup → must scan the user-clustered projection copy
+    val byUser = base.filter(col("user_id") === 7L)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(byUser.contains("events_byuser"),
+      s"user probe not routed to the projection:\n${byUser.take(800)}")
+    assert(!byUser.contains("events_byday"),
+      "routed user probe must not scan the base layout")
+    // time predicate → stays on the day-clustered base layout
+    val byDay = base.filter(col("day") >= java.sql.Date.valueOf("2020-01-01"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(byDay.contains("events_byday") && !byDay.contains("events_byuser"),
+      s"time probe must stay on the base layout:\n${byDay.take(800)}")
+    // a predicate touching BOTH keys stays put (no routing ping-pong)
+    val both = base.filter(col("user_id") === 7L
+        && col("day") >= java.sql.Date.valueOf("2020-01-01"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(both.contains("events_byday") && !both.contains("events_byuser"),
+      "mixed predicate must stay on the base layout")
+  }
+
   test("mv_route reads the materialized view, not the fact table") {
     val p = plan("mv_route")
     assert(p.contains("graft_mv"), s"aggregate not routed to the MV:\n${p.take(800)}")
