@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A replayable PARTITIONED LOG with explicit offset semantics, file-
+  * backed — the deployment shape of the Canal→Kafka→consumer topology
+  * with the broker modeled on shared storage (no Kafka jar exists in
+  * this environment, a documented constraint; the SEMANTICS are the
+  * point: per-partition append sequencing, consumer-group committed
+  * offsets, resume-from-offset, at-least-once replay).
+  *
+  * Layout:
+  * {{{
+  *   root/seg=<epoch>/p=<k>/ (json)  records {offset, value}; offsets are
+  *                                   assigned AT APPEND TIME, contiguous
+  *                                   per partition across epochs
+  *   root/_ENDS                      append history: "epoch p start end"
+  *                                   per (epoch, partition) — the segment
+  *                                   index that prunes reads
+  *   root/_COMMIT_<group>            consumer group's committed offsets:
+  *                                   "p offset" lines, atomic manifest
+  * }}}
+  *
+  * Scale notes: appending assigns offsets with ONE window shuffle over
+  * the new records only, partitioned by p — exactly Kafka's
+  * per-partition sequencer, never a global sort and never O(log). Reads
+  * prune whole segment dirs via the _ENDS index (O(epochs × parts)
+  * metadata) before any data is opened, then keep only offsets ≥ the
+  * consumer's position with a broadcast of the O(parts) offset map.
+  * Commits are O(parts) manifest writes through the fsync + atomic-
+  * rename discipline shared with the table publish paths.
+  */
+object OffsetLog {
+
+  private def endsFile(root: String) = s"$root/_ENDS"
+  private def commitFile(root: String, group: String) = s"$root/_COMMIT_$group"
+
+  /** (epoch, p, start, end) append history — Nil before the first append. */
+  private def endsHistory(root: String): Seq[(Long, Int, Long, Long)] = {
+    val f = new java.io.File(endsFile(root))
+    if (!f.exists()) Nil
+    else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).map { l =>
+      val Array(e, p, a, b) = l.split(' ')
+      (e.toLong, p.toInt, a.toLong, b.toLong)
+    }.toSeq
+  }
+
+  /** Next offset to be assigned per partition (0 before any append). */
+  def endOffsets(root: String): Map[Int, Long] =
+    endsHistory(root).groupBy(_._2).map { case (p, hs) => p -> hs.map(_._4).max }
+
+  /** Log end as it stood after `epoch` — what a consumer polling at that
+    * point in time would have seen as the high-water mark.
+    */
+  def endOffsetsAt(root: String, epoch: Long): Map[Int, Long] =
+    endsHistory(root).filter(_._1 <= epoch).groupBy(_._2)
+      .map { case (p, hs) => p -> hs.map(_._4).max }
+
+  /** Append one epoch of records. `records` must carry `p` (partition
+    * id) and `value` (payload string); `seq` orders records WITHIN a
+    * partition deterministically (the producer's send order). Offsets
+    * continue from the previous epoch's end per partition.
+    */
+  def append(root: String, epoch: Long, records: DataFrame,
+      seq: org.apache.spark.sql.Column): Unit = {
+    val s = records.sparkSession
+    import s.implicits._
+    val ends = endOffsets(root)
+    val base = ends.toSeq.toDF("p", "base")
+    val w = Window.partitionBy(col("p")).orderBy(seq)
+    records
+      .join(broadcast(base), Seq("p"), "left")
+      .withColumn("offset",
+        coalesce(col("base"), lit(0L)) + row_number().over(w) - 1)
+      .select(col("p"), col("offset"), col("value"))
+      .write.partitionBy("p").mode("append").json(s"$root/seg=$epoch")
+    // O(parts) metadata: the new per-partition [start, end) ranges
+    val ranges = s.read.json(s"$root/seg=$epoch")
+      .groupBy(col("p").cast("int").as("p"))
+      .agg(min(col("offset")).as("a"), (max(col("offset")) + 1).as("b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val lines = endsHistory(root).map { case (e, p, a, b) => s"$e $p $a $b" } ++
+      ranges.map { case (p, a, b) => s"$epoch $p $a $b" }
+    atomicWrite(endsFile(root), lines.mkString("\n"))
+  }
+
+  /** Records with offset ≥ the group's position, segment-pruned via the
+    * _ENDS index: an epoch dir is opened only if SOME partition's range
+    * extends past the consumer's committed offset for it.
+    */
+  def read(s: SparkSession, root: String, from: Map[Int, Long],
+      until: Map[Int, Long] = Map.empty): DataFrame = {
+    import s.implicits._
+    val hist = endsHistory(root)
+    val epochs = hist.filter { case (_, p, a, b) =>
+      b > from.getOrElse(p, 0L) && a < until.getOrElse(p, Long.MaxValue)
+    }.map(_._1).distinct.sorted
+    if (epochs.isEmpty)
+      return s.emptyDataFrame
+        .select(lit(0).as("p"), lit(0L).as("offset"), lit("").as("value"))
+        .limit(0)
+    val parts = hist.map(_._2).distinct
+    val boundsDf = parts.map(p => (p, from.getOrElse(p, 0L),
+      until.getOrElse(p, Long.MaxValue))).toDF("p", "from", "until")
+    s.read.json(epochs.map(e => s"$root/seg=$e"): _*)
+      .withColumn("p", col("p").cast("int"))
+      .join(broadcast(boundsDf), Seq("p"))
+      .filter(col("offset") >= col("from") && col("offset") < col("until"))
+      .select(col("p"), col("offset"), col("value"))
+  }
+
+  /** The group's committed offsets (0 per partition before any commit). */
+  def committed(root: String, group: String): Map[Int, Long] = {
+    val f = new java.io.File(commitFile(root, group))
+    if (!f.exists()) Map.empty
+    else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).map { l =>
+      val Array(p, o) = l.split(' '); p.toInt -> o.toLong
+    }.toMap
+  }
+
+  /** Commit the group's position — fsync'd bytes, atomic rename, fsync'd
+    * dirent: the same torn-manifest discipline as the table publishes.
+    * Committing AFTER the downstream merge gives at-least-once delivery;
+    * the merge must be (and is) idempotent per consumed range.
+    */
+  def commit(root: String, group: String, offsets: Map[Int, Long]): Unit =
+    atomicWrite(commitFile(root, group),
+      offsets.toSeq.sorted.map { case (p, o) => s"$p $o" }.mkString("\n"))
+
+  private def atomicWrite(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(s"$path.tmp")
+    graft.Scratch.writeDurable(tmp, content)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.Scratch.fsyncDir(p.getParent)
+  }
+}

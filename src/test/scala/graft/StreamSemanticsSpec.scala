@@ -203,6 +203,74 @@ class StreamSemanticsSpec extends GraftSpec {
     assert(a.nonEmpty)
   }
 
+  test("offset log: contiguous offsets, resume-from-commit, crash replay converges") {
+    import graft.streaming.{OffsetLog, StreamOps}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_offlog_test").toString
+    val root = s"$base/log"
+    def recs(rows: Seq[(Long, Double, Long, String)]) =
+      rows.toDF("o_orderkey", "o_totalprice", "es", "type")
+        .withColumn("ts", col("es"))
+        .withColumn("p", pmod(col("o_orderkey"), lit(2L)).cast("int"))
+        .withColumn("value", to_json(struct(col("o_orderkey"),
+          col("o_totalprice"), col("es"), col("ts"), col("type"))))
+        .select("p", "value", "es", "o_orderkey")
+    val sch = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType), StructField("es", LongType),
+      StructField("ts", LongType), StructField("type", StringType)))
+    def toTyped(df: org.apache.spark.sql.DataFrame) =
+      df.select(from_json(col("value"), sch).as("m")).select("m.*")
+    val snapshot = (0L until 10L).map(k => (k, 100.0 + k, 10L, "INSERT"))
+    val tail = Seq((1L, 999.0, 20L, "UPDATE"), (4L, 0.0, 20L, "DELETE"),
+      (10L, 500.0, 21L, "INSERT"))
+    OffsetLog.append(root, 0L, recs(snapshot),
+      struct(col("es"), col("o_orderkey")))
+    OffsetLog.append(root, 1L, recs(tail),
+      struct(col("es"), col("o_orderkey")))
+    // offsets are contiguous per partition ACROSS epochs: 5 even + 5 odd
+    // snapshot keys, then the tail continues 5,6 / 5
+    assert(OffsetLog.endOffsetsAt(root, 0L) == Map(0 -> 5L, 1 -> 5L))
+    assert(OffsetLog.endOffsets(root) == Map(0 -> 7L, 1 -> 6L))
+    val g = "grp"
+    val stateA = s"$base/state_a"; val stateB = s"$base/state_b"
+    // session 1 merges the snapshot range, then CRASHES before commit —
+    // the worst-case kill point of commit-after-merge
+    val hwm0 = OffsetLog.endOffsetsAt(root, 0L)
+    StreamOps.mergeCdcTyped(
+      toTyped(OffsetLog.read(spark, root, OffsetLog.committed(root, g), hwm0)),
+      0L, stateA)
+    assert(OffsetLog.committed(root, g).isEmpty, "crash lost no commit")
+    // restart re-reads position 0 and REPLAYS the same range — the merge
+    // (overwrite v=batchId) must be idempotent
+    StreamOps.mergeCdcTyped(
+      toTyped(OffsetLog.read(spark, root, OffsetLog.committed(root, g), hwm0)),
+      0L, stateA)
+    OffsetLog.commit(root, g, hwm0)
+    // resume consumes ONLY the tail, from the committed offsets
+    val resumed = OffsetLog.read(spark, root, OffsetLog.committed(root, g))
+    assert(resumed.count() == tail.size)
+    assert(resumed.agg(min(col("offset"))).head.getLong(0) == 5L)
+    StreamOps.mergeCdcTyped(toTyped(resumed), 1L, stateA)
+    OffsetLog.commit(root, g, OffsetLog.endOffsets(root))
+    assert(OffsetLog.committed(root, g) == Map(0 -> 7L, 1 -> 6L))
+    // uninterrupted control run over the same two ranges
+    StreamOps.mergeCdcTyped(
+      toTyped(OffsetLog.read(spark, root, Map.empty, hwm0)), 0L, stateB)
+    StreamOps.mergeCdcTyped(
+      toTyped(OffsetLog.read(spark, root, hwm0)), 1L, stateB)
+    def snap(st: String) = StreamOps.readCdcState(spark, st)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(snap(stateA) == snap(stateB),
+      "crashed+replayed consumer must converge to the uninterrupted state")
+    // end-state semantics: update applied, delete tombstoned, insert added
+    val live = StreamOps.readCdcState(spark, stateA)
+      .filter(col("type") =!= "DELETE")
+      .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect().toMap
+    assert(live(1L) == 999.0 && !live.contains(4L) && live(10L) == 500.0)
+  }
+
   test("session windows split on gaps > 30 minutes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
