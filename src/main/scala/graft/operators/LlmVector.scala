@@ -275,6 +275,137 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Iterated Lloyd's to CONVERGENCE (the r5 verdict gap: sim_ivf_knn's
+    * coarse quantizer was a one-step codebook; real IVF trains its
+    * centroids). Driver loop over distributed rounds — the dedup_cluster
+    * discipline: per round ONE broadcast of the O(k × dim) codebook, one
+    * assign + per-dim mean aggregation, centroids collected back as
+    * O(k × dim) control-plane metadata (512 doubles here), never data.
+    * Deterministic throughout: seed centroids are the first k vectors,
+    * per-dim means are decimal (order-independent), distances are plain
+    * IEEE doubles, ties break on list id — so the trained codebook is a
+    * pure function of the corpus. SSE (decimal-summed) is monotone
+    * non-increasing across rounds (Lloyd's invariant, property-tested);
+    * training stops when it stalls (< 1e-9 improvement) or at maxRounds.
+    *
+    * Scale notes: each round is one broadcast-join pass over the corpus
+    * + one (k × dim)-group aggregate; rounds are bounded; nothing
+    * driver-side is O(rows). Empty lists keep their previous centroid.
+    */
+  private[graft] def kmeansTrain(s: SparkSession, dir: String, k: Int,
+      maxRounds: Int): (Seq[Seq[Double]], Seq[Double]) = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: IndexedSeq[Seq[Double]] = e.filter(col("vec_id") < k)
+      .orderBy(col("vec_id")).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq: Seq[Double]).toIndexedSeq
+    val sses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val cdf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cid", "cvec")
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cdf))
+        .withColumn("d2", aggregate(
+          zip_with(col("v"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sse = assigned.agg(Det.dsum(col("d2"))).head.getDouble(0)
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(Det.davg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      assigned.unpersist()
+      val byCid = means.groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCid.get(i) match {
+          case Some(rows) => rows.sortBy(_._2).map(_._3).toIndexedSeq
+          case None => old // empty list keeps its centroid
+        }
+      }
+      done = sses.lastOption.exists(prev => prev - sse < 1e-9)
+      sses += sse
+      round += 1
+    }
+    e.unpersist()
+    (cents, sses.toSeq)
+  }
+
+  /** Trained codebooks cached per (session, sfDir) — training is shared
+    * fixture work, same discipline as the parsed-envelope cache.
+    */
+  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[Seq[Double]], Seq[Double])]()
+  private[graft] def kmeansTrained(s: SparkSession,
+      dir: String): (Seq[Seq[Double]], Seq[Double]) =
+    kmeansCache.computeIfAbsent((s, dir), _ => kmeansTrain(s, dir, 8, 15))
+
+  /** The training curve itself: per-round SSE. Deterministic but not
+    * SQL-expressible (iterated fixpoint) → rows-only; VectorTextSpec
+    * asserts the Lloyd's monotone-SSE invariant and convergence.
+    */
+  private def vecKmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, sses) = kmeansTrained(s, dir)
+    sses.zipWithIndex
+      .map { case (sse, i) => (i.toLong, BigDecimal(sse)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("round", "sse")
+      .orderBy(col("round"))
+  }
+
+  /** IVF with the TRAINED coarse quantizer (vs sim_ivf_knn's exact
+    * label-centroid routing): corpus assigned once to the k=8 trained
+    * lists, each probe routed to its nprobe=2 nearest lists, L2 top-3
+    * within the routed lists only. Deterministic (trained codebook is a
+    * pure function of the corpus) but iterative → rows-only;
+    * VectorTextSpec asserts recall vs exact top-3 IMPROVES over routing
+    * with the untrained seed codebook — the point of training.
+    *
+    * Scale notes: same shape as sim_ivf_knn — codebook broadcast, corpus
+    * stays partitioned by list id, probes touch nprobe/nlist of it.
+    */
+  private def simIvfTrainedKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, _) = kmeansTrained(s, dir)
+    val cdf = broadcast(cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "cvec"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("v"))
+    def d2(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid"))
+    val lists = e.crossJoin(cdf)
+      .withColumn("d2", d2(col("v"), col("cvec")))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("cid").as("list_id"),
+        col("v").as("cv"))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val wSel = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2").asc, col("cid"))
+    val routed = probes.crossJoin(cdf)
+      .withColumn("d2", d2(col("pv"), col("cvec")))
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
+      .select(col("probe_id"), col("pv"), col("cid").as("list_id"))
+    val wKnn = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist").asc, col("cand_id"))
+    routed.join(lists, "list_id")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("dist", round(d2(col("pv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(wKnn)).filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("list_id"),
+        col("dist"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** Symmetric int8 quantization of the embedding column (the ANN memory
     * play: 4× smaller vectors, SIMD-able codes): per-vector scale =
     * max|x|/127, code = floor(x/scale + 0.5) ∈ [-127, 127], plus the
@@ -1244,5 +1375,7 @@ object LlmVector {
     QueryDef("dedup_minhash", dedupMinhash, None),
     QueryDef("dedup_minhash_native", dedupMinhashNative, None),
     QueryDef("sim_lsh_knn", simLshKnn, None),
+    QueryDef("vec_kmeans_train", vecKmeansTrain, None),
+    QueryDef("sim_ivf_trained_knn", simIvfTrainedKnn, None),
   )
 }

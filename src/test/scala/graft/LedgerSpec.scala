@@ -28,12 +28,15 @@ class LedgerSpec extends AnyFunSuite {
     "pack_bestfit",         // BFD fold not SQL-expressible — invariant tests
     "stream_quantile_mv",   // sketch-state MV — SketchSpec rank bounds
     "scan_sample",          // TABLESAMPLE is engine-seeded
+    "sim_ivf_trained_knn",  // iterated-k-means codebook — recall-improves test
     "sim_lsh_knn",          // seeded LSH buckets — recall test
     "src_rate",             // wall-clock rate source
     "text_compress_ratio",  // deflate impl differs per engine — golden test
     "ts_holt",              // iterated double fold drifts in last ulp
     "udaf_cm_sketch",       // CountMin estimate — SketchSpec
     "udaf_sketch_topk",     // SpaceSaving estimate — SketchSpec
+    "vec_kmeans_train",     // iterated fixpoint not SQL-expressible —
+                            // monotone-SSE property test
   )
 
   private val ledgerRe =

@@ -261,6 +261,70 @@ class VectorTextSpec extends GraftSpec {
       s"cut does not discriminate: $flagged/${rows.length}")
   }
 
+  test("kmeans training: SSE monotone non-increasing, converges, beats seed") {
+    import graft.operators.LlmVector
+    val (_, sses) = LlmVector.kmeansTrained(spark, sf)
+    assert(sses.size >= 2, "training must run more than one round")
+    sses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"Lloyd's SSE increased: $a -> $b")
+    }
+    assert(sses.last < sses.head, "training must actually reduce SSE")
+  }
+
+  test("trained IVF recall vs exact improves over the untrained seed codebook") {
+    import graft.operators.LlmVector
+    import graft.Tables
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val corpus = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = corpus.keys.filter(_ % 100 == 0).toSeq.sorted
+    def exactTop3(p: Long): Set[Long] =
+      corpus.toSeq.filter(_._1 != p)
+        .sortBy { case (id, v) => (d2(corpus(p), v), id) }
+        .take(3).map(_._1).toSet
+    def ivfTop3(cents: Seq[Seq[Double]], p: Long): Set[Long] = {
+      val ca = cents.map(_.toArray)
+      def listOf(v: Array[Double]): Int =
+        ca.zipWithIndex.minBy { case (c, i) => (d2(v, c), i) }._2
+      val assign = corpus.map { case (id, v) => id -> listOf(v) }
+      val routed = ca.zipWithIndex
+        .sortBy { case (c, i) => (d2(corpus(p), c), i) }
+        .take(2).map(_._2).toSet
+      corpus.toSeq
+        .filter { case (id, _) => id != p && routed(assign(id)) }
+        .sortBy { case (id, v) => (d2(corpus(p), v), id) }
+        .take(3).map(_._1).toSet
+    }
+    val (trained, _) = LlmVector.kmeansTrained(spark, sf)
+    val seed = e.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq: Seq[Double]).toIndexedSeq
+    def recall(cents: Seq[Seq[Double]]): Double = {
+      val hits = probes.map(p => (ivfTop3(cents, p) & exactTop3(p)).size).sum
+      hits.toDouble / (3 * probes.size)
+    }
+    val rTrained = recall(trained)
+    val rSeed = recall(seed)
+    assert(rTrained >= rSeed,
+      s"training must not hurt recall: trained=$rTrained seed=$rSeed")
+    assert(rTrained >= 0.5, s"trained IVF recall too low: $rTrained")
+    // and the operator's own output agrees with this reimplementation
+    val op = SparkEntry.queries("sim_ivf_trained_knn")(spark, sf)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    probes.foreach { p =>
+      assert(op.getOrElse(p, Set.empty) == ivfTop3(trained, p),
+        s"operator/reimplementation disagree for probe $p")
+    }
+  }
+
   test("decontamination never flags eval docs and only reports real hits") {
     import spark.implicits._
     val rows = SparkEntry.queries("decontam_ngram")(spark, sf)
