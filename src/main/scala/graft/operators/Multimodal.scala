@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns (driver mandate): image/audio/video handled as
-  * opaque `binary` columns with typed metadata. Raw formats are decoded
-  * FOR REAL — [[ppmDecode]] is a genuine PPM "P6" image parser fed by an
-  * actual encoder, oracle-verified end to end. Only codec-REQUIRED
-  * formats (JPEG/MP3/H.264 — no codec libs ship in this container) stay
-  * behind [[fakeDecode]], a deterministic byte-level stand-in with the
-  * same shape a real codec call would have; the Spark-side plumbing
+  * opaque `binary` columns with typed metadata. Image formats are
+  * decoded FOR REAL: [[ppmDecode]] is a genuine PPM "P6" parser fed by
+  * an actual encoder, and [[mmDecodePng]] runs a true COMPRESSED-format
+  * codec — `javax.imageio`'s PNG encoder/decoder from the JDK 17 base
+  * image (zlib + CRC, zero added dependencies), oracle-verified end to
+  * end. Only formats whose codecs don't ship in the JDK (MP3/H.264)
+  * stay behind [[fakeDecode]], a deterministic byte-level stand-in with
+  * the same shape a real codec call would have; the Spark-side plumbing
   * (binary schema, metadata struct, per-partition batched processing,
   * feature schema) is real and tested either way.
   *
@@ -158,6 +160,76 @@ object Multimodal {
       .orderBy(col("vec_id"))
   }
 
+  /** REAL PNG codec path — no stub: JDK 17 ships `javax.imageio` with
+    * PNG/JPEG/BMP codecs in the base image (zero new dependencies), so
+    * this modality runs an ACTUAL compressed-format encode → decode.
+    * Each embedding is quantized to an 8×8 grayscale image, written as a
+    * genuine PNG blob (zlib-compressed, CRC-checked — `ImageIO.write`),
+    * then decoded back by `ImageIO.read` and feature-extracted from the
+    * decoded raster. PNG grayscale is lossless, so the decoded samples
+    * equal the quantized sources — which is what lets the oracle restate
+    * the decode output relationally without a codec.
+    */
+  private[graft] def pngEncode(q: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var i = 0
+    while (i < 64) { r.setSample(i % 8, i / 8, 0, q(i)); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (width, height, row-major samples) off the DECODED raster. */
+  private[graft] def pngDecode(blob: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(blob))
+    val w = img.getWidth; val h = img.getHeight
+    val r = img.getRaster
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) { px(i) = r.getSample(i % w, i / w, 0); i += 1 }
+    (w, h, px)
+  }
+
+  private val pngSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_pixel", DoubleType),
+    StructField("wsum", LongType),
+    StructField("p00", IntegerType)))
+
+  /** Scale notes: same mapPartitions batch discipline as the other
+    * decode paths — `ImageIO` file-cache off, codec init amortized per
+    * partition, blobs never shuffled (features extracted where the blob
+    * lives), all relational work on the typed outputs.
+    */
+  private def mmDecodePng(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(pngSchema)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no disk cache per codec call
+        rows.map { r =>
+          val q = r.getAs[scala.collection.Seq[Float]]("embedding")
+            .map(x => math.max(0.0,
+              math.min(255.0, math.floor((x.toDouble + 1.0) * 127.5))).toInt)
+            .toSeq
+          val blob = pngEncode(q) // a genuine PNG: 89 50 4E 47 ...
+          val (w, h, px) = pngDecode(blob)
+          var sum = 0L; var wsum = 0L; var i = 0
+          while (i < px.length) { sum += px(i); wsum += px(i).toLong * (i + 1); i += 1 }
+          Row(r.getAs[Long]("vec_id"), w, h, sum.toDouble / px.length, wsum,
+            px(0))
+        }
+      }(enc)
+      .withColumn("mean_pixel", round(col("mean_pixel"), 6))
+      .orderBy(col("vec_id"))
+  }
+
   /** Audio chunking: an opaque "audio" blob (text bytes standing in for
     * PCM — 50 ms per byte) is segmented into fixed 1 s windows, each
     * segment carrying its time span AND its byte slice offsets computed
@@ -254,6 +326,21 @@ object Multimodal {
                 n_bytes * LEAST(start_ms + 1000, dur_ms) // dur_ms
                   - n_bytes * start_ms // dur_ms AS byte_len
               FROM seg ORDER BY doc_id, seg_idx""")),
+    // lossless gray PNG: decoded samples == quantized sources, so the
+    // codec output is relationally expressible (weights 1..64 for the
+    // row-major checksum; integer sums exact in double)
+    QueryDef("mm_decode_png", mmDecodePng,
+      Some("""WITH q AS (SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> GREATEST(0.0, LEAST(255.0, FLOOR((x + 1.0) * 127.5))))
+                  AS px
+               FROM embeddings)
+              SELECT vec_id, 8 AS width, 8 AS height,
+                round(list_aggregate(px, 'sum') / 64.0, 6) AS mean_pixel,
+                CAST(list_dot_product(px, list_transform(range(1, 65),
+                  r -> CAST(r AS DOUBLE))) AS BIGINT) AS wsum,
+                CAST(px[1] AS INTEGER) AS p00
+              FROM q ORDER BY vec_id""")),
     QueryDef("mm_image_roundtrip", mmImageRoundtrip,
       Some("""WITH q AS (SELECT vec_id,
                 list_transform(CAST(embedding AS DOUBLE[]),

@@ -138,6 +138,19 @@ class PipelineOpsSpec extends GraftSpec {
     assert(out.sorted.sameElements(again.sorted), "draw must be deterministic")
   }
 
+  test("png codec: genuine PNG magic, lossless gray roundtrip via ImageIO") {
+    import graft.operators.Multimodal
+    val q = (0 until 64).map(i => (i * 4) % 256)
+    val blob = Multimodal.pngEncode(q)
+    // PNG signature: 89 50 4E 47 0D 0A 1A 0A — a real compressed format,
+    // not a fake byte bag
+    assert((blob(0) & 0xff) == 0x89 && blob(1) == 'P' && blob(2) == 'N'
+      && blob(3) == 'G', blob.take(8).map(b => f"${b & 0xff}%02x").mkString(" "))
+    val (w, h, px) = Multimodal.pngDecode(blob)
+    assert(w == 8 && h == 8)
+    assert(px.toSeq == q, "gray PNG roundtrip must be lossless")
+  }
+
   test("mutation: non-admitting partitions byte-identical; admitting rewritten") {
     import graft.operators.Scans
     val scratch = graft.Scratch.dir("muttest")
