@@ -259,6 +259,19 @@ object StreamOps {
   /** Merge one typed change batch into the bucketed state (unit-tested
     * directly in StreamSemanticsSpec for the incremental + replay
     * properties). `typed` columns: o_orderkey, o_totalprice, es, ts, type.
+    *
+    * REWRITE-AMPLIFICATION BOUND (the LSM-style merge cost, stated
+    * explicitly): each micro-batch rewrites the FULL contents of every
+    * touched bucket — O(|state| / buckets) rows per touched bucket per
+    * batch, so a batch touching t buckets writes O(t · |state|/buckets)
+    * + O(batch) rows regardless of how small the batch is. Untouched
+    * buckets are never rewritten (asserted in StateMaintenanceSpec), and
+    * the bucket count is the operational knob: size it so |state|/buckets
+    * matches the tolerable per-batch write (at 100 TB state, thousands
+    * of buckets — the merge is per-bucket parallel). Version GC keeps
+    * disk metadata O(buckets): ≤ cdcStateBuckets + 2 version dirs in
+    * steady state regardless of batch history (loop-asserted in
+    * StateMaintenanceSpec).
     */
   private[graft] def mergeCdcTyped(typed: DataFrame, batchId: Long,
       state: String): Unit = {

@@ -96,6 +96,38 @@ class StateMaintenanceSpec extends GraftSpec {
     assert(m2 == m, "replay after GC must be a no-op")
   }
 
+  test("version GC steady state: disk metadata stays O(buckets) over a long run") {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_cdc_gc_loop_test").toString
+    def nVersions(): Int =
+      Option(new java.io.File(state).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.isDirectory && f.getName.startsWith("v="))
+    // seed every bucket, then 10 single-bucket batches: the version
+    // count must stay bounded by buckets + replay margin, never O(history)
+    StreamOps.mergeCdcTyped(
+      typed((0L until 8L).map(k => (k, 100.0 + k, 10L, 10L, "INSERT"))),
+      0L, state)
+    (1L to 10L).foreach { b =>
+      StreamOps.mergeCdcTyped(
+        typed(Seq((b % 8, 500.0 + b, 10L + b, 10L + b, "UPDATE"))), b, state)
+      assert(nVersions() <= StreamOps.cdcStateBuckets + 2,
+        s"batch $b left $nVersions() version dirs — metadata grows with history")
+    }
+    // after a final all-bucket rewrite + one more batch, only the
+    // steady-state pair remains
+    StreamOps.mergeCdcTyped(
+      typed((0L until 8L).map(k => (k, 900.0 + k, 99L, 99L, "UPDATE"))),
+      11L, state)
+    StreamOps.mergeCdcTyped(
+      typed(Seq((0L, 1000.0, 100L, 100L, "UPDATE"))), 12L, state)
+    assert(nVersions() <= 2, s"steady state after full rewrite: $nVersions()")
+    val m = StreamOps.readCdcState(spark, state)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(0L) == 1000.0 && m(7L) == 907.0 && m.size == 8)
+  }
+
   test("summing-state MV folds deltas across batches; replay + GC safe") {
     import spark.implicits._
     val state = java.nio.file.Files
