@@ -305,32 +305,46 @@ object LlmVector {
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val cdf = cents.zipWithIndex.map { case (c, i) => (i, c) }
-        .toDF("cid", "cvec")
-      val wA = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2").asc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cdf))
-        .withColumn("d2", aggregate(
-          zip_with(col("v"), col("cvec"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sse = assigned.agg(Det.dsum(col("d2"))).head.getDouble(0)
-      val means = assigned
+      // ONE job, ONE shuffle per round: the k-way argmin is a MAP-SIDE
+      // expression over the literal codebook (array_min on
+      // struct(d2, cid) — lexicographic struct order is the tie-break),
+      // so no crossJoin row blow-up and no per-vector window shuffle;
+      // the only shuffle is the (list, dim) moment aggregation. New
+      // centroids are the decimal means; SSE w.r.t. the centroids the
+      // round ASSIGNED AGAINST (the Lloyd's objective) falls out of the
+      // same moments driver-side: Σ‖x−c‖² = Σx² − 2c·Σx + n·c² per dim.
+      val candidates = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(aggregate(
+          zip_with(col("v"), typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"), lit(i).as("cid"))
+      }: _*)
+      val moments = e
+        .withColumn("cid", array_min(candidates).getField("cid"))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(Det.davg(col("x")).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      assigned.unpersist()
-      val byCid = means.groupBy(_._1)
+        .agg(count(lit(1)).as("n"), Det.dsum(col("x")).as("sx"),
+          Det.dsum(col("x") * col("x")).as("sxx"),
+          Det.davg(col("x")).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .sortBy(t => (t._1, t._2)) // fixed fold order → deterministic SSE
+      var sse = 0.0
+      moments.foreach { case (cid, pos, (n, sx, sxx, _)) =>
+        val c = cents(cid)(pos)
+        sse += sxx - 2.0 * c * sx + n * c * c
+      }
+      val byCid = moments.groupBy(_._1)
       cents = cents.zipWithIndex.map { case (old, i) =>
         byCid.get(i) match {
-          case Some(rows) => rows.sortBy(_._2).map(_._3).toIndexedSeq
+          case Some(rows) => rows.sortBy(_._2).map(_._3._4).toIndexedSeq
           case None => old // empty list keeps its centroid
         }
       }
-      done = sses.lastOption.exists(prev => prev - sse < 1e-9)
+      // relative tolerance (the MLlib convention): a round that improves
+      // the objective by <0.01% is converged — absolute thresholds never
+      // fire on large corpora where SSE is huge
+      done = sses.lastOption.exists(prev => prev - sse < 1e-4 * prev)
       sses += sse
       round += 1
     }

@@ -104,7 +104,13 @@ object OffsetLog {
     val parts = hist.map(_._2).distinct
     val boundsDf = parts.map(p => (p, from.getOrElse(p, 0L),
       until.getOrElse(p, Long.MaxValue))).toDF("p", "from", "until")
-    s.read.json(epochs.map(e => s"$root/seg=$e"): _*)
+    // explicit schema: json inference would cost a second full pass
+    val recSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    s.read.schema(recSchema).json(epochs.map(e => s"$root/seg=$e"): _*)
       .withColumn("p", col("p").cast("int"))
       .join(broadcast(boundsDf), Seq("p"))
       .filter(col("offset") >= col("from") && col("offset") < col("until"))

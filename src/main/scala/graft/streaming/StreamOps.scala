@@ -95,7 +95,9 @@ object StreamOps {
     */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
     feedDir(s, dir); eventsDir(dir); outerEventsDir(s, dir)
-    Cdc.entryFeedDir(s, dir); Cdc.entryFeedTxnDir(s, dir); ()
+    Cdc.entryFeedDir(s, dir); Cdc.entryFeedTxnDir(s, dir)
+    offsetLogDir(s, dir) // the broker's log exists before a consumer runs
+    ()
   }
 
   // ---- sources ----
