@@ -504,6 +504,94 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** ClickHouse LIGHTWEIGHT DELETE (`DELETE FROM ... WHERE`, the
+    * `_row_exists` mechanic) — the OTHER delete: where
+    * [[mutatePartitions]] rewrites admitting parts eagerly (ALTER ...
+    * DELETE), the lightweight path appends a tiny MASK of deleted keys,
+    * readers apply it as an anti-join at query time, and a later
+    * BACKGROUND COMPACTION folds the mask into a physical rewrite. The
+    * query proves all three states agree: mask-on-read == post-compact
+    * physical state (same oracle), and the mask write itself is
+    * O(deleted keys), not O(table) — the reason a user reaches for
+    * lightweight deletes at 100 TB (GDPR point erasure on a table you
+    * can't afford to rewrite today).
+    *
+    * Scale notes: the mask is broadcast (bounded: the deleted-key set);
+    * the read-side anti-join is map-side, no fact shuffle; compaction
+    * reuses the partition-pruned staged-swap machinery and rewrites
+    * only partitions the mask actually touches.
+    */
+  private def mutationLightweightDelete(s: SparkSession, dir: String): DataFrame = {
+    val (root, cut) = mutationStage(s, dir, graft.Scratch.dir("mutlwd"))
+    // DELETE FROM events WHERE day >= cut AND event_type = 'view':
+    // write the MASK (deleted keys only — O(deleted), no table rewrite)
+    val maskPath = s"${new java.io.File(root).getParent}/mask"
+    s.read.parquet(root)
+      .filter(col("day") >= java.sql.Date.valueOf(cut)
+        && col("event_type") === "view")
+      .select(col("event_id"))
+      .write.mode("overwrite").parquet(maskPath)
+    val mask = s.read.parquet(maskPath)
+    // state 1: mask-on-read (what every query sees immediately) —
+    // MATERIALIZED before compaction replaces the underlying files
+    // (O(days) rows of aggregate, control-plane sized)
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+    val masked = agg(s.read.parquet(root)
+        .join(broadcast(mask), Seq("event_id"), "left_anti"))
+      .orderBy(col("day")).collect().toSeq
+    // state 2: background compaction folds the mask physically — only
+    // partitions the mask touches are rewritten (partition-pruned swap)
+    mutatePartitions(s, root, "day",
+      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      df => df.join(broadcast(mask), Seq("event_id"), "left_anti"))
+    val compacted = agg(s.read.parquet(root))
+    // both states must agree row-for-row (and with the DuckDB oracle
+    // via the shared hash-match)
+    val after = compacted.orderBy(col("day")).collect().toSeq
+    require(masked == after,
+      s"mask-on-read and compacted state diverged: $masked vs $after")
+    compacted.orderBy(col("day"))
+  }
+
+  /** `system.parts` operational introspection: per-partition part
+    * counts, row counts, and key min/max — the observability surface a
+    * MergeTree operator watches (part explosion, skew, pruning health).
+    * Row-level stats are oracled; the file count column is driver-side
+    * directory metadata (same class as sink_compact_files' count).
+    *
+    * Scale notes: O(partitions × files) listing metadata + one
+    * partition-grouped aggregate; nothing row-wise leaves the scan.
+    */
+  private def metaParts(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir("metaparts")}/t"
+    // repartition by day → exactly one part per partition, so the file
+    // count is deterministic (the sink_compact_files discipline)
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .repartition(col("day"))
+      .write.partitionBy("day").parquet(root)
+    val files = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map { d =>
+        (d.getName.drop(4),
+          d.listFiles().count(_.getName.endsWith(".parquet")).toLong)
+      }.toSeq
+    import s.implicits._
+    val fdf = files.toDF("day_str", "n_parts")
+    s.read.parquet(root)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_key"), max(col("event_id")).as("max_key"),
+        Det.dsum(col("value")).as("sum_value"))
+      .join(fdf, col("day").cast("string") === col("day_str"))
+      .select(col("day"), col("n_parts"), col("n_rows"), col("min_key"),
+        col("max_key"), col("sum_value"))
+      .orderBy(col("day"))
+  }
+
   /** Z-order clustered write (ClickHouse `ORDER BY (a, b)` generalized to
     * multi-dimensional locality / Delta OPTIMIZE ZORDER): interleave the
     * bits of two lookup keys into one Morton value, range-partition and
@@ -711,6 +799,20 @@ object Scans {
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM e, m WHERE NOT (day >= cut AND event_type = 'click')
               GROUP BY day ORDER BY day""")),
+    QueryDef("mutation_lightweight_delete", mutationLightweightDelete,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_type, value FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e)
+              SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
+              FROM e, m WHERE NOT (day >= cut AND event_type = 'view')
+              GROUP BY day ORDER BY day""")),
+    QueryDef("meta_parts", metaParts,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_id, value FROM events)
+              SELECT day, CAST(1 AS BIGINT) AS n_parts, COUNT(*) AS n_rows,
+                MIN(event_id) AS min_key, MAX(event_id) AS max_key,
+                ${Det.oSum("value")} AS sum_value
+              FROM e GROUP BY day ORDER BY day""")),
     QueryDef("mutation_update_where", mutationUpdateWhere,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_type, value FROM events),
