@@ -130,10 +130,21 @@ object OffsetLog {
     * dirent: the same torn-manifest discipline as the table publishes.
     * Committing AFTER the downstream merge gives at-least-once delivery;
     * the merge must be (and is) idempotent per consumed range.
+    *
+    * Commits MERGE per partition (a commit only advances the partitions
+    * it names, Kafka's semantics): consumers in one group that split the
+    * partition set commit independently without clobbering each other's
+    * positions — the rebalance shape, spec-tested. Positions never move
+    * backwards (max with the existing commit).
     */
-  def commit(root: String, group: String, offsets: Map[Int, Long]): Unit =
+  def commit(root: String, group: String, offsets: Map[Int, Long]): Unit = {
+    val prior = committed(root, group)
+    val merged = prior ++ offsets.map { case (p, o) =>
+      p -> math.max(o, prior.getOrElse(p, 0L))
+    }
     atomicWrite(commitFile(root, group),
-      offsets.toSeq.sorted.map { case (p, o) => s"$p $o" }.mkString("\n"))
+      merged.toSeq.sorted.map { case (p, o) => s"$p $o" }.mkString("\n"))
+  }
 
   private def atomicWrite(path: String, content: String): Unit = {
     val p = java.nio.file.Paths.get(path)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, lit, pmod}
 
 /** 100 TB posture checks: the physical plans must have the shape that
   * scales — filters pushed to the parquet scan, columns pruned, the right
@@ -236,6 +236,35 @@ class PlanShapeSpec extends GraftSpec {
         l.contains("ShuffledHashJoin") || l.contains("NestedLoopJoin") ||
         l.contains("CartesianProduct"))
     assert(joins == 1, s"dictionary must not plan a join of its own:\n${p.take(800)}")
+  }
+
+  test("offset-log read: bounds ride a broadcast join, records never sort-merge") {
+    import graft.streaming.OffsetLog
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_offlog_plan_test").toString + "/log"
+    OffsetLog.append(root, 0L,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("k", "value")
+        .withColumn("p", pmod(col("k"), lit(4L)).cast("int"))
+        .select("p", "value", "k"),
+      col("k"))
+    val p = OffsetLog.read(spark, root, Map(0 -> 1L))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset bounds must broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"),
+      "consumer position filter must never shuffle the records")
+  }
+
+  test("lightweight-delete mask applies as a broadcast anti-join") {
+    import spark.implicits._
+    val base = spark.range(100).select(col("id").as("event_id"),
+      (col("id") % 7).as("value"))
+    val mask = Seq(1L, 5L).toDF("event_id")
+    val p = base.join(broadcast(mask), Seq("event_id"), "left_anti")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"mask must broadcast as anti-join:\n${p.take(600)}")
   }
 
   test("projection_route: each predicate shape reads its matching layout") {

@@ -271,6 +271,36 @@ class StreamSemanticsSpec extends GraftSpec {
     assert(live(1L) == 999.0 && !live.contains(4L) && live(10L) == 500.0)
   }
 
+  test("offset log rebalance: split-partition consumers commit without clobbering") {
+    import graft.streaming.OffsetLog
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_offlog_rebal_test").toString + "/log"
+    val rows = (0L until 12L).map(k => (k, s"r$k"))
+    OffsetLog.append(root, 0L,
+      rows.toDF("k", "value")
+        .withColumn("p", pmod(col("k"), lit(3L)).cast("int"))
+        .select("p", "value", "k"),
+      col("k"))
+    assert(OffsetLog.endOffsets(root) == Map(0 -> 4L, 1 -> 4L, 2 -> 4L))
+    val g = "shared"
+    // consumer A owns partitions {0, 1}; consumer B owns {2}. Each
+    // commits ONLY its partitions — B's commit must not reset A's.
+    OffsetLog.commit(root, g, Map(0 -> 4L, 1 -> 2L))
+    OffsetLog.commit(root, g, Map(2 -> 4L))
+    assert(OffsetLog.committed(root, g) == Map(0 -> 4L, 1 -> 2L, 2 -> 4L),
+      "per-partition commits must merge, not overwrite")
+    // positions never regress: a late duplicate commit at a lower offset
+    // (at-least-once replay of an old consumer) is a no-op
+    OffsetLog.commit(root, g, Map(0 -> 1L))
+    assert(OffsetLog.committed(root, g)(0) == 4L,
+      "a stale commit must not move a position backwards")
+    // resume from the merged position reads exactly the uncommitted tail
+    val tail = OffsetLog.read(spark, root, OffsetLog.committed(root, g))
+      .select("p", "offset").as[(Int, Long)].collect().toSet
+    assert(tail == Set((1, 2L), (1, 3L)), s"unexpected tail: $tail")
+  }
+
   test("session windows split on gaps > 30 minutes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
