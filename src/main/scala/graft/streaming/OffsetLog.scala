@@ -60,13 +60,17 @@ object OffsetLog {
 
   /** Append one epoch of records. `records` must carry `p` (partition
     * id) and `value` (payload string); `seq` orders records WITHIN a
-    * partition deterministically (the producer's send order). Offsets
-    * continue from the previous epoch's end per partition.
+    * partition deterministically (the producer's send order) and must
+    * be UNIQUE per partition — a tie would make the offset assignment
+    * depend on shuffle arrival order. Offsets continue from the
+    * previous epoch's end per partition. An empty epoch is a no-op
+    * (no segment dir, no _ENDS entry).
     */
   def append(root: String, epoch: Long, records: DataFrame,
       seq: org.apache.spark.sql.Column): Unit = {
     val s = records.sparkSession
     import s.implicits._
+    if (records.isEmpty) return
     val ends = endOffsets(root)
     val base = ends.toSeq.toDF("p", "base")
     val w = Window.partitionBy(col("p")).orderBy(seq)
@@ -135,7 +139,11 @@ object OffsetLog {
     * it names, Kafka's semantics): consumers in one group that split the
     * partition set commit independently without clobbering each other's
     * positions — the rebalance shape, spec-tested. Positions never move
-    * backwards (max with the existing commit).
+    * backwards (max with the existing commit). The merge is a
+    * read-modify-write of the group manifest: like Kafka's group
+    * coordinator, commits for one group are assumed serialized (one
+    * committer at a time); partition OWNERSHIP may be split, concurrent
+    * commit RACES for the same group are not arbitrated here.
     */
   def commit(root: String, group: String, offsets: Map[Int, Long]): Unit = {
     val prior = committed(root, group)
