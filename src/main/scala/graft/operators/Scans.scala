@@ -555,6 +555,49 @@ object Scans {
     compacted.orderBy(col("day"))
   }
 
+  /** ClickHouse `OPTIMIZE TABLE ... DEDUPLICATE`: storage-level exact-
+    * row dedup — the cleanup a ReplacingMergeTree operator runs after a
+    * replayed ingest doubled some rows. A deterministic duplicate set is
+    * staged in (the last week's `event_id % 5 = 0` rows appended twice —
+    * the at-least-once replay shape), then ONLY partitions that actually
+    * contain duplicates are rewritten (admission = an O(partitions)
+    * count-vs-distinct aggregate, the parts-level dirty check;
+    * dedup-free partitions keep their bytes via [[mutatePartitions]]).
+    * n_removed is MEASURED from the before/after partition counts, not
+    * assumed, and the oracle restates the end state relationally.
+    *
+    * Scale notes: admission metadata is O(partitions); the rewrite is
+    * O(dirty partitions); dropDuplicates inside a partition is one
+    * hash-aggregate over that partition's rows only.
+    */
+  private def optimizeDeduplicate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${graft.Scratch.dir("optdedup")}/t"
+    val ev = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_id"), col("event_type"), col("value"))
+    val cut = java.sql.Date.valueOf(ev.agg(date_sub(max(col("day")), 7))
+      .head.getDate(0).toLocalDate)
+    val dupes = ev.filter(col("day") >= cut && col("event_id") % 5 === 0)
+    ev.unionByName(dupes).write.partitionBy("day").parquet(root)
+    // parts-level dirty check + before-counts: one O(partitions) collect
+    val stats = s.read.parquet(root)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val dirty = stats.collect { case (d, n, nd) if n != nd => d }.toSet
+    mutatePartitions(s, root, "day", dirty.contains, _.dropDuplicates())
+    val before = stats.map { case (d, n, _) => (d, n) }.toSeq
+      .toDF("day_str", "n_before")
+    s.read.parquet(root)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .join(before, col("day").cast("string") === col("day_str"))
+      .select(col("day"), col("n"), (col("n_before") - col("n")).as("n_removed"),
+        col("sum_value"))
+      .orderBy(col("day"))
+  }
+
   /** `system.parts` operational introspection: per-partition part
     * counts, row counts, and key min/max — the observability surface a
     * MergeTree operator watches (part explosion, skew, pruning health).
@@ -806,6 +849,15 @@ object Scans {
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM e, m WHERE NOT (day >= cut AND event_type = 'view')
               GROUP BY day ORDER BY day""")),
+    QueryDef("optimize_deduplicate", optimizeDeduplicate,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_id, value FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e)
+              SELECT day, COUNT(*) AS n,
+                COUNT(CASE WHEN day >= cut AND event_id % 5 = 0 THEN 1 END)
+                  AS n_removed,
+                ${Det.oSum("value")} AS sum_value
+              FROM e, m GROUP BY day ORDER BY day""")),
     QueryDef("meta_parts", metaParts,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_id, value FROM events)
