@@ -230,6 +230,65 @@ object Multimodal {
       .orderBy(col("vec_id"))
   }
 
+  /** Image RESIZE (the remaining mandated multimodal op): 2× box-filter
+    * downsample — each output pixel is the exact area average of its
+    * 2×2 source block — applied to the raster DECODED from the genuine
+    * PNG blob, so the pipeline is encode → real codec decode → resize →
+    * features. A box filter instead of Graphics2D smooth scaling
+    * because its math is exact and implementation-independent, which is
+    * what lets the oracle restate the resized pixels relationally.
+    *
+    * Scale notes: same mapPartitions batch shape as the decode paths —
+    * resize happens where the blob lives, features leave typed, output
+    * is O(rows), blobs never shuffle.
+    */
+  private[graft] def boxDownsample(px: Array[Int], w: Int,
+      h: Int): Array[Double] = {
+    val ow = w / 2; val oh = h / 2
+    val out = new Array[Double](ow * oh)
+    var j = 0
+    while (j < oh) {
+      var i = 0
+      while (i < ow) {
+        out(j * ow + i) = (px(2 * j * w + 2 * i) + px(2 * j * w + 2 * i + 1) +
+          px((2 * j + 1) * w + 2 * i) + px((2 * j + 1) * w + 2 * i + 1)) / 4.0
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  private val resizeSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("p00", DoubleType),
+    StructField("mean_pixel", DoubleType)))
+
+  private def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizeSchema)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val q = r.getAs[scala.collection.Seq[Float]]("embedding")
+            .map(x => math.max(0.0,
+              math.min(255.0, math.floor((x.toDouble + 1.0) * 127.5))).toInt)
+            .toSeq
+          val (w, h, px) = pngDecode(pngEncode(q)) // through the real codec
+          val small = boxDownsample(px, w, h)
+          Row(r.getAs[Long]("vec_id"), w / 2, h / 2, small(0),
+            small.sum / small.length)
+        }
+      }(enc)
+      .withColumn("p00", round(col("p00"), 6))
+      .withColumn("mean_pixel", round(col("mean_pixel"), 6))
+      .orderBy(col("vec_id"))
+  }
+
   /** Audio chunking: an opaque "audio" blob (text bytes standing in for
     * PCM — 50 ms per byte) is segmented into fixed 1 s windows, each
     * segment carrying its time span AND its byte slice offsets computed
@@ -340,6 +399,19 @@ object Multimodal {
                 CAST(list_dot_product(px, list_transform(range(1, 65),
                   r -> CAST(r AS DOUBLE))) AS BIGINT) AS wsum,
                 CAST(px[1] AS INTEGER) AS p00
+              FROM q ORDER BY vec_id""")),
+    // 2x box filter: each output pixel the exact 2x2 area mean of the
+    // quantized (lossless-PNG-roundtripped) source; divisions by powers
+    // of two are IEEE-exact so both engines land identical doubles
+    QueryDef("mm_resize", mmResize,
+      Some("""WITH q AS (SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> GREATEST(0.0, LEAST(255.0, FLOOR((x + 1.0) * 127.5))))
+                  AS px
+               FROM embeddings)
+              SELECT vec_id, 4 AS width, 4 AS height,
+                round((px[1] + px[2] + px[9] + px[10]) / 4.0, 6) AS p00,
+                round(list_aggregate(px, 'sum') / 64.0, 6) AS mean_pixel
               FROM q ORDER BY vec_id""")),
     QueryDef("mm_image_roundtrip", mmImageRoundtrip,
       Some("""WITH q AS (SELECT vec_id,
