@@ -185,7 +185,56 @@ object EventAnalytics {
           .as("p90_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** ClickHouse `ORDER BY ... WITH FILL` + LOCF interpolation: the
+    * gap-filling read every time-series dashboard needs — a dense day
+    * spine per key, missing points filled two ways (zero-fill for
+    * additive measures, last-observation-carried-forward for level
+    * measures). The spine generates from the GLOBAL [min, max] day
+    * bounds (one O(1) aggregate) × distinct keys — O(keys × days)
+    * generated rows, metadata-scale next to the event log; the fill
+    * itself is one left join on (key, day) plus one ordered window per
+    * key, both riding the same key clustering.
+    */
+  private def fnWithFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val daily = e.groupBy(col("user_id"), col("day"))
+      .agg(Det.dsum(col("value")).as("v"))
+    val bounds = e.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = e.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("v"), lit(0.0)).as("filled"),
+        coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0))
+          .as("locf"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_with_fill", fnWithFill,
+      Some(s"""WITH e AS (SELECT user_id,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+                 FROM events WHERE event_type = 'purchase'),
+               b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+               u AS (SELECT DISTINCT user_id FROM e),
+               spine AS (SELECT user_id,
+                 CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+                   AS day FROM u, b),
+               d AS (SELECT user_id, day, ${Det.oSum("value")} AS v
+                 FROM e GROUP BY user_id, day)
+              SELECT s.user_id, s.day,
+                COALESCE(v, 0.0) AS filled,
+                COALESCE(last_value(v IGNORE NULLS) OVER
+                  (PARTITION BY s.user_id ORDER BY s.day), 0.0) AS locf
+              FROM spine s LEFT JOIN d ON s.user_id = d.user_id
+                AND s.day = d.day
+              ORDER BY s.user_id, s.day""")),
     QueryDef("fn_funnel", fnFunnel,
       Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
                 FROM events),
