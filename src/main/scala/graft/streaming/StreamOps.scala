@@ -276,7 +276,21 @@ object StreamOps {
     * StateMaintenanceSpec).
     */
   private[graft] def mergeCdcTyped(typed: DataFrame, batchId: Long,
-      state: String): Unit = {
+      state: String): Unit = mergeCdcTypedTxn(typed, batchId, state, None)
+
+  /** The merge, optionally with EXACTLY-ONCE offset semantics: when
+    * `offsets` is given, the consumer's position is written INSIDE the
+    * staged version dir and the whole version — state AND position —
+    * becomes visible through one atomic rename. There is then no crash
+    * window between "state merged" and "position committed" at all:
+    * recovery reads the position out of the latest visible version
+    * ([[txnCommittedOffsets]]), a crash mid-staging leaves an invisible
+    * `.txn_` dir that the replay sweeps away. This is the
+    * offsets-in-the-checkpoint pattern (what Structured Streaming's
+    * commit log does) expressed on the versioned bucket store.
+    */
+  private[graft] def mergeCdcTypedTxn(typed: DataFrame, batchId: Long,
+      state: String, offsets: Option[Map[Int, Long]]): Unit = {
     val ss = typed.sparkSession
     val withBucket = typed
       .withColumn("bucket", pmod(col("o_orderkey"), lit(cdcStateBuckets)).cast("int"))
@@ -293,15 +307,57 @@ object StreamOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_orderkey"))
         .orderBy(col("es").desc, col("ts").desc)
-      prev.unionByName(typed.select("o_orderkey", "o_totalprice", "es", "ts", "type"))
+      val merged = prev
+        .unionByName(typed.select("o_orderkey", "o_totalprice", "es", "ts", "type"))
         .withColumn("bucket", pmod(col("o_orderkey"), lit(cdcStateBuckets)).cast("int"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$state/v=$batchId")
+      val target = s"$state/v=$batchId"
+      offsets match {
+        case None =>
+          merged.write.mode("overwrite").partitionBy("bucket").parquet(target)
+        case Some(ofs) =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+            f.delete(); ()
+          }
+          // leftovers from a crash mid-staging are invisible to readers
+          // (cdcBucketVersions lists only v=*); the replay sweeps them
+          val staging = new java.io.File(s"$state/.txn_v=$batchId")
+          rm(staging)
+          merged.write.mode("overwrite").partitionBy("bucket")
+            .parquet(staging.getPath)
+          graft.Scratch.writeDurable(
+            staging.toPath.resolve("_offsets"),
+            ofs.toSeq.sorted.map { case (p, o) => s"$p $o" }.mkString("\n"))
+          rm(new java.io.File(target)) // idempotent at-least-once replay
+          java.nio.file.Files.move(staging.toPath,
+            java.nio.file.Paths.get(target),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          graft.Scratch.fsyncDir(java.nio.file.Paths.get(state))
+      }
       gcCdcVersions(state, batchId)
       ()
     }
+  }
+
+  /** Recover the consumer position from the latest visible state
+    * version — the exactly-once read side: whatever version is visible
+    * IS the committed position; there is no separate commit file to
+    * disagree with the state.
+    */
+  private[graft] def txnCommittedOffsets(state: String): Map[Int, Long] = {
+    val versions = Option(new java.io.File(state).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.drop(2).toLong).sorted.reverse
+    versions.iterator.map { v =>
+      new java.io.File(s"$state/v=$v/_offsets")
+    }.collectFirst { case f if f.exists() =>
+      scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).map { l =>
+        val Array(p, o) = l.split(' '); p.toInt -> o.toLong
+      }.toMap
+    }.getOrElse(Map.empty)
   }
 
   /** Read the merge-on-disk view: latest version of every bucket. */
@@ -476,6 +532,50 @@ object StreamOps {
     mergeCdcTyped(toTyped(OffsetLog.read(s, root, resumed)), 1L, state)
     OffsetLog.commit(root, group, OffsetLog.endOffsets(root))
     val offs = OffsetLog.committed(root, group).toSeq
+      .map { case (p, o) => (p.toLong, o) }
+      .toDF("partition", "committed_offset")
+    readCdcState(s, state)
+      .filter(col("type") =!= "DELETE")
+      .groupBy(pmod(col("o_orderkey"), lit(offsetLogParts.toLong)).as("partition"))
+      .agg(count(lit(1)).as("n_keys"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .join(broadcast(offs), Seq("partition"))
+      .select(col("partition"), col("committed_offset"), col("n_keys"),
+        col("sum_price"))
+      .orderBy(col("partition"))
+  }
+
+  /** EXACTLY-ONCE consumption of the offset log: where [[srcOffsetLog]]
+    * is commit-after-merge (at-least-once + idempotent replay — two
+    * commit points, a crash between them replays), this variant stores
+    * the consumer position INSIDE the state version and publishes both
+    * through ONE atomic rename ([[mergeCdcTypedTxn]]): the crash window
+    * between "state merged" and "offsets committed" does not exist.
+    * Recovery reads the position out of the latest visible version —
+    * there is no separate commit file to disagree with the state. End
+    * state and offsets are identical to the at-least-once variant by
+    * construction, so it shares src_offset_log's oracle verbatim.
+    */
+  private def srcOffsetLogTxn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = offsetLogDir(s, dir)
+    val state = fresh("offlog_txn_state")
+    def toTyped(recs: DataFrame): DataFrame =
+      Cdc.typeMapOrders(recs
+          .select(from_json(col("value"), Cdc.envelopeSchema).as("m"))
+          .select(col("m.*")))
+        .select(col("o_orderkey"), col("o_totalprice"), col("es"),
+          col("ts"), col("type"))
+    // session 1: position from state (empty), consume to the epoch-0
+    // high-water mark, state + position land in ONE commit
+    val hwm0 = OffsetLog.endOffsetsAt(root, 0L)
+    mergeCdcTypedTxn(toTyped(
+      OffsetLog.read(s, root, txnCommittedOffsets(state), hwm0)),
+      0L, state, Some(hwm0))
+    // process restart: position recovered FROM THE STATE ITSELF
+    val resumed = txnCommittedOffsets(state)
+    mergeCdcTypedTxn(toTyped(OffsetLog.read(s, root, resumed)),
+      1L, state, Some(OffsetLog.endOffsets(root)))
+    val offs = txnCommittedOffsets(state).toSeq
       .map { case (p, o) => (p.toLong, o) }
       .toDF("partition", "committed_offset")
     readCdcState(s, state)
@@ -1237,6 +1337,22 @@ object StreamOps {
 
   // ---- oracles ----
 
+  private val offsetLogOracle: String =
+    s"""WITH f AS (SELECT o_orderkey AS pk, o_totalprice FROM orders),
+        ofs AS (SELECT pk % 4 AS partition,
+          COUNT(*) + COUNT(CASE WHEN pk % 3 = 0 THEN 1 END)
+                   + COUNT(CASE WHEN pk % 7 = 0 THEN 1 END)
+            AS committed_offset
+          FROM f GROUP BY 1),
+        st AS (SELECT pk % 4 AS partition, COUNT(*) AS n_keys,
+          ${Det.oSum("CASE WHEN pk % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END")}
+            AS sum_price
+          FROM f WHERE pk % 7 <> 0 GROUP BY 1)
+       SELECT ofs.partition, ofs.committed_offset, st.n_keys,
+         st.sum_price
+       FROM ofs JOIN st ON ofs.partition = st.partition
+       ORDER BY ofs.partition"""
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("src_stream_file", srcStreamFile,
       Some("""WITH ev AS (
@@ -1272,22 +1388,11 @@ object StreamOps {
               ORDER BY o_orderkey""")),
     // offsets = per-partition envelope counts (insert + update + delete
     // script membership); state = the stream_cdc_upsert end-state algebra
-    // grouped by the log partition
-    QueryDef("src_offset_log", srcOffsetLog,
-      Some(s"""WITH f AS (SELECT o_orderkey AS pk, o_totalprice FROM orders),
-               ofs AS (SELECT pk % 4 AS partition,
-                 COUNT(*) + COUNT(CASE WHEN pk % 3 = 0 THEN 1 END)
-                          + COUNT(CASE WHEN pk % 7 = 0 THEN 1 END)
-                   AS committed_offset
-                 FROM f GROUP BY 1),
-               st AS (SELECT pk % 4 AS partition, COUNT(*) AS n_keys,
-                 ${Det.oSum("CASE WHEN pk % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END")}
-                   AS sum_price
-                 FROM f WHERE pk % 7 <> 0 GROUP BY 1)
-              SELECT ofs.partition, ofs.committed_offset, st.n_keys,
-                st.sum_price
-              FROM ofs JOIN st ON ofs.partition = st.partition
-              ORDER BY ofs.partition""")),
+    // grouped by the log partition. The exactly-once variant converges
+    // to the identical end state + offsets by construction → shares the
+    // oracle verbatim.
+    QueryDef("src_offset_log", srcOffsetLog, Some(offsetLogOracle)),
+    QueryDef("src_offset_log_txn", srcOffsetLogTxn, Some(offsetLogOracle)),
     QueryDef("stream_quantile_mv", streamQuantileMv, None),
     // snapshot bootstrap + streamed tail must converge to the same end
     // state as the full-feed upsert (same oracle by construction)

@@ -301,6 +301,59 @@ class StreamSemanticsSpec extends GraftSpec {
     assert(tail == Set((1, 2L), (1, 3L)), s"unexpected tail: $tail")
   }
 
+  test("exactly-once offsets: position and state share one atomic commit") {
+    import graft.streaming.{OffsetLog, StreamOps}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_offlog_txn_test").toString
+    val root = s"$base/log"; val state = s"$base/state"
+    def recs(rows: Seq[(Long, Double, Long, String)]) =
+      rows.toDF("o_orderkey", "o_totalprice", "es", "type")
+        .withColumn("ts", col("es"))
+        .withColumn("p", pmod(col("o_orderkey"), lit(2L)).cast("int"))
+        .withColumn("value", to_json(struct(col("o_orderkey"),
+          col("o_totalprice"), col("es"), col("ts"), col("type"))))
+        .select("p", "value", "es", "o_orderkey")
+    val sch = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType), StructField("es", LongType),
+      StructField("ts", LongType), StructField("type", StringType)))
+    def toTyped(df: org.apache.spark.sql.DataFrame) =
+      df.select(from_json(col("value"), sch).as("m")).select("m.*")
+    OffsetLog.append(root, 0L,
+      recs((0L until 6L).map(k => (k, 100.0 + k, 10L, "INSERT"))),
+      struct(col("es"), col("o_orderkey")))
+    OffsetLog.append(root, 1L,
+      recs(Seq((1L, 999.0, 20L, "UPDATE"), (6L, 600.0, 21L, "INSERT"))),
+      struct(col("es"), col("o_orderkey")))
+    // batch 0: state + position land in ONE atomic rename
+    val hwm0 = OffsetLog.endOffsetsAt(root, 0L)
+    StreamOps.mergeCdcTypedTxn(
+      toTyped(OffsetLog.read(spark, root, StreamOps.txnCommittedOffsets(state),
+        hwm0)), 0L, state, Some(hwm0))
+    assert(StreamOps.txnCommittedOffsets(state) == hwm0,
+      "position must be readable out of the committed version")
+    // simulate a crash MID-STAGING of batch 1: a .txn_ dir exists but was
+    // never renamed — it must be invisible to position recovery
+    val staging = new java.io.File(s"$state/.txn_v=1")
+    staging.mkdirs()
+    java.nio.file.Files.writeString(
+      staging.toPath.resolve("_offsets"), "0 99\n1 99")
+    assert(StreamOps.txnCommittedOffsets(state) == hwm0,
+      "an unrenamed staging dir must not advance the position")
+    // restart: recovery resumes from the state's own position; the
+    // replay sweeps the leftover staging and commits atomically
+    val resumed = StreamOps.txnCommittedOffsets(state)
+    StreamOps.mergeCdcTypedTxn(
+      toTyped(OffsetLog.read(spark, root, resumed)),
+      1L, state, Some(OffsetLog.endOffsets(root)))
+    assert(!staging.exists(), "replay must sweep crash leftovers")
+    assert(StreamOps.txnCommittedOffsets(state) == OffsetLog.endOffsets(root))
+    val live = StreamOps.readCdcState(spark, state)
+      .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect().toMap
+    assert(live(1L) == 999.0 && live(6L) == 600.0 && live.size == 7)
+  }
+
   test("session windows split on gaps > 30 minutes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
