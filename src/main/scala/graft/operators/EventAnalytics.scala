@@ -185,6 +185,83 @@ object EventAnalytics {
           .as("p90_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** The LTTB (Largest-Triangle-Three-Buckets, Steinarsson 2013) core,
+    * shared by the operator and its property tests: keep first and
+    * last, split the interior into n−2 equal buckets, and from each
+    * bucket keep the point forming the largest triangle with the
+    * PREVIOUSLY SELECTED point and the NEXT bucket's centroid. The
+    * sequential dependency on the previous selection is inherent to
+    * the algorithm — per-series it is a linear fold; parallelism comes
+    * from doing many series at once.
+    */
+  private[graft] def lttb(pts: IndexedSeq[(Long, Double)],
+      n: Int): IndexedSeq[(Long, Double)] = {
+    if (n >= pts.length || pts.length <= 2 || n <= 2)
+      return if (n >= pts.length) pts
+      else IndexedSeq(pts.head, pts.last)
+    val interior = pts.length - 2
+    val buckets = n - 2
+    def bounds(i: Int): (Int, Int) = // [from, until) into the interior
+      (1 + i * interior / buckets, 1 + (i + 1) * interior / buckets)
+    val out = scala.collection.mutable.ArrayBuffer(pts.head)
+    var i = 0
+    while (i < buckets) {
+      val (f, u) = bounds(i)
+      val (px, py) = out.last
+      val (nx, ny) =
+        if (i == buckets - 1) (pts.last._1.toDouble, pts.last._2)
+        else {
+          val (nf, nu) = bounds(i + 1)
+          (pts.slice(nf, nu).map(_._1.toDouble).sum / (nu - nf),
+            pts.slice(nf, nu).map(_._2).sum / (nu - nf))
+        }
+      var best = f; var bestArea = -1.0
+      var j = f
+      while (j < u) {
+        val (cx, cy) = pts(j)
+        val area = math.abs(
+          (px - nx) * (cy - py) - (px - cx) * (ny - py))
+        if (area > bestArea) { bestArea = area; best = j }
+        j += 1
+      }
+      out += pts(best)
+      i += 1
+    }
+    out += pts.last
+    out.toIndexedSeq
+  }
+
+  /** ClickHouse `largestTriangleThreeBuckets`: visually-faithful chart
+    * downsampling — each event_type's (ts, value) series reduced to 20
+    * points that preserve the series' visual shape (spikes survive,
+    * flat runs collapse). Deterministic (first-max tie-break) but the
+    * previous-selection recurrence is not SQL-expressible → rows-only;
+    * AnalyticsOpsSpec asserts endpoint preservation, size, ordering,
+    * subset-of-input, and that per-bucket extreme spikes are kept.
+    *
+    * Scale notes: LTTB is inherently sequential PER SERIES (a linear
+    * fold over the sorted series); the distributed shape is one
+    * groupBy(series) with a sorted collect per key — right for chart
+    * series, which are bounded by what a chart can show; an unbounded
+    * series pre-aggregates (ts_downsample) first.
+    */
+  private def tsLttb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        col("ts").cast("long").as("t"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(expr("array_sort(collect_list(struct(t, value)))").as("pts"))
+      .as[(String, IndexedSeq[(Long, Double)])]
+      .flatMap { case (k, pts) =>
+        lttb(pts, 20).zipWithIndex.map { case ((t, v), idx) =>
+          (k, idx, t, v)
+        }
+      }
+      .toDF("event_type", "idx", "t", "value")
+      .orderBy(col("event_type"), col("idx"))
+  }
+
   /** ClickHouse `ORDER BY ... WITH FILL` + LOCF interpolation: the
     * gap-filling read every time-series dashboard needs — a dense day
     * spine per key, missing points filled two ways (zero-fill for
@@ -459,6 +536,7 @@ object EventAnalytics {
                 MIN(CASE WHEN lat <= 3600000000 THEN lat END) AS min_lat_us
               FROM l GROUP BY user_id ORDER BY user_id""")),
     QueryDef("ts_holt", tsHolt, None),
+    QueryDef("ts_lttb", tsLttb, None),
     QueryDef("ts_ema", tsEma,
       Some("""WITH l AS (SELECT user_id,
                  list(value ORDER BY ts, event_id) AS xs

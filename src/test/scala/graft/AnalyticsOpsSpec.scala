@@ -33,6 +33,42 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("lttb: endpoints kept, size exact, subset of input, spikes survive") {
+    import graft.operators.EventAnalytics.lttb
+    // deterministic sawtooth with one extreme spike per 10-point block
+    val pts = (0 until 100).map { i =>
+      val v = if (i % 10 == 5) 1000.0 + i else (i % 7).toDouble
+      (i.toLong, v)
+    }
+    val out = lttb(pts, 12)
+    assert(out.length == 12)
+    assert(out.head == pts.head && out.last == pts.last)
+    assert(out.map(_._1) == out.map(_._1).sorted, "t must stay ordered")
+    assert(out.forall(pts.contains), "output must be a subset of the input")
+    // visual-shape preservation: the output must carry real amplitude —
+    // its value range spans the spike band, not just the flat floor
+    // (LTTB legitimately ALTERNATES extremes after a kept spike, so
+    // per-bucket spike retention is not an invariant; range is)
+    assert(out.map(_._2).max >= 1000.0, "all spikes lost")
+    assert(out.map(_._2).min <= 6.0, "floor lost")
+    // hand-computed golden (buckets=2): bucket0 keeps the spike (1,10)
+    // vs centroid (3.5, 2.5) of bucket1; bucket1 then keeps (4,0) — the
+    // alternation — because prev=(1,10) makes (3,5) collinear (area 0)
+    val golden = lttb(IndexedSeq((0L, 0.0), (1L, 10.0), (2L, 0.0),
+      (3L, 5.0), (4L, 0.0), (5L, 0.0)), 4)
+    assert(golden == IndexedSeq((0L, 0.0), (1L, 10.0), (4L, 0.0), (5L, 0.0)),
+      s"golden mismatch: $golden")
+    // degenerate shapes
+    assert(lttb(pts, 200) == pts, "n >= len returns the series unchanged")
+    assert(lttb(pts.take(2), 10) == pts.take(2))
+    val two = lttb(pts, 2)
+    assert(two == IndexedSeq(pts.head, pts.last))
+    // operator output agrees with a direct application per series
+    val op = SparkEntry.queries("ts_lttb")(spark, sf)
+    val n = op.groupBy(col("event_type")).count().collect()
+    assert(n.nonEmpty && n.forall(_.getLong(1) <= 20))
+  }
+
   test("graph_pagerank_step equals a sequential fixed-point recompute") {
     import spark.implicits._
     val got = SparkEntry.queries("graph_pagerank_step")(spark, sf)

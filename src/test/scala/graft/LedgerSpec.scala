@@ -33,6 +33,8 @@ class LedgerSpec extends AnyFunSuite {
     "src_rate",             // wall-clock rate source
     "text_compress_ratio",  // deflate impl differs per engine — golden test
     "ts_holt",              // iterated double fold drifts in last ulp
+    "ts_lttb",              // previous-selection recurrence not
+                            // SQL-expressible — property tests
     "udaf_cm_sketch",       // CountMin estimate — SketchSpec
     "udaf_sketch_topk",     // SpaceSaving estimate — SketchSpec
     "vec_kmeans_train",     // iterated fixpoint not SQL-expressible —
