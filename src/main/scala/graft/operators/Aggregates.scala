@@ -578,6 +578,47 @@ object Aggregates {
       }: _*)
   }
 
+  /** ClickHouse `kolmogorovSmirnovTest` — completes the hypothesis-test
+    * family (Welch t, ANOVA, Mann-Whitney U, Cramér's V): the KS
+    * statistic D = sup_x |F₁(x) − F₂(x)| over the two samples' ECDFs,
+    * computed on the compressed distinct-value domain exactly like
+    * agg_mannwhitney (per-value counts, one ordered prefix-sum window —
+    * never a sort of raw rows). D and the scaled λ = (√eₙ + 0.12 +
+    * 0.11/√eₙ)·D (eₙ = n₁n₂/(n₁+n₂)) are emitted as the sufficient
+    * statistics; the asymptotic p-value is LEFT TO THE CALLER because
+    * its exponential series runs through exp(), which is not correctly
+    * rounded and differs across engines' libm in the last ulp — D and λ
+    * use only division and IEEE-exact sqrt, so they hash bit-identically.
+    */
+  private def aggKsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isA = col("event_type") === "purchase"
+    val byVal = Tables.events(s, dir)
+      .filter(isA || col("event_type") === "view")
+      .select(when(isA, 1L).otherwise(0L).as("a"), col("value"))
+      .groupBy(col("value"))
+      .agg(sum(col("a")).as("ca"), (count(lit(1)) - sum(col("a"))).as("cb"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byVal
+      .withColumn("cumA", sum(col("ca")).over(w))
+      .withColumn("cumB", sum(col("cb")).over(w))
+      .withColumn("totA", sum(col("ca")).over(total))
+      .withColumn("totB", sum(col("cb")).over(total))
+      .agg(
+        max(col("totA")).as("n1"), max(col("totB")).as("n2"),
+        max(abs(col("cumA").cast("double") / col("totA")
+          - col("cumB").cast("double") / col("totB"))).as("d_stat"))
+      .select({
+        val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+        val en = sqrt(n1 * n2 / (n1 + n2))
+        Seq(col("n1"), col("n2"), round(col("d_stat"), 6).as("d_stat"),
+          round((en + 0.12 + lit(0.11) / en) * col("d_stat"), 6).as("lambda"))
+      }: _*)
+  }
+
   /** ClickHouse `skewPop` / `kurtPop` via the same exact-moment scheme
     * as agg_regression: Σx..Σx⁴ summed in decimal (l_quantity is
     * integer-valued ≤ 50, so q⁴ ≤ 6.25e6 is dyadic-exact), central
@@ -746,6 +787,32 @@ object Aggregates {
               FROM orders GROUP BY o_orderpriority, o_orderstatus
               ORDER BY o_orderpriority, o_orderstatus""")),
     QueryDef("agg_hash", flagship, Some(flagshipOracle)),
+    QueryDef("agg_kstest", aggKsTest,
+      Some("""WITH e AS (SELECT CASE WHEN event_type = 'purchase'
+                  THEN 1 ELSE 0 END AS a, value
+                FROM events WHERE event_type IN ('purchase', 'view')),
+              v AS (SELECT value, CAST(SUM(a) AS BIGINT) AS ca,
+                COUNT(*) - CAST(SUM(a) AS BIGINT) AS cb
+                FROM e GROUP BY value),
+              c AS (SELECT value, ca, cb,
+                SUM(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cumA,
+                SUM(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cumB,
+                SUM(ca) OVER () AS totA, SUM(cb) OVER () AS totB
+                FROM v),
+              m AS (SELECT CAST(MAX(totA) AS BIGINT) AS n1,
+                CAST(MAX(totB) AS BIGINT) AS n2,
+                MAX(ABS(CAST(cumA AS DOUBLE) / totA
+                  - CAST(cumB AS DOUBLE) / totB)) AS d
+                FROM c)
+              SELECT n1, n2, round(d, 6) AS d_stat,
+                round((sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                  + 0.12 + 0.11 / sqrt(CAST(n1 AS DOUBLE)
+                    * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+                    + CAST(n2 AS DOUBLE)))) * d, 6) AS lambda
+              FROM m""")),
     QueryDef("agg_mannwhitney", aggMannWhitney,
       Some("""WITH e AS (SELECT CASE WHEN event_type = 'purchase'
                   THEN 1 ELSE 0 END AS a, value
