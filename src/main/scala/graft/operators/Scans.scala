@@ -598,6 +598,67 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** ClickHouse `insert_deduplicate` (the Replicated-table insert-retry
+    * guard): every inserted BLOCK carries a content digest; a retried
+    * insert whose digest matches a recorded block is DROPPED, so an
+    * at-least-once producer (network timeout → blind retry) cannot
+    * double-ingest. The digest is order-independent (sum of per-row
+    * sha2 prefixes — the dataset_fingerprint construction) so it is a
+    * pure function of the block's CONTENT, not of partitioning or task
+    * order; the block registry is an O(blocks) manifest committed
+    * through the fsync + atomic-rename discipline.
+    *
+    * The script: 4 disjoint blocks of orders inserted, then blocks 1
+    * and 2 RETRIED verbatim (both must be skipped by digest). End state
+    * = orders exactly once — the oracle; skip/write counts ride the
+    * result row and are oracled as literals of the script.
+    *
+    * Scale notes: the digest is one map-side sha2 + one partial-agg
+    * sum per block (no extra shuffle beyond the insert's own write);
+    * the registry read/commit is O(blocks) metadata.
+    */
+  private def sinkInsertDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("insdedup")
+    val registry = s"$root/_blocks"
+    def digestOf(df: DataFrame): String =
+      df.select(conv(substring(sha2(concat_ws("",
+          col("o_orderkey"), col("o_totalprice")), 256), 1, 15), 16, 10)
+          .cast(DecimalType(38, 0)).as("h"))
+        .agg(sum(col("h")).cast("string")).head.getString(0)
+    def known(): Set[String] = {
+      val f = new java.io.File(registry)
+      if (!f.exists()) Set.empty
+      else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toSet
+    }
+    var skipped = 0L; var written = 0L
+    def insertBlock(df: DataFrame): Unit = {
+      val d = digestOf(df)
+      if (known().contains(d)) { skipped += 1 }
+      else {
+        df.write.mode("overwrite").parquet(s"$root/block=$d")
+        val tmp = java.nio.file.Paths.get(s"$registry.tmp")
+        graft.Scratch.writeDurable(tmp, (known() + d).toSeq.sorted.mkString("\n"))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(registry),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.Scratch.fsyncDir(java.nio.file.Paths.get(root))
+        written += 1
+      }
+    }
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def block(i: Int) = o.filter(pmod(col("o_orderkey"), lit(4)) === i)
+    (0 until 4).foreach(i => insertBlock(block(i)))
+    insertBlock(block(1)) // blind producer retry — identical content
+    insertBlock(block(2))
+    s.read.parquet((0 until 4).map(i => s"$root/block=${digestOf(block(i))}"): _*)
+      .groupBy(pmod(col("o_orderkey"), lit(4L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("n_blocks_written", lit(written))
+      .withColumn("n_blocks_skipped", lit(skipped))
+      .orderBy(col("bucket"))
+  }
+
   /** `system.parts` operational introspection: per-partition part
     * counts, row counts, and key min/max — the observability surface a
     * MergeTree operator watches (part explosion, skew, pruning health).
@@ -849,6 +910,12 @@ object Scans {
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM e, m WHERE NOT (day >= cut AND event_type = 'view')
               GROUP BY day ORDER BY day""")),
+    QueryDef("sink_insert_dedup", sinkInsertDedup,
+      Some(s"""SELECT o_orderkey % 4 AS bucket, COUNT(*) AS n,
+               ${Det.oSum("o_totalprice")} AS sum_price,
+               CAST(4 AS BIGINT) AS n_blocks_written,
+               CAST(2 AS BIGINT) AS n_blocks_skipped
+              FROM orders GROUP BY bucket ORDER BY bucket""")),
     QueryDef("optimize_deduplicate", optimizeDeduplicate,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_id, value FROM events),
