@@ -631,13 +631,19 @@ object Scans {
       else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toSet
     }
     var skipped = 0L; var written = 0L
-    def insertBlock(df: DataFrame): Unit = {
-      val d = digestOf(df)
-      if (known().contains(d)) { skipped += 1 }
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def block(i: Int) = o.filter(pmod(col("o_orderkey"), lit(4)) === i)
+    // digest computed once per distinct block (a retry reuses it — the
+    // producer ships digest WITH the block, it doesn't recompute)
+    val digests = (0 until 4).map(i => i -> digestOf(block(i))).toMap
+    def insertWithDigest(i: Int): Unit = {
+      if (known().contains(digests(i))) { skipped += 1 }
       else {
-        df.write.mode("overwrite").parquet(s"$root/block=$d")
+        block(i).write.mode("overwrite").parquet(s"$root/block=${digests(i)}")
         val tmp = java.nio.file.Paths.get(s"$registry.tmp")
-        graft.Scratch.writeDurable(tmp, (known() + d).toSeq.sorted.mkString("\n"))
+        graft.Scratch.writeDurable(tmp,
+          (known() + digests(i)).toSeq.sorted.mkString("\n"))
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(registry),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -645,13 +651,10 @@ object Scans {
         written += 1
       }
     }
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_totalprice"))
-    def block(i: Int) = o.filter(pmod(col("o_orderkey"), lit(4)) === i)
-    (0 until 4).foreach(i => insertBlock(block(i)))
-    insertBlock(block(1)) // blind producer retry — identical content
-    insertBlock(block(2))
-    s.read.parquet((0 until 4).map(i => s"$root/block=${digestOf(block(i))}"): _*)
+    (0 until 4).foreach(insertWithDigest)
+    insertWithDigest(1) // blind producer retry — identical content
+    insertWithDigest(2)
+    s.read.parquet((0 until 4).map(i => s"$root/block=${digests(i)}"): _*)
       .groupBy(pmod(col("o_orderkey"), lit(4L)).as("bucket"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
       .withColumn("n_blocks_written", lit(written))
