@@ -640,7 +640,46 @@ object Joins {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ClickHouse `PASTE JOIN` (24.2): POSITIONAL alignment — the i-th
+    * row of the left stream zipped with the i-th row of the right, no
+    * key at all. Meaningful only under a defined order, so both sides
+    * are key-sorted bounded slices here (the spreadsheet-paste /
+    * aligned-export use case). Position comes from a row_number over
+    * the bounded slice; the zip itself is then a plain equi join on
+    * the position.
+    *
+    * Scale notes: positional semantics REQUIRE a global order — that is
+    * inherent to the operator, not the plan; production use is bounded
+    * slices (as here) or pre-sharded streams where position is
+    * per-shard. The bounded slices make the window O(slice), and the
+    * position join broadcasts the smaller side.
+    */
+  private def joinPaste(s: SparkSession, dir: String): DataFrame = {
+    val wa = Window.orderBy(col("o_orderkey"))
+    val a = Tables.orders(s, dir).orderBy(col("o_orderkey")).limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pos", row_number().over(wa))
+    val wb = Window.orderBy(col("c_custkey"))
+    val b = Tables.customer(s, dir).orderBy(col("c_custkey")).limit(100)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("pos", row_number().over(wb))
+    a.join(broadcast(b), Seq("pos"))
+      .select(col("pos"), col("o_orderkey"), col("o_totalprice"),
+        col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("pos"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_paste", joinPaste,
+      Some("""WITH a AS (SELECT o_orderkey, o_totalprice,
+                 row_number() OVER (ORDER BY o_orderkey) AS pos
+                 FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)),
+              b AS (SELECT c_custkey, c_mktsegment,
+                 row_number() OVER (ORDER BY c_custkey) AS pos
+                 FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 100))
+              SELECT a.pos, o_orderkey, o_totalprice, c_custkey,
+                c_mktsegment
+              FROM a JOIN b ON a.pos = b.pos ORDER BY a.pos""")),
     QueryDef("join_bloom", joinBloom,
       Some(s"""SELECT l_returnflag, COUNT(*) AS n,
                ${Det.oSum("l_extendedprice")} AS sum_price
