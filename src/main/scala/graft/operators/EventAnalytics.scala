@@ -285,11 +285,28 @@ object EventAnalytics {
       .select(col("user_id"),
         explode(sequence(col("mn"), col("mx"))).as("day"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // linear INTERPOLATE needs the bracketing known points both ways:
+    // value and day of the last observation before and first after
+    val prevV = last(col("v"), ignoreNulls = true).over(w)
+    val prevD = last(when(col("v").isNotNull, col("day")),
+      ignoreNulls = true).over(w)
+    val nextV = first(col("v"), ignoreNulls = true).over(wFwd)
+    val nextD = first(when(col("v").isNotNull, col("day")),
+      ignoreNulls = true).over(wFwd)
     spine.join(daily, Seq("user_id", "day"), "left")
-      .select(col("user_id"), col("day"),
+      .select(col("user_id"), col("day"), col("v"),
         coalesce(col("v"), lit(0.0)).as("filled"),
-        coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0))
-          .as("locf"))
+        coalesce(prevV, lit(0.0)).as("locf"),
+        prevV.as("pv"), prevD.as("pd"), nextV.as("nv"), nextD.as("nd"))
+      .select(col("user_id"), col("day"), col("filled"), col("locf"),
+        round(when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv"))
+              * datediff(col("day"), col("pd")).cast("double")
+              / datediff(col("nd"), col("pd")).cast("double"))
+          .otherwise(coalesce(col("pv"), col("nv"), lit(0.0))), 6)
+          .as("interp"))
       .orderBy(col("user_id"), col("day"))
   }
 
@@ -304,14 +321,34 @@ object EventAnalytics {
                  CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
                    AS day FROM u, b),
                d AS (SELECT user_id, day, ${Det.oSum("value")} AS v
-                 FROM e GROUP BY user_id, day)
-              SELECT s.user_id, s.day,
+                 FROM e GROUP BY user_id, day),
+               j AS (SELECT s.user_id, s.day, v,
+                 last_value(v IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN s.day END
+                   IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                 first_value(v IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN s.day END
+                   IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+                 FROM spine s LEFT JOIN d ON s.user_id = d.user_id
+                   AND s.day = d.day)
+              SELECT user_id, day,
                 COALESCE(v, 0.0) AS filled,
-                COALESCE(last_value(v IGNORE NULLS) OVER
-                  (PARTITION BY s.user_id ORDER BY s.day), 0.0) AS locf
-              FROM spine s LEFT JOIN d ON s.user_id = d.user_id
-                AND s.day = d.day
-              ORDER BY s.user_id, s.day""")),
+                COALESCE(pv, 0.0) AS locf,
+                round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    pv + (nv - pv)
+                      * CAST(datediff('day', pd, day) AS DOUBLE)
+                      / CAST(datediff('day', pd, nd) AS DOUBLE)
+                  ELSE COALESCE(pv, nv, 0.0) END, 6) AS interp
+              FROM j ORDER BY user_id, day""")),
     QueryDef("fn_funnel", fnFunnel,
       Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
                 FROM events),
