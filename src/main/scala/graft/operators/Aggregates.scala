@@ -619,6 +619,47 @@ object Aggregates {
       }: _*)
   }
 
+  /** Theil's U (uncertainty coefficient) — with Cramér's V this
+    * completes the categorical-dependency family: U(X|Y) =
+    * (H(X) − H(X|Y)) / H(X) for X = event_type, Y = weekday. Both
+    * entropies use the agg_entropy determinism scheme: the O(cells)
+    * contingency table leaves aggregation as SORTED arrays and the
+    * −Σ p·log2 p folds run sequentially over them, fixing summation
+    * order on both engines (cells ≤ |types|·7 — control-plane sized).
+    * Unlike the symmetric Cramér's V, U is DIRECTIONAL: how much
+    * knowing the weekday reduces event-type uncertainty.
+    *
+    * Scale notes: one groupBy over the compressed (x, y) domain plus a
+    * y-marginal window on O(cells) rows; raw events contribute only
+    * map-side partial counts.
+    */
+  private def aggTheilsU(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, dir)
+      .select(col("event_type").as("x"), weekday(col("ts")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .withColumn("ny", sum(col("c")).over(Window.partitionBy(col("y"))))
+    val joint = cells.agg(
+      sum(col("c")).as("n"),
+      expr("array_sort(collect_list(struct(x, y, c, ny)))").as("cs"))
+    val margs = cells.groupBy(col("x")).agg(sum(col("c")).as("nx"))
+      .agg(expr("array_sort(collect_list(nx))").as("xs"))
+    joint.crossJoin(margs)
+      .select(col("n").as("n_events"), {
+        val hx = expr(
+          """aggregate(xs, cast(0.0 as double), (acc, c) ->
+             acc - (c / cast(n as double)) * log2(c / cast(n as double)))""")
+        val hxy = expr(
+          """aggregate(cs, cast(0.0 as double), (acc, s) ->
+             acc - (s.c / cast(n as double)) * log2(s.c / cast(s.ny as double)))""")
+        struct(round(hx, 6).as("h_x"), round(hxy, 6).as("h_x_given_y"),
+          round((hx - hxy) / hx, 6).as("theils_u"))
+      }.as("u"))
+      .select(col("n_events"), col("u.h_x").as("h_x"),
+        col("u.h_x_given_y").as("h_x_given_y"),
+        col("u.theils_u").as("theils_u"))
+  }
+
   /** ClickHouse `skewPop` / `kurtPop` via the same exact-moment scheme
     * as agg_regression: Σx..Σx⁴ summed in decimal (l_quantity is
     * integer-valued ≤ 50, so q⁴ ≤ 6.25e6 is dyadic-exact), central
@@ -813,6 +854,34 @@ object Aggregates {
                     * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE)
                     + CAST(n2 AS DOUBLE)))) * d, 6) AS lambda
               FROM m""")),
+    QueryDef("agg_theils_u", aggTheilsU,
+      Some("""WITH e AS (SELECT event_type AS x,
+                 isodow(CAST(ts AS TIMESTAMP)) - 1 AS y FROM events),
+              cells AS (SELECT x, y, COUNT(*) AS c FROM e GROUP BY x, y),
+              wy AS (SELECT x, y, c,
+                CAST(SUM(c) OVER (PARTITION BY y) AS BIGINT) AS ny
+                FROM cells),
+              joint AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                list_sort(list(struct_pack(x := x, y := y, c := c,
+                  ny := ny))) AS cs FROM wy),
+              margs AS (SELECT list_sort(list(nx)) AS xs FROM
+                (SELECT x, CAST(SUM(c) AS BIGINT) AS nx
+                 FROM cells GROUP BY x)),
+              h AS (SELECT n,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(xs, c ->
+                    -(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)))),
+                  (a, b) -> a + b) AS hx,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(cs, s ->
+                    -(s.c / CAST(n AS DOUBLE))
+                      * log2(s.c / CAST(s.ny AS DOUBLE)))),
+                  (a, b) -> a + b) AS hxy
+                FROM joint, margs)
+              SELECT n AS n_events, round(hx, 6) AS h_x,
+                round(hxy, 6) AS h_x_given_y,
+                round((hx - hxy) / hx, 6) AS theils_u
+              FROM h""")),
     QueryDef("agg_mannwhitney", aggMannWhitney,
       Some("""WITH e AS (SELECT CASE WHEN event_type = 'purchase'
                   THEN 1 ELSE 0 END AS a, value
