@@ -15,6 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object Fns {
 
+  /** ClickHouse `bar(x, min, max, width)` — the ops-dashboard ASCII
+    * sparkline: daily purchase volume rendered as a '#' bar scaled to
+    * the day-range maximum. Pure integer/string math (floor of a
+    * width-scaled ratio + repeat), so the rendered strings hash-match
+    * cross-engine; the whole render rides the daily rollup (O(days)),
+    * raw events contribute map-side partial counts only.
+    */
+  private def fnBar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mx", max(col("n")).over(all))
+      .select(col("day"), col("n"),
+        repeat(lit("#"),
+          floor(col("n") * lit(40) / col("mx")).cast("int")).as("bar"))
+      .orderBy(col("day"))
+  }
+
   private def fnString(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .select(
@@ -498,6 +520,14 @@ object Fns {
                ~o_orderkey AS k_not,
                CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
               FROM orders ORDER BY o_orderkey""")),
+    QueryDef("fn_bar", fnBar,
+      Some("""WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 COUNT(*) AS n FROM events
+                 WHERE event_type = 'purchase' GROUP BY day),
+              m AS (SELECT day, n, MAX(n) OVER () AS mx FROM d)
+              SELECT day, n,
+                repeat('#', CAST(FLOOR(n * 40 / mx) AS INTEGER)) AS bar
+              FROM m ORDER BY day""")),
     QueryDef("fn_string", fnString,
       Some("""SELECT c_custkey,
                substr(c_name, 1, 8) AS name_prefix,
