@@ -662,6 +662,50 @@ object Scans {
       .orderBy(col("bucket"))
   }
 
+  /** ClickHouse `ALTER TABLE ... FREEZE`: a ZERO-COPY snapshot — every
+    * part file HARDLINKED into a shadow directory (O(files) metadata,
+    * no data read or copied; parts are immutable so links are safe),
+    * after which mutations rewrite the live table freely while the
+    * frozen snapshot keeps reading the original bytes. The query proves
+    * snapshot isolation: freeze, then run a predicate mutation on the
+    * live table, then aggregate BOTH — the frozen side must equal the
+    * pre-mutation table (its half of the oracle) while the live side
+    * shows the delete.
+    *
+    * Scale notes: FREEZE cost is O(files) directory metadata — the
+    * reason ClickHouse backups of 100 TB tables are instant; the
+    * mutation after it is the usual partition-pruned staged swap
+    * (rewritten partitions get NEW files, so the old bytes stay live
+    * for the snapshot via their link count).
+    */
+  private def sinkFreeze(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir("freeze")
+    val (root, cut) = mutationStage(s, dir, scratch)
+    val shadow = s"$scratch/shadow"
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .toSeq.flatMap(walk)
+      else Seq(f)
+    val rootPath = java.nio.file.Paths.get(root)
+    walk(new java.io.File(root)).foreach { f =>
+      val rel = rootPath.relativize(f.toPath)
+      val dst = java.nio.file.Paths.get(shadow).resolve(rel)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.createLink(dst, f.toPath) // hardlink: zero copy
+    }
+    // live table mutates AFTER the freeze (same script as delete_where)
+    mutatePartitions(s, root, "day",
+      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      _.filter(col("event_type") =!= "click"))
+    def agg(path: String, nCol: String, sumCol: String): DataFrame =
+      s.read.parquet(path).groupBy(col("day"))
+        .agg(count(lit(1)).as(nCol), Det.dsum(col("value")).as(sumCol))
+    agg(shadow, "n_frozen", "sum_frozen")
+      .join(agg(root, "n_live", "sum_live"), Seq("day"))
+      .orderBy(col("day"))
+  }
+
   /** `system.parts` operational introspection: per-partition part
     * counts, row counts, and key min/max — the observability surface a
     * MergeTree operator watches (part explosion, skew, pruning health).
@@ -919,6 +963,18 @@ object Scans {
                CAST(4 AS BIGINT) AS n_blocks_written,
                CAST(2 AS BIGINT) AS n_blocks_skipped
               FROM orders GROUP BY bucket ORDER BY bucket""")),
+    QueryDef("sink_freeze", sinkFreeze,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_type, value FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e),
+               f AS (SELECT day, COUNT(*) AS n_frozen,
+                 ${Det.oSum("value")} AS sum_frozen FROM e GROUP BY day),
+               l AS (SELECT day, COUNT(*) AS n_live,
+                 ${Det.oSum("value")} AS sum_live
+                 FROM e, m WHERE NOT (day >= cut AND event_type = 'click')
+                 GROUP BY day)
+              SELECT f.day, n_frozen, sum_frozen, n_live, sum_live
+              FROM f JOIN l ON f.day = l.day ORDER BY f.day""")),
     QueryDef("optimize_deduplicate", optimizeDeduplicate,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_id, value FROM events),
