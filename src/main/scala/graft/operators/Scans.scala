@@ -743,6 +743,57 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** `system.columns`-grade dataset profiling: per-column null count
+    * and exact distinct cardinality over the events table — the
+    * pre-training data-quality read every pipeline (and ClickHouse's
+    * own ANALYZE/statistics machinery) runs. Types are the catalog's
+    * declared types (literals on both sides — the schema IS metadata).
+    * Min/max are deliberately limited to integral columns: float and
+    * timestamp rendering differs across engines, and the cardinality/
+    * null profile is the load-bearing part.
+    *
+    * Scale notes: one pass, all columns profiled in a SINGLE aggregate
+    * (no per-column scans — count_distinct partials combine map-side);
+    * the unpivot to long format happens on the one result row.
+    */
+  private def metaColumns(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val one = e.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("nn_event_id"),
+      countDistinct(col("event_id")).as("nd_event_id"),
+      min(col("event_id")).as("mn_event_id"),
+      max(col("event_id")).as("mx_event_id"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("nn_user_id"),
+      countDistinct(col("user_id")).as("nd_user_id"),
+      min(col("user_id")).as("mn_user_id"),
+      max(col("user_id")).as("mx_user_id"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("nn_event_type"),
+      countDistinct(col("event_type")).as("nd_event_type"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("nn_value"),
+      countDistinct(col("value")).as("nd_value"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("nn_props"),
+      countDistinct(col("props")).as("nd_props"))
+    def row(name: String, dtype: String, nn: String, nd: String,
+        mn: Option[String], mx: Option[String]) =
+      struct(lit(name).as("col_name"), lit(dtype).as("dtype"),
+        col("n_rows"), col(nn).as("n_null"), col(nd).as("n_distinct"),
+        mn.map(col).getOrElse(lit(null).cast("long")).as("min_long"),
+        mx.map(col).getOrElse(lit(null).cast("long")).as("max_long"))
+    one.select(explode(array(
+        row("event_id", "bigint", "nn_event_id", "nd_event_id",
+          Some("mn_event_id"), Some("mx_event_id")),
+        row("event_type", "string", "nn_event_type", "nd_event_type",
+          None, None),
+        row("props", "string", "nn_props", "nd_props", None, None),
+        row("user_id", "bigint", "nn_user_id", "nd_user_id",
+          Some("mn_user_id"), Some("mx_user_id")),
+        row("value", "double", "nn_value", "nd_value", None, None)))
+        .as("c"))
+      .select(col("c.*"))
+      .orderBy(col("col_name"))
+  }
+
   /** Z-order clustered write (ClickHouse `ORDER BY (a, b)` generalized to
     * multi-dimensional locality / Delta OPTIMIZE ZORDER): interleave the
     * bits of two lookup keys into one Morton value, range-partition and
@@ -984,6 +1035,42 @@ object Scans {
                   AS n_removed,
                 ${Det.oSum("value")} AS sum_value
               FROM e, m GROUP BY day ORDER BY day""")),
+    QueryDef("meta_columns", metaColumns,
+      Some("""WITH a AS (SELECT COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_event_id,
+                 COUNT(DISTINCT event_id) AS nd_event_id,
+                 MIN(event_id) AS mn_event_id, MAX(event_id) AS mx_event_id,
+                 CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_user_id,
+                 COUNT(DISTINCT user_id) AS nd_user_id,
+                 MIN(user_id) AS mn_user_id, MAX(user_id) AS mx_user_id,
+                 CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_event_type,
+                 COUNT(DISTINCT event_type) AS nd_event_type,
+                 CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_value,
+                 COUNT(DISTINCT value) AS nd_value,
+                 CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_props,
+                 COUNT(DISTINCT props) AS nd_props
+                 FROM events)
+              SELECT 'event_id' AS col_name, 'bigint' AS dtype, n_rows,
+                nn_event_id AS n_null, nd_event_id AS n_distinct,
+                mn_event_id AS min_long, mx_event_id AS max_long FROM a
+              UNION ALL
+              SELECT 'event_type', 'string', n_rows, nn_event_type,
+                nd_event_type, NULL, NULL FROM a
+              UNION ALL
+              SELECT 'props', 'string', n_rows, nn_props, nd_props,
+                NULL, NULL FROM a
+              UNION ALL
+              SELECT 'user_id', 'bigint', n_rows, nn_user_id, nd_user_id,
+                mn_user_id, mx_user_id FROM a
+              UNION ALL
+              SELECT 'value', 'double', n_rows, nn_value, nd_value,
+                NULL, NULL FROM a
+              ORDER BY col_name""")),
     QueryDef("meta_parts", metaParts,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_id, value FROM events)
