@@ -238,6 +238,20 @@ class PlanShapeSpec extends GraftSpec {
     assert(joins == 1, s"dictionary must not plan a join of its own:\n${p.take(800)}")
   }
 
+  test("meta_columns profiles every column in ONE scan of the table") {
+    val p = plan("meta_columns")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 1,
+      s"profiling must not rescan per column ($scans scans):\n${p.take(600)}")
+  }
+
+  test("fn_with_fill: spine bounds broadcast; no raw-event global sort") {
+    val p = plan("fn_with_fill")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bounds must broadcast into the spine:\n${p.take(600)}")
+  }
+
   test("offset-log read: bounds ride a broadcast join, records never sort-merge") {
     import graft.streaming.OffsetLog
     import spark.implicits._
