@@ -77,11 +77,88 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused squared-L2 distance over two numeric array columns — the
+  * k-means/IVF hot-path twin of [[CosineSim]]: single pass, double
+  * accumulator, no per-row zip/transform allocations, whole-stage
+  * codegen. Element types dispatch independently per side (float or
+  * double), so it applies both to raw embedding columns and to the
+  * double-cast vectors the vector operators carry. Accumulation order
+  * is the same left-to-right fold as the higher-order-function
+  * formulation, so results are bit-identical to it (asserted in
+  * ExtensionsSpec). Registered as `l2_sq_native(a, b)`.
+  */
+case class EuclidSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elem(left.dataType).isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_sq_native expects array<float|double>; left is ${left.dataType}")
+    else if (elem(right.dataType).isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_sq_native expects array<float|double>; right is ${right.dataType}")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elem(left.dataType).contains(FloatType)
+    val rf = elem(right.dataType).contains(FloatType)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) => {
+      def getter(c: String, side: DataType, i: String): String =
+        if (elem(side).contains(FloatType)) s"(double) $c.getFloat($i)"
+        else s"$c.getDouble($i)"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = java.lang.Math.min($c1.numElements(), $c2.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = ${getter(c1, left.dataType, i)} - ${getter(c2, right.dataType, i)};
+          $acc += $d * $d;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EuclidSq =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Register the native functions into the session's function registry. */
   def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim_native", args => CosineSim(args(0), args(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq_native", args => EuclidSq(args(0), args(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ipv4_to_long", args => Ipv4ToLong(args(0)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

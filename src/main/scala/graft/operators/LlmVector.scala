@@ -388,16 +388,19 @@ object LlmVector {
     */
   private def simIvfTrainedKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val (cents, _) = kmeansTrained(s, dir)
     val cdf = broadcast(cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cid", "cvec"))
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("v"))
-    def d2(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    // the fused native expression: same left-to-right fold as the HOF
+    // formulation (bit-identical — ExtensionsSpec), minus the per-row
+    // zip/transform array allocations
+    def d2(a: String, b: String): Column = expr(s"l2_sq_native($a, $b)")
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid"))
     val lists = e.crossJoin(cdf)
-      .withColumn("d2", d2(col("v"), col("cvec")))
+      .withColumn("d2", d2("v", "cvec"))
       .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
       .select(col("vec_id").as("cand_id"), col("cid").as("list_id"),
         col("v").as("cv"))
@@ -406,14 +409,14 @@ object LlmVector {
     val wSel = Window.partitionBy(col("probe_id"))
       .orderBy(col("d2").asc, col("cid"))
     val routed = probes.crossJoin(cdf)
-      .withColumn("d2", d2(col("pv"), col("cvec")))
+      .withColumn("d2", d2("pv", "cvec"))
       .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
       .select(col("probe_id"), col("pv"), col("cid").as("list_id"))
     val wKnn = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist").asc, col("cand_id"))
     routed.join(lists, "list_id")
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("dist", round(d2(col("pv"), col("cv")), 6))
+      .withColumn("dist", round(d2("pv", "cv"), 6))
       .withColumn("rnk", row_number().over(wKnn)).filter(col("rnk") <= 3)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("list_id"),
         col("dist"))
