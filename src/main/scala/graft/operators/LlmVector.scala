@@ -313,10 +313,15 @@ object LlmVector {
       // centroids are the decimal means; SSE w.r.t. the centroids the
       // round ASSIGNED AGAINST (the Lloyd's objective) falls out of the
       // same moments driver-side: Σ‖x−c‖² = Σx² − 2c·Σx + n·c² per dim.
+      graft.functions.GraftFunctions.register(s)
       val candidates = array(cents.zipWithIndex.map { case (c, i) =>
-        struct(aggregate(
-          zip_with(col("v"), typedLit(c), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("d2"), lit(i).as("cid"))
+        // codebook as exact literals: Double.toString is the shortest
+        // round-trip representation, so CAST(string AS DOUBLE) restores
+        // the same bit pattern; l2_sq_native folds in the same order as
+        // the HOF formulation it replaces (bit-identical, allocation-free)
+        struct(expr(s"l2_sq_native(v, array(${
+          c.map(x => s"CAST('$x' AS DOUBLE)").mkString(", ")}))")
+          .as("d2"), lit(i).as("cid"))
       }: _*)
       val moments = e
         .withColumn("cid", array_min(candidates).getField("cid"))
