@@ -108,6 +108,71 @@ object MvOps {
     byTime.unionByName(byUser).orderBy(col("probe"))
   }
 
+  /** Projection MAINTENANCE under mutation — the other half of the
+    * projection contract: ClickHouse rebuilds a table's projections
+    * when a mutation rewrites its parts, otherwise routing would serve
+    * stale rows. Here both layouts (day-clustered base, user-clustered
+    * projection) are staged fresh, a DELETE mutation applies the SAME
+    * predicate to BOTH (the rebuild), and the two probe shapes then
+    * read their respective layouts — the user probe THROUGH the routing
+    * rule against the mutated projection. Both hash-match one oracle
+    * over the mutated row set, which is exactly the statement "the
+    * projection was maintained".
+    *
+    * Scale notes: the projection rebuild costs the same partition-
+    * pruned rewrite as the base (2× mutation write amplification — the
+    * documented projection trade); routing itself is unchanged O(plan).
+    */
+  private def projectionMutate(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir("projmut")
+    val basePath = s"$scratch/byday"
+    val altPath = s"$scratch/byuser"
+    def ev = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        col("event_type"), col("value"), col("event_id"))
+    ev.repartitionByRange(4, col("day")).sortWithinPartitions(col("day"))
+      .write.parquet(basePath)
+    ev.repartitionByRange(4, col("user_id"))
+      .sortWithinPartitions(col("user_id")).write.parquet(altPath)
+    graft.plans.ProjectionRouting.register(graft.plans.ProjectionRouting
+      .ProjDef(basePath, "day", altPath, "user_id"))
+    graft.plans.ProjectionRouting.enable(s)
+    // the mutation: DELETE WHERE user_id % 10 = 3, applied to BOTH
+    // layouts (the projection rebuild). Flat layouts here, so the
+    // rewrite is a full-copy staged swap per layout; the partitioned
+    // variant prunes (mutation_delete_where) — orthogonal to routing.
+    Seq(basePath, altPath).foreach { p =>
+      val staged = s"${p}_staged"
+      s.read.parquet(p).filter(col("user_id") % 10 =!= 3)
+        .write.parquet(staged)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+      java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+        java.nio.file.Paths.get(p))
+    }
+    val base = s.read.parquet(basePath)
+    def userProbe(uid: Long, tag: String) =
+      base.filter(col("user_id") === uid)
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .select(lit(tag).as("probe"), col("n"), col("sum_value"))
+    // user 3 is IN the deleted predicate (3 % 10 = 3): a stale (unbuilt)
+    // projection would still serve its original rows through the routed
+    // probe — n must be 0, which is the actual maintenance proof. User 7
+    // survives the mutation and must read normally.
+    val byUserDeleted = userProbe(3L, "by_user_deleted")
+    val byUserLive = userProbe(7L, "by_user_live")
+    val cut = base.agg(date_sub(max(col("day")), 7).as("cut"))
+    val byTime = base.join(broadcast(cut))
+      .filter(col("day") >= col("cut"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(lit("by_time").as("probe"), col("n"), col("sum_value"))
+    byTime.unionByName(byUserDeleted).unionByName(byUserLive)
+      .orderBy(col("probe"))
+  }
+
   /** AggregatingMergeTree two-phase contract, made explicit: phase 1
     * computes PARTIAL aggregate states per (group, shard) and persists
     * them (the "parts" a merge-tree table accumulates); phase 2 reads the
@@ -290,6 +355,19 @@ object MvOps {
                 ${Det.oSum("value")} AS sum_value FROM e, m WHERE day >= cut
               UNION ALL
               SELECT 'by_user' AS probe, COUNT(*) AS n,
+                ${Det.oSum("value")} AS sum_value FROM e WHERE user_id = 7
+              ORDER BY probe""")),
+    QueryDef("projection_mutate", projectionMutate,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 user_id, value FROM events WHERE user_id % 10 <> 3),
+               m AS (SELECT max(day) - 7 AS cut FROM e)
+              SELECT 'by_time' AS probe, COUNT(*) AS n,
+                ${Det.oSum("value")} AS sum_value FROM e, m WHERE day >= cut
+              UNION ALL
+              SELECT 'by_user_deleted' AS probe, COUNT(*) AS n,
+                ${Det.oSum("value")} AS sum_value FROM e WHERE user_id = 3
+              UNION ALL
+              SELECT 'by_user_live' AS probe, COUNT(*) AS n,
                 ${Det.oSum("value")} AS sum_value FROM e WHERE user_id = 7
               ORDER BY probe""")),
     QueryDef("mv_route", mvRoute,
