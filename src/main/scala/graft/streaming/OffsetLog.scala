@@ -114,7 +114,12 @@ object OffsetLog {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("value",
         org.apache.spark.sql.types.StringType)))
-    s.read.schema(recSchema).json(epochs.map(e => s"$root/seg=$e"): _*)
+    // basePath anchors partition discovery: without it, a read spanning
+    // MULTIPLE epoch dirs makes Spark infer conflicting structures
+    // (seg= itself looks like a partition level) — a latent bug the
+    // retention spec's two-epoch tail read exposed
+    s.read.schema(recSchema).option("basePath", root)
+      .json(epochs.map(e => s"$root/seg=$e"): _*)
       .withColumn("p", col("p").cast("int"))
       .join(broadcast(boundsDf), Seq("p"))
       .filter(col("offset") >= col("from") && col("offset") < col("until"))
@@ -152,6 +157,35 @@ object OffsetLog {
     }
     atomicWrite(commitFile(root, group),
       merged.toSeq.sorted.map { case (p, o) => s"$p $o" }.mkString("\n"))
+  }
+
+  /** Log RETENTION (Kafka's segment deletion): drop every segment epoch
+    * whose ranges lie wholly below `floor` on every partition — the
+    * low-water mark, normally min over all consumer groups' committed
+    * offsets. The _ENDS index keeps the dropped epochs' entries (offset
+    * continuity and end-offset accounting never change; the index is
+    * O(epochs × parts) metadata), and reads are safe by contract: a
+    * consumer's `from` is ≥ its committed position ≥ the floor, so a
+    * truncated epoch can never be selected by the segment pruning.
+    * Returns the dropped epoch ids.
+    */
+  def truncate(root: String, floor: Map[Int, Long]): Seq[Long] = {
+    val hist = endsHistory(root)
+    val dead = hist.groupBy(_._1).collect {
+      case (e, rs) if rs.forall { case (_, p, _, b) =>
+        b <= floor.getOrElse(p, 0L) } => e
+    }.toSeq.sorted
+      // _ENDS keeps dropped epochs' entries by design (offset
+      // accounting) — report only dirs that actually exist
+      .filter(e => new java.io.File(s"$root/seg=$e").exists())
+    dead.foreach { e =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$root/seg=$e"))
+    }
+    dead
   }
 
   private def atomicWrite(path: String, content: String): Unit = {

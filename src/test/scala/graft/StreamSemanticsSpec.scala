@@ -301,6 +301,40 @@ class StreamSemanticsSpec extends GraftSpec {
     assert(tail == Set((1, 2L), (1, 3L)), s"unexpected tail: $tail")
   }
 
+  test("offset log retention: segments below the committed floor drop, reads survive") {
+    import graft.streaming.OffsetLog
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_offlog_ret_test").toString + "/log"
+    def ap(epoch: Long, rows: Seq[(Long, String)]): Unit =
+      OffsetLog.append(root, epoch,
+        rows.toDF("k", "value")
+          .withColumn("p", pmod(col("k"), lit(2L)).cast("int"))
+          .select("p", "value", "k"),
+        col("k"))
+    ap(0L, (0L until 4L).map(k => (k, s"a$k")))
+    ap(1L, (4L until 8L).map(k => (k, s"b$k")))
+    ap(2L, (8L until 10L).map(k => (k, s"c$k")))
+    // two groups: the slower one pins the low-water mark
+    OffsetLog.commit(root, "fast", Map(0 -> 5L, 1 -> 5L))
+    OffsetLog.commit(root, "slow", Map(0 -> 2L, 1 -> 2L))
+    val floor = Seq("fast", "slow").map(OffsetLog.committed(root, _))
+      .reduce((a, b) => a.map { case (p, o) => p -> math.min(o, b(p)) })
+    // epoch 0 ends at 2/2 == the slow group's floor → dropped; epoch 1
+    // is beyond it → kept
+    assert(OffsetLog.truncate(root, floor) == Seq(0L))
+    assert(!new java.io.File(s"$root/seg=0").exists())
+    assert(new java.io.File(s"$root/seg=1").exists())
+    // accounting unchanged; both groups still read their exact tails
+    assert(OffsetLog.endOffsets(root) == Map(0 -> 5L, 1 -> 5L))
+    val slowTail = OffsetLog.read(spark, root, OffsetLog.committed(root, "slow"))
+    assert(slowTail.count() == 6) // epochs 1 and 2, offsets 2..4 per p
+    val fastTail = OffsetLog.read(spark, root, OffsetLog.committed(root, "fast"))
+    assert(fastTail.count() == 0)
+    // a second truncate at the same floor is a no-op
+    assert(OffsetLog.truncate(root, floor).isEmpty)
+  }
+
   test("exactly-once offsets: position and state share one atomic commit") {
     import graft.streaming.{OffsetLog, StreamOps}
     import org.apache.spark.sql.types._
