@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.util
+
+import graft.streaming.OffsetLog
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the [[OffsetLog]] — the log as a named
+  * Spark format, the deepest extension rung after expressions and
+  * optimizer rules (SURVEY §2.12's ladder):
+  *
+  * {{{
+  *   spark.read.format("graftlog")
+  *     .option("path", root)
+  *     .option("group", consumerGroup)   // optional: resume position
+  *     .load()                           // p INT, offset LONG, value STRING
+  * }}}
+  *
+  * Planning happens against the log's OWN metadata, not directory
+  * listing: the `_ENDS` segment index yields one InputPartition per
+  * (epoch, partition) whose range extends past the group's committed
+  * position — segment pruning and resume-from-offset are DONE AT PLAN
+  * TIME inside the connector, invisible to the query. Each reader
+  * streams its segment's json files and skips records below the
+  * committed offset (a segment can straddle the position).
+  *
+  * Scale notes: one Spark task per live (epoch, partition) segment —
+  * the log's natural parallelism; planning is O(epochs × parts) driver
+  * metadata; a fully-consumed or truncated segment never becomes a
+  * task at all.
+  */
+class OffsetLogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graftlog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OffsetLogSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OffsetLogTable(properties.get("path"),
+      Option(properties.get("group")))
+}
+
+object OffsetLogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("p", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType)))
+}
+
+private class OffsetLogTable(root: String, group: Option[String])
+    extends Table with SupportsRead {
+  require(root != null, "graftlog requires option(\"path\", ...)")
+
+  override def name(): String = s"graftlog(`$root`)"
+  override def schema(): StructType = OffsetLogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = OffsetLogSource.schema
+      override def toBatch: Batch = this
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val from: Map[Int, Long] =
+          group.map(OffsetLog.committed(root, _)).getOrElse(Map.empty)
+        // the _ENDS index IS the planner: one task per live segment
+        OffsetLog.liveSegments(root, from).map { case (epoch, p) =>
+          OffsetLogInputPartition(s"$root/seg=$epoch/p=$p", p,
+            from.getOrElse(p, 0L)): InputPartition
+        }.toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        OffsetLogReaderFactory
+    }
+}
+
+private case class OffsetLogInputPartition(dir: String, p: Int,
+    from: Long) extends InputPartition
+
+private object OffsetLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[OffsetLogInputPartition]
+    new PartitionReader[InternalRow] {
+      private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      private val files = Option(new java.io.File(part.dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName).iterator
+      private var lines: Iterator[String] = Iterator.empty
+      private var row: InternalRow = _
+
+      @scala.annotation.tailrec
+      private def advance(): Boolean =
+        if (lines.hasNext) {
+          val node = mapper.readTree(lines.next())
+          val off = node.get("offset").asLong()
+          if (off < part.from) advance() // segment straddles the position
+          else {
+            val v = node.get("value")
+            row = InternalRow(part.p, off,
+              if (v == null || v.isNull) null
+              else UTF8String.fromString(v.asText()))
+            true
+          }
+        } else if (files.hasNext) {
+          lines = scala.io.Source.fromFile(files.next())("UTF-8")
+            .getLines().filter(_.nonEmpty)
+          advance()
+        } else false
+
+      override def next(): Boolean = advance()
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

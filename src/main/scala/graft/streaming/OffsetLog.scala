@@ -159,6 +159,16 @@ object OffsetLog {
       merged.toSeq.sorted.map { case (p, o) => s"$p $o" }.mkString("\n"))
   }
 
+  /** Live (epoch, partition) segments past a position — the DSv2
+    * connector's plan-time unit: one Spark task per entry. Truncated
+    * dirs are excluded even though _ENDS remembers them.
+    */
+  def liveSegments(root: String, from: Map[Int, Long]): Seq[(Long, Int)] =
+    endsHistory(root).collect {
+      case (e, p, _, b) if b > from.getOrElse(p, 0L) &&
+          new java.io.File(s"$root/seg=$e/p=$p").exists() => (e, p)
+    }.sorted
+
   /** Log RETENTION (Kafka's segment deletion): drop every segment epoch
     * whose ranges lie wholly below `floor` on every partition — the
     * low-water mark, normally min over all consumer groups' committed

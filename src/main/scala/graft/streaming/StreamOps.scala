@@ -588,6 +588,25 @@ object StreamOps {
       .orderBy(col("partition"))
   }
 
+  /** The offset log consumed through its DataSource V2 CONNECTOR
+    * (`format("graftlog")`, sources/OffsetLogSource.scala) — the log as
+    * a first-class Spark format: segment pruning and resume position
+    * are resolved at PLAN time inside the connector from the log's own
+    * `_ENDS` index (one task per live segment), not by directory
+    * listing. Per-partition record counts and end offsets come back
+    * through the connector and are oracled against the envelope script —
+    * proving the connector reads exactly the log's contents.
+    */
+  private def srcOffsetLogDsv2(s: SparkSession, dir: String): DataFrame = {
+    val root = offsetLogDir(s, dir)
+    s.read.format("graftlog").option("path", root).load()
+      .groupBy(col("p").cast("long").as("partition"))
+      .agg(count(lit(1)).as("n_records"),
+        (max(col("offset")) + 1).as("end_offset"),
+        countDistinct(col("offset")).as("n_distinct_offsets"))
+      .orderBy(col("partition"))
+  }
+
   /** Continuously-maintained PERCENTILE materialized view — the
     * composition `stream_summing_mv` (additive states) cannot express:
     * each micro-batch folds its events into per-event_type quantile
@@ -1393,6 +1412,18 @@ object StreamOps {
     // oracle verbatim.
     QueryDef("src_offset_log", srcOffsetLog, Some(offsetLogOracle)),
     QueryDef("src_offset_log_txn", srcOffsetLogTxn, Some(offsetLogOracle)),
+    // the connector reads the raw log: counts + end offsets per
+    // partition equal the envelope script's membership; offsets are
+    // dense (distinct count == record count per partition)
+    QueryDef("src_offset_log_dsv2", srcOffsetLogDsv2,
+      Some("""WITH f AS (SELECT o_orderkey AS pk FROM orders),
+              c AS (SELECT pk % 4 AS partition,
+                COUNT(*) + COUNT(CASE WHEN pk % 3 = 0 THEN 1 END)
+                         + COUNT(CASE WHEN pk % 7 = 0 THEN 1 END) AS n
+                FROM f GROUP BY 1)
+              SELECT partition, n AS n_records, n AS end_offset,
+                n AS n_distinct_offsets
+              FROM c ORDER BY partition""")),
     QueryDef("stream_quantile_mv", streamQuantileMv, None),
     // snapshot bootstrap + streamed tail must converge to the same end
     // state as the full-feed upsert (same oracle by construction)

@@ -335,6 +335,39 @@ class StreamSemanticsSpec extends GraftSpec {
     assert(OffsetLog.truncate(root, floor).isEmpty)
   }
 
+  test("graftlog DSv2: plan-time segment pruning, resume option, read parity") {
+    import graft.streaming.OffsetLog
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_offlog_dsv2_test").toString + "/log"
+    def ap(epoch: Long, rows: Seq[(Long, String)]): Unit =
+      OffsetLog.append(root, epoch,
+        rows.toDF("k", "value")
+          .withColumn("p", pmod(col("k"), lit(2L)).cast("int"))
+          .select("p", "value", "k"),
+        col("k"))
+    ap(0L, (0L until 6L).map(k => (k, s"a$k")))
+    ap(1L, (6L until 10L).map(k => (k, s"b$k")))
+    val full = spark.read.format("graftlog").option("path", root).load()
+    // parity with the library read path
+    val viaApi = OffsetLog.read(spark, root, Map.empty)
+      .select("p", "offset", "value").as[(Int, Long, String)].collect().toSet
+    val viaDsv2 = full.as[(Int, Long, String)].collect().toSet
+    assert(viaDsv2 == viaApi && viaDsv2.size == 10)
+    // plan-time parallelism: one task per live (epoch, partition)
+    assert(full.rdd.getNumPartitions == 4,
+      s"expected 4 segment tasks, got ${full.rdd.getNumPartitions}")
+    // resume via the group option: epoch 0 pruned AT PLAN TIME, and the
+    // straddling position inside epoch 1 is honored by the reader
+    OffsetLog.commit(root, "g", Map(0 -> 4L, 1 -> 3L))
+    val resumed = spark.read.format("graftlog").option("path", root)
+      .option("group", "g").load()
+    assert(resumed.rdd.getNumPartitions == 2,
+      "fully-consumed epoch-0 segments must not become tasks")
+    val tail = resumed.select("p", "offset").as[(Int, Long)].collect().toSet
+    assert(tail == Set((0, 4L), (1, 3L), (1, 4L)), s"unexpected tail: $tail")
+  }
+
   test("exactly-once offsets: position and state share one atomic commit") {
     import graft.streaming.{OffsetLog, StreamOps}
     import org.apache.spark.sql.types._
