@@ -6,6 +6,8 @@ import graft.streaming.OffsetLog
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,7 +65,8 @@ private class OffsetLogTable(root: String, group: Option[String])
   override def name(): String = s"graftlog(`$root`)"
   override def schema(): StructType = OffsetLogSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -77,17 +80,88 @@ private class OffsetLogTable(root: String, group: Option[String])
         // the _ENDS index IS the planner: one task per live segment
         OffsetLog.liveSegments(root, from).map { case (epoch, p) =>
           OffsetLogInputPartition(s"$root/seg=$epoch/p=$p", p,
-            from.getOrElse(p, 0L)): InputPartition
+            from.getOrElse(p, 0L), Long.MaxValue): InputPartition
         }.toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
         OffsetLogReaderFactory
+
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream = new OffsetLogMicroBatchStream(root, group)
     }
 }
 
+/** Per-partition positions as a streaming Offset — the same shape the
+  * Kafka source checkpoints. Serialized "p:offset" CSV for the commit
+  * log.
+  */
+private case class LogOffsets(pos: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    pos.toSeq.sorted.map { case (p, o) => s"$p:$o" }.mkString(",")
+}
+
+private object LogOffsets {
+  def parse(s: String): LogOffsets =
+    if (s == null || s.trim.isEmpty) LogOffsets(Map.empty)
+    else LogOffsets(s.split(',').map { kv =>
+      val Array(p, o) = kv.split(':'); p.toInt -> o.toLong
+    }.toMap)
+}
+
+/** The log as a CUSTOM STRUCTURED STREAMING SOURCE (the Kafka-connector
+  * shape): Spark's commit log checkpoints [[LogOffsets]]; each
+  * micro-batch plans one task per segment overlapping (start, end];
+  * `Trigger.AvailableNow` snapshots the high-water mark up front so a
+  * run drains exactly the log as it stood. The source's own `commit` is
+  * a no-op by design — the CHECKPOINT is the position of record
+  * (exactly-once with an idempotent sink), not the log's `_COMMIT_*`
+  * manifests, which belong to the non-Spark consumer protocol.
+  */
+private class OffsetLogMicroBatchStream(root: String, group: Option[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private var availableNowCap: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(OffsetLog.endOffsets(root))
+
+  override def initialOffset(): Offset =
+    LogOffsets(group.map(OffsetLog.committed(root, _)).getOrElse(Map.empty))
+
+  override def latestOffset(): Offset =
+    LogOffsets(availableNowCap.getOrElse(OffsetLog.endOffsets(root)))
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no read
+  // limiting — every micro-batch takes the full available range
+  override def latestOffset(start: Offset,
+      limit: streaming.ReadLimit): Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset = LogOffsets.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val from = start.asInstanceOf[LogOffsets].pos
+    val until = end.asInstanceOf[LogOffsets].pos
+    OffsetLog.liveSegments(root, from)
+      .filter { case (_, p) =>
+        until.getOrElse(p, 0L) > from.getOrElse(p, 0L) }
+      .map { case (epoch, p) =>
+        OffsetLogInputPartition(s"$root/seg=$epoch/p=$p", p,
+          from.getOrElse(p, 0L), until.getOrElse(p, Long.MaxValue))
+          : InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    OffsetLogReaderFactory
+
+  override def commit(end: Offset): Unit = () // checkpoint is the record
+  override def stop(): Unit = ()
+}
+
 private case class OffsetLogInputPartition(dir: String, p: Int,
-    from: Long) extends InputPartition
+    from: Long, until: Long) extends InputPartition
 
 private object OffsetLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -105,7 +179,9 @@ private object OffsetLogReaderFactory extends PartitionReaderFactory {
         if (lines.hasNext) {
           val node = mapper.readTree(lines.next())
           val off = node.get("offset").asLong()
-          if (off < part.from) advance() // segment straddles the position
+          // [from, until): a segment can straddle either bound (the
+          // streaming path bounds both ends per micro-batch)
+          if (off < part.from || off >= part.until) advance()
           else {
             val v = node.get("value")
             row = InternalRow(part.p, off,

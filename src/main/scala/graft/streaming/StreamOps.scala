@@ -510,17 +510,22 @@ object StreamOps {
     * is a broadcast of the O(parts) offset map; commit is O(parts)
     * manifest metadata. Nothing driver-side touches record data.
     */
+  /** Log records (value = envelope JSON) → the typed change rows the
+    * bucketed merge consumes; shared by every offset-log consumer.
+    */
+  private def logToTyped(recs: DataFrame): DataFrame =
+    Cdc.typeMapOrders(recs
+        .select(from_json(col("value"), Cdc.envelopeSchema).as("m"))
+        .select(col("m.*")))
+      .select(col("o_orderkey"), col("o_totalprice"), col("es"),
+        col("ts"), col("type"))
+
   private def srcOffsetLog(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = offsetLogDir(s, dir)
     val state = fresh("offlog_state")
     val group = s"c${nameCtr.incrementAndGet()}_${System.nanoTime()}"
-    def toTyped(recs: DataFrame): DataFrame =
-      Cdc.typeMapOrders(recs
-          .select(from_json(col("value"), Cdc.envelopeSchema).as("m"))
-          .select(col("m.*")))
-        .select(col("o_orderkey"), col("o_totalprice"), col("es"),
-          col("ts"), col("type"))
+    def toTyped(recs: DataFrame): DataFrame = logToTyped(recs)
     // session 1: consume up to the high-water mark the consumer saw
     val hwm0 = OffsetLog.endOffsetsAt(root, 0L)
     mergeCdcTyped(toTyped(
@@ -605,6 +610,34 @@ object StreamOps {
         (max(col("offset")) + 1).as("end_offset"),
         countDistinct(col("offset")).as("n_distinct_offsets"))
       .orderBy(col("partition"))
+  }
+
+  /** The log consumed as a CUSTOM STRUCTURED STREAMING SOURCE
+    * (`readStream.format("graftlog")` — MicroBatchStream with
+    * checkpointed per-partition offsets, the Kafka-connector shape):
+    * Trigger.AvailableNow snapshots the high-water mark and drains the
+    * log through the usual idempotent bucketed merge; Spark's commit
+    * log IS the position of record (exactly-once with the idempotent
+    * sink — the source's commit() is deliberately a no-op). End state
+    * equals the file-drop streaming upsert, proven by sharing
+    * stream_cdc_upsert's oracle verbatim.
+    */
+  private def streamOffsetLogDsv2(s0: SparkSession, dir: String): DataFrame = {
+    val s = stateSized(s0)
+    val root = offsetLogDir(s, dir)
+    val state = fresh("offlog_stream_state")
+    val q = s.readStream.format("graftlog").option("path", root).load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeCdcTyped(logToTyped(batch), batchId, state)
+      }
+      .option("checkpointLocation", fresh("offlog_stream_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    readCdcState(s, state)
+      .filter(col("type") =!= "DELETE")
+      .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** Continuously-maintained PERCENTILE materialized view — the
@@ -1424,6 +1457,17 @@ object StreamOps {
               SELECT partition, n AS n_records, n AS end_offset,
                 n AS n_distinct_offsets
               FROM c ORDER BY partition""")),
+    // custom streaming source drains to the same end state as the
+    // file-drop streaming upsert → shares its oracle verbatim
+    QueryDef("stream_offset_log_dsv2", streamOffsetLogDsv2,
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 3 = 0
+                    THEN epoch_ms(o_orderdate) + 86400000
+                    ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
+              FROM orders WHERE o_orderkey % 7 <> 0
+              ORDER BY o_orderkey""")),
     QueryDef("stream_quantile_mv", streamQuantileMv, None),
     // snapshot bootstrap + streamed tail must converge to the same end
     // state as the full-feed upsert (same oracle by construction)

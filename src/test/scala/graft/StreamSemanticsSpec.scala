@@ -368,6 +368,46 @@ class StreamSemanticsSpec extends GraftSpec {
     assert(tail == Set((0, 4L), (1, 3L), (1, 4L)), s"unexpected tail: $tail")
   }
 
+  test("graftlog streaming: checkpoint offsets resume; only the tail replays") {
+    import graft.streaming.OffsetLog
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_offlog_stream_test").toString
+    val root = s"$base/log"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    def ap(epoch: Long, rows: Seq[(Long, String)]): Unit =
+      OffsetLog.append(root, epoch,
+        rows.toDF("k", "value")
+          .withColumn("p", pmod(col("k"), lit(2L)).cast("int"))
+          .select("p", "value", "k"),
+        col("k"))
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").option("path", root).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen.add((id, b.count()))
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    ap(0L, (0L until 6L).map(k => (k, s"a$k")))
+    drain() // run 1: all of epoch 0
+    ap(1L, (6L until 10L).map(k => (k, s"b$k")))
+    drain() // run 2, SAME checkpoint: must read ONLY the appended tail
+    val batches = seen.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1)
+    assert(batches.map(_._2).sum == 10, s"batches: $batches")
+    assert(batches.last._2 == 4,
+      s"resume must process only the 4 tail records: $batches")
+    val rows = spark.read.parquet(out)
+      .select("p", "offset", "value").as[(Int, Long, String)].collect()
+    assert(rows.length == 10 && rows.toSet.size == 10,
+      "no record lost or duplicated across the resume")
+  }
+
   test("exactly-once offsets: position and state share one atomic commit") {
     import graft.streaming.{OffsetLog, StreamOps}
     import org.apache.spark.sql.types._
