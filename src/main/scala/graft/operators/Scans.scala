@@ -628,7 +628,11 @@ object Scans {
     def known(): Set[String] = {
       val f = new java.io.File(registry)
       if (!f.exists()) Set.empty
-      else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toSet
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(f.toPath).asScala
+          .filter(_.nonEmpty).toSet
+      }
     }
     var skipped = 0L; var written = 0L
     val o = Tables.orders(s, dir)

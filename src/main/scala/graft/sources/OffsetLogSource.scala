@@ -171,6 +171,7 @@ private object OffsetLogReaderFactory extends PartitionReaderFactory {
       private val files = Option(new java.io.File(part.dir).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(".json")).sortBy(_.getName).iterator
+      private var source: scala.io.Source = _ // closed per file + on close()
       private var lines: Iterator[String] = Iterator.empty
       private var row: InternalRow = _
 
@@ -190,14 +191,15 @@ private object OffsetLogReaderFactory extends PartitionReaderFactory {
             true
           }
         } else if (files.hasNext) {
-          lines = scala.io.Source.fromFile(files.next())("UTF-8")
-            .getLines().filter(_.nonEmpty)
+          if (source != null) source.close() // no fd leak across files
+          source = scala.io.Source.fromFile(files.next())("UTF-8")
+          lines = source.getLines().filter(_.nonEmpty)
           advance()
         } else false
 
       override def next(): Boolean = advance()
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = if (source != null) source.close()
     }
   }
 }

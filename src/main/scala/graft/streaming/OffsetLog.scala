@@ -41,10 +41,14 @@ object OffsetLog {
   private def endsHistory(root: String): Seq[(Long, Int, Long, Long)] = {
     val f = new java.io.File(endsFile(root))
     if (!f.exists()) Nil
-    else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).map { l =>
-      val Array(e, p, a, b) = l.split(' ')
-      (e.toLong, p.toInt, a.toLong, b.toLong)
-    }.toSeq
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
+        .filter(_.nonEmpty).map { l =>
+          val Array(e, p, a, b) = l.split(' ')
+          (e.toLong, p.toInt, a.toLong, b.toLong)
+        }
+    }
   }
 
   /** Next offset to be assigned per partition (0 before any append). */
@@ -130,9 +134,13 @@ object OffsetLog {
   def committed(root: String, group: String): Map[Int, Long] = {
     val f = new java.io.File(commitFile(root, group))
     if (!f.exists()) Map.empty
-    else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).map { l =>
-      val Array(p, o) = l.split(' '); p.toInt -> o.toLong
-    }.toMap
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty).map { l =>
+          val Array(p, o) = l.split(' '); p.toInt -> o.toLong
+        }.toMap
+    }
   }
 
   /** Commit the group's position — fsync'd bytes, atomic rename, fsync'd

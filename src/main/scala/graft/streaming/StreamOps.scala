@@ -351,12 +351,14 @@ object StreamOps {
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
       .map(_.getName.drop(2).toLong).sorted.reverse
+    import scala.jdk.CollectionConverters._
     versions.iterator.map { v =>
       new java.io.File(s"$state/v=$v/_offsets")
     }.collectFirst { case f if f.exists() =>
-      scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).map { l =>
-        val Array(p, o) = l.split(' '); p.toInt -> o.toLong
-      }.toMap
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty).map { l =>
+          val Array(p, o) = l.split(' '); p.toInt -> o.toLong
+        }.toMap
     }.getOrElse(Map.empty)
   }
 
