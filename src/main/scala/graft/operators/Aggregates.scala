@@ -619,6 +619,92 @@ object Aggregates {
       }: _*)
   }
 
+  /** ClickHouse `rankCorr` — Spearman's ρ between l_quantity and
+    * l_discount, formulated over the COMPRESSED distinct-pair domain
+    * (≤ 50·11 cells): marginal counts give each distinct value its
+    * tie-averaged rank (below + (t+1)/2 — a dyadic rational), then ρ is
+    * Pearson over the cell table weighted by cell count. Every sum
+    * (Σw·rq, Σw·rq², Σw·rq·rd) is a sum of quarter-integers — exact in
+    * double far below 2⁵³ — so both engines agree bit-for-bit until the
+    * single final divide/sqrt (correctly-rounded IEEE ops on identical
+    * inputs), which rounds to 6dp.
+    *
+    * Scale notes: raw lineitem contributes only map-side partial counts
+    * into the (q, d) cell table; ranks are prefix sums over the two
+    * MARGINAL domains (O(distinct) rows each), never a sort of raw
+    * rows. A high-cardinality column would bin first (the quantile-
+    * sketch domain) and rank the bins — the window never sees O(rows).
+    */
+  private def aggRankCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").as("q"), col("l_discount").as("d"))
+      .agg(count(lit(1)).as("w"))
+    def ranks(src: DataFrame, key: String, rk: String): DataFrame = {
+      val w = Window.orderBy(col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      src.groupBy(col(key)).agg(sum(col("w")).as("t"))
+        .withColumn("below", coalesce(sum(col("t")).over(w), lit(0L)))
+        .select(col(key),
+          (col("below").cast("double")
+            + (col("t") + 1).cast("double") / 2.0).as(rk))
+    }
+    val joined = cells
+      .join(ranks(cells, "q", "rq"), "q")
+      .join(ranks(cells, "d", "rd"), "d")
+    joined.agg(
+        sum(col("w")).as("n"),
+        sum(col("w") * col("rq")).as("sq"),
+        sum(col("w") * col("rd")).as("sd"),
+        sum(col("w") * col("rq") * col("rq")).as("sqq"),
+        sum(col("w") * col("rd") * col("rd")).as("sdd"),
+        sum(col("w") * col("rq") * col("rd")).as("sqd"))
+      .select({
+        val n = col("n").cast("double")
+        val num = n * col("sqd") - col("sq") * col("sd")
+        val den = sqrt((n * col("sqq") - col("sq") * col("sq"))
+          * (n * col("sdd") - col("sd") * col("sd")))
+        Seq(col("n"), round(num / den, 6).as("rho"))
+      }: _*)
+  }
+
+  /** ClickHouse `arrayAUC` — ROC AUC of `value` as a score predicting
+    * purchase-vs-view, via the tie-aware rank identity AUC =
+    * (R₁ − n₁(n₁+1)/2) / (n₁n₂): the probability a random positive
+    * outscores a random negative, ties counted half. Shares
+    * agg_mannwhitney's exact distinct-domain formulation (R₁ terms are
+    * dyadic rationals, one prefix-sum window over O(distinct) cells);
+    * only the final division is inexact, rounded to 6dp.
+    *
+    * Scale notes: identical to agg_mannwhitney — per-value counts are
+    * map-side partials, the window rides the compressed score domain
+    * (bins for a continuous 100 TB score column), never raw rows.
+    */
+  private def aggAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isPos = col("event_type") === "purchase"
+    val byVal = Tables.events(s, dir)
+      .filter(isPos || col("event_type") === "view")
+      .select(when(isPos, 1L).otherwise(0L).as("a"), col("value"))
+      .groupBy(col("value"))
+      .agg(sum(col("a")).as("ca"), (count(lit(1)) - sum(col("a"))).as("cb"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("below", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .agg(
+        sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),
+        sum(col("ca").cast("double") *
+          (col("below").cast("double")
+            + (col("ca") + col("cb") + 1).cast("double") / 2.0)).as("r1"))
+      .select({
+        val n1 = col("n_pos").cast("double")
+        val n2 = col("n_neg").cast("double")
+        Seq(col("n_pos"), col("n_neg"),
+          round((col("r1") - n1 * (n1 + 1) / 2.0) / (n1 * n2), 6).as("auc"))
+      }: _*)
+  }
+
   /** Theil's U (uncertainty coefficient) — with Cramér's V this
     * completes the categorical-dependency family: U(X|Y) =
     * (H(X) − H(X|Y)) / H(X) for X = event_type, Y = weekday. Both
@@ -910,6 +996,51 @@ object Aggregates {
                       - tcorr / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
                         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))),
                   6) AS z
+              FROM m""")),
+    QueryDef("agg_rank_corr", aggRankCorr,
+      Some("""WITH cells AS (SELECT l_quantity AS q, l_discount AS d,
+                COUNT(*) AS w FROM lineitem GROUP BY q, d),
+              rq AS (SELECT q, below + CAST(t + 1 AS DOUBLE) / 2.0 AS rq
+                FROM (SELECT q, CAST(SUM(w) AS BIGINT) AS t,
+                  CAST(COALESCE(SUM(SUM(w)) OVER (ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS DOUBLE) AS below
+                  FROM cells GROUP BY q) mq),
+              rd AS (SELECT d, below + CAST(t + 1 AS DOUBLE) / 2.0 AS rd
+                FROM (SELECT d, CAST(SUM(w) AS BIGINT) AS t,
+                  CAST(COALESCE(SUM(SUM(w)) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS DOUBLE) AS below
+                  FROM cells GROUP BY d) md),
+              m AS (SELECT CAST(SUM(w) AS BIGINT) AS n,
+                SUM(w * rq) AS sq, SUM(w * rd) AS sd,
+                SUM(w * rq * rq) AS sqq, SUM(w * rd * rd) AS sdd,
+                SUM(w * rq * rd) AS sqd
+                FROM cells JOIN rq USING (q) JOIN rd USING (d))
+              SELECT n, round((CAST(n AS DOUBLE) * sqd - sq * sd)
+                / sqrt((CAST(n AS DOUBLE) * sqq - sq * sq)
+                  * (CAST(n AS DOUBLE) * sdd - sd * sd)), 6) AS rho
+              FROM m""")),
+    QueryDef("agg_auc", aggAuc,
+      Some("""WITH e AS (SELECT CASE WHEN event_type = 'purchase'
+                  THEN 1 ELSE 0 END AS a, value
+                FROM events WHERE event_type IN ('purchase', 'view')),
+              v AS (SELECT value, CAST(SUM(a) AS BIGINT) AS ca,
+                COUNT(*) - CAST(SUM(a) AS BIGINT) AS cb
+                FROM e GROUP BY value),
+              r AS (SELECT ca, cb, COALESCE(SUM(ca + cb) OVER
+                  (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS below FROM v),
+              m AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_pos,
+                CAST(SUM(cb) AS BIGINT) AS n_neg,
+                SUM(CAST(ca AS DOUBLE) * (CAST(below AS DOUBLE)
+                  + CAST(ca + cb + 1 AS DOUBLE) / 2.0)) AS r1
+                FROM r)
+              SELECT n_pos, n_neg,
+                round((r1 - CAST(n_pos AS DOUBLE)
+                    * (CAST(n_pos AS DOUBLE) + 1) / 2.0)
+                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+                  AS auc
               FROM m""")),
     QueryDef("agg_ttest", aggTtest,
       Some("""WITH m AS (SELECT

@@ -388,7 +388,67 @@ object Fns {
       .orderBy(col("c_custkey"))
   }
 
+  /** Snowflake-style time-sortable ID codec (ClickHouse
+    * `generateSnowflakeID` / `snowflakeIDToDateTime`): 41 bits of millis
+    * since a 2020-01-01 custom epoch, 10 bits of shard (user_id % 1024),
+    * 12 bits of per-(ms, shard) sequence — encode and decode are
+    * shift/mask only, so IDs sort by time and decode without any lookup.
+    * Every operation is integer-exact; the oracle replays the identical
+    * bit layout.
+    *
+    * Scale notes: encode/decode are pure map-side projections (no
+    * shuffle at 100 TB). The sequence number is a per-(ms, shard) window
+    * here only to make the FIXTURE deterministic — a production
+    * generator holds it as a per-shard local counter, which is exactly
+    * what the 12-bit field models.
+    */
+  private val sfEpochMs = 1577836800000L // 2020-01-01T00:00:00Z
+  private def fnId(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+      .withColumn("shard", pmod(col("user_id"), lit(1024L)))
+    val seqW = Window.partitionBy(col("ms"), col("shard"))
+      .orderBy(col("event_id"))
+    val msDec = shiftright(col("sfid"), 22) + lit(sfEpochMs)
+    base
+      .withColumn("seq",
+        pmod(row_number().over(seqW) - 1, lit(4096)).cast("long"))
+      .withColumn("sfid",
+        shiftleft(col("ms") - sfEpochMs, 22)
+          .bitwiseOR(shiftleft(col("shard"), 12)).bitwiseOR(col("seq")))
+      .select(col("event_id"), col("sfid"),
+        msDec.as("ms_dec"),
+        shiftright(col("sfid"), 12).bitwiseAND(lit(1023L)).as("shard_dec"),
+        col("sfid").bitwiseAND(lit(4095L)).as("seq_dec"),
+        timestamp_millis(msDec).as("ts_dec"),
+        (msDec === col("ms") &&
+          shiftright(col("sfid"), 12).bitwiseAND(lit(1023L)) === col("shard"))
+          .as("ok"))
+      .orderBy(col("event_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_id", fnId,
+      Some("""WITH e AS (SELECT event_id, user_id,
+                epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+              b AS (SELECT event_id, ms, user_id % 1024 AS shard,
+                CAST((ROW_NUMBER() OVER (PARTITION BY ms, user_id % 1024
+                  ORDER BY event_id) - 1) % 4096 AS BIGINT) AS seq
+                FROM e),
+              i AS (SELECT event_id, ms, shard, seq,
+                ((ms - 1577836800000) << 22) | (shard << 12) | seq AS sfid
+                FROM b)
+              SELECT event_id, sfid,
+                (sfid >> 22) + 1577836800000 AS ms_dec,
+                (sfid >> 12) & 1023 AS shard_dec,
+                sfid & 4095 AS seq_dec,
+                make_timestamp(((sfid >> 22) + 1577836800000) * 1000)
+                  AS ts_dec,
+                ((sfid >> 22) + 1577836800000 = ms
+                  AND ((sfid >> 12) & 1023) = shard) AS ok
+              FROM i ORDER BY event_id""")),
     QueryDef("fn_array_fold", fnArrayFold,
       Some("""WITH g AS (SELECT l_orderkey,
                  list(CAST(l_quantity AS BIGINT)

@@ -33,6 +33,69 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("agg_rank_corr equals naive Spearman with tie-averaged ranks") {
+    import spark.implicits._
+    val Array(row) = SparkEntry.queries("agg_rank_corr")(spark, sf)
+      .as[(Long, Double)].collect()
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("double"),
+        col("l_discount").cast("double"))
+      .as[(Double, Double)].collect()
+    def avgRanks(xs: Array[Double]): Array[Double] = {
+      val byVal = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < byVal.length) {
+        var j = i
+        while (j < byVal.length && byVal(j)._1 == byVal(i)._1) j += 1
+        val r = (i + 1 + j) / 2.0 // average of ranks i+1..j
+        (i until j).foreach(k => out(byVal(k)._2) = r)
+        i = j
+      }
+      out
+    }
+    val rq = avgRanks(rows.map(_._1)); val rd = avgRanks(rows.map(_._2))
+    val n = rows.length.toDouble
+    val (sq, sd) = (rq.sum, rd.sum)
+    val sqq = rq.map(x => x * x).sum; val sdd = rd.map(x => x * x).sum
+    val sqd = rq.zip(rd).map { case (a, b) => a * b }.sum
+    val rho = (n * sqd - sq * sd) /
+      math.sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd))
+    assert(row._1 == rows.length)
+    assert(math.abs(row._2 - rho) < 1e-5, s"got ${row._2}, want $rho")
+  }
+
+  test("agg_auc equals the naive pairwise win probability") {
+    import spark.implicits._
+    val Array((n1, n2, auc)) = SparkEntry.queries("agg_auc")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val evs = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type") === "purchase", col("value"))
+      .as[(Boolean, Double)].collect()
+    val pos = evs.filter(_._1).map(_._2); val neg = evs.filterNot(_._1).map(_._2)
+    assert(n1 == pos.length && n2 == neg.length)
+    var wins = 0.0
+    pos.foreach(p => neg.foreach { q =>
+      if (p > q) wins += 1 else if (p == q) wins += 0.5
+    })
+    val want = wins / (pos.length.toDouble * neg.length)
+    assert(math.abs(auc - want) < 1e-5, s"got $auc, want $want")
+  }
+
+  test("fn_id: roundtrip decodes, time-sortable, unique on the fixture") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("fn_id")(spark, sf)
+      .select(col("sfid"), col("ms_dec"), col("ok"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._3), "every decode must match")
+    assert(rows.map(_._1).distinct.length == rows.length, "ids unique")
+    // sorting by id must equal sorting by decoded timestamp (stable
+    // within a ms by shard/seq — time-prefix property of the layout)
+    val byId = rows.sortBy(_._1).map(_._2)
+    assert(byId.sameElements(byId.sorted), "id order is time order")
+  }
+
   test("lttb: endpoints kept, size exact, subset of input, spikes survive") {
     import graft.operators.EventAnalytics.lttb
     // deterministic sawtooth with one extreme spike per 10-point block
