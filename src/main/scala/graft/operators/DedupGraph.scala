@@ -163,7 +163,54 @@ object DedupGraph {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Distributed triangle counting over the part co-purchase graph
+    * (parts appearing in the same order are connected): the ORDERED-
+    * WEDGE formulation — undirected edges oriented low→high key, wedges
+    * (a<b<c) built by joining edges on the shared low endpoint, each
+    * wedge closed by probing the edge set for (a, c). Every triangle is
+    * counted exactly once, and orientation caps the wedge fan-out by
+    * each node's LOW-degree, the standard skew bound (a hub's wedges
+    * spread across the low-keyed neighbors instead of squaring on the
+    * hub). Integer counts only — exact on both engines.
+    *
+    * Scale notes: two shuffle joins on the distinct edge set, the
+    * canonical MapReduce triangle algorithm (Suri & Vassilvitskii,
+    * WWW'11 — node-iterator++). Edge dedup is one shuffle. Orientation
+    * here is by KEY (uniform-ish co-purchase degrees); on a power-law
+    * graph swap the comparator to (degree, key) — degree-ordered
+    * orientation bounds per-node wedge work by arboricity instead of
+    * max degree, same plan shape, one extra degree broadcast.
+    */
+  private def graphTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val wedges = edges.as("e1").join(edges.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tris = wedges.join(edges,
+      col("b") === col("u") && col("c") === col("v"))
+    tris.agg(count(lit(1)).as("n_triangles"),
+        count_distinct(col("a")).as("n_apex_nodes"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_triangle_count", graphTriangleCount,
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+              edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+              wedges AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM edges e1 JOIN edges e2
+                ON e1.u = e2.u AND e1.v < e2.v),
+              tris AS (SELECT w.a FROM wedges w
+                JOIN edges e ON w.b = e.u AND w.c = e.v)
+              SELECT COUNT(*) AS n_triangles,
+                COUNT(DISTINCT a) AS n_apex_nodes
+              FROM tris""")),
     QueryDef("graph_pagerank_step", graphPagerankStep,
       Some("""WITH edges AS (SELECT DISTINCT o_custkey AS src,
                  l_suppkey AS dst

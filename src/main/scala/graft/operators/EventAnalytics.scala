@@ -574,6 +574,65 @@ object EventAnalytics {
               FROM l GROUP BY user_id ORDER BY user_id""")),
     QueryDef("ts_holt", tsHolt, None),
     QueryDef("ts_lttb", tsLttb, None),
+    QueryDef("ts_dtw", tsDtw, None),
+    QueryDef("ts_period_detect", tsPeriodDetect,
+      Some("""WITH hourly AS (SELECT
+                CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                  AS h, COUNT(*) AS n FROM events GROUP BY 1),
+              spine AS (SELECT unnest(generate_series(
+                (SELECT MIN(h) FROM hourly), (SELECT MAX(h) FROM hourly),
+                INTERVAL 1 HOUR)) AS h),
+              s AS (SELECT CAST(date_diff('hour',
+                  (SELECT MIN(h) FROM hourly), spine.h) AS BIGINT) AS idx,
+                COALESCE(n, 0) AS x
+                FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
+              lags AS (SELECT unnest(range(2, 49)) AS p),
+              j AS (SELECT p, a.x AS xa, b.x AS xb
+                FROM lags, s a, s b WHERE b.idx = a.idx + p),
+              m AS (SELECT p, COUNT(*) AS n,
+                CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+                CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                CAST(SUM(xb * xb) AS BIGINT) AS syy
+                FROM j GROUP BY p),
+              r AS (SELECT p AS lag_hours, n AS n_pairs,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+                FROM m)
+              SELECT lag_hours, n_pairs, acf,
+                CAST(ROW_NUMBER() OVER (ORDER BY acf DESC, lag_hours) = 1
+                  AS INTEGER) AS is_best
+              FROM r ORDER BY lag_hours""")),
+    QueryDef("ts_changepoint", tsChangepoint,
+      Some("""WITH hourly AS (SELECT
+                CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                  AS h, COUNT(*) AS n FROM events GROUP BY 1),
+              spine AS (SELECT unnest(generate_series(
+                (SELECT MIN(h) FROM hourly), (SELECT MAX(h) FROM hourly),
+                INTERVAL 1 HOUR)) AS h),
+              s AS (SELECT spine.h AS h, COALESCE(n, 0) AS x
+                FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
+              w AS (SELECT h, x,
+                CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS t,
+                CAST(SUM(x) OVER (ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS prefix,
+                CAST(SUM(x) OVER () AS BIGINT) AS s_tot,
+                CAST(COUNT(*) OVER () AS BIGINT) AS n_tot
+                FROM s),
+              c AS (SELECT h, t, prefix, s_tot, n_tot,
+                CAST(prefix AS DOUBLE) - CAST(t AS DOUBLE)
+                  * (CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS cusum
+                FROM w),
+              best AS (SELECT *, ROW_NUMBER() OVER
+                  (ORDER BY abs(cusum) DESC, h) AS rn FROM c)
+              SELECT h AS t_star, round(cusum, 6) AS cusum,
+                round(CAST(prefix AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                  AS mean_before,
+                round(CAST(s_tot - prefix AS DOUBLE)
+                  / CAST(n_tot - t AS DOUBLE), 6) AS mean_after
+              FROM best WHERE rn = 1""")),
     QueryDef("ts_ema", tsEma,
       Some("""WITH l AS (SELECT user_id,
                  list(value ORDER BY ts, event_id) AS xs
@@ -750,6 +809,166 @@ object EventAnalytics {
         coalesce(col("n"), lit(0L)).as("n_purchases"),
         last(col("rev"), ignoreNulls = true).over(locf).as("rev_locf"))
       .orderBy(col("h"))
+  }
+
+  /** Seasonality detection (the job of ClickHouse
+    * `seriesPeriodDetectFFT`), via lagged AUTOCORRELATION instead of an
+    * FFT: for each candidate lag p ∈ [2, 48] hours, Pearson r between
+    * the zero-filled hourly count series and itself shifted by p; the
+    * top-ranked lag is the detected period. Autocorrelation is chosen
+    * over FFT deliberately — every sufficient statistic (n, Σx, Σy,
+    * Σxy, Σx², Σy²) is an INTEGER, so both engines agree exactly until
+    * one final divide/sqrt chain of IEEE-deterministic ops; an FFT
+    * would thread libm sin/cos through every term. The variance product
+    * is computed via long partials cast to double at ~2e10 magnitude
+    * (each exactly representable), so the double multiply is the same
+    * on both engines even where it exceeds 2⁵³.
+    *
+    * Scale notes: the series is the O(hours) downsampled rollup (raw
+    * events contribute map-side count partials only); the lag join is
+    * O(hours × lags) on that rollup — control-plane sized even for a
+    * decade of hours — and broadcastable by construction.
+    */
+  private def tsPeriodDetect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("lo"), explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val series = spine.join(hourly, Seq("h"), "left")
+      .select(expr("(unix_seconds(h) - unix_seconds(lo)) div 3600").as("idx"),
+        coalesce(col("n"), lit(0L)).as("x"))
+    val lags = s.range(2, 49).select(col("id").as("p"))
+    val heads = series.crossJoin(lags)
+      .select(col("p"), (col("idx") + col("p")).as("tidx"), col("x").as("xa"))
+    val m = heads
+      .join(series.select(col("idx").as("tidx"), col("x").as("xb")), "tidx")
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("xa")).as("sx"),
+        sum(col("xb")).as("sy"), sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val scored = m.select(col("p").as("lag_hours"), col("n").as("n_pairs"),
+      round(num / sqrt(vx * vy), 6).as("acf"))
+    scored
+      .withColumn("is_best",
+        (row_number().over(Window.orderBy(col("acf").desc,
+          col("lag_hours"))) === 1).cast("int"))
+      .orderBy(col("lag_hours"))
+  }
+
+  /** Changepoint detection over the hourly count series: the CUSUM
+    * statistic S_t = prefix(t) − t·μ (deviation of the running sum from
+    * its global-mean expectation); the changepoint is argmax |S_t|, and
+    * the two segment means around it quantify the level shift. prefix
+    * and t are integers, μ = S/N one double division — both engines run
+    * the identical IEEE chain, rounded at 6dp. Earliest hour wins ties
+    * (row_number, not rank — a deterministic single row).
+    *
+    * Scale notes: raw events fold to the O(hours) rollup map-side; the
+    * prefix sum is one window over that rollup. At 100 TB the rollup is
+    * still control-plane sized — CUSUM never touches raw rows.
+    */
+  private def tsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val byH = Window.orderBy(col("h"))
+    val series = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("x"))
+      .withColumn("t", row_number().over(byH).cast("long"))
+      .withColumn("prefix", sum(col("x")).over(
+        byH.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    series
+      .withColumn("s_tot", sum(col("x")).over(tot))
+      .withColumn("n_tot", max(col("t")).over(tot))
+      .withColumn("cusum", col("prefix").cast("double")
+        - col("t").cast("double")
+          * (col("s_tot").cast("double") / col("n_tot").cast("double")))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(abs(col("cusum")).desc, col("h"))))
+      .filter(col("rn") === 1)
+      .select(col("h").as("t_star"), round(col("cusum"), 6).as("cusum"),
+        round(col("prefix").cast("double") / col("t").cast("double"), 6)
+          .as("mean_before"),
+        round((col("s_tot") - col("prefix")).cast("double")
+          / (col("n_tot") - col("t")).cast("double"), 6).as("mean_after"))
+  }
+
+  /** Dynamic time warping distance — O(n·m) DP with the standard
+    * two-row rolling buffer. Sequential by nature (each cell depends on
+    * three neighbors), hence a local function applied per PAIR, not a
+    * SQL expression; exposed for the spec's metric-property tests.
+    */
+  private[graft] def dtw(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return if (n == m) 0.0 else Double.PositiveInfinity
+    val prev = Array.fill(m + 1)(Double.PositiveInfinity)
+    val cur = new Array[Double](m + 1)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      cur(0) = Double.PositiveInfinity
+      var j = 1
+      while (j <= m) {
+        val c = math.abs(a(i - 1) - b(j - 1))
+        cur(j) = c + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        j += 1
+      }
+      Array.copy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Trajectory similarity via DTW between the 8 most active users'
+    * daily purchase-count series: elastic alignment scores time-shifted
+    * but same-shaped behavior as close — the series-clustering primitive
+    * rigid pointwise L1/L2 can't provide (a one-day phase shift ruins a
+    * pointwise metric, DTW absorbs it). Pairs come from a self-join of
+    * the top-k series (a<b), the DP runs inside a UDF over the two
+    * array columns — sequential per pair, parallel across pairs.
+    *
+    * Scale notes: per-series state is the O(days) daily rollup (raw
+    * events fold map-side); the pair stage is top-k × top-k — the
+    * production shape caps k (or routes through cluster centroids,
+    * label_centroid) so the quadratic stays control-plane sized. The DP
+    * itself is O(days²) per pair on bounded series — never row-scaled.
+    */
+  private def tsDtw(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("total"),
+        sort_array(collect_list(struct(col("d"), col("n")))).as("sd"))
+      .orderBy(col("total").desc, col("user_id"))
+      .limit(8)
+      .select(col("user_id"),
+        expr("transform(sd, x -> cast(x.n as double))").as("xs"))
+    val dtwU = udf((a: Seq[Double], b: Seq[Double]) => dtw(a, b))
+    val a = series.select(col("user_id").as("user_a"), col("xs").as("xa"))
+    val b = series.select(col("user_id").as("user_b"), col("xs").as("xb"))
+    a.crossJoin(b).filter(col("user_a") < col("user_b"))
+      .select(col("user_a"), col("user_b"),
+        size(col("xa")).as("len_a"), size(col("xb")).as("len_b"),
+        round(dtwU(col("xa"), col("xb")), 6).as("dtw"))
+      .orderBy(col("user_a"), col("user_b"))
   }
 
   /** ClickHouse `sequenceCount('(?1)(?2)')` — NON-OVERLAPPING greedy

@@ -429,7 +429,69 @@ object Fns {
       .orderBy(col("event_id"))
   }
 
+  /** ClickHouse `formatReadableSize` / `formatReadableQuantity`: scale a
+    * byte/row count to its human unit. The scaled value is emitted in
+    * integer HUNDREDTHS (`*_cents`) beside the unit string, NOT as a
+    * formatted double: rounding `n/1000` at 2dp in double is the exact
+    * midpoint trap Core.scala documents (n ending in 5 puts the
+    * shortest repr ON a 2dp midpoint while the binary sits a half-ulp
+    * off — engines disagree), and double→string formatting differs
+    * cross-engine anyway. Integer HALF_UP — `(n·100 + d/2) div d` — is
+    * exact and identical everywhere. Map-side only, no shuffle.
+    */
+  private def fnFormatReadable(s: SparkSession, dir: String): DataFrame = {
+    def cents(d: Long): org.apache.spark.sql.Column =
+      expr(s"(bytes * 100 + ${d / 2}) div $d")
+    val b = col("bytes")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("""shiftleft(cast(o_totalprice as bigint) + 1,
+                cast((o_orderkey % 4) * 8 as int))""").as("bytes"))
+      .select(col("o_orderkey"), b,
+        when(b < (1L << 10), b * 100L)
+          .when(b < (1L << 20), cents(1L << 10))
+          .when(b < (1L << 30), cents(1L << 20))
+          .otherwise(cents(1L << 30)).as("size_cents"),
+        when(b < (1L << 10), "B").when(b < (1L << 20), "KiB")
+          .when(b < (1L << 30), "MiB").otherwise("GiB").as("size_unit"),
+        when(b < 1000L, b * 100L)
+          .when(b < 1000000L, cents(1000L))
+          .when(b < 1000000000L, cents(1000000L))
+          .otherwise(cents(1000000000L)).as("qty_cents"),
+        when(b < 1000L, "").when(b < 1000000L, "thousand")
+          .when(b < 1000000000L, "million").otherwise("billion")
+          .as("qty_unit"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_format_readable", fnFormatReadable,
+      Some("""WITH b AS (SELECT o_orderkey,
+                (CAST(floor(o_totalprice) AS BIGINT) + 1)
+                  << CAST((o_orderkey % 4) * 8 AS INTEGER) AS bytes
+                FROM orders)
+              SELECT o_orderkey, bytes,
+                CASE WHEN bytes < 1024 THEN bytes * 100
+                  WHEN bytes < 1048576 THEN (bytes * 100 + 512) // 1024
+                  WHEN bytes < 1073741824
+                    THEN (bytes * 100 + 524288) // 1048576
+                  ELSE (bytes * 100 + 536870912) // 1073741824
+                  END AS size_cents,
+                CASE WHEN bytes < 1024 THEN 'B'
+                  WHEN bytes < 1048576 THEN 'KiB'
+                  WHEN bytes < 1073741824 THEN 'MiB'
+                  ELSE 'GiB' END AS size_unit,
+                CASE WHEN bytes < 1000 THEN bytes * 100
+                  WHEN bytes < 1000000 THEN (bytes * 100 + 500) // 1000
+                  WHEN bytes < 1000000000
+                    THEN (bytes * 100 + 500000) // 1000000
+                  ELSE (bytes * 100 + 500000000) // 1000000000
+                  END AS qty_cents,
+                CASE WHEN bytes < 1000 THEN ''
+                  WHEN bytes < 1000000 THEN 'thousand'
+                  WHEN bytes < 1000000000 THEN 'million'
+                  ELSE 'billion' END AS qty_unit
+              FROM b ORDER BY o_orderkey""")),
     QueryDef("fn_id", fnId,
       Some("""WITH e AS (SELECT event_id, user_id,
                 epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),

@@ -1167,7 +1167,176 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
+  /** Readability scoring (Flesch reading ease + Flesch-Kincaid grade) —
+    * the classic heuristic quality signal beside text_quality's
+    * length/punct ratios: words, sentences, and vowel-group syllables
+    * counted by the SAME regexes on both engines (integer-exact), the
+    * two score formulas one IEEE-deterministic double chain each,
+    * rounded at 6dp. Pipelines bucket corpora by grade level to build
+    * curriculum mixes; the `readable` flag is the Flesch ≥ 50 filter.
+    *
+    * Scale notes: pure map-side projection — three codegen'd regex
+    * counts per row, no shuffle anywhere at any scale.
+    */
+  private def textReadability(s: SparkSession, dir: String): DataFrame = {
+    val low = lower(col("text"))
+    val words = greatest(regexp_count(low, lit("[a-z]+")), lit(1))
+      .cast("long")
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val sylls = regexp_count(low, lit("[aeiouy]+")).cast("long")
+    val wps = words.cast("double") / sents.cast("double")
+    val spw = sylls.cast("double") / words.cast("double")
+    val flesch = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"), round(flesch, 6).as("flesch"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+          .as("fk_grade"),
+        (flesch >= 50.0).cast("int").as("readable"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Soft deduplication by downweighting (the alternative to dropping
+    * copies: keep every duplicate but weight it 1/cluster-size, so each
+    * content cluster contributes exactly one document's worth of mass to
+    * the training mix). Weights are integer MICRO-UNITS via integer
+    * division (1e6 div n_copies) — exact and order-independent on both
+    * engines, the agg_pivot/pagerank fixed-point trick — so the
+    * per-source effective sizes hash bit-identically. The per-source
+    * (raw, unique, effective) triple is the mixture-planning input
+    * sample_mixture/sample_temperature consume.
+    *
+    * Scale notes: one shuffle on the content digest (the dedup_exact_hash
+    * cluster key), one on source — both partial-agg friendly. No row is
+    * dropped, so the pass composes with any downstream sampler.
+    */
+  private def sampleSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    val wCl = Window.partitionBy(col("digest"))
+    Tables.documents(s, dir)
+      .withColumn("digest", sha2(lower(trim(col("text"))), 256))
+      .withColumn("n_copies", count(lit(1)).over(wCl))
+      .withColumn("w_micro", expr("1000000 div n_copies"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("digest")).as("n_unique"),
+        sum(col("w_micro")).as("eff_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Model-based quality filtering — the DCLM / FineWeb-Edu pipeline
+    * stage: a SMALL classifier trained driver-side on a bounded sample,
+    * then applied MAP-SIDE to every document. Features are cheap surface
+    * stats (token count, chars/token, stopword ratio, type-token
+    * ratio); the label the sample is fitted to is the Flesch ≥ 50
+    * readability split (a signal the features don't contain verbatim).
+    * Training is 300 deterministic full-batch GD steps on standardized
+    * features in a FIXED fold order (sorted by doc_id) — same weights
+    * every run; inference embeds the learned weights as literals, so
+    * scoring is one codegen'd expression, no UDF, no shuffle.
+    *
+    * Scale notes: this is the honest 100 TB shape — classifier training
+    * IS small-data (fastText quality filters train on ~10⁵ docs), so
+    * the driver-side sample (capped, deterministic) is the production
+    * pattern, not a shortcut; the 100 TB cost is the map-side scoring
+    * pass, which here is pure projection. Rows-only: iterated GD is not
+    * SQL-expressible; the spec pins accuracy vs the label and monotone
+    * loss descent.
+    */
+  private def mlQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val en = Seq("the", "a", "of", "and", "to", "in")
+    val low = lower(col("text"))
+    val feats = Tables.documents(s, dir)
+      .withColumn("arr", toks(col("text")))
+      .select(col("doc_id"),
+        size(col("arr")).cast("double").as("f_tokens"),
+        (col("n_chars").cast("double") / size(col("arr"))).as("f_cpt"),
+        (size(filter(col("arr"), x => x.isin(en.map(lit): _*))).cast("double")
+          / size(col("arr"))).as("f_stop"),
+        (size(array_distinct(col("arr"))).cast("double") / size(col("arr")))
+          .as("f_ttr"),
+        // label: Flesch reading ease ≥ 50 (text_readability's formula)
+        (lit(206.835)
+          - lit(1.015) * (greatest(regexp_count(low, lit("[a-z]+")), lit(1))
+              .cast("double")
+            / greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+              .cast("double"))
+          - lit(84.6) * (regexp_count(low, lit("[aeiouy]+")).cast("double")
+            / greatest(regexp_count(low, lit("[a-z]+")), lit(1))
+              .cast("double")) >= 50.0).cast("int").as("label"))
+    val fCols = Seq("f_tokens", "f_cpt", "f_stop", "f_ttr")
+    // bounded deterministic training sample (the small-data half)
+    val sample = feats.orderBy(col("doc_id")).limit(2000)
+      .select((fCols.map(col) :+ col("label").cast("double")): _*)
+      .collect().map(r => (Array.tabulate(4)(r.getDouble), r.getDouble(4)))
+    val n = sample.length.toDouble
+    val mu = Array.tabulate(4)(j => sample.map(_._1(j)).sum / n)
+    val sd = Array.tabulate(4) { j =>
+      val v = sample.map(x => math.pow(x._1(j) - mu(j), 2)).sum / n
+      if (v == 0.0) 1.0 else math.sqrt(v)
+    }
+    val z = sample.map { case (x, y) =>
+      (Array.tabulate(4)(j => (x(j) - mu(j)) / sd(j)), y)
+    }
+    val w = new Array[Double](5) // bias + 4 weights
+    var it = 0
+    while (it < 300) {
+      val g = new Array[Double](5)
+      z.foreach { case (x, y) =>
+        var m = w(0); var j = 0
+        while (j < 4) { m += w(j + 1) * x(j); j += 1 }
+        val e = 1.0 / (1.0 + math.exp(-m)) - y
+        g(0) += e; j = 0
+        while (j < 4) { g(j + 1) += e * x(j); j += 1 }
+      }
+      var j = 0
+      while (j < 5) { w(j) -= 0.5 * g(j) / n; j += 1 }
+      it += 1
+    }
+    // inference: learned weights as literals — one codegen'd projection
+    val margin = fCols.zipWithIndex.foldLeft(lit(w(0))) { case (acc, (f, j)) =>
+      acc + lit(w(j + 1)) * ((col(f) - lit(mu(j))) / lit(sd(j)))
+    }
+    feats
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-margin)), 6))
+      .withColumn("kept", (col("score") >= 0.5).cast("int"))
+      .select(col("doc_id"), col("score"), col("kept"), col("label"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ml_quality_filter", mlQualityFilter, None),
+    QueryDef("text_readability", textReadability,
+      Some("""WITH t AS (SELECT doc_id,
+                GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1)
+                  AS n_words,
+                GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS n_sentences,
+                len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS n_syllables
+                FROM documents),
+              f AS (SELECT doc_id,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_sentences AS BIGINT) AS n_sentences,
+                CAST(n_syllables AS BIGINT) AS n_syllables,
+                CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+                CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+                FROM t)
+              SELECT doc_id, n_words, n_sentences, n_syllables,
+                round(206.835 - 1.015 * wps - 84.6 * spw, 6) AS flesch,
+                round(0.39 * wps + 11.8 * spw - 15.59, 6) AS fk_grade,
+                CAST(206.835 - 1.015 * wps - 84.6 * spw >= 50.0 AS INTEGER)
+                  AS readable
+              FROM f ORDER BY doc_id""")),
+    QueryDef("sample_soft_dedup", sampleSoftDedup,
+      Some("""WITH t AS (SELECT source,
+                sha256(lower(trim(text))) AS digest FROM documents),
+              c AS (SELECT source, digest,
+                COUNT(*) OVER (PARTITION BY digest) AS n_copies FROM t)
+              SELECT source, COUNT(*) AS n_docs,
+                COUNT(DISTINCT digest) AS n_unique,
+                CAST(SUM(1000000 // n_copies) AS BIGINT) AS eff_micro
+              FROM c GROUP BY source ORDER BY source""")),
     QueryDef("dedup_bloom", dedupBloom,
       Some("""SELECT doc_id,
                text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)

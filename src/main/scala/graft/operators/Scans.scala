@@ -555,6 +555,47 @@ object Scans {
     compacted.orderBy(col("day"))
   }
 
+  /** ClickHouse `ALTER TABLE ... MATERIALIZE COLUMN ... IN PARTITION`:
+    * a column added with a DEFAULT expression exists VIRTUALLY first —
+    * parts written before the ALTER don't store it, and readers compute
+    * the expression on the fly. MATERIALIZE COLUMN rewrites chosen
+    * partitions to store it physically; parts outside the materialized
+    * range keep serving the default at read time. Modeled exactly:
+    * only partitions older than the cutoff are rewritten (the staged
+    * partition-pruned swap), the read path is
+    * `coalesce(physical, default-expr)` over a schema-merged scan, and
+    * `n_virtual` counts rows still served virtually — nonzero BY
+    * DESIGN, proving recent partitions were never rewritten (the spec
+    * asserts their files byte-identical).
+    *
+    * Scale notes: the rewrite is O(admitted partitions) like every
+    * mutation here; the virtual path costs one codegen'd expression per
+    * read — the reason ClickHouse defers materialization at 100 TB
+    * until a background window, and the reason the read semantics must
+    * not depend on which parts have been rewritten yet.
+    */
+  private def mutationMaterializeColumn(s: SparkSession, dir: String): DataFrame = {
+    val (root, cut) = mutationStage(s, dir, graft.Scratch.dir("mutmat"))
+    def bandOf(c: Column): Column =
+      when(col("event_type") === "purchase",
+        floor(c / 50.0).cast("int")).otherwise(lit(-1))
+    // ALTER TABLE ADD COLUMN value_band INT DEFAULT <expr>;
+    // MATERIALIZE COLUMN value_band IN PARTITION day < cut
+    mutatePartitions(s, root, "day",
+      d => java.time.LocalDate.parse(d).isBefore(cut),
+      _.withColumn("value_band", bandOf(col("value"))))
+    val merged = s.read.option("mergeSchema", "true").parquet(root)
+    val withPhys = if (merged.columns.contains("value_band")) merged
+      else merged.withColumn("value_band", lit(null).cast("int"))
+    withPhys
+      .withColumn("band", coalesce(col("value_band"), bandOf(col("value"))))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value_band").isNull, 1)).as("n_virtual"),
+        Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("band"))
+  }
+
   /** ClickHouse `OPTIMIZE TABLE ... DEDUPLICATE`: storage-level exact-
     * row dedup — the cleanup a ReplacingMergeTree operator runs after a
     * replayed ingest doubled some rows. A deterministic duplicate set is
@@ -1012,6 +1053,18 @@ object Scans {
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM e, m WHERE NOT (day >= cut AND event_type = 'view')
               GROUP BY day ORDER BY day""")),
+    QueryDef("mutation_materialize_column", mutationMaterializeColumn,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_type, value FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e),
+               b AS (SELECT CASE WHEN event_type = 'purchase'
+                   THEN CAST(floor(value / 50.0) AS INTEGER)
+                   ELSE -1 END AS band,
+                 CASE WHEN day >= cut THEN 1 END AS virt, value
+                 FROM e, m)
+              SELECT band, COUNT(*) AS n, COUNT(virt) AS n_virtual,
+                ${Det.oSum("value")} AS sum_value
+              FROM b GROUP BY band ORDER BY band""")),
     QueryDef("sink_insert_dedup", sinkInsertDedup,
       Some(s"""SELECT o_orderkey % 4 AS bucket, COUNT(*) AS n,
                ${Det.oSum("o_totalprice")} AS sum_price,

@@ -184,6 +184,144 @@ object UdfOps {
         orC(col("bm")).as("n_union"))
   }
 
+  /** ClickHouse `uniqUpTo(N)`: EXACT distinct count while it is ≤ N,
+    * the sentinel N+1 once it exceeds — the point is the STATE BOUND:
+    * the buffer holds at most N+1 elements and stops growing the moment
+    * the bound is proven, so a group with a billion distinct keys costs
+    * the same 51 longs as one with 51. The honest contrast to
+    * agg_distinct_exact (unbounded state) and agg_distinct_approx
+    * (probabilistic): exact answers below the threshold, one bit of
+    * information above it, hard memory cap always.
+    */
+  final class UniqUpTo(cap: Int)
+      extends Aggregator[Long, Set[Long], Long] {
+    def zero: Set[Long] = Set.empty
+    def reduce(b: Set[Long], v: Long): Set[Long] =
+      if (b.size > cap) b else b + v
+    def merge(a: Set[Long], b: Set[Long]): Set[Long] = {
+      // cap the merged set too — union only until the bound is proven
+      if (a.size > cap) a
+      else if (b.size > cap) b
+      else {
+        var m = a
+        val it = b.iterator
+        while (it.hasNext && m.size <= cap) m = m + it.next()
+        m
+      }
+    }
+    def finish(b: Set[Long]): Long =
+      if (b.size > cap) cap + 1L else b.size.toLong
+    def bufferEncoder: Encoder[Set[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** KMV (k-minimum-values) distinct sketch — the theta-sketch family
+    * (Beyer et al., SIGMOD'07; Dasgupta et al.'s theta sketches): keep
+    * the k smallest 64-bit hashes of the keys seen. Unlike HLL
+    * (agg_distinct_approx), KMV states support SET ALGEBRA with error
+    * bounds: two segments' sketches filtered to a common θ =
+    * min(θ_a, θ_b) form uniform samples of each set, so
+    * |A∩B| ≈ |S_a ∩ S_b < θ| / θ — the audience-overlap estimate a
+    * bitmap can only answer exactly (at O(distinct) state) and HLL
+    * cannot answer at all (inclusion-exclusion explodes the error).
+    * State is a sorted ≤k array; merge keeps the k smallest of the
+    * union — associative, commutative, bounded.
+    */
+  final class KmvSketch(k: Int)
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    // splitmix64 — the finalizer used by java.util.SplittableRandom;
+    // maps keys to uniform 64-bit hashes (top bit masked → nonneg)
+    private def h64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      (x ^ (x >>> 31)) & Long.MaxValue
+    }
+    def zero: Seq[Long] = Vector.empty
+    def reduce(b: Seq[Long], v: Long): Seq[Long] = insert(b, h64(v))
+    private def insert(b: Seq[Long], h: Long): Seq[Long] =
+      if (b.contains(h)) b
+      else if (b.length < k) (b :+ h).sorted
+      else if (h < b.last) (b.init :+ h).sorted
+      else b
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+    def finish(b: Seq[Long]): Seq[Long] = b
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  private[graft] object Kmv {
+    val K = 256
+    private val SPACE = Long.MaxValue.toDouble
+    /** Fraction of the hash space below the sketch's θ (k-th min). */
+    def theta(s: Seq[Long]): Double =
+      if (s.length < K) 1.0 else s.last / SPACE
+    def estimate(s: Seq[Long]): Double =
+      if (s.length < K) s.length.toDouble else (K - 1) / theta(s)
+    /** (est_inter, est_union, jaccard) under the common θ. */
+    def setOps(a: Seq[Long], b: Seq[Long]): (Double, Double, Double) = {
+      val th = math.min(theta(a), theta(b))
+      val bound = (th * SPACE).toLong
+      val sa = a.filter(_ <= bound).toSet
+      val sb = b.filter(_ <= bound).toSet
+      val inter = sa.intersect(sb).size / th
+      val union = sa.union(sb).size / th
+      (inter, union, if (union == 0.0) 0.0 else inter / union)
+    }
+  }
+
+  /** Audience overlap across event segments: one KMV sketch per
+    * event_type (distributed, bounded state), then pairwise set algebra
+    * on the O(segments·k) collected states — per pair the estimated
+    * segment sizes, intersection, union, and Jaccard. SketchSpec pins
+    * the error bounds vs exact; rows-only by design (seeded hash
+    * estimates have no SQL oracle).
+    *
+    * Scale notes: the heavy pass is ONE shuffle of 256-long partials
+    * per segment; set algebra happens on collected sketches —
+    * control-plane sized however many billions of users flowed in.
+    */
+  private def udafKmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sk = udaf(new KmvSketch(Kmv.K))
+    val sketches = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(sk(col("user_id")).as("sketch"))
+      .as[(String, Seq[Long])].collect().sortBy(_._1)
+    val pairs = for {
+      i <- sketches.indices; j <- (i + 1) until sketches.length
+    } yield {
+      val (na, sa) = sketches(i); val (nb, sb) = sketches(j)
+      val (inter, union, jac) = Kmv.setOps(sa, sb)
+      (na, nb, math.round(Kmv.estimate(sa)), math.round(Kmv.estimate(sb)),
+        math.round(inter), math.round(union),
+        math.rint(jac * 1e6) / 1e6)
+    }
+    pairs.toSeq.toDF("seg_a", "seg_b", "est_a", "est_b",
+      "est_inter", "est_union", "jaccard")
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
+  /** Per user: distinct active days, exactly up to 5, '6' beyond —
+    * bounded at 6 longs of state per user regardless of history length.
+    * The oracle restates the cap relationally (LEAST of the true
+    * distinct count), which is exactly the operator's contract.
+    */
+  private def udafUniqUpto(s: SparkSession, dir: String): DataFrame = {
+    val upTo = udaf(new UniqUpTo(5))
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .groupBy(col("user_id"))
+      .agg(upTo(col("day")).as("days_upto5"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   private val oDot =
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
   private def oNorm(v: String): String =
@@ -218,6 +356,13 @@ object UdfOps {
                     (SELECT COUNT(DISTINCT event_type) FROM events)) t)
                  AS n_intersection,
                (SELECT COUNT(DISTINCT user_id) FROM events) AS n_union""")),
+    QueryDef("udaf_kmv_intersect", udafKmvIntersect, None),
+    QueryDef("udaf_uniq_upto", udafUniqUpto,
+      Some("""SELECT user_id,
+               LEAST(COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)), 6)
+                 AS days_upto5,
+               COUNT(*) AS n_events
+              FROM events GROUP BY user_id ORDER BY user_id""")),
     QueryDef("udtf_generate", udtfGenerate,
       Some("""WITH m AS (SELECT unnest(generate_series(
                 CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),

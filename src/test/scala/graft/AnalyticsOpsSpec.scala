@@ -96,6 +96,130 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(byId.sameElements(byId.sorted), "id order is time order")
   }
 
+  test("ts_period_detect: one winner, acf bounded, pair counts shrink") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("ts_period_detect")(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.length == 47 && rows.map(_._1).toSeq == (2L to 48L))
+    assert(rows.count(_._4 == 1) == 1, "exactly one best lag")
+    assert(rows.forall(r => r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
+    // n_pairs = series_length - lag: strictly decreasing by 1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._2 - 1, s"pair counts must shrink by 1: $a -> $b")
+    }
+  }
+
+  test("ts_changepoint equals the naive argmax-|CUSUM| recomputation") {
+    import spark.implicits._
+    val Array((tStar, cusum, _, _)) =
+      SparkEntry.queries("ts_changepoint")(spark, sf)
+        .as[(java.sql.Timestamp, Double, Double, Double)].collect()
+    val counts = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h")).count()
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val hours = counts.keys.map(_.getTime).toSeq
+    val spine = (hours.min to hours.max by 3600000L).map { ms =>
+      counts.getOrElse(new java.sql.Timestamp(ms), 0L)
+    }
+    val tot = spine.sum.toDouble; val n = spine.length.toDouble
+    var prefix = 0L; var best = 0.0; var bestT = -1; var t = 0
+    spine.foreach { x =>
+      t += 1; prefix += x
+      val c = prefix - t * (tot / n)
+      if (math.abs(c) > best) { best = math.abs(c); bestT = t }
+    }
+    assert(tStar.getTime == hours.min + (bestT - 1) * 3600000L)
+    assert(math.abs(math.abs(cusum) - best) < 1e-6)
+  }
+
+  test("graph_triangle_count equals brute force on the co-purchase graph") {
+    import spark.implicits._
+    val Array((nTri, _)) = SparkEntry.queries("graph_triangle_count")(spark, sf)
+      .as[(Long, Long)].collect()
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var want = 0L
+    edges.foreach { case (a, b) =>
+      adj.getOrElse(a, Set.empty).foreach { c =>
+        if (c > b && edges.contains((b, c))) want += 1
+      }
+    }
+    assert(nTri == want, s"got $nTri triangles, brute force says $want")
+  }
+
+  test("udaf_uniq_upto caps at 6 and is exact below the cap") {
+    import spark.implicits._
+    val got = SparkEntry.queries("udaf_uniq_upto")(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val exact = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct().groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty && got.keySet == exact.keySet)
+    got.foreach { case (u, v) =>
+      assert(v == math.min(exact(u), 6L), s"user $u: $v vs exact ${exact(u)}")
+    }
+    assert(got.values.exists(_ == 6L) || exact.values.max < 6L,
+      "fixture should exercise the cap")
+  }
+
+  test("sample_soft_dedup: effective mass bounded by raw and unique") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_soft_dedup")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nUniq, eff) =>
+      assert(nUniq <= nDocs, src)
+      assert(eff <= 1000000L * nDocs, src)
+      // every doc keeps at least 1/nDocs-global of a unit of mass
+      assert(eff > 0L, src)
+    }
+  }
+
+  test("dtw: identity, symmetry, pointwise-L1 upper bound, shift absorption") {
+    import graft.operators.EventAnalytics.dtw
+    val x = Seq(1.0, 3.0, 2.0, 5.0, 4.0)
+    val y = Seq(2.0, 1.0, 4.0, 2.0, 6.0)
+    assert(dtw(x, x) == 0.0)
+    assert(dtw(x, y) == dtw(y, x))
+    val l1 = x.zip(y).map { case (a, b) => math.abs(a - b) }.sum
+    assert(dtw(x, y) <= l1 + 1e-12, "DTW never exceeds the rigid alignment")
+    // a phase shift that wrecks pointwise distance is absorbed by DTW
+    val spike = Seq(0.0, 0.0, 9.0, 0.0, 0.0)
+    val shifted = Seq(0.0, 0.0, 0.0, 9.0, 0.0)
+    assert(dtw(spike, shifted) == 0.0, "one-step shift aligns at zero cost")
+    assert(spike.zip(shifted).map(p => math.abs(p._1 - p._2)).sum == 18.0)
+  }
+
+  test("ts_dtw: pair grid over top users, self-consistent with local dtw") {
+    import graft.operators.EventAnalytics.dtw
+    import spark.implicits._
+    val rows = SparkEntry.queries("ts_dtw")(spark, sf)
+      .as[(Long, Long, Int, Int, Double)].collect()
+    val k = ((1 + math.sqrt(1 + 8.0 * rows.length)) / 2).round.toInt
+    assert(k * (k - 1) / 2 == rows.length, "a full a<b pair grid")
+    rows.foreach { case (a, b, la, lb, d) =>
+      assert(a < b && la > 0 && lb > 0 && d >= 0.0)
+    }
+    // recompute one pair end-to-end from the raw events
+    val (ua, ub, _, _, want) = rows.head
+    def series(u: Long): Seq[Double] = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("user_id") === u)
+      .groupBy(to_date(col("ts")).as("d")).count()
+      .orderBy(col("d")).as[(java.sql.Date, Long)]
+      .collect().map(_._2.toDouble).toSeq
+    val local = dtw(series(ua), series(ub))
+    assert(math.abs(math.rint(local * 1e6) / 1e6 - want) < 1e-9,
+      s"pair ($ua,$ub): $local vs $want")
+  }
+
   test("lttb: endpoints kept, size exact, subset of input, spikes survive") {
     import graft.operators.EventAnalytics.lttb
     // deterministic sawtooth with one extreme spike per 10-point block

@@ -39,6 +39,9 @@ class LedgerSpec extends AnyFunSuite {
     "udaf_sketch_topk",     // SpaceSaving estimate — SketchSpec
     "vec_kmeans_train",     // iterated fixpoint not SQL-expressible —
                             // monotone-SSE property test
+    "udaf_kmv_intersect",   // KMV sketch estimates — SketchSpec error bounds
+    "ts_dtw",               // sequential DP recurrence — metric-property tests
+    "ml_quality_filter",    // iterated GD weights — accuracy/descent tests
   )
 
   private val ledgerRe =

@@ -151,6 +151,21 @@ class PipelineOpsSpec extends GraftSpec {
     assert(px.toSeq == q, "gray PNG roundtrip must be lossless")
   }
 
+  test("materialize column: recent partitions stay virtual, split is exact") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("mutation_materialize_column")(spark, sf)
+      .as[(Int, Long, Long, Double)].collect()
+    val events = Tables.events(spark, sf)
+    val total = events.count()
+    val cut = events.select(date_add(max(to_date(col("ts"))), -7)).head.getDate(0)
+    val recent = events.filter(to_date(col("ts")) >= cut).count()
+    assert(rows.map(_._2).sum == total, "no row lost in the mutation")
+    // n_virtual counts exactly the rows in never-rewritten partitions
+    assert(rows.map(_._3).sum == recent,
+      s"virtual rows ${rows.map(_._3).sum} != post-cutoff rows $recent")
+    assert(recent > 0 && recent < total, "fixture must span the cutoff")
+  }
+
   test("mutation: non-admitting partitions byte-identical; admitting rewritten") {
     import graft.operators.Scans
     val scratch = graft.Scratch.dir("muttest")

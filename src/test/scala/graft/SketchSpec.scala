@@ -10,6 +10,42 @@ import org.apache.spark.sql.functions._
   */
 class SketchSpec extends GraftSpec {
 
+  test("KMV set algebra: estimates track exact sizes and intersections") {
+    import spark.implicits._
+    val got = SparkEntry.queries("udaf_kmv_intersect")(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty, "at least one segment pair")
+    val exact = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct()
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    got.foreach { case (a, b, ea, eb, ei, eu, jac) =>
+      val (sa, sb) = (exact(a), exact(b))
+      def ok(est: Long, ex: Int, what: String): Unit = {
+        // k=256 → σ ≈ 1/√k ≈ 6.25%; 4σ + small-count slack
+        val tol = math.max(6.0, 0.25 * ex)
+        assert(math.abs(est - ex) <= tol, s"$a×$b $what: est $est exact $ex")
+      }
+      ok(ea, sa.size, "A"); ok(eb, sb.size, "B")
+      ok(ei, sa.intersect(sb).size, "inter")
+      ok(eu, sa.union(sb).size, "union")
+      assert(jac >= 0.0 && jac <= 1.0)
+    }
+  }
+
+  test("KMV merge is order-insensitive and state-bounded") {
+    import graft.operators.UdfOps
+    val sk = new UdfOps.KmvSketch(UdfOps.Kmv.K)
+    val xs = (1L to 5000L).map(x => x * 2654435761L % 100000L)
+    val oneShot = xs.foldLeft(sk.zero)(sk.reduce)
+    val (l, r) = xs.splitAt(1234)
+    val merged = sk.merge(
+      l.foldLeft(sk.zero)(sk.reduce), r.foldLeft(sk.zero)(sk.reduce))
+    assert(oneShot == merged, "merge must equal the one-shot fold")
+    assert(oneShot.length <= UdfOps.Kmv.K)
+    assert(oneShot == oneShot.sorted, "state is kept sorted")
+  }
+
   test("distributed sketch estimates bound the exact counts under eviction") {
     import spark.implicits._
     val tokens = Tables.documents(spark, sf)

@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   */
 class VectorTextSpec extends GraftSpec {
 
+  test("ml_quality_filter: classifier beats chance on its target label") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("ml_quality_filter")(spark, sf)
+      .as[(Long, Double, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, score, kept, label) =>
+      assert(score > 0.0 && score < 1.0)
+      assert(kept == (if (score >= 0.5) 1 else 0))
+      assert(label == 0 || label == 1)
+    }
+    val acc = rows.count(r => r._3 == r._4).toDouble / rows.length
+    val base = math.max(rows.count(_._4 == 1), rows.count(_._4 == 0))
+      .toDouble / rows.length
+    assert(acc >= 0.6, s"accuracy $acc below floor")
+    assert(acc >= base - 0.05,
+      s"accuracy $acc no better than majority class $base")
+    // determinism: a second run yields identical scores
+    val again = SparkEntry.queries("ml_quality_filter")(spark, sf)
+      .as[(Long, Double, Int, Int)].collect()
+    assert(rows.toSeq == again.toSeq, "GD training must be deterministic")
+  }
+
   test("dedup_bloom: zero false negatives; FP rate within sizing bound") {
     import spark.implicits._
     val seen = SparkEntry.queries("dedup_bloom")(spark, sf)
