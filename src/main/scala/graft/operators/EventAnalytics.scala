@@ -604,6 +604,65 @@ object EventAnalytics {
                 CAST(ROW_NUMBER() OVER (ORDER BY acf DESC, lag_hours) = 1
                   AS INTEGER) AS is_best
               FROM r ORDER BY lag_hours""")),
+    QueryDef("ts_outlier_tukey", tsOutlierTukey,
+      Some("""WITH daily AS (SELECT
+                CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                  AS d, COUNT(*) AS n FROM events GROUP BY 1),
+              q AS (SELECT quantile_cont(n, 0.25) AS q1,
+                quantile_cont(n, 0.75) AS q3 FROM daily)
+              SELECT d, n,
+                round(q1 - (q3 - q1) * 1.5, 6) AS fence_lo,
+                round(q3 + (q3 - q1) * 1.5, 6) AS fence_hi,
+                CAST(n < q1 - (q3 - q1) * 1.5
+                  OR n > q3 + (q3 - q1) * 1.5 AS INTEGER) AS is_outlier
+              FROM daily, q ORDER BY d""")),
+    QueryDef("ts_stl_decompose", tsStlDecompose,
+      Some("""WITH hourly AS (SELECT
+                CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                  AS h, COUNT(*) AS n FROM events GROUP BY 1),
+              spine AS (SELECT unnest(generate_series(
+                (SELECT MIN(h) FROM hourly), (SELECT MAX(h) FROM hourly),
+                INTERVAL 1 HOUR)) AS h),
+              s AS (SELECT spine.h AS h, COALESCE(n, 0) AS x
+                FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
+              w AS (SELECT h, x,
+                CASE WHEN COUNT(*) OVER win = 25
+                  THEN CAST(SUM(x) OVER win AS BIGINT) END AS t_num,
+                CAST(hour(h) AS INTEGER) AS hod
+                FROM s WINDOW win AS (ORDER BY h
+                  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+              se AS (SELECT hod,
+                CAST(SUM(25 * x - t_num) AS BIGINT) AS s_num,
+                COUNT(*) AS k
+                FROM w WHERE t_num IS NOT NULL GROUP BY hod)
+              SELECT h, x,
+                round(CAST(t_num AS DOUBLE) / 25.0, 6) AS trend,
+                round(CAST(s_num AS DOUBLE)
+                  / (25.0 * CAST(k AS DOUBLE)), 6) AS seasonal,
+                round(CAST(25 * k * x - k * t_num - s_num AS DOUBLE)
+                  / (25.0 * CAST(k AS DOUBLE)), 6) AS resid
+              FROM w LEFT JOIN se USING (hod) ORDER BY h""")),
+    QueryDef("ts_anomaly_zscore", tsAnomalyZscore,
+      Some("""WITH hourly AS (SELECT
+                CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                  AS h, COUNT(*) AS n FROM events GROUP BY 1),
+              spine AS (SELECT unnest(generate_series(
+                (SELECT MIN(h) FROM hourly), (SELECT MAX(h) FROM hourly),
+                INTERVAL 1 HOUR)) AS h),
+              s AS (SELECT spine.h AS h, COALESCE(n, 0) AS x
+                FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
+              w AS (SELECT h, x, COUNT(*) OVER win AS cnt,
+                CAST(SUM(x) OVER win AS BIGINT) AS ss,
+                CAST(SUM(x * x) OVER win AS BIGINT) AS q
+                FROM s WINDOW win AS (ORDER BY h
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+              c AS (SELECT h, x, 24 * x - ss AS num,
+                24 * q - ss * ss AS v24 FROM w WHERE cnt = 24)
+              SELECT h, x,
+                CASE WHEN v24 > 0 THEN round(CAST(num AS DOUBLE)
+                  / sqrt(CAST(v24 AS DOUBLE)), 6) END AS z,
+                CAST(num * num > 9 * v24 AS INTEGER) AS is_anomaly
+              FROM c ORDER BY h""")),
     QueryDef("ts_changepoint", tsChangepoint,
       Some("""WITH hourly AS (SELECT
                 CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
@@ -861,6 +920,121 @@ object EventAnalytics {
         (row_number().over(Window.orderBy(col("acf").desc,
           col("lag_hours"))) === 1).cast("int"))
       .orderBy(col("lag_hours"))
+  }
+
+  /** STL-style decomposition of the hourly count series (the job of
+    * ClickHouse `seriesDecomposeSTL`): trend = centered 25-hour moving
+    * average (NULL where the window is partial), seasonal = per
+    * hour-of-day mean of the detrended series, residual = the rest.
+    * Arithmetic discipline: the trend keeps its INTEGER numerator
+    * `t_num = Σ±12 x` (trend = t_num/25), the detrended value is the
+    * integer `25·x − t_num`, and the seasonal mean keeps integer
+    * numerator `s_num` over `k` days — so every emitted component is a
+    * single integer-ratio divide rounded at 6dp, with no accumulated
+    * double sums to disagree on order.
+    *
+    * Scale notes: raw events fold to the O(hours) rollup map-side; the
+    * moving average is one window and the seasonal profile a 24-row
+    * broadcast join back. Nothing here ever touches raw rows twice.
+    */
+  private def tsStlDecompose(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val byH = Window.orderBy(col("h"))
+    val w25 = byH.rowsBetween(-12, 12)
+    val trended = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("x"))
+      .withColumn("t_num",
+        when(count(lit(1)).over(w25) === 25, sum(col("x")).over(w25)))
+      .withColumn("hod", hour(col("h")))
+      .withColumn("d_num", lit(25L) * col("x") - col("t_num"))
+    val seasonal = trended.filter(col("d_num").isNotNull)
+      .groupBy(col("hod"))
+      .agg(sum(col("d_num")).as("s_num"), count(lit(1)).as("k"))
+    trended.join(broadcast(seasonal), Seq("hod"), "left")
+      .select(col("h"), col("x"),
+        round(col("t_num").cast("double") / 25.0, 6).as("trend"),
+        round(col("s_num").cast("double")
+          / (lit(25.0) * col("k").cast("double")), 6).as("seasonal"),
+        round((lit(25L) * col("k") * col("x") - col("k") * col("t_num")
+          - col("s_num")).cast("double")
+          / (lit(25.0) * col("k").cast("double")), 6).as("resid"))
+      .orderBy(col("h"))
+  }
+
+  /** Tukey-fence outliers over the daily count series (ClickHouse
+    * `seriesOutliersDetectTukey`): Q1/Q3 by exact interpolated
+    * percentile (the agg_quantile-proven percentile↔quantile_cont
+    * pairing), fences at ±1.5·IQR. Both engines evaluate the identical
+    * IEEE chain (interp quartile → one multiply → one add), so the
+    * fence doubles are bit-equal and the flag comparison cannot
+    * diverge. Fences rounded 6dp only at the edge; the flag compares
+    * the UNROUNDED values.
+    *
+    * Scale notes: raw events fold map-side to the O(days) rollup; the
+    * quartiles are one scalar agg broadcast back. Nothing global-sorts.
+    */
+  private def tsOutlierTukey(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val q = daily.agg(expr("percentile(n, 0.25)").as("q1"),
+      expr("percentile(n, 0.75)").as("q3"))
+    daily.crossJoin(broadcast(q))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .select(col("d"), col("n"),
+        round(col("lo"), 6).as("fence_lo"), round(col("hi"), 6).as("fence_hi"),
+        (col("n") < col("lo") || col("n") > col("hi")).cast("int")
+          .as("is_outlier"))
+      .orderBy(col("d"))
+  }
+
+  /** Rolling z-score anomaly detection over the hourly count series:
+    * each hour scored against the PRECEDING 24 full hours (the current
+    * hour is excluded from its own baseline, the standard online
+    * formulation). With integer sums S = Σx and Q = Σx² over the
+    * trailing frame, z = (24·x − S)/√(24·Q − S²) — integers until one
+    * final sqrt+divide — and the flag is decided ENTIRELY in integers:
+    * |z| > 3  ⟺  (24·x − S)² > 9·(24·Q − S²), so the anomaly bit can
+    * never straddle a floating-point rounding boundary across engines.
+    *
+    * Scale notes: O(hours) rollup + one window pass. The squared terms
+    * stay in int64 while hourly counts < ~3·10⁸; beyond that promote S/Q
+    * to DECIMAL(38,0) — noted rather than paid, since the rollup grain
+    * (not the raw volume) bounds x.
+    */
+  private def tsAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val byH = Window.orderBy(col("h"))
+    val w24 = byH.rowsBetween(-24, -1)
+    spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("x"))
+      .withColumn("cnt", count(lit(1)).over(w24))
+      .withColumn("s", sum(col("x")).over(w24))
+      .withColumn("q", sum(col("x") * col("x")).over(w24))
+      .filter(col("cnt") === 24)
+      .withColumn("num", lit(24L) * col("x") - col("s"))
+      .withColumn("v24", lit(24L) * col("q") - col("s") * col("s"))
+      .select(col("h"), col("x"),
+        when(col("v24") > 0, round(col("num").cast("double")
+          / sqrt(col("v24").cast("double")), 6)).as("z"),
+        (col("num") * col("num") > lit(9L) * col("v24")).cast("int")
+          .as("is_anomaly"))
+      .orderBy(col("h"))
   }
 
   /** Changepoint detection over the hourly count series: the CUSUM

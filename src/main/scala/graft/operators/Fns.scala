@@ -388,6 +388,53 @@ object Fns {
       .orderBy(col("c_custkey"))
   }
 
+  /** ClickHouse `pointInPolygon` — even-odd ray casting against a fixed
+    * 6-vertex integer-lattice polygon, decided ENTIRELY in integers:
+    * the "ray crosses edge" test px < x1 + (py−y1)(x2−x1)/(y2−y1) is
+    * cross-multiplied by dy (sign-split on the two admitting cases), so
+    * no division ever happens and both engines run the identical int64
+    * arithmetic. The per-edge CASE terms are generated ONCE from the
+    * vertex list ([[crossTerms]]) and the same string is handed to both
+    * Spark and the DuckDB oracle — the formula cannot drift.
+    *
+    * Scale notes: pure map-side codegen'd projection; a real polygon
+    * dictionary would broadcast the vertex arrays and run the same HOF
+    * per (point, polygon) candidate after a bounding-box prefilter.
+    */
+  private val poly: Seq[(Long, Long)] =
+    Seq((10L, 10L), (90L, 20L), (50L, 50L), (80L, 90L), (20L, 80L), (40L, 40L))
+
+  /** Sum of per-edge crossing indicators for point (`px`,`py`) — a SQL
+    * fragment valid in both Spark SQL and DuckDB.
+    */
+  private def crossTerms(px: String, py: String): String =
+    (poly :+ poly.head).sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      s"""(CASE WHEN ($y1 <= $py AND $y2 > $py
+         |  AND ($px - $x1) * ${y2 - y1} < ($py - $y1) * ${x2 - x1})
+         | OR ($y2 <= $py AND $y1 > $py
+         |  AND ($px - $x1) * ${y2 - y1} > ($py - $y1) * ${x2 - x1})
+         | THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+
+  private def fnGeoPolygon(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        (col("c_custkey") % 100).as("px"),
+        ((col("c_custkey") * 37) % 100).as("py"))
+      .withColumn("crossings", expr(crossTerms("px", "py")))
+      .select(col("c_custkey"), col("px"), col("py"), col("crossings"),
+        (col("crossings") % 2 === 1).cast("int").as("inside"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val fnGeoPolygonOracle: String =
+    s"""WITH p AS (SELECT c_custkey, c_custkey % 100 AS px,
+       |  (c_custkey * 37) % 100 AS py FROM customer)
+       |SELECT c_custkey, px, py,
+       |  ${crossTerms("px", "py")} AS crossings,
+       |  CAST((${crossTerms("px", "py")}) % 2 = 1 AS INTEGER) AS inside
+       |FROM p ORDER BY c_custkey""".stripMargin
+
   /** Snowflake-style time-sortable ID codec (ClickHouse
     * `generateSnowflakeID` / `snowflakeIDToDateTime`): 41 bits of millis
     * since a 2020-01-01 custom epoch, 10 bits of shard (user_id % 1024),
@@ -429,6 +476,43 @@ object Fns {
       .orderBy(col("event_id"))
   }
 
+  /** Nested-JSON flatten (ClickHouse `JSONExtractArrayRaw` + ARRAY
+    * JOIN; Snowflake LATERAL FLATTEN): a document per order carrying an
+    * ARRAY of line-item structs is parsed with an explicit nested
+    * schema and exploded back to relational rows. The JSON is built and
+    * re-parsed in-engine (to_json → from_json → explode), so the
+    * operator proves the full round trip — schema'd nested parse, array
+    * explode, struct field access — while the oracle checks the
+    * flatten is LOSSLESS by recomputing the rows relationally from
+    * lineitem (no cross-engine JSON-text comparison, which would hang
+    * on formatting).
+    *
+    * Scale notes: parse and explode are narrow per-row transforms
+    * inside whole-stage codegen; only the array elements multiply rows.
+    * The pre-group is one shuffle on l_orderkey — the same shuffle any
+    * order-grain nesting already paid.
+    */
+  private def fnJsonFlatten(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val itemT = StructType(Seq(StructField("l", IntegerType),
+      StructField("q", LongType)))
+    val docT = StructType(Seq(StructField("o", LongType),
+      StructField("items", ArrayType(itemT))))
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(to_json(struct(col("l_orderkey").as("o"),
+        array_sort(collect_list(struct(col("l_linenumber").as("l"),
+          col("l_quantity").cast("long").as("q")))).as("items"))).as("js"))
+      .select(from_json(col("js"), docT).as("p"))
+      .select(col("p.o").as("o_orderkey"), explode(col("p.items")).as("it"))
+      .select(col("o_orderkey"), col("it.l").as("l_linenumber"),
+        col("it.q").as("qty"))
+      // the synthetic lineitem does NOT keep l_linenumber unique per
+      // order — qty joins the sort key to make the order total
+      .orderBy(col("o_orderkey"), col("l_linenumber"), col("qty"))
+  }
+
   /** ClickHouse `formatReadableSize` / `formatReadableQuantity`: scale a
     * byte/row count to its human unit. The scaled value is emitted in
     * integer HUNDREDTHS (`*_cents`) beside the unit string, NOT as a
@@ -465,6 +549,12 @@ object Fns {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_geo_polygon", fnGeoPolygon, Some(fnGeoPolygonOracle)),
+    QueryDef("fn_json_flatten", fnJsonFlatten,
+      Some("""SELECT l_orderkey AS o_orderkey, l_linenumber,
+                CAST(l_quantity AS BIGINT) AS qty
+              FROM lineitem WHERE l_orderkey % 97 = 0
+              ORDER BY o_orderkey, l_linenumber, qty""")),
     QueryDef("fn_format_readable", fnFormatReadable,
       Some("""WITH b AS (SELECT o_orderkey,
                 (CAST(floor(o_totalprice) AS BIGINT) + 1)

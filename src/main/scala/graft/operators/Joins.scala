@@ -669,7 +669,99 @@ object Joins {
       .orderBy(col("pos"))
   }
 
+  /** ClickHouse `ip_trie` dictionary — longest-prefix-match of each
+    * user's IPv4 against overlapping /8, /16, /24 CIDR entries. The
+    * trie is re-expressed as the Spark-friendly EQUI-join it really is:
+    * every probe IP expands to its (prefix-value, length) candidates —
+    * O(#prefix-lengths) rows per probe, a fixed constant, never a range
+    * scan — equi-joins the broadcast dictionary on (pfx, len), and
+    * `max_by(label, len)` keeps the longest match; unmatched probes
+    * fall back to 'default' via the left join back onto the probe set.
+    * All prefix arithmetic is integer shift/mask, identical in both
+    * engines.
+    *
+    * Scale notes: the dictionary (O(CIDR entries)) broadcasts; the
+    * candidate expansion triples the probe rows map-side and collapses
+    * again in the same stage's partial agg. No shuffle touches the
+    * corpus beyond the per-user fold already paid for `distinct`.
+    */
+  private def dictGetIpTrie(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir).select(col("n_nationkey").as("k"))
+    val da = (col("k") % 223) + 1
+    val db = (col("k") * 7) % 256
+    val dc = (col("k") * 13) % 256
+    val dict = n.select(explode(array(
+      struct((da * 16777216L).as("pfx"), lit(8).as("len"),
+        concat(lit("net8-"), col("k")).as("label")),
+      struct((da * 16777216L + db * 65536L).as("pfx"), lit(16).as("len"),
+        concat(lit("net16-"), col("k")).as("label")),
+      struct((da * 16777216L + db * 65536L + dc * 256L).as("pfx"),
+        lit(24).as("len"),
+        concat(lit("net24-"), col("k")).as("label")))).as("e"))
+      .select(col("e.*"))
+    val p = Tables.events(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        ((col("user_id") % 223) + 1).as("ua"),
+        ((col("user_id") * 7) % 256).as("ub"),
+        ((col("user_id") * 13) % 256).as("uc"),
+        (col("user_id") % 256).as("ud"))
+    val cand = p.select(col("user_id"), explode(array(
+      struct((col("ua") * 16777216L).as("pfx"), lit(8).as("len")),
+      struct((col("ua") * 16777216L + col("ub") * 65536L).as("pfx"),
+        lit(16).as("len")),
+      struct((col("ua") * 16777216L + col("ub") * 65536L
+        + col("uc") * 256L).as("pfx"), lit(24).as("len")))).as("c"))
+      .select(col("user_id"), col("c.pfx"), col("c.len"))
+    val m = cand.join(broadcast(dict), Seq("pfx", "len"))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("label"), col("len")).as("label"),
+        max(col("len")).as("matched_len"))
+    p.join(m, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (col("ua") * 16777216L + col("ub") * 65536L + col("uc") * 256L
+          + col("ud")).as("ip_num"),
+        coalesce(col("label"), lit("default")).as("label"),
+        coalesce(col("matched_len"), lit(0)).as("matched_len"))
+      .orderBy(col("user_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dict_get_ip_trie", dictGetIpTrie,
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+              p AS (SELECT user_id, (user_id % 223) + 1 AS ua,
+                (user_id * 7) % 256 AS ub, (user_id * 13) % 256 AS uc,
+                user_id % 256 AS ud FROM u),
+              d AS (
+                SELECT ((n_nationkey % 223) + 1) * 16777216 AS pfx,
+                  8 AS len,
+                  'net8-' || CAST(n_nationkey AS VARCHAR) AS label
+                FROM nation
+                UNION ALL
+                SELECT ((n_nationkey % 223) + 1) * 16777216
+                    + ((n_nationkey * 7) % 256) * 65536, 16,
+                  'net16-' || CAST(n_nationkey AS VARCHAR) FROM nation
+                UNION ALL
+                SELECT ((n_nationkey % 223) + 1) * 16777216
+                    + ((n_nationkey * 7) % 256) * 65536
+                    + ((n_nationkey * 13) % 256) * 256, 24,
+                  'net24-' || CAST(n_nationkey AS VARCHAR) FROM nation),
+              c AS (
+                SELECT user_id, ua * 16777216 AS pfx, 8 AS len FROM p
+                UNION ALL
+                SELECT user_id, ua * 16777216 + ub * 65536, 16 FROM p
+                UNION ALL
+                SELECT user_id,
+                  ua * 16777216 + ub * 65536 + uc * 256, 24 FROM p),
+              m AS (SELECT c.user_id, arg_max(d.label, d.len) AS label,
+                  MAX(d.len) AS matched_len
+                FROM c JOIN d USING (pfx, len) GROUP BY c.user_id)
+              SELECT p.user_id,
+                p.ua * 16777216 + p.ub * 65536 + p.uc * 256 + p.ud
+                  AS ip_num,
+                COALESCE(m.label, 'default') AS label,
+                COALESCE(m.matched_len, 0) AS matched_len
+              FROM p LEFT JOIN m USING (user_id)
+              ORDER BY user_id""")),
     QueryDef("join_paste", joinPaste,
       Some("""WITH a AS (SELECT o_orderkey, o_totalprice,
                  row_number() OVER (ORDER BY o_orderkey) AS pos

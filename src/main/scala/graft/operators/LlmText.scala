@@ -981,6 +981,74 @@ object LlmText {
     * over the aggregated (doc, token) table clustered by doc — never the
     * token stream — and keywords leave as one canonical CSV per doc.
     */
+  /** Curriculum ordering (easy→hard training schedule): each document
+    * is assigned a difficulty STAGE from broadcast decile cutpoints of
+    * n_chars — `1 + Σ(n_chars > cᵢ)` over the 9 interpolated deciles, a
+    * codegen'd array HOF — then a deterministic hash-rank position
+    * within its stage. The cutpoint rule (not a global ntile) is the
+    * scale story: no global sort ever runs; stage assignment is
+    * map-side against 9 broadcast doubles, mirroring how shuffle_shard
+    * derives order from hashes rather than RNG.
+    *
+    * Scale notes: one scalar percentile agg broadcast back; the only
+    * shuffle is the per-stage rank (10 partitions — salt the rank key
+    * to (stage, hash-prefix) at real scale, positions then compose as
+    * prefix-sums per salt, same as shuffle_shard's (shard, pos) pair).
+    */
+  private def sampleCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cuts = docs.agg(expr(
+      "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("cs"))
+    val inStage = Window.partitionBy(col("stage"))
+      .orderBy(md5(concat(lit("curr-"), col("doc_id"))), col("doc_id"))
+    docs.crossJoin(broadcast(cuts))
+      .withColumn("stage",
+        expr("1 + aggregate(cs, 0, (a, c) -> a + IF(n_chars > c, 1, 0))"))
+      .withColumn("pos_in_stage", row_number().over(inStage))
+      .select(col("stage"), col("pos_in_stage"), col("doc_id"),
+        col("n_chars"))
+      .orderBy(col("stage"), col("pos_in_stage"))
+  }
+
+  /** Token co-occurrence with PMI-style lift (word2vec-era corpus
+    * statistics, the collocation signal behind phrase mining): for the
+    * top-100 document-frequency tokens (len ≥ 3), count docs where a
+    * pair co-occurs and score lift = P(w1,w2)/(P(w1)P(w2)) =
+    * n_pair·N/(n1·n2). The score is emitted in integer MICRO-units via
+    * integer division (all-positive, so floor = truncate on both
+    * engines) instead of log-PMI — same ranking, zero libm.
+    *
+    * Scale notes: the vocabulary cap is the scale story — pairs are
+    * generated per doc over ≤100 broadcast-filtered tokens (≤4950 pairs
+    * per doc, independent of doc length), then one hash-agg. The
+    * all-pairs domain is the capped vocab², never tokens². df counts
+    * ride along the broadcast join so the pair agg needs no second join.
+    */
+  private def textPmiCooccur(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val t = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) >= 3)
+      .distinct()
+    val top = t.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(100)
+    val tt = t.join(broadcast(top), "w")
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    tt.as("a")
+      .join(tt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"),
+        col("a.df").as("n1"), col("b.df").as("n2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n1"), col("n2"),
+        expr("n_pair * n_docs * 1000000 div (n1 * n2)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   private def textKeywords(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_total"))
@@ -1375,6 +1443,39 @@ object LlmText {
                   / n, 6) AS intercept
               FROM mom""")),
     QueryDef("text_compress_ratio", textCompressRatio, None),
+    QueryDef("sample_curriculum", sampleCurriculum,
+      Some("""WITH cs AS (SELECT quantile_cont(n_chars,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+                FROM documents),
+              st AS (SELECT doc_id, n_chars,
+                1 + list_sum(list_transform(cs,
+                  c -> CASE WHEN n_chars > c THEN 1 ELSE 0 END)) AS stage
+                FROM documents, cs),
+              r AS (SELECT stage, doc_id, n_chars,
+                row_number() OVER (PARTITION BY stage
+                  ORDER BY md5('curr-' || CAST(doc_id AS VARCHAR)), doc_id)
+                  AS pos_in_stage FROM st)
+              SELECT stage, pos_in_stage, doc_id, n_chars FROM r
+              ORDER BY stage, pos_in_stage""")),
+    QueryDef("text_pmi_cooccur", textPmiCooccur,
+      Some("""WITH t AS (SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents) u WHERE length(w) >= 3),
+              top AS (SELECT w, COUNT(*) AS df FROM t GROUP BY w
+                ORDER BY df DESC, w LIMIT 100),
+              tt AS (SELECT t.doc_id, t.w, top.df
+                FROM t JOIN top USING (w)),
+              n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs
+                FROM documents),
+              p AS (SELECT a.w AS w1, b.w AS w2, a.df AS n1, b.df AS n2,
+                  COUNT(*) AS n_pair
+                FROM tt a JOIN tt b
+                  ON a.doc_id = b.doc_id AND a.w < b.w
+                GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 5)
+              SELECT w1, w2, n_pair, n1, n2,
+                n_pair * n_docs * 1000000 // (n1 * n2) AS lift_micro
+              FROM p, n
+              ORDER BY lift_micro DESC, w1, w2 LIMIT 50""")),
     QueryDef("text_keywords", textKeywords,
       Some("""WITH t AS (SELECT doc_id,
                  unnest(string_split(text, ' ')) AS token FROM documents),

@@ -220,7 +220,47 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** True time-interval frame over IRREGULAR event times: each purchase
+    * sees the trailing one hour of the same user's purchases (RANGE on
+    * the epoch-microsecond ordering key, inclusive at both ends — peers
+    * at the exact same µs are frame-mates in both engines). This is the
+    * shape `win_running`'s daily integer frame can't express: the frame
+    * boundary falls mid-hour wherever the events do. Spark truncates
+    * parquet ns→µs, so the frame key is `unix_micros` on both sides.
+    * Sums go decimal-exact inside the frame (Det pattern), double at
+    * the edge.
+    *
+    * Scale notes: one shuffle on user_id, then a per-partition ordered
+    * scan — the frame is a sliding two-pointer over each user's events,
+    * O(events) total. No spine, no self-join: the 100 TB formulation.
+    */
+  private def winRangeInterval(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        col("value").cast(DecimalType(30, 6)).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    e.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("v")).over(w).cast("double").as("rev_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_range_interval", winRangeInterval,
+      Some("""WITH p AS (SELECT user_id, event_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+                FROM events WHERE event_type = 'purchase')
+              SELECT user_id, event_id,
+                COUNT(*) OVER w AS n_1h,
+                CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                  AS rev_1h
+              FROM p
+              WINDOW w AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id""")),
     QueryDef("win_zscore", winZscore,
       Some("""WITH h AS (SELECT o_custkey, o_orderkey, o_totalprice,
                  COUNT(*) OVER w AS n_hist,

@@ -472,6 +472,21 @@ class PlanShapeSpec extends GraftSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("text_pmi_cooccur broadcasts the capped vocabulary (pair domain is vocab², not tokens²)") {
+    val p = plan("text_pmi_cooccur")
+    assert(p.contains("BroadcastHashJoin"),
+      "top-100 vocab filter must be a broadcast join:\n" + p.take(800))
+  }
+
+  test("win_range_interval: one user_id shuffle feeds the time-range frame") {
+    val p = plan("win_range_interval")
+    assert(p.contains("hashpartitioning(user_id"),
+      "frame must run on the user_id partitioning:\n" + p.take(800))
+    // no self-join / spine: the RANGE frame is a single Window node
+    assert(p.contains("Window [") && !p.contains("SortMergeJoin"),
+      "time-range frame must be a Window, not a join:\n" + p.take(800))
+  }
+
   test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
     SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
     val names = graft.operators.Stats.ensureAnalyzed(spark, sf)
