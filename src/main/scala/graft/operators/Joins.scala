@@ -669,6 +669,65 @@ object Joins {
       .orderBy(col("pos"))
   }
 
+  /** Spatial containment join (`pointInPolygon` over a polygon TABLE —
+    * the PostGIS/ClickHouse polygon-dictionary shape): points join
+    * candidate polygons through a GRID-CELL equi-join (cell size 10;
+    * each polygon explodes to its bbox's cells, each point hashes to
+    * exactly one cell), then the exact even-odd ray cast runs as an
+    * `aggregate`/`zip_with` HOF over the polygon's vertex array — the
+    * same cross-multiplied integer crossing test as fn_geo_polygon, but
+    * DATA-driven per row instead of compiled from literals. Inside ⇒
+    * inside bbox ⇒ cells intersect, so the prefilter can't drop a true
+    * match.
+    *
+    * Scale notes: this is how a spatial join survives 100 TB — the
+    * cell equi-join replaces the points×polygons cross product with
+    * O(points + Σ polygon-bbox-cells) candidates; the polygon side
+    * (bounded dictionary) broadcasts; the exact test is map-side
+    * codegen'd integer math. The oracle deliberately uses the naive
+    * cross join — same semantics, different plan — so the gate also
+    * proves the prefilter loses nothing.
+    */
+  private def joinPolygonContains(s: SparkSession, dir: String): DataFrame = {
+    val poly = Tables.nation(s, dir).select(
+      col("n_nationkey").as("pid"),
+      ((col("n_nationkey") * 17) % 80 + 10).as("cx"),
+      ((col("n_nationkey") * 29) % 80 + 10).as("cy"),
+      ((col("n_nationkey") % 3) * 5 + 5).as("h"))
+      .withColumn("verts", expr(
+        """array(named_struct('x', cx,     'y', cy - h),
+                 named_struct('x', cx + h, 'y', cy),
+                 named_struct('x', cx,     'y', cy + h),
+                 named_struct('x', cx - h, 'y', cy))"""))
+      .withColumn("c", explode(expr(
+        """flatten(transform(
+             sequence((cx - h) div 10, (cx + h) div 10),
+             gx -> transform(sequence((cy - h) div 10, (cy + h) div 10),
+                             gy -> named_struct('gx', gx, 'gy', gy))))""")))
+      .select(col("pid"), col("verts"), col("c.gx"), col("c.gy"))
+    val pts = Tables.customer(s, dir).select(
+      col("c_custkey"),
+      (col("c_custkey") % 100).as("px"),
+      ((col("c_custkey") * 37) % 100).as("py"))
+      .withColumn("gx", expr("px div 10"))
+      .withColumn("gy", expr("py div 10"))
+    pts.join(broadcast(poly), Seq("gx", "gy"))
+      .withColumn("crossings", expr(
+        """aggregate(
+             zip_with(verts,
+               concat(slice(verts, 2, size(verts) - 1), slice(verts, 1, 1)),
+               (p, q) -> CASE WHEN
+                   (p.y <= py AND q.y > py
+                     AND (px - p.x) * (q.y - p.y) < (py - p.y) * (q.x - p.x))
+                   OR (q.y <= py AND p.y > py
+                     AND (px - p.x) * (q.y - p.y) > (py - p.y) * (q.x - p.x))
+                 THEN 1 ELSE 0 END),
+             0, (acc, x) -> acc + x)"""))
+      .filter(col("crossings") % 2 === 1)
+      .select(col("c_custkey"), col("pid"), col("px"), col("py"))
+      .orderBy(col("c_custkey"), col("pid"))
+  }
+
   /** ClickHouse `ip_trie` dictionary — longest-prefix-match of each
     * user's IPv4 against overlapping /8, /16, /24 CIDR entries. The
     * trie is re-expressed as the Spark-friendly EQUI-join it really is:
@@ -726,6 +785,30 @@ object Joins {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_polygon_contains", joinPolygonContains,
+      Some("""WITH poly AS (SELECT n_nationkey AS pid,
+                (n_nationkey * 17) % 80 + 10 AS cx,
+                (n_nationkey * 29) % 80 + 10 AS cy,
+                (n_nationkey % 3) * 5 + 5 AS h FROM nation),
+              edges AS (
+                SELECT pid, cx AS x1, cy - h AS y1, cx + h AS x2, cy AS y2
+                  FROM poly
+                UNION ALL SELECT pid, cx + h, cy, cx, cy + h FROM poly
+                UNION ALL SELECT pid, cx, cy + h, cx - h, cy FROM poly
+                UNION ALL SELECT pid, cx - h, cy, cx, cy - h FROM poly),
+              pts AS (SELECT c_custkey, c_custkey % 100 AS px,
+                (c_custkey * 37) % 100 AS py FROM customer),
+              cr AS (SELECT p.c_custkey, p.px, p.py, e.pid,
+                SUM(CASE WHEN (e.y1 <= p.py AND e.y2 > p.py
+                    AND (p.px - e.x1) * (e.y2 - e.y1)
+                      < (p.py - e.y1) * (e.x2 - e.x1))
+                  OR (e.y2 <= p.py AND e.y1 > p.py
+                    AND (p.px - e.x1) * (e.y2 - e.y1)
+                      > (p.py - e.y1) * (e.x2 - e.x1))
+                  THEN 1 ELSE 0 END) AS crossings
+                FROM pts p, edges e GROUP BY 1, 2, 3, 4)
+              SELECT c_custkey, pid, px, py FROM cr
+              WHERE crossings % 2 = 1 ORDER BY c_custkey, pid""")),
     QueryDef("dict_get_ip_trie", dictGetIpTrie,
       Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
               p AS (SELECT user_id, (user_id % 223) + 1 AS ua,

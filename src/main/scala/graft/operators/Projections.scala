@@ -52,7 +52,40 @@ object Projections {
     )
   }
 
+  /** SQL-TEXT API parity (TPC-H Q6 shape): the exact same engine surface
+    * through `spark.sql(...)` instead of the DataFrame DSL — users who
+    * live in SQL get the same Catalyst plan, the same parquet pushdown,
+    * and the same decimal-exact Det summation. Views are registered
+    * per-table over the same scans the DSL keys use, so SQL text and
+    * DataFrame code are interchangeable entry points, not parallel
+    * stacks.
+    *
+    * Scale notes: identical plan to the DSL spelling — filters reach
+    * the scan as PushedFilters (same assertion family as filter_pred);
+    * one partial-agg to a scalar.
+    */
+  private def sqlQ6Revenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                             AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+                    COUNT(*) AS n_rows
+             FROM v_lineitem
+             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+               AND l_shipdate <  TIMESTAMP '1996-01-01'
+               AND l_discount BETWEEN 0.02 AND 0.04
+               AND l_quantity < 24""")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_q6_revenue", sqlQ6Revenue,
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_rows
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-01-01'
+                AND l_discount BETWEEN 0.02 AND 0.04
+                AND l_quantity < 24""")),
     QueryDef("project_basic", projectBasic,
       Some("""SELECT l_orderkey, l_linenumber,
                l_extendedprice * (1 - l_discount) AS net_price,

@@ -139,11 +139,16 @@ class AnalyticsOpsSpec extends GraftSpec {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey"))
       .as[(Long, Long)].collect()
-    val edges = li.groupBy(_._1).values.flatMap { lines =>
+    // affinity graph: pair must co-occur in >= 2 distinct orders
+    val edges = li.groupBy(_._1).toSeq.flatMap { case (ok, lines) =>
       val ps = lines.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- (i + 1) until ps.length)
-        yield (ps(i), ps(j))
-    }.toSet
+        yield ((ps(i), ps(j)), ok)
+    }.groupBy(_._1)
+      // .filter + .keySet, NOT .collect: Map.collect over tuple-valued
+      // results rebuilds a Map and silently dedups edges by first node
+      .filter { case (_, occs) => occs.map(_._2).distinct.size >= 2 }
+      .keySet
     val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
     var want = 0L
     edges.foreach { case (a, b) =>
