@@ -487,6 +487,32 @@ class PlanShapeSpec extends GraftSpec {
       "time-range frame must be a Window, not a join:\n" + p.take(800))
   }
 
+  test("join_polygon_contains broadcasts the polygon cells; ray cast stays map-side") {
+    val p = plan("join_polygon_contains")
+    assert(p.contains("BroadcastHashJoin"),
+      "cell prefilter must be a broadcast equi-join:\n" + p.take(800))
+    // the exact test is a projection over the joined candidates — no
+    // second join and no points×polygons nested loop anywhere
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "exact ray cast must not fall back to a cross product:\n" + p.take(800))
+  }
+
+  test("graph_common_neighbors takes top-50 without a global sort") {
+    assert(plan("graph_common_neighbors").contains("TakeOrderedAndProject"))
+  }
+
+  test("sql_q6_revenue: SQL text gets the same pushdown as the DSL") {
+    val p = plan("sql_q6_revenue")
+    // the PushedFilters list is string-truncated in toString, so assert
+    // on the visible prefix (shipdate bound reaching the scan)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)")
+        && p.contains("GreaterThanOrEqual(l_shipda"),
+      "filters must reach the parquet scan from spark.sql:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      "scalar agg must be two-phase")
+  }
+
   test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
     SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
     val names = graft.operators.Stats.ensureAnalyzed(spark, sf)
