@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 340 generated whole-stage-codegen classes in one bench/verify JVM
+  // JIT-compile far past the 240m default; a full code cache silently
+  // disables the compiler and uniformly ~1.6x-slows every later query
+  "-XX:ReservedCodeCacheSize=512m",
 )

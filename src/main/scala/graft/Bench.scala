@@ -22,22 +22,33 @@ object Bench {
     val prev = readPrev("target/bench_queries.json")
     // one-time shared-fixture ETL (bucketed tables, staged stream feeds):
     // amortized setup at cluster scale, so it isn't part of any query's time
+    // a fixture-prep failure must be VISIBLE (it cascades into dozens of
+    // dependent query failures that would otherwise be undiagnosable)
     try {
       graft.operators.Joins.ensureBucketed(spark, sfDir)
       graft.streaming.StreamOps.prepareFixtures(spark, sfDir)
       graft.operators.Cdc.ordersTyped(spark, sfDir) // shared parse cache
       graft.operators.Stats.ensureAnalyzed(spark, sfDir)
       graft.operators.MvOps.ensureMv(spark, sfDir) // MV staging, not query
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] fixture prep FAILED: ${e.toString.take(500)}")
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        // contract (BASELINE.md): failed queries record -1, not elapsed
+        // contract (BASELINE.md): failed queries record -1, not elapsed;
+        // the cause goes to stderr (stdout stays parseable JSON)
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $name FAILED: ${e.toString.linesIterator.take(1).mkString.take(300)}")
+            -1.0
+        }
       }
       if (reps > 1) println(s"""{"bench_reps":"$name","times":[${times.mkString(",")}]}""")
       name -> times.head

@@ -29,16 +29,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as raw nanos (legacy conf) and floor-divide
-    * to µs — integer `div`, not `/1000` (ns epoch values ≈1.7e18 exceed
-    * double's 2^53 exact range). Result matches DuckDB's
-    * `CAST(ts AS TIMESTAMP)` truncation bit-for-bit.
+  /** events.ts encoding differs between testdata drops, so detect from
+    * the resolved schema and normalize to TIMESTAMP (µs wall-clock,
+    * session tz pinned UTC):
+    *  - TIMESTAMP(NANOS) drops are unreadable by the vectorized reader;
+    *    with the legacy nanosAsLong conf (removed in Spark 4.1.2 — the
+    *    set is a harmless no-op there) they surface as a nanos LONG,
+    *    floor-divided to µs with integer `div` (ns epoch values ≈1.7e18
+    *    exceed double's 2^53 exact range). Matches DuckDB's
+    *    `CAST(ts AS TIMESTAMP)` truncation bit-for-bit.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) drops surface natively
+    *    as TIMESTAMP_NTZ; the cast to TIMESTAMP preserves the wall-clock
+    *    µs exactly under the UTC session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
@@ -97,6 +109,22 @@ object Scratch {
     new java.io.File(d).mkdirs()
     created.add(d)
     d
+  }
+
+  /** Root for cross-run staged stream fixtures (CDC feeds, event file
+    * drops), VERSIONED by a fingerprint of the source fixture: the
+    * stages are guarded by if-exists checks, so when the driver swaps
+    * in a new testdata drop (observed round 7: events.ts re-encoded
+    * TIMESTAMP(NANOS)→TIMESTAMP(MICROS)), an unversioned path would
+    * silently replay stale feeds derived from the OLD data. The
+    * fingerprint (source parquet size in bytes) changes with any drop.
+    */
+  def streamStageRoot(sfDir: String): String = {
+    val fp =
+      try java.nio.file.Files.size(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      catch { case _: Throwable => 0L }
+    s"${sys.props("java.io.tmpdir")}/graft_stream_$fp"
   }
 
   /** Durable small-file write for manifest commit points: the bytes are

@@ -396,6 +396,38 @@ object Aggregates {
         .as("contingency_c"))
   }
 
+  /** ClickHouse `anyHeavy` — the heavy-hitter value per group, made
+    * DETERMINISTIC: ClickHouse's anyHeavy is a single-pass
+    * majority-vote (Boyer-Moore) whose answer can depend on arrival
+    * order; here the same contract ("a value that occurs at least half
+    * the time, if one exists") is computed exactly over the compressed
+    * (group, value) domain — the top value by (count DESC, value ASC)
+    * qualifies as heavy only when count·2 > group total, else NULL.
+    *
+    * Scale notes: raw lineitem contributes map-side partial counts into
+    * the tiny (returnflag × linestatus) cell table; the window rides
+    * O(distinct cells), never O(rows) — the same domain-compression
+    * shape as agg_mode/agg_rank_corr. A Boyer-Moore single-pass would
+    * save nothing here: the cell table IS the mergeable partial state.
+    */
+  private def aggAnyHeavy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val part = Window.partitionBy(col("rf"))
+    val rk = Window.partitionBy(col("rf"))
+      .orderBy(col("cnt").desc, col("v"))
+    counts
+      .withColumn("tot", sum(col("cnt")).over(part))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("rf"),
+        when(col("cnt") * 2 > col("tot"), col("v")).as("heavy"),
+        col("cnt").as("top_count"), col("tot").as("n"))
+      .orderBy(col("rf"))
+  }
+
   /** Equi-HEIGHT histogram (the quantile-bucket complement of
     * agg_histogram's equi-width buckets): each distinct value lands in
     * bucket ⌊cumBefore·k/N⌋ — ties are atomic (a value never splits), so
@@ -622,12 +654,14 @@ object Aggregates {
   /** ClickHouse `rankCorr` — Spearman's ρ between l_quantity and
     * l_discount, formulated over the COMPRESSED distinct-pair domain
     * (≤ 50·11 cells): marginal counts give each distinct value its
-    * tie-averaged rank (below + (t+1)/2 — a dyadic rational), then ρ is
-    * Pearson over the cell table weighted by cell count. Every sum
-    * (Σw·rq, Σw·rq², Σw·rq·rd) is a sum of quarter-integers — exact in
-    * double far below 2⁵³ — so both engines agree bit-for-bit until the
-    * single final divide/sqrt (correctly-rounded IEEE ops on identical
-    * inputs), which rounds to 6dp.
+    * tie-averaged rank — carried in HALF-units as the INTEGER
+    * 2·below + t + 1, so nothing fractional ever enters a sum — then ρ
+    * is Pearson over the cell table weighted by cell count. The sums
+    * (Σw·rqh, Σw·rqh², Σw·rqh·rdh) accumulate as DECIMAL(38,0)
+    * (exact at any magnitude, order-independent; a double sum would
+    * pass 2⁵³ near n≈6e5 and become order-dependent), the half-unit
+    * scale cancels in ρ, and only the final divide/sqrt on three
+    * exactly-determined integers is IEEE-rounded, then rounded to 6dp.
     *
     * Scale notes: raw lineitem contributes only map-side partial counts
     * into the (q, d) cell table; ranks are prefix sums over the two
@@ -645,26 +679,26 @@ object Aggregates {
         .rowsBetween(Window.unboundedPreceding, -1)
       src.groupBy(col(key)).agg(sum(col("w")).as("t"))
         .withColumn("below", coalesce(sum(col("t")).over(w), lit(0L)))
-        .select(col(key),
-          (col("below").cast("double")
-            + (col("t") + 1).cast("double") / 2.0).as(rk))
+        // half-unit integer rank: 2·(below + (t+1)/2)
+        .select(col(key), (lit(2L) * col("below") + col("t") + 1).as(rk))
     }
     val joined = cells
       .join(ranks(cells, "q", "rq"), "q")
       .join(ranks(cells, "d", "rd"), "d")
+    val wD = col("w").cast("decimal(38,0)")
     joined.agg(
         sum(col("w")).as("n"),
-        sum(col("w") * col("rq")).as("sq"),
-        sum(col("w") * col("rd")).as("sd"),
-        sum(col("w") * col("rq") * col("rq")).as("sqq"),
-        sum(col("w") * col("rd") * col("rd")).as("sdd"),
-        sum(col("w") * col("rq") * col("rd")).as("sqd"))
+        sum(wD * col("rq")).as("sq"),
+        sum(wD * col("rd")).as("sd"),
+        sum(wD * col("rq") * col("rq")).as("sqq"),
+        sum(wD * col("rd") * col("rd")).as("sdd"),
+        sum(wD * col("rq") * col("rd")).as("sqd"))
       .select({
-        val n = col("n").cast("double")
-        val num = n * col("sqd") - col("sq") * col("sd")
-        val den = sqrt((n * col("sqq") - col("sq") * col("sq"))
-          * (n * col("sdd") - col("sd") * col("sd")))
-        Seq(col("n"), round(num / den, 6).as("rho"))
+        val nD = col("n").cast("decimal(38,0)")
+        val num = (nD * col("sqd") - col("sq") * col("sd")).cast("double")
+        val vx = (nD * col("sqq") - col("sq") * col("sq")).cast("double")
+        val vy = (nD * col("sdd") - col("sd") * col("sd")).cast("double")
+        Seq(col("n"), round(num / sqrt(vx * vy), 6).as("rho"))
       }: _*)
   }
 
@@ -1000,26 +1034,30 @@ object Aggregates {
     QueryDef("agg_rank_corr", aggRankCorr,
       Some("""WITH cells AS (SELECT l_quantity AS q, l_discount AS d,
                 COUNT(*) AS w FROM lineitem GROUP BY q, d),
-              rq AS (SELECT q, below + CAST(t + 1 AS DOUBLE) / 2.0 AS rq
+              rq AS (SELECT q, 2 * below + t + 1 AS rq
                 FROM (SELECT q, CAST(SUM(w) AS BIGINT) AS t,
                   CAST(COALESCE(SUM(SUM(w)) OVER (ORDER BY q
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS DOUBLE) AS below
+                    AS BIGINT) AS below
                   FROM cells GROUP BY q) mq),
-              rd AS (SELECT d, below + CAST(t + 1 AS DOUBLE) / 2.0 AS rd
+              rd AS (SELECT d, 2 * below + t + 1 AS rd
                 FROM (SELECT d, CAST(SUM(w) AS BIGINT) AS t,
                   CAST(COALESCE(SUM(SUM(w)) OVER (ORDER BY d
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS DOUBLE) AS below
+                    AS BIGINT) AS below
                   FROM cells GROUP BY d) md),
               m AS (SELECT CAST(SUM(w) AS BIGINT) AS n,
-                SUM(w * rq) AS sq, SUM(w * rd) AS sd,
-                SUM(w * rq * rq) AS sqq, SUM(w * rd * rd) AS sdd,
-                SUM(w * rq * rd) AS sqd
+                SUM(CAST(w AS HUGEINT) * rq) AS sq,
+                SUM(CAST(w AS HUGEINT) * rd) AS sd,
+                SUM(CAST(w AS HUGEINT) * rq * rq) AS sqq,
+                SUM(CAST(w AS HUGEINT) * rd * rd) AS sdd,
+                SUM(CAST(w AS HUGEINT) * rq * rd) AS sqd
                 FROM cells JOIN rq USING (q) JOIN rd USING (d))
-              SELECT n, round((CAST(n AS DOUBLE) * sqd - sq * sd)
-                / sqrt((CAST(n AS DOUBLE) * sqq - sq * sq)
-                  * (CAST(n AS DOUBLE) * sdd - sd * sd)), 6) AS rho
+              SELECT n, round(
+                CAST(CAST(n AS HUGEINT) * sqd - sq * sd AS DOUBLE)
+                / sqrt(CAST(CAST(n AS HUGEINT) * sqq - sq * sq AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT) * sdd - sd * sd AS DOUBLE)),
+                6) AS rho
               FROM m""")),
     QueryDef("agg_auc", aggAuc,
       Some("""WITH e AS (SELECT CASE WHEN event_type = 'purchase'
@@ -1136,6 +1174,16 @@ object Aggregates {
                MAX(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
                  AS max_if
               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+    QueryDef("agg_any_heavy", aggAnyHeavy,
+      Some("""WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS v,
+                 COUNT(*) AS cnt FROM lineitem GROUP BY rf, v),
+               r AS (SELECT rf, v, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY rf) AS BIGINT) AS tot,
+                 ROW_NUMBER() OVER (PARTITION BY rf
+                   ORDER BY cnt DESC, v) AS rk FROM c)
+              SELECT rf, CASE WHEN cnt * 2 > tot THEN v END AS heavy,
+                cnt AS top_count, tot AS n
+              FROM r WHERE rk = 1 ORDER BY rf""")),
     QueryDef("agg_cramers_v", aggCramersV,
       Some(s"""WITH cells AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
                  COUNT(*) AS o FROM lineitem GROUP BY rf, ls),

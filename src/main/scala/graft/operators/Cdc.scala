@@ -308,7 +308,7 @@ object Cdc {
     // public proto) — a stale fixture staged by an older JVM would
     // mis-frame under the corrected decoder, so the dir name is
     // versioned with the codec
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream/entry_feed_v2_$sf"
+    val root = s"${graft.Scratch.streamStageRoot(dir)}/entry_feed_v2_$sf"
     if (!new java.io.File(s"$root/_SUCCESS").exists())
       entryFeed(s, dir).write.mode("overwrite").parquet(root)
     root
@@ -390,7 +390,7 @@ object Cdc {
   private[graft] def entryFeedTxnDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
     // _v2: versioned with the Column wire layout, same as entryFeedDir
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream/entry_txn_feed_v2_$sf"
+    val root = s"${graft.Scratch.streamStageRoot(dir)}/entry_txn_feed_v2_$sf"
     if (!new java.io.File(s"$root/_SUCCESS").exists())
       entryFeedTxn(s, dir).write.mode("overwrite").parquet(root)
     root

@@ -596,9 +596,11 @@ object EventAnalytics {
                 CAST(SUM(xb * xb) AS BIGINT) AS syy
                 FROM j GROUP BY p),
               r AS (SELECT p AS lag_hours, n AS n_pairs,
-                round(CAST(n * sxy - sx * sy AS DOUBLE)
-                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+                CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE) > 0
+                  THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS acf
                 FROM m)
               SELECT lag_hours, n_pairs, acf,
                 CAST(ROW_NUMBER() OVER (ORDER BY acf DESC, lag_hours) = 1
@@ -913,8 +915,10 @@ object EventAnalytics {
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // zero-variance lag series: Spark's null-on-divide-by-zero vs
+    // DuckDB's IEEE inf/NaN would diverge — guard to null on both sides
     val scored = m.select(col("p").as("lag_hours"), col("n").as("n_pairs"),
-      round(num / sqrt(vx * vy), 6).as("acf"))
+      when(vx * vy > 0, round(num / sqrt(vx * vy), 6)).as("acf"))
     scored
       .withColumn("is_best",
         (row_number().over(Window.orderBy(col("acf").desc,

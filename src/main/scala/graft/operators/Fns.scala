@@ -365,6 +365,100 @@ object Fns {
         levenshtein(col("lang"), lit("en")).as("lang_dist"))
       .orderBy(col("doc_id"))
 
+  /** ClickHouse `ngramDistance` — trigram-set distance between two
+    * strings (each document's first two tokens, the same probe pair as
+    * fn_edit_distance): 1 − |A∩B|/|A∪B| over distinct 3-grams, emitted
+    * in integer MICRO-units via integer division (all counts
+    * non-negative, so floor = truncate on both engines — no double ever
+    * enters the pipeline). Empty-∪ pairs (both strings shorter than 3)
+    * score 0 by convention.
+    *
+    * Scale notes: pure map-side codegen'd projection — the gram sets
+    * are per-row HOFs over bounded token prefixes, no shuffle, no UDF.
+    */
+  private def fnNgramDistance(s: SparkSession, dir: String): DataFrame = {
+    // the <3 guard, not greatest(…,0): Spark's sequence(1, 0) counts
+    // DOWN ([1,0]) instead of returning empty, which would hand short
+    // strings a phantom gram set (DuckDB's range(1,1) is empty)
+    def grams(c: String): String =
+      s"""array_distinct(if(length($c) < 3,
+         |  cast(array() as array<string>),
+         |  transform(sequence(1, length($c) - 2),
+         |    i -> substr($c, i, 3))))""".stripMargin.replace("\n", " ")
+    Tables.documents(s, dir)
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"),
+        coalesce(element_at(col("arr"), 1), lit("")).as("t1"),
+        coalesce(element_at(col("arr"), 2), lit("")).as("t2"))
+      .withColumn("ga", expr(grams("t1")))
+      .withColumn("gb", expr(grams("t2")))
+      .select(col("doc_id"), col("t1"), col("t2"),
+        size(col("ga")).as("n_a"), size(col("gb")).as("n_b"),
+        expr("size(array_intersect(ga, gb))").as("n_common"),
+        expr("""CASE WHEN size(array_union(ga, gb)) = 0 THEN 0
+                ELSE 1000000 - size(array_intersect(ga, gb)) * 1000000
+                  div size(array_union(ga, gb)) END""")
+          .cast("long").as("dist_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ClickHouse `geohashEncode` — 6-character geohash of each
+    * customer's synthetic half-degree coordinate, decided ENTIRELY in
+    * integers: the 15-bit lat/lon quantizations come from one
+    * floor-divide of exactly-representable small products, every
+    * interleaved bit is a `% / CASE` term (no engine-specific shift
+    * operators), and the base32 characters index the alphabet via exact
+    * power-of-two group extraction. The bit-interleave and char-extract
+    * SQL is generated ONCE ([[geohashCodeSql]]/[[geohashCharsSql]]) and
+    * the same strings run on both Spark and DuckDB — the formula cannot
+    * drift (the fn_geo_polygon crossTerms pattern). GeohashSpec checks
+    * the SQL path bit-for-bit against an independent Scala
+    * reimplementation, itself pinned to the canonical
+    * (57.64911, 10.40744) → "u4pruy" test vector.
+    *
+    * Scale notes: pure map-side projection; geo bucketing at 100 TB is
+    * exactly this — a codegen'd prefix key for partitioning/joins.
+    */
+  private def fnGeohash(s: SparkSession, dir: String): DataFrame = {
+    def quant(k: String, span: Int): String =
+      s"CAST(floor(((2 * ($k) + 1) * 16384.0) / $span) AS BIGINT)"
+    Tables.customer(s, dir)
+      .withColumn("latk", expr("c_custkey % 180"))
+      .withColumn("lonk", expr("(c_custkey * 7) % 360"))
+      .withColumn("latq", expr(quant("latk", 180)))
+      .withColumn("lonq", expr(quant("lonk", 360)))
+      .withColumn("code", expr(geohashCodeSql("lonq", "latq")))
+      .select(col("c_custkey"),
+        (col("latk").cast("double") - 89.5).as("lat"),
+        (col("lonk").cast("double") - 179.5).as("lon"),
+        expr(geohashCharsSql("code")).as("gh6"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** 30-bit interleaved geohash cell id — bit (2i+1) = lon bit i, bit
+    * (2i) = lat bit i; each bit is extracted portably as
+    * `x % 2^(i+1) >= 2^i`. Valid in both Spark SQL and DuckDB.
+    */
+  private[operators] def geohashCodeSql(lonq: String, latq: String): String =
+    (0 to 14).map { i =>
+      val pi = 1L << i; val pi1 = 1L << (i + 1)
+      s"(CASE WHEN ($lonq) % $pi1 >= $pi THEN ${1L << (2 * i + 1)}" +
+        s" ELSE 0 END) + (CASE WHEN ($latq) % $pi1 >= $pi" +
+        s" THEN ${1L << (2 * i)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Six 5-bit groups of `code`, MSB first, each indexing the geohash
+    * base32 alphabet. The `/` is exact (numerator is a multiple of the
+    * power-of-two divisor, far below 2^53), so the double division both
+    * engines produce is integral and casts identically.
+    */
+  private[operators] def geohashCharsSql(code: String): String =
+    (0 until 6).map { j =>
+      val p0 = 1L << (25 - 5 * j); val p1 = p0 * 32
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+        s"CAST((($code) % $p1 - ($code) % $p0) / $p0 AS INT) + 1, 1)"
+    }.mkString("(", " || ", ")")
+
   /** ClickHouse geo functions (`greatCircleDistance`): haversine distance
     * from a synthetic per-customer coordinate (pure integer function of
     * the key, so both engines derive identical inputs) to a fixed anchor.
@@ -643,6 +737,43 @@ object Fns {
                 num // 1048576 = 2886729728 // 1048576 AS in_172_16_12,
                 num // 65536 = 3232235520 // 65536 AS in_192_168_16
               FROM n ORDER BY user_id""")),
+    QueryDef("fn_ngram_distance", fnNgramDistance,
+      Some("""WITH p AS (SELECT doc_id,
+                 COALESCE(string_split(text, ' ')[1], '') AS t1,
+                 COALESCE(string_split(text, ' ')[2], '') AS t2
+                 FROM documents),
+               g AS (SELECT doc_id, t1, t2,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(t1) - 2, 0) + 1),
+                   i -> substr(t1, CAST(i AS INT), 3))) AS ga,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(t2) - 2, 0) + 1),
+                   i -> substr(t2, CAST(i AS INT), 3))) AS gb
+                 FROM p)
+              SELECT doc_id, t1, t2,
+                len(ga) AS n_a, len(gb) AS n_b,
+                len(list_intersect(ga, gb)) AS n_common,
+                CAST(CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0
+                  THEN 0
+                  ELSE 1000000 - len(list_intersect(ga, gb)) * 1000000
+                    // len(list_distinct(list_concat(ga, gb))) END
+                  AS BIGINT) AS dist_micro
+              FROM g ORDER BY doc_id""")),
+    QueryDef("fn_geohash", fnGeohash,
+      Some(s"""WITH q AS (SELECT c_custkey,
+                 c_custkey % 180 AS latk, (c_custkey * 7) % 360 AS lonk,
+                 CAST(floor(((2 * (c_custkey % 180) + 1) * 16384.0)
+                   / 180) AS BIGINT) AS latq,
+                 CAST(floor(((2 * ((c_custkey * 7) % 360) + 1) * 16384.0)
+                   / 360) AS BIGINT) AS lonq
+                 FROM customer),
+               c AS (SELECT c_custkey, latk, lonk,
+                 ${geohashCodeSql("lonq", "latq")} AS code FROM q)
+              SELECT c_custkey,
+                CAST(latk AS DOUBLE) - 89.5 AS lat,
+                CAST(lonk AS DOUBLE) - 179.5 AS lon,
+                ${geohashCharsSql("code")} AS gh6
+              FROM c ORDER BY c_custkey""")),
     QueryDef("fn_edit_distance", fnEditDistance,
       Some("""WITH t AS (SELECT doc_id, lang,
                  string_split(text, ' ') AS arr FROM documents)

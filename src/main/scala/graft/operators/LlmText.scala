@@ -635,6 +635,74 @@ object LlmText {
       .limit(20)
   }
 
+  /** The full BPE merge-table TRAINING loop (tok_bpe_step iterated to a
+    * 12-rule table — Sennrich et al. 2016): each round counts adjacent
+    * SYMBOL pairs over the frequency-weighted vocabulary (symbols start
+    * as characters + a `</w>` end marker and grow as merges land),
+    * collects the single argmax pair (ties: count DESC, left ASC,
+    * right ASC — the merge sequence is a pure function of the corpus),
+    * and applies the merge as a map-side leftmost-first HOF fold.
+    * Iterated fixpoint → not SQL-expressible → rows-only; LlmOpsSpec
+    * pins the whole merge table against an independent driver-side
+    * reimplementation at sf0.001.
+    *
+    * Scale notes: the 100 TB pass is the ONE word-frequency rollup
+    * (map-side combined); every training round then touches only the
+    * compressed word DOMAIN (vocab-capped, ≤3k rows here, ~10⁷ real
+    * corpora), never the corpus — the SentencePiece discipline. Per
+    * round: one explode+hash-agg on the domain, a 1-row collect, a
+    * codegen'd fold; `localCheckpoint` keeps the 12-round lineage flat.
+    */
+  private def tokBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chars = filter(split(col("w"), ""), x => length(x) > 0)
+    var cur = Tables.documents(s, dir)
+      .select(explode(toks(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(3000)
+      .select(col("w"), col("freq"),
+        concat(chars, array(lit("</w>"))).as("syms"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var step = 1
+    while (step <= 12) {
+      val top = cur
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+               i -> struct(element_at(syms, i) AS l,
+                           element_at(syms, i + 1) AS r))""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, a, b, a + b, cnt))
+        val la = lit(a); val lb = lit(b)
+        // leftmost-first greedy application: fold the symbol list,
+        // replacing a trailing `a` by `ab` whenever `b` arrives (the
+        // canonical BPE scan order; "aaa" + (a,a) → ["aa","a"])
+        val mergedSyms = aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === la && x === lb,
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(la, lb))))
+            .otherwise(concat(acc, array(x))))
+        cur = cur.withColumn("syms", mergedSyms).localCheckpoint()
+      }
+      step += 1
+    }
+    merges.toSeq
+      .toDF("step", "left", "right", "merged", "pair_freq")
+      .orderBy(col("step"))
+  }
+
   /** Content-addressed dataset fingerprint (the reproducibility primitive
     * a training-data pipeline version-pins mixtures with): per source,
     * an ORDER-INDEPENDENT digest = exact decimal sum of each doc's
@@ -997,8 +1065,17 @@ object LlmText {
     */
   private def sampleCurriculum(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // Cutpoints are rounded to 4dp on BOTH engines: percentile()
+    // (Spark: lo*(hi-pos)+hi*(pos-lo)) and quantile_cont (DuckDB:
+    // lo+(hi-lo)*frac) differ in the last ulp, and when the true
+    // cutpoint is integer-valued (tied neighbors) one engine can land
+    // an ulp BELOW the integer — flipping `n_chars > c` for every doc
+    // at that value and cascading through pos_in_stage. True cutpoints
+    // are tenth-fractions, so 4dp is far from any rounding boundary.
     val cuts = docs.agg(expr(
-      "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      """transform(
+           percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),
+           c -> round(c, 4))""")
       .as("cs"))
     val inStage = Window.partitionBy(col("stage"))
       .orderBy(md5(concat(lit("curr-"), col("doc_id"))), col("doc_id"))
@@ -1318,11 +1395,15 @@ object LlmText {
       .withColumn("arr", toks(col("text")))
       .select(col("doc_id"),
         size(col("arr")).cast("double").as("f_tokens"),
-        (col("n_chars").cast("double") / size(col("arr"))).as("f_cpt"),
+        // greatest(…, 1) guards the empty/whitespace-only document:
+        // Spark division by zero yields null, and getDouble on the
+        // collected training sample would then NPE
+        (col("n_chars").cast("double")
+          / greatest(size(col("arr")), lit(1))).as("f_cpt"),
         (size(filter(col("arr"), x => x.isin(en.map(lit): _*))).cast("double")
-          / size(col("arr"))).as("f_stop"),
-        (size(array_distinct(col("arr"))).cast("double") / size(col("arr")))
-          .as("f_ttr"),
+          / greatest(size(col("arr")), lit(1))).as("f_stop"),
+        (size(array_distinct(col("arr"))).cast("double")
+          / greatest(size(col("arr")), lit(1))).as("f_ttr"),
         // label: Flesch reading ease ≥ 50 (text_readability's formula)
         (lit(206.835)
           - lit(1.015) * (greatest(regexp_count(low, lit("[a-z]+")), lit(1))
@@ -1444,8 +1525,9 @@ object LlmText {
               FROM mom""")),
     QueryDef("text_compress_ratio", textCompressRatio, None),
     QueryDef("sample_curriculum", sampleCurriculum,
-      Some("""WITH cs AS (SELECT quantile_cont(n_chars,
-                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+      Some("""WITH cs AS (SELECT list_transform(quantile_cont(n_chars,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                  c -> round(c, 4)) AS cs
                 FROM documents),
               st AS (SELECT doc_id, n_chars,
                 1 + list_sum(list_transform(cs,
@@ -1678,6 +1760,7 @@ object LlmText {
                 FROM v WHERE length(word) >= 2)
               SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
               FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+    QueryDef("tok_bpe_train", tokBpeTrain, None),
     QueryDef("dataset_fingerprint", datasetFingerprint,
       Some("""SELECT source, COUNT(*) AS n_docs,
                 CAST(SUM(CAST(CAST('0x' || substr(sha256(text), 1, 15)

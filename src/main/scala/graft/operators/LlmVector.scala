@@ -428,6 +428,50 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Greedy k-center coreset selection (farthest-first traversal — the
+    * Gonzalez 2-approximation, the "pick a maximally diverse subset"
+    * primitive of data curation): seed = min vec_id, then 7 rounds of
+    * "select the corpus point farthest from every already-selected
+    * center". Deterministic (ties break on vec_id) but an iterated
+    * argmax → rows-only; VectorTextSpec asserts the selection distances
+    * are non-increasing (the Gonzalez invariant), ids distinct, and the
+    * run reproducible.
+    *
+    * Scale notes: state is ONE double per corpus row (min-dist-so-far),
+    * updated MAP-SIDE each round against the single broadcast newest
+    * center — k narrow passes, never a k×n cross join; the per-round
+    * argmax is a 1-row collect (the dedup_cluster probe shape). At
+    * 100 TB this is k scans with the running min-dist persisted
+    * alongside the vectors.
+    */
+  private def sampleKcenter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val k = 8
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("v"))
+    val first = e.orderBy(col("vec_id")).limit(1).collect()(0)
+    var sel = List[(Long, Long, Double)]((1L, first.getLong(0), 0.0))
+    var cur = e.withColumn("mind",
+      call_function("l2_sq_native", col("v"),
+        typedlit(first.getSeq[Double](1)))).localCheckpoint()
+    var i = 2
+    while (i <= k) {
+      val far = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("mind"), col("v")).collect()(0)
+      sel ::= ((i.toLong, far.getLong(0), far.getDouble(1)))
+      cur = cur.withColumn("mind", least(col("mind"),
+        call_function("l2_sq_native", col("v"),
+          typedlit(far.getSeq[Double](2))))).localCheckpoint()
+      i += 1
+    }
+    sel.reverse
+      .map { case (o, id, d) => (o, id, BigDecimal(d)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("sel_order", "vec_id", "dist_sq_at_selection")
+      .orderBy(col("sel_order"))
+  }
+
   /** Symmetric int8 quantization of the embedding column (the ANN memory
     * play: 4× smaller vectors, SIMD-able codes): per-vector scale =
     * max|x|/127, code = floor(x/scale + 0.5) ∈ [-127, 127], plus the
@@ -1398,6 +1442,7 @@ object LlmVector {
     QueryDef("dedup_minhash_native", dedupMinhashNative, None),
     QueryDef("sim_lsh_knn", simLshKnn, None),
     QueryDef("vec_kmeans_train", vecKmeansTrain, None),
+    QueryDef("sample_kcenter", sampleKcenter, None),
     QueryDef("sim_ivf_trained_knn", simIvfTrainedKnn, None),
   )
 }

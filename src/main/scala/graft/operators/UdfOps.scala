@@ -262,10 +262,16 @@ object UdfOps {
       if (s.length < K) 1.0 else s.last / SPACE
     def estimate(s: Seq[Long]): Double =
       if (s.length < K) s.length.toDouble else (K - 1) / theta(s)
-    /** (est_inter, est_union, jaccard) under the common θ. */
+    /** (est_inter, est_union, jaccard) under the common θ. The common
+      * threshold is taken directly as the Long min of the two k-th-min
+      * hashes — never round-tripped through double, which could land a
+      * few ulps below the true k-th min and drop/keep boundary values
+      * inconsistently between the two sketches' filters. */
     def setOps(a: Seq[Long], b: Seq[Long]): (Double, Double, Double) = {
-      val th = math.min(theta(a), theta(b))
-      val bound = (th * SPACE).toLong
+      val bound = math.min(
+        if (a.length < K) Long.MaxValue else a.last,
+        if (b.length < K) Long.MaxValue else b.last)
+      val th = bound / SPACE
       val sa = a.filter(_ <= bound).toSet
       val sb = b.filter(_ <= bound).toSet
       val inter = sa.intersect(sb).size / th

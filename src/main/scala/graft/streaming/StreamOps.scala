@@ -30,13 +30,56 @@ object StreamOps {
   case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
 
   /** events.parquet as an unbounded file source (the Canal feed stand-in;
-    * no Kafka jar ships in this image). ts read as raw nanos (same
-    * TIMESTAMP(NANOS) workaround as Tables.events) → µs.
+    * no Kafka jar ships in this image). The fixture's ts encoding
+    * differs between testdata drops — TIMESTAMP(NANOS) (readable only
+    * as a nanos LONG via a legacy conf that Spark 4.1.2 removed) vs
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read natively as
+    * TIMESTAMP_NTZ) — so every streaming read goes through
+    * [[eventsStreamUs]], which detects the encoding from the batch
+    * footer once and normalizes to a µs LONG `ts_us`.
     */
-  private val eventsRawSchema = StructType(Seq(
+  private val eventsNanosSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val eventsMicrosSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** true iff this fixture drop's ts is TIMESTAMP(NANOS) (surfaces as
+    * LONG under the legacy conf; on Spark builds without that conf the
+    * nanos file would be unreadable anyway, so LONG is the reliable
+    * marker). Footer-only check, cached per sfDir.
+    */
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def eventsTsIsNanos(s: SparkSession, dir: String): Boolean =
+    tsNanosCache.computeIfAbsent(dir, _ => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .schema("ts").dataType == LongType
+    })
+
+  /** Streaming source over `srcDir` normalized to
+    * (event_id, ts_us, user_id, event_type, value, props); `dir` is the
+    * fixture sfDir used for encoding detection.
+    */
+  private def eventsStreamUs(s: SparkSession, srcDir: String,
+      dir: String): DataFrame = {
+    val raw =
+      if (eventsTsIsNanos(s, dir)) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.readStream.schema(eventsNanosSchema).parquet(srcDir)
+          .withColumn("ts_us", expr("ts div 1000"))
+      } else
+        s.readStream.schema(eventsMicrosSchema).parquet(srcDir)
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    raw.select(col("event_id"), col("ts_us"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+  }
 
   /** The file source wants a directory; stage one containing a symlink to
     * the fixture parquet (per sfDir, idempotent).
@@ -44,7 +87,7 @@ object StreamOps {
   private def eventsDir(dir: String): String = {
     val sf = new java.io.File(dir).getName
     val d = java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_stream/events_src_$sf")
+      s"${graft.Scratch.streamStageRoot(dir)}/events_src_$sf")
     java.nio.file.Files.createDirectories(d)
     val link = d.resolve("events_0.parquet")
     if (!java.nio.file.Files.exists(link))
@@ -53,11 +96,10 @@ object StreamOps {
     d.toString
   }
 
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsRawSchema).parquet(eventsDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    eventsStreamUs(s, eventsDir(dir), dir)
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
 
   private def fresh(prefix: String): String = {
     graft.Scratch.dir(prefix)
@@ -111,7 +153,7 @@ object StreamOps {
     */
   private def feedDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val feed = s"${sys.props("java.io.tmpdir")}/graft_stream/cdc_feed_$sf"
+    val feed = s"${graft.Scratch.streamStageRoot(dir)}/cdc_feed_$sf"
     if (!new java.io.File(s"$feed/_SUCCESS").exists())
       Cdc.envelopes(s, dir).coalesce(1).write.mode("overwrite").text(feed)
     feed
@@ -471,7 +513,7 @@ object StreamOps {
   private[graft] val offsetLogParts = 4
   private[graft] def offsetLogDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream/offset_log_$sf"
+    val root = s"${graft.Scratch.streamStageRoot(dir)}/offset_log_$sf"
     if (!new java.io.File(s"$root/_ENDS").exists()) {
       val recs = Cdc.parsed(s, dir)
         .filter(col("table") === "orders" && !col("isDdl"))
@@ -910,13 +952,11 @@ object StreamOps {
   private def streamStateful(s0: SparkSession, dir: String): DataFrame = {
     val s = stateSized(s0)
     import s.implicits._
-    val ds: Dataset[Ev] = {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.readStream.schema(eventsRawSchema).parquet(eventsDir(dir))
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+    val ds: Dataset[Ev] =
+      eventsStreamUs(s, eventsDir(dir), dir)
+        .select(col("event_id"), col("ts_us"),
           col("user_id"), col("event_type"), col("value"))
         .as[Ev]
-    }
     val updated = ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[UserAgg, UserStat](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -973,13 +1013,11 @@ object StreamOps {
     import s.implicits._
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val ds: Dataset[Ev] = {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.readStream.schema(eventsRawSchema).parquet(eventsDir(dir))
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+    val ds: Dataset[Ev] =
+      eventsStreamUs(s, eventsDir(dir), dir)
+        .select(col("event_id"), col("ts_us"),
           col("user_id"), col("event_type"), col("value"))
         .as[Ev]
-    }
     val updated = ds.groupByKey(_.user_id)
       .transformWithState(new UserAggProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
@@ -1061,10 +1099,8 @@ object StreamOps {
     import s.implicits._
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ds = s.readStream.schema(eventsRawSchema)
-      .parquet(outerEventsDir(s, dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ds = eventsStreamUs(s, outerEventsDir(s, dir), dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "1 second")
       .select(col("event_id"), col("user_id"), col("ts"))
       .as[EvT]
@@ -1098,7 +1134,7 @@ object StreamOps {
     */
   private def multiFeedDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val feed = s"${sys.props("java.io.tmpdir")}/graft_stream/cdc_feed2_$sf"
+    val feed = s"${graft.Scratch.streamStageRoot(dir)}/cdc_feed2_$sf"
     if (!new java.io.File(s"$feed/_SUCCESS").exists())
       // two files: the minimum that still forces cross-batch accumulation
       // under maxFilesPerTrigger=1 (each extra micro-batch is pure
@@ -1200,14 +1236,12 @@ object StreamOps {
     import s.implicits._
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val ds: Dataset[Ev] = {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.readStream.schema(eventsRawSchema).parquet(eventsDir(dir))
+    val ds: Dataset[Ev] =
+      eventsStreamUs(s, eventsDir(dir), dir)
         .filter(col("event_type") === "purchase")
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        .select(col("event_id"), col("ts_us"),
           col("user_id"), col("event_type"), col("value"))
         .as[Ev]
-    }
     val recent = ds.groupByKey(_.user_id)
       .transformWithState(new RecentBufferProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
@@ -1264,13 +1298,11 @@ object StreamOps {
     import s.implicits._
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val ds: Dataset[Ev] = {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.readStream.schema(eventsRawSchema).parquet(eventsDir(dir))
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+    val ds: Dataset[Ev] =
+      eventsStreamUs(s, eventsDir(dir), dir)
+        .select(col("event_id"), col("ts_us"),
           col("user_id"), col("event_type"), col("value"))
         .as[Ev]
-    }
     val counts = ds.groupByKey(_.user_id)
       .transformWithState(new TypeCountProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
@@ -1335,23 +1367,38 @@ object StreamOps {
     */
   private def outerEventsDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val d = s"${sys.props("java.io.tmpdir")}/graft_stream/events_outer_$sf"
+    val d = s"${graft.Scratch.streamStageRoot(dir)}/events_outer_$sf"
     if (!new java.io.File(s"$d/events_1.parquet").exists()) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
       val link = java.nio.file.Paths.get(s"$d/events_0.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(
           link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val mxNs = s.read.schema(eventsRawSchema)
-        .parquet(s"$dir/events.parquet")
-        .agg(max(col("ts"))).head().getLong(0)
-      val sentNs = mxNs + 30L * 86400 * 1000 * 1000 * 1000 // +30 days
-      val rows = java.util.Arrays.asList(
-        org.apache.spark.sql.Row(-1L, sentNs, -1L, "purchase", 0.0, "{}"),
-        org.apache.spark.sql.Row(-2L, sentNs, -1L, "click", 0.0, "{}"))
+      // sentinel rows (+30 days past max ts) in the SAME physical ts
+      // encoding as the fixture drop, so both files stream as one schema
+      val (rows, schema) =
+        if (eventsTsIsNanos(s, dir)) {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val mxNs = s.read.schema(eventsNanosSchema)
+            .parquet(s"$dir/events.parquet")
+            .agg(max(col("ts"))).head().getLong(0)
+          val sentNs = mxNs + 30L * 86400 * 1000 * 1000 * 1000
+          (java.util.Arrays.asList(
+            org.apache.spark.sql.Row(-1L, sentNs, -1L, "purchase", 0.0, "{}"),
+            org.apache.spark.sql.Row(-2L, sentNs, -1L, "click", 0.0, "{}")),
+            eventsNanosSchema)
+        } else {
+          val mx = s.read.parquet(s"$dir/events.parquet")
+            .agg(max(col("ts"))).head()
+            .getAs[java.time.LocalDateTime](0)
+          val sent = mx.plusDays(30)
+          (java.util.Arrays.asList(
+            org.apache.spark.sql.Row(-1L, sent, -1L, "purchase", 0.0, "{}"),
+            org.apache.spark.sql.Row(-2L, sent, -1L, "click", 0.0, "{}")),
+            eventsMicrosSchema)
+        }
       val stage = fresh("outer_sentinel")
-      s.createDataFrame(rows, eventsRawSchema).coalesce(1)
+      s.createDataFrame(rows, schema).coalesce(1)
         .write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -1363,10 +1410,8 @@ object StreamOps {
 
   private def streamOuterJoin(s0: SparkSession, dir: String): DataFrame = {
     val s = stateSized(s0)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = s.readStream.schema(eventsRawSchema)
-      .parquet(outerEventsDir(s, dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = eventsStreamUs(s, outerEventsDir(s, dir), dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
         col("user_id").as("p_uid"))

@@ -25,7 +25,8 @@ class AllQueriesSmokeSpec extends GraftSpec {
       "udaf_sketch_topk", "udaf_cm_sketch", "text_compress_ratio", "ts_holt",
       "pack_bestfit", "stream_quantile_mv", "agg_topk_state",
       "vec_kmeans_train", "sim_ivf_trained_knn", "ts_lttb",
-      "udaf_kmv_intersect", "ts_dtw", "ml_quality_filter")
+      "udaf_kmv_intersect", "ts_dtw", "ml_quality_filter",
+      "tok_bpe_train", "sample_kcenter")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}")
   }

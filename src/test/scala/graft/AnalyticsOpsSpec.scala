@@ -789,4 +789,36 @@ class AnalyticsOpsSpec extends GraftSpec {
       .as[(Long, Long, Int, Int)].collect()
     assert(run1.toSeq == run2.toSeq)
   }
+
+  test("fn_geohash: SQL path equals an independent Scala geohash; " +
+    "bit-interleave reproduces the canonical test vector") {
+    val ab = "0123456789bcdefghjkmnpqrstuvwxyz"
+    def bitsToHash(lonq: Long, latq: Long): String = {
+      var code = 0L
+      for (i <- 0 to 14) {
+        code |= ((lonq >> i) & 1L) << (2 * i + 1)
+        code |= ((latq >> i) & 1L) << (2 * i)
+      }
+      (0 until 6).map(j => ab(((code >> (25 - 5 * j)) & 31).toInt)).mkString
+    }
+    // canonical vector (precision 6): (57.64911, 10.40744) → "u4pruy"
+    def q(x: Double, off: Double, span: Double): Long =
+      math.min(math.floor((x + off) / span * 32768.0).toLong, 32767L)
+    assert(bitsToHash(q(10.40744, 180, 360), q(57.64911, 90, 180))
+      == "u4pruy")
+    // the SQL path's lattice points, requantized EXACTLY (pure integer
+    // division — independent of the generated SQL's %/CASE route)
+    val got = SparkEntry.queries("fn_geohash")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val ck = r.getLong(0)
+      val latk = ck % 180; val lonk = (ck * 7) % 360
+      val latq = ((2 * latk + 1) * 16384L) / 180
+      val lonq = ((2 * lonk + 1) * 16384L) / 360
+      assert(r.getDouble(1) == latk.toDouble - 89.5)
+      assert(r.getDouble(2) == lonk.toDouble - 179.5)
+      assert(r.getString(3) == bitsToHash(lonq, latq),
+        s"custkey $ck: ${r.getString(3)} vs ${bitsToHash(lonq, latq)}")
+    }
+  }
 }

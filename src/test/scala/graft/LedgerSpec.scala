@@ -42,6 +42,10 @@ class LedgerSpec extends AnyFunSuite {
     "udaf_kmv_intersect",   // KMV sketch estimates — SketchSpec error bounds
     "ts_dtw",               // sequential DP recurrence — metric-property tests
     "ml_quality_filter",    // iterated GD weights — accuracy/descent tests
+    "tok_bpe_train",        // iterated merge fixpoint — golden merge-table
+                            // test vs independent reimplementation
+    "sample_kcenter",       // iterated argmax traversal — Gonzalez
+                            // invariant property tests
   )
 
   private val ledgerRe =

@@ -358,4 +358,72 @@ class VectorTextSpec extends GraftSpec {
       assert(shared >= 1 && hits >= 1)
     }
   }
+
+  test("sample_kcenter: Gonzalez invariants — non-increasing radii, " +
+    "distinct centers, deterministic") {
+    import spark.implicits._
+    val run1 = SparkEntry.queries("sample_kcenter")(spark, sf)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(run1.length == 8)
+    assert(run1.map(_._2).distinct.length == 8, "centers must be distinct")
+    assert(run1.head._3 == 0.0, "seed selects at distance 0")
+    // farthest-first: each later selection is at most as far as the
+    // previous one (its candidate pool only shrank in min-dist)
+    run1.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 1e-9,
+        s"selection ${b._1} dist ${b._3} > previous ${a._3}")
+    case _ => ()
+    }
+    val run2 = SparkEntry.queries("sample_kcenter")(spark, sf)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(run1.toSeq == run2.toSeq, "traversal must be deterministic")
+  }
+
+  test("tok_bpe_train: merge table equals an independent driver-side " +
+    "BPE reimplementation") {
+    import spark.implicits._
+    val got = SparkEntry.queries("tok_bpe_train")(spark, sf)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(got.length == 12)
+    // independent reimplementation: plain Scala, same corpus rules
+    // (lowercased space-split, top-3000 words by (freq DESC, word ASC),
+    // char symbols + </w>, ties (count DESC, left, right))
+    val words = Tables.documents(spark, sf)
+      .select(lower(col("text"))).as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+      .toSeq.sortBy { case (w, f) => (-f, w) }.take(3000)
+    var seqs = words.map { case (w, f) =>
+      (w.map(_.toString).toArray :+ "</w>", f)
+    }
+    val expected =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (step <- 1 to 12) {
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+      seqs.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + f; i += 1
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((a, b), cnt) =
+          pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        expected += ((step, a, b, a + b, cnt))
+        seqs = seqs.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+      }
+    }
+    assert(got.toSeq == expected.toSeq,
+      s"merge tables diverge:\n spark: ${got.toSeq}\n scala: ${expected.toSeq}")
+  }
 }
