@@ -396,6 +396,27 @@ object Aggregates {
         .as("contingency_c"))
   }
 
+  /** ClickHouse `singleValueOrNull` — the group's value IF it is unique,
+    * else NULL: the data-validation aggregate behind "this dimension
+    * should be functionally determined by the key" checks (here: is a
+    * customer's order status homogeneous?). Exact and order-free:
+    * countDistinct decides, min supplies the witness value.
+    *
+    * Scale notes: map-side partial distinct-sets collapse per group
+    * before the single key shuffle (two-phase distinct aggregate); no
+    * window, no second pass.
+    */
+  private def aggSingleValue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderstatus")).as("n_distinct"),
+        min(col("o_orderstatus")).as("mn"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+        when(col("n_distinct") === 1, col("mn")).as("single_status"),
+        col("n_distinct"), col("n_orders"))
+      .orderBy(col("o_custkey"))
+
   /** ClickHouse `anyHeavy` — the heavy-hitter value per group, made
     * DETERMINISTIC: ClickHouse's anyHeavy is a single-pass
     * majority-vote (Boyer-Moore) whose answer can depend on arrival
@@ -1174,6 +1195,13 @@ object Aggregates {
                MAX(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
                  AS max_if
               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+    QueryDef("agg_single_value", aggSingleValue,
+      Some("""SELECT o_custkey,
+                CASE WHEN COUNT(DISTINCT o_orderstatus) = 1
+                  THEN MIN(o_orderstatus) END AS single_status,
+                COUNT(DISTINCT o_orderstatus) AS n_distinct,
+                COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
     QueryDef("agg_any_heavy", aggAnyHeavy,
       Some("""WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS v,
                  COUNT(*) AS cnt FROM lineitem GROUP BY rf, v),

@@ -332,6 +332,34 @@ object Fns {
                  cast(b as string))), ',')""").as("zip_ln_qty"))
       .orderBy(col("l_orderkey"))
 
+  /** ClickHouse `arrayEnumerateUniq` / `arrayEnumerateDense` — per-token
+    * occurrence numbering (1st/2nd/… appearance of each value) and
+    * first-appearance dense rank, emitted as canonical CSV strings. Both
+    * are prefix-window HOFs over the (capped) token array: occ(i) =
+    * 1 + |equal values before i|, dense(i) = |distinct prefix up to the
+    * value's FIRST occurrence| — the latter formulated via
+    * array_position so neither engine's distinct-ordering matters.
+    *
+    * Scale notes: pure map-side projection; the 40-token cap bounds the
+    * per-row O(n²) prefix scans the way text_pmi_cooccur's vocab cap
+    * bounds its pair domain (real corpora would window the same way).
+    */
+  private def fnArrayEnumerate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("arr", expr("slice(split(text, ' '), 1, 40)"))
+      .filter(size(col("arr")) >= 1)
+      .select(col("doc_id"), size(col("arr")).as("n_tokens"),
+        expr("""array_join(transform(sequence(1, size(arr)),
+               i -> cast(1 + size(filter(slice(arr, 1, i - 1),
+                 x -> x = element_at(arr, i))) as string)), ',')""")
+          .as("occ_idx"),
+        expr("""array_join(transform(sequence(1, size(arr)),
+               i -> cast(size(array_distinct(slice(arr, 1,
+                 array_position(arr, element_at(arr, i)))))
+                 as string)), ',')""")
+          .as("dense_idx"))
+      .orderBy(col("doc_id"))
+
   /** ClickHouse `multiSearchAny` / `multiSearchAllPositions` — probe each
     * document against a needle set in one map-side pass: per-needle
     * 1-based positions (0 = absent) plus the any-hit flag. No shuffle,
@@ -737,6 +765,21 @@ object Fns {
                 num // 1048576 = 2886729728 // 1048576 AS in_172_16_12,
                 num // 65536 = 3232235520 // 65536 AS in_192_168_16
               FROM n ORDER BY user_id""")),
+    QueryDef("fn_array_enumerate", fnArrayEnumerate,
+      Some("""WITH t AS (SELECT doc_id,
+                 list_slice(string_split(text, ' '), 1, 40) AS arr
+                 FROM documents)
+              SELECT doc_id, len(arr) AS n_tokens,
+                array_to_string(list_transform(range(1, len(arr) + 1),
+                  i -> CAST(1 + len(list_filter(
+                    list_slice(arr, 1, CAST(i - 1 AS INT)),
+                    x -> x = arr[CAST(i AS INT)])) AS VARCHAR)), ',')
+                  AS occ_idx,
+                array_to_string(list_transform(range(1, len(arr) + 1),
+                  i -> CAST(len(list_distinct(list_slice(arr, 1,
+                    CAST(list_position(arr, arr[CAST(i AS INT)]) AS INT))))
+                    AS VARCHAR)), ',') AS dense_idx
+              FROM t WHERE len(arr) >= 1 ORDER BY doc_id""")),
     QueryDef("fn_ngram_distance", fnNgramDistance,
       Some("""WITH p AS (SELECT doc_id,
                  COALESCE(string_split(text, ' ')[1], '') AS t1,

@@ -513,6 +513,38 @@ class PlanShapeSpec extends GraftSpec {
       "scalar agg must be two-phase")
   }
 
+  test("fn_geohash and fn_ngram_distance stay map-side (no exchange)") {
+    // pure projections: the only plausible shuffle is the final orderBy
+    // presentation sort — everything before it must be exchange-free
+    for (k <- Seq("fn_geohash", "fn_ngram_distance")) {
+      val p = plan(k)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$k must not hash-shuffle (range exchange for the presentation " +
+          s"sort is the only allowed exchange):\n${p.take(800)}")
+      assert(p.contains("FileScan parquet"), p.take(400))
+    }
+  }
+
+  test("agg_any_heavy windows ride the compressed cell domain") {
+    val p = plan("agg_any_heavy")
+    // partial_count proves the raw scan collapses map-side before the
+    // single cell-domain shuffle feeds both windows
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "cell counts must map-side combine:\n" + p.take(800))
+    assert(p.contains("Window"), p.take(400))
+  }
+
+  test("sample_kcenter min-dist update is a narrow per-round pass") {
+    val df = SparkEntry.queries("sample_kcenter")(spark, sf)
+    assert(df.count() == 8)
+    // the native fused expression must be in the round plan, not a UDF
+    val probe = Tables.embeddings(spark, sf).limit(1)
+    graft.functions.GraftFunctions.register(spark)
+    assert(probe.selectExpr(
+      "l2_sq_native(transform(embedding, x -> cast(x as double)), " +
+      "transform(embedding, x -> cast(x as double)))").first().getDouble(0) == 0.0)
+  }
+
   test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
     SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
     val names = graft.operators.Stats.ensureAnalyzed(spark, sf)
