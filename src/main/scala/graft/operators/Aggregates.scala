@@ -396,6 +396,25 @@ object Aggregates {
         .as("contingency_c"))
   }
 
+  /** ClickHouse `avgWeighted(x, w)` — quantity-weighted mean price per
+    * returnflag. Numerator and denominator accumulate decimal-exact
+    * (2dp·integer products — order-free, the Det pattern); ONE final
+    * divide is the only inexact op, rounded at 6dp.
+    *
+    * Scale notes: plain two-phase hash aggregate — map-side partial
+    * decimal sums, one key shuffle, no window.
+    */
+  private def aggAvgWeighted(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Det.dsum(col("l_extendedprice") * col("l_quantity")).as("wsum"),
+        Det.dsum(col("l_quantity")).as("wtot"))
+      .select(col("l_returnflag"),
+        round(col("wsum") / col("wtot"), 6).as("avg_weighted"),
+        col("wtot").cast("long").as("total_weight"))
+      .orderBy(col("l_returnflag"))
+
   /** ClickHouse `singleValueOrNull` — the group's value IF it is unique,
     * else NULL: the data-validation aggregate behind "this dimension
     * should be functionally determined by the key" checks (here: is a
@@ -1195,6 +1214,13 @@ object Aggregates {
                MAX(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
                  AS max_if
               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+    QueryDef("agg_avg_weighted", aggAvgWeighted,
+      Some(s"""SELECT l_returnflag,
+                round(${Det.oSum("l_extendedprice * l_quantity")}
+                  / ${Det.oSum("l_quantity")}, 6) AS avg_weighted,
+                CAST(${Det.oSum("l_quantity")} AS BIGINT) AS total_weight
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    ),
     QueryDef("agg_single_value", aggSingleValue,
       Some("""SELECT o_custkey,
                 CASE WHEN COUNT(DISTINCT o_orderstatus) = 1

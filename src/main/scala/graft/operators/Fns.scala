@@ -332,6 +332,29 @@ object Fns {
                  cast(b as string))), ',')""").as("zip_ln_qty"))
       .orderBy(col("l_orderkey"))
 
+  /** Regex scalar family (ClickHouse `countMatches` /
+    * `extractAll` / `replaceRegexpAll` / `match`) over the customer-name
+    * pattern domain. Patterns stay in the basic class ([0-9]+, literal
+    * substrings) that Java regex (Spark) and RE2 (DuckDB) interpret
+    * identically — dialect-divergent features (\\b, lookaround) are
+    * deliberately excluded from the oracle surface.
+    *
+    * Scale notes: pure map-side codegen'd projection, no shuffle.
+    */
+  private def fnRegex(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        regexp_count(col("c_name"), lit("[0-9]+")).as("n_num_runs"),
+        array_join(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0)),
+          ",").as("nums_csv"),
+        regexp_extract(col("c_name"), "([1-9][0-9]*)", 1).as("first_nonzero"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        col("c_name").rlike("42").cast("int").as("has_42"),
+        regexp_count(lower(col("c_mktsegment")), lit("[aeiou]"))
+          .as("n_vowels"))
+      .orderBy(col("c_custkey"))
+
   /** ClickHouse `arrayEnumerateUniq` / `arrayEnumerateDense` — per-token
     * occurrence numbering (1st/2nd/… appearance of each value) and
     * first-appearance dense rank, emitted as canonical CSV strings. Both
@@ -765,6 +788,18 @@ object Fns {
                 num // 1048576 = 2886729728 // 1048576 AS in_172_16_12,
                 num // 65536 = 3232235520 // 65536 AS in_192_168_16
               FROM n ORDER BY user_id""")),
+    QueryDef("fn_regex", fnRegex,
+      Some("""SELECT c_custkey,
+                len(regexp_extract_all(c_name, '[0-9]+')) AS n_num_runs,
+                array_to_string(regexp_extract_all(c_name, '[0-9]+'), ',')
+                  AS nums_csv,
+                COALESCE(regexp_extract(c_name, '([1-9][0-9]*)', 1), '')
+                  AS first_nonzero,
+                regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+                CAST(regexp_matches(c_name, '42') AS INTEGER) AS has_42,
+                len(regexp_extract_all(lower(c_mktsegment), '[aeiou]'))
+                  AS n_vowels
+              FROM customer ORDER BY c_custkey""")),
     QueryDef("fn_array_enumerate", fnArrayEnumerate,
       Some("""WITH t AS (SELECT doc_id,
                  list_slice(string_split(text, ' '), 1, 40) AS arr
