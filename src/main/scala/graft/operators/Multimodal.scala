@@ -289,6 +289,101 @@ object Multimodal {
       .orderBy(col("vec_id"))
   }
 
+  /** REAL WAV codec path — the audio counterpart of [[mmDecodePng]]:
+    * each embedding is quantized to 64 signed 16-bit PCM samples and
+    * written as a genuine RIFF/WAVE blob (44-byte canonical header +
+    * little-endian PCM16 data — the format spec, hand-assembled, zero
+    * dependencies); [[wavDecode]] then re-parses the container by
+    * WALKING THE CHUNK LIST (not fixed offsets — extra chunks are
+    * skipped by their declared length, as a real demuxer must), and the
+    * audio features (energy, peak) come off the DECODED samples. PCM is
+    * lossless, so the oracle restates the decode output relationally
+    * from the same quantization — the mm_decode_png discipline.
+    */
+  private[graft] def wavEncode(samples: Seq[Int],
+      sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(v => bb.putShort(v.toShort))
+    bb.array()
+  }
+
+  /** (sampleRate, channels, bitsPerSample, samples) via chunk walk. */
+  private[graft] def wavDecode(blob: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str4(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(str4() == "RIFF", "not a RIFF container")
+    bb.getInt() // declared riff length
+    require(str4() == "WAVE", "not a WAVE form")
+    var rate = 0; var ch = 0; var bits = 0
+    var data: Array[Int] = null
+    while (bb.remaining() >= 8 && (data == null || rate == 0)) {
+      val id = str4(); val len = bb.getInt()
+      if (id == "fmt ") {
+        val end = bb.position() + len
+        bb.getShort() // audio format tag (1 = PCM)
+        ch = bb.getShort(); rate = bb.getInt()
+        bb.getInt(); bb.getShort() // byte rate, block align
+        bits = bb.getShort()
+        bb.position(end)
+      } else if (id == "data") {
+        data = Array.fill(len / 2)(bb.getShort().toInt)
+      } else bb.position(bb.position() + len) // skip unknown chunk
+    }
+    (rate, ch, bits, data)
+  }
+
+  private val wavSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("sum_sq", LongType),
+    StructField("peak", IntegerType),
+    StructField("s0", IntegerType)))
+
+  /** Scale notes: identical mapPartitions batch discipline — blobs are
+    * encoded, decoded, and feature-extracted where they live; only the
+    * O(1) typed features enter relational processing.
+    */
+  private def mmDecodeWav(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(wavSchema)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val q = r.getAs[scala.collection.Seq[Float]]("embedding")
+            .map(x => math.max(-32768.0,
+              math.min(32767.0, math.floor(x.toDouble * 32767.0))).toInt)
+            .toSeq
+          val (rate, ch, bits, smp) = wavDecode(wavEncode(q))
+          var ss = 0L; var pk = 0; var i = 0
+          while (i < smp.length) {
+            val v = smp(i); ss += v.toLong * v
+            if (math.abs(v) > pk) pk = math.abs(v); i += 1
+          }
+          Row(r.getAs[Long]("vec_id"), rate, ch, bits, smp.length, ss, pk,
+            smp(0))
+        }
+      }(enc)
+      .withColumn("rms",
+        round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6))
+      .orderBy(col("vec_id"))
+  }
+
   /** Audio chunking: an opaque "audio" blob (text bytes standing in for
     * PCM — 50 ms per byte) is segmented into fixed 1 s windows, each
     * segment carrying its time span AND its byte slice offsets computed
@@ -385,6 +480,26 @@ object Multimodal {
                 n_bytes * LEAST(start_ms + 1000, dur_ms) // dur_ms
                   - n_bytes * start_ms // dur_ms AS byte_len
               FROM seg ORDER BY doc_id, seg_idx""")),
+    // lossless PCM16 WAV: decoded samples == quantized sources, so the
+    // real demuxer's output is relationally expressible (v² ≤ 2³⁰ × 64
+    // samples — integer energy exact in BIGINT and double)
+    QueryDef("mm_decode_wav", mmDecodeWav,
+      Some("""WITH q AS (SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(GREATEST(-32768.0, LEAST(32767.0,
+                    FLOOR(x * 32767.0))) AS BIGINT)) AS s
+               FROM embeddings)
+              SELECT vec_id, 8000 AS sample_rate, 1 AS n_channels,
+                16 AS bits, len(s) AS n_samples,
+                CAST(list_aggregate(list_transform(s, v -> v * v), 'sum')
+                  AS BIGINT) AS sum_sq,
+                CAST(list_aggregate(list_transform(s, v -> abs(v)), 'max')
+                  AS INTEGER) AS peak,
+                CAST(s[1] AS INTEGER) AS s0,
+                round(sqrt(CAST(list_aggregate(
+                    list_transform(s, v -> v * v), 'sum') AS DOUBLE)
+                  / len(s)), 6) AS rms
+              FROM q ORDER BY vec_id""")),
     // lossless gray PNG: decoded samples == quantized sources, so the
     // codec output is relationally expressible (weights 1..64 for the
     // row-major checksum; integer sums exact in double)

@@ -151,6 +151,31 @@ class PipelineOpsSpec extends GraftSpec {
     assert(px.toSeq == q, "gray PNG roundtrip must be lossless")
   }
 
+  test("wav codec: canonical RIFF container, chunk-walk parse, " +
+    "lossless PCM16 roundtrip incl. extra chunks") {
+    import graft.operators.Multimodal
+    val q = Seq(-32768, 32767, 0, -1, 1, 12345, -12345, 255) ++
+      (8 until 64).map(i => (i * 517 - 16000) % 32768)
+    val blob = Multimodal.wavEncode(q)
+    assert(new String(blob.take(4), "US-ASCII") == "RIFF")
+    assert(new String(blob.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(blob.length == 44 + q.length * 2, "canonical 44-byte header")
+    val (rate, ch, bits, smp) = Multimodal.wavDecode(blob)
+    assert(rate == 8000 && ch == 1 && bits == 16)
+    assert(smp.toSeq == q, "PCM16 roundtrip must be lossless")
+    // a real demuxer must skip unknown chunks by declared length: splice
+    // a LIST chunk between fmt and data and re-parse
+    val bb = java.nio.ByteBuffer.allocate(blob.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(blob, 0, 36)                       // RIFF..fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+    bb.put("INFO".getBytes("US-ASCII"))       // 4-byte payload
+    bb.put(blob, 36, blob.length - 36)        // data chunk
+    val (r2, c2, b2, s2) = Multimodal.wavDecode(bb.array())
+    assert(r2 == 8000 && c2 == 1 && b2 == 16 && s2.toSeq == q,
+      "chunk walk must skip foreign chunks")
+  }
+
   test("materialize column: recent partitions stay virtual, split is exact") {
     import spark.implicits._
     val rows = SparkEntry.queries("mutation_materialize_column")(spark, sf)
