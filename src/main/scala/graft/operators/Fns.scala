@@ -510,6 +510,69 @@ object Fns {
         s"CAST((($code) % $p1 - ($code) % $p0) / $p0 AS INT) + 1, 1)"
     }.mkString("(", " || ", ")")
 
+  /** ClickHouse `geohashDecode` — the inverse of [[fnGeohash]], and its
+    * proof: re-derive the 30-bit cell id from the 6 base32 characters
+    * (pure integer Horner fold over alphabet positions), de-interleave
+    * the lat/lon quantizations with the same %/CASE bit extraction
+    * ([[geohashDeinterleaveSql]], generated once, fed to both engines),
+    * and emit the cell CENTER. All center arithmetic is exact in double
+    * (cell sizes 180/2¹⁵ and 360/2¹⁵ are dyadic), so `contains_src` —
+    * the original point lies inside the decoded cell — is decided
+    * identically on both engines and must be 1 everywhere.
+    *
+    * Scale notes: map-side projection over fn_geohash's own output
+    * pipeline; the encode→decode→containment chain is one codegen'd
+    * stage, no shuffle beyond the presentation sort.
+    */
+  private def fnGeohashDecode(s: SparkSession, dir: String): DataFrame = {
+    val ab = "'0123456789bcdefghjkmnpqrstuvwxyz'"
+    val idx = (1 to 6).map(j => s"(instr($ab, substr(gh6, $j, 1)) - 1)")
+    val code = idx.reduce((a, b) => s"(($a) * 32 + $b)")
+    fnGeohash(s, dir)
+      .withColumn("code", expr(code))
+      .withColumn("latq", expr(geohashDeinterleaveSql("code", 0)))
+      .withColumn("lonq", expr(geohashDeinterleaveSql("code", 1)))
+      .select(col("c_custkey"), col("gh6"),
+        expr("latq * 0.0054931640625 + 0.00274658203125 - 90.0")
+          .as("dec_lat"),
+        expr("lonq * 0.010986328125 + 0.0054931640625 - 180.0")
+          .as("dec_lon"),
+        expr("""CAST(abs(lat - latq * 0.0054931640625
+                - 0.00274658203125 + 90.0) <= 0.00274658203125 AS INT)""")
+          .as("lat_in_cell"),
+        expr("""CAST(abs(lon - lonq * 0.010986328125
+                - 0.0054931640625 + 180.0) <= 0.0054931640625 AS INT)""")
+          .as("lon_in_cell"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** De-interleave one 15-bit coordinate out of the 30-bit cell id:
+    * `parity` 0 extracts the even (lat) bits, 1 the odd (lon) bits.
+    * Same portable %/CASE dialect as [[geohashCodeSql]].
+    */
+  private[operators] def geohashDeinterleaveSql(code: String,
+      parity: Int): String =
+    (0 to 14).map { i =>
+      val bit = 2 * i + parity
+      val p = 1L << bit; val p1 = 1L << (bit + 1)
+      s"(CASE WHEN ($code) % $p1 >= $p THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** ClickHouse `formatDateTime` — date rendering parity over the
+    * locale-safe token set (numeric fields + English month name, which
+    * Spark formats with Locale.US regardless of JVM locale and DuckDB's
+    * %B renders identically).
+    */
+  private def fnFormatDatetime(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy/MM/dd").as("ymd"),
+        date_format(col("o_orderdate"), "yyyyMM").as("yyyymm"),
+        date_format(col("o_orderdate"), "DDD").as("day_of_year"),
+        date_format(col("o_orderdate"), "MMMM").as("month_name"),
+        date_format(col("o_orderdate"), "HH:mm:ss").as("hms"))
+      .orderBy(col("o_orderkey"))
+
   /** ClickHouse geo functions (`greatCircleDistance`): haversine distance
     * from a synthetic per-customer coordinate (pure integer function of
     * the key, so both engines derive identical inputs) to a fixed anchor.
@@ -852,6 +915,46 @@ object Fns {
                 CAST(lonk AS DOUBLE) - 179.5 AS lon,
                 ${geohashCharsSql("code")} AS gh6
               FROM c ORDER BY c_custkey""")),
+    QueryDef("fn_geohash_decode", fnGeohashDecode, {
+      val idx = (1 to 6).map(j =>
+        s"(strpos('0123456789bcdefghjkmnpqrstuvwxyz', substr(gh6, $j, 1)) - 1)")
+      val code = idx.reduce((a, b) => s"(($a) * 32 + $b)")
+      Some(s"""WITH q AS (SELECT c_custkey,
+                 c_custkey % 180 AS latk, (c_custkey * 7) % 360 AS lonk,
+                 CAST(floor(((2 * (c_custkey % 180) + 1) * 16384.0)
+                   / 180) AS BIGINT) AS latq0,
+                 CAST(floor(((2 * ((c_custkey * 7) % 360) + 1) * 16384.0)
+                   / 360) AS BIGINT) AS lonq0
+                 FROM customer),
+               c AS (SELECT c_custkey,
+                 CAST(latk AS DOUBLE) - 89.5 AS lat,
+                 CAST(lonk AS DOUBLE) - 179.5 AS lon,
+                 ${geohashCodeSql("lonq0", "latq0")} AS code0 FROM q),
+               g AS (SELECT c_custkey, lat, lon,
+                 ${geohashCharsSql("code0")} AS gh6 FROM c),
+               d AS (SELECT c_custkey, lat, lon, gh6, $code AS code FROM g),
+               z AS (SELECT c_custkey, lat, lon, gh6,
+                 ${geohashDeinterleaveSql("code", 0)} AS latq,
+                 ${geohashDeinterleaveSql("code", 1)} AS lonq FROM d)
+              SELECT c_custkey, gh6,
+                latq * 0.0054931640625 + 0.00274658203125 - 90.0 AS dec_lat,
+                lonq * 0.010986328125 + 0.0054931640625 - 180.0 AS dec_lon,
+                CAST(abs(lat - latq * 0.0054931640625
+                  - 0.00274658203125 + 90.0) <= 0.00274658203125 AS INTEGER)
+                  AS lat_in_cell,
+                CAST(abs(lon - lonq * 0.010986328125
+                  - 0.0054931640625 + 180.0) <= 0.0054931640625 AS INTEGER)
+                  AS lon_in_cell
+              FROM z ORDER BY c_custkey""")
+    }),
+    QueryDef("fn_format_datetime", fnFormatDatetime,
+      Some("""SELECT o_orderkey,
+                strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+                strftime(o_orderdate, '%Y%m') AS yyyymm,
+                strftime(o_orderdate, '%j') AS day_of_year,
+                strftime(o_orderdate, '%B') AS month_name,
+                strftime(o_orderdate, '%H:%M:%S') AS hms
+              FROM orders ORDER BY o_orderkey""")),
     QueryDef("fn_edit_distance", fnEditDistance,
       Some("""WITH t AS (SELECT doc_id, lang,
                  string_split(text, ' ') AS arr FROM documents)
