@@ -80,6 +80,46 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Late-interaction retrieval (the ColBERT MaxSim operator): each
+    * vector is read as 8 "token" sub-vectors of 8 dims, and the
+    * query-document score is Σ over query tokens of the MAX dot product
+    * against any document token — the multi-vector relevance model that
+    * beats single-vector cosine when queries and documents match on
+    * localized features. Every fold (dot product, per-token max, token
+    * sum) is a sequential left-to-right HOF on both engines; the score
+    * is rounded to 6dp BEFORE ranking (the sim_topk discipline) so a
+    * last-ulp engine difference cannot reorder the top-k.
+    *
+    * Scale notes: probes broadcast (the query set is always the small
+    * side), candidates never shuffle; per-pair work is a fixed 8×8×8
+    * codegen'd HOF — at 100 TB the candidate side would be pre-routed
+    * by an IVF/LSH stage (sim_ivf_knn) and MaxSim runs only inside the
+    * routed lists, exactly as ColBERT deployments re-rank ANN output.
+    */
+  private def simMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("v"))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val cands = e.filter(col("vec_id") % 100 =!= 0)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val maxsim = expr(
+      """aggregate(sequence(0, 7), cast(0.0 as double), (acc, t) ->
+           acc + array_max(transform(sequence(0, 7), u ->
+             aggregate(zip_with(slice(pv, 8 * t + 1, 8),
+                                slice(cv, 8 * u + 1, 8),
+                                (a, b) -> a * b),
+               cast(0.0 as double), (s2, x) -> s2 + x))))""")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    cands.crossJoin(broadcast(probes))
+      .withColumn("score", round(maxsim, 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("score"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** SEMANTIC decontamination (the paraphrase-robust tier above the
     * exact/n-gram decontam pair: a reworded eval question shares no
     * 3-gram with its source but sits next to it in embedding space):
@@ -1130,6 +1170,28 @@ object LlmVector {
                  AS cos_sim
               FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
               ORDER BY id_a""")),
+    QueryDef("sim_maxsim", simMaxsim,
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+              p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+                WHERE vec_id % 100 = 0),
+              c AS (SELECT vec_id AS cand_id, v AS cv FROM e
+                WHERE vec_id % 100 <> 0),
+              s AS (SELECT probe_id, cand_id,
+                round(list_aggregate(list_transform(range(0, 8), t ->
+                  list_aggregate(list_transform(range(0, 8), u ->
+                    list_dot_product(
+                      list_slice(pv, CAST(8 * t + 1 AS INT),
+                        CAST(8 * t + 8 AS INT)),
+                      list_slice(cv, CAST(8 * u + 1 AS INT),
+                        CAST(8 * u + 8 AS INT)))), 'max')), 'sum'), 6)
+                  AS score
+                FROM p, c),
+              r AS (SELECT probe_id, cand_id, score,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY score DESC, cand_id) AS rnk FROM s)
+              SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, score
+              FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""")),
     QueryDef("sim_topk", simTopk,
       Some(s"""WITH pairs AS (
                 SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

@@ -545,6 +545,12 @@ class PlanShapeSpec extends GraftSpec {
       "transform(embedding, x -> cast(x as double)))").first().getDouble(0) == 0.0)
   }
 
+  test("sim_maxsim broadcasts the probe set (candidates never shuffle)") {
+    val p = plan("sim_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probe side must broadcast:\n" + p.take(600))
+  }
+
   test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
     SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
     val names = graft.operators.Stats.ensureAnalyzed(spark, sf)
