@@ -600,6 +600,48 @@ object Cdc {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Schema REGISTRY materialized from the change stream itself (the
+    * Confluent-registry role as a query): every DML envelope carries the
+    * table's LIVE column→type map, so the distinct schema signatures
+    * ordered by first-seen `es` ARE the registry — version id, validity
+    * start, records served under each version, and the column diff vs
+    * the previous version (the ALTER audit; version 1's diff is the
+    * initial column set). Runs over the two-epoch evolving feed
+    * (stream_ddl_evolve's input), where the mid-stream ALTER adds
+    * `o_note`.
+    *
+    * Scale notes: the signature is a map-side projection of metadata
+    * the record already carries; the registry is one hash-agg onto the
+    * (table, signature) domain — O(versions), control-plane sized — and
+    * the numbering/diff window rides that domain, never the stream.
+    */
+  private def cdcSchemaRegistry(s: SparkSession, dir: String): DataFrame = {
+    val feed = envelopesPreDdl(s, dir).unionByName(envelopesPostDdl(s, dir))
+      .select(from_json(col("value"), envelopeSchema).as("m"))
+      .select(col("m.*"))
+    val sigs = feed.filter(!col("isDdl"))
+      .select(col("table"), col("es"),
+        // ';'-joined: mysql type strings contain commas (decimal(15,2))
+        expr("""array_join(array_sort(transform(map_entries(mysqlType),
+               e -> concat(e.key, ':', e.value))), ';')""").as("sig"),
+        size(map_keys(col("mysqlType"))).as("n_cols"))
+    val byTable = Window.partitionBy(col("table"))
+      .orderBy(col("valid_from_es"))
+    sigs.groupBy(col("table"), col("sig"), col("n_cols"))
+      .agg(min(col("es")).as("valid_from_es"), count(lit(1)).as("n_records"))
+      .withColumn("version", row_number().over(byTable))
+      .withColumn("prev_sig", lag(col("sig"), 1).over(byTable))
+      .withColumn("added_cols", expr(
+        """array_join(array_sort(array_except(
+             transform(split(sig, ';'), x -> split_part(x, ':', 1)),
+             transform(split(coalesce(prev_sig, ''), ';'),
+               x -> split_part(x, ':', 1)))), ',')"""))
+      .select(col("table").as("table_name"), col("version"),
+        col("valid_from_es"), col("n_records"), col("n_cols"),
+        col("added_cols"))
+      .orderBy(col("table_name"), col("version"))
+  }
+
   /** `old`-image diff — the standard CDC audit consumer: per UPDATE, the
     * envelope's `old` array carries the prior value of each changed
     * column; diffing it against the new row image yields changed-column
@@ -1138,6 +1180,20 @@ object Cdc {
               SELECT txn, COUNT(*) AS n_changes, COUNT(*) AS n_rows,
                 TRUE AS complete
               FROM m GROUP BY txn ORDER BY txn""")),
+    QueryDef("cdc_schema_registry", cdcSchemaRegistry,
+      Some("""WITH v1 AS (SELECT 'orders' AS table_name, 1 AS version,
+                (SELECT MIN(epoch_ms(o_orderdate)) FROM orders)
+                  AS valid_from_es,
+                (SELECT COUNT(*) FROM orders) AS n_records, 6 AS n_cols,
+                'o_custkey,o_orderdate,o_orderkey,o_orderpriority,o_orderstatus,o_totalprice'
+                  AS added_cols),
+              v2 AS (SELECT 'orders', 2,
+                (SELECT MIN(epoch_ms(o_orderdate)) + 86400000 FROM orders
+                  WHERE o_orderkey % 3 = 0),
+                (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0),
+                7, 'o_note')
+              SELECT * FROM v1 UNION ALL SELECT * FROM v2
+              ORDER BY version""")),
     QueryDef("cdc_route", cdcRoute, Some(routeOracle)),
     QueryDef("cdc_type_map", cdcTypeMap,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
