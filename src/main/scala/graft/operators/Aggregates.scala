@@ -396,6 +396,24 @@ object Aggregates {
         .as("contingency_c"))
   }
 
+  /** ClickHouse `groupBitAnd` / `groupBitOr` / `groupBitXor` — bitwise
+    * aggregate reduction of the order-key domain per returnflag (the
+    * permission-mask / feature-flag rollup). Bitwise ops are exact,
+    * associative, and commutative, so partial aggregation is free and
+    * the result is partitioning-independent by construction.
+    *
+    * Scale notes: plain two-phase hash aggregate; 8 bytes of state per
+    * (group, op) regardless of input size.
+    */
+  private def aggBit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(bit_and(col("l_orderkey")).as("keys_and"),
+        bit_or(col("l_orderkey")).as("keys_or"),
+        bit_xor(col("l_orderkey")).as("keys_xor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** ClickHouse `avgWeighted(x, w)` — quantity-weighted mean price per
     * returnflag. Numerator and denominator accumulate decimal-exact
     * (2dp·integer products — order-free, the Det pattern); ONE final
@@ -1214,6 +1232,13 @@ object Aggregates {
                MAX(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
                  AS max_if
               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+    QueryDef("agg_bit", aggBit,
+      Some("""SELECT l_returnflag,
+                CAST(BIT_AND(l_orderkey) AS BIGINT) AS keys_and,
+                CAST(BIT_OR(l_orderkey) AS BIGINT) AS keys_or,
+                CAST(BIT_XOR(l_orderkey) AS BIGINT) AS keys_xor,
+                COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("agg_avg_weighted", aggAvgWeighted,
       Some(s"""SELECT l_returnflag,
                 round(${Det.oSum("l_extendedprice * l_quantity")}
