@@ -575,6 +575,30 @@ object EventAnalytics {
     QueryDef("ts_holt", tsHolt, None),
     QueryDef("ts_lttb", tsLttb, None),
     QueryDef("ts_dtw", tsDtw, None),
+    QueryDef("ts_forecast_naive", tsForecastNaive,
+      Some("""WITH hourly AS (SELECT
+                CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                  AS h, COUNT(*) AS n FROM events GROUP BY 1),
+              spine AS (SELECT unnest(generate_series(
+                (SELECT MIN(h) FROM hourly), (SELECT MAX(h) FROM hourly),
+                INTERVAL 1 HOUR)) AS h),
+              s AS (SELECT spine.h AS h,
+                CAST(date_diff('hour', (SELECT MIN(h) FROM hourly),
+                  spine.h) AS BIGINT) AS idx,
+                CAST(date_diff('hour', (SELECT MIN(h) FROM hourly),
+                  (SELECT MAX(h) FROM hourly)) AS BIGINT) AS max_idx,
+                COALESCE(n, 0) AS actual
+                FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
+              f AS (SELECT h, idx, max_idx, actual,
+                LAG(actual, 24) OVER (ORDER BY idx) AS forecast
+                FROM s),
+              e AS (SELECT h, actual, forecast,
+                abs(actual - forecast) AS abs_err
+                FROM f WHERE idx > max_idx - 24)
+              SELECT h, actual, forecast, abs_err,
+                (SELECT CAST(SUM(abs_err) AS BIGINT) * 1000
+                   // COUNT(*) FROM e) AS mae_milli
+              FROM e ORDER BY h""")),
     QueryDef("ts_period_detect", tsPeriodDetect,
       Some("""WITH hourly AS (SELECT
                 CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
@@ -869,6 +893,47 @@ object EventAnalytics {
       .select(col("h"),
         coalesce(col("n"), lit(0L)).as("n_purchases"),
         last(col("rev"), ignoreNulls = true).over(locf).as("rev_locf"))
+      .orderBy(col("h"))
+  }
+
+  /** Seasonal-naive forecasting with holdout evaluation (the baseline
+    * every forecasting pipeline must beat, and the natural consumer of
+    * ts_period_detect's output): forecast(h) = actual(h − 24h) on the
+    * zero-filled hourly series, evaluated over the LAST 24 hours.
+    * Everything is integer — actual, forecast, |error|, and the overall
+    * MAE in milli-units via integer division — so both engines agree
+    * bit-for-bit with no rounding rule in sight.
+    *
+    * Scale notes: the series is the O(hours) rollup (raw events are
+    * map-side count partials); lag-24 and the eval tail ride ONE window
+    * over that domain. At 100 TB the rollup is the only row-scale pass.
+    */
+  private def tsForecastNaive(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("lo"), col("hi"), explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val series = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"),
+        expr("(unix_seconds(h) - unix_seconds(lo)) div 3600").as("idx"),
+        expr("(unix_seconds(hi) - unix_seconds(lo)) div 3600").as("max_idx"),
+        coalesce(col("n"), lit(0L)).as("actual"))
+    val byIdx = Window.orderBy(col("idx"))
+    val withF = series
+      .withColumn("forecast", lag(col("actual"), 24).over(byIdx))
+      .filter(col("idx") > col("max_idx") - 24)
+      .withColumn("abs_err", abs(col("actual") - col("forecast")))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    withF
+      .withColumn("sum_err", sum(col("abs_err")).over(tot))
+      .withColumn("n_eval", count(lit(1)).over(tot))
+      .select(col("h"), col("actual"), col("forecast"), col("abs_err"),
+        expr("sum_err * 1000 div n_eval").as("mae_milli"))
       .orderBy(col("h"))
   }
 

@@ -381,6 +381,48 @@ object LlmText {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Neyman-allocation stratified sampling (the variance-optimal
+    * upgrade of sample_stratified's equal quotas): each source stratum
+    * gets budget ∝ N_h·S_h — big AND noisy strata deserve more sample —
+    * with S_h from EXACT integer moments (decimal N·Σx²−(Σx)², one
+    * double sqrt rounded 6dp), stratum weights re-summed decimal-exact
+    * (a double Σ would be order-dependent), and the selection itself the
+    * deterministic hash-rank draw. Emits the selected docs with their
+    * stratum's diagnostics.
+    *
+    * Scale notes: moments are map-side partials onto the O(strata)
+    * domain; the only row-scale work is the per-stratum rank (same
+    * shuffle as sample_stratified); allocations ride a broadcast.
+    */
+  private def sampleNeyman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val nD = col("n_h").cast("decimal(38,0)")
+    val sv = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)"))
+          .as("sxx"))
+      .select(col("source"), col("n_h"),
+        round(sqrt((nD * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n_h") * col("n_h")).cast("double")), 6).as("s_h"))
+      .withColumn("w", round(col("n_h") * col("s_h"), 6))
+    val tot = sv.agg(
+      sum(col("w").cast("decimal(38,6)")).cast("double").as("tw"))
+    val alloc = sv.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_h"), col("s_h"),
+        floor(lit(100.0) * col("w") / col("tw")).cast("long").as("alloc"))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(rk))
+      .join(broadcast(alloc), "source")
+      .filter(col("rk") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("rk"), col("n_h"),
+        col("s_h"), col("alloc"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): within each shard
     * (doc_id % 8 — the parallel unit), documents are concatenated in
     * doc_id order and chunked into fixed 512-token context windows; each
@@ -2005,6 +2047,30 @@ object LlmText {
                 CAST(len(t[start+1 : start+64]) AS BIGINT) AS chunk_len,
                 array_to_string(t[start+1 : start+64], ' ') AS chunk_text
               FROM x ORDER BY doc_id, chunk_id""")),
+    QueryDef("sample_neyman", sampleNeyman,
+      Some("""WITH st AS (SELECT source, COUNT(*) AS n_h,
+                 CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+                   AS sxx
+                 FROM documents GROUP BY source),
+               sv AS (SELECT source, n_h,
+                 round(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)
+                   / CAST(n_h * n_h AS DOUBLE)), 6) AS s_h FROM st),
+               wv AS (SELECT source, n_h, s_h,
+                 round(n_h * s_h, 6) AS w FROM sv),
+               tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,6)))
+                 AS DOUBLE) AS tw FROM wv),
+               al AS (SELECT source, n_h, s_h,
+                 CAST(FLOOR(100.0 * w / tw) AS BIGINT) AS alloc
+                 FROM wv, tot),
+               rk AS (SELECT source, doc_id,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS INTEGER) AS rk
+                 FROM documents)
+              SELECT r.source, r.doc_id, r.rk, a.n_h, a.s_h, a.alloc
+              FROM rk r JOIN al a USING (source) WHERE r.rk <= a.alloc
+              ORDER BY r.source, r.rk""")),
     QueryDef("sample_stratified", sampleStratified,
       Some("""SELECT lang, doc_id, rk FROM (
                 SELECT lang, doc_id, CAST(row_number() OVER (
