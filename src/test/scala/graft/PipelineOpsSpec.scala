@@ -176,6 +176,18 @@ class PipelineOpsSpec extends GraftSpec {
       "chunk walk must skip foreign chunks")
   }
 
+  test("rename column is metadata-only: data files byte-identical, " +
+    "logical schema renamed") {
+    val rows = SparkEntry.queries("mutation_rename_column")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // files_unchanged is computed in-query from pre/post sha-256 of
+    // every data file — 1 everywhere or the mutation touched data
+    rows.foreach(r => assert(r.getAs[Int]("files_unchanged") == 1))
+    assert(rows.head.schema.fieldNames.contains("sum_amount"),
+      "logical schema must carry the NEW column name")
+  }
+
   test("materialize column: recent partitions stay virtual, split is exact") {
     import spark.implicits._
     val rows = SparkEntry.queries("mutation_materialize_column")(spark, sf)
