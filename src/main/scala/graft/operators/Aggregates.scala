@@ -396,6 +396,42 @@ object Aggregates {
         .as("contingency_c"))
   }
 
+  /** ClickHouse `quantileExactLow` / `quantileExactHigh` — the exact
+    * quantile pair that brackets an even-count median instead of
+    * interpolating: low = element at 0-based index ⌊p·(n−1)⌋, high at
+    * ⌈p·(n−1)⌉, both located by cumulative counts over the compressed
+    * value DOMAIN. Indices are computed in PURE integer arithmetic
+    * ((a·(n−1)) div b and (a·(n−1)+b−1) div b for p = a/b) — no double
+    * ever enters, so engines cannot disagree even at floor boundaries.
+    *
+    * Scale notes: the window rides O(distinct values) per group (the
+    * agg_histogram_eq domain-compression argument); a high-cardinality
+    * measure would bin first and bracket the bins.
+    */
+  private def aggQuantileExactBounds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dom = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("rf"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val part = Window.partitionBy(col("rf"))
+    val cumW = Window.partitionBy(col("rf")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dom
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(part))
+      .groupBy(col("rf"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n - 1) div 2") + 1, col("v")))
+          .as("q50_low"),
+        min(when(col("cum") >= expr("n div 2") + 1, col("v")))
+          .as("q50_high"),
+        min(when(col("cum") >= expr("(9 * (n - 1)) div 10") + 1, col("v")))
+          .as("q90_low"),
+        min(when(col("cum") >= expr("(9 * (n - 1) + 9) div 10") + 1,
+          col("v"))).as("q90_high"))
+      .orderBy(col("rf"))
+  }
+
   /** ClickHouse `groupBitAnd` / `groupBitOr` / `groupBitXor` — bitwise
     * aggregate reduction of the order-key domain per returnflag (the
     * permission-mask / feature-flag rollup). Bitwise ops are exact,
@@ -1232,6 +1268,24 @@ object Aggregates {
                MAX(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
                  AS max_if
               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+    QueryDef("agg_quantile_exact_bounds", aggQuantileExactBounds,
+      Some("""WITH dom AS (SELECT l_returnflag AS rf, l_quantity AS v,
+                 COUNT(*) AS cnt FROM lineitem GROUP BY rf, v),
+               w AS (SELECT rf, v, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY rf ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY rf) AS BIGINT) AS n
+                 FROM dom)
+              SELECT rf, MAX(n) AS n,
+                MIN(CASE WHEN cum >= (n - 1) // 2 + 1 THEN v END)
+                  AS q50_low,
+                MIN(CASE WHEN cum >= n // 2 + 1 THEN v END) AS q50_high,
+                MIN(CASE WHEN cum >= (9 * (n - 1)) // 10 + 1 THEN v END)
+                  AS q90_low,
+                MIN(CASE WHEN cum >= (9 * (n - 1) + 9) // 10 + 1 THEN v END)
+                  AS q90_high
+              FROM w GROUP BY rf ORDER BY rf""")),
     QueryDef("agg_bit", aggBit,
       Some("""SELECT l_returnflag,
                 CAST(BIT_AND(l_orderkey) AS BIGINT) AS keys_and,
