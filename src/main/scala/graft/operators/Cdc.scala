@@ -600,6 +600,30 @@ object Cdc {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Replication-lag / watermark monitoring — the first dashboard every
+    * Canal deployment builds: per (table, type) segment of the change
+    * stream, event counts, the es (source-time) watermark span, how far
+    * the segment's head trails the GLOBAL head (lag_behind_head — the
+    * "is this table's replication stuck" signal), and the max
+    * processing lag ts−es (adapter pipeline latency).
+    *
+    * Scale notes: one hash-agg onto the O(tables × types) domain with
+    * map-side partials; the global head is a broadcast of that tiny
+    * aggregate — the monitoring query never re-reads the stream.
+    */
+  private def cdcReplicationLag(s: SparkSession, dir: String): DataFrame = {
+    val seg = parsed(s, dir).filter(!col("isDdl"))
+      .groupBy(col("table").as("table_name"), col("type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("es")).as("min_es"), max(col("es")).as("max_es"),
+        max(col("ts") - col("es")).as("proc_lag_ms"))
+    seg.crossJoin(broadcast(seg.agg(max(col("max_es")).as("h"))))
+      .select(col("table_name"), col("type"), col("n"), col("min_es"),
+        col("max_es"), (col("h") - col("max_es")).as("lag_behind_head"),
+        col("proc_lag_ms"))
+      .orderBy(col("table_name"), col("type"))
+  }
+
   /** Schema REGISTRY materialized from the change stream itself (the
     * Confluent-registry role as a query): every DML envelope carries the
     * table's LIVE column→type map, so the distinct schema signatures
@@ -1180,6 +1204,31 @@ object Cdc {
               SELECT txn, COUNT(*) AS n_changes, COUNT(*) AS n_rows,
                 TRUE AS complete
               FROM m GROUP BY txn ORDER BY txn""")),
+    QueryDef("cdc_replication_lag", cdcReplicationLag,
+      Some("""WITH seg AS (
+                SELECT 'orders' AS table_name, 'INSERT' AS type,
+                  COUNT(*) AS n,
+                  MIN(epoch_ms(o_orderdate)) AS min_es,
+                  MAX(epoch_ms(o_orderdate)) AS max_es FROM orders
+                UNION ALL
+                SELECT 'orders', 'UPDATE', COUNT(*),
+                  MIN(epoch_ms(o_orderdate)) + 86400000,
+                  MAX(epoch_ms(o_orderdate)) + 86400000
+                FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT 'orders', 'DELETE', COUNT(*),
+                  MIN(epoch_ms(o_orderdate)) + 172800000,
+                  MAX(epoch_ms(o_orderdate)) + 172800000
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT 'customer', 'INSERT', COUNT(*),
+                  1000000000000 + MIN(c_custkey),
+                  1000000000000 + MAX(c_custkey) FROM customer),
+              head AS (SELECT MAX(max_es) AS h FROM seg)
+              SELECT table_name, type, n, min_es, max_es,
+                h - max_es AS lag_behind_head,
+                CAST(500 AS BIGINT) AS proc_lag_ms
+              FROM seg, head ORDER BY table_name, type""")),
     QueryDef("cdc_schema_registry", cdcSchemaRegistry,
       Some("""WITH v1 AS (SELECT 'orders' AS table_name, 1 AS version,
                 (SELECT MIN(epoch_ms(o_orderdate)) FROM orders)
