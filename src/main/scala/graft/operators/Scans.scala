@@ -405,6 +405,46 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** ClickHouse TTL `MOVE TO VOLUME` (storage policies) — age-tiered
+    * storage WITHOUT rewriting a byte: partitions older than the TTL
+    * cutoff are MOVED (directory rename, O(partitions) metadata) from
+    * the hot volume to the cold one, and the read path unions the tiers
+    * transparently. The result reports every day's row count with its
+    * tier — proving no row was lost or duplicated by the move — and the
+    * oracle restates the tier rule relationally.
+    *
+    * Scale notes: the move is a per-partition rename (no data I/O —
+    * exactly ClickHouse's part hardlink/move), the union read prunes
+    * partitions per tier, and the tier split means cheap storage serves
+    * the cold scans.
+    */
+  private def sinkTtlMove(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("ttlmove")
+    val hot = s"$base/hot"; val cold = s"$base/cold"
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("day").parquet(hot)
+    val dirs = Option(new java.io.File(hot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    val maxDay = dirs.map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
+    val cutoff = maxDay.minusDays(14)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cold))
+    dirs.filter(f => java.time.LocalDate.parse(f.getName.drop(4))
+        .isBefore(cutoff))
+      .foreach { d =>
+        java.nio.file.Files.move(d.toPath,
+          java.nio.file.Paths.get(s"$cold/${d.getName}"))
+      }
+    val hotDf = s.read.parquet(hot).withColumn("tier", lit("hot"))
+    val coldDf = s.read.parquet(cold).withColumn("tier", lit("cold"))
+    hotDf.unionByName(coldDf)
+      .groupBy(col("day"), col("tier"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("day"))
+  }
+
   /** ClickHouse `ALTER TABLE ... RENAME COLUMN` — the METADATA-ONLY
     * mutation: no part is ever rewritten; the rename lives in a
     * schema-manifest file beside the data, and the READ PATH applies
@@ -1103,6 +1143,14 @@ object Scans {
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM e, m WHERE NOT (day >= cut AND event_type = 'view')
               GROUP BY day ORDER BY day""")),
+    QueryDef("sink_ttl_move", sinkTtlMove,
+      Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                FROM events),
+               m AS (SELECT MAX(day) - 14 AS cut FROM e)
+              SELECT day,
+                CASE WHEN day < cut THEN 'cold' ELSE 'hot' END AS tier,
+                COUNT(*) AS n_rows
+              FROM e, m GROUP BY day, cut ORDER BY day""")),
     QueryDef("mutation_rename_column", mutationRenameColumn,
       Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
                 ${Det.oSum("o_totalprice")} AS sum_amount,
