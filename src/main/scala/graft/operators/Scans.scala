@@ -708,7 +708,7 @@ object Scans {
       .withColumn("day", to_date(col("ts")))
       .select(col("day"), col("event_id"), col("event_type"), col("value"))
     val cut = java.sql.Date.valueOf(ev.agg(date_sub(max(col("day")), 7))
-      .head.getDate(0).toLocalDate)
+      .head().getDate(0).toLocalDate)
     val dupes = ev.filter(col("day") >= cut && col("event_id") % 5 === 0)
     ev.unionByName(dupes).write.partitionBy("day").parquet(root)
     // parts-level dirty check + before-counts: one O(partitions) collect
@@ -755,7 +755,7 @@ object Scans {
       df.select(conv(substring(sha2(concat_ws("",
           col("o_orderkey"), col("o_totalprice")), 256), 1, 15), 16, 10)
           .cast(DecimalType(38, 0)).as("h"))
-        .agg(sum(col("h")).cast("string")).head.getString(0)
+        .agg(sum(col("h")).cast("string")).head().getString(0)
     def known(): Set[String] = {
       val f = new java.io.File(registry)
       if (!f.exists()) Set.empty

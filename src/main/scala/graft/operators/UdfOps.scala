@@ -153,7 +153,7 @@ object UdfOps {
     val toks = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
     val sketch = toks.agg(cm(col("token")).as("sk"))
-      .head.getSeq[Long](0)
+      .head().getSeq[Long](0)
     val top = toks.groupBy("token").count()
       .orderBy(col("count").desc, col("token")).limit(10)
       .as[(String, Long)].collect()
