@@ -405,6 +405,56 @@ object Scans {
       .orderBy(col("day"))
   }
 
+  /** ClickHouse `ALTER TABLE ... DETACH / ATTACH PARTITION` — the
+    * partition VISIBILITY lifecycle (the ops workflow for quarantining
+    * bad loads and restoring them): the 7 oldest day-partitions are
+    * DETACHED (directory rename into `detached/` — O(1) metadata, the
+    * part never rewritten), then the oldest is ATTACHED back. The
+    * result shows, per day, the visible count, the count sitting in
+    * detached/, and the lifecycle state — proving detached partitions
+    * vanish from table reads without losing a row, and reattachment is
+    * lossless.
+    *
+    * Scale notes: both commands are per-partition renames; the table
+    * read after each step is partition-pruned normally — visibility is
+    * purely which directories sit under the table root.
+    */
+  private def sinkDetachAttach(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("detach")
+    val root = s"$base/t"; val det = s"$base/detached"
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_id"), col("event_type"))
+      .write.partitionBy("day").parquet(root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(det))
+    val days = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName).sorted
+    val toDetach = days.take(7)
+    toDetach.foreach { d =>
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$root/$d"),
+        java.nio.file.Paths.get(s"$det/$d"))
+    }
+    // ATTACH the oldest back
+    val reattached = toDetach.head
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$det/$reattached"),
+      java.nio.file.Paths.get(s"$root/$reattached"))
+    val reDay = java.sql.Date.valueOf(reattached.drop(4))
+    val visible = s.read.parquet(root)
+      .groupBy(col("day")).agg(count(lit(1)).as("n_visible"))
+    val parked = s.read.parquet(det)
+      .groupBy(col("day")).agg(count(lit(1)).as("n_detached"))
+    visible.join(parked, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_visible"), lit(0L)).as("n_visible"),
+        coalesce(col("n_detached"), lit(0L)).as("n_detached"),
+        when(col("day") === lit(reDay), "reattached")
+          .when(coalesce(col("n_detached"), lit(0L)) > 0, "detached")
+          .otherwise("active").as("state"))
+      .orderBy(col("day"))
+  }
+
   /** ClickHouse TTL `MOVE TO VOLUME` (storage policies) — age-tiered
     * storage WITHOUT rewriting a byte: partitions older than the TTL
     * cutoff are MOVED (directory rename, O(partitions) metadata) from
@@ -1143,6 +1193,20 @@ object Scans {
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
               FROM e, m WHERE NOT (day >= cut AND event_type = 'view')
               GROUP BY day ORDER BY day""")),
+    QueryDef("sink_detach_attach", sinkDetachAttach,
+      Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                FROM events),
+               d AS (SELECT day, COUNT(*) AS n FROM e GROUP BY day),
+               r AS (SELECT day, n,
+                 ROW_NUMBER() OVER (ORDER BY day) AS rk FROM d)
+              SELECT day,
+                CASE WHEN rk BETWEEN 2 AND 7 THEN 0 ELSE n END AS n_visible,
+                CASE WHEN rk BETWEEN 2 AND 7 THEN n ELSE 0 END
+                  AS n_detached,
+                CASE WHEN rk = 1 THEN 'reattached'
+                     WHEN rk <= 7 THEN 'detached'
+                     ELSE 'active' END AS state
+              FROM r ORDER BY day""")),
     QueryDef("sink_ttl_move", sinkTtlMove,
       Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
                 FROM events),
