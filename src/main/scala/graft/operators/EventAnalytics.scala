@@ -575,6 +575,30 @@ object EventAnalytics {
     QueryDef("ts_holt", tsHolt, None),
     QueryDef("ts_lttb", tsLttb, None),
     QueryDef("ts_dtw", tsDtw, None),
+    QueryDef("agg_timing_quantiles", aggTimingQuantiles,
+      Some(s"""WITH d AS (SELECT event_type,
+                 GREATEST(CAST(FLOOR(value * 1000) AS BIGINT), 0) AS t
+                 FROM events),
+               bkt AS (SELECT event_type,
+                 ${timingBucketSql("t")} AS b FROM d),
+               dom AS (SELECT event_type, b, COUNT(*) AS cnt
+                 FROM bkt GROUP BY event_type, b),
+               w AS (SELECT event_type, b, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+                 FROM dom)
+              SELECT event_type, MAX(n) AS n,
+                COUNT(DISTINCT b) AS n_buckets,
+                MIN(CASE WHEN cum >= (n + 1) // 2
+                  THEN CAST(POWER(2, b) AS BIGINT) - 1 END)
+                  AS p50_bucket_lo,
+                MIN(CASE WHEN cum >= (19 * n + 19) // 20
+                  THEN CAST(POWER(2, b) AS BIGINT) - 1 END)
+                  AS p95_bucket_lo
+              FROM w GROUP BY event_type ORDER BY event_type""")),
     QueryDef("ts_forecast_naive", tsForecastNaive,
       Some("""WITH hourly AS (SELECT
                 CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
@@ -895,6 +919,52 @@ object EventAnalytics {
         last(col("rev"), ignoreNulls = true).over(locf).as("rev_locf"))
       .orderBy(col("h"))
   }
+
+  /** ClickHouse `quantileTiming` philosophy — latency quantiles over a
+    * LOG-BUCKETED histogram instead of a value sketch: latencies
+    * (value·1000 as µs) land in power-of-two buckets b = ⌊log2(t+1)⌋
+    * decided by a generated integer CASE ladder (the crossTerms
+    * pattern: the SAME string runs on both engines — no libm log2
+    * anywhere), and p50/p95 are the lower bounds of the first bucket
+    * whose cumulative count reaches ⌈p·n⌉ (pure integer index
+    * arithmetic). Exactly the trade ClickHouse makes: bounded state,
+    * bucket-resolution quantiles, zero floating point.
+    *
+    * Scale notes: the heavy pass is map-side bucket assignment + a
+    * partial-count shuffle onto the O(types × 31 buckets) domain; the
+    * quantile window rides that domain.
+    */
+  private def aggTimingQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dom = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("greatest(CAST(floor(value * 1000) AS BIGINT), 0)").as("t"))
+      .withColumn("b", expr(timingBucketSql("t")))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val part = Window.partitionBy(col("event_type"))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dom
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(part))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("b")).as("n_buckets"),
+        min(when(col("cum") >= expr("(n + 1) div 2"),
+          expr("shiftleft(1L, CAST(b AS INT)) - 1"))).as("p50_bucket_lo"),
+        min(when(col("cum") >= expr("(19 * n + 19) div 20"),
+          expr("shiftleft(1L, CAST(b AS INT)) - 1"))).as("p95_bucket_lo"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ⌊log2(t+1)⌋ as a portable integer CASE ladder (valid in Spark SQL
+    * and DuckDB — no shift operators, no libm).
+    */
+  private[operators] def timingBucketSql(t: String): String =
+    (0 to 29).map { k =>
+      s"WHEN ($t) + 1 < ${1L << (k + 1)} THEN $k"
+    }.mkString("(CASE ", " ", " ELSE 30 END)")
 
   /** Seasonal-naive forecasting with holdout evaluation (the baseline
     * every forecasting pipeline must beat, and the natural consumer of
