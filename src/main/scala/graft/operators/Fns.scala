@@ -533,10 +533,10 @@ object Fns {
       .withColumn("latq", expr(geohashDeinterleaveSql("code", 0)))
       .withColumn("lonq", expr(geohashDeinterleaveSql("code", 1)))
       .select(col("c_custkey"), col("gh6"),
-        expr("latq * 0.0054931640625 + 0.00274658203125 - 90.0")
-          .as("dec_lat"),
-        expr("lonq * 0.010986328125 + 0.0054931640625 - 180.0")
-          .as("dec_lon"),
+        expr("CAST(latq * 0.0054931640625 + 0.00274658203125 - 90.0" +
+          " AS DOUBLE)").as("dec_lat"),
+        expr("CAST(lonq * 0.010986328125 + 0.0054931640625 - 180.0" +
+          " AS DOUBLE)").as("dec_lon"),
         expr("""CAST(abs(lat - latq * 0.0054931640625
                 - 0.00274658203125 + 90.0) <= 0.00274658203125 AS INT)""")
           .as("lat_in_cell"),
@@ -937,8 +937,10 @@ object Fns {
                  ${geohashDeinterleaveSql("code", 0)} AS latq,
                  ${geohashDeinterleaveSql("code", 1)} AS lonq FROM d)
               SELECT c_custkey, gh6,
-                latq * 0.0054931640625 + 0.00274658203125 - 90.0 AS dec_lat,
-                lonq * 0.010986328125 + 0.0054931640625 - 180.0 AS dec_lon,
+                CAST(latq * 0.0054931640625 + 0.00274658203125 - 90.0
+                  AS DOUBLE) AS dec_lat,
+                CAST(lonq * 0.010986328125 + 0.0054931640625 - 180.0
+                  AS DOUBLE) AS dec_lon,
                 CAST(abs(lat - latq * 0.0054931640625
                   - 0.00274658203125 + 90.0) <= 0.00274658203125 AS INTEGER)
                   AS lat_in_cell,

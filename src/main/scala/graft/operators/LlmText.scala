@@ -1572,8 +1572,9 @@ object LlmText {
                   c -> round(c, 4)) AS cs
                 FROM documents),
               st AS (SELECT doc_id, n_chars,
-                1 + list_sum(list_transform(cs,
-                  c -> CASE WHEN n_chars > c THEN 1 ELSE 0 END)) AS stage
+                CAST(1 + list_sum(list_transform(cs,
+                  c -> CASE WHEN n_chars > c THEN 1 ELSE 0 END))
+                  AS INTEGER) AS stage
                 FROM documents, cs),
               r AS (SELECT stage, doc_id, n_chars,
                 row_number() OVER (PARTITION BY stage

@@ -51,6 +51,27 @@ def main():
             print(f"[FAIL] {key}: columns differ: oracle={wcols} spark={gcols}")
             n_bad += 1
             continue
+        # The driver's hash is type-sensitive: Decimal(3) == 3 == 3.0 in
+        # Python, so a value-only compare ships type-level divergences
+        # green (bit us twice: DuckDB list_sum -> HUGEINT vs Spark INT;
+        # bare decimal literals -> decimal(27,14) vs decimal(18,14)).
+        # Compare arrow types column by column. Integer WIDTHS are
+        # interchangeable (22 driver-green keys pair BIGINT with INT),
+        # but int vs decimal vs float, and decimal precision/scale, are
+        # exactly what the driver hashes apart — keep those exact.
+        def tclass(t):
+            import pyarrow.types as pt
+            return "int" if pt.is_integer(t) else str(t)
+        tbad = [(c, str(want.schema.field(c).type), str(got.schema.field(c).type))
+                for c in wcols
+                if tclass(want.schema.field(c).type)
+                   != tclass(got.schema.field(c).type)]
+        if tbad:
+            c, tw, tg = tbad[0]
+            print(f"[FAIL] {key}: col {c} arrow type: oracle={tw} spark={tg}"
+                  + (f" (+{len(tbad)-1} more cols)" if len(tbad) > 1 else ""))
+            n_bad += 1
+            continue
         w = want.select(wcols).to_pylist()
         g = got.select(gcols).to_pylist()
         if len(w) != len(g):
