@@ -152,6 +152,107 @@ case class EuclidSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused ColBERT MaxSim over two vector columns read as 8 token
+  * sub-vectors: score = Σ over left tokens of the max dot product
+  * against any right token. Replaces the interpreted nested-HOF
+  * formulation (higher-order functions are NOT whole-stage-codegen'd
+  * in Spark; the HOF version also re-sliced each side 8×8 times per
+  * pair). Fold order matches the HOF exactly — dot products accumulate
+  * left-to-right within a token, token maxima are order-independent,
+  * token sums accumulate t = 0..7 — so results are bit-identical
+  * (asserted in ExtensionsSpec). Registered as `maxsim_native(a, b)`.
+  */
+case class MaxSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private val Tokens = 8
+
+  override def dataType: DataType = DoubleType
+
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elem(left.dataType).isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"maxsim_native expects array<float|double>; left is ${left.dataType}")
+    else if (elem(right.dataType).isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"maxsim_native expects array<float|double>; right is ${right.dataType}")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elem(left.dataType).contains(FloatType)
+    val rf = elem(right.dataType).contains(FloatType)
+    val sub = math.min(x.numElements(), y.numElements()) / Tokens
+    var score = 0.0
+    var t = 0
+    while (t < Tokens) {
+      var best = Double.NegativeInfinity
+      var u = 0
+      while (u < Tokens) {
+        var dot = 0.0
+        var i = 0
+        while (i < sub) {
+          val xi = if (lf) x.getFloat(t * sub + i).toDouble
+                   else x.getDouble(t * sub + i)
+          val yi = if (rf) y.getFloat(u * sub + i).toDouble
+                   else y.getDouble(u * sub + i)
+          dot += xi * yi
+          i += 1
+        }
+        if (dot > best) best = dot
+        u += 1
+      }
+      score += best
+      t += 1
+    }
+    score
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) => {
+      def getter(c: String, side: DataType, i: String): String =
+        if (elem(side).contains(FloatType)) s"(double) $c.getFloat($i)"
+        else s"$c.getDouble($i)"
+      val sub = ctx.freshName("sub")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val dot = ctx.freshName("dot")
+      val t = ctx.freshName("t")
+      val u = ctx.freshName("u")
+      val i = ctx.freshName("i")
+      s"""
+        int $sub = java.lang.Math.min($c1.numElements(), $c2.numElements()) / $Tokens;
+        double $score = 0.0;
+        for (int $t = 0; $t < $Tokens; $t++) {
+          double $best = java.lang.Double.NEGATIVE_INFINITY;
+          for (int $u = 0; $u < $Tokens; $u++) {
+            double $dot = 0.0;
+            for (int $i = 0; $i < $sub; $i++) {
+              $dot += ${getter(c1, left.dataType, s"$t * $sub + $i")}
+                      * ${getter(c2, right.dataType, s"$u * $sub + $i")};
+            }
+            if ($dot > $best) $best = $dot;
+          }
+          $score += $best;
+        }
+        ${ev.value} = $score;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaxSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Register the native functions into the session's function registry. */
   def register(s: SparkSession): Unit = {
@@ -159,6 +260,8 @@ object GraftFunctions {
       "cosine_sim_native", args => CosineSim(args(0), args(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_sq_native", args => EuclidSq(args(0), args(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "maxsim_native", args => MaxSim(args(0), args(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ipv4_to_long", args => Ipv4ToLong(args(0)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

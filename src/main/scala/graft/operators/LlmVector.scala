@@ -91,29 +91,25 @@ object LlmVector {
     * last-ulp engine difference cannot reorder the top-k.
     *
     * Scale notes: probes broadcast (the query set is always the small
-    * side), candidates never shuffle; per-pair work is a fixed 8×8×8
-    * codegen'd HOF — at 100 TB the candidate side would be pre-routed
-    * by an IVF/LSH stage (sim_ivf_knn) and MaxSim runs only inside the
-    * routed lists, exactly as ColBERT deployments re-rank ANN output.
+    * side), candidates never shuffle; per-pair work is a fused 8×8×8
+    * loop in the native whole-stage-codegen'd [[graft.functions.MaxSim]]
+    * expression (the earlier nested-HOF formulation was interpreted and
+    * re-sliced each side 64× per pair — ~10× slower) — at 100 TB the
+    * candidate side would be pre-routed by an IVF/LSH stage
+    * (sim_ivf_knn) and MaxSim runs only inside the routed lists,
+    * exactly as ColBERT deployments re-rank ANN output.
     */
   private def simMaxsim(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), dbl(col("embedding")).as("v"))
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val probes = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val cands = e.filter(col("vec_id") % 100 =!= 0)
-      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
-    val maxsim = expr(
-      """aggregate(sequence(0, 7), cast(0.0 as double), (acc, t) ->
-           acc + array_max(transform(sequence(0, 7), u ->
-             aggregate(zip_with(slice(pv, 8 * t + 1, 8),
-                                slice(cv, 8 * u + 1, 8),
-                                (a, b) -> a * b),
-               cast(0.0 as double), (s2, x) -> s2 + x))))""")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("cand_id"))
     cands.crossJoin(broadcast(probes))
-      .withColumn("score", round(maxsim, 6))
+      .withColumn("score", round(expr("maxsim_native(pv, cv)"), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("score"))

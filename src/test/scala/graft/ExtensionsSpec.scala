@@ -53,6 +53,37 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
     assert(plan.contains("*(1) Project [euclidsq"), plan.take(300))
   }
 
+  test("maxsim_native: bit-identical to the nested-HOF fold, codegen'd") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> cast(x as double))").as("pv"))
+    // pair each vector with a rotated copy of itself so token maxima
+    // land off the diagonal (a pure self-pair would always peak at u=t)
+    val paired = e.withColumn("cv",
+      expr("concat(slice(pv, 9, 56), slice(pv, 1, 8))"))
+    val rows = paired.select(
+      expr("maxsim_native(pv, cv)").as("native_dd"),
+      expr("maxsim_native(embedding, cv)").as("native_fd"),
+      expr("""aggregate(sequence(0, 7), cast(0.0 as double), (acc, t) ->
+               acc + array_max(transform(sequence(0, 7), u ->
+                 aggregate(zip_with(slice(pv, 8 * t + 1, 8),
+                                    slice(cv, 8 * u + 1, 8),
+                                    (a, b) -> a * b),
+                   cast(0.0 as double), (s2, x) -> s2 + x))))""").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(2), "double/double drifted")
+      assert(r.getDouble(1) == r.getDouble(2), "float side must cast per element")
+    }
+    val mat = paired.select(col("pv"), col("cv")).localCheckpoint()
+    val plan = mat.select(expr("maxsim_native(pv, cv)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [maxsim"), plan.take(300))
+  }
+
   // literals constant-fold before the optimizer rule is observable, so
   // exercise the rule over a real (non-foldable) parquet column
   private def rounds(sql: String): Int = {
