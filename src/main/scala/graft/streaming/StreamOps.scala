@@ -331,8 +331,14 @@ object StreamOps {
     * offsets-in-the-checkpoint pattern (what Structured Streaming's
     * commit log does) expressed on the versioned bucket store.
     */
-  private[graft] def mergeCdcTypedTxn(typed: DataFrame, batchId: Long,
+  private[graft] def mergeCdcTypedTxn(typed0: DataFrame, batchId: Long,
       state: String, offsets: Option[Map[Int, Long]]): Unit = {
+    // the batch is consumed by TWO actions (the touched-bucket probe and
+    // the merge write); without a persist each one re-reads the log and
+    // re-parses the envelope JSON — at 100 TB that is the difference
+    // between reading the micro-batch once and twice per merge
+    val typed = typed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val ss = typed.sparkSession
     val withBucket = typed
       .withColumn("bucket", pmod(col("o_orderkey"), lit(cdcStateBuckets)).cast("int"))
@@ -381,6 +387,7 @@ object StreamOps {
       gcCdcVersions(state, batchId)
       ()
     }
+    } finally { typed.unpersist(false); () }
   }
 
   /** Recover the consumer position from the latest visible state
