@@ -78,16 +78,34 @@ object DedupGraph {
     while (!converged && rounds < 30) {
       val nbrMin = und.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
-      // the changed flag rides along into the checkpoint, so convergence
-      // is a filter on materialized data — not a third join per round
+      // convergence detection piggybacks on the checkpoint's own job via
+      // Dataset.observe (localCheckpoint is an action, so the observation
+      // metric is delivered by its QueryExecutionListener — asserted in
+      // ObservedLoopSpec): ONE Spark action per round, not a separate
+      // isEmpty probe. At 1000-executor scale the probe was a full extra
+      // stage launch per round of an O(diameter) loop.
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.as("l")
         .join(nbrMin, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("nbr_min"), col("l.comp")))
             .as("comp"),
           coalesce(col("nbr_min") < col("l.comp"), lit(false)).as("changed"))
+        .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
         .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+      converged =
+        try {
+          val fut = scala.concurrent.Future(obs.get)(
+            scala.concurrent.ExecutionContext.global)
+          scala.concurrent.Await.result(fut,
+            scala.concurrent.duration.Duration(30, "s"))("n_changed")
+            .asInstanceOf[Long] == 0L
+        } catch {
+          // listener delivery is asynchronous; if it ever fails to arrive
+          // fall back to an explicit probe rather than wedging the loop
+          case _: java.util.concurrent.TimeoutException =>
+            next.filter(col("changed")).isEmpty
+        }
       labels = next.drop("changed")
       rounds += 1
     }
