@@ -32,12 +32,13 @@ object Tables {
   /** events.ts encoding differs between testdata drops, so detect from
     * the resolved schema and normalize to TIMESTAMP (µs wall-clock,
     * session tz pinned UTC):
-    *  - TIMESTAMP(NANOS) drops are unreadable by the vectorized reader;
-    *    with the legacy nanosAsLong conf (removed in Spark 4.1.2 — the
-    *    set is a harmless no-op there) they surface as a nanos LONG,
-    *    floor-divided to µs with integer `div` (ns epoch values ≈1.7e18
-    *    exceed double's 2^53 exact range). Matches DuckDB's
-    *    `CAST(ts AS TIMESTAMP)` truncation bit-for-bit.
+    *  - TIMESTAMP(NANOS) drops (rounds ≤6) are unreadable by the
+    *    vectorized reader; with the legacy nanosAsLong conf (still
+    *    registered in Spark 4.1.2; simply not exercised by µs drops)
+    *    they surface as a nanos LONG, floor-divided to µs with integer
+    *    `div` (ns epoch values ≈1.7e18 exceed double's 2^53 exact
+    *    range). Matches DuckDB's `CAST(ts AS TIMESTAMP)` truncation
+    *    bit-for-bit.
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) drops surface natively
     *    as TIMESTAMP_NTZ; the cast to TIMESTAMP preserves the wall-clock
     *    µs exactly under the UTC session.
@@ -112,18 +113,30 @@ object Scratch {
   }
 
   /** Root for cross-run staged stream fixtures (CDC feeds, event file
-    * drops), VERSIONED by a fingerprint of the source fixture: the
+    * drops), VERSIONED by a fingerprint of the source fixtures: the
     * stages are guarded by if-exists checks, so when the driver swaps
     * in a new testdata drop (observed round 7: events.ts re-encoded
     * TIMESTAMP(NANOS)→TIMESTAMP(MICROS)), an unversioned path would
-    * silently replay stale feeds derived from the OLD data. The
-    * fingerprint (source parquet size in bytes) changes with any drop.
+    * silently replay stale feeds derived from the OLD data. Staged
+    * feeds derive from MULTIPLE source tables (events for the stream
+    * drops, orders for the CDC/offset-log feeds), so the fingerprint
+    * folds (name, size, mtime) of EVERY parquet in the sfDir — a drop
+    * that changes any source re-keys the root even when events.parquet
+    * happens to keep its byte size.
     */
   def streamStageRoot(sfDir: String): String = {
     val fp =
-      try java.nio.file.Files.size(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-      catch { case _: Throwable => 0L }
+      try {
+        val files = Option(new java.io.File(sfDir)
+            .listFiles((_, n) => n.endsWith(".parquet")))
+          .getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
+        val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          .mkString("|")
+        // stable 64-bit FNV-1a over the concatenated signature
+        var h = 0xcbf29ce484222325L
+        sig.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+        java.lang.Long.toHexString(h)
+      } catch { case _: Throwable => "0" }
     s"${sys.props("java.io.tmpdir")}/graft_stream_$fp"
   }
 

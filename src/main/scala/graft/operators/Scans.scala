@@ -431,7 +431,10 @@ object Scans {
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("day="))
       .map(_.getName).sorted
-    val toDetach = days.take(7)
+    // derive the detach window from the OBSERVED span (testdata drops
+    // change between rounds — memory/FIXTURES.md): detach the
+    // min(7, days) oldest, reattach the oldest, never assume 8+ days
+    val toDetach = days.take(math.min(7, days.length))
     toDetach.foreach { d =>
       java.nio.file.Files.move(java.nio.file.Paths.get(s"$root/$d"),
         java.nio.file.Paths.get(s"$det/$d"))
@@ -443,8 +446,17 @@ object Scans {
     val reDay = java.sql.Date.valueOf(reattached.drop(4))
     val visible = s.read.parquet(root)
       .groupBy(col("day")).agg(count(lit(1)).as("n_visible"))
-    val parked = s.read.parquet(det)
-      .groupBy(col("day")).agg(count(lit(1)).as("n_detached"))
+    val detHasParts = Option(new java.io.File(det).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(f => f.isDirectory && f.getName.startsWith("day="))
+    // a ≤1-day drop leaves detached/ empty after the reattach; parquet
+    // cannot infer a schema from an empty dir, so supply the frame
+    val parked =
+      if (detHasParts)
+        s.read.parquet(det)
+          .groupBy(col("day")).agg(count(lit(1)).as("n_detached"))
+      else visible.select(col("day"), col("n_visible").as("n_detached"))
+        .limit(0)
     visible.join(parked, Seq("day"), "full_outer")
       .select(col("day"),
         coalesce(col("n_visible"), lit(0L)).as("n_visible"),
@@ -481,14 +493,18 @@ object Scans {
     val maxDay = dirs.map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
     val cutoff = maxDay.minusDays(14)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cold))
-    dirs.filter(f => java.time.LocalDate.parse(f.getName.drop(4))
+    val moved = dirs.filter(f => java.time.LocalDate.parse(f.getName.drop(4))
         .isBefore(cutoff))
-      .foreach { d =>
-        java.nio.file.Files.move(d.toPath,
-          java.nio.file.Paths.get(s"$cold/${d.getName}"))
-      }
+    moved.foreach { d =>
+      java.nio.file.Files.move(d.toPath,
+        java.nio.file.Paths.get(s"$cold/${d.getName}"))
+    }
     val hotDf = s.read.parquet(hot).withColumn("tier", lit("hot"))
-    val coldDf = s.read.parquet(cold).withColumn("tier", lit("cold"))
+    // a ≤15-day drop moves nothing; parquet cannot infer a schema from
+    // the empty cold dir, so the cold side is the hot frame's empty twin
+    val coldDf =
+      if (moved.nonEmpty) s.read.parquet(cold).withColumn("tier", lit("cold"))
+      else hotDf.limit(0).withColumn("tier", lit("cold"))
     hotDf.unionByName(coldDf)
       .groupBy(col("day"), col("tier"))
       .agg(count(lit(1)).as("n_rows"))
@@ -1198,13 +1214,14 @@ object Scans {
                 FROM events),
                d AS (SELECT day, COUNT(*) AS n FROM e GROUP BY day),
                r AS (SELECT day, n,
-                 ROW_NUMBER() OVER (ORDER BY day) AS rk FROM d)
+                 ROW_NUMBER() OVER (ORDER BY day) AS rk,
+                 LEAST(7, COUNT(*) OVER ()) AS k FROM d)
               SELECT day,
-                CASE WHEN rk BETWEEN 2 AND 7 THEN 0 ELSE n END AS n_visible,
-                CASE WHEN rk BETWEEN 2 AND 7 THEN n ELSE 0 END
+                CASE WHEN rk BETWEEN 2 AND k THEN 0 ELSE n END AS n_visible,
+                CASE WHEN rk BETWEEN 2 AND k THEN n ELSE 0 END
                   AS n_detached,
                 CASE WHEN rk = 1 THEN 'reattached'
-                     WHEN rk <= 7 THEN 'detached'
+                     WHEN rk <= k THEN 'detached'
                      ELSE 'active' END AS state
               FROM r ORDER BY day""")),
     QueryDef("sink_ttl_move", sinkTtlMove,
