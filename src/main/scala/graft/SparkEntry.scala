@@ -18,7 +18,7 @@ object SparkEntry {
       Aggregates.defs ++ Windows.defs ++ Fns.defs ++ Cdc.defs ++
       StreamOps.defs ++ LlmText.defs ++ LlmVector.defs ++ DedupGraph.defs ++
       Multimodal.defs ++ UdfOps.defs ++ EventAnalytics.defs ++ Stats.defs ++
-      MvOps.defs
+      MvOps.defs ++ SqlApi.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

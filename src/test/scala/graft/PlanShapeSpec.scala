@@ -551,6 +551,24 @@ class PlanShapeSpec extends GraftSpec {
       "probe side must broadcast:\n" + p.take(600))
   }
 
+  // SQL-text twins must compile to the SAME physical shape as their DSL
+  // originals — the parity claim is plan identity, not just equal rows.
+  // Shape = the pre-order sequence of physical node names (ids, exprIds
+  // and view aliases stripped by construction).
+  private def shape(key: String): Seq[String] =
+    SparkEntry.queries(key)(spark, sf)
+      .queryExecution.executedPlan.collect { case n => n.nodeName }
+
+  for ((sqlKey, dslKey) <- Seq(
+      "sql_q1_pricing" -> "agg_hash",
+      "sql_star_revenue" -> "join_star",
+      "sql_q3_shipping" -> "q3_shipping",
+      "sql_topk" -> "limit_topk"))
+    test(s"$sqlKey plans the identical physical shape as $dslKey") {
+      assert(shape(sqlKey) == shape(dslKey),
+        s"\nsql: ${shape(sqlKey)}\ndsl: ${shape(dslKey)}")
+    }
+
   test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
     SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
     val names = graft.operators.Stats.ensureAnalyzed(spark, sf)
