@@ -569,6 +569,27 @@ class PlanShapeSpec extends GraftSpec {
         s"\nsql: ${shape(sqlKey)}\ndsl: ${shape(dslKey)}")
     }
 
+  test("stats_cbo_reorder: stats-driven DP reorder builds the dim pair first") {
+    val df = SparkEntry.queries("stats_cbo_reorder")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    // collect the leaf table names under each side of the DEEPEST join:
+    // syntax order is (orders ⋈ customer) ⋈ nation ⋈ region, so without
+    // reorder the bottom join pairs the two LARGEST tables; the CBO plan
+    // must instead pair the two dims (nation, region — 25 and 5 rows,
+    // region filtered to 1) at the bottom of the tree
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LeafNode}
+    val deepest = opt.collect { case j: Join
+        if j.left.collect { case _: Join => 1 }.isEmpty &&
+           j.right.collect { case _: Join => 1 }.isEmpty => j }
+    assert(deepest.nonEmpty, s"no leaf-level join in:\n$opt")
+    val tables = deepest.head.collect { case l: LeafNode => l }
+      .flatMap(_.toString.linesIterator.take(1)).mkString(" ")
+    assert(tables.contains("nation") && tables.contains("region"),
+      s"deepest join should pair the dims, got: $tables\n$opt")
+    assert(!tables.contains("orders"),
+      s"fact table must not sit in the deepest join: $tables")
+  }
+
   test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
     SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
     val names = graft.operators.Stats.ensureAnalyzed(spark, sf)
