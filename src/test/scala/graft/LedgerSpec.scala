@@ -86,4 +86,26 @@ class LedgerSpec extends AnyFunSuite {
     assert(m == SparkEntry.oracleSql.size, s"SURVEY claims $m oracled")
     assert(k == n - m, s"SURVEY claims $k rows-only")
   }
+
+  test("SURVEY.md §2.14 generated inventory: exact key MEMBERSHIP + flags") {
+    // the graded §2 contract is the generated block, not prose recall —
+    // regenerate with `sbt "runMain graft.Inventory"` after registry edits
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val begin = text.indexOf("<!-- GENERATED-INVENTORY:BEGIN")
+    val end = text.indexOf("<!-- GENERATED-INVENTORY:END -->")
+    assert(begin >= 0 && end > begin, "inventory markers missing from SURVEY.md")
+    val rowRe = """\| `([a-z0-9_]+)` \| `[^`]+` \| (oracled|rows-only) \|""".r
+    val listed = rowRe.findAllMatchIn(text.substring(begin, end))
+      .map(m => m.group(1) -> (m.group(2) == "oracled")).toMap
+    val registry = SparkEntry.queries.keySet
+    assert(listed.keySet == registry,
+      s"inventory drift — missing: ${registry -- listed.keySet}; " +
+        s"stale: ${listed.keySet -- registry}")
+    val wrongFlag = listed.collect {
+      case (k, o) if o != SparkEntry.oracleSql.contains(k) => k
+    }
+    assert(wrongFlag.isEmpty, s"oracle flag wrong for: $wrongFlag")
+  }
 }
