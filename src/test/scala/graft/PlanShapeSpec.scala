@@ -569,6 +569,19 @@ class PlanShapeSpec extends GraftSpec {
         s"\nsql: ${shape(sqlKey)}\ndsl: ${shape(dslKey)}")
     }
 
+  test("dist_two_level: N shard scans reduced locally, one union, one merge") {
+    val p = plan("dist_two_level")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 4, s"expected 4 independent shard scans, got $scans")
+    assert(p.contains("Union"), "shard partials must meet in a union")
+    // every shard branch aggregates BEFORE the union — the initiator
+    // merges O(shards × groups) partial rows, never raw shard rows
+    val unionIdx = p.indexOf("Union")
+    val preUnion = p.substring(unionIdx)
+    assert("HashAggregate".r.findAllIn(preUnion).size >= 4,
+      "per-shard local aggregation missing below the union")
+  }
+
   test("stats_cbo_reorder: stats-driven DP reorder builds the dim pair first") {
     val df = SparkEntry.queries("stats_cbo_reorder")(spark, sf)
     val opt = df.queryExecution.optimizedPlan
