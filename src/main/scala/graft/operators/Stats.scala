@@ -80,6 +80,33 @@ object Stats {
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
+  /** ClickHouse `EXPLAIN ESTIMATE` — the optimizer's row estimates AS A
+    * QUERY RESULT, checked against reality: for each ANALYZEd star
+    * table, the catalog statistic the CBO plans with (rowCount from
+    * `ANALYZE TABLE`) next to the actual scan count. ANALYZE row counts
+    * are exact, so estimate == actual is oracled (est_matches = 1) —
+    * the observability loop an operator uses to detect stale statistics
+    * before they mis-order a 100 TB join (companion to
+    * stats_cbo_reorder, which shows what the estimates DECIDE).
+    *
+    * Scale notes: estimates are O(1) catalog metadata; the actuals are
+    * count-star scans (parquet footer counts — no row materialization).
+    */
+  private def metaExplainEstimate(s: SparkSession, dir: String): DataFrame = {
+    val names = ensureAnalyzed(s, dir)
+    // rowCount surfaces in plan Statistics only under CBO; without it
+    // Spark propagates sizeInBytes alone and the estimate reads as None
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    import s.implicits._
+    names.toSeq.sortBy(_._1).map { case (t, tn) =>
+      val est = s.table(tn).queryExecution.optimizedPlan.stats
+        .rowCount.map(_.toLong).getOrElse(-1L)
+      val actual = s.table(tn).count()
+      (t, est, actual, if (est == actual) 1 else 0)
+    }.toDF("table_name", "est_rows", "actual_rows", "est_matches")
+      .orderBy(col("table_name"))
+  }
+
   /** Pipeline health counters via the Observation API: metrics are
     * accumulated AS A SIDE EFFECT of the main pass (accumulator-backed,
     * no second scan) — how a production job reports rows-in/nulls/sums
@@ -112,6 +139,16 @@ object Stats {
                COUNT(CASE WHEN props IS NULL THEN 1 END) AS n_null_props,
                ${graft.Det.oSum("value")} AS sum_value
               FROM events""")),
+    QueryDef("meta_explain_estimate", metaExplainEstimate,
+      Some("""WITH t AS (
+                SELECT 'customer' AS table_name,
+                  (SELECT COUNT(*) FROM customer) AS n
+                UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation)
+                UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders)
+                UNION ALL SELECT 'region', (SELECT COUNT(*) FROM region))
+              SELECT table_name, n AS est_rows, n AS actual_rows,
+                1 AS est_matches
+              FROM t ORDER BY table_name""")),
     QueryDef("stats_cbo_reorder", statsCboReorder,
       Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
