@@ -152,6 +152,76 @@ case class EuclidSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused dot product over two numeric array columns — the MIPS hot
+  * path: single pass, double accumulator (elements widened to double
+  * BEFORE the multiply, exactly like the HOF cast discipline), no
+  * per-row zip/transform allocations, whole-stage codegen. Fold order
+  * is the left-to-right HOF order, so results are bit-identical to the
+  * zip_with/aggregate formulation (asserted in ExtensionsSpec).
+  * Registered as `dot_native(a, b)`.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elem(left.dataType).isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_native expects array<float|double>; left is ${left.dataType}")
+    else if (elem(right.dataType).isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_native expects array<float|double>; right is ${right.dataType}")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elem(left.dataType).contains(FloatType)
+    val rf = elem(right.dataType).contains(FloatType)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) => {
+      def getter(c: String, side: DataType, i: String): String =
+        if (elem(side).contains(FloatType)) s"(double) $c.getFloat($i)"
+        else s"$c.getDouble($i)"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($c1.numElements(), $c2.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ${getter(c1, left.dataType, i)} * ${getter(c2, right.dataType, i)};
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused ColBERT MaxSim over two vector columns read as 8 token
   * sub-vectors: score = Σ over left tokens of the max dot product
   * against any right token. Replaces the interpreted nested-HOF
@@ -262,6 +332,8 @@ object GraftFunctions {
       "l2_sq_native", args => EuclidSq(args(0), args(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "maxsim_native", args => MaxSim(args(0), args(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_native", args => DotProduct(args(0), args(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ipv4_to_long", args => Ipv4ToLong(args(0)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -154,11 +154,14 @@ object LlmVector {
     * workhorse: dual-encoder scoring is raw dot product, NOT cosine;
     * normalizing first changes the ranking whenever norms carry signal).
     * Same scale shape as sim_topk: bounded probe set broadcasts, the
-    * corpus never shuffles, per-pair scoring is a codegen'd HOF fold
-    * with elements cast to double BEFORE the multiply so both engines
-    * run the same double arithmetic in the same order.
+    * corpus never shuffles, per-pair scoring is the fused whole-stage-
+    * codegen [[graft.functions.DotProduct]] expression (elements widened
+    * to double BEFORE the multiply, fold order identical to the HOF
+    * spelling it replaces — higher-order functions are interpreted and
+    * allocate zip arrays per pair).
     */
   private def simMips(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
@@ -167,12 +170,7 @@ object LlmVector {
       .orderBy(col("dot").desc, col("cand_id"))
     cands.crossJoin(broadcast(probes))
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("dot", expr(
-        """round(aggregate(
-             zip_with(transform(pv, x -> CAST(x AS DOUBLE)),
-                      transform(cv, x -> CAST(x AS DOUBLE)),
-                      (a, b) -> a * b),
-             CAST(0 AS DOUBLE), (acc, x) -> acc + x), 6)"""))
+      .withColumn("dot", round(expr("dot_native(pv, cv)"), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("dot"))

@@ -53,6 +53,30 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
     assert(plan.contains("*(1) Project [euclidsq"), plan.take(300))
   }
 
+  test("dot_native: bit-identical to the HOF fold, both element types") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("shifted", expr("transform(v, x -> x + 0.25D)"))
+    val rows = e.select(
+      expr("dot_native(v, shifted)").as("native_dd"),
+      expr("dot_native(embedding, shifted)").as("native_fd"),
+      expr("""aggregate(zip_with(v, shifted, (a, b) -> a * b),
+              cast(0.0 as double), (acc, x) -> acc + x)""").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(2), "double/double drifted")
+      assert(r.getDouble(1) == r.getDouble(2), "float side must cast per element")
+    }
+    val mat = e.select(col("v"), col("shifted")).localCheckpoint()
+    val plan = mat.select(expr("dot_native(v, shifted)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dotproduct"), plan.take(300))
+  }
+
   test("maxsim_native: bit-identical to the nested-HOF fold, codegen'd") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
