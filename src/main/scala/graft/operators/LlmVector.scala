@@ -278,6 +278,7 @@ object LlmVector {
     * by list id; probes touch nprobe/nlist of the data.
     */
   private def simIvfKnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
     val cents = e
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -291,7 +292,7 @@ object LlmVector {
     val wSel = Window.partitionBy(col("probe_id"))
       .orderBy(col("csim").desc, col("label"))
     val selected = probes.crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col("pv"), col("cvec")), 6))
+      .withColumn("csim", round(expr("cosine_sim_native(pv, cvec)"), 6))
       .withColumn("rn", row_number().over(wSel))
       .filter(col("rn") <= 2)
       .select(col("probe_id"), col("pv"), col("label"))
@@ -301,7 +302,7 @@ object LlmVector {
       .orderBy(col("cos_sim").desc, col("cand_id"))
     selected.join(cands, "label")
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
       .withColumn("rnk", row_number().over(wKnn))
       .filter(col("rnk") <= 3)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("label"),
@@ -656,6 +657,7 @@ object LlmVector {
     * the RDD detour.
     */
   private def vecKmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
     val cents = e
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -668,7 +670,7 @@ object LlmVector {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("clabel"))
     e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col("v"), col("cvec")), 6))
+      .withColumn("csim", round(expr("cosine_sim_native(v, cvec)"), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("label"), col("clabel"))
@@ -722,6 +724,7 @@ object LlmVector {
     */
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
     val cents = e
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -734,7 +737,7 @@ object LlmVector {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("clabel"))
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col("v"), col("cvec")), 6))
+      .withColumn("csim", round(expr("cosine_sim_native(v, cvec)"), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("clabel").as("cluster"), col("embedding"))
