@@ -20,31 +20,34 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (!ok(left.dataType))
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elem(left.dataType).isEmpty)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim_native expects array<float> inputs; left is ${left.dataType}")
-    else if (!ok(right.dataType))
+        s"cosine_sim_native expects array<float|double>; left is ${left.dataType}")
+    else if (elem(right.dataType).isEmpty)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim_native expects array<float> inputs; right is ${right.dataType}")
+        s"cosine_sim_native expects array<float|double>; right is ${right.dataType}")
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = elem(left.dataType).contains(FloatType)
+    val rf = elem(right.dataType).contains(FloatType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -53,6 +56,9 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c1, c2) => {
+      def getter(c: String, side: DataType, i: String): String =
+        if (elem(side).contains(FloatType)) s"(double) $c.getFloat($i)"
+        else s"$c.getDouble($i)"
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
@@ -64,8 +70,8 @@ case class CosineSim(left: Expression, right: Expression)
         int $n = java.lang.Math.min($c1.numElements(), $c2.numElements());
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double $x = (double) $c1.getFloat($i);
-          double $y = (double) $c2.getFloat($i);
+          double $x = ${getter(c1, left.dataType, i)};
+          double $y = ${getter(c2, right.dataType, i)};
           $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         }
         ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
