@@ -341,6 +341,12 @@ object GraftFunctions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_native", args => DotProduct(args(0), args(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_native", args => JaroSim(args(0), args(1), winkler = false),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler_native", args => JaroSim(args(0), args(1), winkler = true),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ipv4_to_long", args => Ipv4ToLong(args(0)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_to_ipv4", args => LongToIpv4(args(0)), "built-in")

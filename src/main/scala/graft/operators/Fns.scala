@@ -453,6 +453,35 @@ object Fns {
       .orderBy(col("doc_id"))
   }
 
+  /** ClickHouse `jaroSimilarity` / `jaroWinklerSimilarity` — fuzzy
+    * string similarity between each part name and its brand-successor's
+    * name (lead pairing inside p_brand partitions — linear, no quadratic
+    * self-join), scored by the native codegen'd
+    * [[graft.functions.JaroSim]] expression: textbook Jaro (match window
+    * ⌊max/2⌋−1, integer half-count transpositions) plus the standard
+    * Winkler prefix boost (cap 4, scale 0.1, applied only when
+    * jaro > 0.7) — the exact contract DuckDB's jaro twins expose
+    * (edge/threshold behavior probed empirically, incl. the integer
+    * transposition division on odd mismatch counts). 6dp rounding at
+    * the edge absorbs last-ulp libm-free arithmetic differences.
+    *
+    * Scale notes: one bounded-partition window pass (lead within brand)
+    * then pure map-side native-expression scoring — no UDF, no extra
+    * shuffle; per-pair cost is O(|a|·|b|) on short name strings.
+    */
+  private def fnJaro(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+    Tables.part(s, dir)
+      .withColumn("nxt", lead(col("p_name"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("p_partkey"), col("p_brand"),
+        round(expr("jaro_native(p_name, nxt)"), 6).as("jaro"),
+        round(expr("jaro_winkler_native(p_name, nxt)"), 6).as("jw"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** ClickHouse `geohashEncode` — 6-character geohash of each
     * customer's synthetic half-degree coordinate, decided ENTIRELY in
     * integers: the 15-bit lat/lon quantizations come from one
@@ -878,6 +907,15 @@ object Fns {
                     CAST(list_position(arr, arr[CAST(i AS INT)]) AS INT))))
                     AS VARCHAR)), ',') AS dense_idx
               FROM t WHERE len(arr) >= 1 ORDER BY doc_id""")),
+    QueryDef("fn_jaro", fnJaro,
+      Some("""WITH p AS (SELECT p_partkey, p_brand, p_name,
+                 lead(p_name) OVER (PARTITION BY p_brand
+                   ORDER BY p_partkey) AS nxt
+                 FROM part)
+              SELECT p_partkey, p_brand,
+                round(jaro_similarity(p_name, nxt), 6) AS jaro,
+                round(jaro_winkler_similarity(p_name, nxt), 6) AS jw
+              FROM p WHERE nxt IS NOT NULL ORDER BY p_partkey""")),
     QueryDef("fn_ngram_distance", fnNgramDistance,
       Some("""WITH p AS (SELECT doc_id,
                  COALESCE(string_split(text, ' ')[1], '') AS t1,

@@ -294,6 +294,87 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
+  /** Paragraph-level corpus dedup (the CCNet/RefinedWeb stage between
+    * document-exact and near-dup: boilerplate paragraphs repeat across
+    * documents that are NOT duplicates of each other): each document
+    * splits into fixed 10-token "paragraphs", the corpus keeps only the
+    * FIRST occurrence of every paragraph (lowest (doc_id, pos)), and
+    * each document is reassembled from its surviving paragraphs in
+    * original order. Output: per-doc paragraph/survivor counts and the
+    * cleaned text (null when every paragraph was seen earlier — the
+    * fully-boilerplate doc the pipeline would drop).
+    *
+    * Scale notes: the only shuffle key is the paragraph string itself
+    * (at 100 TB: its xxhash digest — same algebra, 8-byte key); the
+    * first-occurrence window partitions BY PARAGRAPH, so the state per
+    * group is the duplicate count of one paragraph, never the corpus.
+    * Reassembly is a per-doc hash aggregate over surviving (pos, para)
+    * pairs — O(doc) state, order restored by an in-group array_sort,
+    * no global sort anywhere.
+    */
+  private def dedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val paras = Tables.documents(s, dir)
+      .withColumn("toksArr", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(
+               sequence(0, cast(ceil(size(toksArr) / 10.0) as int) - 1),
+               i -> array_join(slice(toksArr, i * 10 + 1, 10), ' '))"""))
+          .as(Seq("pos", "para")))
+    val w = Window.partitionBy(col("para")).orderBy(col("doc_id"), col("pos"))
+    paras
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        array_join(expr(
+          """transform(
+               array_sort(collect_list(
+                 CASE WHEN rn = 1 THEN struct(pos, para) END)),
+               x -> x.para)"""), " ").as("joined"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        when(col("n_kept") > 0, col("joined")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Importance resampling by a per-document quality weight (the
+    * data-mixing step after ml_quality_filter scores a corpus: keep doc
+    * i with probability w_i / w_max) — decided by deterministic hash
+    * acceptance, NOT seeded RNG: accept when the doc's Knuth-hash bucket
+    * (0..1e6) falls under its weight share, compared in PURE int64
+    * cross-multiplication (bucket·w_max < w_i·1e6 — no double ever
+    * enters the accept decision, so the sample is bit-stable at any
+    * parallelism on any engine). Weight = n_chars (the length prior);
+    * the per-source report shows the selection lift — kept docs' mean
+    * length over the stratum mean — exact integer sums, one double
+    * division rounded at the edge.
+    *
+    * Scale notes: w_max is a 1-row broadcast; acceptance is map-side
+    * codegen'd arithmetic; only O(sources) rows reach the final
+    * aggregate. The 100 TB posture of every sample_* key: no RNG, no
+    * global sort, one partial-agg shuffle on the stratum key.
+    */
+  private def sampleImportance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wmax = docs.agg(max(col("n_chars")).as("wmax"))
+    docs.crossJoin(broadcast(wmax))
+      .withColumn("bucket",
+        (col("doc_id") * lit(2654435761L)) % 4294967296L % 1000000L)
+      .withColumn("keep",
+        col("bucket") * col("wmax") < col("n_chars") * lit(1000000L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_all"),
+        sum(when(col("keep"), col("n_chars"))).as("chars_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        when(col("n_kept") > 0,
+          round(col("chars_kept").cast("double") * col("n_docs")
+            / (col("chars_all").cast("double") * col("n_kept")), 6))
+          .as("length_lift"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic hash-based corpus split (ClickHouse `SAMPLE` /
     * training-data holdout): Knuth multiplicative hash of the doc id →
     * bucket 0..99 → train/val/test at 80/10/10. Hash-based, NOT seeded
@@ -2039,6 +2120,41 @@ object LlmText {
               SELECT doc_id, n_copies FROM ex
               WHERE doc_id NOT IN (SELECT id_b FROM drops)
               ORDER BY doc_id""")),
+    QueryDef("dedup_paragraph", dedupParagraph,
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+              u AS (SELECT doc_id, unnest(list_transform(
+                  range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+                  i -> {'pos': CAST(i AS INTEGER),
+                        'para': array_to_string(list_slice(toks,
+                          CAST(i * 10 + 1 AS INT),
+                          CAST(i * 10 + 10 AS INT)), ' ')})) AS pp
+                FROM t),
+              k AS (SELECT doc_id, pp.pos AS pos, pp.para AS para,
+                row_number() OVER (PARTITION BY pp.para
+                  ORDER BY doc_id, pp.pos) AS rn
+                FROM u)
+              SELECT doc_id, COUNT(*) AS n_paras,
+                COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+                string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1)
+                  AS cleaned
+              FROM k GROUP BY doc_id ORDER BY doc_id""")),
+    QueryDef("sample_importance", sampleImportance,
+      Some("""WITH m AS (SELECT MAX(n_chars) AS wmax FROM documents),
+              d AS (SELECT source, n_chars,
+                ((doc_id * 2654435761) % 4294967296) % 1000000 AS bucket
+                FROM documents),
+              a AS (SELECT source, n_chars, bucket * wmax < n_chars * 1000000
+                AS keep FROM d CROSS JOIN m)
+              SELECT source, COUNT(*) AS n_docs,
+                COUNT(*) FILTER (WHERE keep) AS n_kept,
+                CASE WHEN COUNT(*) FILTER (WHERE keep) > 0 THEN
+                  round(CAST(SUM(n_chars) FILTER (WHERE keep) AS DOUBLE)
+                      * COUNT(*)
+                    / (CAST(SUM(n_chars) AS DOUBLE)
+                      * COUNT(*) FILTER (WHERE keep)), 6)
+                END AS length_lift
+              FROM a GROUP BY source ORDER BY source""")),
     QueryDef("doc_chunk", docChunk,
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
                 FROM documents),

@@ -116,6 +116,46 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** k-NN GRAPH construction — the corpus-wide neighbor structure that
+    * graph-based semantic dedup (SemDeDup clusters), diversity sampling
+    * and label propagation all build on: every vector's top-3 cosine
+    * neighbors WITHIN ITS LABEL BLOCK, each edge flagged `mutual` when
+    * the source is also among the neighbor's top-3 (the symmetrized
+    * k-NN graph ANN pipelines keep). Scores round to 6dp BEFORE ranking
+    * (sim_topk discipline) so a last-ulp difference cannot reorder.
+    *
+    * Scale notes: blocking by the (pre-clustered) label key bounds the
+    * pair space to Σ|block|² ≪ n² and makes the only shuffle a
+    * co-partition on `label` — at 100 TB the label comes from
+    * vec_kmeans_assign and each block's pair join runs independently;
+    * per-pair scoring is the fused codegen'd native cosine. The mutual
+    * flag is a self-join of the O(3n) edge list on its own (src, nbr)
+    * key — never the corpus.
+    */
+  private def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("label"), col("vec_id").as("src"),
+      col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("nbr"),
+      col("embedding").as("vb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("nbr"))
+    val edges = a.join(b, Seq("label"))
+      .filter(col("src") =!= col("nbr"))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(va, vb)"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("src"), col("rnk"), col("nbr"), col("cos_sim"))
+    val rev = edges.select(col("src").as("r_nbr"), col("nbr").as("r_src"))
+    edges.join(rev,
+        col("src") === col("r_src") && col("nbr") === col("r_nbr"), "left")
+      .select(col("src"), col("rnk"), col("nbr"), col("cos_sim"),
+        col("r_src").isNotNull.as("mutual"))
+      .orderBy(col("src"), col("rnk"))
+  }
+
   /** SEMANTIC decontamination (the paraphrase-robust tier above the
     * exact/n-gram decontam pair: a reworded eval question shares no
     * 3-gram with its source but sits next to it in embedding space):
@@ -1203,6 +1243,25 @@ object LlmVector {
                 FROM pairs)
               SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cos_sim
               FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
+    QueryDef("sim_knn_graph", simKnnGraph,
+      Some(s"""WITH p AS (
+                SELECT a.vec_id AS src, b.vec_id AS nbr,
+                  round(${oDot.format("a.embedding", "b.embedding")}
+                    / (${oNorm("a.embedding")} * ${oNorm("b.embedding")}), 6)
+                    AS cos_sim
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id <> b.vec_id),
+              r AS (SELECT src, nbr, cos_sim,
+                row_number() OVER (PARTITION BY src
+                  ORDER BY cos_sim DESC, nbr) AS rnk
+                FROM p),
+              ed AS (SELECT src, CAST(rnk AS INTEGER) AS rnk, nbr, cos_sim
+                FROM r WHERE rnk <= 3)
+              SELECT ed.src, ed.rnk, ed.nbr, ed.cos_sim,
+                (rev.src IS NOT NULL) AS mutual
+              FROM ed LEFT JOIN ed rev
+                ON rev.src = ed.nbr AND rev.nbr = ed.src
+              ORDER BY ed.src, ed.rnk""")),
     QueryDef("decontam_embed", decontamEmbed,
       Some(s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS e
                 FROM embeddings WHERE vec_id % 97 = 0),

@@ -327,7 +327,55 @@ object MvOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** ClickHouse CASCADING materialized views — MV2 is defined over MV1's
+    * TARGET table, so each base insert flows base → MV1 delta block →
+    * MV2 delta block without ever re-reading the base table. Modeled
+    * end-to-end on two insert batches (orders split by key parity):
+    * each batch's daily-revenue partial block (MV1, SummingMergeTree
+    * algebra) is itself rolled up to a monthly partial block (MV2,
+    * consuming ONLY the MV1 delta), and the MV2 table merges on read.
+    *
+    * Revenue survives the cascade exactly because sum-states re-aggregate
+    * (decimal partials, order-free). `n_day_blocks` deliberately exposes
+    * the canonical cascading-MV pitfall: a COUNT at the second level
+    * counts MV1 delta ROWS, not distinct days — a day spanning both
+    * batches is counted twice. The oracle reproduces that semantics as
+    * COUNT(DISTINCT (day, batch)), documenting that only re-aggregatable
+    * states (sum/min/max/-State sketches) survive a cascade unchanged.
+    *
+    * Scale notes: each level is one hash aggregate over the previous
+    * level's O(groups) output — the base table is scanned once per
+    * batch, MV rows are O(days)/O(months); nothing re-reads history.
+    */
+  private def mvCascade(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(30, 6)).as("price"))
+    def daily(batch: DataFrame): DataFrame = batch
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(col("price")).as("rev_state"))
+    def monthly(mv1Block: DataFrame): DataFrame = mv1Block
+      .groupBy(date_trunc("month", col("day")).as("month"))
+      .agg(sum(col("rev_state")).as("rev_state"),
+        count(lit(1)).as("n_day_blocks"))
+    val m1 = monthly(daily(base.filter(col("o_orderkey") % 2 === 0)))
+    val m2 = monthly(daily(base.filter(col("o_orderkey") % 2 === 1)))
+    m1.unionByName(m2) // MV2 target table: one partial block per insert
+      .groupBy(col("month")) // merge-on-read
+      .agg(sum(col("rev_state")).cast("double").as("revenue"),
+        sum(col("n_day_blocks")).as("n_day_blocks"))
+      .orderBy(col("month"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mv_cascade", mvCascade,
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                  AS month,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                  AS revenue,
+                COUNT(DISTINCT (date_trunc('day', o_orderdate),
+                  o_orderkey % 2)) AS n_day_blocks
+              FROM orders GROUP BY 1 ORDER BY 1""")),
     QueryDef("mv_join_incremental", mvJoinIncremental,
       Some("""WITH live AS (
                 SELECT o_orderkey, o_custkey,

@@ -108,6 +108,41 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
     assert(plan.contains("*(1) Project [maxsim"), plan.take(300))
   }
 
+  test("jaro_native / jaro_winkler_native: known vectors + codegen") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // (a, b, jaro, jaro_winkler) — the DuckDB-probed contract:
+    // integer half-count transpositions, winkler boost only when
+    // jaro > 0.7, either side empty → 0
+    val cases = Seq(
+      ("martha", "marhta", 0.9444444444444445, 0.9611111111111111),
+      ("dwayne", "duane", 0.8222222222222223, 0.84),
+      // 3 matched chars permute oddly (3 mismatches): t = 3/2 = 1 (int)
+      ("abcxyz", "bcaxyz", 0.9444444444444445, 0.9444444444444445),
+      // jaro exactly 0.5 ≤ 0.7: NO winkler boost despite 2-char prefix
+      ("abcdefgh", "abzzzzzz", 0.5, 0.5),
+      ("same", "same", 1.0, 1.0),
+      ("", "x", 0.0, 0.0))
+    val rows = cases.toDF("a", "b", "ej", "ejw")
+      .select(expr("jaro_native(a, b)").as("j"),
+        expr("jaro_winkler_native(a, b)").as("jw"),
+        col("ej"), col("ejw"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-12,
+        s"jaro: got ${r.getDouble(0)} want ${r.getDouble(2)}")
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-12,
+        s"jw: got ${r.getDouble(1)} want ${r.getDouble(3)}")
+    }
+    // the expression plans inside whole-stage codegen over a real column
+    val mat = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_name"), col("p_brand")).localCheckpoint()
+    val plan = mat.select(expr("jaro_winkler_native(p_name, p_brand)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [jarosim"), plan.take(300))
+  }
+
   // literals constant-fold before the optimizer rule is observable, so
   // exercise the rule over a real (non-foldable) parquet column
   private def rounds(sql: String): Int = {

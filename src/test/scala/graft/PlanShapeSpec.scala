@@ -603,6 +603,30 @@ class PlanShapeSpec extends GraftSpec {
       s"fact table must not sit in the deepest join: $tables")
   }
 
+  test("sim_knn_graph: label-blocked equi join, no all-pairs product") {
+    val p = plan("sim_knn_graph")
+    // the pair space must come from the label equi-join (shuffle on the
+    // block key), never a cartesian/nested-loop over the corpus
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the block join is keyed on label — broadcast at this fixture size,
+    // a label-key shuffle at scale; either way a HASH equi join
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[label".r
+      .findFirstIn(p).nonEmpty,
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("dedup_paragraph: first-occurrence window shuffles on the paragraph") {
+    val p = plan("dedup_paragraph")
+    // corpus-wide first-occurrence state partitions BY PARAGRAPH (the
+    // dedup key), so per-group state is one paragraph's copies — and the
+    // doc reassembly re-groups by doc_id; no other distribution exists
+    assert(p.contains("hashpartitioning(para"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("hashpartitioning(doc_id"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("stats_cbo: ANALYZEd tables expose row counts + column stats to CBO") {
     SparkEntry.queries("stats_cbo")(spark, sf) // ensures ANALYZE ran
     val names = graft.operators.Stats.ensureAnalyzed(spark, sf)
