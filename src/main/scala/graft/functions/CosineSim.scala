@@ -341,6 +341,8 @@ object GraftFunctions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_native", args => DotProduct(args(0), args(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "damerau_native", args => DamerauLev(args(0), args(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_native", args => JaroSim(args(0), args(1), winkler = false),
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

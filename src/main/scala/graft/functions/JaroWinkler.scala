@@ -66,6 +66,88 @@ object JaroHelper {
   }
 }
 
+/** Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner: true edit
+  * distance with adjacent-transposition, where a transposed block may be
+  * edited again — 'ca'→'abc' = 2, not the OSA 3). Shared scorer for
+  * [[DamerauLev]]; the DP keeps the last-row-per-alphabet-char index
+  * (`da`) the full algorithm requires, O(|a|·|b|) time, O(|a|·|b|)
+  * table — fine for the short-string columns it targets.
+  */
+object DamerauHelper {
+
+  def distance(a: UTF8String, b: UTF8String): Int = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0) return l2
+    if (l2 == 0) return l1
+    val inf = l1 + l2
+    // d is (l1+2) x (l2+2) with the Lowrance-Wagner sentinel border
+    val d = Array.ofDim[Int](l1 + 2, l2 + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= l1) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= l2) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Char, Int]()
+    i = 1
+    while (i <= l1) {
+      var db = 0
+      j = 1
+      while (j <= l2) {
+        val k = da.getOrDefault(s2.charAt(j - 1), 0)
+        val l = db
+        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) { db = j; 0 }
+                   else 1
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) =
+          math.min(math.min(sub, ins), math.min(del, trans))
+        j += 1
+      }
+      da.put(s1.charAt(i - 1), i)
+      i += 1
+    }
+    d(l1 + 1)(l2 + 1)
+  }
+}
+
+/** Native unrestricted Damerau-Levenshtein over two string columns — the
+  * transposition-aware edit distance (ClickHouse
+  * `damerauLevenshteinDistance`; DuckDB `damerau_levenshtein` is the
+  * oracle twin — both unrestricted, probed on the 'ca'→'abc' = 2
+  * separator case). Registered as `damerau_native(a, b)`.
+  */
+case class DamerauLev(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != StringType || right.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"damerau expects (string, string); got (${left.dataType}, ${right.dataType})")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DamerauHelper.distance(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) => {
+      s"${ev.value} = graft.functions.DamerauHelper.distance($c1, $c2);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLev =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native Jaro / Jaro-Winkler string similarity over two string columns —
   * the fuzzy-match primitive ClickHouse exposes as `jaroSimilarity` /
   * `jaroWinklerSimilarity` (and DuckDB as the oracle twins). Registered

@@ -453,6 +453,32 @@ object Fns {
       .orderBy(col("doc_id"))
   }
 
+  /** ClickHouse `damerauLevenshteinDistance` — the transposition-aware
+    * edit distance, UNRESTRICTED (Lowrance-Wagner: a transposed block
+    * may be edited again, so 'ca'→'abc' = 2 where the simpler OSA
+    * recurrence says 3 — DuckDB's `damerau_levenshtein` twin is probed
+    * to be the unrestricted variant too). Computed by the native
+    * codegen'd [[graft.functions.DamerauLev]] expression on the same
+    * token probe pair as fn_edit_distance, contrasted against plain
+    * Levenshtein with a flag for rows where the transposition credit
+    * bites.
+    *
+    * Scale notes: pure map-side native-expression projection — no UDF,
+    * no shuffle; per-row cost O(|a|·|b|) on short tokens.
+    */
+  private def fnDamerau(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"),
+        element_at(col("arr"), 1).as("tok1"),
+        element_at(col("arr"), 2).as("tok2"))
+      .withColumn("dl_dist", expr("damerau_native(tok1, tok2)"))
+      .withColumn("lev_dist", levenshtein(col("tok1"), col("tok2")))
+      .withColumn("transposition_win", col("dl_dist") < col("lev_dist"))
+      .orderBy(col("doc_id"))
+  }
+
   /** ClickHouse `jaroSimilarity` / `jaroWinklerSimilarity` — fuzzy
     * string similarity between each part name and its brand-successor's
     * name (lead pairing inside p_brand partitions — linear, no quadratic
@@ -907,6 +933,17 @@ object Fns {
                     CAST(list_position(arr, arr[CAST(i AS INT)]) AS INT))))
                     AS VARCHAR)), ',') AS dense_idx
               FROM t WHERE len(arr) >= 1 ORDER BY doc_id""")),
+    QueryDef("fn_damerau", fnDamerau,
+      Some("""WITH p AS (SELECT doc_id,
+                 string_split(text, ' ')[1] AS tok1,
+                 string_split(text, ' ')[2] AS tok2
+                 FROM documents)
+              SELECT doc_id, tok1, tok2,
+                CAST(damerau_levenshtein(tok1, tok2) AS INTEGER) AS dl_dist,
+                CAST(levenshtein(tok1, tok2) AS INTEGER) AS lev_dist,
+                damerau_levenshtein(tok1, tok2) < levenshtein(tok1, tok2)
+                  AS transposition_win
+              FROM p ORDER BY doc_id""")),
     QueryDef("fn_jaro", fnJaro,
       Some("""WITH p AS (SELECT p_partkey, p_brand, p_name,
                  lead(p_name) OVER (PARTITION BY p_brand

@@ -143,6 +143,30 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
     assert(plan.contains("*(1) Project [jarosim"), plan.take(300))
   }
 
+  test("damerau_native: unrestricted DL known vectors + codegen") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq(
+      // the unrestricted-vs-OSA separator: edit inside a transposed block
+      ("ca", "abc", 2),
+      ("abcdef", "abcfad", 3),
+      ("martha", "marhta", 1), // one adjacent transposition
+      ("kitten", "sitting", 3), // pure Levenshtein case, no transposition
+      ("same", "same", 0),
+      ("", "abc", 3), ("abc", "", 3))
+    val rows = cases.toDF("a", "b", "want")
+      .select(expr("damerau_native(a, b)").as("got"), col("want"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"got ${r.getInt(0)} want ${r.getInt(1)}"))
+    val mat = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_name"), col("p_brand")).localCheckpoint()
+    val plan = mat.select(expr("damerau_native(p_name, p_brand)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dameraulev"), plan.take(300))
+  }
+
   // literals constant-fold before the optimizer rule is observable, so
   // exercise the rule over a real (non-foldable) parquet column
   private def rounds(sql: String): Int = {
