@@ -227,7 +227,11 @@ object DedupGraph {
   }
 
   private def graphTriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val edges = affinityEdges(s, dir)
+    // materialize the bounded edge list once: its lineage (the fact-table
+    // pair self-join) would otherwise re-run for the degree table AND
+    // each of the three oriented-edge uses below — at scale the adjacency
+    // is persisted once per traversal, never recomputed from the fact
+    val edges = affinityEdges(s, dir).localCheckpoint()
     val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val fwd = col("du") < col("dv") ||
@@ -238,6 +242,8 @@ object DedupGraph {
       .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
         when(fwd, col("v")).otherwise(col("u")).as("t"),
         when(fwd, col("dv")).otherwise(col("du")).as("dt"))
+      // three consumers (both wedge sides + the closing join): O(edges)
+      .localCheckpoint()
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && (col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
@@ -261,7 +267,10 @@ object DedupGraph {
     * on the pair's endpoints). Top-50 leaves via TakeOrderedAndProject.
     */
   private def graphCommonNeighbors(s: SparkSession, dir: String): DataFrame = {
-    val e = affinityEdges(s, dir)
+    // one materialization of the bounded edge list; the wedge self-join
+    // and the degree rollup below both read it (the fact-table pair
+    // self-join it derives from must not run per consumer)
+    val e = affinityEdges(s, dir).localCheckpoint()
     val und = e.select(col("u").as("n"), col("v").as("m"))
       .union(e.select(col("v").as("n"), col("u").as("m")))
     val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
