@@ -453,6 +453,26 @@ object Fns {
       .orderBy(col("doc_id"))
   }
 
+  /** ClickHouse `LEFT ARRAY JOIN` — the outer flavor of ARRAY JOIN that
+    * KEEPS rows whose array is empty (one row with NULL element), where
+    * the plain form drops them: each document's long tokens (length ≥ 8)
+    * explode per-element, and all-short documents survive as a null row.
+    * Spark's `explode_outer` is the exact primitive; the DuckDB twin is
+    * LEFT JOIN LATERAL unnest. Elements order by value in the output so
+    * no per-element ordinality is needed for the cross-engine hash.
+    *
+    * Scale notes: map-side generate (codegen'd Generate operator), no
+    * shuffle before the output sort; row count is O(matched tokens),
+    * bounded by the filter before the explode — push the predicate
+    * INSIDE the array before generating, never explode-then-filter.
+    */
+  private def fnArrayJoinLeft(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("longs",
+        expr("filter(split(text, ' '), x -> length(x) >= 8)"))
+      .select(col("doc_id"), explode_outer(col("longs")).as("tok"))
+      .orderBy(col("doc_id"), col("tok"))
+
   /** ClickHouse `damerauLevenshteinDistance` — the transposition-aware
     * edit distance, UNRESTRICTED (Lowrance-Wagner: a transposed block
     * may be edited again, so 'ca'→'abc' = 2 where the simpler OSA
@@ -933,6 +953,14 @@ object Fns {
                     CAST(list_position(arr, arr[CAST(i AS INT)]) AS INT))))
                     AS VARCHAR)), ',') AS dense_idx
               FROM t WHERE len(arr) >= 1 ORDER BY doc_id""")),
+    QueryDef("fn_array_join_left", fnArrayJoinLeft,
+      Some("""WITH t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                   x -> length(x) >= 8) AS longs
+                 FROM documents)
+              SELECT doc_id, u.tok FROM t
+              LEFT JOIN LATERAL (SELECT unnest(longs) AS tok) u ON true
+              ORDER BY doc_id, tok""")),
     QueryDef("fn_damerau", fnDamerau,
       Some("""WITH p AS (SELECT doc_id,
                  string_split(text, ' ')[1] AS tok1,

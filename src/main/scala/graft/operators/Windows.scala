@@ -145,6 +145,36 @@ object Windows {
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
+  /** IGNORE NULLS window semantics (ClickHouse `lagInFrame(x, 1) IGNORE
+    * NULLS` / `last_value IGNORE NULLS` — the forward-/backward-fill
+    * primitive every sparse-observation timeline needs): per customer
+    * order timeline, the finalized price (status 'F', else null) is
+    * forward-filled, backward-filled, and lagged to the previous
+    * non-null observation. Pure pass-through of stored doubles — no
+    * arithmetic, so no rounding is needed for the cross-engine hash.
+    *
+    * Scale notes: one window shuffle on the partition key; ignore-nulls
+    * frames evaluate streaming within the frame (no per-row rescan of
+    * the partition) on both engines.
+    */
+  private def winIgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("xp",
+        when(col("o_orderstatus") === "F", col("o_totalprice")))
+      .select(col("o_orderkey"), col("xp"),
+        last(col("xp"), ignoreNulls = true)
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("ffill"),
+        first(col("xp"), ignoreNulls = true)
+          .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("bfill"),
+        lag(col("xp"), 1, null, ignoreNulls = true).over(ord)
+          .as("prev_final"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** nth_value over the full-partition frame: the 2nd- and 3rd-richest
     * customer name per nation alongside each row (null when the nation
     * has fewer members) — completes the positional window family.
@@ -370,6 +400,22 @@ object Windows {
                 ORDER BY c_acctbal DESC, c_custkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               ORDER BY c_nationkey, c_custkey""")),
+    QueryDef("win_ignore_nulls", winIgnoreNulls,
+      Some("""WITH t AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS xp
+                 FROM orders)
+              SELECT o_orderkey, xp,
+                last_value(xp IGNORE NULLS) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS ffill,
+                first_value(xp IGNORE NULLS) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS bfill,
+                lag(xp, 1 IGNORE NULLS) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS prev_final
+              FROM t ORDER BY o_orderkey""")),
     QueryDef("win_first_last", winFirstLast,
       Some("""SELECT c_nationkey, c_custkey,
                 first_value(c_name) OVER w AS richest,
