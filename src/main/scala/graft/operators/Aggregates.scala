@@ -1516,6 +1516,14 @@ object Aggregates {
                 FROM lineitem)
             SELECT pair, corr FROM ($rows) ORDER BY pair"""
       }),
+    QueryDef("agg_group_concat", aggGroupConcat,
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+                array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                  AS priorities,
+                array_to_string(list_sort(list(DISTINCT
+                  'c' || lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0')))[1:5],
+                  ',') AS first_buckets
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
   )
 
   /** One-way ANOVA F over the five event-type groups on `value`
@@ -1640,4 +1648,32 @@ object Aggregates {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
         .as("est_users"), count(lit(1)).as("n_days"))
       .orderBy(col("event_type"))
+
+  /** ClickHouse `groupConcat` (24.x; MySQL GROUP_CONCAT in the Canal
+    * source dialect): per order status, the DISTINCT priorities joined
+    * sorted with a separator, plus the bounded form groupConcat(',', 5)
+    * — ClickHouse caps the concatenation at a row limit so one hot group
+    * cannot balloon a result cell. Bounded form here: first 5 distinct
+    * customer buckets in sort order.
+    *
+    * Determinism: concatenation order is explicit (array_sort before
+    * array_join) — never rely on an engine's incidental agg order.
+    *
+    * Scale notes: collect_set over a LOW-CARDINALITY value domain
+    * (priorities, bucketed custkeys) — state is O(distinct values) per
+    * group with map-side partial merge, not O(rows); the unbounded
+    * string-concat-of-raw-rows form is exactly what the row limit
+    * exists to forbid at 100 TB.
+    */
+  private def aggGroupConcat(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("cust_bucket",
+        concat(lit("c"), lpad((col("o_custkey") % 100).cast("string"), 2, "0")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+        array_join(slice(array_sort(collect_set(col("cust_bucket"))), 1, 5),
+          ",").as("first_buckets"))
+      .orderBy(col("o_orderstatus"))
 }

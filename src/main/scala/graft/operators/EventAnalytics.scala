@@ -845,6 +845,32 @@ object EventAnalytics {
                 MIN(ts) AS session_start, MAX(ts) AS session_end
               FROM g GROUP BY user_id, session_idx
               ORDER BY user_id, session_idx""")),
+    QueryDef("win_nonneg_derivative", winNonnegDerivative,
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                 value FROM events WHERE event_type = 'purchase'),
+              w AS (SELECT user_id, event_id, ts, value,
+                 LAG(value) OVER win AS pv, LAG(ts) OVER win AS pt
+                 FROM e WINDOW win AS
+                   (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT user_id, event_id,
+                round(CASE WHEN pt IS NOT NULL AND epoch_us(ts) > epoch_us(pt)
+                  THEN GREATEST(CAST(0 AS DOUBLE), (value - pv)
+                    / (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE)
+                       / 1000000.0)) END, 6) AS rate
+              FROM w ORDER BY user_id, event_id""")),
+    QueryDef("ts_decayed_avg", tsDecayedAvg,
+      Some(s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                 FROM events WHERE event_type = 'purchase'),
+              w AS (SELECT user_id, value,
+                 exp(CAST(epoch_us(ts)
+                     - epoch_us(MAX(ts) OVER (PARTITION BY user_id))
+                   AS DOUBLE) / 1000000.0 / 3600.0) AS wgt
+                 FROM e)
+              SELECT user_id, COUNT(*) AS n_purchases,
+                ${Det.oSum("value * wgt")} AS decayed_sum,
+                ${Det.oSum("wgt")} AS decayed_weight,
+                ${Det.oSum("value * wgt")} / ${Det.oSum("wgt")} AS decayed_avg
+              FROM w GROUP BY user_id ORDER BY user_id""")),
   )
 
   /** ClickHouse `sequenceMatch('(?1).*(?2).*(?3)')`: per user, collapse the
@@ -1619,5 +1645,73 @@ object EventAnalytics {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
       .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** ClickHouse `nonNegativeDerivative(value, ts)` window function: the
+    * per-second rate of change of a gauge between consecutive samples,
+    * clamped at zero (counter resets read as 0 rate, not a negative
+    * spike) — the metric shape Prometheus `rate()` serves. First sample
+    * per series and zero-time deltas yield NULL.
+    *
+    * Scale notes: one lag window per user partition — identical shuffle
+    * profile to sessionize_batch (single hash-partition on the series
+    * key, no self-join); the division and clamp are whole-stage-codegen
+    * projections. At 100 TB the window rides whatever clustering the
+    * event log already has on (user_id, ts).
+    */
+  private def winNonnegDerivative(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("pt", lag(col("ts"), 1).over(w))
+      .withColumn("dt",
+        (unix_micros(col("ts")) - unix_micros(col("pt"))).cast("double") / 1e6)
+      .select(col("user_id"), col("event_id"),
+        round(when(col("dt") > 0,
+          greatest(lit(0.0), (col("value") - col("pv")) / col("dt"))), 6)
+          .as("rate"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ClickHouse `exponentialTimeDecayedAvg(τ=3600s)` evaluated at each
+    * series' last sample: weight every purchase by exp(-(T-tᵢ)/τ) where
+    * T = the user's latest purchase time, and report the decayed sum,
+    * decayed weight mass, and their quotient (the decayed average) —
+    * the recency-weighted engagement score a freshness-aware ranking
+    * pipeline keeps per entity.
+    *
+    * Determinism: each weighted term is a double rounded once through
+    * DECIMAL(30,6) (Det.dsum — order-independent, cross-engine-stable
+    * per Core.scala's no-tie argument); the average is the UNROUNDED
+    * IEEE quotient of two such exact values, identical bit-for-bit on
+    * both engines, so no rounded-division midpoint risk (the
+    * text_lm_bigram lesson).
+    *
+    * Scale notes: T comes from a max-window over the same user_id
+    * partitioning the final groupBy uses — Catalyst runs both on ONE
+    * shuffle; per-row work is an exp() in codegen. No join, no collect.
+    */
+  private def tsDecayedAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    val weighted = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("t_last", max(col("ts")).over(byUser))
+      .withColumn("wgt",
+        exp((unix_micros(col("ts")) - unix_micros(col("t_last")))
+          .cast("double") / 1e6 / 3600d))
+    weighted
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Det.dsum(col("value") * col("wgt")).as("decayed_sum"),
+        Det.dsum(col("wgt")).as("decayed_weight"))
+      .select(col("user_id"), col("n_purchases"), col("decayed_sum"),
+        col("decayed_weight"),
+        (col("decayed_sum") / col("decayed_weight")).as("decayed_avg"))
+      .orderBy(col("user_id"))
   }
 }

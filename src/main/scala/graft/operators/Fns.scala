@@ -1242,5 +1242,66 @@ object Fns {
               FROM customer
               GROUP BY tier, seg_or_other, anon
               ORDER BY tier, seg_or_other, anon""")),
+    QueryDef("fn_round_special", fnRoundSpecial, Some(fnRoundSpecialOracle)),
   )
+
+  /** Largest boundary ≤ x, as a CASE ladder in descending boundary order
+    * (below the smallest boundary → the smallest boundary, ClickHouse
+    * `roundDown` semantics). ONE SQL string generated here and fed
+    * verbatim to BOTH engines — pure integer/double comparisons, so the
+    * engines cannot diverge (the fn_geohash shared-SQL discipline).
+    */
+  private def ladderSql(x: String, bounds: Seq[Long]): String = {
+    val whens = bounds.sorted.reverse.dropRight(1)
+      .map(b => s"WHEN $x >= $b THEN $b").mkString(" ")
+    s"CAST(CASE $whens ELSE ${bounds.min} END AS INTEGER)"
+  }
+
+  private val exp2Sql =
+    ladderSql("o_totalprice", (0 to 19).map(1L << _))
+  private val downSql =
+    ladderSql("o_totalprice",
+      Seq(1000L, 5000L, 20000L, 50000L, 100000L, 200000L, 400000L))
+  // ClickHouse roundAge brackets: 0, 17, 18, 25, 35, 45, 55.
+  private val ageSql =
+    "CAST(CASE WHEN age = 0 THEN 0 WHEN age < 18 THEN 17" +
+      " WHEN age < 25 THEN 18 WHEN age < 35 THEN 25 WHEN age < 45 THEN 35" +
+      " WHEN age < 55 THEN 45 ELSE 55 END AS INTEGER)"
+  // ClickHouse roundDuration brackets (seconds).
+  private val durSql =
+    ladderSql("dur", Seq(0L, 1L, 10L, 30L, 60L, 120L, 180L, 240L, 300L,
+      600L, 1200L, 1800L, 3600L, 7200L, 18000L, 36000L))
+
+  /** ClickHouse rounding family `roundToExp2` / `roundDown` / `roundAge`
+    * / `roundDuration`: bucket a measure onto the fixed human-scale
+    * grids the reporting layer groups by (power-of-two price bands, an
+    * explicit boundary set, the canonical age and session-duration
+    * brackets).
+    *
+    * Scale notes: pure codegen'd CASE projections — each ladder is a
+    * branch tree over one column, no shuffle beyond the presentation
+    * sort; identical ladder SQL on both engines (no float log2 near a
+    * power-of-two boundary can flip a bucket).
+    */
+  private def fnRoundSpecial(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("age", (col("o_custkey") % 120).cast("int"))
+      .withColumn("dur", (col("o_orderkey") % 40000).cast("int"))
+      .select(col("o_orderkey"),
+        expr(exp2Sql).as("price_exp2"),
+        expr(downSql).as("price_down"),
+        expr(ageSql).as("age_bracket"),
+        expr(durSql).as("duration_bracket"))
+      .orderBy(col("o_orderkey"))
+
+  private val fnRoundSpecialOracle: String =
+    s"""WITH t AS (SELECT o_orderkey, o_totalprice,
+          CAST(o_custkey % 120 AS INTEGER) AS age,
+          CAST(o_orderkey % 40000 AS INTEGER) AS dur FROM orders)
+        SELECT o_orderkey,
+          $exp2Sql AS price_exp2,
+          $downSql AS price_down,
+          $ageSql AS age_bracket,
+          $durSql AS duration_bracket
+        FROM t ORDER BY o_orderkey"""
 }

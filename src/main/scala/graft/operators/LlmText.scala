@@ -2253,5 +2253,81 @@ object LlmText {
                  '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
                  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
               FROM t ORDER BY doc_id""")),
+    QueryDef("text_search_bm25", textSearchBm25,
+      Some("""WITH q AS (SELECT unnest(['join', 'hash', 'vector']) AS term),
+              stats AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                   / COUNT(*) AS avg_len FROM documents),
+              toks AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok FROM documents),
+              tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+                 WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),
+              df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf
+                 GROUP BY tok),
+              dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dlen
+                 FROM documents),
+              scored AS (SELECT tf.doc_id,
+                 ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dlen AS DOUBLE) / avg_len))
+                   AS term_score
+                 FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+                 CROSS JOIN stats)
+              SELECT doc_id,
+                CAST(SUM(CAST(term_score AS DECIMAL(30,6))) AS DOUBLE)
+                  AS bm25
+              FROM scored GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 10""")),
   )
+
+  /** BM25 keyword retrieval (k1=1.2, b=0.75) — the full-text-index query
+    * class (ClickHouse inverted/`full_text` skipping index; Lucene's
+    * scoring function, public formula): score each document against a
+    * fixed query term set and return the global top-10.
+    *
+    * Determinism: per-(doc, term) scores are computed with an identical
+    * all-DOUBLE arithmetic shape on both engines, then summed per doc
+    * through DECIMAL(30,6) (order-independent, Det discipline); the
+    * top-k tie-breaks on doc_id.
+    *
+    * Scale notes: this IS the inverted-index formulation — the postings
+    * list (tf per doc×term) is built by ONE partial-agg shuffle
+    * restricted to the query terms (the `WHERE tok IN` pushes below the
+    * groupBy, so shuffle volume is O(docs containing a query term), not
+    * O(corpus tokens)); df and corpus stats are O(terms)/O(1) broadcast
+    * back. Global top-10 via TakeOrdered — no full sort. At 100 TB the
+    * per-term postings are exactly what the index stores; nothing here
+    * touches documents that match no term except the one corpus-stats
+    * scan, which a real deployment amortizes across queries.
+    */
+  private def textSearchBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "hash", "vector")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).as("dlen"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dlen")).cast("double") / count(lit(1))).as("avg_len"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tfd = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val score = idf * (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) +
+        lit(0.75) * col("dlen").cast("double") / col("avg_len")))
+    tf.join(broadcast(df_), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(Det.dsum(col("term_score")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
 }
