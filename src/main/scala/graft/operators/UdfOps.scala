@@ -56,6 +56,52 @@ object UdfOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** ClickHouse `sumKahan`: compensated (Kahan–Babuška–Neumaier) double
+    * summation as a typed Aggregator — state (sum, err) with the true
+    * total = sum + err; the compensation term survives partial/final
+    * MERGE, so the parallel shuffle-merged result carries the same few-
+    * ulp bound as a sequential fold. The float-native alternative to the
+    * Det.dsum decimal detour when the measure overflows DECIMAL(30,6)
+    * or the consumer wants pure-double state (constant 16 bytes/group).
+    */
+  object KahanSum extends Aggregator[Double, (Double, Double), Double] {
+    private def add(s: Double, c: Double, x: Double): (Double, Double) = {
+      val t = s + x
+      val comp =
+        if (math.abs(s) >= math.abs(x)) (s - t) + x
+        else (x - t) + s
+      (t, c + comp)
+    }
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), v: Double): (Double, Double) =
+      add(b._1, b._2, v)
+    def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+      val (s, comp) = add(a._1, a._2 + b._2, b._1)
+      (s, comp)
+    }
+    def finish(b: (Double, Double)): Double = b._1 + b._2
+    def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** agg_sum_kahan: per return flag, the compensated double sum of
+    * l_extendedprice rounded to cents. The 2dp-decimal-valued doubles
+    * sit within 1e-13 of the exact cent grid and Kahan keeps the total
+    * within a few ulps, so the rounded total equals the oracle's exact
+    * DECIMAL sum — the property a naive parallel double sum does NOT
+    * guarantee at 100 TB row counts (error grows with the reduction
+    * tree), which is the whole point of sumKahan.
+    */
+  private def aggSumKahan(s: SparkSession, dir: String): DataFrame = {
+    val kahan = udaf(KahanSum)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(kahan(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Generator (UDTF shape): 1 row → N rows via explode(sequence(...)) —
     * three monthly billing periods per order.
     */
@@ -346,6 +392,11 @@ object UdfOps {
                  / COUNT(*)) AS mean_price,
                COUNT(*) AS n
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+    QueryDef("agg_sum_kahan", aggSumKahan,
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                 AS DOUBLE), 2) AS sum_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("udaf_sketch_topk", udafSketchTopk, None),
     QueryDef("agg_topk_state", aggTopkState, None),
     QueryDef("udaf_cm_sketch", udafCmSketch, None),

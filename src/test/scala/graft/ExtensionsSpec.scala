@@ -216,4 +216,21 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
     assert(rounds(
       "SELECT round(round(l_extendedprice, 4), 2) AS r FROM li_ext") == 2)
   }
+
+  test("KahanSum recovers low bits a naive double sum loses, incl. across merge") {
+    val K = graft.operators.UdfOps.KahanSum
+    // 1e16 + 1.0 loses the 1.0 in naive double arithmetic
+    val xs = Seq(1e16, 1.0, 1.0, 1.0, 1.0, -1e16)
+    val naive = xs.foldLeft(0.0)(_ + _)
+    val kahan = K.finish(xs.foldLeft(K.zero)(K.reduce))
+    assert(naive != 4.0, "fixture no longer demonstrates cancellation")
+    assert(kahan == 4.0, s"sequential kahan: $kahan")
+    // split at every point and merge: compensation must survive the merge
+    (1 until xs.size).foreach { cut =>
+      val (a, b) = xs.splitAt(cut)
+      val m = K.finish(K.merge(
+        a.foldLeft(K.zero)(K.reduce), b.foldLeft(K.zero)(K.reduce)))
+      assert(m == 4.0, s"merged kahan at cut $cut: $m")
+    }
+  }
 }
