@@ -1243,7 +1243,74 @@ object Fns {
               GROUP BY tier, seg_or_other, anon
               ORDER BY tier, seg_or_other, anon""")),
     QueryDef("fn_round_special", fnRoundSpecial, Some(fnRoundSpecialOracle)),
+    QueryDef("fn_array_delta", fnArrayDelta,
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+              g AS (SELECT o_custkey, list(cents ORDER BY o_orderkey) AS arr
+                 FROM o GROUP BY o_custkey),
+              d AS (SELECT o_custkey, arr,
+                 list_transform(generate_series(1, len(arr)),
+                   i -> CASE WHEN i = 1 THEN 0
+                        ELSE arr[i] - arr[i-1] END) AS delta_arr,
+                 list_transform(generate_series(1, len(arr)),
+                   i -> list_aggregate(arr[1:i], 'sum')) AS cum_arr
+                 FROM g),
+              sg AS (SELECT o_custkey, arr, delta_arr, cum_arr,
+                 list_transform(delta_arr,
+                   x -> CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1
+                        ELSE 0 END) AS sign_arr
+                 FROM d)
+              SELECT o_custkey, CAST(len(arr) AS INTEGER) AS n_orders,
+                array_to_string(delta_arr, ',') AS delta,
+                array_to_string(cum_arr, ',') AS cumsum,
+                array_to_string(list_filter(sign_arr,
+                  (x, i) -> i = 1 OR x != sign_arr[i-1]), ',') AS trend
+              FROM sg ORDER BY o_custkey""")),
   )
+
+  /** ClickHouse array-calculus trio `arrayDifference` / `arrayCumSum` /
+    * `arrayCompact`: per customer, the order-amount series (in exact
+    * integer cents, ordered by order key) with its first-difference,
+    * running-sum, and consecutive-dedup'd trend-sign arrays — the
+    * spend-trajectory feature block a churn model consumes.
+    *
+    * Arrays are emitted as comma-joined strings so the compare is over
+    * digit strings (DuckDB's list_aggregate('sum') yields HUGEINT —
+    * type-invisible once stringified; the sample_curriculum lesson).
+    *
+    * Scale notes: ONE shuffle (groupBy customer, map-side partial
+    * collect of bounded per-customer order lists); every array op is a
+    * HOF over the in-row array — interpreted, but O(orders-per-customer)
+    * and shuffle-free. Order inside the array is explicit
+    * (array_sort by unique key), never the engine's incidental order.
+    */
+  private def fnArrayDelta(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy(col("o_custkey"))
+      .agg(expr("""transform(
+          array_sort(collect_list(struct(o_orderkey, cents))),
+          r -> r.cents)""").as("arr"))
+      .withColumn("delta_arr", expr(
+        """transform(arr, (x, i) ->
+             IF(i = 0, CAST(0 AS BIGINT), x - element_at(arr, i)))"""))
+      .withColumn("cum_arr", expr(
+        """slice(aggregate(arr, array(CAST(0 AS BIGINT)),
+             (acc, x) -> concat(acc, array(element_at(acc, -1) + x))),
+           2, size(arr))"""))
+      .withColumn("sign_arr", expr(
+        """transform(delta_arr, x ->
+             CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END)"""))
+      .select(col("o_custkey"), size(col("arr")).as("n_orders"),
+        expr("array_join(transform(delta_arr, x -> CAST(x AS STRING)), ',')")
+          .as("delta"),
+        expr("array_join(transform(cum_arr, x -> CAST(x AS STRING)), ',')")
+          .as("cumsum"),
+        expr("""array_join(transform(
+            filter(sign_arr, (x, i) -> i = 0 OR x != element_at(sign_arr, i)),
+            x -> CAST(x AS STRING)), ',')""").as("trend"))
+      .orderBy(col("o_custkey"))
 
   /** Largest boundary ≤ x, as a CASE ladder in descending boundary order
     * (below the smallest boundary → the smallest boundary, ClickHouse

