@@ -606,16 +606,24 @@ object LlmVector {
   }
 
   /** Banded MinHash built from Spark primitives only — no MLlib model
-    * fit, no Vector conversion UDF: per-doc signature = 8 min-hashes
-    * (xxhash64 of salted tokens, min over the token set, computed as a
-    * map-side array expression), banded 4×2; docs sharing any band bucket
-    * become candidates (one self-join on the band key — the banded-LSH
-    * join, touching candidates only); candidates are then verified with
-    * EXACT token-set Jaccard (array_intersect) so the output has no
-    * false positives, only LSH recall loss (bounded by the ScalaTest
-    * recall gate, same as the MLlib path). Same 100 TB shape as
-    * dedup_minhash at a fraction of its constant factor — Bench shows
-    * the difference directly.
+    * fit, no Vector conversion UDF: per-doc signature = 8 min-hashes,
+    * banded 4×2; docs sharing any band bucket become candidates (one
+    * self-join on the band key — the banded-LSH join, touching
+    * candidates only); candidates are then verified with EXACT
+    * token-set Jaccard (array_intersect) so the output has no false
+    * positives, only LSH recall loss (bounded by the ScalaTest recall
+    * gate, same as the MLlib path).
+    *
+    * Two shuffle-economy choices that matter at corpus scale:
+    * (1) each token's string is xxhash64'd ONCE; the 8 signature
+    * functions re-hash the 8-byte base hash with a seed (8 long-input
+    * passes instead of 8 string-input passes — the string dominates);
+    * (2) the banded self-join carries ONLY (doc_id, band, bucket) —
+    * token sets re-attach to the deduped candidate PAIRS by doc_id, so
+    * the wide arrays cross the wire O(candidates) times, not
+    * O(bands × bucket-collisions). Same 100 TB shape as dedup_minhash
+    * at a fraction of its constant factor — Bench shows the difference
+    * directly.
     */
   private def dedupMinhashNative(s: SparkSession, dir: String): DataFrame = {
     val nHash = 8
@@ -624,26 +632,30 @@ object LlmVector {
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
         array_distinct(split(col("text"), " ")).as("tokset"))
-    val sig = docs.withColumn("sig", array(
-      (0 until nHash).map(i =>
-        array_min(transform(col("tokset"),
-          t => xxhash64(concat(t, lit(s"#$i")))))): _*))
-    val banded = sig.select(col("doc_id"), col("tokset"),
+    val sig = docs
+      .withColumn("base", transform(col("tokset"), t => xxhash64(t)))
+      .withColumn("sig", array(
+        (0 until nHash).map(i =>
+          array_min(transform(col("base"), h => xxhash64(h, lit(i))))): _*))
+    val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64(element_at(col("sig"), b * 2 + 1),
             element_at(col("sig"), b * 2 + 2)).as("bucket"))): _*))
         .as(Seq("pos", "bb")))
-      .select(col("doc_id"), col("tokset"),
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.as("a")
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.tokset").as("ts_a"), col("b.tokset").as("ts_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("tokset").as("ts_a")),
+        "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("tokset").as("ts_b")),
+        "id_b")
       .withColumn("n_inter", size(array_intersect(col("ts_a"), col("ts_b"))))
       .withColumn("jaccard", round(col("n_inter").cast("double")
         / (size(col("ts_a")) + size(col("ts_b")) - col("n_inter")), 6))
