@@ -636,4 +636,33 @@ class PlanShapeSpec extends GraftSpec {
     assert(stats.attributeStats.nonEmpty, "column-level stats missing")
     assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
   }
+
+  test("text_search_bm25: broadcast stats/df, top-10 without a global sort") {
+    val p = plan("text_search_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not be a global sort:\n" + p.take(500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "df/stats sides must broadcast, not shuffle the postings")
+  }
+
+  test("sim_rrf_fusion: fused candidate join is broadcast (top-50 sides)") {
+    val p = plan("sim_rrf_fusion")
+    // full_outer over two <=50-row rank lists: no SortMergeJoin over
+    // anything corpus-sized, and the final fusion pick is a top-k
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("dedup_minhash_native: banded join carries no token arrays") {
+    val df = SparkEntry.queries("dedup_minhash_native")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the band-bucket self-join must move only (doc_id, band, bucket);
+    // token sets re-attach afterwards by doc_id. The join node and the
+    // exchange/broadcast feeding it must not mention the tokset column.
+    val lines = p.linesIterator.toIndexedSeq
+    val joinIdx = lines.indexWhere(l => l.contains("Join") && l.contains("band#"))
+    assert(joinIdx >= 0, "band-bucket join not found:\n" + p.take(800))
+    val window = lines.slice(joinIdx, math.min(joinIdx + 12, lines.size))
+    assert(!window.exists(_.contains("tokset")),
+      "token arrays flow through the banded join:\n" + window.mkString("\n"))
+  }
 }
