@@ -653,6 +653,187 @@ object Aggregates {
       }: _*)
   }
 
+  /** ClickHouse `studentTTest` — the pooled-variance twin of agg_ttest's
+    * Welch variant (ClickHouse ships both; Student's form assumes equal
+    * variances and gives integer df = na+nb−2). Same exact-decimal
+    * moment accumulation, same one-pass conditional aggregation; only
+    * the closed form differs.
+    */
+  private def aggTtestStudent(s: SparkSession, dir: String): DataFrame = {
+    def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val v = col("value")
+    val isA = col("event_type") === "purchase"
+    val isB = col("event_type") === "view"
+    Tables.events(s, dir).filter(isA || isB)
+      .agg(
+        count(when(isA, 1)).cast("double").as("na"),
+        count(when(isB, 1)).cast("double").as("nb"),
+        m(when(isA, v)).as("sa"), m(when(isA, v * v)).as("qa"),
+        m(when(isB, v)).as("sb"), m(when(isB, v * v)).as("qb"))
+      .select({
+        val ma = col("sa") / col("na"); val mb = col("sb") / col("nb")
+        val ssa = col("qa") - col("sa") * col("sa") / col("na")
+        val ssb = col("qb") - col("sb") * col("sb") / col("nb")
+        val dfree = col("na") + col("nb") - 2
+        val t = (ma - mb) / sqrt(((ssa + ssb) / dfree) *
+          (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+        Seq(col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+          round(t, 6).as("t_stat"),
+          dfree.cast("long").as("df"))
+      }: _*)
+  }
+
+  /** ClickHouse `meanZTest(pop_var_x, pop_var_y, conf)(x, y)` — the
+    * known-variance member of the hypothesis-test family: when the
+    * population variances are given (here the A/B harness constants
+    * 1000/800), the statistic needs only the two conditional means, so
+    * the whole test is ONE pass of count + exact-decimal sum with no
+    * second-moment accumulation at all.
+    *
+    * Scale notes: single partial-aggregated scan, 1-row shuffle.
+    */
+  private def aggZtest(s: SparkSession, dir: String): DataFrame = {
+    def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val v = col("value")
+    val isA = col("event_type") === "purchase"
+    val isB = col("event_type") === "view"
+    val varA = lit(1000.0); val varB = lit(800.0)
+    Tables.events(s, dir).filter(isA || isB)
+      .agg(
+        count(when(isA, 1)).cast("double").as("na"),
+        count(when(isB, 1)).cast("double").as("nb"),
+        m(when(isA, v)).as("sa"), m(when(isB, v)).as("sb"))
+      .select({
+        val ma = col("sa") / col("na"); val mb = col("sb") / col("nb")
+        val z = (ma - mb) / sqrt(varA / col("na") + varB / col("nb"))
+        Seq(col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+          round(z, 6).as("z_stat"))
+      }: _*)
+  }
+
+  /** ClickHouse `GROUP BY ... WITH TOTALS`: the per-group rows PLUS one
+    * grand-total row in the same result (ClickHouse ships it in a
+    * separate totals block; relationally it is exactly a one-level
+    * ROLLUP). Spark's `rollup` computes both levels in ONE partial-agg
+    * pass — the totals row is a map-side re-aggregation, not a second
+    * scan (vs the naive UNION ALL of two GROUP BYs, which reads the
+    * table twice).
+    *
+    * Scale notes: rollup duplicates each partial row across its 2
+    * grouping sets BEFORE the shuffle, so the totals row costs one
+    * extra combiner cell per mapper, not a second 100 TB scan.
+    */
+  private def aggWithTotals(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("is_total"),
+        count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("rev"))
+      .select(col("is_total"),
+        coalesce(col("o_orderstatus"), lit("TOTALS")).as("status"),
+        col("n"), round(col("rev"), 2).as("revenue"))
+      .orderBy(col("is_total"), col("status"))
+
+  /** ClickHouse `-ForEach` combinator (`sumForEach`, `countForEach`):
+    * element-wise aggregation over array columns — the per-dimension
+    * reduction every embedding-stats job needs (dimension means for
+    * centering, per-dim counts for ragged inputs). Decomposed
+    * Spark-first: posexplode to (label, pos, x), ONE partial-agg
+    * shuffle on (label, pos) with exact-decimal sums, then the arrays
+    * are reassembled per label from the sorted struct list — the array
+    * never travels through the aggregation, only scalars do.
+    *
+    * Scale notes: the (label, pos) key fans a d-dim vector into d
+    * scalar cells that partial-aggregate map-side, so shuffle volume is
+    * O(labels × dims), independent of row count; reassembly is
+    * O(labels) rows.
+    */
+  private def aggForeach(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(slice(transform(col("embedding"), x => x.cast("double")),
+          1, 8)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(Det.dsum(col("x")).as("sv"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, sv))), " +
+          "p -> round(p.sv, 6))").as("sum_foreach"),
+        expr("transform(array_sort(collect_list(struct(pos, cnt))), " +
+          "p -> p.cnt)").as("count_foreach"))
+      .orderBy(col("label"))
+
+  /** ClickHouse `-Resample` combinator (`countResample(0,1000,100)` /
+    * `sumResample`): the aggregate split into fixed key-range buckets,
+    * returned as one array per group with EVERY bucket present (zeros
+    * filled) — the histogram-of-aggregates shape. The bucket id is a
+    * plain derived grouping column, so the whole thing is one
+    * partial-agg shuffle on (group, bucket); the dense array is rebuilt
+    * from a map so missing buckets can't silently shift positions on a
+    * skewed data drop.
+    *
+    * Scale notes: shuffle keyed on (status, bucket) — cardinality
+    * groups × 10 regardless of row count; zero-fill happens on the
+    * O(groups) result, never over the fact table.
+    */
+  private def aggResample(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("b",
+        floor(pmod(col("o_custkey"), lit(1000)) / 100).cast("int"))
+      .groupBy(col("o_orderstatus"), col("b"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("o_totalprice")).as("sv"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        map_from_arrays(collect_list(col("b")), collect_list(col("cnt")))
+          .as("cm"),
+        map_from_arrays(collect_list(col("b")), collect_list(col("sv")))
+          .as("sm"))
+      .select(col("o_orderstatus"),
+        expr("transform(sequence(0, 9), i -> coalesce(cm[i], 0L))")
+          .as("count_resample"),
+        expr("transform(sequence(0, 9), i -> round(coalesce(sm[i], 0d), 2))")
+          .as("sum_resample"))
+      .orderBy(col("o_orderstatus"))
+
+  /** ClickHouse `minSampleSizeConversion` / `minSampleSizeContinuous`:
+    * the A/B power-analysis planners. Baseline conversion (purchase
+    * rate) and metric variance come from ONE exact-decimal pass over
+    * events; the z-quantiles for α=0.05 two-sided and power=0.80 are
+    * the published constants (1.9599639845400545, 0.8416212335729143 —
+    * closed-form, no Φ⁻¹ needed at fixed levels). n per group:
+    * conversion form (zα+zβ)²·(p₁q₁+p₂q₂)/mde², continuous form
+    * (zα+zβ)²·2σ²/mde², both ceil'd to whole subjects.
+    *
+    * Scale notes: one partial-aggregated scan → 1 row; the planner
+    * arithmetic is driver-scale.
+    */
+  private def aggMinSampleSize(s: SparkSession, dir: String): DataFrame = {
+    def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val za = lit(1.9599639845400545); val zb = lit(0.8416212335729143)
+    val mdeP = lit(0.02); val mdeC = lit(2.0)
+    Tables.events(s, dir)
+      .agg(count(lit(1)).cast("double").as("n"),
+        count(when(col("event_type") === "purchase", 1)).cast("double")
+          .as("np"),
+        m(col("value")).as("sv"), m(col("value") * col("value")).as("qv"))
+      .select({
+        val p1 = col("np") / col("n"); val p2 = p1 + mdeP
+        val zz = (za + zb) * (za + zb)
+        val nConv = ceil(zz * (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+          / (mdeP * mdeP))
+        val varV = (col("qv") - col("sv") * col("sv") / col("n")) /
+          (col("n") - 1)
+        val nCont = ceil(zz * lit(2.0) * varV / (mdeC * mdeC))
+        Seq(round(p1, 6).as("p_baseline"),
+          nConv.cast("long").as("n_conversion"),
+          round(varV, 6).as("sigma2"),
+          nCont.cast("long").as("n_continuous"))
+      }: _*)
+  }
+
   /** ClickHouse `mannWhitneyUTest` — the rank-based non-parametric
     * member of the hypothesis-test family (with agg_ttest's Welch t,
     * agg_anova, agg_cramers_v): purchase vs view values compared by
@@ -1198,6 +1379,105 @@ object Aggregates {
                 round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
                 round((sea + seb) * (sea + seb)
                   / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
+              FROM f""")),
+    QueryDef("agg_ttest_student", aggTtestStudent,
+      Some("""WITH m AS (SELECT
+                CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS DOUBLE) AS na,
+                CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS DOUBLE) AS nb,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS sa,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value * value AS DECIMAL(30,6)) END) AS DOUBLE) AS qa,
+                CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS sb,
+                CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value * value AS DECIMAL(30,6)) END) AS DOUBLE) AS qb
+                FROM events WHERE event_type IN ('purchase', 'view')),
+              f AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                (qa - sa * sa / na) AS ssa, (qb - sb * sb / nb) AS ssb
+                FROM m)
+              SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                round((ma - mb) / sqrt(((ssa + ssb) / (na + nb - 2))
+                  * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6)
+                  AS t_stat,
+                CAST(na + nb - 2 AS BIGINT) AS df
+              FROM f""")),
+    QueryDef("agg_ztest", aggZtest,
+      Some("""WITH m AS (SELECT
+                CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS DOUBLE) AS na,
+                CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS DOUBLE) AS nb,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS sa,
+                CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS sb
+                FROM events WHERE event_type IN ('purchase', 'view'))
+              SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+                round((sa / na - sb / nb)
+                  / sqrt(1000.0 / na + 800.0 / nb), 6) AS z_stat
+              FROM m""")),
+    QueryDef("agg_with_totals", aggWithTotals,
+      Some(s"""SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS is_total,
+                COALESCE(o_orderstatus, 'TOTALS') AS status,
+                COUNT(*) AS n,
+                round(${Det.oSum("o_totalprice")}, 2) AS revenue
+              FROM orders GROUP BY ROLLUP(o_orderstatus)
+              ORDER BY is_total, status""")),
+    QueryDef("agg_foreach", aggForeach,
+      Some(s"""WITH e AS (SELECT label,
+                 unnest(CAST(embedding[1:8] AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding[1:8], 1) AS pos
+                FROM embeddings),
+              g AS (SELECT label, pos, ${Det.oSum("x")} AS sv,
+                 COUNT(*) AS cnt
+                FROM e GROUP BY label, pos)
+              SELECT label,
+                list(round(sv, 6) ORDER BY pos) AS sum_foreach,
+                list(cnt ORDER BY pos) AS count_foreach
+              FROM g GROUP BY label ORDER BY label""")),
+    QueryDef("agg_resample", aggResample,
+      Some(s"""WITH buckets AS (
+                SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS b),
+              st AS (SELECT DISTINCT o_orderstatus FROM orders),
+              g AS (SELECT o_orderstatus,
+                 CAST(floor((o_custkey % 1000) / 100) AS INTEGER) AS b,
+                 COUNT(*) AS cnt, ${Det.oSum("o_totalprice")} AS sv
+                FROM orders GROUP BY 1, 2),
+              f AS (SELECT st.o_orderstatus, buckets.b,
+                 COALESCE(g.cnt, 0) AS cnt,
+                 COALESCE(g.sv, CAST(0 AS DOUBLE)) AS sv
+                FROM st CROSS JOIN buckets
+                LEFT JOIN g ON g.o_orderstatus = st.o_orderstatus
+                  AND g.b = buckets.b)
+              SELECT o_orderstatus,
+                list(cnt ORDER BY b) AS count_resample,
+                list(round(sv, 2) ORDER BY b) AS sum_resample
+              FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+    QueryDef("agg_min_sample_size", aggMinSampleSize,
+      Some("""WITH m AS (SELECT
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS DOUBLE) AS np,
+                CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+                CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+                  AS qv
+                FROM events),
+              f AS (SELECT np / n AS p1, np / n + 0.02 AS p2,
+                (qv - sv * sv / n) / (n - 1) AS varv,
+                (1.9599639845400545 + 0.8416212335729143)
+                  * (1.9599639845400545 + 0.8416212335729143) AS zz
+                FROM m)
+              SELECT round(p1, 6) AS p_baseline,
+                CAST(ceil(zz * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                  / (0.02 * 0.02)) AS BIGINT) AS n_conversion,
+                round(varv, 6) AS sigma2,
+                CAST(ceil(zz * 2.0 * varv / (2.0 * 2.0)) AS BIGINT)
+                  AS n_continuous
               FROM f""")),
     QueryDef("agg_gini", aggGini,
       Some(s"""WITH spend AS (SELECT c_nationkey, c_custkey,

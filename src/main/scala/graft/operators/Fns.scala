@@ -1243,6 +1243,9 @@ object Fns {
               GROUP BY tier, seg_or_other, anon
               ORDER BY tier, seg_or_other, anon""")),
     QueryDef("fn_round_special", fnRoundSpecial, Some(fnRoundSpecialOracle)),
+    QueryDef("fn_format_timedelta", fnFormatTimedelta,
+      Some(fnFormatTimedeltaOracle)),
+    QueryDef("fn_transform", fnTransform, Some(fnTransformOracle)),
     QueryDef("fn_array_delta", fnArrayDelta,
       Some("""WITH o AS (SELECT o_custkey, o_orderkey,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -1360,6 +1363,78 @@ object Fns {
         expr(ageSql).as("age_bracket"),
         expr(durSql).as("duration_bracket"))
       .orderBy(col("o_orderkey"))
+
+  /** ClickHouse `formatReadableTimeDelta`: seconds → "2 days, 3 hours,
+    * 25 minutes, 1 second" with unit pluralization and zero-unit
+    * elision. ONE shared SQL expression (floor-division decomposition +
+    * concat_ws, which skips NULL parts on both engines) — the
+    * fn_geohash discipline, so the string can't diverge.
+    *
+    * Scale notes: pure codegen'd projection, no shuffle beyond the
+    * presentation sort.
+    */
+  private val timedeltaSql: String = {
+    def fd(x: String, q: Long) = s"CAST(floor(($x) / $q.0) AS BIGINT)"
+    val d = fd("sec", 86400)
+    val h = fd("sec % 86400", 3600)
+    val m = fd("sec % 3600", 60)
+    val sU = "sec % 60"
+    def part(e: String, unit: String) =
+      s"CASE WHEN $e = 0 THEN NULL WHEN $e = 1 THEN '1 $unit' " +
+        s"ELSE CAST($e AS STRING) || ' ${unit}s' END"
+    s"CASE WHEN sec = 0 THEN '0 seconds' ELSE concat_ws(', ', " +
+      s"${part(d, "day")}, ${part(h, "hour")}, ${part(m, "minute")}, " +
+      s"${part(sU, "second")}) END"
+  }
+
+  private def fnFormatTimedelta(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("sec", col("o_orderkey") % 500000)
+      .select(col("o_orderkey"), col("sec"),
+        expr(timedeltaSql).as("human"))
+      .orderBy(col("o_orderkey"))
+
+  private val fnFormatTimedeltaOracle: String =
+    s"""WITH t AS (SELECT o_orderkey, o_orderkey % 500000 AS sec
+          FROM orders)
+        SELECT o_orderkey, sec, $timedeltaSql AS human
+        FROM t ORDER BY o_orderkey"""
+
+  /** ClickHouse `transform(x, from, to, default)` — the dictionary-array
+    * recode that shows up in every ClickHouse ETL script. Spark-first
+    * this is a MAP LITERAL lookup (`element_at` on a foldable
+    * `map(...)`), not a when-chain: Catalyst constant-folds the map
+    * once and the probe is a codegen'd hash lookup, O(1) per row
+    * however many mapping pairs there are (a when-chain is O(pairs)
+    * branches per row).
+    *
+    * Scale notes: pure narrow projection; the map literal ships in the
+    * plan, nothing is broadcast or shuffled.
+    */
+  private def fnTransform(s: SparkSession, dir: String): DataFrame = {
+    val prio = map(
+      lit("1-URGENT"), lit("urgent"), lit("2-HIGH"), lit("high"),
+      lit("3-MEDIUM"), lit("medium"))
+    val status = map(lit("O"), lit(1), lit("F"), lit(2))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderstatus"),
+        coalesce(element_at(prio, col("o_orderpriority")), lit("other"))
+          .as("prio_class"),
+        coalesce(element_at(status, col("o_orderstatus")), lit(0))
+          .as("status_code"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val fnTransformOracle: String =
+    """SELECT o_orderkey, o_orderpriority, o_orderstatus,
+         CASE o_orderpriority
+           WHEN '1-URGENT' THEN 'urgent' WHEN '2-HIGH' THEN 'high'
+           WHEN '3-MEDIUM' THEN 'medium' ELSE 'other' END AS prio_class,
+         CAST(CASE o_orderstatus
+           WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 0 END AS INTEGER)
+           AS status_code
+       FROM orders ORDER BY o_orderkey"""
 
   private val fnRoundSpecialOracle: String =
     s"""WITH t AS (SELECT o_orderkey, o_totalprice,

@@ -561,6 +561,55 @@ object Scans {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Shuffle-free re-sharding: double a hash-bucketed layout 4 → 8
+    * buckets. Because residues refine (k mod 8 determines k mod 4),
+    * every row of old bucket b lands in new bucket b or b+4 — each old
+    * bucket splits LOCALLY into exactly two outputs, no cross-bucket
+    * row movement, no global shuffle. This is the power-of-two
+    * resharding trick every consistent-hash store uses: at 100 TB,
+    * re-bucketing by an arbitrary new count is a full-table shuffle,
+    * while doubling is an embarrassingly parallel per-bucket file
+    * rewrite (and halving is a pure metadata merge).
+    *
+    * The split-locality claim is MEASURED, not assumed: each stage's
+    * output partition dirs are checked to be ⊆ {b, b+4}; final
+    * assembly is O(buckets) directory moves.
+    */
+  private def sinkBucketSplit(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("bucketsplit")
+    val oldRoot = s"$base/b4"; val newRoot = s"$base/b8"
+    Tables.orders(s, dir)
+      .withColumn("bucket", (col("o_orderkey") % 4).cast("int"))
+      .write.partitionBy("bucket").parquet(oldRoot)
+    new java.io.File(newRoot).mkdirs()
+    var localOk = true
+    (0 until 4).foreach { b =>
+      val stage = s"$base/stage_$b"
+      s.read.parquet(s"$oldRoot/bucket=$b")
+        .withColumn("bucket", (col("o_orderkey") % 8).cast("int"))
+        .write.partitionBy("bucket").parquet(stage)
+      val outs = new java.io.File(stage).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(_.getName.drop(7).toInt).toSet
+      localOk &&= outs.subsetOf(Set(b, b + 4))
+      outs.foreach { k =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$stage/bucket=$k"),
+          java.nio.file.Paths.get(s"$newRoot/bucket=$k"))
+      }
+    }
+    val resharded = s.read.parquet(newRoot)
+    resharded
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        count(when(col("o_orderkey") % 8 =!= col("bucket"), 1))
+          .as("misplaced"))
+      .withColumn("local_split", lit(if (localOk) 1 else 0))
+      .orderBy(col("bucket"))
+  }
+
   /** ClickHouse `ALTER TABLE ... DROP COLUMN`: the drop is INSTANT
     * metadata (a manifest entry; readers project the column away), and
     * the bytes are reclaimed LAZILY — here one partition is rewritten
@@ -1341,6 +1390,12 @@ object Scans {
                 1 AS files_unchanged
               FROM orders GROUP BY o_orderstatus
               ORDER BY o_orderstatus""")),
+    QueryDef("sink_bucket_split", sinkBucketSplit,
+      Some("""SELECT CAST(o_orderkey % 8 AS INTEGER) AS bucket,
+                COUNT(*) AS n,
+                MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+                CAST(0 AS BIGINT) AS misplaced, 1 AS local_split
+              FROM orders GROUP BY 1 ORDER BY 1""")),
     QueryDef("mutation_drop_column", mutationDropColumn,
       Some("""SELECT o_orderstatus, COUNT(*) AS n,
                 MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
