@@ -349,6 +349,14 @@ object GraftFunctions {
       "jaro_winkler_native", args => JaroSim(args(0), args(1), winkler = true),
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "base58_encode_native", args => Base58Encode(args(0)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "base58_decode_native", args => Base58Decode(args(0)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_native", args => UnicodeNorm(args(0), nfc = true), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfd_native", args => UnicodeNorm(args(0), nfc = false), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ipv4_to_long", args => Ipv4ToLong(args(0)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_to_ipv4", args => LongToIpv4(args(0)), "built-in")

@@ -1246,6 +1246,9 @@ object Fns {
     QueryDef("fn_format_timedelta", fnFormatTimedelta,
       Some(fnFormatTimedeltaOracle)),
     QueryDef("fn_transform", fnTransform, Some(fnTransformOracle)),
+    QueryDef("fn_base58", fnBase58, Some(fnBase58Oracle)),
+    QueryDef("fn_unicode_normalize", fnUnicodeNormalize,
+      Some(fnUnicodeNormalizeOracle)),
     QueryDef("fn_array_delta", fnArrayDelta,
       Some("""WITH o AS (SELECT o_custkey, o_orderkey,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -1425,6 +1428,62 @@ object Fns {
           .as("status_code"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** ClickHouse `base58Encode`/`base58Decode` via the native codegen
+    * [[graft.functions.Base58Encode]]/[[graft.functions.Base58Decode]]
+    * pair. The oracle checks the ROUNDTRIP identity (decode∘encode =
+    * id) — DuckDB has no base58, so the encoding itself is pinned by
+    * CodecSpec's published test vectors ("Hello World!" →
+    * "2NEpo7TZRRrLZSi2U", leading zero bytes → leading '1's).
+    *
+    * Scale notes: two narrow codegen'd projections, no shuffle beyond
+    * the presentation sort.
+    */
+  private def fnBase58(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.customer(s, dir)
+      .withColumn("b58",
+        expr("base58_encode_native(cast(c_name as binary))"))
+      .select(col("c_custkey"),
+        expr("cast(base58_decode_native(b58) as string)").as("decoded"),
+        (length(col("b58")) >= length(col("c_name"))).cast("int")
+          .as("expands"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val fnBase58Oracle: String =
+    """SELECT c_custkey, c_name AS decoded, 1 AS expands
+       FROM customer ORDER BY c_custkey"""
+
+  /** ClickHouse `normalizeUTF8NFC`/`normalizeUTF8NFD` via the native
+    * [[graft.functions.UnicodeNorm]] expression (JDK Normalizer tables).
+    * The probe string appends a DECOMPOSED "café" (e + U+0301) to each
+    * ASCII customer name: NFC fuses it to one codepoint (len drops by
+    * 1), NFD of the NFC form restores the decomposed length — both
+    * engines count codepoints, and DuckDB's `nfc_normalize` is the
+    * oracle twin for the NFC arm (len_nfd relies on the names being
+    * ASCII, which TPC-H c_name is by construction).
+    */
+  private def fnUnicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.customer(s, dir)
+      .withColumn("raw", concat(col("c_name"), lit(" cafe\u0301")))
+      .select(col("c_custkey"),
+        expr("nfc_native(raw)").as("nfc"),
+        length(col("raw")).as("len_raw"),
+        length(expr("nfc_native(raw)")).as("len_nfc"),
+        length(expr("nfd_native(nfc_native(raw))")).as("len_nfd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val fnUnicodeNormalizeOracle: String =
+    """WITH t AS (SELECT c_custkey,
+         c_name || ' cafe' || chr(769) AS raw FROM customer)
+       SELECT c_custkey, nfc_normalize(raw) AS nfc,
+         length(raw) AS len_raw,
+         length(nfc_normalize(raw)) AS len_nfc,
+         length(raw) AS len_nfd
+       FROM t ORDER BY c_custkey"""
 
   private val fnTransformOracle: String =
     """SELECT o_orderkey, o_orderpriority, o_orderstatus,

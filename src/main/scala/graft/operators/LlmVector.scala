@@ -1143,7 +1143,125 @@ object LlmVector {
       .orderBy(col("pos"))
   }
 
+  /** ANN quality evaluation — recall@10 of the IVF-routed search
+    * (sim_ivf_knn's one-step label codebook, nprobe = 2) against the
+    * exact brute-force top-10, per probe. This is the eval harness every
+    * ANN deployment runs before trusting an index: route, retrieve,
+    * intersect with ground truth RELATIONALLY (a join on
+    * (probe_id, cand_id) — no list materialization), count hits.
+    * Fully deterministic (exact-decimal centroids, 6dp rounding before
+    * ranking, id tie-breaks), so unlike the trained/seeded ANN variants
+    * it carries a complete DuckDB oracle.
+    *
+    * Scale notes: ground truth is the expensive arm (brute force), but
+    * the probe set is bounded and broadcast, so the corpus is scanned
+    * once per arm and never shuffled; the intersection joins two
+    * O(probes × k) sets. At 100 TB one evaluates on a sampled probe set
+    * exactly like this — recall estimation never needs all-pairs.
+    */
+  private def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("label"),
+      col("v").as("cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    val exact = cands.crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("cand_id"))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.Det.davg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cvec"))
+    val wSel = Window.partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc, col("label"))
+    val selected = probes.crossJoin(broadcast(cents))
+      .withColumn("csim", round(expr("cosine_sim_native(pv, cvec)"), 6))
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= 2)
+      .select(col("probe_id"), col("pv"), col("label"))
+    val approx = selected.join(cands, "label")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = exact.join(approx, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(approx.groupBy(col("probe_id")).agg(count(lit(1)).as("n_approx")),
+        "probe_id")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"), col("n_approx"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)) / 10.0, 6).as("recall_at_10"))
+      .orderBy(col("probe_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_ann_recall", simAnnRecall,
+      Some(s"""WITH e AS (SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+                 WHERE vec_id % 100 = 0),
+              pair AS (SELECT p.probe_id, e.vec_id AS cand_id,
+                 round(list_dot_product(p.pv, e.v)
+                   / (sqrt(list_dot_product(p.pv, p.pv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+                 FROM p CROSS JOIN e WHERE e.vec_id <> p.probe_id),
+              exact AS (SELECT probe_id, cand_id FROM (
+                 SELECT probe_id, cand_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY cos_sim DESC, cand_id) AS rnk
+                 FROM pair) t WHERE rnk <= 10),
+              ex AS (SELECT label, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS pos FROM e),
+              cm AS (SELECT label, pos, ${Det.oAvg("x")} AS m
+                 FROM ex GROUP BY label, pos),
+              c AS (SELECT label, list(m ORDER BY pos) AS cv
+                 FROM cm GROUP BY label),
+              pc AS (SELECT probe_id, pv, label,
+                 round(list_dot_product(pv, cv)
+                   / (sqrt(list_dot_product(pv, pv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS csim
+                 FROM p CROSS JOIN c),
+              sel AS (SELECT probe_id, pv, label FROM (
+                 SELECT probe_id, pv, label,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY csim DESC, label) AS rn
+                 FROM pc) t WHERE rn <= 2),
+              routed AS (SELECT sel.probe_id, e.vec_id AS cand_id,
+                 round(list_dot_product(sel.pv, e.v)
+                   / (sqrt(list_dot_product(sel.pv, sel.pv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+                 FROM sel JOIN e USING (label)
+                 WHERE e.vec_id <> sel.probe_id),
+              approx AS (SELECT probe_id, cand_id FROM (
+                 SELECT probe_id, cand_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY cos_sim DESC, cand_id) AS rnk
+                 FROM routed) t WHERE rnk <= 10),
+              h AS (SELECT exact.probe_id, COUNT(*) AS h
+                 FROM exact JOIN approx USING (probe_id, cand_id)
+                 GROUP BY exact.probe_id),
+              ne AS (SELECT probe_id, COUNT(*) AS n_exact FROM exact
+                 GROUP BY probe_id),
+              na AS (SELECT probe_id, COUNT(*) AS n_approx FROM approx
+                 GROUP BY probe_id)
+              SELECT ne.probe_id, ne.n_exact, na.n_approx,
+                COALESCE(h.h, 0) AS hits,
+                round(COALESCE(h.h, 0) / 10.0, 6) AS recall_at_10
+              FROM ne JOIN na USING (probe_id)
+              LEFT JOIN h USING (probe_id)
+              ORDER BY ne.probe_id""")),
     QueryDef("vec_binary_quantize", vecBinaryQuantize,
       Some("""WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) - 1 AS i

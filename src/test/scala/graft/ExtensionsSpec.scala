@@ -167,6 +167,61 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
     assert(plan.contains("*(1) Project [dameraulev"), plan.take(300))
   }
 
+  test("base58_encode/decode_native: published vectors + codegen") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // Bitcoin-alphabet vectors from the draft-msporny-base58 test suite
+    val cases = Seq(
+      ("Hello World!", "2NEpo7TZRRrLZSi2U"),
+      ("The quick brown fox jumps over the lazy dog.",
+        "USm3fpXnKG5EUBx2ndxBDMPVciP5hGey2Jh4NDv6gmeo1LkMeiKrLJUUBk6Z"),
+      ("", ""))
+    val rows = cases.toDF("raw", "want")
+      .select(expr("base58_encode_native(cast(raw as binary))").as("got"),
+        expr("cast(base58_decode_native(want) as string)").as("back"),
+        col("raw"), col("want"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(3),
+        s"encode: got ${r.getString(0)} want ${r.getString(3)}")
+      assert(r.getString(1) == r.getString(2),
+        s"decode: got ${r.getString(1)} want ${r.getString(2)}")
+    }
+    // leading zero bytes ↔ leading '1's (0x00 0x00 0x28 0x7f b5 8f = "11233QC4")
+    val z = spark.sql(
+      """SELECT base58_encode_native(
+           unhex('0000287fb4cd')) AS e,
+         hex(base58_decode_native('11233QC4')) AS d""").collect()(0)
+    assert(z.getString(0) == "11233QC4", z.getString(0))
+    assert(z.getString(1) == "0000287FB4CD", z.getString(1))
+    val mat = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_name")).localCheckpoint()
+    val plan = mat
+      .select(expr("base58_encode_native(cast(c_name as binary))"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [base58encode"), plan.take(300))
+  }
+
+  test("nfc/nfd_native: canonical (de)composition + codegen") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT length(nfc_native(cafe)) AS ln_c,
+                length(nfd_native(nfc_native(cafe))) AS ln_d,
+                nfc_native(cafe) = nfc_native(precomp) AS eq
+         FROM (SELECT 'café' AS cafe, 'café' AS precomp)""")
+      .collect()(0)
+    assert(r.getInt(0) == 4, s"NFC length ${r.getInt(0)}")
+    assert(r.getInt(1) == 5, s"NFD length ${r.getInt(1)}")
+    assert(r.getBoolean(2), "NFC must unify composed and decomposed forms")
+    val mat = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_name")).localCheckpoint()
+    val plan = mat.select(expr("nfc_native(c_name)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [unicodenorm"), plan.take(300))
+  }
+
   // literals constant-fold before the optimizer rule is observable, so
   // exercise the rule over a real (non-foldable) parquet column
   private def rounds(sql: String): Int = {
