@@ -665,4 +665,55 @@ class PlanShapeSpec extends GraftSpec {
     assert(!window.exists(_.contains("tokset")),
       "token arrays flow through the banded join:\n" + window.mkString("\n"))
   }
+
+  test("sim_ann_recall: both arms broadcast the probe set; corpus " +
+      "scans, never shuffles") {
+    val p = plan("sim_ann_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "probe/centroid sides must broadcast:\n" + p.take(600))
+    // the corpus (embedding column) must not appear in any shuffle
+    // exchange input — only derived scalars move through exchanges
+    val lines = p.linesIterator.toIndexedSeq
+    val exIdx = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning")).map(_._2)
+    exIdx.foreach { i =>
+      assert(!lines(i).contains("embedding#") && !lines(i).contains("cv#"),
+        "corpus vectors flow through a shuffle:\n" + lines(i))
+    }
+  }
+
+  test("agg_foreach: per-dim cells partial-aggregate before the shuffle") {
+    val p = plan("agg_foreach")
+    // partial HashAggregate on (label, pos) must precede the exchange —
+    // shuffle volume is O(labels × dims), not O(rows × dims)
+    val lines = p.linesIterator.toIndexedSeq
+    val ex = lines.indexWhere(_.contains("Exchange hashpartitioning(label"))
+    assert(ex >= 0, "no (label,pos) exchange found:\n" + p.take(800))
+    val below = lines.drop(ex)
+    assert(below.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_sum")),
+      "no map-side partial aggregation under the exchange:\n" +
+        below.take(8).mkString("\n"))
+  }
+
+  test("agg_with_totals: one Expand pass computes both grouping levels") {
+    val p = plan("agg_with_totals")
+    assert(p.contains("Expand"), "rollup must plan an Expand:\n" + p.take(600))
+    // exactly one scan of orders — the totals row must not re-read
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders")) == 1,
+      "totals row re-scans the table:\n" + p.take(800))
+  }
+
+  test("fn_transform: map-literal recode stays one codegen'd projection") {
+    val p = plan("fn_transform")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "recode must not shuffle:\n" + p.take(600))
+    // the map literals fold into the Project; the scan reads only the
+    // three referenced columns
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint," +
+      "o_orderstatus:string,o_orderpriority:string>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
 }
