@@ -370,7 +370,11 @@ object Aggregates {
     * row/col margins broadcast back onto the cells. The fact table is
     * scanned once.
     */
-  private def aggCramersV(s: SparkSession, dir: String): DataFrame = {
+  /** χ² over the (returnflag, linestatus) contingency table with the
+    * marginal totals — the shared core of agg_cramers_v and the
+    * bias-corrected variant. Returns one row (n, r, c, chi2).
+    */
+  private def chiSquared(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
       .agg(count(lit(1)).as("o"))
@@ -380,7 +384,7 @@ object Aggregates {
       countDistinct(col("rf")).as("r"), countDistinct(col("ls")).as("c"))
     val e = col("rt").cast("double") * col("ct").cast("double") /
       col("n").cast("double")
-    val chi = cells
+    cells
       .join(broadcast(rowTot), "rf").join(broadcast(colTot), "ls")
       .crossJoin(broadcast(tot))
       .select(col("n"), col("r"), col("c"),
@@ -388,12 +392,37 @@ object Aggregates {
           .as("term"))
       .groupBy(col("n"), col("r"), col("c"))
       .agg(Det.dsum(col("term")).as("chi2"))
+  }
+
+  private def aggCramersV(s: SparkSession, dir: String): DataFrame = {
+    val chi = chiSquared(s, dir)
     chi.select(col("n"), round(col("chi2"), 6).as("chi2"),
       round(sqrt(col("chi2") / (col("n").cast("double")
         * least(col("r") - 1, col("c") - 1).cast("double"))), 6)
         .as("cramers_v"),
       round(sqrt(col("chi2") / (col("chi2") + col("n").cast("double"))), 6)
         .as("contingency_c"))
+  }
+
+  /** ClickHouse `cramersVBiasCorrected` — the Bergsma (2013) correction
+    * that keeps V honest on small / sparse tables: φ²⁺ = max(0, χ²/n −
+    * (r−1)(c−1)/(n−1)), with the row/col counts shrunk the same way
+    * (r̃ = r − (r−1)²/(n−1)). Same single-scan χ² core as agg_cramers_v
+    * ([[chiSquared]]); only the closed form differs.
+    */
+  private def aggCramersVCorrected(s: SparkSession, dir: String): DataFrame = {
+    chiSquared(s, dir).select({
+      val n = col("n").cast("double")
+      val r = col("r").cast("double"); val c = col("c").cast("double")
+      val phi2 = col("chi2") / n
+      val phi2c = greatest(lit(0.0),
+        phi2 - (r - 1) * (c - 1) / (n - 1))
+      val rc = r - (r - 1) * (r - 1) / (n - 1)
+      val cc = c - (c - 1) * (c - 1) / (n - 1)
+      Seq(col("n"), round(col("chi2"), 6).as("chi2"),
+        round(sqrt(phi2c / least(rc - 1, cc - 1)), 6)
+          .as("cramers_v_corrected"))
+    }: _*)
   }
 
   /** ClickHouse `quantileExactLow` / `quantileExactHigh` — the exact
@@ -1626,6 +1655,42 @@ object Aggregates {
                 round(sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))), 6)
                   AS contingency_c
               FROM chi""")),
+    QueryDef("agg_cramers_v_corrected", aggCramersVCorrected,
+      Some(s"""WITH cells AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                 COUNT(*) AS o FROM lineitem GROUP BY rf, ls),
+               rtot AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS rt
+                 FROM cells GROUP BY rf),
+               ctot AS (SELECT ls, CAST(SUM(o) AS BIGINT) AS ct
+                 FROM cells GROUP BY ls),
+               tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 COUNT(DISTINCT rf) AS r, COUNT(DISTINCT ls) AS c
+                 FROM cells),
+               terms AS (SELECT n, r, c,
+                 (CAST(o AS DOUBLE)
+                   - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                 * (CAST(o AS DOUBLE)
+                   - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(n AS DOUBLE)) AS term
+                 FROM cells JOIN rtot USING (rf) JOIN ctot USING (ls)
+                 CROSS JOIN tot),
+               chi AS (SELECT n, r, c, ${Det.oSum("term")} AS chi2
+                 FROM terms GROUP BY n, r, c),
+               f AS (SELECT n, chi2,
+                 GREATEST(0.0, chi2 / CAST(n AS DOUBLE)
+                   - CAST(r - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE)
+                     / CAST(n - 1 AS DOUBLE)) AS phi2c,
+                 CAST(r AS DOUBLE) - CAST(r - 1 AS DOUBLE)
+                   * CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS rc,
+                 CAST(c AS DOUBLE) - CAST(c - 1 AS DOUBLE)
+                   * CAST(c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS cc
+                 FROM chi)
+              SELECT n, round(chi2, 6) AS chi2,
+                round(sqrt(phi2c / LEAST(rc - 1, cc - 1)), 6)
+                  AS cramers_v_corrected
+              FROM f""")),
     QueryDef("agg_histogram_eq", aggHistogramEq,
       Some("""WITH d AS (SELECT o_totalprice AS v, COUNT(*) AS cnt
                  FROM orders GROUP BY v),

@@ -288,7 +288,34 @@ object DedupGraph {
       .limit(50)
   }
 
+  /** Degree distribution of the affinity graph — the first diagnostic
+    * any graph job runs, because the tail decides the physical plan:
+    * a power-law hub means the neighbor join needs the high/low-degree
+    * orientation graph_triangle_count already applies (and, at 100 TB,
+    * hub salting). Histogram is two tiny aggregations over the bounded
+    * edge list; the fact table is scanned once to build the edges.
+    */
+  private def graphDegreeHist(s: SparkSession, dir: String): DataFrame =
+    affinityEdges(s, dir)
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_degree_hist", graphDegreeHist,
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+              e0 AS (SELECT u, v FROM (
+                SELECT a.pk AS u, b.pk AS v, COUNT(DISTINCT a.ok) AS sup
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2) sup_f WHERE sup >= 2),
+              deg AS (SELECT n, COUNT(*) AS d FROM (
+                SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) x
+                GROUP BY n)
+              SELECT d AS degree, COUNT(*) AS n_nodes
+              FROM deg GROUP BY d ORDER BY degree""")),
     QueryDef("graph_common_neighbors", graphCommonNeighbors,
       Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
                 FROM lineitem),

@@ -460,6 +460,113 @@ object Multimodal {
       .orderBy(col("vec_id"))
   }
 
+  /** Iterative radix-2 Cooley-Tukey FFT, in place over (re, im) —
+    * the textbook bit-reversal + butterfly formulation (public
+    * knowledge; see Cormen et al. ch. 30). Used by mm_spectrogram and
+    * property-tested against the O(n²) direct DFT in PipelineOpsSpec.
+    */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, s"fft size must be a power of two: $n")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = blk + k; val b = blk + k + len / 2
+          val xr = re(b) * cr - im(b) * ci
+          val xi = re(b) * ci + im(b) * cr
+          re(b) = re(a) - xr; im(b) = im(a) - xi
+          re(a) += xr; im(a) += xi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  private val specSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("dom_bin", IntegerType),
+    StructField("mag2_dom", DoubleType),
+    StructField("e_low", DoubleType),
+    StructField("e_mid", DoubleType),
+    StructField("e_high", DoubleType)))
+
+  /** Spectrogram features off the decoded WAV: encode → chunk-walk
+    * decode → normalize PCM to [-1, 1) → 64-point FFT → per-bin power,
+    * reduced to the dominant non-DC bin and three band energies. The
+    * DuckDB oracle recomputes the SPECTRUM as a direct O(n²) DFT in
+    * SQL (cos/sin cross join over n × k) — FFT vs direct DFT agree to
+    * ~1e-13 on unit-normalized input, so the 6dp rounding (the fn_geo
+    * trig discipline) hashes identically; the dominant bin is argmax
+    * over the ROUNDED powers with an index tie-break on both engines.
+    *
+    * Scale notes: the FFT runs where the blob lives (mapPartitions,
+    * O(n log n) per row); only O(1) features enter relational
+    * processing — the full spectrum never leaves the partition.
+    */
+  private def mmSpectrogram(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(specSchema)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val q = r.getAs[scala.collection.Seq[Float]]("embedding")
+            .map(x => math.max(-32768.0,
+              math.min(32767.0, math.floor(x.toDouble * 32767.0))).toInt)
+            .toSeq
+          val (_, _, _, smp) = wavDecode(wavEncode(q))
+          val n = 64
+          val re = new Array[Double](n); val im = new Array[Double](n)
+          var i = 0
+          while (i < n && i < smp.length) {
+            re(i) = smp(i) / 32768.0; i += 1
+          }
+          fft(re, im)
+          // one-sided power spectrum, 6dp (bins 0..32)
+          val mag = Array.tabulate(n / 2 + 1) { k =>
+            BigDecimal(re(k) * re(k) + im(k) * im(k))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          var dom = 1; var k = 2
+          while (k <= n / 2) {
+            if (mag(k) > mag(dom)) dom = k
+            k += 1
+          }
+          def band(lo: Int, hi: Int): Double = {
+            var acc = 0.0; var b = lo
+            while (b <= hi) { acc += re(b) * re(b) + im(b) * im(b); b += 1 }
+            BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+          }
+          Row(r.getAs[Long]("vec_id"), dom, mag(dom),
+            band(1, 10), band(11, 21), band(22, 32))
+        }
+      }(enc)
+      .orderBy(col("vec_id"))
+  }
+
   /** Audio chunking: an opaque "audio" blob (text bytes standing in for
     * PCM — 50 ms per byte) is segmented into fixed 1 s windows, each
     * segment carrying its time span AND its byte slice offsets computed
@@ -524,6 +631,38 @@ object Multimodal {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_spectrogram", mmSpectrogram,
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+              x AS (SELECT vec_id, t.i - 1 AS n,
+                 COALESCE(GREATEST(-32768.0,
+                   LEAST(32767.0, floor(v[t.i] * 32767.0))), 0.0)
+                   / 32768.0 AS xv
+                 FROM e, generate_series(1, 64) AS t(i)),
+              spec AS (SELECT x.vec_id, kk.k,
+                 SUM(xv * cos(2 * pi() * kk.k * x.n / 64.0)) AS re,
+                 SUM(-xv * sin(2 * pi() * kk.k * x.n / 64.0)) AS im
+                 FROM x, generate_series(0, 32) AS kk(k)
+                 GROUP BY x.vec_id, kk.k),
+              m AS (SELECT vec_id, k,
+                 round(re * re + im * im, 6) AS mag2,
+                 re * re + im * im AS raw FROM spec),
+              dom AS (SELECT vec_id, k AS dom_bin, mag2 AS mag2_dom,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY mag2 DESC, k) AS rn
+                 FROM m WHERE k >= 1),
+              b AS (SELECT vec_id,
+                 round(SUM(CASE WHEN k BETWEEN 1 AND 10
+                   THEN raw ELSE 0 END), 6) AS e_low,
+                 round(SUM(CASE WHEN k BETWEEN 11 AND 21
+                   THEN raw ELSE 0 END), 6) AS e_mid,
+                 round(SUM(CASE WHEN k BETWEEN 22 AND 32
+                   THEN raw ELSE 0 END), 6) AS e_high
+                 FROM m GROUP BY vec_id)
+              SELECT d.vec_id, CAST(d.dom_bin AS INTEGER) AS dom_bin,
+                d.mag2_dom, b.e_low, b.e_mid, b.e_high
+              FROM dom d JOIN b USING (vec_id)
+              WHERE d.rn = 1 ORDER BY d.vec_id""")),
     QueryDef("mm_scene_split", mmSceneSplit,
       Some("""WITH f AS (SELECT label, vec_id,
                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

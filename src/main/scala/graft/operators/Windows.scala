@@ -278,7 +278,41 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Ratio-to-report ("percent of total") — each order's share of its
+    * status-group revenue and of the grand total. The GROUP share rides
+    * an unbounded window over the partition key (one shuffle, exact
+    * decimal sum); the GLOBAL share deliberately does NOT use an
+    * empty-partition window — `OVER ()` funnels 100 TB through one
+    * reducer — but a broadcast of the 1-row total aggregate instead.
+    */
+  private def winShare(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+    val tot = Tables.orders(s, dir)
+      .agg(sum(col("o_totalprice").cast(DecimalType(30, 6))).cast("double")
+        .as("gt"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)
+          .cast("double").as("st"))
+      .crossJoin(broadcast(tot))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        round(col("o_totalprice") / col("st"), 9).as("share_of_status"),
+        round(col("o_totalprice") / col("gt"), 9).as("share_global"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_share", winShare,
+      Some("""WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                  OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS st,
+                (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                   AS DOUBLE) FROM orders) AS gt
+                FROM orders)
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                round(o_totalprice / st, 9) AS share_of_status,
+                round(o_totalprice / gt, 9) AS share_global
+              FROM t ORDER BY o_orderkey""")),
     QueryDef("win_range_interval", winRangeInterval,
       Some("""WITH p AS (SELECT user_id, event_id,
                 epoch_us(CAST(ts AS TIMESTAMP)) AS us, value

@@ -176,6 +176,37 @@ class PipelineOpsSpec extends GraftSpec {
       "chunk walk must skip foreign chunks")
   }
 
+  test("fft: matches the direct DFT to 1e-9; pure tone peaks in its bin") {
+    import graft.operators.Multimodal
+    val n = 64
+    // deterministic pseudo-signal
+    val x = Array.tabulate(n)(i => math.sin(i * 0.37) + 0.5 * math.cos(i * 1.1))
+    val re = x.clone(); val im = new Array[Double](n)
+    Multimodal.fft(re, im)
+    var k = 0
+    while (k < n) {
+      var dr = 0.0; var di = 0.0
+      var i = 0
+      while (i < n) {
+        val a = -2.0 * math.Pi * k * i / n
+        dr += x(i) * math.cos(a); di += x(i) * math.sin(a)
+        i += 1
+      }
+      assert(math.abs(re(k) - dr) < 1e-9 && math.abs(im(k) - di) < 1e-9,
+        s"bin $k: fft (${re(k)}, ${im(k)}) vs dft ($dr, $di)")
+      k += 1
+    }
+    // a pure tone at bin 5 puts (essentially) all one-sided energy there
+    val tone = Array.tabulate(n)(i => math.cos(2.0 * math.Pi * 5 * i / n))
+    val tr = tone.clone(); val ti = new Array[Double](n)
+    Multimodal.fft(tr, ti)
+    val mags = (0 to n / 2).map(b => tr(b) * tr(b) + ti(b) * ti(b))
+    assert(mags.zipWithIndex.maxBy(_._1)._2 == 5,
+      s"tone must peak at bin 5: ${mags.zipWithIndex.sortBy(-_._1).take(3)}")
+    assert(mags(5) > 1000 * (mags.sum - mags(5)).max(1e-18),
+      "off-bin leakage for an exact-bin tone must be ~zero")
+  }
+
   test("rename column is metadata-only: data files byte-identical, " +
     "logical schema renamed") {
     val rows = SparkEntry.queries("mutation_rename_column")(spark, sf)
