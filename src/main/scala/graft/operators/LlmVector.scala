@@ -1206,7 +1206,83 @@ object LlmVector {
       .orderBy(col("probe_id"))
   }
 
+  /** Triplet mining for contrastive/metric training — per anchor, the
+    * HARDEST positive (same label, minimum cosine: the in-class pair
+    * the encoder currently separates worst) and the HARDEST negative
+    * (different label, maximum cosine: the impostor it confuses most),
+    * with the triplet margin pos−neg and a satisfied flag. This is the
+    * batch-mining step of every triplet-loss pipeline (FaceNet's
+    * hard mining, SBERT's in-batch negatives) expressed relationally.
+    *
+    * Scale notes: one broadcast of the bounded anchor set over a single
+    * corpus scan; both argmin/argmax ride the same (anchor) window
+    * shuffle of O(anchors × corpus) SCALAR rows (id, label, sim) —
+    * vectors never shuffle. At 100 TB mining runs inside ANN-routed
+    * candidate lists (sim_ivf_knn) exactly like the re-rank path.
+    */
+  private def simTripletMine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val anchors = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("av"))
+    val cands = e.select(col("vec_id").as("cand_id"),
+      col("label").as("c_label"), col("embedding").as("cv"))
+    val joined = cands.crossJoin(broadcast(anchors))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .withColumn("cos_sim", round(expr("cosine_sim_native(av, cv)"), 6))
+      .select(col("anchor_id"), col("a_label"), col("c_label"),
+        col("cand_id"), col("cos_sim"))
+    val wPos = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").asc, col("cand_id"))
+    val wNeg = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    val pos = joined.filter(col("c_label") === col("a_label"))
+      .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        col("cos_sim").as("pos_sim"))
+    val neg = joined.filter(col("c_label") =!= col("a_label"))
+      .withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        col("cos_sim").as("neg_sim"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"),
+        round(col("pos_sim") - col("neg_sim"), 6).as("margin"),
+        (col("pos_sim") > col("neg_sim")).cast("int").as("satisfied"))
+      .orderBy(col("anchor_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_triplet_mine", simTripletMine,
+      Some("""WITH e AS (SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av
+                 FROM e WHERE vec_id % 50 = 0),
+              j AS (SELECT a.anchor_id, a.a_label, e.label AS c_label,
+                 e.vec_id AS cand_id,
+                 round(list_dot_product(a.av, e.v)
+                   / (sqrt(list_dot_product(a.av, a.av))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+                 FROM a CROSS JOIN e WHERE e.vec_id <> a.anchor_id),
+              p AS (SELECT anchor_id, cand_id AS pos_id,
+                 cos_sim AS pos_sim FROM (
+                 SELECT anchor_id, cand_id, cos_sim,
+                   row_number() OVER (PARTITION BY anchor_id
+                     ORDER BY cos_sim ASC, cand_id) AS rn
+                 FROM j WHERE c_label = a_label) t WHERE rn = 1),
+              n AS (SELECT anchor_id, cand_id AS neg_id,
+                 cos_sim AS neg_sim FROM (
+                 SELECT anchor_id, cand_id, cos_sim,
+                   row_number() OVER (PARTITION BY anchor_id
+                     ORDER BY cos_sim DESC, cand_id) AS rn
+                 FROM j WHERE c_label <> a_label) t WHERE rn = 1)
+              SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+                round(p.pos_sim - n.neg_sim, 6) AS margin,
+                CAST(CASE WHEN p.pos_sim > n.neg_sim THEN 1 ELSE 0 END
+                  AS INTEGER) AS satisfied
+              FROM p JOIN n USING (anchor_id)
+              ORDER BY p.anchor_id""")),
     QueryDef("sim_ann_recall", simAnnRecall,
       Some(s"""WITH e AS (SELECT vec_id, label,
                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -567,6 +567,89 @@ object Multimodal {
       .orderBy(col("vec_id"))
   }
 
+  /** Triangular mel filterbank weights for the 33-bin one-sided
+    * spectrum at 8 kHz — the MFCC front-end matrix (mel(f) =
+    * 2595·log10(1+f/700), centers equally spaced in mel, triangles
+    * spanning neighbor centers). Generated ONCE here, rounded to 6dp,
+    * and fed to BOTH engines — the Spark kernel consumes the matrix
+    * directly, the DuckDB oracle receives the identical numbers as a
+    * VALUES list (the fn_geohash shared-artifact discipline, so the
+    * weights cannot diverge).
+    */
+  private[graft] def melWeights(nBins: Int = 33, nMel: Int = 8,
+      sampleRate: Int = 8000): Seq[(Int, Int, Double)] = {
+    val nyq = sampleRate / 2.0
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def imel(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val top = mel(nyq)
+    val pts = (0 to nMel + 1).map(i => imel(top * i / (nMel + 1)))
+    for {
+      m <- 0 until nMel
+      k <- 0 until nBins
+      w = {
+        val f = k * nyq / (nBins - 1)
+        val lo = pts(m); val c = pts(m + 1); val hi = pts(m + 2)
+        val v =
+          if (f <= lo || f >= hi) 0.0
+          else if (f <= c) (f - lo) / (c - lo)
+          else (hi - f) / (hi - c)
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      if w > 0.0
+    } yield (m, k, w)
+  }
+
+  private val melSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("mel_bin", IntegerType),
+    StructField("log_energy", DoubleType)))
+
+  /** Mel-filterbank log-energies off the decoded WAV — the speech /
+    * audio-ML front end (decode → FFT power spectrum → triangular mel
+    * pooling → log compression), i.e. what an MFCC pipeline computes
+    * before the DCT. Weights come from [[melWeights]] (shared with the
+    * oracle verbatim); the spectrum is the same FFT the oracle
+    * recomputes as a direct DFT, and log10(1+x) compresses the ~1e-13
+    * FFT-vs-DFT residual far below the 6dp rounding.
+    *
+    * Scale notes: per-row O(n log n + mel·bins) entirely inside
+    * mapPartitions; output is O(rows × mel) scalars — the spectrum
+    * never leaves the partition.
+    */
+  private def mmMelFilterbank(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(melSchema)
+    val wts = melWeights()
+    val nMel = 8
+    // dense (mel × bin) matrix for the kernel loop
+    val dense = Array.ofDim[Double](nMel, 33)
+    wts.foreach { case (m, k, w) => dense(m)(k) = w }
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .flatMap { r =>
+        val q = r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.max(-32768.0,
+            math.min(32767.0, math.floor(x.toDouble * 32767.0))).toInt)
+          .toSeq
+        val (_, _, _, smp) = wavDecode(wavEncode(q))
+        val n = 64
+        val re = new Array[Double](n); val im = new Array[Double](n)
+        var i = 0
+        while (i < n && i < smp.length) { re(i) = smp(i) / 32768.0; i += 1 }
+        fft(re, im)
+        val mag = Array.tabulate(33)(k => re(k) * re(k) + im(k) * im(k))
+        val id = r.getAs[Long]("vec_id")
+        (0 until nMel).map { m =>
+          var e = 0.0; var k = 0
+          while (k < 33) { e += dense(m)(k) * mag(k); k += 1 }
+          Row(id, m,
+            BigDecimal(math.log10(1.0 + e))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }(enc)
+      .orderBy(col("vec_id"), col("mel_bin"))
+  }
+
   /** Audio chunking: an opaque "audio" blob (text bytes standing in for
     * PCM — 50 ms per byte) is segmented into fixed 1 s windows, each
     * segment carrying its time span AND its byte slice offsets computed
@@ -663,6 +746,30 @@ object Multimodal {
                 d.mag2_dom, b.e_low, b.e_mid, b.e_high
               FROM dom d JOIN b USING (vec_id)
               WHERE d.rn = 1 ORDER BY d.vec_id""")),
+    QueryDef("mm_mel_filterbank", mmMelFilterbank,
+      Some {
+        val values = melWeights()
+          .map { case (m, k, w) => s"($m, $k, $w)" }.mkString(", ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            x AS (SELECT vec_id, t.i - 1 AS n,
+               COALESCE(GREATEST(-32768.0,
+                 LEAST(32767.0, floor(v[t.i] * 32767.0))), 0.0)
+                 / 32768.0 AS xv
+               FROM e, generate_series(1, 64) AS t(i)),
+            spec AS (SELECT x.vec_id, kk.k,
+               SUM(xv * cos(2 * pi() * kk.k * x.n / 64.0)) AS re,
+               SUM(-xv * sin(2 * pi() * kk.k * x.n / 64.0)) AS im
+               FROM x, generate_series(0, 32) AS kk(k)
+               GROUP BY x.vec_id, kk.k),
+            m AS (SELECT vec_id, k, re * re + im * im AS raw FROM spec),
+            w(mel, k, wt) AS (VALUES $values)
+            SELECT m.vec_id, CAST(w.mel AS INTEGER) AS mel_bin,
+              round(log10(1 + SUM(w.wt * m.raw)), 6) AS log_energy
+            FROM m JOIN w USING (k)
+            GROUP BY m.vec_id, w.mel
+            ORDER BY m.vec_id, mel_bin"""
+      }),
     QueryDef("mm_scene_split", mmSceneSplit,
       Some("""WITH f AS (SELECT label, vec_id,
                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
