@@ -1247,6 +1247,9 @@ object Fns {
       Some(fnFormatTimedeltaOracle)),
     QueryDef("fn_transform", fnTransform, Some(fnTransformOracle)),
     QueryDef("fn_base58", fnBase58, Some(fnBase58Oracle)),
+    QueryDef("fn_distance_family", fnDistanceFamily,
+      Some(fnDistanceFamilyOracle)),
+    QueryDef("fn_tuple", fnTuple, Some(fnTupleOracle)),
     QueryDef("fn_unicode_normalize", fnUnicodeNormalize,
       Some(fnUnicodeNormalizeOracle)),
     QueryDef("fn_array_delta", fnArrayDelta,
@@ -1484,6 +1487,91 @@ object Fns {
          length(nfc_normalize(raw)) AS len_nfc,
          length(raw) AS len_nfd
        FROM t ORDER BY c_custkey"""
+
+  /** ClickHouse vector-distance family (`L1Distance`, `L2Distance`,
+    * `LinfDistance`, `cosineDistance`) over consecutive embedding pairs
+    * (vec_id joined to vec_id+1 — an equi join, no cross product). The
+    * L1/L∞ folds are left-to-right HOFs mirroring DuckDB's ordered
+    * `list_sum`/`list_max`; L2 and cosine ride the native codegen
+    * kernels ([[graft.functions.EuclidSq]]/CosineSim).
+    *
+    * Scale notes: one shuffle on the join key; per-pair work is O(dim)
+    * inside codegen. The HOF lane exists to pin fold-order parity — a
+    * throughput path would use the native kernels for all four.
+    */
+  private def fnDistanceFamily(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dblV = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast("double"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), dblV(col("embedding")).as("v"))
+    val nxt = e.select((col("vec_id") - 1).as("vec_id"), col("v").as("w"))
+    e.join(nxt, "vec_id")
+      .select(col("vec_id"),
+        round(expr(
+          "aggregate(zip_with(v, w, (x, y) -> abs(x - y)), 0d, " +
+            "(acc, d) -> acc + d)"), 6).as("l1"),
+        round(expr(
+          "array_max(zip_with(v, w, (x, y) -> abs(x - y)))"), 6).as("linf"),
+        round(sqrt(expr("l2_sq_native(v, w)")), 6).as("l2"),
+        round(lit(1.0) - expr("cosine_sim_native(v, w)"), 6).as("cos_dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val fnDistanceFamilyOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       p AS (SELECT a.vec_id, a.v, b.v AS w
+         FROM e a JOIN e b ON b.vec_id = a.vec_id + 1)
+       SELECT vec_id,
+         round(list_sum(list_transform(generate_series(1, len(v)),
+           i -> abs(v[i] - w[i]))), 6) AS l1,
+         round(list_max(list_transform(generate_series(1, len(v)),
+           i -> abs(v[i] - w[i]))), 6) AS linf,
+         round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+           i -> (v[i] - w[i]) * (v[i] - w[i])))), 6) AS l2,
+         round(1.0 - list_dot_product(v, w)
+           / (sqrt(list_dot_product(v, v))
+              * sqrt(list_dot_product(w, w))), 6) AS cos_dist
+       FROM p ORDER BY vec_id"""
+
+  /** ClickHouse tuple ordering (`tuple()`, `tupleElement`, argMin/argMax
+    * via tuple comparison): Spark structs ORDER lexicographically, so
+    * `min(struct(bal, key))` IS argmin — one partial-aggregated scan, no
+    * window shuffle. The oracle recomputes both ends with explicit
+    * row_number windows, proving the struct-ordering semantics.
+    */
+  private def fnTuple(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        min(struct(col("c_acctbal"), col("c_custkey"))).as("lo"),
+        max(struct(col("c_acctbal"), col("c_custkey"))).as("hi"),
+        count(lit(1)).as("n"))
+      .select(col("c_mktsegment"),
+        col("lo.c_acctbal").as("lo_bal"), col("lo.c_custkey").as("lo_key"),
+        col("hi.c_acctbal").as("hi_bal"), col("hi.c_custkey").as("hi_key"),
+        col("n"))
+      .orderBy(col("c_mktsegment"))
+
+  private val fnTupleOracle: String =
+    """WITH lo AS (SELECT c_mktsegment, c_acctbal AS lo_bal,
+         c_custkey AS lo_key FROM (
+         SELECT c_mktsegment, c_acctbal, c_custkey,
+           row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal ASC, c_custkey ASC) AS rn
+         FROM customer) t WHERE rn = 1),
+       hi AS (SELECT c_mktsegment, c_acctbal AS hi_bal,
+         c_custkey AS hi_key FROM (
+         SELECT c_mktsegment, c_acctbal, c_custkey,
+           row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+         FROM customer) t WHERE rn = 1),
+       n AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer
+         GROUP BY c_mktsegment)
+       SELECT c_mktsegment, lo_bal, lo_key, hi_bal, hi_key, n
+       FROM lo JOIN hi USING (c_mktsegment) JOIN n USING (c_mktsegment)
+       ORDER BY c_mktsegment"""
 
   private val fnTransformOracle: String =
     """SELECT o_orderkey, o_orderpriority, o_orderstatus,
