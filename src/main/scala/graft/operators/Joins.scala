@@ -640,6 +640,53 @@ object Joins {
       .orderBy(col("l_returnflag"))
   }
 
+  /** AQE skew-join splitting — the RUNTIME answer to the hot-key
+    * problem join_skew_salted solves by hand: a deliberately skewed key
+    * (≈90% of lineitem on one value) flows into a sort-merge join, and
+    * Adaptive Query Execution, seeing the actual shuffle-partition
+    * sizes, splits the oversized partition into sub-partitions and
+    * replicates the matching dim rows — no salting column, no manual
+    * fan-out factor to mis-tune. Thresholds are fixture-scaled in a
+    * `newSession()` clone (production defaults target 256 MB
+    * partitions); broadcast is disabled because skew handling only
+    * matters on the shuffle path — the exact 100 TB condition.
+    * PlanShapeSpec executes the key and asserts the final adaptive plan
+    * marks the join `skew=true`.
+    */
+  private def joinSkewAqe(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE splits a skewed reduce partition along MAPPER-block
+    // boundaries; the fixture parquet is one small file = one map task
+    // = one unsplittable block, so model the production many-mapper
+    // shape explicitly (at 100 TB the scan is thousands of map tasks)
+    val fact = Tables.lineitem(s, dir)
+      .repartition(8)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        when(pmod(col("l_orderkey"), lit(10)) < 9, 0L)
+          .otherwise(pmod(col("l_orderkey"), lit(100))).as("k"))
+    // plain filter+project dim with naturally unique keys (custkey 1..100
+    // → k 0..99 bijectively): OptimizeSkewedJoin only matches
+    // SMJ(Sort(shuffle), Sort(shuffle)) — an aggregate between the dim's
+    // shuffle and the join would break the pattern
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 100)
+      .select(pmod(col("c_custkey"), lit(100)).as("k"),
+        col("c_acctbal").as("dim_val"))
+    fact.join(dim.hint("merge"), "k")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"),
+        round(Det.dsum(col("dim_val")), 2).as("sum_dim"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** ClickHouse `PASTE JOIN` (24.2): POSITIONAL alignment — the i-th
     * row of the left stream zipped with the i-th row of the right, no
     * key at all. Meaningful only under a defined order, so both sides
@@ -860,6 +907,18 @@ object Joins {
                ${Det.oSum("l_extendedprice")} AS sum_price
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               WHERE o_orderpriority = '1-URGENT'
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("join_skew_aqe", joinSkewAqe,
+      Some(s"""WITH f AS (SELECT l_returnflag, l_extendedprice,
+                 CASE WHEN l_orderkey % 10 < 9 THEN 0
+                   ELSE l_orderkey % 100 END AS k
+                 FROM lineitem),
+               d AS (SELECT c_custkey % 100 AS k, c_acctbal AS dim_val
+                 FROM customer WHERE c_custkey <= 100)
+              SELECT l_returnflag, COUNT(*) AS n,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                round(${Det.oSum("dim_val")}, 2) AS sum_dim
+              FROM f JOIN d USING (k)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("join_null_safe", joinNullSafe,
       Some(s"""WITH c AS (SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL

@@ -666,6 +666,17 @@ class PlanShapeSpec extends GraftSpec {
       "token arrays flow through the banded join:\n" + window.mkString("\n"))
   }
 
+  test("join_skew_aqe: AQE splits the hot partition (skew=true in the " +
+      "final adaptive plan)") {
+    val df = SparkEntry.queries("join_skew_aqe")(spark, sf)
+    // collect() drives THIS QueryExecution (count() would plan a new
+    // one), finalizing the adaptive plan with real partition sizes
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      "AQE did not mark the sort-merge join skewed:\n" + p.take(1200))
+  }
+
   test("sim_ann_recall: both arms broadcast the probe set; corpus " +
       "scans, never shuffles") {
     val p = plan("sim_ann_recall")
