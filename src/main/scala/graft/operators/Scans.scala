@@ -610,6 +610,77 @@ object Scans {
       .orderBy(col("bucket"))
   }
 
+  /** Optimistic concurrency on the versioned store — the Delta/Iceberg
+    * commit protocol expressed on plain dirs: a writer stages its new
+    * version invisibly (`.txn_*`), then COMMITS with one atomic
+    * same-directory rename to `v=<next>`; the rename doubles as the
+    * CAS — if another writer committed that version first the rename
+    * throws (target exists), the loser REBASES on the winner's version
+    * and retries as v+1. Two deliberately concurrent writers here: A
+    * (urgent-order surcharge) wins v=1; B (drop F-status rows) loses
+    * the CAS, rebases on v=1, lands as v=2. Final state ≡ A then B
+    * applied sequentially — exactly the serializability optimistic
+    * concurrency promises; the observed conflict count is IN the
+    * oracled result.
+    *
+    * Scale notes: commit cost is O(1) metadata (one rename) regardless
+    * of data size; conflict retry re-runs only the loser's transform.
+    * The staging write is the data-sized cost and happens off the
+    * committed path — readers never see a partial version.
+    */
+  private def sinkOptimisticCas(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("cas")
+    val store = s"$base/store"
+    new java.io.File(store).mkdirs()
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .write.parquet(s"$store/v=0")
+    def commit(version: Int, df: DataFrame): Boolean = {
+      val txn = s"$base/.txn_${version}_${System.nanoTime()}"
+      df.write.parquet(txn)
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(txn),
+          java.nio.file.Paths.get(s"$store/v=$version"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        case _: java.nio.file.FileSystemException =>
+          // lost the CAS: sweep the orphaned staging dir, caller rebases
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(txn))
+          false
+      }
+    }
+    def transformA(v: DataFrame): DataFrame =
+      v.withColumn("o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    def transformB(v: DataFrame): DataFrame =
+      v.filter(col("o_orderstatus") =!= "F")
+    // both writers read v=0, both race for v=1
+    val v0 = s.read.parquet(s"$store/v=0")
+    val aOk = commit(1, transformA(v0))
+    val bOk = commit(1, transformB(v0))
+    var conflicts = 0
+    if (!bOk) {
+      conflicts += 1
+      val v1 = s.read.parquet(s"$store/v=1")
+      commit(2, transformB(v1))
+    }
+    val latest = s.read.parquet(s"$store/v=${if (bOk) 1 else 2}")
+    latest.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(Det.dsum(col("o_totalprice")), 2).as("revenue"))
+      .withColumn("cas_conflicts", lit(if (aOk) conflicts else -1))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** ClickHouse `ALTER TABLE ... DROP COLUMN`: the drop is INSTANT
     * metadata (a manifest entry; readers project the column away), and
     * the bytes are reclaimed LAZILY — here one partition is rewritten
@@ -1390,6 +1461,17 @@ object Scans {
                 1 AS files_unchanged
               FROM orders GROUP BY o_orderstatus
               ORDER BY o_orderstatus""")),
+    QueryDef("sink_optimistic_cas", sinkOptimisticCas,
+      Some(s"""WITH a AS (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN o_totalprice + 10.0
+                   ELSE o_totalprice END AS o_totalprice
+                 FROM orders),
+               b AS (SELECT * FROM a WHERE o_orderstatus <> 'F')
+              SELECT o_orderstatus, COUNT(*) AS n,
+                round(${Det.oSum("o_totalprice")}, 2) AS revenue,
+                1 AS cas_conflicts
+              FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
     QueryDef("sink_bucket_split", sinkBucketSplit,
       Some("""SELECT CAST(o_orderkey % 8 AS INTEGER) AS bucket,
                 COUNT(*) AS n,
