@@ -1,0 +1,51 @@
+package graft
+
+/** Run-to-run determinism harness: the DuckDB oracle gate proves a key
+  * is right ONCE, but a distributed plan can still be partitioning- or
+  * scheduling-dependent (collect_list without a sort, double sums in
+  * shuffle arrival order, sampled RNG keyed on partition id) and flap
+  * between runs — the class of bug a single-run gate cannot see. Each
+  * representative key here is executed TWICE with DIFFERENT shuffle
+  * partition counts (4 then 7 — also proving the result does not depend
+  * on the session's partitioning) and the full collected results must
+  * be bit-identical.
+  *
+  * The sample is chosen adversarially: keys that reassemble arrays from
+  * aggregations (agg_foreach, agg_resample), rank after rounding
+  * (sim_ann_recall, sim_triplet_mine), hash-order windows
+  * (sample_stratified), per-partition kernels (mm_spectrogram), exact
+  * decimal window sums (win_share), a custom physical operator
+  * (topk_per_group_native), and an AQE-replanned join (join_skew_aqe).
+  */
+class DeterminismSpec extends GraftSpec {
+
+  private val keys = Seq("agg_foreach", "agg_resample", "sim_ann_recall",
+    "sim_triplet_mine", "sample_stratified", "mm_spectrogram", "win_share",
+    "topk_per_group_native", "join_skew_aqe", "fn_distance_family")
+
+  private def runOnce(key: String, parts: Int): Seq[String] = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    SparkEntry.queries(key)(s, sf).collect()
+      .map(r => r.toSeq.map {
+        case null => "∅"
+        case a: scala.collection.Seq[_] => a.mkString("[", ",", "]")
+        case x => x.toString
+      }.mkString("|")).toSeq
+  }
+
+  keys.foreach { key =>
+    test(s"$key is bit-identical across runs and partition counts") {
+      val a = runOnce(key, 4)
+      val b = runOnce(key, 7)
+      assert(a.nonEmpty, s"$key returned no rows")
+      assert(a == b, {
+        val diff = a.zip(b).zipWithIndex.collect {
+          case ((x, y), i) if x != y => s"row $i:\n  4p: $x\n  7p: $y"
+        }
+        s"$key differs across partitionings (${diff.size} rows):\n" +
+          diff.take(3).mkString("\n")
+      })
+    }
+  }
+}
