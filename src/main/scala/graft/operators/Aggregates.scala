@@ -152,6 +152,60 @@ object Aggregates {
     * canonical CSV string at the query edge: the driver's comparator hashes
     * scalar cells, so array-typed outputs must leave as strings.
     */
+  /** ClickHouse `groupArraySorted(N)` — the N smallest values per group
+    * as one SORTED array. Scale-honest decomposition: a per-group
+    * window rank bounds each group to N rows BEFORE any array exists
+    * (collecting the whole group then slicing would ship every row to
+    * one reducer per group); the bounded survivors then collect into
+    * the sorted array. Ties broken by orderkey so the kept SET is
+    * deterministic, array content is values only (the public
+    * function's shape).
+    */
+  private def aggGroupArraySorted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(o_totalprice, o_orderkey))), " +
+          "p -> p.o_totalprice)").as("smallest5"),
+        count(lit(1)).as("n_kept"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** ClickHouse `groupArrayIntersect` — the intersection of array values
+    * across ALL rows of a group (the common vocabulary of a document
+    * block). Decomposed relationally: explode to (group, token) pairs,
+    * count DISTINCT DOCS per token, keep tokens whose doc count equals
+    * the group size — no per-group array state ever exists, so the
+    * shuffle carries (group, token) scalars and the operator survives
+    * groups of any cardinality (a fold-style intersect would serialize
+    * each group through one task).
+    */
+  private def aggArrayIntersect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("lang"), col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val sizes = docs.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    docs.select(col("lang"), col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(countDistinct(col("doc_id")).as("in_docs"))
+      .join(broadcast(sizes), "lang")
+      .filter(col("in_docs") === col("n_docs"))
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("tok"))).as("common_tokens"),
+        count(lit(1)).as("n_common"))
+      .join(broadcast(sizes), "lang")
+      .select(col("lang"), col("n_docs"), col("n_common"),
+        col("common_tokens"))
+      .orderBy(col("lang"))
+  }
+
   private def aggCollect(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -1809,6 +1863,32 @@ object Aggregates {
               FROM orders
               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+    QueryDef("agg_group_array_sorted", aggGroupArraySorted,
+      Some("""WITH r AS (SELECT o_orderstatus, o_totalprice, o_orderkey,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+                 FROM orders)
+              SELECT o_orderstatus,
+                list(o_totalprice ORDER BY o_totalprice, o_orderkey)
+                  AS smallest5,
+                COUNT(*) AS n_kept
+              FROM r WHERE rn <= 5
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+    QueryDef("agg_array_intersect", aggArrayIntersect,
+      Some("""WITH d AS (SELECT lang, doc_id,
+                 list_distinct(string_split(text, ' ')) AS toks
+                 FROM documents WHERE doc_id % 50 = 0),
+              sz AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs
+                 FROM d GROUP BY lang),
+              e AS (SELECT lang, doc_id, unnest(toks) AS tok FROM d),
+              c AS (SELECT lang, tok, COUNT(DISTINCT doc_id) AS in_docs
+                 FROM e GROUP BY lang, tok),
+              k AS (SELECT c.lang, c.tok FROM c JOIN sz USING (lang)
+                 WHERE c.in_docs = sz.n_docs)
+              SELECT k.lang, sz.n_docs, COUNT(*) AS n_common,
+                list(k.tok ORDER BY k.tok) AS common_tokens
+              FROM k JOIN sz USING (lang)
+              GROUP BY k.lang, sz.n_docs ORDER BY k.lang""")),
     QueryDef("agg_collect", aggCollect,
       Some("""SELECT user_id,
                array_to_string(list(DISTINCT event_type ORDER BY event_type),
