@@ -21,7 +21,8 @@ class DeterminismSpec extends GraftSpec {
 
   private val keys = Seq("agg_foreach", "agg_resample", "sim_ann_recall",
     "sim_triplet_mine", "sample_stratified", "mm_spectrogram", "win_share",
-    "topk_per_group_native", "join_skew_aqe", "fn_distance_family")
+    "topk_per_group_native", "join_skew_aqe", "fn_distance_family",
+    "agg_group_array_sorted", "agg_array_intersect")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()
