@@ -1250,6 +1250,8 @@ object Fns {
     QueryDef("fn_distance_family", fnDistanceFamily,
       Some(fnDistanceFamilyOracle)),
     QueryDef("fn_tuple", fnTuple, Some(fnTupleOracle)),
+    QueryDef("fn_array_shingles", fnArrayShingles,
+      Some(fnArrayShinglesOracle)),
     QueryDef("fn_unicode_normalize", fnUnicodeNormalize,
       Some(fnUnicodeNormalizeOracle)),
     QueryDef("fn_array_delta", fnArrayDelta,
@@ -1431,6 +1433,47 @@ object Fns {
           .as("status_code"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** ClickHouse `arrayShingles(arr, k)` (23.8) — consecutive length-k
+    * windows of an array, the array-level twin of text shingling (the
+    * MinHash preprocessing primitive). Pure HOF projection:
+    * `transform(sequence(1, n-k+1), i -> slice(arr, i, k))`; shingles
+    * leave as canonical joined strings (the agg_collect representation
+    * guard) plus the count and a distinct-count — the dedup-relevant
+    * statistics.
+    *
+    * Scale notes: map-side only; output is O(tokens) per row and never
+    * shuffles (the presentation sort is the only exchange).
+    */
+  private def fnArrayShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        slice(split(col("text"), " "), 1, 12).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("n_tokens"),
+        // NOT sequence(1, greatest(n-2, 0)): Spark's sequence DESCENDS
+        // when start > stop (sequence(1,0) = [1,0]), so short docs must
+        // short-circuit to an empty shingle list explicitly
+        expr("""CASE WHEN size(arr) < 3 THEN array()
+                ELSE transform(sequence(1, size(arr) - 2),
+                  i -> array_join(slice(arr, i, 3), ' ')) END""").as("sh"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("sh")).as("n_shingles"),
+        size(array_distinct(col("sh"))).as("n_distinct"),
+        array_join(slice(col("sh"), 1, 2), "|").as("first2"))
+      .orderBy(col("doc_id"))
+
+  private val fnArrayShinglesOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ')[1:12] AS arr
+         FROM documents),
+       s AS (SELECT doc_id, len(arr) AS n_tokens,
+         list_transform(generate_series(1, GREATEST(len(arr) - 2, 0)),
+           i -> array_to_string(arr[i:i+2], ' ')) AS sh
+         FROM t)
+       SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         CAST(len(sh) AS INTEGER) AS n_shingles,
+         CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
+         array_to_string(sh[1:2], '|') AS first2
+       FROM s ORDER BY doc_id"""
 
   /** ClickHouse `base58Encode`/`base58Decode` via the native codegen
     * [[graft.functions.Base58Encode]]/[[graft.functions.Base58Decode]]
