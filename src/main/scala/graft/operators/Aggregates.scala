@@ -87,6 +87,26 @@ object Aggregates {
         round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
       .orderBy(col("l_returnflag"))
 
+  /** ClickHouse plural `quantiles(p1..pk)(x)` — the multi-quantile array
+    * form (the workhorse spelling: one sorted pass, k cut points at
+    * once). Same interpolated definition as agg_quantile; the result
+    * array leaves as a canonical CSV string (DECIMAL(20,6) components)
+    * per the array-representation rule.
+    *
+    * Scale notes: identical plan to agg_quantile — one aggregate pass
+    * per group computes all k quantiles; no extra shuffle per cut point.
+    */
+  private def aggQuantilesArray(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        """array_join(transform(
+             percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D)),
+             x -> cast(cast(round(x, 6) as decimal(20,6)) as string)),
+           ',')""").as("quantiles"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** ClickHouse argMax(x, ord) with a deterministic composite ordinal:
     * richest customer per nation, ties broken by highest custkey.
     */
@@ -159,7 +179,9 @@ object Aggregates {
     * one reducer per group); the bounded survivors then collect into
     * the sorted array. Ties broken by orderkey so the kept SET is
     * deterministic, array content is values only (the public
-    * function's shape).
+    * function's shape). The array leaves as a canonical CSV string —
+    * DECIMAL(20,2)-formatted components — per the representational rule
+    * above (the driver's comparator hashes scalar cells only).
     */
   private def aggGroupArraySorted(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -170,8 +192,10 @@ object Aggregates {
       .filter(col("rn") <= 5)
       .groupBy(col("o_orderstatus"))
       .agg(expr(
-        "transform(array_sort(collect_list(struct(o_totalprice, o_orderkey))), " +
-          "p -> p.o_totalprice)").as("smallest5"),
+        """array_join(transform(
+             array_sort(collect_list(struct(o_totalprice, o_orderkey))),
+             p -> cast(cast(round(p.o_totalprice, 2) as decimal(20,2))
+               as string)), ',')""").as("smallest5"),
         count(lit(1)).as("n_kept"))
       .orderBy(col("o_orderstatus"))
   }
@@ -198,7 +222,8 @@ object Aggregates {
       .join(broadcast(sizes), "lang")
       .filter(col("in_docs") === col("n_docs"))
       .groupBy(col("lang"))
-      .agg(sort_array(collect_list(col("tok"))).as("common_tokens"),
+      .agg(array_join(sort_array(collect_list(col("tok"))), ",")
+          .as("common_tokens"),
         count(lit(1)).as("n_common"))
       .join(broadcast(sizes), "lang")
       .select(col("lang"), col("n_docs"), col("n_common"),
@@ -843,10 +868,13 @@ object Aggregates {
       .agg(Det.dsum(col("x")).as("sv"), count(lit(1)).as("cnt"))
       .groupBy(col("label"))
       .agg(
-        expr("transform(array_sort(collect_list(struct(pos, sv))), " +
-          "p -> round(p.sv, 6))").as("sum_foreach"),
-        expr("transform(array_sort(collect_list(struct(pos, cnt))), " +
-          "p -> p.cnt)").as("count_foreach"))
+        expr("""array_join(transform(
+             array_sort(collect_list(struct(pos, sv))),
+             p -> cast(cast(round(p.sv, 6) as decimal(20,6)) as string)),
+             ',')""").as("sum_foreach"),
+        expr("""array_join(transform(
+             array_sort(collect_list(struct(pos, cnt))),
+             p -> cast(p.cnt as string)), ',')""").as("count_foreach"))
       .orderBy(col("label"))
 
   /** ClickHouse `-Resample` combinator (`countResample(0,1000,100)` /
@@ -875,11 +903,57 @@ object Aggregates {
         map_from_arrays(collect_list(col("b")), collect_list(col("sv")))
           .as("sm"))
       .select(col("o_orderstatus"),
-        expr("transform(sequence(0, 9), i -> coalesce(cm[i], 0L))")
+        expr("""array_join(transform(sequence(0, 9),
+             i -> cast(coalesce(cm[i], 0L) as string)), ',')""")
           .as("count_resample"),
-        expr("transform(sequence(0, 9), i -> round(coalesce(sm[i], 0d), 2))")
+        expr("""array_join(transform(sequence(0, 9),
+             i -> cast(cast(round(coalesce(sm[i], 0d), 2) as decimal(20,2))
+               as string)), ',')""")
           .as("sum_resample"))
       .orderBy(col("o_orderstatus"))
+
+  /** ClickHouse `groupArrayMovingSum(3)` / `groupArrayMovingAvg(3)` — the
+    * array-form running window per group: element i is the sum (resp.
+    * fixed-divisor avg, ClickHouse's sum/N with leading elements
+    * included) of the last 3 values at position i, the group's whole
+    * series returned as ONE array — distinct from win_moving's
+    * row-per-row frame. Group = order, position = (linenumber, partkey,
+    * suppkey) — linenumber ALONE is not unique per order in this
+    * testdata drop, and a moving sum under a nondeterministic order is
+    * partitioning-dependent, so the full composite key pins the series
+    * (≤7 rows/group, the natural bound; an unbounded series would be
+    * windowed first). Quantities are exact bigints; the avg is one
+    * exact IEEE division rounded 6dp at the string edge.
+    *
+    * Scale notes: one shuffle on the group key; the moving sums come
+    * from a bounded 3-row window frame computed row-wise, and the array
+    * only materializes at the O(groups) result edge — per-row window
+    * state never exceeds the frame.
+    */
+  private def aggMovingSumArray(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").cast("bigint").as("q"))
+      .withColumn("mv", sum(col("q")).over(w))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        expr("""array_join(transform(
+             array_sort(collect_list(
+               struct(l_linenumber, l_partkey, l_suppkey, mv))),
+             p -> cast(p.mv as string)), ',')""").as("moving_sum"),
+        expr("""array_join(transform(
+             array_sort(collect_list(
+               struct(l_linenumber, l_partkey, l_suppkey, mv))),
+             p -> cast(cast(round(p.mv / 3.0, 6) as decimal(20,6))
+               as string)), ',')""").as("moving_avg"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_orderkey"))
+  }
 
   /** ClickHouse `minSampleSizeConversion` / `minSampleSizeContinuous`:
     * the A/B power-analysis planners. Baseline conversion (purchase
@@ -1192,6 +1266,47 @@ object Aggregates {
           6).as("entropy"))
       .orderBy(col("user_id"))
 
+  /** Weight-of-evidence / information value (ClickHouse
+    * `categoricalInformationValue`) — the feature-screening score a
+    * curation pipeline runs before admitting a categorical column into
+    * a quality model: per category WOE = ln((pos_i/POS)/(neg_i/NEG)),
+    * IV = Σ (pos_i/POS − neg_i/NEG)·WOE_i. Counts leave one partial-agg
+    * shuffle exactly; each WOE's ratio is ONE division of exact integer
+    * cross-products (pos_i·NEG vs neg_i·POS) so only the final ln needs
+    * the 6dp edge round (libm ln differs by ulps across engines — the
+    * agg_entropy rule). The IV total folds the SORTED rounded terms
+    * sequentially on both engines, so summation order is pinned.
+    *
+    * Scale notes: one shuffle to O(categories) rows; the total is a
+    * bounded fold over that frame joined back by broadcast — never an
+    * OVER () funnel on the fact table.
+    */
+  private def aggCategoricalIv(s: SparkSession, dir: String): DataFrame = {
+    val perCat = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(when(col("o_orderstatus") === "F", 1)).as("pos"),
+        count(when(col("o_orderstatus") =!= "F", 1)).as("neg"))
+      .crossJoin(broadcast(
+        Tables.orders(s, dir).agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("tpos"),
+          count(when(col("o_orderstatus") =!= "F", 1)).as("tneg"))))
+      .select({
+        val woe = round(log(
+          (col("pos") * col("tneg")).cast("double") /
+            (col("neg") * col("tpos")).cast("double")), 6)
+        val term = round(
+          (col("pos").cast("double") / col("tpos").cast("double") -
+            col("neg").cast("double") / col("tneg").cast("double")) * woe,
+          6)
+        Seq(col("o_orderpriority"), col("pos"), col("neg"),
+          woe.as("woe"), term.as("iv_term"))
+      }: _*)
+    val tot = perCat.agg(round(expr(
+      "aggregate(array_sort(collect_list(iv_term)), cast(0.0 as double), (a, x) -> a + x)"),
+      6).as("iv_total"))
+    perCat.crossJoin(broadcast(tot)).orderBy(col("o_orderpriority"))
+  }
+
   /** Deterministic mode (most frequent value per group): count-then-pick
     * with an explicit (count desc, value asc) tiebreak — Spark's built-in
     * mode() leaves ties unspecified, which a hash-compared pipeline can
@@ -1360,6 +1475,30 @@ object Aggregates {
                 round(hxy, 6) AS h_x_given_y,
                 round((hx - hxy) / hx, 6) AS theils_u
               FROM h""")),
+    QueryDef("agg_categorical_iv", aggCategoricalIv,
+      Some("""WITH t AS (SELECT
+                 COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS tpos,
+                 COUNT(CASE WHEN o_orderstatus<>'F' THEN 1 END) AS tneg
+                FROM orders),
+              c AS (SELECT o_orderpriority,
+                 COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS pos,
+                 COUNT(CASE WHEN o_orderstatus<>'F' THEN 1 END) AS neg
+                FROM orders GROUP BY o_orderpriority),
+              p AS (SELECT o_orderpriority, pos, neg,
+                 round(ln(CAST(pos*tneg AS DOUBLE)
+                   / CAST(neg*tpos AS DOUBLE)), 6) AS woe,
+                 round((CAST(pos AS DOUBLE)/tpos
+                     - CAST(neg AS DOUBLE)/tneg)
+                   * round(ln(CAST(pos*tneg AS DOUBLE)
+                     / CAST(neg*tpos AS DOUBLE)), 6), 6) AS iv_term
+                FROM c CROSS JOIN t),
+              tot AS (SELECT round(list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list(iv_term ORDER BY iv_term)),
+                 (a, x) -> a + x), 6) AS iv_total FROM p)
+              SELECT p.o_orderpriority, p.pos, p.neg, p.woe, p.iv_term,
+                tot.iv_total
+              FROM p CROSS JOIN tot ORDER BY o_orderpriority""")),
     QueryDef("agg_mannwhitney", aggMannWhitney,
       Some("""WITH e AS (SELECT CASE WHEN event_type = 'purchase'
                   THEN 1 ELSE 0 END AS a, value
@@ -1520,8 +1659,10 @@ object Aggregates {
                  COUNT(*) AS cnt
                 FROM e GROUP BY label, pos)
               SELECT label,
-                list(round(sv, 6) ORDER BY pos) AS sum_foreach,
-                list(cnt ORDER BY pos) AS count_foreach
+                array_to_string(list(CAST(round(sv, 6) AS DECIMAL(20,6))
+                  ORDER BY pos), ',') AS sum_foreach,
+                array_to_string(list(cnt ORDER BY pos), ',')
+                  AS count_foreach
               FROM g GROUP BY label ORDER BY label""")),
     QueryDef("agg_resample", aggResample,
       Some(s"""WITH buckets AS (
@@ -1538,9 +1679,31 @@ object Aggregates {
                 LEFT JOIN g ON g.o_orderstatus = st.o_orderstatus
                   AND g.b = buckets.b)
               SELECT o_orderstatus,
-                list(cnt ORDER BY b) AS count_resample,
-                list(round(sv, 2) ORDER BY b) AS sum_resample
+                array_to_string(list(cnt ORDER BY b), ',')
+                  AS count_resample,
+                array_to_string(list(CAST(round(sv, 2) AS DECIMAL(20,2))
+                  ORDER BY b), ',') AS sum_resample
               FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+    QueryDef("agg_moving_sum_array", aggMovingSumArray,
+      Some("""WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey,
+                 l_suppkey, CAST(l_quantity AS BIGINT) AS q
+                FROM lineitem WHERE l_orderkey % 10 = 0),
+              m AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 CAST(SUM(q) OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS mv
+                FROM b)
+              SELECT l_orderkey,
+                array_to_string(list(mv
+                  ORDER BY l_linenumber, l_partkey, l_suppkey), ',')
+                  AS moving_sum,
+                array_to_string(list(CAST(round(mv / 3.0, 6)
+                  AS DECIMAL(20,6))
+                  ORDER BY l_linenumber, l_partkey, l_suppkey), ',')
+                  AS moving_avg,
+                COUNT(*) AS n_lines
+              FROM m GROUP BY l_orderkey ORDER BY l_orderkey""")),
     QueryDef("agg_min_sample_size", aggMinSampleSize,
       Some("""WITH m AS (SELECT
                 CAST(COUNT(*) AS DOUBLE) AS n,
@@ -1631,6 +1794,15 @@ object Aggregates {
                MAX(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
                  AS max_if
               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+    QueryDef("agg_quantiles_array", aggQuantilesArray,
+      Some("""SELECT l_returnflag,
+                array_to_string(list_transform(
+                  quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]),
+                  x -> CAST(round(x, 6) AS DECIMAL(20,6))), ',')
+                  AS quantiles,
+                COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag
+              ORDER BY l_returnflag""")),
     QueryDef("agg_quantile_exact_bounds", aggQuantileExactBounds,
       Some("""WITH dom AS (SELECT l_returnflag AS rf, l_quantity AS v,
                  COUNT(*) AS cnt FROM lineitem GROUP BY rf, v),
@@ -1869,8 +2041,9 @@ object Aggregates {
                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
                  FROM orders)
               SELECT o_orderstatus,
-                list(o_totalprice ORDER BY o_totalprice, o_orderkey)
-                  AS smallest5,
+                array_to_string(
+                  list(CAST(round(o_totalprice, 2) AS DECIMAL(20,2))
+                    ORDER BY o_totalprice, o_orderkey), ',') AS smallest5,
                 COUNT(*) AS n_kept
               FROM r WHERE rn <= 5
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
@@ -1886,7 +2059,8 @@ object Aggregates {
               k AS (SELECT c.lang, c.tok FROM c JOIN sz USING (lang)
                  WHERE c.in_docs = sz.n_docs)
               SELECT k.lang, sz.n_docs, COUNT(*) AS n_common,
-                list(k.tok ORDER BY k.tok) AS common_tokens
+                array_to_string(list(k.tok ORDER BY k.tok), ',')
+                  AS common_tokens
               FROM k JOIN sz USING (lang)
               GROUP BY k.lang, sz.n_docs ORDER BY k.lang""")),
     QueryDef("agg_collect", aggCollect,

@@ -230,13 +230,17 @@ object DedupGraph {
     * three graph traversals: at 100 TB an adjacency derived from a
     * fact-table pair self-join is an asset you build once and query
     * many times, not lineage you replay per query. `localCheckpoint`
-    * severs the self-join lineage; the map is keyed by dir so a
-    * testdata swap re-derives.
+    * severs the self-join lineage; the map is keyed by (session, dir) —
+    * a checkpointed DataFrame is bound to its owning SparkSession's
+    * context, so a dir-only key would hand a frame backed by dead
+    * checkpoint RDDs to a second session in the same JVM (same rule as
+    * LlmVector.kmeansCache); a testdata swap re-derives.
     */
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def affinityEdgesCached(s: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent(dir, _ => affinityEdges(s, dir).localCheckpoint())
+    edgeCache.computeIfAbsent((s, dir),
+      _ => affinityEdges(s, dir).localCheckpoint())
 
   private def graphTriangleCount(s: SparkSession, dir: String): DataFrame = {
     // materialize the bounded edge list once: its lineage (the fact-table

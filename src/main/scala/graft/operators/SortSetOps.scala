@@ -36,6 +36,27 @@ object SortSetOps {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** ClickHouse `LIMIT n BY k OFFSET m` — the offset variant of
+    * LIMIT-k-BY-group: skip the first m ranked rows per group, keep the
+    * next n (here m=2, n=3 → ranks 3..5). Same single-shuffle window
+    * shape as topk_per_group; the rank predicate is a closed interval so
+    * the window cutoff still short-circuits per group.
+    *
+    * Scale notes: identical plan to topk_per_group — one shuffle on the
+    * group key, per-group sort, row_number filter m+1..m+n; the offset
+    * adds nothing to shuffle volume.
+    */
+  private def topkPerGroupOffset(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 3 && col("rn") <= 5)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
   /** The same LIMIT-k-BY-group semantics on the custom physical operator
     * ([[graft.plans.TopKPerGroupExec]]): partial bounded-heap top-k
     * before the shuffle, final merge after — the shuffle carries ≤ k
@@ -103,6 +124,13 @@ object SortSetOps {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
                 FROM orders) t
               WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
+    QueryDef("topk_per_group_offset", topkPerGroupOffset,
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) t
+              WHERE rn BETWEEN 3 AND 5 ORDER BY o_orderpriority, rn""")),
     QueryDef("topk_per_group_native", topkPerGroupNative,
       Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
                 SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -295,9 +295,13 @@ object Windows {
         sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)
           .cast("double").as("st"))
       .crossJoin(broadcast(tot))
+      // shares ship as the UNROUNDED IEEE quotient: both engines divide
+      // identical doubles (exact decimal sums cast once), so the raw
+      // quotient is bit-equal — rounding a division at the edge is the
+      // cross-engine midpoint-split class Core.scala documents
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        round(col("o_totalprice") / col("st"), 9).as("share_of_status"),
-        round(col("o_totalprice") / col("gt"), 9).as("share_global"))
+        (col("o_totalprice") / col("st")).as("share_of_status"),
+        (col("o_totalprice") / col("gt")).as("share_global"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -310,8 +314,8 @@ object Windows {
                    AS DOUBLE) FROM orders) AS gt
                 FROM orders)
               SELECT o_orderkey, o_orderstatus, o_totalprice,
-                round(o_totalprice / st, 9) AS share_of_status,
-                round(o_totalprice / gt, 9) AS share_global
+                o_totalprice / st AS share_of_status,
+                o_totalprice / gt AS share_global
               FROM t ORDER BY o_orderkey""")),
     QueryDef("win_range_interval", winRangeInterval,
       Some("""WITH p AS (SELECT user_id, event_id,

@@ -159,6 +159,33 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(nTri == want, s"got $nTri triangles, brute force says $want")
   }
 
+  test("graph edge cache is keyed per session — no stale cross-session reuse") {
+    import graft.operators.DedupGraph
+    // a localCheckpoint'd DataFrame is bound to its owning session's
+    // context: a dir-only cache key would hand session B a frame built
+    // under session A (and, as a library, one backed by DEAD checkpoint
+    // RDDs after A's context stops). Prove each session derives its own
+    // entry and both compute identical results.
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    val r1 = SparkEntry.queries("graph_triangle_count")(s1, sf).collect()
+      .map(_.toString).toSeq
+    val k1 = {
+      import scala.jdk.CollectionConverters._
+      DedupGraph.edgeCache.keySet.asScala.toSet
+    }
+    val r2 = SparkEntry.queries("graph_triangle_count")(s2, sf).collect()
+      .map(_.toString).toSeq
+    val k2 = {
+      import scala.jdk.CollectionConverters._
+      DedupGraph.edgeCache.keySet.asScala.toSet
+    }
+    assert(k1.exists { case (s, d) => (s eq s1) && d == sf })
+    assert(k2.exists { case (s, d) => (s eq s2) && d == sf },
+      "second session must derive its own cache entry, not reuse s1's")
+    assert(r1 == r2)
+  }
+
   test("udaf_uniq_upto caps at 6 and is exact below the cap") {
     import spark.implicits._
     val got = SparkEntry.queries("udaf_uniq_upto")(spark, sf)

@@ -10,19 +10,25 @@ package graft
   * on the session's partitioning) and the full collected results must
   * be bit-identical.
   *
-  * The sample is chosen adversarially: keys that reassemble arrays from
-  * aggregations (agg_foreach, agg_resample), rank after rounding
-  * (sim_ann_recall, sim_triplet_mine), hash-order windows
-  * (sample_stratified), per-partition kernels (mm_spectrogram), exact
-  * decimal window sums (win_share), a custom physical operator
-  * (topk_per_group_native), and an AQE-replanned join (join_skew_aqe).
+  * The sample (14 keys) is chosen adversarially: keys that reassemble
+  * arrays from aggregations (agg_foreach, agg_resample,
+  * agg_group_array_sorted, agg_array_intersect, agg_moving_sum_array),
+  * rank after rounding (sim_ann_recall, sim_triplet_mine), hash-order
+  * windows (sample_stratified), per-partition kernels (mm_spectrogram),
+  * exact decimal window sums (win_share), distance arithmetic
+  * (fn_distance_family), a custom physical operator
+  * (topk_per_group_native), an AQE-replanned join (join_skew_aqe), and
+  * a traversal over the shared checkpointed edge cache
+  * (graph_triangle_count — exercises cache reuse across the two
+  * differently-partitioned sessions).
   */
 class DeterminismSpec extends GraftSpec {
 
   private val keys = Seq("agg_foreach", "agg_resample", "sim_ann_recall",
     "sim_triplet_mine", "sample_stratified", "mm_spectrogram", "win_share",
     "topk_per_group_native", "join_skew_aqe", "fn_distance_family",
-    "agg_group_array_sorted", "agg_array_intersect")
+    "agg_group_array_sorted", "agg_array_intersect",
+    "agg_moving_sum_array", "graph_triangle_count")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()

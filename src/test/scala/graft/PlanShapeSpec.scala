@@ -717,6 +717,32 @@ class PlanShapeSpec extends GraftSpec {
       "totals row re-scans the table:\n" + p.take(800))
   }
 
+  test("agg_moving_sum_array: one group-key shuffle feeds window AND reassembly") {
+    val p = plan("agg_moving_sum_array")
+    // the window (moving frame) and the array reassembly both key on
+    // l_orderkey — one exchange must serve both; a second orderkey
+    // shuffle would double the fact table's network volume
+    assert(p.linesIterator.count(
+      _.contains("Exchange hashpartitioning(l_orderkey")) == 1,
+      "expected exactly one l_orderkey exchange:\n" + p.take(1200))
+    // the orderkey filter reaches the scan
+    assert(p.contains("PushedFilters:"), p.take(400))
+  }
+
+  test("agg_categorical_iv: totals broadcast, no OVER() funnel") {
+    val p = plan("agg_categorical_iv")
+    // grand totals and the IV fold join back via broadcast — a window
+    // over the unpartitioned frame would plan Exchange SinglePartition
+    // upstream of the fact aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "totals must broadcast:\n" + p.take(800))
+    val lines = p.linesIterator.toIndexedSeq
+    val win = lines.indexWhere(_.contains("Window"))
+    assert(win < 0, "unexpected Window operator (OVER() funnel):\n" +
+      lines.slice(win, win + 3).mkString("\n"))
+  }
+
   test("fn_transform: map-literal recode stays one codegen'd projection") {
     val p = plan("fn_transform")
     assert(!p.contains("Exchange hashpartitioning"),

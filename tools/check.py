@@ -20,6 +20,11 @@ def norm(v):
         return float(v)
     return v
 
+def pa_is_nested(t):
+    import pyarrow.types as pt
+    return (pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t)
+            or pt.is_struct(t) or pt.is_map(t))
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -46,6 +51,25 @@ def main():
             continue
         got = duckdb.connect().execute(
             f"SELECT * FROM read_parquet({res_glob!r})").fetch_arrow_table()
+        # The driver's comparator (pandas sort_values -> factorize) crashes
+        # on non-scalar cells (TypeError: unhashable type 'numpy.ndarray'),
+        # so ANY list/struct/map-typed result column means the key ships
+        # untested by the binding gate. Reject it here, hard — the repo
+        # rule is "array-typed outputs must leave as strings"
+        # (Aggregates.scala, agg_collect / label_centroid pattern:
+        # array_join in Spark, array_to_string in the DuckDB oracle).
+        nested = [(side, c, str(tb.schema.field(c).type))
+                  for side, tb in (("spark", got), ("oracle", want))
+                  for c in tb.column_names
+                  if pa_is_nested(tb.schema.field(c).type)]
+        if nested:
+            side, c, t = nested[0]
+            print(f"[FAIL] {key}: {side} col {c} is nested type {t} — the "
+                  "driver comparator cannot hash it; serialize to a "
+                  "canonical string (array_join / array_to_string)"
+                  + (f" (+{len(nested)-1} more)" if len(nested) > 1 else ""))
+            n_bad += 1
+            continue
         wcols, gcols = sorted(want.column_names), sorted(got.column_names)
         if wcols != gcols:
             print(f"[FAIL] {key}: columns differ: oracle={wcols} spark={gcols}")
@@ -97,10 +121,17 @@ def main():
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         key = os.path.basename(d.rstrip("/"))
         if key not in oracle:
-            n = duckdb.connect().execute(
-                f"SELECT count(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
+            t = duckdb.connect().execute(
+                f"SELECT count(*) FROM read_parquet('{d}*.parquet')"
+            ).fetch_arrow_table()
+            n = t.to_pylist()[0][t.column_names[0]]
+            schema = duckdb.connect().execute(
+                f"SELECT * FROM read_parquet('{d}*.parquet') LIMIT 0"
+            ).fetch_arrow_table().schema
+            nested = [f.name for f in schema if pa_is_nested(f.type)]
             tag = "ok" if n > 0 else "WARN-EMPTY"
-            print(f"[{tag:>4}] {key}: rows-only check, {n} rows")
+            note = f" [WARN nested cols: {nested}]" if nested else ""
+            print(f"[{tag:>4}] {key}: rows-only check, {n} rows{note}")
     print(f"== {n_ok} ok, {n_bad} failed ==")
     sys.exit(1 if n_bad else 0)
 
