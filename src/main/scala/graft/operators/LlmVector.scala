@@ -116,6 +116,96 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** One pooled candidate for the MMR re-rank: relevance to the probe
+    * plus this candidate's cosine to every OTHER pool member (the
+    * bounded ≤10-entry sim map the greedy step consults).
+    */
+  private[operators] case class MmrCand(probe_id: Long, cand_id: Long,
+    rel: Double, m: Map[Long, Double])
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity-aware top-k every RAG / training-data
+    * retrieval stage runs after ANN: greedily pick 5 of the probe's
+    * top-10 candidates maximizing λ·rel − (1−λ)·max sim-to-selected
+    * (λ = 0.7). Candidate generation is the sim_topk broadcast-probe
+    * shape; the greedy loop is genuinely sequential per probe, so it
+    * runs as a typed flatMapGroups over the BOUNDED pool (10 rows, a
+    * 10×10 sim map per probe) — per-group state is O(k²), never the
+    * corpus. Determinism: rel and pairwise sims round to 6dp (the
+    * sim_topk discipline), then each step's score is computed in EXACT
+    * INTEGER 1e-7 units — mmr_e7 = 7·(rel·1e6) − 3·(pen·1e6) — because
+    * rounding the λ-blend at the edge is the confirmed
+    * shortest-string-vs-exact-binary midpoint split (Core.scala; it bit
+    * this exact key in dev: 0.255122 vs 0.255123). Ties by cand_id;
+    * the oracle replays the identical greedy integer arithmetic as
+    * five chained argmax CTEs.
+    *
+    * Scale notes: probes broadcast, corpus never shuffles; the only
+    * shuffle after candidate generation carries ≤10 rows per probe.
+    * At 100 TB the pool would come from IVF/LSH routing
+    * (sim_ivf_knn) — MMR's cost is O(probes·k·pool), independent of
+    * corpus size, exactly why production rerankers run it last.
+    */
+  private def simMmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val wRel = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rel").desc, col("cand_id"))
+    val pool = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("rel", round(expr("cosine_sim_native(pv, cv)"), 6))
+      .withColumn("rnk", row_number().over(wRel))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("cand_id"), col("rel"), col("cv"))
+    val a = pool.select(col("probe_id"), col("cand_id").as("ca"),
+      col("cv").as("va"))
+    val b = pool.select(col("probe_id"), col("cand_id").as("cb"),
+      col("cv").as("vb"))
+    val sims = a.join(b, Seq("probe_id")).filter(col("ca") =!= col("cb"))
+      .withColumn("sim", round(expr("cosine_sim_native(va, vb)"), 6))
+    val simMap = sims.groupBy(col("probe_id").as("pid2"), col("ca"))
+      .agg(map_from_arrays(collect_list(col("cb")),
+        collect_list(col("sim"))).as("m"))
+    val pooled = pool.select(col("probe_id"), col("cand_id"), col("rel"))
+      .join(simMap,
+        col("probe_id") === col("pid2") && col("cand_id") === col("ca"))
+      .select(col("probe_id"), col("cand_id"), col("rel"), col("m"))
+      .as[MmrCand]
+    pooled.groupByKey(_.probe_id).flatMapGroups { (pid, it) =>
+      val cs = it.toArray
+      var selected = List.empty[Long]
+      val out = Array.newBuilder[(Long, Int, Long, Long)]
+      var step = 1
+      while (step <= 5 && selected.size < cs.length) {
+        var bestId = Long.MaxValue; var bestM = Long.MinValue
+        cs.foreach { c =>
+          if (!selected.contains(c.cand_id)) {
+            val pen =
+              if (selected.isEmpty) 0.0
+              else selected.map(sid => c.m.getOrElse(sid, 0.0)).max
+            // exact integer micro-unit arithmetic the oracle replays:
+            // the 6dp-rounded doubles ARE integers in 1e-6 units, so
+            // the λ-blend is exact in 1e-7 units — no edge rounding
+            val mmr = 7L * math.round(c.rel * 1e6) -
+              3L * math.round(pen * 1e6)
+            if (mmr > bestM || (mmr == bestM && c.cand_id < bestId)) {
+              bestM = mmr; bestId = c.cand_id
+            }
+          }
+        }
+        out += ((pid, step, bestId, bestM))
+        selected ::= bestId
+        step += 1
+      }
+      out.result().iterator
+    }.toDF("probe_id", "step", "cand_id", "mmr_score_e7")
+      .orderBy(col("probe_id"), col("step"))
+  }
+
   /** k-NN GRAPH construction — the corpus-wide neighbor structure that
     * graph-based semantic dedup (SemDeDup clusters), diversity sampling
     * and label propagation all build on: every vector's top-3 cosine
@@ -1449,6 +1539,140 @@ object LlmVector {
                 FROM pairs)
               SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cos_sim
               FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
+    QueryDef("sim_mmr", simMmr,
+      Some(s"""WITH pool AS (
+                SELECT probe_id, cand_id, rel FROM (
+                  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                    round(${oDot.format("p.embedding", "c.embedding")}
+                      / (${oNorm("p.embedding")} * ${oNorm("c.embedding")}),
+                      6) AS rel,
+                    row_number() OVER (PARTITION BY p.vec_id
+                      ORDER BY round(
+                        ${oDot.format("p.embedding", "c.embedding")}
+                        / (${oNorm("p.embedding")}
+                          * ${oNorm("c.embedding")}), 6) DESC,
+                        c.vec_id) AS rnk
+                  FROM embeddings p JOIN embeddings c
+                    ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id) t
+                WHERE rnk <= 10),
+              sims AS (
+                SELECT x.probe_id, x.cand_id AS ca, y.cand_id AS cb,
+                  round(${oDot.format("ex.embedding", "ey.embedding")}
+                    / (${oNorm("ex.embedding")} * ${oNorm("ey.embedding")}),
+                    6) AS sim
+                FROM pool x JOIN pool y ON x.probe_id = y.probe_id
+                  AND x.cand_id <> y.cand_id
+                JOIN embeddings ex ON ex.vec_id = x.cand_id
+                JOIN embeddings ey ON ey.vec_id = y.cand_id),
+              s1 AS (SELECT probe_id, cand_id, m FROM (
+                SELECT probe_id, cand_id,
+                  7*CAST(round(rel*1000000) AS BIGINT) AS m,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY 7*CAST(round(rel*1000000) AS BIGINT) DESC,
+                      cand_id) AS rn
+                FROM pool) t WHERE rn = 1),
+              s2 AS (SELECT probe_id, cand_id, m FROM (
+                SELECT p.probe_id, p.cand_id,
+                  7*CAST(round(p.rel*1000000) AS BIGINT)
+                    - 3*CAST(round(sa.sim*1000000) AS BIGINT) AS m,
+                  row_number() OVER (PARTITION BY p.probe_id
+                    ORDER BY 7*CAST(round(p.rel*1000000) AS BIGINT)
+                      - 3*CAST(round(sa.sim*1000000) AS BIGINT) DESC,
+                      p.cand_id) AS rn
+                FROM pool p
+                JOIN s1 ON s1.probe_id = p.probe_id
+                  AND p.cand_id <> s1.cand_id
+                JOIN sims sa ON sa.probe_id = p.probe_id
+                  AND sa.ca = p.cand_id AND sa.cb = s1.cand_id) t
+                WHERE rn = 1),
+              s3 AS (SELECT probe_id, cand_id, m FROM (
+                SELECT p.probe_id, p.cand_id,
+                  7*CAST(round(p.rel*1000000) AS BIGINT)
+                    - 3*CAST(round(greatest(sa.sim, sb.sim)*1000000)
+                      AS BIGINT) AS m,
+                  row_number() OVER (PARTITION BY p.probe_id
+                    ORDER BY 7*CAST(round(p.rel*1000000) AS BIGINT)
+                      - 3*CAST(round(greatest(sa.sim, sb.sim)*1000000)
+                        AS BIGINT) DESC,
+                      p.cand_id) AS rn
+                FROM pool p
+                JOIN s1 ON s1.probe_id = p.probe_id
+                  AND p.cand_id <> s1.cand_id
+                JOIN s2 ON s2.probe_id = p.probe_id
+                  AND p.cand_id <> s2.cand_id
+                JOIN sims sa ON sa.probe_id = p.probe_id
+                  AND sa.ca = p.cand_id AND sa.cb = s1.cand_id
+                JOIN sims sb ON sb.probe_id = p.probe_id
+                  AND sb.ca = p.cand_id AND sb.cb = s2.cand_id) t
+                WHERE rn = 1),
+              s4 AS (SELECT probe_id, cand_id, m FROM (
+                SELECT p.probe_id, p.cand_id,
+                  7*CAST(round(p.rel*1000000) AS BIGINT)
+                    - 3*CAST(round(
+                      greatest(sa.sim, sb.sim, sc.sim)*1000000)
+                      AS BIGINT) AS m,
+                  row_number() OVER (PARTITION BY p.probe_id
+                    ORDER BY 7*CAST(round(p.rel*1000000) AS BIGINT)
+                      - 3*CAST(round(
+                        greatest(sa.sim, sb.sim, sc.sim)*1000000)
+                        AS BIGINT) DESC,
+                      p.cand_id) AS rn
+                FROM pool p
+                JOIN s1 ON s1.probe_id = p.probe_id
+                  AND p.cand_id <> s1.cand_id
+                JOIN s2 ON s2.probe_id = p.probe_id
+                  AND p.cand_id <> s2.cand_id
+                JOIN s3 ON s3.probe_id = p.probe_id
+                  AND p.cand_id <> s3.cand_id
+                JOIN sims sa ON sa.probe_id = p.probe_id
+                  AND sa.ca = p.cand_id AND sa.cb = s1.cand_id
+                JOIN sims sb ON sb.probe_id = p.probe_id
+                  AND sb.ca = p.cand_id AND sb.cb = s2.cand_id
+                JOIN sims sc ON sc.probe_id = p.probe_id
+                  AND sc.ca = p.cand_id AND sc.cb = s3.cand_id) t
+                WHERE rn = 1),
+              s5 AS (SELECT probe_id, cand_id, m FROM (
+                SELECT p.probe_id, p.cand_id,
+                  7*CAST(round(p.rel*1000000) AS BIGINT)
+                    - 3*CAST(round(
+                      greatest(sa.sim, sb.sim, sc.sim, sd.sim)*1000000)
+                      AS BIGINT) AS m,
+                  row_number() OVER (PARTITION BY p.probe_id
+                    ORDER BY 7*CAST(round(p.rel*1000000) AS BIGINT)
+                      - 3*CAST(round(
+                        greatest(sa.sim, sb.sim, sc.sim, sd.sim)*1000000)
+                        AS BIGINT) DESC, p.cand_id) AS rn
+                FROM pool p
+                JOIN s1 ON s1.probe_id = p.probe_id
+                  AND p.cand_id <> s1.cand_id
+                JOIN s2 ON s2.probe_id = p.probe_id
+                  AND p.cand_id <> s2.cand_id
+                JOIN s3 ON s3.probe_id = p.probe_id
+                  AND p.cand_id <> s3.cand_id
+                JOIN s4 ON s4.probe_id = p.probe_id
+                  AND p.cand_id <> s4.cand_id
+                JOIN sims sa ON sa.probe_id = p.probe_id
+                  AND sa.ca = p.cand_id AND sa.cb = s1.cand_id
+                JOIN sims sb ON sb.probe_id = p.probe_id
+                  AND sb.ca = p.cand_id AND sb.cb = s2.cand_id
+                JOIN sims sc ON sc.probe_id = p.probe_id
+                  AND sc.ca = p.cand_id AND sc.cb = s3.cand_id
+                JOIN sims sd ON sd.probe_id = p.probe_id
+                  AND sd.ca = p.cand_id AND sd.cb = s4.cand_id) t
+                WHERE rn = 1)
+              SELECT probe_id, CAST(step AS INTEGER) AS step, cand_id,
+                m AS mmr_score_e7
+              FROM (
+                SELECT probe_id, 1 AS step, cand_id, m FROM s1
+                UNION ALL
+                SELECT probe_id, 2 AS step, cand_id, m FROM s2
+                UNION ALL
+                SELECT probe_id, 3 AS step, cand_id, m FROM s3
+                UNION ALL
+                SELECT probe_id, 4 AS step, cand_id, m FROM s4
+                UNION ALL
+                SELECT probe_id, 5 AS step, cand_id, m FROM s5) u
+              ORDER BY probe_id, step""")),
     QueryDef("sim_knn_graph", simKnnGraph,
       Some(s"""WITH p AS (
                 SELECT a.vec_id AS src, b.vec_id AS nbr,

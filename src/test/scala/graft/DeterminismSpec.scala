@@ -10,7 +10,7 @@ package graft
   * on the session's partitioning) and the full collected results must
   * be bit-identical.
   *
-  * The sample (14 keys) is chosen adversarially: keys that reassemble
+  * The sample (15 keys) is chosen adversarially: keys that reassemble
   * arrays from aggregations (agg_foreach, agg_resample,
   * agg_group_array_sorted, agg_array_intersect, agg_moving_sum_array),
   * rank after rounding (sim_ann_recall, sim_triplet_mine), hash-order
@@ -20,7 +20,8 @@ package graft
   * (topk_per_group_native), an AQE-replanned join (join_skew_aqe), and
   * a traversal over the shared checkpointed edge cache
   * (graph_triangle_count — exercises cache reuse across the two
-  * differently-partitioned sessions).
+  * differently-partitioned sessions), and a sequential greedy
+  * re-ranker fed by a map assembled in shuffle order (sim_mmr).
   */
 class DeterminismSpec extends GraftSpec {
 
@@ -28,7 +29,7 @@ class DeterminismSpec extends GraftSpec {
     "sim_triplet_mine", "sample_stratified", "mm_spectrogram", "win_share",
     "topk_per_group_native", "join_skew_aqe", "fn_distance_family",
     "agg_group_array_sorted", "agg_array_intersect",
-    "agg_moving_sum_array", "graph_triangle_count")
+    "agg_moving_sum_array", "graph_triangle_count", "sim_mmr")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()
