@@ -60,9 +60,23 @@ class AllQueriesSmokeSpec extends GraftSpec {
     assert(Bench.readPrev(dir.resolve("absent.json").toString).isEmpty)
   }
 
+  /** Keys allowed to plan CartesianProduct. Empty by policy: every
+    * cross join in the library is against a broadcast bounded frame
+    * (1-row totals, probe sets, codebooks), which plans
+    * BroadcastNestedLoopJoin — an unhinted CartesianProduct is the
+    * 100 TB scale killer (both sides shuffle-replicated), so any new
+    * entry here needs a written bound justification.
+    */
+  private val mayCartesian = Set.empty[String]
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (key, fn) =>
     test(s"operator $key runs on sf0.001") {
-      val n = fn(spark, sf).count()
+      val df = fn(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      if (!mayCartesian(key)) assert(!plan.contains("CartesianProduct"),
+        s"$key plans a CartesianProduct — broadcast the bounded side " +
+          "or add an equi-key:\n" + plan.take(1200))
+      val n = df.count()
       if (!mayBeEmpty(key)) assert(n > 0, s"$key returned no rows")
     }
   }
