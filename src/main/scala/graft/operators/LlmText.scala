@@ -562,7 +562,10 @@ object LlmText {
     * only when none does. Classic BFD guarantees ≤ 11/9·OPT + 1 bins
     * (Johnson 1973); the ScalaTest asserts no-overflow, ≤ first-fit
     * bin counts, and determinism. Docs longer than the 512 capacity
-    * are clamped (doc_chunk is the splitting path).
+    * are clamped (doc_chunk is the splitting path). Fully oracled: the
+    * greedy is ALL-INTEGER (loads, capacities, tie-breaks), so the
+    * DuckDB twin replays it exactly as a recursive CTE carrying the
+    * bin-load list across steps — no float hazard anywhere.
     *
     * Scale notes: packing is inherently sequential WITHIN a bin set,
     * so the corpus shards first (the same shard key pack_sequences
@@ -2037,7 +2040,42 @@ object LlmText {
               WHERE round(CAST(n_inter AS DOUBLE)
                 / (sa.sz + sb.sz - n_inter), 6) >= 0.02
               ORDER BY id_a, id_b""")),
-    QueryDef("pack_bestfit", packBestfit, None),
+    QueryDef("pack_bestfit", packBestfit, Some("""
+      WITH RECURSIVE
+      d AS (SELECT doc_id, doc_id % 8 AS shard,
+              least(CAST(len(string_split(text, ' ')) AS INTEGER), 512)
+                AS n
+            FROM documents),
+      g AS (SELECT shard,
+              list({'id': doc_id, 'n': n} ORDER BY n DESC, doc_id) AS ds
+            FROM d GROUP BY shard),
+      rec AS (
+        SELECT shard, 0 AS k, CAST([] AS INTEGER[]) AS loads,
+          CAST(NULL AS BIGINT) AS doc_id,
+          CAST(NULL AS INTEGER) AS n_tokens,
+          CAST(NULL AS INTEGER) AS bin_id
+        FROM g
+        UNION ALL
+        SELECT b.shard, b.k + 1,
+          CASE WHEN b.best IS NULL THEN list_append(b.loads, b.n)
+            ELSE list_transform(generate_series(1, len(b.loads)),
+              j -> CASE WHEN j = b.best THEN b.loads[j] + b.n
+                   ELSE b.loads[j] END) END,
+          b.id, b.n,
+          CASE WHEN b.best IS NULL THEN len(b.loads)
+            ELSE b.best - 1 END
+        FROM (
+          SELECT r.shard, r.k, r.loads,
+            q.ds[r.k + 1].id AS id, q.ds[r.k + 1].n AS n,
+            list_sort(list_filter(
+              list_transform(generate_series(1, len(r.loads)),
+                j -> {'negl': -r.loads[j], 'j': j}),
+              c -> -c.negl + q.ds[r.k + 1].n <= 512))[1].j AS best
+          FROM rec r JOIN g q USING (shard)
+          WHERE r.k < len(q.ds)) b
+      )
+      SELECT shard, doc_id, n_tokens, bin_id FROM rec WHERE k >= 1
+      ORDER BY shard, doc_id""")),
     QueryDef("shuffle_shard", shuffleShard,
       Some("""WITH t AS (SELECT doc_id,
                 md5('epoch1-' || CAST(doc_id AS VARCHAR)) AS rk

@@ -597,10 +597,13 @@ object LlmVector {
     * Gonzalez 2-approximation, the "pick a maximally diverse subset"
     * primitive of data curation): seed = min vec_id, then 7 rounds of
     * "select the corpus point farthest from every already-selected
-    * center". Deterministic (ties break on vec_id) but an iterated
-    * argmax → rows-only; VectorTextSpec asserts the selection distances
-    * are non-increasing (the Gonzalez invariant), ids distinct, and the
-    * run reproducible.
+    * center". Each round's argmax ranks the 6dp-ROUNDED min-distance
+    * (ties by vec_id) — the sim_topk rank-after-round discipline, which
+    * is what makes the iterated greedy fully oracle-able: the DuckDB
+    * twin replays the identical eight argmax steps as chained CTEs over
+    * the same fold-order-pinned L2² (the fn_distance_family parity).
+    * VectorTextSpec additionally asserts the selection distances are
+    * non-increasing (the Gonzalez invariant) and ids distinct.
     *
     * Scale notes: state is ONE double per corpus row (min-dist-so-far),
     * updated MAP-SIDE each round against the single broadcast newest
@@ -622,7 +625,8 @@ object LlmVector {
         typedlit(first.getSeq[Double](1)))).localCheckpoint()
     var i = 2
     while (i <= k) {
-      val far = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+      val far = cur.orderBy(round(col("mind"), 6).desc, col("vec_id"))
+        .limit(1)
         .select(col("vec_id"), col("mind"), col("v")).collect()(0)
       sel ::= ((i.toLong, far.getLong(0), far.getDouble(1)))
       cur = cur.withColumn("mind", least(col("mind"),
@@ -1099,6 +1103,41 @@ object LlmVector {
   }
 
   // ---- oracles ----
+
+  /** The sample_kcenter oracle: Gonzalez farthest-first replayed as
+    * eight chained argmax CTEs — step t ranks every corpus point by the
+    * 6dp-rounded least L2² to the t−1 already-chosen centers (fold-order
+    * pinned to l2_sq_native via the fn_distance_family list_sum form),
+    * ties by vec_id, LIMIT 1. Generated programmatically so step count
+    * and arithmetic stay in one place.
+    */
+  private val kcenterOracle: String = {
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val steps = (2 to 8).map { t =>
+      val cs = (1 until t).map(j => s"s$j c$j").mkString(", ")
+      val dists = (1 until t).map(j => l2("x.v", s"c$j.v"))
+      val mind =
+        if (dists.size == 1) dists.head
+        else s"least(${dists.mkString(", ")})"
+      s"""m$t AS (SELECT x.vec_id, x.v, $mind AS mind FROM e x, $cs),
+         s$t AS (SELECT vec_id, v, mind FROM m$t
+           ORDER BY round(mind, 6) DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val unions = (2 to 8).map(t =>
+      s"SELECT $t AS sel_order, vec_id, round(mind, 6) " +
+        s"AS dist_sq_at_selection FROM s$t").mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       $steps
+       SELECT * FROM (
+         SELECT 1 AS sel_order, vec_id, CAST(0.0 AS DOUBLE)
+           AS dist_sq_at_selection FROM s1
+         UNION ALL
+         $unions) u ORDER BY sel_order"""
+  }
 
   private val oDot =
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
@@ -1990,7 +2029,7 @@ object LlmVector {
     QueryDef("dedup_minhash_native", dedupMinhashNative, None),
     QueryDef("sim_lsh_knn", simLshKnn, None),
     QueryDef("vec_kmeans_train", vecKmeansTrain, None),
-    QueryDef("sample_kcenter", sampleKcenter, None),
+    QueryDef("sample_kcenter", sampleKcenter, Some(kcenterOracle)),
     QueryDef("sim_ivf_trained_knn", simIvfTrainedKnn, None),
   )
 }

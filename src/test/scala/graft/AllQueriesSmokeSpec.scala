@@ -23,10 +23,10 @@ class AllQueriesSmokeSpec extends GraftSpec {
       "agg_quantile_state", "src_rate", "dedup_simhash", "dedup_minhash",
       "dedup_minhash_native", "sim_lsh_knn", "scan_sample", "agg_hll_merge",
       "udaf_sketch_topk", "udaf_cm_sketch", "text_compress_ratio", "ts_holt",
-      "pack_bestfit", "stream_quantile_mv", "agg_topk_state",
-      "vec_kmeans_train", "sim_ivf_trained_knn", "ts_lttb",
+      "stream_quantile_mv", "agg_topk_state",
+      "vec_kmeans_train", "sim_ivf_trained_knn",
       "udaf_kmv_intersect", "ts_dtw", "ml_quality_filter",
-      "tok_bpe_train", "sample_kcenter")
+      "tok_bpe_train")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}")
   }

@@ -25,7 +25,6 @@ class LedgerSpec extends AnyFunSuite {
     "dedup_minhash",        // seeded MLlib LSH — recall-vs-exact test
     "dedup_minhash_native", // seeded native minhash — recall-vs-exact test
     "dedup_simhash",        // seeded hyperplanes — golden test
-    "pack_bestfit",         // BFD fold not SQL-expressible — invariant tests
     "stream_quantile_mv",   // sketch-state MV — SketchSpec rank bounds
     "scan_sample",          // TABLESAMPLE is engine-seeded
     "sim_ivf_trained_knn",  // iterated-k-means codebook — recall-improves test
@@ -33,8 +32,6 @@ class LedgerSpec extends AnyFunSuite {
     "src_rate",             // wall-clock rate source
     "text_compress_ratio",  // deflate impl differs per engine — golden test
     "ts_holt",              // iterated double fold drifts in last ulp
-    "ts_lttb",              // previous-selection recurrence not
-                            // SQL-expressible — property tests
     "udaf_cm_sketch",       // CountMin estimate — SketchSpec
     "udaf_sketch_topk",     // SpaceSaving estimate — SketchSpec
     "vec_kmeans_train",     // iterated fixpoint not SQL-expressible —
@@ -44,8 +41,6 @@ class LedgerSpec extends AnyFunSuite {
     "ml_quality_filter",    // iterated GD weights — accuracy/descent tests
     "tok_bpe_train",        // iterated merge fixpoint — golden merge-table
                             // test vs independent reimplementation
-    "sample_kcenter",       // iterated argmax traversal — Gonzalez
-                            // invariant property tests
   )
 
   private val ledgerRe =
