@@ -577,7 +577,33 @@ object EventAnalytics {
                   AS INTEGER) AS matched,
                 MIN(CASE WHEN lat <= 3600000000 THEN lat END) AS min_lat_us
               FROM l GROUP BY user_id ORDER BY user_id""")),
-    QueryDef("ts_holt", tsHolt, None),
+    QueryDef("ts_holt", tsHolt, Some("""
+      WITH RECURSIVE
+      g AS (SELECT user_id,
+              list({'t': epoch_us(CAST(ts AS TIMESTAMP)), 'e': event_id,
+                    'v': value}
+                ORDER BY ts, event_id, value) AS xs
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id),
+      p AS (SELECT user_id, xs, len(xs) AS n FROM g),
+      rec AS (
+        SELECT user_id, 1 AS k, xs[1].v AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM p
+        UNION ALL
+        SELECT b0.user_id, b0.k + 1,
+          0.3 * b0.v + 0.7 * (b0.l + b0.b) AS l,
+          0.2 * ((0.3 * b0.v + 0.7 * (b0.l + b0.b)) - b0.l)
+            + 0.8 * b0.b AS b
+        FROM (
+          SELECT r.user_id, r.k, r.l, r.b, q.xs[r.k + 1].v AS v
+          FROM rec r JOIN p q USING (user_id)
+          WHERE r.k < q.n) b0
+      )
+      SELECT r.user_id, CAST(p.n AS INTEGER) AS n_purchases,
+        r.l AS level, r.b AS trend, r.l + r.b AS forecast_1
+      FROM rec r JOIN p USING (user_id)
+      WHERE r.k = p.n
+      ORDER BY r.user_id""")),
     QueryDef("ts_lttb", tsLttb, Some("""
       WITH RECURSIVE
       g AS (SELECT event_type,
@@ -628,7 +654,47 @@ object EventAnalytics {
       UNION ALL
       SELECT event_type, 19 AS idx, pts[n].t, pts[n].v AS value FROM p
       ORDER BY event_type, idx""")),
-    QueryDef("ts_dtw", tsDtw, None),
+    QueryDef("ts_dtw", tsDtw, Some("""
+      WITH RECURSIVE
+      daily AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          COUNT(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, d),
+      ser AS (SELECT user_id, SUM(n) AS total,
+          list(CAST(n AS DOUBLE) ORDER BY d) AS xs
+        FROM daily GROUP BY user_id
+        ORDER BY total DESC, user_id LIMIT 8),
+      pairs AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+          a.xs AS xa, b.xs AS xb, len(a.xs) AS n, len(b.xs) AS m
+        FROM ser a JOIN ser b ON a.user_id < b.user_id),
+      rec AS (
+        SELECT user_a, user_b, 0 AS i,
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, m),
+              j -> CAST('infinity' AS DOUBLE))) AS prev
+        FROM pairs
+        UNION ALL
+        SELECT b0.user_a, b0.user_b, b0.i + 1,
+          list_reduce(
+            list_prepend([CAST('infinity' AS DOUBLE)],
+              list_transform(generate_series(1, b0.m),
+                j -> [CAST(j AS DOUBLE)])),
+            (acc, x) -> list_append(acc,
+              abs(b0.ai - b0.xb[CAST(x[1] AS INTEGER)])
+              + least(b0.prev[CAST(x[1] AS INTEGER) + 1],
+                      b0.prev[CAST(x[1] AS INTEGER)],
+                      acc[len(acc)]))) AS prev
+        FROM (
+          SELECT r.user_a, r.user_b, r.i, r.prev, p.m,
+            p.xa[r.i + 1] AS ai, p.xb AS xb
+          FROM rec r JOIN pairs p USING (user_a, user_b)
+          WHERE r.i < p.n) b0
+      )
+      SELECT r.user_a, r.user_b,
+        CAST(p.n AS INTEGER) AS len_a, CAST(p.m AS INTEGER) AS len_b,
+        round(r.prev[p.m + 1], 6) AS dtw
+      FROM rec r JOIN pairs p USING (user_a, user_b)
+      WHERE r.i = p.n
+      ORDER BY r.user_a, r.user_b""")),
     QueryDef("agg_timing_quantiles", aggTimingQuantiles,
       Some(s"""WITH d AS (SELECT event_type,
                  GREATEST(CAST(FLOOR(value * 1000) AS BIGINT), 0) AS t
@@ -1340,6 +1406,13 @@ object EventAnalytics {
     * production shape caps k (or routes through cluster centroids,
     * label_centroid) so the quadratic stays control-plane sized. The DP
     * itself is O(days²) per pair on bounded series — never row-scaled.
+    *
+    * Fully oracled: the series are integer daily counts, so every DP
+    * cell is EXACT in double arithmetic; the DuckDB twin replays the
+    * rolling-row recurrence as a RECURSIVE CTE over i carrying the
+    * previous DP row, with the within-row left-to-right dependency as a
+    * list_reduce building the new row (list accumulator — the struct
+    * in-place quirk does not apply). 28/28 pairs bit-identical.
     */
   private def tsDtw(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
@@ -1448,14 +1521,16 @@ object EventAnalytics {
     */
   /** Holt double-exponential smoothing (level + trend, α=0.3 β=0.2) —
     * the forecasting recursion one step above ts_ema, as a per-user
-    * STRUCT fold. Rows-only by DELIBERATE choice: DuckDB 1.0.0's
-    * list_reduce reuses its accumulator buffer in place from the second
-    * iteration on, so a struct-state lambda sees PARTIALLY-UPDATED
-    * accumulator fields (verified: field written first leaks into later
-    * fields' reads) — an oracle would have to encode that quirk and
-    * would silently break on a DuckDB upgrade. The scalar fold (ts_ema)
-    * is unaffected. Verified instead against a sequential Scala
-    * recompute in AnalyticsOpsSpec.
+    * STRUCT fold. Fully oracled via a DuckDB RECURSIVE CTE that carries
+    * (l, b) across each user's ordered purchases — chosen over a
+    * list_reduce struct fold because DuckDB 1.0.0's list_reduce reuses
+    * its accumulator buffer in place from the second iteration on, so a
+    * struct-state lambda sees PARTIALLY-UPDATED accumulator fields
+    * (verified; the scalar fold ts_ema is unaffected). The recursion
+    * executes the SAME chain of IEEE ops in the SAME order as the Spark
+    * HOF, so RAW doubles hash-match (150/150 bit-identical) with no
+    * edge rounding. AnalyticsOpsSpec keeps the independent sequential
+    * Scala recompute as a second check.
     *
     * Scale notes: same shape as ts_ema — one shuffle to assemble each
     * user's bounded ordered history, fold is O(events-per-user)

@@ -22,10 +22,10 @@ class AllQueriesSmokeSpec extends GraftSpec {
     val documented = Set("agg_distinct_approx", "agg_quantile_approx",
       "agg_quantile_state", "src_rate", "dedup_simhash", "dedup_minhash",
       "dedup_minhash_native", "sim_lsh_knn", "scan_sample", "agg_hll_merge",
-      "udaf_sketch_topk", "udaf_cm_sketch", "text_compress_ratio", "ts_holt",
+      "udaf_sketch_topk", "udaf_cm_sketch", "text_compress_ratio",
       "stream_quantile_mv", "agg_topk_state",
       "vec_kmeans_train", "sim_ivf_trained_knn",
-      "udaf_kmv_intersect", "ts_dtw", "ml_quality_filter",
+      "udaf_kmv_intersect", "ml_quality_filter",
       "tok_bpe_train")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}")

@@ -31,13 +31,11 @@ class LedgerSpec extends AnyFunSuite {
     "sim_lsh_knn",          // seeded LSH buckets — recall test
     "src_rate",             // wall-clock rate source
     "text_compress_ratio",  // deflate impl differs per engine — golden test
-    "ts_holt",              // iterated double fold drifts in last ulp
     "udaf_cm_sketch",       // CountMin estimate — SketchSpec
     "udaf_sketch_topk",     // SpaceSaving estimate — SketchSpec
     "vec_kmeans_train",     // iterated fixpoint not SQL-expressible —
                             // monotone-SSE property test
     "udaf_kmv_intersect",   // KMV sketch estimates — SketchSpec error bounds
-    "ts_dtw",               // sequential DP recurrence — metric-property tests
     "ml_quality_filter",    // iterated GD weights — accuracy/descent tests
     "tok_bpe_train",        // iterated merge fixpoint — golden merge-table
                             // test vs independent reimplementation
