@@ -10,7 +10,7 @@ package graft
   * on the session's partitioning) and the full collected results must
   * be bit-identical.
   *
-  * The sample (15 keys) is chosen adversarially: keys that reassemble
+  * The sample (18 keys) is chosen adversarially: keys that reassemble
   * arrays from aggregations (agg_foreach, agg_resample,
   * agg_group_array_sorted, agg_array_intersect, agg_moving_sum_array),
   * rank after rounding (sim_ann_recall, sim_triplet_mine), hash-order
@@ -20,8 +20,10 @@ package graft
   * (topk_per_group_native), an AQE-replanned join (join_skew_aqe), and
   * a traversal over the shared checkpointed edge cache
   * (graph_triangle_count — exercises cache reuse across the two
-  * differently-partitioned sessions), and a sequential greedy
-  * re-ranker fed by a map assembled in shuffle order (sim_mmr).
+  * differently-partitioned sessions), and the sequential per-group
+  * recurrences fed by shuffle-ordered input — greedy re-rank (sim_mmr),
+  * best-fit packing (pack_bestfit), LTTB downsampling (ts_lttb), and
+  * the DTW pair DP (ts_dtw).
   */
 class DeterminismSpec extends GraftSpec {
 
@@ -29,7 +31,8 @@ class DeterminismSpec extends GraftSpec {
     "sim_triplet_mine", "sample_stratified", "mm_spectrogram", "win_share",
     "topk_per_group_native", "join_skew_aqe", "fn_distance_family",
     "agg_group_array_sorted", "agg_array_intersect",
-    "agg_moving_sum_array", "graph_triangle_count", "sim_mmr")
+    "agg_moving_sum_array", "graph_triangle_count", "sim_mmr",
+    "pack_bestfit", "ts_lttb", "ts_dtw")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()
