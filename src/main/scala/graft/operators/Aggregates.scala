@@ -231,6 +231,59 @@ object Aggregates {
       .orderBy(col("lang"))
   }
 
+  /** ClickHouse bitmap algebra (`bitmapAnd`/`bitmapOr`/`bitmapAndnot`
+    * cardinalities, `bitmapJaccard`-style similarity) — the audience-
+    * overlap matrix every segment/targeting job computes: for each pair
+    * of event-type segments, |A∩B|, |A∪B|, |A\\B| and Jaccard over the
+    * user sets. Spark-first decomposition: the per-user "bitmap" is the
+    * SORTED SET of its segment memberships, assembled in the ONE fact
+    * shuffle (user_id, map-side partial sets, ≤|types| entries each);
+    * the pair fanout a<b then happens MAP-SIDE inside a HOF over that
+    * bounded set — no self-join, no second fact shuffle — and the
+    * intersection counts partial-aggregate into O(types²) cells.
+    * Inclusion-exclusion gives |A∪B| and |A\\B| from exact counts; the
+    * Jaccard quotient ships raw (one division of identical exact
+    * bigints, the win_share rule).
+    *
+    * Scale notes: exactly one shuffle touches the fact table; pair
+    * fanout is bounded by |types|² (5² here) per user and the final
+    * matrix is O(types²) rows. At 100 TB this is the roaring-bitmap
+    * join shape with the bitmap replaced by Spark's per-key set
+    * aggregation.
+    */
+  private def aggSegmentOverlap(s: SparkSession, dir: String): DataFrame = {
+    // the a<=b fanout INCLUDES the diagonal so one (sa, sb) aggregation
+    // yields both the pair intersections AND the singleton segment
+    // sizes — the fact table aggregates exactly once (PlanShapeSpec
+    // pins a single user_id exchange; a separate sizes branch would
+    // recompute the set assembly per consumer)
+    val cells = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+             transform(slice(ts, i + 1, size(ts)),
+               b -> struct(a AS sa, b AS sb))))""")).as("p"))
+      .groupBy(col("p.sa").as("seg_a"), col("p.sb").as("seg_b"))
+      .agg(count(lit(1)).as("n_and"))
+      .localCheckpoint() // O(types²) rows; three consumers below
+    val sizes = cells.filter(col("seg_a") === col("seg_b"))
+      .select(col("seg_a").as("seg"), col("n_and").as("n"))
+    cells.filter(col("seg_a") < col("seg_b"))
+      .join(broadcast(sizes.select(col("seg").as("seg_a"),
+        col("n").as("na"))), "seg_a")
+      .join(broadcast(sizes.select(col("seg").as("seg_b"),
+        col("n").as("nb"))), "seg_b")
+      .select(col("seg_a"), col("seg_b"), col("na"), col("nb"),
+        col("n_and"),
+        (col("na") + col("nb") - col("n_and")).as("n_or"),
+        (col("na") - col("n_and")).as("n_andnot"),
+        (col("n_and").cast("double") /
+          (col("na") + col("nb") - col("n_and")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
   private def aggCollect(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -2063,6 +2116,25 @@ object Aggregates {
                   AS common_tokens
               FROM k JOIN sz USING (lang)
               GROUP BY k.lang, sz.n_docs ORDER BY k.lang""")),
+    QueryDef("agg_segment_overlap", aggSegmentOverlap,
+      Some("""WITH segs AS (SELECT DISTINCT event_type, user_id
+                FROM events),
+              sizes AS (SELECT event_type, COUNT(*) AS n FROM segs
+                GROUP BY event_type),
+              inter AS (SELECT a.event_type AS seg_a,
+                 b.event_type AS seg_b, COUNT(*) AS n_and
+                FROM segs a JOIN segs b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type
+                GROUP BY seg_a, seg_b)
+              SELECT i.seg_a, i.seg_b, sa.n AS na, sb.n AS nb, i.n_and,
+                sa.n + sb.n - i.n_and AS n_or,
+                sa.n - i.n_and AS n_andnot,
+                CAST(i.n_and AS DOUBLE)
+                  / CAST(sa.n + sb.n - i.n_and AS DOUBLE) AS jaccard
+              FROM inter i
+              JOIN sizes sa ON sa.event_type = i.seg_a
+              JOIN sizes sb ON sb.event_type = i.seg_b
+              ORDER BY i.seg_a, i.seg_b""")),
     QueryDef("agg_collect", aggCollect,
       Some("""SELECT user_id,
                array_to_string(list(DISTINCT event_type ORDER BY event_type),

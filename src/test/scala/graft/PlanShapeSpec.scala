@@ -743,6 +743,31 @@ class PlanShapeSpec extends GraftSpec {
       lines.slice(win, win + 3).mkString("\n"))
   }
 
+  test("agg_segment_overlap: fact shuffles once, matrix math off-plan") {
+    val p = plan("agg_segment_overlap")
+    // the event log crossed the network exactly once, at the O(types²)
+    // cells checkpoint (the set assembly + a<=b fanout); the plan under
+    // test must therefore read the checkpointed cells (ExistingRDD) and
+    // contain NO user_id exchange and NO self-join — only the broadcast
+    // size attachments
+    assert(p.contains("ExistingRDD"),
+      "cells must come from the one-shuffle checkpoint:\n" + p.take(800))
+    assert(!p.contains("Exchange hashpartitioning(user_id"),
+      "fact table reshuffled downstream of the checkpoint:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "pair fanout must not be a self-join:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "segment sizes must attach by broadcast:\n" + p.take(800))
+  }
+
+  test("sim_mmr: probes broadcast for candidate generation") {
+    val p = plan("sim_mmr")
+    // the corpus side never shuffles for candidate generation — the
+    // probe set is the broadcast side of the nested-loop pairing
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must broadcast the probe set:\n" + p.take(800))
+  }
+
   test("fn_transform: map-literal recode stays one codegen'd projection") {
     val p = plan("fn_transform")
     assert(!p.contains("Exchange hashpartitioning"),
