@@ -577,6 +577,39 @@ object EventAnalytics {
                   AS INTEGER) AS matched,
                 MIN(CASE WHEN lat <= 3600000000 THEN lat END) AS min_lat_us
               FROM l GROUP BY user_id ORDER BY user_id""")),
+    QueryDef("ts_decayed_sum", tsDecayedSum, Some("""
+      WITH RECURSIVE
+      g AS (SELECT user_id,
+              list({'d': CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                    'e': event_id, 'v': value}
+                ORDER BY CAST(CAST(ts AS TIMESTAMP) AS DATE), event_id,
+                  value) AS xs
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id),
+      p AS (SELECT user_id, xs, len(xs) AS n FROM g),
+      rec AS (
+        SELECT user_id, 1 AS k, xs[1].v AS l, CAST(1.0 AS DOUBLE) AS c,
+          xs[1].d AS pd
+        FROM p
+        UNION ALL
+        SELECT b0.user_id, b0.k + 1,
+          b0.l / CAST(CAST(1 AS BIGINT) << least(b0.d - b0.pd, 62)
+            AS DOUBLE) + b0.v,
+          b0.c / CAST(CAST(1 AS BIGINT) << least(b0.d - b0.pd, 62)
+            AS DOUBLE) + 1.0,
+          b0.d
+        FROM (
+          SELECT r.user_id, r.k, r.l, r.c, r.pd,
+            q.xs[r.k + 1].v AS v, q.xs[r.k + 1].d AS d
+          FROM rec r JOIN p q USING (user_id)
+          WHERE r.k < q.n) b0
+      )
+      SELECT r.user_id, CAST(p.n AS INTEGER) AS n_purchases,
+        r.l AS decayed_sum, r.c AS decayed_count,
+        r.l / r.c AS decayed_avg
+      FROM rec r JOIN p USING (user_id)
+      WHERE r.k = p.n
+      ORDER BY r.user_id""")),
     QueryDef("ts_holt", tsHolt, Some("""
       WITH RECURSIVE
       g AS (SELECT user_id,
@@ -1555,6 +1588,48 @@ object EventAnalytics {
       .select(col("user_id"), col("n_purchases"),
         col("st.l").as("level"), col("st.b").as("trend"),
         (col("st.l") + col("st.b")).as("forecast_1"))
+      .orderBy(col("user_id"))
+
+  /** ClickHouse `exponentialTimeDecayedSum` / `exponentialTimeDecayedAvg`
+    * — the TIME-decayed recency score (vs ts_ema's per-row decay): each
+    * purchase's weight halves per day of gap, so a burst last week
+    * outranks the same burst last year. The decay factor is an EXACT
+    * BINARY power — 1 / (1L << Δdays), gap clamped at 62 — because
+    * exp/pow are libm calls that differ across engines in the last ulp
+    * while a bit shift is exact everywhere; the sequential fold is then
+    * the same IEEE op chain on both engines and the RAW doubles
+    * hash-compare (the ts_ema discipline). Avg = decayedSum /
+    * decayedCount, the ClickHouse pairing, one raw-quotient division.
+    *
+    * Scale notes: same shape as ts_ema — one shuffle assembles each
+    * user's bounded ordered history, the fold is O(events-per-user)
+    * map-side; the streaming twin carries (sum, count, last_day) in
+    * ValueState.
+    */
+  private def tsDecayedSum(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(expr(
+        """array_sort(collect_list(struct(to_date(ts) AS d, event_id,
+             value)))""").as("xs"))
+      .select(col("user_id"), size(col("xs")).as("n_purchases"),
+        expr("""aggregate(
+                  slice(xs, 2, size(xs) - 1),
+                  struct(element_at(xs, 1).value AS l,
+                    cast(1.0 as double) AS c,
+                    element_at(xs, 1).d AS pd),
+                  (acc, e) -> struct(
+                    acc.l / cast(shiftleft(1L,
+                      cast(least(datediff(e.d, acc.pd), 62) as int))
+                      as double) + e.value AS l,
+                    acc.c / cast(shiftleft(1L,
+                      cast(least(datediff(e.d, acc.pd), 62) as int))
+                      as double) + 1.0D AS c,
+                    e.d AS pd))""").as("st"))
+      .select(col("user_id"), col("n_purchases"),
+        col("st.l").as("decayed_sum"), col("st.c").as("decayed_count"),
+        (col("st.l") / col("st.c")).as("decayed_avg"))
       .orderBy(col("user_id"))
 
   private def tsEma(s: SparkSession, dir: String): DataFrame =
