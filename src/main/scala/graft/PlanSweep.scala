@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * Findings log: `Exchange SinglePartition` hits ~60 keys and is NOT a
   * smell by itself — the two-phase global aggregate (partial states
   * cross, never rows) and bounded domain-compressed windows plan it
-  * correctly; CartesianProduct hits 0 keys (machine-checked ban);
+  * correctly; CartesianProduct hits 0 of all 415 keys (machine-checked ban);
   * `ExistingRDD|LocalTableScan` hits 39 keys, all bounded
   * control-plane by class — localCheckpoint'd graph/cluster frames,
   * O(k×dim) trained codebooks, staged stream/CDC fixtures, and

@@ -974,9 +974,10 @@ object Aggregates {
     * suppkey) — linenumber ALONE is not unique per order in this
     * testdata drop, and a moving sum under a nondeterministic order is
     * partitioning-dependent, so the full composite key pins the series
-    * (≤7 rows/group, the natural bound; an unbounded series would be
-    * windowed first). Quantities are exact bigints; the avg is one
-    * exact IEEE division rounded 6dp at the string edge.
+    * (groups stay small — measured ≤14 rows/order in this synthetic
+    * data, vs real TPC-H's 7; an unbounded series would be windowed
+    * first). Quantities floor to exact bigints; the avg is one exact
+    * IEEE division rounded 6dp at the string edge.
     *
     * Scale notes: one shuffle on the group key; the moving sums come
     * from a bounded 3-row window frame computed row-wise, and the array
@@ -990,8 +991,11 @@ object Aggregates {
       .rowsBetween(-2, Window.currentRow)
     Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 10 === 0)
+      // floor, not a bare cast: Spark's double→bigint cast truncates
+      // while DuckDB's rounds to nearest (the agg_sum_map rule) — floor
+      // pins one semantics on both engines for non-integral quantities
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity").cast("bigint").as("q"))
+        col("l_suppkey"), floor(col("l_quantity")).cast("bigint").as("q"))
       .withColumn("mv", sum(col("q")).over(w))
       .groupBy(col("l_orderkey"))
       .agg(
@@ -1339,6 +1343,10 @@ object Aggregates {
       .groupBy(col("o_orderpriority"))
       .agg(count(when(col("o_orderstatus") === "F", 1)).as("pos"),
         count(when(col("o_orderstatus") =!= "F", 1)).as("neg"))
+      // WOE is undefined for pure categories, and the engines diverge
+      // STRUCTURALLY on them (Spark log(0) → NULL, DuckDB ln(0) → -inf),
+      // so both sides exclude them identically
+      .filter(col("pos") > 0 && col("neg") > 0)
       .crossJoin(broadcast(
         Tables.orders(s, dir).agg(
           count(when(col("o_orderstatus") === "F", 1)).as("tpos"),
@@ -1354,6 +1362,10 @@ object Aggregates {
         Seq(col("o_orderpriority"), col("pos"), col("neg"),
           woe.as("woe"), term.as("iv_term"))
       }: _*)
+      // O(categories) rows, two consumers (the IV fold + the final
+      // join) — checkpoint so the fact aggregation runs once, the
+      // agg_segment_overlap multi-consumer rule
+      .localCheckpoint()
     val tot = perCat.agg(round(expr(
       "aggregate(array_sort(collect_list(iv_term)), cast(0.0 as double), (a, x) -> a + x)"),
       6).as("iv_total"))
@@ -1536,7 +1548,8 @@ object Aggregates {
               c AS (SELECT o_orderpriority,
                  COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS pos,
                  COUNT(CASE WHEN o_orderstatus<>'F' THEN 1 END) AS neg
-                FROM orders GROUP BY o_orderpriority),
+                FROM orders GROUP BY o_orderpriority
+                HAVING pos > 0 AND neg > 0),
               p AS (SELECT o_orderpriority, pos, neg,
                  round(ln(CAST(pos*tneg AS DOUBLE)
                    / CAST(neg*tpos AS DOUBLE)), 6) AS woe,
@@ -1739,7 +1752,7 @@ object Aggregates {
               FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
     QueryDef("agg_moving_sum_array", aggMovingSumArray,
       Some("""WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey,
-                 l_suppkey, CAST(l_quantity AS BIGINT) AS q
+                 l_suppkey, CAST(floor(l_quantity) AS BIGINT) AS q
                 FROM lineitem WHERE l_orderkey % 10 = 0),
               m AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                  CAST(SUM(q) OVER (PARTITION BY l_orderkey

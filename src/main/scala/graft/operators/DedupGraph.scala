@@ -238,9 +238,18 @@ object DedupGraph {
     */
   private[graft] val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def affinityEdgesCached(s: SparkSession, dir: String): DataFrame =
+  private def affinityEdgesCached(s: SparkSession, dir: String): DataFrame = {
+    // bound the cache: drop entries whose owning context is stopped
+    // (their checkpoint blocks are already unusable) and hard-cap the
+    // entry count so session churn (tests spawn newSession per run)
+    // cannot pin unbounded checkpoint storage in a long-lived JVM —
+    // dropped frames are re-derived on next use and their RDD blocks
+    // are reclaimed by the ContextCleaner once unreferenced
+    edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (edgeCache.size > 16) edgeCache.clear()
     edgeCache.computeIfAbsent((s, dir),
       _ => affinityEdges(s, dir).localCheckpoint())
+  }
 
   private def graphTriangleCount(s: SparkSession, dir: String): DataFrame = {
     // materialize the bounded edge list once: its lineage (the fact-table

@@ -648,8 +648,12 @@ object EventAnalytics {
       p AS (SELECT event_type, pts, len(pts) AS n,
               len(pts) - 2 AS interior FROM g),
       rec AS (
+        -- series of <=20 points are returned WHOLE by the Spark lttb
+        -- (n >= pts.length branch); only longer series enter the
+        -- bucket recursion, else an empty bucket's LATERAL would kill
+        -- the recursive row and truncate the output
         SELECT event_type, 0 AS i, pts[1].t AS px, pts[1].v AS py
-        FROM p
+        FROM p WHERE n > 20
         UNION ALL
         SELECT b.event_type, b.i + 1, sel.t, sel.v
         FROM (
@@ -685,7 +689,13 @@ object EventAnalytics {
       )
       SELECT event_type, i AS idx, px AS t, py AS value FROM rec
       UNION ALL
-      SELECT event_type, 19 AS idx, pts[n].t, pts[n].v AS value FROM p
+      SELECT event_type, 19 AS idx, pts[n].t, pts[n].v AS value
+      FROM p WHERE n > 20
+      UNION ALL
+      SELECT p.event_type, s.j - 1 AS idx, p.pts[s.j].t,
+        p.pts[s.j].v AS value
+      FROM p, LATERAL (SELECT unnest(generate_series(1, p.n)) AS j) s
+      WHERE p.n <= 20
       ORDER BY event_type, idx""")),
     QueryDef("ts_dtw", tsDtw, Some("""
       WITH RECURSIVE

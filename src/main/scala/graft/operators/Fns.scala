@@ -317,7 +317,11 @@ object Fns {
       .agg(expr("array_sort(collect_list(struct(l_linenumber, l_quantity)))")
         .as("xs"))
       .select(col("l_orderkey"),
-        expr("transform(xs, x -> cast(x.l_quantity as bigint))").as("q"),
+        // floor, not a bare cast: Spark's double→bigint cast truncates
+        // while DuckDB's rounds (the agg_sum_map rule) — latent until a
+        // testdata drop ships non-integral quantities
+        expr("transform(xs, x -> cast(floor(x.l_quantity) as bigint))")
+          .as("q"),
         expr("transform(xs, x -> x.l_linenumber)").as("ln"))
       .select(col("l_orderkey"), size(col("q")).as("n_lines"),
         expr("""array_join(transform(sequence(1, size(q)),
@@ -886,7 +890,7 @@ object Fns {
               FROM i ORDER BY event_id""")),
     QueryDef("fn_array_fold", fnArrayFold,
       Some("""WITH g AS (SELECT l_orderkey,
-                 list(CAST(l_quantity AS BIGINT)
+                 list(CAST(floor(l_quantity) AS BIGINT)
                    ORDER BY l_linenumber, l_quantity) AS q,
                  list(l_linenumber
                    ORDER BY l_linenumber, l_quantity) AS ln

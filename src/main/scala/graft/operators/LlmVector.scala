@@ -528,8 +528,13 @@ object LlmVector {
   private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Seq[Seq[Double]], Seq[Double])]()
   private[graft] def kmeansTrained(s: SparkSession,
-      dir: String): (Seq[Seq[Double]], Seq[Double]) =
+      dir: String): (Seq[Seq[Double]], Seq[Double]) = {
+    // same bounding rule as DedupGraph.edgeCache: evict dead-context
+    // entries and cap total size so session churn can't pin sessions
+    kmeansCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (kmeansCache.size > 16) kmeansCache.clear()
     kmeansCache.computeIfAbsent((s, dir), _ => kmeansTrain(s, dir, 8, 15))
+  }
 
   /** The training curve itself: per-round SSE. Deterministic but not
     * SQL-expressible (iterated fixpoint) → rows-only; VectorTextSpec
@@ -1139,6 +1144,69 @@ object LlmVector {
          $unions) u ORDER BY sel_order"""
   }
 
+  /** The sim_mmr oracle: the greedy replayed as five chained argmax
+    * CTEs (the kcenterOracle discipline — step count, λ-weights, and
+    * the integer 1e-7-unit scoring live in ONE place). Step t scores
+    * every not-yet-selected pool candidate as 7·rel_µ − 3·pen_µ where
+    * pen = greatest sim to the t−1 already-selected, ties by cand_id,
+    * LIMIT 1 per probe.
+    */
+  private def mmrOracle: String = {
+    def m(t: Int): String =
+      if (t == 1) "7*CAST(round(p.rel*1000000) AS BIGINT)"
+      else {
+        val pen = s"greatest(${(1 until t).map(j => s"sa$j.sim").mkString(", ")})"
+        s"7*CAST(round(p.rel*1000000) AS BIGINT) " +
+          s"- 3*CAST(round(($pen)*1000000) AS BIGINT)"
+      }
+    val steps = (1 to 5).map { t =>
+      val joins = (1 until t).map { j =>
+        s"""JOIN s$j ON s$j.probe_id = p.probe_id
+              AND p.cand_id <> s$j.cand_id
+            JOIN sims sa$j ON sa$j.probe_id = p.probe_id
+              AND sa$j.ca = p.cand_id AND sa$j.cb = s$j.cand_id"""
+      }.mkString("\n")
+      s"""s$t AS (SELECT probe_id, cand_id, m FROM (
+            SELECT p.probe_id, p.cand_id, ${m(t)} AS m,
+              row_number() OVER (PARTITION BY p.probe_id
+                ORDER BY ${m(t)} DESC, p.cand_id) AS rn
+            FROM pool p
+            $joins) t WHERE rn = 1)"""
+    }.mkString(",\n")
+    val unions = (1 to 5).map(t =>
+      s"SELECT probe_id, $t AS step, cand_id, m FROM s$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH pool AS (
+          SELECT probe_id, cand_id, rel FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+              round(${oDot.format("p.embedding", "c.embedding")}
+                / (${oNorm("p.embedding")} * ${oNorm("c.embedding")}),
+                6) AS rel,
+              row_number() OVER (PARTITION BY p.vec_id
+                ORDER BY round(
+                  ${oDot.format("p.embedding", "c.embedding")}
+                  / (${oNorm("p.embedding")}
+                    * ${oNorm("c.embedding")}), 6) DESC,
+                  c.vec_id) AS rnk
+            FROM embeddings p JOIN embeddings c
+              ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id) t
+          WHERE rnk <= 10),
+        sims AS (
+          SELECT x.probe_id, x.cand_id AS ca, y.cand_id AS cb,
+            round(${oDot.format("ex.embedding", "ey.embedding")}
+              / (${oNorm("ex.embedding")} * ${oNorm("ey.embedding")}),
+              6) AS sim
+          FROM pool x JOIN pool y ON x.probe_id = y.probe_id
+            AND x.cand_id <> y.cand_id
+          JOIN embeddings ex ON ex.vec_id = x.cand_id
+          JOIN embeddings ey ON ey.vec_id = y.cand_id),
+        $steps
+        SELECT probe_id, CAST(step AS INTEGER) AS step, cand_id,
+          m AS mmr_score_e7
+        FROM ($unions) u
+        ORDER BY probe_id, step"""
+  }
+
   private val oDot =
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
 
@@ -1578,140 +1646,7 @@ object LlmVector {
                 FROM pairs)
               SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cos_sim
               FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
-    QueryDef("sim_mmr", simMmr,
-      Some(s"""WITH pool AS (
-                SELECT probe_id, cand_id, rel FROM (
-                  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-                    round(${oDot.format("p.embedding", "c.embedding")}
-                      / (${oNorm("p.embedding")} * ${oNorm("c.embedding")}),
-                      6) AS rel,
-                    row_number() OVER (PARTITION BY p.vec_id
-                      ORDER BY round(
-                        ${oDot.format("p.embedding", "c.embedding")}
-                        / (${oNorm("p.embedding")}
-                          * ${oNorm("c.embedding")}), 6) DESC,
-                        c.vec_id) AS rnk
-                  FROM embeddings p JOIN embeddings c
-                    ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id) t
-                WHERE rnk <= 10),
-              sims AS (
-                SELECT x.probe_id, x.cand_id AS ca, y.cand_id AS cb,
-                  round(${oDot.format("ex.embedding", "ey.embedding")}
-                    / (${oNorm("ex.embedding")} * ${oNorm("ey.embedding")}),
-                    6) AS sim
-                FROM pool x JOIN pool y ON x.probe_id = y.probe_id
-                  AND x.cand_id <> y.cand_id
-                JOIN embeddings ex ON ex.vec_id = x.cand_id
-                JOIN embeddings ey ON ey.vec_id = y.cand_id),
-              s1 AS (SELECT probe_id, cand_id, m FROM (
-                SELECT probe_id, cand_id,
-                  7*CAST(round(rel*1000000) AS BIGINT) AS m,
-                  row_number() OVER (PARTITION BY probe_id
-                    ORDER BY 7*CAST(round(rel*1000000) AS BIGINT) DESC,
-                      cand_id) AS rn
-                FROM pool) t WHERE rn = 1),
-              s2 AS (SELECT probe_id, cand_id, m FROM (
-                SELECT p.probe_id, p.cand_id,
-                  7*CAST(round(p.rel*1000000) AS BIGINT)
-                    - 3*CAST(round(sa.sim*1000000) AS BIGINT) AS m,
-                  row_number() OVER (PARTITION BY p.probe_id
-                    ORDER BY 7*CAST(round(p.rel*1000000) AS BIGINT)
-                      - 3*CAST(round(sa.sim*1000000) AS BIGINT) DESC,
-                      p.cand_id) AS rn
-                FROM pool p
-                JOIN s1 ON s1.probe_id = p.probe_id
-                  AND p.cand_id <> s1.cand_id
-                JOIN sims sa ON sa.probe_id = p.probe_id
-                  AND sa.ca = p.cand_id AND sa.cb = s1.cand_id) t
-                WHERE rn = 1),
-              s3 AS (SELECT probe_id, cand_id, m FROM (
-                SELECT p.probe_id, p.cand_id,
-                  7*CAST(round(p.rel*1000000) AS BIGINT)
-                    - 3*CAST(round(greatest(sa.sim, sb.sim)*1000000)
-                      AS BIGINT) AS m,
-                  row_number() OVER (PARTITION BY p.probe_id
-                    ORDER BY 7*CAST(round(p.rel*1000000) AS BIGINT)
-                      - 3*CAST(round(greatest(sa.sim, sb.sim)*1000000)
-                        AS BIGINT) DESC,
-                      p.cand_id) AS rn
-                FROM pool p
-                JOIN s1 ON s1.probe_id = p.probe_id
-                  AND p.cand_id <> s1.cand_id
-                JOIN s2 ON s2.probe_id = p.probe_id
-                  AND p.cand_id <> s2.cand_id
-                JOIN sims sa ON sa.probe_id = p.probe_id
-                  AND sa.ca = p.cand_id AND sa.cb = s1.cand_id
-                JOIN sims sb ON sb.probe_id = p.probe_id
-                  AND sb.ca = p.cand_id AND sb.cb = s2.cand_id) t
-                WHERE rn = 1),
-              s4 AS (SELECT probe_id, cand_id, m FROM (
-                SELECT p.probe_id, p.cand_id,
-                  7*CAST(round(p.rel*1000000) AS BIGINT)
-                    - 3*CAST(round(
-                      greatest(sa.sim, sb.sim, sc.sim)*1000000)
-                      AS BIGINT) AS m,
-                  row_number() OVER (PARTITION BY p.probe_id
-                    ORDER BY 7*CAST(round(p.rel*1000000) AS BIGINT)
-                      - 3*CAST(round(
-                        greatest(sa.sim, sb.sim, sc.sim)*1000000)
-                        AS BIGINT) DESC,
-                      p.cand_id) AS rn
-                FROM pool p
-                JOIN s1 ON s1.probe_id = p.probe_id
-                  AND p.cand_id <> s1.cand_id
-                JOIN s2 ON s2.probe_id = p.probe_id
-                  AND p.cand_id <> s2.cand_id
-                JOIN s3 ON s3.probe_id = p.probe_id
-                  AND p.cand_id <> s3.cand_id
-                JOIN sims sa ON sa.probe_id = p.probe_id
-                  AND sa.ca = p.cand_id AND sa.cb = s1.cand_id
-                JOIN sims sb ON sb.probe_id = p.probe_id
-                  AND sb.ca = p.cand_id AND sb.cb = s2.cand_id
-                JOIN sims sc ON sc.probe_id = p.probe_id
-                  AND sc.ca = p.cand_id AND sc.cb = s3.cand_id) t
-                WHERE rn = 1),
-              s5 AS (SELECT probe_id, cand_id, m FROM (
-                SELECT p.probe_id, p.cand_id,
-                  7*CAST(round(p.rel*1000000) AS BIGINT)
-                    - 3*CAST(round(
-                      greatest(sa.sim, sb.sim, sc.sim, sd.sim)*1000000)
-                      AS BIGINT) AS m,
-                  row_number() OVER (PARTITION BY p.probe_id
-                    ORDER BY 7*CAST(round(p.rel*1000000) AS BIGINT)
-                      - 3*CAST(round(
-                        greatest(sa.sim, sb.sim, sc.sim, sd.sim)*1000000)
-                        AS BIGINT) DESC, p.cand_id) AS rn
-                FROM pool p
-                JOIN s1 ON s1.probe_id = p.probe_id
-                  AND p.cand_id <> s1.cand_id
-                JOIN s2 ON s2.probe_id = p.probe_id
-                  AND p.cand_id <> s2.cand_id
-                JOIN s3 ON s3.probe_id = p.probe_id
-                  AND p.cand_id <> s3.cand_id
-                JOIN s4 ON s4.probe_id = p.probe_id
-                  AND p.cand_id <> s4.cand_id
-                JOIN sims sa ON sa.probe_id = p.probe_id
-                  AND sa.ca = p.cand_id AND sa.cb = s1.cand_id
-                JOIN sims sb ON sb.probe_id = p.probe_id
-                  AND sb.ca = p.cand_id AND sb.cb = s2.cand_id
-                JOIN sims sc ON sc.probe_id = p.probe_id
-                  AND sc.ca = p.cand_id AND sc.cb = s3.cand_id
-                JOIN sims sd ON sd.probe_id = p.probe_id
-                  AND sd.ca = p.cand_id AND sd.cb = s4.cand_id) t
-                WHERE rn = 1)
-              SELECT probe_id, CAST(step AS INTEGER) AS step, cand_id,
-                m AS mmr_score_e7
-              FROM (
-                SELECT probe_id, 1 AS step, cand_id, m FROM s1
-                UNION ALL
-                SELECT probe_id, 2 AS step, cand_id, m FROM s2
-                UNION ALL
-                SELECT probe_id, 3 AS step, cand_id, m FROM s3
-                UNION ALL
-                SELECT probe_id, 4 AS step, cand_id, m FROM s4
-                UNION ALL
-                SELECT probe_id, 5 AS step, cand_id, m FROM s5) u
-              ORDER BY probe_id, step""")),
+    QueryDef("sim_mmr", simMmr, Some(mmrOracle)),
     QueryDef("sim_knn_graph", simKnnGraph,
       Some(s"""WITH p AS (
                 SELECT a.vec_id AS src, b.vec_id AS nbr,

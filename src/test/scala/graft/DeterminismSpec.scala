@@ -17,13 +17,14 @@ package graft
   * windows (sample_stratified), per-partition kernels (mm_spectrogram),
   * exact decimal window sums (win_share), distance arithmetic
   * (fn_distance_family), a custom physical operator
-  * (topk_per_group_native), an AQE-replanned join (join_skew_aqe), and
-  * a traversal over the shared checkpointed edge cache
-  * (graph_triangle_count — exercises cache reuse across the two
-  * differently-partitioned sessions), and the sequential per-group
-  * recurrences fed by shuffle-ordered input — greedy re-rank (sim_mmr),
-  * best-fit packing (pack_bestfit), LTTB downsampling (ts_lttb), and
-  * the DTW pair DP (ts_dtw).
+  * (topk_per_group_native), an AQE-replanned join (join_skew_aqe), a
+  * checkpoint-derived graph traversal (graph_triangle_count — each
+  * session derives its OWN edge-cache entry, so this exercises
+  * re-derivation determinism under the two partitionings, not
+  * cross-session reuse), and the sequential per-group recurrences fed
+  * by shuffle-ordered input — greedy re-rank (sim_mmr), best-fit
+  * packing (pack_bestfit), LTTB downsampling (ts_lttb), and the DTW
+  * pair DP (ts_dtw).
   */
 class DeterminismSpec extends GraftSpec {
 
