@@ -627,7 +627,10 @@ object Aggregates {
         Det.dsum(col("l_quantity")).as("wtot"))
       .select(col("l_returnflag"),
         round(col("wsum") / col("wtot"), 6).as("avg_weighted"),
-        col("wtot").cast("long").as("total_weight"))
+        // floor before the long cast (the agg_sum_map rule): exact
+        // today (integral quantities) but Spark truncates while DuckDB
+        // rounds if a future drop ships fractional weights
+        floor(col("wtot")).cast("long").as("total_weight"))
       .orderBy(col("l_returnflag"))
 
   /** ClickHouse `singleValueOrNull` — the group's value IF it is unique,
@@ -1898,7 +1901,8 @@ object Aggregates {
       Some(s"""SELECT l_returnflag,
                 round(${Det.oSum("l_extendedprice * l_quantity")}
                   / ${Det.oSum("l_quantity")}, 6) AS avg_weighted,
-                CAST(${Det.oSum("l_quantity")} AS BIGINT) AS total_weight
+                CAST(floor(${Det.oSum("l_quantity")}) AS BIGINT)
+                  AS total_weight
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     ),
     QueryDef("agg_single_value", aggSingleValue,
