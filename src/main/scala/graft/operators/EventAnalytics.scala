@@ -19,9 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
-  /** windowFunnel(24h): signup → view → purchase, greedy-earliest chain
-    * per user; depth = longest prefix completed within the window.
-    */
   /** The chained min-per-step funnel times (t1=signup, t2=view within
     * 24 h, t3=purchase within the same window) — shared by fn_funnel and
     * fn_funnel_latency.
@@ -44,6 +41,9 @@ object EventAnalytics {
         .as("t3"))
   }
 
+  /** windowFunnel(24h): signup → view → purchase, greedy-earliest chain
+    * per user; depth = longest prefix completed within the window.
+    */
   private def fnFunnel(s: SparkSession, dir: String): DataFrame = {
     funnelTimes(s, dir).select(col("user_id"),
         when(col("t3").isNotNull, 3)
@@ -92,8 +92,11 @@ object EventAnalytics {
     e.join(cohort, "user_id")
       .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
       .filter(col("day_offset") <= 7)
+      // count, not countDistinct: e is distinct on (user_id, d) and a
+      // user has exactly one d per (cohort_day, day_offset) group, so
+      // the distinct pass would only add a redundant expand/dedup stage
       .groupBy(col("cohort_day"), col("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      .agg(count(col("user_id")).as("n_active"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
@@ -543,7 +546,7 @@ object EventAnalytics {
                 GROUP BY user_id)
               SELECT cohort_day,
                 CAST(date_diff('day', cohort_day, d) AS INTEGER) AS day_offset,
-                COUNT(DISTINCT e.user_id) AS n_active
+                COUNT(e.user_id) AS n_active
               FROM e JOIN c ON e.user_id = c.user_id
               WHERE date_diff('day', cohort_day, d) <= 7
               GROUP BY cohort_day, day_offset
@@ -663,19 +666,19 @@ object EventAnalytics {
             CASE WHEN r.i = 17 THEN CAST(q.pts[q.n].t AS DOUBLE)
               ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list_transform(
-                  q.pts[1 + (1 + (r.i + 1) * q.interior) // 18 :
-                        (1 + (r.i + 2) * q.interior) // 18],
+                  q.pts[2 + ((r.i + 1) * q.interior) // 18 :
+                        1 + ((r.i + 2) * q.interior) // 18],
                   e -> CAST(e.t AS DOUBLE))), (a, b) -> a + b)
-                / ((1 + (r.i + 2) * q.interior) // 18
-                   - (1 + (r.i + 1) * q.interior) // 18) END AS nx,
+                / (((r.i + 2) * q.interior) // 18
+                   - ((r.i + 1) * q.interior) // 18) END AS nx,
             CASE WHEN r.i = 17 THEN q.pts[q.n].v
               ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list_transform(
-                  q.pts[1 + (1 + (r.i + 1) * q.interior) // 18 :
-                        (1 + (r.i + 2) * q.interior) // 18],
+                  q.pts[2 + ((r.i + 1) * q.interior) // 18 :
+                        1 + ((r.i + 2) * q.interior) // 18],
                   e -> e.v)), (a, b) -> a + b)
-                / ((1 + (r.i + 2) * q.interior) // 18
-                   - (1 + (r.i + 1) * q.interior) // 18) END AS ny
+                / (((r.i + 2) * q.interior) // 18
+                   - ((r.i + 1) * q.interior) // 18) END AS ny
           FROM rec r JOIN p q USING (event_type)
           WHERE r.i < 18) b,
         LATERAL (
@@ -1036,13 +1039,6 @@ object EventAnalytics {
               FROM w GROUP BY user_id ORDER BY user_id""")),
   )
 
-  /** ClickHouse `sequenceMatch('(?1).*(?2).*(?3)')`: per user, collapse the
-    * time-ordered event stream to a string of type initials (all five types
-    * start with distinct letters) and run the pattern as a real regex —
-    * the same trick ClickHouse uses internally (bitmask chain), expressed
-    * with codegen'd collect/sort/transform. One shuffle on user_id; the
-    * per-user string is bounded by that user's event count, not the corpus.
-    */
   /** `sequenceMatch` with a TIME constraint — ClickHouse's
     * `(?1)(?t<=3600)(?2)` operator, which the plain regex formulation
     * (fn_seq_match) cannot express: signup followed by a purchase
@@ -1069,6 +1065,13 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** ClickHouse `sequenceMatch('(?1).*(?2).*(?3)')`: per user, collapse the
+    * time-ordered event stream to a string of type initials (all five types
+    * start with distinct letters) and run the pattern as a real regex —
+    * the same trick ClickHouse uses internally (bitmask chain), expressed
+    * with codegen'd collect/sort/transform. One shuffle on user_id; the
+    * per-user string is bounded by that user's event count, not the corpus.
+    */
   private def fnSeqMatch(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.9 Scalar function families — one umbrella query per family, all
@@ -86,8 +86,16 @@ object Fns {
         signum(col("l_quantity") - 25).cast("int").as("qty_sign"),
         greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
         least(col("l_quantity"), col("l_discount") * 100).as("l"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // lineitem, and lossy tie-breakers (1dp round, |q-25|) leave
+      // distinct rows tied at the LIMIT boundary — sort by EVERY
+      // output column so ties are bit-identical rows and the 5000-row
+      // cut cannot diverge cross-engine
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_r1"),
-        col("qty_dev"))
+        col("qty_dev"), col("qty_sq"), col("disc_pct_ceil"),
+        col("price_floor"), col("price_sqrt"), col("price_ln"),
+        col("price_log10"), col("key_mod7"), col("qty_sign"),
+        col("g"), col("l"))
       .limit(5000)
 
   private def fnArray(s: SparkSession, dir: String): DataFrame =
@@ -254,13 +262,19 @@ object Fns {
     * so the expression pair is proven against first principles, not
     * against itself (roundtrip asserts decode∘encode = id).
     */
+  /** The synthetic per-user IPv4 shared by fn_ip and fn_cidr (and
+    * re-derived octet-by-octet in both oracles): one definition so the
+    * two operators and their oracles cannot drift apart.
+    */
+  private def syntheticIp: Column = concat_ws(".",
+    ((col("user_id") % 223) + 1).cast("string"),
+    ((col("user_id") * 7) % 256).cast("string"),
+    ((col("user_id") * 13) % 256).cast("string"),
+    (col("user_id") % 256).cast("string"))
+
   private def fnIp(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val ip = concat_ws(".",
-      ((col("user_id") % 223) + 1).cast("string"),
-      ((col("user_id") * 7) % 256).cast("string"),
-      ((col("user_id") * 13) % 256).cast("string"),
-      (col("user_id") % 256).cast("string"))
+    val ip = syntheticIp
     Tables.events(s, dir)
       .select(col("user_id")).distinct()
       .select(col("user_id"), ip.as("ip"))
@@ -282,11 +296,7 @@ object Fns {
     */
   private def fnCidr(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val ip = concat_ws(".",
-      ((col("user_id") % 223) + 1).cast("string"),
-      ((col("user_id") * 7) % 256).cast("string"),
-      ((col("user_id") * 13) % 256).cast("string"),
-      (col("user_id") % 256).cast("string"))
+    val ip = syntheticIp
     Tables.events(s, dir)
       .select(col("user_id")).distinct()
       .select(col("user_id"), ip.as("ip"))
@@ -790,7 +800,9 @@ object Fns {
       .groupBy(col("l_orderkey"))
       .agg(to_json(struct(col("l_orderkey").as("o"),
         array_sort(collect_list(struct(col("l_linenumber").as("l"),
-          col("l_quantity").cast("long").as("q")))).as("items"))).as("js"))
+          // floor() before the long cast: Spark's bare cast truncates
+          // while DuckDB's rounds — the agg_sum_map rule
+          floor(col("l_quantity")).cast("long").as("q")))).as("items"))).as("js"))
       .select(from_json(col("js"), docT).as("p"))
       .select(col("p.o").as("o_orderkey"), explode(col("p.items")).as("it"))
       .select(col("o_orderkey"), col("it.l").as("l_linenumber"),
@@ -839,7 +851,7 @@ object Fns {
     QueryDef("fn_geo_polygon", fnGeoPolygon, Some(fnGeoPolygonOracle)),
     QueryDef("fn_json_flatten", fnJsonFlatten,
       Some("""SELECT l_orderkey AS o_orderkey, l_linenumber,
-                CAST(l_quantity AS BIGINT) AS qty
+                CAST(floor(l_quantity) AS BIGINT) AS qty
               FROM lineitem WHERE l_orderkey % 97 = 0
               ORDER BY o_orderkey, l_linenumber, qty""")),
     QueryDef("fn_format_readable", fnFormatReadable,
@@ -1203,7 +1215,9 @@ object Fns {
                greatest(l_quantity, l_discount * 100) AS g,
                least(l_quantity, l_discount * 100) AS l
               FROM lineitem
-              ORDER BY l_orderkey, l_linenumber, price_r1, qty_dev
+              ORDER BY l_orderkey, l_linenumber, price_r1, qty_dev,
+                qty_sq, disc_pct_ceil, price_floor, price_sqrt,
+                price_ln, price_log10, key_mod7, qty_sign, g, l
               LIMIT 5000""")),
     QueryDef("fn_array", fnArray,
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr
