@@ -17,6 +17,32 @@ final case class QueryDef(
     oracle: Option[String] = None,
 )
 
+/** A bounded per-(session, key) cache of `.persist()`ed DataFrames
+  * shared by operators that consume one expensive derived feed many
+  * times. Eviction rules (the edgeCache discipline): entries whose
+  * owning SparkContext is stopped are dropped eagerly (their cached
+  * blocks are gone with the context), and a hard entry cap bounds
+  * session-churn growth — on overflow every live frame is unpersisted
+  * (persisted blocks are pinned by the session's CacheManager, so
+  * dropping the reference alone would leak storage) and rebuilt on next
+  * use. Callers fold the fixture fingerprint into `key` so a testdata
+  * swap at the same path re-derives instead of replaying stale state.
+  */
+final class DfCache(maxEntries: Int = 16) {
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  def get(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    m.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (m.size > maxEntries) {
+      m.forEach { (_, df) =>
+        try { df.unpersist(); () } catch { case _: Throwable => () }
+      }
+      m.clear()
+    }
+    m.computeIfAbsent((s, key), _ => build)
+  }
+}
+
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md). */
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -94,15 +120,68 @@ object Tables {
 object Scratch {
   private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val hook = new Thread(() => {
-    created.forEach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(p))
-    }
+    created.forEach(p => deleteRecursively(new java.io.File(p)))
   })
   Runtime.getRuntime.addShutdownHook(hook)
+
+  /** The one recursive-delete primitive (previously copy-pasted at a
+    * dozen sites). Deliberately does not follow the path further if an
+    * entry is a symlink to a directory: listFiles on the link is not
+    * followed-then-deleted here because fixtures never contain links —
+    * the link entry itself is unlinked like a file.
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Idempotent (possibly multi-step) fixture staging: runs `build`
+    * under a per-path JVM-wide lock, then writes a `.graft_staged`
+    * completion marker. Callers must guard on THIS marker rather than
+    * on Spark's `_SUCCESS`: `_SUCCESS` is committed by the FIRST write
+    * step of a multi-step stage (e.g. gen1 of a schema-evolution pair,
+    * or a CSV write that a garbage-injection step follows), so a crash
+    * between steps would otherwise leave a half-staged fixture that
+    * every later run trusts. A crash mid-build leaves no marker → the
+    * next caller re-runs the (overwrite-mode, deterministic) build.
+    * The lock also serializes two sessions in one JVM racing the same
+    * stage; cross-process races remain possible but the driver harness
+    * runs one JVM at a time.
+    */
+  def staged(path: String)(build: => Unit): String = {
+    val lock = stageLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(path, ".graft_staged")
+      if (!marker.exists()) {
+        build
+        writeDurable(marker.toPath, "ok")
+      }
+    }
+    path
+  }
+
+  /** (name, size, mtime) fingerprint over every parquet fixture in the
+    * sfDir — the version key for cross-run staged derivatives. A
+    * testdata drop that changes any source re-keys every staged path
+    * even when file byte-sizes happen to collide.
+    */
+  def fixtureFingerprint(sfDir: String): String =
+    try {
+      val files = Option(new java.io.File(sfDir)
+          .listFiles((_, n) => n.endsWith(".parquet")))
+        .getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
+      val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|")
+      // stable 64-bit FNV-1a over the concatenated signature
+      var h = 0xcbf29ce484222325L
+      sig.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+      java.lang.Long.toHexString(h)
+    } catch { case _: Throwable => "0" }
 
   /** A fresh tracked scratch dir under java.io.tmpdir. */
   def dir(prefix: String): String = {
@@ -124,21 +203,8 @@ object Scratch {
     * that changes any source re-keys the root even when events.parquet
     * happens to keep its byte size.
     */
-  def streamStageRoot(sfDir: String): String = {
-    val fp =
-      try {
-        val files = Option(new java.io.File(sfDir)
-            .listFiles((_, n) => n.endsWith(".parquet")))
-          .getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
-        val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-          .mkString("|")
-        // stable 64-bit FNV-1a over the concatenated signature
-        var h = 0xcbf29ce484222325L
-        sig.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
-        java.lang.Long.toHexString(h)
-      } catch { case _: Throwable => "0" }
-    s"${sys.props("java.io.tmpdir")}/graft_stream_$fp"
-  }
+  def streamStageRoot(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_stream_${fixtureFingerprint(sfDir)}"
 
   /** Durable small-file write for manifest commit points: the bytes are
     * fsync'd before returning so a subsequent ATOMIC_MOVE can never
@@ -175,6 +241,21 @@ object Scratch {
       // the force above is the real directory-entry flush
       case _: java.io.IOException => ()
     }
+
+  /** THE durable-commit primitive every manifest commit point goes
+    * through (version pointers, txn manifests, offset-log segments,
+    * block registries): fsync'd bytes to `<path>.tmp`, ATOMIC_MOVE over
+    * `path`, fsync the parent directory so the rename itself survives
+    * power loss. One implementation so a protocol fix lands everywhere.
+    */
+  def atomicPublish(path: java.nio.file.Path, content: String): Unit = {
+    val tmp = path.resolveSibling(s"${path.getFileName}.tmp")
+    writeDurable(tmp, content)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fsyncDir(path.getParent)
+  }
 }
 
 object Det {

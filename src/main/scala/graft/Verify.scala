@@ -29,11 +29,7 @@ object Verify {
         // for the local gate to pass on (observed once: an analysis
         // exception left the prior parquet in place and check.py
         // compared the stale output green)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(s"$outDir/$name"))
+        graft.Scratch.deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

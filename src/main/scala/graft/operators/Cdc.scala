@@ -148,28 +148,30 @@ object Cdc {
     * field projection behind the explode re-runs the from_json parse
     * (no common-subexpression elimination across a Generate boundary).
     */
-  private val parsedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val typedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val parsedCache = new graft.DfCache()
+  private val typedCache = new graft.DfCache()
+  // the fingerprint in the key makes an in-JVM testdata swap at the
+  // same dir path re-derive instead of replaying the stale parse
+  private def feedKey(dir: String): String =
+    s"$dir@${graft.Scratch.fixtureFingerprint(dir)}"
 
   /** Envelope JSON → typed envelope rows (the Canal-adapter parse step). */
   def parsed(s: SparkSession, dir: String): DataFrame =
-    parsedCache.computeIfAbsent((s, dir), { _ =>
+    parsedCache.get(s, feedKey(dir)) {
       val df = envelopes(s, dir)
         .select(from_json(col("value"), envelopeSchema).as("m"))
         .select(col("m.*"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize so every operator reuses the parse
       df
-    })
+    }
 
   /** Parsed orders-table DML with destination schema applied: stringly
     * row image → typed columns (the adapter's type-map step).
     */
   def ordersTyped(s: SparkSession, dir: String): DataFrame =
-    typedCache.computeIfAbsent((s, dir), { _ => ordersTypedUncached(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+    typedCache.get(s, feedKey(dir)) { ordersTypedUncached(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) }
 
   private def ordersTypedUncached(s: SparkSession, dir: String): DataFrame =
     typeMapOrders(parsed(s, dir))
@@ -309,9 +311,9 @@ object Cdc {
     // mis-frame under the corrected decoder, so the dir name is
     // versioned with the codec
     val root = s"${graft.Scratch.streamStageRoot(dir)}/entry_feed_v2_$sf"
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
+    graft.Scratch.staged(root) {
       entryFeed(s, dir).write.mode("overwrite").parquet(root)
-    root
+    }
   }
 
   /** Canal-server NATIVE protocol ingest: the binary protobuf `Entry`
@@ -391,9 +393,9 @@ object Cdc {
     val sf = new java.io.File(dir).getName
     // _v2: versioned with the Column wire layout, same as entryFeedDir
     val root = s"${graft.Scratch.streamStageRoot(dir)}/entry_txn_feed_v2_$sf"
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
+    graft.Scratch.staged(root) {
       entryFeedTxn(s, dir).write.mode("overwrite").parquet(root)
-    root
+    }
   }
 
   private def cdcTxnBoundary(s: SparkSession, dir: String): DataFrame = {
@@ -1102,16 +1104,8 @@ object Cdc {
   private[graft] def txnPublish(root: String, n: Int,
       tables: Map[String, DataFrame]): Unit = {
     tables.foreach { case (t, df) => df.write.parquet(s"$root/v=$n/$t") }
-    val tmp = new java.io.File(s"$root/_CURRENT.tmp")
-    // Durable (fsync'd) manifest bytes BEFORE the atomic rename — the
-    // rename is the commit point and must never publish a partial file.
-    graft.Scratch.writeDurable(tmp.toPath, n.toString)
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(s"$root/_CURRENT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // ...and the rename is only durable once the DIRECTORY entry flushes
-    graft.Scratch.fsyncDir(new java.io.File(root).toPath)
+    graft.Scratch.atomicPublish(
+      new java.io.File(s"$root/_CURRENT").toPath, n.toString)
   }
 
   private[graft] def txnCurrent(root: String): Int =

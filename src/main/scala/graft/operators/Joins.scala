@@ -396,13 +396,16 @@ object Joins {
   private def joinDpp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val factPath = Scans.partitionedEventsPath(s, dir)
+    // content is a constant literal (no sfDir derivation), so the path
+    // needs no fixture-fingerprint versioning — only the staged() lock
     val dimPath =
       s"${sys.props("java.io.tmpdir")}/graft_scan/event_dim_v2"
-    if (!new java.io.File(s"$dimPath/_SUCCESS").exists())
+    graft.Scratch.staged(dimPath) {
       Seq(("click", "active"), ("purchase", "active"), ("view", "inactive"),
         ("error", "inactive"), ("signup", "inactive"))
         .toDF("event_type", "status")
         .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    }
     val fact = s.read.parquet(factPath)
     // an EqualTo predicate, not a bare boolean flag: Catalyst's
     // isLikelySelective check gates DPP, and `flag = true` would be

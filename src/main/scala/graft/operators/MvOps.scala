@@ -21,15 +21,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object MvOps {
 
+  // fingerprint-versioned: the MV content derives from lineitem, so a
+  // new testdata drop must re-key the staged path (stale-replay guard)
   private def mvPath(dir: String): String = {
     val sf = new java.io.File(dir).getName
-    s"${sys.props("java.io.tmpdir")}/graft_mv/lineitem_rfls_$sf"
+    val fp = graft.Scratch.fixtureFingerprint(dir)
+    s"${sys.props("java.io.tmpdir")}/graft_mv_$fp/lineitem_rfls_$sf"
   }
 
   /** Stage + register the MV (idempotent per sfDir; deterministic content). */
   private[graft] def ensureMv(s: SparkSession, dir: String): Unit = {
     val path = mvPath(dir)
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    graft.Scratch.staged(path) {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -38,6 +41,7 @@ object MvOps {
             .as("sum_price_state"),
           count(lit(1)).as("n_rows"))
         .write.mode("overwrite").parquet(path)
+    }
     MvRouting.register(MvRouting.MvDef(
       basePath = s"$dir/lineitem.parquet", mvPath = path,
       groupCols = Set("l_returnflag", "l_linestatus"),
@@ -69,18 +73,21 @@ object MvOps {
     */
   private[graft] def ensureProjection(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val basePath = s"${sys.props("java.io.tmpdir")}/graft_mv/events_byday_$sf"
-    val altPath = s"${sys.props("java.io.tmpdir")}/graft_mv/events_byuser_$sf"
+    val fp = graft.Scratch.fixtureFingerprint(dir)
+    val basePath = s"${sys.props("java.io.tmpdir")}/graft_mv_$fp/events_byday_$sf"
+    val altPath = s"${sys.props("java.io.tmpdir")}/graft_mv_$fp/events_byuser_$sf"
     def ev = Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"),
         col("event_type"), col("value"), col("event_id"))
-    if (!new java.io.File(s"$basePath/_SUCCESS").exists())
+    graft.Scratch.staged(basePath) {
       ev.repartitionByRange(4, col("day")).sortWithinPartitions(col("day"))
         .write.mode("overwrite").parquet(basePath)
-    if (!new java.io.File(s"$altPath/_SUCCESS").exists())
+    }
+    graft.Scratch.staged(altPath) {
       ev.repartitionByRange(4, col("user_id"))
         .sortWithinPartitions(col("user_id"))
         .write.mode("overwrite").parquet(altPath)
+    }
     graft.plans.ProjectionRouting.register(graft.plans.ProjectionRouting
       .ProjDef(basePath, "day", altPath, "user_id"))
     graft.plans.ProjectionRouting.enable(s)
@@ -145,11 +152,7 @@ object MvOps {
       val staged = s"${p}_staged"
       s.read.parquet(p).filter(col("user_id") % 10 =!= 3)
         .write.parquet(staged)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(p))
+      graft.Scratch.deleteRecursively(new java.io.File(p))
       java.nio.file.Files.move(java.nio.file.Paths.get(staged),
         java.nio.file.Paths.get(p))
     }

@@ -32,9 +32,16 @@ object Scans {
   // timestampNTZFormat (timestampFormat only governs the LTZ type)
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  private val corruptCache = new graft.DfCache()
+
+  // versioned by the testdata fingerprint: these staged derivatives are
+  // reused across JVMs, and an unversioned path would silently replay a
+  // fixture derived from a PREVIOUS testdata drop (the hazard
+  // streamStageRoot already guards against for the stream feeds)
   private def tmp(sfDir: String, kind: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"${sys.props("java.io.tmpdir")}/graft_scan/${kind}_$sf"
+    val fp = graft.Scratch.fixtureFingerprint(sfDir)
+    s"${sys.props("java.io.tmpdir")}/graft_scan_$fp/${kind}_$sf"
   }
 
   /** ClickHouse `system.numbers` / `numbers(N)` — the generator table
@@ -55,10 +62,11 @@ object Scans {
 
   private def scanCsv(s: SparkSession, dir: String): DataFrame = {
     val path = tmp(dir, "orders_csv")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) // deterministic content
+    graft.Scratch.staged(path) { // deterministic content
       Tables.orders(s, dir).write.mode("overwrite")
         .option("header", "true").option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt)
         .csv(path)
+    }
     s.read.schema(ordersSchema)
       .option("header", "true").option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt)
       .csv(path)
@@ -69,9 +77,10 @@ object Scans {
 
   private def scanJson(s: SparkSession, dir: String): DataFrame = {
     val path = tmp(dir, "orders_json")
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    graft.Scratch.staged(path) {
       Tables.orders(s, dir).write.mode("overwrite")
         .option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt).json(path)
+    }
     s.read.schema(ordersSchema).option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt).json(path)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
@@ -80,8 +89,9 @@ object Scans {
 
   private def scanOrc(s: SparkSession, dir: String): DataFrame = {
     val path = tmp(dir, "orders_orc")
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    graft.Scratch.staged(path) {
       Tables.orders(s, dir).write.mode("overwrite").orc(path)
+    }
     s.read.orc(path)
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
@@ -96,10 +106,10 @@ object Scans {
     */
   def partitionedEventsPath(s: SparkSession, dir: String): String = {
     val path = tmp(dir, "events_part")
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    graft.Scratch.staged(path) {
       Tables.events(s, dir).write.mode("overwrite")
         .partitionBy("event_type").parquet(path)
-    path
+    }
   }
 
   private def sinkPartitioned(s: SparkSession, dir: String): DataFrame =
@@ -116,7 +126,10 @@ object Scans {
     */
   private def scanCsvCorrupt(s: SparkSession, dir: String): DataFrame = {
     val path = tmp(dir, "orders_csv_corrupt")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    // two-step stage: the completion marker (not the _SUCCESS the first
+    // step commits) gates reuse, so a crash before the garbage
+    // injection cannot leave a clean feed that reads n_corrupt=0
+    graft.Scratch.staged(path) {
       Tables.orders(s, dir).write.mode("overwrite")
         .option("header", "true").option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt)
         .csv(path)
@@ -126,15 +139,22 @@ object Scans {
         // all three must actually fail typed parsing (an all-empty line
         // like ",,,,," would parse as a legal all-null row)
         "decoy,header,line,x,y,z\nnot,a,valid,order,row,1\nx\n9,9,X,notadouble,2020-01-01 00:00:00.000000,1-URGENT\n")
+      ()
     }
     val schemaWithCorrupt = ordersSchema.add("_corrupt_record",
       org.apache.spark.sql.types.StringType)
-    val df = s.read.schema(schemaWithCorrupt)
-      .option("header", "true").option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv(path)
-      .cache() // required for corrupt-record-column queries
+    // the cache() is REQUIRED for corrupt-record-column queries (Spark
+    // disallows selecting only the corrupt column from a raw scan); the
+    // DfCache handle reuses ONE cached plan per (session, path) instead
+    // of stacking a new cached RDD per invocation
+    val df = corruptCache.get(s, path) {
+      s.read.schema(schemaWithCorrupt)
+        .option("header", "true").option("timestampFormat", tsFmt).option("timestampNTZFormat", tsFmt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    }
     df.agg(
       count(lit(1)).as("n_rows"),
       count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
@@ -162,7 +182,10 @@ object Scans {
     */
   private def scanSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val base = tmp(dir, "orders_evo")
-    if (!new java.io.File(s"$base/gen1/_SUCCESS").exists()) {
+    // the marker gates BOTH generations: guarding on gen1/_SUCCESS
+    // alone would let a crash between the writes replay a gen2-less
+    // stage forever
+    graft.Scratch.staged(base) {
       val o = Tables.orders(s, dir)
       o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -184,23 +207,29 @@ object Scans {
     * can assert partition pruning. Returns (cutoff, dropped partition
     * names).
     */
-  private[graft] def ttlApply(root: String,
-      retentionDays: Int): (java.time.LocalDate, Seq[String]) = {
+  /** The day-partition expiry scaffolding every age-tiered operator
+    * shares: list the `day=` dirs under root, anchor the cutoff at
+    * (max day − retentionDays), and return (all partition dirs, the
+    * dirs older than the cutoff sorted by name, the cutoff). Fails
+    * loudly on an empty layout instead of NPEing on `.max`.
+    */
+  private[graft] def dayPartitionCutoff(root: String, retentionDays: Int)
+      : (Array[java.io.File], Array[java.io.File], java.time.LocalDate) = {
+    def dayOf(f: java.io.File) = java.time.LocalDate.parse(f.getName.drop(4))
     val dirs = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("day="))
     require(dirs.nonEmpty, s"no day= partitions under $root")
-    val maxDay = dirs.map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
-    val cutoff = maxDay.minusDays(retentionDays.toLong)
-    val dropped = dirs
-      .filter(f => java.time.LocalDate.parse(f.getName.drop(4)).isBefore(cutoff))
-      .sortBy(_.getName)
+    val cutoff = dirs.map(dayOf).max.minusDays(retentionDays.toLong)
+    (dirs, dirs.filter(f => dayOf(f).isBefore(cutoff)).sortBy(_.getName),
+      cutoff)
+  }
+
+  private[graft] def ttlApply(root: String,
+      retentionDays: Int): (java.time.LocalDate, Seq[String]) = {
+    val (_, dropped, cutoff) = dayPartitionCutoff(root, retentionDays)
     dropped.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
+      graft.Scratch.deleteRecursively(d)
     }
     (cutoff, dropped.map(_.getName).toSeq)
   }
@@ -318,11 +347,8 @@ object Scans {
       .select(col("day"), col("event_type"), col("value"),
         lit(1L).as("n_rows"))
       .write.partitionBy("day").parquet(root)
-    val dirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
-    val maxDay = dirs.map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
-    val cutoff = java.sql.Date.valueOf(maxDay.minusDays(14))
+    val (_, expired, cutoffDay) = dayPartitionCutoff(root, 14)
+    val cutoff = java.sql.Date.valueOf(cutoffDay)
     // stage the rolled tier before touching the layout
     val staged = s"$base/rolled"
     s.read.parquet(root)
@@ -332,15 +358,7 @@ object Scans {
         sum(col("n_rows")).as("n_rows"))
       .select(col("event_type"), col("value"), col("n_rows"), col("day"))
       .write.partitionBy("day").parquet(staged)
-    dirs.filter(f => java.time.LocalDate.parse(f.getName.drop(4))
-        .isBefore(cutoff.toLocalDate))
-      .foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-          f.delete(); ()
-        }
-        rm(d)
-      }
+    expired.foreach(graft.Scratch.deleteRecursively)
     s.read.parquet(staged).write.mode("append").partitionBy("day").parquet(root)
     s.read.parquet(root)
       .groupBy(col("day"))
@@ -377,27 +395,17 @@ object Scans {
       .withColumn("day", to_date(col("ts")))
       .select(col("day"), col("event_id"), col("event_type"), col("value"))
       .write.partitionBy("day").parquet(root)
-    val dirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
-    val maxDay = dirs.map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
-    val cutoff = maxDay.minusDays(14)
+    val (_, expired, cutoff) = dayPartitionCutoff(root, 14)
     val staged = s"$base/staged"
     s.read.parquet(root)
       .filter(col("day") < lit(java.sql.Date.valueOf(cutoff)))
       .withColumn("value", lit(null).cast("double"))
       .write.partitionBy("day").parquet(staged)
-    dirs.filter(f => java.time.LocalDate.parse(f.getName.drop(4))
-        .isBefore(cutoff))
-      .foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-          f.delete(); ()
-        }
-        rm(d)
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(s"$staged/${d.getName}"), d.toPath)
-      }
+    expired.foreach { d =>
+      graft.Scratch.deleteRecursively(d)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$staged/${d.getName}"), d.toPath)
+    }
     s.read.parquet(root)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_live"),
@@ -487,14 +495,8 @@ object Scans {
       .withColumn("day", to_date(col("ts")))
       .select(col("day"), col("event_id"), col("event_type"), col("value"))
       .write.partitionBy("day").parquet(hot)
-    val dirs = Option(new java.io.File(hot).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
-    val maxDay = dirs.map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
-    val cutoff = maxDay.minusDays(14)
+    val (_, moved, _) = dayPartitionCutoff(hot, 14)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cold))
-    val moved = dirs.filter(f => java.time.LocalDate.parse(f.getName.drop(4))
-        .isBefore(cutoff))
     moved.foreach { d =>
       java.nio.file.Files.move(d.toPath,
         java.nio.file.Paths.get(s"$cold/${d.getName}"))
@@ -648,11 +650,7 @@ object Scans {
       } catch {
         case _: java.nio.file.FileSystemException =>
           // lost the CAS: sweep the orphaned staging dir, caller rebases
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(new java.io.File(txn))
+          graft.Scratch.deleteRecursively(new java.io.File(txn))
           false
       }
     }
@@ -774,11 +772,7 @@ object Scans {
         .parquet(touched.map(_.getPath).toIndexedSeq: _*))
       .write.partitionBy(partCol).parquet(staged)
     touched.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
+      graft.Scratch.deleteRecursively(d)
       val src = java.nio.file.Paths.get(s"$staged/${d.getName}")
       // fully-deleted partition: no staged dir → the partition is dropped
       if (java.nio.file.Files.exists(src))
@@ -927,9 +921,14 @@ object Scans {
       else merged.withColumn("value_band", lit(null).cast("int"))
     withPhys
       .withColumn("band", coalesce(col("value_band"), bandOf(col("value"))))
+      // virtual = partition membership (day >= cut was never rewritten),
+      // NOT value_band IS NULL: a physically-stored NULL band (purchase
+      // row with NULL value in a rewritten partition) would otherwise be
+      // miscounted as virtual — and diverge from the oracle's day >= cut
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n"),
-        count(when(col("value_band").isNull, 1)).as("n_virtual"),
+        count(when(col("day") >= lit(java.sql.Date.valueOf(cut)), 1))
+          .as("n_virtual"),
         Det.dsum(col("value")).as("sum_value"))
       .orderBy(col("band"))
   }
@@ -1024,12 +1023,8 @@ object Scans {
       if (known().contains(digests(i))) { skipped += 1 }
       else {
         block(i).write.mode("overwrite").parquet(s"$root/block=${digests(i)}")
-        val tmp = java.nio.file.Paths.get(s"$registry.tmp")
-        graft.Scratch.writeDurable(tmp,
+        graft.Scratch.atomicPublish(java.nio.file.Paths.get(registry),
           (known() + digests(i)).toSeq.sorted.mkString("\n"))
-        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(registry),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         graft.Scratch.fsyncDir(java.nio.file.Paths.get(root))
         written += 1
       }
@@ -1350,15 +1345,7 @@ object Scans {
     val n = if (cur.exists())
       scala.io.Source.fromFile(cur).mkString.trim.toInt + 1 else 1
     df.write.parquet(s"$root/v=$n")
-    val tmp = new java.io.File(s"$root/_CURRENT.tmp")
-    // Durable (fsync'd) manifest bytes BEFORE the atomic rename — the
-    // rename is the commit point and must never publish a partial file.
-    graft.Scratch.writeDurable(tmp.toPath, n.toString)
-    java.nio.file.Files.move(tmp.toPath, cur.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // ...and the rename is only durable once the DIRECTORY entry flushes
-    graft.Scratch.fsyncDir(new java.io.File(root).toPath)
+    graft.Scratch.atomicPublish(cur.toPath, n.toString)
     n
   }
 

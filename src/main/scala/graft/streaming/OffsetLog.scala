@@ -197,22 +197,11 @@ object OffsetLog {
       // accounting) — report only dirs that actually exist
       .filter(e => new java.io.File(s"$root/seg=$e").exists())
     dead.foreach { e =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(s"$root/seg=$e"))
+      graft.Scratch.deleteRecursively(new java.io.File(s"$root/seg=$e"))
     }
     dead
   }
 
-  private def atomicWrite(path: String, content: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    val tmp = java.nio.file.Paths.get(s"$path.tmp")
-    graft.Scratch.writeDurable(tmp, content)
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    graft.Scratch.fsyncDir(p.getParent)
-  }
+  private def atomicWrite(path: String, content: String): Unit =
+    graft.Scratch.atomicPublish(java.nio.file.Paths.get(path), content)
 }

@@ -154,9 +154,9 @@ object StreamOps {
   private def feedDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
     val feed = s"${graft.Scratch.streamStageRoot(dir)}/cdc_feed_$sf"
-    if (!new java.io.File(s"$feed/_SUCCESS").exists())
+    graft.Scratch.staged(feed) {
       Cdc.envelopes(s, dir).coalesce(1).write.mode("overwrite").text(feed)
-    feed
+    }
   }
 
   private def srcStreamFile(s0: SparkSession, dir: String): DataFrame = {
@@ -291,11 +291,7 @@ object StreamOps {
       .map(_.getName.drop(2).toLong)
       .filter(v => v < batchId && !live.contains(v)).sorted.toSeq
     dead.foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(root, s"v=$v"))
+      graft.Scratch.deleteRecursively(new java.io.File(root, s"v=$v"))
     }
     dead
   }
@@ -365,20 +361,16 @@ object StreamOps {
         case None =>
           merged.write.mode("overwrite").partitionBy("bucket").parquet(target)
         case Some(ofs) =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-            f.delete(); ()
-          }
           // leftovers from a crash mid-staging are invisible to readers
           // (cdcBucketVersions lists only v=*); the replay sweeps them
           val staging = new java.io.File(s"$state/.txn_v=$batchId")
-          rm(staging)
+          graft.Scratch.deleteRecursively(staging)
           merged.write.mode("overwrite").partitionBy("bucket")
             .parquet(staging.getPath)
           graft.Scratch.writeDurable(
             staging.toPath.resolve("_offsets"),
             ofs.toSeq.sorted.map { case (p, o) => s"$p $o" }.mkString("\n"))
-          rm(new java.io.File(target)) // idempotent at-least-once replay
+          graft.Scratch.deleteRecursively(new java.io.File(target)) // idempotent at-least-once replay
           java.nio.file.Files.move(staging.toPath,
             java.nio.file.Paths.get(target),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -447,11 +439,7 @@ object StreamOps {
     // keep only the latest version < batchId (replay margin) + v=batchId
     prevDirs.filter(_ < (if (prevDirs.isEmpty) batchId else prevDirs.max))
       .foreach { v =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(state, s"v=$v"))
+        graft.Scratch.deleteRecursively(new java.io.File(state, s"v=$v"))
       }
   }
 
@@ -1094,7 +1082,7 @@ object StreamOps {
         tv: org.apache.spark.sql.streaming.TimerValues,
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessOut] =
       Option(st.get()) match {
-        case Some(a) if expiryOf(a) == info.getExpiryTimeInMs =>
+        case Some(a) if expiryOf(a) == info.getExpiryTimeInMs() =>
           st.clear()
           Iterator.single(SessOut(uid, a.startUs, a.endUs, a.n))
         case _ => Iterator.empty
@@ -1142,12 +1130,12 @@ object StreamOps {
   private def multiFeedDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
     val feed = s"${graft.Scratch.streamStageRoot(dir)}/cdc_feed2_$sf"
-    if (!new java.io.File(s"$feed/_SUCCESS").exists())
+    graft.Scratch.staged(feed) {
       // two files: the minimum that still forces cross-batch accumulation
       // under maxFilesPerTrigger=1 (each extra micro-batch is pure
       // fixed-cost machinery at bench time)
       Cdc.envelopes(s, dir).repartition(2).write.mode("overwrite").text(feed)
-    feed
+    }
   }
 
   private def streamCdcScd2(s0: SparkSession, dir: String): DataFrame = {
