@@ -328,7 +328,54 @@ object DedupGraph {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
 
+  /** Resource-Allocation link prediction (Zhou, Lü & Zhang, EPJ B 2009):
+    * score a non-adjacent-or-adjacent pair (u,v) by Σ_w 1/deg(w) over
+    * common neighbors w — common-neighbor counting where going through
+    * a hub is worth less. Each term is exact integer micro-units
+    * (1000000 div deg), so the per-pair SUM is order-independent and
+    * the oracle matches bit-for-bit with no float edge rounding — the
+    * same determinism device as graph_pagerank_step.
+    *
+    * Scale notes: the wedge join is the identical (bounded-support)
+    * shape graph_common_neighbors uses over the shared cached edge
+    * list; degrees broadcast-join onto wedges by the hub node; one
+    * hash agg on (u,v). No new shuffle class at 100 TB.
+    */
+  private def graphResourceAlloc(s: SparkSession, dir: String): DataFrame = {
+    val e = affinityEdgesCached(s, dir)
+    val und = e.select(col("u").as("n"), col("v").as("m"))
+      .union(e.select(col("v").as("n"), col("u").as("m")))
+    val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    und.as("a").join(und.as("b"),
+        col("a.m") === col("b.m") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"), col("a.m").as("w"))
+      .join(deg.select(col("n").as("w"), col("d").as("dw")), "w")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div dw")).as("ra_micro"))
+      .filter(col("common") >= 2)
+      .orderBy(col("ra_micro").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_resource_alloc", graphResourceAlloc,
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+              e0 AS (SELECT u, v FROM (
+                SELECT a.pk AS u, b.pk AS v, COUNT(DISTINCT a.ok) AS sup
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2) sup_f WHERE sup >= 2),
+              und AS (SELECT u AS n, v AS m FROM e0
+                UNION ALL SELECT v, u FROM e0),
+              deg AS (SELECT n, COUNT(*) AS d FROM und GROUP BY n),
+              wdg AS (SELECT a.n AS u, b.n AS v, a.m AS w
+                FROM und a JOIN und b ON a.m = b.m AND a.n < b.n)
+              SELECT u, v, COUNT(*) AS common,
+                CAST(SUM(1000000 // deg.d) AS BIGINT) AS ra_micro
+              FROM wdg JOIN deg ON wdg.w = deg.n
+              GROUP BY u, v HAVING COUNT(*) >= 2
+              ORDER BY ra_micro DESC, u, v LIMIT 50""")),
     QueryDef("graph_degree_hist", graphDegreeHist,
       Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
                 FROM lineitem),

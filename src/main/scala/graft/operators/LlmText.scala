@@ -1579,7 +1579,100 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-level Shannon entropy per document — the low-entropy
+    * screen quality pipelines run before model-based filters: keyboard
+    * mash, base64 blobs, and repeated-char padding score far below
+    * natural text (≈4.1 bits for English). Determinism: the per-char
+    * counts leave the aggregation as a SORTED array and the −Σ p·log₂p
+    * fold runs sequentially over it (the agg_entropy scheme), so the
+    * libm terms accumulate in one fixed order on both engines; 6dp edge
+    * round.
+    *
+    * Scale notes: the char explode is map-side (no pre-shuffle row
+    * growth survives the first partial agg — counts collapse to
+    * O(docs × alphabet) immediately); then one shuffle on doc_id.
+    */
+  private def textCharEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      // Spark split keeps the trailing zero-width match as "" (limit
+      // -1 semantics); DuckDB's string_split does not — drop it
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct_chars"),
+        expr("array_sort(collect_list(c))").as("cs"))
+      .select(col("doc_id"), col("n").as("n_chars_counted"),
+        col("n_distinct_chars"),
+        round(expr("""aggregate(cs, cast(0.0 as double), (acc, c) ->
+            acc - (c / cast(n as double)) * log2(c / cast(n as double)))"""),
+          6).as("char_entropy"))
+      .orderBy(col("doc_id"))
+
+  /** URL-canonicalization dedup (the CCNet/RefinedWeb first pass): five
+    * noisy spellings per canonical page — case variants, trailing
+    * slash, utm_* tracking query, fragment — collapse to one canonical
+    * URL (lowercase, query/fragment stripped, trailing slash trimmed)
+    * and the first doc_id per canonical survives. The regex chain is
+    * $-anchored so first-match (DuckDB) and all-match (Spark)
+    * regexp_replace semantics coincide.
+    *
+    * Scale notes: canonicalization is a map-side string kernel; the
+    * dedup is ONE shuffle on the canonical key — at 100 TB this is the
+    * cheapest dedup stage there is (no shingling, no similarity), which
+    * is why real pipelines run it first.
+    */
+  private def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val url = expr("""concat(
+      CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://WWW.EXAMPLE'
+           ELSE 'https://www.example' END,
+      cast((doc_id div 5) % 7 as string), '.com/page',
+      cast(doc_id div 5 as string),
+      CASE WHEN doc_id % 5 = 1 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 5 = 2 THEN '?utm_source=feed&utm_campaign=x'
+           ELSE '' END,
+      CASE WHEN doc_id % 5 = 3 THEN '#section2' ELSE '' END)""")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canonical_url",
+        regexp_replace(regexp_replace(regexp_replace(
+          lower(col("url")), "#.*$", ""), "\\?.*$", ""), "/$", ""))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("kept_doc"))
+      .orderBy(col("canonical_url"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_char_entropy", textCharEntropy,
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, ''))
+                  AS ch FROM documents),
+              t AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+              g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                COUNT(*) AS nd, list_sort(list(c)) AS cs FROM t GROUP BY 1)
+              SELECT doc_id, n AS n_chars_counted, nd AS n_distinct_chars,
+                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(cs, c ->
+                    -(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)))),
+                  (a, b) -> a + b), 6) AS char_entropy
+              FROM g ORDER BY doc_id""")),
+    QueryDef("dedup_url", dedupUrl,
+      Some("""WITH u AS (SELECT doc_id, concat(
+                CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://WWW.EXAMPLE'
+                     ELSE 'https://www.example' END,
+                CAST((doc_id // 5) % 7 AS VARCHAR), '.com/page',
+                CAST(doc_id // 5 AS VARCHAR),
+                CASE WHEN doc_id % 5 = 1 THEN '/' ELSE '' END,
+                CASE WHEN doc_id % 5 = 2 THEN '?utm_source=feed&utm_campaign=x'
+                     ELSE '' END,
+                CASE WHEN doc_id % 5 = 3 THEN '#section2' ELSE '' END)
+                  AS url FROM documents),
+              c AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                  lower(url), '#.*$', ''), '\?.*$', ''), '/$', '')
+                  AS canonical_url FROM u)
+              SELECT canonical_url, COUNT(*) AS n_variants,
+                MIN(doc_id) AS kept_doc
+              FROM c GROUP BY canonical_url ORDER BY canonical_url""")),
     QueryDef("ml_quality_filter", mlQualityFilter, None),
     QueryDef("text_readability", textReadability,
       Some("""WITH t AS (SELECT doc_id,
