@@ -40,7 +40,11 @@ object LlmVector {
       .select(col("vec_id"),
         round(norm2(col("v")), 6).as("l2_norm"),
         round(array_max(transform(col("v"), x => abs(x))), 6).as("max_abs"),
-        round(element_at(col("v"), 1) / norm2(col("v")), 6).as("first_unit"))
+        // zero-vector guard (class 6): Spark 0/0 → NULL, DuckDB → NaN;
+        // define the unit component of a zero vector as 0 on both sides
+        round(when(norm2(col("v")) === 0.0, lit(0.0))
+          .otherwise(element_at(col("v"), 1) / norm2(col("v"))), 6)
+          .as("first_unit"))
       .orderBy(col("vec_id"))
 
   /** Cosine between consecutive vec_ids (pairing without a quadratic
@@ -171,9 +175,17 @@ object LlmVector {
       .agg(map_from_arrays(collect_list(col("cb")),
         collect_list(col("sim"))).as("m"))
     val pooled = pool.select(col("probe_id"), col("cand_id"), col("rel"))
+      // LEFT join + empty-map default: a single-candidate pool has no
+      // (ca ≠ cb) sim rows, and an inner join would silently drop the
+      // candidate while the oracle's step-1 CTE (no sims needed) keeps
+      // it — mirroring the greedy loop's getOrElse(_, 0.0)
       .join(simMap,
-        col("probe_id") === col("pid2") && col("cand_id") === col("ca"))
-      .select(col("probe_id"), col("cand_id"), col("rel"), col("m"))
+        col("probe_id") === col("pid2") && col("cand_id") === col("ca"),
+        "left")
+      .select(col("probe_id"), col("cand_id"), col("rel"),
+        coalesce(col("m"), expr(
+          "map_from_arrays(cast(array() as array<bigint>), cast(array() as array<double>))"))
+          .as("m"))
       .as[MmrCand]
     pooled.groupByKey(_.probe_id).flatMapGroups { (pid, it) =>
       val cs = it.toArray
@@ -348,21 +360,33 @@ object LlmVector {
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }
 
-  /** Per-label mean vector (cluster profile): explode positions, exact
-    * decimal mean per (label, pos), reassemble ordered. The vector leaves
-    * as a canonical CSV string — each component formatted via
-    * DECIMAL(20,6) so Spark and DuckDB print identical fixed-scale text
-    * (the driver's comparator hashes scalar cells only).
+  /** Exact per-label centroid vectors — THE shared centroid primitive
+    * (previously copy-pasted at eight sites): explode positions, exact
+    * decimal mean per (label, pos), reassemble position-ordered into a
+    * `cvec` array column keyed by `label`. One definition so the
+    * decimal-mean discipline every oracle restates cannot drift
+    * between keys. Input must carry `label` and a double-array `v`.
     */
-  private def labelCentroid(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("label"), posexplode(dbl(col("embedding"))).as(Seq("pos", "x")))
+  private def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(Det.davg(col("x")).as("m"))
       .groupBy(col("label"))
-      .agg(array_join(expr(
-        """transform(array_sort(collect_list(struct(pos, m))),
-           s -> cast(cast(round(s.m, 6) as decimal(20,6)) as string))"""), ",")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cvec"))
+
+  /** Per-label mean vector (cluster profile): the shared exact-decimal
+    * centroid ([[labelCentroids]]) leaving as a canonical CSV string —
+    * each component formatted via DECIMAL(20,6) so Spark and DuckDB
+    * print identical fixed-scale text (the driver's comparator hashes
+    * scalar cells only).
+    */
+  private def labelCentroid(s: SparkSession, dir: String): DataFrame =
+    labelCentroids(Tables.embeddings(s, dir)
+        .withColumn("v", dbl(col("embedding"))))
+      .select(col("label"), array_join(expr(
+        """transform(cvec,
+           x -> cast(cast(round(x, 6) as decimal(20,6)) as string))"""), ",")
         .as("centroid"))
       .orderBy(col("label"))
 
@@ -380,15 +404,10 @@ object LlmVector {
     * corpus is never touched twice.
     */
   private def labelCentroidSim(s: SparkSession, dir: String): DataFrame = {
-    val cent = Tables.embeddings(s, dir)
-      .select(col("label"), posexplode(dbl(col("embedding"))).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(Det.davg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("c"))
-    val a = cent.select(col("label").as("la"), col("c").as("ca"))
-    val b = cent.select(col("label").as("lb"), col("c").as("cb"))
+    val cent = labelCentroids(Tables.embeddings(s, dir)
+      .withColumn("v", dbl(col("embedding"))))
+    val a = cent.select(col("label").as("la"), col("cvec").as("ca"))
+    val b = cent.select(col("label").as("lb"), col("cvec").as("cb"))
     def dot(x: String, y: String) =
       expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
     a.join(broadcast(b), col("la") < col("lb"))
@@ -410,13 +429,7 @@ object LlmVector {
   private def simIvfKnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
-    val cents = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(graft.Det.davg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("cvec"))
+    val cents = labelCentroids(e)
     val probes = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val wSel = Window.partitionBy(col("probe_id"))
@@ -451,7 +464,8 @@ object LlmVector {
     * IEEE doubles, ties break on list id — so the trained codebook is a
     * pure function of the corpus. SSE (decimal-summed) is monotone
     * non-increasing across rounds (Lloyd's invariant, property-tested);
-    * training stops when it stalls (< 1e-9 improvement) or at maxRounds.
+    * training stops when it stalls (< 0.01% relative improvement, i.e.
+    * prev − sse < 1e-4·prev) or at maxRounds.
     *
     * Scale notes: each round is one broadcast-join pass over the corpus
     * + one (k × dim)-group aggregate; rounds are bounded; nothing
@@ -656,13 +670,17 @@ object LlmVector {
     */
   private def vecQuantize(s: SparkSession, dir: String): DataFrame = {
     val v = dbl(col("embedding"))
-    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    val rawScale = array_max(transform(v, x => abs(x))) / 127.0
+    // an all-zero vector has scale 0: divide by 1 instead so codes and
+    // error are 0 on BOTH engines (Spark's 0/0 is NULL, DuckDB's is
+    // NaN — the class-6 divergence); q_scale still reports the true 0
+    val scale = when(rawScale === 0.0, lit(1.0)).otherwise(rawScale)
     val err = transform(v, x =>
       abs(x - floor(x / scale + 0.5) * scale))
     val codes = transform(v, x => floor(x / scale + 0.5))
     Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        round(scale, 6).as("q_scale"),
+        round(rawScale, 6).as("q_scale"),
         array_max(transform(codes, c => abs(c))).cast("int").as("max_code"),
         round(aggregate(err, lit(0.0), (acc, x) => acc + x)
           / size(col("embedding")), 6).as("mean_abs_err"))
@@ -810,14 +828,7 @@ object LlmVector {
   private def vecKmeansAssign(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
-    val cents = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(graft.Det.davg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("cvec"))
-      .withColumnRenamed("label", "clabel")
+    val cents = labelCentroids(e).withColumnRenamed("label", "clabel")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("clabel"))
     e.crossJoin(broadcast(cents))
@@ -875,16 +886,8 @@ object LlmVector {
     */
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
-    val cents = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(graft.Det.davg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("cvec"))
-      .withColumnRenamed("label", "clabel")
+    val cents = labelCentroids(e).withColumnRenamed("label", "clabel")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("clabel"))
     val assigned = e.crossJoin(broadcast(cents))
@@ -968,14 +971,7 @@ object LlmVector {
     */
   private def vecPq(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
-    val cents = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(graft.Det.davg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("cvec"))
-      .withColumnRenamed("label", "clabel")
+    val cents = labelCentroids(e).withColumnRenamed("label", "clabel")
     val dists = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("clabel"),
         posexplode(expr(
@@ -1026,14 +1022,7 @@ object LlmVector {
     */
   private def simIvfPqKnn(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
-    val cents = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(graft.Det.davg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("cvec"))
-      .withColumnRenamed("label", "clabel")
+    val cents = labelCentroids(e).withColumnRenamed("label", "clabel")
     val sub = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("clabel"),
         posexplode(expr(
@@ -1371,13 +1360,7 @@ object LlmVector {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .select(col("probe_id"), col("cand_id"))
-    val cents = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(graft.Det.davg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("cvec"))
+    val cents = labelCentroids(e)
     val wSel = Window.partitionBy(col("probe_id"))
       .orderBy(col("csim").desc, col("label"))
     val selected = probes.crossJoin(broadcast(cents))
@@ -1600,8 +1583,9 @@ object LlmVector {
                round(${oNorm("embedding")}, 6) AS l2_norm,
                round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
                  x -> abs(x))), 6) AS max_abs,
-               round(CAST(embedding[1] AS DOUBLE) / ${oNorm("embedding")}, 6)
-                 AS first_unit
+               round(CASE WHEN ${oNorm("embedding")} = 0 THEN 0.0
+                 ELSE CAST(embedding[1] AS DOUBLE) / ${oNorm("embedding")}
+                 END, 6) AS first_unit
               FROM embeddings ORDER BY vec_id""")),
     QueryDef("sim_cosine_pair", simCosinePair,
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1779,10 +1763,12 @@ object LlmVector {
     QueryDef("vec_quantize", vecQuantize,
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                 FROM embeddings),
-              s AS (SELECT vec_id, v,
-                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-                FROM e)
-              SELECT vec_id, round(scale, 6) AS q_scale,
+              s0 AS (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS raw
+                FROM e),
+              s AS (SELECT vec_id, v, raw,
+                CASE WHEN raw = 0 THEN 1.0 ELSE raw END AS scale FROM s0)
+              SELECT vec_id, round(raw, 6) AS q_scale,
                 CAST(list_max(list_transform(v,
                   x -> abs(floor(x/scale + 0.5)))) AS INTEGER) AS max_code,
                 round(list_reduce(list_prepend(0.0, list_transform(v,

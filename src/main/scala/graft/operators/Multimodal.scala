@@ -90,6 +90,35 @@ object Multimodal {
       .withColumn("n_frames", lit(8))
       .orderBy(col("vec_id"))
 
+  /** [-1,1] float → [0,255] pixel quantization — ONE definition (each
+    * copy must stay bit-identical to its oracle's GREATEST/LEAST/FLOOR
+    * spelling, so the clamp lives here, not at call sites).
+    */
+  private[graft] def quantize255(x: Double): Int =
+    math.max(0.0, math.min(255.0, math.floor((x + 1.0) * 127.5))).toInt
+
+  /** [-1,1] float → signed 16-bit PCM quantization — the audio twin of
+    * [[quantize255]], shared by the WAV/spectrogram/mel keys.
+    */
+  private[graft] def quantizePcm16(x: Double): Int =
+    math.max(-32768.0, math.min(32767.0, math.floor(x * 32767.0))).toInt
+
+  /** PCM16-quantize an embedding, round-trip it through the real WAV
+    * codec, and return the normalized FFT spectrum inputs — the shared
+    * preamble of mm_spectrogram and mm_mel_filterbank.
+    */
+  private def spectrumInput(emb: scala.collection.Seq[Float])
+      : (Array[Double], Array[Double]) = {
+    val q = emb.map(x => quantizePcm16(x.toDouble)).toSeq
+    val (_, _, _, smp) = wavDecode(wavEncode(q))
+    val n = 64
+    val re = new Array[Double](n); val im = new Array[Double](n)
+    var i = 0
+    while (i < n && i < smp.length) { re(i) = smp(i) / 32768.0; i += 1 }
+    fft(re, im)
+    (re, im)
+  }
+
   /** REAL image decode, no codec libs: each embedding becomes an actual
     * 8×8 grayscale image in PPM "P6" (the raw RGB format: ASCII header +
     * pixel bytes), and a genuine parser — header tokenizer, dimension
@@ -101,8 +130,7 @@ object Multimodal {
     * production codec pipeline.
     */
   private def ppmEncode(vals: Seq[Double]): Array[Byte] = {
-    val q = vals.map(x =>
-      math.max(0.0, math.min(255.0, math.floor((x + 1.0) * 127.5))).toInt)
+    val q = vals.map(quantize255)
     val header = s"P6\n8 8\n255\n".getBytes("US-ASCII")
     val pixels = new Array[Byte](q.length * 3)
     var i = 0
@@ -215,9 +243,7 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // no disk cache per codec call
         rows.map { r =>
           val q = r.getAs[scala.collection.Seq[Float]]("embedding")
-            .map(x => math.max(0.0,
-              math.min(255.0, math.floor((x.toDouble + 1.0) * 127.5))).toInt)
-            .toSeq
+            .map(x => quantize255(x.toDouble)).toSeq
           val blob = pngEncode(q) // a genuine PNG: 89 50 4E 47 ...
           val (w, h, px) = pngDecode(blob)
           var sum = 0L; var wsum = 0L; var i = 0
@@ -275,9 +301,7 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val q = r.getAs[scala.collection.Seq[Float]]("embedding")
-            .map(x => math.max(0.0,
-              math.min(255.0, math.floor((x.toDouble + 1.0) * 127.5))).toInt)
-            .toSeq
+            .map(x => quantize255(x.toDouble)).toSeq
           val (w, h, px) = pngDecode(pngEncode(q)) // through the real codec
           val small = boxDownsample(px, w, h)
           Row(r.getAs[Long]("vec_id"), w / 2, h / 2, small(0),
@@ -307,23 +331,41 @@ object Multimodal {
     * writer/reader params built per partition, blobs never shuffle —
     * the mm_decode_png discipline on the lossy path.
     */
+  /** A reusable per-partition JPEG encoder: the SPI writer lookup and
+    * write-param construction happen ONCE (in the mapPartitions
+    * closure), each row only pays the write itself — the amortization
+    * the scale note above promises. `close()` disposes the writer when
+    * the partition is drained.
+    */
+  private[graft] final class JpegEncoder {
+    private val w =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    private val p = {
+      val p0 = w.getDefaultWriteParam
+      p0.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p0.setCompressionQuality(0.92f)
+      p0
+    }
+    def encode(q: Seq[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var i = 0
+      while (i < 64) { r.setSample(i % 8, i / 8, 0, q(i)); i += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally ios.close()
+      bos.toByteArray
+    }
+    def close(): Unit = w.dispose()
+  }
+
   private[graft] def jpegEncode(q: Seq[Int]): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(8, 8,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val r = img.getRaster
-    var i = 0
-    while (i < 64) { r.setSample(i % 8, i / 8, 0, q(i)); i += 1 }
-    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val p = w.getDefaultWriteParam
-    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionQuality(0.92f)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try {
-      w.setOutput(ios)
-      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally { ios.close(); w.dispose() }
-    bos.toByteArray
+    val e = new JpegEncoder
+    try e.encode(q) finally e.close()
   }
 
   private val jpegSchema = StructType(Seq(
@@ -341,12 +383,12 @@ object Multimodal {
       .select(col("vec_id"), col("embedding"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        // one SPI lookup + write-param per PARTITION, not per row
+        val enc0 = new JpegEncoder
         rows.map { r =>
           val q = r.getAs[scala.collection.Seq[Float]]("embedding")
-            .map(x => math.max(0.0,
-              math.min(255.0, math.floor((x.toDouble + 1.0) * 127.5))).toInt)
-            .toSeq
-          val blob = jpegEncode(q)
+            .map(x => quantize255(x.toDouble)).toSeq
+          val blob = enc0.encode(q)
           val isJpeg = if ((blob(0) & 0xff) == 0xff && (blob(1) & 0xff) == 0xd8)
             1 else 0 // genuine SOI marker
           val (w, h, px) = pngDecode(blob) // ImageIO.read sniffs the format
@@ -360,7 +402,7 @@ object Multimodal {
           val dcDrift = math.abs(sumDec.toDouble - sumSrc.toDouble) / px.length
           Row(r.getAs[Long]("vec_id"), w, h, isJpeg,
             if (errMax <= 24) 1 else 0, if (dcDrift <= 4.0) 1 else 0)
-        }
+        } ++ { enc0.close(); Iterator.empty } // dispose on drain
       }(enc)
       .orderBy(col("vec_id"))
   }
@@ -406,8 +448,11 @@ object Multimodal {
     var data: Array[Int] = null
     while (bb.remaining() >= 8 && (data == null || rate == 0)) {
       val id = str4(); val len = bb.getInt()
+      // RIFF pads every odd-length chunk to a word boundary; the pad
+      // byte is NOT counted in len, so every skip is len + (len & 1)
+      val padded = len + (len & 1)
       if (id == "fmt ") {
-        val end = bb.position() + len
+        val end = bb.position() + padded
         bb.getShort() // audio format tag (1 = PCM)
         ch = bb.getShort(); rate = bb.getInt()
         bb.getInt(); bb.getShort() // byte rate, block align
@@ -415,7 +460,8 @@ object Multimodal {
         bb.position(end)
       } else if (id == "data") {
         data = Array.fill(len / 2)(bb.getShort().toInt)
-      } else bb.position(bb.position() + len) // skip unknown chunk
+        if ((len & 1) == 1 && bb.remaining() > 0) bb.get() // pad byte
+      } else bb.position(bb.position() + padded) // skip unknown chunk
     }
     (rate, ch, bits, data)
   }
@@ -442,9 +488,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val q = r.getAs[scala.collection.Seq[Float]]("embedding")
-            .map(x => math.max(-32768.0,
-              math.min(32767.0, math.floor(x.toDouble * 32767.0))).toInt)
-            .toSeq
+            .map(x => quantizePcm16(x.toDouble)).toSeq
           val (rate, ch, bits, smp) = wavDecode(wavEncode(q))
           var ss = 0L; var pk = 0; var i = 0
           while (i < smp.length) {
@@ -532,18 +576,9 @@ object Multimodal {
       .select(col("vec_id"), col("embedding"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val q = r.getAs[scala.collection.Seq[Float]]("embedding")
-            .map(x => math.max(-32768.0,
-              math.min(32767.0, math.floor(x.toDouble * 32767.0))).toInt)
-            .toSeq
-          val (_, _, _, smp) = wavDecode(wavEncode(q))
           val n = 64
-          val re = new Array[Double](n); val im = new Array[Double](n)
-          var i = 0
-          while (i < n && i < smp.length) {
-            re(i) = smp(i) / 32768.0; i += 1
-          }
-          fft(re, im)
+          val (re, im) =
+            spectrumInput(r.getAs[scala.collection.Seq[Float]]("embedding"))
           // one-sided power spectrum, 6dp (bins 0..32)
           val mag = Array.tabulate(n / 2 + 1) { k =>
             BigDecimal(re(k) * re(k) + im(k) * im(k))
@@ -627,16 +662,8 @@ object Multimodal {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .flatMap { r =>
-        val q = r.getAs[scala.collection.Seq[Float]]("embedding")
-          .map(x => math.max(-32768.0,
-            math.min(32767.0, math.floor(x.toDouble * 32767.0))).toInt)
-          .toSeq
-        val (_, _, _, smp) = wavDecode(wavEncode(q))
-        val n = 64
-        val re = new Array[Double](n); val im = new Array[Double](n)
-        var i = 0
-        while (i < n && i < smp.length) { re(i) = smp(i) / 32768.0; i += 1 }
-        fft(re, im)
+        val (re, im) =
+          spectrumInput(r.getAs[scala.collection.Seq[Float]]("embedding"))
         val mag = Array.tabulate(33)(k => re(k) * re(k) + im(k) * im(k))
         val id = r.getAs[Long]("vec_id")
         (0 until nMel).map { m =>
@@ -880,9 +907,11 @@ object Multimodal {
     QueryDef("mm_decode", mmDecode,
       Some("""SELECT doc_id,
                CAST(length(text) AS INTEGER) AS n_bytes,
-               CAST(list_aggregate(list_transform(
-                 regexp_extract_all(text, '.'), x -> unicode(x)), 'sum') % 997
-                 AS BIGINT) AS checksum,
+               -- COALESCE: an empty doc's list_aggregate is NULL while
+               -- the Scala decoder's empty-blob sum is 0 (class-6 guard)
+               CAST(COALESCE(list_aggregate(list_transform(
+                 regexp_extract_all(text, '.'), x -> unicode(x)), 'sum'), 0)
+                 % 997 AS BIGINT) AS checksum,
                CAST(unicode(text) AS INTEGER) AS first_byte
               FROM documents ORDER BY doc_id""")),
     QueryDef("mm_frame_sample", mmFrameSample,
