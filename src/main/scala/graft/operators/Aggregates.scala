@@ -221,11 +221,13 @@ object Aggregates {
       .agg(countDistinct(col("doc_id")).as("in_docs"))
       .join(broadcast(sizes), "lang")
       .filter(col("in_docs") === col("n_docs"))
-      .groupBy(col("lang"))
+      // n_docs is functionally determined by lang after the filter —
+      // carrying it through the grouping key spares a second broadcast
+      // join for a value already on every row
+      .groupBy(col("lang"), col("n_docs"))
       .agg(array_join(sort_array(collect_list(col("tok"))), ",")
           .as("common_tokens"),
         count(lit(1)).as("n_common"))
-      .join(broadcast(sizes), "lang")
       .select(col("lang"), col("n_docs"), col("n_common"),
         col("common_tokens"))
       .orderBy(col("lang"))
@@ -364,6 +366,12 @@ object Aggregates {
     val pg = col("n_good").cast("double") / col("tg").cast("double")
     val pb = col("n_bad").cast("double") / col("tb").cast("double")
     binned.crossJoin(broadcast(tot))
+      // pure-bin guard (class 6, the agg_categorical_iv rule): a bin
+      // with n_good = 0 or n_bad = 0 makes ln(0)/x÷0 NULL on Spark but
+      // ±inf on DuckDB — filter identically on both engines. Totals are
+      // computed BEFORE the filter so the probabilities keep their
+      // all-bins denominator.
+      .filter(col("n_good") > 0 && col("n_bad") > 0)
       .select(col("bin"), col("n_good"), col("n_bad"),
         round(log(pg / pb), 6).as("woe"),
         round((pg - pb) * log(pg / pb), 6).as("iv_term"))
@@ -420,6 +428,9 @@ object Aggregates {
     val pa = col("na").cast("double") / col("ta").cast("double")
     val pb = col("nb").cast("double") / col("tb").cast("double")
     binned.crossJoin(broadcast(tot))
+      // empty-half guard (class 6): a band present in only one snapshot
+      // gives ln(0) or x/0 — NULL on Spark, ±inf on DuckDB
+      .filter(col("na") > 0 && col("nb") > 0)
       .select(col("bin"), col("na"), col("nb"),
         round((pa - pb) * log(pa / pb), 6).as("psi_term"))
       .orderBy(col("bin"))
@@ -484,8 +495,11 @@ object Aggregates {
       .agg(
         count(when(isR, 1)).as("count_if"),
         Det.dsum(when(isR, col("l_quantity")).otherwise(0.0)).as("sum_if"),
-        (Det.dsum(when(isR, col("l_quantity")).otherwise(0.0))
-          / count(when(isR, 1)).cast("double")).as("avg_if"),
+        // empty-group guard (class 6): NULL on both engines when no row
+        // matches — Spark's 0/0 is NULL but DuckDB's is NaN
+        when(count(when(isR, 1)) > 0,
+          Det.dsum(when(isR, col("l_quantity")).otherwise(0.0))
+            / count(when(isR, 1)).cast("double")).as("avg_if"),
         min(when(isR, col("l_extendedprice"))).as("min_if"),
         max(when(isR, col("l_extendedprice"))).as("max_if"))
       .orderBy(col("l_linestatus"))
@@ -614,7 +628,9 @@ object Aggregates {
   /** ClickHouse `avgWeighted(x, w)` — quantity-weighted mean price per
     * returnflag. Numerator and denominator accumulate decimal-exact
     * (2dp·integer products — order-free, the Det pattern); ONE final
-    * divide is the only inexact op, rounded at 6dp.
+    * divide is the only inexact op — shipped UNROUNDED (both engines
+    * compute the identical IEEE quotient; a 6dp edge round is the
+    * confirmed midpoint-split hazard, Core.scala).
     *
     * Scale notes: plain two-phase hash aggregate — map-side partial
     * decimal sums, one key shuffle, no window.
@@ -626,7 +642,7 @@ object Aggregates {
         Det.dsum(col("l_extendedprice") * col("l_quantity")).as("wsum"),
         Det.dsum(col("l_quantity")).as("wtot"))
       .select(col("l_returnflag"),
-        round(col("wsum") / col("wtot"), 6).as("avg_weighted"),
+        (col("wsum") / col("wtot")).as("avg_weighted"),
         // floor before the long cast (the agg_sum_map rule): exact
         // today (integral quantities) but Spark truncates while DuckDB
         // rounds if a future drop ships fractional weights
@@ -785,9 +801,9 @@ object Aggregates {
     * agg_regression: counts and (value, value²) sums accumulate EXACTLY
     * in decimal in ONE conditional-aggregation pass, then the closed
     * forms run in double with an identical operation order on both
-    * engines. Full-precision doubles are safe through the decimal cast
-    * (a 17-significant-digit shortest representation can never sit on a
-    * 6dp midpoint — see Det).
+    * engines and ship UNROUNDED — every op (÷, √, ×, −) is IEEE-exact
+    * on identical inputs, so the bits match, while a 6dp edge round is
+    * the confirmed midpoint-split hazard (Core.scala).
     */
   private def aggTtest(s: SparkSession, dir: String): DataFrame = {
     def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
@@ -810,10 +826,10 @@ object Aggregates {
         val se2 = sea + seb
         Seq(col("na").cast("long").as("n_a"),
           col("nb").cast("long").as("n_b"),
-          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
-          round((ma - mb) / sqrt(se2), 6).as("t_stat"),
-          round(se2 * se2 / (sea * sea / (col("na") - 1) +
-            seb * seb / (col("nb") - 1)), 6).as("df"))
+          ma.as("mean_a"), mb.as("mean_b"),
+          ((ma - mb) / sqrt(se2)).as("t_stat"),
+          (se2 * se2 / (sea * sea / (col("na") - 1) +
+            seb * seb / (col("nb") - 1))).as("df"))
       }: _*)
   }
 
@@ -843,8 +859,8 @@ object Aggregates {
           (lit(1.0) / col("na") + lit(1.0) / col("nb")))
         Seq(col("na").cast("long").as("n_a"),
           col("nb").cast("long").as("n_b"),
-          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
-          round(t, 6).as("t_stat"),
+          ma.as("mean_a"), mb.as("mean_b"),
+          t.as("t_stat"),
           dfree.cast("long").as("df"))
       }: _*)
   }
@@ -874,8 +890,8 @@ object Aggregates {
         val z = (ma - mb) / sqrt(varA / col("na") + varB / col("nb"))
         Seq(col("na").cast("long").as("n_a"),
           col("nb").cast("long").as("n_b"),
-          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
-          round(z, 6).as("z_stat"))
+          ma.as("mean_a"), mb.as("mean_b"),
+          z.as("z_stat"))
       }: _*)
   }
 
@@ -1044,7 +1060,7 @@ object Aggregates {
         val varV = (col("qv") - col("sv") * col("sv") / col("n")) /
           (col("n") - 1)
         val nCont = ceil(zz * lit(2.0) * varV / (mdeC * mdeC))
-        Seq(round(p1, 6).as("p_baseline"),
+        Seq(p1.as("p_baseline"),
           nConv.cast("long").as("n_conversion"),
           round(varV, 6).as("sigma2"),
           nCont.cast("long").as("n_continuous"))
@@ -1071,18 +1087,34 @@ object Aggregates {
     * 100 TB values bin first and the window becomes a range-partitioned
     * prefix sum over O(bins) — never a sort of the raw rows.
     */
-  private def aggMannWhitney(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The purchase-vs-view per-distinct-value count table every rank
+    * statistic (Mann-Whitney U, AUC, KS) rides: per value, ca =
+    * purchase count, cb = view count — one definition so the three
+    * formulas cannot drift on the shared compressed domain.
+    */
+  private def purchaseViewByValue(s: SparkSession, dir: String): DataFrame = {
     val isA = col("event_type") === "purchase"
-    val byVal = Tables.events(s, dir)
+    Tables.events(s, dir)
       .filter(isA || col("event_type") === "view")
       .select(when(isA, 1L).otherwise(0L).as("a"), col("value"))
       .groupBy(col("value"))
       .agg(sum(col("a")).as("ca"), (count(lit(1)) - sum(col("a"))).as("cb"))
+  }
+
+  /** [[purchaseViewByValue]] with the strictly-below running count the
+    * midrank formulas (Mann-Whitney, AUC) share.
+    */
+  private def purchaseViewWithBelow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    byVal
-      .withColumn("below", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+    purchaseViewByValue(s, dir)
+      .withColumn("below",
+        coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+  }
+
+  private def aggMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    purchaseViewWithBelow(s, dir)
       .agg(
         sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
         sum(col("ca").cast("double") *
@@ -1116,12 +1148,7 @@ object Aggregates {
     */
   private def aggKsTest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val isA = col("event_type") === "purchase"
-    val byVal = Tables.events(s, dir)
-      .filter(isA || col("event_type") === "view")
-      .select(when(isA, 1L).otherwise(0L).as("a"), col("value"))
-      .groupBy(col("value"))
-      .agg(sum(col("a")).as("ca"), (count(lit(1)) - sum(col("a"))).as("cb"))
+    val byVal = purchaseViewByValue(s, dir)
     val w = Window.orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = Window.orderBy(col("value"))
@@ -1207,17 +1234,7 @@ object Aggregates {
     * (bins for a continuous 100 TB score column), never raw rows.
     */
   private def aggAuc(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val isPos = col("event_type") === "purchase"
-    val byVal = Tables.events(s, dir)
-      .filter(isPos || col("event_type") === "view")
-      .select(when(isPos, 1L).otherwise(0L).as("a"), col("value"))
-      .groupBy(col("value"))
-      .agg(sum(col("a")).as("ca"), (count(lit(1)) - sum(col("a"))).as("cb"))
-    val w = Window.orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    byVal
-      .withColumn("below", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+    purchaseViewWithBelow(s, dir)
       .agg(
         sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),
         sum(col("ca").cast("double") *
@@ -1227,7 +1244,7 @@ object Aggregates {
         val n1 = col("n_pos").cast("double")
         val n2 = col("n_neg").cast("double")
         Seq(col("n_pos"), col("n_neg"),
-          round((col("r1") - n1 * (n1 + 1) / 2.0) / (n1 * n2), 6).as("auc"))
+          ((col("r1") - n1 * (n1 + 1) / 2.0) / (n1 * n2)).as("auc"))
       }: _*)
   }
 
@@ -1342,18 +1359,23 @@ object Aggregates {
     * OVER () funnel on the fact table.
     */
   private def aggCategoricalIv(s: SparkSession, dir: String): DataFrame = {
-    val perCat = Tables.orders(s, dir)
+    val binned = Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(when(col("o_orderstatus") === "F", 1)).as("pos"),
         count(when(col("o_orderstatus") =!= "F", 1)).as("neg"))
+      // O(categories) rows, two consumers (totals + per-category terms)
+      // — checkpoint so the fact aggregation runs once
+      .localCheckpoint()
+    // the ALL-categories totals derive from the binned counts (pre-
+    // filter) — no second scan of the fact table
+    val totals = binned.agg(sum(col("pos")).as("tpos"),
+      sum(col("neg")).as("tneg"))
+    val perCat = binned
       // WOE is undefined for pure categories, and the engines diverge
       // STRUCTURALLY on them (Spark log(0) → NULL, DuckDB ln(0) → -inf),
       // so both sides exclude them identically
       .filter(col("pos") > 0 && col("neg") > 0)
-      .crossJoin(broadcast(
-        Tables.orders(s, dir).agg(
-          count(when(col("o_orderstatus") === "F", 1)).as("tpos"),
-          count(when(col("o_orderstatus") =!= "F", 1)).as("tneg"))))
+      .crossJoin(broadcast(totals))
       .select({
         val woe = round(log(
           (col("pos") * col("tneg")).cast("double") /
@@ -1641,9 +1663,9 @@ object Aggregates {
                   + CAST(ca + cb + 1 AS DOUBLE) / 2.0)) AS r1
                 FROM r)
               SELECT n_pos, n_neg,
-                round((r1 - CAST(n_pos AS DOUBLE)
+                (r1 - CAST(n_pos AS DOUBLE)
                     * (CAST(n_pos AS DOUBLE) + 1) / 2.0)
-                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
                   AS auc
               FROM m""")),
     QueryDef("agg_ttest", aggTtest,
@@ -1666,10 +1688,10 @@ object Aggregates {
                 (qb - sb * sb / nb) / (nb - 1) / nb AS seb
                 FROM m)
               SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-                round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
-                round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
-                round((sea + seb) * (sea + seb)
-                  / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
+                ma AS mean_a, mb AS mean_b,
+                (ma - mb) / sqrt(sea + seb) AS t_stat,
+                (sea + seb) * (sea + seb)
+                  / (sea * sea / (na - 1) + seb * seb / (nb - 1)) AS df
               FROM f""")),
     QueryDef("agg_ttest_student", aggTtestStudent,
       Some("""WITH m AS (SELECT
@@ -1690,9 +1712,9 @@ object Aggregates {
                 (qa - sa * sa / na) AS ssa, (qb - sb * sb / nb) AS ssb
                 FROM m)
               SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-                round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
-                round((ma - mb) / sqrt(((ssa + ssb) / (na + nb - 2))
-                  * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6)
+                ma AS mean_a, mb AS mean_b,
+                (ma - mb) / sqrt(((ssa + ssb) / (na + nb - 2))
+                  * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))
                   AS t_stat,
                 CAST(na + nb - 2 AS BIGINT) AS df
               FROM f""")),
@@ -1708,9 +1730,9 @@ object Aggregates {
                   THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS sb
                 FROM events WHERE event_type IN ('purchase', 'view'))
               SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-                round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
-                round((sa / na - sb / nb)
-                  / sqrt(1000.0 / na + 800.0 / nb), 6) AS z_stat
+                sa / na AS mean_a, sb / nb AS mean_b,
+                (sa / na - sb / nb)
+                  / sqrt(1000.0 / na + 800.0 / nb) AS z_stat
               FROM m""")),
     QueryDef("agg_with_totals", aggWithTotals,
       Some(s"""SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS is_total,
@@ -1787,7 +1809,7 @@ object Aggregates {
                 (1.9599639845400545 + 0.8416212335729143)
                   * (1.9599639845400545 + 0.8416212335729143) AS zz
                 FROM m)
-              SELECT round(p1, 6) AS p_baseline,
+              SELECT p1 AS p_baseline,
                 CAST(ceil(zz * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
                   / (0.02 * 0.02)) AS BIGINT) AS n_conversion,
                 round(varv, 6) AS sigma2,
@@ -1827,7 +1849,7 @@ object Aggregates {
                   * ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
                     / (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))), 6)
                   AS psi_term
-              FROM b, t ORDER BY bin""")),
+              FROM b, t WHERE na > 0 AND nb > 0 ORDER BY bin""")),
     QueryDef("agg_mad", aggMad,
       Some("""WITH m AS (SELECT l_returnflag,
                  quantile_cont(l_extendedprice, 0.5) AS med
@@ -1855,9 +1877,10 @@ object Aggregates {
                COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS count_if,
                ${Det.oSum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END")}
                  AS sum_if,
-               ${Det.oSum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END")}
-                 / CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)
-                   AS DOUBLE) AS avg_if,
+               CASE WHEN COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) > 0
+                 THEN ${Det.oSum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END")}
+                   / CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                     AS DOUBLE) END AS avg_if,
                MIN(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
                  AS min_if,
                MAX(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
@@ -1899,8 +1922,8 @@ object Aggregates {
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("agg_avg_weighted", aggAvgWeighted,
       Some(s"""SELECT l_returnflag,
-                round(${Det.oSum("l_extendedprice * l_quantity")}
-                  / ${Det.oSum("l_quantity")}, 6) AS avg_weighted,
+                ${Det.oSum("l_extendedprice * l_quantity")}
+                  / ${Det.oSum("l_quantity")} AS avg_weighted,
                 CAST(floor(${Det.oSum("l_quantity")}) AS BIGINT)
                   AS total_weight
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
@@ -2040,7 +2063,7 @@ object Aggregates {
                   * ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
                   / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))), 6)
                   AS iv_term
-              FROM b, t ORDER BY bin""")),
+              FROM b, t WHERE n_good > 0 AND n_bad > 0 ORDER BY bin""")),
     QueryDef("agg_sum_map", aggSumMap,
       Some("""WITH c AS (SELECT user_id, event_type,
                  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
@@ -2277,13 +2300,19 @@ object Aggregates {
     * rewrites pivot to a single conditional aggregation — one shuffle,
     * same plan as the FILTER-clause oracle, no per-value passes.
     */
-  private def aggPivot(s: SparkSession, dir: String): DataFrame =
+  /** The wide (priority × status) count frame shared by agg_pivot and
+    * agg_unpivot — one definition so the claimed round-trip identity
+    * (pivot ∘ unpivot = groupBy count) cannot desynchronize.
+    */
+  private def pivotedCounts(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .count()
       .na.fill(0, Seq("F", "O", "P")) // empty cells: null in pivot, 0 in SQL
-      .orderBy(col("o_orderpriority"))
+
+  private def aggPivot(s: SparkSession, dir: String): DataFrame =
+    pivotedCounts(s, dir).orderBy(col("o_orderpriority"))
 
   /** ClickHouse `quantileExactWeighted`: each value carries an integer
     * weight (here l_linenumber — e.g. units, repetitions, importance);
@@ -2311,11 +2340,7 @@ object Aggregates {
     * pivot ∘ unpivot = groupBy count.
     */
   private def aggUnpivot(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy(col("o_orderpriority"))
-      .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .count()
-      .na.fill(0, Seq("F", "O", "P"))
+    pivotedCounts(s, dir)
       .unpivot(Array(col("o_orderpriority")),
         Array(col("F"), col("O"), col("P")), "o_orderstatus", "n")
       .filter(col("n") > 0)

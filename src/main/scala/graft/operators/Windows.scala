@@ -101,8 +101,12 @@ object Windows {
     * engine, so it runs as the first-seen-flag decomposition: row_number
     * over (user, event_type) marks each type's first occurrence, and a
     * running SUM of the flag over the user's timeline gives the
-    * cumulative distinct count. Two window passes sharing one user_id
-    * clustering — a single shuffle, no quadratic rescans.
+    * cumulative distinct count. The explicit repartition on user_id
+    * makes BOTH window passes ride ONE exchange: hashpartitioning
+    * (user_id) satisfies the (user_id, event_type) window's clustered
+    * distribution, whereas letting the first window shuffle on
+    * (user_id, event_type) would force a second full exchange for the
+    * (user_id)-only timeline window.
     */
   private def winRunningDistinct(s: SparkSession, dir: String): DataFrame = {
     val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
@@ -112,6 +116,7 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .repartition(col("user_id"))
       .withColumn("first_seen",
         when(row_number().over(firstSeen) === 1, 1).otherwise(0))
       .withColumn("n_distinct_types", sum(col("first_seen")).over(timeline))
