@@ -143,9 +143,12 @@ private class OffsetLogMicroBatchStream(root: String, group: Option[String])
       : Array[InputPartition] = {
     val from = start.asInstanceOf[LogOffsets].pos
     val until = end.asInstanceOf[LogOffsets].pos
-    OffsetLog.liveSegments(root, from)
+    // a missing `until` entry means unbounded — the same Long.MaxValue
+    // default the partition bound below uses (a 0L default here would
+    // silently drop the partition)
+    OffsetLog.liveSegments(root, from, until)
       .filter { case (_, p) =>
-        until.getOrElse(p, 0L) > from.getOrElse(p, 0L) }
+        until.getOrElse(p, Long.MaxValue) > from.getOrElse(p, 0L) }
       .map { case (epoch, p) =>
         OffsetLogInputPartition(s"$root/seg=$epoch/p=$p", p,
           from.getOrElse(p, 0L), until.getOrElse(p, Long.MaxValue))

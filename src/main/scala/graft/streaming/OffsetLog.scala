@@ -78,17 +78,23 @@ object OffsetLog {
     val ends = endOffsets(root)
     val base = ends.toSeq.toDF("p", "base")
     val w = Window.partitionBy(col("p")).orderBy(seq)
-    records
+    // persist the assigned frame: the write and the range aggregate
+    // both consume it — without the cache each would replay the source
+    // lineage, and a read-back of the written epoch (the previous
+    // formulation) costs a full extra data pass
+    val assigned = records
       .join(broadcast(base), Seq("p"), "left")
       .withColumn("offset",
         coalesce(col("base"), lit(0L)) + row_number().over(w) - 1)
       .select(col("p"), col("offset"), col("value"))
-      .write.partitionBy("p").mode("append").json(s"$root/seg=$epoch")
+      .persist()
+    assigned.write.partitionBy("p").mode("append").json(s"$root/seg=$epoch")
     // O(parts) metadata: the new per-partition [start, end) ranges
-    val ranges = s.read.json(s"$root/seg=$epoch")
+    val ranges = assigned
       .groupBy(col("p").cast("int").as("p"))
       .agg(min(col("offset")).as("a"), (max(col("offset")) + 1).as("b"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assigned.unpersist()
     val lines = endsHistory(root).map { case (e, p, a, b) => s"$e $p $a $b" } ++
       ranges.map { case (p, a, b) => s"$epoch $p $a $b" }
     atomicWrite(endsFile(root), lines.mkString("\n"))
@@ -167,13 +173,18 @@ object OffsetLog {
       merged.toSeq.sorted.map { case (p, o) => s"$p $o" }.mkString("\n"))
   }
 
-  /** Live (epoch, partition) segments past a position — the DSv2
-    * connector's plan-time unit: one Spark task per entry. Truncated
-    * dirs are excluded even though _ENDS remembers them.
+  /** Live (epoch, partition) segments intersecting (from, until) — the
+    * DSv2 connector's plan-time unit: one Spark task per entry. Both
+    * bounds prune from the _ENDS ranges (a segment wholly at/above
+    * `until` — e.g. appended after an AvailableNow run snapshotted its
+    * cap — plans NO task instead of a parse-and-drop-everything task).
+    * Truncated dirs are excluded even though _ENDS remembers them.
     */
-  def liveSegments(root: String, from: Map[Int, Long]): Seq[(Long, Int)] =
+  def liveSegments(root: String, from: Map[Int, Long],
+      until: Map[Int, Long] = Map.empty): Seq[(Long, Int)] =
     endsHistory(root).collect {
-      case (e, p, _, b) if b > from.getOrElse(p, 0L) &&
+      case (e, p, a, b) if b > from.getOrElse(p, 0L) &&
+          a < until.getOrElse(p, Long.MaxValue) &&
           new java.io.File(s"$root/seg=$e/p=$p").exists() => (e, p)
     }.sorted
 
@@ -200,6 +211,14 @@ object OffsetLog {
       graft.Scratch.deleteRecursively(new java.io.File(s"$root/seg=$e"))
     }
     dead
+  }
+
+  /** Remove a consumer group's commit manifest — for one-shot groups
+    * whose position has been fully consumed, so a shared cross-run log
+    * root does not accumulate dead manifests.
+    */
+  def dropGroup(root: String, group: String): Unit = {
+    new java.io.File(commitFile(root, group)).delete(); ()
   }
 
   private def atomicWrite(path: String, content: String): Unit =

@@ -58,9 +58,19 @@ object StreamOps {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def eventsTsIsNanos(s: SparkSession, dir: String): Boolean =
     tsNanosCache.computeIfAbsent(dir, _ => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      val isNanos = s.read.parquet(s"$dir/events.parquet")
         .schema("ts").dataType == LongType
+      // restore on a micros fixture: the probe must not leak a global
+      // decode-behavior change into the caller's session (readers of a
+      // nanos fixture re-set the conf themselves)
+      if (!isNanos) prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      isNanos
     })
 
   /** Streaming source over `srcDir` normalized to
@@ -286,10 +296,21 @@ object StreamOps {
   private[graft] def gcCdcVersions(state: String, batchId: Long): Seq[Long] = {
     val root = new java.io.File(state)
     val live = cdcBucketVersions(state, batchId).values.toSet
+    // the newest _offsets carrier below batchId is the committed
+    // position — it survives GC even when bucketless (an empty-batch
+    // txn publication), else the position would roll back to an older
+    // version's stale _offsets
+    val offsetsCarrier = Option(root.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_offsets").exists())
+      .map(_.getName.drop(2).toLong).filter(_ < batchId)
+      .sorted.lastOption
     val dead = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
       .map(_.getName.drop(2).toLong)
-      .filter(v => v < batchId && !live.contains(v)).sorted.toSeq
+      .filter(v => v < batchId && !live.contains(v) &&
+        !offsetsCarrier.contains(v)).sorted.toSeq
     dead.foreach { v =>
       graft.Scratch.deleteRecursively(new java.io.File(root, s"v=$v"))
     }
@@ -378,6 +399,25 @@ object StreamOps {
       }
       gcCdcVersions(state, batchId)
       ()
+    } else offsets.foreach { ofs =>
+      // EMPTY consumed range: the exactly-once position must STILL
+      // advance — an empty tail is a legal log state, and skipping the
+      // publication would leave the state's committed position stale so
+      // a restarted consumer re-reads a range it already processed
+      // (degrading to at-least-once). Publish a bucketless version
+      // carrying only _offsets through the same atomic rename.
+      val target = s"$state/v=$batchId"
+      val staging = new java.io.File(s"$state/.txn_v=$batchId")
+      graft.Scratch.deleteRecursively(staging)
+      staging.mkdirs()
+      graft.Scratch.writeDurable(staging.toPath.resolve("_offsets"),
+        ofs.toSeq.sorted.map { case (p, o) => s"$p $o" }.mkString("\n"))
+      graft.Scratch.deleteRecursively(new java.io.File(target))
+      java.nio.file.Files.move(staging.toPath,
+        java.nio.file.Paths.get(target),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      graft.Scratch.fsyncDir(java.nio.file.Paths.get(state))
+      gcCdcVersions(state, batchId)
     }
     } finally { typed.unpersist(false); () }
   }
@@ -467,10 +507,16 @@ object StreamOps {
       .option("checkpointLocation", fresh("summing_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val latest = Option(new java.io.File(state).listFiles()).get
+    val versions = Option(new java.io.File(state).listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.drop(2).toLong).max
-    s.read.parquet(s"$state/v=$latest")
+      .map(_.getName.drop(2).toLong)
+    // zero micro-batches (an empty feed is a legal fixture state):
+    // an empty MV, not UnsupportedOperationException: empty.max
+    if (versions.isEmpty)
+      return s.range(0).select(col("id").as("o_custkey"),
+        lit(0.0).as("live_spend"), lit(0L).as("live_orders"))
+    s.read.parquet(s"$state/v=${versions.max}")
       .select(col("o_custkey"),
         col("spend_state").cast("double").as("live_spend"),
         col("orders_state").cast("bigint").as("live_orders"))
@@ -509,7 +555,11 @@ object StreamOps {
   private[graft] def offsetLogDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
     val root = s"${graft.Scratch.streamStageRoot(dir)}/offset_log_$sf"
-    if (!new java.io.File(s"$root/_ENDS").exists()) {
+    // Scratch.staged, NOT an _ENDS guard: the first of the two appends
+    // already writes _ENDS, so a crash between them (or two sessions
+    // racing) would leave a permanently half-staged log — the marker
+    // commits only after BOTH epochs land, under the per-path lock
+    graft.Scratch.staged(root) {
       val recs = Cdc.parsed(s, dir)
         .filter(col("table") === "orders" && !col("isDdl"))
         .withColumn("pk",
@@ -526,7 +576,6 @@ object StreamOps {
         recs.filter(col("type") =!= "INSERT").select(col("p"), col("value"),
           col("es"), col("id")), struct(col("es"), col("id")))
     }
-    root
   }
 
   /** Replayable partitioned-log source with offset semantics (the
@@ -564,20 +613,23 @@ object StreamOps {
     val root = offsetLogDir(s, dir)
     val state = fresh("offlog_state")
     val group = s"c${nameCtr.incrementAndGet()}_${System.nanoTime()}"
-    def toTyped(recs: DataFrame): DataFrame = logToTyped(recs)
     // session 1: consume up to the high-water mark the consumer saw
     val hwm0 = OffsetLog.endOffsetsAt(root, 0L)
-    mergeCdcTyped(toTyped(
+    mergeCdcTyped(logToTyped(
       OffsetLog.read(s, root, OffsetLog.committed(root, group), hwm0)),
       0L, state)
     OffsetLog.commit(root, group, hwm0)
     // process restart: position re-read from the durable commit manifest
     val resumed = OffsetLog.committed(root, group)
-    mergeCdcTyped(toTyped(OffsetLog.read(s, root, resumed)), 1L, state)
+    mergeCdcTyped(logToTyped(OffsetLog.read(s, root, resumed)), 1L, state)
     OffsetLog.commit(root, group, OffsetLog.endOffsets(root))
     val offs = OffsetLog.committed(root, group).toSeq
       .map { case (p, o) => (p.toLong, o) }
       .toDF("partition", "committed_offset")
+    // the one-shot group's manifest is consumed (offs is a local Seq
+    // now) — delete it so the cross-run staged log root stays immutable
+    // instead of accumulating one _COMMIT file per bench run
+    OffsetLog.dropGroup(root, group)
     readCdcState(s, state)
       .filter(col("type") =!= "DELETE")
       .groupBy(pmod(col("o_orderkey"), lit(offsetLogParts.toLong)).as("partition"))
@@ -603,21 +655,15 @@ object StreamOps {
     import s.implicits._
     val root = offsetLogDir(s, dir)
     val state = fresh("offlog_txn_state")
-    def toTyped(recs: DataFrame): DataFrame =
-      Cdc.typeMapOrders(recs
-          .select(from_json(col("value"), Cdc.envelopeSchema).as("m"))
-          .select(col("m.*")))
-        .select(col("o_orderkey"), col("o_totalprice"), col("es"),
-          col("ts"), col("type"))
     // session 1: position from state (empty), consume to the epoch-0
     // high-water mark, state + position land in ONE commit
     val hwm0 = OffsetLog.endOffsetsAt(root, 0L)
-    mergeCdcTypedTxn(toTyped(
+    mergeCdcTypedTxn(logToTyped(
       OffsetLog.read(s, root, txnCommittedOffsets(state), hwm0)),
       0L, state, Some(hwm0))
     // process restart: position recovered FROM THE STATE ITSELF
     val resumed = txnCommittedOffsets(state)
-    mergeCdcTypedTxn(toTyped(OffsetLog.read(s, root, resumed)),
+    mergeCdcTypedTxn(logToTyped(OffsetLog.read(s, root, resumed)),
       1L, state, Some(OffsetLog.endOffsets(root)))
     val offs = txnCommittedOffsets(state).toSeq
       .map { case (p, o) => (p.toLong, o) }
@@ -722,13 +768,15 @@ object StreamOps {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     import s.implicits._
-    val vmax = Option(new java.io.File(state).listFiles())
+    val vs = Option(new java.io.File(state).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.drop(2).toLong).max
-    val merged = s.read.parquet(s"$state/v=$vmax")
-      .as[(String, Seq[(Double, Long)])]
-      .collect() // O(types × δ) state rows — driver-side by design
+      .map(_.getName.drop(2).toLong)
+    val merged =
+      if (vs.isEmpty) Array.empty[(String, Seq[(Double, Long)])]
+      else s.read.parquet(s"$state/v=${vs.max}")
+        .as[(String, Seq[(Double, Long)])]
+        .collect() // O(types × δ) state rows — driver-side by design
     merged.toSeq.map { case (et, st) =>
       val Seq(p50, p90, p99) = graft.functions.QuantileState
         .quantileOf(st, delta, Seq(0.5, 0.9, 0.99))
