@@ -44,21 +44,17 @@ object DedupGraph {
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
         array_distinct(split(col("text"), " ")).as("tokset"))
-    val sizes = cand.select(col("doc_id"), size(col("tokset")).as("sz"))
-    val inv = cand.select(col("doc_id"), explode(col("tokset")).as("token"))
-    inv.as("a")
-      .join(inv.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+    // shared pair plan; this caller's intentional difference: UNROUNDED
+    // Jaccard at the 0.8 edge threshold, ids only
+    LlmText.jaccardPairCounts(cand, "tokset")
       .filter(col("n_inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("n_inter")) >= 0.8)
       .select(col("id_a"), col("id_b"))
   }
+
+  // set on the first failed observe-metric delivery; later rounds then
+  // skip straight to the explicit probe instead of re-paying the timeout
+  private val observeBroken = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** The propagation loop itself, shared by dedup_cluster (reports the
     * components) and dedup_canonical (uses them to pick survivors).
@@ -93,23 +89,41 @@ object DedupGraph {
           coalesce(col("nbr_min") < col("l.comp"), lit(false)).as("changed"))
         .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
         .localCheckpoint()
-      converged =
-        try {
-          val fut = scala.concurrent.Future(obs.get)(
-            scala.concurrent.ExecutionContext.global)
-          scala.concurrent.Await.result(fut,
-            scala.concurrent.duration.Duration(30, "s"))("n_changed")
-            .asInstanceOf[Long] == 0L
-        } catch {
-          // listener delivery is asynchronous; if it ever fails to arrive
-          // fall back to an explicit probe rather than wedging the loop
-          case _: java.util.concurrent.TimeoutException =>
-            next.filter(col("changed")).isEmpty
+      // poll getOrEmpty instead of a Future-wrapped blocking get: the
+      // action already completed, so the metric normally lands within
+      // milliseconds; on a broken listener bus the old Await-on-Future
+      // leaked one permanently-blocked thread AND paid the full timeout
+      // EVERY remaining round — now the first miss flips a JVM flag and
+      // all later rounds go straight to the explicit probe
+      converged = {
+        val metric: Option[Long] =
+          if (observeBroken.get()) None
+          else {
+            val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+            var m = org.apache.spark.sql.graft.Bridge.observationPeek(obs)
+            while (m.isEmpty && System.nanoTime() < deadline) {
+              Thread.sleep(20)
+              m = org.apache.spark.sql.graft.Bridge.observationPeek(obs)
+            }
+            if (m.isEmpty) { observeBroken.set(true); None }
+            else Some(m("n_changed").asInstanceOf[Long])
+          }
+        metric match {
+          case Some(n) => n == 0L
+          case None => next.filter(col("changed")).isEmpty
         }
+      }
       labels = next.drop("changed")
       rounds += 1
     }
     und.unpersist()
+    // a silent cap exit would emit labels that are NOT component minima
+    // and fail (or worse, quietly corrupt) downstream survivor choice;
+    // one-hop min propagation converges within the component diameter,
+    // so a 30-round miss means a >30-eccentricity chain — fail loudly
+    require(converged,
+      "label propagation did not converge within 30 rounds — component " +
+        "diameter exceeds the bound; raise the round cap for this corpus")
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
@@ -131,16 +145,12 @@ object DedupGraph {
     * cluster is a near-dup set, not the corpus).
     */
   private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
-    val en = Seq("the", "a", "of", "and", "to", "in")
     val quality = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 0)
       .withColumn("arr", split(col("text"), " "))
-      .select(col("doc_id"),
-        round(
-          (size(filter(col("arr"), x => x.isin(en.map(lit): _*))).cast("double")
-            / size(col("arr"))) * 0.5 +
-            (size(array_distinct(col("arr"))).cast("double") / size(col("arr")))
-              * 0.5, 6).as("quality"))
+      // THE text_quality score (LlmText.qualityScore) — shared, not
+      // copied, so the survivor choice cannot drift from the contract
+      .select(col("doc_id"), LlmText.qualityScore(col("arr")).as("quality"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
     clusterLabels(s, dir)

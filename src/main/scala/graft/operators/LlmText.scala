@@ -57,8 +57,9 @@ object LlmText {
     val hits = array(langStops.map { case (lang, _) =>
       struct(col(s"hits_$lang").as("hits"), lit(lang).as("lang"))
     }: _*)
-    // argmax by (hits, reverse-alphabetical lang) == max hits, ties to the
-    // alphabetically-first language
+    // argmax by (hits, lang): max hits, ties to the alphabetically-LAST
+    // language (array_max on the struct compares lang ascending; the
+    // oracle's ORDER BY hits DESC, cand DESC matches)
     scored
       .withColumn("best", array_max(hits))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
@@ -66,22 +67,32 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
-  private def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val en = Seq("the", "a", "of", "and", "to", "in")
+  /** text_quality's stopword list and blended score, over a token
+    * array — ONE definition shared with DedupGraph.dedupCanonical (its
+    * survivor choice is spec'd as "text_quality's score", so the two
+    * must not be able to drift; both DuckDB twins restate this exact
+    * formula).
+    */
+  private[operators] val enStopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[operators] def qualityScore(arr: Column): Column =
+    round(
+      (size(filter(arr, x => x.isin(enStopwords.map(lit): _*))).cast("double")
+        / size(arr)) * 0.5 +
+        (size(array_distinct(arr)).cast("double") / size(arr)) * 0.5, 6)
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("arr", toks(col("text")))
       .select(
         col("doc_id"),
         size(col("arr")).as("n_tokens"),
         (col("n_chars").cast("double") / size(col("arr"))).as("chars_per_token"),
-        (size(filter(col("arr"), x => x.isin(en.map(lit): _*))).cast("double")
-          / size(col("arr"))).as("stopword_ratio"),
+        (size(filter(col("arr"), x => x.isin(enStopwords.map(lit): _*)))
+          .cast("double") / size(col("arr"))).as("stopword_ratio"),
         (size(array_distinct(col("arr"))).cast("double") / size(col("arr")))
-          .as("ttr"))
-      .withColumn("quality",
-        round(col("stopword_ratio") * 0.5 + col("ttr") * 0.5, 6))
+          .as("ttr"),
+        qualityScore(col("arr")).as("quality"))
       .orderBy(col("doc_id"))
-  }
 
   private def textTokenize(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -129,7 +140,10 @@ object LlmText {
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(Det.davg(log(col("c").cast("double") / col("total"))), 6)
+        // UNROUNDED decimal-sum/count quotient: both engines divide the
+        // identical operands, while a 6dp edge round is the midpoint
+        // split OBSERVED on text_lm_bigram (class 3)
+        Det.davg(log(col("c").cast("double") / col("total")))
           .as("lm_score"))
       .orderBy(col("doc_id"))
   }
@@ -137,9 +151,15 @@ object LlmText {
   private def textNgram(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("arr", toks(col("text")))
+      // slice(arr, 1, 0) is the TYPED empty array: a <2-token doc must
+      // yield no bigrams, while sequence(0, -1) would DESCEND to [0, -1]
+      // and element_at(arr, 0) throws (the descending-sequence class the
+      // sibling shingle ops already guard)
       .select(explode(expr(
-        """transform(sequence(0, size(arr) - 2),
-             i -> concat(element_at(arr, i + 1), ' ', element_at(arr, i + 2)))"""))
+        """CASE WHEN size(arr) < 2 THEN slice(arr, 1, 0)
+             ELSE transform(sequence(0, size(arr) - 2),
+               i -> concat(element_at(arr, i + 1), ' ', element_at(arr, i + 2)))
+             END"""))
         .as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -153,8 +173,12 @@ object LlmText {
     Tables.documents(s, dir)
       .withColumn("arr", toks(col("text")))
       .select(col("doc_id"),
+        // empty tokens (split artifacts of irregular spacing) are
+        // dropped on BOTH engines: Spark ascii('') = 0 but DuckDB
+        // unicode('') = -1, so an unfiltered empty token splits the fold
         expr("""aggregate(
-                  transform(arr, x -> length(x) * 256L + ascii(x)),
+                  transform(filter(arr, x -> x != ''),
+                    x -> length(x) * 256L + ascii(x)),
                   0L, (acc, v) -> (acc * 131 + v) % 1000000007)""")
           .as("fingerprint"))
       .orderBy(col("doc_id"))
@@ -223,6 +247,29 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
+  /** Blocked inverted-index Jaccard pair counts — THE shared pair plan
+    * (previously copy-pasted at four sites: dedup_jaccard,
+    * dedup_pipeline, dedup_ngram_jaccard and DedupGraph.edges). Input:
+    * (doc_id, <setCol> array); output one row per candidate pair with
+    * (id_a, id_b, n_inter, sz_a, sz_b) — each caller applies its own
+    * threshold/rounding so the keys' intentional differences stay
+    * explicit and in ONE place each.
+    */
+  private[operators] def jaccardPairCounts(cand: DataFrame,
+      setCol: String): DataFrame = {
+    val sizes = cand.select(col("doc_id"), size(col(setCol)).as("sz"))
+    val inv = cand.select(col("doc_id"), explode(col(setCol)).as("elem"))
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.elem") === col("b.elem") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+  }
+
   /** Exact token-set Jaccard near-dup pairs over a deterministic candidate
     * block (doc_id % 10 = 0): inverted-index self-join → intersection
     * counts → J = |∩| / |∪|. Serves as the recall oracle for MinHash-LSH.
@@ -231,19 +278,7 @@ object LlmText {
     val cand = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("tokset"))
-    val sizes = cand.select(col("doc_id"), size(col("tokset")).as("sz"))
-    val inv = cand.select(col("doc_id"), explode(col("tokset")).as("token"))
-    val inter = inv.as("a")
-      .join(inv.as("b"),
-        col("a.token") === col("b.token") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+    jaccardPairCounts(cand, "tokset")
       .withColumn("jaccard", round(
         col("n_inter").cast("double")
           / (col("sz_a") + col("sz_b") - col("n_inter")), 6))
@@ -275,17 +310,7 @@ object LlmText {
       .select(col("doc_id"), col("text"), col("n_copies"))
     val cand = exact
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("tokset"))
-    val sizes = cand.select(col("doc_id"), size(col("tokset")).as("sz"))
-    val inv = cand.select(col("doc_id"), explode(col("tokset")).as("token"))
-    val drops = inv.as("a")
-      .join(inv.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+    val drops = jaccardPairCounts(cand, "tokset")
       .filter(round(col("n_inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("n_inter")), 6) >= 0.5)
       .select(col("id_b")).distinct()
@@ -624,17 +649,7 @@ object LlmText {
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(1, greatest(size(t) - 2, 1)), i -> array_join(slice(t, i, 3), ' '))"))
         .as("shingles"))
-    val sizes = cand.select(col("doc_id"), size(col("shingles")).as("sz"))
-    val inv = cand.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    inv.as("a")
-      .join(inv.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+    jaccardPairCounts(cand, "shingles")
       .withColumn("jaccard", round(col("n_inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= 0.02)
@@ -1940,8 +1955,8 @@ object LlmText {
               v AS (SELECT token, COUNT(*) AS c FROM t GROUP BY token),
               n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM v)
               SELECT doc_id, COUNT(*) AS n_tokens,
-                round(CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / total)
-                    AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+                CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / total)
+                    AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS lm_score
               FROM t JOIN v USING (token) CROSS JOIN n
               GROUP BY doc_id ORDER BY doc_id""")),
     QueryDef("text_ngram", textNgram,
@@ -1955,7 +1970,8 @@ object LlmText {
               ORDER BY n DESC, bigram LIMIT 50""")),
     QueryDef("text_fingerprint", textFingerprint,
       Some("""WITH t AS (SELECT doc_id,
-                list_transform(string_split(text,' '),
+                list_transform(
+                  list_filter(string_split(text,' '), x -> x != ''),
                   x -> length(x) * 256 + unicode(x)) AS codes
                 FROM documents)
               SELECT doc_id,

@@ -13,4 +13,12 @@ object Bridge {
   def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Non-blocking peek at an Observation's metrics (`getOrEmpty` is
+    * `private[sql]`): empty until the observed action's listener
+    * delivers. Lets a convergence loop POLL with a deadline instead of
+    * parking a thread in the indefinitely-blocking `get`.
+    */
+  def observationPeek(o: org.apache.spark.sql.Observation)
+      : Map[String, Any] = o.getOrEmpty
 }
