@@ -23,12 +23,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim_native"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim_native"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1)),
+      (args: Seq[Expression]) => {
+        // a proper arity error instead of an opaque IndexOutOfBounds
+        // from args(1) during resolution
+        require(args.length == 2,
+          s"cosine_sim_native requires exactly 2 arguments, got ${args.length}")
+        CosineSim(args(0), args(1))
+      },
     ))
     ext.injectOptimizerRule(_ => CollapseRedundantRound)
-    // the same rule/strategy pair that operators install at runtime via
+    // the same rule/strategy set that operators install at runtime via
     // experimental.* — extension-configured sessions get them statically
+    // (BOTH transparent-routing rules: registry-gated, so injecting them
+    // is inert until something registers)
     ext.injectOptimizerRule(_ => RouteAggregateToMv)
+    ext.injectOptimizerRule(_ => RouteFilterToProjection)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
@@ -42,8 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object CollapseRedundantRound extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // the dataType guard keeps the optimizer's type-preservation
+      // invariant: on DECIMAL inputs each Round widens precision by 1,
+      // so collapsing would change the plan's output type vs the
+      // analyzed schema — only collapse when the types already agree
+      // (doubles, and decimals at saturated precision)
       case outer @ Round(inner @ Round(_, Literal(d1: Int, IntegerType), _),
-          Literal(d2: Int, IntegerType), _) if d2 >= d1 && d1 >= 0 =>
+          Literal(d2: Int, IntegerType), _)
+          if d2 >= d1 && d1 >= 0 && outer.dataType == inner.dataType =>
         inner
     }
 }

@@ -135,12 +135,13 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private val installed =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
-
-  def install(s: SparkSession): Unit =
-    if (installed.add(s))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ IntervalJoinRewrite
+  // idempotence by membership check, NOT a static session set: a strong
+  // reference registry would pin every session (joinIntervalAuto mints
+  // one per invocation) for the JVM's lifetime — the MvRouting.enable
+  // pattern
+  def install(s: SparkSession): Unit = {
+    val cur = s.experimental.extraOptimizations
+    if (!cur.contains(IntervalJoinRewrite))
+      s.experimental.extraOptimizations = cur :+ IntervalJoinRewrite
+  }
 }

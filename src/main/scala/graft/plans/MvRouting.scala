@@ -41,15 +41,11 @@ object MvRouting {
   case class MvDef(basePath: String, mvPath: String, groupCols: Set[String],
       sumMap: Map[String, String], countCol: String)
 
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  private val registry = new PathRegistry[MvDef]
 
-  private def norm(p: String): String =
-    p.stripPrefix("file:").replaceAll("/+$", "")
+  def register(d: MvDef): Unit = registry.put(d.basePath, d)
 
-  def register(d: MvDef): Unit = { registry.put(norm(d.basePath), d); () }
-
-  def forPath(p: String): Option[MvDef] = Option(registry.get(norm(p)))
+  def forPath(p: String): Option[MvDef] = registry.forPath(p)
 
   /** Install the routing rule into a session at runtime (extraOptimizations
     * runs after the main optimizer batches; extensions-based injection is
@@ -92,11 +88,15 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // EXACTLY one root path, and it is the registered base: a multi-root
+    // scan (read.parquet(base, other)) only partially overlaps the MV —
+    // re-targeting it would silently drop the other roots' rows
     case agg: Aggregate
-        if baseScan(agg.child).exists(fs => fs.location.rootPaths
-          .exists(rp => forPath(rp.toString).isDefined)) =>
+        if baseScan(agg.child).exists(fs =>
+          fs.location.rootPaths.length == 1 &&
+            forPath(fs.location.rootPaths.head.toString).isDefined) =>
       val fs = baseScan(agg.child).get
-      val mv = fs.location.rootPaths.flatMap(rp => forPath(rp.toString)).head
+      val mv = forPath(fs.location.rootPaths.head.toString).get
       rewrite(agg, agg.groupingExpressions, agg.aggregateExpressions, mv)
         .getOrElse(agg)
   }
@@ -123,7 +123,15 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
           dsumSource(s.child).flatMap(mv.sumMap.get)
             .flatMap(mvAttr.get)
             .map(a => ae.copy(aggregateFunction = s.copy(child = a)))
-        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+        // NON-NULL literals only: count(NULL) is always 0, not the group
+        // row count — rewriting it to sum(n_rows) would be wrong. And
+        // only under a GROUP BY: a grouping-less count over an empty
+        // base is 0 unrouted but NULL routed (Sum over the empty MV).
+        case c: Count
+            if groupExprs.nonEmpty && c.children.forall {
+              case Literal(v, _) => v != null
+              case _ => false
+            } =>
           mvAttr.get(mv.countCol)
             .map(a => ae.copy(aggregateFunction = Sum(a)))
         case _ => None

@@ -1,0 +1,14 @@
+package graft.plans
+
+/** Path-keyed routing registry shared by the transparent-routing rules
+  * (MvRouting, ProjectionRouting): one normalization of scan root paths
+  * (scheme stripped, trailing slashes trimmed) so a future change —
+  * URI-encoding, hdfs:// handling — lands in exactly one place.
+  */
+private[plans] final class PathRegistry[T] {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, T]()
+  private def norm(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+  def put(basePath: String, d: T): Unit = { m.put(norm(basePath), d); () }
+  def forPath(p: String): Option[T] = Option(m.get(norm(p)))
+}

@@ -40,15 +40,11 @@ object ProjectionRouting {
   case class ProjDef(basePath: String, baseCol: String,
       altPath: String, altCol: String)
 
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, ProjDef]()
+  private val registry = new PathRegistry[ProjDef]
 
-  private def norm(p: String): String =
-    p.stripPrefix("file:").replaceAll("/+$", "")
+  def register(d: ProjDef): Unit = registry.put(d.basePath, d)
 
-  def register(d: ProjDef): Unit = { registry.put(norm(d.basePath), d); () }
-
-  def forPath(p: String): Option[ProjDef] = Option(registry.get(norm(p)))
+  def forPath(p: String): Option[ProjDef] = registry.forPath(p)
 
   def enable(s: SparkSession): Unit = {
     val cur = s.experimental.extraOptimizations
@@ -66,8 +62,11 @@ object RouteFilterToProjection extends Rule[LogicalPlan] {
   private def baseRel(p: LogicalPlan): Option[(LogicalRelation, ProjDef)] = {
     def of(l: LogicalRelation): Option[(LogicalRelation, ProjDef)] =
       l.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths
-          .flatMap(rp => forPath(rp.toString)).headOption.map(d => (l, d))
+        // EXACTLY one root path (the MvRouting rule): a multi-root scan
+        // only partially overlaps the projection — swapping it wholesale
+        // to altPath would silently drop the other roots' rows
+        case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+          forPath(fs.location.rootPaths.head.toString).map(d => (l, d))
         case _ => None
       }
     p match {

@@ -27,6 +27,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   */
 case class TopKPerGroup(k: Int, groupExprs: Seq[Attribute],
     orderExprs: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+  // k = 0 would NPE in the exec's heap comparator (peek() on an empty
+  // bounded heap); reject at construction with a named error instead
+  require(k > 0, s"TopKPerGroup requires k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
@@ -40,14 +43,13 @@ object TopKPerGroupStrategy extends SparkStrategy {
     case _ => Nil
   }
 
-  private val installed =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
-
-  def install(s: SparkSession): Unit =
-    if (installed.add(s))
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+ TopKPerGroupStrategy
+  // membership check, not a static session set (which would strongly
+  // pin every installed session for the JVM's lifetime)
+  def install(s: SparkSession): Unit = {
+    val cur = s.experimental.extraStrategies
+    if (!cur.contains(TopKPerGroupStrategy))
+      s.experimental.extraStrategies = cur :+ TopKPerGroupStrategy
+  }
 }
 
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
