@@ -1,64 +1,132 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
+/** Shared machinery for the fused binary vector kernels ([[CosineSim]],
+  * [[EuclidSq]], [[DotProduct]], [[MaxSim]]): element-type dispatch,
+  * type checking, and the STRICT-SHAPE semantics all four share —
+  * previously copy-pasted per kernel, which is how a fix to one would
+  * have missed the other three.
+  *
+  *   - mismatched lengths THROW (ClickHouse's cosineDistance errors
+  *     too; the old silent min-truncation scored garbage, and in MaxSim
+  *     additionally misaligned token boundaries),
+  *   - a NULL element makes the result NULL (the zip_with/aggregate
+  *     HOF these kernels are proven bit-identical to propagates null
+  *     the same way; the old getDouble-on-null read 0.0).
+  */
+trait VectorKernel extends BinaryExpression {
+  def fnName: String
+
+  override def dataType: DataType = DoubleType
+
+  protected def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elem(left.dataType).isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fnName expects array<float|double>; left is ${left.dataType}")
+    else if (elem(right.dataType).isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fnName expects array<float|double>; right is ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  /** Equal lengths or throw; returns the common length. */
+  protected def checkShape(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements(); val m = y.numElements()
+    if (n != m) throw new IllegalArgumentException(
+      s"$fnName: vector lengths differ ($n vs $m)")
+    n
+  }
+
+  protected def leftIsFloat: Boolean = elem(left.dataType).contains(FloatType)
+  protected def rightIsFloat: Boolean = elem(right.dataType).contains(FloatType)
+
+  protected def readLeft(x: ArrayData, i: Int): Double =
+    if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+  protected def readRight(y: ArrayData, i: Int): Double =
+    if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+
+  // ---- codegen fragments --------------------------------------------
+  protected def genGetLeft(c: String, i: String): String =
+    if (leftIsFloat) s"(double) $c.getFloat($i)" else s"$c.getDouble($i)"
+  protected def genGetRight(c: String, i: String): String =
+    if (rightIsFloat) s"(double) $c.getFloat($i)" else s"$c.getDouble($i)"
+
+  protected def genCheckShape(c1: String, c2: String, n: String): String =
+    s"""
+      int $n = $c1.numElements();
+      if ($n != $c2.numElements())
+        throw new IllegalArgumentException(
+          "$fnName: vector lengths differ (" + $n + " vs "
+            + $c2.numElements() + ")");
+    """
+
+  /** In-loop null-element guard: sets ev.isNull and breaks. Emitted only
+    * when a side's array type can actually hold nulls.
+    */
+  protected def genNullGuard(ev: ExprCode, c1: String, c2: String,
+      i: String): String = {
+    def nullable(t: DataType) = t match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+    val checks = Seq(
+      if (nullable(left.dataType)) Some(s"$c1.isNullAt($i)") else None,
+      if (nullable(right.dataType)) Some(s"$c2.isNullAt($i)") else None,
+    ).flatten
+    if (checks.isEmpty) ""
+    else s"if (${checks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+  }
+
+  /** Eval-side twin of [[genNullGuard]]. */
+  protected def anyNull(x: ArrayData, y: ArrayData, i: Int): Boolean =
+    x.isNullAt(i) || y.isNullAt(i)
+}
+
 /** §2.12 `expr_custom` — native Catalyst expression with whole-stage
   * codegen: fused cosine similarity over two float[] columns, single pass,
   * double accumulators, no intermediate arrays (the higher-order-function
   * formulation allocates zip/transform arrays per row; this doesn't).
+  * A zero-norm side yields NULL — the same result the HOF formulation
+  * gets from Spark's Divide on a zero divisor.
   *
   * Demonstrates the preferred extension ladder from SURVEY.md §2.12:
   * built-ins < native Expression (this) < UDF. Registered as a temp SQL
   * function `cosine_sim_native(a, b)` via [[GraftFunctions.register]].
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends VectorKernel {
 
-  override def dataType: DataType = DoubleType
-
-  private def elem(t: DataType): Option[DataType] = t match {
-    case ArrayType(FloatType, _) => Some(FloatType)
-    case ArrayType(DoubleType, _) => Some(DoubleType)
-    case _ => None
-  }
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (elem(left.dataType).isEmpty)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim_native expects array<float|double>; left is ${left.dataType}")
-    else if (elem(right.dataType).isEmpty)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim_native expects array<float|double>; right is ${right.dataType}")
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def fnName: String = "cosine_sim_native"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = elem(left.dataType).contains(FloatType)
-    val rf = elem(right.dataType).contains(FloatType)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkShape(x, y)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      if (anyNull(x, y, i)) return null
+      val xi = readLeft(x, i); val yi = readRight(y, i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) null else dot / den
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c1, c2) => {
-      def getter(c: String, side: DataType, i: String): String =
-        if (elem(side).contains(FloatType)) s"(double) $c.getFloat($i)"
-        else s"$c.getDouble($i)"
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
@@ -66,15 +134,21 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val den = ctx.freshName("den")
       s"""
-        int $n = java.lang.Math.min($c1.numElements(), $c2.numElements());
+        ${genCheckShape(c1, c2, n)}
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double $x = ${getter(c1, left.dataType, i)};
-          double $y = ${getter(c2, right.dataType, i)};
+          ${genNullGuard(ev, c1, c2, i)}
+          double $x = ${genGetLeft(c1, i)};
+          double $y = ${genGetRight(c2, i)};
           $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        if (!${ev.isNull}) {
+          double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+          if ($den == 0.0) { ${ev.isNull} = true; }
+          else { ${ev.value} = $dot / $den; }
+        }
       """
     })
 
@@ -94,39 +168,19 @@ case class CosineSim(left: Expression, right: Expression)
   * ExtensionsSpec). Registered as `l2_sq_native(a, b)`.
   */
 case class EuclidSq(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends VectorKernel {
 
-  override def dataType: DataType = DoubleType
-
-  private def elem(t: DataType): Option[DataType] = t match {
-    case ArrayType(FloatType, _) => Some(FloatType)
-    case ArrayType(DoubleType, _) => Some(DoubleType)
-    case _ => None
-  }
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (elem(left.dataType).isEmpty)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"l2_sq_native expects array<float|double>; left is ${left.dataType}")
-    else if (elem(right.dataType).isEmpty)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"l2_sq_native expects array<float|double>; right is ${right.dataType}")
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def fnName: String = "l2_sq_native"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = elem(left.dataType).contains(FloatType)
-    val rf = elem(right.dataType).contains(FloatType)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkShape(x, y)
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      val d = xi - yi
+      if (anyNull(x, y, i)) return null
+      val d = readLeft(x, i) - readRight(y, i)
       s += d * d
       i += 1
     }
@@ -135,21 +189,19 @@ case class EuclidSq(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c1, c2) => {
-      def getter(c: String, side: DataType, i: String): String =
-        if (elem(side).contains(FloatType)) s"(double) $c.getFloat($i)"
-        else s"$c.getDouble($i)"
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-        int $n = java.lang.Math.min($c1.numElements(), $c2.numElements());
+        ${genCheckShape(c1, c2, n)}
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double $d = ${getter(c1, left.dataType, i)} - ${getter(c2, right.dataType, i)};
+          ${genNullGuard(ev, c1, c2, i)}
+          double $d = ${genGetLeft(c1, i)} - ${genGetRight(c2, i)};
           $acc += $d * $d;
         }
-        ${ev.value} = $acc;
+        if (!${ev.isNull}) { ${ev.value} = $acc; }
       """
     })
 
@@ -167,39 +219,19 @@ case class EuclidSq(left: Expression, right: Expression)
   * Registered as `dot_native(a, b)`.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends VectorKernel {
 
-  override def dataType: DataType = DoubleType
-
-  private def elem(t: DataType): Option[DataType] = t match {
-    case ArrayType(FloatType, _) => Some(FloatType)
-    case ArrayType(DoubleType, _) => Some(DoubleType)
-    case _ => None
-  }
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (elem(left.dataType).isEmpty)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"dot_native expects array<float|double>; left is ${left.dataType}")
-    else if (elem(right.dataType).isEmpty)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"dot_native expects array<float|double>; right is ${right.dataType}")
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def fnName: String = "dot_native"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = elem(left.dataType).contains(FloatType)
-    val rf = elem(right.dataType).contains(FloatType)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkShape(x, y)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xi * yi
+      if (anyNull(x, y, i)) return null
+      acc += readLeft(x, i) * readRight(y, i)
       i += 1
     }
     acc
@@ -207,19 +239,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c1, c2) => {
-      def getter(c: String, side: DataType, i: String): String =
-        if (elem(side).contains(FloatType)) s"(double) $c.getFloat($i)"
-        else s"$c.getDouble($i)"
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($c1.numElements(), $c2.numElements());
+        ${genCheckShape(c1, c2, n)}
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          $acc += ${getter(c1, left.dataType, i)} * ${getter(c2, right.dataType, i)};
+          ${genNullGuard(ev, c1, c2, i)}
+          $acc += ${genGetLeft(c1, i)} * ${genGetRight(c2, i)};
         }
-        ${ev.value} = $acc;
+        if (!${ev.isNull}) { ${ev.value} = $acc; }
       """
     })
 
@@ -236,38 +266,29 @@ case class DotProduct(left: Expression, right: Expression)
   * pair). Fold order matches the HOF exactly — dot products accumulate
   * left-to-right within a token, token maxima are order-independent,
   * token sums accumulate t = 0..7 — so results are bit-identical
-  * (asserted in ExtensionsSpec). Registered as `maxsim_native(a, b)`.
+  * (asserted in ExtensionsSpec). Lengths must be equal AND divisible
+  * by the token count: a misaligned slice would silently score
+  * garbage. Registered as `maxsim_native(a, b)`.
   */
 case class MaxSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends VectorKernel {
 
   private val Tokens = 8
 
-  override def dataType: DataType = DoubleType
-
-  private def elem(t: DataType): Option[DataType] = t match {
-    case ArrayType(FloatType, _) => Some(FloatType)
-    case ArrayType(DoubleType, _) => Some(DoubleType)
-    case _ => None
-  }
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (elem(left.dataType).isEmpty)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"maxsim_native expects array<float|double>; left is ${left.dataType}")
-    else if (elem(right.dataType).isEmpty)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"maxsim_native expects array<float|double>; right is ${right.dataType}")
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def fnName: String = "maxsim_native"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = elem(left.dataType).contains(FloatType)
-    val rf = elem(right.dataType).contains(FloatType)
-    val sub = math.min(x.numElements(), y.numElements()) / Tokens
+    val n = checkShape(x, y)
+    if (n % Tokens != 0) throw new IllegalArgumentException(
+      s"$fnName: length $n is not a multiple of $Tokens tokens")
+    val sub = n / Tokens
+    var i = 0
+    while (i < n) { // null scan up front: token loops index non-linearly
+      if (anyNull(x, y, i)) return null
+      i += 1
+    }
     var score = 0.0
     var t = 0
     while (t < Tokens) {
@@ -275,14 +296,10 @@ case class MaxSim(left: Expression, right: Expression)
       var u = 0
       while (u < Tokens) {
         var dot = 0.0
-        var i = 0
-        while (i < sub) {
-          val xi = if (lf) x.getFloat(t * sub + i).toDouble
-                   else x.getDouble(t * sub + i)
-          val yi = if (rf) y.getFloat(u * sub + i).toDouble
-                   else y.getDouble(u * sub + i)
-          dot += xi * yi
-          i += 1
+        var j = 0
+        while (j < sub) {
+          dot += readLeft(x, t * sub + j) * readRight(y, u * sub + j)
+          j += 1
         }
         if (dot > best) best = dot
         u += 1
@@ -295,10 +312,8 @@ case class MaxSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c1, c2) => {
-      def getter(c: String, side: DataType, i: String): String =
-        if (elem(side).contains(FloatType)) s"(double) $c.getFloat($i)"
-        else s"$c.getDouble($i)"
       val sub = ctx.freshName("sub")
+      val n = ctx.freshName("n")
       val score = ctx.freshName("score")
       val best = ctx.freshName("best")
       val dot = ctx.freshName("dot")
@@ -306,21 +321,30 @@ case class MaxSim(left: Expression, right: Expression)
       val u = ctx.freshName("u")
       val i = ctx.freshName("i")
       s"""
-        int $sub = java.lang.Math.min($c1.numElements(), $c2.numElements()) / $Tokens;
-        double $score = 0.0;
-        for (int $t = 0; $t < $Tokens; $t++) {
-          double $best = java.lang.Double.NEGATIVE_INFINITY;
-          for (int $u = 0; $u < $Tokens; $u++) {
-            double $dot = 0.0;
-            for (int $i = 0; $i < $sub; $i++) {
-              $dot += ${getter(c1, left.dataType, s"$t * $sub + $i")}
-                      * ${getter(c2, right.dataType, s"$u * $sub + $i")};
-            }
-            if ($dot > $best) $best = $dot;
-          }
-          $score += $best;
+        ${genCheckShape(c1, c2, n)}
+        if ($n % $Tokens != 0)
+          throw new IllegalArgumentException(
+            "$fnName: length " + $n + " is not a multiple of $Tokens tokens");
+        int $sub = $n / $Tokens;
+        for (int $i = 0; $i < $n; $i++) {
+          ${genNullGuard(ev, c1, c2, i)}
         }
-        ${ev.value} = $score;
+        if (!${ev.isNull}) {
+          double $score = 0.0;
+          for (int $t = 0; $t < $Tokens; $t++) {
+            double $best = java.lang.Double.NEGATIVE_INFINITY;
+            for (int $u = 0; $u < $Tokens; $u++) {
+              double $dot = 0.0;
+              for (int $i = 0; $i < $sub; $i++) {
+                $dot += ${genGetLeft(c1, s"$t * $sub + $i")}
+                        * ${genGetRight(c2, s"$u * $sub + $i")};
+              }
+              if ($dot > $best) $best = $dot;
+            }
+            $score += $best;
+          }
+          ${ev.value} = $score;
+        }
       """
     })
 

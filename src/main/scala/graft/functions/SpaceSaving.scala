@@ -129,6 +129,18 @@ class SpaceSavingMergeState(capacity: Int, k: Int)
   private val inner = new SpaceSavingTopK(capacity, k)
   override def zero: SSBuf = new SSBuf(capacity)
   override def reduce(b: SSBuf, state: Seq[SSEntry]): SSBuf = {
+    // ENFORCE the completeness contract the doc states: a state
+    // truncated below this merger's capacity (persisted by a builder
+    // with k < capacity) makes minOf() see a non-full buffer and credit
+    // absent items 0 instead of the evicted min — merged estimates
+    // could then undercount and a guaranteed heavy hitter drop out.
+    // Full states (size == capacity) and genuinely small inputs (the
+    // builder never evicted, size < its own capacity == this one) are
+    // both fine; what must never pass silently is capacity mismatch.
+    require(state.length <= capacity,
+      s"SpaceSavingMergeState(capacity=$capacity) fed a ${state.length}-entry " +
+        "state: merger capacity must be >= the builder's k, and states must " +
+        "be persisted COMPLETE (builder k == builder capacity)")
     val s = new SSBuf(capacity)
     state.foreach(e => s.m.put(e.item, new SSBuf.Counter(e.count, e.error)))
     inner.merge(b, s)

@@ -57,7 +57,9 @@ object LlmVector {
       col("v").as("vb"))
     a.join(b, "id_a")
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        // UNROUNDED IEEE quotient (identical chain on both engines; the
+        // 6dp edge round is the class-3 midpoint hazard)
+        cosine(col("va"), col("vb")).as("cos_sim"))
       .orderBy(col("id_a"))
   }
 
@@ -1589,8 +1591,8 @@ object LlmVector {
               FROM embeddings ORDER BY vec_id""")),
     QueryDef("sim_cosine_pair", simCosinePair,
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(${oDot.format("a.embedding", "b.embedding")}
-                 / (${oNorm("a.embedding")} * ${oNorm("b.embedding")}), 6)
+               ${oDot.format("a.embedding", "b.embedding")}
+                 / (${oNorm("a.embedding")} * ${oNorm("b.embedding")})
                  AS cos_sim
               FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
               ORDER BY id_a""")),
