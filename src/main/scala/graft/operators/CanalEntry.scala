@@ -249,6 +249,17 @@ object CanalEntry {
         Left(s"${ex.getClass.getSimpleName}: ${String.valueOf(ex.getMessage).take(60)}")
     }
 
+  /** A known field arriving with the WRONG wire type is framing
+    * corruption: "skipping" it by the claimed type (or worse, reading
+    * it) would realign the parse mid-message and produce a plausible
+    * but wrong envelope — throw instead, so decodeSafe quarantines the
+    * blob in the DLQ (the mis-framing class the lenPrefix doc
+    * describes).
+    */
+  private def badWire(field: Int, wire: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"wire-type mismatch: field $field with wire $wire")
+
   def decode(a: Array[Byte]): Env = {
     var db = ""; var tbl = ""; var es = 0L; var offset = 0L
     var entryType = RowData
@@ -257,20 +268,22 @@ object CanalEntry {
     while (er.hasNext) {
       val t = er.varint()
       ((t >>> 3).toInt, (t & 7).toInt) match {
-        case (1, _) =>
+        case (1, 2) =>
           val hr = er.lenDelim()
           while (hr.hasNext) {
             val ht = hr.varint()
             ((ht >>> 3).toInt, (ht & 7).toInt) match {
-              case (3, _) => offset = hr.varint()
-              case (6, _) => es = hr.varint()
-              case (8, _) => db = hr.strVal()
-              case (9, _) => tbl = hr.strVal()
+              case (3, 0) => offset = hr.varint()
+              case (6, 0) => es = hr.varint()
+              case (8, 2) => db = hr.strVal()
+              case (9, 2) => tbl = hr.strVal()
+              case (f @ (3 | 6 | 8 | 9), hw) => badWire(f, hw)
               case (_, hw) => hr.skip(hw)
             }
           }
-        case (2, _) => entryType = er.varint().toInt
-        case (3, _) => rcr = er.lenDelim()
+        case (2, 0) => entryType = er.varint().toInt
+        case (3, 2) => rcr = er.lenDelim()
+        case (f @ (1 | 2 | 3), w) => badWire(f, w)
         case (_, w) => er.skip(w)
       }
     }
@@ -288,6 +301,8 @@ object CanalEntry {
       while (rd.hasNext) {
         val rt = rd.varint()
         val side = (rt >>> 3).toInt
+        if ((side == 1 || side == 2) && (rt & 7).toInt != 2)
+          badWire(side, (rt & 7).toInt)
         if (side == 1 || side == 2) {
           val cr = rd.lenDelim()
           var name = ""; var value: String = null; var isNull = false
@@ -295,13 +310,14 @@ object CanalEntry {
           while (cr.hasNext) {
             val ct = cr.varint()
             ((ct >>> 3).toInt, (ct & 7).toInt) match {
-              case (3, _) => name = cr.strVal()
-              case (4, _) => isKey = cr.varint() != 0L
-              case (6, _) => isNull = cr.varint() != 0L
+              case (3, 2) => name = cr.strVal()
+              case (4, 0) => isKey = cr.varint() != 0L
+              case (6, 0) => isNull = cr.varint() != 0L
               // field 7 (repeated Pair props) falls through to skip —
               // a length-delimited submessage, framed past correctly
-              case (8, _) => value = cr.strVal()
-              case (10, _) => mt = cr.strVal()
+              case (8, 2) => value = cr.strVal()
+              case (10, 2) => mt = cr.strVal()
+              case (f @ (3 | 4 | 6 | 8 | 10), cw) => badWire(f, cw)
               case (_, cw) => cr.skip(cw)
             }
           }
@@ -316,10 +332,11 @@ object CanalEntry {
     if (rcr != null) while (rcr.hasNext) {
       val rt = rcr.varint()
       ((rt >>> 3).toInt, (rt & 7).toInt) match {
-        case (2, _) => typ = evName.getOrElse(rcr.varint(), "QUERY")
-        case (10, _) => isDdl = rcr.varint() != 0L
-        case (11, _) => sql = rcr.strVal()
-        case (12, _) => pairs += readCols(rcr.lenDelim())
+        case (2, 0) => typ = evName.getOrElse(rcr.varint(), "QUERY")
+        case (10, 0) => isDdl = rcr.varint() != 0L
+        case (11, 2) => sql = rcr.strVal()
+        case (12, 2) => pairs += readCols(rcr.lenDelim())
+        case (f @ (2 | 10 | 11 | 12), w) => badWire(f, w)
         case (_, w) => rcr.skip(w)
       }
     }

@@ -66,8 +66,10 @@ object Projections {
     */
   private def sqlQ6Revenue(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
-    s.sql("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount
-                             AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+    // Det.oSum IS the one definition point of the cross-engine decimal
+    // summation spelling — hand-inlining it here risked silent drift
+    s.sql(s"""SELECT ${graft.Det.oSum("l_extendedprice * l_discount")}
+                      AS revenue,
                     COUNT(*) AS n_rows
              FROM v_lineitem
              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -78,8 +80,8 @@ object Projections {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sql_q6_revenue", sqlQ6Revenue,
-      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount
-                AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      Some(s"""SELECT ${graft.Det.oSum("l_extendedprice * l_discount")}
+                  AS revenue,
                 COUNT(*) AS n_rows
               FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1995-01-01'

@@ -19,14 +19,23 @@ object Stats {
     */
   def ensureAnalyzed(s: SparkSession, dir: String): Map[String, String] = {
     val sf = new java.io.File(dir).getName.replace(".", "_")
+    // the fixture fingerprint in the table name: the LOCATION is baked
+    // at CREATE, so two sfDirs sharing a basename (or a testdata swap at
+    // the same path) must resolve to different catalog tables
+    val fp = graft.Scratch.fixtureFingerprint(dir)
     val names = Seq("customer", "orders", "nation", "region")
-      .map(t => t -> s"graft_stat_${t}_$sf").toMap
+      .map(t => t -> s"graft_stat_${t}_${sf}_$fp").toMap
     names.foreach { case (t, tn) =>
-      if (!s.catalog.tableExists(tn)) {
+      if (!s.catalog.tableExists(tn))
         s.sql(s"CREATE TABLE IF NOT EXISTS $tn USING parquet " +
           s"LOCATION '$dir/$t.parquet'")
+      // guard on STATS PRESENCE, not table existence: a once-failed
+      // ANALYZE (transient FS error) must self-heal on the next call,
+      // not leave missing stats for the rest of the JVM
+      val hasStats = s.table(tn).queryExecution.optimizedPlan.stats
+        .rowCount.isDefined
+      if (!hasStats)
         s.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS FOR ALL COLUMNS")
-      }
     }
     names
   }
@@ -44,7 +53,7 @@ object Stats {
     s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     s.sql(s"""
       SELECT n_name, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             ${graft.Det.oSum("o_totalprice")}
                AS sum_price
       FROM ${names("orders")} o
       JOIN ${names("customer")} c ON o.o_custkey = c.c_custkey
@@ -70,7 +79,7 @@ object Stats {
     s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     s.sql(s"""
       SELECT c_mktsegment, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             ${graft.Det.oSum("o_totalprice")}
                AS sum_price
       FROM ${names("orders")} o
       JOIN ${names("customer")} c ON o.o_custkey = c.c_custkey
@@ -122,14 +131,20 @@ object Stats {
         count(when(col("props").isNull, 1)).as("n_null_props"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
           .cast("double").as("sum_value"))
-    // main pass: a write-shaped action drains the stream once
-    e.write.mode("overwrite")
-      .parquet(graft.Scratch.dir("observe"))
+    // main pass: count() drains the observed scan in one action —
+    // CollectMetricsExec accumulates on rows flowing through regardless
+    // of the action, so there is no reason to pay a parquet encode +
+    // tmp-dir write per invocation (the previous drain)
+    e.count()
     val m = obs.get
     import s.implicits._
+    // explicit null handling: on an empty input the sum metric is SQL
+    // NULL, and a primitive unbox would turn it into 0.0 while the
+    // oracle's SUM stays NULL (class-6 divergence)
+    val sumValue = Option(m("sum_value")).map(_.asInstanceOf[Double])
     Seq((m("n_rows").asInstanceOf[Long],
       m("n_null_props").asInstanceOf[Long],
-      m("sum_value").asInstanceOf[Double]))
+      sumValue))
       .toDF("n_rows", "n_null_props", "sum_value")
   }
 
@@ -150,8 +165,8 @@ object Stats {
                 1 AS est_matches
               FROM t ORDER BY table_name""")),
     QueryDef("stats_cbo_reorder", statsCboReorder,
-      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ${graft.Det.oSum("o_totalprice")}
                  AS sum_price
               FROM orders
               JOIN customer ON o_custkey = c_custkey
@@ -160,8 +175,8 @@ object Stats {
               WHERE r_name = 'ASIA'
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
     QueryDef("stats_cbo", statsCbo,
-      Some("""SELECT n_name, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      Some(s"""SELECT n_name, COUNT(*) AS n_orders,
+               ${graft.Det.oSum("o_totalprice")}
                  AS sum_price
               FROM orders
               JOIN customer ON o_custkey = c_custkey
