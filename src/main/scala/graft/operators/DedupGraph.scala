@@ -261,14 +261,24 @@ object DedupGraph {
       _ => affinityEdges(s, dir).localCheckpoint())
   }
 
-  private def graphTriangleCount(s: SparkSession, dir: String): DataFrame = {
+  /** Degree table of the affinity graph — shared by the triangle family. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  /** Every triangle of the affinity graph exactly ONCE, as (a, b, c) —
+    * the Suri-Vassilvitskii degree-oriented wedge join shared by
+    * graph_triangle_count (global counts) and graph_cluster_coeff
+    * (per-node counts): low-degree endpoints emit wedges, the closing
+    * edge joins them shut.
+    */
+  private def triangles(s: SparkSession, dir: String): DataFrame = {
     // materialize the bounded edge list once: its lineage (the fact-table
     // pair self-join) would otherwise re-run for the degree table AND
     // each of the three oriented-edge uses below — at scale the adjacency
     // is persisted once per traversal, never recomputed from the fact
     val edges = affinityEdgesCached(s, dir)
-    val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val deg = degrees(edges)
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = edges
@@ -283,10 +293,41 @@ object DedupGraph {
         col("e1.s") === col("e2.s") && (col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
       .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-    val tris = wedges.join(
+    wedges.join(
       oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
-    tris.agg(count(lit(1)).as("n_triangles"),
-        count_distinct(col("a")).as("n_apex_nodes"))
+  }
+
+  private def graphTriangleCount(s: SparkSession, dir: String): DataFrame =
+    triangles(s, dir).agg(count(lit(1)).as("n_triangles"),
+      count_distinct(col("a")).as("n_apex_nodes"))
+
+  /** Local clustering coefficient (Watts-Strogatz) per node: c(v) =
+    * 2·tri(v) / (deg(v)·(deg(v)−1)) — "how much of my neighborhood
+    * already knows each other", the density diagnostic that separates
+    * near-dup CLIQUES (c → 1, safe to collapse to one survivor) from
+    * hub-shaped chains (c → 0, where transitive collapsing
+    * over-merges). Emitted in exact integer micro-units (all-positive
+    * int division — identical on both engines, no float edge), over
+    * nodes with deg ≥ 2 (c is undefined below).
+    *
+    * Scale notes: per-node triangle counts ride the SAME bounded
+    * oriented wedge join as the global count (each triangle credits
+    * its three corners via one explode); degrees join back node-sized.
+    * Nothing new shuffles at 100 TB beyond what triangle counting
+    * already paid.
+    */
+  private def graphClusterCoeff(s: SparkSession, dir: String): DataFrame = {
+    val triPerNode = triangles(s, dir)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+    degrees(affinityEdgesCached(s, dir))
+      .filter(col("d") >= 2)
+      .join(triPerNode, Seq("n"), "left")
+      .withColumn("tri0", coalesce(col("tri"), lit(0L)))
+      .select(col("n").as("node"), col("d").as("degree"),
+        col("tri0").as("n_triangles"),
+        expr("(2000000 * tri0) div (d * (d - 1))").as("cc_micro"))
+      .orderBy(col("node"))
   }
 
   /** "People also bought": node similarity by common neighbors over the
@@ -416,6 +457,39 @@ object DedupGraph {
               FROM cm JOIN deg du ON cm.u = du.n
                       JOIN deg dv ON cm.v = dv.n
               ORDER BY jaccard_micro DESC, u, v LIMIT 50""")),
+    QueryDef("graph_cluster_coeff", graphClusterCoeff,
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+              e0 AS (SELECT u, v FROM (
+                SELECT a.pk AS u, b.pk AS v, COUNT(DISTINCT a.ok) AS sup
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2) sup_f WHERE sup >= 2),
+              deg AS (SELECT n, COUNT(*) AS d FROM (
+                SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) x
+                GROUP BY n),
+              o AS (SELECT
+                CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS s,
+                CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS t,
+                CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN dv.d ELSE du.d END AS dt
+                FROM e0 JOIN deg du ON e0.u = du.n
+                        JOIN deg dv ON e0.v = dv.n),
+              w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+                FROM o e1 JOIN o e2 ON e1.s = e2.s
+                AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))),
+              tris AS (SELECT w.a, w.b, w.c FROM w
+                JOIN o ON w.b = o.s AND w.c = o.t),
+              pn AS (SELECT n, COUNT(*) AS tri FROM (
+                SELECT a AS n FROM tris UNION ALL SELECT b FROM tris
+                UNION ALL SELECT c FROM tris) x GROUP BY n)
+              SELECT deg.n AS node, deg.d AS degree,
+                COALESCE(pn.tri, 0) AS n_triangles,
+                (2000000 * COALESCE(pn.tri, 0)) // (deg.d * (deg.d - 1))
+                  AS cc_micro
+              FROM deg LEFT JOIN pn ON deg.n = pn.n
+              WHERE deg.d >= 2 ORDER BY node""")),
     QueryDef("graph_triangle_count", graphTriangleCount,
       Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
                 FROM lineitem),

@@ -879,6 +879,39 @@ object EventAnalytics {
                   / sqrt(CAST(v24 AS DOUBLE)), 6) END AS z,
                 CAST(num * num > 9 * v24 AS INTEGER) AS is_anomaly
               FROM c ORDER BY h""")),
+    QueryDef("ts_acf", tsAcf,
+      Some("""WITH hourly AS (SELECT
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                 COUNT(*) AS n FROM events GROUP BY 1),
+              bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+              spine AS (SELECT unnest(generate_series(lo, hi,
+                 INTERVAL 1 HOUR)) AS h FROM bounds),
+              series AS (SELECT
+                 row_number() OVER (ORDER BY sp.h) AS t,
+                 COALESCE(n, 0) AS x
+                 FROM spine sp LEFT JOIN hourly USING (h)),
+              g AS (SELECT CAST(SUM(x) AS BIGINT) AS s,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 COUNT(*) AS nn FROM series),
+              l AS (SELECT unnest(generate_series(1, 6)) AS lag),
+              p AS (SELECT l.lag,
+                 CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+                 CAST(SUM(a.x + b.x) AS BIGINT) AS sxpy,
+                 COUNT(*) AS nk
+                 FROM l JOIN series a ON true
+                 JOIN series b ON b.t = a.t + l.lag
+                 GROUP BY l.lag)
+              SELECT CAST(lag AS BIGINT) AS lag, nk,
+                (CAST(sxy AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+                     * CAST(sxpy AS DOUBLE)
+                   + CAST(nk AS DOUBLE)
+                     * (CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(nn AS DOUBLE)))
+                / (CAST(sxx AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(nn AS DOUBLE)) AS acf
+              FROM p, g ORDER BY lag""")),
     QueryDef("ts_changepoint", tsChangepoint,
       Some("""WITH hourly AS (SELECT
                 CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
@@ -1411,6 +1444,58 @@ object EventAnalytics {
           .as("mean_before"),
         round((col("s_tot") - col("prefix")).cast("double")
           / (col("n_tot") - col("t")).cast("double"), 6).as("mean_after"))
+  }
+
+  /** Autocorrelation function r₁..r₆ over the zero-filled hourly event-
+    * count series — the seasonality fingerprint read before choosing a
+    * forecast model (a daily cycle shows as a ridge at lag 24; white
+    * noise decays immediately). Determinism by EXACT-INTEGER moments:
+    * rather than summing centered double products (whose order differs
+    * across partitionings/engines), the numerator expands to
+    * Σxy − m·Σ(x+y) + n_k·m² over exact long sums (Σ x_t·x_{t+k},
+    * Σ(x_t + x_{t+k}), counts), and the closed form runs ONCE per lag
+    * in one fixed double op order on identical integers — shipped
+    * UNROUNDED (bit-identical on both engines; the edge round is the
+    * class-3 midpoint hazard).
+    *
+    * Scale notes: raw events fold to the O(hours) rollup map-side; the
+    * lag pairing is an equi-join of the control-plane-sized series with
+    * itself on t+k (lags broadcast); the global moments broadcast back
+    * as one row. ACF never touches raw rows.
+    */
+  private def tsAcf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val series = spine.join(hourly, Seq("h"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("x"),
+        row_number().over(Window.orderBy(col("h"))).cast("long").as("t"))
+    val glob = series.agg(sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("sxx"), count(lit(1)).as("nn"))
+    val lags = s.range(1, 7).select(col("id").as("k"))
+    val b = series.select(col("t").as("tb"), col("x").as("y"))
+    series.crossJoin(broadcast(lags))
+      .join(b, col("tb") === col("t") + col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") + col("y")).as("sxpy"),
+        count(lit(1)).as("nk"))
+      .crossJoin(broadcast(glob))
+      .select(col("k").as("lag"), col("nk"), {
+        val m = col("s").cast("double") / col("nn").cast("double")
+        val num = col("sxy").cast("double") - m * col("sxpy").cast("double") +
+          col("nk").cast("double") * m * m
+        val den = col("sxx").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("nn").cast("double")
+        (num / den).as("acf")
+      })
+      .orderBy(col("lag"))
   }
 
   /** Dynamic time warping distance — O(n·m) DP with the standard

@@ -10,7 +10,7 @@ package graft
   * on the session's partitioning) and the full collected results must
   * be bit-identical.
   *
-  * The sample (18 keys) is chosen adversarially: keys that reassemble
+  * The sample (22 keys) is chosen adversarially: keys that reassemble
   * arrays from aggregations (agg_foreach, agg_resample,
   * agg_group_array_sorted, agg_array_intersect, agg_moving_sum_array),
   * rank after rounding (sim_ann_recall, sim_triplet_mine), hash-order
@@ -33,7 +33,12 @@ class DeterminismSpec extends GraftSpec {
     "topk_per_group_native", "join_skew_aqe", "fn_distance_family",
     "agg_group_array_sorted", "agg_array_intersect",
     "agg_moving_sum_array", "graph_triangle_count", "sim_mmr",
-    "pack_bestfit", "ts_lttb", "ts_dtw")
+    "pack_bestfit", "ts_lttb", "ts_dtw",
+    // round-9 second wave: rank-after-integer-score with a LIMIT edge,
+    // sorted-fold entropy over collected counts, per-node triangle
+    // credit through the oriented wedge join, exact-integer ACF moments
+    "graph_resource_alloc", "text_char_entropy", "graph_cluster_coeff",
+    "ts_acf")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()
