@@ -23,6 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 trait VectorKernel extends BinaryExpression {
   def fnName: String
 
+  // the kernels introduce NULL results of their own (null element,
+  // zero norm) beyond child nullability — without this override,
+  // non-nullable children would make nullSafeCodeGen pin ev.isNull to
+  // a FalseLiteral (the emitted "isNull = true" then fails to compile)
+  // AND let NullPropagation reason the result can't be null,
+  // simplifying away callers' coalesce fallbacks
+  override def nullable: Boolean = true
+
   override def dataType: DataType = DoubleType
 
   protected def elem(t: DataType): Option[DataType] = t match {

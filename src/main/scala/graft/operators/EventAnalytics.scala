@@ -902,6 +902,7 @@ object EventAnalytics {
                  JOIN series b ON b.t = a.t + l.lag
                  GROUP BY l.lag)
               SELECT CAST(lag AS BIGINT) AS lag, nk,
+                CASE WHEN nn * sxx = s * s THEN NULL ELSE
                 (CAST(sxy AS DOUBLE)
                    - (CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
                      * CAST(sxpy AS DOUBLE)
@@ -910,7 +911,7 @@ object EventAnalytics {
                      * (CAST(s AS DOUBLE) / CAST(nn AS DOUBLE)))
                 / (CAST(sxx AS DOUBLE)
                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                     / CAST(nn AS DOUBLE)) AS acf
+                     / CAST(nn AS DOUBLE)) END AS acf
               FROM p, g ORDER BY lag""")),
     QueryDef("ts_changepoint", tsChangepoint,
       Some("""WITH hourly AS (SELECT
@@ -1493,7 +1494,12 @@ object EventAnalytics {
         val den = col("sxx").cast("double") -
           col("s").cast("double") * col("s").cast("double") /
             col("nn").cast("double")
-        (num / den).as("acf")
+        // zero-variance guard on EXACT INTEGERS (den = 0 ⇔ nn·sxx = s²):
+        // a constant series has no ACF — NULL on both engines, instead
+        // of Spark Divide NULL vs DuckDB NaN (class 6)
+        when(col("nn") * col("sxx") === col("s") * col("s"),
+          lit(null).cast("double"))
+          .otherwise(num / den).as("acf")
       })
       .orderBy(col("lag"))
   }

@@ -1591,9 +1591,13 @@ object LlmVector {
               FROM embeddings ORDER BY vec_id""")),
     QueryDef("sim_cosine_pair", simCosinePair,
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ${oDot.format("a.embedding", "b.embedding")}
-                 / (${oNorm("a.embedding")} * ${oNorm("b.embedding")})
-                 AS cos_sim
+               -- zero-norm guard: Spark's Divide on a zero divisor is
+               -- NULL, DuckDB's 0/0 is NaN (class 6)
+               CASE WHEN ${oNorm("a.embedding")} * ${oNorm("b.embedding")} = 0
+                 THEN NULL
+                 ELSE ${oDot.format("a.embedding", "b.embedding")}
+                   / (${oNorm("a.embedding")} * ${oNorm("b.embedding")})
+                 END AS cos_sim
               FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
               ORDER BY id_a""")),
     QueryDef("sim_maxsim", simMaxsim,

@@ -383,8 +383,12 @@ object Multimodal {
       .select(col("vec_id"), col("embedding"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        // one SPI lookup + write-param per PARTITION, not per row
+        // one SPI lookup + write-param per PARTITION, not per row;
+        // disposal rides task completion (not iterator drain, which an
+        // early-terminating consumer would skip, leaking the writer)
         val enc0 = new JpegEncoder
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => enc0.close()))
         rows.map { r =>
           val q = r.getAs[scala.collection.Seq[Float]]("embedding")
             .map(x => quantize255(x.toDouble)).toSeq
@@ -402,7 +406,7 @@ object Multimodal {
           val dcDrift = math.abs(sumDec.toDouble - sumSrc.toDouble) / px.length
           Row(r.getAs[Long]("vec_id"), w, h, isJpeg,
             if (errMax <= 24) 1 else 0, if (dcDrift <= 4.0) 1 else 0)
-        } ++ { enc0.close(); Iterator.empty } // dispose on drain
+        }
       }(enc)
       .orderBy(col("vec_id"))
   }

@@ -457,9 +457,13 @@ object UdfOps {
               GROUP BY bill_month ORDER BY bill_month""")),
     QueryDef("expr_custom", exprCustom,
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ${oDot.format("a.embedding", "b.embedding")}
-                 / (${oNorm("a.embedding")} * ${oNorm("b.embedding")})
-                 AS cos_sim
+               -- zero-norm guard mirrors the kernel's NULL (class 6:
+               -- DuckDB's 0/0 would be NaN)
+               CASE WHEN ${oNorm("a.embedding")} * ${oNorm("b.embedding")} = 0
+                 THEN NULL
+                 ELSE ${oDot.format("a.embedding", "b.embedding")}
+                   / (${oNorm("a.embedding")} * ${oNorm("b.embedding")})
+                 END AS cos_sim
               FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
               ORDER BY id_a""")),
   )

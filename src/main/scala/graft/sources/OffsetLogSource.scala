@@ -143,15 +143,17 @@ private class OffsetLogMicroBatchStream(root: String, group: Option[String])
       : Array[InputPartition] = {
     val from = start.asInstanceOf[LogOffsets].pos
     val until = end.asInstanceOf[LogOffsets].pos
-    // a missing `until` entry means unbounded — the same Long.MaxValue
-    // default the partition bound below uses (a 0L default here would
-    // silently drop the partition)
+    // a partition ABSENT from the batch's end-offset snapshot is NOT
+    // part of this batch (it appeared after the cap was taken): plan
+    // nothing for it — reading it to MaxValue would consume data whose
+    // end offset the checkpoint never records, and the next batch
+    // would re-read it from 0 (duplicate delivery)
     OffsetLog.liveSegments(root, from, until)
       .filter { case (_, p) =>
-        until.getOrElse(p, Long.MaxValue) > from.getOrElse(p, 0L) }
+        until.get(p).exists(_ > from.getOrElse(p, 0L)) }
       .map { case (epoch, p) =>
         OffsetLogInputPartition(s"$root/seg=$epoch/p=$p", p,
-          from.getOrElse(p, 0L), until.getOrElse(p, Long.MaxValue))
+          from.getOrElse(p, 0L), until(p))
           : InputPartition
       }.toArray
   }

@@ -560,6 +560,14 @@ object StreamOps {
     // racing) would leave a permanently half-staged log — the marker
     // commits only after BOTH epochs land, under the per-path lock
     graft.Scratch.staged(root) {
+      // staged() promises an IDEMPOTENT build, but append-mode writes
+      // are not: a crash after epoch 0 committed _ENDS (before the
+      // marker) would otherwise replay both appends ON TOP of the
+      // committed data, double-assigning offsets — wipe first. The
+      // mkdirs keeps the marker writable even if both appends no-op
+      // on an empty feed.
+      graft.Scratch.deleteRecursively(new java.io.File(root))
+      new java.io.File(root).mkdirs()
       val recs = Cdc.parsed(s, dir)
         .filter(col("table") === "orders" && !col("isDdl"))
         .withColumn("pk",
