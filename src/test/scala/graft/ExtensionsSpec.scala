@@ -53,6 +53,28 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
     assert(plan.contains("*(1) Project [euclidsq"), plan.take(300))
   }
 
+  test("vector kernels: zero-norm NULL, null-element NULL, strict shape") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("""SELECT
+        cosine_sim_native(array(0D, 0D), array(1D, 2D)) AS zero_norm,
+        cosine_sim_native(array(1D, CAST(NULL AS DOUBLE)), array(1D, 1D))
+          AS null_elem,
+        coalesce(cosine_sim_native(array(0D, 0D), array(0D, 0D)), -1D)
+          AS coalesce_fallback""").head()
+    assert(r.isNullAt(0), "zero-norm must be NULL, not NaN")
+    assert(r.isNullAt(1), "a null element must propagate to NULL")
+    // nullable=true matters here: without it NullPropagation would
+    // simplify the coalesce away and the fallback would never fire
+    assert(r.getDouble(2) == -1.0, "coalesce fallback must survive")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT dot_native(array(1D), array(1D, 2D))").collect()
+    }
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("lengths differ") ||
+        String.valueOf(ex.getCause).contains("lengths differ")),
+      s"mismatched lengths must throw a named error, got: ${ex.getMessage}")
+  }
+
   test("dot_native: bit-identical to the HOF fold, both element types") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
