@@ -409,7 +409,70 @@ object DedupGraph {
       .limit(50)
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — positive means
+    * hubs attach to hubs (merge-risky near-dup blocks), negative means
+    * hub-and-spoke (the shape that needs the high/low-degree join
+    * orientation graph_triangle_count applies). Exact-integer moments
+    * (Σd_u, Σd_u², Σd_u·d_v over 2·edges pairs) feed ONE closed-form
+    * double chain — shipped unrounded, with the zero-variance guard on
+    * exact integers (a regular graph has no assortativity: NULL on
+    * both engines, never NULL-vs-NaN).
+    *
+    * Scale notes: degrees join onto the edge list by endpoint (two
+    * node-sized broadcast-shaped joins), then ONE global partial agg —
+    * no new shuffle class beyond what the degree table already paid.
+    */
+  private def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = affinityEdgesCached(s, dir)
+    val deg = degrees(edges)
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .union(edges.select(col("v").as("a"), col("u").as("b")))
+    und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("da")).as("sx"),
+        sum(col("da") * col("da")).as("sxx"),
+        sum(col("da") * col("db")).as("sxy"))
+      .select(expr("m div 2").as("n_edges"), {
+        val num = col("m").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val den = col("m").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        when(col("m") * col("sxx") === col("sx") * col("sx"),
+          lit(null).cast("double"))
+          .otherwise(num / den).as("assortativity")
+      })
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_assortativity", graphAssortativity,
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+              e0 AS (SELECT u, v FROM (
+                SELECT a.pk AS u, b.pk AS v, COUNT(DISTINCT a.ok) AS sup
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2) sup_f WHERE sup >= 2),
+              und AS (SELECT u AS a, v AS b FROM e0
+                UNION ALL SELECT v, u FROM e0),
+              deg AS (SELECT n, COUNT(*) AS d FROM (
+                SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) x
+                GROUP BY n),
+              mo AS (SELECT COUNT(*) AS m,
+                CAST(SUM(du.d) AS BIGINT) AS sx,
+                CAST(SUM(du.d * du.d) AS BIGINT) AS sxx,
+                CAST(SUM(du.d * dv.d) AS BIGINT) AS sxy
+                FROM und JOIN deg du ON und.a = du.n
+                         JOIN deg dv ON und.b = dv.n)
+              SELECT m // 2 AS n_edges,
+                CASE WHEN m * sxx = sx * sx THEN NULL ELSE
+                  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                END AS assortativity
+              FROM mo""")),
     QueryDef("graph_resource_alloc", graphResourceAlloc,
       Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
                 FROM lineitem),
