@@ -459,6 +459,24 @@ class StreamSemanticsSpec extends GraftSpec {
     val live = StreamOps.readCdcState(spark, state)
       .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect().toMap
     assert(live(1L) == 999.0 && live(6L) == 600.0 && live.size == 7)
+    // EMPTY consumed range: the position must STILL advance (a stale
+    // position would make a restarted consumer re-read a processed
+    // range — at-least-once, not exactly-once), published as a
+    // bucketless version carrying only _offsets
+    val bumped = OffsetLog.endOffsets(root).map { case (p, o) => p -> (o + 5) }
+    StreamOps.mergeCdcTypedTxn(
+      toTyped(OffsetLog.read(spark, root, bumped, bumped)), // empty frame
+      2L, state, Some(bumped))
+    assert(StreamOps.txnCommittedOffsets(state) == bumped,
+      "an empty batch must still commit its consumed range")
+    // ...the empty version must survive GC (it is the newest _offsets
+    // carrier) and the state itself must be unchanged
+    StreamOps.gcCdcVersions(state, 3L)
+    assert(StreamOps.txnCommittedOffsets(state) == bumped,
+      "GC must protect the newest offsets carrier even when bucketless")
+    val live2 = StreamOps.readCdcState(spark, state)
+      .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect().toMap
+    assert(live2 == live, "an empty batch must not disturb the state")
   }
 
   test("session windows split on gaps > 30 minutes") {
