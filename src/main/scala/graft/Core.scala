@@ -183,6 +183,27 @@ object Scratch {
       java.lang.Long.toHexString(h)
     } catch { case _: Throwable => "0" }
 
+  /** Close-safe read of a small text manifest — the read twin of
+    * [[atomicPublish]]. `scala.io.Source` holds an open fd until GC if
+    * not closed; manifest reads happen on every query over a published
+    * table, so the leak compounds.
+    */
+  def readManifest(path: String): String = {
+    val src = scala.io.Source.fromFile(path)
+    try src.mkString finally src.close()
+  }
+
+  /** The partition-dir listing idiom shared by every partitioned-layout
+    * operator: `<prefix>`-named child DIRECTORIES of root, guarded
+    * against a missing root (listFiles → null), sorted by name so every
+    * caller sees one deterministic order.
+    */
+  def listPartitionDirs(root: String, prefix: String): Array[java.io.File] =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .sortBy(_.getName)
+
   /** A fresh tracked scratch dir under java.io.tmpdir. */
   def dir(prefix: String): String = {
     val d = s"${sys.props("java.io.tmpdir")}/graft_scratch/${prefix}_${System.nanoTime()}"

@@ -744,9 +744,7 @@ object Cdc {
 
   private[graft] def compactBuckets(s: SparkSession, base: String,
       delta: String, out: String): Seq[Int] = {
-    val touched = Option(new java.io.File(delta).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val touched = graft.Scratch.listPartitionDirs(delta, "bucket=")
       .map(_.getName.drop(7).toInt).toSeq.sorted
     if (touched.nonEmpty) {
       val basePaths = touched
@@ -774,9 +772,7 @@ object Cdc {
   /** Post-compaction view: compacted buckets + untouched base buckets. */
   private[graft] def compactedView(s: SparkSession, base: String,
       out: String, touched: Seq[Int]): DataFrame = {
-    val untouched = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val untouched = graft.Scratch.listPartitionDirs(base, "bucket=")
       .map(_.getName.drop(7).toInt).filterNot(touched.contains)
       .map(b => s"$base/bucket=$b")
     val paths = untouched ++ touched
@@ -1109,7 +1105,7 @@ object Cdc {
   }
 
   private[graft] def txnCurrent(root: String): Int =
-    scala.io.Source.fromFile(s"$root/_CURRENT").mkString.trim.toInt
+    graft.Scratch.readManifest(s"$root/_CURRENT").trim.toInt
 
   private def cdcMultiTableTxn(s: SparkSession, dir: String): DataFrame = {
     val root = graft.Scratch.dir("mttxn")

@@ -216,9 +216,10 @@ object Scans {
   private[graft] def dayPartitionCutoff(root: String, retentionDays: Int)
       : (Array[java.io.File], Array[java.io.File], java.time.LocalDate) = {
     def dayOf(f: java.io.File) = java.time.LocalDate.parse(f.getName.drop(4))
-    val dirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    // a null-ts row writes day=__HIVE_DEFAULT_PARTITION__ — not a date,
+    // never age-expired; admit only parseable day dirs
+    val dirs = graft.Scratch.listPartitionDirs(root, "day=")
+      .filter(f => scala.util.Try(dayOf(f)).isSuccess)
     require(dirs.nonEmpty, s"no day= partitions under $root")
     val cutoff = dirs.map(dayOf).max.minusDays(retentionDays.toLong)
     (dirs, dirs.filter(f => dayOf(f).isBefore(cutoff)).sortBy(_.getName),
@@ -349,17 +350,23 @@ object Scans {
       .write.partitionBy("day").parquet(root)
     val (_, expired, cutoffDay) = dayPartitionCutoff(root, 14)
     val cutoff = java.sql.Date.valueOf(cutoffDay)
-    // stage the rolled tier before touching the layout
-    val staged = s"$base/rolled"
-    s.read.parquet(root)
-      .filter(col("day") < lit(cutoff))
-      .groupBy(col("day"), col("event_type"))
-      .agg(Det.dsum(col("value")).as("value"),
-        sum(col("n_rows")).as("n_rows"))
-      .select(col("event_type"), col("value"), col("n_rows"), col("day"))
-      .write.partitionBy("day").parquet(staged)
-    expired.foreach(graft.Scratch.deleteRecursively)
-    s.read.parquet(staged).write.mode("append").partitionBy("day").parquet(root)
+    // nothing expired (a ≤15-day fixture, the hazard documented at the
+    // detach/ttl-move guards below) → the all-raw state IS the result;
+    // reading the rolled staging dir would find no parquet files at all
+    if (expired.nonEmpty) {
+      // stage the rolled tier before touching the layout
+      val staged = s"$base/rolled"
+      s.read.parquet(root)
+        .filter(col("day") < lit(cutoff))
+        .groupBy(col("day"), col("event_type"))
+        .agg(Det.dsum(col("value")).as("value"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(col("event_type"), col("value"), col("n_rows"), col("day"))
+        .write.partitionBy("day").parquet(staged)
+      expired.foreach(graft.Scratch.deleteRecursively)
+      s.read.parquet(staged).write.mode("append").partitionBy("day")
+        .parquet(root)
+    }
     s.read.parquet(root)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_stored"), sum(col("n_rows")).as("n_logical"),
@@ -435,14 +442,12 @@ object Scans {
       .select(col("day"), col("event_id"), col("event_type"))
       .write.partitionBy("day").parquet(root)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(det))
-    val days = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
-      .map(_.getName).sorted
+    val days = graft.Scratch.listPartitionDirs(root, "day=").map(_.getName)
+    require(days.nonEmpty, s"no day= partitions under $root")
     // derive the detach window from the OBSERVED span (testdata drops
     // change between rounds — memory/FIXTURES.md): detach the
     // min(7, days) oldest, reattach the oldest, never assume 8+ days
-    val toDetach = days.take(math.min(7, days.length))
+    val toDetach = days.take(7)
     toDetach.foreach { d =>
       java.nio.file.Files.move(java.nio.file.Paths.get(s"$root/$d"),
         java.nio.file.Paths.get(s"$det/$d"))
@@ -454,9 +459,8 @@ object Scans {
     val reDay = java.sql.Date.valueOf(reattached.drop(4))
     val visible = s.read.parquet(root)
       .groupBy(col("day")).agg(count(lit(1)).as("n_visible"))
-    val detHasParts = Option(new java.io.File(det).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .exists(f => f.isDirectory && f.getName.startsWith("day="))
+    val detHasParts =
+      graft.Scratch.listPartitionDirs(det, "day=").nonEmpty
     // a ≤1-day drop leaves detached/ empty after the reattach; parquet
     // cannot infer a schema from an empty dir, so supply the frame
     val parked =
@@ -550,10 +554,10 @@ object Scans {
     val after = fileState()
     // read path: physical schema + manifest mapping → logical schema
     val renames = Map("o_totalprice" -> "o_amount") // parsed from _SCHEMA
-    val mapped = s.read.parquet(root).columns.foldLeft(
-      s.read.parquet(root)) { (df, c) =>
-        renames.get(c).fold(df)(n => df.withColumnRenamed(c, n))
-      }
+    val scan = s.read.parquet(root) // one footer/schema resolution
+    val mapped = scan.columns.foldLeft(scan) { (df, c) =>
+      renames.get(c).fold(df)(n => df.withColumnRenamed(c, n))
+    }
     mapped
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("o_amount")).as("sum_amount"))
@@ -590,8 +594,7 @@ object Scans {
       s.read.parquet(s"$oldRoot/bucket=$b")
         .withColumn("bucket", (col("o_orderkey") % 8).cast("int"))
         .write.partitionBy("bucket").parquet(stage)
-      val outs = new java.io.File(stage).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      val outs = graft.Scratch.listPartitionDirs(stage, "bucket=")
         .map(_.getName.drop(7).toInt).toSet
       localOk &&= outs.subsetOf(Set(b, b + 4))
       outs.foreach { k =>
@@ -648,7 +651,15 @@ object Scans {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         true
       } catch {
-        case _: java.nio.file.FileSystemException =>
+        // ONLY a taken version slot is a lost CAS. Linux surfaces
+        // ENOTEMPTY as a GENERIC FileSystemException (not the
+        // DirectoryNotEmptyException subclass), so discriminate by
+        // state, not exception type: conflict iff another writer now
+        // owns the target dir. Anything else (ENOSPC, EACCES, …) is a
+        // real I/O failure and must propagate, not masquerade as a
+        // conflict with the staged data silently swept.
+        case _: java.nio.file.FileSystemException
+            if new java.io.File(s"$store/v=$version").exists() =>
           // lost the CAS: sweep the orphaned staging dir, caller rebases
           graft.Scratch.deleteRecursively(new java.io.File(txn))
           false
@@ -669,7 +680,8 @@ object Scans {
     if (!bOk) {
       conflicts += 1
       val v1 = s.read.parquet(s"$store/v=1")
-      commit(2, transformB(v1))
+      val rebased = commit(2, transformB(v1))
+      require(rebased, "rebase commit lost a second CAS with no live contender")
     }
     val latest = s.read.parquet(s"$store/v=${if (bOk) 1 else 2}")
     latest.groupBy(col("o_orderstatus"))
@@ -762,10 +774,8 @@ object Scans {
   private[graft] def mutatePartitions(s: SparkSession, root: String,
       partCol: String, admit: String => Boolean,
       rewrite: DataFrame => DataFrame): Set[String] = {
-    val touched = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol=")
-        && admit(f.getName.drop(partCol.length + 1)))
+    val touched = graft.Scratch.listPartitionDirs(root, s"$partCol=")
+      .filter(f => admit(f.getName.drop(partCol.length + 1)))
     if (touched.isEmpty) return Set.empty
     val staged = s"${root}_staged_${System.nanoTime()}"
     rewrite(s.read.option("basePath", root)
@@ -791,9 +801,7 @@ object Scans {
       .withColumn("day", to_date(col("ts")))
       .select(col("day"), col("event_id"), col("event_type"), col("value"))
       .write.partitionBy("day").parquet(root)
-    val maxDay = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    val maxDay = graft.Scratch.listPartitionDirs(root, "day=")
       .map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
     (root, maxDay.minusDays(7))
   }
@@ -999,7 +1007,7 @@ object Scans {
     val root = graft.Scratch.dir("insdedup")
     val registry = s"$root/_blocks"
     def digestOf(df: DataFrame): String =
-      df.select(conv(substring(sha2(concat_ws("",
+      df.select(conv(substring(sha2(concat_ws("\u0001",
           col("o_orderkey"), col("o_totalprice")), 256), 1, 15), 16, 10)
           .cast(DecimalType(38, 0)).as("h"))
         .agg(sum(col("h")).cast("string")).head().getString(0)
@@ -1023,9 +1031,9 @@ object Scans {
       if (known().contains(digests(i))) { skipped += 1 }
       else {
         block(i).write.mode("overwrite").parquet(s"$root/block=${digests(i)}")
+        // atomicPublish already fsyncs the registry's parent (= root)
         graft.Scratch.atomicPublish(java.nio.file.Paths.get(registry),
           (known() + digests(i)).toSeq.sorted.mkString("\n"))
-        graft.Scratch.fsyncDir(java.nio.file.Paths.get(root))
         written += 1
       }
     }
@@ -1142,9 +1150,7 @@ object Scans {
       .withColumn("day", to_date(col("ts")))
       .repartition(col("day"))
       .write.partitionBy("day").parquet(root)
-    val files = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    val files = graft.Scratch.listPartitionDirs(root, "day=")
       .map { d =>
         (d.getName.drop(4),
           d.listFiles().count(_.getName.endsWith(".parquet")).toLong)
@@ -1297,9 +1303,7 @@ object Scans {
       .select(col("event_type"), col("event_id"), col("value"))
       .repartition(4) // fragment: 4 writers per partition dir
       .write.partitionBy("event_type").parquet(s"$root/frag")
-    val parts = Option(new java.io.File(s"$root/frag").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    val parts = graft.Scratch.listPartitionDirs(s"$root/frag", "event_type=")
     parts.foreach { p =>
       s.read.parquet(p.getAbsolutePath).coalesce(1)
         .write.parquet(s"$root/compact/${p.getName}")
@@ -1343,14 +1347,14 @@ object Scans {
       df: DataFrame): Int = {
     val cur = new java.io.File(s"$root/_CURRENT")
     val n = if (cur.exists())
-      scala.io.Source.fromFile(cur).mkString.trim.toInt + 1 else 1
+      graft.Scratch.readManifest(cur.getPath).trim.toInt + 1 else 1
     df.write.parquet(s"$root/v=$n")
     graft.Scratch.atomicPublish(cur.toPath, n.toString)
     n
   }
 
   private[graft] def readCurrent(s: SparkSession, root: String): DataFrame = {
-    val n = scala.io.Source.fromFile(s"$root/_CURRENT").mkString.trim.toInt
+    val n = graft.Scratch.readManifest(s"$root/_CURRENT").trim.toInt
     s.read.parquet(s"$root/v=$n")
   }
 
