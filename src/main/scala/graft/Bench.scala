@@ -29,7 +29,8 @@ object Bench {
       graft.streaming.StreamOps.prepareFixtures(spark, sfDir)
       graft.operators.Cdc.ordersTyped(spark, sfDir) // shared parse cache
       graft.operators.Stats.ensureAnalyzed(spark, sfDir)
-      graft.operators.MvOps.ensureMv(spark, sfDir) // MV staging, not query
+      graft.operators.MvOps.stageMv(spark, sfDir) // MV staging, not query —
+      // and no routing rule on the measured session (mv_route clones)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture prep FAILED: ${e.toString.take(500)}")

@@ -164,14 +164,6 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
-  /** As-of join WITH TOLERANCE (pandas merge_asof `tolerance=`, the kdb
-    * wj shape): each purchase matches the latest STRICTLY PRIOR view by
-    * the same user, but only if it happened within the last 15 minutes —
-    * otherwise NULL. Same union-tag + running-last formulation as
-    * join_asof (one shuffle on user_id, no range self-join); the carried
-    * value is a (ts, id) struct so the tolerance check is a map-side
-    * filter after the window, not a second join.
-    */
   /** FORWARD as-of: each purchase matched to the FIRST view at-or-after
     * it (pandas merge_asof direction='forward') — same merge formulation
     * as the backward variant (union + one per-key sort), with the
@@ -242,6 +234,14 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join WITH TOLERANCE (pandas merge_asof `tolerance=`, the kdb
+    * wj shape): each purchase matches the latest STRICTLY PRIOR view by
+    * the same user, but only if it happened within the last 15 minutes —
+    * otherwise NULL. Same union-tag + running-last formulation as
+    * join_asof (one shuffle on user_id, no range self-join); the carried
+    * value is a (ts, id) struct so the tolerance check is a map-side
+    * filter after the window, not a second join.
+    */
   private def joinAsofTol(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val probes = ev.filter(col("event_type") === "purchase")
@@ -340,7 +340,11 @@ object Joins {
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val (tl, to) = (s"graft_li_b_$sf", s"graft_ord_b_$sf")
     val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
-    if (!s.catalog.tableExists(tl)) {
+    // guard on BOTH tables: a crash between the two saveAsTable calls
+    // would otherwise leave tl registered but to missing, and every
+    // later call would skip staging and die at s.table(to) with no
+    // self-heal (mode=overwrite makes the re-run safe)
+    if (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to)) {
       Tables.lineitem(s, dir).write
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/$tl")
@@ -580,6 +584,11 @@ object Joins {
     * Scale notes: the dictionary literal is O(keys × ranges) — control
     * plane, shipped inside the serialized plan like a dictionary replica;
     * the probe is map-side. One broadcast join + one partial-agg shuffle.
+    *
+    * The rate card covers 1995Q1–2001Q4; an order dated outside that
+    * span takes the 0.0 miss default, and the oracle guards the same
+    * window explicitly so a future fixture drop with out-of-span dates
+    * cannot split the engines.
     */
   private def dictGetRange(s: SparkSession, dir: String): DataFrame = {
     val qStart = (0 to 28).map { q =>
@@ -635,7 +644,7 @@ object Joins {
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val sel = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey"), col("o_totalprice"))
+      .select(col("o_orderkey"))
     Tables.lineitem(s, dir)
       .join(sel.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
@@ -686,7 +695,10 @@ object Joins {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         Det.dsum(col("l_extendedprice")).as("sum_price"),
-        round(Det.dsum(col("dim_val")), 2).as("sum_dim"))
+        // UNROUNDED: dsum is already bit-exact cross-engine; rounding a
+        // computed double at the edge is the confirmed midpoint-split
+        // divergence class (Core.scala text_lm_bigram note)
+        Det.dsum(col("dim_val")).as("sum_dim"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -920,7 +932,7 @@ object Joins {
                  FROM customer WHERE c_custkey <= 100)
               SELECT l_returnflag, COUNT(*) AS n,
                 ${Det.oSum("l_extendedprice")} AS sum_price,
-                round(${Det.oSum("dim_val")}, 2) AS sum_dim
+                ${Det.oSum("dim_val")} AS sum_dim
               FROM f JOIN d USING (k)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("join_null_safe", joinNullSafe,
@@ -981,6 +993,8 @@ object Joins {
       Some(s"""SELECT c_nationkey AS nationkey, COUNT(*) AS n_orders,
                ${Det.oSum("""o_totalprice * (1 - CASE
                  WHEN c_nationkey = 13 THEN 0.0
+                 WHEN o_orderdate < DATE '1995-01-01'
+                   OR o_orderdate >= DATE '2002-01-01' THEN 0.0
                  ELSE CAST((c_nationkey * 7
                    + (EXTRACT(year FROM o_orderdate) - 1995) * 4
                    + EXTRACT(quarter FROM o_orderdate) - 1) % 10 AS DOUBLE)

@@ -29,8 +29,12 @@ object MvOps {
     s"${sys.props("java.io.tmpdir")}/graft_mv_$fp/lineitem_rfls_$sf"
   }
 
-  /** Stage + register the MV (idempotent per sfDir; deterministic content). */
-  private[graft] def ensureMv(s: SparkSession, dir: String): Unit = {
+  /** Stage + register the MV (idempotent per sfDir; deterministic
+    * content) WITHOUT installing the routing rule anywhere — the
+    * Bench warm-up wants exactly this (pay the one-time write off the
+    * measured path, contaminate no session).
+    */
+  private[graft] def stageMv(s: SparkSession, dir: String): Unit = {
     val path = mvPath(dir)
     graft.Scratch.staged(path) {
       Tables.lineitem(s, dir)
@@ -48,13 +52,29 @@ object MvOps {
       sumMap = Map("l_quantity" -> "sum_qty_state",
         "l_extendedprice" -> "sum_price_state"),
       countCol = "n_rows"))
+  }
+
+  /** Stage + register + install the routing rule on `s`. Callers own
+    * the contamination decision: the rule rewrites ANY matching
+    * aggregate over the real lineitem path for the session's lifetime,
+    * so query keys pass a `newSession()` clone (the joinBloom/
+    * joinSkewAqe isolation convention) while PlanShapeSpec installs on
+    * its shared session deliberately to test the negative gates.
+    */
+  private[graft] def ensureMv(s: SparkSession, dir: String): Unit = {
+    stageMv(s, dir)
     MvRouting.enable(s)
   }
 
   /** A plain base-table aggregate on a grouping SUBSET of the MV — the
     * rule must route it to the MV and re-aggregate the decimal partials.
     */
-  private def mvRoute(s: SparkSession, dir: String): DataFrame = {
+  private def mvRoute(s0: SparkSession, dir: String): DataFrame = {
+    // isolate the installed optimizer rule from the caller's session:
+    // left on s0, it would transparently re-target every later matching
+    // lineitem aggregate in the suite at the MV (run-order-dependent
+    // plans) — the same reason the conf-tweaking joins use clones
+    val s = s0.newSession()
     ensureMv(s, dir)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))

@@ -136,7 +136,10 @@ class PlanShapeSpec extends GraftSpec {
   }
 
   test("mv routing stays off for filter-blocked and uncovered aggregates") {
-    SparkEntry.queries("mv_route")(spark, sf) // registers + enables the MV
+    // install the routing rule on THIS session deliberately (mv_route
+    // itself now isolates in a clone) so the negative gates below
+    // exercise an installed rule, not its absence
+    graft.operators.MvOps.ensureMv(spark, sf)
     // a row-level filter cannot be answered post-aggregation → no routing
     val filtered = Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 25)
