@@ -63,19 +63,36 @@ object BitmapDistinct {
       n = 0
     }
 
-    def add(off: Int): Unit = {
-      if (dense) {
-        words(off >> 6) |= 1L << (off & 63)
-        return
-      }
-      val c = off.toChar
-      // binary search in the sorted prefix
+    /** Lower bound over the sorted sparse prefix — THE one binary
+      * search `add` and `contains` share (previously duplicated in the
+      * codec, where a boundary fix could miss one copy).
+      */
+    private def lowerBound(c: Char): Int = {
       var lo = 0
       var hi = n
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
         if (arr(mid) < c) lo = mid + 1 else hi = mid
       }
+      lo
+    }
+
+    /** Membership probe, both forms. */
+    def contains(off: Int): Boolean =
+      if (dense) (words(off >> 6) & (1L << (off & 63))) != 0L
+      else {
+        val c = off.toChar
+        val lo = lowerBound(c)
+        lo < n && arr(lo) == c
+      }
+
+    def add(off: Int): Unit = {
+      if (dense) {
+        words(off >> 6) |= 1L << (off & 63)
+        return
+      }
+      val c = off.toChar
+      val lo = lowerBound(c)
       if (lo < n && arr(lo) == c) return // already present
       if (n == SparseMax) { densify(); add(off); return }
       if (n == arr.length) {

@@ -24,13 +24,18 @@ object BitmapCodec {
   type BM = java.util.HashMap[Long, Container]
 
   def toBytes(b: BM): Array[Byte] = {
-    var size = 4
+    // Long accumulator: ~135M chunks would overflow an Int and surface
+    // as an obscure allocate/BufferOverflow crash instead of this error
+    var size = 4L
     val sit = b.values().iterator()
     while (sit.hasNext) {
       val c = sit.next()
       size += 8 + 4 + (if (c.dense) ChunkWords * 8 else c.n * 2)
     }
-    val bb = java.nio.ByteBuffer.allocate(size)
+    require(size <= Int.MaxValue,
+      s"bitmap state wire form exceeds 2 GiB ($size bytes) — " +
+        "split the group or use an approximate distinct")
+    val bb = java.nio.ByteBuffer.allocate(size.toInt)
     bb.putInt(b.size)
     val it = b.entrySet().iterator()
     while (it.hasNext) {
@@ -78,102 +83,95 @@ object BitmapCodec {
     m
   }
 
-  private def containsOff(c: Container, off: Int): Boolean =
-    if (c.dense) (c.words(off >> 6) & (1L << (off & 63))) != 0L
-    else {
-      var lo = 0
-      var hi = c.n
-      val t = off.toChar
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (c.arr(mid) < t) lo = mid + 1 else hi = mid
-      }
-      lo < c.n && c.arr(lo) == t
-    }
-
-  /** x ∩ y as a fresh container, or null when empty. Dense∩dense stays
-    * word-wise; any sparse side probes the other (Roaring's galloping
-    * shape) and the result demotes to sparse when it fits.
+  /** x ∩= y IN PLACE; returns false when the result is empty (caller
+    * removes the chunk). No fresh map or 8 KiB word array per input
+    * bitmap — the level-2 AND path runs once per segment row, so the
+    * old build-a-new-map-per-row shape was pure GC churn. Dense∩dense
+    * ANDs x's own words; a sparse x filters its offsets in place; a
+    * dense x probed by a sparse y shrinks to y's surviving offsets
+    * (result ⊆ y). Demotion to sparse walks WORDS via
+    * numberOfTrailingZeros, not all 65 536 bit positions.
     */
-  private def intersect(x: Container, y: Container): Container = {
+  private def intersectInPlace(x: Container, y: Container): Boolean = {
     if (x.dense && y.dense) {
-      val w = new Array[Long](ChunkWords)
       var card = 0L
       var i = 0
       while (i < ChunkWords) {
-        w(i) = x.words(i) & y.words(i)
-        card += java.lang.Long.bitCount(w(i))
+        x.words(i) &= y.words(i)
+        card += java.lang.Long.bitCount(x.words(i))
         i += 1
       }
-      if (card == 0) return null
-      val out = new Container
+      if (card == 0) return false
       if (card < SparseMax) {
         // demote: AND results are usually much smaller than their inputs
         val arr = new Array[Char](math.max(card.toInt, 8))
         var k = 0
-        var off = 0
-        while (off < ChunkWords * 64) {
-          if ((w(off >> 6) & (1L << (off & 63))) != 0L) {
-            arr(k) = off.toChar; k += 1
+        i = 0
+        while (i < ChunkWords) {
+          var w = x.words(i)
+          while (w != 0L) {
+            arr(k) = ((i << 6) | java.lang.Long.numberOfTrailingZeros(w)).toChar
+            k += 1
+            w &= w - 1 // clear lowest set bit
           }
-          off += 1
+          i += 1
         }
-        out.arr = arr
-        out.n = k
-      } else {
-        out.words = w
-        out.arr = null
+        x.arr = arr
+        x.n = k
+        x.words = null
       }
-      out
-    } else {
-      // probe the sparse side's sorted offsets against the other
-      val (sp, other) = if (!x.dense) (x, y) else (y, x)
-      val arr = new Array[Char](math.max(sp.n, 8))
+      true
+    } else if (!x.dense) {
+      // filter x's sorted offsets in place by probing y (either form)
       var k = 0
       var i = 0
-      while (i < sp.n) {
-        if (containsOff(other, sp.arr(i).toInt)) { arr(k) = sp.arr(i); k += 1 }
+      while (i < x.n) {
+        if (y.contains(x.arr(i).toInt)) { x.arr(k) = x.arr(i); k += 1 }
         i += 1
       }
-      if (k == 0) null
-      else {
-        val out = new Container
-        out.arr = arr
-        out.n = k
-        out
+      x.n = k
+      k > 0
+    } else {
+      // x dense, y sparse: result ⊆ y — collect y's survivors
+      val arr = new Array[Char](math.max(y.n, 8))
+      var k = 0
+      var i = 0
+      while (i < y.n) {
+        if (x.contains(y.arr(i).toInt)) { arr(k) = y.arr(i); k += 1 }
+        i += 1
       }
+      x.arr = arr
+      x.n = k
+      x.words = null
+      k > 0
     }
   }
 
-  private def copyOf(c: Container): Container = {
-    val out = new Container
-    if (c.dense) { out.words = c.words.clone(); out.arr = null }
-    else { out.arr = c.arr.clone(); out.n = c.n }
-    out
-  }
-
-  /** a ∩ b (chunks absent from either side vanish). */
-  def and(a: BM, b: BM): BM = {
-    val out = new BM()
+  /** a ∩= b in place (chunks absent from either side vanish); returns a.
+    * MUTATES a only — b is read, never adopted.
+    */
+  def andInPlace(a: BM, b: BM): BM = {
     val it = a.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val theirs = b.get(e.getKey)
-      if (theirs != null) {
-        val c = intersect(e.getValue, theirs)
-        if (c != null) out.put(e.getKey, c)
-      }
+      if (theirs == null || !intersectInPlace(e.getValue, theirs))
+        it.remove()
     }
-    out
+    a
   }
 
-  /** a ∪= b in place. */
+  /** a ∪= b in place; ADOPTS b's containers by reference (the
+    * BitmapDistinct.merge contract — both call sites feed deserialized
+    * shuffle buffers that are never reused). Callers that need b intact
+    * afterwards must pass a copy.
+    */
   def or(a: BM, b: BM): BM = {
     val it = b.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val mine = a.get(e.getKey)
-      if (mine == null) a.put(e.getKey, copyOf(e.getValue))
+      if (mine == null) a.put(e.getKey, e.getValue)
       else mine.or(e.getValue)
     }
     a
@@ -216,13 +214,13 @@ class BitmapAndCard extends Aggregator[Array[Byte], AndBuf, Long] {
   override def reduce(b: AndBuf, v: Array[Byte]): AndBuf = {
     val bm = BitmapCodec.fromBytes(v)
     if (!b.seeded) { b.bm = bm; b.seeded = true }
-    else b.bm = BitmapCodec.and(b.bm, bm)
+    else BitmapCodec.andInPlace(b.bm, bm)
     b
   }
   override def merge(a: AndBuf, b: AndBuf): AndBuf =
     if (!a.seeded) b
     else if (!b.seeded) a
-    else { a.bm = BitmapCodec.and(a.bm, b.bm); a }
+    else { BitmapCodec.andInPlace(a.bm, b.bm); a }
   override def finish(b: AndBuf): Long =
     if (b.seeded) BitmapCodec.cardinality(b.bm) else 0L
   override def bufferEncoder: Encoder[AndBuf] =

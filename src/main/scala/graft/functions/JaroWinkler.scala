@@ -13,9 +13,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics are the textbook Jaro (match window ⌊max/2⌋−1, half-count
   * transpositions) with the standard Winkler boost: common prefix capped
-  * at 4, scale 0.1, applied only when jaro > 0.7 — the same contract
-  * DuckDB's `jaro_similarity`/`jaro_winkler_similarity` expose
-  * (empirically: either side empty → 0.0, boost threshold 0.7).
+  * at 4, scale 0.1, applied only when jaro > 0.7 — matching DuckDB's
+  * `jaro_similarity`/`jaro_winkler_similarity` constants (empirically:
+  * either side empty → 0.0, boost threshold 0.7).
+  *
+  * UNIT CAVEAT: this scorer compares UTF-16 code units while DuckDB
+  * compares bytes — identical on ASCII, divergent beyond (a 2-byte
+  * 'é' is one unit here, two there, shifting lengths and the match
+  * window). The oracled keys (fn_jaro over p_name, fn_damerau over
+  * space-split document tokens) probe ASCII-only fixture columns; a
+  * non-ASCII fixture would need a byte-level twin, not this one.
   */
 object JaroHelper {
 

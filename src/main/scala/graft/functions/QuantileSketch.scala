@@ -52,39 +52,107 @@ final class QSketch(val delta: Int) extends Serializable {
     s
   }
 
-  def nCentroids: Int = { compact(); means.length }
+  /** Centroid count of the COMPACTED run — pure (pending inserts are
+    * not centroids yet; the old variant compacted as a side effect, so
+    * reading a size statistic silently changed later estimates).
+    */
+  def nCentroids: Int = means.length
+
+  /** Guarded insertion — the one entry point for raw points AND
+    * re-entering persisted state rows. A zero/negative weight would
+    * silently produce W=0 → NaN quantile walks; a NaN mean would
+    * poison the sort. Fail loudly at the boundary instead.
+    */
+  def insert(m: Double, w: Long): Unit = {
+    require(w > 0, s"non-positive centroid weight $w")
+    require(!m.isNaN, "NaN centroid mean")
+    pm += m
+    pw += w
+  }
+
+  /** In-place quicksort of the parallel (mean, weight) pairs over
+    * [lo0, hi0] by mean — no boxed index sort on the compact hot path.
+    */
+  private def sortPairs(m: Array[Double], w: Array[Long],
+      lo0: Int, hi0: Int): Unit = {
+    if (hi0 <= lo0) return
+    val stack = new java.util.ArrayDeque[Int]()
+    stack.push(lo0); stack.push(hi0)
+    while (!stack.isEmpty) {
+      val hi = stack.pop(); val lo = stack.pop()
+      if (hi - lo < 16) {
+        var i = lo + 1
+        while (i <= hi) {
+          val km = m(i); val kw = w(i)
+          var j = i - 1
+          while (j >= lo && m(j) > km) {
+            m(j + 1) = m(j); w(j + 1) = w(j); j -= 1
+          }
+          m(j + 1) = km; w(j + 1) = kw
+          i += 1
+        }
+      } else {
+        // median-of-three pivot to dodge sorted-input quadratics
+        val mid = (lo + hi) >>> 1
+        def swap(a: Int, b: Int): Unit = {
+          val tm = m(a); m(a) = m(b); m(b) = tm
+          val tw = w(a); w(a) = w(b); w(b) = tw
+        }
+        if (m(mid) < m(lo)) swap(mid, lo)
+        if (m(hi) < m(lo)) swap(hi, lo)
+        if (m(hi) < m(mid)) swap(hi, mid)
+        val pivot = m(mid)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (m(i) < pivot) i += 1
+          while (m(j) > pivot) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (lo < j) { stack.push(lo); stack.push(j) }
+        if (i < hi) { stack.push(i); stack.push(hi) }
+      }
+    }
+  }
 
   /** Fold the pending buffer into the sorted centroid run, then merge
     * adjacent centroids while the t-digest scale bound allows.
     */
   private[functions] def compact(): Unit = {
     if (pm.isEmpty && means.length <= 2 * delta) return
-    val n = means.length + pm.length
+    val sortedLen = means.length
+    val n = sortedLen + pm.length
+    if (n == 0) return
+    val tm = new Array[Double](pm.length)
+    val tw = new Array[Long](pm.length)
+    var i = 0
+    while (i < pm.length) { tm(i) = pm(i); tw(i) = pw(i); i += 1 }
+    pm.clear(); pw.clear()
+    // the centroid prefix is ALREADY sorted: sort only the pending
+    // tail, then merge the two sorted runs — O(p log p + n), no boxing
+    sortPairs(tm, tw, 0, tm.length - 1)
     val am = new Array[Double](n)
     val aw = new Array[Long](n)
-    System.arraycopy(means, 0, am, 0, means.length)
-    System.arraycopy(weights, 0, aw, 0, weights.length)
-    var i = 0
-    while (i < pm.length) {
-      am(means.length + i) = pm(i); aw(means.length + i) = pw(i); i += 1
+    var a = 0; var b = 0; var o = 0
+    while (a < sortedLen && b < tm.length) {
+      if (means(a) <= tm(b)) { am(o) = means(a); aw(o) = weights(a); a += 1 }
+      else { am(o) = tm(b); aw(o) = tw(b); b += 1 }
+      o += 1
     }
-    pm.clear(); pw.clear()
-    if (n == 0) return
-    // sort pairs by mean (indices sort to avoid boxing tuples)
-    val idx = Array.range(0, n).sortBy(i => am(i))
+    while (a < sortedLen) { am(o) = means(a); aw(o) = weights(a); a += 1; o += 1 }
+    while (b < tm.length) { am(o) = tm(b); aw(o) = tw(b); b += 1; o += 1 }
     val W = { var s = 0L; var j = 0; while (j < n) { s += aw(j); j += 1 }; s }
     val om = ArrayBuffer.empty[Double]
     val ow = ArrayBuffer.empty[Long]
     // k1 scale function: cluster while it spans <= 1 k-unit
     val norm = delta / (2.0 * math.Pi)
     def k1(q: Double): Double = norm * math.asin(2.0 * math.min(1.0, q) - 1.0)
-    var curM = am(idx(0))
-    var curW = aw(idx(0))
+    var curM = am(0)
+    var curW = aw(0)
     var wLeft = 0L // weight fully emitted before the current cluster
     var kLeft = k1(0.0)
     var k = 1
     while (k < n) {
-      val m = am(idx(k)); val w = aw(idx(k))
+      val m = am(k); val w = aw(k)
       val projected = curW + w
       if (k1((wLeft + projected).toDouble / W) - kLeft <= 1.0) {
         // weighted mean, numerically stable for large weights
@@ -144,8 +212,7 @@ class QuantileState(delta: Int)
   override def zero: QSketch = new QSketch(delta)
 
   override def reduce(b: QSketch, in: (Double, Long)): QSketch = {
-    b.pm += in._1
-    b.pw += in._2
+    b.insert(in._1, in._2)
     if (b.pm.length >= 4 * delta) b.compact()
     b
   }
@@ -178,7 +245,7 @@ object QuantileState {
   def quantileOf(state: Seq[(Double, Long)], delta: Int,
       qs: Seq[Double]): Seq[Double] = {
     val sk = new QSketch(delta)
-    state.foreach { case (m, w) => sk.pm += m; sk.pw += w }
+    state.foreach { case (m, w) => sk.insert(m, w) }
     qs.map(sk.quantile)
   }
 }

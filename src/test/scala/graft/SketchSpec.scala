@@ -196,16 +196,16 @@ class SketchSpec extends GraftSpec {
     val bKeys = (4000L until 9000L) ++ Seq(10_000_000_001L, 77L)
     val aS = aKeys.toSet
     val bS = bKeys.toSet
-    val A = bm(aKeys)
-    val B = bm(bKeys)
-    assert(BitmapCodec.cardinality(BitmapCodec.and(A, B)) ==
+    // andInPlace mutates its left side and or() adopts its right
+    // side's containers — build fresh operands per call
+    assert(BitmapCodec.cardinality(
+      BitmapCodec.andInPlace(bm(aKeys), bm(bKeys))) ==
       (aS & bS).size.toLong)
-    // or() mutates its left side — rebuild A
-    assert(BitmapCodec.cardinality(BitmapCodec.or(bm(aKeys), B)) ==
+    assert(BitmapCodec.cardinality(BitmapCodec.or(bm(aKeys), bm(bKeys))) ==
       (aS | bS).size.toLong)
     // codec round-trip preserves both forms bit-exactly
-    val rt = BitmapCodec.fromBytes(BitmapCodec.toBytes(A))
-    assert(BitmapCodec.cardinality(BitmapCodec.and(rt, B)) ==
+    val rt = BitmapCodec.fromBytes(BitmapCodec.toBytes(bm(aKeys)))
+    assert(BitmapCodec.cardinality(BitmapCodec.andInPlace(rt, bm(bKeys))) ==
       (aS & bS).size.toLong)
   }
 
