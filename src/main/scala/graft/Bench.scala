@@ -10,10 +10,19 @@ object Bench {
     // other 280+ queries' GC/cache pressure. The driver passes no args
     // → full suite, identical behavior to prior rounds.
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown bench keys: ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "a typo here would otherwise time zero queries and report success")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same session timezone as Verify/the tests: bench must time the
+      // exact computation the correctness gate verified, not a
+      // host-TZ-shifted variant of it
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,17 +33,21 @@ object Bench {
     // amortized setup at cluster scale, so it isn't part of any query's time
     // a fixture-prep failure must be VISIBLE (it cascades into dozens of
     // dependent query failures that would otherwise be undiagnosable)
-    try {
-      graft.operators.Joins.ensureBucketed(spark, sfDir)
-      graft.streaming.StreamOps.prepareFixtures(spark, sfDir)
-      graft.operators.Cdc.ordersTyped(spark, sfDir) // shared parse cache
-      graft.operators.Stats.ensureAnalyzed(spark, sfDir)
-      graft.operators.MvOps.stageMv(spark, sfDir) // MV staging, not query —
-      // and no routing rule on the measured session (mv_route clones)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] fixture prep FAILED: ${e.toString.take(500)}")
-    }
+    // each prep in its OWN try: the five are independent, and one
+    // failure must not skip the other four (that would cascade into
+    // dozens of unrelated -1s with a single stderr line to explain them)
+    def prep(label: String)(f: => Unit): Unit =
+      try f catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] fixture prep $label FAILED: ${e.toString.take(500)}")
+      }
+    prep("bucketed")(graft.operators.Joins.ensureBucketed(spark, sfDir))
+    prep("streams")(graft.streaming.StreamOps.prepareFixtures(spark, sfDir))
+    prep("cdc")(graft.operators.Cdc.ordersTyped(spark, sfDir)) // parse cache
+    prep("stats")(graft.operators.Stats.ensureAnalyzed(spark, sfDir))
+    prep("mv")(graft.operators.MvOps.stageMv(spark, sfDir)) // staging only —
+    // no routing rule on the measured session (mv_route clones)
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
@@ -51,16 +64,20 @@ object Bench {
             -1.0
         }
       }
-      if (reps > 1) println(s"""{"bench_reps":"$name","times":[${times.mkString(",")}]}""")
-      name -> times.head
+      if (reps > 1) println(s"""{"bench_reps":${Json.q(name)},"times":[${times.mkString(",")}]}""")
+      // min of the reps: with reps=1 this IS the single time; with more,
+      // the steady-state floor (head would record the coldest rep and
+      // persist JIT noise into the at-rest baseline). A failed rep's -1
+      // must still dominate: any failure marks the key failed.
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
     val (total, nOk, nFailed) = summarize(results)
     // full per-query map also persisted to a file: the driver's tail
     // capture keeps only ~64 of 260+ entries of the stdout line, so
     // round-over-round per-query diffs need the at-rest copy
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.q(sfDir)}}"""
     if (only.isEmpty) {
       try {
         new java.io.File("target").mkdirs()
@@ -81,10 +98,10 @@ object Bench {
     val regs = regressions(prev, results)
     println(s"""{"metric":"bench_regressions","threshold":1.5,"keys":${
       regs.map { case (k, o, n) =>
-        s"""{"key":"$k","prev":$o,"now":$n}""" }.mkString("[", ",", "]")}}""")
+        s"""{"key":${Json.q(k)},"prev":$o,"now":$n}""" }.mkString("[", ",", "]")}}""")
     // compact line LAST: the driver's tail capture truncates long lines
     // from the front, so the parseable summary must be short and final
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"failed":$nFailed,"sf":${Json.q(sfDir)}}""")
     spark.stop()
   }
 

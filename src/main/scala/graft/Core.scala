@@ -279,6 +279,24 @@ object Scratch {
   }
 }
 
+object Json {
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — one implementation for every harness that hand-emits
+    * JSON (Verify's oracle dump, Bench's metric lines); a tab or CR in
+    * builder-authored SQL or an env-supplied path would otherwise make
+    * the driver's json.load fail and silently zero the round.
+    */
+  def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}
+
 object Det {
   /** Exact order-independent sum of a double expression → double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")

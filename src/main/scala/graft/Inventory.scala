@@ -15,29 +15,8 @@ object Inventory {
   private val Begin = "<!-- GENERATED-INVENTORY:BEGIN (runMain graft.Inventory) -->"
   private val End = "<!-- GENERATED-INVENTORY:END -->"
 
-  private def modules: Seq[(String, Seq[QueryDef])] = {
-    import graft.operators._
-    Seq(
-      "operators/Scans" -> Scans.defs,
-      "operators/Projections" -> Projections.defs,
-      "operators/Joins" -> Joins.defs,
-      "operators/SortSetOps" -> SortSetOps.defs,
-      "operators/Aggregates" -> Aggregates.defs,
-      "operators/Windows" -> Windows.defs,
-      "operators/Fns" -> Fns.defs,
-      "operators/Cdc" -> Cdc.defs,
-      "streaming/StreamOps" -> graft.streaming.StreamOps.defs,
-      "operators/LlmText" -> LlmText.defs,
-      "operators/LlmVector" -> LlmVector.defs,
-      "operators/DedupGraph" -> DedupGraph.defs,
-      "operators/Multimodal" -> Multimodal.defs,
-      "operators/UdfOps" -> UdfOps.defs,
-      "operators/EventAnalytics" -> EventAnalytics.defs,
-      "operators/Stats" -> Stats.defs,
-      "operators/MvOps" -> MvOps.defs,
-      "operators/SqlApi" -> SqlApi.defs,
-    )
-  }
+  // the ONE module enumeration lives on SparkEntry (shared with defs)
+  private def modules: Seq[(String, Seq[QueryDef])] = SparkEntry.modules
 
   def table(): String = {
     val rows = modules.flatMap { case (m, ds) =>

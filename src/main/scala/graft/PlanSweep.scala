@@ -37,7 +37,10 @@ object PlanSweep {
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
         if (pattern.findFirstIn(p).isDefined) { hits += 1; println(s"HIT $k") }
       } catch {
-        case e: Throwable => println(s"ERR $k ${e.getMessage.take(120)}")
+        // String.valueOf: getMessage can be null (bare NPEs), and the
+        // handler NPEing would abort the whole sweep mid-loop
+        case e: Throwable =>
+          println(s"ERR $k ${String.valueOf(e.getMessage).take(120)}")
       }
     }
     println(s"== $hits of ${SparkEntry.queries.size} keys match '$pattern'")

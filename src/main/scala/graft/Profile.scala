@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val qs = SparkEntry.queries
     val keys = if (args.length > 1) args.drop(1).toSeq
-               else SparkEntry.queries.keys.toSeq.sorted
+               else qs.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,12 +24,17 @@ object Profile {
     // one throwaway action to absorb session/codegen start-up
     spark.read.parquet(s"$sfDir/region.parquet").count()
     keys.foreach { k =>
-      val fn = SparkEntry.queries(k)
+      val fn = qs(k)
+      // Bench's -1 failure sentinel, not elapsed-to-failure: a key that
+      // throws in 0.3s must not print a plausible-looking timing
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => println(s"$k FAILED: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            println(s"$k FAILED: ${String.valueOf(e.getMessage).take(200)}")
+            -1.0
+        }
       }
       val cold = once(); val warm = once()
       println(f"PROFILE $k%-24s cold=$cold%7.2fs warm=$warm%7.2fs")

@@ -12,25 +12,47 @@ import graft.streaming.StreamOps
   */
 object SparkEntry {
 
+  /** Module enumeration — THE one list `defs` and Inventory's §2.14
+    * generator both consume (previously twinned; a new module added to
+    * one but not the other shipped a silently incomplete inventory).
+    * Lazy: the registry is static, so build each module's QueryDef seq
+    * once per JVM instead of on every `queries`/`oracleSql` call.
+    */
+  lazy val modules: Seq[(String, Seq[QueryDef])] = Seq(
+    "operators/Scans" -> Scans.defs,
+    "operators/Projections" -> Projections.defs,
+    "operators/Joins" -> Joins.defs,
+    "operators/SortSetOps" -> SortSetOps.defs,
+    "operators/Aggregates" -> Aggregates.defs,
+    "operators/Windows" -> Windows.defs,
+    "operators/Fns" -> Fns.defs,
+    "operators/Cdc" -> Cdc.defs,
+    "streaming/StreamOps" -> StreamOps.defs,
+    "operators/LlmText" -> LlmText.defs,
+    "operators/LlmVector" -> LlmVector.defs,
+    "operators/DedupGraph" -> DedupGraph.defs,
+    "operators/Multimodal" -> Multimodal.defs,
+    "operators/UdfOps" -> UdfOps.defs,
+    "operators/EventAnalytics" -> EventAnalytics.defs,
+    "operators/Stats" -> Stats.defs,
+    "operators/MvOps" -> MvOps.defs,
+    "operators/SqlApi" -> SqlApi.defs,
+  )
+
   /** Every implemented operator from SURVEY.md §2, one QueryDef each. */
-  def defs: Seq[QueryDef] =
-    Scans.defs ++ Projections.defs ++ Joins.defs ++ SortSetOps.defs ++
-      Aggregates.defs ++ Windows.defs ++ Fns.defs ++ Cdc.defs ++
-      StreamOps.defs ++ LlmText.defs ++ LlmVector.defs ++ DedupGraph.defs ++
-      Multimodal.defs ++ UdfOps.defs ++ EventAnalytics.defs ++ Stats.defs ++
-      MvOps.defs ++ SqlApi.defs
+  lazy val defs: Seq[QueryDef] = modules.flatMap(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Aggregates.flagship(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.key -> d.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     defs.flatMap(d => d.oracle.map(d.key -> _)).toMap
 }
