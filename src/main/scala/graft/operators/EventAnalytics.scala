@@ -318,7 +318,62 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Maximum drawdown over each user's signed event flow — the
+    * running-peak metric (max over i of max_{j≤i} p_j − p_i, p = prefix
+    * sum of purchases − other events) every monitoring stack computes
+    * over balances/quality scores. Two stock windows on one shuffle +
+    * one hash agg; no sequential fold (the running-max twin of
+    * win_cum_clamp's reflection identity). The final balance is the
+    * ORDER-INDEPENDENT total sum, and every intermediate stays exact
+    * decimal, so both engines agree bit-for-bit.
+    */
+  private def tsDrawdown(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(-col("value"))
+          .cast(DecimalType(30, 6)).as("delta"))
+      .withColumn("p", sum(col("delta")).over(w))
+      .withColumn("peak", max(col("p")).over(w))
+      .groupBy(col("user_id"))
+      // subtract as DOUBLES (identical from the exact decimals): the
+      // decimal difference would overflow precision 38, which the
+      // engines resolve differently — the win_cum_clamp lesson
+      .agg(count(lit(1)).as("n_events"),
+        max(col("peak").cast("double") - col("p").cast("double"))
+          .as("max_drawdown"),
+        sum(col("delta")).cast("double").as("final_balance"))
+      .orderBy(col("user_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ts_drawdown", tsDrawdown,
+      Some("""WITH p AS (SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(CASE WHEN event_type = 'purchase' THEN value
+                   ELSE -value END AS DECIMAL(30,6)) AS delta
+                 FROM events),
+               c AS (SELECT user_id, event_id, us, delta,
+                 SUM(delta) OVER w AS pre
+                 FROM p WINDOW w AS (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               d AS (SELECT user_id, delta, pre,
+                 MAX(pre) OVER w2 AS peak
+                 FROM c WINDOW w2 AS (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              SELECT user_id, COUNT(*) AS n_events,
+                MAX(CAST(peak AS DOUBLE) - CAST(pre AS DOUBLE))
+                  AS max_drawdown,
+                CAST(SUM(delta) AS DOUBLE) AS final_balance
+              FROM d GROUP BY user_id ORDER BY user_id""")),
     QueryDef("fn_with_fill", fnWithFill,
       Some(s"""WITH e AS (SELECT user_id,
                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value

@@ -310,7 +310,63 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Clamped-at-zero running sum — ClickHouse `arrayCumSumNonNegative`
+    * semantics as a WINDOW over the stream (the inventory/stock-level
+    * recurrence s_i = max(0, s_{i−1} + δ_i)) — WITHOUT a sequential
+    * fold: by the one-sided reflection identity
+    *   s_i = p_i − min(0, min_{j≤i} p_j)      (p = plain prefix sum)
+    * the recurrence becomes two stock windows over ONE shuffle, scaling
+    * exactly like win_running instead of a per-group O(n) driver fold.
+    * (Proof sketch: both sides satisfy the recurrence — if the running
+    * min is hit at i, s_i = 0 = max(0, ·); otherwise the clamp was not
+    * active and the difference advances by δ_i.)
+    * Prefix and running-min stay in exact decimal; only the final
+    * difference casts to double, so the engines agree bit-for-bit.
+    *
+    * δ: purchases add `value`, every other event drains it — a stock
+    * that genuinely dips below zero and exercises the clamp.
+    */
+  private def winCumClamp(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(-col("value"))
+          .cast(DecimalType(30, 6)).as("delta"))
+      .withColumn("p", sum(col("delta")).over(w))
+      // cast BOTH exact decimals to double BEFORE subtracting: the
+      // decimal difference would exceed precision 38 and the engines
+      // promote overflow differently (observed: 1-ulp split at sf0.01);
+      // identical doubles subtracted in IEEE agree everywhere
+      .select(col("user_id"), col("event_id"),
+        (col("p").cast("double") -
+          least(lit(0).cast(DecimalType(30, 6)), min(col("p")).over(w))
+            .cast("double")).as("stock"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_cum_clamp", winCumClamp,
+      Some("""WITH p AS (SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(CASE WHEN event_type = 'purchase' THEN value
+                   ELSE -value END AS DECIMAL(30,6)) AS delta
+                 FROM events),
+               c AS (SELECT user_id, event_id, us,
+                 SUM(delta) OVER w AS pre
+                 FROM p WINDOW w AS (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              SELECT user_id, event_id,
+                CAST(pre AS DOUBLE) - CAST(LEAST(CAST(0 AS DECIMAL(30,6)),
+                  MIN(pre) OVER w2) AS DOUBLE) AS stock
+              FROM c WINDOW w2 AS (PARTITION BY user_id
+                ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id""")),
     QueryDef("win_share", winShare,
       Some("""WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))

@@ -10,7 +10,7 @@ package graft
   * on the session's partitioning) and the full collected results must
   * be bit-identical.
   *
-  * The sample (22 keys) is chosen adversarially: keys that reassemble
+  * The sample (24 keys) is chosen adversarially: keys that reassemble
   * arrays from aggregations (agg_foreach, agg_resample,
   * agg_group_array_sorted, agg_array_intersect, agg_moving_sum_array),
   * rank after rounding (sim_ann_recall, sim_triplet_mine), hash-order
@@ -38,7 +38,11 @@ class DeterminismSpec extends GraftSpec {
     // sorted-fold entropy over collected counts, per-node triangle
     // credit through the oriented wedge join, exact-integer ACF moments
     "graph_resource_alloc", "text_char_entropy", "graph_cluster_coeff",
-    "ts_acf")
+    "ts_acf",
+    // round-9 third wave: the reflection-identity window pair — two
+    // stacked stock windows whose exact-decimal chain must not depend
+    // on which partitioning assembled the frames
+    "win_cum_clamp", "ts_drawdown")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()

@@ -781,4 +781,14 @@ class PlanShapeSpec extends GraftSpec {
       "o_orderstatus:string,o_orderpriority:string>"),
       p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
   }
+
+  test("win_cum_clamp stacks both stock windows on ONE hash shuffle") {
+    // the reflection identity's whole point: prefix sum and running min
+    // share (partitioning, ordering), so the second window reuses the
+    // first's exchange — a second hashpartitioning would mean the
+    // sequential recurrence got re-planned as two shuffles
+    val p = plan("win_cum_clamp")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).length
+    assert(n == 1, s"expected exactly 1 hash exchange, found $n:\n${p.take(800)}")
+  }
 }
