@@ -268,6 +268,35 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** ClickHouse `ANY LEFT JOIN` — join STRICTNESS, not type: at most
+    * ONE right-side row per join key (ClickHouse's any-match contract;
+    * its pick is arbitrary, made deterministic here by taking the
+    * minimal (l_linenumber, l_partkey, l_suppkey) tuple so the oracle
+    * can replay it). Completes the strictness surface next to
+    * ALL (join_*), SEMI, ANTI, and ASOF.
+    *
+    * Scale notes: the right side collapses via min(struct(...)) — a
+    * HASH AGGREGATE with map-side partial combine — so the join input
+    * shrinks to one row per key BEFORE the join shuffle; the window
+    * row_number formulation would ship every duplicate through the
+    * shuffle first. The struct's leading fields are the tie-break keys,
+    * so lexicographic min IS the deterministic pick.
+    */
+  private def joinAnyLeft(s: SparkSession, dir: String): DataFrame = {
+    val anyLine = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(struct(col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))).as("pick"))
+      .select(col("l_orderkey"), col("pick.l_linenumber").as("any_line"),
+        col("pick.l_partkey").as("any_part"),
+        col("pick.l_quantity").as("any_qty"))
+    Tables.orders(s, dir)
+      .join(anyLine, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("any_line"), col("any_part"), col("any_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   private def joinSemi(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
@@ -1144,6 +1173,18 @@ object Joins {
                   LIMIT 1) AS matched_id
               FROM events p WHERE p.event_type = 'purchase'
               ORDER BY p.event_id""")),
+    QueryDef("join_any_left", joinAnyLeft,
+      Some("""WITH a AS (SELECT l_orderkey,
+                 l_linenumber AS any_line, l_partkey AS any_part,
+                 l_quantity AS any_qty,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+                 FROM lineitem)
+              SELECT o_orderkey, o_orderstatus,
+                any_line, any_part, any_qty
+              FROM orders LEFT JOIN (SELECT * FROM a WHERE rn = 1) b
+                ON o_orderkey = l_orderkey
+              ORDER BY o_orderkey""")),
     QueryDef("join_semi", joinSemi,
       Some("""SELECT c_custkey, c_name FROM customer
               WHERE EXISTS (SELECT 1 FROM orders
