@@ -1077,7 +1077,8 @@ object StreamOps {
       .agg(max(col("n_events")).as("n_events"),
         max_by(col("sum_value"), col("n_events")).as("sum_value"))
       .orderBy(col("user_id"))
-    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // no conf restore needed: s is a stateSized() clone that dies with
+    // this call; the returned frame reads a memory table, not the store
     out
   }
 
@@ -1168,7 +1169,8 @@ object StreamOps {
         timestamp_micros(col("start_us")).as("session_start"),
         timestamp_micros(col("end_us")).as("session_end"))
       .orderBy(col("user_id"), col("session_idx"))
-    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // no conf restore needed: s is a stateSized() clone that dies with
+    // this call; the returned frame reads a memory table, not the store
     out
   }
 
@@ -1306,7 +1308,8 @@ object StreamOps {
         max(col("recent_ids")).as("recent_ids"))
       .select(col("user_id"), col("n_recent"), col("recent_ids"))
       .orderBy(col("user_id"))
-    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // no conf restore needed: s is a stateSized() clone that dies with
+    // this call; the returned frame reads a memory table, not the store
     out
   }
 
@@ -1361,7 +1364,8 @@ object StreamOps {
       .groupBy(col("user_id"), col("event_type"))
       .agg(max(col("n")).as("n")) // counts are monotone; latest = max
       .orderBy(col("user_id"), col("event_type"))
-    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // no conf restore needed: s is a stateSized() clone that dies with
+    // this call; the returned frame reads a memory table, not the store
     out
   }
 

@@ -28,7 +28,13 @@ class AllQueriesSmokeSpec extends GraftSpec {
       "udaf_kmv_intersect", "ml_quality_filter",
       "tok_bpe_train")
     assert(rowsOnly == documented,
-      s"undocumented rows-only keys: ${rowsOnly -- documented}")
+      s"undocumented rows-only keys: ${rowsOnly -- documented}; " +
+        s"stale documented entries: ${documented -- rowsOnly}")
+    // the reverse direction: both maps currently derive from the same
+    // QueryDef list (orphans unrepresentable), but this locks that
+    // derivation invariant against a future hand-maintained oracleSql
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without a query: $orphaned")
   }
 
   test("bench total excludes the -1 failure sentinel") {

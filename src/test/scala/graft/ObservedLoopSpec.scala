@@ -1,6 +1,5 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Observation
 import org.apache.spark.sql.functions._
 
@@ -10,7 +9,7 @@ import org.apache.spark.sql.functions._
   * upgrade ever breaks this, clusterLabels falls back to its explicit
   * probe — this test makes the silent perf regression loud instead.
   */
-class ObservedLoopSpec extends AnyFunSuite with GraftSpec {
+class ObservedLoopSpec extends GraftSpec {
   test("observation metrics fire on localCheckpoint") {
     import spark.implicits._
     val obs = Observation()

@@ -13,6 +13,42 @@ class StreamSemanticsSpec extends GraftSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  // ---- shared offset-log fixtures (previously copy-pasted per test) ----
+
+  /** CDC envelope encoder: rows → (partition, json value, ordering cols). */
+  private def envRecs(rows: Seq[(Long, Double, Long, String)])
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF("o_orderkey", "o_totalprice", "es", "type")
+      .withColumn("ts", col("es"))
+      .withColumn("p", pmod(col("o_orderkey"), lit(2L)).cast("int"))
+      .withColumn("value", to_json(struct(col("o_orderkey"),
+        col("o_totalprice"), col("es"), col("ts"), col("type"))))
+      .select("p", "value", "es", "o_orderkey")
+  }
+
+  private lazy val envSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType), StructField("es", LongType),
+      StructField("ts", LongType), StructField("type", StringType)))
+  }
+
+  private def envTyped(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(from_json(col("value"), envSchema).as("m")).select("m.*")
+
+  /** Simple (k, value) append into an offset log, pmod-2 partitioned. */
+  private def apKv(root: String)(epoch: Long,
+      rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    graft.streaming.OffsetLog.append(root, epoch,
+      rows.toDF("k", "value")
+        .withColumn("p", pmod(col("k"), lit(2L)).cast("int"))
+        .select("p", "value", "k"),
+      col("k"))
+  }
+
   test("rows later than the watermark are dropped from append output") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -33,9 +69,14 @@ class StreamSemanticsSpec extends GraftSpec {
       q.processAllAvailable()
       in.addData((ts("2024-01-01 12:00:00"), 5L))
       q.processAllAvailable()
-      val rows = spark.table("wm_test")
+      val pairs = spark.table("wm_test")
         .select(col("window.start").cast("string"), col("n"))
-        .as[(String, Long)].collect().toMap
+        .as[(String, Long)].collect()
+      // toMap would mask a re-emitted window last-wins; a finalized
+      // window must appear exactly once in append output
+      assert(pairs.map(_._1).distinct.length == pairs.length,
+        s"a window was emitted twice: ${pairs.toSeq}")
+      val rows = pairs.toMap
       assert(rows("2024-01-01 10:00:00") == 2L,
         s"late row must not be counted: $rows")
     } finally q.stop()
@@ -69,8 +110,7 @@ class StreamSemanticsSpec extends GraftSpec {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import s.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_tws_recover").toString
+    val root = graft.Scratch.dir("graft_tws_recover")
 
     // time-ordered two-file feed (an ordered replayable log, Kafka-style)
     // + a far-future sentinel file LAST so the final watermark fires all
@@ -129,11 +169,15 @@ class StreamSemanticsSpec extends GraftSpec {
     run(s"$root/ckpt_a", s"$root/out_a", crashOnBatch = None)
     run(s"$root/ckpt_b", s"$root/out_b", crashOnBatch = None)
 
-    def snap(out: String): Set[(Long, Long, Long, Long)] =
+    def snap(out: String): Seq[(Long, Long, Long, Long)] =
       s.read.parquet(out).filter(col("user_id") >= 0)
         .select("user_id", "start_us", "end_us", "n_events")
-        .as[(Long, Long, Long, Long)].collect().toSet
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
     val a = snap(s"$root/out_a")
+    // a Set compare would collapse a double-emitted session — the
+    // exactly-once property this test exists to catch
+    assert(a.distinct.size == a.size,
+      s"a session was emitted twice: ${a.diff(a.distinct)}")
     assert(a == snap(s"$root/out_b"),
       "recovered sessions must equal the uninterrupted run")
     // and both equal an independent sequential sessionization
@@ -146,15 +190,13 @@ class StreamSemanticsSpec extends GraftSpec {
       }
       splits.map(sess => (uid, sess.last, sess.head, sess.length.toLong))
     }.toSet
-    assert(a == want, "sessions must equal the sequential recompute")
-    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(a.toSet == want, "sessions must equal the sequential recompute")
   }
 
   test("checkpoint kill-and-recover: crash mid-batch, restart converges") {
     import graft.operators.Cdc
     import graft.streaming.StreamOps
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_recover_test").toString
+    val root = graft.Scratch.dir("graft_recover_test")
     // multi-file feed: the synthesized envelope stream split in two files
     // so maxFilesPerTrigger=1 yields two distinct micro-batches
     val all = Cdc.envelopes(spark, sf).collect().map(_.getString(0))
@@ -207,21 +249,10 @@ class StreamSemanticsSpec extends GraftSpec {
     import graft.streaming.{OffsetLog, StreamOps}
     import org.apache.spark.sql.types._
     import spark.implicits._
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_offlog_test").toString
+    val base = graft.Scratch.dir("graft_offlog_test")
     val root = s"$base/log"
-    def recs(rows: Seq[(Long, Double, Long, String)]) =
-      rows.toDF("o_orderkey", "o_totalprice", "es", "type")
-        .withColumn("ts", col("es"))
-        .withColumn("p", pmod(col("o_orderkey"), lit(2L)).cast("int"))
-        .withColumn("value", to_json(struct(col("o_orderkey"),
-          col("o_totalprice"), col("es"), col("ts"), col("type"))))
-        .select("p", "value", "es", "o_orderkey")
-    val sch = StructType(Seq(StructField("o_orderkey", LongType),
-      StructField("o_totalprice", DoubleType), StructField("es", LongType),
-      StructField("ts", LongType), StructField("type", StringType)))
-    def toTyped(df: org.apache.spark.sql.DataFrame) =
-      df.select(from_json(col("value"), sch).as("m")).select("m.*")
+    def recs(rows: Seq[(Long, Double, Long, String)]) = envRecs(rows)
+    def toTyped(df: org.apache.spark.sql.DataFrame) = envTyped(df)
     val snapshot = (0L until 10L).map(k => (k, 100.0 + k, 10L, "INSERT"))
     val tail = Seq((1L, 999.0, 20L, "UPDATE"), (4L, 0.0, 20L, "DELETE"),
       (10L, 500.0, 21L, "INSERT"))
@@ -274,8 +305,7 @@ class StreamSemanticsSpec extends GraftSpec {
   test("offset log rebalance: split-partition consumers commit without clobbering") {
     import graft.streaming.OffsetLog
     import spark.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_offlog_rebal_test").toString + "/log"
+    val root = graft.Scratch.dir("graft_offlog_rebal_test") + "/log"
     val rows = (0L until 12L).map(k => (k, s"r$k"))
     OffsetLog.append(root, 0L,
       rows.toDF("k", "value")
@@ -304,14 +334,9 @@ class StreamSemanticsSpec extends GraftSpec {
   test("offset log retention: segments below the committed floor drop, reads survive") {
     import graft.streaming.OffsetLog
     import spark.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_offlog_ret_test").toString + "/log"
+    val root = graft.Scratch.dir("graft_offlog_ret_test") + "/log"
     def ap(epoch: Long, rows: Seq[(Long, String)]): Unit =
-      OffsetLog.append(root, epoch,
-        rows.toDF("k", "value")
-          .withColumn("p", pmod(col("k"), lit(2L)).cast("int"))
-          .select("p", "value", "k"),
-        col("k"))
+      apKv(root)(epoch, rows)
     ap(0L, (0L until 4L).map(k => (k, s"a$k")))
     ap(1L, (4L until 8L).map(k => (k, s"b$k")))
     ap(2L, (8L until 10L).map(k => (k, s"c$k")))
@@ -338,14 +363,9 @@ class StreamSemanticsSpec extends GraftSpec {
   test("graftlog DSv2: plan-time segment pruning, resume option, read parity") {
     import graft.streaming.OffsetLog
     import spark.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_offlog_dsv2_test").toString + "/log"
+    val root = graft.Scratch.dir("graft_offlog_dsv2_test") + "/log"
     def ap(epoch: Long, rows: Seq[(Long, String)]): Unit =
-      OffsetLog.append(root, epoch,
-        rows.toDF("k", "value")
-          .withColumn("p", pmod(col("k"), lit(2L)).cast("int"))
-          .select("p", "value", "k"),
-        col("k"))
+      apKv(root)(epoch, rows)
     ap(0L, (0L until 6L).map(k => (k, s"a$k")))
     ap(1L, (6L until 10L).map(k => (k, s"b$k")))
     val full = spark.read.format("graftlog").option("path", root).load()
@@ -372,15 +392,10 @@ class StreamSemanticsSpec extends GraftSpec {
     import graft.streaming.OffsetLog
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_offlog_stream_test").toString
+    val base = graft.Scratch.dir("graft_offlog_stream_test")
     val root = s"$base/log"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
     def ap(epoch: Long, rows: Seq[(Long, String)]): Unit =
-      OffsetLog.append(root, epoch,
-        rows.toDF("k", "value")
-          .withColumn("p", pmod(col("k"), lit(2L)).cast("int"))
-          .select("p", "value", "k"),
-        col("k"))
+      apKv(root)(epoch, rows)
     val seen = java.util.Collections.synchronizedList(
       new java.util.ArrayList[(Long, Long)]())
     def drain(): Unit = {
@@ -412,21 +427,10 @@ class StreamSemanticsSpec extends GraftSpec {
     import graft.streaming.{OffsetLog, StreamOps}
     import org.apache.spark.sql.types._
     import spark.implicits._
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_offlog_txn_test").toString
+    val base = graft.Scratch.dir("graft_offlog_txn_test")
     val root = s"$base/log"; val state = s"$base/state"
-    def recs(rows: Seq[(Long, Double, Long, String)]) =
-      rows.toDF("o_orderkey", "o_totalprice", "es", "type")
-        .withColumn("ts", col("es"))
-        .withColumn("p", pmod(col("o_orderkey"), lit(2L)).cast("int"))
-        .withColumn("value", to_json(struct(col("o_orderkey"),
-          col("o_totalprice"), col("es"), col("ts"), col("type"))))
-        .select("p", "value", "es", "o_orderkey")
-    val sch = StructType(Seq(StructField("o_orderkey", LongType),
-      StructField("o_totalprice", DoubleType), StructField("es", LongType),
-      StructField("ts", LongType), StructField("type", StringType)))
-    def toTyped(df: org.apache.spark.sql.DataFrame) =
-      df.select(from_json(col("value"), sch).as("m")).select("m.*")
+    def recs(rows: Seq[(Long, Double, Long, String)]) = envRecs(rows)
+    def toTyped(df: org.apache.spark.sql.DataFrame) = envTyped(df)
     OffsetLog.append(root, 0L,
       recs((0L until 6L).map(k => (k, 100.0 + k, 10L, "INSERT"))),
       struct(col("es"), col("o_orderkey")))
