@@ -440,24 +440,34 @@ object Cdc {
   /** ReplacingMergeTree: latest row image per PK wins (version = es,
     * tiebreak ts) — DELETEs are not folded here (that's Collapsing).
     */
-  private def cdcUpsertLatest(s: SparkSession, dir: String): DataFrame = {
+  /** The Replacing fold as a frame transform — exposed so the spec can
+    * replay a doubled feed through the REAL fold (idempotence must be a
+    * property of this code, not of the test's own dedup).
+    */
+  private[graft] def upsertLatestOf(typed: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_orderkey"))
       .orderBy(col("es").desc, col("ts").desc)
-    ordersTyped(s, dir)
+    typed
       .filter(col("type") =!= "DELETE")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
-      .orderBy(col("o_orderkey"))
   }
+
+  private def cdcUpsertLatest(s: SparkSession, dir: String): DataFrame =
+    upsertLatestOf(ordersTyped(s, dir)).orderBy(col("o_orderkey"))
 
   /** CollapsingMergeTree: INSERT → +1; UPDATE → (-1 old, +1 new);
     * DELETE → -1. A key is live iff sum(sign) > 0; the collapsed table
     * holds the latest +1 row of each live key. Single shuffle on pk:
     * balance via window sum, survivor via window row_number.
     */
-  private def cdcDeleteFold(s: SparkSession, dir: String): DataFrame = {
-    val t = ordersTyped(s, dir)
+  /** The Collapsing fold as a frame transform — exposed so the spec can
+    * prove ORDER-INVARIANCE of the real fold under shuffled arrival
+    * orders (sign balance is commutative by construction; the survivor
+    * pick orders by (es, ts), not arrival).
+    */
+  private[graft] def deleteFoldOf(t: DataFrame): DataFrame = {
     val plus = t.filter(col("type") =!= "DELETE")
       .select(col("o_orderkey"), col("es"), col("ts"),
         col("o_totalprice"), lit(1).as("sign"))
@@ -479,8 +489,10 @@ object Cdc {
       .withColumn("rn", row_number().over(wLatest))
       .filter(col("rn") === 1)
       .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
   }
+
+  private def cdcDeleteFold(s: SparkSession, dir: String): DataFrame =
+    deleteFoldOf(ordersTyped(s, dir)).orderBy(col("o_orderkey"))
 
   /** Before/after images → SCD-2 history: version valid [es, next es). */
   private def cdcScd2(s: SparkSession, dir: String): DataFrame = {

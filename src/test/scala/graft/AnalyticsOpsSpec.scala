@@ -401,11 +401,14 @@ class AnalyticsOpsSpec extends GraftSpec {
     val views = evs.filter(_._3 == "view").groupBy(_._2)
     val purchases = evs.filter(_._3 == "purchase")
     assert(got.size == purchases.length)
+    // compare at the fixture's FULL µs precision: getTime truncates to
+    // ms, so same-ms-different-µs views would diverge from the
+    // operator's full-timestamp window ordering
     purchases.foreach { case (pid, uid, _, pts) =>
+      val pUs = tsUs(pts)
       val want = views.getOrElse(uid, Array.empty)
-        .filter(v => v._4.getTime < pts.getTime &&
-          v._4.getTime >= pts.getTime - 15 * 60 * 1000)
-        .sortBy(v => (-v._4.getTime, -v._1)).headOption.map(_._1)
+        .filter(v => tsUs(v._4) < pUs && tsUs(v._4) >= pUs - 900000000L)
+        .sortBy(v => (-tsUs(v._4), -v._1)).headOption.map(_._1)
       assert(got(pid) == want, s"purchase $pid: ${got(pid)} vs $want")
     }
   }
@@ -440,23 +443,13 @@ class AnalyticsOpsSpec extends GraftSpec {
       .select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect().toMap
     assert(rows.length == embs.size)
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) {
-        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i)
-      }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     rows.groupBy(_._2).foreach { case (c, members) =>
       val ids = members.map(_._1).sorted
       val kept = members.filter(_._3).map(_._1).toSet
       // brute-force survivorship in id order within the cluster
       ids.foreach { id =>
         val dup = ids.filter(_ < id)
-          .exists(e => r6(cos(embs(e), embs(id))) >= 0.35)
+          .exists(e => round6(refCos(embs(e), embs(id))) >= 0.35)
         assert(kept.contains(id) == !dup, s"cluster $c vec $id")
       }
     }
@@ -624,21 +617,11 @@ class AnalyticsOpsSpec extends GraftSpec {
     val embs = Tables.embeddings(spark, sf)
       .select("vec_id", "label", "embedding")
       .as[(Long, Int, Array[Float])].collect()
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) {
-        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i)
-      }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val probes = embs.filter(_._1 % 50 == 0)
     assert(got.size == probes.length)
     probes.foreach { case (pid, plabel, pv) =>
       val want = embs.filter(_._2 != plabel)
-        .map(c => (c._1, r6(cos(pv, c._3))))
+        .map(c => (c._1, round6(refCos(pv, c._3))))
         .sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1).toSeq
       assert(got(pid) == want, s"probe $pid")
     }
@@ -670,19 +653,30 @@ class AnalyticsOpsSpec extends GraftSpec {
       .select("user_id", "ts").as[(Long, java.sql.Timestamp)].collect()
       .groupBy(_._1)
     assert(maxes.size == evs.size && lens.size == evs.size)
-    val len = 30L * 60 * 1000
+    val lenMs = 30L * 60 * 1000
+    val lenUs = lenMs * 1000
     evs.foreach { case (uid, es) =>
-      val pts = es.flatMap(e => Seq((e._2.getTime, 1), (e._2.getTime + len, -1)))
+      // TWO sweeps at the operators' OWN precisions: max_intersections
+      // nets per full µs TIMESTAMP, interval_length_sum per unix_millis
+      // — a single ms sweep would wrongly cancel same-ms-different-µs
+      // boundary points for the former
+      val ptsUs = es.flatMap(e => Seq((tsUs(e._2), 1), (tsUs(e._2) + lenUs, -1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
-      var active = 0L; var maxA = 0L; var covered = 0L
-      pts.zipWithIndex.foreach { case ((t, net), i) =>
+      var active = 0L; var maxA = 0L
+      ptsUs.foreach { case (_, net) =>
         active += net; maxA = math.max(maxA, active)
-        if (active > 0 && i + 1 < pts.length) covered += pts(i + 1)._1 - t
+      }
+      val ptsMs = es.flatMap(e => Seq((e._2.getTime, 1), (e._2.getTime + lenMs, -1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var activeMs = 0L; var covered = 0L
+      ptsMs.zipWithIndex.foreach { case ((t, net), i) =>
+        activeMs += net
+        if (activeMs > 0 && i + 1 < ptsMs.length) covered += ptsMs(i + 1)._1 - t
       }
       assert(maxes(uid) == maxA, s"user $uid max")
       assert(lens(uid) == covered, s"user $uid covered")
       // union length never exceeds the naive sum, never less than one interval
-      assert(covered <= es.length * len && covered >= len)
+      assert(covered <= es.length * lenMs && covered >= lenMs)
     }
   }
 
@@ -746,18 +740,10 @@ class AnalyticsOpsSpec extends GraftSpec {
     val embs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) {
-        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i)
-      }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
     val want = for {
       (pid, pv) <- embs if pid % 50 == 0
       (cid, cv) <- embs if cid != pid
-      s = BigDecimal(cos(pv, cv)).setScale(6,
+      s = BigDecimal(refCos(pv, cv)).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble
       if s >= 0.30
     } yield (pid, cid) -> s

@@ -20,15 +20,18 @@ class CdcSpec extends GraftSpec {
   }
 
   test("cdc_upsert_latest emits exactly one row per key (idempotent merge)") {
+    import spark.implicits._
     val up = SparkEntry.queries("cdc_upsert_latest")(spark, sf).cache()
     assert(up.count() == up.select("o_orderkey").distinct().count())
-    // replaying the merged state through the same merge changes nothing
-    val w = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("version_es").desc)
-    val again = up.unionByName(up)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 1).drop("rn")
-    assert(again.count() == up.count())
+    // replay the DOUBLED feed through the REAL fold (not a test-local
+    // dedup): an at-least-once delivery must be absorbed by the
+    // operator itself, row-for-row
+    val feed = Cdc.ordersTyped(spark, sf)
+    val replayed = Cdc.upsertLatestOf(feed.unionByName(feed))
+      .as[(Long, Double, Long)].collect().toSet
+    val once = up.as[(Long, Double, Long)].collect().toSet
+    assert(replayed == once,
+      s"replayed fold diverged: ${(replayed diff once).take(3)} / ${(once diff replayed).take(3)}")
     up.unpersist()
   }
 
@@ -41,27 +44,44 @@ class CdcSpec extends GraftSpec {
     assert(folded.count() == expected)
   }
 
-  test("delete fold balance is invariant under event reordering") {
+  test("delete fold is invariant under event reordering (real fold)") {
     import spark.implicits._
-    // (key, es, sign) events applied in three different arrival orders
-    val events = Seq((1L, 10L, 1), (1L, 20L, -1), (1L, 30L, 1),
-      (2L, 10L, 1), (2L, 20L, -1), (3L, 5L, 1))
-    def liveKeys(evs: Seq[(Long, Long, Int)]): Set[Long] = {
-      val df = evs.toDF("k", "es", "sign")
-      df.groupBy("k").agg(sum("sign").as("bal"))
-        .filter(col("bal") > 0).select("k").as[Long].collect().toSet
-    }
-    val orders = Seq(events, events.reverse, events.sortBy(_._2))
-    val results = orders.map(liveKeys)
-    assert(results.distinct.size == 1)
-    assert(results.head == Set(1L, 3L))
+    // a synthetic typed envelope feed exercising insert→delete→reinsert,
+    // insert→delete (dead), and insert→update, fed to the PRODUCT fold
+    // (Cdc.deleteFoldOf) in three different arrival orders — the old
+    // version of this test summed signs with its own groupBy, proving
+    // only that Spark's sum is commutative
+    val events = Seq(
+      (1L, 10L, 10L, "INSERT", 100.0), (1L, 20L, 20L, "DELETE", 100.0),
+      (1L, 30L, 30L, "INSERT", 120.0),
+      (2L, 10L, 10L, "INSERT", 200.0), (2L, 20L, 20L, "DELETE", 200.0),
+      (3L, 5L, 5L, "INSERT", 300.0), (3L, 8L, 8L, "UPDATE", 350.0))
+    def typed(evs: Seq[(Long, Long, Long, String, Double)]) =
+      evs.toDF("o_orderkey", "es", "ts", "type", "o_totalprice")
+        .withColumn("old", when(col("type") === "UPDATE",
+          array(map(lit("o_totalprice"), lit("300.0"))))
+          .otherwise(lit(null)).cast("array<map<string,string>>"))
+    def fold(evs: Seq[(Long, Long, Long, String, Double)]): Set[(Long, Double)] =
+      Cdc.deleteFoldOf(typed(evs)).as[(Long, Double)].collect().toSet
+    val results = Seq(events, events.reverse, events.sortBy(_._5))
+      .map(fold)
+    assert(results.distinct.size == 1, s"order-dependent fold: $results")
+    // k1 reinserted at es=30 (120.0); k2 dead; k3 updated to 350.0
+    assert(results.head == Set((1L, 120.0), (3L, 350.0)), results.head)
   }
 
   test("cdc_scd2 intervals chain correctly per key") {
     val scd = SparkEntry.queries("cdc_scd2")(spark, sf).cache()
-    // exactly one current version per key
+    // exactly one current version per key — PER KEY, not in aggregate
+    // (a count equality passes when one key has two currents and
+    // another none)
     val current = scd.filter(col("is_current"))
-    assert(current.count() == scd.select("o_orderkey").distinct().count())
+    val multi = current.groupBy("o_orderkey").count()
+      .filter(col("count") =!= 1).count()
+    assert(multi == 0, s"$multi keys with !=1 current version")
+    assert(current.select("o_orderkey").distinct().count() ==
+      scd.select("o_orderkey").distinct().count(),
+      "some key has no current version")
     // valid_from < valid_to for all closed intervals
     assert(scd.filter(col("valid_to").isNotNull &&
       col("valid_from") >= col("valid_to")).count() == 0)

@@ -26,4 +26,29 @@ trait GraftSpec extends AnyFunSuite {
     s
   }
   def sf: String = GraftSpec.sf
+
+  /** Epoch microseconds of a Timestamp — reference math must compare at
+    * the fixture's full µs precision (`getTime` truncates to ms, which
+    * silently diverges from operators ordering full timestamps).
+    */
+  def tsUs(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+
+  /** The shared reference cosine over float embeddings (floats widened
+    * to double — the operators' contract); previously copy-pasted in
+    * four tests.
+    */
+  def refCos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The HALF_UP 6dp rounding contract shared with the operators. */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -171,6 +171,11 @@ class PipelineOpsSpec extends GraftSpec {
     bb.put("LIST".getBytes("US-ASCII")).putInt(4)
     bb.put("INFO".getBytes("US-ASCII"))       // 4-byte payload
     bb.put(blob, 36, blob.length - 36)        // data chunk
+    // patch the RIFF size field (+12 for the spliced chunk): the
+    // container must stay SPEC-VALID so a future demuxer that bounds
+    // its walk by the declared size doesn't fail on our own fixture
+    bb.putInt(4, java.nio.ByteBuffer.wrap(blob, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt + 12)
     val (r2, c2, b2, s2) = Multimodal.wavDecode(bb.array())
     assert(r2 == 8000 && c2 == 1 && b2 == 16 && s2.toSeq == q,
       "chunk walk must skip foreign chunks")
