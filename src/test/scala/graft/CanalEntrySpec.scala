@@ -157,16 +157,22 @@ class CanalEntrySpec extends AnyFunSuite {
     // 32 bits are negative: an unchecked `pos += len.toInt` would move
     // the reader BACKWARDS to the same tag — net-zero progress, infinite
     // loop inside the DLQ seam. Must return Left promptly instead.
+    // bound the call EXTERNALLY: if the unchecked-advance bug returns,
+    // decodeSafe never comes back, and an elapsed-time assert placed
+    // after it would hang the suite instead of failing the test
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def bounded(bytes: Array[Byte]) =
+      Await.result(Future(CanalEntry.decodeSafe(bytes)), 10.seconds)
     val crafted = Array[Byte](0x22, 0xFA.toByte, 0xFF.toByte, 0xFF.toByte,
       0xFF.toByte, 0x7F)
-    val t0 = System.nanoTime()
-    val out = CanalEntry.decodeSafe(crafted)
+    val out = bounded(crafted)
     assert(out.isLeft, s"crafted blob decoded as $out")
-    assert((System.nanoTime() - t0) < 1e9, "decodeSafe did not return promptly")
     // same guard through the length-delimited submessage path (field 1)
     val crafted2 = Array[Byte](0x0a, 0xFA.toByte, 0xFF.toByte, 0xFF.toByte,
       0xFF.toByte, 0x7F)
-    assert(CanalEntry.decodeSafe(crafted2).isLeft)
+    assert(bounded(crafted2).isLeft)
   }
 
   test("real-proto Column layout: props (field 7) skipped, value read from 8") {
@@ -228,8 +234,14 @@ class CanalEntrySpec extends AnyFunSuite {
     (1 to 200).foreach { seed =>
       val bytes = genCorrupt.pureApply(Gen.Parameters.default, Seed(seed.toLong))
       CanalEntry.decodeSafe(bytes) match {
-        case Right(env) => assert(env.database.nonEmpty || env.table.nonEmpty
-          || env.es != 0L) // structurally plausible survivors only
+        case Right(env) =>
+          // a survivor must be SELF-CONSISTENT, not merely headered
+          // (the old disjunction restated decodeSafe's own Right-gate,
+          // so it could never fail): its re-encoding must decode back
+          // to the identical envelope
+          val rt = CanalEntry.decodeSafe(CanalEntry.encode(env))
+          assert(rt == Right(env),
+            s"seed $seed: survivor not roundtrip-stable: $rt vs $env")
         case Left(reason) => assert(reason.nonEmpty)
       }
     }

@@ -52,15 +52,22 @@ class CdcPropertySpec extends GraftSpec {
     }
   }
 
-  test("collapsing balance is a pure multiset property (order-free)") {
+  test("collapsing fold is order-free through the REAL operator") {
     import spark.implicits._
+    // drives Cdc.deleteFoldOf itself (the old version summed signs with
+    // its own groupBy — both sides of that assert went through stock
+    // Spark sum, covering no graft code at all)
     samples.foreach { evs =>
-      def bal(es: Seq[Ev]): Map[Long, Long] =
-        es.map(e => (e.key, if (e.isDelete) -1L else 1L))
-          .toDF("key", "sign")
-          .groupBy("key").agg(sum("sign").as("bal"))
-          .as[(Long, Long)].collect().toMap
-      assert(bal(evs) == bal(evs.reverse))
+      def fold(es: Seq[Ev]): Set[(Long, Double)] = {
+        val df = es.map(e => (e.key, e.es, e.seq,
+            if (e.isDelete) "DELETE" else "INSERT", e.es.toDouble))
+          .toDF("o_orderkey", "es", "ts", "type", "o_totalprice")
+          .withColumn("old", lit(null).cast("array<map<string,string>>"))
+        graft.operators.Cdc.deleteFoldOf(df)
+          .as[(Long, Double)].collect().toSet
+      }
+      assert(fold(evs) == fold(evs.reverse),
+        "collapsing fold must not depend on arrival order")
     }
   }
 

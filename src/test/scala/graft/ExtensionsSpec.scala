@@ -210,7 +210,7 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
       assert(r.getString(1) == r.getString(2),
         s"decode: got ${r.getString(1)} want ${r.getString(2)}")
     }
-    // leading zero bytes ↔ leading '1's (0x00 0x00 0x28 0x7f b5 8f = "11233QC4")
+    // leading zero bytes ↔ leading '1's (0x00 0x00 0x28 0x7f 0xb4 0xcd = "11233QC4")
     val z = spark.sql(
       """SELECT base58_encode_native(
            unhex('0000287fb4cd')) AS e,

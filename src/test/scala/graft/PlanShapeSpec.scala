@@ -52,9 +52,15 @@ class PlanShapeSpec extends GraftSpec {
 
   test("join_bucketed joins without shuffling either fact table") {
     val p = plan("join_bucketed")
+    // the strategy itself is part of the invariant: if the merge hint
+    // regresses and the planner broadcasts, indexOf would return -1 and
+    // substring(-1) would throw an opaque JDK error
+    val idx = p.indexOf("SortMergeJoin")
+    assert(idx >= 0,
+      s"bucketed join must plan as SortMergeJoin:\n${p.take(600)}")
     // the only Exchange allowed is the post-aggregation one (on the
     // 5-row grouped result); the join inputs read bucketed files directly
-    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    val joinPart = p.substring(idx)
     assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey")
       && !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
       joinPart.take(800))
@@ -107,7 +113,9 @@ class PlanShapeSpec extends GraftSpec {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     import spark.implicits._
-    graft.plans.TopKPerGroupStrategy.install(spark)
+    // no explicit install: the shared session carries the strategy via
+    // spark.sql.extensions — installing again would mask a regression
+    // in the static-injection path ExtensionsSpec exists to prove
     val gen = Gen.listOfN(200, for {
       g <- Gen.choose(0, 7)
       v <- Gen.choose(-1000, 1000)
@@ -136,10 +144,12 @@ class PlanShapeSpec extends GraftSpec {
   }
 
   test("mv routing stays off for filter-blocked and uncovered aggregates") {
-    // install the routing rule on THIS session deliberately (mv_route
-    // itself now isolates in a clone) so the negative gates below
-    // exercise an installed rule, not its absence
-    graft.operators.MvOps.ensureMv(spark, sf)
+    // stage + REGISTER only: the shared test session already carries
+    // RouteAggregateToMv via the static spark.sql.extensions injection
+    // (inert until a registration exists), so registration alone
+    // activates it — the production path, without double-installing
+    // through experimental.extraOptimizations
+    graft.operators.MvOps.stageMv(spark, sf)
     // a row-level filter cannot be answered post-aggregation → no routing
     val filtered = Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 25)

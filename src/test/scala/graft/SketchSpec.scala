@@ -107,10 +107,13 @@ class SketchSpec extends GraftSpec {
     val sketch = toks.agg(cmUdaf(col("token"))).head.getSeq[Long](0)
     // CM guarantee: never undercounts; overcount ≤ (e/w)·N whp — use a
     // generous deterministic bound of 4·N/w for the fixed fixture
+    // geometry read from the aggregator itself, not restated as magic
+    // literals that could desynchronize from the constructor args
     exact.foreach { case (tok, truth) =>
-      val est = graft.functions.CountMin.estimate(sketch, 4, 256, tok)
+      val est = graft.functions.CountMin.estimate(
+        sketch, agg.depth, agg.width, tok)
       assert(est >= truth, s"$tok undercounted: $est < $truth")
-      assert(est - truth <= 4 * n / 256, s"$tok overcount ${est - truth}")
+      assert(est - truth <= 4 * n / agg.width, s"$tok overcount ${est - truth}")
     }
     // mergeability: two partials == one pass
     val half = exact.keys.toSeq.sorted
