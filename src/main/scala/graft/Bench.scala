@@ -69,6 +69,11 @@ object Bench {
       // the steady-state floor (head would record the coldest rep and
       // persist JIT noise into the at-rest baseline). A failed rep's -1
       // must still dominate: any failure marks the key failed.
+      // Semantics note: the at-rest baseline is only ever WRITTEN by
+      // full runs (args empty), which use reps=1 — so min-vs-head
+      // never mixes across a baseline transition; multi-rep isolation
+      // runs compare against it for triage only (isolated and in-suite
+      // numbers are already not like-for-like).
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => Json.q(k) + ":" + v }

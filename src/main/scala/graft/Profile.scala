@@ -13,6 +13,10 @@ object Profile {
     val qs = SparkEntry.queries
     val keys = if (args.length > 1) args.drop(1).toSeq
                else qs.keys.toSeq.sorted
+    val unknown = keys.toSet -- qs.keySet
+    require(unknown.isEmpty,
+      s"unknown keys: ${unknown.toSeq.sorted.mkString(", ")} — failing " +
+        "up front beats dying mid-loop after minutes of profiling")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

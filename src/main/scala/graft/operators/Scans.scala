@@ -213,13 +213,20 @@ object Scans {
     * dirs older than the cutoff sorted by name, the cutoff). Fails
     * loudly on an empty layout instead of NPEing on `.max`.
     */
+  /** The `day=` partition listing EVERY date-parsing caller must use:
+    * a null-ts row writes `day=__HIVE_DEFAULT_PARTITION__` — not a
+    * date, never age-expired — and an unfiltered listing would crash
+    * LocalDate.parse in whichever operator touches it first.
+    */
+  private[graft] def dayDirs(root: String): Array[java.io.File] =
+    graft.Scratch.listPartitionDirs(root, "day=").filter { f =>
+      scala.util.Try(java.time.LocalDate.parse(f.getName.drop(4))).isSuccess
+    }
+
   private[graft] def dayPartitionCutoff(root: String, retentionDays: Int)
       : (Array[java.io.File], Array[java.io.File], java.time.LocalDate) = {
     def dayOf(f: java.io.File) = java.time.LocalDate.parse(f.getName.drop(4))
-    // a null-ts row writes day=__HIVE_DEFAULT_PARTITION__ — not a date,
-    // never age-expired; admit only parseable day dirs
-    val dirs = graft.Scratch.listPartitionDirs(root, "day=")
-      .filter(f => scala.util.Try(dayOf(f)).isSuccess)
+    val dirs = dayDirs(root)
     require(dirs.nonEmpty, s"no day= partitions under $root")
     val cutoff = dirs.map(dayOf).max.minusDays(retentionDays.toLong)
     (dirs, dirs.filter(f => dayOf(f).isBefore(cutoff)).sortBy(_.getName),
@@ -442,7 +449,7 @@ object Scans {
       .select(col("day"), col("event_id"), col("event_type"))
       .write.partitionBy("day").parquet(root)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(det))
-    val days = graft.Scratch.listPartitionDirs(root, "day=").map(_.getName)
+    val days = dayDirs(root).map(_.getName)
     require(days.nonEmpty, s"no day= partitions under $root")
     // derive the detach window from the OBSERVED span (testdata drops
     // change between rounds — memory/FIXTURES.md): detach the
@@ -801,7 +808,7 @@ object Scans {
       .withColumn("day", to_date(col("ts")))
       .select(col("day"), col("event_id"), col("event_type"), col("value"))
       .write.partitionBy("day").parquet(root)
-    val maxDay = graft.Scratch.listPartitionDirs(root, "day=")
+    val maxDay = dayDirs(root)
       .map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
     (root, maxDay.minusDays(7))
   }

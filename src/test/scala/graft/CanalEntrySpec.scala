@@ -160,11 +160,17 @@ class CanalEntrySpec extends AnyFunSuite {
     // bound the call EXTERNALLY: if the unchecked-advance bug returns,
     // decodeSafe never comes back, and an elapsed-time assert placed
     // after it would hang the suite instead of failing the test
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.DurationInt
-    import scala.concurrent.ExecutionContext.Implicits.global
-    def bounded(bytes: Array[Byte]) =
-      Await.result(Future(CanalEntry.decodeSafe(bytes)), 10.seconds)
+    // dedicated DAEMON thread, not the global ExecutionContext: on
+    // regression the spinning decode would otherwise pin a shared EC
+    // worker for the rest of the suite
+    def bounded(bytes: Array[Byte]) = {
+      val task = new java.util.concurrent.FutureTask(
+        () => CanalEntry.decodeSafe(bytes))
+      val t = new Thread(task, "decode-bound")
+      t.setDaemon(true)
+      t.start()
+      task.get(10, java.util.concurrent.TimeUnit.SECONDS)
+    }
     val crafted = Array[Byte](0x22, 0xFA.toByte, 0xFF.toByte, 0xFF.toByte,
       0xFF.toByte, 0x7F)
     val out = bounded(crafted)
