@@ -295,6 +295,47 @@ object Scans {
       .orderBy(col("o_orderkey"))
   }
 
+  /** ClickHouse `set(N)` skipping index — the third MergeTree
+    * skip-index type next to minmax (scan_manifest_skip) and bloom
+    * (scan_bloom_index): per-file DISTINCT-VALUE SETS of a
+    * low-cardinality column, with the real set(N) overflow rule — a
+    * file whose distinct count exceeds N stores no set and is ALWAYS
+    * admitted (the index declines rather than lies). The probe
+    * consults the index first and opens only admitting files.
+    *
+    * Scale notes: the index builds distributively (one aggregate over
+    * the clustered layout), holds O(files × N) metadata, and the
+    * probe's collect is O(admitting files) — never O(rows) or
+    * O(files × rows). Pruning is only as good as the clustering, same
+    * as ClickHouse: a set index over a column uncorrelated with sort
+    * order admits everything, which the overflow rule makes explicit.
+    */
+  private def scanSetIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir("setidx")}/t"
+    val maxSetSize = 2
+    Tables.orders(s, dir)
+      .repartitionByRange(8, col("o_orderpriority"), col("o_orderkey"))
+      .write.parquet(root)
+    val idx = s.read.parquet(root)
+      .groupBy(input_file_name().as("file"))
+      .agg(collect_set(col("o_orderpriority")).as("vals"))
+      .select(col("file"),
+        when(size(col("vals")) <= maxSetSize, col("vals"))
+          .otherwise(lit(null)).as("vals"))
+    val probe = "1-URGENT"
+    val admitted = idx
+      .filter(col("vals").isNull || array_contains(col("vals"), lit(probe)))
+      .select(col("file")).collect().map(_.getString(0))
+    require(admitted.nonEmpty && admitted.length < 8,
+      "set index must actually prune files")
+    s.read.parquet(admitted.toIndexedSeq: _*)
+      .filter(col("o_orderpriority") === probe)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Manifest-level FILE skipping — the lakehouse table-format mechanic
     * (Iceberg/Delta manifests) one level above scan_bloom_index's
     * row-group pruning: the clustered write is paired with a manifest
@@ -1609,6 +1650,11 @@ object Scans {
       Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
               FROM orders WHERE o_orderkey IN (1, 7, 1000, 999999999)
               ORDER BY o_orderkey""")),
+    QueryDef("scan_set_index", scanSetIndex,
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                 ${Det.oSum("o_totalprice")} AS revenue
+               FROM orders WHERE o_orderpriority = '1-URGENT'
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
     QueryDef("ttl_rollup", ttlRollup,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_type, value FROM events),
