@@ -75,6 +75,20 @@ class AllQueriesSmokeSpec extends GraftSpec {
     */
   private val mayCartesian = Set.empty[String]
 
+  /** Keys whose physical plans legitimately carry a UDF/UDAF marker;
+    * every other key must stay on codegen'd built-ins or native
+    * Catalyst expressions — the "functions, not UDFs" discipline,
+    * machine-checked like the CartesianProduct ban. Members: the
+    * UDF-surface demos themselves (udf_scalar, udaf_typed,
+    * udaf_uniq_upto), typed-Aggregator folds whose sequential
+    * semantics have no built-in spelling (agg_sum_kahan compensated
+    * sum, ts_dtw pair DP, ts_lttb bucket selection, mm_mel_filterbank
+    * DSP fold), and MLlib LSH internals (dedup_minhash, sim_lsh_knn).
+    */
+  private val mayUdf = Set("agg_sum_kahan", "dedup_minhash",
+    "mm_mel_filterbank", "sim_lsh_knn", "ts_dtw", "ts_lttb",
+    "udaf_typed", "udaf_uniq_upto", "udf_scalar")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (key, fn) =>
     test(s"operator $key runs on sf0.001") {
       val df = fn(spark, sf)
@@ -82,6 +96,11 @@ class AllQueriesSmokeSpec extends GraftSpec {
       if (!mayCartesian(key)) assert(!plan.contains("CartesianProduct"),
         s"$key plans a CartesianProduct — broadcast the bounded side " +
           "or add an equi-key:\n" + plan.take(1200))
+      if (!mayUdf(key))
+        assert(!plan.toLowerCase.contains("udf"),
+          s"$key plans a UDF — prefer built-in functions or a native " +
+            "Catalyst expression, or justify an allowlist entry:\n" +
+            plan.take(1200))
       val n = df.count()
       if (!mayBeEmpty(key)) assert(n > 0, s"$key returned no rows")
     }
