@@ -79,6 +79,40 @@ object SortSetOps {
         col("o_orderkey"))
   }
 
+  /** ClickHouse `groupArrayLast(N)` — the last N values per group. CH
+    * tracks insertion order; a distributed engine has none, so the
+    * "last" axis is the explicit (o_orderdate, o_orderkey) event order
+    * (the join_any_left determinism discipline). Built ON the native
+    * bounded-heap TopKPerGroup operator: per-partition heaps keep ≤N
+    * rows each BEFORE the shuffle, so the three hot status groups
+    * never receive the full table (the window-rank formulation would
+    * funnel every row through 3 reducers). The kept rows re-assemble
+    * ascending into the canonical comma-joined string (array-edge
+    * rule), 2dp-decimal-formatted on both engines.
+    */
+  private def aggGroupArrayLast(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder}
+    graft.plans.TopKPerGroupStrategy.install(s)
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+    val analyzed = base.queryExecution.analyzed
+    def a(n: String) = analyzed.output.find(_.name == n).get
+    val node = graft.plans.TopKPerGroup(5, Seq(a("o_orderstatus")),
+      Seq(SortOrder(a("o_orderdate"), Descending),
+        SortOrder(a("o_orderkey"), Descending)), analyzed)
+    org.apache.spark.sql.graft.Bridge.ofRows(s, node)
+      .groupBy(col("o_orderstatus"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("o_orderdate"),
+            col("o_orderkey"), col("o_totalprice")))),
+          x => x.getField("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(20, 2))
+            .cast("string")), ",").as("last5"),
+        count(lit(1)).as("n_kept"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   private def setUnion(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     e.filter(col("value") > 150).select(col("event_type"))
@@ -131,6 +165,19 @@ object SortSetOps {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
                 FROM orders) t
               WHERE rn BETWEEN 3 AND 5 ORDER BY o_orderpriority, rn""")),
+    QueryDef("agg_group_array_last", aggGroupArrayLast,
+      Some("""WITH r AS (SELECT o_orderstatus, o_orderdate, o_orderkey,
+                 o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM orders)
+              SELECT o_orderstatus,
+                array_to_string(list(
+                  CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS VARCHAR)
+                  ORDER BY o_orderdate, o_orderkey), ',') AS last5,
+                COUNT(*) AS n_kept
+              FROM r WHERE rn <= 5
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
     QueryDef("topk_per_group_native", topkPerGroupNative,
       Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
                 SELECT o_orderpriority, o_orderkey, o_totalprice,
