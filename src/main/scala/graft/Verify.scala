@@ -41,6 +41,12 @@ object Verify {
       .map { case (k, v) => s"${Json.q(k)}: ${Json.q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the COMPLETE key list, so the checker can tell a rows-only key
+    // whose job failed (dir deleted above) from one that never existed —
+    // without this, a crashed no-oracle key is invisible to the gate
+    Files.writeString(Paths.get(s"$outDir/keys.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(Json.q)
+        .mkString("[", ",", "]"))
     spark.stop()
   }
 }

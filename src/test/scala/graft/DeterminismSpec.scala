@@ -66,8 +66,16 @@ class DeterminismSpec extends GraftSpec {
         val diff = a.zip(b).zipWithIndex.collect {
           case ((x, y), i) if x != y => s"row $i:\n  4p: $x\n  7p: $y"
         }
-        s"$key differs across partitionings (${diff.size} rows):\n" +
-          diff.take(3).mkString("\n")
+        // zip truncates, so a pure row-count divergence would otherwise
+        // report "0 rows differ" with no detail — show the unpaired tail
+        val sizeNote =
+          if (a.size != b.size)
+            s"sizes differ: 4p=${a.size} 7p=${b.size}; unpaired tail: " +
+              (if (a.size > b.size) a.drop(b.size) else b.drop(a.size))
+                .take(3).mkString("; ") + "\n"
+          else ""
+        s"$key differs across partitionings (${diff.size} paired rows):\n" +
+          sizeNote + diff.take(3).mkString("\n")
       })
     }
   }

@@ -32,7 +32,9 @@ trait GraftSpec extends AnyFunSuite {
     * silently diverges from operators ordering full timestamps).
     */
   def tsUs(t: java.sql.Timestamp): Long =
-    (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    // floorDiv, not /: getTime truncates toward zero, so a pre-epoch
+    // timestamp would round the wrong way and sign-flip its fraction
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   /** The shared reference cosine over float embeddings (floats widened
     * to double — the operators' contract); previously copy-pasted in

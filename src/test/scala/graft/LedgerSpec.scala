@@ -90,8 +90,14 @@ class LedgerSpec extends AnyFunSuite {
     val end = text.indexOf("<!-- GENERATED-INVENTORY:END -->")
     assert(begin >= 0 && end > begin, "inventory markers missing from SURVEY.md")
     val rowRe = """\| `([a-z0-9_]+)` \| `[^`]+` \| (oracled|rows-only) \|""".r
-    val listed = rowRe.findAllMatchIn(text.substring(begin, end))
-      .map(m => m.group(1) -> (m.group(2) == "oracled")).toMap
+    val rows = rowRe.findAllMatchIn(text.substring(begin, end))
+      .map(m => m.group(1) -> (m.group(2) == "oracled")).toSeq
+    // a stale duplicate row would be collapsed last-wins by toMap —
+    // membership and flag checks could both pass while the published
+    // doc shows a contradictory entry
+    val dup = rows.groupBy(_._1).collect { case (k, rs) if rs.size > 1 => k }
+    assert(dup.isEmpty, s"duplicate inventory rows for: ${dup.toSeq.sorted}")
+    val listed = rows.toMap
     val registry = SparkEntry.queries.keySet
     assert(listed.keySet == registry,
       s"inventory drift — missing: ${registry -- listed.keySet}; " +

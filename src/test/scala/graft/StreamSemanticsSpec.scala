@@ -115,12 +115,10 @@ class StreamSemanticsSpec extends GraftSpec {
     // time-ordered two-file feed (an ordered replayable log, Kafka-style)
     // + a far-future sentinel file LAST so the final watermark fires all
     // remaining timers
-    def tUs(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
     val ev = Tables.events(s, sf)
       .select(col("event_id"), col("user_id"), col("ts"))
       .as[(Long, Long, java.sql.Timestamp)].collect()
-      .sortBy(e => (tUs(e._3), e._1))
+      .sortBy(e => (tsUs(e._3), e._1))
     val feed = s"$root/feed"; new java.io.File(feed).mkdirs()
     val (f0, f1) = ev.splitAt(ev.length / 2)
     val sentinel = {
@@ -182,7 +180,7 @@ class StreamSemanticsSpec extends GraftSpec {
       "recovered sessions must equal the uninterrupted run")
     // and both equal an independent sequential sessionization
     val want = ev.groupBy(_._2).flatMap { case (uid, rows) =>
-      val ts = rows.sortBy(e => (tUs(e._3), e._1)).map(e => tUs(e._3))
+      val ts = rows.sortBy(e => (tsUs(e._3), e._1)).map(e => tsUs(e._3))
       val splits = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
         if (t - acc.head.head <= 30L * 60 * 1000 * 1000)
           (t :: acc.head) :: acc.tail

@@ -15,11 +15,6 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        return float(v)
-    return v
-
 def pa_is_nested(t):
     import pyarrow.types as pt
     return (pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t)
@@ -38,7 +33,7 @@ def main():
     for key, sql in sorted(oracle.items()):
         if only and key not in only:
             continue
-        res_glob = glob.glob(f"{out_dir}/{key}/*.parquet")
+        res_glob = sorted(glob.glob(f"{out_dir}/{key}/*.parquet"))
         if not res_glob:
             print(f"[FAIL] {key}: no spark result parquet")
             n_bad += 1
@@ -105,7 +100,7 @@ def main():
         bad = None
         for i, (rw, rg) in enumerate(zip(w, g)):
             for c in wcols:
-                if norm(rw[c]) != norm(rg[c]):
+                if rw[c] != rg[c]:
                     bad = (i, c, rw[c], rg[c])
                     break
             if bad:
@@ -117,22 +112,43 @@ def main():
         else:
             print(f"[ ok ] {key}: {len(w)} rows")
             n_ok += 1
-    # keys with spark output but no oracle (rows-only check)
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        key = os.path.basename(d.rstrip("/"))
-        if key not in oracle:
-            t = duckdb.connect().execute(
-                f"SELECT count(*) FROM read_parquet('{d}*.parquet')"
-            ).fetch_arrow_table()
-            n = t.to_pylist()[0][t.column_names[0]]
-            schema = duckdb.connect().execute(
-                f"SELECT * FROM read_parquet('{d}*.parquet') LIMIT 0"
-            ).fetch_arrow_table().schema
-            nested = [f.name for f in schema if pa_is_nested(f.type)]
-            tag = "ok" if n > 0 else "WARN-EMPTY"
-            note = f" [WARN nested cols: {nested}]" if nested else ""
-            print(f"[{tag:>4}] {key}: rows-only check, {n} rows{note}")
-    print(f"== {n_ok} ok, {n_bad} failed ==")
+    # rows-only keys (registered but no oracle). Enumerate from the
+    # EXPECTED key list when Verify dumped one: a rows-only key whose
+    # Spark job failed has its dir deleted, and scanning surviving dirs
+    # alone would make that failure invisible to the gate.
+    keys_path = f"{out_dir}/keys.json"
+    if os.path.exists(keys_path):
+        all_keys = json.load(open(keys_path))
+        rows_only = [k for k in all_keys if k not in oracle]
+    else:  # legacy dump: best-effort dir scan
+        rows_only = sorted(
+            os.path.basename(d.rstrip("/"))
+            for d in glob.glob(f"{out_dir}/*/")
+            if os.path.basename(d.rstrip("/")) not in oracle)
+    n_warn = 0
+    for key in rows_only:
+        if only and key not in only:
+            continue
+        files = sorted(glob.glob(f"{out_dir}/{key}/*.parquet"))
+        if not files:
+            print(f"[FAIL] {key}: rows-only key produced no result parquet")
+            n_bad += 1
+            continue
+        t = duckdb.connect().execute(
+            f"SELECT count(*) FROM read_parquet({files!r})"
+        ).fetch_arrow_table()
+        n = t.to_pylist()[0][t.column_names[0]]
+        schema = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet({files!r}) LIMIT 0"
+        ).fetch_arrow_table().schema
+        nested = [f.name for f in schema if pa_is_nested(f.type)]
+        tag = "ok" if n > 0 else "WARN-EMPTY"
+        if n == 0 or nested:
+            n_warn += 1
+        note = f" [WARN nested cols: {nested}]" if nested else ""
+        print(f"[{tag:>4}] {key}: rows-only check, {n} rows{note}")
+    warn_note = f", {n_warn} warned" if n_warn else ""
+    print(f"== {n_ok} ok, {n_bad} failed{warn_note} ==")
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
