@@ -31,16 +31,21 @@ final case class QueryDef(
 final class DfCache(maxEntries: Int = 16) {
   private val m = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  def get(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    m.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    if (m.size > maxEntries) {
-      m.forEach { (_, df) =>
-        try { df.unpersist(); () } catch { case _: Throwable => () }
+  def get(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    // one monitor around evict+insert: an unsynchronized overflow pass
+    // could clear() a frame another thread just persisted WITHOUT
+    // unpersisting it — dropping the reference alone leaks the pinned
+    // cache blocks (the exact hazard the class doc describes)
+    this.synchronized {
+      m.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      if (m.size > maxEntries) {
+        m.forEach { (_, df) =>
+          try { df.unpersist(); () } catch { case _: Throwable => () }
+        }
+        m.clear()
       }
-      m.clear()
+      m.computeIfAbsent((s, key), _ => build)
     }
-    m.computeIfAbsent((s, key), _ => build)
-  }
 }
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md). */
@@ -225,7 +230,40 @@ object Scratch {
     * happens to keep its byte size.
     */
   def streamStageRoot(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_stream_${fixtureFingerprint(sfDir)}"
+    versionedRoot("stream", sfDir)
+
+  private val gcDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A cross-run staged root VERSIONED by the fixture fingerprint, with
+    * supersession GC: resolving the root for the current fingerprint
+    * deletes sibling roots of the same kind AND same sfDir basename
+    * carrying a different fingerprint — without this, every testdata
+    * drop permanently orphaned a full staged fixture set on shared tmp
+    * (CSV/JSON/ORC dumps, partitioned events, offset logs), violating
+    * the no-accumulation charter above. Roots for OTHER sfDirs
+    * (different basename) are untouched: sf0.001 tests and sf0.1 bench
+    * legitimately coexist in one JVM. The sweep runs once per
+    * (kind, basename, fingerprint) per JVM.
+    */
+  def versionedRoot(kind: String, sfDir: String): String = {
+    val base = new java.io.File(sfDir).getName.replace(".", "_")
+    val fp = fixtureFingerprint(sfDir)
+    val tmp = sys.props("java.io.tmpdir")
+    val prefix = s"graft_${kind}_${base}_"
+    val name = s"$prefix$fp"
+    if (gcDone.add(name)) {
+      // legacy shapes from before versioning: graft_<kind>_<fp-hex> and
+      // the unversioned shared graft_<kind> root
+      val legacy = ("^graft_" + kind + "_[0-9a-f]{1,16}$").r
+      Option(new java.io.File(tmp).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => (f.getName.startsWith(prefix) ||
+          legacy.matches(f.getName) ||
+          f.getName == s"graft_$kind") && f.getName != name)
+        .foreach(deleteRecursively)
+    }
+    s"$tmp/$name"
+  }
 
   /** Durable small-file write for manifest commit points: the bytes are
     * fsync'd before returning so a subsequent ATOMIC_MOVE can never

@@ -257,7 +257,11 @@ object DedupGraph {
     // are reclaimed by the ContextCleaner once unreferenced
     edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     if (edgeCache.size > 16) edgeCache.clear()
-    edgeCache.computeIfAbsent((s, dir),
+    // fingerprint in the key (the parsedCache discipline): an in-JVM
+    // testdata swap at the same dir must re-derive, not replay stale
+    // checkpointed edges
+    edgeCache.computeIfAbsent(
+      (s, s"$dir@${graft.Scratch.fixtureFingerprint(dir)}"),
       _ => affinityEdges(s, dir).localCheckpoint())
   }
 

@@ -365,23 +365,31 @@ object Joins {
     * [[joinBucketed]] and eagerly by Bench's warm-up so the measured
     * query pays for the join, not the amortized one-time write.
     */
+  private val bucketStageLock = new Object
+
   def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
     val sf = new java.io.File(dir).getName.replace(".", "_")
-    val (tl, to) = (s"graft_li_b_$sf", s"graft_ord_b_$sf")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
-    // guard on BOTH tables: a crash between the two saveAsTable calls
-    // would otherwise leave tl registered but to missing, and every
-    // later call would skip staging and die at s.table(to) with no
-    // self-heal (mode=overwrite makes the re-run safe)
-    if (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to)) {
-      Tables.lineitem(s, dir).write
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$base/$tl")
-        .mode("overwrite").saveAsTable(tl)
-      Tables.orders(s, dir).write
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/$to")
-        .mode("overwrite").saveAsTable(to)
+    // fingerprint-versioned TABLE NAMES (the Stats.ensureAnalyzed rule):
+    // a testdata swap at the same path must resolve to different catalog
+    // tables, or tableExists serves stale bucketed copies of the old drop
+    val fp = graft.Scratch.fixtureFingerprint(dir)
+    val (tl, to) = (s"graft_li_b_${sf}_$fp", s"graft_ord_b_${sf}_$fp")
+    val base = graft.Scratch.versionedRoot("bucketed", dir)
+    // one JVM-wide lock (the Scratch.staged discipline this catalog
+    // stage previously lacked): two sessions racing the stage would
+    // both pass tableExists=false and interleave the saveAsTable pair.
+    // Guarding BOTH tables also self-heals a crash between the writes.
+    bucketStageLock.synchronized {
+      if (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to)) {
+        Tables.lineitem(s, dir).write
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/$tl")
+          .mode("overwrite").saveAsTable(tl)
+        Tables.orders(s, dir).write
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/$to")
+          .mode("overwrite").saveAsTable(to)
+      }
     }
     (tl, to)
   }

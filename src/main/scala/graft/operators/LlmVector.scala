@@ -549,7 +549,11 @@ object LlmVector {
     // entries and cap total size so session churn can't pin sessions
     kmeansCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     if (kmeansCache.size > 16) kmeansCache.clear()
-    kmeansCache.computeIfAbsent((s, dir), _ => kmeansTrain(s, dir, 8, 15))
+    // fingerprint in the key: an in-JVM testdata swap must retrain,
+    // not serve a codebook fitted to the previous drop
+    kmeansCache.computeIfAbsent(
+      (s, s"$dir@${graft.Scratch.fixtureFingerprint(dir)}"),
+      _ => kmeansTrain(s, dir, 8, 15))
   }
 
   /** The training curve itself: per-round SSE. Deterministic but not

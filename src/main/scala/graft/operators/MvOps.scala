@@ -25,8 +25,7 @@ object MvOps {
   // new testdata drop must re-key the staged path (stale-replay guard)
   private def mvPath(dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val fp = graft.Scratch.fixtureFingerprint(dir)
-    s"${sys.props("java.io.tmpdir")}/graft_mv_$fp/lineitem_rfls_$sf"
+    s"${graft.Scratch.versionedRoot("mv", dir)}/lineitem_rfls_$sf"
   }
 
   /** Stage + register the MV (idempotent per sfDir; deterministic
@@ -93,9 +92,9 @@ object MvOps {
     */
   private[graft] def ensureProjection(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val fp = graft.Scratch.fixtureFingerprint(dir)
-    val basePath = s"${sys.props("java.io.tmpdir")}/graft_mv_$fp/events_byday_$sf"
-    val altPath = s"${sys.props("java.io.tmpdir")}/graft_mv_$fp/events_byuser_$sf"
+    val root = graft.Scratch.versionedRoot("mv", dir)
+    val basePath = s"$root/events_byday_$sf"
+    val altPath = s"$root/events_byuser_$sf"
     def ev = Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"),
         col("event_type"), col("value"), col("event_id"))

@@ -40,8 +40,7 @@ object Scans {
   // streamStageRoot already guards against for the stream feeds)
   private def tmp(sfDir: String, kind: String): String = {
     val sf = new java.io.File(sfDir).getName
-    val fp = graft.Scratch.fixtureFingerprint(sfDir)
-    s"${sys.props("java.io.tmpdir")}/graft_scan_$fp/${kind}_$sf"
+    s"${graft.Scratch.versionedRoot("scan", sfDir)}/${kind}_$sf"
   }
 
   /** ClickHouse `system.numbers` / `numbers(N)` — the generator table

@@ -51,7 +51,18 @@ object MvRouting {
     * runs after the main optimizer batches; extensions-based injection is
     * static-conf-only and absent in driver sessions).
     */
+  /** Per-session activation flag. The MV REGISTRY is JVM-global (like a
+    * metastore) and the extensions-injected rule rides every session of
+    * an extensions-configured JVM — without a session-scoped gate, one
+    * stageMv call would arm transparent rewriting of the real base path
+    * in EVERY session, making plan shapes run-order-dependent across
+    * suites. Registration declares the MV; only enable() opts a session
+    * into routing.
+    */
+  private[graft] val EnabledKey = "spark.graft.mv.routing.enabled"
+
   def enable(s: SparkSession): Unit = {
+    s.conf.set(EnabledKey, "true")
     val cur = s.experimental.extraOptimizations
     if (!cur.contains(RouteAggregateToMv))
       s.experimental.extraOptimizations = cur :+ RouteAggregateToMv
@@ -87,7 +98,17 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // session opt-in gate (MvRouting.EnabledKey): the statically
+    // injected copy of this rule is present in every session of an
+    // extensions-configured JVM, but must stay inert until THIS
+    // session called MvRouting.enable
+    if (conf.getConfString(MvRouting.EnabledKey, "false") != "true")
+      return plan
+    applyRouting(plan)
+  }
+
+  private def applyRouting(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // EXACTLY one root path, and it is the registered base: a multi-root
     // scan (read.parquet(base, other)) only partially overlaps the MV —
     // re-targeting it would silently drop the other roots' rows

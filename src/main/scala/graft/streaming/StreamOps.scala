@@ -57,7 +57,11 @@ object StreamOps {
   private val tsNanosCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def eventsTsIsNanos(s: SparkSession, dir: String): Boolean =
-    tsNanosCache.computeIfAbsent(dir, _ => {
+    // fingerprint in the key: a testdata drop that re-encodes events.ts
+    // at the same path (observed round 7, NANOS→MICROS) must re-probe,
+    // or a live JVM reads the new encoding with the stale schema choice
+    tsNanosCache.computeIfAbsent(
+      s"$dir@${graft.Scratch.fixtureFingerprint(dir)}", _ => {
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "true")
@@ -96,14 +100,17 @@ object StreamOps {
     */
   private def eventsDir(dir: String): String = {
     val sf = new java.io.File(dir).getName
-    val d = java.nio.file.Paths.get(
-      s"${graft.Scratch.streamStageRoot(dir)}/events_src_$sf")
-    java.nio.file.Files.createDirectories(d)
-    val link = d.resolve("events_0.parquet")
-    if (!java.nio.file.Files.exists(link))
+    val d = s"${graft.Scratch.streamStageRoot(dir)}/events_src_$sf"
+    // staged(): marker + per-path lock — the bare createSymbolicLink
+    // raced two sessions in one JVM (FileAlreadyExistsException) and
+    // trusted partial state after a crash. Wipe-first = idempotent.
+    graft.Scratch.staged(d) {
+      graft.Scratch.deleteRecursively(new java.io.File(d))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
       java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    d.toString
+        java.nio.file.Paths.get(s"$d/events_0.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    }
   }
 
   private def eventsStream(s: SparkSession, dir: String): DataFrame =
@@ -1423,12 +1430,16 @@ object StreamOps {
   private def outerEventsDir(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
     val d = s"${graft.Scratch.streamStageRoot(dir)}/events_outer_$sf"
-    if (!new java.io.File(s"$d/events_1.parquet").exists()) {
+    // staged(): the old guard was the non-atomically-copied data file
+    // itself — a crash mid-copy left a truncated events_1.parquet that
+    // every later run trusted (the exact class Scratch.staged exists
+    // for), and two sessions could race the link/copy. Wipe-first.
+    graft.Scratch.staged(d) {
+      graft.Scratch.deleteRecursively(new java.io.File(d))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
-      val link = java.nio.file.Paths.get(s"$d/events_0.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(
-          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$d/events_0.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
       // sentinel rows (+30 days past max ts) in the SAME physical ts
       // encoding as the fixture drop, so both files stream as one schema
       val (rows, schema) =

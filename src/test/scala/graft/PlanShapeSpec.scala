@@ -144,12 +144,12 @@ class PlanShapeSpec extends GraftSpec {
   }
 
   test("mv routing stays off for filter-blocked and uncovered aggregates") {
-    // stage + REGISTER only: the shared test session already carries
-    // RouteAggregateToMv via the static spark.sql.extensions injection
-    // (inert until a registration exists), so registration alone
-    // activates it — the production path, without double-installing
-    // through experimental.extraOptimizations
-    graft.operators.MvOps.stageMv(spark, sf)
+    // explicit per-session opt-in (MvRouting.EnabledKey): registration
+    // is JVM-global but the rule stays inert in every session that did
+    // not call enable() — this test opts the shared session in to
+    // exercise the negative gates; newSession() clones do NOT inherit
+    // the runtime flag, so other suites stay unrouted
+    graft.operators.MvOps.ensureMv(spark, sf)
     // a row-level filter cannot be answered post-aggregation → no routing
     val filtered = Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 25)
