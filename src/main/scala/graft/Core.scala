@@ -31,21 +31,25 @@ final case class QueryDef(
 final class DfCache(maxEntries: Int = 16) {
   private val m = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  def get(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    // one monitor around evict+insert: an unsynchronized overflow pass
-    // could clear() a frame another thread just persisted WITHOUT
-    // unpersisting it — dropping the reference alone leaks the pinned
-    // cache blocks (the exact hazard the class doc describes)
-    this.synchronized {
-      m.keySet.removeIf(k => k._1.sparkContext.isStopped)
-      if (m.size > maxEntries) {
-        m.forEach { (_, df) =>
+  def get(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    m.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (m.size > maxEntries) {
+      // evict by snapshot, removing and unpersisting entry-by-entry: a
+      // blanket unpersist-all + clear() could drop a frame another
+      // thread inserted between the two steps WITHOUT unpersisting it
+      // (leaking its pinned cache blocks), and wrapping the whole get in
+      // one monitor would serialize unrelated builds — Cdc.parsed runs
+      // full Spark jobs inside `build`, so a global lock stalls every
+      // concurrent caller for the duration of one materialization
+      import scala.jdk.CollectionConverters._
+      m.keySet.asScala.toList.foreach { k =>
+        Option(m.remove(k)).foreach { df =>
           try { df.unpersist(); () } catch { case _: Throwable => () }
         }
-        m.clear()
       }
-      m.computeIfAbsent((s, key), _ => build)
     }
+    m.computeIfAbsent((s, key), _ => build)
+  }
 }
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md). */
@@ -245,19 +249,37 @@ object Scratch {
     * legitimately coexist in one JVM. The sweep runs once per
     * (kind, basename, fingerprint) per JVM.
     */
-  def versionedRoot(kind: String, sfDir: String): String = {
+  def versionedRoot(kind: String, sfDir: String): String =
+    versionedRoot(kind, sfDir, fixtureFingerprint(sfDir))
+
+  /** Overload taking a precomputed fingerprint so hot callers that also
+    * need `fp` for their own keys (ensureBucketed's catalog table names)
+    * stat the fixture directory once, not twice, per call.
+    */
+  def versionedRoot(kind: String, sfDir: String, fp: String): String = {
     val base = new java.io.File(sfDir).getName.replace(".", "_")
-    val fp = fixtureFingerprint(sfDir)
     val tmp = sys.props("java.io.tmpdir")
     val prefix = s"graft_${kind}_${base}_"
     val name = s"$prefix$fp"
-    if (gcDone.add(name)) {
+    // fp == "0" is fixtureFingerprint's listing-failure sentinel (the
+    // driver may be mid-swap on the fixture dir): NEVER GC on it — a
+    // sweep keyed to the sentinel would delete the CURRENT valid root
+    // while queries read it, and the sentinel root itself stays small
+    // because real fingerprints resume once the dir is listable again
+    if (fp != "0" && gcDone.add(name)) {
+      val hex = "^[0-9a-f]{1,16}$".r
       // legacy shapes from before versioning: graft_<kind>_<fp-hex> and
       // the unversioned shared graft_<kind> root
       val legacy = ("^graft_" + kind + "_[0-9a-f]{1,16}$").r
       Option(new java.io.File(tmp).listFiles())
         .getOrElse(Array.empty[java.io.File])
-        .filter(f => (f.getName.startsWith(prefix) ||
+        // same-basename siblings must carry a pure-hex remainder: a bare
+        // startsWith(prefix) would also admit OTHER sfDirs whose
+        // sanitized basename extends this one (sf0.1 vs sf0.1.v2 both
+        // sanitize into the graft_<kind>_sf0_1_ prefix space), deleting
+        // a live root out from under that sfDir's readers
+        .filter(f => ((f.getName.startsWith(prefix) &&
+          hex.matches(f.getName.stripPrefix(prefix))) ||
           legacy.matches(f.getName) ||
           f.getName == s"graft_$kind") && f.getName != name)
         .foreach(deleteRecursively)

@@ -374,13 +374,29 @@ object Joins {
     // tables, or tableExists serves stale bucketed copies of the old drop
     val fp = graft.Scratch.fixtureFingerprint(dir)
     val (tl, to) = (s"graft_li_b_${sf}_$fp", s"graft_ord_b_${sf}_$fp")
-    val base = graft.Scratch.versionedRoot("bucketed", dir)
+    // pass the fingerprint through: versionedRoot would otherwise stat
+    // the fixture dir a second time on this measured joinBucketed path
+    val base = graft.Scratch.versionedRoot("bucketed", dir, fp)
     // one JVM-wide lock (the Scratch.staged discipline this catalog
     // stage previously lacked): two sessions racing the stage would
     // both pass tableExists=false and interleave the saveAsTable pair.
     // Guarding BOTH tables also self-heals a crash between the writes.
     bucketStageLock.synchronized {
       if (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to)) {
+        // drop SUPERSEDED catalog entries first: versionedRoot's GC
+        // deletes the old fingerprint's files but the shared catalog
+        // still lists the old external tables — left behind, they
+        // dangle at deleted paths (catalog enumeration errors) and
+        // accumulate one pair per testdata swap for the JVM's lifetime
+        val hex = "^[0-9a-f]{1,16}$".r
+        def superseded(n: String, prefix: String, cur: String) =
+          n != cur && n.startsWith(prefix) &&
+            hex.matches(n.stripPrefix(prefix)) // not another sfDir whose
+              // sanitized name extends this one (the versionedRoot rule)
+        s.catalog.listTables().collect().map(_.name)
+          .filter(n => superseded(n, s"graft_li_b_${sf}_", tl) ||
+            superseded(n, s"graft_ord_b_${sf}_", to))
+          .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
         Tables.lineitem(s, dir).write
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$base/$tl")

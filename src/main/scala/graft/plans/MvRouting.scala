@@ -67,6 +67,13 @@ object MvRouting {
     if (!cur.contains(RouteAggregateToMv))
       s.experimental.extraOptimizations = cur :+ RouteAggregateToMv
   }
+
+  /** Opt the session back out (the EnabledKey gate makes the installed
+    * rule inert). Tests that enable routing on a SHARED session must
+    * disable in a finally — the flag otherwise outlives the test and
+    * makes every later suite's plan shapes run-order-dependent.
+    */
+  def disable(s: SparkSession): Unit = s.conf.set(EnabledKey, "false")
 }
 
 object RouteAggregateToMv extends Rule[LogicalPlan] {
@@ -112,10 +119,17 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     // EXACTLY one root path, and it is the registered base: a multi-root
     // scan (read.parquet(base, other)) only partially overlaps the MV —
     // re-targeting it would silently drop the other roots' rows
+    // mvPath must still EXIST: the JVM-global registry can briefly point
+    // at a root that Scratch.versionedRoot's supersession GC already
+    // deleted (testdata swap re-fingerprints the root before stageMv
+    // re-registers). Routing then would crash the query at the rewritten
+    // scan; falling through to the base table is merely unrouted and
+    // always correct. One driver-side stat per candidate rewrite.
     case agg: Aggregate
         if baseScan(agg.child).exists(fs =>
           fs.location.rootPaths.length == 1 &&
-            forPath(fs.location.rootPaths.head.toString).isDefined) =>
+            forPath(fs.location.rootPaths.head.toString)
+              .exists(d => PathRegistry.targetExists(d.mvPath))) =>
       val fs = baseScan(agg.child).get
       val mv = forPath(fs.location.rootPaths.head.toString).get
       rewrite(agg, agg.groupingExpressions, agg.aggregateExpressions, mv)

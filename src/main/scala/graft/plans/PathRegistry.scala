@@ -12,3 +12,15 @@ private[plans] final class PathRegistry[T] {
   def put(basePath: String, d: T): Unit = { m.put(norm(basePath), d); () }
   def forPath(p: String): Option[T] = Option(m.get(norm(p)))
 }
+
+private[plans] object PathRegistry {
+  /** Staleness guard for routing targets: the registries are JVM-global
+    * but the staged roots they point at are versioned and GC'd by
+    * Scratch.versionedRoot on testdata supersession — between the GC
+    * sweep and the re-stage/re-register, a registry entry can dangle.
+    * Routing must then fall through (unrouted is always correct);
+    * rewriting to a deleted path crashes the query inside the optimizer.
+    */
+  def targetExists(p: String): Boolean =
+    new java.io.File(p.stripPrefix("file:")).exists()
+}

@@ -46,11 +46,25 @@ object ProjectionRouting {
 
   def forPath(p: String): Option[ProjDef] = registry.forPath(p)
 
+  /** Per-session activation flag (the MvRouting.EnabledKey pattern): the
+    * registry is JVM-global and the extensions-injected rule rides every
+    * session of an extensions-configured JVM, so without a session gate
+    * one ensureProjection call would arm transparent scan re-targeting
+    * in EVERY session — run-order-dependent plan shapes across suites.
+    */
+  private[graft] val EnabledKey = "spark.graft.projection.routing.enabled"
+
   def enable(s: SparkSession): Unit = {
+    s.conf.set(EnabledKey, "true")
     val cur = s.experimental.extraOptimizations
     if (!cur.contains(RouteFilterToProjection))
       s.experimental.extraOptimizations = cur :+ RouteFilterToProjection
   }
+
+  /** Opt the session back out; shared-session tests must call this in a
+    * finally (see MvRouting.disable).
+    */
+  def disable(s: SparkSession): Unit = s.conf.set(EnabledKey, "false")
 }
 
 object RouteFilterToProjection extends Rule[LogicalPlan] {
@@ -77,12 +91,24 @@ object RouteFilterToProjection extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // session opt-in gate: the statically injected copy of this rule is
+    // present in every session of an extensions-configured JVM, but must
+    // stay inert until THIS session called ProjectionRouting.enable
+    if (conf.getConfString(ProjectionRouting.EnabledKey, "false") != "true")
+      return plan
+    applyRouting(plan)
+  }
+
+  private def applyRouting(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) =>
       baseRel(child) match {
         case Some((rel, d))
             if cond.references.exists(_.name == d.altCol)
-              && !cond.references.exists(_.name == d.baseCol) =>
+              && !cond.references.exists(_.name == d.baseCol)
+              // altPath may have been superseded-GC'd between registry
+              // writes (see PathRegistry.targetExists) — stay unrouted
+              && PathRegistry.targetExists(d.altPath) =>
           // fresh resolved projection scan; the original exprIds are
           // re-established by aliasing each projection attribute back to
           // the base attribute's id, so the Filter (and everything above

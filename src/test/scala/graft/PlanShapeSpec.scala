@@ -146,25 +146,29 @@ class PlanShapeSpec extends GraftSpec {
   test("mv routing stays off for filter-blocked and uncovered aggregates") {
     // explicit per-session opt-in (MvRouting.EnabledKey): registration
     // is JVM-global but the rule stays inert in every session that did
-    // not call enable() — this test opts the shared session in to
-    // exercise the negative gates; newSession() clones do NOT inherit
-    // the runtime flag, so other suites stay unrouted
+    // not call enable() — this test opts the SHARED session in to
+    // exercise the negative gates, so it must opt back out in finally:
+    // the flag (and the real-lineitem registration) otherwise outlives
+    // the test and any later suite's unfiltered lineitem aggregate
+    // would silently scan graft_mv_* depending on suite run order
     graft.operators.MvOps.ensureMv(spark, sf)
-    // a row-level filter cannot be answered post-aggregation → no routing
-    val filtered = Tables.lineitem(spark, sf)
-      .filter(col("l_quantity") > 25)
-      .groupBy(col("l_returnflag"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-    assert(filtered.queryExecution.executedPlan.toString
-      .contains("lineitem.parquet"), "filtered aggregate must not route")
-    // grouping outside the MV key set → no routing
-    val otherGroup = Tables.lineitem(spark, sf)
-      .groupBy(col("l_shipdate"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-    assert(otherGroup.queryExecution.executedPlan.toString
-      .contains("lineitem.parquet"), "uncovered grouping must not route")
+    try {
+      // row-level filter cannot be answered post-aggregation → no routing
+      val filtered = Tables.lineitem(spark, sf)
+        .filter(col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"), "filtered aggregate must not route")
+      // grouping outside the MV key set → no routing
+      val otherGroup = Tables.lineitem(spark, sf)
+        .groupBy(col("l_shipdate"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      assert(otherGroup.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"), "uncovered grouping must not route")
+    } finally graft.plans.MvRouting.disable(spark)
   }
 
   test("topk_per_group_native: partial heap below the exchange, final above") {
@@ -297,6 +301,13 @@ class PlanShapeSpec extends GraftSpec {
   test("projection_route: each predicate shape reads its matching layout") {
     SparkEntry.queries("projection_route")(spark, sf) // stages + registers
     val basePath = graft.operators.MvOps.ensureProjection(spark, sf)
+    try { projectionRouteBody(basePath) }
+    finally graft.plans.ProjectionRouting.disable(spark)
+  }
+
+  // shared-session opt-out discipline: ensureProjection arms routing on
+  // `spark`, so the assertions run inside a try/finally disable
+  private def projectionRouteBody(basePath: String): Unit = {
     val base = spark.read.parquet(basePath)
     // user point lookup → must scan the user-clustered projection copy
     val byUser = base.filter(col("user_id") === 7L)

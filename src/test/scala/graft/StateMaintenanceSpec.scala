@@ -23,6 +23,60 @@ class StateMaintenanceSpec extends GraftSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
       .map(_.getName).toSet
 
+  test("versionedRoot GC: same-basename hex siblings only; sentinel skips") {
+    val tmp = sys.props("java.io.tmpdir")
+    // unique kind per run: the sweep memoizes per (kind, basename, fp)
+    val kind = s"vrt${System.nanoTime() % 1000000}"
+    val sfDir = s"$tmp/graft_vrt_src/sf0.1" // only the basename matters
+    def mk(name: String) = {
+      val f = new java.io.File(s"$tmp/$name"); f.mkdirs(); f
+    }
+    val stale = mk(s"graft_${kind}_sf0_1_abc123") // superseded fingerprint
+    val other = mk(s"graft_${kind}_sf0_1_v2_deadbeef") // OTHER sfDir whose
+      // sanitized basename extends this one — must never be swept
+    val legacyRoot = mk(s"graft_$kind") // pre-versioning shared root
+    val cur = graft.Scratch.versionedRoot(kind, sfDir, "fffe12")
+    try {
+      assert(!stale.exists(), "superseded same-basename root must be GC'd")
+      assert(other.exists(),
+        "a different sfDir extending this basename must survive the sweep")
+      assert(!legacyRoot.exists(), "legacy unversioned root must be GC'd")
+      // fp "0" is the listing-failure sentinel: resolving under it must
+      // never delete the current valid root out from under live readers
+      val live = mk(s"graft_${kind}_sf0_1_aa")
+      val sentinel = graft.Scratch.versionedRoot(kind, sfDir, "0")
+      assert(live.exists(), "sentinel fingerprint must never GC")
+      assert(sentinel.endsWith("_0"))
+      graft.Scratch.deleteRecursively(live)
+    } finally Seq(new java.io.File(cur), other)
+      .foreach(graft.Scratch.deleteRecursively)
+  }
+
+  test("mv routing falls through when the registered MV path was GC'd") {
+    import org.apache.spark.sql.types.DecimalType
+    val s = spark.newSession() // routing armed on a clone only
+    val scratch = graft.Scratch.dir("mvstale")
+    val basePath = s"$scratch/base"
+    spark.range(10)
+      .select((col("id") % 2).as("g"), col("id").cast("double").as("v"))
+      .write.parquet(basePath)
+    // registry entry dangles: mvPath was superseded-GC'd before re-stage
+    graft.plans.MvRouting.register(graft.plans.MvRouting.MvDef(
+      basePath = basePath, mvPath = s"$scratch/missing_mv",
+      groupCols = Set("g"), sumMap = Map("v" -> "sum_v"), countCol = "n"))
+    graft.plans.MvRouting.enable(s)
+    val q = s.read.parquet(basePath).groupBy(col("g"))
+      .agg(sum(col("v").cast(DecimalType(30, 6))).as("sv"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g"))
+    // must not crash inside the optimizer; must scan the base, unrouted
+    assert(q.queryExecution.executedPlan.toString.contains("base"),
+      "dangling MV registration must fall through to the base scan")
+    val rows = q.collect().map(r =>
+      (r.getLong(0), r.getDecimal(1).doubleValue, r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, 20.0, 5L), (1L, 25.0, 5L)))
+  }
+
   test("bucketed CDC upsert rewrites only touched buckets; replay idempotent") {
     val state = java.nio.file.Files
       .createTempDirectory("graft_cdc_state_test").toString
