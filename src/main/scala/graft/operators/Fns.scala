@@ -369,6 +369,46 @@ object Fns {
           .as("n_vowels"))
       .orderBy(col("c_custkey"))
 
+  /** ClickHouse `normalizeQuery` / `normalizedQueryHash` — query-log
+    * fingerprinting: string literals and numeric literals collapse to
+    * `?` and literal LISTS to `?..`, so structurally-identical queries
+    * group under one fingerprint regardless of their parameter values
+    * (the system.query_log analysis workflow). Two deterministic query
+    * shapes are rendered per order row (a SELECT with an IN-list and an
+    * UPDATE — INTEGER parameters only: integer→string rendering is
+    * identical across engines, double formatting is not), then the
+    * normalization chain runs: quoted strings → `?`, numbers → `?`
+    * (leading-context alternation, since RE2 lacks lookbehind),
+    * `?, ?, …` lists → `?..`. Fingerprint = md5 of the normalized text.
+    *
+    * Scale notes: pure map-side codegen'd projection + one hash
+    * aggregate over O(distinct shapes) groups — the 100 TB query log
+    * reduces to its fingerprint dictionary in a single pass.
+    */
+  private def fnNormalizeQuery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val raw = o.select(
+      concat(lit("SELECT * FROM t WHERE k = "), col("o_orderkey"),
+        lit(" AND p = '"), col("o_orderpriority"),
+        lit("' AND id IN ("), col("o_orderkey"), lit(", "),
+        (col("o_orderkey") + 1), lit(", "), (col("o_orderkey") + 2),
+        lit(")")).as("q"))
+      .unionByName(o.select(
+        concat(lit("UPDATE t SET v = "), (col("o_orderkey") + 7),
+          lit(" WHERE k = "), col("o_orderkey")).as("q")))
+    val nq = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("q"), "'[^']*'", "?"),
+        "(^|[^a-zA-Z0-9_])[0-9]+(\\.[0-9]+)?", "$1?"),
+      "\\?(\\s*,\\s*\\?)+", "?..")
+    raw.select(nq.as("normalized"))
+      .groupBy(col("normalized"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("normalized"), md5(col("normalized")).as("fingerprint"),
+        col("n"))
+      .orderBy(col("normalized"))
+  }
+
   /** ClickHouse `arrayEnumerateUniq` / `arrayEnumerateDense` — per-token
     * occurrence numbering (1st/2nd/… appearance of each value) and
     * first-appearance dense rank, emitted as canonical CSV strings. Both
@@ -954,6 +994,29 @@ object Fns {
                 len(regexp_extract_all(lower(c_mktsegment), '[aeiou]'))
                   AS n_vowels
               FROM customer ORDER BY c_custkey""")),
+    QueryDef("fn_normalize_query", fnNormalizeQuery,
+      Some("""WITH raw AS (
+                SELECT 'SELECT * FROM t WHERE k = ' || o_orderkey ||
+                  ' AND p = ''' || o_orderpriority ||
+                  ''' AND id IN (' || o_orderkey || ', ' ||
+                  (o_orderkey + 1) || ', ' || (o_orderkey + 2) || ')' AS q
+                FROM orders
+                UNION ALL
+                SELECT 'UPDATE t SET v = ' || (o_orderkey + 7) ||
+                  ' WHERE k = ' || o_orderkey
+                FROM orders
+              ),
+              norm AS (
+                SELECT regexp_replace(
+                  regexp_replace(
+                    regexp_replace(q, '''[^'']*''', '?', 'g'),
+                    '(^|[^a-zA-Z0-9_])[0-9]+(\.[0-9]+)?', '\1?', 'g'),
+                  '\?(\s*,\s*\?)+', '?..', 'g') AS normalized
+                FROM raw
+              )
+              SELECT normalized, md5(normalized) AS fingerprint,
+                COUNT(*) AS n
+              FROM norm GROUP BY normalized ORDER BY normalized""")),
     QueryDef("fn_array_enumerate", fnArrayEnumerate,
       Some("""WITH t AS (SELECT doc_id,
                  list_slice(string_split(text, ' '), 1, 40) AS arr

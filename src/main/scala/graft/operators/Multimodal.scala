@@ -164,6 +164,31 @@ object Multimodal {
     (w, h, sum.toDouble / (w * h * 3), p00)
   }
 
+  /** The grayscale pixel plane from a P6 blob — same real parser as
+    * [[ppmDecode]], but returning every pixel (R channel of each RGB
+    * triple; the encoder writes gray as R=G=B) for whole-image feature
+    * extraction (perceptual hashing).
+    */
+  private def ppmDecodePixels(blob: Array[Byte]): Array[Int] = {
+    require(blob(0) == 'P' && blob(1) == '6', "not a P6 PPM")
+    var pos = 2
+    def nextInt(): Int = {
+      while (blob(pos).toChar.isWhitespace) pos += 1
+      var v = 0
+      while (pos < blob.length && blob(pos).toChar.isDigit) {
+        v = v * 10 + (blob(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
+    require(maxVal == 255, s"unsupported maxval $maxVal")
+    pos += 1
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) { px(i) = blob(pos + i * 3) & 0xff; i += 1 }
+    px
+  }
+
   private val imageSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("width", IntegerType),
@@ -186,6 +211,82 @@ object Multimodal {
       }(enc)
       .withColumn("mean_pixel", round(col("mean_pixel"), 6))
       .orderBy(col("vec_id"))
+  }
+
+  /** Image NEAR-DUPLICATE detection via perceptual hash — the multimodal
+    * twin of dedup_simhash, the step a multimodal training pipeline runs
+    * to drop visually-identical images before packing: each embedding
+    * (plus a planted near-duplicate twin, dim 0 perturbed by +0.004 ≈
+    * one quantization step) becomes a REAL 8×8 grayscale image through
+    * [[ppmEncode]], the decoded pixel plane ([[ppmDecodePixels]], the
+    * actual parser) hashes to 64 mean-threshold bits (aHash) packed as
+    * FOUR 16-bit bands, and candidate pairs meet ONLY on (band index,
+    * band value) equality — hamming distance ≤ 3 guarantees a band
+    * collision (pigeonhole over 4 bands), larger distances are found
+    * opportunistically, the standard banding recall trade. Exact hamming
+    * distance verifies candidates; pairs at ≤ 6 emit.
+    *
+    * The mean threshold is compared in EXACT INTEGERS (p·64 > Σp, no
+    * division), so every post-quantization step is integer math and the
+    * oracle restates the whole chain relationally (quantize255's
+    * GREATEST/LEAST/FLOOR spelling) — bit-identical across engines.
+    *
+    * Scale notes: hashing is one mapPartitions pass over the blobs (the
+    * codec batch shape — blobs never shuffle); the self-join touches
+    * only band-equal candidates, never all pairs, and 16-bit bands keep
+    * bucket skew bounded by true near-dup cluster size. At 100 TB the
+    * hash table is 4 ints per image — the join input is O(images), not
+    * O(pixels).
+    */
+  private def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val tagged = emb.select(col("vec_id"), col("embedding"),
+        lit(false).as("pert"))
+      .unionByName(emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"), lit(true).as("pert")))
+    val hashSchema = StructType(Seq(
+      StructField("id", LongType), StructField("b0", IntegerType),
+      StructField("b1", IntegerType), StructField("b2", IntegerType),
+      StructField("b3", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(hashSchema)
+    val hashes = tagged.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray
+        if (r.getAs[Boolean]("pert")) raw(0) += 0.004
+        val px = ppmDecodePixels(ppmEncode(raw.toSeq))
+        val sum = { var t = 0L; var i = 0
+          while (i < px.length) { t += px(i); i += 1 }; t }
+        val bands = new Array[Int](4)
+        var i = 0
+        while (i < 64) {
+          if (px(i).toLong * 64L > sum) bands(i / 16) |= (1 << (i % 16))
+          i += 1
+        }
+        Row(r.getAs[Long]("vec_id"), bands(0), bands(1), bands(2), bands(3))
+      }
+    }(enc)
+    val stacked = hashes
+      .select(col("id"),
+        array(col("b0"), col("b1"), col("b2"), col("b3")).as("bands"))
+      .select(col("id"), col("bands"),
+        posexplode(col("bands")).as(Seq("j", "v")))
+    val cand = stacked
+      .select(col("id").as("id_a"), col("j"), col("v"),
+        col("bands").as("ba"))
+      .join(stacked.select(col("id").as("id_b"), col("j"), col("v"),
+        col("bands").as("bb")), Seq("j", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ba"), col("bb"))
+      .distinct() // a pair colliding in several bands is one candidate
+    cand
+      .withColumn("hamming",
+        expr("""aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)),
+                0, (acc, d) -> acc + d)""").cast("long"))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** REAL PNG codec path — no stub: JDK 17 ships `javax.imageio` with
@@ -889,6 +990,51 @@ object Multimodal {
                 round((px[1] + px[2] + px[9] + px[10]) / 4.0, 6) AS p00,
                 round(list_aggregate(px, 'sum') / 64.0, 6) AS mean_pixel
               FROM q ORDER BY vec_id""")),
+    // perceptual-hash near-dup: every post-quantization step is integer
+    // (mean threshold as p·64 > Σp), so the full chain — pixels, aHash
+    // bits, 16-bit bands, band-collision candidates, exact hamming —
+    // restates relationally; both engines run the SAME banding, so
+    // recall trades cancel out of the compare
+    QueryDef("mm_phash_dedup", mmPhashDedup,
+      Some("""WITH src AS (
+                SELECT vec_id AS id, vec_id AS sid, FALSE AS pert
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, vec_id, TRUE FROM embeddings
+              ),
+              px AS (
+                SELECT s.id, g.i,
+                  CAST(GREATEST(0.0, LEAST(255.0, FLOOR((
+                    CAST(e.embedding[g.i + 1] AS DOUBLE)
+                    + CASE WHEN s.pert AND g.i = 0 THEN 0.004 ELSE 0.0 END
+                    + 1.0) * 127.5))) AS BIGINT) AS p
+                FROM src s JOIN embeddings e ON e.vec_id = s.sid
+                CROSS JOIN (SELECT UNNEST(range(64)) AS i) g
+              ),
+              tot AS (SELECT id, SUM(p) AS s FROM px GROUP BY id),
+              bits AS (
+                SELECT px.id, CAST(px.i // 16 AS INTEGER) AS j,
+                  CAST(SUM(CASE WHEN px.p * 64 > tot.s
+                    THEN CAST(1 AS BIGINT) << CAST(px.i % 16 AS INTEGER)
+                    ELSE 0 END) AS BIGINT) AS v
+                FROM px JOIN tot ON tot.id = px.id
+                GROUP BY px.id, px.i // 16
+              ),
+              cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM bits a
+                JOIN bits b ON a.j = b.j AND a.v = b.v AND a.id < b.id
+              ),
+              ham AS (
+                SELECT c.id_a, c.id_b,
+                  CAST(SUM(bit_count(xor(x.v, y.v))) AS BIGINT) AS hamming
+                FROM cand c
+                JOIN bits x ON x.id = c.id_a
+                JOIN bits y ON y.id = c.id_b AND y.j = x.j
+                GROUP BY c.id_a, c.id_b
+              )
+              SELECT id_a, id_b, hamming FROM ham
+              WHERE hamming <= 6 ORDER BY id_a, id_b""")),
     QueryDef("mm_image_roundtrip", mmImageRoundtrip,
       Some("""WITH q AS (SELECT vec_id,
                 list_transform(CAST(embedding AS DOUBLE[]),

@@ -322,11 +322,17 @@ object Scans {
         when(size(col("vals")) <= maxSetSize, col("vals"))
           .otherwise(lit(null)).as("vals"))
     val probe = "1-URGENT"
-    val admitted = idx
-      .filter(col("vals").isNull || array_contains(col("vals"), lit(probe)))
-      .select(col("file")).collect().map(_.getString(0))
-    require(admitted.nonEmpty && admitted.length < 8,
-      "set index must actually prune files")
+    // one O(files) collect: the prune proof must compare against the
+    // ACTUAL file count — repartitionByRange(8) may emit fewer than 8
+    // files (empty range partitions write nothing), so a literal 8
+    // could pass with zero files pruned
+    val entries = idx.collect()
+    val admitted = entries.filter(r =>
+      r.isNullAt(1) || r.getSeq[String](1).contains(probe))
+      .map(_.getString(0))
+    require(admitted.nonEmpty && admitted.length < entries.length,
+      s"set index must actually prune files " +
+        s"(${admitted.length} of ${entries.length} admitted)")
     s.read.parquet(admitted.toIndexedSeq: _*)
       .filter(col("o_orderpriority") === probe)
       .groupBy(col("o_orderstatus"))

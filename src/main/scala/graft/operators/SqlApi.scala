@@ -92,6 +92,33 @@ object SqlApi {
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")
   }
 
+  /** `WITH RECURSIVE` (Spark 4.x UnionLoop): reachability DEPTH along
+    * the key-doubling chain k → 2k inside orders — anchor = odd order
+    * keys at depth 0, step = equi-join the frontier back to orders on
+    * the doubled key; the result is the depth histogram. Chains are
+    * strictly increasing (no cycles) and each key has one halving
+    * parent (no duplicate paths), so the fixpoint is well-defined and
+    * both engines' recursive-CTE semantics agree exactly.
+    *
+    * Scale notes: each iteration is ONE equi-join of the shrinking
+    * frontier against the two-column pruned orders scan; depth is
+    * bounded by log₂(max key) and the frontier decays geometrically
+    * (TPC-H keys are sparse), so the recursion runs inside the engine
+    * — no driver loop, no cross join, O(log n) iterations.
+    */
+  private def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql("""WITH RECURSIVE chain AS (
+               SELECT o_orderkey AS k, 0 AS depth FROM v_orders
+               WHERE o_orderkey % 2 = 1
+               UNION ALL
+               SELECT o.o_orderkey AS k, c.depth + 1 AS depth
+               FROM chain c JOIN v_orders o ON o.o_orderkey = c.k * 2
+             )
+             SELECT depth, COUNT(*) AS n FROM chain
+             GROUP BY depth ORDER BY depth""")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sql_q1_pricing", sqlQ1Pricing,
       Some(s"""SELECT l_returnflag, l_linestatus,
@@ -137,5 +164,15 @@ object SqlApi {
     QueryDef("sql_topk", sqlTopk,
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+    QueryDef("sql_recursive_cte", sqlRecursiveCte,
+      Some("""WITH RECURSIVE chain AS (
+                SELECT o_orderkey AS k, 0 AS depth FROM orders
+                WHERE o_orderkey % 2 = 1
+                UNION ALL
+                SELECT o.o_orderkey AS k, c.depth + 1 AS depth
+                FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2
+              )
+              SELECT depth, COUNT(*) AS n FROM chain
+              GROUP BY depth ORDER BY depth""")),
   )
 }

@@ -75,19 +75,45 @@ class AllQueriesSmokeSpec extends GraftSpec {
     */
   private val mayCartesian = Set.empty[String]
 
-  /** Keys whose physical plans legitimately carry a UDF/UDAF marker;
-    * every other key must stay on codegen'd built-ins or native
-    * Catalyst expressions — the "functions, not UDFs" discipline,
-    * machine-checked like the CartesianProduct ban. Members: the
-    * UDF-surface demos themselves (udf_scalar, udaf_typed,
-    * udaf_uniq_upto), typed-Aggregator folds whose sequential
-    * semantics have no built-in spelling (agg_sum_kahan compensated
-    * sum, ts_dtw pair DP, ts_lttb bucket selection, mm_mel_filterbank
-    * DSP fold), and MLlib LSH internals (dedup_minhash, sim_lsh_knn).
+  /** Keys whose plans legitimately carry user code (ScalaUDF /
+    * ScalaAggregator / typed-op markers); every other key must stay on
+    * codegen'd built-ins or native Catalyst expressions — the
+    * "functions, not UDFs" discipline, machine-checked like the
+    * CartesianProduct ban. Members: the UDF-surface demos themselves
+    * (udf_scalar, udaf_typed, udaf_uniq_upto), typed-Aggregator folds
+    * whose sequential/sketch semantics have no built-in spelling
+    * (agg_sum_kahan compensated sum, ts_dtw pair DP, ts_lttb bucket
+    * selection, mm_mel_filterbank DSP fold, the bitmap/CM/KMV/top-k
+    * sketch states and the t-digest quantile state), and MLlib LSH
+    * internals (dedup_minhash, sim_lsh_knn).
     */
   private val mayUdf = Set("agg_sum_kahan", "dedup_minhash",
     "mm_mel_filterbank", "sim_lsh_knn", "ts_dtw", "ts_lttb",
-    "udaf_typed", "udaf_uniq_upto", "udf_scalar")
+    "udaf_typed", "udaf_uniq_upto", "udf_scalar",
+    "agg_quantile_state", "agg_topk_state", "udaf_bitmap",
+    "udaf_bitmap_and", "udaf_cm_sketch", "udaf_kmv_intersect",
+    "udaf_sketch_topk")
+
+  /** The plan-string substring check alone is BLIND to udaf()-wrapped
+    * typed Aggregators: ScalaAggregator renders as the aggregator's own
+    * class name (e.g. `kahansum$(...)`) with no "udf" marker, so a
+    * sketch UDAF would pass the ban unlisted. Walk the optimized
+    * logical plan's expression trees for the actual user-code
+    * expression classes instead.
+    */
+  private def userCodeMarkers(
+      lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[String] = {
+    val found = scala.collection.mutable.Set[String]()
+    lp.foreach { node =>
+      node.expressions.foreach(_.foreach { e =>
+        val n = e.getClass.getSimpleName
+        if (n == "ScalaUDF" || n == "ScalaAggregator" || n == "ScalaUDAF")
+          found += n
+      })
+    }
+    found.toSet
+  }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (key, fn) =>
     test(s"operator $key runs on sf0.001") {
@@ -96,11 +122,17 @@ class AllQueriesSmokeSpec extends GraftSpec {
       if (!mayCartesian(key)) assert(!plan.contains("CartesianProduct"),
         s"$key plans a CartesianProduct — broadcast the bounded side " +
           "or add an equi-key:\n" + plan.take(1200))
-      if (!mayUdf(key))
+      if (!mayUdf(key)) {
         assert(!plan.toLowerCase.contains("udf"),
           s"$key plans a UDF — prefer built-in functions or a native " +
             "Catalyst expression, or justify an allowlist entry:\n" +
             plan.take(1200))
+        val markers = userCodeMarkers(df.queryExecution.optimizedPlan)
+        assert(markers.isEmpty,
+          s"$key plans user code (${markers.mkString(", ")}) — prefer " +
+            "built-ins or a native Catalyst expression, or justify an " +
+            "allowlist entry")
+      }
       val n = df.count()
       if (!mayBeEmpty(key)) assert(n > 0, s"$key returned no rows")
     }

@@ -171,6 +171,20 @@ class PlanShapeSpec extends GraftSpec {
     } finally graft.plans.MvRouting.disable(spark)
   }
 
+  test("sql_recursive_cte plans an engine-side UnionLoop, not a driver loop") {
+    val p = plan("sql_recursive_cte")
+    assert(p.contains("UnionLoop"),
+      s"recursion must run inside the engine (UnionLoopExec):\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      "the recursive step must stay an equi-join")
+  }
+
+  test("mm_phash_dedup: candidates meet on a hash-partitioned band join") {
+    val p = plan("mm_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"band join must be an equi hash join, not all-pairs:\n${p.take(800)}")
+  }
+
   test("topk_per_group_native: partial heap below the exchange, final above") {
     val p = plan("topk_per_group_native")
     val fi = p.indexOf("TopKPerGroupFinal")
