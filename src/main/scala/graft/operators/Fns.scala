@@ -70,6 +70,38 @@ object Fns {
         unix_timestamp(col("o_orderdate")).as("epoch_s"))
       .orderBy(col("o_orderkey"))
 
+  /** ClickHouse `age('unit', start, end)` — COMPLETE units elapsed, the
+    * semantics that differ from dateDiff's boundary-crossing count: a
+    * month is counted only once the end day-of-month reaches the start
+    * day-of-month (1998-01-31 → 1998-11-15 is 9 complete months, not
+    * the 10 month-boundaries crossed). Spelled as exact integer
+    * calendar arithmetic — year·12+month difference minus the
+    * incomplete-month correction — identically on both engines; years
+    * derive from complete months by integer division.
+    *
+    * Scale notes: pure map-side codegen'd projection, no shuffle.
+    */
+  private def fnAge(s: SparkSession, dir: String): DataFrame = {
+    val ref = lit("1998-11-15").cast("date")
+    val d = to_date(col("o_orderdate"))
+    val ageMonths = ((year(ref) * 12 + month(ref))
+      - (year(d) * 12 + month(d))
+      - when(dayofmonth(ref) < dayofmonth(d), 1).otherwise(0)).cast("long")
+    Tables.orders(s, dir)
+      // start ≤ ref: "complete units ELAPSED" is defined forward in
+      // time, and the synthetic order dates extend past the reference —
+      // a signed variant would also hit the floor-vs-truncate integer
+      // division split on negatives (DuckDB -1//12 = 0, floor = -1)
+      .filter(d <= ref)
+      .select(
+        col("o_orderkey"),
+        d.as("start_day"),
+        datediff(ref, d).cast("long").as("age_days"),
+        ageMonths.as("age_months"),
+        floor(ageMonths / 12).cast("long").as("age_years"))
+      .orderBy(col("o_orderkey"))
+  }
+
   private def fnMath(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(
@@ -1263,6 +1295,24 @@ object Fns {
                o_orderdate + INTERVAL 30 DAY AS due_date,
                CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
               FROM orders ORDER BY o_orderkey""")),
+    QueryDef("fn_age", fnAge,
+      Some("""WITH t AS (SELECT o_orderkey,
+                 CAST(o_orderdate AS DATE) AS d FROM orders
+                WHERE CAST(o_orderdate AS DATE) <= DATE '1998-11-15'),
+              a AS (SELECT o_orderkey, d,
+                 date_diff('day', d, DATE '1998-11-15') AS age_days,
+                 (1998 * 12 + 11)
+                   - (EXTRACT(year FROM d) * 12 + EXTRACT(month FROM d))
+                   - CASE WHEN 15 < EXTRACT(day FROM d) THEN 1 ELSE 0 END
+                   AS age_months
+                FROM t)
+              SELECT o_orderkey, d AS start_day,
+                CAST(age_days AS BIGINT) AS age_days,
+                CAST(age_months AS BIGINT) AS age_months,
+                -- floor, not //: DuckDB's // truncates toward zero,
+                -- Spark's floor rounds down — they split on negatives
+                CAST(floor(age_months / 12.0) AS BIGINT) AS age_years
+              FROM a ORDER BY o_orderkey""")),
     QueryDef("fn_math", fnMath,
       Some("""SELECT l_orderkey, l_linenumber,
                abs(l_quantity - 25) AS qty_dev,
