@@ -181,15 +181,25 @@ object Scratch {
     */
   def fixtureFingerprint(sfDir: String): String =
     try {
-      val files = Option(new java.io.File(sfDir)
-          .listFiles((_, n) => n.endsWith(".parquet")))
-        .getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
-      val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|")
-      // stable 64-bit FNV-1a over the concatenated signature
-      var h = 0xcbf29ce484222325L
-      sig.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
-      java.lang.Long.toHexString(h)
+      val listed = new java.io.File(sfDir)
+        .listFiles((_, n) => n.endsWith(".parquet"))
+      // listFiles reports a missing/unlistable dir by returning NULL,
+      // not by throwing — so the failure sentinel must fire here too,
+      // or a driver mid-swap window would hash the empty signature to
+      // a real-looking hex fingerprint and arm the supersession GC
+      // against the live root. Zero parquet files is the same mid-swap
+      // signal: no fixture dir is legitimately empty.
+      if (listed == null || listed.isEmpty) "0"
+      else {
+        val files = listed.sortBy(_.getName)
+        val sig = files
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          .mkString("|")
+        // stable 64-bit FNV-1a over the concatenated signature
+        var h = 0xcbf29ce484222325L
+        sig.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+        java.lang.Long.toHexString(h)
+      }
     } catch { case _: Throwable => "0" }
 
   /** Close-safe read of a small text manifest — the read twin of
@@ -267,25 +277,35 @@ object Scratch {
     // while queries read it, and the sentinel root itself stays small
     // because real fingerprints resume once the dir is listable again
     if (fp != "0" && gcDone.add(name)) {
-      val hex = "^[0-9a-f]{1,16}$".r
       // legacy shapes from before versioning: graft_<kind>_<fp-hex> and
       // the unversioned shared graft_<kind> root
       val legacy = ("^graft_" + kind + "_[0-9a-f]{1,16}$").r
       Option(new java.io.File(tmp).listFiles())
         .getOrElse(Array.empty[java.io.File])
-        // same-basename siblings must carry a pure-hex remainder: a bare
-        // startsWith(prefix) would also admit OTHER sfDirs whose
-        // sanitized basename extends this one (sf0.1 vs sf0.1.v2 both
-        // sanitize into the graft_<kind>_sf0_1_ prefix space), deleting
-        // a live root out from under that sfDir's readers
-        .filter(f => ((f.getName.startsWith(prefix) &&
-          hex.matches(f.getName.stripPrefix(prefix))) ||
-          legacy.matches(f.getName) ||
-          f.getName == s"graft_$kind") && f.getName != name)
+        .filter(f => (isSupersededName(f.getName, prefix, name) ||
+          ((legacy.matches(f.getName) ||
+            f.getName == s"graft_$kind") && f.getName != name)))
         .foreach(deleteRecursively)
     }
     s"$tmp/$name"
   }
+
+  private val fpHex = "^[0-9a-f]{1,16}$".r
+
+  /** The ONE supersession predicate, shared by the tmp-root GC above
+    * and the bucketed-catalog drop (Joins.ensureBucketed): `nm` is a
+    * superseded sibling of `current` iff it carries the same prefix and
+    * a PURE-HEX fingerprint remainder. The hex rule is load-bearing: a
+    * bare startsWith(prefix) would also admit OTHER sfDirs whose
+    * sanitized basename extends this one (sf0.1 vs sf0.1.v2 both land
+    * in the graft_<kind>_sf0_1_ prefix space), deleting a live root or
+    * table out from under that sfDir's readers. Must stay in lockstep
+    * with [[fixtureFingerprint]]'s output alphabet.
+    */
+  private[graft] def isSupersededName(nm: String, prefix: String,
+      current: String): Boolean =
+    nm != current && nm.startsWith(prefix) &&
+      fpHex.matches(nm.stripPrefix(prefix))
 
   /** Durable small-file write for manifest commit points: the bytes are
     * fsync'd before returning so a subsequent ATOMIC_MOVE can never

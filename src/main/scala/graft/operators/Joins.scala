@@ -382,20 +382,21 @@ object Joins {
     // both pass tableExists=false and interleave the saveAsTable pair.
     // Guarding BOTH tables also self-heals a crash between the writes.
     bucketStageLock.synchronized {
-      if (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to)) {
-        // drop SUPERSEDED catalog entries first: versionedRoot's GC
+      if (fp != "0" &&
+          (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to))) {
+        // fp == "0" is the fixture-listing failure sentinel (driver
+        // mid-swap): staging would fail at the scan anyway, and the
+        // drop below would see the LIVE fingerprint's tables as
+        // "superseded" vs the _0 name and drop them under a reader.
+        // Drop SUPERSEDED catalog entries first: versionedRoot's GC
         // deletes the old fingerprint's files but the shared catalog
         // still lists the old external tables — left behind, they
         // dangle at deleted paths (catalog enumeration errors) and
         // accumulate one pair per testdata swap for the JVM's lifetime
-        val hex = "^[0-9a-f]{1,16}$".r
-        def superseded(n: String, prefix: String, cur: String) =
-          n != cur && n.startsWith(prefix) &&
-            hex.matches(n.stripPrefix(prefix)) // not another sfDir whose
-              // sanitized name extends this one (the versionedRoot rule)
         s.catalog.listTables().collect().map(_.name)
-          .filter(n => superseded(n, s"graft_li_b_${sf}_", tl) ||
-            superseded(n, s"graft_ord_b_${sf}_", to))
+          .filter(n =>
+            graft.Scratch.isSupersededName(n, s"graft_li_b_${sf}_", tl) ||
+            graft.Scratch.isSupersededName(n, s"graft_ord_b_${sf}_", to))
           .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
         Tables.lineitem(s, dir).write
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")

@@ -142,8 +142,13 @@ object Multimodal {
     header ++ pixels
   }
 
-  private def ppmDecode(blob: Array[Byte]): (Int, Int, Double, Int) = {
-    // real parser: magic, whitespace-delimited header ints, pixel plane
+  /** The ONE P6 parser: magic, whitespace-delimited header ints, then
+    * the grayscale pixel plane (R channel of each RGB triple — the
+    * encoder writes gray as R=G=B, asserted cheaply on pixel 0).
+    * [[ppmDecode]] derives its summary view from this, so the binary
+    * parsing logic is never maintained in two places.
+    */
+  private def ppmDecodePixels(blob: Array[Byte]): (Int, Int, Array[Int]) = {
     require(blob(0) == 'P' && blob(1) == '6', "not a P6 PPM")
     var pos = 2
     def nextInt(): Int = {
@@ -157,36 +162,23 @@ object Multimodal {
     val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
     require(maxVal == 255, s"unsupported maxval $maxVal")
     pos += 1 // single whitespace after maxval per spec
-    var sum = 0L
-    var i = pos
-    while (i < blob.length) { sum += (blob(i) & 0xff); i += 1 }
-    val p00 = blob(pos) & 0xff
-    (w, h, sum.toDouble / (w * h * 3), p00)
-  }
-
-  /** The grayscale pixel plane from a P6 blob — same real parser as
-    * [[ppmDecode]], but returning every pixel (R channel of each RGB
-    * triple; the encoder writes gray as R=G=B) for whole-image feature
-    * extraction (perceptual hashing).
-    */
-  private def ppmDecodePixels(blob: Array[Byte]): Array[Int] = {
-    require(blob(0) == 'P' && blob(1) == '6', "not a P6 PPM")
-    var pos = 2
-    def nextInt(): Int = {
-      while (blob(pos).toChar.isWhitespace) pos += 1
-      var v = 0
-      while (pos < blob.length && blob(pos).toChar.isDigit) {
-        v = v * 10 + (blob(pos) - '0'); pos += 1
-      }
-      v
-    }
-    val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
-    require(maxVal == 255, s"unsupported maxval $maxVal")
-    pos += 1
+    require((blob(pos) & 0xff) == (blob(pos + 1) & 0xff) &&
+      (blob(pos) & 0xff) == (blob(pos + 2) & 0xff),
+      "gray P6 expected: R=G=B")
     val px = new Array[Int](w * h)
     var i = 0
     while (i < px.length) { px(i) = blob(pos + i * 3) & 0xff; i += 1 }
-    px
+    (w, h, px)
+  }
+
+  private def ppmDecode(blob: Array[Byte]): (Int, Int, Double, Int) = {
+    val (w, h, px) = ppmDecodePixels(blob)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i); i += 1 }
+    // 3·Σgray over w·h·3 bytes — exactly the all-channel byte mean of
+    // the original one-pass decoder, since the encoder writes R=G=B
+    ((w, h, (sum * 3).toDouble / (w * h * 3), px(0)))
   }
 
   private val imageSchema = StructType(Seq(
@@ -255,7 +247,7 @@ object Multimodal {
         val raw = r.getAs[scala.collection.Seq[Float]]("embedding")
           .map(_.toDouble).toArray
         if (r.getAs[Boolean]("pert")) raw(0) += 0.004
-        val px = ppmDecodePixels(ppmEncode(raw.toSeq))
+        val (_, _, px) = ppmDecodePixels(ppmEncode(raw.toSeq))
         val sum = { var t = 0L; var i = 0
           while (i < px.length) { t += px(i); i += 1 }; t }
         val bands = new Array[Int](4)

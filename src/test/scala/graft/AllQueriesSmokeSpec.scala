@@ -105,13 +105,17 @@ class AllQueriesSmokeSpec extends GraftSpec {
       lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Set[String] = {
     val found = scala.collection.mutable.Set[String]()
-    lp.foreach { node =>
+    // subqueriesAll too: a ScalarSubquery/Exists holds its LogicalPlan
+    // INSIDE an expression leaf that Expression.foreach does not
+    // descend into — without this, user code hiding in a subquery's
+    // aggregate would evade the ban
+    (lp +: lp.subqueriesAll).foreach(_.foreach { node =>
       node.expressions.foreach(_.foreach { e =>
         val n = e.getClass.getSimpleName
         if (n == "ScalaUDF" || n == "ScalaAggregator" || n == "ScalaUDAF")
           found += n
       })
-    }
+    })
     found.toSet
   }
 

@@ -52,6 +52,18 @@ class StateMaintenanceSpec extends GraftSpec {
       .foreach(graft.Scratch.deleteRecursively)
   }
 
+  test("fixtureFingerprint: missing/empty dirs yield the GC-skip sentinel") {
+    // listFiles reports a missing dir by returning NULL (not throwing),
+    // and a mid-swap dir can hold zero parquet files — both must map to
+    // the "0" sentinel or the supersession GC would fire on a
+    // real-looking empty-signature hash and delete the live root
+    assert(graft.Scratch.fixtureFingerprint("/nonexistent/graft_fp") == "0")
+    val empty = graft.Scratch.dir("fp_empty_test")
+    assert(graft.Scratch.fixtureFingerprint(empty) == "0")
+    assert(graft.Scratch.fixtureFingerprint(sf) != "0",
+      "a real fixture dir must fingerprint to non-sentinel")
+  }
+
   test("mv routing falls through when the registered MV path was GC'd") {
     import org.apache.spark.sql.types.DecimalType
     val s = spark.newSession() // routing armed on a clone only
