@@ -53,6 +53,31 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
     assert(plan.contains("*(1) Project [euclidsq"), plan.take(300))
   }
 
+  test("projection routing is gated per session: enable arms, disable disarms") {
+    import org.apache.spark.sql.functions._
+    // stage both layouts + register in the JVM-global registry, armed
+    // on a CLONE only — the binding claim is that registration alone
+    // must not route anyone
+    val armed = spark.newSession()
+    val basePath = graft.operators.MvOps.ensureProjection(armed, sf)
+    try {
+      def planOf(s: org.apache.spark.sql.SparkSession) =
+        s.read.parquet(basePath).filter(col("user_id") === 7L)
+          .queryExecution.executedPlan.toString
+      assert(planOf(armed).contains("events_byuser"),
+        "enabled session must route to the projection")
+      // extensions inject the rule into EVERY session of this JVM, but
+      // a session that never called enable() must stay inert even with
+      // the registration present
+      val cold = spark.newSession()
+      assert(!planOf(cold).contains("events_byuser"),
+        "un-enabled session must not route")
+      graft.plans.ProjectionRouting.disable(armed)
+      assert(!planOf(armed).contains("events_byuser"),
+        "disable() must disarm the session again")
+    } finally graft.plans.ProjectionRouting.disable(armed)
+  }
+
   test("vector kernels: zero-norm NULL, null-element NULL, strict shape") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql("""SELECT
