@@ -441,6 +441,60 @@ object Fns {
       .orderBy(col("normalized"))
   }
 
+  /** ClickHouse `mortonEncode` / `mortonDecode` — the bit-interleaved
+    * space-filling curve underlying z-order clustered layouts
+    * (sink_zorder's scalar twin made user-visible): two 16-bit
+    * coordinates interleave into one 32-bit code whose lexicographic
+    * order preserves 2-D locality, and decode de-interleaves exactly.
+    * Both directions are a 16-step bit fold in PURE integer arithmetic
+    * (shift/mask/sum — disjoint bit positions, so sum IS or), emitted
+    * as codegen'd HOF folds; the roundtrip identity rides in the
+    * result columns and the oracle recomputes both directions.
+    *
+    * Scale notes: map-side projection, no shuffle; this is the exact
+    * key computation a 100 TB z-order write performs per row.
+    */
+  private def fnMorton(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        (col("c_custkey").bitwiseAND(lit(65535L))).cast("long").as("x"),
+        ((col("c_custkey") * 7919).bitwiseAND(lit(65535L))).cast("long")
+          .as("y"))
+      .withColumn("morton", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, i) ->
+             acc + shiftleft((x >> i) & 1, 2 * i)
+                 + shiftleft((y >> i) & 1, 2 * i + 1))"""))
+      .withColumn("x_rt", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, i) ->
+             acc + shiftleft((morton >> (2 * i)) & 1, i))"""))
+      .withColumn("y_rt", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, i) ->
+             acc + shiftleft((morton >> (2 * i + 1)) & 1, i))"""))
+      .orderBy(col("c_custkey"))
+
+  /** ClickHouse `arrayRotateLeft/Right` / `arrayShiftLeft/Right` — the
+    * array-manipulation quartet: rotation is modular (elements wrap),
+    * shift drops and back/front-fills with a filler. Fixed n = 8
+    * window (rows with ≥ 8 tokens), so every variant is two slices —
+    * a concat of array slices on both engines, no per-element lambda.
+    * Arrays leave as joined strings (comparator rule).
+    */
+  private def fnArrayRotate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("a", expr("slice(split(text, ' '), 1, 8)"))
+      .filter(size(col("a")) === 8)
+      .select(col("doc_id"),
+        expr("array_join(a, ',')").as("tokens"),
+        expr("array_join(concat(slice(a, 3, 6), slice(a, 1, 2)), ',')")
+          .as("rot_left2"),
+        expr("array_join(concat(slice(a, 7, 2), slice(a, 1, 6)), ',')")
+          .as("rot_right2"),
+        expr("""array_join(concat(slice(a, 3, 6), array('_', '_')), ',')""")
+          .as("shift_left2"),
+        expr("""array_join(concat(array('_', '_'), slice(a, 1, 6)), ',')""")
+          .as("shift_right2"))
+      .orderBy(col("doc_id"))
+
   /** ClickHouse `arrayEnumerateUniq` / `arrayEnumerateDense` — per-token
     * occurrence numbering (1st/2nd/… appearance of each value) and
     * first-appearance dense rank, emitted as canonical CSV strings. Both
@@ -1049,6 +1103,40 @@ object Fns {
               SELECT normalized, md5(normalized) AS fingerprint,
                 COUNT(*) AS n
               FROM norm GROUP BY normalized ORDER BY normalized""")),
+    QueryDef("fn_morton", fnMorton,
+      Some("""WITH t AS (SELECT c_custkey,
+                 CAST(c_custkey & 65535 AS BIGINT) AS x,
+                 CAST((c_custkey * 7919) & 65535 AS BIGINT) AS y
+                FROM customer),
+              m AS (SELECT c_custkey, x, y,
+                 CAST(list_aggregate(list_transform(range(0, 16),
+                   i -> (((x >> i) & 1) << (2*i))
+                      + (((y >> i) & 1) << (2*i + 1))),
+                   'sum') AS BIGINT) AS morton
+                FROM t)
+              SELECT c_custkey, x, y, morton,
+                CAST(list_aggregate(list_transform(range(0, 16),
+                  i -> ((morton >> (2*i)) & 1) << i), 'sum') AS BIGINT)
+                  AS x_rt,
+                CAST(list_aggregate(list_transform(range(0, 16),
+                  i -> ((morton >> (2*i + 1)) & 1) << i), 'sum') AS BIGINT)
+                  AS y_rt
+              FROM m ORDER BY c_custkey""")),
+    QueryDef("fn_array_rotate", fnArrayRotate,
+      Some("""WITH t AS (SELECT doc_id,
+                 list_slice(string_split(text, ' '), 1, 8) AS a
+                FROM documents)
+              SELECT doc_id,
+                array_to_string(a, ',') AS tokens,
+                array_to_string(list_concat(list_slice(a, 3, 8),
+                  list_slice(a, 1, 2)), ',') AS rot_left2,
+                array_to_string(list_concat(list_slice(a, 7, 8),
+                  list_slice(a, 1, 6)), ',') AS rot_right2,
+                array_to_string(list_concat(list_slice(a, 3, 8),
+                  ['_', '_']), ',') AS shift_left2,
+                array_to_string(list_concat(['_', '_'],
+                  list_slice(a, 1, 6)), ',') AS shift_right2
+              FROM t WHERE len(a) = 8 ORDER BY doc_id""")),
     QueryDef("fn_array_enumerate", fnArrayEnumerate,
       Some("""WITH t AS (SELECT doc_id,
                  list_slice(string_split(text, ' '), 1, 40) AS arr
