@@ -874,6 +874,41 @@ object Aggregates {
     *
     * Scale notes: single partial-aggregated scan, 1-row shuffle.
     */
+  /** Wilson 95% score interval for a per-group binomial proportion —
+    * the conversion-rate CI an A/B readout reports (the inverse of the
+    * agg_min_sample_size planner). Successes/trials are exact integer
+    * counts; the interval is ONE double chain of +,−,×,÷,√ — all
+    * IEEE-correctly-rounded operations (unlike ln/exp/pow, √ is exact
+    * by the standard), so both engines produce bit-identical doubles
+    * from identical inputs and the bounds ship UNROUNDED (the
+    * win_share/agg_ztest rule; a libm call would need the 6dp edge).
+    *
+    * Scale notes: one partial-count shuffle on the group key; the CI
+    * math is O(groups) post-aggregation projection.
+    */
+  private def aggBinomialCi(s: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.959964)
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        count(when(col("o_orderkey") % 3 === 0, 1)).cast("double").as("k"))
+      .select({
+        val n = col("n"); val k = col("k")
+        val p = k / n
+        val z2n = z * z / n
+        val denom = lit(1.0) + z2n
+        val center = (p + z2n / 2) / denom
+        val half = z * sqrt(p * (lit(1.0) - p) / n +
+          z * z / (n * n * 4)) / denom
+        Seq(col("o_orderpriority"),
+          n.cast("long").as("trials"), k.cast("long").as("successes"),
+          p.as("rate"),
+          (center - half).as("ci_low"),
+          (center + half).as("ci_high"))
+      }: _*)
+      .orderBy(col("o_orderpriority"))
+  }
+
   private def aggZtest(s: SparkSession, dir: String): DataFrame = {
     def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
     val v = col("value")
@@ -1718,6 +1753,24 @@ object Aggregates {
                   AS t_stat,
                 CAST(na + nb - 2 AS BIGINT) AS df
               FROM f""")),
+    QueryDef("agg_binomial_ci", aggBinomialCi,
+      Some("""WITH g AS (SELECT o_orderpriority,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(COUNT(CASE WHEN o_orderkey % 3 = 0 THEN 1 END)
+                   AS DOUBLE) AS k
+                FROM orders GROUP BY o_orderpriority),
+              w AS (SELECT o_orderpriority, n, k,
+                 k / n AS p,
+                 (k / n + 1.959964 * 1.959964 / n / 2)
+                   / (1.0 + 1.959964 * 1.959964 / n) AS center,
+                 1.959964 * sqrt(k / n * (1.0 - k / n) / n
+                     + 1.959964 * 1.959964 / (n * n * 4))
+                   / (1.0 + 1.959964 * 1.959964 / n) AS half
+                FROM g)
+              SELECT o_orderpriority, CAST(n AS BIGINT) AS trials,
+                CAST(k AS BIGINT) AS successes, p AS rate,
+                center - half AS ci_low, center + half AS ci_high
+              FROM w ORDER BY o_orderpriority""")),
     QueryDef("agg_ztest", aggZtest,
       Some("""WITH m AS (SELECT
                 CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
