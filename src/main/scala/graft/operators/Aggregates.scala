@@ -874,14 +874,41 @@ object Aggregates {
     *
     * Scale notes: single partial-aggregated scan, 1-row shuffle.
     */
+  private def aggZtest(s: SparkSession, dir: String): DataFrame = {
+    def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val v = col("value")
+    val isA = col("event_type") === "purchase"
+    val isB = col("event_type") === "view"
+    val varA = lit(1000.0); val varB = lit(800.0)
+    Tables.events(s, dir).filter(isA || isB)
+      .agg(
+        count(when(isA, 1)).cast("double").as("na"),
+        count(when(isB, 1)).cast("double").as("nb"),
+        m(when(isA, v)).as("sa"), m(when(isB, v)).as("sb"))
+      .select({
+        val ma = col("sa") / col("na"); val mb = col("sb") / col("nb")
+        val z = (ma - mb) / sqrt(varA / col("na") + varB / col("nb"))
+        Seq(col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          ma.as("mean_a"), mb.as("mean_b"),
+          z.as("z_stat"))
+      }: _*)
+  }
+
   /** Wilson 95% score interval for a per-group binomial proportion —
     * the conversion-rate CI an A/B readout reports (the inverse of the
     * agg_min_sample_size planner). Successes/trials are exact integer
     * counts; the interval is ONE double chain of +,−,×,÷,√ — all
     * IEEE-correctly-rounded operations (unlike ln/exp/pow, √ is exact
     * by the standard), so both engines produce bit-identical doubles
-    * from identical inputs and the bounds ship UNROUNDED (the
+    * from IDENTICAL DOUBLE inputs and the bounds ship unrounded (the
     * win_share/agg_ztest rule; a libm call would need the 6dp edge).
+    * The identical-inputs clause is load-bearing: the z constant must
+    * enter as a DOUBLE on BOTH engines — DuckDB types a bare decimal
+    * literal as DECIMAL(7,6) and computes z·z as an exact decimal
+    * product, a 1-ulp split from fl(z·z) for most z values (1.644854,
+    * 2.575829), which 1.959964 only escapes by coincidence. The oracle
+    * therefore spells CAST(1.959964 AS DOUBLE).
     *
     * Scale notes: one partial-count shuffle on the group key; the CI
     * math is O(groups) post-aggregation projection.
@@ -907,27 +934,6 @@ object Aggregates {
           (center + half).as("ci_high"))
       }: _*)
       .orderBy(col("o_orderpriority"))
-  }
-
-  private def aggZtest(s: SparkSession, dir: String): DataFrame = {
-    def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
-    val v = col("value")
-    val isA = col("event_type") === "purchase"
-    val isB = col("event_type") === "view"
-    val varA = lit(1000.0); val varB = lit(800.0)
-    Tables.events(s, dir).filter(isA || isB)
-      .agg(
-        count(when(isA, 1)).cast("double").as("na"),
-        count(when(isB, 1)).cast("double").as("nb"),
-        m(when(isA, v)).as("sa"), m(when(isB, v)).as("sb"))
-      .select({
-        val ma = col("sa") / col("na"); val mb = col("sb") / col("nb")
-        val z = (ma - mb) / sqrt(varA / col("na") + varB / col("nb"))
-        Seq(col("na").cast("long").as("n_a"),
-          col("nb").cast("long").as("n_b"),
-          ma.as("mean_a"), mb.as("mean_b"),
-          z.as("z_stat"))
-      }: _*)
   }
 
   /** ClickHouse `GROUP BY ... WITH TOTALS`: the per-group rows PLUS one
@@ -1757,15 +1763,20 @@ object Aggregates {
       Some("""WITH g AS (SELECT o_orderpriority,
                  CAST(COUNT(*) AS DOUBLE) AS n,
                  CAST(COUNT(CASE WHEN o_orderkey % 3 = 0 THEN 1 END)
-                   AS DOUBLE) AS k
+                   AS DOUBLE) AS k,
+                 -- the constant must enter as DOUBLE: a bare 1.959964
+                 -- literal is DECIMAL(7,6) here, making z*z an EXACT
+                 -- decimal product where Spark computes fl(z*z) — a
+                 -- 1-ulp split for most z values (1.644854, 2.575829)
+                 CAST(1.959964 AS DOUBLE) AS z
                 FROM orders GROUP BY o_orderpriority),
               w AS (SELECT o_orderpriority, n, k,
                  k / n AS p,
-                 (k / n + 1.959964 * 1.959964 / n / 2)
-                   / (1.0 + 1.959964 * 1.959964 / n) AS center,
-                 1.959964 * sqrt(k / n * (1.0 - k / n) / n
-                     + 1.959964 * 1.959964 / (n * n * 4))
-                   / (1.0 + 1.959964 * 1.959964 / n) AS half
+                 (k / n + z * z / n / 2)
+                   / (1.0 + z * z / n) AS center,
+                 z * sqrt(k / n * (1.0 - k / n) / n
+                     + z * z / (n * n * 4))
+                   / (1.0 + z * z / n) AS half
                 FROM g)
               SELECT o_orderpriority, CAST(n AS BIGINT) AS trials,
                 CAST(k AS BIGINT) AS successes, p AS rate,

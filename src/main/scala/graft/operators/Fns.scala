@@ -442,35 +442,34 @@ object Fns {
   }
 
   /** ClickHouse `mortonEncode` / `mortonDecode` — the bit-interleaved
-    * space-filling curve underlying z-order clustered layouts
-    * (sink_zorder's scalar twin made user-visible): two 16-bit
-    * coordinates interleave into one 32-bit code whose lexicographic
-    * order preserves 2-D locality, and decode de-interleaves exactly.
-    * Both directions are a 16-step bit fold in PURE integer arithmetic
-    * (shift/mask/sum — disjoint bit positions, so sum IS or), emitted
-    * as codegen'd HOF folds; the roundtrip identity rides in the
-    * result columns and the oracle recomputes both directions.
+    * space-filling curve underlying z-order clustered layouts, made
+    * user-visible as scalars: two 16-bit coordinates interleave into
+    * one 32-bit code whose lexicographic order preserves 2-D locality,
+    * and decode de-interleaves exactly. Encode REUSES sink_zorder's
+    * [[Scans.zSpread16]] mask-shift rounds and decode its new inverse
+    * [[Scans.zCompact16]] — plain bitwise column ops inside
+    * whole-stage codegen (an aggregate() HOF fold would compute the
+    * same integers but is CodegenFallback and ~10× the per-row ops).
+    * The roundtrip identity rides in the result columns; the oracle
+    * recomputes both directions as per-bit sums (disjoint bit
+    * positions, so sum IS or — mathematically identical integers).
     *
     * Scale notes: map-side projection, no shuffle; this is the exact
     * key computation a 100 TB z-order write performs per row.
     */
-  private def fnMorton(s: SparkSession, dir: String): DataFrame =
+  private def fnMorton(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scans.{zCompact16, zSpread16}
     Tables.customer(s, dir)
       .select(col("c_custkey"),
         (col("c_custkey").bitwiseAND(lit(65535L))).cast("long").as("x"),
         ((col("c_custkey") * 7919).bitwiseAND(lit(65535L))).cast("long")
           .as("y"))
-      .withColumn("morton", expr(
-        """aggregate(sequence(0, 15), 0L, (acc, i) ->
-             acc + shiftleft((x >> i) & 1, 2 * i)
-                 + shiftleft((y >> i) & 1, 2 * i + 1))"""))
-      .withColumn("x_rt", expr(
-        """aggregate(sequence(0, 15), 0L, (acc, i) ->
-             acc + shiftleft((morton >> (2 * i)) & 1, i))"""))
-      .withColumn("y_rt", expr(
-        """aggregate(sequence(0, 15), 0L, (acc, i) ->
-             acc + shiftleft((morton >> (2 * i + 1)) & 1, i))"""))
+      .withColumn("morton",
+        zSpread16(col("x")).bitwiseOR(shiftleft(zSpread16(col("y")), 1)))
+      .withColumn("x_rt", zCompact16(col("morton")))
+      .withColumn("y_rt", zCompact16(shiftright(col("morton"), 1)))
       .orderBy(col("c_custkey"))
+  }
 
   /** ClickHouse `arrayRotateLeft/Right` / `arrayShiftLeft/Right` — the
     * array-manipulation quartet: rotation is modular (elements wrap),

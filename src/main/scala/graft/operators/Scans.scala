@@ -1294,6 +1294,17 @@ object Scans {
       .foldLeft(c % 65536) { case (x, (sh, mask)) =>
         x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask)) }
 
+  /** Inverse of [[zSpread16]]: collapse the EVEN-position bits of a
+    * 32-bit interleaved code back to one 16-bit coordinate (callers
+    * shift the code right 1 first to extract the odd positions). The
+    * same mask-shift rounds run backwards — plain bitwise column ops,
+    * whole-stage-codegen-capable like the spread.
+    */
+  private[graft] def zCompact16(c: Column): Column =
+    Seq((1, 858993459L), (2, 252645135L), (4, 16711935L), (8, 65535L))
+      .foldLeft(c.bitwiseAND(lit(1431655765L))) { case (x, (sh, mask)) =>
+        x.bitwiseOR(shiftright(x, sh)).bitwiseAND(lit(mask)) }
+
   private[graft] def zorderPath(s: SparkSession, dir: String): String = {
     val root = s"${graft.Scratch.dir("zorder")}/t"
     Tables.lineitem(s, dir)
