@@ -352,6 +352,88 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** First-6-active-days purchase-count series per user (users with ≥6
+    * active days), t = 1-based day rank — the shared bounded window of
+    * ts_theil_sen and ts_mann_kendall: a FIXED n=6 makes the pair count
+    * 15 (odd → pick-middle median, no interpolation) and the
+    * Mann-Kendall base variance the constant 6·5·17.
+    */
+  private def firstSixDays(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val ranked = daily
+      .withColumn("t", row_number()
+        .over(Window.partitionBy(col("user_id")).orderBy(col("d"))))
+      .filter(col("t") <= 6)
+    val eligible = ranked.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") === 6)
+      .select(col("user_id"))
+    ranked.join(eligible, Seq("user_id"))
+  }
+
+  /** Theil–Sen robust slope per user — the median of all pairwise
+    * slopes over the first-6-days series: immune to single-day
+    * outliers that wreck OLS (agg_regression's complement). Every
+    * slope is ONE IEEE quotient of exact integers and the 15-element
+    * median is a pick-middle (odd count — no interpolation step to
+    * diverge on), so the result ships unrounded.
+    *
+    * Scale notes: pairs are generated per-user AFTER the bounded
+    * window (15/user regardless of history length); the self-join key
+    * is the group key, so it shuffles each user's 6 rows once.
+    */
+  private def tsTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val pts = firstSixDays(s, dir)
+    val b = pts.select(col("user_id"), col("t").as("t2"), col("x").as("x2"))
+    pts.join(b, Seq("user_id")).filter(col("t2") > col("t"))
+      .select(col("user_id"),
+        ((col("x2") - col("x")).cast("double")
+          / (col("t2") - col("t")).cast("double")).as("slope"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("theil_sen_slope"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Mann–Kendall trend test per user over the same series: S = Σ
+    * sign(x_j − x_i) over ordered pairs (EXACT integer), tie-corrected
+    * variance 18·Var = n(n−1)(2n+5) − Σ t_g(t_g−1)(2t_g+5) kept as the
+    * exact integer numerator, and the continuity-corrected z =
+    * (S∓1)/√(var_num/18) — a +,−,÷,√ chain from exact integers, so z
+    * ships unrounded (the agg_binomial_ci rule). All-tied series
+    * (var_num = 0) yield NULL z on both engines (class-6 guard).
+    *
+    * Scale notes: same bounded 15-pairs-per-user join as ts_theil_sen;
+    * the tie scan is one extra aggregate over the 6-row groups.
+    */
+  private def tsMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val pts = firstSixDays(s, dir)
+    val b = pts.select(col("user_id"), col("t").as("t2"), col("x").as("x2"))
+    val sStat = pts.join(b, Seq("user_id")).filter(col("t2") > col("t"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("x2") > col("x"), 1)
+        .when(col("x2") < col("x"), -1).otherwise(0)).as("s_stat"))
+    val ties = pts.groupBy(col("user_id"), col("x"))
+      .agg(count(lit(1)).as("tg"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("tg") * (col("tg") - 1) * (col("tg") * 2 + 5))
+        .as("tie_sum"))
+    sStat.join(ties, Seq("user_id"))
+      .select(col("user_id"), col("s_stat"),
+        (lit(510L) - col("tie_sum")).as("var_num"))
+      .withColumn("z_stat", {
+        val sd = sqrt(col("var_num").cast("double") / 18.0)
+        when(col("var_num") === 0, lit(null).cast("double"))
+          .when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sd)
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sd)
+          .otherwise(lit(0.0))
+      })
+      .orderBy(col("user_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ts_drawdown", tsDrawdown,
       Some("""WITH p AS (SELECT user_id, event_id,
@@ -934,6 +1016,60 @@ object EventAnalytics {
                   / sqrt(CAST(v24 AS DOUBLE)), 6) END AS z,
                 CAST(num * num > 9 * v24 AS INTEGER) AS is_anomaly
               FROM c ORDER BY h""")),
+    QueryDef("ts_theil_sen", tsTheilSen,
+      Some("""WITH daily AS (SELECT user_id,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(*) AS x
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2),
+              r AS (SELECT user_id, x, ROW_NUMBER()
+                  OVER (PARTITION BY user_id ORDER BY d) AS t
+                FROM daily),
+              f AS (SELECT * FROM r WHERE t <= 6),
+              e AS (SELECT user_id FROM f
+                GROUP BY user_id HAVING COUNT(*) = 6),
+              p AS (SELECT a.user_id,
+                  CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+                    AS slope
+                FROM f a
+                JOIN f b ON a.user_id = b.user_id AND b.t > a.t
+                JOIN e ON e.user_id = a.user_id)
+              SELECT user_id, COUNT(*) AS n_pairs,
+                median(slope) AS theil_sen_slope
+              FROM p GROUP BY user_id ORDER BY user_id""")),
+    QueryDef("ts_mann_kendall", tsMannKendall,
+      Some("""WITH daily AS (SELECT user_id,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(*) AS x
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2),
+              r AS (SELECT user_id, x, ROW_NUMBER()
+                  OVER (PARTITION BY user_id ORDER BY d) AS t
+                FROM daily),
+              f AS (SELECT * FROM r WHERE t <= 6),
+              e AS (SELECT user_id FROM f
+                GROUP BY user_id HAVING COUNT(*) = 6),
+              s AS (SELECT a.user_id,
+                  SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS s_stat
+                FROM f a
+                JOIN f b ON a.user_id = b.user_id AND b.t > a.t
+                JOIN e ON e.user_id = a.user_id
+                GROUP BY a.user_id),
+              ti AS (SELECT user_id,
+                  SUM(tg * (tg - 1) * (tg * 2 + 5)) AS tie_sum
+                FROM (SELECT f.user_id, f.x, COUNT(*) AS tg
+                      FROM f JOIN e ON e.user_id = f.user_id
+                      GROUP BY f.user_id, f.x)
+                GROUP BY user_id)
+              SELECT s.user_id, CAST(s.s_stat AS BIGINT) AS s_stat,
+                CAST(510 - ti.tie_sum AS BIGINT) AS var_num,
+                CASE WHEN 510 - ti.tie_sum = 0 THEN NULL
+                     WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                       / sqrt(CAST(510 - ti.tie_sum AS DOUBLE) / 18.0)
+                     WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                       / sqrt(CAST(510 - ti.tie_sum AS DOUBLE) / 18.0)
+                     ELSE 0.0 END AS z_stat
+              FROM s JOIN ti ON ti.user_id = s.user_id
+              ORDER BY s.user_id""")),
     QueryDef("ts_acf", tsAcf,
       Some("""WITH hourly AS (SELECT
                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

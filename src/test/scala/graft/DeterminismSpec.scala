@@ -10,7 +10,7 @@ package graft
   * on the session's partitioning) and the full collected results must
   * be bit-identical.
   *
-  * The sample (26 keys) is chosen adversarially: keys that reassemble
+  * The sample (27 keys) is chosen adversarially: keys that reassemble
   * arrays from aggregations (agg_foreach, agg_resample,
   * agg_group_array_sorted, agg_array_intersect, agg_moving_sum_array),
   * rank after rounding (sim_ann_recall, sim_triplet_mine), hash-order
@@ -47,7 +47,9 @@ class DeterminismSpec extends GraftSpec {
     "agg_group_array_last",
     // banded self-join + distinct over ARRAY-typed carry columns: the
     // candidate set must not depend on which partitioning met the bands
-    "mm_phash_dedup")
+    "mm_phash_dedup",
+    // exact-percentile pick-middle over shuffle-assembled pair slopes
+    "ts_theil_sen")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()
