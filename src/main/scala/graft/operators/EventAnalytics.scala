@@ -360,18 +360,28 @@ object EventAnalytics {
     */
   private def firstSixDays(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("x"))
-    val ranked = daily
-      .withColumn("t", row_number()
-        .over(Window.partitionBy(col("user_id")).orderBy(col("d"))))
+      .withColumn("t", row_number().over(w.orderBy(col("d"))))
       .filter(col("t") <= 6)
-    val eligible = ranked.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("nd")).filter(col("nd") === 6)
-      .select(col("user_id"))
-    ranked.join(eligible, Seq("user_id"))
+      // eligibility (≥6 active days ⇔ 6 rows survive the t≤6 cut) as a
+      // count window over the SAME user_id partitioning — one pass,
+      // zero extra shuffle; a groupBy+self-join spelling would
+      // recompute the uncached scan+aggregate subtree per branch
+      .withColumn("nd", count(lit(1)).over(w))
+      .filter(col("nd") === 6)
+      .select(col("user_id"), col("t"), col("x"))
+  }
+
+  /** The 15 ordered pairs (t < t2) of each user's six-day window — the
+    * shared pair-builder of ts_theil_sen and ts_mann_kendall.
+    */
+  private def sixDayPairs(pts: DataFrame): DataFrame = {
+    val b = pts.select(col("user_id"), col("t").as("t2"), col("x").as("x2"))
+    pts.join(b, Seq("user_id")).filter(col("t2") > col("t"))
   }
 
   /** Theil–Sen robust slope per user — the median of all pairwise
@@ -386,9 +396,7 @@ object EventAnalytics {
     * is the group key, so it shuffles each user's 6 rows once.
     */
   private def tsTheilSen(s: SparkSession, dir: String): DataFrame = {
-    val pts = firstSixDays(s, dir)
-    val b = pts.select(col("user_id"), col("t").as("t2"), col("x").as("x2"))
-    pts.join(b, Seq("user_id")).filter(col("t2") > col("t"))
+    sixDayPairs(firstSixDays(s, dir))
       .select(col("user_id"),
         ((col("x2") - col("x")).cast("double")
           / (col("t2") - col("t")).cast("double")).as("slope"))
@@ -411,8 +419,7 @@ object EventAnalytics {
     */
   private def tsMannKendall(s: SparkSession, dir: String): DataFrame = {
     val pts = firstSixDays(s, dir)
-    val b = pts.select(col("user_id"), col("t").as("t2"), col("x").as("x2"))
-    val sStat = pts.join(b, Seq("user_id")).filter(col("t2") > col("t"))
+    val sStat = sixDayPairs(pts)
       .groupBy(col("user_id"))
       .agg(sum(when(col("x2") > col("x"), 1)
         .when(col("x2") < col("x"), -1).otherwise(0)).as("s_stat"))
