@@ -31,24 +31,42 @@ final case class QueryDef(
 final class DfCache(maxEntries: Int = 16) {
   private val m = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  def get(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    m.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    if (m.size > maxEntries) {
-      // evict by snapshot, removing and unpersisting entry-by-entry: a
-      // blanket unpersist-all + clear() could drop a frame another
-      // thread inserted between the two steps WITHOUT unpersisting it
-      // (leaking its pinned cache blocks), and wrapping the whole get in
-      // one monitor would serialize unrelated builds — Cdc.parsed runs
-      // full Spark jobs inside `build`, so a global lock stalls every
-      // concurrent caller for the duration of one materialization
-      import scala.jdk.CollectionConverters._
-      m.keySet.asScala.toList.foreach { k =>
-        Option(m.remove(k)).foreach { df =>
-          try { df.unpersist(); () } catch { case _: Throwable => () }
-        }
-      }
+  // insertion-order queue backing LRU-by-age eviction: overflow evicts
+  // ONLY the oldest excess entries, never the whole cache — a blanket
+  // clear ripped frames handed to concurrent callers moments earlier and
+  // made every caller rebuild its expensive persisted feed at once
+  // (Cdc.parsed materializes a full parse per rebuild)
+  private val order = new java.util.concurrent
+    .ConcurrentLinkedQueue[(SparkSession, String)]()
+
+  private def drop(k: (SparkSession, String)): Unit = {
+    order.remove(k) // O(entries), bounded by maxEntries — fine
+    Option(m.remove(k)).foreach { df =>
+      // unpersist on remove: persisted blocks are pinned by the
+      // session's CacheManager, so dropping the reference alone leaks
+      try { df.unpersist(); () } catch { case _: Throwable => () }
     }
-    m.computeIfAbsent((s, key), _ => build)
+  }
+
+  def get(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    // entries whose owning context is stopped are dead (their cached
+    // blocks died with the context) — drop eagerly, no unpersist needed
+    // but drop() tolerates it
+    m.keySet.asScala.toList.filter(_._1.sparkContext.isStopped).foreach(drop)
+    // make room for the (possible) insert below: evict oldest-first
+    // until size < maxEntries, so the effective cap IS maxEntries. The
+    // null-poll guard breaks the loop if the queue drains first (an
+    // entry can be mid-insert in m but not yet queued — next call
+    // settles it); no global lock, same rationale as before: `build`
+    // runs full Spark jobs and must not serialize unrelated callers.
+    while (m.size >= maxEntries) {
+      val oldest = order.poll()
+      if (oldest == null) return m.computeIfAbsent((s, key),
+        k => { order.add(k); build })
+      drop(oldest)
+    }
+    m.computeIfAbsent((s, key), k => { order.add(k); build })
   }
 }
 

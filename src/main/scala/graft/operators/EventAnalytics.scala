@@ -418,7 +418,10 @@ object EventAnalytics {
     * the tie scan is one extra aggregate over the 6-row groups.
     */
   private def tsMannKendall(s: SparkSession, dir: String): DataFrame = {
-    val pts = firstSixDays(s, dir)
+    // two consumers below (the pairs self-join reads it twice more):
+    // without the checkpoint the events scan + two-window eligibility
+    // subtree re-executes per branch — the agg_categorical_iv rule
+    val pts = firstSixDays(s, dir).localCheckpoint()
     val sStat = sixDayPairs(pts)
       .groupBy(col("user_id"))
       .agg(sum(when(col("x2") > col("x"), 1)

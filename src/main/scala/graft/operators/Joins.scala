@@ -381,13 +381,18 @@ object Joins {
     // stage previously lacked): two sessions racing the stage would
     // both pass tableExists=false and interleave the saveAsTable pair.
     // Guarding BOTH tables also self-heals a crash between the writes.
+    // fp == "0" is the fixture-listing failure sentinel (driver
+    // mid-swap): staging would fail at the scan anyway, the supersession
+    // drop below would see the LIVE fingerprint's tables as "superseded"
+    // vs the _0 name and drop them under a reader — and silently
+    // RETURNING the `graft_*_<sf>_0` names (never created) fails
+    // downstream with an opaque TABLE_OR_VIEW_NOT_FOUND. Fail loudly at
+    // the boundary instead (the fail-loudly discipline).
+    require(fp != "0",
+      s"fixture dir $dir unlistable or mid-swap (fingerprint sentinel): " +
+        "bucketed tables unavailable — retry once the testdata dir is stable")
     bucketStageLock.synchronized {
-      if (fp != "0" &&
-          (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to))) {
-        // fp == "0" is the fixture-listing failure sentinel (driver
-        // mid-swap): staging would fail at the scan anyway, and the
-        // drop below would see the LIVE fingerprint's tables as
-        // "superseded" vs the _0 name and drop them under a reader.
+      if (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to)) {
         // Drop SUPERSEDED catalog entries first: versionedRoot's GC
         // deletes the old fingerprint's files but the shared catalog
         // still lists the old external tables — left behind, they
@@ -1203,7 +1208,8 @@ object Joins {
                  l_linenumber AS any_line, l_partkey AS any_part,
                  l_quantity AS any_qty,
                  row_number() OVER (PARTITION BY l_orderkey
-                   ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+                   ORDER BY l_linenumber, l_partkey, l_suppkey,
+                     l_quantity) AS rn
                  FROM lineitem)
               SELECT o_orderkey, o_orderstatus,
                 any_line, any_part, any_qty

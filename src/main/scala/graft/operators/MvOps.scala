@@ -83,6 +83,30 @@ object MvOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The filtered projection-query shape — `WHERE grouping_col = x
+    * GROUP BY other_grouping_col` — routed through the SAME rule: the
+    * predicate references only MV grouping columns, so it filters whole
+    * groups and commutes with the re-aggregation (γ_G(σ_p(base)) =
+    * γ_G(σ_p(MV))). PlanShapeSpec asserts the scan reads the MV path;
+    * the oracle asserts values bit-exact vs the base table.
+    *
+    * Scale notes: the routed query scans O(groups) MV rows AND filters
+    * them before the re-aggregation — at 100 TB this is the single most
+    * common query a projection exists for (`WHERE day = X GROUP BY …`),
+    * previously a full fact scan.
+    */
+  private def mvRouteFiltered(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession() // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Stage the two event layouts (idempotent per sfDir): the BASE copy
     * range-clustered + sorted on day (serves time predicates via file
     * min/max stats), the PROJECTION the same rows range-clustered +
@@ -444,5 +468,10 @@ object MvOps {
       Some(s"""SELECT l_returnflag, ${Det.oSum("l_quantity")} AS sum_qty,
                ${Det.oSum("l_extendedprice")} AS sum_price, COUNT(*) AS n
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("mv_route_filtered", mvRouteFiltered,
+      Some(s"""SELECT l_returnflag, ${Det.oSum("l_quantity")} AS sum_qty,
+               ${Det.oSum("l_extendedprice")} AS sum_price, COUNT(*) AS n
+              FROM lineitem WHERE l_linestatus = 'F'
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
   )
 }

@@ -341,6 +341,86 @@ object Scans {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** ClickHouse `tokenbf_v1` analogue — the token-level FULL-TEXT
+    * skipping index (the log-search / grep-over-corpus workhorse):
+    * a per-file token BLOOM built distributively over the documents
+    * table (2 hash positions per token into a 256-bit space, modeled
+    * as bounded position SETS — Spark's `might_contain` only probes
+    * constant blooms, so per-file blooms carry their set bits as data),
+    * probed as "files whose bloom admits every position of token T".
+    * Three probe classes exercise the contract:
+    *   - an ABSENT token (`quantum`): the index prunes the file list —
+    *     ideally to zero, asserted `< total` (bloom false positives may
+    *     admit a file; the scan stays correct either way) — the
+    *     negative-lookup fast path that dominates log search;
+    *   - the corpus's one RARE token (`dup`, ~5% of docs): admitted
+    *     files are opened and filtered; the bloom guarantees NO false
+    *     negatives, so the result is exact;
+    *   - a SATURATED token (`spark`, ~77% of docs): admits everything —
+    *     documenting honestly that skip-index pruning is only as good
+    *     as token rarity × clustering (this synthetic corpus's 31-word
+    *     vocabulary saturates per-file token sets for all common words;
+    *     verified under doc_id- and text-clustered layouts).
+    *
+    * Scale notes: the index is O(files × bits) metadata built in ONE
+    * distributed aggregate (no second scan per token); the probe's
+    * collect is O(files) index entries, never O(rows). At 100 TB a
+    * needle token (request id, error code) has ~1e-9 density and the
+    * granule bloom prunes almost everything — exactly the tokenbf_v1
+    * contract; this fixture's 5%-density floor makes the absent-token
+    * probe the honest pruning demonstration.
+    */
+  private def scanTextIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${graft.Scratch.dir("textidx")}/t"
+    val bits = 256
+    Tables.documents(s, dir)
+      .repartitionByRange(8, col("doc_id")) // the log-table ingest layout
+      .write.parquet(root)
+    // per-file bloom-position sets, ONE aggregate over the corpus; the
+    // two positions per token mirror tokenbf's k=2 hash family
+    def positions(tok: Column): Column = array(
+      pmod(xxhash64(tok), lit(bits)), pmod(xxhash64(tok, lit(1)), lit(bits)))
+    val entries = s.read.parquet(root)
+      .select(input_file_name().as("file"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("file"), explode(positions(col("tok"))).as("pos"))
+      .groupBy(col("file"))
+      .agg(collect_set(col("pos")).as("bloom"))
+      .as[(String, Seq[Long])].collect() // O(files × bits) index metadata
+    val probes = Seq("dup", "spark", "quantum")
+    // probe positions through the SAME engine expressions (a driver-side
+    // xxhash64 reimplementation could silently drift from codegen)
+    val probePos: Map[String, Seq[Long]] = probes.map { t =>
+      t -> s.range(1).select(explode(positions(lit(t))).as("p"))
+        .as[Long].collect().toSeq
+    }.toMap
+    def admitted(t: String): Seq[String] = entries.collect {
+      case (f, bloom) if probePos(t).forall(bloom.contains) => f
+    }.toIndexedSeq.sorted
+    // the prune proof: an absent token must skip files (zero, modulo
+    // bloom false positives — strictly fewer than total either way)
+    require(admitted("quantum").length < entries.length,
+      s"text index admitted ${admitted("quantum").length} of " +
+        s"${entries.length} files for an absent token — index is inert")
+    // no-false-negative proof rides the oracle: every 'dup' doc must
+    // surface through the admitted-file scan
+    val perProbe = probes.map { t =>
+      val adm = admitted(t)
+      if (adm.isEmpty) // no file opened at all — the fast path
+        s.range(1).select(lit(t).as("probe"), lit(0L).as("n_matched"),
+          lit(0L).as("sum_chars"))
+      else
+        s.read.parquet(adm: _*)
+          .filter(array_contains(split(col("text"), " "), t))
+          .agg(count(lit(1)).as("n_matched"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+          .select(lit(t).as("probe"), col("n_matched"), col("sum_chars"))
+    }
+    perProbe.reduce(_ unionByName _).orderBy(col("probe"))
+  }
+
   /** Manifest-level FILE skipping — the lakehouse table-format mechanic
     * (Iceberg/Delta manifests) one level above scan_bloom_index's
     * row-group pruning: the clustered write is paired with a manifest
@@ -994,6 +1074,75 @@ object Scans {
       .orderBy(col("band"))
   }
 
+  /** ClickHouse `ALTER TABLE ... MODIFY COLUMN value Int64` — the TYPE
+    * CHANGE mutation, the missing sibling of MATERIALIZE COLUMN: the
+    * ALTER itself is one durable manifest write (zero data I/O); from
+    * that instant the column IS the new type everywhere, served
+    * VIRTUALLY (the conversion computed at read time) by parts written
+    * before the ALTER, and physically by parts rewritten since. Chosen
+    * partitions (here: older than the cutoff) are materialized through
+    * the partition-pruned staged swap; everything newer keeps its exact
+    * bytes — asserted by SHA-256 over the untouched partitions'
+    * files, surfaced as `cold_files_unchanged`. The conversion is
+    * `floor(value)::bigint`, spelled identically on both engines (the
+    * double→integer truncation rule — Spark truncates, DuckDB rounds,
+    * floor() first is exact on both).
+    *
+    * The read path resolves types PER PART, exactly like ClickHouse:
+    * rewritten partitions scan the new physical type natively, pending
+    * partitions compute the cast on the fly — a naive schema-merged
+    * scan would refuse the long/double conflict under one column name.
+    * `n_virtual` counts rows still served virtually (nonzero BY DESIGN).
+    *
+    * Scale notes: rewrite I/O is O(admitted partitions); the virtual
+    * tier costs one codegen'd floor+cast per read — the reason
+    * ClickHouse defers materialization on a 100 TB table to background
+    * windows, and the reason read semantics must not depend on which
+    * parts have been rewritten yet (the oracle proves they don't: one
+    * relational statement covers both tiers).
+    */
+  private def mutationModifyColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("mutmod")
+    val (root, cut) = mutationStage(s, dir, base)
+    def isCold(d: String) = !java.time.LocalDate.parse(d).isBefore(cut)
+    // byte-identity snapshot of partitions the mutation must NOT touch
+    def coldSha(): Map[String, Seq[(String, String)]] =
+      dayDirs(root).filter(f => isCold(f.getName.drop(4))).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .toSeq.sortBy(_.getName).map { f =>
+            val dg = java.security.MessageDigest.getInstance("SHA-256")
+            (f.getName,
+              dg.digest(java.nio.file.Files.readAllBytes(f.toPath))
+                .map(b => f"$b%02x").mkString)
+          }
+      }.toMap
+    val before = coldSha()
+    // the ALTER: one durable manifest write, zero data I/O
+    graft.Scratch.writeDurable(
+      java.nio.file.Paths.get(s"$base/_SCHEMA"),
+      """{"modify":{"value":{"type":"bigint","conv":"floor"}}}""")
+    // MODIFY COLUMN ... IN PARTITION day < cut: materialize the change
+    mutatePartitions(s, root, "day", d => !isCold(d),
+      _.withColumn("value", floor(col("value")).cast("long")))
+    val coldOk = coldSha() == before
+    // per-part type resolution (parsed from _SCHEMA in a real catalog)
+    val (oldParts, newParts) = dayDirs(root)
+      .partition(f => !isCold(f.getName.drop(4)))
+    def rd(ds: Array[java.io.File]) = s.read.option("basePath", root)
+      .parquet(ds.map(_.getPath).toIndexedSeq: _*)
+    val physicalTier = rd(oldParts)
+      .select(col("day"), col("value"))
+    val virtualTier = rd(newParts)
+      .select(col("day"), floor(col("value")).cast("long").as("value"))
+    physicalTier.unionByName(virtualTier)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        count(when(col("day") >= lit(java.sql.Date.valueOf(cut)), 1))
+          .as("n_virtual"))
+      .withColumn("cold_files_unchanged", lit(if (coldOk) 1 else 0))
+      .orderBy(col("day"))
+  }
+
   /** ClickHouse `OPTIMIZE TABLE ... DEDUPLICATE`: storage-level exact-
     * row dedup — the cleanup a ReplacingMergeTree operator runs after a
     * replayed ingest doubled some rows. A deterministic duplicate set is
@@ -1219,6 +1368,55 @@ object Scans {
       .select(col("day"), col("n_parts"), col("n_rows"), col("min_key"),
         col("max_key"), col("sum_value"))
       .orderBy(col("day"))
+  }
+
+  /** `system.mutations` — the pending/applied mutation LEDGER view, the
+    * observability half of the mutation surface (pairs with meta_parts'
+    * storage stats): every ALTER appends one entry {id, command,
+    * parts_total at issue time} to a manifest committed through the
+    * fsync + atomic-rename discipline; applying the mutation through
+    * the partition-pruned staged swap records parts_done (the touched
+    * partitions [[mutatePartitions]] reports). A mutation not yet
+    * picked up by the background materializer sits at parts_done = 0,
+    * is_done = 0 — exactly the row an operator watches on a 100 TB
+    * table where mutations drain over hours. Exercised end-to-end: a
+    * DELETE mutation issued AND applied (parts_done = admitted
+    * partitions), then an UPDATE issued but left PENDING.
+    *
+    * Scale notes: the ledger is O(mutations) metadata — no data row is
+    * read to serve the view; parts_done comes from the swap machinery's
+    * own return value, not a rescan.
+    */
+  private def metaMutations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.Scratch.dir("metamut")
+    val (root, cut) = mutationStage(s, dir, base)
+    val cmd1 = "ALTER TABLE events DELETE WHERE day >= cut AND event_type = 'click'"
+    val cmd2 = "ALTER TABLE events UPDATE value = value + 10 WHERE event_type = 'view'"
+    // mutation 1: issued and applied — parts_total is the partition
+    // count AT ISSUE TIME, parts_done the staged swap's touched set
+    val total1 = dayDirs(root).length.toLong
+    val done1 = mutatePartitions(s, root, "day",
+      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      _.filter(col("event_type") =!= "click")).size.toLong
+    // mutation 2: issued, not yet materialized (pending)
+    val total2 = dayDirs(root).length.toLong
+    val entries = Seq(
+      (1, cmd1, total1, done1, 1),
+      (2, cmd2, total2, 0L, 0))
+    val path = java.nio.file.Paths.get(s"$base/_MUTATIONS")
+    graft.Scratch.atomicPublish(path, entries.map { case (i, c, t, d, f) =>
+      Seq(i, c, t, d, f).mkString("\u0001") }.mkString("\n"))
+    // the view reads the DURABLE ledger back, not the in-memory state:
+    // what survives a restart is what the operator sees
+    val rows = graft.Scratch.readManifest(path.toString).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val a = l.split('\u0001')
+        (a(0).toInt, a(1), a(2).toLong, a(3).toLong, a(4).toInt)
+      }.toSeq
+    rows.toDF("mutation_id", "command", "parts_total", "parts_done",
+        "is_done")
+      .orderBy(col("mutation_id"))
   }
 
   /** `system.columns`-grade dataset profiling: per-column null count
@@ -1552,6 +1750,39 @@ object Scans {
               SELECT band, COUNT(*) AS n, COUNT(virt) AS n_virtual,
                 ${Det.oSum("value")} AS sum_value
               FROM b GROUP BY band ORDER BY band""")),
+    QueryDef("mutation_modify_column", mutationModifyColumn,
+      Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 CAST(FLOOR(value) AS BIGINT) AS value FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e)
+              SELECT day, COUNT(*) AS n,
+                CAST(SUM(value) AS BIGINT) AS sum_value,
+                COUNT(CASE WHEN day >= cut THEN 1 END) AS n_virtual,
+                1 AS cold_files_unchanged
+              FROM e, m GROUP BY day ORDER BY day""")),
+    QueryDef("meta_mutations", metaMutations,
+      Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                 FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e),
+               t AS (SELECT COUNT(DISTINCT day) AS n_days FROM e),
+               r AS (SELECT COUNT(DISTINCT day) AS n_recent
+                 FROM e, m WHERE day >= cut)
+              SELECT 1 AS mutation_id,
+                'ALTER TABLE events DELETE WHERE day >= cut AND event_type = ''click''' AS command,
+                n_days AS parts_total, n_recent AS parts_done, 1 AS is_done
+              FROM t, r
+              UNION ALL
+              SELECT 2,
+                'ALTER TABLE events UPDATE value = value + 10 WHERE event_type = ''view''',
+                n_days, 0, 0 FROM t
+              ORDER BY mutation_id""")),
+    QueryDef("scan_text_index", scanTextIndex,
+      Some("""WITH p AS (SELECT 'dup' AS probe UNION ALL
+                SELECT 'spark' UNION ALL SELECT 'quantum')
+              SELECT probe, COUNT(doc_id) AS n_matched,
+                CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+              FROM p LEFT JOIN documents
+                ON list_contains(string_split(text, ' '), probe)
+              GROUP BY probe ORDER BY probe""")),
     QueryDef("sink_insert_dedup", sinkInsertDedup,
       Some(s"""SELECT o_orderkey % 4 AS bucket, COUNT(*) AS n,
                ${Det.oSum("o_totalprice")} AS sum_price,

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DecimalType
@@ -22,8 +22,13 @@ import org.apache.spark.sql.types.DecimalType
   *   - its grouping columns ⊆ the MV's grouping columns,
   *   - every aggregate is `sum(cast(col as decimal(30,6)))` over a column
   *     the MV covers, or `count(1)` (no DISTINCT, no FILTER),
-  *   - the aggregate sits directly on the base scan (no intervening
-  *     Filter — a row-level predicate can't be answered post-aggregation).
+  *   - the aggregate sits on the base scan through at most column-pruning
+  *     Projects and Filters whose predicates reference MV GROUPING columns
+  *     only (`WHERE grouping_col = x GROUP BY …`, the most common real
+  *     projection query — such a predicate filters whole groups, so it
+  *     commutes with re-aggregation and is applied to the MV instead;
+  *     a row-level predicate on any NON-grouping column still blocks,
+  *     because it can't be answered post-aggregation).
   * Anything else falls through to the base table untouched.
   *
   * At 100 TB this is the difference between scanning the fact table and
@@ -79,22 +84,37 @@ object MvRouting {
 object RouteAggregateToMv extends Rule[LogicalPlan] {
   import MvRouting._
 
-  /** The base scan under an Aggregate, tolerating the column-pruning
-    * Project; anything else (Filter, Join, …) blocks routing.
+  /** The base scan under an Aggregate, peeling column-pruning Projects
+    * and collecting Filter conditions on the way down; anything else
+    * (Join, Window, non-attr Project, …) blocks routing. The collected
+    * conditions are vetted by [[routableFilter]] — a filter is only
+    * sound to route when it references MV GROUPING columns exclusively
+    * (it then filters whole groups identically on base and MV; a
+    * row-level predicate can't be answered post-aggregation).
     */
-  private def baseScan(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+  private def baseScan(p: LogicalPlan)
+      : Option[(Seq[Expression], HadoopFsRelation)] = p match {
     case l: LogicalRelation => l.relation match {
-      case fs: HadoopFsRelation => Some(fs)
+      case fs: HadoopFsRelation => Some((Nil, fs))
       case _ => None
     }
-    case Project(projList, l: LogicalRelation)
+    case Project(projList, child)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      l.relation match {
-        case fs: HadoopFsRelation => Some(fs)
-        case _ => None
-      }
+      baseScan(child)
+    case Filter(cond, child) =>
+      baseScan(child).map { case (conds, fs) => (cond +: conds, fs) }
     case _ => None
   }
+
+  /** A filter condition is routable iff it is deterministic, contains
+    * no subquery (a PlanExpression's INTERNAL attributes could collide
+    * by name with MV grouping columns and be remapped wrongly), and
+    * every attribute it references is an MV grouping column.
+    */
+  private def routableFilter(cond: Expression, mv: MvDef): Boolean =
+    cond.deterministic &&
+      !cond.exists(_.isInstanceOf[PlanExpression[_]]) &&
+      cond.references.forall(a => mv.groupCols(a.name))
 
   /** The Det.dsum shape: cast(col as decimal(30,6)) summed. */
   private def dsumSource(e: Expression): Option[String] = e match {
@@ -126,18 +146,21 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     // scan; falling through to the base table is merely unrouted and
     // always correct. One driver-side stat per candidate rewrite.
     case agg: Aggregate
-        if baseScan(agg.child).exists(fs =>
+        if baseScan(agg.child).exists { case (conds, fs) =>
           fs.location.rootPaths.length == 1 &&
             forPath(fs.location.rootPaths.head.toString)
-              .exists(d => PathRegistry.targetExists(d.mvPath))) =>
-      val fs = baseScan(agg.child).get
+              .exists(d => PathRegistry.targetExists(d.mvPath) &&
+                conds.forall(routableFilter(_, d))) } =>
+      val (conds, fs) = baseScan(agg.child).get
       val mv = forPath(fs.location.rootPaths.head.toString).get
-      rewrite(agg, agg.groupingExpressions, agg.aggregateExpressions, mv)
+      rewrite(agg, agg.groupingExpressions, agg.aggregateExpressions,
+          conds, mv)
         .getOrElse(agg)
   }
 
   private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
-      aggExprs: Seq[NamedExpression], mv: MvDef): Option[Aggregate] = {
+      aggExprs: Seq[NamedExpression], filterConds: Seq[Expression],
+      mv: MvDef): Option[Aggregate] = {
     val groupNames = groupExprs.map {
       case a: AttributeReference => a.name
       case _ => return None
@@ -196,8 +219,34 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       case _ => None
     }
     if (newAggExprs.exists(_.isEmpty)) return None
+
+    // grouping-column filters route as a pre-aggregation filter on the
+    // MV: p references only grouping columns (vetted by routableFilter),
+    // so σ_p commutes with the re-aggregation — γ_G(σ_p(base)) =
+    // γ_G(σ_p(MV partials)). Remap base attrs to the fresh MV attrs;
+    // an unmappable attribute (MV parquet missing the column) aborts.
+    val newChild: LogicalPlan =
+      if (filterConds.isEmpty) mvPlan
+      else {
+        val remapped = filterConds.map { c =>
+          var ok = true
+          val r = c.transform {
+            case a: AttributeReference =>
+              mvAttr.get(a.name) match {
+                case Some(ma) => ma
+                case None => ok = false; a
+              }
+          }
+          if (ok) Some(r) else None
+        }
+        if (remapped.exists(_.isEmpty)) return None
+        Filter(remapped.map(_.get)
+          .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)),
+          mvPlan)
+      }
+
     val newGroup = groupNames.map(mvAttr)
     Some(agg.copy(groupingExpressions = newGroup,
-      aggregateExpressions = newAggExprs.map(_.get), child = mvPlan))
+      aggregateExpressions = newAggExprs.map(_.get), child = newChild))
   }
 }

@@ -168,6 +168,18 @@ class PlanShapeSpec extends GraftSpec {
           org.apache.spark.sql.functions.lit(1)).as("n"))
       assert(otherGroup.queryExecution.executedPlan.toString
         .contains("lineitem.parquet"), "uncovered grouping must not route")
+      // but a filter on a GROUPING column commutes with re-aggregation
+      // and must route (the mv_route_filtered shape) — asserted here on
+      // the same session so the negative and positive gates share state
+      val groupingFiltered = Tables.lineitem(spark, sf)
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.sum(
+          col("l_quantity").cast(org.apache.spark.sql.types
+            .DecimalType(30, 6))).as("s"))
+      val gp = groupingFiltered.queryExecution.executedPlan.toString
+      assert(gp.contains("graft_mv") && !gp.contains("lineitem.parquet"),
+        s"grouping-column filter must route to the MV:\n${gp.take(800)}")
     } finally graft.plans.MvRouting.disable(spark)
   }
 
@@ -361,6 +373,14 @@ class PlanShapeSpec extends GraftSpec {
       .agg(org.apache.spark.sql.functions.avg("l_discount").as("a"))
       .queryExecution.executedPlan.toString
     assert(unrouted.contains("lineitem.parquet"), unrouted.take(500))
+  }
+
+  test("mv_route_filtered reads the MV with the filter applied pre-agg") {
+    val p = plan("mv_route_filtered")
+    assert(p.contains("graft_mv"),
+      s"filtered aggregate not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed query must not also scan the fact table:\n${p.take(800)}")
   }
 
   test("scan_bloom_index pushes the point lookup into the parquet scan") {
