@@ -26,9 +26,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // previous run's at-rest per-query map, read BEFORE overwrite: the
-    // standing regression guard diffs against it at the end of the run
+    // previous run's at-rest per-query map AND calibration record, read
+    // BEFORE overwrite: the standing regression guard diffs against
+    // them at the end of the run
     val prev = readPrev("target/bench_queries.json")
+    val prevCal = readPrevCalibration("target/bench_queries.json")
     // one-time shared-fixture ETL (bucketed tables, staged stream feeds):
     // amortized setup at cluster scale, so it isn't part of any query's time
     // a fixture-prep failure must be VISIBLE (it cascades into dozens of
@@ -48,6 +50,14 @@ object Bench {
     prep("stats")(graft.operators.Stats.ensureAnalyzed(spark, sfDir))
     prep("mv")(graft.operators.MvOps.stageMv(spark, sfDir)) // staging only —
     // no routing rule on the measured session (mv_route clones)
+    // calibration probe, run FIRST and LAST: constant CPU-bound work
+    // independent of fixtures, so its ratio to the at-rest record
+    // measures HOST LOAD, not code. Two rounds in a row the regression
+    // tail was 100% environmental false positives (r8: 2 keys, r9: 29
+    // keys at a uniform 1.5-2.2x) — normalizing the per-key threshold
+    // by the calibration ratio makes a loaded run self-identifying
+    // instead of crying wolf.
+    val calStart = calibrate(spark)
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
@@ -76,13 +86,17 @@ object Bench {
       // numbers are already not like-for-like).
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    val calEnd = calibrate(spark)
+    // run-average load estimate: start and end brackets catch load that
+    // arrives mid-run (each bracket is already a min-of-3, JIT-immune)
+    val calObserved = (calStart + calEnd) / 2
     val qs = results.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
     val (total, nOk, nFailed) = summarize(results)
     // full per-query map also persisted to a file: the driver's tail
     // capture keeps only ~64 of 260+ entries of the stdout line, so
     // round-over-round per-query diffs need the at-rest copy
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.q(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration":$calObserved,"sf":${Json.q(sfDir)}}"""
     if (only.isEmpty) {
       try {
         new java.io.File("target").mkdirs()
@@ -96,12 +110,20 @@ object Bench {
       }
     }
     println(line)
-    // standing regression guard (VERDICT r5 task 8): every overlapping
-    // key >1.5x the previous run's time, floored at 0.2s so sub-JIT
-    // noise on trivial queries can't page anyone. One short JSON line —
-    // empty list is the expected, asserted-on-by-eyeball state.
-    val regs = regressions(prev, results)
-    println(s"""{"metric":"bench_regressions","threshold":1.5,"keys":${
+    // standing regression guard (VERDICT r5 task 8, load-normalized per
+    // VERDICT r9 finding 1): every overlapping key >1.5x the previous
+    // run's time AFTER scaling the threshold by the calibration ratio
+    // (observed/recorded constant-work probe — >1 means the host is
+    // slower than when the baseline was taken, and per-key times
+    // inflate by roughly that multiplier through no fault of the code).
+    // Floored at 0.2s so sub-JIT noise on trivial queries can't page
+    // anyone. One short JSON line — empty list is the expected state.
+    // never scale the threshold DOWN below the classic 1.5x: a baseline
+    // taken under load would otherwise make an at-rest run over-flag
+    val calRatio =
+      if (prevCal > 0) math.max(1.0, calObserved / prevCal) else 1.0
+    val regs = regressions(prev, results, calRatio)
+    println(s"""{"metric":"bench_regressions","threshold":1.5,"calibration_sec":$calObserved,"calibration_ratio":$calRatio,"keys":${
       regs.map { case (k, o, n) =>
         s"""{"key":${Json.q(k)},"prev":$o,"now":$n}""" }.mkString("[", ",", "]")}}""")
     // compact line LAST: the driver's tail capture truncates long lines
@@ -118,15 +140,49 @@ object Bench {
     (if (ok.nonEmpty) ok.sum else 0.0, ok.size, results.values.count(_ < 0))
   }
 
-  /** Overlapping keys whose time grew >1.5x vs the previous per-query
-    * map, previous time ≥ 0.2s (unit-tested). Sorted worst-first.
+  /** Fixed constant-work CPU probe (no fixture I/O): 64M-row codegen'd
+    * modulo-sum over 32 partitions, min of 3 reps (JIT-immune; sustained
+    * host load inflates all reps alike). Its ratio to the at-rest record
+    * is the run's load multiplier.
+    */
+  private def calibrate(spark: SparkSession): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 64L * 1000 * 1000, 1, 32)
+        .selectExpr("sum(id % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** Overlapping keys whose time grew >1.5x × calRatio vs the previous
+    * per-query map, previous time ≥ 0.2s (unit-tested). calRatio is the
+    * calibration-probe load multiplier (1.0 = at-rest / no record);
+    * sorted worst-first.
     */
   private[graft] def regressions(prev: Map[String, Double],
-      now: Map[String, Double]): Seq[(String, Double, Double)] =
+      now: Map[String, Double], calRatio: Double = 1.0)
+      : Seq[(String, Double, Double)] =
     now.toSeq.collect {
-      case (k, n) if n >= 0 && prev.get(k).exists(o => o >= 0.2 && n > 1.5 * o) =>
+      case (k, n) if n >= 0 &&
+          prev.get(k).exists(o => o >= 0.2 && n > 1.5 * calRatio * o) =>
         (k, prev(k), n)
     }.sortBy { case (_, o, n) => -(n / o) }
+
+  /** The prior run's `"calibration":<sec>` record; 0.0 (guard
+    * unnormalized) when missing or garbled.
+    */
+  private[graft] def readPrevCalibration(path: String): Double =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val i = s.indexOf("\"calibration\":")
+      if (i < 0) 0.0
+      else {
+        val rest = s.substring(i + 14)
+        val end = rest.indexWhere(c => !(c.isDigit || c == '.' ||
+          c == '-' || c == 'e' || c == 'E' || c == '+'))
+        (if (end < 0) rest else rest.substring(0, end)).toDouble
+      }
+    } catch { case scala.util.control.NonFatal(_) => 0.0 }
 
   /** Best-effort parse of the prior run's `{"queries":{k:v,...}}` line;
     * a missing/garbled file just disables the guard for this run.

@@ -52,6 +52,12 @@ class AllQueriesSmokeSpec extends GraftSpec {
     // (sentinel never compares); e: no prior → not a regression
     assert(Bench.regressions(prev, now) == Seq(("a", 1.0, 1.6)))
     assert(Bench.regressions(Map.empty, now).isEmpty)
+    // load normalization (VERDICT r9 finding 1): a calibration ratio of
+    // 1.2 raises a's threshold to 1.8x — the uniform-multiplier false
+    // positive disappears; a genuine 2x regression still flags
+    assert(Bench.regressions(prev, now, 1.2).isEmpty)
+    assert(Bench.regressions(prev, Map("a" -> 2.0), 1.2)
+      == Seq(("a", 1.0, 2.0)))
   }
 
   test("bench prev-map parse: queries extracted, garbage disables guard") {
@@ -64,6 +70,18 @@ class AllQueriesSmokeSpec extends GraftSpec {
     java.nio.file.Files.writeString(bad, "not json at all")
     assert(Bench.readPrev(bad.toString).isEmpty)
     assert(Bench.readPrev(dir.resolve("absent.json").toString).isEmpty)
+    // calibration record: parsed when present AFTER the queries map
+    // (where the writer puts it), 0.0 when absent/garbled/missing
+    val cal = dir.resolve("cal.json")
+    java.nio.file.Files.writeString(cal,
+      """{"metric":"total","value":3.0,"queries":{"q1":1.25},"calibration":0.4125,"sf":"x"}""")
+    assert(Bench.readPrevCalibration(cal.toString) == 0.4125)
+    assert(Bench.readPrev(cal.toString) == Map("q1" -> 1.25),
+      "calibration field must not disturb the queries-map parse")
+    assert(Bench.readPrevCalibration(good.toString) == 0.0)
+    assert(Bench.readPrevCalibration(bad.toString) == 0.0)
+    assert(Bench.readPrevCalibration(
+      dir.resolve("absent.json").toString) == 0.0)
   }
 
   /** Keys allowed to plan CartesianProduct. Empty by policy: every
