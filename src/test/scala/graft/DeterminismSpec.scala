@@ -10,7 +10,7 @@ package graft
   * on the session's partitioning) and the full collected results must
   * be bit-identical.
   *
-  * The sample (27 keys) is chosen adversarially: keys that reassemble
+  * The sample (30 keys) is chosen adversarially: keys that reassemble
   * arrays from aggregations (agg_foreach, agg_resample,
   * agg_group_array_sorted, agg_array_intersect, agg_moving_sum_array),
   * rank after rounding (sim_ann_recall, sim_triplet_mine), hash-order
@@ -49,7 +49,18 @@ class DeterminismSpec extends GraftSpec {
     // candidate set must not depend on which partitioning met the bands
     "mm_phash_dedup",
     // exact-percentile pick-middle over shuffle-assembled pair slopes
-    "ts_theil_sen")
+    "ts_theil_sen",
+    // round-10 wave: the bloom-position index built via collect_set
+    // (set membership must not depend on which partitioning collected
+    // the positions) feeding a driver-side admission decision
+    "scan_text_index",
+    // optimizer-rule rewrite (Aggregate-over-Filter re-targeted at the
+    // MV): the routed plan's decimal re-aggregation under two
+    // partitionings of the re-aggregation shuffle
+    "mv_route_filtered",
+    // per-part type resolution: two unioned scan tiers whose long sums
+    // must agree regardless of which partitioning merged them
+    "mutation_modify_column")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()
