@@ -54,19 +54,33 @@ final class DfCache(maxEntries: Int = 16) {
     // blocks died with the context) — drop eagerly, no unpersist needed
     // but drop() tolerates it
     m.keySet.asScala.toList.filter(_._1.sparkContext.isStopped).foreach(drop)
-    // make room for the (possible) insert below: evict oldest-first
-    // until size < maxEntries, so the effective cap IS maxEntries. The
-    // null-poll guard breaks the loop if the queue drains first (an
-    // entry can be mid-insert in m but not yet queued — next call
-    // settles it); no global lock, same rationale as before: `build`
-    // runs full Spark jobs and must not serialize unrelated callers.
-    while (m.size >= maxEntries) {
+    val k = (s, key)
+    // HIT path first, no eviction: a full-at-cap cache of live entries
+    // accessed cyclically must stay stable — evicting before the
+    // presence check would turn every at-cap hit into a drop+rebuild
+    // of the oldest frame (0% hit rate at a working set == maxEntries)
+    val hit = m.get(k)
+    if (hit != null) return hit
+    // MISS: make room for the insert, oldest-first, until size <
+    // maxEntries — so the effective cap IS maxEntries. The null-poll
+    // guard breaks the loop if the queue drains first (an entry can be
+    // mid-insert in m but not yet queued — the next call settles it);
+    // no global lock, same rationale as before: `build` runs full
+    // Spark jobs and must not serialize unrelated callers.
+    var draining = true
+    while (draining && m.size >= maxEntries) {
       val oldest = order.poll()
-      if (oldest == null) return m.computeIfAbsent((s, key),
-        k => { order.add(k); build })
-      drop(oldest)
+      if (oldest == null) draining = false else drop(oldest)
     }
-    m.computeIfAbsent((s, key), k => { order.add(k); build })
+    // queue AFTER a successful insert, not inside the mapping function:
+    // a throwing `build` inserts nothing into m, so queueing eagerly
+    // would leave a phantom key whose later poll evicts the live
+    // re-built entry at the phantom's (older) age — and repeated build
+    // failures would grow the queue without bound
+    var inserted = false
+    val res = m.computeIfAbsent(k, _ => { inserted = true; build })
+    if (inserted) order.add(k)
+    res
   }
 }
 

@@ -68,12 +68,28 @@ object MvOps {
   /** A plain base-table aggregate on a grouping SUBSET of the MV — the
     * rule must route it to the MV and re-aggregate the decimal partials.
     */
+  /** The rule-isolation clone both routed keys run under: a fresh
+    * session (so the installed optimizer rule never contaminates the
+    * caller — the conf-tweaking-joins convention) that INHERITS the
+    * caller's runtime shuffle partitioning. newSession() rebuilds
+    * SQLConf from the SparkContext conf, silently discarding a
+    * runtime-set spark.sql.shuffle.partitions — which made
+    * DeterminismSpec's two-partitionings contract vacuous for routed
+    * keys (both runs executed at the context default).
+    */
+  private def isolatedClone(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    s
+  }
+
   private def mvRoute(s0: SparkSession, dir: String): DataFrame = {
     // isolate the installed optimizer rule from the caller's session:
     // left on s0, it would transparently re-target every later matching
     // lineitem aggregate in the suite at the MV (run-order-dependent
     // plans) — the same reason the conf-tweaking joins use clones
-    val s = s0.newSession()
+    val s = isolatedClone(s0)
     ensureMv(s, dir)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -96,7 +112,7 @@ object MvOps {
     * previously a full fact scan.
     */
   private def mvRouteFiltered(s0: SparkSession, dir: String): DataFrame = {
-    val s = s0.newSession() // rule isolation — the mvRoute rationale
+    val s = isolatedClone(s0) // rule isolation — the mvRoute rationale
     ensureMv(s, dir)
     Tables.lineitem(s, dir)
       .filter(col("l_linestatus") === "F")

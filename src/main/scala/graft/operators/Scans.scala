@@ -845,15 +845,8 @@ object Scans {
         col("o_orderpriority"))
       .write.partitionBy("o_orderstatus").parquet(root)
     def partBytes(): Map[String, Seq[(String, String)]] =
-      new java.io.File(root).listFiles().filter(_.isDirectory).map { d =>
-        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .toSeq.sortBy(_.getName).map { f =>
-            val dg = java.security.MessageDigest.getInstance("SHA-256")
-            (f.getName,
-              dg.digest(java.nio.file.Files.readAllBytes(f.toPath))
-                .map(b => f"$b%02x").mkString)
-          }
-      }.toMap
+      partFileShas(graft.Scratch
+        .listPartitionDirs(root, "o_orderstatus=").toIndexedSeq)
     def partSize(p: String): Long =
       new java.io.File(s"$root/$p").listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
@@ -904,6 +897,27 @@ object Scans {
     * only those directories (basePath keeps the partition column), so
     * nothing outside them is even scanned.
     */
+  /** Per-file SHA-256 snapshot of the given partition directories — the
+    * byte-identity proof every "untouched partitions keep their exact
+    * bytes" mutation claim rests on (one implementation; previously
+    * copy-pasted per mutation). A missing/unlistable dir contributes an
+    * empty file list (the listFiles-returns-NULL rule), so a dropped
+    * partition compares as CHANGED instead of crashing the snapshot.
+    */
+  private[graft] def partFileShas(dirs: Seq[java.io.File])
+      : Map[String, Seq[(String, String)]] =
+    dirs.map { d =>
+      d.getName -> Option(d.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+        .toSeq.sortBy(_.getName).map { f =>
+          val dg = java.security.MessageDigest.getInstance("SHA-256")
+          (f.getName,
+            dg.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map(b => f"$b%02x").mkString)
+        }
+    }.toMap
+
   private[graft] def mutatePartitions(s: SparkSession, root: String,
       partCol: String, admit: String => Boolean,
       rewrite: DataFrame => DataFrame): Set[String] = {
@@ -1107,15 +1121,8 @@ object Scans {
     def isCold(d: String) = !java.time.LocalDate.parse(d).isBefore(cut)
     // byte-identity snapshot of partitions the mutation must NOT touch
     def coldSha(): Map[String, Seq[(String, String)]] =
-      dayDirs(root).filter(f => isCold(f.getName.drop(4))).map { d =>
-        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .toSeq.sortBy(_.getName).map { f =>
-            val dg = java.security.MessageDigest.getInstance("SHA-256")
-            (f.getName,
-              dg.digest(java.nio.file.Files.readAllBytes(f.toPath))
-                .map(b => f"$b%02x").mkString)
-          }
-      }.toMap
+      partFileShas(dayDirs(root).filter(f => isCold(f.getName.drop(4)))
+        .toIndexedSeq)
     val before = coldSha()
     // the ALTER: one durable manifest write, zero data I/O
     graft.Scratch.writeDurable(
@@ -1130,11 +1137,18 @@ object Scans {
       .partition(f => !isCold(f.getName.drop(4)))
     def rd(ds: Array[java.io.File]) = s.read.option("basePath", root)
       .parquet(ds.map(_.getPath).toIndexedSeq: _*)
-    val physicalTier = rd(oldParts)
-      .select(col("day"), col("value"))
-    val virtualTier = rd(newParts)
-      .select(col("day"), floor(col("value")).cast("long").as("value"))
-    physicalTier.unionByName(virtualTier)
+    // either tier can be EMPTY (a ≤8-day fixture leaves nothing older
+    // than the cutoff; a hypothetical all-old layout leaves nothing
+    // newer) — an empty path list would crash the parquet read with
+    // 'unable to infer schema', so union only the tiers that exist
+    val tiers = Seq(
+      Option.when(oldParts.nonEmpty)(rd(oldParts)
+        .select(col("day"), col("value"))),
+      Option.when(newParts.nonEmpty)(rd(newParts)
+        .select(col("day"), floor(col("value")).cast("long").as("value"))))
+      .flatten
+    require(tiers.nonEmpty, s"no day= partitions under $root")
+    tiers.reduce(_ unionByName _)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
         count(when(col("day") >= lit(java.sql.Date.valueOf(cut)), 1))
