@@ -308,12 +308,17 @@ object EventAnalytics {
         coalesce(prevV, lit(0.0)).as("locf"),
         prevV.as("pv"), prevD.as("pd"), nextV.as("nv"), nextD.as("nd"))
       .select(col("user_id"), col("day"), col("filled"), col("locf"),
-        round(when(col("v").isNotNull, col("v"))
+        // UNROUNDED: both engines run this identical IEEE chain over
+        // identical doubles, so the quotient matches bit-for-bit;
+        // rounding at the edge would reintroduce the class-3 midpoint
+        // split (a 1-day gap puts the result on a 6dp midpoint whenever
+        // nv−pv carries an odd 6th decimal — the text_lm_bigram lesson)
+        when(col("v").isNotNull, col("v"))
           .when(col("pv").isNotNull && col("nv").isNotNull,
             col("pv") + (col("nv") - col("pv"))
               * datediff(col("day"), col("pd")).cast("double")
               / datediff(col("nd"), col("pd")).cast("double"))
-          .otherwise(coalesce(col("pv"), col("nv"), lit(0.0))), 6)
+          .otherwise(coalesce(col("pv"), col("nv"), lit(0.0)))
           .as("interp"))
       .orderBy(col("user_id"), col("day"))
   }
@@ -396,7 +401,10 @@ object EventAnalytics {
     * is the group key, so it shuffles each user's 6 rows once.
     */
   private def tsTheilSen(s: SparkSession, dir: String): DataFrame = {
-    sixDayPairs(firstSixDays(s, dir))
+    // the pairs self-join consumes pts on BOTH sides — checkpoint so
+    // the events scan + two-window eligibility subtree runs once (the
+    // same fix its sibling ts_mann_kendall carries)
+    sixDayPairs(firstSixDays(s, dir).localCheckpoint())
       .select(col("user_id"),
         ((col("x2") - col("x")).cast("double")
           / (col("t2") - col("t")).cast("double")).as("slope"))
@@ -497,12 +505,12 @@ object EventAnalytics {
               SELECT user_id, day,
                 COALESCE(v, 0.0) AS filled,
                 COALESCE(pv, 0.0) AS locf,
-                round(CASE WHEN v IS NOT NULL THEN v
+                CASE WHEN v IS NOT NULL THEN v
                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
                     pv + (nv - pv)
                       * CAST(datediff('day', pd, day) AS DOUBLE)
                       / CAST(datediff('day', pd, nd) AS DOUBLE)
-                  ELSE COALESCE(pv, nv, 0.0) END, 6) AS interp
+                  ELSE COALESCE(pv, nv, 0.0) END AS interp
               FROM j ORDER BY user_id, day""")),
     QueryDef("fn_funnel", fnFunnel,
       Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -542,13 +550,12 @@ object EventAnalytics {
                      AND ts <= t1 + INTERVAL 24 HOUR THEN ts END) AS t3
                 FROM e JOIN s2 ON e.user_id = s2.user_id
                 GROUP BY e.user_id, t1, t2),
-              lat AS (SELECT CAST(epoch_us(t3) - epoch_us(t1) AS DOUBLE)
-                  / 1000000.0 AS lat_s
+              lat AS (SELECT epoch_us(t3) - epoch_us(t1) AS lat_us
                 FROM s3 WHERE t3 IS NOT NULL)
               SELECT COUNT(*) AS n_converted,
-                round(MIN(lat_s), 6) AS min_s,
-                round(quantile_cont(lat_s, 0.5), 6) AS median_s,
-                round(MAX(lat_s), 6) AS max_s
+                CAST(MIN(lat_us) AS DOUBLE) / 1000000.0 AS min_s,
+                quantile_cont(lat_us, 0.5) / 1000000.0 AS median_s,
+                CAST(MAX(lat_us) AS DOUBLE) / 1000000.0 AS max_s
               FROM lat""")),
     QueryDef("fn_funnel_strict", fnFunnelStrict,
       Some("""WITH e AS (SELECT user_id, event_id, event_type,
@@ -1200,13 +1207,13 @@ object EventAnalytics {
                   OVER (ORDER BY h
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
                 FROM j)
-              SELECT h, round(CASE
+              SELECT h, CASE
                 WHEN rev IS NOT NULL THEN rev
                 WHEN pv IS NULL THEN nv
                 WHEN nv IS NULL THEN pv
                 ELSE pv + (nv - pv)
                   * CAST(epoch(h) - epoch(ph) AS DOUBLE)
-                  / CAST(epoch(nh) - epoch(ph) AS DOUBLE) END, 6)
+                  / CAST(epoch(nh) - epoch(ph) AS DOUBLE) END
                 AS rev_interp
               FROM w ORDER BY h""")),
     QueryDef("ts_downsample", tsDownsample,
@@ -1227,7 +1234,7 @@ object EventAnalytics {
               SELECT user_id, bucket, COUNT(*) AS n_events,
                 MAX(open) AS open, MAX(value) AS high, MIN(value) AS low,
                 MAX(close) AS close,
-                round(${Det.oAvg("value")}, 6) AS avg_value
+                ${Det.oAvg("value")} AS avg_value
               FROM w GROUP BY user_id, bucket ORDER BY user_id, bucket""")),
     QueryDef("sessionize_batch", sessionizeBatch,
       Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
@@ -1328,16 +1335,26 @@ object EventAnalytics {
     * single-partition ordered window over it is safe at any scale; the
     * heavy groupBy stays distributed.
     */
+  /** The hourly SPINE every gap-sensitive ts_* operator joins against:
+    * an hour-stepped sequence over [min(h), max(h)] of the (already
+    * aggregated, O(hours)-sized) `hourly` frame, exploded from its
+    * 1-row bounds aggregate. `carry` keeps the `lo`/`hi` bound columns
+    * alongside when the caller's index math needs them. One
+    * implementation — previously copy-pasted at eight sites, where a
+    * bounds-semantics fix could silently drift per query.
+    */
+  private def hourlySpine(hourly: DataFrame, carry: String*): DataFrame =
+    hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(carry.map(col) :+ explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"): _*)
+
   private def tsGapFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hourly = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("rev"))
-    val spine = hourly
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr("INTERVAL 1 HOUR"))).as("h"))
+    val spine = hourlySpine(hourly)
     val locf = Window.orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(hourly, Seq("h"), "left")
@@ -1410,10 +1427,7 @@ object EventAnalytics {
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-    val spine = hourly
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(col("lo"), col("hi"), explode(sequence(col("lo"), col("hi"),
-        expr("INTERVAL 1 HOUR"))).as("h"))
+    val spine = hourlySpine(hourly, "lo", "hi")
     val series = spine.join(hourly, Seq("h"), "left")
       .select(col("h"),
         expr("(unix_seconds(h) - unix_seconds(lo)) div 3600").as("idx"),
@@ -1457,10 +1471,7 @@ object EventAnalytics {
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-    val spine = hourly
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(col("lo"), explode(sequence(col("lo"), col("hi"),
-        expr("INTERVAL 1 HOUR"))).as("h"))
+    val spine = hourlySpine(hourly, "lo")
     val series = spine.join(hourly, Seq("h"), "left")
       .select(expr("(unix_seconds(h) - unix_seconds(lo)) div 3600").as("idx"),
         coalesce(col("n"), lit(0L)).as("x"))
@@ -1508,10 +1519,7 @@ object EventAnalytics {
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-    val spine = hourly
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr("INTERVAL 1 HOUR"))).as("h"))
+    val spine = hourlySpine(hourly)
     val byH = Window.orderBy(col("h"))
     val w25 = byH.rowsBetween(-12, 12)
     val trended = spine.join(hourly, Seq("h"), "left")
@@ -1581,10 +1589,7 @@ object EventAnalytics {
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-    val spine = hourly
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr("INTERVAL 1 HOUR"))).as("h"))
+    val spine = hourlySpine(hourly)
     val byH = Window.orderBy(col("h"))
     val w24 = byH.rowsBetween(-24, -1)
     spine.join(hourly, Seq("h"), "left")
@@ -1620,10 +1625,7 @@ object EventAnalytics {
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-    val spine = hourly
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr("INTERVAL 1 HOUR"))).as("h"))
+    val spine = hourlySpine(hourly)
     val byH = Window.orderBy(col("h"))
     val series = spine.join(hourly, Seq("h"), "left")
       .select(col("h"), coalesce(col("n"), lit(0L)).as("x"))
@@ -1670,10 +1672,7 @@ object EventAnalytics {
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-    val spine = hourly
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr("INTERVAL 1 HOUR"))).as("h"))
+    val spine = hourlySpine(hourly)
     val series = spine.join(hourly, Seq("h"), "left")
       .select(coalesce(col("n"), lit(0L)).as("x"),
         row_number().over(Window.orderBy(col("h"))).cast("long").as("t"))
@@ -1815,10 +1814,7 @@ object EventAnalytics {
       .filter(col("event_type") === "purchase")
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(Det.dsum(col("value")).as("rev"))
-    val spine = hourly
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr("INTERVAL 1 HOUR"))).as("h"))
+    val spine = hourlySpine(hourly)
     val back = Window.orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = Window.orderBy(col("h"))
@@ -1830,14 +1826,17 @@ object EventAnalytics {
         last(knownH, ignoreNulls = true).over(back).as("ph"),
         first(col("rev"), ignoreNulls = true).over(fwd).as("nv"),
         first(knownH, ignoreNulls = true).over(fwd).as("nh"))
-      .select(col("h"), round(
+      // UNROUNDED (class-3 rule): both engines run this identical IEEE
+      // chain over identical doubles/epoch ints — rounding at the edge
+      // would put dyadic gap ratios on 6dp midpoints and split engines
+      .select(col("h"),
         when(col("rev").isNotNull, col("rev"))
           .when(col("pv").isNull, col("nv"))
           .when(col("nv").isNull, col("pv"))
           .otherwise(col("pv") + (col("nv") - col("pv"))
             * (unix_timestamp(col("h")) - unix_timestamp(col("ph"))).cast("double")
-            / (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast("double")),
-        6).as("rev_interp"))
+            / (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast("double"))
+          .as("rev_interp"))
       .orderBy(col("h"))
   }
 
@@ -1972,25 +1971,34 @@ object EventAnalytics {
         max(col("value")).as("high"),
         min(col("value")).as("low"),
         max_by(col("value"), key).as("close"),
-        round(Det.davg(col("value")), 6).as("avg_value"))
+        // UNROUNDED exact-decimal-sum / count (the win_share rule): the
+        // quotient of identical doubles is identical; rounding it put
+        // 2^k-sized buckets on exact 7-digit midpoints (class 3)
+        Det.davg(col("value")).as("avg_value"))
       .orderBy(col("user_id"), col("bucket"))
   }
 
   /** Time-to-convert distribution: among fully-converted funnel users,
-    * the signup→purchase latency's count / min / exact median / max (in
-    * whole seconds — integer µs arithmetic end to end). The metric
-    * product teams read NEXT after the funnel counts; costs one extra
+    * the signup→purchase latency's count / min / exact median / max.
+    * All percentile arithmetic happens over INTEGER µs — an even-count
+    * median interpolates two integers at frac 0.5, which every engine's
+    * interpolation formula computes EXACTLY (all intermediates are
+    * representable), whereas interpolating over double seconds splits
+    * engines in the last ulp (Spark's a+(b−a)·f vs DuckDB's variant —
+    * measured divergent on wide-spread pairs) and rounding the quotient
+    * at the edge is the class-3 midpoint trap. The single /1e6 at the
+    * end is one IEEE op on identical doubles. Costs one extra
     * aggregation over the O(users) funnel-times table.
     */
   private def fnFunnelLatency(s: SparkSession, dir: String): DataFrame =
     funnelTimes(s, dir)
       .filter(col("t3").isNotNull)
-      .select(((unix_micros(col("t3")) - unix_micros(col("t1")))
-        .cast("double") / 1000000.0).as("lat_s"))
+      .select((unix_micros(col("t3")) - unix_micros(col("t1")))
+        .as("lat_us"))
       .agg(count(lit(1)).as("n_converted"),
-        round(min(col("lat_s")), 6).as("min_s"),
-        round(expr("percentile(lat_s, 0.5)"), 6).as("median_s"),
-        round(max(col("lat_s")), 6).as("max_s"))
+        (min(col("lat_us")).cast("double") / 1000000.0).as("min_s"),
+        (expr("percentile(lat_us, 0.5)") / 1000000.0).as("median_s"),
+        (max(col("lat_us")).cast("double") / 1000000.0).as("max_s"))
 
   /** ClickHouse `windowFunnel(24h)(strict_order)` — the strict variant of
     * fn_funnel: steps must be CONSECUTIVE among the funnel's own event
