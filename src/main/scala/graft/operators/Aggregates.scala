@@ -214,6 +214,11 @@ object Aggregates {
       .filter(col("doc_id") % 50 === 0)
       .select(col("lang"), col("doc_id"),
         array_distinct(split(col("text"), " ")).as("toks"))
+      // two consumers (sizes + the explode chain) and NO exchange in
+      // the shared subtree, so ReuseExchange cannot save it: without
+      // the checkpoint the full-text tokenization runs twice. The
+      // frame is bounded (doc_id % 50 — 2% of documents).
+      .localCheckpoint()
     val sizes = docs.groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     docs.select(col("lang"), col("doc_id"), explode(col("toks")).as("tok"))
@@ -362,6 +367,7 @@ object Aggregates {
       .groupBy(col("l_discount").as("bin"))
       .agg(count(when(col("l_returnflag") =!= "R", 1)).as("n_good"),
         count(when(col("l_returnflag") === "R", 1)).as("n_bad"))
+      .localCheckpoint() // O(bins); two consumers — fact agg runs once
     val tot = binned.agg(sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb"))
     val pg = col("n_good").cast("double") / col("tg").cast("double")
     val pb = col("n_bad").cast("double") / col("tb").cast("double")
@@ -424,6 +430,7 @@ object Aggregates {
     val binned = Tables.orders(s, dir)
       .groupBy(bin.as("bin"))
       .agg(count(when(half, 1)).as("na"), count(when(!half, 1)).as("nb"))
+      .localCheckpoint() // O(bins); two consumers — fact agg runs once
     val tot = binned.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     val pa = col("na").cast("double") / col("ta").cast("double")
     val pb = col("nb").cast("double") / col("tb").cast("double")
@@ -524,6 +531,10 @@ object Aggregates {
     val cells = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
       .agg(count(lit(1)).as("o"))
+      // FOUR consumers (rowTot, colTot, tot, main join): checkpoint the
+      // O(cells) contingency table so the lineitem scan+shuffle runs
+      // once, not per consumer (the agg_categorical_iv rule)
+      .localCheckpoint()
     val rowTot = cells.groupBy(col("rf")).agg(sum(col("o")).as("rt"))
     val colTot = cells.groupBy(col("ls")).agg(sum(col("o")).as("ct"))
     val tot = cells.agg(sum(col("o")).as("n"),
@@ -718,6 +729,14 @@ object Aggregates {
     val k = 10
     val domain = Tables.orders(s, dir)
       .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt"))
+      // two consumers (cumulative window + n_total agg): checkpoint so
+      // the orders aggregation runs once. NOTE (documented limit): on
+      // near-unique value domains like o_totalprice this compresses
+      // little and the unpartitioned cumulative window below funnels
+      // the domain through one task — acceptable at the fixture's
+      // O(10^5) orders; at 100 TB use the win_ntile cut-point
+      // decomposition one level down (see Scale notes above).
+      .localCheckpoint()
     val cum = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     domain
@@ -782,15 +801,24 @@ object Aggregates {
       .agg(count(lit(1)).cast("double").as("n"),
         m(x).as("sx"), m(y).as("sy"), m(x * y).as("sxy"),
         m(x * x).as("sxx"), m(y * y).as("syy"))
+      // zero-variance guard (class 6/8): a constant-x or single-row
+      // group makes dx exactly 0 on both engines (identical fl
+      // products of exact moments) — but Spark Divide(x, 0) is NULL
+      // while DuckDB gives ±inf/NaN, so NULL is forced explicitly on
+      // BOTH sides (the ts_acf / graph_assortativity rule)
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
       .select(col("l_returnflag"),
-        round((col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
-          / col("n"), 6).as("intercept"),
-        round((col("n") * col("sxy") - col("sx") * col("sy"))
-          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"),
+        when(col("dx") === 0, lit(null).cast("double"))
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / col("dx"), 6)).as("slope"),
+        when(col("dx") === 0, lit(null).cast("double"))
+          .otherwise(round((col("sy")
+            - (col("n") * col("sxy") - col("sx") * col("sy"))
+              / col("dx") * col("sx")) / col("n"), 6)).as("intercept"),
+        when(col("dx") === 0 || col("dy") === 0, lit(null).cast("double"))
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("dx") * col("dy")), 6)).as("corr"),
         col("n").cast("long").as("n"))
       .orderBy(col("l_returnflag"))
   }
@@ -824,12 +852,18 @@ object Aggregates {
           (col("nb") - 1)
         val sea = va / col("na"); val seb = vb / col("nb")
         val se2 = sea + seb
+        // degenerate-sample guard (class 6/9): na<2 or nb<2 divides by
+        // zero (Spark NULL vs DuckDB inf), all-constant samples make
+        // se2 exactly 0 (identical chains both engines) — NULL both
+        val degenerate = col("na") < 2 || col("nb") < 2 || se2 === 0
         Seq(col("na").cast("long").as("n_a"),
           col("nb").cast("long").as("n_b"),
           ma.as("mean_a"), mb.as("mean_b"),
-          ((ma - mb) / sqrt(se2)).as("t_stat"),
-          (se2 * se2 / (sea * sea / (col("na") - 1) +
-            seb * seb / (col("nb") - 1))).as("df"))
+          when(degenerate, lit(null).cast("double"))
+            .otherwise((ma - mb) / sqrt(se2)).as("t_stat"),
+          when(degenerate, lit(null).cast("double"))
+            .otherwise(se2 * se2 / (sea * sea / (col("na") - 1) +
+              seb * seb / (col("nb") - 1))).as("df"))
       }: _*)
   }
 
@@ -1171,7 +1205,13 @@ object Aggregates {
         val variance = n1 * n2 / 12.0 *
           ((n1 + n2 + 1) - col("tcorr") / ((n1 + n2) * (n1 + n2 - 1)))
         val z = (u1 - n1 * n2 / 2.0) / sqrt(variance)
-        Seq(col("n1"), col("n2"), u1.as("u1"), round(z, 6).as("z"))
+        // all-tied / near-empty guard (class 6): one tie group covering
+        // every row makes variance exactly 0 on both engines (the
+        // integer chain is exact below 2^53); n1+n2 < 2 divides by zero
+        // inside the tie correction (Spark NULL vs DuckDB inf/nan)
+        Seq(col("n1"), col("n2"), u1.as("u1"),
+          when(n1 + n2 < 2 || variance === 0, lit(null).cast("double"))
+            .otherwise(round(z, 6)).as("z"))
       }: _*)
   }
 
@@ -1309,6 +1349,9 @@ object Aggregates {
       .select(col("event_type").as("x"), weekday(col("ts")).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
       .withColumn("ny", sum(col("c")).over(Window.partitionBy(col("y"))))
+      // O(|types|·7) rows; two consumers (joint + margs) — checkpoint
+      // so the events agg + marginal window run once, not per consumer
+      .localCheckpoint()
     val joint = cells.agg(
       sum(col("c")).as("n"),
       expr("array_sort(collect_list(struct(x, y, c, ny)))").as("cs"))
@@ -1357,8 +1400,15 @@ object Aggregates {
             lit(4.0) * mean * (col("s3") / col("n")) +
             lit(6.0) * mean * mean * (col("s2") / col("n")) -
             lit(3.0) * mean * mean * mean * mean
-          struct(round(m3 / sqrt(m2 * m2 * m2), 6).as("skew"),
-            round(m4 / (m2 * m2), 6).as("kurt"))
+          // zero-variance guard (class 6): constant-x groups make m2
+          // exactly 0 on both engines (integer-valued quantity, exact
+          // moment chain) — force NULL on both instead of Spark-NULL
+          // vs DuckDB-±inf/NaN
+          struct(
+            when(m2 === 0, lit(null).cast("double"))
+              .otherwise(round(m3 / sqrt(m2 * m2 * m2), 6)).as("skew"),
+            when(m2 === 0, lit(null).cast("double"))
+              .otherwise(round(m4 / (m2 * m2), 6)).as("kurt"))
         }.as("sk"))
       .select(col("l_returnflag"), col("n"), col("sk.skew").as("skew_pop"),
         col("sk.kurt").as("kurt_pop"))
@@ -1483,16 +1533,21 @@ object Aggregates {
                 CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
                 CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
                 CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy
-                FROM lineitem GROUP BY l_returnflag)
+                FROM lineitem GROUP BY l_returnflag),
+              d AS (SELECT l_returnflag, n, sx, sy, sxy,
+                (n * sxx - sx * sx) AS dx, (n * syy - sy * sy) AS dy
+                FROM m)
               SELECT l_returnflag,
-                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-                  / n, 6) AS intercept,
-                round((n * sxy - sx * sy)
-                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-                  AS corr,
+                CASE WHEN dx = 0 THEN NULL
+                  ELSE round((n * sxy - sx * sy) / dx, 6) END AS slope,
+                CASE WHEN dx = 0 THEN NULL
+                  ELSE round((sy - (n * sxy - sx * sy) / dx * sx) / n, 6)
+                  END AS intercept,
+                CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                  ELSE round((n * sxy - sx * sy) / sqrt(dx * dy), 6)
+                  END AS corr,
                 CAST(n AS BIGINT) AS n
-              FROM m ORDER BY l_returnflag""")),
+              FROM d ORDER BY l_returnflag""")),
     QueryDef("agg_histogram", aggHistogram,
       Some(s"""SELECT CAST(LEAST(FLOOR(o_totalprice / 10000.0), 9.0)
                  AS INTEGER) AS bucket,
@@ -1524,8 +1579,10 @@ object Aggregates {
                   - 3.0*mean*mean*mean*mean AS m4
                 FROM c)
               SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-                round(m3 / sqrt(m2*m2*m2), 6) AS skew_pop,
-                round(m4 / (m2*m2), 6) AS kurt_pop
+                CASE WHEN m2 = 0 THEN NULL
+                  ELSE round(m3 / sqrt(m2*m2*m2), 6) END AS skew_pop,
+                CASE WHEN m2 = 0 THEN NULL
+                  ELSE round(m4 / (m2*m2), 6) END AS kurt_pop
               FROM d ORDER BY l_returnflag""")),
     QueryDef("agg_entropy", aggEntropy,
       Some("""WITH t AS (SELECT user_id, event_type, COUNT(*) AS c
@@ -1648,18 +1705,22 @@ object Aggregates {
                 SUM(CAST(ca + cb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
                   * CAST(ca + cb AS DOUBLE) - CAST(ca + cb AS DOUBLE))
                   AS tcorr
-                FROM r)
-              SELECT n1, n2,
+                FROM r),
+              f AS (SELECT n1, n2,
                 r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0
                   AS u1,
-                round((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0
-                    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
-                  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
-                    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
-                      - tcorr / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
-                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))),
-                  6) AS z
-              FROM m""")),
+                CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                  * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                    - tcorr / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))
+                  AS variance
+                FROM m)
+              SELECT n1, n2, u1,
+                CASE WHEN n1 + n2 < 2 OR variance = 0 THEN NULL
+                  ELSE round((u1
+                      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                    / sqrt(variance), 6) END AS z
+              FROM f""")),
     QueryDef("agg_rank_corr", aggRankCorr,
       Some("""WITH cells AS (SELECT l_quantity AS q, l_discount AS d,
                 COUNT(*) AS w FROM lineitem GROUP BY q, d),
@@ -1730,9 +1791,12 @@ object Aggregates {
                 FROM m)
               SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                 ma AS mean_a, mb AS mean_b,
-                (ma - mb) / sqrt(sea + seb) AS t_stat,
-                (sea + seb) * (sea + seb)
-                  / (sea * sea / (na - 1) + seb * seb / (nb - 1)) AS df
+                CASE WHEN na < 2 OR nb < 2 OR sea + seb = 0 THEN NULL
+                  ELSE (ma - mb) / sqrt(sea + seb) END AS t_stat,
+                CASE WHEN na < 2 OR nb < 2 OR sea + seb = 0 THEN NULL
+                  ELSE (sea + seb) * (sea + seb)
+                    / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+                  END AS df
               FROM f""")),
     QueryDef("agg_ttest_student", aggTtestStudent,
       Some("""WITH m AS (SELECT
@@ -1870,12 +1934,15 @@ object Aggregates {
                 FROM events),
               f AS (SELECT np / n AS p1, np / n + 0.02 AS p2,
                 (qv - sv * sv / n) / (n - 1) AS varv,
-                (1.9599639845400545 + 0.8416212335729143)
-                  * (1.9599639845400545 + 0.8416212335729143) AS zz
+                (CAST(1.9599639845400545 AS DOUBLE)
+                    + CAST(0.8416212335729143 AS DOUBLE))
+                  * (CAST(1.9599639845400545 AS DOUBLE)
+                    + CAST(0.8416212335729143 AS DOUBLE)) AS zz
                 FROM m)
               SELECT p1 AS p_baseline,
                 CAST(ceil(zz * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
-                  / (0.02 * 0.02)) AS BIGINT) AS n_conversion,
+                  / (CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)))
+                  AS BIGINT) AS n_conversion,
                 round(varv, 6) AS sigma2,
                 CAST(ceil(zz * 2.0 * varv / (2.0 * 2.0)) AS BIGINT)
                   AS n_continuous
@@ -2261,15 +2328,24 @@ object Aggregates {
                 FROM events GROUP BY event_type),
               tot AS (SELECT CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE)
                   / SUM(n) AS gm FROM g),
+              t AS (SELECT event_type, n,
+                n * (s / n - gm) * (s / n - gm) AS tb,
+                q - s * s / n AS tw
+                FROM g CROSS JOIN tot),
               parts AS (SELECT COUNT(*) AS k, SUM(n) AS nt,
-                CAST(SUM(CAST(n * (s / n - gm) * (s / n - gm)
-                  AS DECIMAL(30,6))) AS DOUBLE) AS ssb,
-                CAST(SUM(CAST(q - s * s / n AS DECIMAL(30,6))) AS DOUBLE)
-                  AS ssw
-                FROM g CROSS JOIN tot)
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(list_sort(list(struct_pack(
+                    et := event_type, tb := tb))), x -> x.tb)),
+                  (a, b) -> a + b) AS ssb,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(list_sort(list(struct_pack(
+                    et := event_type, tw := tw))), x -> x.tw)),
+                  (a, b) -> a + b) AS ssw
+                FROM t)
               SELECT CAST(k AS INTEGER) AS k, CAST(nt AS BIGINT) AS n_total,
-                round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
-                round((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS f_stat
+                ssb AS ss_between, ssw AS ss_within,
+                CASE WHEN k < 2 OR nt <= k OR ssw = 0 THEN NULL
+                  ELSE (ssb / (k - 1)) / (ssw / (nt - k)) END AS f_stat
               FROM parts""")),
     QueryDef("agg_corr_matrix", aggCorrMatrix,
       Some { // deterministic corr from exact decimal moments, one pass
@@ -2302,11 +2378,18 @@ object Aggregates {
   )
 
   /** One-way ANOVA F over the five event-type groups on `value`
-    * (ClickHouse `analysisOfVariance`/`anova`). Same exact-moment scheme
-    * as agg_ttest: per-group count/Σx/Σx² accumulate in decimal in ONE
-    * grouped pass; SSB/SSW assemble from the 5-row group frame with the
-    * per-group double terms re-cast to decimal so the tiny final sum is
-    * also partition-order-independent. Shuffle volume is O(groups).
+    * (ClickHouse `analysisOfVariance`/`anova`). Per-group count/Σx/Σx²
+    * accumulate in decimal in ONE grouped pass (exact); the per-group
+    * SSB/SSW terms are OFF-GRID doubles (n·(s/n−gm)², q−s²/n), so they
+    * are NOT re-cast to decimal (double→6dp-decimal of an off-grid
+    * ~1e8-magnitude value is the confirmed Spark-shortest-repr vs
+    * DuckDB-exact-binary split, ~ulp/1e-6 odds per term) — instead the
+    * k terms fold SEQUENTIALLY over a SORTED array (the agg_entropy
+    * scheme): fixed order ⇒ identical IEEE sums on both engines, and
+    * ssb/ssw/f ship UNROUNDED (identical inputs ⇒ identical bits).
+    * Degenerate inputs (single group, one row per group, zero
+    * within-variance) force NULL f on both sides. Shuffle volume is
+    * O(groups).
     */
   private def aggAnova(s: SparkSession, dir: String): DataFrame = {
     def m(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
@@ -2315,18 +2398,28 @@ object Aggregates {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("double").as("n"),
         m(v).as("s"), m(v * v).as("q"))
+      .localCheckpoint() // O(types) rows; two consumers — one fact agg
     val tot = g.agg((m(col("s")) / sum(col("n"))).as("gm"))
-    g.crossJoin(tot)
+    g.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n"),
+        (col("n") * (col("s") / col("n") - col("gm"))
+          * (col("s") / col("n") - col("gm"))).as("tb"),
+        (col("q") - col("s") * col("s") / col("n")).as("tw"))
       .agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
-        m(col("n") * (col("s") / col("n") - col("gm"))
-          * (col("s") / col("n") - col("gm"))).as("ssb"),
-        m(col("q") - col("s") * col("s") / col("n")).as("ssw"))
+        expr("array_sort(collect_list(struct(event_type, tb, tw)))")
+          .as("ts"))
+      .withColumn("ssb", expr(
+        "aggregate(ts, cast(0.0 as double), (acc, t) -> acc + t.tb)"))
+      .withColumn("ssw", expr(
+        "aggregate(ts, cast(0.0 as double), (acc, t) -> acc + t.tw)"))
       .select(col("k").cast("int").as("k"),
         col("nt").cast("long").as("n_total"),
-        round(col("ssb"), 6).as("ss_between"),
-        round(col("ssw"), 6).as("ss_within"),
-        round((col("ssb") / (col("k") - 1))
-          / (col("ssw") / (col("nt") - col("k"))), 6).as("f_stat"))
+        col("ssb").as("ss_between"),
+        col("ssw").as("ss_within"),
+        when(col("k") < 2 || col("nt") <= col("k") || col("ssw") === 0,
+          lit(null).cast("double"))
+          .otherwise((col("ssb") / (col("k") - 1))
+            / (col("ssw") / (col("nt") - col("k")))).as("f_stat"))
   }
 
   /** Pairwise Pearson correlation matrix over lineitem's four numeric
