@@ -160,13 +160,24 @@ object LlmVector {
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val wRel = Window.partitionBy(col("probe_id"))
       .orderBy(col("rel").desc, col("cand_id"))
-    val pool = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    // score map-side, DROP the vector before the rank window (the
+    // shuffle then carries (probe_id, cand_id, rel) only — the file's
+    // vectors-never-shuffle discipline), re-attach cv to the <=10
+    // winners per probe via a broadcast of the tiny pool, and
+    // checkpoint: three consumers (a, b, pooled) below would otherwise
+    // recompute the O(corpus x probes) scoring pass each
+    val scored = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
       .crossJoin(broadcast(probes))
       .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("rel", round(expr("cosine_sim_native(pv, cv)"), 6))
+      .select(col("probe_id"), col("cand_id"), col("rel"))
       .withColumn("rnk", row_number().over(wRel))
       .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("cand_id"), col("rel"))
+    val pool = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .join(broadcast(scored), "cand_id")
       .select(col("probe_id"), col("cand_id"), col("rel"), col("cv"))
+      .localCheckpoint()
     val a = pool.select(col("probe_id"), col("cand_id").as("ca"),
       col("cv").as("va"))
     val b = pool.select(col("probe_id"), col("cand_id").as("cb"),
@@ -445,7 +456,9 @@ object LlmVector {
       col("v").as("cv"))
     val wKnn = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
-    selected.join(cands, "label")
+    // selected is the bounded side (probes x nprobe) — pin the
+    // broadcast so the corpus never shuffles on a <=10-label key
+    broadcast(selected).join(cands, "label")
       .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
       .withColumn("rnk", row_number().over(wKnn))
@@ -550,9 +563,17 @@ object LlmVector {
     kmeansCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     if (kmeansCache.size > 16) kmeansCache.clear()
     // fingerprint in the key: an in-JVM testdata swap must retrain,
-    // not serve a codebook fitted to the previous drop
+    // not serve a codebook fitted to the previous drop. The "0"
+    // listing-failure sentinel must REFUSE, not cache: a codebook
+    // trained mid-swap would be pinned under "$dir@0" and served to
+    // any later failure window over different data (the
+    // ensureBucketed rule, Joins.scala)
+    val fp = graft.Scratch.fixtureFingerprint(dir)
+    require(fp != "0",
+      s"fixture dir $dir unlistable or mid-swap (fingerprint sentinel): " +
+        "refusing to train/cache a codebook on unstable fixtures")
     kmeansCache.computeIfAbsent(
-      (s, s"$dir@${graft.Scratch.fixtureFingerprint(dir)}"),
+      (s, s"$dir@$fp"),
       _ => kmeansTrain(s, dir, 8, 15))
   }
 
@@ -593,12 +614,16 @@ object LlmVector {
     // formulation (bit-identical — ExtensionsSpec), minus the per-row
     // zip/transform array allocations
     def d2(a: String, b: String): Column = expr(s"l2_sq_native($a, $b)")
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid"))
+    // argmin as a hash aggregate min(struct(d2, cid, v)) — map-side
+    // partial combine collapses the k crossed rows per vector before
+    // the shuffle, where the former row_number sort-window shuffled all
+    // n x k rows (vecPq measured the same swap at 2.3x)
     val lists = e.crossJoin(cdf)
       .withColumn("d2", d2("v", "cvec"))
-      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-      .select(col("vec_id").as("cand_id"), col("cid").as("list_id"),
-        col("v").as("cv"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"), col("v"))).as("m"))
+      .select(col("vec_id").as("cand_id"), col("m.cid").as("list_id"),
+        col("m.v").as("cv"))
     val probes = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val wSel = Window.partitionBy(col("probe_id"))
@@ -609,7 +634,9 @@ object LlmVector {
       .select(col("probe_id"), col("pv"), col("cid").as("list_id"))
     val wKnn = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist").asc, col("cand_id"))
-    routed.join(lists, "list_id")
+    // routed is the bounded side (probes x nprobe) — pin the broadcast
+    // so the corpus-sized lists frame never shuffles on a <=8-value key
+    broadcast(routed).join(lists, "list_id")
       .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("dist", round(d2("pv", "cv"), 6))
       .withColumn("rnk", row_number().over(wKnn)).filter(col("rnk") <= 3)
@@ -755,6 +782,11 @@ object LlmVector {
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
         array_distinct(split(col("text"), " ")).as("tokset"))
+      // three consumers (signature arm + the two token-set re-attach
+      // joins) whose pruned plans differ — checkpoint so the string-
+      // dominated tokenize pass runs once (the dedup_minhash
+      // feat.persist lesson: it tripled bench time in round 2)
+      .localCheckpoint()
     val sig = docs
       .withColumn("base", transform(col("tokset"), t => xxhash64(t)))
       .withColumn("sig", array(
@@ -835,15 +867,18 @@ object LlmVector {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
     val cents = labelCentroids(e).withColumnRenamed("label", "clabel")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("clabel"))
+    // argmax-by-csim as a hash aggregate min(struct(-csim, clabel)):
+    // map-side combine collapses the k crossed rows per vector before
+    // any shuffle, where a row_number sort-window shuffled all n x k
+    // rows (the vecPq-measured 2.3x swap). Negation is IEEE-exact;
+    // ties break on the smaller clabel, identical to the old window.
     e.crossJoin(broadcast(cents))
       .withColumn("csim", round(expr("cosine_sim_native(v, cvec)"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("label"), col("clabel"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct((-col("csim")).as("nc"), col("clabel"))).as("m"))
+      .groupBy(col("label"), col("m.clabel").as("assigned_label"))
       .agg(count(lit(1)).as("n"))
-      .select(col("label"), col("clabel").as("assigned_label"), col("n"))
+      .select(col("label"), col("assigned_label"), col("n"))
       .orderBy(col("label"), col("assigned_label"))
   }
 
@@ -894,13 +929,18 @@ object LlmVector {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
     val cents = labelCentroids(e).withColumnRenamed("label", "clabel")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("clabel"))
+    // same min(struct) hash-agg argmin as vec_kmeans_assign (no n x k
+    // sort-window), checkpointed: THREE consumers below (a, b, final
+    // left join) whose pruned exchanges differ — without it the
+    // corpus-wide assignment recomputes per consumer
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("csim", round(expr("cosine_sim_native(v, cvec)"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("clabel").as("cluster"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("csim")).as("nc"), col("clabel"),
+        col("embedding").as("emb"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as("cluster"),
+        col("m.emb").as("embedding"))
+      .localCheckpoint()
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("va"))
     val b = assigned.select(col("cluster").as("cluster_b"),
@@ -1090,10 +1130,16 @@ object LlmVector {
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
     def energy(k: Int) = expr(
       s"aggregate(slice(v, 1, $k), cast(0 as double), (acc, x) -> acc + x * x)")
+    // zero-vector guard (class 6): total energy exactly 0 makes every
+    // fraction 0/0 — NULL on Spark (skipped by Det.davg's sum while the
+    // count still counts the row) but NaN on DuckDB (errors oAvg's
+    // decimal cast). Define the fraction as 0.0 on BOTH engines.
+    def frac(k: Int) = when(energy(64) === 0, lit(0.0))
+      .otherwise(energy(k) / energy(64))
     e.select(col("label"),
-      (energy(8) / energy(64)).as("f8"),
-      (energy(16) / energy(64)).as("f16"),
-      (energy(32) / energy(64)).as("f32"))
+      frac(8).as("f8"),
+      frac(16).as("f16"),
+      frac(32).as("f32"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         Det.davg(col("f8")).as("avg_frac_8"),
@@ -1232,13 +1278,17 @@ object LlmVector {
         sum(expr("if(x > 0 and i >= 32, " +
           "shiftleft(cast(1 as bigint), i - 32), cast(0 as bigint))"))
           .as("hi"))
-    val probes = sigs.filter(col("vec_id") % 100 === 0)
+    val sigsCk = sigs.localCheckpoint() // 3 longs/row; two consumers
+    val probes = sigsCk.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("lo").as("plo"),
         col("hi").as("phi"))
     val wKnn = Window.partitionBy(col("probe_id"))
       .orderBy(col("hamming"), col("cand_id"))
-    probes.join(sigs.select(col("vec_id").as("cand_id"), col("lo"),
-        col("hi")), col("cand_id") =!= col("probe_id"))
+    // pin the bounded probe side as the broadcast build: post-agg size
+    // estimates must not pick the corpus-wide signature table (or flip
+    // build sides between runs) for this non-equi join
+    broadcast(probes).join(sigsCk.select(col("vec_id").as("cand_id"),
+        col("lo"), col("hi")), col("cand_id") =!= col("probe_id"))
       .withColumn("hamming",
         expr("bit_count(plo ^ lo) + bit_count(phi ^ hi)"))
       .withColumn("rnk", row_number().over(wKnn))
@@ -1267,9 +1317,15 @@ object LlmVector {
       .agg(Det.davg(col("x")).as("mu"),
         Det.davg(col("x") * col("x")).as("m2"))
     ex.join(broadcast(st), "pos")
+      // dead-dimension guard (class 6/8): a constant dimension makes
+      // the variance exactly 0 on both engines (identical mu/m2
+      // doubles) and the numerator 0 too — the 0/0 is NULL on Spark
+      // (silently skipped by the decimal sum) but NaN on DuckDB (which
+      // errors oSum's decimal cast). Contribute exactly 0 on BOTH.
       .select(col("vec_id"), col("label"),
-        ((col("x") - col("mu")) * (col("x") - col("mu")) /
-          (col("m2") - col("mu") * col("mu"))).as("term"))
+        when(col("m2") - col("mu") * col("mu") === 0, lit(0.0))
+          .otherwise((col("x") - col("mu")) * (col("x") - col("mu")) /
+            (col("m2") - col("mu") * col("mu"))).as("term"))
       .groupBy(col("vec_id"), col("label"))
       .agg(round(Det.dsum(col("term")), 6).as("z2"))
       .orderBy(col("z2").desc, col("vec_id"))
@@ -1552,7 +1608,8 @@ object LlmVector {
                st AS (SELECT pos, ${Det.oAvg("x")} AS mu,
                  ${Det.oAvg("x * x")} AS m2 FROM ex GROUP BY pos),
                t AS (SELECT vec_id, label,
-                 (x - mu) * (x - mu) / (m2 - mu * mu) AS term
+                 CASE WHEN m2 - mu * mu = 0 THEN 0.0
+                   ELSE (x - mu) * (x - mu) / (m2 - mu * mu) END AS term
                  FROM ex JOIN st USING (pos)),
                z AS (SELECT vec_id, label,
                  round(${Det.oSum("term")}, 6) AS z2
@@ -1870,18 +1927,24 @@ object LlmVector {
       Some(s"""WITH e AS (SELECT vec_id, label,
                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               f AS (SELECT label,
-                 list_reduce(list_transform(v[1:8], x -> x * x),
-                   (a, b) -> a + b)
-                 / list_reduce(list_transform(v, x -> x * x),
-                   (a, b) -> a + b) AS f8,
-                 list_reduce(list_transform(v[1:16], x -> x * x),
-                   (a, b) -> a + b)
-                 / list_reduce(list_transform(v, x -> x * x),
-                   (a, b) -> a + b) AS f16,
-                 list_reduce(list_transform(v[1:32], x -> x * x),
-                   (a, b) -> a + b)
-                 / list_reduce(list_transform(v, x -> x * x),
-                   (a, b) -> a + b) AS f32
+                 CASE WHEN list_reduce(list_transform(v, x -> x * x),
+                     (a, b) -> a + b) = 0 THEN 0.0
+                   ELSE list_reduce(list_transform(v[1:8], x -> x * x),
+                     (a, b) -> a + b)
+                   / list_reduce(list_transform(v, x -> x * x),
+                     (a, b) -> a + b) END AS f8,
+                 CASE WHEN list_reduce(list_transform(v, x -> x * x),
+                     (a, b) -> a + b) = 0 THEN 0.0
+                   ELSE list_reduce(list_transform(v[1:16], x -> x * x),
+                     (a, b) -> a + b)
+                   / list_reduce(list_transform(v, x -> x * x),
+                     (a, b) -> a + b) END AS f16,
+                 CASE WHEN list_reduce(list_transform(v, x -> x * x),
+                     (a, b) -> a + b) = 0 THEN 0.0
+                   ELSE list_reduce(list_transform(v[1:32], x -> x * x),
+                     (a, b) -> a + b)
+                   / list_reduce(list_transform(v, x -> x * x),
+                     (a, b) -> a + b) END AS f32
                  FROM e)
               SELECT label, COUNT(*) AS n,
                 ${graft.Det.oAvg("f8")} AS avg_frac_8,

@@ -78,6 +78,38 @@ class VectorTextSpec extends GraftSpec {
     assert(rep < varied * 0.3, s"rep=$rep varied=$varied")
   }
 
+  test("fixture invariant: no zero-norm embedding, no constant dimension") {
+    // ~13 cosine/similarity oracles (sim_topk, sim_knn_graph, sim_ivf_*,
+    // sim_range_search, dedup_embed, dedup_threshold_sweep, ...) divide
+    // by vector norms WITHOUT a per-key zero guard: the native kernel
+    // returns NULL on a zero norm while the DuckDB oracle computes
+    // 0/0 = NaN, which DuckDB sorts ABOVE all values and admits through
+    // >= thresholds — a silent 13-key gate break. Guarding each oracle
+    // individually would bloat every SQL string, so the precondition is
+    // asserted HERE instead: a testdata drop that violates it fails
+    // loudly with this name rather than scattering hash mismatches.
+    // (vec_norm / vec_quantize / vec_outlier / vec_matryoshka carry
+    // in-query guards because they define semantics for the degenerate
+    // case; the ranked similarity keys rely on this invariant.)
+    import spark.implicits._
+    val norms = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("aggregate(embedding, cast(0.0 as double), " +
+          "(acc, x) -> acc + cast(x as double) * cast(x as double))")
+          .as("n2"))
+    val zero = norms.filter(col("n2") === 0.0).as[(Long, Double)].collect()
+    assert(zero.isEmpty,
+      s"zero-norm embeddings in fixture (breaks ~13 cosine oracles): " +
+        s"vec_ids ${zero.take(5).map(_._1).mkString(",")}")
+    val constDims = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(countDistinct(col("x")).as("nd"))
+      .filter(col("nd") === 1).count()
+    assert(constDims == 0,
+      s"$constDims constant dimensions in fixture (0/0 variance terms)")
+  }
+
   test("pairwise cosine stays within [-1, 1]") {
     import spark.implicits._
     val sims = SparkEntry.queries("sim_cosine_pair")(spark, sf)
