@@ -162,10 +162,13 @@ object LlmVector {
       .orderBy(col("rel").desc, col("cand_id"))
     // score map-side, DROP the vector before the rank window (the
     // shuffle then carries (probe_id, cand_id, rel) only — the file's
-    // vectors-never-shuffle discipline), re-attach cv to the <=10
-    // winners per probe via a broadcast of the tiny pool, and
-    // checkpoint: three consumers (a, b, pooled) below would otherwise
-    // recompute the O(corpus x probes) scoring pass each
+    // vectors-never-shuffle discipline) and re-attach cv to the <=10
+    // winners per probe via a broadcast of the tiny pool. With cv out
+    // of the scored columns, every downstream consumer (a, b, pooled)
+    // prunes to the SAME exchange subtree, so ReuseExchange runs the
+    // O(corpus x probes) scoring pass once — no checkpoint needed (a
+    // checkpoint here would also hide the broadcast-probe plan from
+    // PlanShapeSpec's candidate-generation assertion).
     val scored = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
       .crossJoin(broadcast(probes))
       .filter(col("cand_id") =!= col("probe_id"))
@@ -177,7 +180,6 @@ object LlmVector {
     val pool = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
       .join(broadcast(scored), "cand_id")
       .select(col("probe_id"), col("cand_id"), col("rel"), col("cv"))
-      .localCheckpoint()
     val a = pool.select(col("probe_id"), col("cand_id").as("ca"),
       col("cv").as("va"))
     val b = pool.select(col("probe_id"), col("cand_id").as("cb"),
