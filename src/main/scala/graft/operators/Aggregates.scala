@@ -1349,9 +1349,12 @@ object Aggregates {
       .select(col("event_type").as("x"), weekday(col("ts")).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
       .withColumn("ny", sum(col("c")).over(Window.partitionBy(col("y"))))
-      // O(|types|·7) rows; two consumers (joint + margs) — checkpoint
-      // so the events agg + marginal window run once, not per consumer
-      .localCheckpoint()
+    // NO checkpoint here, measured deliberately: the two consumers
+    // (joint + margs) share the events-agg exchange via ReuseExchange,
+    // and an eager localCheckpoint on this O(|types|·7) frame COST more
+    // than it saved (0.28 s → 0.44 s isolated at sf0.1) — the
+    // materialization barrier dominates when the shared subtree is one
+    // cheap aggregate. Contrast chiSquared's cells (4 consumers).
     val joint = cells.agg(
       sum(col("c")).as("n"),
       expr("array_sort(collect_list(struct(x, y, c, ny)))").as("cs"))

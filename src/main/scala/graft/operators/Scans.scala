@@ -446,8 +446,13 @@ object Scans {
     val hits = manifest
       .filter(keys.map(k => col("lo") <= k && col("hi") >= k).reduce(_ || _))
       .select(col("file")).collect().map(_.getString(0))
-    require(hits.nonEmpty && hits.length < 8,
-      "manifest must actually prune files")
+    // denominator is the ACTUAL manifest size (one O(files) count):
+    // repartitionByRange(8) may emit fewer than 8 files, and a literal
+    // 8 could then pass with zero files pruned (the scan_set_index rule)
+    val nFiles = manifest.count()
+    require(hits.nonEmpty && hits.length < nFiles,
+      s"manifest must actually prune files " +
+        s"(${hits.length} of $nFiles admitted)")
     s.read.parquet(hits.toIndexedSeq: _*)
       .filter(col("o_orderkey").isin(keys: _*))
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
@@ -535,17 +540,13 @@ object Scans {
       .withColumn("day", to_date(col("ts")))
       .select(col("day"), col("event_id"), col("event_type"), col("value"))
       .write.partitionBy("day").parquet(root)
-    val (_, expired, cutoff) = dayPartitionCutoff(root, 14)
-    val staged = s"$base/staged"
-    s.read.parquet(root)
-      .filter(col("day") < lit(java.sql.Date.valueOf(cutoff)))
-      .withColumn("value", lit(null).cast("double"))
-      .write.partitionBy("day").parquet(staged)
-    expired.foreach { d =>
-      graft.Scratch.deleteRecursively(d)
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(s"$staged/${d.getName}"), d.toPath)
-    }
+    val (_, _, cutoff) = dayPartitionCutoff(root, 14)
+    // the staged-swap itself is mutatePartitions — ONE copy of the
+    // swap discipline (nanoTime-unique staging dir, empty-admission
+    // early return, per-partition rename) instead of a hand-rolled twin
+    mutatePartitions(s, root, "day",
+      d => java.time.LocalDate.parse(d).isBefore(cutoff),
+      _.withColumn("value", lit(null).cast("double")))
     s.read.parquet(root)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_live"),
@@ -670,15 +671,11 @@ object Scans {
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .write.parquet(root)
-    def fileState(): Seq[(String, Long, String)] =
-      new java.io.File(root).listFiles()
-        .filter(_.getName.endsWith(".parquet")).toSeq
-        .map { f =>
-          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-          val d = java.security.MessageDigest.getInstance("SHA-256")
-          (f.getName, f.length(),
-            d.digest(bytes).map(b => f"$b%02x").mkString)
-        }.sortBy(_._1)
+    // the shared null-safe per-file SHA snapshot (flat layout: the
+    // root itself is the one "partition" dir); SHA alone proves byte
+    // identity — a separate length field added nothing
+    def fileState(): Map[String, Seq[(String, String)]] =
+      partFileShas(Seq(new java.io.File(root)))
     val before = fileState()
     // the "ALTER": one durable manifest write, zero data I/O
     graft.Scratch.writeDurable(
@@ -948,9 +945,9 @@ object Scans {
       .withColumn("day", to_date(col("ts")))
       .select(col("day"), col("event_id"), col("event_type"), col("value"))
       .write.partitionBy("day").parquet(root)
-    val maxDay = dayDirs(root)
-      .map(f => java.time.LocalDate.parse(f.getName.drop(4))).max
-    (root, maxDay.minusDays(7))
+    // dayPartitionCutoff carries the fail-loudly empty-layout guard
+    // ("no day= partitions under ...") a bare .max would lose
+    (root, dayPartitionCutoff(root, 7)._3)
   }
 
   /** `ALTER TABLE events DELETE WHERE day >= cut AND event_type='click'`:
@@ -1085,7 +1082,11 @@ object Scans {
         count(when(col("day") >= lit(java.sql.Date.valueOf(cut)), 1))
           .as("n_virtual"),
         Det.dsum(col("value")).as("sum_value"))
-      .orderBy(col("band"))
+      // band is NULL for purchase rows with NULL value (in-contract per
+      // the virtual-read note above): Spark default ASC is NULLS FIRST,
+      // DuckDB's is NULLS LAST — pin NULLS LAST on BOTH sides or the
+      // NULL group shifts every row under the exact row-order compare
+      .orderBy(col("band").asc_nulls_last)
   }
 
   /** ClickHouse `ALTER TABLE ... MODIFY COLUMN value Int64` — the TYPE
@@ -1407,17 +1408,19 @@ object Scans {
     val (root, cut) = mutationStage(s, dir, base)
     val cmd1 = "ALTER TABLE events DELETE WHERE day >= cut AND event_type = 'click'"
     val cmd2 = "ALTER TABLE events UPDATE value = value + 10 WHERE event_type = 'view'"
-    // mutation 1: issued and applied — parts_total is the partition
-    // count AT ISSUE TIME, parts_done the staged swap's touched set
-    val total1 = dayDirs(root).length.toLong
+    // BOTH mutations are ISSUED first against the same pre-mutation
+    // table state (the ledger records parts_total at issue time — and
+    // the oracle models the untouched events table, so a later drop
+    // where the delete empties a whole day partition must not skew
+    // mutation 2's total), then the background materializer applies
+    // mutation 1
+    val totalAtIssue = dayDirs(root).length.toLong
     val done1 = mutatePartitions(s, root, "day",
       d => !java.time.LocalDate.parse(d).isBefore(cut),
       _.filter(col("event_type") =!= "click")).size.toLong
-    // mutation 2: issued, not yet materialized (pending)
-    val total2 = dayDirs(root).length.toLong
     val entries = Seq(
-      (1, cmd1, total1, done1, 1),
-      (2, cmd2, total2, 0L, 0))
+      (1, cmd1, totalAtIssue, done1, 1),
+      (2, cmd2, totalAtIssue, 0L, 0))
     val path = java.nio.file.Paths.get(s"$base/_MUTATIONS")
     graft.Scratch.atomicPublish(path, entries.map { case (i, c, t, d, f) =>
       Seq(i, c, t, d, f).mkString("\u0001") }.mkString("\n"))
@@ -1763,7 +1766,7 @@ object Scans {
                  FROM e, m)
               SELECT band, COUNT(*) AS n, COUNT(virt) AS n_virtual,
                 ${Det.oSum("value")} AS sum_value
-              FROM b GROUP BY band ORDER BY band""")),
+              FROM b GROUP BY band ORDER BY band NULLS LAST""")),
     QueryDef("mutation_modify_column", mutationModifyColumn,
       Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  CAST(FLOOR(value) AS BIGINT) AS value FROM events),
