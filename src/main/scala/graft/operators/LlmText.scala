@@ -101,7 +101,12 @@ object LlmText {
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("token"))
 
-  private def textTfIdf(s: SparkSession, dir: String): DataFrame = {
+  /** Shared tf/df/tfidf frame — (doc_id, token, tf, df, tfidf@6dp)
+    * over the whole corpus; consumed by text_tf_idf AND text_keywords
+    * so the scoring formula lives ONCE (the jaccardPairCounts rule —
+    * a fix here reaches both keys, and both oracles share tfidfCte).
+    */
+  private def tfidfScores(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_total"))
     val tf = docs
@@ -110,12 +115,29 @@ object LlmText {
     val df_ = tf.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     tf.join(df_, "token").crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("token"), col("tf"),
-        col("df"),
-        round(col("tf") * log(col("n_total").cast("double") / col("df")), 6)
-          .as("tfidf"))
-      .orderBy(col("doc_id"), col("token"))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_total").cast("double") / col("df")), 6))
   }
+
+  /** The oracle twin of [[tfidfScores]]: CTEs ending in `sc` with
+    * (doc_id, token, tf, df, tfidf). */
+  private val tfidfCte: String =
+    """t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+                FROM documents),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t
+                GROUP BY doc_id, token),
+              df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf
+                GROUP BY token),
+              n AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM documents),
+              sc AS (SELECT doc_id, token, tf, df,
+                round(tf * ln(CAST(n_total AS DOUBLE) / df), 6) AS tfidf
+                FROM tf JOIN df USING (token) CROSS JOIN n)"""
+
+  private def textTfIdf(s: SparkSession, dir: String): DataFrame =
+    tfidfScores(s, dir)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("token"))
 
   /** Unigram corpus language-model score (the KenLM-perplexity quality
     * signal of CCNet/RedPajama, reduced to its deterministic unigram
@@ -255,8 +277,13 @@ object LlmText {
     * threshold/rounding so the keys' intentional differences stay
     * explicit and in ONE place each.
     */
-  private[operators] def jaccardPairCounts(cand: DataFrame,
+  private[operators] def jaccardPairCounts(cand0: DataFrame,
       setCol: String): DataFrame = {
+    // cand is consumed THREE times (sizes + both sides of the inverted
+    // self-join) and every caller builds it with a string-heavy
+    // tokenize over documents; checkpoint the bounded candidate block
+    // once here so all four call sites tokenize once, not 3x
+    val cand = cand0.localCheckpoint()
     val sizes = cand.select(col("doc_id"), size(col(setCol)).as("sz"))
     val inv = cand.select(col("doc_id"), explode(col(setCol)).as("elem"))
     inv.as("a")
@@ -308,6 +335,10 @@ object LlmText {
         count(lit(1)).over(Window.partitionBy(col("digest"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("text"), col("n_copies"))
+      // two consumers (the near-dup candidate chain + the final
+      // anti-join): checkpoint so the sha2 + two dedup windows over
+      // documents run once, not per consumer
+      .localCheckpoint()
     val cand = exact
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("tokset"))
     val drops = jaccardPairCounts(cand, "tokset")
@@ -384,7 +415,7 @@ object LlmText {
     val wmax = docs.agg(max(col("n_chars")).as("wmax"))
     docs.crossJoin(broadcast(wmax))
       .withColumn("bucket",
-        (col("doc_id") * lit(2654435761L)) % 4294967296L % 1000000L)
+        (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % 4294967296L % 1000000L)
       .withColumn("keep",
         col("bucket") * col("wmax") < col("n_chars") * lit(1000000L))
       .groupBy(col("source"))
@@ -411,7 +442,7 @@ object LlmText {
   private def sampleHashSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("bucket",
-        (col("doc_id") * lit(2654435761L)) % 4294967296L % 100)
+        (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % 4294967296L % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val").otherwise("test"))
@@ -430,7 +461,7 @@ object LlmText {
     * shuffles the corpus.
     */
   private def sampleMixture(s: SparkSession, dir: String): DataFrame = {
-    val bucket = (col("doc_id") * lit(2654435761L)) % 4294967296L % 100
+    val bucket = (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % 4294967296L % 100
     val rate = when(col("lang") === "en", 90)
       .when(col("lang") === "zh", 30).otherwise(60)
     Tables.documents(s, dir)
@@ -603,28 +634,43 @@ object LlmText {
   private def packBestfit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cap = 512
-    val docs = Tables.documents(s, dir)
+    // the BFD order (size desc, id asc) is delivered by Spark's own
+    // EXTERNAL sort (repartition on shard + sortWithinPartitions), so
+    // the per-partition fold holds ONLY the bin-load array — genuinely
+    // O(bins) state. The former flatMapGroups buffered the whole shard
+    // via it.toSeq before sorting, which contradicted the documented
+    // posture (corpus/shards rows in one executor's heap at 100 TB).
+    // Hash repartition puts each shard wholly in one partition; a
+    // partition holding several shards resets its loads at every shard
+    // boundary (rows arrive sorted by shard first).
+    Tables.documents(s, dir)
       .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
         least(size(toks(col("text"))), lit(cap)).cast("int").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("doc_id"))
       .as[(Long, Long, Int)]
-    docs.groupByKey(_._2).flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Int)]) =>
-      val ds = it.toSeq.sortBy { case (id, _, n) => (-n, id) }
-      val loads = scala.collection.mutable.ArrayBuffer.empty[Int]
-      ds.map { case (id, _, n) =>
-        var best = -1
-        var bestLoad = -1
-        var i = 0
-        while (i < loads.length) {
-          if (loads(i) + n <= cap && loads(i) > bestLoad) {
-            best = i; bestLoad = loads(i)
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var loads = scala.collection.mutable.ArrayBuffer.empty[Int]
+        it.map { case (id, shard, n) =>
+          if (shard != curShard) {
+            curShard = shard
+            loads = scala.collection.mutable.ArrayBuffer.empty[Int]
           }
-          i += 1
+          var best = -1
+          var bestLoad = -1
+          var i = 0
+          while (i < loads.length) {
+            if (loads(i) + n <= cap && loads(i) > bestLoad) {
+              best = i; bestLoad = loads(i)
+            }
+            i += 1
+          }
+          val bin = if (best < 0) { loads += 0; loads.length - 1 } else best
+          loads(bin) += n
+          (shard, id, n, bin)
         }
-        val bin = if (best < 0) { loads += 0; loads.length - 1 } else best
-        loads(bin) += n
-        (shard, id, n, bin)
-      }
-    }.toDF("shard", "doc_id", "n_tokens", "bin_id")
+      }.toDF("shard", "doc_id", "n_tokens", "bin_id")
       .orderBy(col("shard"), col("doc_id"))
   }
 
@@ -1268,18 +1314,9 @@ object LlmText {
   }
 
   private def textKeywords(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_total"))
-    val tf = docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
     val byScore = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token"))
-    tf.join(df_, "token").crossJoin(broadcast(nDocs))
-      .withColumn("tfidf",
-        round(col("tf") * log(col("n_total").cast("double") / col("df")), 6))
+    tfidfScores(s, dir)
       .withColumn("rk", row_number().over(byScore))
       .filter(col("rk") <= 3)
       .groupBy(col("doc_id"))
@@ -1659,8 +1696,13 @@ object LlmText {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_char_entropy", textCharEntropy,
-      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, ''))
+      Some("""WITH ch0 AS (SELECT doc_id, unnest(string_split(text, ''))
                   AS ch FROM documents),
+              -- mirror Spark's ch != '' filter: string_split('', '')
+              -- yields [''] in DuckDB while the Spark side drops the
+              -- empty char, so an empty document would otherwise keep
+              -- one oracle row the Spark result lacks
+              ch AS (SELECT doc_id, ch FROM ch0 WHERE ch <> ''),
               t AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
               g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
                 COUNT(*) AS nd, list_sort(list(c)) AS cs FROM t GROUP BY 1)
@@ -1794,17 +1836,7 @@ object LlmText {
               FROM p, n
               ORDER BY lift_micro DESC, w1, w2 LIMIT 50""")),
     QueryDef("text_keywords", textKeywords,
-      Some("""WITH t AS (SELECT doc_id,
-                 unnest(string_split(text, ' ')) AS token FROM documents),
-               tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t
-                 GROUP BY doc_id, token),
-               df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf
-                 GROUP BY token),
-               n AS (SELECT COUNT(DISTINCT doc_id) AS n_total
-                 FROM documents),
-               sc AS (SELECT doc_id, token,
-                 round(tf * ln(CAST(n_total AS DOUBLE) / df), 6) AS tfidf
-                 FROM tf JOIN df USING (token) CROSS JOIN n),
+      Some(s"""WITH $tfidfCte,
                rk AS (SELECT doc_id, token, ROW_NUMBER() OVER
                  (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
                  FROM sc)
@@ -1839,11 +1871,11 @@ object LlmText {
     QueryDef("text_corpus_divergence", textCorpusDivergence,
       Some("""WITH a AS (SELECT tok, COUNT(*) AS ca FROM (SELECT
                  unnest(string_split(text, ' ')) AS tok FROM documents
-                 WHERE CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER)
+                 WHERE TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER)
                    < 10) t GROUP BY tok),
                b AS (SELECT tok, COUNT(*) AS cb FROM (SELECT
                  unnest(string_split(text, ' ')) AS tok FROM documents
-                 WHERE CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER)
+                 WHERE TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER)
                    >= 10) t GROUP BY tok),
                j AS (SELECT COALESCE(a.tok, b.tok) AS tok,
                  COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
@@ -1938,17 +1970,9 @@ object LlmText {
               SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
               FROM t GROUP BY token ORDER BY token""")),
     QueryDef("text_tf_idf", textTfIdf,
-      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
-                FROM documents),
-              tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t
-                GROUP BY doc_id, token),
-              df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf
-                GROUP BY token),
-              n AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM documents)
-              SELECT tf.doc_id, tf.token, tf.tf, df.df,
-                round(tf.tf * ln(CAST(n_total AS DOUBLE) / df.df), 6) AS tfidf
-              FROM tf JOIN df USING (token) CROSS JOIN n
-              ORDER BY tf.doc_id, tf.token""")),
+      Some(s"""WITH $tfidfCte
+              SELECT doc_id, token, tf, df, tfidf
+              FROM sc ORDER BY doc_id, token""")),
     QueryDef("text_lm_score", textLmScore,
       Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
                 FROM documents),
@@ -2289,7 +2313,7 @@ object LlmText {
     QueryDef("sample_importance", sampleImportance,
       Some("""WITH m AS (SELECT MAX(n_chars) AS wmax FROM documents),
               d AS (SELECT source, n_chars,
-                ((doc_id * 2654435761) % 4294967296) % 1000000 AS bucket
+                (((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000 AS bucket
                 FROM documents),
               a AS (SELECT source, n_chars, bucket * wmax < n_chars * 1000000
                 AS keep FROM d CROSS JOIN m)
@@ -2345,7 +2369,7 @@ object LlmText {
               ORDER BY lang, rk""")),
     QueryDef("sample_hash_split", sampleHashSplit,
       Some("""WITH b AS (SELECT doc_id, text,
-                ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+                (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket
                 FROM documents)
               SELECT CASE WHEN bucket < 80 THEN 'train'
                           WHEN bucket < 90 THEN 'val'
@@ -2355,7 +2379,7 @@ object LlmText {
               FROM b GROUP BY split ORDER BY split""")),
     QueryDef("sample_mixture", sampleMixture,
       Some("""WITH b AS (SELECT lang, text,
-                ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+                (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket,
                 CASE WHEN lang = 'en' THEN 90
                      WHEN lang = 'zh' THEN 30 ELSE 60 END AS rate
                 FROM documents)
