@@ -16,11 +16,18 @@ import org.apache.spark.sql.types._
   * computation is SQL-expressible; watermark/late-data semantics that SQL
   * cannot state are asserted in ScalaTest with MemoryStream instead.
   *
-  * Scale notes (100 TB posture): all stateful ops keyed by unbounded
-  * domains sit behind watermarks (state eviction);
+  * Scale notes (100 TB posture): windowed/dedup/join stateful ops
+  * keyed by unbounded domains sit behind watermarks (state eviction);
   * dropDuplicatesWithinWatermark bounds dedup state; the idempotent sink
   * overwrites per-batchId partitions so at-least-once replays converge
-  * (exactly-once effect without a transactional store).
+  * (exactly-once effect without a transactional store). DOCUMENTED
+  * EXCEPTIONS: the per-user running-aggregate demos (stream_stateful's
+  * fMGWS and the TimeMode.None tws processors) carry NoTimeout/
+  * TTLConfig.NONE — their state is the POINT of the key (a running
+  * per-user aggregate never expires semantically), the demo feeds are
+  * finite AvailableNow runs, and Spark only permits state TTL in
+  * processing-time mode; a production deployment of these shapes sets
+  * TTLConfig / a GroupStateTimeout to its retention policy.
   */
 object StreamOps {
 
@@ -138,13 +145,26 @@ object StreamOps {
 
   private val nameCtr = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Bounded await for every AvailableNow/finite query in this file: a
+    * wedged micro-batch (hung store init, deadlocked foreachBatch) must
+    * fail ONE key loudly instead of hanging the whole verify/bench
+    * driver forever on an untimed awaitTermination().
+    */
+  private def awaitBounded(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (!q.awaitTermination(600000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        "streaming query did not terminate within 600s — wedged micro-batch")
+    }
+
   /** Run a streaming DataFrame to completion into an in-memory table. */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_mem_${nameCtr.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
       .option("checkpointLocation", fresh(s"${name}_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitBounded(q)
     s.table(name)
   }
 
@@ -156,6 +176,8 @@ object StreamOps {
     feedDir(s, dir); eventsDir(dir); outerEventsDir(s, dir)
     Cdc.entryFeedDir(s, dir); Cdc.entryFeedTxnDir(s, dir)
     offsetLogDir(s, dir) // the broker's log exists before a consumer runs
+    multiFeedDir(s, dir) // stream_cdc_scd2's two-file feed — without it
+    // the first measured rep pays the envelope ETL inside the timing
     ()
   }
 
@@ -196,11 +218,16 @@ object StreamOps {
       .groupBy().agg(count(lit(1)).as("n_rows"), max(col("value")).as("max_v"))
       .writeStream.format("memory").queryName(name).outputMode("complete")
       .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
-    // wait until the generator has actually produced rows (bounded)
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    // wait until the generator has actually produced rows — 60s bound
+    // (10s flaked under documented external host load), and FAIL LOUDLY
+    // on timeout instead of returning an empty frame the rows-only gate
+    // would report as a bare rowcount failure with no cause
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     while (s.table(name).isEmpty && System.nanoTime() < deadline)
       Thread.sleep(200)
-    q.stop(); q.awaitTermination()
+    q.stop(); awaitBounded(q)
+    require(!s.table(name).isEmpty,
+      "rate source produced no committed batch within 60s (host wedged?)")
     s.table(name).limit(1)
   }
 
@@ -218,7 +245,7 @@ object StreamOps {
       }
       .option("checkpointLocation", fresh("sink_parquet_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitBounded(q)
     s.read.parquet(out)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
@@ -240,7 +267,7 @@ object StreamOps {
         }
         .option("checkpointLocation", fresh("sink_idem_ckpt"))
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitBounded(q)
     }
     runOnce(); runOnce() // replay — overwrite keeps the sink idempotent
     s.read.parquet(s"$out/batch=0")
@@ -270,14 +297,12 @@ object StreamOps {
   /** bucket → latest version holding it, considering versions < ltBatch. */
   private[graft] def cdcBucketVersions(state: String, ltBatch: Long): Map[Int, Long] = {
     val root = new java.io.File(state)
-    val versions = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    val versions = graft.Scratch.listPartitionDirs(root.getPath, "v=")
       .map(_.getName.drop(2).toLong).filter(_ < ltBatch).sorted
     val latest = scala.collection.mutable.Map[Int, Long]()
     versions.foreach { v =>
-      Option(new java.io.File(root, s"v=$v").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      graft.Scratch.listPartitionDirs(
+          new java.io.File(root, s"v=$v").getPath, "bucket=")
         .foreach(b => latest(b.getName.drop(7).toInt) = v)
     }
     latest.toMap
@@ -307,14 +332,11 @@ object StreamOps {
     // position — it survives GC even when bucketless (an empty-batch
     // txn publication), else the position would roll back to an older
     // version's stale _offsets
-    val offsetsCarrier = Option(root.listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-        new java.io.File(f, "_offsets").exists())
+    val offsetsCarrier = graft.Scratch.listPartitionDirs(root.getPath, "v=")
+      .filter(f => new java.io.File(f, "_offsets").exists())
       .map(_.getName.drop(2).toLong).filter(_ < batchId)
       .sorted.lastOption
-    val dead = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    val dead = graft.Scratch.listPartitionDirs(root.getPath, "v=")
       .map(_.getName.drop(2).toLong)
       .filter(v => v < batchId && !live.contains(v) &&
         !offsetsCarrier.contains(v)).sorted.toSeq
@@ -435,9 +457,7 @@ object StreamOps {
     * disagree with the state.
     */
   private[graft] def txnCommittedOffsets(state: String): Map[Int, Long] = {
-    val versions = Option(new java.io.File(state).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    val versions = graft.Scratch.listPartitionDirs(state, "v=")
       .map(_.getName.drop(2).toLong).sorted.reverse
     import scala.jdk.CollectionConverters._
     versions.iterator.map { v =>
@@ -453,6 +473,13 @@ object StreamOps {
   /** Read the merge-on-disk view: latest version of every bucket. */
   private[graft] def readCdcState(s: SparkSession, state: String): DataFrame = {
     val paths = cdcBucketPaths(state, Long.MaxValue).values.toSeq
+    // zero versions (empty/DDL-only feed wrote no DML micro-batch) is a
+    // legal state — the streamSummingMv rule: an empty typed frame, not
+    // an AnalysisException from a zero-path parquet read
+    if (paths.isEmpty)
+      return s.range(0).select(col("id").as("o_orderkey"),
+        lit(0.0).as("o_totalprice"), lit(0L).as("es"), lit(0L).as("ts"),
+        lit("").as("type"))
     s.read.parquet(paths: _*)
       .select("o_orderkey", "o_totalprice", "es", "ts", "type")
   }
@@ -471,9 +498,7 @@ object StreamOps {
   private[graft] def mergeSummingState(deltas: DataFrame, batchId: Long,
       state: String): Unit = {
     val ss = deltas.sparkSession
-    val prevDirs = Option(new java.io.File(state).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    val prevDirs = graft.Scratch.listPartitionDirs(state, "v=")
       .map(_.getName.drop(2).toLong).filter(_ < batchId)
     val prev =
       if (prevDirs.isEmpty) deltas.limit(0)
@@ -513,10 +538,8 @@ object StreamOps {
       }
       .option("checkpointLocation", fresh("summing_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val versions = Option(new java.io.File(state).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    awaitBounded(q)
+    val versions = graft.Scratch.listPartitionDirs(state, "v=")
       .map(_.getName.drop(2).toLong)
     // zero micro-batches (an empty feed is a legal fixture state):
     // an empty MV, not UnsupportedOperationException: empty.max
@@ -545,7 +568,7 @@ object StreamOps {
       }
       .option("checkpointLocation", fresh("cdc_upsert_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitBounded(q)
     readCdcState(s, state)
       .filter(col("type") =!= "DELETE")
       .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
@@ -733,7 +756,7 @@ object StreamOps {
       }
       .option("checkpointLocation", fresh("offlog_stream_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitBounded(q)
     readCdcState(s, state)
       .filter(col("type") =!= "DELETE")
       .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
@@ -764,9 +787,7 @@ object StreamOps {
         val deltas = batch
           .select(col("event_type"), col("value").cast("double").as("m"),
             lit(1L).as("w"))
-        val prevDirs = Option(new java.io.File(state).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        val prevDirs = graft.Scratch.listPartitionDirs(state, "v=")
           .map(_.getName.drop(2).toLong).filter(_ < batchId)
         val prev =
           if (prevDirs.isEmpty) deltas.limit(0)
@@ -778,14 +799,19 @@ object StreamOps {
           .groupBy(col("event_type"))
           .agg(qagg(col("m"), col("w")).as("state"))
           .write.mode("overwrite").parquet(s"$state/v=$batchId")
+        // version GC with a one-version replay margin (the
+        // mergeSummingState rule): without it v= dirs and the per-batch
+        // listing grow O(batches) for the run's lifetime
+        prevDirs.filter(_ < (if (prevDirs.isEmpty) batchId
+          else prevDirs.max)).foreach { v =>
+          graft.Scratch.deleteRecursively(new java.io.File(state, s"v=$v"))
+        }
       }
       .option("checkpointLocation", fresh("q_mv_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitBounded(q)
     import s.implicits._
-    val vs = Option(new java.io.File(state).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    val vs = graft.Scratch.listPartitionDirs(state, "v=")
       .map(_.getName.drop(2).toLong)
     val merged =
       if (vs.isEmpty) Array.empty[(String, Seq[(Double, Long)])]
@@ -848,7 +874,7 @@ object StreamOps {
           mergeEvolving(batch, state))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitBounded(q)
     }
     Cdc.envelopesPreDdl(s, dir).coalesce(1).write.mode("append").text(feed)
     run()
@@ -899,7 +925,7 @@ object StreamOps {
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitBounded(q)
     readCdcState(s, state)
       .filter(col("type") =!= "DELETE")
       .select(col("o_orderkey"), col("o_totalprice"), col("es").as("version_es"))
@@ -929,7 +955,7 @@ object StreamOps {
       }
       .option("checkpointLocation", fresh("fanout_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitBounded(q)
     s.read.parquet(out)
       .groupBy(col("table").as("tbl"))
       .agg(count(lit(1)).as("n_rows"),
@@ -1124,6 +1150,7 @@ object StreamOps {
       val evs = rows.toArray.sortBy(e => (tUs(e.ts), e.event_id))
       var out = List.empty[SessOut]
       var open = Option(st.get())
+      val priorExpiry = open.map(expiryOf)
       evs.foreach { e =>
         val t = tUs(e.ts)
         open match {
@@ -1138,7 +1165,13 @@ object StreamOps {
       }
       open.foreach { a =>
         st.update(a)
-        getHandle.registerTimer(expiryOf(a))
+        val exp = expiryOf(a)
+        // drop the superseded timer: without this a k-event open
+        // session holds k live timers in the store (stale ones were
+        // ignored via expiry mismatch, but each cost a column-family
+        // entry and a wasted handleExpiredTimer call)
+        priorExpiry.filter(_ != exp).foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(exp)
       }
       out.reverseIterator
     }
@@ -1218,7 +1251,7 @@ object StreamOps {
       }
       .option("checkpointLocation", fresh("scd2_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitBounded(q)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_orderkey")).orderBy(col("es"))
     s.read.parquet(hist)
@@ -1249,7 +1282,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", fresh(s"${name}_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitBounded(q)
     val stateRows = q.recentProgress
       .flatMap(p => p.stateOperators.map(o =>
         (o.operatorName, o.numRowsTotal)))
@@ -1653,8 +1686,13 @@ object StreamOps {
     QueryDef("stream_session", streamSession,
       Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
               m AS (SELECT user_id, ts,
+                -- >= not >: Spark session_window intervals are HALF-OPEN
+                -- [start, last+gap) — an event exactly gap after the
+                -- previous one opens a NEW session, so the oracle must
+                -- split at the boundary too or an exactly-30:00 pair in
+                -- a future drop diverges the engines
                 CASE WHEN lag(ts) OVER w IS NULL
-                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                      THEN 1 ELSE 0 END AS new_s
                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
               sess AS (SELECT user_id, ts,
