@@ -284,19 +284,29 @@ object Cdc {
 
   // ---- operator queries ----
 
-  /** Parse + explode every row image; pk extracted via the envelope's own
-    * pkNames metadata (generic across destination tables).
+  /** The shared post-envelope projection of BOTH ingest paths (JSON
+    * FlatMessage → cdc_parse, binary Entry → cdc_parse_entry): filter
+    * DML, explode row images, extract the pk via the envelope's own
+    * pkNames. One implementation — the two paths share cdc_parse's
+    * oracle verbatim, so a copy-paste edit to one would surface as a
+    * confusing single-sided gate failure. Expects a `typ` column.
     */
-  private def cdcParse(s: SparkSession, dir: String): DataFrame =
-    parsed(s, dir)
+  private def pkProjection(envelopes: DataFrame): DataFrame =
+    envelopes
       .filter(!col("isDdl"))
       .select(col("database").as("db"), col("table").as("tbl"),
-        col("type").as("typ"), col("es"), col("pkNames"),
+        col("typ"), col("es"), col("pkNames"),
         explode(col("data")).as("img"))
       .select(col("db"), col("tbl"), col("typ"), col("es"),
         element_at(col("img"), element_at(col("pkNames"), 1)).cast("long")
           .as("pk"))
       .orderBy(col("tbl"), col("typ"), col("pk"))
+
+  /** Parse + explode every row image; pk extracted via the envelope's own
+    * pkNames metadata (generic across destination tables).
+    */
+  private def cdcParse(s: SparkSession, dir: String): DataFrame =
+    pkProjection(parsed(s, dir).withColumn("typ", col("type")))
 
   /** The Entry binary feed staged at rest, once per (JVM, sfDir) — the
     * same fixture-staging discipline as the JSON feed dir (StreamOps
@@ -331,17 +341,10 @@ object Cdc {
   private def cdcParseEntry(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val binRoot = entryFeedDir(s, dir)
-    s.read.parquet(binRoot).select(col("value")).as[Array[Byte]]
-      .mapPartitions(_.map(CanalEntry.decode))
-      .toDF()
-      .filter(!col("isDdl"))
-      .select(col("database").as("db"), col("table").as("tbl"),
-        col("typ"), col("es"), col("pkNames"),
-        explode(col("data")).as("img"))
-      .select(col("db"), col("tbl"), col("typ"), col("es"),
-        element_at(col("img"), element_at(col("pkNames"), 1)).cast("long")
-          .as("pk"))
-      .orderBy(col("tbl"), col("typ"), col("pk"))
+    pkProjection(
+      s.read.parquet(binRoot).select(col("value")).as[Array[Byte]]
+        .mapPartitions(_.map(CanalEntry.decode))
+        .toDF())
   }
 
   /** Binary dead-letter queue (the Entry twin of cdc_parse_corrupt's
@@ -446,7 +449,7 @@ object Cdc {
     */
   private[graft] def upsertLatestOf(typed: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("es").desc, col("ts").desc)
+      .orderBy(col("es").desc, col("ts").desc, col("type").desc, col("o_totalprice").desc)
     typed
       .filter(col("type") =!= "DELETE")
       .withColumn("rn", row_number().over(w))
@@ -482,7 +485,7 @@ object Cdc {
     val signed = plus.unionByName(minusUpd).unionByName(minusDel)
     val wAll = Window.partitionBy(col("o_orderkey"))
     val wLatest = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("es").desc, col("ts").desc)
+      .orderBy(col("es").desc, col("ts").desc, col("o_totalprice").desc)
     signed
       .withColumn("balance", sum(col("sign")).over(wAll))
       .filter(col("sign") === 1 && col("balance") > 0)
@@ -496,7 +499,11 @@ object Cdc {
 
   /** Before/after images → SCD-2 history: version valid [es, next es). */
   private def cdcScd2(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("es"))
+    // (ts, price) tiebreak: es ties (same-millisecond binlog changes
+    // under replay/merge — ts = es + 500 degenerates with es) must not
+    // leave the version chain's lead() pairing to shuffle arrival order
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("es"), col("ts"), col("o_totalprice"))
     ordersTyped(s, dir)
       .filter(col("type") =!= "DELETE")
       .select(col("o_orderkey"), col("o_totalprice"), col("es").as("valid_from"),
@@ -551,7 +558,12 @@ object Cdc {
     val meta = envelopes
       .filter(col("table") === table && !col("isDdl"))
       .select(col("es"), explode(col("mysqlType")).as(Seq("k", "v")))
-      .groupBy(col("k")).agg(max_by(col("v"), col("es")).as("v"))
+      // struct key breaks a tying max-es between CONFLICTING
+      // declarations deterministically (lexicographically-max v wins)
+      // instead of by shuffle arrival — the docstring's "latest es
+      // wins" plus a fixed tie rule
+      .groupBy(col("k"))
+      .agg(max_by(col("v"), struct(col("es"), col("v"))).as("v"))
       .orderBy(col("k"))
       .collect()
     require(meta.nonEmpty, s"no DML envelopes for table $table")
@@ -770,7 +782,7 @@ object Cdc {
       val deltaDf = s.read.parquet(touched.map(b => s"$delta/bucket=$b"): _*)
         .select(cols.map(col): _*)
       val w = Window.partitionBy(col("o_orderkey"))
-        .orderBy(col("es").desc, col("ts").desc)
+        .orderBy(col("es").desc, col("ts").desc, col("type").desc, col("o_totalprice").desc)
       baseDf.unionByName(deltaDf)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("type") =!= "DELETE").drop("rn")
@@ -912,7 +924,7 @@ object Cdc {
       .select(col("o_orderkey"), col("o_totalprice"), col("es"), col("ts"),
         col("type"))
     val w = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("es").desc, col("ts").desc)
+      .orderBy(col("es").desc, col("ts").desc, col("type").desc, col("o_totalprice").desc)
     snapshot.unionByName(changes)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("type") =!= "DELETE")
@@ -933,7 +945,7 @@ object Cdc {
 
   private def cdcTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("es").desc, col("ts").desc)
+      .orderBy(col("es").desc, col("ts").desc, col("type").desc, col("o_totalprice").desc)
     ordersTyped(s, dir)
       .filter(col("es") <= travelT)
       .withColumn("rn", row_number().over(w))
@@ -973,8 +985,10 @@ object Cdc {
     val minus = t.filter(col("type").isin("UPDATE", "DELETE"))
       .select(col("o_orderkey"), col("prev_es").as("version"),
         col("prev_price").as("o_totalprice"), lit(-1).as("sign"))
+    // price tiebreak: two surviving groups tying on version (same-es
+    // re-insert after delete) must pick ONE survivor deterministically
     val wLatest = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("version").desc)
+      .orderBy(col("version").desc, col("o_totalprice").desc)
     plus.unionByName(minus)
       .groupBy(col("o_orderkey"), col("version"), col("o_totalprice"))
       .agg(sum(col("sign")).as("net"))
@@ -1003,7 +1017,7 @@ object Cdc {
     */
   private def cdcPartialUpdate(s: SparkSession, dir: String): DataFrame = {
     val wPatch = Window.partitionBy(col("o_orderkey"), col("col_name"))
-      .orderBy(col("es").desc, col("ts").desc)
+      .orderBy(col("es").desc, col("ts").desc, col("new_val").desc)
     val patches = parsed(s, dir)
       .filter(col("table") === "orders" && col("type") === "UPDATE")
       .select(col("es"), col("ts"),
@@ -1042,7 +1056,7 @@ object Cdc {
     */
   private def cdcSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("es").desc, col("ts").desc)
+      .orderBy(col("es").desc, col("ts").desc, col("type").desc, col("o_totalprice").desc)
     val s1 = ordersTyped(s, dir)
       .filter(col("type") === "INSERT" && col("es") <= travelT)
       .select(col("o_orderkey"), col("o_totalprice").as("p1"))
@@ -1079,11 +1093,16 @@ object Cdc {
     */
   private def cdcTombstoneGc(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("es").desc, col("ts").desc)
-    val latest = ordersTyped(s, dir)
+      .orderBy(col("es").desc, col("ts").desc, col("type").desc, col("o_totalprice").desc)
+    val typed = ordersTyped(s, dir)
+    val latest = typed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-    val horizon = latest.agg(max(col("es")).as("h_es"))
+    // horizon from the RAW frame: the globally max-es event is always
+    // rn=1 within its own key, so max(es) is identical — and aggregating
+    // `latest` would re-evaluate the whole window subtree a second time
+    // under the crossJoin
+    val horizon = typed.agg(max(col("es")).as("h_es"))
     latest.crossJoin(broadcast(horizon))
       .filter(col("type") =!= "DELETE" ||
         col("es") > col("h_es") - lit(500L * 86400000L))
