@@ -972,8 +972,11 @@ object Cdc {
     * against bucketed state, same as stream_cdc_upsert.
     */
   private def cdcVersionedCollapse(s: SparkSession, dir: String): DataFrame = {
+    // full tiebreak on the lag window too: the cancel-row derivation
+    // (prev_es/prev_price) must pair deterministically under same-es
+    // duplicates, or the survivor fix downstream repairs nothing
     val byVersion = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("es"), col("ts"))
+      .orderBy(col("es"), col("ts"), col("type"), col("o_totalprice"))
     val t = ordersTyped(s, dir)
       .select(col("type"), col("es"), col("ts"), col("o_orderkey"),
         col("o_totalprice"))

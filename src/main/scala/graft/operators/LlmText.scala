@@ -415,7 +415,7 @@ object LlmText {
     val wmax = docs.agg(max(col("n_chars")).as("wmax"))
     docs.crossJoin(broadcast(wmax))
       .withColumn("bucket",
-        (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % 4294967296L % 1000000L)
+        ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % 4294967296L % 1000000L)
       .withColumn("keep",
         col("bucket") * col("wmax") < col("n_chars") * lit(1000000L))
       .groupBy(col("source"))
@@ -442,7 +442,7 @@ object LlmText {
   private def sampleHashSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("bucket",
-        (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % 4294967296L % 100)
+        ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % 4294967296L % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val").otherwise("test"))
@@ -461,7 +461,7 @@ object LlmText {
     * shuffles the corpus.
     */
   private def sampleMixture(s: SparkSession, dir: String): DataFrame = {
-    val bucket = (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % 4294967296L % 100
+    val bucket = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % 4294967296L % 100
     val rate = when(col("lang") === "en", 90)
       .when(col("lang") === "zh", 30).otherwise(60)
     Tables.documents(s, dir)

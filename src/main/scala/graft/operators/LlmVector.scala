@@ -1135,13 +1135,16 @@ object LlmVector {
     // zero-vector guard (class 6): total energy exactly 0 makes every
     // fraction 0/0 — NULL on Spark (skipped by Det.davg's sum while the
     // count still counts the row) but NaN on DuckDB (errors oAvg's
-    // decimal cast). Define the fraction as 0.0 on BOTH engines.
-    def frac(k: Int) = when(energy(64) === 0, lit(0.0))
-      .otherwise(energy(k) / energy(64))
-    e.select(col("label"),
-      frac(8).as("f8"),
-      frac(16).as("f16"),
-      frac(32).as("f32"))
+    // decimal cast). Define the fraction as 0.0 on BOTH engines. The
+    // total is hoisted to ONE fold per row (guard + three denominators
+    // would otherwise re-run the 64-element lambda four extra times).
+    def frac(k: Int) = when(col("tot") === 0, lit(0.0))
+      .otherwise(energy(k) / col("tot"))
+    e.withColumn("tot", energy(64))
+      .select(col("label"),
+        frac(8).as("f8"),
+        frac(16).as("f16"),
+        frac(32).as("f32"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         Det.davg(col("f8")).as("avg_frac_8"),
@@ -1928,26 +1931,20 @@ object LlmVector {
     QueryDef("vec_matryoshka", vecMatryoshka,
       Some(s"""WITH e AS (SELECT vec_id, label,
                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              et AS (SELECT label, v,
+                 list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b) AS tot FROM e),
               f AS (SELECT label,
-                 CASE WHEN list_reduce(list_transform(v, x -> x * x),
-                     (a, b) -> a + b) = 0 THEN 0.0
+                 CASE WHEN tot = 0 THEN 0.0
                    ELSE list_reduce(list_transform(v[1:8], x -> x * x),
-                     (a, b) -> a + b)
-                   / list_reduce(list_transform(v, x -> x * x),
-                     (a, b) -> a + b) END AS f8,
-                 CASE WHEN list_reduce(list_transform(v, x -> x * x),
-                     (a, b) -> a + b) = 0 THEN 0.0
+                     (a, b) -> a + b) / tot END AS f8,
+                 CASE WHEN tot = 0 THEN 0.0
                    ELSE list_reduce(list_transform(v[1:16], x -> x * x),
-                     (a, b) -> a + b)
-                   / list_reduce(list_transform(v, x -> x * x),
-                     (a, b) -> a + b) END AS f16,
-                 CASE WHEN list_reduce(list_transform(v, x -> x * x),
-                     (a, b) -> a + b) = 0 THEN 0.0
+                     (a, b) -> a + b) / tot END AS f16,
+                 CASE WHEN tot = 0 THEN 0.0
                    ELSE list_reduce(list_transform(v[1:32], x -> x * x),
-                     (a, b) -> a + b)
-                   / list_reduce(list_transform(v, x -> x * x),
-                     (a, b) -> a + b) END AS f32
-                 FROM e)
+                     (a, b) -> a + b) / tot END AS f32
+                 FROM et)
               SELECT label, COUNT(*) AS n,
                 ${graft.Det.oAvg("f8")} AS avg_frac_8,
                 ${graft.Det.oAvg("f16")} AS avg_frac_16,

@@ -222,6 +222,16 @@ object Scans {
       scala.util.Try(java.time.LocalDate.parse(f.getName.drop(4))).isSuccess
     }
 
+  /** Null-day-safe admit predicate for [[mutatePartitions]] callers on
+    * `day=` layouts: a `day=__HIVE_DEFAULT_PARTITION__` dir (null-ts
+    * row) is NEVER admitted — it is left untouched rather than crashing
+    * the admit lambda with DateTimeParseException (the dayDirs
+    * contract: every date-parsing caller must tolerate it).
+    */
+  private[graft] def dayAdmit(f: java.time.LocalDate => Boolean)
+      : String => Boolean = d =>
+    scala.util.Try(java.time.LocalDate.parse(d)).toOption.exists(f)
+
   private[graft] def dayPartitionCutoff(root: String, retentionDays: Int)
       : (Array[java.io.File], Array[java.io.File], java.time.LocalDate) = {
     def dayOf(f: java.io.File) = java.time.LocalDate.parse(f.getName.drop(4))
@@ -545,7 +555,7 @@ object Scans {
     // swap discipline (nanoTime-unique staging dir, empty-admission
     // early return, per-partition rename) instead of a hand-rolled twin
     mutatePartitions(s, root, "day",
-      d => java.time.LocalDate.parse(d).isBefore(cutoff),
+      dayAdmit(_.isBefore(cutoff)),
       _.withColumn("value", lit(null).cast("double")))
     s.read.parquet(root)
       .groupBy(col("day"))
@@ -958,7 +968,7 @@ object Scans {
   private def mutationDeleteWhere(s: SparkSession, dir: String): DataFrame = {
     val (root, cut) = mutationStage(s, dir, graft.Scratch.dir("mutdel"))
     mutatePartitions(s, root, "day",
-      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      dayAdmit(d => !d.isBefore(cut)),
       _.filter(col("event_type") =!= "click"))
     s.read.parquet(root)
       .groupBy(col("day"))
@@ -976,7 +986,7 @@ object Scans {
   private def mutationUpdateWhere(s: SparkSession, dir: String): DataFrame = {
     val (root, cut) = mutationStage(s, dir, graft.Scratch.dir("mutupd"))
     mutatePartitions(s, root, "day",
-      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      dayAdmit(d => !d.isBefore(cut)),
       _.withColumn("value",
         when(col("event_type") === "purchase", col("value") + 10.0)
           .otherwise(col("value"))))
@@ -1028,7 +1038,7 @@ object Scans {
     // state 2: background compaction folds the mask physically — only
     // partitions the mask touches are rewritten (partition-pruned swap)
     mutatePartitions(s, root, "day",
-      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      dayAdmit(d => !d.isBefore(cut)),
       df => df.join(broadcast(mask), Seq("event_id"), "left_anti"))
     val compacted = agg(s.read.parquet(root))
     // both states must agree row-for-row (and with the DuckDB oracle
@@ -1066,7 +1076,7 @@ object Scans {
     // ALTER TABLE ADD COLUMN value_band INT DEFAULT <expr>;
     // MATERIALIZE COLUMN value_band IN PARTITION day < cut
     mutatePartitions(s, root, "day",
-      d => java.time.LocalDate.parse(d).isBefore(cut),
+      dayAdmit(_.isBefore(cut)),
       _.withColumn("value_band", bandOf(col("value"))))
     val merged = s.read.option("mergeSchema", "true").parquet(root)
     val withPhys = if (merged.columns.contains("value_band")) merged
@@ -1119,7 +1129,9 @@ object Scans {
   private def mutationModifyColumn(s: SparkSession, dir: String): DataFrame = {
     val base = graft.Scratch.dir("mutmod")
     val (root, cut) = mutationStage(s, dir, base)
-    def isCold(d: String) = !java.time.LocalDate.parse(d).isBefore(cut)
+    def isCold(d: String) = // null-day dirs are cold (never rewritten)
+      scala.util.Try(java.time.LocalDate.parse(d)).toOption
+        .forall(!_.isBefore(cut))
     // byte-identity snapshot of partitions the mutation must NOT touch
     def coldSha(): Map[String, Seq[(String, String)]] =
       partFileShas(dayDirs(root).filter(f => isCold(f.getName.drop(4)))
@@ -1299,7 +1311,7 @@ object Scans {
     }
     // live table mutates AFTER the freeze (same script as delete_where)
     mutatePartitions(s, root, "day",
-      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      dayAdmit(d => !d.isBefore(cut)),
       _.filter(col("event_type") =!= "click"))
     def agg(path: String, nCol: String, sumCol: String): DataFrame =
       s.read.parquet(path).groupBy(col("day"))
@@ -1416,7 +1428,7 @@ object Scans {
     // mutation 1
     val totalAtIssue = dayDirs(root).length.toLong
     val done1 = mutatePartitions(s, root, "day",
-      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      dayAdmit(d => !d.isBefore(cut)),
       _.filter(col("event_type") =!= "click")).size.toLong
     val entries = Seq(
       (1, cmd1, totalAtIssue, done1, 1),

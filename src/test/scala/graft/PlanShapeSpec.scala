@@ -732,8 +732,17 @@ class PlanShapeSpec extends GraftSpec {
     assert(!window.head.contains("tokset"),
       "band join keys/condition reference token arrays:\n" + window.head)
     window.zipWithIndex.filter(_._1.contains("Exchange")).foreach {
-      case (_, i) =>
-        val transported = window.lift(i + 1).getOrElse("")
+      case (line, i) =>
+        // an exchange transports its child's OUTPUT schema: a
+        // ReusedExchange leaf prints that schema inline; otherwise the
+        // first schema-listing descendant (Project/Scan) names it — an
+        // interposed Sort/Filter line lists only keys, so checking just
+        // window(i+1) could miss a wide transport behind it
+        val transported =
+          if (line.contains("ReusedExchange")) line
+          else window.drop(i + 1)
+            .find(l => l.contains("Project [") || l.contains("Scan "))
+            .getOrElse("")
         assert(!transported.contains("tokset"),
           s"token arrays cross the exchange wire:\n$transported")
     }
