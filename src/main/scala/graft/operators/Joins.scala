@@ -146,18 +146,45 @@ object Joins {
     * quotes sort after probes (is_probe DESC) so "strictly prior" holds;
     * event_id breaks remaining ties deterministically.
     */
+  /** The shared union-tag frame of the four as-of variants: purchases
+    * are probes, `quoteFilter` rows are quotes, each row tagged
+    * (is_probe, tb) for the strictly-prior / at-or-after window rules
+    * (probes sort BEFORE quotes on ts ties via is_probe desc);
+    * `carryQts` adds the quote timestamp for tolerance/nearest
+    * arithmetic. ONE definition of the tag/tie-break shape — a fix to
+    * the ordering rule reaches all four variants (previously four
+    * copies of ~15 lines each).
+    */
+  private def asofTagged(ev: DataFrame, quoteFilter: Column,
+      carryQts: Boolean): DataFrame = {
+    def side(rows: DataFrame, probe: Boolean): DataFrame = {
+      val cols = Seq(
+        (if (probe) col("event_id") else lit(null).cast("long"))
+          .as("probe_id"),
+        (if (probe) lit(null).cast("long") else col("event_id"))
+          .as("quote_id")) ++
+        (if (carryQts)
+          Seq((if (probe) lit(null).cast("timestamp") else col("ts"))
+            .as("qts"))
+        else Nil) ++
+        Seq(col("ts"), col("user_id"),
+          lit(if (probe) 1 else 0).as("is_probe"),
+          col("event_id").as("tb"))
+      rows.select(cols: _*)
+    }
+    side(ev.filter(col("event_type") === "purchase"), probe = true)
+      .unionByName(side(ev.filter(quoteFilter), probe = false))
+  }
+
+  /** The one as-of ordering: per user, by ts with probes first on ties,
+    * event_id as the final tie-break.
+    */
+  private def asofOrdered = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts").asc, col("is_probe").desc, col("tb").asc)
+
   private def joinAsof(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val probes = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("probe_id"), lit(null).cast("long").as("quote_id"),
-        col("ts"), col("user_id"), lit(1).as("is_probe"), col("event_id").as("tb"))
-    val quotes = ev
-      .select(lit(null).cast("long").as("probe_id"), col("event_id").as("quote_id"),
-        col("ts"), col("user_id"), lit(0).as("is_probe"), col("event_id").as("tb"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("is_probe").desc, col("tb").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    probes.unionByName(quotes)
+    val w = asofOrdered.rowsBetween(Window.unboundedPreceding, -1)
+    asofTagged(Tables.events(s, dir), lit(true), carryQts = false)
       .withColumn("matched_id", last(col("quote_id"), ignoreNulls = true).over(w))
       .filter(col("is_probe") === 1)
       .select(col("probe_id").as("event_id"), col("matched_id"))
@@ -173,21 +200,9 @@ object Joins {
     * node at all.
     */
   private def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val probes = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("probe_id"),
-        lit(null).cast("long").as("quote_id"),
-        col("ts"), col("user_id"), lit(1).as("is_probe"),
-        col("event_id").as("tb"))
-    val quotes = ev.filter(col("event_type") === "view")
-      .select(lit(null).cast("long").as("probe_id"),
-        col("event_id").as("quote_id"),
-        col("ts"), col("user_id"), lit(0).as("is_probe"),
-        col("event_id").as("tb"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("is_probe").desc, col("tb").asc)
-      .rowsBetween(1, Window.unboundedFollowing)
-    probes.unionByName(quotes)
+    val w = asofOrdered.rowsBetween(1, Window.unboundedFollowing)
+    asofTagged(Tables.events(s, dir), col("event_type") === "view",
+        carryQts = false)
       .withColumn("matched_id",
         first(col("quote_id"), ignoreNulls = true).over(w))
       .filter(col("is_probe") === 1)
@@ -203,24 +218,11 @@ object Joins {
     * at the same linear cost: one shuffle on the join key, no Join node.
     */
   private def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val probes = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("probe_id"),
-        lit(null).cast("long").as("quote_id"),
-        lit(null).cast("timestamp").as("qts"),
-        col("ts"), col("user_id"), lit(1).as("is_probe"),
-        col("event_id").as("tb"))
-    val quotes = ev.filter(col("event_type") === "view")
-      .select(lit(null).cast("long").as("probe_id"),
-        col("event_id").as("quote_id"), col("ts").as("qts"),
-        col("ts"), col("user_id"), lit(0).as("is_probe"),
-        col("event_id").as("tb"))
-    val ord = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("is_probe").desc, col("tb").asc)
-    val back = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+    val back = asofOrdered.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = asofOrdered.rowsBetween(1, Window.unboundedFollowing)
     val q = when(col("is_probe") === 0, struct(col("qts"), col("quote_id")))
-    probes.unionByName(quotes)
+    asofTagged(Tables.events(s, dir), col("event_type") === "view",
+        carryQts = true)
       .withColumn("b", last(q, ignoreNulls = true).over(back))
       .withColumn("f", first(q, ignoreNulls = true).over(fwd))
       .filter(col("is_probe") === 1)
@@ -243,22 +245,9 @@ object Joins {
     * filter after the window, not a second join.
     */
   private def joinAsofTol(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val probes = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("probe_id"),
-        lit(null).cast("timestamp").as("qts"),
-        lit(null).cast("long").as("quote_id"),
-        col("ts"), col("user_id"), lit(1).as("is_probe"),
-        col("event_id").as("tb"))
-    val quotes = ev.filter(col("event_type") === "view")
-      .select(lit(null).cast("long").as("probe_id"),
-        col("ts").as("qts"), col("event_id").as("quote_id"),
-        col("ts"), col("user_id"), lit(0).as("is_probe"),
-        col("event_id").as("tb"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("is_probe").desc, col("tb").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    probes.unionByName(quotes)
+    val w = asofOrdered.rowsBetween(Window.unboundedPreceding, -1)
+    asofTagged(Tables.events(s, dir), col("event_type") === "view",
+        carryQts = true)
       .withColumn("m", last(when(col("is_probe") === 0,
         struct(col("qts"), col("quote_id"))), ignoreNulls = true).over(w))
       .filter(col("is_probe") === 1)
@@ -460,9 +449,14 @@ object Joins {
     import s.implicits._
     val factPath = Scans.partitionedEventsPath(s, dir)
     // content is a constant literal (no sfDir derivation), so the path
-    // needs no fixture-fingerprint versioning — only the staged() lock
+    // needs no fixture-fingerprint versioning — only the staged() lock.
+    // The dir name must NOT be the bare `graft_scan`: that exact name is
+    // in versionedRoot's legacy-root kill-set (Core.scala GC), so the
+    // staged dim was wiped under its own marker on every fresh JVM's
+    // first scan-root resolution — re-staged each JVM at best, a
+    // missing-parquet race at worst.
     val dimPath =
-      s"${sys.props("java.io.tmpdir")}/graft_scan/event_dim_v2"
+      s"${sys.props("java.io.tmpdir")}/graft_scan_dim/event_dim_v2"
     graft.Scratch.staged(dimPath) {
       Seq(("click", "active"), ("purchase", "active"), ("view", "inactive"),
         ("error", "inactive"), ("signup", "inactive"))

@@ -37,6 +37,20 @@ class AllQueriesSmokeSpec extends GraftSpec {
     assert(orphaned.isEmpty, s"oracles without a query: $orphaned")
   }
 
+  test("fixture invariant: 1-URGENT orders exist (NULL-order trap)") {
+    // join_anti_null_aware injects a NULL-key probe row whose survival
+    // depends on the NOT IN subquery being NON-empty: against an empty
+    // set, NULL NOT IN () is TRUE on both engines and the surviving
+    // NULL row sorts FIRST on Spark (ASC NULLS FIRST) but LAST in
+    // DuckDB (ASC NULLS LAST) — a positional-compare gate break.
+    // Assert the precondition loudly here (the VectorTextSpec
+    // zero-norm pattern) instead of burying a guard in the key.
+    val n = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(n > 0, "fixture has no 1-URGENT orders — " +
+      "join_anti_null_aware's NULL-probe semantics become order-divergent")
+  }
+
   test("bench total excludes the -1 failure sentinel") {
     val (total, nOk, nFailed) =
       Bench.summarize(Map("a" -> 2.0, "b" -> -1.0, "c" -> 3.5))
