@@ -46,7 +46,8 @@ class AllQueriesSmokeSpec extends GraftSpec {
     // Assert the precondition loudly here (the VectorTextSpec
     // zero-norm pattern) instead of burying a guard in the key.
     val n = Tables.orders(spark, sf)
-      .filter(col("o_orderpriority") === "1-URGENT").count()
+      .filter(org.apache.spark.sql.functions
+        .col("o_orderpriority") === "1-URGENT").count()
     assert(n > 0, "fixture has no 1-URGENT orders — " +
       "join_anti_null_aware's NULL-probe semantics become order-divergent")
   }
