@@ -25,7 +25,11 @@ object MvOps {
   // new testdata drop must re-key the staged path (stale-replay guard)
   private def mvPath(dir: String): String = {
     val sf = new java.io.File(dir).getName
-    s"${graft.Scratch.versionedRoot("mv", dir)}/lineitem_rfls_$sf"
+    // rfls2: the r11 schema adds min/max partial columns — staged() is
+    // keyed by path with a completion marker, so a schema change MUST
+    // re-key the dir or an old scratch root would serve the narrow MV
+    // and silently unroute every min/max query
+    s"${graft.Scratch.versionedRoot("mv", dir)}/lineitem_rfls2_$sf"
   }
 
   /** Stage + register the MV (idempotent per sfDir; deterministic
@@ -42,7 +46,11 @@ object MvOps {
           sum(col("l_quantity").cast(DecimalType(30, 6))).as("sum_qty_state"),
           sum(col("l_extendedprice").cast(DecimalType(30, 6)))
             .as("sum_price_state"),
-          count(lit(1)).as("n_rows"))
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty_state"),
+          max(col("l_quantity")).as("max_qty_state"),
+          min(col("l_extendedprice")).as("min_price_state"),
+          max(col("l_extendedprice")).as("max_price_state"))
         .write.mode("overwrite").parquet(path)
     }
     MvRouting.register(MvRouting.MvDef(
@@ -50,7 +58,11 @@ object MvOps {
       groupCols = Set("l_returnflag", "l_linestatus"),
       sumMap = Map("l_quantity" -> "sum_qty_state",
         "l_extendedprice" -> "sum_price_state"),
-      countCol = "n_rows"))
+      countCol = "n_rows",
+      minMap = Map("l_quantity" -> "min_qty_state",
+        "l_extendedprice" -> "min_price_state"),
+      maxMap = Map("l_quantity" -> "max_qty_state",
+        "l_extendedprice" -> "max_price_state")))
   }
 
   /** Stage + register + install the routing rule on `s`. Callers own
@@ -119,6 +131,35 @@ object MvOps {
       .groupBy(col("l_returnflag"))
       .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
         Det.dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** min/max/avg routed through the SAME rule (the r11 generalization):
+    * the MV stores per-group min/max partials (idempotent monoids —
+    * subset re-aggregation is exact) and avg(cast(col as dec(30,6)))
+    * rewrites to the routed sum/count fed through Average's OWN decimal
+    * divide tree, so the routed average is bit-identical to the base
+    * scan's. PlanShapeSpec asserts the scan reads the MV path; a
+    * routed-vs-unrouted bit-equality test covers the Average
+    * reconstruction independently of the oracle.
+    *
+    * Scale notes: `SELECT day, avg(price), min(price), max(price)` is
+    * at least as common a projection query as the sum shape — routing
+    * it scans O(groups) MV rows instead of the fact table.
+    */
+  private def mvRouteMinmax(s0: SparkSession, dir: String): DataFrame = {
+    val s = isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        avg(col("l_quantity").cast(DecimalType(30, 6))).cast("double")
+          .as("avg_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
   }
@@ -489,5 +530,24 @@ object MvOps {
                ${Det.oSum("l_extendedprice")} AS sum_price, COUNT(*) AS n
               FROM lineitem WHERE l_linestatus = 'F'
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    // avg oracle: Spark's avg(cast(x as dec(30,6))) is the HALF_UP
+    // quotient at scale 10 (Average's DecimalDivideWithOverflowCheck
+    // divides directly at the dec(34,10) result type), then →double.
+    // l_quantity is integral (fixture invariant asserted in
+    // PlanShapeSpec), so the quotient is reproduced in exact integer
+    // 1e-10 units: half-up(S/n, 10) = (2·S·10^10 + n) // (2n) for
+    // positive S — bit-identical through the final correctly-rounded
+    // double conversion on both engines.
+    QueryDef("mv_route_minmax", mvRouteMinmax,
+      Some("""SELECT l_returnflag,
+                MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price,
+                CAST((2 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT)
+                        * 10000000000 + COUNT(*))
+                     // (2 * COUNT(*)) AS DOUBLE) / 10000000000.0
+                  AS avg_qty,
+                COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
   )
 }

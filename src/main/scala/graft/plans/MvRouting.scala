@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, DecimalDivideWithOverflowCheck, EqualTo, EvalMode, Expression, If, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -21,7 +21,12 @@ import org.apache.spark.sql.types.DecimalType
   * never approximate. A query is routed only when
   *   - its grouping columns ⊆ the MV's grouping columns,
   *   - every aggregate is `sum(cast(col as decimal(30,6)))` over a column
-  *     the MV covers, or `count(1)` (no DISTINCT, no FILTER),
+  *     the MV covers, `count(1)`, `min(col)`/`max(col)` over a column the
+  *     MV stores min/max partials for (idempotent monoids — subset
+  *     re-aggregation exact), or `avg(cast(col as decimal(30,6)))`
+  *     (rewritten to the routed sum/count through Average's OWN decimal
+  *     divide tree, so the result is bit-identical) — no DISTINCT, no
+  *     FILTER clause on any of them,
   *   - the aggregate sits on the base scan through at most column-pruning
   *     Projects and Filters whose predicates reference MV GROUPING columns
   *     only (`WHERE grouping_col = x GROUP BY …`, the most common real
@@ -42,9 +47,15 @@ object MvRouting {
     * @param sumMap    base column → MV column holding
     *                  sum(cast(base as decimal(30,6))) per group
     * @param countCol  MV column holding count(*) per group
+    * @param minMap    base column → MV column holding min(base) per group
+    *                  (min-of-mins over any grouping subset is exact —
+    *                  min is an idempotent commutative monoid)
+    * @param maxMap    base column → MV column holding max(base) per group
     */
   case class MvDef(basePath: String, mvPath: String, groupCols: Set[String],
-      sumMap: Map[String, String], countCol: String)
+      sumMap: Map[String, String], countCol: String,
+      minMap: Map[String, String] = Map.empty,
+      maxMap: Map[String, String] = Map.empty)
 
   private val registry = new PathRegistry[MvDef]
 
@@ -174,13 +185,27 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     val mvAttr: Map[String, AttributeReference] =
       mvPlan.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
 
-    def rewriteAggFn(ae: AggregateExpression): Option[AggregateExpression] = {
+    def rewriteAggFn(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
+      def bareAttr(e: Expression): Option[String] = e match {
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
       ae.aggregateFunction match {
         case s: Sum =>
           dsumSource(s.child).flatMap(mv.sumMap.get)
             .flatMap(mvAttr.get)
             .map(a => ae.copy(aggregateFunction = s.copy(child = a)))
+        // min-of-mins / max-of-maxes over a grouping subset is exact
+        // (idempotent commutative monoid), and the MV stores the base
+        // column's NATIVE type, so the rewritten Min/Max's result type
+        // is identical to the original's — parent exprIds keep resolving
+        case m: Min =>
+          bareAttr(m.child).flatMap(mv.minMap.get).flatMap(mvAttr.get)
+            .map(a => ae.copy(aggregateFunction = Min(a)))
+        case m: Max =>
+          bareAttr(m.child).flatMap(mv.maxMap.get).flatMap(mvAttr.get)
+            .map(a => ae.copy(aggregateFunction = Max(a)))
         // NON-NULL literals only: count(NULL) is always 0, not the group
         // row count — rewriting it to sum(n_rows) would be wrong. And
         // only under a GROUP BY: a grouping-less count over an empty
@@ -192,6 +217,39 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
             } =>
           mvAttr.get(mv.countCol)
             .map(a => ae.copy(aggregateFunction = Sum(a)))
+        // avg over the dsum shape routes as the sum/count ratio — but
+        // REPLICATING Average's own evaluation tree bit-for-bit (Spark
+        // 4.1 Average.evaluateExpression for DecimalType is
+        // If(count=0, null, DecimalDivideWithOverflowCheck(sum,
+        // count.cast(LongDecimal), resultType, ctx, !ansi)) — the
+        // quotient is produced directly at the result scale, HALF_UP).
+        // The routed Sum of MV partials equals the base sum exactly
+        // (decimal addition is associative-exact) and Sum(n_rows)
+        // equals the base count, so feeding the SAME divide expression
+        // the same operand values yields a bit-identical average. A
+        // plain Divide would round at a different intermediate scale.
+        case av: Average =>
+          for {
+            base <- dsumSource(av.child)
+            sumCol <- mv.sumMap.get(base)
+            sumAttr <- mvAttr.get(sumCol)
+            cntAttr <- mvAttr.get(mv.countCol)
+            resType <- av.dataType match {
+              case d: DecimalType => Some(d)
+              case _ => None
+            }
+          } yield {
+            val sumAgg =
+              AggregateExpression(Sum(sumAttr), ae.mode, isDistinct = false)
+            // ONE count instance shared by the zero-guard and the divide
+            // (same resultId → one physical buffer)
+            val cntAgg =
+              AggregateExpression(Sum(cntAttr), ae.mode, isDistinct = false)
+            If(EqualTo(cntAgg, Literal(0L)), Literal(null, resType),
+              DecimalDivideWithOverflowCheck(sumAgg,
+                Cast(cntAgg, DecimalType(20, 0)), resType, null,
+                nullOnOverflow = av.evalMode != EvalMode.ANSI))
+          }
         case _ => None
       }
     }

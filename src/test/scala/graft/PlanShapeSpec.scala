@@ -383,6 +383,44 @@ class PlanShapeSpec extends GraftSpec {
       s"routed query must not also scan the fact table:\n${p.take(800)}")
   }
 
+  test("mv_route_minmax routes min/max/avg to the MV, bit-identical") {
+    val p = plan("mv_route_minmax")
+    assert(p.contains("graft_mv"),
+      s"min/max/avg aggregate not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed query must not also scan the fact table:\n${p.take(800)}")
+    // fixture invariant the mv_route_minmax oracle's integer-unit avg
+    // reconstruction rests on: l_quantity is integral (the half-up
+    // 1e-10-unit quotient is only exact for integer sums)
+    val fracQty = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") =!=
+        org.apache.spark.sql.functions.floor(col("l_quantity")))
+      .count()
+    assert(fracQty == 0L,
+      s"$fracQty fractional l_quantity rows — the integer-unit avg oracle is invalid")
+    // the Average reconstruction must be BIT-identical to the unrouted
+    // plan (Average's own DecimalDivideWithOverflowCheck tree fed the
+    // routed sum/count) — independent of the DuckDB oracle
+    val routed = SparkEntry.queries("mv_route_minmax")(spark, sf).collect()
+    val unrouted = Tables.lineitem(spark, sf) // plain session: rule never armed here
+      .groupBy(col("l_returnflag"))
+      .agg(
+        org.apache.spark.sql.functions.min(col("l_quantity")).as("min_qty"),
+        org.apache.spark.sql.functions.max(col("l_quantity")).as("max_qty"),
+        org.apache.spark.sql.functions.min(col("l_extendedprice")).as("min_price"),
+        org.apache.spark.sql.functions.max(col("l_extendedprice")).as("max_price"),
+        org.apache.spark.sql.functions.avg(col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("avg_qty"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    assert(unrouted.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(routed.toSeq == unrouted.collect().toSeq,
+      "routed min/max/avg diverged from the base-table plan")
+  }
+
   test("scan_bloom_index pushes the point lookup into the parquet scan") {
     val p = plan("scan_bloom_index")
     val scanLine = p.linesIterator
