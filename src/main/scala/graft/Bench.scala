@@ -32,6 +32,7 @@ object Bench {
     val prevRaw = readAll("target/bench_queries.json")
     val prev = parsePrevQueries(prevRaw)
     val prevCal = parseCalibration(prevRaw)
+    val prevCalIo = parseCalibrationIo(prevRaw)
     // one-time shared-fixture ETL (bucketed tables, staged stream feeds):
     // amortized setup at cluster scale, so it isn't part of any query's time
     // a fixture-prep failure must be VISIBLE (it cascades into dozens of
@@ -59,6 +60,7 @@ object Bench {
     // by the calibration ratio makes a loaded run self-identifying
     // instead of crying wolf.
     val calStart = calibrate(spark)
+    val ioStart = calibrateIo()
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
@@ -88,16 +90,18 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val calEnd = calibrate(spark)
+    val ioEnd = calibrateIo()
     // run-average load estimate: start and end brackets catch load that
     // arrives mid-run (each bracket is already a min-of-3, JIT-immune)
     val calObserved = (calStart + calEnd) / 2
+    val ioObserved = (ioStart + ioEnd) / 2
     val qs = results.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
     val (total, nOk, nFailed) = summarize(results)
     // full per-query map also persisted to a file: the driver's tail
     // capture keeps only ~64 of 260+ entries of the stdout line, so
     // round-over-round per-query diffs need the at-rest copy
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration":$calObserved,"sf":${Json.q(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration":$calObserved,"calibration_io":$ioObserved,"sf":${Json.q(sfDir)}}"""
     if (only.isEmpty) {
       try {
         new java.io.File("target").mkdirs()
@@ -120,13 +124,30 @@ object Bench {
     // Floored at 0.2s so sub-JIT noise on trivial queries can't page
     // anyone. One short JSON line — empty list is the expected state.
     // never scale the threshold DOWN below the classic 1.5x: a baseline
-    // taken under load would otherwise make an at-rest run over-flag
-    val calRatio =
+    // taken under load would otherwise make an at-rest run over-flag.
+    // The effective ratio is the WORSE of the CPU and I/O probes: the
+    // r10 driver run proved uniform load can be purely I/O-side
+    // (checkpoint fsyncs, staged-swap writes inflated 10–40× while the
+    // CPU probe read 1.0) — a single-resource probe under-normalizes.
+    val cpuRatio =
       if (prevCal > 0) math.max(1.0, calObserved / prevCal) else 1.0
+    val ioRatio =
+      if (prevCalIo > 0) math.max(1.0, ioObserved / prevCalIo) else 1.0
+    val calRatio = math.max(cpuRatio, ioRatio)
     val regs = regressions(prev, results, calRatio)
-    println(s"""{"metric":"bench_regressions","threshold":1.5,"calibration_sec":$calObserved,"calibration_ratio":$calRatio,"keys":${
-      regs.map { case (k, o, n) =>
+    // cap the printed list at the worst 20: the driver's tail capture
+    // truncates stdout from the FRONT, so an uncapped worst-first list
+    // under uniform load preserved only its mildest TAIL entries
+    // (BENCH_r10 kept the ~2× keys and dropped the 10–40× heads)
+    val shown = regs.take(20)
+    println(s"""{"metric":"bench_regressions","base_threshold":1.5,"effective_threshold":${1.5 * calRatio},"keys":${
+      shown.map { case (k, o, n) =>
         s"""{"key":${Json.q(k)},"prev":$o,"now":$n}""" }.mkString("[", ",", "]")}}""")
+    // one-line summary AFTER the capped list (closest to the surviving
+    // tail): flag count, worst ratio, and both probe ratios, so a loaded
+    // run self-identifies even if the key list is truncated away
+    val maxRatio = regs.headOption.map { case (_, o, n) => n / o }.getOrElse(1.0)
+    println(s"""{"metric":"bench_regressions_summary","n_flagged":${regs.size},"shown":${shown.size},"max_ratio":$maxRatio,"cal_cpu_ratio":$cpuRatio,"cal_io_ratio":$ioRatio,"calibration_sec":$calObserved,"calibration_io_sec":$ioObserved}""")
     // compact line LAST: the driver's tail capture truncates long lines
     // from the front, so the parseable summary must be short and final
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"failed":$nFailed,"sf":${Json.q(sfDir)}}""")
@@ -168,6 +189,33 @@ object Bench {
         (k, prev(k), n)
     }.sortBy { case (_, o, n) => -(n / o) }
 
+  /** Fixed constant-work I/O probe: 16 × 256 KiB files written and
+    * fsync'd to a fresh tmp dir, min of 3 reps. Write+force is the
+    * operation the expensive keys actually pay (state-store commits,
+    * staged-swap publishes, offset-log fsyncs) — the r10 driver run
+    * proved the CPU probe's blind spot when host I/O contention
+    * inflated exactly those keys 10–40× while the CPU ratio read 1.0.
+    */
+  private def calibrateIo(): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_ioprobe")
+    try {
+      val payload = new Array[Byte](256 * 1024)
+      java.util.Arrays.fill(payload, 0x67.toByte)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        (0 until 16).foreach { i =>
+          val ch = java.nio.channels.FileChannel.open(dir.resolve(s"f_$i"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+          try { ch.write(java.nio.ByteBuffer.wrap(payload)); ch.force(true) }
+          finally ch.close()
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    } finally Scratch.deleteRecursively(dir.toFile)
+  }
+
   /** The prior run's `"calibration":<sec>` record; 0.0 (guard
     * unnormalized) when missing or garbled. Path overload for tests.
     */
@@ -175,11 +223,22 @@ object Bench {
     parseCalibration(readAll(path))
 
   private[graft] def parseCalibration(s: String): Double =
+    parseNumField(s, "calibration")
+
+  private[graft] def parseCalibrationIo(s: String): Double =
+    parseNumField(s, "calibration_io")
+
+  /** `"<field>":<number>` extractor over the baseline line; 0.0 when
+    * absent/garbled. The search key includes the closing quote+colon,
+    * so `calibration` never matches the longer `calibration_io` record.
+    */
+  private def parseNumField(s: String, field: String): Double =
     try {
-      val i = s.indexOf("\"calibration\":")
+      val key = "\"" + field + "\":"
+      val i = s.indexOf(key)
       if (i < 0) 0.0
       else {
-        val rest = s.substring(i + 14)
+        val rest = s.substring(i + key.length)
         val end = rest.indexWhere(c => !(c.isDigit || c == '.' ||
           c == '-' || c == 'e' || c == 'E' || c == '+'))
         (if (end < 0) rest else rest.substring(0, end)).toDouble

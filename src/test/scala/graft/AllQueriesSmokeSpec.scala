@@ -97,6 +97,21 @@ class AllQueriesSmokeSpec extends GraftSpec {
     assert(Bench.readPrevCalibration(bad.toString) == 0.0)
     assert(Bench.readPrevCalibration(
       dir.resolve("absent.json").toString) == 0.0)
+    // the I/O probe record must parse independently of the CPU one —
+    // and the shorter "calibration": key must never match inside the
+    // longer "calibration_io": field name (or vice versa), whatever
+    // their order on the line
+    val both =
+      """{"queries":{"q1":1.0},"calibration":0.11,"calibration_io":0.27,"sf":"x"}"""
+    assert(Bench.parseCalibration(both) == 0.11)
+    assert(Bench.parseCalibrationIo(both) == 0.27)
+    val ioFirst =
+      """{"queries":{"q1":1.0},"calibration_io":0.27,"calibration":0.11}"""
+    assert(Bench.parseCalibration(ioFirst) == 0.11)
+    assert(Bench.parseCalibrationIo(ioFirst) == 0.27)
+    // pre-r11 baselines carry no io record → 0.0 disables the io ratio
+    assert(Bench.parseCalibrationIo(
+      """{"queries":{"q1":1.0},"calibration":0.11}""") == 0.0)
   }
 
   /** Keys allowed to plan CartesianProduct. Empty by policy: every
