@@ -556,7 +556,8 @@ object Scans {
     // early return, per-partition rename) instead of a hand-rolled twin
     mutatePartitions(s, root, "day",
       dayAdmit(_.isBefore(cutoff)),
-      _.withColumn("value", lit(null).cast("double")))
+      _.withColumn("value", lit(null).cast("double")),
+      s"ALTER TABLE t UPDATE value = NULL WHERE day < $cutoff (column TTL)")
     s.read.parquet(root)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_live"),
@@ -866,7 +867,8 @@ object Scans {
     // lazy reclamation: the next merge of partition F rewrites it
     // without the dropped column's pages
     mutatePartitions(s, root, "o_orderstatus", _ == "F",
-      _.drop("o_totalprice"))
+      _.drop("o_totalprice"),
+      "ALTER TABLE t DROP COLUMN o_totalprice (merge partition F)")
     val after = partBytes()
     val coldOk = before.filter(_._1 != "o_orderstatus=F")
       .forall { case (p, st) => after(p) == st }
@@ -925,12 +927,90 @@ object Scans {
         }
     }.toMap
 
+  /** One `system.mutations` ledger row. The ledger lives at
+    * `<root>/_MUTATIONS` (the `_` prefix keeps it invisible to Spark's
+    * file index, so data reads of the root never see it) and is written
+    * by the mutation MACHINERY itself — every ALTER through
+    * [[mutatePartitions]], or [[issueMutation]] for one left pending to
+    * a background materializer. On a 100 TB table the ledger is only
+    * trustworthy if every ALTER writes it; a hand-kept view drifts.
+    */
+  private[graft] case class MutationEntry(id: Long, command: String,
+      partsTotal: Long, partsDone: Long, isDone: Int)
+
+  // per-root lock: two same-JVM sessions mutating one table must not
+  // interleave read-modify-write cycles on the ledger manifest
+  private val ledgerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def ledgerPath(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(s"$root/_MUTATIONS")
+
+  private[graft] def readLedgerEntries(root: String): Seq[MutationEntry] = {
+    val p = ledgerPath(root)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else graft.Scratch.readManifest(p.toString).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val a = l.split('\u0001')
+        MutationEntry(a(0).toLong, a(1), a(2).toLong, a(3).toLong, a(4).toInt)
+      }.toSeq
+  }
+
+  private def writeLedger(root: String, entries: Seq[MutationEntry]): Unit =
+    graft.Scratch.atomicPublish(ledgerPath(root),
+      entries.map(e => Seq(e.id, e.command, e.partsTotal, e.partsDone,
+        e.isDone).mkString("\u0001")).mkString("\n"))
+
+  /** Record an ALTER in the durable ledger WITHOUT applying it — the
+    * pending state (`parts_done = 0, is_done = 0`) a background
+    * materializer drains on a table where mutations take hours.
+    * `parts_total` is the partition count at issue time (the
+    * ClickHouse semantics: later drops must not skew an issued row).
+    * Returns the allocated mutation id, monotonic per root.
+    */
+  private[graft] def issueMutation(root: String, partCol: String,
+      command: String): Long = {
+    val lock = ledgerLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized {
+      val entries = readLedgerEntries(root)
+      val id = entries.map(_.id).maxOption.getOrElse(0L) + 1
+      val total =
+        graft.Scratch.listPartitionDirs(root, s"$partCol=").length.toLong
+      writeLedger(root, entries :+ MutationEntry(id, command, total, 0L, 0))
+      id
+    }
+  }
+
+  private def markApplied(root: String, id: Long, done: Long): Unit = {
+    val lock = ledgerLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized {
+      writeLedger(root, readLedgerEntries(root).map(e =>
+        if (e.id == id) e.copy(partsDone = done, isDone = 1) else e))
+    }
+  }
+
   private[graft] def mutatePartitions(s: SparkSession, root: String,
+      partCol: String, admit: String => Boolean,
+      rewrite: DataFrame => DataFrame, command: String): Set[String] =
+    applyIssued(s, root, issueMutation(root, partCol, command), partCol,
+      admit, rewrite)
+
+  /** Apply a previously-issued mutation: the partition-pruned staged
+    * swap, then the ledger row flips to applied (`parts_done` = the
+    * touched partitions — the swap machinery's own return value, never
+    * a rescan).
+    */
+  private[graft] def applyIssued(s: SparkSession, root: String, id: Long,
       partCol: String, admit: String => Boolean,
       rewrite: DataFrame => DataFrame): Set[String] = {
     val touched = graft.Scratch.listPartitionDirs(root, s"$partCol=")
       .filter(f => admit(f.getName.drop(partCol.length + 1)))
-    if (touched.isEmpty) return Set.empty
+    if (touched.isEmpty) {
+      // a mutation admitting zero partitions IS complete — an operator
+      // watching the ledger must see it drain, not hang at pending
+      markApplied(root, id, 0L)
+      return Set.empty
+    }
     val staged = s"${root}_staged_${System.nanoTime()}"
     rewrite(s.read.option("basePath", root)
         .parquet(touched.map(_.getPath).toIndexedSeq: _*))
@@ -942,6 +1022,7 @@ object Scans {
       if (java.nio.file.Files.exists(src))
         java.nio.file.Files.move(src, d.toPath)
     }
+    markApplied(root, id, touched.length.toLong)
     touched.map(_.getName).toSet
   }
 
@@ -969,7 +1050,8 @@ object Scans {
     val (root, cut) = mutationStage(s, dir, graft.Scratch.dir("mutdel"))
     mutatePartitions(s, root, "day",
       dayAdmit(d => !d.isBefore(cut)),
-      _.filter(col("event_type") =!= "click"))
+      _.filter(col("event_type") =!= "click"),
+      s"ALTER TABLE t DELETE WHERE day >= $cut AND event_type = 'click'")
     s.read.parquet(root)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
@@ -989,7 +1071,9 @@ object Scans {
       dayAdmit(d => !d.isBefore(cut)),
       _.withColumn("value",
         when(col("event_type") === "purchase", col("value") + 10.0)
-          .otherwise(col("value"))))
+          .otherwise(col("value"))),
+      s"ALTER TABLE t UPDATE value = value + 10 WHERE day >= $cut " +
+        "AND event_type = 'purchase'")
     s.read.parquet(root)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n"),
@@ -1039,7 +1123,8 @@ object Scans {
     // partitions the mask touches are rewritten (partition-pruned swap)
     mutatePartitions(s, root, "day",
       dayAdmit(d => !d.isBefore(cut)),
-      df => df.join(broadcast(mask), Seq("event_id"), "left_anti"))
+      df => df.join(broadcast(mask), Seq("event_id"), "left_anti"),
+      s"compact lightweight DELETE mask (day >= $cut, event_type = 'view')")
     val compacted = agg(s.read.parquet(root))
     // both states must agree row-for-row (and with the DuckDB oracle
     // via the shared hash-match)
@@ -1077,7 +1162,8 @@ object Scans {
     // MATERIALIZE COLUMN value_band IN PARTITION day < cut
     mutatePartitions(s, root, "day",
       dayAdmit(_.isBefore(cut)),
-      _.withColumn("value_band", bandOf(col("value"))))
+      _.withColumn("value_band", bandOf(col("value"))),
+      s"ALTER TABLE t MATERIALIZE COLUMN value_band IN PARTITION day < $cut")
     val merged = s.read.option("mergeSchema", "true").parquet(root)
     val withPhys = if (merged.columns.contains("value_band")) merged
       else merged.withColumn("value_band", lit(null).cast("int"))
@@ -1143,7 +1229,8 @@ object Scans {
       """{"modify":{"value":{"type":"bigint","conv":"floor"}}}""")
     // MODIFY COLUMN ... IN PARTITION day < cut: materialize the change
     mutatePartitions(s, root, "day", d => !isCold(d),
-      _.withColumn("value", floor(col("value")).cast("long")))
+      _.withColumn("value", floor(col("value")).cast("long")),
+      s"ALTER TABLE t MODIFY COLUMN value bigint IN PARTITION day < $cut")
     val coldOk = coldSha() == before
     // per-part type resolution (parsed from _SCHEMA in a real catalog)
     val (oldParts, newParts) = dayDirs(root)
@@ -1201,7 +1288,8 @@ object Scans {
       .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
       .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
     val dirty = stats.collect { case (d, n, nd) if n != nd => d }.toSet
-    mutatePartitions(s, root, "day", dirty.contains, _.dropDuplicates())
+    mutatePartitions(s, root, "day", dirty.contains, _.dropDuplicates(),
+      "OPTIMIZE TABLE t DEDUPLICATE")
     val before = stats.map { case (d, n, _) => (d, n) }.toSeq
       .toDF("day_str", "n_before")
     s.read.parquet(root)
@@ -1312,7 +1400,8 @@ object Scans {
     // live table mutates AFTER the freeze (same script as delete_where)
     mutatePartitions(s, root, "day",
       dayAdmit(d => !d.isBefore(cut)),
-      _.filter(col("event_type") =!= "click"))
+      _.filter(col("event_type") =!= "click"),
+      s"ALTER TABLE t DELETE WHERE day >= $cut AND event_type = 'click'")
     def agg(path: String, nCol: String, sumCol: String): DataFrame =
       s.read.parquet(path).groupBy(col("day"))
         .agg(count(lit(1)).as(nCol), Det.dsum(col("value")).as(sumCol))
@@ -1415,7 +1504,6 @@ object Scans {
     * own return value, not a rescan.
     */
   private def metaMutations(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val base = graft.Scratch.dir("metamut")
     val (root, cut) = mutationStage(s, dir, base)
     val cmd1 = "ALTER TABLE events DELETE WHERE day >= cut AND event_type = 'click'"
@@ -1425,25 +1513,27 @@ object Scans {
     // the oracle models the untouched events table, so a later drop
     // where the delete empties a whole day partition must not skew
     // mutation 2's total), then the background materializer applies
-    // mutation 1
-    val totalAtIssue = dayDirs(root).length.toLong
-    val done1 = mutatePartitions(s, root, "day",
+    // mutation 1. Since r11 every record is written by the mutation
+    // MACHINERY itself (issueMutation / applyIssued) — this view only
+    // reads the durable ledger back: what survives a restart is what
+    // the operator sees.
+    val id1 = issueMutation(root, "day", cmd1)
+    issueMutation(root, "day", cmd2)
+    applyIssued(s, root, id1, "day",
       dayAdmit(d => !d.isBefore(cut)),
-      _.filter(col("event_type") =!= "click")).size.toLong
-    val entries = Seq(
-      (1, cmd1, totalAtIssue, done1, 1),
-      (2, cmd2, totalAtIssue, 0L, 0))
-    val path = java.nio.file.Paths.get(s"$base/_MUTATIONS")
-    graft.Scratch.atomicPublish(path, entries.map { case (i, c, t, d, f) =>
-      Seq(i, c, t, d, f).mkString("\u0001") }.mkString("\n"))
-    // the view reads the DURABLE ledger back, not the in-memory state:
-    // what survives a restart is what the operator sees
-    val rows = graft.Scratch.readManifest(path.toString).linesIterator
-      .filter(_.nonEmpty).map { l =>
-        val a = l.split('\u0001')
-        (a(0).toInt, a(1), a(2).toLong, a(3).toLong, a(4).toInt)
-      }.toSeq
-    rows.toDF("mutation_id", "command", "parts_total", "parts_done",
+      _.filter(col("event_type") =!= "click"))
+    readMutationLedger(s, root)
+  }
+
+  /** The `system.mutations` view over a table root's machinery-written
+    * ledger — O(mutations) metadata, no data row read.
+    */
+  private[graft] def readMutationLedger(s: SparkSession, root: String)
+      : DataFrame = {
+    import s.implicits._
+    readLedgerEntries(root)
+      .map(e => (e.id, e.command, e.partsTotal, e.partsDone, e.isDone))
+      .toDF("mutation_id", "command", "parts_total", "parts_done",
         "is_done")
       .orderBy(col("mutation_id"))
   }

@@ -257,7 +257,8 @@ class PipelineOpsSpec extends GraftSpec {
     val before = digests()
     val admitted = Scans.mutatePartitions(spark, root, "day",
       d => !java.time.LocalDate.parse(d).isBefore(cut),
-      _.filter(col("event_type") =!= "click"))
+      _.filter(col("event_type") =!= "click"),
+      s"ALTER TABLE t DELETE WHERE day >= $cut AND event_type = 'click'")
     assert(admitted.nonEmpty, "fixture must span the cutoff")
     val after = digests()
     val untouched = before.keySet -- admitted

@@ -64,6 +64,65 @@ class StateMaintenanceSpec extends GraftSpec {
       "a real fixture dir must fingerprint to non-sentinel")
   }
 
+  test("mutation machinery auto-writes the durable ledger (issue→apply)") {
+    import graft.operators.Scans
+    val scratch = graft.Scratch.dir("ledgertest")
+    val (root, cut) = Scans.mutationStage(spark, sf, scratch)
+    // issued-but-pending: one entry, parts_total at issue time, not done
+    val idPending = Scans.issueMutation(root, "day",
+      "ALTER TABLE t UPDATE value = value + 1 WHERE event_type = 'view'")
+    val afterIssue = Scans.readLedgerEntries(root)
+    assert(afterIssue.map(e => (e.id, e.partsDone, e.isDone))
+      == Seq((idPending, 0L, 0)))
+    assert(afterIssue.head.partsTotal ==
+      graft.Scratch.listPartitionDirs(root, "day=").length.toLong,
+      "parts_total must be the partition count at issue time")
+    // a mutation run through mutatePartitions writes its OWN issue and
+    // apply records — no caller-side bookkeeping anywhere
+    val touched = Scans.mutatePartitions(spark, root, "day",
+      d => !java.time.LocalDate.parse(d).isBefore(cut),
+      _.filter(col("event_type") =!= "click"),
+      s"ALTER TABLE t DELETE WHERE day >= $cut AND event_type = 'click'")
+    assert(touched.nonEmpty, "fixture must span the cutoff")
+    val entries = Scans.readLedgerEntries(root)
+    assert(entries.map(_.id) == Seq(idPending, idPending + 1),
+      "ids must be monotonic per root")
+    val applied = entries.find(_.id == idPending + 1).get
+    assert(applied.isDone == 1 && applied.partsDone == touched.size.toLong)
+    assert(applied.command.contains("DELETE"))
+    assert(entries.find(_.id == idPending).get.isDone == 0,
+      "the pending mutation must stay pending")
+    // zero-admission mutation drains to done (parts_done = 0), so an
+    // operator watching the ledger sees it complete, not hang
+    assert(Scans.mutatePartitions(spark, root, "day", _ => false,
+      identity, "ALTER TABLE t DELETE WHERE false").isEmpty)
+    val noop = Scans.readLedgerEntries(root).find(_.id == idPending + 2).get
+    assert(noop.isDone == 1 && noop.partsDone == 0L)
+    // the system.mutations view serves exactly the machinery's records
+    val view = Scans.readMutationLedger(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(view.toSeq == Seq((idPending, 0), (idPending + 1, 1),
+      (idPending + 2, 1)))
+  }
+
+  test("a real mutation key leaves a machinery-written ledger trace") {
+    import graft.operators.Scans
+    SparkEntry.queries("mutation_delete_where")(spark, sf).collect()
+    val scratchRoot =
+      new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_scratch")
+    // the key staged its table under a fresh mutdel_<nanoTime> dir;
+    // newest suffix = this run (parallel suites never share the prefix)
+    val newest = Option(scratchRoot.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("mutdel_"))
+      .maxBy(_.getName.stripPrefix("mutdel_").toLong)
+    val entries = Scans.readLedgerEntries(s"$newest/t")
+    assert(entries.nonEmpty,
+      s"mutation_delete_where left no ledger under $newest/t")
+    assert(entries.forall(e => e.isDone == 1 && e.partsDone > 0L))
+    assert(entries.exists(_.command.contains("DELETE")))
+  }
+
   test("mv routing falls through when the registered MV path was GC'd") {
     import org.apache.spark.sql.types.DecimalType
     val s = spark.newSession() // routing armed on a clone only
