@@ -1215,12 +1215,29 @@ object Scans {
   private def mutationModifyColumn(s: SparkSession, dir: String): DataFrame = {
     val base = graft.Scratch.dir("mutmod")
     val (root, cut) = mutationStage(s, dir, base)
+    modifyColumnApply(s, base, root, cut)
+  }
+
+  /** The ALTER + tier read of [[mutationModifyColumn]], split from the
+    * fixture staging so a test can drive it over a layout CONTAINING a
+    * day=__HIVE_DEFAULT_PARTITION__ dir (null-ts rows) — the events
+    * fixture has none, and this path once silently dropped that
+    * partition's rows from the union while the oracle kept them.
+    */
+  private[graft] def modifyColumnApply(s: SparkSession, base: String,
+      root: String, cut: java.time.LocalDate): DataFrame = {
     def isCold(d: String) = // null-day dirs are cold (never rewritten)
       scala.util.Try(java.time.LocalDate.parse(d)).toOption
         .forall(!_.isBefore(cut))
-    // byte-identity snapshot of partitions the mutation must NOT touch
+    // byte-identity snapshot of partitions the mutation must NOT touch.
+    // RAW listing, not dayDirs: a day=__HIVE_DEFAULT_PARTITION__ dir
+    // (null-ts rows) is cold by isCold's own contract, so it belongs in
+    // the snapshot — dayDirs would silently exempt it from the
+    // byte-identity proof (and the tier read below would DROP its rows
+    // while the oracle keeps the NULL-day group)
+    def allDayDirs() = graft.Scratch.listPartitionDirs(root, "day=")
     def coldSha(): Map[String, Seq[(String, String)]] =
-      partFileShas(dayDirs(root).filter(f => isCold(f.getName.drop(4)))
+      partFileShas(allDayDirs().filter(f => isCold(f.getName.drop(4)))
         .toIndexedSeq)
     val before = coldSha()
     // the ALTER: one durable manifest write, zero data I/O
@@ -1233,7 +1250,9 @@ object Scans {
       s"ALTER TABLE t MODIFY COLUMN value bigint IN PARTITION day < $cut")
     val coldOk = coldSha() == before
     // per-part type resolution (parsed from _SCHEMA in a real catalog)
-    val (oldParts, newParts) = dayDirs(root)
+    // raw listing again: the null-day dir lands in the cold/virtual
+    // tier (floor served on read) instead of vanishing from the union
+    val (oldParts, newParts) = allDayDirs()
       .partition(f => !isCold(f.getName.drop(4)))
     def rd(ds: Array[java.io.File]) = s.read.option("basePath", root)
       .parquet(ds.map(_.getPath).toIndexedSeq: _*)
@@ -1251,10 +1270,16 @@ object Scans {
     tiers.reduce(_ unionByName _)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
-        count(when(col("day") >= lit(java.sql.Date.valueOf(cut)), 1))
+        // virtual = served-by-expression = cold tier membership: day
+        // past the cutoff OR the null-day partition (never rewritten)
+        count(when(col("day").isNull
+            || col("day") >= lit(java.sql.Date.valueOf(cut)), 1))
           .as("n_virtual"))
       .withColumn("cold_files_unchanged", lit(if (coldOk) 1 else 0))
-      .orderBy(col("day"))
+      // NULLS LAST pinned on both engines: Spark ASC defaults NULLS
+      // FIRST, DuckDB NULLS LAST — a null-day group would shift every
+      // row under the exact row-order compare (divergence class 13)
+      .orderBy(col("day").asc_nulls_last)
   }
 
   /** ClickHouse `OPTIMIZE TABLE ... DEDUPLICATE`: storage-level exact-
@@ -1875,9 +1900,10 @@ object Scans {
                m AS (SELECT max(day) - 7 AS cut FROM e)
               SELECT day, COUNT(*) AS n,
                 CAST(SUM(value) AS BIGINT) AS sum_value,
-                COUNT(CASE WHEN day >= cut THEN 1 END) AS n_virtual,
+                COUNT(CASE WHEN day IS NULL OR day >= cut THEN 1 END)
+                  AS n_virtual,
                 1 AS cold_files_unchanged
-              FROM e, m GROUP BY day ORDER BY day""")),
+              FROM e, m GROUP BY day ORDER BY day NULLS LAST""")),
     QueryDef("meta_mutations", metaMutations,
       Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
                  FROM events),

@@ -777,12 +777,17 @@ class PlanShapeSpec extends GraftSpec {
         // interposed Sort/Filter line lists only keys, so checking just
         // window(i+1) could miss a wide transport behind it
         val transported =
-          if (line.contains("ReusedExchange")) line
+          if (line.contains("ReusedExchange")) Some(line)
           else window.drop(i + 1)
             .find(l => l.contains("Project [") || l.contains("Scan "))
-            .getOrElse("")
-        assert(!transported.contains("tokset"),
-          s"token arrays cross the exchange wire:\n$transported")
+        // fail LOUDLY when the schema line can't be located: asserting
+        // against a silent "" would pass vacuously if the listing sits
+        // past the window or a Spark upgrade renames the node
+        assert(transported.nonEmpty,
+          "no Project/Scan schema line within the window below this " +
+            s"exchange — widen the window or update the node names:\n$line")
+        assert(!transported.get.contains("tokset"),
+          s"token arrays cross the exchange wire:\n${transported.get}")
     }
   }
 

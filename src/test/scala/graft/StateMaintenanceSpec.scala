@@ -123,6 +123,40 @@ class StateMaintenanceSpec extends GraftSpec {
     assert(entries.exists(_.command.contains("DELETE")))
   }
 
+  test("modify-column tolerates a null-day partition (virtual tier)") {
+    import graft.operators.Scans
+    import spark.implicits._
+    // a layout WITH day=__HIVE_DEFAULT_PARTITION__: 3 dated days
+    // spanning the cutoff plus 2 null-day rows (null-ts events)
+    val base = graft.Scratch.dir("mutmodnull")
+    val root = s"$base/t"
+    val cut = java.time.LocalDate.parse("2024-01-03")
+    val rows = Seq(
+      (Some(java.sql.Date.valueOf("2024-01-01")), 1L, "view", 3.7),
+      (Some(java.sql.Date.valueOf("2024-01-02")), 2L, "click", 5.2),
+      (Some(java.sql.Date.valueOf("2024-01-04")), 3L, "view", 7.9),
+      (None, 4L, "view", 11.5),
+      (None, 5L, "purchase", 13.1))
+    rows.toDF("day", "event_id", "event_type", "value")
+      .write.partitionBy("day").parquet(root)
+    val nullDir = new java.io.File(s"$root/day=__HIVE_DEFAULT_PARTITION__")
+    assert(nullDir.isDirectory, "fixture must materialize the null-day dir")
+    val out = Scans.modifyColumnApply(spark, base, root, cut)
+      .collect().map(r => (Option(r.getDate(0)).map(_.toString),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // every row survives: null-day rows serve floor(value) virtually
+    // (11+13=24), pre-cut days are materialized, post-cut day virtual;
+    // NULLS LAST pins the null-day group to the end on both engines
+    assert(out.toSeq == Seq(
+      (Some("2024-01-01"), 1L, 3L, 0L, 1),
+      (Some("2024-01-02"), 1L, 5L, 0L, 1),
+      (Some("2024-01-04"), 1L, 7L, 1L, 1),
+      (None, 2L, 24L, 2L, 1)), out.toSeq.toString)
+    // and the null-day partition's files were never rewritten (cold):
+    // cold_files_unchanged == 1 above already proves the SHA snapshot
+    // (which now INCLUDES the null-day dir) matched before vs after
+  }
+
   test("mv routing falls through when the registered MV path was GC'd") {
     import org.apache.spark.sql.types.DecimalType
     val s = spark.newSession() // routing armed on a clone only
