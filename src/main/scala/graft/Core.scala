@@ -409,6 +409,24 @@ object Json {
   } + "\""
 }
 
+object Sessions {
+  /** The rule-isolation clone every routed key runs under: a fresh
+    * session (so an installed optimizer rule never contaminates the
+    * caller — the conf-tweaking-joins convention) that INHERITS the
+    * caller's runtime shuffle partitioning. newSession() rebuilds
+    * SQLConf from the SparkContext conf, silently discarding a
+    * runtime-set spark.sql.shuffle.partitions — which would make
+    * DeterminismSpec's two-partitionings contract vacuous for routed
+    * keys (both runs at the context default).
+    */
+  def isolatedClone(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    s
+  }
+}
+
 object Det {
   /** Exact order-independent sum of a double expression → double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")

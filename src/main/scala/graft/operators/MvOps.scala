@@ -89,12 +89,8 @@ object MvOps {
     * DeterminismSpec's two-partitionings contract vacuous for routed
     * keys (both runs executed at the context default).
     */
-  private def isolatedClone(s0: SparkSession): SparkSession = {
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions",
-      s0.conf.get("spark.sql.shuffle.partitions"))
-    s
-  }
+  private def isolatedClone(s0: SparkSession): SparkSession =
+    graft.Sessions.isolatedClone(s0)
 
   private def mvRoute(s0: SparkSession, dir: String): DataFrame = {
     // isolate the installed optimizer rule from the caller's session:

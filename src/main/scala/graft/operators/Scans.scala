@@ -431,6 +431,78 @@ object Scans {
     perProbe.reduce(_ unionByName _).orderBy(col("probe"))
   }
 
+  /** Stage the doc_id-clustered documents layout WITH a durable token
+    * bloom index (`_TEXTIDX` manifest next to the data — the restart-
+    * surviving form a real skip-index has), register it with
+    * [[graft.plans.TextIndexRouting]], and enable routing on `s`.
+    * Idempotent per sfDir: the layout+index build runs once behind the
+    * staged marker; registration re-reads the manifest each JVM
+    * (O(files × bits) control-plane text). Returns the layout root.
+    */
+  private[graft] def ensureTextIndex(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val sf = new java.io.File(dir).getName
+    val root = s"${graft.Scratch.versionedRoot("textidx", dir)}/docs_$sf"
+    val bits = 256
+    graft.Scratch.staged(root) {
+      Tables.documents(s, dir)
+        .repartitionByRange(8, col("doc_id")) // the log-table ingest layout
+        .write.mode("overwrite").parquet(root)
+      // per-file bloom-position sets, ONE aggregate over the corpus
+      // (tokenbf k=2 hash family), persisted as the durable index
+      def positions(tok: Column): Column = array(
+        pmod(xxhash64(tok), lit(bits)), pmod(xxhash64(tok, lit(1)), lit(bits)))
+      val entries = s.read.parquet(root)
+        .select(input_file_name().as("file"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("file"), explode(positions(col("tok"))).as("pos"))
+        .groupBy(col("file"))
+        .agg(sort_array(collect_set(col("pos"))).as("bloom"))
+        .as[(String, Seq[Long])].collect() // O(files × bits) metadata
+      graft.Scratch.atomicPublish(
+        java.nio.file.Paths.get(s"$root/_TEXTIDX"),
+        entries.sortBy(_._1).map { case (f, bloom) =>
+          s"$f\u0001${bloom.mkString(",")}" }.mkString("\n"))
+    }
+    val blooms = graft.Scratch.readManifest(s"$root/_TEXTIDX").linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val a = l.split('\u0001')
+        graft.plans.TextIndexRouting.normFile(a(0)) ->
+          (if (a.length < 2 || a(1).isEmpty) Set.empty[Long]
+           else a(1).split(',').map(_.toLong).toSet)
+      }.toMap
+    graft.plans.TextIndexRouting.register(graft.plans.TextIndexRouting
+      .TextIndexDef(root, "text", bits, blooms))
+    graft.plans.TextIndexRouting.enable(s)
+    root
+  }
+
+  /** The ROUTED form of scan_text_index (r10 verdict missing #2): the
+    * query is a plain `filter(array_contains(split(text, ' '), tok))`
+    * over the indexed path — no index plumbing in the query at all —
+    * and the [[graft.plans.RouteTokenFilterToIndex]] rule prunes the
+    * scan to bloom-admitted files transparently. Three probe classes:
+    * 'dup'/'spark' present (the ~30-word corpus vocabulary puts them in
+    * every file — admitted everywhere, full scan, zero false
+    * negatives), 'quantum' absent (admitted nowhere — the plan opens NO
+    * file; PlanShapeSpec asserts a LocalRelation). The original filter
+    * stays above the pruned scan, so bloom precision never affects
+    * values — the oracle proves it.
+    */
+  private def scanTextIndexRouted(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation
+    val root = ensureTextIndex(s, dir)
+    def probe(tok: String): DataFrame =
+      s.read.parquet(root)
+        .filter(array_contains(split(col("text"), " "), tok))
+        .agg(count(lit(1)).as("n_matched"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(tok).as("probe"), col("n_matched"), col("sum_chars"))
+    Seq("dup", "spark", "quantum").map(probe)
+      .reduce(_ unionByName _).orderBy(col("probe"))
+  }
+
   /** Manifest-level FILE skipping — the lakehouse table-format mechanic
     * (Iceberg/Delta manifests) one level above scan_bloom_index's
     * row-group pruning: the clustered write is paired with a manifest
@@ -1921,6 +1993,16 @@ object Scans {
                 n_days, 0, 0 FROM t
               ORDER BY mutation_id""")),
     QueryDef("scan_text_index", scanTextIndex,
+      Some("""WITH p AS (SELECT 'dup' AS probe UNION ALL
+                SELECT 'spark' UNION ALL SELECT 'quantum')
+              SELECT probe, COUNT(doc_id) AS n_matched,
+                CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+              FROM p LEFT JOIN documents
+                ON list_contains(string_split(text, ' '), probe)
+              GROUP BY probe ORDER BY probe""")),
+    // same oracle as scan_text_index: routing is value-invisible (the
+    // full filter stays above the pruned scan), only the plan changes
+    QueryDef("scan_text_index_routed", scanTextIndexRouted,
       Some("""WITH p AS (SELECT 'dup' AS probe UNION ALL
                 SELECT 'spark' UNION ALL SELECT 'quantum')
               SELECT probe, COUNT(doc_id) AS n_matched,

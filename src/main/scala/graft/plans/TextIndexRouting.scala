@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayContains, AttributeReference, Expression, Literal, StringSplit, XxHash64}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** TRANSPARENT token skip-index routing — the rule form of the
+  * `scan_text_index` operator (ClickHouse `tokenbf_v1` semantics): a
+  * per-file token-bloom index registered against a table path, and an
+  * optimizer rule that recognizes a token-membership predicate
+  * (`array_contains(split(textCol, ' '), 'tok')`) over the indexed scan
+  * and rewrites the scan to open ONLY the files whose bloom admits the
+  * token. The query text never changes; the ORIGINAL filter stays above
+  * the pruned scan, so correctness never depends on bloom precision —
+  * only the amount of pruning does (bloom false positives admit extra
+  * files; false negatives are impossible for an indexed file).
+  *
+  * Soundness rules:
+  *   - only the exact token-membership shape routes. A substring LIKE
+  *     (`text LIKE '%tok%'`) is NOT routed: the bloom indexes whole
+  *     tokens, and a substring can match inside a longer token the
+  *     bloom never saw — pruning on it would drop matching files
+  *     (ClickHouse's tokenbf has the same constraint and only serves
+  *     LIKE when the pattern contains delimiter-bounded tokens).
+  *   - a file absent from the index (written after the index build) is
+  *     ALWAYS admitted — unindexed parts are read, never skipped.
+  *   - zero admitted files rewrites to an empty LocalRelation over the
+  *     SAME output attributes (no file opened at all — the fast path).
+  *   - admitted == all files leaves the plan untouched (no churn).
+  *
+  * Scale notes: the index is O(files × bits) control-plane metadata
+  * (the scan_manifest_skip class), built in ONE distributed aggregate
+  * and persisted next to the layout; the rewrite is O(plan) + an
+  * O(admitted) footer listing. At 10⁶ files a probe for a rare token
+  * opens the handful of files that contain it instead of listing the
+  * lake.
+  */
+object TextIndexRouting {
+
+  /** @param basePath table path (as passed to spark.read.parquet)
+    * @param textCol  indexed text column (whitespace-tokenized)
+    * @param bits     bloom width (positions are pmod(xxhash64, bits))
+    * @param blooms   file URI → admitted bloom positions
+    */
+  case class TextIndexDef(basePath: String, textCol: String, bits: Int,
+      blooms: Map[String, Set[Long]])
+
+  private val registry = new PathRegistry[TextIndexDef]
+
+  def register(d: TextIndexDef): Unit = registry.put(d.basePath, d)
+
+  def forPath(p: String): Option[TextIndexDef] = registry.forPath(p)
+
+  /** Per-session activation flag (the MvRouting.EnabledKey pattern):
+    * the registry is JVM-global and the installed rule rides the whole
+    * session, so routing must be an explicit per-session opt-in or plan
+    * shapes become run-order-dependent across suites.
+    */
+  private[graft] val EnabledKey = "spark.graft.textindex.routing.enabled"
+
+  def enable(s: SparkSession): Unit = {
+    s.conf.set(EnabledKey, "true")
+    val cur = s.experimental.extraOptimizations
+    if (!cur.contains(RouteTokenFilterToIndex))
+      s.experimental.extraOptimizations = cur :+ RouteTokenFilterToIndex
+  }
+
+  /** Opt the session back out; shared-session tests must call this in a
+    * finally (see MvRouting.disable).
+    */
+  def disable(s: SparkSession): Unit = s.conf.set(EnabledKey, "false")
+
+  /** Canonical file key: `input_file_name()` (index build) renders
+    * `file:///p` while `FileIndex.inputFiles` (rule time) renders
+    * `file:/p` — both normalize to the bare path, or pass through
+    * verbatim when not URI-parseable. A mismatch here would silently
+    * mark every file "unindexed" (admitted always) and turn the rule
+    * into a no-op — the partial-admission ScalaTest catches that.
+    */
+  private[graft] def normFile(p: String): String =
+    try {
+      val q = new java.net.URI(p).getPath
+      if (q == null || q.isEmpty) p else q
+    } catch { case scala.util.control.NonFatal(_) => p }
+
+  /** The probe token's bloom positions, computed through the SAME
+    * catalyst expressions the index build ran in codegen
+    * (xxhash64(tok) and xxhash64(tok, 1), pmod to the bloom width) — a
+    * driver-side hash reimplementation could silently drift from the
+    * engine's and turn pruning into row loss.
+    */
+  private[graft] def tokenPositions(tok: String, bits: Int): Seq[Long] = {
+    val t = Literal(UTF8String.fromString(tok), StringType)
+    Seq(
+      XxHash64(Seq(t), 42L).eval(null).asInstanceOf[Long],
+      XxHash64(Seq(t, Literal(1)), 42L).eval(null).asInstanceOf[Long])
+      .map(h => ((h % bits) + bits) % bits)
+  }
+}
+
+object RouteTokenFilterToIndex extends Rule[LogicalPlan] {
+  import TextIndexRouting._
+
+  /** The registered base relation under the Filter, tolerating one
+    * column-pruning Project (the ProjectionRouting pattern).
+    */
+  private def baseRel(p: LogicalPlan)
+      : Option[(LogicalRelation, HadoopFsRelation, TextIndexDef)] = {
+    def of(l: LogicalRelation) = l.relation match {
+      // EXACTLY one root path: a multi-root scan only partially
+      // overlaps the index — pruning it wholesale could drop rows
+      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+        forPath(fs.location.rootPaths.head.toString).map(d => (l, fs, d))
+      case _ => None
+    }
+    p match {
+      case l: LogicalRelation => of(l)
+      case Project(projList, l: LogicalRelation)
+          if projList.forall(_.isInstanceOf[AttributeReference]) => of(l)
+      case _ => None
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The routable token-membership conjunct:
+    * `array_contains(split(textCol, ' ', -1), 'literal-token')` with the
+    * single-space separator the index build tokenized on. Anything else
+    * (regex separators, column probes, LIKE) never routes.
+    */
+  private def tokenProbe(c: Expression, textCol: String): Option[String] =
+    c match {
+      case ArrayContains(
+          StringSplit(a: AttributeReference,
+            Literal(sep: UTF8String, StringType),
+            Literal(-1, IntegerType)),
+          Literal(tok: UTF8String, StringType))
+          if a.name == textCol && sep.toString == " " && tok != null =>
+        Some(tok.toString)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(TextIndexRouting.EnabledKey, "false") != "true")
+      return plan
+    applyRouting(plan)
+  }
+
+  private def applyRouting(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) if cond.deterministic =>
+      baseRel(child) match {
+        case Some((rel, fs, d)) =>
+          val toks =
+            conjuncts(cond).flatMap(tokenProbe(_, d.textCol)).distinct
+          if (toks.isEmpty) f
+          else {
+            val files = fs.location.inputFiles.toSeq
+            // EVERY routable conjunct prunes (AND semantics); a file
+            // missing from the index is admitted unconditionally
+            val admitted = files.filter { file =>
+              d.blooms.get(normFile(file)).forall(bloom =>
+                toks.forall(t =>
+                  tokenPositions(t, d.bits).forall(bloom.contains)))
+            }
+            if (admitted.length == files.length) f // nothing to prune
+            else if (admitted.isEmpty)
+              // no file can contain the token: nothing is opened at
+              // all. SAME output attributes, so the Filter above (kept
+              // for uniformity) and everything else resolve unchanged.
+              Filter(cond, LocalRelation(rel.output))
+            else {
+              // pruned scan of the admitted files only; original
+              // exprIds restored by aliasing (ProjectionRouting
+              // pattern), and the FULL original filter stays above —
+              // bloom false positives cost I/O, never correctness
+              val pruned = SparkSession.active.read
+                .parquet(admitted: _*).queryExecution.analyzed
+              val prunedAttr = pruned.output
+                .map(a => a.name -> a.asInstanceOf[AttributeReference])
+                .toMap
+              if (rel.output.forall(a => prunedAttr.get(a.name)
+                  .exists(_.dataType == a.dataType))) {
+                val restore = Project(rel.output.map(a =>
+                  Alias(prunedAttr(a.name), a.name)(exprId = a.exprId)),
+                  pruned)
+                val newChild = child match {
+                  case Project(projList, _) => Project(projList, restore)
+                  case _ => restore
+                }
+                Filter(cond, newChild)
+              } else f
+            }
+          }
+        case _ => f
+      }
+  }
+}

@@ -60,7 +60,15 @@ class DeterminismSpec extends GraftSpec {
     "mv_route_filtered",
     // per-part type resolution: two unioned scan tiers whose long sums
     // must agree regardless of which partitioning merged them
-    "mutation_modify_column")
+    "mutation_modify_column",
+    // round-11 wave: the routed min/max/avg — Average's decimal divide
+    // tree reconstructed over MV partials must be partitioning-stable,
+    // and min-of-mins/max-of-maxes exact under any re-aggregation order
+    "mv_route_minmax",
+    // transparent token-index pruning: the admitted-file scan (and the
+    // empty-relation fast path) must return identical rows under two
+    // partitionings of the index build's collect_set aggregate
+    "scan_text_index_routed")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()

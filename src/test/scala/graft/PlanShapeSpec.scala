@@ -421,6 +421,92 @@ class PlanShapeSpec extends GraftSpec {
       "routed min/max/avg diverged from the base-table plan")
   }
 
+  test("scan_text_index_routed: absent-token probe arm opens no file") {
+    val df = SparkEntry.queries("scan_text_index_routed")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the 'quantum' arm (token absent from the corpus) must be rewritten
+    // to an empty LocalRelation — zero files opened, the fast path
+    assert(p.contains("LocalTableScan"),
+      s"absent-token arm not pruned to an empty relation:\n${p.take(1200)}")
+    // the present-token arms still scan the indexed layout (30-word
+    // vocabulary → every token in every file → no partial pruning here;
+    // the partial-admission case is covered by the controlled-layout
+    // test below)
+    assert(p.contains("docs_"), "present-token arms must scan the layout")
+  }
+
+  test("token skip-index: pruned files never appear in the scan") {
+    import graft.plans.TextIndexRouting
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val s = graft.Sessions.isolatedClone(spark) // rule isolation
+    val root = s"${graft.Scratch.dir("textidxpart")}/t"
+    // 4 single-row files with DISJOINT vocabularies (append one at a
+    // time — the only layout where token pruning is observable; the
+    // shared documents corpus puts every token in every file)
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma delta"),
+      (3L, "epsilon zeta"), (4L, "eta theta eta"))
+    docs.foreach { case (id, t) =>
+      Seq((id, t)).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(root)
+    }
+    val bits = 256
+    // index build: the SAME engine expressions ensureTextIndex runs
+    def positions(tok: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.array(
+        pmod(org.apache.spark.sql.functions.xxhash64(tok), lit(bits)),
+        pmod(org.apache.spark.sql.functions.xxhash64(tok, lit(1)), lit(bits)))
+    val blooms = s.read.parquet(root)
+      .select(org.apache.spark.sql.functions.input_file_name().as("file"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+      .select(col("file"), org.apache.spark.sql.functions.explode(
+        positions(col("tok"))).as("pos"))
+      .groupBy(col("file"))
+      .agg(org.apache.spark.sql.functions.collect_set(col("pos")).as("bloom"))
+      .as[(String, Seq[Long])].collect()
+      .map { case (f, b) => TextIndexRouting.normFile(f) -> b.toSet }.toMap
+    assert(blooms.size == 4, s"expected 4 files, got ${blooms.keySet}")
+    TextIndexRouting.register(
+      TextIndexRouting.TextIndexDef(root, "text", bits, blooms))
+    TextIndexRouting.enable(s)
+    // PARTIAL admission: 'gamma' lives in one file — the rewritten scan
+    // must read exactly the bloom-admitted files, never a pruned one
+    val q = s.read.parquet(root)
+      .filter(org.apache.spark.sql.functions.array_contains(
+        org.apache.spark.sql.functions.split(col("text"), " "), "gamma"))
+    val scanned = q.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.flatMap(_.relation.location.inputFiles)
+      .map(TextIndexRouting.normFile).toSet
+    val gammaPos = TextIndexRouting.tokenPositions("gamma", bits)
+    val expected = blooms.collect {
+      case (f, b) if gammaPos.forall(b.contains) => f
+    }.toSet
+    assert(expected.nonEmpty && expected.size < 4,
+      s"fixture degenerate: gamma admitted ${expected.size} of 4 files")
+    assert(scanned == expected,
+      s"scan file list $scanned != bloom-admitted $expected")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "routed scan must still return exactly the matching row")
+    // absent token: no file admitted → empty LocalRelation, no scan
+    val none = s.read.parquet(root)
+      .filter(org.apache.spark.sql.functions.array_contains(
+        org.apache.spark.sql.functions.split(col("text"), " "), "omega"))
+    val nonePlan = none.queryExecution.executedPlan
+    assert(nonePlan.collect { case f: FileSourceScanExec => f }.isEmpty,
+      s"absent token must open no file:\n${nonePlan.toString.take(600)}")
+    assert(none.count() == 0)
+    // a substring LIKE must NOT route (bloom indexes whole tokens; a
+    // substring can hide inside a longer token the bloom never saw)
+    val like = s.read.parquet(root).filter(col("text").contains("amm"))
+    assert(like.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.flatMap(_.relation.location.inputFiles).length == 4,
+      "LIKE/contains predicates must stay unrouted (full scan)")
+    assert(like.count() == 1, "substring match must survive (row 2: gamma)")
+  }
+
   test("scan_bloom_index pushes the point lookup into the parquet scan") {
     val p = plan("scan_bloom_index")
     val scanLine = p.linesIterator
