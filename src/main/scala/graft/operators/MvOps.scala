@@ -39,6 +39,12 @@ object MvOps {
     */
   private[graft] def stageMv(s: SparkSession, dir: String): Unit = {
     val path = mvPath(dir)
+    // the pre-r11 narrow-schema MV lives as a SIBLING subdir inside the
+    // same fingerprint-versioned root, which the supersession GC only
+    // sweeps on a fixture change — reap it here or it leaks on shared
+    // tmp until the next testdata drop (the no-accumulation charter)
+    graft.Scratch.deleteRecursively(new java.io.File(
+      s"${new java.io.File(path).getParent}/lineitem_rfls_${new java.io.File(dir).getName}"))
     graft.Scratch.staged(path) {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -80,24 +86,12 @@ object MvOps {
   /** A plain base-table aggregate on a grouping SUBSET of the MV — the
     * rule must route it to the MV and re-aggregate the decimal partials.
     */
-  /** The rule-isolation clone both routed keys run under: a fresh
-    * session (so the installed optimizer rule never contaminates the
-    * caller — the conf-tweaking-joins convention) that INHERITS the
-    * caller's runtime shuffle partitioning. newSession() rebuilds
-    * SQLConf from the SparkContext conf, silently discarding a
-    * runtime-set spark.sql.shuffle.partitions — which made
-    * DeterminismSpec's two-partitionings contract vacuous for routed
-    * keys (both runs executed at the context default).
-    */
-  private def isolatedClone(s0: SparkSession): SparkSession =
-    graft.Sessions.isolatedClone(s0)
-
   private def mvRoute(s0: SparkSession, dir: String): DataFrame = {
     // isolate the installed optimizer rule from the caller's session:
     // left on s0, it would transparently re-target every later matching
     // lineitem aggregate in the suite at the MV (run-order-dependent
     // plans) — the same reason the conf-tweaking joins use clones
-    val s = isolatedClone(s0)
+    val s = graft.Sessions.isolatedClone(s0)
     ensureMv(s, dir)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -120,7 +114,7 @@ object MvOps {
     * previously a full fact scan.
     */
   private def mvRouteFiltered(s0: SparkSession, dir: String): DataFrame = {
-    val s = isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
     ensureMv(s, dir)
     Tables.lineitem(s, dir)
       .filter(col("l_linestatus") === "F")
@@ -145,7 +139,7 @@ object MvOps {
     * it scans O(groups) MV rows instead of the fact table.
     */
   private def mvRouteMinmax(s0: SparkSession, dir: String): DataFrame = {
-    val s = isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
     ensureMv(s, dir)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))

@@ -436,9 +436,14 @@ object Scans {
     * surviving form a real skip-index has), register it with
     * [[graft.plans.TextIndexRouting]], and enable routing on `s`.
     * Idempotent per sfDir: the layout+index build runs once behind the
-    * staged marker; registration re-reads the manifest each JVM
-    * (O(files × bits) control-plane text). Returns the layout root.
+    * staged marker, and the manifest parse + registration runs once per
+    * (JVM, root) behind a memo — re-parsing O(files × bits) text per
+    * QUERY would be a million-line read per plan at the file scale the
+    * index exists for. Returns the layout root.
     */
+  private val textIndexRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def ensureTextIndex(s: SparkSession, dir: String): String = {
     import s.implicits._
     val sf = new java.io.File(dir).getName
@@ -465,16 +470,18 @@ object Scans {
         entries.sortBy(_._1).map { case (f, bloom) =>
           s"$f\u0001${bloom.mkString(",")}" }.mkString("\n"))
     }
-    val blooms = graft.Scratch.readManifest(s"$root/_TEXTIDX").linesIterator
-      .filter(_.nonEmpty).map { l =>
-        val a = l.split('\u0001')
-        graft.plans.TextIndexRouting.normFile(a(0)) ->
-          (if (a.length < 2 || a(1).isEmpty) Set.empty[Long]
-           else a(1).split(',').map(_.toLong).toSet)
-      }.toMap
-    graft.plans.TextIndexRouting.register(graft.plans.TextIndexRouting
-      .TextIndexDef(root, "text", bits, blooms))
-    graft.plans.TextIndexRouting.enable(s)
+    if (textIndexRegistered.add(root)) {
+      val blooms = graft.Scratch.readManifest(s"$root/_TEXTIDX").linesIterator
+        .filter(_.nonEmpty).map { l =>
+          val a = l.split('\u0001')
+          graft.plans.TextIndexRouting.normFile(a(0)) ->
+            (if (a.length < 2 || a(1).isEmpty) Set.empty[Long]
+             else a(1).split(',').map(_.toLong).toSet)
+        }.toMap
+      graft.plans.TextIndexRouting.register(graft.plans.TextIndexRouting
+        .TextIndexDef(root, "text", bits, blooms))
+    }
+    graft.plans.TextIndexRouting.enable(s) // per-session, never memoized
     root
   }
 

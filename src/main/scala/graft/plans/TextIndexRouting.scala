@@ -142,7 +142,12 @@ object RouteTokenFilterToIndex extends Rule[LogicalPlan] {
             Literal(sep: UTF8String, StringType),
             Literal(-1, IntegerType)),
           Literal(tok: UTF8String, StringType))
-          if a.name == textCol && sep.toString == " " && tok != null =>
+          // tok must be NON-EMPTY: the index build excludes empty
+          // tokens, but split(text, ' ', -1) keeps them (double/
+          // leading/trailing spaces), so routing a '' probe would prune
+          // to an empty relation and drop genuinely matching rows
+          if a.name == textCol && sep.toString == " " && tok != null &&
+            tok.toString.nonEmpty =>
         Some(tok.toString)
       case _ => None
     }
@@ -162,12 +167,16 @@ object RouteTokenFilterToIndex extends Rule[LogicalPlan] {
           if (toks.isEmpty) f
           else {
             val files = fs.location.inputFiles.toSeq
+            // probe positions hoisted OUT of the per-file loop: evaling
+            // catalyst hashes per (file, token) would make the rewrite
+            // O(files × tokens) driver work at the 10⁶-file scale this
+            // index exists for
+            val probePos = toks.map(tokenPositions(_, d.bits))
             // EVERY routable conjunct prunes (AND semantics); a file
             // missing from the index is admitted unconditionally
             val admitted = files.filter { file =>
               d.blooms.get(normFile(file)).forall(bloom =>
-                toks.forall(t =>
-                  tokenPositions(t, d.bits).forall(bloom.contains)))
+                probePos.forall(_.forall(bloom.contains)))
             }
             if (admitted.length == files.length) f // nothing to prune
             else if (admitted.isEmpty)

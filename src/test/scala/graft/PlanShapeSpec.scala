@@ -391,13 +391,23 @@ class PlanShapeSpec extends GraftSpec {
       s"routed query must not also scan the fact table:\n${p.take(800)}")
     // fixture invariant the mv_route_minmax oracle's integer-unit avg
     // reconstruction rests on: l_quantity is integral (the half-up
-    // 1e-10-unit quotient is only exact for integer sums)
-    val fracQty = Tables.lineitem(spark, sf)
-      .filter(col("l_quantity") =!=
-        org.apache.spark.sql.functions.floor(col("l_quantity")))
-      .count()
-    assert(fracQty == 0L,
-      s"$fracQty fractional l_quantity rows — the integer-unit avg oracle is invalid")
+    // 1e-10-unit quotient is only exact for integer sums). Checked at
+    // EVERY staged SF, not just the test's: the oracle compares at
+    // sf0.01 and bench runs sf0.1 — a drop fractional only there would
+    // otherwise surface as an opaque hash mismatch instead of this
+    // named failure
+    val testdataRoot = new java.io.File(sf).getParentFile
+    Option(testdataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, "lineitem.parquet").exists())
+      .foreach { d =>
+        val fracQty = Tables.lineitem(spark, d.getPath)
+          .filter(col("l_quantity") =!=
+            org.apache.spark.sql.functions.floor(col("l_quantity")))
+          .count()
+        assert(fracQty == 0L, s"$fracQty fractional l_quantity rows in " +
+          s"${d.getName} — the integer-unit avg oracle is invalid")
+      }
     // the Average reconstruction must be BIT-identical to the unrouted
     // plan (Average's own DecimalDivideWithOverflowCheck tree fed the
     // routed sum/count) — independent of the DuckDB oracle
