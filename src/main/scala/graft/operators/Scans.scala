@@ -613,7 +613,9 @@ object Scans {
         when(col("day") < lit(cutoff), "rolled").otherwise("raw"))
       .select(col("day"), col("tier"), col("n_stored"), col("n_logical"),
         col("sum_value"))
-      .orderBy(col("day"))
+      // NULLS LAST pinned (divergence class 13): a null-day partition
+      // (null-ts rows) groups as a raw-tier NULL row on both engines
+      .orderBy(col("day").asc_nulls_last)
   }
 
   /** Column-level TTL (ClickHouse `col TTL ts + INTERVAL 14 DAY`): the
@@ -652,7 +654,7 @@ object Scans {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_live"),
         Det.dsum(coalesce(col("value"), lit(0.0))).as("sum_value"))
-      .orderBy(col("day"))
+      .orderBy(col("day").asc_nulls_last) // class-13 pin (null-day group)
   }
 
   /** ClickHouse `ALTER TABLE ... DETACH / ATTACH PARTITION` — the
@@ -711,7 +713,9 @@ object Scans {
         when(col("day") === lit(reDay), "reattached")
           .when(coalesce(col("n_detached"), lit(0L)) > 0, "detached")
           .otherwise("active").as("state"))
-      .orderBy(col("day"))
+      // class-13 pin: a null-day partition is never detached (dayDirs
+      // skips it) and must sort LAST on both engines
+      .orderBy(col("day").asc_nulls_last)
   }
 
   /** ClickHouse TTL `MOVE TO VOLUME` (storage policies) — age-tiered
@@ -749,7 +753,9 @@ object Scans {
     hotDf.unionByName(coldDf)
       .groupBy(col("day"), col("tier"))
       .agg(count(lit(1)).as("n_rows"))
-      .orderBy(col("day"))
+      // class-13 pin: the null-day partition never ages (no date to
+      // compare) — it stays hot and must sort LAST on both engines
+      .orderBy(col("day").asc_nulls_last)
   }
 
   /** ClickHouse `ALTER TABLE ... RENAME COLUMN` — the METADATA-ONLY
@@ -1146,7 +1152,10 @@ object Scans {
     s.read.parquet(root)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-      .orderBy(col("day"))
+      // class-13 pin; null-day clicks SURVIVE the delete (the predicate
+      // is UNKNOWN for them — SQL DELETE only removes WHERE true), and
+      // the oracle keeps them through the day IS NULL escape
+      .orderBy(col("day").asc_nulls_last)
   }
 
   /** `ALTER TABLE events UPDATE value = value + 10 WHERE day >= cut AND
@@ -1170,7 +1179,7 @@ object Scans {
       .agg(count(lit(1)).as("n"),
         count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
         Det.dsum(col("value")).as("sum_value"))
-      .orderBy(col("day"))
+      .orderBy(col("day").asc_nulls_last) // class-13 pin (null-day group)
   }
 
   /** ClickHouse LIGHTWEIGHT DELETE (`DELETE FROM ... WHERE`, the
@@ -1222,7 +1231,9 @@ object Scans {
     val after = compacted.orderBy(col("day")).collect().toSeq
     require(masked == after,
       s"mask-on-read and compacted state diverged: $masked vs $after")
-    compacted.orderBy(col("day"))
+    // class-13 pin; null-day 'view' rows never enter the mask (the
+    // day >= cut predicate is UNKNOWN), matching the oracle's escape
+    compacted.orderBy(col("day").asc_nulls_last)
   }
 
   /** ClickHouse `ALTER TABLE ... MATERIALIZE COLUMN ... IN PARTITION`:
@@ -1402,7 +1413,8 @@ object Scans {
     val stats = s.read.parquet(root)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
-      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .collect().map(r => (Option(r.getDate(0)).map(_.toString).orNull,
+        r.getLong(1), r.getLong(2)))
     val dirty = stats.collect { case (d, n, nd) if n != nd => d }.toSet
     mutatePartitions(s, root, "day", dirty.contains, _.dropDuplicates(),
       "OPTIMIZE TABLE t DEDUPLICATE")
@@ -1411,10 +1423,13 @@ object Scans {
     s.read.parquet(root)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-      .join(before, col("day").cast("string") === col("day_str"))
+      // <=>: a null-day group (null-ts rows, never duplicated by the
+      // day >= cut replay) must keep its before-count row instead of
+      // being dropped by a null-blind equi-join
+      .join(before, col("day").cast("string") <=> col("day_str"))
       .select(col("day"), col("n"), (col("n_before") - col("n")).as("n_removed"),
         col("sum_value"))
-      .orderBy(col("day"))
+      .orderBy(col("day").asc_nulls_last) // class-13 pin
   }
 
   /** ClickHouse `insert_deduplicate` (the Replicated-table insert-retry
@@ -1521,9 +1536,17 @@ object Scans {
     def agg(path: String, nCol: String, sumCol: String): DataFrame =
       s.read.parquet(path).groupBy(col("day"))
         .agg(count(lit(1)).as(nCol), Det.dsum(col("value")).as(sumCol))
+    // NULL-SAFE join (<=> / IS NOT DISTINCT FROM in the oracle): a
+    // null-day partition (null-ts rows) groups as a NULL key on both
+    // sides — a plain equi-join would silently drop that day from the
+    // frozen-vs-live comparison, hiding exactly the kind of divergence
+    // the freeze exists to audit
+    val live = agg(root, "n_live", "sum_live")
+      .withColumnRenamed("day", "day_live")
     agg(shadow, "n_frozen", "sum_frozen")
-      .join(agg(root, "n_live", "sum_live"), Seq("day"))
-      .orderBy(col("day"))
+      .join(live, col("day") <=> col("day_live"))
+      .drop("day_live")
+      .orderBy(col("day").asc_nulls_last) // class-13 pin
   }
 
   /** The ClickHouse `Distributed`-engine READ TOPOLOGY end-to-end
@@ -1590,8 +1613,11 @@ object Scans {
     val files = graft.Scratch.listPartitionDirs(root, "day=")
       .map { d =>
         // listFiles returns NULL (not empty) for an unlistable dir —
-        // the partFileShas rule; count 0 parts instead of NPE'ing
-        (d.getName.drop(4),
+        // the partFileShas rule; count 0 parts instead of NPE'ing.
+        // The null-day dir maps to a NULL day string so the null-safe
+        // join below matches it to the data's NULL-day group.
+        val name = d.getName.drop(4)
+        (if (name == "__HIVE_DEFAULT_PARTITION__") null else name,
           Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
             .count(_.getName.endsWith(".parquet")).toLong)
       }.toSeq
@@ -1602,10 +1628,10 @@ object Scans {
       .agg(count(lit(1)).as("n_rows"),
         min(col("event_id")).as("min_key"), max(col("event_id")).as("max_key"),
         Det.dsum(col("value")).as("sum_value"))
-      .join(fdf, col("day").cast("string") === col("day_str"))
+      .join(fdf, col("day").cast("string") <=> col("day_str"))
       .select(col("day"), col("n_parts"), col("n_rows"), col("min_key"),
         col("max_key"), col("sum_value"))
-      .orderBy(col("day"))
+      .orderBy(col("day").asc_nulls_last) // class-13 pin (null-day part)
   }
 
   /** `system.mutations` — the pending/applied mutation LEDGER view, the
@@ -1911,30 +1937,36 @@ object Scans {
                  value FROM events),
                m AS (SELECT max(day) - 14 AS cut FROM e)
               SELECT day, COUNT(*) AS n_rows,
-                COUNT(CASE WHEN day >= cut THEN value END) AS n_live,
-                ${Det.oSum("CASE WHEN day >= cut THEN value ELSE 0 END")}
+                COUNT(CASE WHEN day >= cut OR day IS NULL THEN value END)
+                  AS n_live,
+                ${Det.oSum(
+                  "CASE WHEN day >= cut OR day IS NULL THEN value ELSE 0 END")}
                   AS sum_value
-              FROM e, m GROUP BY day ORDER BY day""")),
+              FROM e, m GROUP BY day ORDER BY day NULLS LAST""")),
     QueryDef("mutation_delete_where", mutationDeleteWhere,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_type, value FROM events),
                m AS (SELECT max(day) - 7 AS cut FROM e)
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
-              FROM e, m WHERE NOT (day >= cut AND event_type = 'click')
-              GROUP BY day ORDER BY day""")),
+              FROM e, m
+              WHERE day IS NULL
+                 OR NOT (day >= cut AND event_type = 'click')
+              GROUP BY day ORDER BY day NULLS LAST""")),
     QueryDef("mutation_lightweight_delete", mutationLightweightDelete,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_type, value FROM events),
                m AS (SELECT max(day) - 7 AS cut FROM e)
               SELECT day, COUNT(*) AS n, ${Det.oSum("value")} AS sum_value
-              FROM e, m WHERE NOT (day >= cut AND event_type = 'view')
-              GROUP BY day ORDER BY day""")),
+              FROM e, m
+              WHERE day IS NULL
+                 OR NOT (day >= cut AND event_type = 'view')
+              GROUP BY day ORDER BY day NULLS LAST""")),
     QueryDef("sink_detach_attach", sinkDetachAttach,
       Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
                 FROM events),
                d AS (SELECT day, COUNT(*) AS n FROM e GROUP BY day),
                r AS (SELECT day, n,
-                 ROW_NUMBER() OVER (ORDER BY day) AS rk,
+                 ROW_NUMBER() OVER (ORDER BY day NULLS LAST) AS rk,
                  LEAST(7, COUNT(*) OVER ()) AS k FROM d)
               SELECT day,
                 CASE WHEN rk BETWEEN 2 AND k THEN 0 ELSE n END AS n_visible,
@@ -1943,7 +1975,7 @@ object Scans {
                 CASE WHEN rk = 1 THEN 'reattached'
                      WHEN rk <= k THEN 'detached'
                      ELSE 'active' END AS state
-              FROM r ORDER BY day""")),
+              FROM r ORDER BY day NULLS LAST""")),
     QueryDef("sink_ttl_move", sinkTtlMove,
       Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
                 FROM events),
@@ -1951,7 +1983,7 @@ object Scans {
               SELECT day,
                 CASE WHEN day < cut THEN 'cold' ELSE 'hot' END AS tier,
                 COUNT(*) AS n_rows
-              FROM e, m GROUP BY day, cut ORDER BY day""")),
+              FROM e, m GROUP BY day, cut ORDER BY day NULLS LAST""")),
     QueryDef("mutation_rename_column", mutationRenameColumn,
       Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
                 ${Det.oSum("o_totalprice")} AS sum_amount,
@@ -2055,7 +2087,8 @@ object Scans {
                  FROM e, m WHERE NOT (day >= cut AND event_type = 'click')
                  GROUP BY day)
               SELECT f.day, n_frozen, sum_frozen, n_live, sum_live
-              FROM f JOIN l ON f.day = l.day ORDER BY f.day""")),
+              FROM f JOIN l ON f.day IS NOT DISTINCT FROM l.day
+              ORDER BY f.day NULLS LAST""")),
     QueryDef("optimize_deduplicate", optimizeDeduplicate,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_id, value FROM events),
@@ -2064,7 +2097,7 @@ object Scans {
                 COUNT(CASE WHEN day >= cut AND event_id % 5 = 0 THEN 1 END)
                   AS n_removed,
                 ${Det.oSum("value")} AS sum_value
-              FROM e, m GROUP BY day ORDER BY day""")),
+              FROM e, m GROUP BY day ORDER BY day NULLS LAST""")),
     QueryDef("meta_columns", metaColumns,
       Some("""WITH a AS (SELECT COUNT(*) AS n_rows,
                  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
@@ -2113,7 +2146,7 @@ object Scans {
               SELECT day, CAST(1 AS BIGINT) AS n_parts, COUNT(*) AS n_rows,
                 MIN(event_id) AS min_key, MAX(event_id) AS max_key,
                 ${Det.oSum("value")} AS sum_value
-              FROM e GROUP BY day ORDER BY day""")),
+              FROM e GROUP BY day ORDER BY day NULLS LAST""")),
     QueryDef("mutation_update_where", mutationUpdateWhere,
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                  event_type, value FROM events),
@@ -2123,7 +2156,7 @@ object Scans {
                   AS n_purchase,
                 ${Det.oSum("CASE WHEN day >= cut AND event_type = 'purchase' THEN value + 10.0 ELSE value END")}
                   AS sum_value
-              FROM e, m GROUP BY day ORDER BY day""")),
+              FROM e, m GROUP BY day ORDER BY day NULLS LAST""")),
     QueryDef("sink_zorder", sinkZorder,
       Some("""WITH k AS (SELECT l_orderkey % 65536 AS xk,
                  l_partkey % 65536 AS yk FROM lineitem),
@@ -2171,9 +2204,9 @@ object Scans {
                raw_tier AS (SELECT day, 'raw' AS tier,
                  COUNT(*) AS n_stored, COUNT(*) AS n_logical,
                  ${Det.oSum("value")} AS sum_value
-                 FROM e, m WHERE day >= cut GROUP BY day)
+                 FROM e, m WHERE day >= cut OR day IS NULL GROUP BY day)
               SELECT * FROM old_tier UNION ALL SELECT * FROM raw_tier
-              ORDER BY day""")),
+              ORDER BY day NULLS LAST""")),
     QueryDef("scan_sample", scanSample, None),
     QueryDef("src_numbers", srcNumbers,
       Some("""SELECT COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
