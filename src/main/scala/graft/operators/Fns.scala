@@ -109,7 +109,10 @@ object Fns {
         abs(col("l_quantity") - 25).as("qty_dev"),
         round(col("l_extendedprice"), 1).as("price_r1"),
         floor(col("l_extendedprice")).as("price_floor"),
-        ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+        // round to 6dp BEFORE ceil: 0.07*100 is 7.000000000000001 in
+        // IEEE double, so a bare ceil reports 8 for a 7% discount on
+        // BOTH engines — consistent but semantically wrong
+        ceil(round(col("l_discount") * 100, 6)).as("disc_pct_ceil"),
         (col("l_quantity") * col("l_quantity")).as("qty_sq"),
         round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
         round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
@@ -217,9 +220,10 @@ object Fns {
 
   /** Hash family (ClickHouse MD5/SHA256/sipHash-class surface): the
     * digests every dedup/bucketing path keys on, as codegen'd built-ins
-    * over customer names — md5 hex, sha256 hex, and the first 8 digest
-    * bytes reinterpreted as an unsigned-ish bucket id (the
-    * content-addressed shard key pattern). Map-side only.
+    * over customer names — md5 hex, sha256 hex, and the first 4 digest
+    * BYTES (8 hex chars — 16 would overflow conv's signed-long parse)
+    * reinterpreted as an unsigned-ish bucket id (the content-addressed
+    * shard key pattern). Map-side only.
     */
   private def fnHash(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -239,11 +243,21 @@ object Fns {
     * presentation sort; at corpus scale canonicalization feeds
     * dedup_exact_hash unchanged.
     */
-  private def fnUrl(s: SparkSession, dir: String): DataFrame = {
-    val url = concat(lit("https://WWW.Example"), col("doc_id") % 7,
+  /** ONE definition of the synthetic URL both URL operators parse —
+    * twinned spellings drift (the syntheticIp rule). fn_url takes the
+    * fragment suffix (it exercises QUERY/fragment cutting);
+    * fn_url_hierarchy takes the bare form.
+    */
+  private def syntheticUrl(withFragment: Boolean): Column = {
+    val base = concat(lit("https://WWW.Example"), col("doc_id") % 7,
       lit(".COM/"), col("source"), lit("/a"), col("doc_id"),
-      lit("?utm_source=feed&id="), col("doc_id"), lit("&ref=x#s"),
-      col("doc_id") % 3)
+      lit("?utm_source=feed&id="), col("doc_id"))
+    if (withFragment) concat(base, lit("&ref=x#s"), col("doc_id") % 3)
+    else base
+  }
+
+  private def fnUrl(s: SparkSession, dir: String): DataFrame = {
+    val url = syntheticUrl(withFragment = true)
     Tables.documents(s, dir)
       .select(col("doc_id"), url.as("url"))
       .select(
@@ -268,9 +282,7 @@ object Fns {
     * output O(rows × depth), no shuffle before the consumer's groupBy.
     */
   private def fnUrlHierarchy(s: SparkSession, dir: String): DataFrame = {
-    val url = concat(lit("https://WWW.Example"), col("doc_id") % 7,
-      lit(".COM/"), col("source"), lit("/a"), col("doc_id"),
-      lit("?utm_source=feed&id="), col("doc_id"))
+    val url = syntheticUrl(withFragment = false)
     Tables.documents(s, dir)
       .select(col("doc_id"), url.as("url"))
       .withColumn("host", parse_url(col("url"), lit("HOST")))
@@ -350,8 +362,10 @@ object Fns {
     * Arrays leave as canonical CSV strings (comparator hashes scalars).
     *
     * Scale notes: one partial-agg shuffle to assemble per-key arrays
-    * (bounded: ≤7 lines/order); the folds are map-side HOFs inside
-    * whole-stage codegen — no UDF, no reshuffles.
+    * (bounded: ≤17 lines/order measured at sf0.1 — the synthetic
+    * lineitem packs more lines per order than real TPC-H's 7); the
+    * folds are map-side HOFs inside whole-stage codegen — no UDF, no
+    * reshuffles.
     */
   private def fnArrayFold(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -738,6 +752,15 @@ object Fns {
     * pipeline; the encode→decode→containment chain is one codegen'd
     * stage, no shuffle beyond the presentation sort.
     */
+  // 180/2^15, its half-cell, 360/2^15, its half-cell — ONE definition
+  // interpolated into the Spark exprs and the oracle alike (the
+  // geohashCodeSql generated-once rule: 8 hand-copies of an 11-digit
+  // literal is a transcription hazard masquerading as engine divergence)
+  private val GhLatCell = "0.0054931640625"
+  private val GhLatHalf = "0.00274658203125"
+  private val GhLonCell = "0.010986328125"
+  private val GhLonHalf = "0.0054931640625"
+
   private def fnGeohashDecode(s: SparkSession, dir: String): DataFrame = {
     val ab = "'0123456789bcdefghjkmnpqrstuvwxyz'"
     val idx = (1 to 6).map(j => s"(instr($ab, substr(gh6, $j, 1)) - 1)")
@@ -747,15 +770,15 @@ object Fns {
       .withColumn("latq", expr(geohashDeinterleaveSql("code", 0)))
       .withColumn("lonq", expr(geohashDeinterleaveSql("code", 1)))
       .select(col("c_custkey"), col("gh6"),
-        expr("CAST(latq * 0.0054931640625 + 0.00274658203125 - 90.0" +
-          " AS DOUBLE)").as("dec_lat"),
-        expr("CAST(lonq * 0.010986328125 + 0.0054931640625 - 180.0" +
-          " AS DOUBLE)").as("dec_lon"),
-        expr("""CAST(abs(lat - latq * 0.0054931640625
-                - 0.00274658203125 + 90.0) <= 0.00274658203125 AS INT)""")
+        expr(s"CAST(latq * $GhLatCell + $GhLatHalf - 90.0 AS DOUBLE)")
+          .as("dec_lat"),
+        expr(s"CAST(lonq * $GhLonCell + $GhLonHalf - 180.0 AS DOUBLE)")
+          .as("dec_lon"),
+        expr(s"""CAST(abs(lat - latq * $GhLatCell
+                - $GhLatHalf + 90.0) <= $GhLatHalf AS INT)""")
           .as("lat_in_cell"),
-        expr("""CAST(abs(lon - lonq * 0.010986328125
-                - 0.0054931640625 + 180.0) <= 0.0054931640625 AS INT)""")
+        expr(s"""CAST(abs(lon - lonq * $GhLonCell
+                - $GhLonHalf + 180.0) <= $GhLonHalf AS INT)""")
           .as("lon_in_cell"))
       .orderBy(col("c_custkey"))
   }
@@ -1238,15 +1261,15 @@ object Fns {
                  ${geohashDeinterleaveSql("code", 0)} AS latq,
                  ${geohashDeinterleaveSql("code", 1)} AS lonq FROM d)
               SELECT c_custkey, gh6,
-                CAST(latq * 0.0054931640625 + 0.00274658203125 - 90.0
+                CAST(latq * $GhLatCell + $GhLatHalf - 90.0
                   AS DOUBLE) AS dec_lat,
-                CAST(lonq * 0.010986328125 + 0.0054931640625 - 180.0
+                CAST(lonq * $GhLonCell + $GhLonHalf - 180.0
                   AS DOUBLE) AS dec_lon,
-                CAST(abs(lat - latq * 0.0054931640625
-                  - 0.00274658203125 + 90.0) <= 0.00274658203125 AS INTEGER)
+                CAST(abs(lat - latq * $GhLatCell
+                  - $GhLatHalf + 90.0) <= $GhLatHalf AS INTEGER)
                   AS lat_in_cell,
-                CAST(abs(lon - lonq * 0.010986328125
-                  - 0.0054931640625 + 180.0) <= 0.0054931640625 AS INTEGER)
+                CAST(abs(lon - lonq * $GhLonCell
+                  - $GhLonHalf + 180.0) <= $GhLonHalf AS INTEGER)
                   AS lon_in_cell
               FROM z ORDER BY c_custkey""")
     }),
@@ -1405,7 +1428,8 @@ object Fns {
                abs(l_quantity - 25) AS qty_dev,
                round(l_extendedprice, 1) AS price_r1,
                CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-               CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+               CAST(ceil(round(l_discount * 100, 6)) AS BIGINT)
+                 AS disc_pct_ceil,
                l_quantity * l_quantity AS qty_sq,
                round(sqrt(l_extendedprice), 6) AS price_sqrt,
                round(ln(l_extendedprice + 1), 6) AS price_ln,
