@@ -33,11 +33,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ))
     ext.injectOptimizerRule(_ => CollapseRedundantRound)
     // the same rule/strategy set that operators install at runtime via
-    // experimental.* — extension-configured sessions get them statically
-    // (BOTH transparent-routing rules: registry-gated, so injecting them
-    // is inert until something registers)
+    // experimental.* — extension-configured sessions get them statically.
+    // ALL transparent rules ride along, each inert until its own gate
+    // opens: the three routing rules are SESSION-gated (their EnabledKey
+    // conf — registry-gating alone would arm every session on first
+    // registration) and the interval rewrite is conf-gated (bucketWidth
+    // unset ⇒ no-op).
     ext.injectOptimizerRule(_ => RouteAggregateToMv)
     ext.injectOptimizerRule(_ => RouteFilterToProjection)
+    ext.injectOptimizerRule(_ => RouteTokenFilterToIndex)
+    ext.injectOptimizerRule(_ => IntervalJoinRewrite)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

@@ -39,10 +39,30 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.intervalJoin.bucketWidth"
 
-  private def width: Long =
-    try SQLConf.get.getConfString(WidthConf, "0").toLong catch {
-      case _: NumberFormatException => 0L
+  /** Per-row bucket fan-out cap: the overlap-shape detector is
+    * syntactic (any pair of opposite-direction long inequalities), so a
+    * predicate whose "interval" spans a huge value range — or a genuine
+    * interval much longer than W — would explode each row into
+    * millions of buckets and OOM a query the naive plan completed.
+    * Rows past the cap raise a NAMED error pointing at the knobs
+    * instead of dying in an opaque allocation.
+    */
+  val MaxBucketsConf = "spark.graft.intervalJoin.maxBucketsPerRow"
+
+  private def confLong(key: String, dflt: Long): Long = {
+    val raw = SQLConf.get.getConfString(key, dflt.toString)
+    try raw.toLong catch {
+      // an EXPLICITLY set but unparseable value must fail loudly — the
+      // old coerce-to-0 silently disabled the rewrite, reverting every
+      // overlap join to the O(|A|·|B|) plan the knob exists to prevent
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be an integral value, got '$raw'")
     }
+  }
+
+  private def width: Long = confLong(WidthConf, 0L)
+  private def maxBuckets: Long = confLong(MaxBucketsConf, 4096L)
 
   /** Conjuncts of an expression tree of ANDs. */
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -81,18 +101,33 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] {
           } =>
         val (aS, aE, bS, bE) = overlapShape(cond, left, right).get
         val wLit = Literal(w)
+        val cap = maxBuckets
         def buckets(child: LogicalPlan, s: Expression, e: Expression,
             name: String): (LogicalPlan, Attribute) = {
           val attr = AttributeReference(name, LongType, nullable = false)()
+          val lo = IntegralDivide(s, wLit)
+          val hi = IntegralDivide(e, wLit)
           // timeZoneId set explicitly: ResolveTimeZone already ran (this
           // is the optimizer), and TimeZoneAwareExpression.resolved
           // requires it even for integral sequences
-          val seq = Sequence(IntegralDivide(s, wLit),
-            IntegralDivide(e, wLit), None,
+          val seq = Sequence(lo, hi, None,
             Some(SQLConf.get.sessionLocalTimeZone))
-          (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
-            qualifier = None, generatorOutput = Seq(attr), child = child),
-            attr)
+          // fan-out guard: a row spanning more than maxBuckets buckets
+          // fails with a named error (tune W up or the cap) rather than
+          // allocating a multi-GB per-row array. NULL-span rows (null
+          // endpoint) take the TRUE branch: the sequence is NULL and
+          // Explode drops the row — the pre-guard behavior, not an error
+          val guarded = If(
+            Coalesce(Seq(LessThanOrEqual(Subtract(hi, lo),
+              Literal(cap - 1)), Literal(true))),
+            seq,
+            Cast(RaiseError(Literal(
+              s"interval-join rewrite: a row spans more than $cap " +
+                s"buckets at $WidthConf=$w — raise the width or " +
+                s"$MaxBucketsConf")), seq.dataType))
+          (Generate(Explode(guarded), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(attr),
+            child = child), attr)
         }
         val (genL, bL) = buckets(left, aS, aE, "__graft_bucket_l")
         val (genR, bR) = buckets(right, bS, bE, "__graft_bucket_r")

@@ -7,8 +7,12 @@ package graft.plans
   */
 private[plans] final class PathRegistry[T] {
   private val m = new java.util.concurrent.ConcurrentHashMap[String, T]()
+  // URI-aware (TextIndexRouting.normFile): a bare stripPrefix("file:")
+  // maps file:///p to ///p but file:/p to /p — registration and lookup
+  // arrive in DIFFERENT renderings (DataFrameReader vs Hadoop Path), so
+  // the registry would silently miss and routing would never fire
   private def norm(p: String): String =
-    p.stripPrefix("file:").replaceAll("/+$", "")
+    TextIndexRouting.normFile(p).replaceAll("/+$", "")
   def put(basePath: String, d: T): Unit = { m.put(norm(basePath), d); () }
   def forPath(p: String): Option[T] = Option(m.get(norm(p)))
 }
@@ -22,5 +26,5 @@ private[plans] object PathRegistry {
     * rewriting to a deleted path crashes the query inside the optimizer.
     */
   def targetExists(p: String): Boolean =
-    new java.io.File(p.stripPrefix("file:")).exists()
+    new java.io.File(TextIndexRouting.normFile(p)).exists()
 }

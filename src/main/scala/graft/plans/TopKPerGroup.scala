@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -30,16 +31,36 @@ case class TopKPerGroup(k: Int, groupExprs: Seq[Attribute],
   // k = 0 would NPE in the exec's heap comparator (peek() on an empty
   // bounded heap); reject at construction with a named error instead
   require(k > 0, s"TopKPerGroup requires k > 0, got $k")
+  // empty grouping would otherwise surface as ClusteredDistribution's
+  // internal "should not be Nil" require deep inside EnsureRequirements
+  require(groupExprs.nonEmpty,
+    "TopKPerGroup requires at least one group column (global top-k is a plain ORDER BY ... LIMIT)")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
 }
 
 object TopKPerGroupStrategy extends SparkStrategy {
+  // float/double group keys are NORMALIZED (-0.0 → 0.0, NaN canonical):
+  // Spark's NormalizeFloatingNumbers rule only rewrites Aggregate/Join/
+  // Window keys, never a custom node, so without this the byte-equality
+  // group map AND the hash exchange would split -0.0 and 0.0 into two
+  // groups (up to 2k rows emitted for one SQL group)
+  private def normalizeKey(e: Expression): Expression = e.dataType match {
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType =>
+      // the same wrapper NormalizeFloatingNumbers.normalize produces
+      // for scalar float/double keys (its normalize() is private[sql])
+      org.apache.spark.sql.catalyst.expressions.KnownFloatingPointNormalized(
+        NormalizeNaNAndZero(e))
+    case _ => e
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(k, g, o, child) =>
-      TopKPerGroupExec(k, g, o, partial = false,
-        TopKPerGroupExec(k, g, o, partial = true, planLater(child))) :: Nil
+      val gn = g.map(normalizeKey)
+      TopKPerGroupExec(k, gn, o, partial = false,
+        TopKPerGroupExec(k, gn, o, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 
@@ -52,7 +73,7 @@ object TopKPerGroupStrategy extends SparkStrategy {
   }
 }
 
-case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
+case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder], partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
 

@@ -309,6 +309,106 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
       s"mismatch: missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
   }
 
+  test("IntervalJoinRewrite: per-row fan-out past the cap fails loudly") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    graft.plans.IntervalJoinRewrite.install(s2)
+    s2.conf.set(graft.plans.IntervalJoinRewrite.WidthConf, "1")
+    s2.conf.set(graft.plans.IntervalJoinRewrite.MaxBucketsConf, "16")
+    // spans of ~100 buckets at W=1 blow the 16-bucket cap: the rewrite
+    // must fail with the NAMED knob error, not an opaque multi-GB
+    // sequence allocation (the detector is syntactic, so a mis-sized W
+    // on a 100 TB join would otherwise OOM a query that used to finish)
+    val aa = s2.range(3).select(col("id").as("ida"),
+      (col("id") * 10).as("s1"), (col("id") * 10 + 100).as("e1"))
+    val bb = s2.range(3).select(col("id").as("idb"),
+      (col("id") * 10).as("s2"), (col("id") * 10 + 100).as("e2"))
+    val ex = intercept[Exception] {
+      aa.join(bb, col("s1") < col("e2") && col("s2") < col("e1")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("interval-join rewrite")),
+      s"expected the named fan-out error, got: ${messages(ex).take(3)}")
+  }
+
+  test("IntervalJoinRewrite: unparseable width conf fails loudly") {
+    val s2 = spark.newSession()
+    graft.plans.IntervalJoinRewrite.install(s2)
+    s2.conf.set(graft.plans.IntervalJoinRewrite.WidthConf, "3.6e9")
+    val ex = intercept[Exception] {
+      // the old behavior coerced to 0 and SILENTLY disabled the rewrite
+      // (reverting to the O(|A|·|B|) plan); an explicitly set bad value
+      // must name the conf instead
+      s2.range(2).selectExpr("id AS s1", "id + 1 AS e1")
+        .join(s2.range(2).selectExpr("id AS s2", "id + 1 AS e2"),
+          org.apache.spark.sql.functions.col("s1") <
+            org.apache.spark.sql.functions.col("e2") &&
+          org.apache.spark.sql.functions.col("s2") <
+            org.apache.spark.sql.functions.col("e1"))
+        .queryExecution.executedPlan
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains(graft.plans.IntervalJoinRewrite.WidthConf))
+  }
+
+  test("TopKPerGroup: -0.0 and 0.0 double keys are ONE group") {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val s2 = spark.newSession()
+    graft.plans.TopKPerGroupStrategy.install(s2)
+    import s2.implicits._
+    val base = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L))
+      .toDF("g", "v")
+    val analyzed = base.queryExecution.analyzed
+    def a(n: String) = analyzed.output.find(_.name == n).get
+    val node = graft.plans.TopKPerGroup(1, Seq(a("g")),
+      Seq(SortOrder(a("v"), Ascending)), analyzed)
+    val rows = org.apache.spark.sql.graft.Bridge.ofRows(s2, node).collect()
+    // SQL groups -0.0 with 0.0 (NormalizeFloatingNumbers semantics);
+    // without key normalization the byte-equality heap map and the hash
+    // exchange split them and k=1 emits two rows
+    assert(rows.length == 1,
+      s"-0.0/0.0 split into ${rows.length} groups: ${rows.toSeq}")
+    assert(rows.head.getLong(1) == 1L, "top-1 by v must be the v=1 row")
+    // and the construction-time guard for empty grouping names itself
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.TopKPerGroup(1, Seq.empty,
+        Seq(SortOrder(a("v"), Ascending)), analyzed)
+    }
+    assert(err.getMessage.contains("group column"))
+  }
+
+  test("routing registry normalizes file:/ and file:/// path renderings") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val s2 = spark.newSession()
+    val scratch = graft.Scratch.dir("pathnorm")
+    val basePath = s"$scratch/base"
+    val mvPath = s"$scratch/mv"
+    spark.range(10)
+      .select((col("id") % 2).as("g"), col("id").cast("double").as("v"))
+      .write.parquet(basePath)
+    spark.read.parquet(basePath).groupBy(col("g"))
+      .agg(sum(col("v").cast(DecimalType(30, 6))).as("sv"),
+        count(lit(1)).as("n"))
+      .write.parquet(mvPath)
+    // REGISTER with the file:/// rendering; QUERY with the bare path —
+    // the registry must normalize both to one key or routing silently
+    // never fires (the full-scan failure mode has no error to notice)
+    graft.plans.MvRouting.register(graft.plans.MvRouting.MvDef(
+      basePath = s"file://$basePath", mvPath = mvPath,
+      groupCols = Set("g"), sumMap = Map("v" -> "sv"), countCol = "n"))
+    graft.plans.MvRouting.enable(s2)
+    val q = s2.read.parquet(basePath).groupBy(col("g"))
+      .agg(sum(col("v").cast(DecimalType(30, 6))).as("sv"))
+      .orderBy(col("g"))
+    assert(q.queryExecution.executedPlan.toString.contains("/mv"),
+      "file:///-registered base not routed for a bare-path query:\n" +
+        q.queryExecution.executedPlan.toString.take(500))
+    assert(q.collect().map(_.getDecimal(1).doubleValue).toSeq
+      == Seq(20.0, 25.0))
+  }
+
   test("CollapseRedundantRound removes the outer coarser round") {
     assert(rounds(
       "SELECT round(round(l_extendedprice, 2), 4) AS r FROM li_ext") == 1)
