@@ -187,17 +187,13 @@ class BitmapDistinct
     b
   }
 
+  // ONE copy of the iterate-adopt-or-merge loop (and its
+  // adoption-by-reference contract): BitmapCodec.or — a fix to the
+  // adoption semantics applied here alone would silently miss the
+  // codec-side callers, and vice versa
   override def merge(a: java.util.HashMap[Long, Container],
-      b: java.util.HashMap[Long, Container]): java.util.HashMap[Long, Container] = {
-    val it = b.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val mine = a.get(e.getKey)
-      if (mine == null) a.put(e.getKey, e.getValue)
-      else mine.or(e.getValue)
-    }
-    a
-  }
+      b: java.util.HashMap[Long, Container]): java.util.HashMap[Long, Container] =
+    BitmapCodec.or(a, b)
 
   override def finish(b: java.util.HashMap[Long, Container]): Long = {
     var n = 0L

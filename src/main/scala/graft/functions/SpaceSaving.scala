@@ -116,6 +116,35 @@ class SpaceSavingTopK(capacity: Int, k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SSEntry]]()
 }
 
+/** The -State half for PERSISTENCE (ClickHouse `topKState`): emits the
+  * COMPLETE buffer (never top-k-truncated) plus a capacity SENTINEL
+  * entry, so the -Merge side can DETECT a truncated or
+  * capacity-mismatched state instead of silently undercounting — a
+  * bare entry list of length < merger capacity is indistinguishable
+  * from a genuinely small input, which was exactly the blind spot of
+  * the old length check.
+  */
+object SpaceSavingState {
+  /** Reserved item name carrying the builder capacity in `count`.
+    * NUL-prefixed: no whitespace-split token can collide with it.
+    */
+  val Sentinel = "\u0000graft_ss_capacity"
+}
+
+class SpaceSavingState(capacity: Int)
+    extends Aggregator[String, SSBuf, Seq[SSEntry]] {
+  private val inner = new SpaceSavingTopK(capacity, capacity)
+  override def zero: SSBuf = inner.zero
+  override def reduce(b: SSBuf, item: String): SSBuf = inner.reduce(b, item)
+  override def merge(a: SSBuf, b: SSBuf): SSBuf = inner.merge(a, b)
+  override def finish(b: SSBuf): Seq[SSEntry] =
+    inner.finish(b) :+ SSEntry(SpaceSavingState.Sentinel, capacity.toLong, 0L)
+  override def bufferEncoder: Encoder[SSBuf] =
+    Encoders.javaSerialization(classOf[SSBuf])
+  override def outputEncoder: Encoder[Seq[SSEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SSEntry]]()
+}
+
 /** The -Merge half of the SpaceSaving state pair (ClickHouse
   * `topKState`/`topKMerge`): each INPUT row is one shard's COMPLETE
   * persisted sketch (its entry list, as finish() emits it), rebuilt into
@@ -129,20 +158,24 @@ class SpaceSavingMergeState(capacity: Int, k: Int)
   private val inner = new SpaceSavingTopK(capacity, k)
   override def zero: SSBuf = new SSBuf(capacity)
   override def reduce(b: SSBuf, state: Seq[SSEntry]): SSBuf = {
-    // ENFORCE the completeness contract the doc states: a state
-    // truncated below this merger's capacity (persisted by a builder
-    // with k < capacity) makes minOf() see a non-full buffer and credit
-    // absent items 0 instead of the evicted min — merged estimates
-    // could then undercount and a guaranteed heavy hitter drop out.
-    // Full states (size == capacity) and genuinely small inputs (the
-    // builder never evicted, size < its own capacity == this one) are
-    // both fine; what must never pass silently is capacity mismatch.
-    require(state.length <= capacity,
-      s"SpaceSavingMergeState(capacity=$capacity) fed a ${state.length}-entry " +
-        "state: merger capacity must be >= the builder's k, and states must " +
-        "be persisted COMPLETE (builder k == builder capacity)")
+    // ENFORCE the completeness contract via the SpaceSavingState
+    // sentinel: a length check alone cannot tell a TRUNCATED state
+    // (builder k < builder capacity — minOf() would then credit absent
+    // items 0 instead of the evicted min and undercount a guaranteed
+    // heavy hitter) from a genuinely small input. The sentinel carries
+    // the builder's capacity: missing → the state wasn't persisted by
+    // SpaceSavingState (reject), mismatched → the merge-tree error
+    // bound no longer holds (reject).
+    val (sentinel, entries) =
+      state.partition(_.item == SpaceSavingState.Sentinel)
+    require(sentinel.nonEmpty,
+      "SpaceSavingMergeState fed a state without the capacity sentinel — " +
+        "persist states with SpaceSavingState, not a truncating top-k")
+    require(sentinel.head.count == capacity.toLong,
+      s"SpaceSavingMergeState(capacity=$capacity) fed a state built at " +
+        s"capacity ${sentinel.head.count} — capacities must match")
     val s = new SSBuf(capacity)
-    state.foreach(e => s.m.put(e.item, new SSBuf.Counter(e.count, e.error)))
+    entries.foreach(e => s.m.put(e.item, new SSBuf.Counter(e.count, e.error)))
     inner.merge(b, s)
   }
   override def merge(a: SSBuf, b: SSBuf): SSBuf = inner.merge(a, b)

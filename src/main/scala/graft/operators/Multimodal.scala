@@ -130,6 +130,11 @@ object Multimodal {
     * production codec pipeline.
     */
   private def ppmEncode(vals: Seq[Double]): Array[Byte] = {
+    // the header is the fixed 8x8 geometry — any other length would
+    // emit a silently-corrupt PPM whose declared pixel count disagrees
+    // with the plane (AIOOBE mid-decode, or silent truncation)
+    require(vals.length == 64,
+      s"ppmEncode expects a 64-dim vector (8x8), got ${vals.length}")
     val q = vals.map(quantize255)
     val header = s"P6\n8 8\n255\n".getBytes("US-ASCII")
     val pixels = new Array[Byte](q.length * 3)
@@ -149,10 +154,16 @@ object Multimodal {
     * parsing logic is never maintained in two places.
     */
   private def ppmDecodePixels(blob: Array[Byte]): (Int, Int, Array[Int]) = {
-    require(blob(0) == 'P' && blob(1) == '6', "not a P6 PPM")
+    // a parser's whole job is rejecting malformed input LOUDLY: every
+    // read below is bounds-guarded so truncated blobs die with a named
+    // parse error, never an ArrayIndexOutOfBoundsException
+    require(blob.length >= 2 && blob(0) == 'P' && blob(1) == '6',
+      "not a P6 PPM")
     var pos = 2
     def nextInt(): Int = {
-      while (blob(pos).toChar.isWhitespace) pos += 1
+      while (pos < blob.length && blob(pos).toChar.isWhitespace) pos += 1
+      require(pos < blob.length && blob(pos).toChar.isDigit,
+        "truncated P6 header")
       var v = 0
       while (pos < blob.length && blob(pos).toChar.isDigit) {
         v = v * 10 + (blob(pos) - '0'); pos += 1
@@ -162,6 +173,8 @@ object Multimodal {
     val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
     require(maxVal == 255, s"unsupported maxval $maxVal")
     pos += 1 // single whitespace after maxval per spec
+    require(blob.length >= pos + w * h * 3,
+      s"truncated P6 pixel plane: need ${w * h * 3} bytes, have ${blob.length - pos}")
     require((blob(pos) & 0xff) == (blob(pos + 1) & 0xff) &&
       (blob(pos) & 0xff) == (blob(pos + 2) & 0xff),
       "gray P6 expected: R=G=B")
@@ -291,27 +304,60 @@ object Multimodal {
     * equal the quantized sources — which is what lets the oracle restate
     * the decode output relationally without a codec.
     */
-  private[graft] def pngEncode(q: Seq[Int]): Array[Byte] = {
+  /** ONE quantized-vector→8×8 gray raster construction shared by the
+    * PNG and JPEG encoders — two copies of the sample layout could
+    * silently diverge the modalities (the CosineSim header's rule).
+    */
+  private def grayImage(q: Seq[Int]): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val r = img.getRaster
     var i = 0
     while (i < 64) { r.setSample(i % 8, i / 8, 0, q(i)); i += 1 }
+    img
+  }
+
+  private[graft] def pngEncode(q: Seq[Int]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(grayImage(q), "png", bos)
     bos.toByteArray
   }
 
-  /** (width, height, row-major samples) off the DECODED raster. */
+  /** Reusable per-partition image READER — the decode twin of
+    * [[JpegEncoder]]: ImageIO.read pays stream creation + format
+    * sniffing + reader SPI lookup + reader instantiation PER BLOB,
+    * which is the dominant per-row constant on the decode hot paths;
+    * here the SPI lookup happens once per partition and each row pays
+    * only setInput + read. `close()` rides task completion like the
+    * encoder's.
+    */
+  private[graft] final class ImageDecoder(format: String) {
+    private val r =
+      javax.imageio.ImageIO.getImageReadersByFormatName(format).next()
+    /** (width, height, row-major samples) off the DECODED raster. */
+    def decode(blob: Array[Byte]): (Int, Int, Array[Int]) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        r.setInput(iis)
+        val img = r.read(0)
+        val w = img.getWidth; val h = img.getHeight
+        val ra = img.getRaster
+        val px = new Array[Int](w * h)
+        var i = 0
+        while (i < px.length) { px(i) = ra.getSample(i % w, i / w, 0); i += 1 }
+        (w, h, px)
+      } finally iis.close()
+    }
+    def close(): Unit = r.dispose()
+  }
+
+  /** One-shot decode (tests / single blobs); hot paths use a
+    * per-partition [[ImageDecoder]] instead.
+    */
   private[graft] def pngDecode(blob: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(blob))
-    val w = img.getWidth; val h = img.getHeight
-    val r = img.getRaster
-    val px = new Array[Int](w * h)
-    var i = 0
-    while (i < px.length) { px(i) = r.getSample(i % w, i / w, 0); i += 1 }
-    (w, h, px)
+    val d = new ImageDecoder("png")
+    try d.decode(blob) finally d.close()
   }
 
   private val pngSchema = StructType(Seq(
@@ -334,11 +380,14 @@ object Multimodal {
       .select(col("vec_id"), col("embedding"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // no disk cache per codec call
+        val dec = new ImageDecoder("png") // SPI lookup once per partition
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
         rows.map { r =>
           val q = r.getAs[scala.collection.Seq[Float]]("embedding")
             .map(x => quantize255(x.toDouble)).toSeq
           val blob = pngEncode(q) // a genuine PNG: 89 50 4E 47 ...
-          val (w, h, px) = pngDecode(blob)
+          val (w, h, px) = dec.decode(blob)
           var sum = 0L; var wsum = 0L; var i = 0
           while (i < px.length) { sum += px(i); wsum += px(i).toLong * (i + 1); i += 1 }
           Row(r.getAs[Long]("vec_id"), w, h, sum.toDouble / px.length, wsum,
@@ -392,10 +441,13 @@ object Multimodal {
       .select(col("vec_id"), col("embedding"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        val dec = new ImageDecoder("png") // SPI lookup once per partition
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
         rows.map { r =>
           val q = r.getAs[scala.collection.Seq[Float]]("embedding")
             .map(x => quantize255(x.toDouble)).toSeq
-          val (w, h, px) = pngDecode(pngEncode(q)) // through the real codec
+          val (w, h, px) = dec.decode(pngEncode(q)) // through the real codec
           val small = boxDownsample(px, w, h)
           Row(r.getAs[Long]("vec_id"), w / 2, h / 2, small(0),
             small.sum / small.length)
@@ -440,11 +492,7 @@ object Multimodal {
       p0
     }
     def encode(q: Seq[Int]): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(8, 8,
-        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val r = img.getRaster
-      var i = 0
-      while (i < 64) { r.setSample(i % 8, i / 8, 0, q(i)); i += 1 }
+      val img = grayImage(q)
       val bos = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
       try {
@@ -454,11 +502,6 @@ object Multimodal {
       bos.toByteArray
     }
     def close(): Unit = w.dispose()
-  }
-
-  private[graft] def jpegEncode(q: Seq[Int]): Array[Byte] = {
-    val e = new JpegEncoder
-    try e.encode(q) finally e.close()
   }
 
   private val jpegSchema = StructType(Seq(
@@ -480,15 +523,18 @@ object Multimodal {
         // disposal rides task completion (not iterator drain, which an
         // early-terminating consumer would skip, leaking the writer)
         val enc0 = new JpegEncoder
+        val dec = new ImageDecoder("jpeg") // reader SPI once per partition
         Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => enc0.close()))
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            enc0.close(); dec.close()
+          })
         rows.map { r =>
           val q = r.getAs[scala.collection.Seq[Float]]("embedding")
             .map(x => quantize255(x.toDouble)).toSeq
           val blob = enc0.encode(q)
           val isJpeg = if ((blob(0) & 0xff) == 0xff && (blob(1) & 0xff) == 0xd8)
             1 else 0 // genuine SOI marker
-          val (w, h, px) = pngDecode(blob) // ImageIO.read sniffs the format
+          val (w, h, px) = dec.decode(blob) // per-partition jpeg reader
           var errMax = 0; var sumDec = 0L; var sumSrc = 0L
           var i = 0
           while (i < px.length) {
@@ -901,7 +947,15 @@ object Multimodal {
                  lag(v) OVER (PARTITION BY label ORDER BY vec_id) AS pv
                  FROM f),
                b AS (SELECT label, vec_id,
-                 CASE WHEN pv IS NULL OR round(list_dot_product(pv, v)
+                 -- the guard set mirrors Spark's cosine_sim_native NULL
+                 -- cases exactly (class-15 rule): zero-norm vectors and
+                 -- null elements make Spark's sim NULL -> boundary 1,
+                 -- while raw DuckDB division would give NaN -> 0
+                 CASE WHEN pv IS NULL
+                        OR list_dot_product(pv, pv) = 0
+                        OR list_dot_product(v, v) = 0
+                        OR list_dot_product(pv, v) IS NULL
+                        OR round(list_dot_product(pv, v)
                    / (sqrt(list_dot_product(pv, pv))
                      * sqrt(list_dot_product(v, v))), 6) < 0.1
                  THEN 1 ELSE 0 END AS boundary FROM p),
@@ -1037,9 +1091,12 @@ object Multimodal {
                 round(list_aggregate(px, 'sum') * 3 / 192.0, 6) AS mean_pixel,
                 CAST(px[1] AS INTEGER) AS p00
               FROM q ORDER BY vec_id""")),
+    // strlen (BYTES), not length (characters): Spark's length(blob) is
+    // the utf-8 byte count — the two only agree while the fixture stays
+    // pure ASCII (the mm_audio_segment precedent)
     QueryDef("mm_pack", mmPack,
       Some("""SELECT doc_id,
-               CAST(length(text) AS INTEGER) AS n_bytes,
+               CAST(strlen(text) AS INTEGER) AS n_bytes,
                sha256(text) AS digest,
                'text/plain' AS mime
               FROM documents ORDER BY doc_id""")),

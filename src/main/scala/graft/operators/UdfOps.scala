@@ -161,7 +161,9 @@ object UdfOps {
     */
   private def aggTopkState(s: SparkSession, dir: String): DataFrame = {
     val statePath = graft.Scratch.dir("topk_state") + "/token_topk"
-    val stateAgg = udaf(new graft.functions.SpaceSavingTopK(16, 16))
+    // the STATE builder (complete buffer + capacity sentinel) — the
+    // merge side rejects states persisted any other way
+    val stateAgg = udaf(new graft.functions.SpaceSavingState(16))
     Tables.documents(s, dir)
       .select((col("doc_id") % 8).as("shard"),
         explode(split(col("text"), " ")).as("token"))

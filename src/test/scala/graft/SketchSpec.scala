@@ -85,6 +85,31 @@ class SketchSpec extends GraftSpec {
     }
   }
 
+  test("merge-state rejects truncated or capacity-mismatched states") {
+    import graft.functions.{SpaceSavingMergeState, SpaceSavingState, SSEntry}
+    val m = new SpaceSavingMergeState(16, 10)
+    // a bare entry list (no sentinel) is indistinguishable from a
+    // TRUNCATED top-k persist — which would make minOf() credit absent
+    // items 0 and silently undercount a guaranteed heavy hitter
+    intercept[IllegalArgumentException] {
+      m.reduce(m.zero, Seq(SSEntry("a", 5L, 0L)))
+    }
+    // a state built at a different capacity breaks the merge-tree bound
+    intercept[IllegalArgumentException] {
+      m.reduce(m.zero, Seq(SSEntry("a", 5L, 0L),
+        SSEntry(SpaceSavingState.Sentinel, 32L, 0L)))
+    }
+    // the real state builder's output passes, merges, and the sentinel
+    // never leaks into the merged top-k
+    val b = new SpaceSavingState(16)
+    val st = b.finish(Seq("x", "x", "y").foldLeft(b.zero)(b.reduce))
+    assert(st.exists(_.item == SpaceSavingState.Sentinel))
+    val merged = m.finish(m.reduce(m.zero, st))
+    assert(merged.exists(e => e.item == "x" && e.count == 2L))
+    assert(!merged.exists(_.item == SpaceSavingState.Sentinel),
+      "capacity sentinel must not surface in merged results")
+  }
+
   test("sketch state is bounded by capacity under any input") {
     val agg = new SpaceSavingTopK(8, 5)
     val stream = (1 to 1000).map(i => s"item_${i % 40}")
