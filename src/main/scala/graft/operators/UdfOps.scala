@@ -206,12 +206,18 @@ object UdfOps {
     val toks = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .cache()
-    val sketch = toks.agg(cm(col("token")).as("sk"))
-      .head().getSeq[Long](0)
-    val top = toks.groupBy("token").count()
-      .orderBy(col("count").desc, col("token")).limit(10)
-      .as[(String, Long)].collect()
-    toks.unpersist()
+    // unpersist in finally: a failed action would otherwise pin the
+    // fully exploded token stream in the CacheManager for the session's
+    // lifetime, degrading every later key in the same run
+    val (sketch, top) =
+      try {
+        val sk = toks.agg(cm(col("token")).as("sk"))
+          .head().getSeq[Long](0)
+        val tp = toks.groupBy("token").count()
+          .orderBy(col("count").desc, col("token")).limit(10)
+          .as[(String, Long)].collect()
+        (sk, tp)
+      } finally toks.unpersist()
     top.map { case (tok, exact) =>
       (tok, exact,
         graft.functions.CountMin.estimate(sketch, agg.depth, agg.width, tok))
@@ -327,20 +333,26 @@ object UdfOps {
   private[graft] object Kmv {
     val K = 256
     private val SPACE = Long.MaxValue.toDouble
-    /** Fraction of the hash space below the sketch's θ (k-th min). */
-    def theta(s: Seq[Long]): Double =
-      if (s.length < K) 1.0 else s.last / SPACE
-    def estimate(s: Seq[Long]): Double =
-      if (s.length < K) s.length.toDouble else (K - 1) / theta(s)
+    /** Fraction of the hash space below the sketch's θ (k-th min).
+      * `k` is the BUILDER's capacity — every estimator below takes it
+      * explicitly: a hardcoded 256 silently treated any sketch built
+      * with a different k as "not yet full" (exact-count mode), an
+      * estimate that can run orders of magnitude low.
+      */
+    def theta(s: Seq[Long], k: Int = K): Double =
+      if (s.length < k) 1.0 else s.last / SPACE
+    def estimate(s: Seq[Long], k: Int = K): Double =
+      if (s.length < k) s.length.toDouble else (k - 1) / theta(s, k)
     /** (est_inter, est_union, jaccard) under the common θ. The common
       * threshold is taken directly as the Long min of the two k-th-min
       * hashes — never round-tripped through double, which could land a
       * few ulps below the true k-th min and drop/keep boundary values
       * inconsistently between the two sketches' filters. */
-    def setOps(a: Seq[Long], b: Seq[Long]): (Double, Double, Double) = {
+    def setOps(a: Seq[Long], b: Seq[Long], k: Int = K)
+        : (Double, Double, Double) = {
       val bound = math.min(
-        if (a.length < K) Long.MaxValue else a.last,
-        if (b.length < K) Long.MaxValue else b.last)
+        if (a.length < k) Long.MaxValue else a.last,
+        if (b.length < k) Long.MaxValue else b.last)
       val th = bound / SPACE
       // STRICT below the bound — the standard KMV estimator (the k-th
       // min DEFINES θ and is excluded, matching estimate()'s (K-1)/θ):

@@ -32,25 +32,36 @@ object Windows {
   /** Global ntile WITHOUT the unpartitioned-Window scale killer (a bare
     * `ntile(k) OVER (ORDER BY ...)` funnels every row through ONE task).
     * Scale-safe formulation, identical output to SQL ntile at any size:
-    *   1. range-repartition on the sort key (partition i holds keys < j>i);
-    *   2. row_number within each partition — parallel;
+    *   1. range-repartition on the sort key (partition i holds keys < j>i)
+    *      and sort WITHIN partitions — local row numbers then read
+    *      straight off monotonically_increasing_id (pid in the high 31
+    *      bits, the in-partition index in the low 33), so NO second
+    *      exchange: the old pid-window formulation re-shuffled the whole
+    *      table by hash(pid) right after the range exchange;
+    *   2. localCheckpoint PINS the one sampled range partitioning —
+    *      three consumers (rows, counts, total) otherwise each re-run
+    *      RangePartitioner sampling, and only ReuseExchange unifying
+    *      them kept offsets consistent with local row numbers
+    *      (correctness by optimizer coincidence);
     *   3. per-partition counts (O(numPartitions) metadata) → broadcast
-    *      cumulative offsets via a 32×32 broadcast NLJ, no SinglePartition
-    *      window anywhere;
+    *      cumulative offsets via a 32×32 broadcast NLJ;
     *   4. global rn = offset + local rn; tile assignment is pure
     *      arithmetic on (rn, n): SQL ntile gives the first n%k tiles
     *      ⌈n/k⌉ rows and the rest ⌊n/k⌋.
-    * PlanShapeSpec asserts no WindowExec runs over SinglePartition.
+    * PlanShapeSpec asserts no WindowExec anywhere in the plan.
     */
   private def winNtile(s: SparkSession, dir: String): DataFrame = {
     val k = 10
-    val base = Tables.customer(s, dir)
+    val local = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_acctbal"))
       .repartitionByRange(32, col("c_acctbal").desc, col("c_custkey"))
-      .withColumn("pid", spark_partition_id())
-    val localW = Window.partitionBy(col("pid"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    val local = base.withColumn("lrn", row_number().over(localW).cast("long"))
+      .sortWithinPartitions(col("c_acctbal").desc, col("c_custkey"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
+      .withColumn("lrn",
+        (col("mid").bitwiseAND(lit((1L << 33) - 1)) + 1).as("lrn"))
+      .drop("mid")
+      .localCheckpoint()
     val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
     val offs = counts.as("a")
       .join(broadcast(counts.as("b")), col("b.pid") < col("a.pid"), "left")
@@ -228,7 +239,7 @@ object Windows {
   /** Rolling z-score anomaly signal: each order scored against the
     * customer's OWN trailing history (10 preceding orders, current row
     * excluded — the standard self-exclusion that keeps an outlier from
-    * masking itself). Mean/variance come from exact decimal window sums;
+    * masking itself). Mean/variance come from exact integer-cents window sums;
     * degenerate history (n < 5 or zero variance) yields null instead of
     * NaN. One window clustering on the customer key carries all three
     * running moments.
@@ -237,21 +248,33 @@ object Windows {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(-10, -1)
-    def dsumW(c: Column) =
-      sum(c.cast(DecimalType(30, 6))).over(w).cast("double")
+    // class-8 discipline: moments in EXACT INTEGER CENTS (2dp-price
+    // fixture invariant, asserted below) and ONE closed-form double
+    // chain per row. The previous formulation cast the COMPUTED double
+    // p² to decimal(30,6) — the class-16 split (Spark shortest-repr vs
+    // DuckDB exact-binary; measured: 8300/15000 fixture rows differed,
+    // absorbed only by rounding) — and then rounded a division at the
+    // comparison edge (class 3). Identical integers through identical
+    // IEEE ops are bit-equal UNROUNDED; z is scale-invariant, so cents
+    // need no /100 anywhere. Bounds: pc ≤ ~6e7, pc² ≤ 3.6e15, 10-row
+    // frame sums ≤ 3.6e16 — long-safe.
     val n = col("n_hist").cast("double")
-    val m = col("sx") / n
-    val v = col("sxx") / n - (col("sx") / n) * (col("sx") / n)
+    val m = col("sx").cast("double") / n
+    val v = col("sxx").cast("double") / n - m * m
     Tables.orders(s, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"),
+        (col("o_totalprice").cast(DecimalType(30, 2)) * 100)
+          .cast("long").as("pc"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("pc"),
         count(lit(1)).over(w).as("n_hist"),
-        dsumW(col("o_totalprice")).as("sx"),
-        dsumW(col("o_totalprice") * col("o_totalprice")).as("sxx"))
+        sum(col("pc")).over(w).as("sx"),
+        sum(col("pc") * col("pc")).over(w).as("sxx"))
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         col("n_hist"),
         when(col("n_hist") >= 5 && v > 0,
-          round((col("o_totalprice") - m) / sqrt(v), 6)).as("z"))
+          (col("pc").cast("double") - m) / sqrt(v)).as("z"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -391,25 +414,31 @@ object Windows {
                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
     QueryDef("win_zscore", winZscore,
-      Some("""WITH h AS (SELECT o_custkey, o_orderkey, o_totalprice,
+      // the oracle mirrors the Spark double chain OP FOR OP from the
+      // same exact integer cents — unrounded IEEE quotients of
+      // identical inputs are bit-identical (the win_share rule)
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                 o_totalprice,
+                 CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+                   AS pc FROM orders),
+               h AS (SELECT o_custkey, o_orderkey, o_totalprice, pc,
                  COUNT(*) OVER w AS n_hist,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w
-                   AS DOUBLE) AS sx,
-                 CAST(SUM(CAST(o_totalprice * o_totalprice
-                   AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sxx
-                 FROM orders
+                 SUM(pc) OVER w AS sx,
+                 SUM(pc * pc) OVER w AS sxx
+                 FROM o
                  WINDOW w AS (PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
               SELECT o_custkey, o_orderkey, o_totalprice, n_hist,
                 CASE WHEN n_hist >= 5
-                      AND sxx / CAST(n_hist AS DOUBLE)
-                        - (sx / CAST(n_hist AS DOUBLE))
-                        * (sx / CAST(n_hist AS DOUBLE)) > 0
-                     THEN round((o_totalprice - sx / CAST(n_hist AS DOUBLE))
-                       / sqrt(sxx / CAST(n_hist AS DOUBLE)
-                         - (sx / CAST(n_hist AS DOUBLE))
-                         * (sx / CAST(n_hist AS DOUBLE))), 6)
+                      AND CAST(sxx AS DOUBLE) / CAST(n_hist AS DOUBLE)
+                        - (CAST(sx AS DOUBLE) / CAST(n_hist AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(n_hist AS DOUBLE)) > 0
+                     THEN (CAST(pc AS DOUBLE)
+                         - CAST(sx AS DOUBLE) / CAST(n_hist AS DOUBLE))
+                       / sqrt(CAST(sxx AS DOUBLE) / CAST(n_hist AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n_hist AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n_hist AS DOUBLE)))
                 END AS z
               FROM h ORDER BY o_custkey, o_orderkey""")),
     QueryDef("win_dist", winDist,

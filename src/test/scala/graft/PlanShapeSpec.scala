@@ -95,12 +95,14 @@ class PlanShapeSpec extends GraftSpec {
     assert(exchanges.length <= 2, s"too many shuffles: $exchanges\n${p.take(400)}")
   }
 
-  test("win_ntile: every Window is partitioned (no single-task global sort)") {
+  test("win_ntile: no Window operator at all (no single-task global sort)") {
+    // the r11 formulation reads local row numbers off
+    // monotonically_increasing_id over the range-sorted partitions: any
+    // Window in the plan (partitioned or not) would mean the second
+    // hash(pid) exchange crept back in
     val p = plan("win_ntile")
-    val winLines = p.linesIterator.filter(_.contains("Window ")).toList
-    assert(winLines.nonEmpty, p.take(600))
-    winLines.foreach(l =>
-      assert(l.contains("pid"), s"unpartitioned Window over the data: $l"))
+    assert(!p.linesIterator.exists(_.contains("Window ")),
+      s"unexpected Window operator:\n${p.take(800)}")
   }
 
   test("sim_topk broadcasts the probe side") {
