@@ -172,6 +172,11 @@ object Multimodal {
     }
     val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
     require(maxVal == 255, s"unsupported maxval $maxVal")
+    // dimension sanity BEFORE any size arithmetic: a hostile header
+    // like "77000 77000" wraps w*h*3 negative in Int and would slip
+    // past the plane-length require into NegativeArraySizeException
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096,
+      s"unreasonable P6 dimensions ${w}x$h")
     pos += 1 // single whitespace after maxval per spec
     require(blob.length >= pos + w * h * 3,
       s"truncated P6 pixel plane: need ${w * h * 3} bytes, have ${blob.length - pos}")

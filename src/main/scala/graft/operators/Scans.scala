@@ -1967,7 +1967,11 @@ object Scans {
                d AS (SELECT day, COUNT(*) AS n FROM e GROUP BY day),
                r AS (SELECT day, n,
                  ROW_NUMBER() OVER (ORDER BY day NULLS LAST) AS rk,
-                 LEAST(7, COUNT(*) OVER ()) AS k FROM d)
+                 -- COUNT(day), not COUNT(*): the Spark side's detach
+                 -- set comes from dayDirs, which EXCLUDES the null-day
+                 -- dir — counting the NULL group into k would mark the
+                 -- null-day row detached on a short (<7-day) fixture
+                 LEAST(7, COUNT(day) OVER ()) AS k FROM d)
               SELECT day,
                 CASE WHEN rk BETWEEN 2 AND k THEN 0 ELSE n END AS n_visible,
                 CASE WHEN rk BETWEEN 2 AND k THEN n ELSE 0 END

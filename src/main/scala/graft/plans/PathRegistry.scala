@@ -7,17 +7,13 @@ package graft.plans
   */
 private[plans] final class PathRegistry[T] {
   private val m = new java.util.concurrent.ConcurrentHashMap[String, T]()
-  // URI-aware (TextIndexRouting.normFile): a bare stripPrefix("file:")
-  // maps file:///p to ///p but file:/p to /p — registration and lookup
-  // arrive in DIFFERENT renderings (DataFrameReader vs Hadoop Path), so
-  // the registry would silently miss and routing would never fire
-  private def norm(p: String): String =
-    TextIndexRouting.normFile(p).replaceAll("/+$", "")
-  def put(basePath: String, d: T): Unit = { m.put(norm(basePath), d); () }
-  def forPath(p: String): Option[T] = Option(m.get(norm(p)))
+  def put(basePath: String, d: T): Unit =
+    { m.put(PathRegistry.canonical(basePath), d); () }
+  def forPath(p: String): Option[T] =
+    Option(m.get(PathRegistry.canonical(p)))
 }
 
-private[plans] object PathRegistry {
+private[graft] object PathRegistry {
   /** Staleness guard for routing targets: the registries are JVM-global
     * but the staged roots they point at are versioned and GC'd by
     * Scratch.versionedRoot on testdata supersession — between the GC
@@ -25,6 +21,29 @@ private[plans] object PathRegistry {
     * Routing must then fall through (unrouted is always correct);
     * rewriting to a deleted path crashes the query inside the optimizer.
     */
+  /** ONE canonical registry key per path, whatever rendering it
+    * arrives in. file:/p, file:///p and /p all meet on /p
+    * (DataFrameReader vs Hadoop Path render file URIs differently — a
+    * miss here means routing silently never fires, with no error to
+    * notice). A remote URI KEEPS its scheme+authority: hdfs://hostA/p
+    * must never collide with a local /p. URI-unparseable strings
+    * (spaces, brackets) fall back to the legacy scheme-strip +
+    * leading-slash collapse so both renderings still meet on one key.
+    */
+  private[graft] def canonical(p: String): String = {
+    val noTrail = p.replaceAll("/+$", "")
+    try {
+      val u = new java.net.URI(noTrail)
+      val path = u.getPath
+      if (path == null || path.isEmpty || u.getScheme == null) noTrail
+      else if (u.getScheme == "file") path
+      else u.getScheme + "://" + Option(u.getAuthority).getOrElse("") + path
+    } catch {
+      case _: java.net.URISyntaxException =>
+        noTrail.stripPrefix("file:").replaceAll("^/+", "/")
+    }
+  }
+
   def targetExists(p: String): Boolean =
-    new java.io.File(TextIndexRouting.normFile(p)).exists()
+    new java.io.File(canonical(p)).exists()
 }

@@ -407,6 +407,16 @@ class ExtensionsSpec extends AnyFunSuite with GraftSpec {
         q.queryExecution.executedPlan.toString.take(500))
     assert(q.collect().map(_.getDecimal(1).doubleValue).toSeq
       == Seq(20.0, 25.0))
+    // canonicalization unit cases, incl. the URI-unparseable fallback
+    // (spaces) and remote-scheme preservation
+    import graft.plans.PathRegistry.canonical
+    assert(canonical("file:///tmp/a") == canonical("file:/tmp/a"))
+    assert(canonical("file:/tmp/a") == canonical("/tmp/a"))
+    assert(canonical("file:/tmp/my dir/t") == canonical("/tmp/my dir/t"),
+      "URI-unparseable renderings must still meet on one key")
+    assert(canonical("hdfs://hostA/p") != canonical("/p"),
+      "remote URIs must keep scheme+authority (no local collision)")
+    assert(canonical("/tmp/a/") == canonical("/tmp/a"))
   }
 
   test("CollapseRedundantRound removes the outer coarser round") {
