@@ -22,11 +22,12 @@ final case class QueryDef(
   * times. Eviction rules (the edgeCache discipline): entries whose
   * owning SparkContext is stopped are dropped eagerly (their cached
   * blocks are gone with the context), and a hard entry cap bounds
-  * session-churn growth — on overflow every live frame is unpersisted
-  * (persisted blocks are pinned by the session's CacheManager, so
-  * dropping the reference alone would leak storage) and rebuilt on next
-  * use. Callers fold the fixture fingerprint into `key` so a testdata
-  * swap at the same path re-derives instead of replaying stale state.
+  * session-churn growth — on overflow only the OLDEST excess entries
+  * are unpersisted (persisted blocks are pinned by the session's
+  * CacheManager, so dropping the reference alone would leak storage)
+  * and rebuilt on next use. Callers fold the fixture fingerprint into
+  * `key` so a testdata swap at the same path re-derives instead of
+  * replaying stale state.
   */
 final class DfCache(maxEntries: Int = 16) {
   private val m = new java.util.concurrent.ConcurrentHashMap[
@@ -72,15 +73,25 @@ final class DfCache(maxEntries: Int = 16) {
       val oldest = order.poll()
       if (oldest == null) draining = false else drop(oldest)
     }
-    // queue AFTER a successful insert, not inside the mapping function:
-    // a throwing `build` inserts nothing into m, so queueing eagerly
-    // would leave a phantom key whose later poll evicts the live
-    // re-built entry at the phantom's (older) age — and repeated build
-    // failures would grow the queue without bound
-    var inserted = false
-    val res = m.computeIfAbsent(k, _ => { inserted = true; build })
-    if (inserted) order.add(k)
-    res
+    // build OUTSIDE the map (then putIfAbsent): computeIfAbsent holds
+    // the bin lock for the mapping function's duration, so a
+    // multi-second Spark build would serialize UNRELATED keys that
+    // hash to the same bin — the exact invariant the no-global-lock
+    // note above states. The cost is a rare duplicate build when two
+    // callers race the same key; the loser unpersists its copy.
+    // Queue AFTER a successful insert: a throwing `build` inserts
+    // nothing, so queueing eagerly would leave a phantom key whose
+    // later poll evicts the live re-built entry at the phantom's
+    // (older) age — and repeated build failures would grow the queue
+    // without bound.
+    val built = build
+    val prev = m.putIfAbsent(k, built)
+    if (prev == null) { order.add(k); built }
+    else {
+      // lost the race: our duplicate's persisted blocks must not leak
+      try { built.unpersist(); () } catch { case _: Throwable => () }
+      prev
+    }
   }
 }
 

@@ -71,6 +71,10 @@ object DedupGraph {
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var converged = false
     var rounds = 0
+    // unpersist in finally: a job failure in any of up to 30 rounds
+    // would otherwise pin the persisted edge frame in the CacheManager
+    // for the session's lifetime, and failed invocations accumulate
+    try {
     while (!converged && rounds < 30) {
       val nbrMin = und.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
@@ -116,7 +120,7 @@ object DedupGraph {
       labels = next.drop("changed")
       rounds += 1
     }
-    und.unpersist()
+    } finally und.unpersist()
     // a silent cap exit would emit labels that are NOT component minima
     // and fail (or worse, quietly corrupt) downstream survivor choice;
     // one-hop min propagation converges within the component diameter,
@@ -248,6 +252,9 @@ object DedupGraph {
     */
   private[graft] val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // insertion-order queue backing oldest-first eviction
+  private val edgeOrder = new java.util.concurrent
+    .ConcurrentLinkedQueue[(SparkSession, String)]()
   private def affinityEdgesCached(s: SparkSession, dir: String): DataFrame = {
     // bound the cache: drop entries whose owning context is stopped
     // (their checkpoint blocks are already unusable) and hard-cap the
@@ -256,13 +263,29 @@ object DedupGraph {
     // dropped frames are re-derived on next use and their RDD blocks
     // are reclaimed by the ContextCleaner once unreferenced
     edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    if (edgeCache.size > 16) edgeCache.clear()
+    // oldest-only eviction (the DfCache order-queue discipline, minus
+    // the unpersist — localCheckpoint blocks are reclaimed by the
+    // ContextCleaner once unreferenced): a blanket clear() ripped all
+    // 16 live checkpointed edge lists at once, making every concurrent
+    // graph query simultaneously re-derive the self-join this cache
+    // exists to amortize
+    while (edgeCache.size > 16) {
+      val oldest = edgeOrder.poll()
+      if (oldest == null) { edgeCache.clear(); edgeOrder.clear() } // safety net
+      else edgeCache.remove(oldest)
+    }
     // fingerprint in the key (the parsedCache discipline): an in-JVM
     // testdata swap at the same dir must re-derive, not replay stale
     // checkpointed edges
-    edgeCache.computeIfAbsent(
-      (s, s"$dir@${graft.Scratch.fixtureFingerprint(dir)}"),
-      _ => affinityEdges(s, dir).localCheckpoint())
+    val k = (s, s"$dir@${graft.Scratch.fixtureFingerprint(dir)}")
+    val hit = edgeCache.get(k)
+    if (hit != null) hit
+    else {
+      // built outside the map lock (the DfCache putIfAbsent rationale)
+      val built = affinityEdges(s, dir).localCheckpoint()
+      val prev = edgeCache.putIfAbsent(k, built)
+      if (prev == null) { edgeOrder.add(k); built } else prev
+    }
   }
 
   /** Degree table of the affinity graph — shared by the triangle family. */

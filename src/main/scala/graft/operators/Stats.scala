@@ -25,15 +25,28 @@ object Stats {
     val fp = graft.Scratch.fixtureFingerprint(dir)
     val names = Seq("customer", "orders", "nation", "region")
       .map(t => t -> s"graft_stat_${t}_${sf}_$fp").toMap
+    // drop SUPERSEDED-fingerprint twins first (the ensureBucketed
+    // discipline): a testdata swap otherwise accumulates stale tables
+    // dangling at overwritten locations for the JVM's lifetime
+    val existing = s.catalog.listTables().collect().map(_.name)
     names.foreach { case (t, tn) =>
+      existing.filter(n => graft.Scratch
+          .isSupersededName(n, s"graft_stat_${t}_${sf}_", tn))
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
       if (!s.catalog.tableExists(tn))
         s.sql(s"CREATE TABLE IF NOT EXISTS $tn USING parquet " +
           s"LOCATION '$dir/$t.parquet'")
-      // guard on STATS PRESENCE, not table existence: a once-failed
-      // ANALYZE (transient FS error) must self-heal on the next call,
-      // not leave missing stats for the rest of the JVM
-      val hasStats = s.table(tn).queryExecution.optimizedPlan.stats
-        .rowCount.isDefined
+      // guard on STATS PRESENCE read from the CATALOG METADATA, not
+      // from optimizedPlan.stats: plan rowCount is only populated from
+      // catalog stats when CBO is enabled, and callers enable CBO
+      // AFTER this returns — the plan-based guard was always false in
+      // a fresh session, re-running the full ANALYZE scan every call.
+      // (Still a stats-presence guard, not table existence: a
+      // once-failed ANALYZE self-heals on the next call.)
+      val hasStats = s.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tn))
+        .stats.exists(_.rowCount.isDefined)
       if (!hasStats)
         s.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS FOR ALL COLUMNS")
     }

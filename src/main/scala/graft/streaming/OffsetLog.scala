@@ -88,7 +88,12 @@ object OffsetLog {
         coalesce(col("base"), lit(0L)) + row_number().over(w) - 1)
       .select(col("p"), col("offset"), col("value"))
       .persist()
-    assigned.write.partitionBy("p").mode("append").json(s"$root/seg=$epoch")
+    // OVERWRITE, not append: each epoch owns its seg dir, so the only
+    // way data pre-exists here is a RETRY after a crash between this
+    // write and the _ENDS publish — append would then duplicate every
+    // record at identical offsets; overwrite replays idempotently (the
+    // recomputed offsets are identical because _ENDS has no epoch entry)
+    assigned.write.partitionBy("p").mode("overwrite").json(s"$root/seg=$epoch")
     // O(parts) metadata: the new per-partition [start, end) ranges
     val ranges = assigned
       .groupBy(col("p").cast("int").as("p"))
@@ -111,6 +116,11 @@ object OffsetLog {
     val epochs = hist.filter { case (_, p, a, b) =>
       b > from.getOrElse(p, 0L) && a < until.getOrElse(p, Long.MaxValue)
     }.map(_._1).distinct.sorted
+      // retention guard (the liveSegments rule): _ENDS remembers
+      // truncated epochs by design, so a consumer positioned below the
+      // retention floor must SKIP them (Kafka's jump-to-earliest), not
+      // crash the json read on a deleted seg dir
+      .filter(e => new java.io.File(s"$root/seg=$e").exists())
     if (epochs.isEmpty)
       return s.emptyDataFrame
         .select(lit(0).as("p"), lit(0L).as("offset"), lit("").as("value"))
