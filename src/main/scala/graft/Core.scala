@@ -87,11 +87,20 @@ final class DfCache(maxEntries: Int = 16) {
     val built = build
     val prev = m.putIfAbsent(k, built)
     if (prev == null) { order.add(k); built }
-    else {
-      // lost the race: our duplicate's persisted blocks must not leak
-      try { built.unpersist(); () } catch { case _: Throwable => () }
+    else
+      // lost the race: return the winner's frame and DROP OURS WITHOUT
+      // unpersisting — Spark's CacheManager is keyed by LOGICAL PLAN,
+      // not DataFrame instance, so the duplicate's .persist() was a
+      // no-op against the winner's entry and unpersisting it here
+      // would UNCACHE the winner (sameResult match), permanently
+      // defeating the cache for this key
       prev
-    }
+  }
+
+  /** Test visibility: the live key set. */
+  private[graft] def keys: Set[(SparkSession, String)] = {
+    import scala.jdk.CollectionConverters._
+    m.keySet.asScala.toSet
   }
 }
 

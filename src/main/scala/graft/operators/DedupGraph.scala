@@ -120,7 +120,12 @@ object DedupGraph {
       labels = next.drop("changed")
       rounds += 1
     }
-    } finally und.unpersist()
+    } finally {
+      // swallow: on a dead SparkContext (the very failure class this
+      // finally exists for) unpersist itself throws and would MASK the
+      // root-cause job failure (the DfCache.drop rule)
+      try { und.unpersist(); () } catch { case _: Throwable => () }
+    }
     // a silent cap exit would emit labels that are NOT component minima
     // and fail (or worse, quietly corrupt) downstream survivor choice;
     // one-hop min propagation converges within the component diameter,
@@ -250,44 +255,20 @@ object DedupGraph {
     * checkpoint RDDs to a second session in the same JVM (same rule as
     * LlmVector.kmeansCache); a testdata swap re-derives.
     */
-  private[graft] val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  // insertion-order queue backing oldest-first eviction
-  private val edgeOrder = new java.util.concurrent
-    .ConcurrentLinkedQueue[(SparkSession, String)]()
-  private def affinityEdgesCached(s: SparkSession, dir: String): DataFrame = {
-    // bound the cache: drop entries whose owning context is stopped
-    // (their checkpoint blocks are already unusable) and hard-cap the
-    // entry count so session churn (tests spawn newSession per run)
-    // cannot pin unbounded checkpoint storage in a long-lived JVM —
-    // dropped frames are re-derived on next use and their RDD blocks
-    // are reclaimed by the ContextCleaner once unreferenced
-    edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    // oldest-only eviction (the DfCache order-queue discipline, minus
-    // the unpersist — localCheckpoint blocks are reclaimed by the
-    // ContextCleaner once unreferenced): a blanket clear() ripped all
-    // 16 live checkpointed edge lists at once, making every concurrent
-    // graph query simultaneously re-derive the self-join this cache
-    // exists to amortize
-    while (edgeCache.size > 16) {
-      val oldest = edgeOrder.poll()
-      if (oldest == null) { edgeCache.clear(); edgeOrder.clear() } // safety net
-      else edgeCache.remove(oldest)
-    }
+  private[graft] val edgeCache = new graft.DfCache(16)
+  private def affinityEdgesCached(s: SparkSession, dir: String): DataFrame =
+    // DfCache provides the whole discipline (stopped-context sweep,
+    // oldest-first eviction, build-outside-the-lock putIfAbsent): the
+    // previous hand-rolled map+queue had already drifted twice
+    // (off-by-one cap, eviction before the hit check). Eviction's
+    // unpersist is a CacheManager no-op on a localCheckpoint-backed
+    // frame; the checkpoint blocks are reclaimed by the ContextCleaner
+    // once the frame is unreferenced.
     // fingerprint in the key (the parsedCache discipline): an in-JVM
     // testdata swap at the same dir must re-derive, not replay stale
     // checkpointed edges
-    val k = (s, s"$dir@${graft.Scratch.fixtureFingerprint(dir)}")
-    val hit = edgeCache.get(k)
-    if (hit != null) hit
-    else {
-      // built outside the map lock (the DfCache putIfAbsent rationale)
-      val built = affinityEdges(s, dir).localCheckpoint()
-      val prev = edgeCache.putIfAbsent(k, built)
-      if (prev == null) { edgeOrder.add(k); built } else prev
-    }
-  }
-
+    edgeCache.get(s, s"$dir@${graft.Scratch.fixtureFingerprint(dir)}")(
+      affinityEdges(s, dir).localCheckpoint())
   /** Degree table of the affinity graph — shared by the triangle family. */
   private def degrees(edges: DataFrame): DataFrame =
     edges.select(explode(array(col("u"), col("v"))).as("n"))

@@ -25,17 +25,29 @@ object Stats {
     val fp = graft.Scratch.fixtureFingerprint(dir)
     val names = Seq("customer", "orders", "nation", "region")
       .map(t => t -> s"graft_stat_${t}_${sf}_$fp").toMap
-    // drop SUPERSEDED-fingerprint twins first (the ensureBucketed
-    // discipline): a testdata swap otherwise accumulates stale tables
-    // dangling at overwritten locations for the JVM's lifetime
-    val existing = s.catalog.listTables().collect().map(_.name)
+    // fp == "0" is fixtureFingerprint's listing-failure sentinel (the
+    // driver may be mid-swap): proceeding would both register tables
+    // under the sentinel name AND sweep every LIVE-fingerprint stat
+    // table as "superseded" out from under concurrent readers — the
+    // exact hazard ensureBucketed's guard documents. Fail loudly.
+    require(fp != "0",
+      s"fixture dir $dir is unlistable/mid-swap — refusing to (re)build stat tables")
     names.foreach { case (t, tn) =>
-      existing.filter(n => graft.Scratch
-          .isSupersededName(n, s"graft_stat_${t}_${sf}_", tn))
-        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
-      if (!s.catalog.tableExists(tn))
+      if (!s.catalog.tableExists(tn)) {
+        // drop SUPERSEDED-fingerprint twins, only on the staging branch
+        // (the ensureBucketed discipline — twins can only exist when the
+        // fingerprint changed, i.e. exactly when tableExists is false;
+        // sweeping on every call would put a full catalog enumeration
+        // inside the measured stats-key paths): a testdata swap
+        // otherwise accumulates stale tables dangling at overwritten
+        // locations for the JVM's lifetime
+        s.catalog.listTables().collect().map(_.name)
+          .filter(n => graft.Scratch
+            .isSupersededName(n, s"graft_stat_${t}_${sf}_", tn))
+          .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
         s.sql(s"CREATE TABLE IF NOT EXISTS $tn USING parquet " +
           s"LOCATION '$dir/$t.parquet'")
+      }
       // guard on STATS PRESENCE read from the CATALOG METADATA, not
       // from optimizedPlan.stats: plan rowCount is only populated from
       // catalog stats when CBO is enabled, and callers enable CBO

@@ -170,16 +170,10 @@ class AnalyticsOpsSpec extends GraftSpec {
     val s2 = spark.newSession()
     val r1 = SparkEntry.queries("graph_triangle_count")(s1, sf).collect()
       .map(_.toString).toSeq
-    val k1 = {
-      import scala.jdk.CollectionConverters._
-      DedupGraph.edgeCache.keySet.asScala.toSet
-    }
+    val k1 = DedupGraph.edgeCache.keys
     val r2 = SparkEntry.queries("graph_triangle_count")(s2, sf).collect()
       .map(_.toString).toSeq
-    val k2 = {
-      import scala.jdk.CollectionConverters._
-      DedupGraph.edgeCache.keySet.asScala.toSet
-    }
+    val k2 = DedupGraph.edgeCache.keys
     // key carries the fixture fingerprint (stale-testdata guard), so
     // match on the dir prefix rather than equality
     assert(k1.exists { case (s, d) => (s eq s1) && d.startsWith(s"$sf@") })
