@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
     // dev-loop isolation mode: trailing args restrict the run to those
     // keys (and repeat each `SPARK_GRAFT_BENCH_REPS` times) so a
     // suspected regression can be timed in a fresh JVM without the
@@ -16,16 +16,7 @@ object Bench {
         "a typo here would otherwise time zero queries and report success")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // same session timezone as Verify/the tests: bench must time the
-      // exact computation the correctness gate verified, not a
-      // host-TZ-shifted variant of it
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.localHarness(defaultCpus = 4, logLevel = "WARN")
     // previous run's at-rest per-query map AND calibration record, read
     // ONCE and BEFORE overwrite: the standing regression guard diffs
     // against them at the end of the run

@@ -430,6 +430,24 @@ object Json {
 }
 
 object Sessions {
+  /** The ONE local harness session builder (Verify/Bench/PlanSweep/
+    * Profile had four hand-copies whose CPUS defaults had already
+    * drifted): local[cpus] with shuffle partitions = cpus, UTC session
+    * timezone (the oracle gate's timezone — every main must run the
+    * exact computation the gate verified), UI off.
+    */
+  def localHarness(defaultCpus: Int, logLevel: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel(logLevel)
+    s
+  }
+
   /** The rule-isolation clone every routed key runs under: a fresh
     * session (so an installed optimizer rule never contaminates the
     * caller — the conf-tweaking-joins convention) that INHERITS the

@@ -23,14 +23,7 @@ object PlanSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val pattern = args.lift(1).getOrElse("CartesianProduct").r
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.Sessions.localHarness(defaultCpus = 8, logLevel = "ERROR")
     var hits = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
       try {

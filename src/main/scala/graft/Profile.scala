@@ -17,14 +17,7 @@ object Profile {
     require(unknown.isEmpty,
       s"unknown keys: ${unknown.toSeq.sorted.mkString(", ")} — failing " +
         "up front beats dying mid-loop after minutes of profiling")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.Sessions.localHarness(defaultCpus = 4, logLevel = "ERROR")
     // one throwaway action to absorb session/codegen start-up
     spark.read.parquet(s"$sfDir/region.parquet").count()
     keys.foreach { k =>

@@ -194,9 +194,20 @@ object CanalEntry {
     rc.bool(10, e.isDdl)
     rc.str(11, e.sql)
     if (!e.isDdl && e.data != null) {
+      // pk columns FIRST, in pkNames order, then the rest name-sorted:
+      // the decoder reconstructs pkNames from isKey flags in WIRE
+      // order, so a name-sorted emit silently reordered composite keys
+      // ("b","a" round-tripped as "a","b") — and Cdc.pkProjection
+      // extracts element_at(pkNames, 1)
+      def ordered(keys: Iterable[String]): Seq[String] = {
+        val ks = keys.toSet
+        val pks =
+          if (e.pkNames == null) Seq.empty else e.pkNames.filter(ks)
+        pks ++ (ks -- pks).toSeq.sorted
+      }
       e.data.zipWithIndex.foreach { case (img, i) =>
         val rd = new Writer
-        val names = img.keys.toSeq.sorted
+        val names = ordered(img.keys)
         val oldImg: Map[String, String] =
           if (e.old != null && i < e.old.length && e.old(i) != null) e.old(i)
           else Map.empty
@@ -206,7 +217,7 @@ object CanalEntry {
             rd.bytes(1, colBytes(n, img(n), ci, updated = false))
           }
         } else {
-          oldImg.keys.toSeq.sorted.zipWithIndex.foreach { case (n, ci) =>
+          ordered(oldImg.keys).zipWithIndex.foreach { case (n, ci) =>
             rd.bytes(1, colBytes(n, oldImg(n), ci, updated = false))
           }
           names.zipWithIndex.foreach { case (n, ci) =>
@@ -239,10 +250,12 @@ object CanalEntry {
     */
   def decodeSafe(a: Array[Byte]): Either[String, Env] =
     try {
-      val e = decode(a)
-      // structural sanity: a real Entry always carries a header
-      if (e.database.isEmpty && e.table.isEmpty && e.es == 0L)
-        Left("missing header")
+      // structural sanity: a real Entry always carries a header FIELD.
+      // Checked by wire presence, not content: a heartbeat/txn-boundary
+      // entry legitimately has empty schema/table and executeTime 0 —
+      // the old content heuristic quarantined those as corrupt.
+      val (e, sawHeader) = decodeWithMeta(a)
+      if (!sawHeader) Left("missing header")
       else Right(e)
     } catch {
       case ex: Exception =>
@@ -260,15 +273,20 @@ object CanalEntry {
     throw new IllegalArgumentException(
       s"wire-type mismatch: field $field with wire $wire")
 
-  def decode(a: Array[Byte]): Env = {
+  def decode(a: Array[Byte]): Env = decodeWithMeta(a)._1
+
+  /** decode + wire-level header presence (decodeSafe's sanity bit). */
+  private def decodeWithMeta(a: Array[Byte]): (Env, Boolean) = {
     var db = ""; var tbl = ""; var es = 0L; var offset = 0L
     var entryType = RowData
+    var sawHeader = false
     var rcr: Reader = null
     val er = new Reader(a, 0, a.length)
     while (er.hasNext) {
       val t = er.varint()
       ((t >>> 3).toInt, (t & 7).toInt) match {
         case (1, 2) =>
+          sawHeader = true
           val hr = er.lenDelim()
           while (hr.hasNext) {
             val ht = hr.varint()
@@ -346,9 +364,9 @@ object CanalEntry {
     val old = pairs.map { case (before, _) =>
       if (typ == "DELETE" || before.isEmpty) null else before
     }
-    Env(offset, db, tbl, pk.toSeq, isDdl, typ, es, sql, mysqlType.toMap,
+    (Env(offset, db, tbl, pk.toSeq, isDdl, typ, es, sql, mysqlType.toMap,
       data.toSeq,
       if (old.exists(_ != null)) old.toSeq else null,
-      entryType)
+      entryType), sawHeader)
   }
 }
