@@ -122,7 +122,11 @@ object Joins {
     * hand-bucketed operator (same oracle).
     */
   private def joinIntervalAuto(s0: SparkSession, dir: String): DataFrame = {
-    val s = s0.newSession()
+    // isolatedClone, not bare newSession: newSession rebuilds SQLConf
+    // from the context conf and silently DISCARDS a runtime-set
+    // spark.sql.shuffle.partitions — which made DeterminismSpec's
+    // two-partitionings contract vacuous for this key
+    val s = graft.Sessions.isolatedClone(s0)
     graft.plans.IntervalJoinRewrite.install(s)
     s.conf.set(graft.plans.IntervalJoinRewrite.WidthConf, "3600000000")
     val len = 3600000000L
@@ -605,15 +609,17 @@ object Joins {
     * replica, and the fact side is map-side only, no shuffle.
     */
   private def dictGetHierarchy(s: SparkSession, dir: String): DataFrame = {
+    // type-agnostic key reads (the dictGet discipline): a testdata
+    // drop re-encoding dimension keys as INT64 would make getInt throw
     val regionName = Tables.region(s, dir)
       .select(col("r_regionkey"), col("r_name")).collect()
-      .map(r => r.getInt(0) -> r.getString(1)).toMap
+      .map(r => r.getAs[Number](0).intValue -> r.getString(1)).toMap
     val entries: Seq[Column] = Tables.nation(s, dir)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .collect() // O(|dimension|) — control-plane, never O(data)
       .flatMap { r =>
-        Seq(lit(r.getInt(0)),
-          lit(s"${r.getString(1)}>${regionName(r.getInt(2))}"))
+        Seq(lit(r.getAs[Number](0).intValue),
+          lit(s"${r.getString(1)}>${regionName(r.getAs[Number](2).intValue)}"))
       }.toSeq
     val pathDict = map(entries: _*)
     Tables.customer(s, dir)
@@ -664,9 +670,14 @@ object Joins {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .withColumn("ms", unix_millis(col("o_orderdate").cast("timestamp")))
       .withColumn("rs", element_at(dict, col("c_nationkey").cast("long")))
+      // try_element_at, NOT element_at: under ANSI (this install's
+      // default) element_at on the EMPTY filtered array THROWS — an
+      // out-of-span order date would crash the query instead of taking
+      // the documented 0.0 miss default the oracle models
       .withColumn("rate", coalesce(
-        element_at(filter(col("rs"),
-          r => r("from_ms") <= col("ms") && col("ms") < r("to_ms")), 1)("rate"),
+        try_element_at(filter(col("rs"),
+          r => r("from_ms") <= col("ms") && col("ms") < r("to_ms")),
+          lit(1))("rate"),
         lit(0.0)))
       .groupBy(col("c_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("n_orders"),
@@ -686,7 +697,11 @@ object Joins {
     * asserts the might_contain filter reached the fact side.
     */
   private def joinBloom(s0: SparkSession, dir: String): DataFrame = {
-    val s = s0.newSession()
+    // isolatedClone, not bare newSession: newSession rebuilds SQLConf
+    // from the context conf and silently DISCARDS a runtime-set
+    // spark.sql.shuffle.partitions — which made DeterminismSpec's
+    // two-partitionings contract vacuous for this key
+    val s = graft.Sessions.isolatedClone(s0)
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     s.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
@@ -719,7 +734,11 @@ object Joins {
     * marks the join `skew=true`.
     */
   private def joinSkewAqe(s0: SparkSession, dir: String): DataFrame = {
-    val s = s0.newSession()
+    // isolatedClone, not bare newSession: newSession rebuilds SQLConf
+    // from the context conf and silently DISCARDS a runtime-set
+    // spark.sql.shuffle.partitions — which made DeterminismSpec's
+    // two-partitionings contract vacuous for this key
+    val s = graft.Sessions.isolatedClone(s0)
     s.conf.set("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
