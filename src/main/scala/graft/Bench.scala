@@ -124,21 +124,34 @@ object Bench {
       if (prevCal > 0) math.max(1.0, calObserved / prevCal) else 1.0
     val ioRatio =
       if (prevCalIo > 0) math.max(1.0, ioObserved / prevCalIo) else 1.0
-    val calRatio = math.max(cpuRatio, ioRatio)
+    // distribution-based load estimate (the r11 driver run's lesson:
+    // bracketed probes read 1.2×/1.0× while mid-run load inflated keys
+    // up to 13.7× — min-of-3 probes at the run's ends are blind to load
+    // that arrives between them). median(now/prev) over all overlapping
+    // keys needs no probe model: uniform host load shifts the whole
+    // distribution (median tracks it); a genuine code regression moves
+    // only its own keys (median stays ≈1, so they still flag — robust
+    // while fewer than half the keys regress, which a real code change
+    // always satisfies).
+    val medRatio = medianRatio(prev, results)
+    val calRatio = math.max(math.max(cpuRatio, ioRatio), medRatio)
     val regs = regressions(prev, results, calRatio)
     // cap the printed list at the worst 20: the driver's tail capture
     // truncates stdout from the FRONT, so an uncapped worst-first list
     // under uniform load preserved only its mildest TAIL entries
-    // (BENCH_r10 kept the ~2× keys and dropped the 10–40× heads)
+    // (BENCH_r10 kept the ~2× keys and dropped the 10–40× heads).
+    // All three load ratios ride the FRONT of this line too — BENCH_r11
+    // lost the end of the summary line to truncation, and the head of
+    // the regressions line demonstrably survives both directions.
     val shown = regs.take(20)
-    println(s"""{"metric":"bench_regressions","base_threshold":1.5,"effective_threshold":${1.5 * calRatio},"keys":${
+    println(s"""{"metric":"bench_regressions","base_threshold":1.5,"effective_threshold":${1.5 * calRatio},"cal_cpu_ratio":$cpuRatio,"cal_io_ratio":$ioRatio,"median_key_ratio":$medRatio,"keys":${
       shown.map { case (k, o, n) =>
         s"""{"key":${Json.q(k)},"prev":$o,"now":$n}""" }.mkString("[", ",", "]")}}""")
     // one-line summary AFTER the capped list (closest to the surviving
-    // tail): flag count, worst ratio, and both probe ratios, so a loaded
+    // tail): flag count, worst ratio, and all load ratios, so a loaded
     // run self-identifies even if the key list is truncated away
     val maxRatio = regs.headOption.map { case (_, o, n) => n / o }.getOrElse(1.0)
-    println(s"""{"metric":"bench_regressions_summary","n_flagged":${regs.size},"shown":${shown.size},"max_ratio":$maxRatio,"cal_cpu_ratio":$cpuRatio,"cal_io_ratio":$ioRatio,"calibration_sec":$calObserved,"calibration_io_sec":$ioObserved}""")
+    println(s"""{"metric":"bench_regressions_summary","n_flagged":${regs.size},"shown":${shown.size},"max_ratio":$maxRatio,"cal_cpu_ratio":$cpuRatio,"cal_io_ratio":$ioRatio,"median_key_ratio":$medRatio,"calibration_sec":$calObserved,"calibration_io_sec":$ioObserved}""")
     // compact line LAST: the driver's tail capture truncates long lines
     // from the front, so the parseable summary must be short and final
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"failed":$nFailed,"sf":${Json.q(sfDir)}}""")
@@ -165,6 +178,23 @@ object Bench {
         .selectExpr("sum(id % 1000003)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+
+  /** Median per-key time ratio now/prev over overlapping keys with a
+    * non-trivial previous time (same ≥ 0.2 s floor as the guard —
+    * sub-JIT keys are pure noise), clamped ≥ 1 so a baseline taken
+    * under load never TIGHTENS an at-rest run's threshold. 1.0 when too
+    * few keys overlap to be meaningful (scoped dev runs).
+    */
+  private[graft] def medianRatio(prev: Map[String, Double],
+      now: Map[String, Double]): Double = {
+    val rs = now.toSeq.collect {
+      case (k, n) if n >= 0 && prev.get(k).exists(_ >= 0.2) => n / prev(k)
+    }.sorted
+    if (rs.length < 8) 1.0
+    else math.max(1.0,
+      if (rs.length % 2 == 1) rs(rs.length / 2)
+      else (rs(rs.length / 2 - 1) + rs(rs.length / 2)) / 2)
+  }
 
   /** Overlapping keys whose time grew >1.5x × calRatio vs the previous
     * per-query map, previous time ≥ 0.2s (unit-tested). calRatio is the

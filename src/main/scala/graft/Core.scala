@@ -87,14 +87,23 @@ final class DfCache(maxEntries: Int = 16) {
     val built = build
     val prev = m.putIfAbsent(k, built)
     if (prev == null) { order.add(k); built }
-    else
-      // lost the race: return the winner's frame and DROP OURS WITHOUT
-      // unpersisting — Spark's CacheManager is keyed by LOGICAL PLAN,
-      // not DataFrame instance, so the duplicate's .persist() was a
-      // no-op against the winner's entry and unpersisting it here
-      // would UNCACHE the winner (sameResult match), permanently
-      // defeating the cache for this key
+    else {
+      // lost the race: return the winner's frame. Whether to unpersist
+      // OUR duplicate depends on plan identity — Spark's CacheManager
+      // is keyed by LOGICAL PLAN (sameResult), not DataFrame instance:
+      //  - same plan (the common deterministic-build case): the
+      //    duplicate's .persist() was a no-op against the winner's
+      //    entry, and unpersisting here would UNCACHE the winner,
+      //    permanently defeating the cache for this key — don't.
+      //  - different plan (localCheckpoint-backed builds produce a
+      //    fresh LogicalRDD per call): our persist created its OWN
+      //    entry whose fully-materialized blocks would otherwise
+      //    linger until ContextCleaner GC — release it.
+      if (!built.queryExecution.analyzed
+          .sameResult(prev.queryExecution.analyzed))
+        try { built.unpersist(); () } catch { case _: Throwable => () }
       prev
+    }
   }
 
   /** Test visibility: the live key set. */

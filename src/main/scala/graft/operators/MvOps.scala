@@ -25,11 +25,11 @@ object MvOps {
   // new testdata drop must re-key the staged path (stale-replay guard)
   private def mvPath(dir: String): String = {
     val sf = new java.io.File(dir).getName
-    // rfls2: the r11 schema adds min/max partial columns — staged() is
+    // rfls3: the r12 schema adds bigint sum partials — staged() is
     // keyed by path with a completion marker, so a schema change MUST
     // re-key the dir or an old scratch root would serve the narrow MV
-    // and silently unroute every min/max query
-    s"${graft.Scratch.versionedRoot("mv", dir)}/lineitem_rfls2_$sf"
+    // and silently unroute every plain-sum query
+    s"${graft.Scratch.versionedRoot("mv", dir)}/lineitem_rfls3_$sf"
   }
 
   /** Stage + register the MV (idempotent per sfDir; deterministic
@@ -39,12 +39,15 @@ object MvOps {
     */
   private[graft] def stageMv(s: SparkSession, dir: String): Unit = {
     val path = mvPath(dir)
-    // the pre-r11 narrow-schema MV lives as a SIBLING subdir inside the
-    // same fingerprint-versioned root, which the supersession GC only
-    // sweeps on a fixture change — reap it here or it leaks on shared
-    // tmp until the next testdata drop (the no-accumulation charter)
-    graft.Scratch.deleteRecursively(new java.io.File(
-      s"${new java.io.File(path).getParent}/lineitem_rfls_${new java.io.File(dir).getName}"))
+    // pre-r12 narrow-schema MVs live as SIBLING subdirs inside the same
+    // fingerprint-versioned root, which the supersession GC only sweeps
+    // on a fixture change — reap them here or they leak on shared tmp
+    // until the next testdata drop (the no-accumulation charter)
+    val sfName = new java.io.File(dir).getName
+    Seq("lineitem_rfls_", "lineitem_rfls2_").foreach { old =>
+      graft.Scratch.deleteRecursively(new java.io.File(
+        s"${new java.io.File(path).getParent}/$old$sfName"))
+    }
     graft.Scratch.staged(path) {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -56,7 +59,12 @@ object MvOps {
           min(col("l_quantity")).as("min_qty_state"),
           max(col("l_quantity")).as("max_qty_state"),
           min(col("l_extendedprice")).as("min_price_state"),
-          max(col("l_extendedprice")).as("max_price_state"))
+          max(col("l_extendedprice")).as("max_price_state"),
+          // bigint partials for the PLAIN sum(col) spelling over the
+          // integral columns (exact monoid; Sum over int/long evaluates
+          // in LongType, so the partial IS the original result type)
+          sum(col("l_partkey")).as("sum_pk_state"),
+          sum(col("l_linenumber").cast("bigint")).as("sum_ln_state"))
         .write.mode("overwrite").parquet(path)
     }
     MvRouting.register(MvRouting.MvDef(
@@ -68,7 +76,12 @@ object MvOps {
       minMap = Map("l_quantity" -> "min_qty_state",
         "l_extendedprice" -> "min_price_state"),
       maxMap = Map("l_quantity" -> "max_qty_state",
-        "l_extendedprice" -> "max_price_state")))
+        "l_extendedprice" -> "max_price_state"),
+      sumLongMap = Map("l_partkey" -> "sum_pk_state",
+        "l_linenumber" -> "sum_ln_state"),
+      // the NOT NULL declaration (fixture invariant asserted by
+      // PlanShapeSpec): count(l_partkey) then routes as count(*)
+      notNullCols = Set("l_partkey", "l_linenumber")))
   }
 
   /** Stage + register + install the routing rule on `s`. Callers own
@@ -152,6 +165,112 @@ object MvOps {
           .as("avg_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Plain-spelling aggregates routed through the SAME rule (the r12
+    * generalization — the r11 verdict's missing #3): a user's bare
+    * `sum(bigint_col)` / `sum(int_col)` routes against bigint MV
+    * partials (Sum over any integral type evaluates in LongType — an
+    * exact monoid, so subset re-aggregation of partials is
+    * bit-identical and the result type is unchanged), and
+    * `count(not_null_col)` routes as count(*) via the registration's
+    * NOT NULL declaration. PlanShapeSpec asserts the scan reads the MV
+    * path AND bit-identity vs the unrouted plan.
+    *
+    * Scale notes: same O(groups)-instead-of-O(rows) win as mv_route;
+    * the point of the key is COVERAGE of real query spellings — the
+    * house dsum shape is ours, `sum(col)` is what users actually write.
+    */
+  private def mvRouteSumLong(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_partkey")).as("sum_pk"),
+        sum(col("l_linenumber")).as("sum_ln"),
+        count(col("l_partkey")).as("n_pk"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The MV FRESHNESS contract under mutation (the r12 top task): an
+    * `ALTER TABLE … DELETE` through the mutation machinery must never
+    * let a routed aggregate serve pre-mutation pre-aggregates. Three
+    * probes over one staged base table:
+    *   - `pre_mutation`: routed against the registered MV (full data);
+    *     values are SNAPSHOTTED eagerly — the lazy plan would re-read
+    *     post-swap files.
+    *   - `post_mutation`: the machinery's staged swap invalidated every
+    *     routing registration on the base (plans/Routing.invalidateBase
+    *     from Scans.applyIssued), so the same query text falls through
+    *     to the mutated base scan — stale partials are UNREACHABLE, by
+    *     construction, not by caller discipline.
+    *   - `post_refresh`: the MV is rebuilt from the mutated base and
+    *     re-registered; routing resumes and must equal post_mutation.
+    * The oracle reproduces all three from raw events.
+    *
+    * Scale notes: invalidation is O(registrations) driver metadata on
+    * the mutation path (free at any scale); the refresh here is a full
+    * rebuild — one aggregate over the mutated base — which at 100 TB
+    * would instead fold the mutation's signed delta into the MV
+    * (mv_join_incremental's algebra); correctness is identical, only
+    * the refresh cost differs. Falling through unrouted is ALWAYS
+    * correct in the window between mutation and refresh.
+    */
+  private def mvRouteStale(s0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val scratch = graft.Scratch.dir("mvstale")
+    val root = s"$scratch/base_t" // name disjoint from mv1/mv2 so plan
+    // text can prove which artifact a probe scanned
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("day").parquet(root)
+    def buildMv(path: String): Unit =
+      s.read.parquet(root).groupBy(col("event_type"))
+        .agg(sum(col("value").cast(DecimalType(30, 6))).as("sum_value_state"),
+          count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(path)
+    def registerMv(path: String): Unit =
+      MvRouting.register(MvRouting.MvDef(
+        basePath = root, mvPath = path, groupCols = Set("event_type"),
+        sumMap = Map("value" -> "sum_value_state"), countCol = "n_rows"))
+    buildMv(s"$scratch/mv1"); registerMv(s"$scratch/mv1")
+    MvRouting.enable(s)
+    // eager snapshot per probe: O(event_types) rows — bounded driver
+    // metadata, and the ONLY way to pin a probe's values to its point
+    // in the mutate/refresh timeline (plans are lazy). Each snapshot
+    // also proves WHICH artifact it scanned (plan text), so a silently
+    // never-firing rule can't make the oracle pass vacuously.
+    def snap(probe: String, mustScan: String, mustNotScan: String)
+        : Seq[Row] = {
+      val df = s.read.parquet(root).groupBy(col("event_type"))
+        .agg(graft.Det.dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains(mustScan) && !p.contains(mustNotScan),
+        s"$probe probe must scan $mustScan and not $mustNotScan")
+      df.collect().toIndexedSeq
+        .map(r => Row(probe, r.getString(0), r.getDouble(1), r.getLong(2)))
+    }
+    val pre = snap("pre_mutation", "mv1", "base_t") // routed
+    Scans.mutatePartitions(s, root, "day", _ => true,
+      _.filter(col("event_type") =!= "click"),
+      "ALTER TABLE t DELETE WHERE event_type = 'click'")
+    require(MvRouting.forPath(root).isEmpty,
+      "mutation machinery must have invalidated the MV registration")
+    val post = snap("post_mutation", "base_t", "mv1") // fell through
+    buildMv(s"$scratch/mv2"); registerMv(s"$scratch/mv2")
+    val refreshed = snap("post_refresh", "mv2", "base_t") // routed again
+    val schema = StructType(Seq(
+      StructField("probe", StringType), StructField("event_type", StringType),
+      StructField("sum_value", DoubleType), StructField("n", LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize((pre ++ post ++ refreshed).toList, 1), schema)
+      .orderBy(col("probe"), col("event_type").asc_nulls_last) // class-13 pin
   }
 
   /** Stage the two event layouts (idempotent per sfDir): the BASE copy
@@ -539,5 +658,31 @@ object MvOps {
                   AS avg_qty,
                 COUNT(*) AS n
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    // exact bigint monoid on both engines (DuckDB sums integers in
+    // HUGEINT — cast back to Spark's LongType result)
+    QueryDef("mv_route_sum_long", mvRouteSumLong,
+      Some("""SELECT l_returnflag,
+                CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
+                COUNT(l_partkey) AS n_pk,
+                COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    // pre_mutation aggregates the full table; post_mutation/post_refresh
+    // both aggregate the DELETE's survivor set (refresh only changes
+    // which artifact serves the values, never the values)
+    QueryDef("mv_route_stale", mvRouteStale,
+      Some(s"""WITH e AS (SELECT event_type, value FROM events)
+              SELECT 'pre_mutation' AS probe, event_type,
+                ${Det.oSum("value")} AS sum_value, COUNT(*) AS n
+              FROM e GROUP BY event_type
+              UNION ALL
+              SELECT 'post_mutation', event_type,
+                ${Det.oSum("value")}, COUNT(*)
+              FROM e WHERE event_type <> 'click' GROUP BY event_type
+              UNION ALL
+              SELECT 'post_refresh', event_type,
+                ${Det.oSum("value")}, COUNT(*)
+              FROM e WHERE event_type <> 'click' GROUP BY event_type
+              ORDER BY probe, event_type NULLS LAST""")),
   )
 }

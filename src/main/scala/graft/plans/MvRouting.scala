@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** ClickHouse-projection-style materialized-view routing, Spark-first: a
   * pre-aggregated MV registered against a base table path, and a Catalyst
@@ -51,17 +51,36 @@ object MvRouting {
     *                  (min-of-mins over any grouping subset is exact —
     *                  min is an idempotent commutative monoid)
     * @param maxMap    base column → MV column holding max(base) per group
+    * @param sumLongMap base column (integral type) → MV column holding
+    *                  sum(cast(base as bigint)) per group — routes the
+    *                  PLAIN `sum(col)` spelling (Sum over byte/short/int/
+    *                  long evaluates in LongType, an exact monoid, so
+    *                  subset re-aggregation of bigint partials is
+    *                  bit-identical; double columns never belong here)
+    * @param notNullCols base columns the registration DECLARES non-null
+    *                  (the NOT NULL DDL contract): `count(col)` over one
+    *                  equals `count(*)` per group and routes to
+    *                  sum(countCol); columns that may hold nulls must
+    *                  never be declared or the routed count overcounts
     */
   case class MvDef(basePath: String, mvPath: String, groupCols: Set[String],
       sumMap: Map[String, String], countCol: String,
       minMap: Map[String, String] = Map.empty,
-      maxMap: Map[String, String] = Map.empty)
+      maxMap: Map[String, String] = Map.empty,
+      sumLongMap: Map[String, String] = Map.empty,
+      notNullCols: Set[String] = Set.empty)
 
   private val registry = new PathRegistry[MvDef]
 
   def register(d: MvDef): Unit = registry.put(d.basePath, d)
 
   def forPath(p: String): Option[MvDef] = registry.forPath(p)
+
+  /** Drop the registration for a base path (the [[Routing]] freshness
+    * hub calls this from the mutation machinery): routed queries fall
+    * through to the mutated base until the MV is rebuilt + re-registered.
+    */
+  def invalidate(basePath: String): Unit = registry.remove(basePath)
 
   /** Install the routing rule into a session at runtime (extraOptimizations
     * runs after the main optimizer batches; extensions-based injection is
@@ -196,6 +215,26 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
           dsumSource(s.child).flatMap(mv.sumMap.get)
             .flatMap(mvAttr.get)
             .map(a => ae.copy(aggregateFunction = s.copy(child = a)))
+            .orElse {
+              // PLAIN sum over an integral base column (the r11 verdict
+              // gap: a user's bare `sum(bigint_col)` full-scanned the
+              // fact table). Sum over byte/short/int/long evaluates in
+              // LongType — exactly the MV's bigint partial type — so
+              // the routed Sum(partial) keeps the original result type
+              // and exact-monoid re-aggregation is bit-identical. The
+              // partial attr's type is CHECKED, not assumed: a
+              // mis-registered decimal partial would silently widen the
+              // result type and break parent resolution.
+              s.child match {
+                case a: AttributeReference
+                    if Seq(ByteType, ShortType, IntegerType, LongType)
+                      .contains(a.dataType) =>
+                  mv.sumLongMap.get(a.name).flatMap(mvAttr.get)
+                    .filter(_.dataType == LongType)
+                    .map(p => ae.copy(aggregateFunction = s.copy(child = p)))
+                case _ => None
+              }
+            }
         // min-of-mins / max-of-maxes over a grouping subset is exact
         // (idempotent commutative monoid), and the MV stores the base
         // column's NATIVE type, so the rewritten Min/Max's result type
@@ -206,13 +245,18 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
         case m: Max =>
           bareAttr(m.child).flatMap(mv.maxMap.get).flatMap(mvAttr.get)
             .map(a => ae.copy(aggregateFunction = Max(a)))
-        // NON-NULL literals only: count(NULL) is always 0, not the group
-        // row count — rewriting it to sum(n_rows) would be wrong. And
-        // only under a GROUP BY: a grouping-less count over an empty
-        // base is 0 unrouted but NULL routed (Sum over the empty MV).
+        // NON-NULL arguments only: count(x) skips rows where ANY child
+        // is null, so it equals the group row count exactly when every
+        // child is provably non-null — a non-null literal, or a base
+        // column the registration DECLARED not-null (the NOT NULL DDL
+        // contract; nullable columns never route because the MV stores
+        // no per-column non-null counts). And only under a GROUP BY: a
+        // grouping-less count over an empty base is 0 unrouted but NULL
+        // routed (Sum over the empty MV).
         case c: Count
             if groupExprs.nonEmpty && c.children.forall {
               case Literal(v, _) => v != null
+              case a: AttributeReference => mv.notNullCols(a.name)
               case _ => false
             } =>
           mvAttr.get(mv.countCol)

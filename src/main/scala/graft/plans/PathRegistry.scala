@@ -11,6 +11,26 @@ private[plans] final class PathRegistry[T] {
     { m.put(PathRegistry.canonical(basePath), d); () }
   def forPath(p: String): Option[T] =
     Option(m.get(PathRegistry.canonical(p)))
+  def remove(basePath: String): Unit =
+    { m.remove(PathRegistry.canonical(basePath)); () }
+}
+
+/** Freshness hub for the transparent-routing registries: a mutation on a
+  * base table must never let a routed query serve PRE-mutation data. The
+  * mutation machinery (Scans.applyIssued — the one choke point every
+  * ALTER flows through) calls [[invalidateBase]] after the staged swap;
+  * each registry drops its entry for that base, so routing falls through
+  * to the (now mutated) base scan — always correct, merely unrouted —
+  * until the owner rebuilds the derived artifact and re-registers. This
+  * is the ClickHouse contract (MVs/projections maintained on write)
+  * expressed as invalidate-then-refresh rather than write-through.
+  */
+private[graft] object Routing {
+  def invalidateBase(basePath: String): Unit = {
+    MvRouting.invalidate(basePath)
+    ProjectionRouting.invalidate(basePath)
+    TextIndexRouting.invalidate(basePath)
+  }
 }
 
 private[graft] object PathRegistry {

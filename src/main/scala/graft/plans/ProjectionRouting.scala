@@ -46,6 +46,11 @@ object ProjectionRouting {
 
   def forPath(p: String): Option[ProjDef] = registry.forPath(p)
 
+  /** Drop the registration for a base path (the [[Routing]] freshness
+    * hub): an un-rebuilt projection must not serve pre-mutation rows.
+    */
+  def invalidate(basePath: String): Unit = registry.remove(basePath)
+
   /** Per-session activation flag (the MvRouting.EnabledKey pattern): the
     * registry is JVM-global and the extensions-injected rule rides every
     * session of an extensions-configured JVM, so without a session gate

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayContains, AttributeReference, Expression, Literal, StringSplit, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayContains, AttributeReference, Expression, Literal, Or, StringSplit, XxHash64}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -20,7 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * files; false negatives are impossible for an indexed file).
   *
   * Soundness rules:
-  *   - only the exact token-membership shape routes. A substring LIKE
+  *   - only boolean combinations of the exact token-membership shape
+  *     route: AND conjuncts intersect admitted sets (each prunes
+  *     independently), OR disjunctions admit the UNION of per-token
+  *     sets — and only when EVERY disjunct is a token probe (one
+  *     opaque disjunct could match any file). A substring LIKE
   *     (`text LIKE '%tok%'`) is NOT routed: the bloom indexes whole
   *     tokens, and a substring can match inside a longer token the
   *     bloom never saw — pruning on it would drop matching files
@@ -54,6 +58,11 @@ object TextIndexRouting {
   def register(d: TextIndexDef): Unit = registry.put(d.basePath, d)
 
   def forPath(p: String): Option[TextIndexDef] = registry.forPath(p)
+
+  /** Drop the registration for a base path (the [[Routing]] freshness
+    * hub): a mutated layout must not be pruned by a stale index.
+    */
+  def invalidate(basePath: String): Unit = registry.remove(basePath)
 
   /** Per-session activation flag (the MvRouting.EnabledKey pattern):
     * the registry is JVM-global and the installed rule rides the whole
@@ -125,9 +134,39 @@ object RouteTokenFilterToIndex extends Rule[LogicalPlan] {
     }
   }
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case x => Seq(x)
+  /** Compile the filter into a per-file admission predicate over the
+    * file's (possibly absent) bloom, or None when nothing in it can
+    * prune. Token probes admit when the bloom admits (an UNINDEXED file
+    * — bloom absent — always admits: never skip unindexed parts); the
+    * boolean structure follows the predicate's own:
+    *   - And: both prunable → intersect; ONE prunable → use it alone
+    *     (dropping a conjunct only admits MORE files — sound);
+    *   - Or: prunable only when EVERY disjunct is (the r12
+    *     generalization — `contains 'a' OR contains 'b'`, the
+    *     multi-keyword search shape, admits the UNION of per-token
+    *     sets; one un-analyzable disjunct could match any file, so the
+    *     whole disjunction must admit everything → None);
+    *   - anything else (Not, LIKE, non-literal probes): None.
+    * Token hash positions are computed ONCE here (predicate build,
+    * O(tokens)), never per file — the rewrite stays O(files) at the
+    * 10⁶-file scale the index exists for.
+    */
+  private def filePredicate(e: Expression, d: TextIndexDef)
+      : Option[Option[Set[Long]] => Boolean] = e match {
+    case And(l, r) =>
+      (filePredicate(l, d), filePredicate(r, d)) match {
+        case (Some(a), Some(b)) => Some(bl => a(bl) && b(bl))
+        case (one @ Some(_), None) => one
+        case (None, one) => one
+      }
+    case Or(l, r) =>
+      for { a <- filePredicate(l, d); b <- filePredicate(r, d) }
+        yield (bl: Option[Set[Long]]) => a(bl) || b(bl)
+    case _ =>
+      tokenProbe(e, d.textCol).map { tok =>
+        val pos = tokenPositions(tok, d.bits)
+        (bl: Option[Set[Long]]) => bl.forall(b => pos.forall(b.contains))
+      }
   }
 
   /** The routable token-membership conjunct:
@@ -162,22 +201,14 @@ object RouteTokenFilterToIndex extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) if cond.deterministic =>
       baseRel(child) match {
         case Some((rel, fs, d)) =>
-          val toks =
-            conjuncts(cond).flatMap(tokenProbe(_, d.textCol)).distinct
-          if (toks.isEmpty) f
-          else {
+          filePredicate(cond, d) match {
+            case None => f
+            case Some(admits) =>
             val files = fs.location.inputFiles.toSeq
-            // probe positions hoisted OUT of the per-file loop: evaling
-            // catalyst hashes per (file, token) would make the rewrite
-            // O(files × tokens) driver work at the 10⁶-file scale this
-            // index exists for
-            val probePos = toks.map(tokenPositions(_, d.bits))
-            // EVERY routable conjunct prunes (AND semantics); a file
-            // missing from the index is admitted unconditionally
-            val admitted = files.filter { file =>
-              d.blooms.get(normFile(file)).forall(bloom =>
-                probePos.forall(_.forall(bloom.contains)))
-            }
+            // a file missing from the index is admitted unconditionally
+            // (admits receives None — every leaf admits)
+            val admitted =
+              files.filter(file => admits(d.blooms.get(normFile(file))))
             if (admitted.length == files.length) f // nothing to prune
             else if (admitted.isEmpty)
               // no file can contain the token: nothing is opened at

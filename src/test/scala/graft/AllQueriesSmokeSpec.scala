@@ -75,6 +75,34 @@ class AllQueriesSmokeSpec extends GraftSpec {
       == Seq(("a", 1.0, 2.0)))
   }
 
+  test("bench median-ratio normalization absorbs uniform load, flags outliers") {
+    // the r11 driver-run replay in miniature: every key uniformly 2×
+    // slower (pure mid-run host load the bracketed probes missed) plus
+    // ONE genuine 10× regression. median(now/prev) = 2 → threshold 3×
+    // → only the real regression survives.
+    val prev = (1 to 20).map(i => s"k$i" -> 1.0).toMap
+    val uniform = prev.map { case (k, v) => k -> v * 2.0 }
+    val m = Bench.medianRatio(prev, uniform)
+    assert(m == 2.0, s"median of a uniform 2x shift must be 2.0, got $m")
+    assert(Bench.regressions(prev, uniform, m).isEmpty,
+      "uniform load must flag nothing once median-normalized")
+    val withBug = uniform + ("k7" -> 10.0)
+    val m2 = Bench.medianRatio(prev, withBug)
+    assert(Bench.regressions(prev, withBug, m2) == Seq(("k7", 1.0, 10.0)),
+      "a genuine outlier must still flag under median normalization")
+    // clamped >= 1: a baseline taken UNDER load (now uniformly faster)
+    // must never tighten the at-rest threshold below 1.5x
+    assert(Bench.medianRatio(prev, prev.map { case (k, v) => k -> v / 2 })
+      == 1.0)
+    // too few overlapping keys (scoped dev run) → no normalization
+    assert(Bench.medianRatio(Map("a" -> 1.0), Map("a" -> 9.0)) == 1.0)
+    // sub-floor priors and failed keys are excluded from the median
+    assert(Bench.medianRatio(
+      prev ++ (1 to 10).map(i => s"sub$i" -> 0.1) ++ Seq("f" -> 1.0),
+      uniform ++ (1 to 10).map(i => s"sub$i" -> 0.9) ++ Seq("f" -> -1.0))
+      == 2.0)
+  }
+
   test("bench prev-map parse: queries extracted, garbage disables guard") {
     val dir = java.nio.file.Files.createTempDirectory("benchprev")
     val good = dir.resolve("good.json")

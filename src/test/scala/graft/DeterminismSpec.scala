@@ -10,7 +10,7 @@ package graft
   * on the session's partitioning) and the full collected results must
   * be bit-identical.
   *
-  * The sample (30 keys) is chosen adversarially: keys that reassemble
+  * The sample (36 keys) is chosen adversarially: keys that reassemble
   * arrays from aggregations (agg_foreach, agg_resample,
   * agg_group_array_sorted, agg_array_intersect, agg_moving_sum_array),
   * rank after rounding (sim_ann_recall, sim_triplet_mine), hash-order
@@ -68,7 +68,16 @@ class DeterminismSpec extends GraftSpec {
     // transparent token-index pruning: the admitted-file scan (and the
     // empty-relation fast path) must return identical rows under two
     // partitionings of the index build's collect_set aggregate
-    "scan_text_index_routed")
+    "scan_text_index_routed",
+    // round-12 wave: plain-integral-sum routing (bigint monoid over MV
+    // partials re-aggregated under either partitioning), the
+    // mutate→invalidate→refresh timeline (each probe's snapshot must
+    // not depend on how its scan/aggregate was partitioned), OR-of-
+    // token-probes over the union-admitted file set, and the
+    // incremental index append (new-file bloom build is a collect_set
+    // aggregate under the test's two partitionings)
+    "mv_route_sum_long", "mv_route_stale", "scan_text_index_routed_or",
+    "scan_text_index_append")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()

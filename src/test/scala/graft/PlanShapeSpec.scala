@@ -433,6 +433,157 @@ class PlanShapeSpec extends GraftSpec {
       "routed min/max/avg diverged from the base-table plan")
   }
 
+  test("mv_route_sum_long routes plain integral sums and count(col), bit-identical") {
+    val p = plan("mv_route_sum_long")
+    assert(p.contains("graft_mv"),
+      s"plain-sum aggregate not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed query must not also scan the fact table:\n${p.take(800)}")
+    // fixture invariant behind the registration's NOT NULL declaration
+    // (count(l_partkey) routes as count(*) ONLY if this holds)
+    assert(Tables.lineitem(spark, sf)
+      .filter(col("l_partkey").isNull || col("l_linenumber").isNull)
+      .count() == 0L, "notNullCols declaration violated by the fixture")
+    // bit-identity vs the unrouted plan: bigint partials are an exact
+    // monoid, so re-aggregation must be EQUAL, not approximately so
+    val routed = SparkEntry.queries("mv_route_sum_long")(spark, sf).collect()
+    val unrouted = Tables.lineitem(spark, sf) // plain session: rule never armed
+      .groupBy(col("l_returnflag"))
+      .agg(
+        org.apache.spark.sql.functions.sum(col("l_partkey")).as("sum_pk"),
+        org.apache.spark.sql.functions.sum(col("l_linenumber")).as("sum_ln"),
+        org.apache.spark.sql.functions.count(col("l_partkey")).as("n_pk"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    assert(unrouted.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(routed.toSeq == unrouted.collect().toSeq,
+      "routed plain sums diverged from the base-table plan")
+    // negative gates on an armed session: shapes the MV CANNOT answer
+    // exactly must stay on the base table
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    // count over a column NOT declared non-null (no per-column non-null
+    // counts in the MV — routing it could overcount)
+    val cnt = Tables.lineitem(s, sf).groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.count(col("l_quantity")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(cnt.contains("lineitem.parquet"),
+      s"count over an undeclared column must stay unrouted:\n${cnt.take(500)}")
+    // plain sum over a DOUBLE column (order-dependent — bigint partials
+    // don't exist for it and must not be invented)
+    val dbl = Tables.lineitem(s, sf).groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(dbl.contains("lineitem.parquet"),
+      s"plain double sum must stay unrouted:\n${dbl.take(500)}")
+  }
+
+  test("mv_route_stale: mutation invalidates routing; refresh resumes it") {
+    // the key's own snapshots assert plan shape per probe (pre→mv1,
+    // post→base, refresh→mv2 — it throws if any probe scans the wrong
+    // artifact); here the VALUE timeline: the delete must be visible
+    // post-mutation, and the refreshed MV must serve exactly the
+    // fallen-through values
+    val rows = SparkEntry.queries("mv_route_stale")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    def of(probe: String) = rows.filter(_._1 == probe)
+      .map(t => (t._2, t._3, t._4)).toSeq
+    val pre = of("pre_mutation")
+    val post = of("post_mutation")
+    assert(post == of("post_refresh"),
+      "refreshed-MV values must equal the post-mutation base scan")
+    assert(pre.exists(_._1 == "click"),
+      "fixture must contain click events for the delete to be observable")
+    assert(!post.exists(_._1 == "click"),
+      "post-mutation probes must not see the deleted group")
+    assert(pre.filter(_._1 != "click") == post,
+      "non-deleted groups must be untouched by the mutation")
+  }
+
+  test("token index OR routing prunes to the union; append maintains the index") {
+    import graft.plans.TextIndexRouting
+    import graft.operators.Scans
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val s = graft.Sessions.isolatedClone(spark) // rule isolation
+    val root = s"${graft.Scratch.dir("textidxor")}/t"
+    // two single-row files with DISJOINT vocabularies
+    Seq((1L, "alpha beta")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    Seq((2L, "gamma delta")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    // the initial build IS an append from the empty manifest
+    assert(Scans.appendTextIndex(s, root) == 2)
+    def register(): Unit = TextIndexRouting.register(
+      TextIndexRouting.TextIndexDef(root, "text", Scans.TextIndexBits,
+        Scans.parseIndex(root)))
+    register(); TextIndexRouting.enable(s)
+    def tokFilter(t: String) = org.apache.spark.sql.functions.array_contains(
+      org.apache.spark.sql.functions.split(col("text"), " "), t)
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.flatMap(_.relation.location.inputFiles)
+        .map(TextIndexRouting.normFile).toSet
+    // bloom-admitted file set per token (k=2 at 256 bits over a 4-token
+    // corpus: collisions astronomically unlikely, and deterministic)
+    def admits(tok: String): Set[String] = {
+      val pos = TextIndexRouting.tokenPositions(tok, Scans.TextIndexBits)
+      Scans.parseIndex(root).collect {
+        case (f, b) if pos.forall(b.contains) => f
+      }.toSet
+    }
+    val fAlpha = admits("alpha"); val fGamma = admits("gamma")
+    assert(fAlpha.size == 1 && fGamma.size == 1 && fAlpha != fGamma,
+      s"fixture degenerate: alpha→$fAlpha gamma→$fGamma")
+    val all = s.read.parquet(root).inputFiles
+      .map(TextIndexRouting.normFile).toSet
+    // OR of two present tokens admits the UNION
+    val or2 = s.read.parquet(root)
+      .filter(tokFilter("alpha") || tokFilter("gamma"))
+    assert(scanned(or2) == (fAlpha ++ fGamma),
+      s"OR must admit the union: ${scanned(or2)}")
+    assert(or2.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // OR with an absent token: union degenerates to the present one's set
+    assert(scanned(s.read.parquet(root)
+      .filter(tokFilter("alpha") || tokFilter("omega"))) == fAlpha)
+    // both absent: no file opened at all
+    val none = s.read.parquet(root)
+      .filter(tokFilter("omega") || tokFilter("psi"))
+    assert(none.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.isEmpty, "absent|absent disjunction must open no file")
+    assert(none.count() == 0)
+    // an un-analyzable disjunct could match ANY file — the whole
+    // disjunction must admit everything (stay unrouted)
+    assert(scanned(s.read.parquet(root).filter(tokFilter("alpha") ||
+      org.apache.spark.sql.functions.length(col("text")) > 100)) == all,
+      "opaque disjunct must disable pruning for the whole OR")
+    // …while an opaque AND-conjunct is just dropped (sound: admits more)
+    assert(scanned(s.read.parquet(root).filter(tokFilter("alpha") &&
+      org.apache.spark.sql.functions.length(col("text")) > 3)) == fAlpha,
+      "token conjunct must still prune under an opaque AND sibling")
+    // ---- incremental append ----
+    Seq((3L, "epsilon zeta")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    register() // stale blooms: 2 entries, file 3 unindexed
+    // unindexed file admitted even for a token it cannot contain (sound)
+    assert(scanned(s.read.parquet(root).filter(tokFilter("alpha")))
+      .size == 2, "unindexed appended file must be admitted")
+    // the append step indexes exactly the new file; replay is a no-op
+    assert(Scans.appendTextIndex(s, root) == 1)
+    assert(Scans.appendTextIndex(s, root) == 0)
+    register() // refreshed blooms
+    assert(scanned(s.read.parquet(root).filter(tokFilter("alpha")))
+      == fAlpha, "appended file must be PRUNED once indexed")
+    val eps = s.read.parquet(root).filter(tokFilter("epsilon"))
+    assert(eps.collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "appended rows must be servable through the refreshed index")
+    TextIndexRouting.disable(s)
+  }
+
   test("scan_text_index_routed: absent-token probe arm opens no file") {
     val df = SparkEntry.queries("scan_text_index_routed")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

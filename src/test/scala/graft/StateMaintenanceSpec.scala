@@ -75,8 +75,9 @@ class StateMaintenanceSpec extends GraftSpec {
     assert(afterIssue.map(e => (e.id, e.partsDone, e.isDone))
       == Seq((idPending, 0L, 0)))
     assert(afterIssue.head.partsTotal ==
-      graft.Scratch.listPartitionDirs(root, "day=").length.toLong,
-      "parts_total must be the partition count at issue time")
+      graft.Scratch.listPartitionDirs(root, "day=")
+        .count(_.getName != "day=__HIVE_DEFAULT_PARTITION__").toLong,
+      "parts_total must be the non-null partition count at issue time")
     // a mutation run through mutatePartitions writes its OWN issue and
     // apply records — no caller-side bookkeeping anywhere
     val touched = Scans.mutatePartitions(spark, root, "day",
@@ -155,6 +156,67 @@ class StateMaintenanceSpec extends GraftSpec {
     // and the null-day partition's files were never rewritten (cold):
     // cold_files_unchanged == 1 above already proves the SHA snapshot
     // (which now INCLUDES the null-day dir) matched before vs after
+  }
+
+  test("ledger counts model COUNT(DISTINCT partCol): null partition excluded") {
+    import graft.operators.Scans
+    import spark.implicits._
+    // 3 dated partitions + the Hive null-partition dir (null-day rows):
+    // the DuckDB oracle models parts_total as COUNT(DISTINCT day), which
+    // excludes NULL — so must the ledger (r11 ADVICE medium finding)
+    val root = s"${graft.Scratch.dir("ledgernull")}/t"
+    Seq(
+      (Some(java.sql.Date.valueOf("2024-01-01")), 1L, "view", 1.0),
+      (Some(java.sql.Date.valueOf("2024-01-02")), 2L, "click", 2.0),
+      (Some(java.sql.Date.valueOf("2024-01-03")), 3L, "view", 3.0),
+      (None, 4L, "click", 4.0))
+      .toDF("day", "event_id", "event_type", "value")
+      .write.partitionBy("day").parquet(root)
+    assert(new java.io.File(s"$root/day=__HIVE_DEFAULT_PARTITION__")
+      .isDirectory, "fixture must materialize the null-day dir")
+    val id = Scans.issueMutation(root, "day", "ALTER TABLE t DELETE WHERE x")
+    assert(Scans.readLedgerEntries(root).find(_.id == id).get.partsTotal
+      == 3L, "parts_total must exclude the null partition")
+    // admit-everything apply: parts_done counts the same universe, so
+    // done <= total holds even though the null dir WAS rewritten
+    Scans.mutatePartitions(spark, root, "day", _ => true,
+      _.filter(col("event_type") =!= "click"),
+      "ALTER TABLE t DELETE WHERE event_type = 'click'")
+    val applied = Scans.readLedgerEntries(root).maxBy(_.id)
+    assert(applied.partsTotal == 3L && applied.partsDone == 3L
+      && applied.isDone == 1, applied.toString)
+    // the rewrite itself DID cover the null partition's rows
+    val left = spark.read.parquet(root).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(1L, 3L), left.mkString(","))
+  }
+
+  test("a mutation invalidates every routing registration on its base") {
+    import graft.operators.Scans
+    import spark.implicits._
+    val scratch = graft.Scratch.dir("mutinval")
+    val root = s"$scratch/base"
+    Seq((java.sql.Date.valueOf("2024-01-01"), 1L, 1.0),
+      (java.sql.Date.valueOf("2024-01-02"), 2L, 2.0))
+      .toDF("day", "k", "v").write.partitionBy("day").parquet(root)
+    graft.plans.MvRouting.register(graft.plans.MvRouting.MvDef(
+      basePath = root, mvPath = s"$scratch/mv", groupCols = Set("k"),
+      sumMap = Map("v" -> "sv"), countCol = "n"))
+    graft.plans.ProjectionRouting.register(graft.plans.ProjectionRouting
+      .ProjDef(root, "day", s"$scratch/alt", "k"))
+    graft.plans.TextIndexRouting.register(graft.plans.TextIndexRouting
+      .TextIndexDef(root, "text", 256, Map.empty))
+    assert(graft.plans.MvRouting.forPath(root).nonEmpty)
+    Scans.mutatePartitions(spark, root, "day", _ => true,
+      _.filter(col("k") =!= 1L), "ALTER TABLE t DELETE WHERE k = 1")
+    // the machinery (not caller discipline) dropped all three — stale
+    // derived artifacts are unreachable the moment the swap lands
+    assert(graft.plans.MvRouting.forPath(root).isEmpty,
+      "MV registration must be invalidated by the mutation")
+    assert(graft.plans.ProjectionRouting.forPath(root).isEmpty,
+      "projection registration must be invalidated by the mutation")
+    assert(graft.plans.TextIndexRouting.forPath(root).isEmpty,
+      "text-index registration must be invalidated by the mutation")
   }
 
   test("mv routing falls through when the registered MV path was GC'd") {

@@ -40,7 +40,7 @@ def main():
     if unknown:
         print(f"[FAIL] unknown keys: {sorted(unknown)}")
         sys.exit(2)
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_warn = 0
     for key, sql in sorted(oracle.items()):
         if only and key not in only:
             continue
@@ -131,10 +131,14 @@ def main():
             # the real gate would pass.
             skey = lambda r: tuple(repr(r[c]) for c in wcols)
             if first_diff(sorted(w, key=skey), sorted(g, key=skey)) is None:
+                # counted in n_warn (surfaced in the exit summary):
+                # driver-green, but silent accumulation of tie-order
+                # drift would hide genuinely nondeterministic ORDER BYs
                 print(f"[warn] {key}: {len(w)} rows match only after "
                       "sorting — tie-order divergence (driver-green); "
                       "tighten the ORDER BY")
                 n_ok += 1
+                n_warn += 1
             else:
                 i, c, a, b = bad
                 print(f"[FAIL] {key}: row {i} col {c}: "
@@ -156,7 +160,6 @@ def main():
             os.path.basename(d.rstrip("/"))
             for d in glob.glob(f"{out_dir}/*/")
             if os.path.basename(d.rstrip("/")) not in oracle)
-    n_warn = 0
     for key in rows_only:
         if only and key not in only:
             continue
