@@ -64,19 +64,34 @@ object SortSetOps {
     * associates it with the window formulation above; PlanShapeSpec
     * asserts the partial node sits below the exchange.
     */
-  private def topkPerGroupNative(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-    graft.plans.TopKPerGroupStrategy.install(s)
-    val base = Tables.orders(s, dir)
-      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-    val analyzed = base.queryExecution.analyzed
-    def a(n: String) = analyzed.output.find(_.name == n).get
-    val node = graft.plans.TopKPerGroup(3, Seq(a("o_orderpriority")),
-      Seq(SortOrder(a("o_totalprice"), Descending),
-        SortOrder(a("o_orderkey"), Ascending)), analyzed)
-    org.apache.spark.sql.graft.Bridge.ofRows(s, node)
+  private def topkPerGroupNative(s: SparkSession, dir: String): DataFrame =
+    topKPerGroupOf(s,
+      Tables.orders(s, dir).select(col("o_orderpriority"),
+        col("o_orderkey"), col("o_totalprice")),
+      k = 3, groups = Seq("o_orderpriority"),
+      order = Seq("o_totalprice" -> true, "o_orderkey" -> false))
       .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
         col("o_orderkey"))
+
+  /** Shared scaffolding for keys built on the native bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator: install the strategy,
+    * capture the analyzed child, resolve names to attributes (with a
+    * NAMED error — a renamed column must not surface as a bare
+    * NoSuchElementException), bridge the node back to a DataFrame.
+    * `order` is (column, descending?) pairs.
+    */
+  private def topKPerGroupOf(s: SparkSession, base: DataFrame, k: Int,
+      groups: Seq[String], order: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    graft.plans.TopKPerGroupStrategy.install(s)
+    val analyzed = base.queryExecution.analyzed
+    def a(n: String) = analyzed.output.find(_.name == n).getOrElse(
+      sys.error(s"topKPerGroupOf: no column '$n' in " +
+        analyzed.output.map(_.name).mkString("[", ",", "]")))
+    val node = graft.plans.TopKPerGroup(k, groups.map(a),
+      order.map { case (n, desc) =>
+        SortOrder(a(n), if (desc) Descending else Ascending) }, analyzed)
+    org.apache.spark.sql.graft.Bridge.ofRows(s, node)
   }
 
   /** ClickHouse `groupArrayLast(N)` — the last N values per group. CH
@@ -91,17 +106,11 @@ object SortSetOps {
     * rule), 2dp-decimal-formatted on both engines.
     */
   private def aggGroupArrayLast(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder}
-    graft.plans.TopKPerGroupStrategy.install(s)
-    val base = Tables.orders(s, dir)
-      .select(col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"),
-        col("o_totalprice"))
-    val analyzed = base.queryExecution.analyzed
-    def a(n: String) = analyzed.output.find(_.name == n).get
-    val node = graft.plans.TopKPerGroup(5, Seq(a("o_orderstatus")),
-      Seq(SortOrder(a("o_orderdate"), Descending),
-        SortOrder(a("o_orderkey"), Descending)), analyzed)
-    org.apache.spark.sql.graft.Bridge.ofRows(s, node)
+    topKPerGroupOf(s,
+      Tables.orders(s, dir).select(col("o_orderstatus"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice")),
+      k = 5, groups = Seq("o_orderstatus"),
+      order = Seq("o_orderdate" -> true, "o_orderkey" -> true))
       .groupBy(col("o_orderstatus"))
       .agg(array_join(transform(
           array_sort(collect_list(struct(col("o_orderdate"),

@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -249,7 +249,9 @@ object Windows {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(-10, -1)
     // class-8 discipline: moments in EXACT INTEGER CENTS (2dp-price
-    // fixture invariant, asserted below) and ONE closed-form double
+    // fixture invariant — the named PlanShapeSpec "o_totalprice is
+    // exact cents" test asserts it at every staged SF) and ONE
+    // closed-form double
     // chain per row. The previous formulation cast the COMPUTED double
     // p² to decimal(30,6) — the class-16 split (Spark shortest-repr vs
     // DuckDB exact-binary; measured: 8300/15000 fixture rows differed,
@@ -316,8 +318,7 @@ object Windows {
   private def winShare(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
     val tot = Tables.orders(s, dir)
-      .agg(sum(col("o_totalprice").cast(DecimalType(30, 6))).cast("double")
-        .as("gt"))
+      .agg(Det.dsum(col("o_totalprice")).as("gt"))
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)

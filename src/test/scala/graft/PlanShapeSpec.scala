@@ -433,6 +433,31 @@ class PlanShapeSpec extends GraftSpec {
       "routed min/max/avg diverged from the base-table plan")
   }
 
+  test("fixture invariant: o_totalprice is exact cents at every staged SF") {
+    // win_zscore's integer-cents moments and agg_group_array_last's
+    // decimal(20,2) formatting rest on prices being exactly 2dp; an
+    // off-grid drop would hit divergence class 16 (Spark shortest-repr
+    // vs DuckDB exact-binary double→decimal rounding) as an opaque hash
+    // mismatch. Reconstruction check mirrors the operators' own cents
+    // derivation: cents = cast(price as dec(30,2))·100, and cents/100.0
+    // (correctly-rounded double division) must give back the exact
+    // stored double — true iff the double IS the nearest double to a
+    // 2dp decimal. Checked at every staged SF, not just the test's.
+    val testdataRoot = new java.io.File(sf).getParentFile
+    Option(testdataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, "orders.parquet").exists())
+      .foreach { d =>
+        val offGrid = Tables.orders(spark, d.getPath)
+          .filter((col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100)
+            .cast("long").cast("double") / 100.0 =!= col("o_totalprice"))
+          .count()
+        assert(offGrid == 0L, s"$offGrid off-grid o_totalprice rows in " +
+          s"${d.getName} — the integer-cents moment chains are invalid")
+      }
+  }
+
   test("mv_route_sum_long routes plain integral sums and count(col), bit-identical") {
     val p = plan("mv_route_sum_long")
     assert(p.contains("graft_mv"),
