@@ -19,17 +19,25 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   * pattern) plus a per-group row count, both of which form a commutative
   * monoid — re-aggregating partials over any grouping SUBSET is exact,
   * never approximate. A query is routed only when
-  *   - its grouping columns ⊆ the MV's grouping columns,
+  *   - its grouping keys ⊆ the MV's grouping keys — a bare column by
+  *     name, or an EXPRESSION key (`GROUP BY date_trunc('month', ts)`,
+  *     the ClickHouse toStartOfMonth projection shape) matched
+  *     semantically against a registered template whose value the MV
+  *     stores materialized,
   *   - every aggregate is `sum(cast(col as decimal(30,6)))` over a column
   *     the MV covers, `count(1)`, `min(col)`/`max(col)` over a column the
   *     MV stores min/max partials for (idempotent monoids — subset
-  *     re-aggregation exact), or `avg(cast(col as decimal(30,6)))`
-  *     (rewritten to the routed sum/count through Average's OWN decimal
-  *     divide tree, so the result is bit-identical) — no DISTINCT, no
-  *     FILTER clause on any of them,
+  *     re-aggregation exact), `min`/`max`/`count(DISTINCT …)` over a
+  *     GROUPING key itself (the MV holds exactly one row per distinct
+  *     grouping tuple, so the distinct value set of any grouping key is
+  *     preserved), or `avg(cast(col as decimal(30,6)))` (rewritten to
+  *     the routed sum/count through Average's OWN decimal divide tree,
+  *     so the result is bit-identical) — no FILTER clause on any of
+  *     them, and no other DISTINCT,
   *   - the aggregate sits on the base scan through at most column-pruning
-  *     Projects and Filters whose predicates reference MV GROUPING columns
-  *     only (`WHERE grouping_col = x GROUP BY …`, the most common real
+  *     Projects and Filters whose predicates reference MV GROUPING keys
+  *     only — grouping columns or registered grouping-expression subtrees
+  *     (`WHERE grouping_col = x GROUP BY …`, the most common real
   *     projection query — such a predicate filters whole groups, so it
   *     commutes with re-aggregation and is applied to the MV instead;
   *     a row-level predicate on any NON-grouping column still blocks,
@@ -62,13 +70,28 @@ object MvRouting {
     *                  equals `count(*)` per group and routes to
     *                  sum(countCol); columns that may hold nulls must
     *                  never be declared or the routed count overcounts
+    * @param exprGroupCols EXPRESSION grouping keys the MV stores
+    *                  materialized (the ClickHouse `GROUP BY
+    *                  toStartOfMonth(ts)` projection shape): each entry
+    *                  is an ANALYZED deterministic expression over base
+    *                  columns only, paired with the MV column holding its
+    *                  per-group value. A query grouping by (or filtering
+    *                  on) a semantically-equal expression routes to that
+    *                  column — sound for the same subset-re-aggregation
+    *                  reason as plain grouping columns, because the MV is
+    *                  grouped by the expression's VALUE. Registration
+    *                  contract: build the template by analyzing the
+    *                  expression against the base table's own schema
+    *                  (same session timezone), so semanticEquals
+    *                  comparison is apples-to-apples.
     */
   case class MvDef(basePath: String, mvPath: String, groupCols: Set[String],
       sumMap: Map[String, String], countCol: String,
       minMap: Map[String, String] = Map.empty,
       maxMap: Map[String, String] = Map.empty,
       sumLongMap: Map[String, String] = Map.empty,
-      notNullCols: Set[String] = Set.empty)
+      notNullCols: Set[String] = Set.empty,
+      exprGroupCols: Seq[(Expression, String)] = Nil)
 
   private val registry = new PathRegistry[MvDef]
 
@@ -116,35 +139,100 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
 
   /** The base scan under an Aggregate, peeling column-pruning Projects
     * and collecting Filter conditions on the way down; anything else
-    * (Join, Window, non-attr Project, …) blocks routing. The collected
-    * conditions are vetted by [[routableFilter]] — a filter is only
-    * sound to route when it references MV GROUPING columns exclusively
-    * (it then filters whole groups identically on base and MV; a
-    * row-level predicate can't be answered post-aggregation).
+    * (Join, Window, …) blocks routing. The collected conditions are
+    * vetted by [[routableFilter]] — a filter is only sound to route
+    * when it references MV GROUPING keys exclusively (it then filters
+    * whole groups identically on base and MV; a row-level predicate
+    * can't be answered post-aggregation).
+    *
+    * Projects may carry deterministic ALIASES, not just bare attributes:
+    * the main optimizer's PullOutGroupingExpressions rewrites
+    * `GROUP BY f(col)` into `Aggregate(_groupingexpression, …,
+    * Project(f(col) AS _groupingexpression, scan))` BEFORE
+    * extraOptimizations run, so the expression-keyed shapes this rule
+    * exists for always arrive in pulled-out form. Each alias is
+    * recorded in a substitution map (inner substitutions already
+    * applied, so stacked Projects resolve transitively) that the caller
+    * inlines back into the Aggregate's expressions before template
+    * matching; Filter conditions collected ABOVE a Project get the
+    * child substitution applied on the spot. A non-deterministic alias
+    * blocks routing — inlining could otherwise duplicate its evaluation.
     */
-  private def baseScan(p: LogicalPlan)
-      : Option[(Seq[Expression], HadoopFsRelation)] = p match {
+  private def baseScan(p: LogicalPlan): Option[(Seq[Expression],
+      Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+      HadoopFsRelation)] = p match {
     case l: LogicalRelation => l.relation match {
-      case fs: HadoopFsRelation => Some((Nil, fs))
+      case fs: HadoopFsRelation => Some((Nil, Map.empty, fs))
       case _ => None
     }
-    case Project(projList, child)
-        if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      baseScan(child)
+    case Project(projList, child) if projList.forall {
+        case _: AttributeReference => true
+        case a: Alias => a.child.deterministic
+        case _ => false
+      } =>
+      baseScan(child).map { case (conds, subst, fs) =>
+        val grown = subst ++ projList.collect {
+          case a: Alias => a.exprId -> applySubst(a.child, subst)
+        }
+        (conds, grown, fs)
+      }
     case Filter(cond, child) =>
-      baseScan(child).map { case (conds, fs) => (cond +: conds, fs) }
+      baseScan(child).map { case (conds, subst, fs) =>
+        (applySubst(cond, subst) +: conds, subst, fs)
+      }
     case _ => None
   }
 
+  private def applySubst(e: Expression,
+      s: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
+      : Expression =
+    if (s.isEmpty) e
+    else e.transformUp {
+      case a: AttributeReference if s.contains(a.exprId) => s(a.exprId)
+    }
+
+  /** Does the query expression equal a registered grouping-expression
+    * template? Template attributes are remapped BY NAME onto the query
+    * expression's own attributes first (the two sides come from
+    * different analyzed instances of the base relation, so exprIds
+    * never align), then compared semantically. A template referencing a
+    * name the query expression doesn't is simply not a match.
+    */
+  private def matchesTemplate(e: Expression, tmpl: Expression): Boolean = {
+    if (!e.deterministic) return false
+    val byName = e.references.toSeq.map(a => a.name -> a).toMap
+    var ok = true
+    val remapped = tmpl.transform {
+      case a: AttributeReference => byName.getOrElse(a.name, { ok = false; a })
+    }
+    ok && remapped.semanticEquals(e)
+  }
+
+  private def exprTarget(e: Expression, mv: MvDef): Option[String] =
+    mv.exprGroupCols.collectFirst {
+      case (tmpl, mvCol) if matchesTemplate(e, tmpl) => mvCol
+    }
+
   /** A filter condition is routable iff it is deterministic, contains
     * no subquery (a PlanExpression's INTERNAL attributes could collide
-    * by name with MV grouping columns and be remapped wrongly), and
-    * every attribute it references is an MV grouping column.
+    * by name with MV grouping columns and be remapped wrongly), and —
+    * after masking out subtrees that match a registered grouping
+    * EXPRESSION (those are functions of the grouping key, so they
+    * filter whole groups too) — every attribute it references is an MV
+    * grouping column.
     */
-  private def routableFilter(cond: Expression, mv: MvDef): Boolean =
+  private def routableFilter(cond: Expression, mv: MvDef): Boolean = {
+    // the masked literal's type is irrelevant — the result is only used
+    // for reference counting, never analyzed or evaluated
+    val masked =
+      if (mv.exprGroupCols.isEmpty) cond
+      else cond.transform {
+        case e if exprTarget(e, mv).isDefined => Literal(true)
+      }
     cond.deterministic &&
       !cond.exists(_.isInstanceOf[PlanExpression[_]]) &&
-      cond.references.forall(a => mv.groupCols(a.name))
+      masked.references.forall(a => mv.groupCols(a.name))
+  }
 
   /** The Det.dsum shape: cast(col as decimal(30,6)) summed. */
   private def dsumSource(e: Expression): Option[String] = e match {
@@ -176,26 +264,48 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     // scan; falling through to the base table is merely unrouted and
     // always correct. One driver-side stat per candidate rewrite.
     case agg: Aggregate
-        if baseScan(agg.child).exists { case (conds, fs) =>
+        if baseScan(agg.child).exists { case (conds, _, fs) =>
           fs.location.rootPaths.length == 1 &&
             forPath(fs.location.rootPaths.head.toString)
               .exists(d => PathRegistry.targetExists(d.mvPath) &&
                 conds.forall(routableFilter(_, d))) } =>
-      val (conds, fs) = baseScan(agg.child).get
+      val (conds, subst, fs) = baseScan(agg.child).get
       val mv = forPath(fs.location.rootPaths.head.toString).get
-      rewrite(agg, agg.groupingExpressions, agg.aggregateExpressions,
-          conds, mv)
+      // inline pulled-out grouping aliases back into the Aggregate's own
+      // expressions so template matching sees `GROUP BY date_trunc(…)`,
+      // not the opaque `_groupingexpression` attribute. The Aggregate's
+      // OUTPUT (name, exprId) per position must survive unchanged —
+      // a bare attribute fed by a RENAMING project (`select(a AS b)
+      // … GROUP BY b`) substitutes to the base attribute, and keeping it
+      // un-wrapped would silently publish the base name/exprId and break
+      // every parent operator resolved against the original output.
+      val groupExprs = agg.groupingExpressions.map(applySubst(_, subst))
+      val aggExprs = agg.aggregateExpressions.map { ne =>
+        applySubst(ne, subst) match {
+          case al: Alias if al.exprId == ne.exprId => al
+          case a: AttributeReference if a.exprId == ne.exprId => a
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }
+      }
+      rewrite(agg, groupExprs, aggExprs, conds, mv)
         .getOrElse(agg)
   }
 
   private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], filterConds: Seq[Expression],
       mv: MvDef): Option[Aggregate] = {
-    val groupNames = groupExprs.map {
-      case a: AttributeReference => a.name
-      case _ => return None
+    // each grouping expression resolves to an MV column: a bare attr
+    // must be a registered grouping column; anything else must match a
+    // registered grouping-EXPRESSION template (the MV stores its value
+    // materialized per group). Aliases are stripped defensively —
+    // CleanupAliases already removes them from groupingExpressions.
+    val groupNames = groupExprs.map { g0 =>
+      val g = g0 match { case al: Alias => al.child; case x => x }
+      g match {
+        case a: AttributeReference if mv.groupCols(a.name) => a.name
+        case e => exprTarget(e, mv).getOrElse(return None)
+      }
     }
-    if (!groupNames.forall(mv.groupCols)) return None
 
     // fresh resolved MV scan; exprIds are new, output aliases keep the
     // ORIGINAL exprIds so parent operators still resolve
@@ -205,9 +315,33 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       mvPlan.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
 
     def rewriteAggFn(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      if (ae.filter.nonEmpty) return None
       def bareAttr(e: Expression): Option[String] = e match {
         case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+      // the MV attribute standing in for a GROUPING key — a grouping
+      // column by name or a registered grouping-expression match
+      def keyAttr(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference if mv.groupCols(a.name) => mvAttr.get(a.name)
+        case other => exprTarget(other, mv).flatMap(mvAttr.get)
+      }
+      // DISTINCT routes ONLY as COUNT(DISTINCT grouping-key): the MV
+      // holds exactly one row per distinct grouping tuple (and a row
+      // exists iff ≥1 base row does), so the distinct value set of any
+      // grouping key within any grouping SUBSET is identical on base
+      // and MV — the count stays a Count(distinct) over the MV column,
+      // which is also empty-base-safe (0 on both sides, no group-by
+      // guard needed). Note the single-distinct-group restriction is
+      // enforced upstream by Spark itself: RewriteDistinctAggregates
+      // mangles multi-distinct plans before this rule ever sees them,
+      // and the mangled shape simply fails baseScan — sound fallthrough.
+      if (ae.isDistinct) return ae.aggregateFunction match {
+        case c: Count => c.children match {
+          case Seq(child) =>
+            keyAttr(child).map(a => ae.copy(aggregateFunction = Count(Seq(a))))
+          case _ => None
+        }
         case _ => None
       }
       ae.aggregateFunction match {
@@ -238,12 +372,17 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
         // min-of-mins / max-of-maxes over a grouping subset is exact
         // (idempotent commutative monoid), and the MV stores the base
         // column's NATIVE type, so the rewritten Min/Max's result type
-        // is identical to the original's — parent exprIds keep resolving
+        // is identical to the original's — parent exprIds keep resolving.
+        // A GROUPING key itself also routes (keyAttr): min over base
+        // rows of g = min over the distinct g values present = min over
+        // MV rows (nulls ignored identically on both sides).
         case m: Min =>
           bareAttr(m.child).flatMap(mv.minMap.get).flatMap(mvAttr.get)
+            .orElse(keyAttr(m.child))
             .map(a => ae.copy(aggregateFunction = Min(a)))
         case m: Max =>
           bareAttr(m.child).flatMap(mv.maxMap.get).flatMap(mvAttr.get)
+            .orElse(keyAttr(m.child))
             .map(a => ae.copy(aggregateFunction = Max(a)))
         // NON-NULL arguments only: count(x) skips rows where ANY child
         // is null, so it equals the group row count exactly when every
@@ -307,10 +446,16 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       case a: AttributeReference =>
         if (mv.groupCols(a.name)) mvAttr.get(a.name) else None
       case other =>
-        val kids = other.children.map(rw)
-        if (kids.forall(_.isDefined))
-          Some(other.withNewChildren(kids.map(_.get)))
-        else None
+        // a grouping-EXPRESSION occurrence maps to its materialized MV
+        // column as a whole — checked BEFORE recursing, because its
+        // internal attributes (e.g. the raw timestamp) are not grouping
+        // columns and recursion would wrongly abort
+        exprTarget(other, mv).flatMap(mvAttr.get).orElse {
+          val kids = other.children.map(rw)
+          if (kids.forall(_.isDefined))
+            Some(other.withNewChildren(kids.map(_.get)))
+          else None
+        }
     }
 
     val newAggExprs = aggExprs.map {
@@ -332,7 +477,20 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       else {
         val remapped = filterConds.map { c =>
           var ok = true
+          // grouping-expression subtrees first (their internal attrs are
+          // NOT grouping columns — the bare-attr case must never see
+          // them); replacement is the materialized MV column. The
+          // template match is bound once per node via unapply — the
+          // remap + semanticEquals per call is not free driver work.
+          object ExprKey {
+            def unapply(e: Expression): Option[String] = exprTarget(e, mv)
+          }
           val r = c.transform {
+            case ExprKey(mvCol) =>
+              mvAttr.get(mvCol) match {
+                case Some(ma) => ma
+                case None => ok = false; Literal(true)
+              }
             case a: AttributeReference =>
               mvAttr.get(a.name) match {
                 case Some(ma) => ma
@@ -347,7 +505,9 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
           mvPlan)
       }
 
-    val newGroup = groupNames.map(mvAttr)
+    // a mis-registration (MV parquet missing a mapped column) falls
+    // through instead of crashing the query at the rewritten scan
+    val newGroup = groupNames.map(n => mvAttr.getOrElse(n, return None))
     Some(agg.copy(groupingExpressions = newGroup,
       aggregateExpressions = newAggExprs.map(_.get), child = newChild))
   }

@@ -10,7 +10,7 @@ package graft
   * on the session's partitioning) and the full collected results must
   * be bit-identical.
   *
-  * The sample (36 keys) is chosen adversarially: keys that reassemble
+  * The sample (39 keys) is chosen adversarially: keys that reassemble
   * arrays from aggregations (agg_foreach, agg_resample,
   * agg_group_array_sorted, agg_array_intersect, agg_moving_sum_array),
   * rank after rounding (sim_ann_recall, sim_triplet_mine), hash-order
@@ -77,7 +77,15 @@ class DeterminismSpec extends GraftSpec {
     // incremental index append (new-file bloom build is a collect_set
     // aggregate under the test's two partitionings)
     "mv_route_sum_long", "mv_route_stale", "scan_text_index_routed_or",
-    "scan_text_index_append")
+    "scan_text_index_append",
+    // expression-grouping-key routing: the semantic template match plus
+    // decimal/min/max re-aggregation keyed by the materialized month
+    // column must be partitioning-stable, as must the filtered flavor's
+    // pre-aggregation MV filter
+    "mv_route_expr_key", "mv_route_expr_filtered",
+    // grouping-key distinct/min/max answered from MV rows: the routed
+    // Count(DISTINCT) plans its own distinct shuffle over the MV scan
+    "mv_route_grouping_stats")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()

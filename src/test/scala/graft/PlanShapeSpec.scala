@@ -505,6 +505,125 @@ class PlanShapeSpec extends GraftSpec {
       s"plain double sum must stay unrouted:\n${dbl.take(500)}")
   }
 
+  test("mv_route_expr_key routes GROUP BY date_trunc to the MV, bit-identical") {
+    val p = plan("mv_route_expr_key")
+    assert(p.contains("graft_mv"),
+      s"expression-keyed aggregate not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed query must not also scan the fact table:\n${p.take(800)}")
+    val pf = plan("mv_route_expr_filtered")
+    assert(pf.contains("graft_mv"),
+      s"expression-filtered aggregate not routed to the MV:\n${pf.take(800)}")
+    assert(!pf.contains("lineitem.parquet"),
+      s"routed query must not also scan the fact table:\n${pf.take(800)}")
+    // bit-identity vs the unrouted plan: the materialized month key must
+    // reproduce date_trunc's value EXACTLY (same session timezone), and
+    // the decimal/min/max partials re-aggregate exactly over it
+    val routed = SparkEntry.queries("mv_route_expr_key")(spark, sf).collect()
+    val unrouted = Tables.lineitem(spark, sf) // plain session: rule never armed
+      .groupBy(org.apache.spark.sql.functions
+        .date_trunc("month", col("l_shipdate")).as("ship_mon"))
+      .agg(graft.Det.dsum(col("l_quantity")).as("sum_qty"),
+        org.apache.spark.sql.functions.min(col("l_extendedprice")).as("min_price"),
+        org.apache.spark.sql.functions.max(col("l_extendedprice")).as("max_price"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("ship_mon").asc_nulls_last)
+    assert(unrouted.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(routed.toSeq == unrouted.collect().toSeq,
+      "routed expression-keyed aggregate diverged from the base-table plan")
+    // negative gates on an armed session: shapes the MV's materialized
+    // key CANNOT answer must stay on the base table
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    // a 'year' trunc is NOT the registered template — semantic match
+    // must reject it (coarser bucket the MV could in principle serve,
+    // but only via a rewrite this rule deliberately does not do)
+    val yr = Tables.lineitem(s, sf)
+      .groupBy(org.apache.spark.sql.functions
+        .date_trunc("year", col("l_shipdate")).as("y"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(yr.contains("lineitem.parquet"),
+      s"unregistered trunc unit must stay unrouted:\n${yr.take(500)}")
+    // a RAW-timestamp predicate is row-level (not a function of any
+    // grouping key) — it cannot be answered post-aggregation
+    val raw = Tables.lineitem(s, sf)
+      .filter(col("l_shipdate") >=
+        org.apache.spark.sql.functions.to_timestamp(lit("1995-03-01 00:00:00")))
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(raw.contains("lineitem.parquet"),
+      s"raw-timestamp row predicate must stay unrouted:\n${raw.take(500)}")
+    // RENAMING project between scan and aggregate (`select(a AS flag)
+    // … GROUP BY flag`): the alias substitution must route it while
+    // PRESERVING the query's own output name — publishing the base
+    // column's name/exprId instead would break parent resolution
+    val renamed = Tables.lineitem(s, sf)
+      .select(col("l_returnflag").as("flag"), col("l_quantity"))
+      .groupBy(col("flag"))
+      .agg(graft.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("flag"))
+    val rp = renamed.queryExecution.executedPlan.toString
+    assert(rp.contains("graft_mv") && !rp.contains("lineitem.parquet"),
+      s"renamed grouping column must still route:\n${rp.take(500)}")
+    assert(renamed.columns.toSeq == Seq("flag", "sum_qty"),
+      "routed rename must keep the query's output names")
+    val renameControl = Tables.lineitem(spark, sf) // unarmed session
+      .select(col("l_returnflag").as("flag"), col("l_quantity"))
+      .groupBy(col("flag"))
+      .agg(graft.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("flag"))
+    assert(renamed.collect().toSeq == renameControl.collect().toSeq,
+      "routed rename diverged from the base-table plan")
+  }
+
+  test("mv_route_grouping_stats routes grouping-key distinct/min/max, bit-identical") {
+    val p = plan("mv_route_grouping_stats")
+    assert(p.contains("graft_mv"),
+      s"grouping-key stats not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed query must not also scan the fact table:\n${p.take(800)}")
+    val routed = SparkEntry.queries("mv_route_grouping_stats")(spark, sf).collect()
+    val unrouted = Tables.lineitem(spark, sf) // plain session: rule never armed
+      .groupBy(col("l_returnflag"))
+      .agg(
+        org.apache.spark.sql.functions.countDistinct(col("l_linestatus")).as("n_status"),
+        org.apache.spark.sql.functions.min(col("l_linestatus")).as("min_status"),
+        org.apache.spark.sql.functions.max(col("l_linestatus")).as("max_status"),
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions
+          .date_trunc("month", col("l_shipdate"))).as("first_month"),
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions
+          .date_trunc("month", col("l_shipdate"))).as("last_month"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    assert(unrouted.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(routed.toSeq == unrouted.collect().toSeq,
+      "routed grouping-key stats diverged from the base-table plan")
+    // negative gate: COUNT(DISTINCT non-grouping-col) has no exact
+    // answer in the MV (it stores one row per grouping tuple, not per
+    // distinct l_partkey) and must stay on the base table
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    val nd = Tables.lineitem(s, sf).groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("l_partkey")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(nd.contains("lineitem.parquet"),
+      s"distinct over a non-grouping column must stay unrouted:\n${nd.take(500)}")
+    // SUM of a grouping key must not route either: the MV has one row
+    // per group, but the base weights each value by its row count
+    val sg = Tables.lineitem(s, sf).groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_linenumber") * 0 +
+        org.apache.spark.sql.functions.length(col("l_linestatus"))).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(sg.contains("lineitem.parquet"),
+      s"sum over a grouping-key function must stay unrouted:\n${sg.take(500)}")
+  }
+
   test("mv_route_stale: mutation invalidates routing; refresh resumes it") {
     // the key's own snapshots assert plan shape per probe (pre→mv1,
     // post→base, refresh→mv2 — it throws if any probe scans the wrong
