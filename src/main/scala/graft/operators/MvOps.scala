@@ -58,7 +58,8 @@ object MvOps {
     // on a fixture change — reap them here or they leak on shared tmp
     // until the next testdata drop (the no-accumulation charter)
     val sfName = new java.io.File(dir).getName
-    Seq("lineitem_rfls_", "lineitem_rfls2_", "lineitem_rfls3_").foreach { old =>
+    Seq("lineitem_rfls_", "lineitem_rfls2_", "lineitem_rfls3_",
+        "lineitem_supp_").foreach { old =>
       graft.Scratch.deleteRecursively(new java.io.File(
         s"${new java.io.File(path).getParent}/$old$sfName"))
     }
@@ -104,7 +105,33 @@ object MvOps {
       notNullCols = Set("l_partkey", "l_linenumber"),
       // GROUP BY date_trunc('month', l_shipdate) routes to the
       // materialized ship_mon key (matched semantically, any spelling)
-      exprGroupCols = Seq(shipMonTemplate(s, dir) -> "ship_mon")))
+      exprGroupCols = Seq(shipMonTemplate(s, dir) -> "ship_mon"),
+      name = "by_flag"))
+    // SECOND projection on the same base (ClickHouse tables carry
+    // several; the rule picks per query): the by-supplier rollup, which
+    // answers GROUP BY l_suppkey shapes the flag-keyed MV cannot.
+    // Registered AFTER the flag MV → tried first (latest-first), so the
+    // flag-keyed queries also prove the can't-answer fallthrough.
+    val path2 = s"${new java.io.File(path).getParent}/lineitem_supp1_$sfName"
+    graft.Scratch.staged(path2) {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+            .as("sum_price_state"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price_state"),
+          max(col("l_extendedprice")).as("max_price_state"))
+        .write.mode("overwrite").parquet(path2)
+    }
+    MvRouting.register(MvRouting.MvDef(
+      basePath = s"$dir/lineitem.parquet", mvPath = path2,
+      groupCols = Set("l_suppkey"),
+      sumMap = Map("l_extendedprice" -> "sum_price_state"),
+      countCol = "n_rows",
+      minMap = Map("l_extendedprice" -> "min_price_state"),
+      maxMap = Map("l_extendedprice" -> "max_price_state"),
+      name = "by_supplier"))
   }
 
   /** Stage + register + install the routing rule on `s`. Callers own
@@ -295,6 +322,51 @@ object MvOps {
         max(date_trunc("month", col("l_shipdate"))).as("last_month"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Projection CHOICE across multiple registered MVs on one base: the
+    * by-supplier rollup answers `GROUP BY l_suppkey` — a shape the
+    * flag-keyed MV cannot — so the rule must pick the second projection
+    * for this query while every flag-keyed sibling key keeps routing to
+    * the first. PlanShapeSpec asserts the scan reads the supplier MV
+    * specifically (and that the flag keys still read theirs).
+    *
+    * Scale notes: multiple projections is how ClickHouse serves
+    * different query families from one fact table; each adds one
+    * O(groups) artifact maintained on write, and the choice is
+    * driver-side plan work.
+    */
+  private def mvRouteSecondProj(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** `SELECT DISTINCT grouping_keys` routed through the SAME rule: the
+    * optimizer rewrites Deduplicate into an Aggregate whose output IS
+    * its grouping (ReplaceDeduplicateWithAggregate), which the routing
+    * rule then re-targets at the MV — the distinct set of any subset of
+    * grouping keys equals the distinct set over MV rows exactly (one MV
+    * row per grouping tuple, a row exists iff ≥1 base row does). Covers
+    * a plain column and the expression key in one query — the dimension
+    * discovery shape ("which flags × months exist").
+    *
+    * Scale notes: DISTINCT over a 100 TB fact table is a full shuffle of
+    * the projected columns; over the MV it reads O(groups) rows.
+    */
+  private def mvRouteDistinct(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("ship_mon"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("ship_mon").asc_nulls_last)
   }
 
   /** The MV FRESHNESS contract under mutation (the r12 top task): an
@@ -789,6 +861,18 @@ object MvOps {
               FROM lineitem
               WHERE date_trunc('month', l_shipdate) = TIMESTAMP '1995-03-01'
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("mv_route_second_proj", mvRouteSecondProj,
+      Some(s"""SELECT l_suppkey,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                MIN(l_extendedprice) AS min_price,
+                COUNT(*) AS n
+              FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
+    QueryDef("mv_route_distinct", mvRouteDistinct,
+      Some("""SELECT DISTINCT l_returnflag,
+                CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+                  AS ship_mon
+              FROM lineitem
+              ORDER BY l_returnflag, ship_mon NULLS LAST""")),
     // grouping-key stats: one distinct group only (a second DISTINCT
     // child would trip RewriteDistinctAggregates into the Expand shape
     // that soundly falls through to the base scan)

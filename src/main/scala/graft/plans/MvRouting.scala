@@ -91,17 +91,47 @@ object MvRouting {
       maxMap: Map[String, String] = Map.empty,
       sumLongMap: Map[String, String] = Map.empty,
       notNullCols: Set[String] = Set.empty,
-      exprGroupCols: Seq[(Expression, String)] = Nil)
+      exprGroupCols: Seq[(Expression, String)] = Nil,
+      // projection NAME (ClickHouse projections are named): registering
+      // a def REPLACES any prior def with the same name on the same
+      // base, whatever its mvPath — a rebuild under a fresh staged path
+      // must evict its predecessor, or the walk could fall through to
+      // the stale artifact (which still exists on disk) whenever the
+      // rebuilt schema stops covering some aggregate. Distinct
+      // projections on one base must use distinct names.
+      name: String = "default")
 
-  private val registry = new PathRegistry[MvDef]
+  private val registry = new PathRegistry[Vector[MvDef]]
 
-  def register(d: MvDef): Unit = registry.put(d.basePath, d)
+  /** Register a projection. MULTIPLE projections can coexist per base
+    * table (ClickHouse allows several per MergeTree table; the analyzer
+    * picks whichever answers the query): the rule tries defs
+    * LATEST-REGISTRATION-FIRST and the first successful rewrite wins.
+    * Registration REPLACES any prior def with the same projection
+    * [[MvDef.name]] — not merely the same mvPath: a rebuild under a
+    * fresh staged path must evict its predecessor outright, because the
+    * old parquet may still exist on disk and a walk that fell through
+    * to it (e.g. after the rebuilt schema stopped covering some
+    * aggregate) would serve pre-rebuild data with no error anywhere.
+    */
+  def register(d: MvDef): Unit = synchronized {
+    val cur = registry.forPath(d.basePath).getOrElse(Vector.empty)
+    registry.put(d.basePath, d +: cur.filterNot(_.name == d.name))
+  }
 
-  def forPath(p: String): Option[MvDef] = registry.forPath(p)
+  /** The latest-registered projection, if any (presence probe — the
+    * routing rule itself iterates [[defsFor]]).
+    */
+  def forPath(p: String): Option[MvDef] = defsFor(p).headOption
 
-  /** Drop the registration for a base path (the [[Routing]] freshness
+  def defsFor(p: String): Vector[MvDef] =
+    registry.forPath(p).getOrElse(Vector.empty)
+
+  /** Drop ALL registrations for a base path (the [[Routing]] freshness
     * hub calls this from the mutation machinery): routed queries fall
-    * through to the mutated base until the MV is rebuilt + re-registered.
+    * through to the mutated base until the MVs are rebuilt +
+    * re-registered — every projection of a mutated base is stale, so
+    * the whole list goes.
     */
   def invalidate(basePath: String): Unit = registry.remove(basePath)
 
@@ -264,13 +294,10 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     // scan; falling through to the base table is merely unrouted and
     // always correct. One driver-side stat per candidate rewrite.
     case agg: Aggregate
-        if baseScan(agg.child).exists { case (conds, _, fs) =>
+        if baseScan(agg.child).exists { case (_, _, fs) =>
           fs.location.rootPaths.length == 1 &&
-            forPath(fs.location.rootPaths.head.toString)
-              .exists(d => PathRegistry.targetExists(d.mvPath) &&
-                conds.forall(routableFilter(_, d))) } =>
+            defsFor(fs.location.rootPaths.head.toString).nonEmpty } =>
       val (conds, subst, fs) = baseScan(agg.child).get
-      val mv = forPath(fs.location.rootPaths.head.toString).get
       // inline pulled-out grouping aliases back into the Aggregate's own
       // expressions so template matching sees `GROUP BY date_trunc(…)`,
       // not the opaque `_groupingexpression` attribute. The Aggregate's
@@ -287,7 +314,15 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
           case other => Alias(other, ne.name)(exprId = ne.exprId)
         }
       }
-      rewrite(agg, groupExprs, aggExprs, conds, mv)
+      // several projections can be registered on one base: try each
+      // (latest registration first), vet ITS filter routability, and the
+      // first successful rewrite wins — exactly the ClickHouse analyzer's
+      // projection choice, with "can answer at all" as the criterion
+      defsFor(fs.location.rootPaths.head.toString).view
+        .filter(d => PathRegistry.targetExists(d.mvPath) &&
+          conds.forall(routableFilter(_, d)))
+        .flatMap(d => rewrite(agg, groupExprs, aggExprs, conds, d))
+        .headOption
         .getOrElse(agg)
   }
 

@@ -10,7 +10,7 @@ package graft
   * on the session's partitioning) and the full collected results must
   * be bit-identical.
   *
-  * The sample (39 keys) is chosen adversarially: keys that reassemble
+  * The sample (41 keys) is chosen adversarially: keys that reassemble
   * arrays from aggregations (agg_foreach, agg_resample,
   * agg_group_array_sorted, agg_array_intersect, agg_moving_sum_array),
   * rank after rounding (sim_ann_recall, sim_triplet_mine), hash-order
@@ -85,7 +85,10 @@ class DeterminismSpec extends GraftSpec {
     "mv_route_expr_key", "mv_route_expr_filtered",
     // grouping-key distinct/min/max answered from MV rows: the routed
     // Count(DISTINCT) plans its own distinct shuffle over the MV scan
-    "mv_route_grouping_stats")
+    "mv_route_grouping_stats",
+    // multi-projection choice (the def-list walk must not depend on
+    // partitioning) and the routed SELECT DISTINCT's dedup shuffle
+    "mv_route_second_proj", "mv_route_distinct")
 
   private def runOnce(key: String, parts: Int): Seq[String] = {
     val s = spark.newSession()

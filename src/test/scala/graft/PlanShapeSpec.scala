@@ -624,6 +624,63 @@ class PlanShapeSpec extends GraftSpec {
       s"sum over a grouping-key function must stay unrouted:\n${sg.take(500)}")
   }
 
+  test("mv_route_second_proj picks the supplier projection; flag keys keep theirs") {
+    // the supplier-keyed query must scan the SECOND projection — the
+    // flag-keyed MV cannot answer GROUP BY l_suppkey
+    val p = plan("mv_route_second_proj")
+    assert(p.contains("lineitem_supp1_"),
+      s"supplier aggregate not routed to the supplier projection:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet") && !p.contains("lineitem_rfls"),
+      s"supplier query must scan only the supplier MV:\n${p.take(800)}")
+    // and the flag-keyed query still routes to the FIRST projection even
+    // though the supplier def is tried first (latest-first): the
+    // can't-answer fallthrough must walk the def list per query
+    val pf = plan("mv_route")
+    assert(pf.contains("lineitem_rfls") && !pf.contains("lineitem_supp1_"),
+      s"flag aggregate must keep its own projection:\n${pf.take(800)}")
+    // bit-identity vs the unrouted plan
+    val routed = SparkEntry.queries("mv_route_second_proj")(spark, sf).collect()
+    val unrouted = Tables.lineitem(spark, sf) // plain session: rule never armed
+      .groupBy(col("l_suppkey"))
+      .agg(graft.Det.dsum(col("l_extendedprice")).as("sum_price"),
+        org.apache.spark.sql.functions.min(col("l_extendedprice")).as("min_price"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_suppkey"))
+    assert(unrouted.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(routed.toSeq == unrouted.collect().toSeq,
+      "routed supplier aggregate diverged from the base-table plan")
+  }
+
+  test("mv_route_distinct routes SELECT DISTINCT grouping keys to the MV") {
+    val p = plan("mv_route_distinct")
+    assert(p.contains("graft_mv"),
+      s"DISTINCT over grouping keys not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed DISTINCT must not scan the fact table:\n${p.take(800)}")
+    val routed = SparkEntry.queries("mv_route_distinct")(spark, sf).collect()
+    val unrouted = Tables.lineitem(spark, sf) // plain session: rule never armed
+      .select(col("l_returnflag"), org.apache.spark.sql.functions
+        .date_trunc("month", col("l_shipdate")).as("ship_mon"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("ship_mon").asc_nulls_last)
+    assert(unrouted.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(routed.toSeq == unrouted.collect().toSeq,
+      "routed DISTINCT diverged from the base-table plan")
+    // negative gate: DISTINCT over a NON-grouping column cannot be
+    // answered by the MV (it holds one row per grouping tuple, not per
+    // distinct l_partkey) and must stay on the base table
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    val nd = Tables.lineitem(s, sf).select(col("l_partkey")).distinct()
+      .queryExecution.executedPlan.toString
+    assert(nd.contains("lineitem.parquet"),
+      s"DISTINCT over a non-grouping column must stay unrouted:\n${nd.take(500)}")
+  }
+
   test("mv_route_stale: mutation invalidates routing; refresh resumes it") {
     // the key's own snapshots assert plan shape per probe (pre→mv1,
     // post→base, refresh→mv2 — it throws if any probe scans the wrong
