@@ -34,16 +34,38 @@ object LlmVector {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
+  /** The sim-family per-probe ranking discipline in ONE place: rank by
+    * (6dp-rounded score, cand_id) and keep the top k — previously
+    * copy-pasted at nine probe-broadcast sites, where a tie-break or
+    * rounding change applied to one key but not another would silently
+    * fork the rankings between keys that share the same oracle shape.
+    * `ascending` covers the distance-ranked (L2/ADC) family.
+    */
+  private def rankPerProbe(scored: DataFrame, scoreCol: String, k: Int,
+      ascending: Boolean = false): DataFrame = {
+    val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(ord, col("cand_id"))))
+      .filter(col("rnk") <= k)
+  }
+
   private def vecNorm(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .withColumn("v", dbl(col("embedding")))
+      // hoisted: interpreted HOF folds do no loop-invariant elimination,
+      // so the three consumers below would each re-run the 64-element
+      // norm fold per row (the vecMatryoshka `tot` discipline)
+      .withColumn("n", norm2(col("v")))
       .select(col("vec_id"),
-        round(norm2(col("v")), 6).as("l2_norm"),
+        round(col("n"), 6).as("l2_norm"),
         round(array_max(transform(col("v"), x => abs(x))), 6).as("max_abs"),
-        // zero-vector guard (class 6): Spark 0/0 → NULL, DuckDB → NaN;
-        // define the unit component of a zero vector as 0 on both sides
-        round(when(norm2(col("v")) === 0.0, lit(0.0))
-          .otherwise(element_at(col("v"), 1) / norm2(col("v"))), 6)
+        // zero-vector guard (class 6): defines the unit component of a
+        // zero vector as 0 on both engines. Under ANSI (this harness's
+        // Spark 4.1 default) the unguarded divide would THROW
+        // DIVIDE_BY_ZERO, not return NULL — the guard is load-bearing
+        // for crash-safety, not just NULL-vs-NaN parity
+        round(when(col("n") === 0.0, lit(0.0))
+          .otherwise(element_at(col("v"), 1) / col("n")), 6)
           .as("first_unit"))
       .orderBy(col("vec_id"))
 
@@ -56,10 +78,16 @@ object LlmVector {
     val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
       col("v").as("vb"))
     a.join(b, "id_a")
+      // hoisted norm product: consumed by the guard AND the divide
+      .withColumn("nprod", norm2(col("va")) * norm2(col("vb")))
       .select(col("id_a"), col("id_b"),
         // UNROUNDED IEEE quotient (identical chain on both engines; the
-        // 6dp edge round is the class-3 midpoint hazard)
-        cosine(col("va"), col("vb")).as("cos_sim"))
+        // 6dp edge round is the class-3 midpoint hazard). Zero-norm
+        // guard MATCHES the oracle's CASE…NULL — and under ANSI (this
+        // harness's Spark 4.1 default) the unguarded divide would THROW
+        // on a zero-norm vector rather than NULL-diverge
+        when(col("nprod") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("va"), col("vb")) / col("nprod")).as("cos_sim"))
       .orderBy(col("id_a"))
   }
 
@@ -75,13 +103,11 @@ object LlmVector {
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
-    cands.crossJoin(broadcast(probes))
-      .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+    rankPerProbe(
+      cands.crossJoin(broadcast(probes))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6)),
+      "cos_sim", 5)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("cos_sim"))
       .orderBy(col("probe_id"), col("rnk"))
   }
@@ -112,12 +138,10 @@ object LlmVector {
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val cands = e.filter(col("vec_id") % 100 =!= 0)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col("cand_id"))
-    cands.crossJoin(broadcast(probes))
-      .withColumn("score", round(expr("maxsim_native(pv, cv)"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+    rankPerProbe(
+      cands.crossJoin(broadcast(probes))
+        .withColumn("score", round(expr("maxsim_native(pv, cv)"), 6)),
+      "score", 3)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("score"))
       .orderBy(col("probe_id"), col("rnk"))
   }
@@ -323,13 +347,11 @@ object LlmVector {
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("dot").desc, col("cand_id"))
-    cands.crossJoin(broadcast(probes))
-      .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("dot", round(expr("dot_native(pv, cv)"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+    rankPerProbe(
+      cands.crossJoin(broadcast(probes))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("dot", round(expr("dot_native(pv, cv)"), 6)),
+      "dot", 5)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("dot"))
       .orderBy(col("probe_id"), col("rnk"))
   }
@@ -426,9 +448,13 @@ object LlmVector {
     def dot(x: String, y: String) =
       expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
     a.join(broadcast(b), col("la") < col("lb"))
+      // hoisted + zero-guarded: under ANSI (this harness's default) an
+      // unguarded divide THROWS on a zero-norm centroid; NULL matches
+      // the oracle's CASE guard
+      .withColumn("nprod", sqrt(dot("ca", "ca")) * sqrt(dot("cb", "cb")))
       .select(col("la"), col("lb"),
-        round(dot("ca", "cb")
-          / (sqrt(dot("ca", "ca")) * sqrt(dot("cb", "cb"))), 6)
+        round(when(col("nprod") === 0.0, lit(null).cast("double"))
+          .otherwise(dot("ca", "cb") / col("nprod")), 6)
           .as("cos_sim"))
       .orderBy(col("la"), col("lb"))
   }
@@ -456,15 +482,13 @@ object LlmVector {
       .select(col("probe_id"), col("pv"), col("label"))
     val cands = e.select(col("vec_id").as("cand_id"), col("label"),
       col("v").as("cv"))
-    val wKnn = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
     // selected is the bounded side (probes x nprobe) — pin the
     // broadcast so the corpus never shuffles on a <=10-label key
-    broadcast(selected).join(cands, "label")
-      .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
-      .withColumn("rnk", row_number().over(wKnn))
-      .filter(col("rnk") <= 3)
+    rankPerProbe(
+      broadcast(selected).join(cands, "label")
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6)),
+      "cos_sim", 3)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("label"),
         col("cos_sim"))
       .orderBy(col("probe_id"), col("rnk"))
@@ -634,14 +658,13 @@ object LlmVector {
       .withColumn("d2", d2("pv", "cvec"))
       .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
       .select(col("probe_id"), col("pv"), col("cid").as("list_id"))
-    val wKnn = Window.partitionBy(col("probe_id"))
-      .orderBy(col("dist").asc, col("cand_id"))
     // routed is the bounded side (probes x nprobe) — pin the broadcast
     // so the corpus-sized lists frame never shuffles on a <=8-value key
-    broadcast(routed).join(lists, "list_id")
-      .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("dist", round(d2("pv", "cv"), 6))
-      .withColumn("rnk", row_number().over(wKnn)).filter(col("rnk") <= 3)
+    rankPerProbe(
+      broadcast(routed).join(lists, "list_id")
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("dist", round(d2("pv", "cv"), 6)),
+      "dist", 3, ascending = true)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("list_id"),
         col("dist"))
       .orderBy(col("probe_id"), col("rnk"))
@@ -651,11 +674,13 @@ object LlmVector {
     * Gonzalez 2-approximation, the "pick a maximally diverse subset"
     * primitive of data curation): seed = min vec_id, then 7 rounds of
     * "select the corpus point farthest from every already-selected
-    * center". Each round's argmax ranks the 6dp-ROUNDED min-distance
-    * (ties by vec_id) — the sim_topk rank-after-round discipline, which
-    * is what makes the iterated greedy fully oracle-able: the DuckDB
-    * twin replays the identical eight argmax steps as chained CTEs over
-    * the same fold-order-pinned L2² (the fn_distance_family parity).
+    * center". Each round's argmax ranks the EXACT-INTEGER
+    * floor(min-dist·1e6) (ties by vec_id) — the sim_mmr integer-unit
+    * discipline, because round()-then-rank in a CHAINED argmax is the
+    * confirmed class-3 midpoint split and one swapped pick diverges
+    * every later round; the DuckDB twin replays the identical eight
+    * argmax steps as chained CTEs over the same fold-order-pinned L2²
+    * (the fn_distance_family parity).
     * VectorTextSpec additionally asserts the selection distances are
     * non-increasing (the Gonzalez invariant) and ids distinct.
     *
@@ -679,7 +704,13 @@ object LlmVector {
         typedlit(first.getSeq[Double](1)))).localCheckpoint()
     var i = 2
     while (i <= k) {
-      val far = cur.orderBy(round(col("mind"), 6).desc, col("vec_id"))
+      // rank on floor(mind·1e6), NOT round(mind, 6): Spark's round on
+      // DOUBLE goes through the shortest decimal string (HALF_UP) while
+      // DuckDB rounds the exact binary value — the class-3 midpoint
+      // split that bit sim_mmr in dev, and poison for a CHAINED argmax
+      // where one swapped pick diverges every later round. floor of the
+      // identical IEEE product is exact on both engines.
+      val far = cur.orderBy(floor(col("mind") * lit(1e6)).desc, col("vec_id"))
         .limit(1)
         .select(col("vec_id"), col("mind"), col("v")).collect()(0)
       sel ::= ((i.toLong, far.getLong(0), far.getDouble(1)))
@@ -705,19 +736,27 @@ object LlmVector {
     */
   private def vecQuantize(s: SparkSession, dir: String): DataFrame = {
     val v = dbl(col("embedding"))
-    val rawScale = array_max(transform(v, x => abs(x))) / 127.0
-    // an all-zero vector has scale 0: divide by 1 instead so codes and
-    // error are 0 on BOTH engines (Spark's 0/0 is NULL, DuckDB's is
-    // NaN — the class-6 divergence); q_scale still reports the true 0
-    val scale = when(rawScale === 0.0, lit(1.0)).otherwise(rawScale)
-    val err = transform(v, x =>
-      abs(x - floor(x / scale + 0.5) * scale))
-    val codes = transform(v, x => floor(x / scale + 0.5))
+    // scale is HOISTED into real columns: embedded in the per-element
+    // transform lambdas it would re-run its own 64-element max fold per
+    // element per consumer (~200 re-evaluations/row — interpreted HOFs
+    // do no loop-invariant elimination; the vecMatryoshka discipline)
+    val rawScaleCol = array_max(transform(v, x => abs(x))) / 127.0
     Tables.embeddings(s, dir)
+      .withColumn("raw_scale", rawScaleCol)
+      // an all-zero vector has scale 0: divide by 1 instead so codes and
+      // error are 0 on BOTH engines (under ANSI the 0-divide would
+      // THROW; with a non-ANSI session it is the class-6 NULL-vs-NaN
+      // divergence); q_scale still reports the true 0
+      .withColumn("scale",
+        when(col("raw_scale") === 0.0, lit(1.0)).otherwise(col("raw_scale")))
       .select(col("vec_id"),
-        round(rawScale, 6).as("q_scale"),
-        array_max(transform(codes, c => abs(c))).cast("int").as("max_code"),
-        round(aggregate(err, lit(0.0), (acc, x) => acc + x)
+        round(col("raw_scale"), 6).as("q_scale"),
+        array_max(transform(v,
+          x => abs(floor(x / col("scale") + 0.5)))).cast("int").as("max_code"),
+        round(aggregate(
+          transform(v, x =>
+            abs(x - floor(x / col("scale") + 0.5) * col("scale"))),
+          lit(0.0), (acc, x) => acc + x)
           / size(col("embedding")), 6).as("mean_abs_err"))
       .orderBy(col("vec_id"))
   }
@@ -900,13 +939,11 @@ object LlmVector {
         col("embedding").as("pv"))
     val cands = e.select(col("vec_id").as("cand_id"),
       col("label").as("cand_label"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
-    cands.crossJoin(broadcast(probes))
-      .filter(col("cand_label") =!= col("probe_label"))
-      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+    rankPerProbe(
+      cands.crossJoin(broadcast(probes))
+        .filter(col("cand_label") =!= col("probe_label"))
+        .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6)),
+      "cos_sim", 3)
       .select(col("probe_id"), col("rnk"), col("cand_id"),
         col("cand_label"), col("cos_sim"))
       .orderBy(col("probe_id"), col("rnk"))
@@ -1017,20 +1054,39 @@ object LlmVector {
     * it is sim_ivf_knn's routing plus an ADC table lookup over these
     * codes.
     */
+  /** The PQ subspace geometry (8 subspaces × 8 dims, 1-based element_at,
+    * sequential fold) in ONE place — vec_pq's encoder and
+    * sim_ivfpq_knn's shared distance frame both posexplode this
+    * expression over columns (v, cvec), and the two DuckDB oracles share
+    * [[oSubDist]] the same way. Editing the geometry at one site but not
+    * the others would make the stored codes disagree with the codes the
+    * ADC search scores against — a silent ranking corruption no
+    * single-key oracle catches.
+    */
+  private val subDistSql: String =
+    """transform(sequence(0, 7), m ->
+         aggregate(
+           transform(sequence(1, 8), i ->
+             (element_at(v, m * 8 + i) - element_at(cvec, m * 8 + i))
+               * (element_at(v, m * 8 + i)
+                  - element_at(cvec, m * 8 + i))),
+           cast(0 as double), (acc, x) -> acc + x))"""
+
+  /** Oracle twin of [[subDistSql]] (columns v, cv; subspace alias r.m
+    * from `range(0, 8) r(m)`).
+    */
+  private val oSubDist: String =
+    """list_reduce(list_transform(range(1, 9), i ->
+         (v[r.m * 8 + i] - cv[r.m * 8 + i])
+           * (v[r.m * 8 + i] - cv[r.m * 8 + i])),
+       (a, b) -> a + b)"""
+
   private def vecPq(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).withColumn("v", dbl(col("embedding")))
     val cents = labelCentroids(e).withColumnRenamed("label", "clabel")
     val dists = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("clabel"),
-        posexplode(expr(
-          """transform(sequence(0, 7), m ->
-               aggregate(
-                 transform(sequence(1, 8), i ->
-                   (element_at(v, m * 8 + i) - element_at(cvec, m * 8 + i))
-                     * (element_at(v, m * 8 + i)
-                        - element_at(cvec, m * 8 + i))),
-                 cast(0 as double), (acc, x) -> acc + x))"""))
-          .as(Seq("m", "d")))
+        posexplode(expr(subDistSql)).as(Seq("m", "d")))
     // argmin via hash aggregate (min over struct(d, label) = argmin with
     // label tiebreak) — a sort-based window over the crossed intermediate
     // was 2.3× slower at sf0.1 for the same result
@@ -1073,15 +1129,7 @@ object LlmVector {
     val cents = labelCentroids(e).withColumnRenamed("label", "clabel")
     val sub = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("clabel"),
-        posexplode(expr(
-          """transform(sequence(0, 7), m ->
-               aggregate(
-                 transform(sequence(1, 8), i ->
-                   (element_at(v, m * 8 + i) - element_at(cvec, m * 8 + i))
-                     * (element_at(v, m * 8 + i)
-                        - element_at(cvec, m * 8 + i))),
-                 cast(0 as double), (acc, x) -> acc + x))"""))
-          .as(Seq("m", "d")))
+        posexplode(expr(subDistSql)).as(Seq("m", "d")))
       .persist()
     val codes = sub.groupBy(col("vec_id"), col("label"), col("m"))
       .agg(min(struct(col("d"), col("clabel"))).as("best"))
@@ -1099,17 +1147,15 @@ object LlmVector {
     val lut = sub.filter(isProbe)
       .select(col("vec_id").as("lprobe"), col("m").as("lm"),
         col("clabel").as("lcode"), col("d").as("ld"))
-    val radc = Window.partitionBy(col("probe_id"))
-      .orderBy(col("adc_dist"), col("cand_id"))
-    route
-      .join(codes, col("cand_label") === col("list_label") &&
-        col("cand_id") =!= col("probe_id"))
-      .join(broadcast(lut), col("lprobe") === col("probe_id") &&
-        col("lm") === col("cm") && col("lcode") === col("code"))
-      .groupBy(col("probe_id"), col("cand_id"), col("cand_label"))
-      .agg(round(graft.Det.dsum(col("ld")), 6).as("adc_dist"))
-      .withColumn("rnk", row_number().over(radc))
-      .filter(col("rnk") <= 3)
+    rankPerProbe(
+      route
+        .join(codes, col("cand_label") === col("list_label") &&
+          col("cand_id") =!= col("probe_id"))
+        .join(broadcast(lut), col("lprobe") === col("probe_id") &&
+          col("lm") === col("cm") && col("lcode") === col("code"))
+        .groupBy(col("probe_id"), col("cand_id"), col("cand_label"))
+        .agg(round(graft.Det.dsum(col("ld")), 6).as("adc_dist")),
+      "adc_dist", 3, ascending = true)
       .select(col("probe_id"), col("rnk"), col("cand_id"),
         col("cand_label"), col("adc_dist"))
       .orderBy(col("probe_id"), col("rnk"))
@@ -1157,10 +1203,11 @@ object LlmVector {
 
   /** The sample_kcenter oracle: Gonzalez farthest-first replayed as
     * eight chained argmax CTEs — step t ranks every corpus point by the
-    * 6dp-rounded least L2² to the t−1 already-chosen centers (fold-order
-    * pinned to l2_sq_native via the fn_distance_family list_sum form),
-    * ties by vec_id, LIMIT 1. Generated programmatically so step count
-    * and arithmetic stay in one place.
+    * exact-integer floor(1e6·least L2²) to the t−1 already-chosen
+    * centers (fold-order pinned to l2_sq_native via the
+    * fn_distance_family list_sum form), ties by vec_id, LIMIT 1.
+    * Generated programmatically so step count and arithmetic stay in
+    * one place.
     */
   private val kcenterOracle: String = {
     def l2(a: String, b: String) =
@@ -1174,7 +1221,7 @@ object LlmVector {
         else s"least(${dists.mkString(", ")})"
       s"""m$t AS (SELECT x.vec_id, x.v, $mind AS mind FROM e x, $cs),
          s$t AS (SELECT vec_id, v, mind FROM m$t
-           ORDER BY round(mind, 6) DESC, vec_id LIMIT 1)"""
+           ORDER BY floor(mind * 1000000) DESC, vec_id LIMIT 1)"""
     }.mkString(",\n")
     val unions = (2 to 8).map(t =>
       s"SELECT $t AS sel_order, vec_id, round(mind, 6) " +
@@ -1287,17 +1334,15 @@ object LlmVector {
     val probes = sigsCk.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("lo").as("plo"),
         col("hi").as("phi"))
-    val wKnn = Window.partitionBy(col("probe_id"))
-      .orderBy(col("hamming"), col("cand_id"))
     // pin the bounded probe side as the broadcast build: post-agg size
     // estimates must not pick the corpus-wide signature table (or flip
     // build sides between runs) for this non-equi join
-    broadcast(probes).join(sigsCk.select(col("vec_id").as("cand_id"),
-        col("lo"), col("hi")), col("cand_id") =!= col("probe_id"))
-      .withColumn("hamming",
-        expr("bit_count(plo ^ lo) + bit_count(phi ^ hi)"))
-      .withColumn("rnk", row_number().over(wKnn))
-      .filter(col("rnk") <= 5)
+    rankPerProbe(
+      broadcast(probes).join(sigsCk.select(col("vec_id").as("cand_id"),
+          col("lo"), col("hi")), col("cand_id") =!= col("probe_id"))
+        .withColumn("hamming",
+          expr("bit_count(plo ^ lo) + bit_count(phi ^ hi)")),
+      "hamming", 5, ascending = true)
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("hamming"))
       .orderBy(col("probe_id"), col("rnk"))
   }
@@ -1392,7 +1437,11 @@ object LlmVector {
       .cast(DecimalType(30, 6))).cast("double")).as("nrm"))
     w.crossJoin(broadcast(nrm))
       .select(col("pos"), round(col("w"), 6).as("w_j"),
-        round(col("w") / col("nrm"), 6).as("v1_j"))
+        // zero-norm guard (degenerate all-zero back-projection): under
+        // ANSI the unguarded divide would THROW; define v1 of the zero
+        // vector as 0 on both engines (oracle carries the same CASE)
+        round(when(col("nrm") === 0.0, lit(0.0))
+          .otherwise(col("w") / col("nrm")), 6).as("v1_j"))
       .orderBy(col("pos"))
   }
 
@@ -1419,13 +1468,11 @@ object LlmVector {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val cands = e.select(col("vec_id").as("cand_id"), col("label"),
       col("v").as("cv"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
-    val exact = cands.crossJoin(broadcast(probes))
-      .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    val exact = rankPerProbe(
+      cands.crossJoin(broadcast(probes))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6)),
+      "cos_sim", 10)
       .select(col("probe_id"), col("cand_id"))
     val cents = labelCentroids(e)
     val wSel = Window.partitionBy(col("probe_id"))
@@ -1435,11 +1482,11 @@ object LlmVector {
       .withColumn("rn", row_number().over(wSel))
       .filter(col("rn") <= 2)
       .select(col("probe_id"), col("pv"), col("label"))
-    val approx = selected.join(cands, "label")
-      .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    val approx = rankPerProbe(
+      selected.join(cands, "label")
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("cos_sim", round(expr("cosine_sim_native(pv, cv)"), 6)),
+      "cos_sim", 10)
       .select(col("probe_id"), col("cand_id"))
     val hits = exact.join(approx, Seq("probe_id", "cand_id"))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
@@ -1644,7 +1691,9 @@ object LlmVector {
                w AS (SELECT pos, ${Det.oSum("s * x")} AS w
                  FROM ex GROUP BY pos),
                n AS (SELECT sqrt(${Det.oSum("w * w")}) AS nrm FROM w)
-              SELECT pos, round(w, 6) AS w_j, round(w / nrm, 6) AS v1_j
+              SELECT pos, round(w, 6) AS w_j,
+                round(CASE WHEN nrm = 0 THEN 0.0 ELSE w / nrm END, 6)
+                  AS v1_j
               FROM w, n ORDER BY pos""")),
     QueryDef("vec_norm", vecNorm,
       Some(s"""SELECT vec_id,
@@ -1793,9 +1842,13 @@ object LlmVector {
               v AS (SELECT label, list(m ORDER BY pos) AS c
                 FROM a GROUP BY label)
               SELECT x.label AS la, y.label AS lb,
-                round(list_dot_product(x.c, y.c)
-                  / (sqrt(list_dot_product(x.c, x.c))
-                     * sqrt(list_dot_product(y.c, y.c))), 6) AS cos_sim
+                round(CASE WHEN sqrt(list_dot_product(x.c, x.c))
+                             * sqrt(list_dot_product(y.c, y.c)) = 0
+                      THEN NULL
+                      ELSE list_dot_product(x.c, y.c)
+                        / (sqrt(list_dot_product(x.c, x.c))
+                           * sqrt(list_dot_product(y.c, y.c))) END, 6)
+                  AS cos_sim
               FROM v x JOIN v y ON x.label < y.label
               ORDER BY la, lb""")),
     QueryDef("sim_ivf_knn", simIvfKnn,
@@ -1960,10 +2013,7 @@ object LlmVector {
               c AS (SELECT clabel, list(m ORDER BY pos) AS cv
                  FROM cm GROUP BY clabel),
               d AS (SELECT e.vec_id, c.clabel, r.m,
-                 list_reduce(list_transform(range(1, 9), i ->
-                   (v[m * 8 + i] - cv[m * 8 + i])
-                     * (v[m * 8 + i] - cv[m * 8 + i])),
-                   (a, b) -> a + b) AS d
+                 $oSubDist AS d
                  FROM e CROSS JOIN c CROSS JOIN range(0, 8) r(m)),
               a AS (SELECT vec_id, m, clabel, d,
                  row_number() OVER (PARTITION BY vec_id, m
@@ -1984,10 +2034,7 @@ object LlmVector {
               c AS (SELECT clabel, list(m ORDER BY pos) AS cv
                  FROM cm GROUP BY clabel),
               sub AS (SELECT e.vec_id, e.label, c.clabel, r.m,
-                 list_reduce(list_transform(range(1, 9), i ->
-                   (v[r.m * 8 + i] - cv[r.m * 8 + i])
-                     * (v[r.m * 8 + i] - cv[r.m * 8 + i])),
-                   (a, b) -> a + b) AS d
+                 $oSubDist AS d
                  FROM e CROSS JOIN c CROSS JOIN range(0, 8) r(m)),
               codes AS (SELECT vec_id AS cand_id, label AS cand_label,
                  m AS cm, clabel AS code FROM (
