@@ -161,17 +161,12 @@ object Aggregates {
     Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
     s.sql(s"""
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        ${"CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,6))) AS DOUBLE)"} AS sum_price
+        ${Det.oSum("o_totalprice")} AS sum_price
       FROM orders_gs
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
   }
 
-  /** ClickHouse groupArray — deterministic via sorted distinct lists over a
-    * bounded domain (event_type, |domain| = 5). The list is serialized to a
-    * canonical CSV string at the query edge: the driver's comparator hashes
-    * scalar cells, so array-typed outputs must leave as strings.
-    */
   /** ClickHouse `groupArraySorted(N)` — the N smallest values per group
     * as one SORTED array. Scale-honest decomposition: a per-group
     * window rank bounds each group to N rows BEFORE any array exists
@@ -291,6 +286,11 @@ object Aggregates {
       .orderBy(col("seg_a"), col("seg_b"))
   }
 
+  /** ClickHouse groupArray — deterministic via sorted distinct lists over a
+    * bounded domain (event_type, |domain| = 5). The list is serialized to a
+    * canonical CSV string at the query edge: the driver's comparator hashes
+    * scalar cells, so array-typed outputs must leave as strings.
+    */
   private def aggCollect(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -512,17 +512,6 @@ object Aggregates {
       .orderBy(col("l_linestatus"))
   }
 
-  /** ClickHouse `cramersV` / `contingency` — association strength between
-    * two categoricals (returnflag × linestatus) from the exact
-    * contingency table: χ² = Σ(o−e)²/e with e = rowΣ·colΣ/n, then
-    * V = √(χ²/(n·min(r−1,c−1))) and C = √(χ²/(χ²+n)). Cell counts are
-    * exact; per-cell χ² terms run in double with one operation order and
-    * decimal-sum (order-free) before the closed forms round at the edge.
-    *
-    * Scale notes: one partial-count shuffle on the (tiny) cell key;
-    * row/col margins broadcast back onto the cells. The fact table is
-    * scanned once.
-    */
   /** χ² over the (returnflag, linestatus) contingency table with the
     * marginal totals — the shared core of agg_cramers_v and the
     * bias-corrected variant. Returns one row (n, r, c, chi2).
@@ -544,18 +533,43 @@ object Aggregates {
     cells
       .join(broadcast(rowTot), "rf").join(broadcast(colTot), "ls")
       .crossJoin(broadcast(tot))
-      .select(col("n"), col("r"), col("c"),
+      .select(col("n"), col("r"), col("c"), col("rf"), col("ls"),
         ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
           .as("term"))
       .groupBy(col("n"), col("r"), col("c"))
-      .agg(Det.dsum(col("term")).as("chi2"))
+      // sorted-fold, NOT Det.dsum: the χ² terms are off-grid doubles,
+      // and the double→DECIMAL(30,6) cast inside dsum is the confirmed
+      // Spark-shortest-repr vs DuckDB-exact-binary midpoint split (the
+      // agg_anova incident class). Folding the O(cells) terms in
+      // (rf, ls) order fixes ONE IEEE summation order on both engines
+      // with no decimal cast anywhere.
+      .agg(expr("array_sort(collect_list(struct(rf, ls, term)))").as("ts"))
+      .select(col("n"), col("r"), col("c"),
+        expr("""aggregate(ts, cast(0.0 as double),
+                (acc, s) -> acc + s.term)""").as("chi2"))
   }
 
+  /** ClickHouse `cramersV` / `contingency` — association strength between
+    * two categoricals (returnflag × linestatus) from the exact
+    * contingency table: χ² = Σ(o−e)²/e with e = rowΣ·colΣ/n, then
+    * V = √(χ²/(n·min(r−1,c−1))) and C = √(χ²/(χ²+n)). Cell counts are
+    * exact; per-cell χ² terms run in double with one operation order and
+    * fold in sorted cell order before the closed forms round at the edge.
+    *
+    * Scale notes: one partial-count shuffle on the (tiny) cell key;
+    * row/col margins broadcast back onto the cells. The fact table is
+    * scanned once.
+    */
   private def aggCramersV(s: SparkSession, dir: String): DataFrame = {
     val chi = chiSquared(s, dir)
     chi.select(col("n"), round(col("chi2"), 6).as("chi2"),
-      round(sqrt(col("chi2") / (col("n").cast("double")
-        * least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+      // single-category guard (class 6): a one-row or one-column table
+      // makes min(r−1, c−1) = 0 — V is undefined; NULL on both engines
+      // (Spark's unguarded ANSI divide would THROW, DuckDB's gives NaN)
+      round(when(least(col("r") - 1, col("c") - 1) === 0,
+          lit(null).cast("double"))
+        .otherwise(sqrt(col("chi2") / (col("n").cast("double")
+          * least(col("r") - 1, col("c") - 1).cast("double")))), 6)
         .as("cramers_v"),
       round(sqrt(col("chi2") / (col("chi2") + col("n").cast("double"))), 6)
         .as("contingency_c"))
@@ -576,11 +590,49 @@ object Aggregates {
         phi2 - (r - 1) * (c - 1) / (n - 1))
       val rc = r - (r - 1) * (r - 1) / (n - 1)
       val cc = c - (c - 1) * (c - 1) / (n - 1)
+      // degenerate guards (class 6), checked in order: n = 1 divides by
+      // (n−1) = 0 INSIDE the shrunk counts (must short-circuit before
+      // rc/cc evaluate under ANSI), and a single-category table makes
+      // the shrunk min(r̃−1, c̃−1) = 0 — NULL on both engines
       Seq(col("n"), round(col("chi2"), 6).as("chi2"),
-        round(sqrt(phi2c / least(rc - 1, cc - 1)), 6)
+        when(col("n") === 1, lit(null).cast("double"))
+          .when(least(rc - 1, cc - 1) === 0, lit(null).cast("double"))
+          .otherwise(round(sqrt(phi2c / least(rc - 1, cc - 1)), 6))
           .as("cramers_v_corrected"))
     }: _*)
   }
+
+  /** Shared oracle CTE chain ending in `chi(n, r, c, chi2)` — the DuckDB
+    * twin of [[chiSquared]] (cells → margins → per-cell χ² terms →
+    * fold in sorted (rf, ls) cell order, mirroring the Spark side's
+    * array_sort(collect_list) fold; both Cramér oracles reuse it
+    * verbatim so the χ² arithmetic lives in ONE place per engine).
+    */
+  private val chiCte: String =
+    """cells AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+         COUNT(*) AS o FROM lineitem GROUP BY rf, ls),
+       rtot AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS rt
+         FROM cells GROUP BY rf),
+       ctot AS (SELECT ls, CAST(SUM(o) AS BIGINT) AS ct
+         FROM cells GROUP BY ls),
+       tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+         COUNT(DISTINCT rf) AS r, COUNT(DISTINCT ls) AS c
+         FROM cells),
+       terms AS (SELECT n, r, c, rf, ls,
+         (CAST(o AS DOUBLE)
+           - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             / CAST(n AS DOUBLE))
+         * (CAST(o AS DOUBLE)
+           - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             / CAST(n AS DOUBLE))
+         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             / CAST(n AS DOUBLE)) AS term
+         FROM cells JOIN rtot USING (rf) JOIN ctot USING (ls)
+         CROSS JOIN tot),
+       chi AS (SELECT n, r, c,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(term ORDER BY rf, ls)), (a, b) -> a + b) AS chi2
+         FROM terms GROUP BY n, r, c)"""
 
   /** ClickHouse `quantileExactLow` / `quantileExactHigh` — the exact
     * quantile pair that brackets an even-count median instead of
@@ -891,10 +943,18 @@ object Aggregates {
         val dfree = col("na") + col("nb") - 2
         val t = (ma - mb) / sqrt(((ssa + ssb) / dfree) *
           (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+        // degenerate-sample guard (class 6), the Welch twin's rule:
+        // na<2 or nb<2 makes dfree 0 for the minimal (1,1) split (and
+        // covers empty sides), all-constant samples make ssa+ssb
+        // exactly 0 — the pooled-variance divisor; NULL on both engines
+        // (Spark's unguarded ANSI divide would THROW, DuckDB gives NaN)
+        val degenerate =
+          col("na") < 2 || col("nb") < 2 || (ssa + ssb) === 0
         Seq(col("na").cast("long").as("n_a"),
           col("nb").cast("long").as("n_b"),
           ma.as("mean_a"), mb.as("mean_b"),
-          t.as("t_stat"),
+          when(degenerate, lit(null).cast("double"))
+            .otherwise(t).as("t_stat"),
           dfree.cast("long").as("df"))
       }: _*)
   }
@@ -1241,13 +1301,24 @@ object Aggregates {
       .withColumn("totB", sum(col("cb")).over(total))
       .agg(
         max(col("totA")).as("n1"), max(col("totB")).as("n2"),
-        max(abs(col("cumA").cast("double") / col("totA")
-          - col("cumB").cast("double") / col("totB"))).as("d_stat"))
+        // empty-side guard (class 6): with totA or totB = 0 every ECDF
+        // term is x/0 — NULL per row on both engines (max over all-NULL
+        // stays NULL; Spark's unguarded ANSI divide would THROW and
+        // DuckDB's NaN would poison MAX)
+        max(when(col("totA") === 0 || col("totB") === 0,
+            lit(null).cast("double"))
+          .otherwise(abs(col("cumA").cast("double") / col("totA")
+            - col("cumB").cast("double") / col("totB")))).as("d_stat"))
       .select({
         val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
         val en = sqrt(n1 * n2 / (n1 + n2))
         Seq(col("n1"), col("n2"), round(col("d_stat"), 6).as("d_stat"),
-          round((en + 0.12 + lit(0.11) / en) * col("d_stat"), 6).as("lambda"))
+          // same guard for λ: its 0.11/√eₙ term divides by zero whenever
+          // one side is empty (eₙ = 0)
+          round(when(col("n1") === 0 || col("n2") === 0,
+              lit(null).cast("double"))
+            .otherwise((en + 0.12 + lit(0.11) / en) * col("d_stat")), 6)
+            .as("lambda"))
       }: _*)
   }
 
@@ -1325,7 +1396,13 @@ object Aggregates {
         val n1 = col("n_pos").cast("double")
         val n2 = col("n_neg").cast("double")
         Seq(col("n_pos"), col("n_neg"),
-          ((col("r1") - n1 * (n1 + 1) / 2.0) / (n1 * n2)).as("auc"))
+          // one-class guard (class 6), the Mann-Whitney sibling's rule:
+          // with zero positives or zero negatives AUC is undefined
+          // (0/0) — NULL on both engines (Spark's unguarded ANSI divide
+          // would THROW, DuckDB gives NaN)
+          when(n1 === 0 || n2 === 0, lit(null).cast("double"))
+            .otherwise((col("r1") - n1 * (n1 + 1) / 2.0) / (n1 * n2))
+            .as("auc"))
       }: _*)
   }
 
@@ -1369,7 +1446,12 @@ object Aggregates {
           """aggregate(cs, cast(0.0 as double), (acc, s) ->
              acc - (s.c / cast(n as double)) * log2(s.c / cast(s.ny as double)))""")
         struct(round(hx, 6).as("h_x"), round(hxy, 6).as("h_x_given_y"),
-          round((hx - hxy) / hx, 6).as("theils_u"))
+          // single-event-type guard (class 6): H(X) is exactly 0 when
+          // one type covers every row (−1·log2(1) on both engines) and
+          // U is undefined — NULL both sides (Spark's unguarded ANSI
+          // divide would THROW, DuckDB gives NaN)
+          round(when(hx === 0, lit(null).cast("double"))
+            .otherwise((hx - hxy) / hx), 6).as("theils_u"))
       }.as("u"))
       .select(col("n_events"), col("u.h_x").as("h_x"),
         col("u.h_x_given_y").as("h_x_given_y"),
@@ -1628,15 +1710,17 @@ object Aggregates {
                 FROM v),
               m AS (SELECT CAST(MAX(totA) AS BIGINT) AS n1,
                 CAST(MAX(totB) AS BIGINT) AS n2,
-                MAX(ABS(CAST(cumA AS DOUBLE) / totA
-                  - CAST(cumB AS DOUBLE) / totB)) AS d
+                MAX(CASE WHEN totA = 0 OR totB = 0 THEN NULL
+                  ELSE ABS(CAST(cumA AS DOUBLE) / totA
+                    - CAST(cumB AS DOUBLE) / totB) END) AS d
                 FROM c)
               SELECT n1, n2, round(d, 6) AS d_stat,
-                round((sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
-                  + 0.12 + 0.11 / sqrt(CAST(n1 AS DOUBLE)
-                    * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE)
-                    + CAST(n2 AS DOUBLE)))) * d, 6) AS lambda
+                round(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                  ELSE (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                    + 0.12 + 0.11 / sqrt(CAST(n1 AS DOUBLE)
+                      * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+                      + CAST(n2 AS DOUBLE)))) * d END, 6) AS lambda
               FROM m""")),
     QueryDef("agg_theils_u", aggTheilsU,
       Some("""WITH e AS (SELECT event_type AS x,
@@ -1664,7 +1748,8 @@ object Aggregates {
                 FROM joint, margs)
               SELECT n AS n_events, round(hx, 6) AS h_x,
                 round(hxy, 6) AS h_x_given_y,
-                round((hx - hxy) / hx, 6) AS theils_u
+                round(CASE WHEN hx = 0 THEN NULL
+                  ELSE (hx - hxy) / hx END, 6) AS theils_u
               FROM h""")),
     QueryDef("agg_categorical_iv", aggCategoricalIv,
       Some("""WITH t AS (SELECT
@@ -1768,10 +1853,11 @@ object Aggregates {
                   + CAST(ca + cb + 1 AS DOUBLE) / 2.0)) AS r1
                 FROM r)
               SELECT n_pos, n_neg,
-                (r1 - CAST(n_pos AS DOUBLE)
-                    * (CAST(n_pos AS DOUBLE) + 1) / 2.0)
-                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
-                  AS auc
+                CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                  ELSE (r1 - CAST(n_pos AS DOUBLE)
+                      * (CAST(n_pos AS DOUBLE) + 1) / 2.0)
+                    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                  END AS auc
               FROM m""")),
     QueryDef("agg_ttest", aggTtest,
       Some("""WITH m AS (SELECT
@@ -1821,9 +1907,10 @@ object Aggregates {
                 FROM m)
               SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                 ma AS mean_a, mb AS mean_b,
-                (ma - mb) / sqrt(((ssa + ssb) / (na + nb - 2))
-                  * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))
-                  AS t_stat,
+                CASE WHEN na < 2 OR nb < 2 OR ssa + ssb = 0 THEN NULL
+                  ELSE (ma - mb) / sqrt(((ssa + ssb) / (na + nb - 2))
+                    * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))
+                  END AS t_stat,
                 CAST(na + nb - 2 AS BIGINT) AS df
               FROM f""")),
     QueryDef("agg_binomial_ci", aggBinomialCi,
@@ -2080,57 +2167,17 @@ object Aggregates {
                 cnt AS top_count, tot AS n
               FROM r WHERE rk = 1 ORDER BY rf""")),
     QueryDef("agg_cramers_v", aggCramersV,
-      Some(s"""WITH cells AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
-                 COUNT(*) AS o FROM lineitem GROUP BY rf, ls),
-               rtot AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS rt
-                 FROM cells GROUP BY rf),
-               ctot AS (SELECT ls, CAST(SUM(o) AS BIGINT) AS ct
-                 FROM cells GROUP BY ls),
-               tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
-                 COUNT(DISTINCT rf) AS r, COUNT(DISTINCT ls) AS c
-                 FROM cells),
-               terms AS (SELECT n, r, c,
-                 (CAST(o AS DOUBLE)
-                   - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-                     / CAST(n AS DOUBLE))
-                 * (CAST(o AS DOUBLE)
-                   - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-                     / CAST(n AS DOUBLE))
-                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-                     / CAST(n AS DOUBLE)) AS term
-                 FROM cells JOIN rtot USING (rf) JOIN ctot USING (ls)
-                 CROSS JOIN tot),
-               chi AS (SELECT n, r, c, ${Det.oSum("term")} AS chi2
-                 FROM terms GROUP BY n, r, c)
+      Some(s"""WITH $chiCte
               SELECT n, round(chi2, 6) AS chi2,
-                round(sqrt(chi2 / (CAST(n AS DOUBLE)
-                  * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v,
+                round(CASE WHEN LEAST(r - 1, c - 1) = 0 THEN NULL
+                  ELSE sqrt(chi2 / (CAST(n AS DOUBLE)
+                    * CAST(LEAST(r - 1, c - 1) AS DOUBLE))) END, 6)
+                  AS cramers_v,
                 round(sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))), 6)
                   AS contingency_c
               FROM chi""")),
     QueryDef("agg_cramers_v_corrected", aggCramersVCorrected,
-      Some(s"""WITH cells AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
-                 COUNT(*) AS o FROM lineitem GROUP BY rf, ls),
-               rtot AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS rt
-                 FROM cells GROUP BY rf),
-               ctot AS (SELECT ls, CAST(SUM(o) AS BIGINT) AS ct
-                 FROM cells GROUP BY ls),
-               tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
-                 COUNT(DISTINCT rf) AS r, COUNT(DISTINCT ls) AS c
-                 FROM cells),
-               terms AS (SELECT n, r, c,
-                 (CAST(o AS DOUBLE)
-                   - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-                     / CAST(n AS DOUBLE))
-                 * (CAST(o AS DOUBLE)
-                   - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-                     / CAST(n AS DOUBLE))
-                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-                     / CAST(n AS DOUBLE)) AS term
-                 FROM cells JOIN rtot USING (rf) JOIN ctot USING (ls)
-                 CROSS JOIN tot),
-               chi AS (SELECT n, r, c, ${Det.oSum("term")} AS chi2
-                 FROM terms GROUP BY n, r, c),
+      Some(s"""WITH $chiCte,
                f AS (SELECT n, chi2,
                  GREATEST(0.0, chi2 / CAST(n AS DOUBLE)
                    - CAST(r - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE)
@@ -2141,7 +2188,9 @@ object Aggregates {
                    * CAST(c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS cc
                  FROM chi)
               SELECT n, round(chi2, 6) AS chi2,
-                round(sqrt(phi2c / LEAST(rc - 1, cc - 1)), 6)
+                CASE WHEN n = 1 THEN NULL
+                  WHEN LEAST(rc - 1, cc - 1) = 0 THEN NULL
+                  ELSE round(sqrt(phi2c / LEAST(rc - 1, cc - 1)), 6) END
                   AS cramers_v_corrected
               FROM f""")),
     QueryDef("agg_histogram_eq", aggHistogramEq,
@@ -2456,10 +2505,6 @@ object Aggregates {
       .orderBy(col("pair"))
   }
 
-  /** Wide pivot (rows → columns): status counts per priority. Catalyst
-    * rewrites pivot to a single conditional aggregation — one shuffle,
-    * same plan as the FILTER-clause oracle, no per-value passes.
-    */
   /** The wide (priority × status) count frame shared by agg_pivot and
     * agg_unpivot — one definition so the claimed round-trip identity
     * (pivot ∘ unpivot = groupBy count) cannot desynchronize.
@@ -2471,6 +2516,10 @@ object Aggregates {
       .count()
       .na.fill(0, Seq("F", "O", "P")) // empty cells: null in pivot, 0 in SQL
 
+  /** Wide pivot (rows → columns): status counts per priority. Catalyst
+    * rewrites pivot to a single conditional aggregation — one shuffle,
+    * same plan as the FILTER-clause oracle, no per-value passes.
+    */
   private def aggPivot(s: SparkSession, dir: String): DataFrame =
     pivotedCounts(s, dir).orderBy(col("o_orderpriority"))
 
