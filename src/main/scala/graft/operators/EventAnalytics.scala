@@ -204,8 +204,12 @@ object EventAnalytics {
       else IndexedSeq(pts.head, pts.last)
     val interior = pts.length - 2
     val buckets = n - 2
+    // long arithmetic: i * interior overflows Int past ~126M interior
+    // points and the wrapped bound silently selects wrong points —
+    // nothing in this function's contract caps pts.length
     def bounds(i: Int): (Int, Int) = // [from, until) into the interior
-      (1 + i * interior / buckets, 1 + (i + 1) * interior / buckets)
+      (1 + (i.toLong * interior / buckets).toInt,
+        1 + ((i + 1).toLong * interior / buckets).toInt)
     val out = scala.collection.mutable.ArrayBuffer(pts.head)
     var i = 0
     while (i < buckets) {
@@ -599,7 +603,7 @@ object EventAnalytics {
                m AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
                  FROM pairs GROUP BY from_type)
               SELECT from_type, to_type, n,
-                round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p
+                CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
               FROM pairs JOIN m USING (from_type)
               ORDER BY from_type, to_type""")),
     QueryDef("seq_next_node", seqNextNode,
@@ -629,8 +633,8 @@ object EventAnalytics {
                  MIN(epoch_us(ts)) AS t_first, MAX(epoch_us(ts)) AS t_last
                  FROM o GROUP BY user_id)
               SELECT user_id, n,
-                round((v_last - v_first)
-                  / (CAST(t_last - t_first AS DOUBLE) / 1000000.0), 6) + 0.0
+                (v_last - v_first)
+                  / (CAST(t_last - t_first AS DOUBLE) / 1000000.0)
                   AS slope
               FROM g WHERE t_last > t_first ORDER BY user_id""")),
     QueryDef("fn_retention", fnRetention,
@@ -1147,8 +1151,9 @@ object EventAnalytics {
               SELECT h AS t_star, round(cusum, 6) AS cusum,
                 round(CAST(prefix AS DOUBLE) / CAST(t AS DOUBLE), 6)
                   AS mean_before,
-                round(CAST(s_tot - prefix AS DOUBLE)
-                  / CAST(n_tot - t AS DOUBLE), 6) AS mean_after
+                round(CASE WHEN n_tot = t THEN NULL
+                  ELSE CAST(s_tot - prefix AS DOUBLE)
+                    / CAST(n_tot - t AS DOUBLE) END, 6) AS mean_after
               FROM best WHERE rn = 1""")),
     QueryDef("ts_ema", tsEma,
       Some("""WITH l AS (SELECT user_id,
@@ -1314,18 +1319,27 @@ object EventAnalytics {
     * with codegen'd collect/sort/transform. One shuffle on user_id; the
     * per-user string is bounded by that user's event count, not the corpus.
     */
-  private def fnSeqMatch(s: SparkSession, dir: String): DataFrame =
+  /** Per-user journey string — the time-ordered event stream collapsed
+    * to type initials (all five types start with distinct first
+    * letters), ordered by the unique (ts, event_id) key. ONE encoder
+    * shared by fn_seq_match and fn_journey_regex: the two keys
+    * previously carried divergent spellings of the same collapse
+    * (struct-of-initial vs transform-at-the-end) that had to stay
+    * semantically identical by review alone.
+    */
+  private def journeyStrings(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .select(col("user_id"),
-        struct(col("ts"), col("event_id"),
-          substring(col("event_type"), 1, 1).as("c")).as("ev"))
       .groupBy(col("user_id"))
-      .agg(concat_ws("",
-        transform(array_sort(collect_list(col("ev"))), e => e("c"))).as("seq"))
+      .agg(expr("""array_join(transform(
+             array_sort(collect_list(struct(ts, event_id, event_type))),
+             x -> substring(x.event_type, 1, 1)), '')""").as("journey"))
+
+  private def fnSeqMatch(s: SparkSession, dir: String): DataFrame =
+    journeyStrings(s, dir)
       .select(col("user_id"),
-        col("seq").rlike("s.*v.*p").cast("int").as("m_signup_view_buy"),
-        col("seq").rlike("e.*e.*e").cast("int").as("m_triple_error"),
-        length(col("seq")).as("n_events"))
+        col("journey").rlike("s.*v.*p").cast("int").as("m_signup_view_buy"),
+        col("journey").rlike("e.*e.*e").cast("int").as("m_triple_error"),
+        length(col("journey")).as("n_events"))
       .orderBy(col("user_id"))
 
   /** Time-series gap fill: hourly purchase rollup joined onto a generated
@@ -1347,6 +1361,22 @@ object EventAnalytics {
     hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
       .select(carry.map(col) :+ explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("h"): _*)
+
+  /** The plain hourly COUNT rollup six spine-joined ts_* keys share
+    * (forecast/period/stl/zscore/changepoint/acf) — previously
+    * copy-pasted per key, where a rollup-semantics fix could silently
+    * drift per query. Deliberately NOT checkpointed: every caller
+    * consumes it twice (the spine's bounds aggregate plus the spine
+    * join), but the two consumers share the rollup's exchange via
+    * ReuseExchange and an eager localCheckpoint NET-LOST in an isolated
+    * A/B at sf0.1 (5 of 6 keys faster without, e.g. ts_anomaly_zscore
+    * 0.36 -> 0.29 s, ts_acf 0.49 -> 0.38 s) — the agg_theils_u
+    * measurement, reproduced on this exact shape.
+    */
+  private def hourlyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
 
   private def tsGapFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1424,9 +1454,7 @@ object EventAnalytics {
     */
   private def tsForecastNaive(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyCounts(s, dir)
     val spine = hourlySpine(hourly, "lo", "hi")
     val series = spine.join(hourly, Seq("h"), "left")
       .select(col("h"),
@@ -1468,9 +1496,7 @@ object EventAnalytics {
     */
   private def tsPeriodDetect(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyCounts(s, dir)
     val spine = hourlySpine(hourly, "lo")
     val series = spine.join(hourly, Seq("h"), "left")
       .select(expr("(unix_seconds(h) - unix_seconds(lo)) div 3600").as("idx"),
@@ -1516,9 +1542,7 @@ object EventAnalytics {
     */
   private def tsStlDecompose(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyCounts(s, dir)
     val spine = hourlySpine(hourly)
     val byH = Window.orderBy(col("h"))
     val w25 = byH.rowsBetween(-12, 12)
@@ -1586,9 +1610,7 @@ object EventAnalytics {
     */
   private def tsAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyCounts(s, dir)
     val spine = hourlySpine(hourly)
     val byH = Window.orderBy(col("h"))
     val w24 = byH.rowsBetween(-24, -1)
@@ -1622,9 +1644,7 @@ object EventAnalytics {
     */
   private def tsChangepoint(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyCounts(s, dir)
     val spine = hourlySpine(hourly)
     val byH = Window.orderBy(col("h"))
     val series = spine.join(hourly, Seq("h"), "left")
@@ -1646,8 +1666,12 @@ object EventAnalytics {
       .select(col("h").as("t_star"), round(col("cusum"), 6).as("cusum"),
         round(col("prefix").cast("double") / col("t").cast("double"), 6)
           .as("mean_before"),
-        round((col("s_tot") - col("prefix")).cast("double")
-          / (col("n_tot") - col("t")).cast("double"), 6).as("mean_after"))
+        // last-row-argmax guard (class 6): t = n_tot leaves no "after"
+        // segment — 0/0 THROWS under ANSI on Spark and is NaN on DuckDB;
+        // NULL on both engines (oracle carries the same CASE)
+        round(when(col("n_tot") === col("t"), lit(null).cast("double"))
+          .otherwise((col("s_tot") - col("prefix")).cast("double")
+            / (col("n_tot") - col("t")).cast("double")), 6).as("mean_after"))
   }
 
   /** Autocorrelation function r₁..r₆ over the zero-filled hourly event-
@@ -1669,9 +1693,7 @@ object EventAnalytics {
     */
   private def tsAcf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyCounts(s, dir)
     val spine = hourlySpine(hourly)
     val series = spine.join(hourly, Seq("h"), "left")
       .select(coalesce(col("n"), lit(0L)).as("x"),
@@ -1880,14 +1902,17 @@ object EventAnalytics {
       .agg(expr("array_sort(collect_list(struct(ts, event_id, value)))")
         .as("xs"))
       .select(col("user_id"), size(col("xs")).as("n_purchases"),
+        // fold directly over the sorted history — the old per-element
+        // struct(l, b) re-wrap via transform() allocated a full extra
+        // pass per user for a field the lambda can read as e.value
+        // (the tsDecayedSum spelling); arithmetic unchanged
         expr("""aggregate(
-                  slice(transform(xs, x -> struct(x.value AS l,
-                    cast(0 as double) AS b)), 2, size(xs) - 1),
+                  slice(xs, 2, size(xs) - 1),
                   struct(element_at(xs, 1).value AS l,
                     cast(0 as double) AS b),
                   (acc, e) -> struct(
-                    0.3D * e.l + 0.7D * (acc.l + acc.b) AS l,
-                    0.2D * ((0.3D * e.l + 0.7D * (acc.l + acc.b)) - acc.l)
+                    0.3D * e.value + 0.7D * (acc.l + acc.b) AS l,
+                    0.2D * ((0.3D * e.value + 0.7D * (acc.l + acc.b)) - acc.l)
                       + 0.8D * acc.b AS b))""").as("st"))
       .select(col("user_id"), col("n_purchases"),
         col("st.l").as("level"), col("st.b").as("trend"),
@@ -2042,11 +2067,7 @@ object EventAnalytics {
     * map-side over O(users) strings, never over the event log.
     */
   private def fnJourneyRegex(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(expr("""array_join(transform(
-             array_sort(collect_list(struct(ts, event_id, event_type))),
-             x -> substring(x.event_type, 1, 1)), '')""").as("journey"))
+    journeyStrings(s, dir)
       .select(col("user_id"), length(col("journey")).as("n_events"),
         col("journey").rlike("s.*v.*p").as("has_funnel_path"),
         ((length(col("journey")) -
@@ -2076,8 +2097,10 @@ object EventAnalytics {
       .agg(sum(col("n")).as("n_from"))
     pairs.join(broadcast(margin), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n").cast("double") / col("n_from").cast("double"), 6)
-          .as("p"))
+        // UNROUNDED quotient of exact integer counts: both engines
+        // divide identical operands (bit-identical IEEE); the 6dp edge
+        // round was the class-3 midpoint hazard
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
 
@@ -2127,12 +2150,13 @@ object EventAnalytics {
         max(unix_micros(col("ts"))).as("t_last"))
       .filter(col("t_last") > col("t_first"))
       .select(col("user_id"), col("n"),
-        // + 0.0 normalizes IEEE signed zero: DuckDB's round keeps -0.0 on a
-        // tiny negative slope while Spark's (BigDecimal HALF_UP) drops the
-        // sign — value-equal but byte-different at the comparison edge.
-        (round((col("v_last") - col("v_first"))
-          / ((col("t_last") - col("t_first")).cast("double") / 1000000.0), 6)
-          + lit(0.0)).as("slope"))
+        // UNROUNDED quotient: both engines run the identical IEEE chain
+        // on identical operands — bit-identical including the sign of
+        // zero, so the old 6dp edge round (class-3 midpoint hazard) and
+        // its +0.0 signed-zero patch are both unnecessary
+        ((col("v_last") - col("v_first"))
+          / ((col("t_last") - col("t_first")).cast("double") / 1000000.0))
+          .as("slope"))
       .orderBy(col("user_id"))
   }
 
