@@ -107,7 +107,14 @@ object Fns {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_quantity") - 25).as("qty_dev"),
-        round(col("l_extendedprice"), 1).as("price_r1"),
+        // exact-cents 1dp HALF_UP: cents are exact integers (2dp fixture
+        // invariant), so (cents + 5) div 10 rounds without any
+        // double-round — round(double, 1) was the class-3 midpoint
+        // split (Spark rounds the shortest decimal string, DuckDB the
+        // exact binary value; every price ending in .x5 sits on it)
+        (expr("""((cast(cast(l_extendedprice as decimal(30,2)) * 100
+             as bigint) + 5) div 10)""").cast("double") / 10.0)
+          .as("price_r1"),
         floor(col("l_extendedprice")).as("price_floor"),
         // round to 6dp BEFORE ceil: 0.07*100 is 7.000000000000001 in
         // IEEE double, so a bare ceil reports 8 for a 7% discount on
@@ -356,8 +363,10 @@ object Fns {
 
   /** ClickHouse array-fold family — `arrayCumSum`, `arrayDifference`,
     * `arrayZip` — as Catalyst higher-order functions over each order's
-    * line-quantity array (assembled once, sorted on the unique line
-    * number). Quantities are integral fixture doubles, so the bigint
+    * line-quantity array (assembled once, sorted on (l_linenumber,
+    * l_quantity) — l_linenumber is NOT unique per order in the
+    * synthetic fixture, so the quantity tiebreak is load-bearing).
+    * Quantities are integral fixture doubles, so the bigint
     * casts agree across engines and every fold is exact integer math.
     * Arrays leave as canonical CSV strings (comparator hashes scalars).
     *
@@ -380,9 +389,14 @@ object Fns {
           .as("q"),
         expr("transform(xs, x -> x.l_linenumber)").as("ln"))
       .select(col("l_orderkey"), size(col("q")).as("n_lines"),
-        expr("""array_join(transform(sequence(1, size(q)),
-               i -> aggregate(slice(q, 1, i), cast(0 as bigint),
-                 (a, x) -> a + x)), ',')""").as("cum_qty"),
+        // one accumulate pass (the fnArrayDelta cum_arr form), not a
+        // per-index slice re-aggregation: n additions instead of
+        // n(n+1)/2 for bit-identical exact-integer prefix sums
+        expr("""array_join(transform(
+               slice(aggregate(q, array(cast(0 as bigint)),
+                 (acc, x) -> concat(acc, array(element_at(acc, -1) + x))),
+                 2, size(q)),
+               x -> cast(x as string)), ',')""").as("cum_qty"),
         expr("""array_join(transform(sequence(1, size(q)),
                i -> if(i = 1, cast(0 as bigint),
                  element_at(q, i) - element_at(q, i - 1))), ',')""")
@@ -1032,8 +1046,13 @@ object Fns {
     QueryDef("fn_id", fnId,
       Some("""WITH e AS (SELECT event_id, user_id,
                 epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
-              b AS (SELECT event_id, ms, user_id % 1024 AS shard,
-                CAST((ROW_NUMBER() OVER (PARTITION BY ms, user_id % 1024
+              -- ((x % m) + m) % m compensates DuckDB's truncated % to
+              -- match Spark's pmod for negative user_ids (the fn_math
+              -- key_mod7 rule)
+              b AS (SELECT event_id, ms,
+                ((user_id % 1024) + 1024) % 1024 AS shard,
+                CAST((ROW_NUMBER() OVER (PARTITION BY ms,
+                  ((user_id % 1024) + 1024) % 1024
                   ORDER BY event_id) - 1) % 4096 AS BIGINT) AS seq
                 FROM e),
               i AS (SELECT event_id, ms, shard, seq,
@@ -1426,7 +1445,8 @@ object Fns {
     QueryDef("fn_math", fnMath,
       Some("""SELECT l_orderkey, l_linenumber,
                abs(l_quantity - 25) AS qty_dev,
-               round(l_extendedprice, 1) AS price_r1,
+               CAST((CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+                   AS BIGINT) + 5) // 10 AS DOUBLE) / 10.0 AS price_r1,
                CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
                CAST(ceil(round(l_discount * 100, 6)) AS BIGINT)
                  AS disc_pct_ceil,
