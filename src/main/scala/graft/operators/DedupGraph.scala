@@ -52,14 +52,24 @@ object DedupGraph {
       .select(col("id_a"), col("id_b"))
   }
 
-  // set on the first failed observe-metric delivery; later rounds then
-  // skip straight to the explicit probe instead of re-paying the timeout
-  private val observeBroken = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** The propagation FIXPOINT cached per (session, fixture): both
+    * dedup_cluster and dedup_canonical consume the same labels, and the
+    * loop (pair self-join + up to 30 checkpointed rounds) is the most
+    * expensive plan in this file — the affinityEdgesCached rule applied
+    * to the dedup side. Checkpoint-backed, so session-keyed like
+    * edgeCache; the fingerprint re-derives on an in-JVM testdata swap.
+    */
+  private[graft] val labelCache = new graft.DfCache(16)
 
   /** The propagation loop itself, shared by dedup_cluster (reports the
     * components) and dedup_canonical (uses them to pick survivors).
     */
-  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.get(s, s"$dir@${graft.Scratch.fixtureFingerprint(dir)}") {
+      clusterLabelsUncached(s, dir)
+    }
+
+  private def clusterLabelsUncached(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
     // undirected: propagate labels both ways
     val und = e.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -68,13 +78,21 @@ object DedupGraph {
     val nodes = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("id"))
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    // metric-delivery latch is PER INVOCATION: one transient >10s
+    // delivery delay (GC pause, loaded listener bus) skips the observe
+    // fast path for the REMAINING rounds of this loop only — a JVM-global
+    // latch (the previous design) permanently degraded every later
+    // invocation in every session over one slow delivery
+    var obsDown = false
+    var labels: DataFrame = null
     var converged = false
     var rounds = 0
-    // unpersist in finally: a job failure in any of up to 30 rounds
-    // would otherwise pin the persisted edge frame in the CacheManager
-    // for the session's lifetime, and failed invocations accumulate
+    // EVERY eager job from the first checkpoint on runs inside try: the
+    // persisted edge frame must be unpersisted even when the initial
+    // labels checkpoint fails, or failed invocations accumulate pinned
+    // CacheManager entries for the session's lifetime
     try {
+    labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     while (!converged && rounds < 30) {
       val nbrMin = und.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
@@ -84,34 +102,38 @@ object DedupGraph {
       // ObservedLoopSpec): ONE Spark action per round, not a separate
       // isEmpty probe. At 1000-executor scale the probe was a full extra
       // stage launch per round of an O(diameter) loop.
-      val obs = org.apache.spark.sql.Observation()
-      val next = labels.as("l")
+      // Once the latch is down, NO Observation is constructed at all:
+      // each .observe registers a listener that only unregisters on
+      // delivery — on a broken bus they would otherwise accumulate one
+      // per round, each retaining its Dataset.
+      val obs =
+        if (obsDown) None else Some(org.apache.spark.sql.Observation())
+      val nextBase = labels.as("l")
         .join(nbrMin, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("nbr_min"), col("l.comp")))
             .as("comp"),
           coalesce(col("nbr_min") < col("l.comp"), lit(false)).as("changed"))
-        .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
+      val next = obs.fold(nextBase)(o => nextBase.observe(o,
+          sum(col("changed").cast("long")).as("n_changed")))
         .localCheckpoint()
-      // poll getOrEmpty instead of a Future-wrapped blocking get: the
-      // action already completed, so the metric normally lands within
-      // milliseconds; on a broken listener bus the old Await-on-Future
-      // leaked one permanently-blocked thread AND paid the full timeout
-      // EVERY remaining round — now the first miss flips a JVM flag and
-      // all later rounds go straight to the explicit probe
+      // poll observationPeek instead of a Future-wrapped blocking get:
+      // the action already completed, so the metric normally lands
+      // within milliseconds; on a broken listener bus the old
+      // Await-on-Future leaked one permanently-blocked thread AND paid
+      // the full timeout EVERY remaining round — the first miss flips
+      // the latch and later rounds go straight to the explicit probe
       converged = {
-        val metric: Option[Long] =
-          if (observeBroken.get()) None
-          else {
-            val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-            var m = org.apache.spark.sql.graft.Bridge.observationPeek(obs)
-            while (m.isEmpty && System.nanoTime() < deadline) {
-              Thread.sleep(20)
-              m = org.apache.spark.sql.graft.Bridge.observationPeek(obs)
-            }
-            if (m.isEmpty) { observeBroken.set(true); None }
-            else Some(m("n_changed").asInstanceOf[Long])
+        val metric: Option[Long] = obs.flatMap { o =>
+          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+          var m = org.apache.spark.sql.graft.Bridge.observationPeek(o)
+          while (m.isEmpty && System.nanoTime() < deadline) {
+            Thread.sleep(20)
+            m = org.apache.spark.sql.graft.Bridge.observationPeek(o)
           }
+          if (m.isEmpty) { obsDown = true; None }
+          else Some(m("n_changed").asInstanceOf[Long])
+        }
         metric match {
           case Some(n) => n == 0L
           case None => next.filter(col("changed")).isEmpty
@@ -274,6 +296,14 @@ object DedupGraph {
     edges.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
 
+  /** Symmetrized (both-directions) edge list with caller-chosen output
+    * names — previously restated inline at three traversal sites, where
+    * the union spelling could drift independently.
+    */
+  private def symmetrize(e: DataFrame, o1: String, o2: String): DataFrame =
+    e.select(col("u").as(o1), col("v").as(o2))
+      .union(e.select(col("v").as(o1), col("u").as(o2)))
+
   /** Every triangle of the affinity graph exactly ONCE, as (a, b, c) —
     * the Suri-Vassilvitskii degree-oriented wedge join shared by
     * graph_triangle_count (global counts) and graph_cluster_coeff
@@ -355,8 +385,7 @@ object DedupGraph {
     // and the degree rollup below both read it (the fact-table pair
     // self-join it derives from must not run per consumer)
     val e = affinityEdgesCached(s, dir)
-    val und = e.select(col("u").as("n"), col("v").as("m"))
-      .union(e.select(col("v").as("n"), col("u").as("m")))
+    val und = symmetrize(e, "n", "m")
     val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
     val common = und.as("a").join(und.as("b"),
         col("a.m") === col("b.m") && col("a.n") < col("b.n"))
@@ -402,8 +431,7 @@ object DedupGraph {
     */
   private def graphResourceAlloc(s: SparkSession, dir: String): DataFrame = {
     val e = affinityEdgesCached(s, dir)
-    val und = e.select(col("u").as("n"), col("v").as("m"))
-      .union(e.select(col("v").as("n"), col("u").as("m")))
+    val und = symmetrize(e, "n", "m")
     val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
     und.as("a").join(und.as("b"),
         col("a.m") === col("b.m") && col("a.n") < col("b.n"))
@@ -434,8 +462,7 @@ object DedupGraph {
   private def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
     val edges = affinityEdgesCached(s, dir)
     val deg = degrees(edges)
-    val und = edges.select(col("u").as("a"), col("v").as("b"))
-      .union(edges.select(col("v").as("a"), col("u").as("b")))
+    val und = symmetrize(edges, "a", "b")
     und
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
@@ -448,8 +475,13 @@ object DedupGraph {
           col("sx").cast("double") * col("sx").cast("double")
         val den = col("m").cast("double") * col("sxx").cast("double") -
           col("sx").cast("double") * col("sx").cast("double")
-        when(col("m") * col("sxx") === col("sx") * col("sx"),
-          lit(null).cast("double"))
+        // guard in the DOUBLE domain the quotient lives in: the previous
+        // exact-integer compare multiplied BIGINTs, which overflows (and
+        // under ANSI, THROWS) once sx passes ~3e9 — a few million nodes
+        // of mean degree 50, squarely inside the claimed 100 TB posture.
+        // Exact zero variance still lands den exactly 0.0 (correctly-
+        // rounded products of equal exact values are equal).
+        when(den === 0.0, lit(null).cast("double"))
           .otherwise(num / den).as("assortativity")
       })
   }
