@@ -187,7 +187,12 @@ object Cdc {
       .select(col("type"), col("es"), col("ts"), col("old"),
         posexplode(col("data")).as(Seq("pos", "img")))
       .select(
-        col("type"), col("es"), col("ts"), col("old"),
+        col("type"), col("es"), col("ts"),
+        // the old image PAIRED with THIS row: a multi-row Canal UPDATE
+        // envelope carries data[i] ↔ old[i] (the cdcOldDiff pos rule) —
+        // consumers that read element_at(old, 1) computed wrong deltas
+        // for every exploded row after the first
+        element_at(col("old"), col("pos") + 1).as("old_img"),
         col("img")("o_orderkey").cast("long").as("o_orderkey"),
         col("img")("o_custkey").cast("long").as("o_custkey"),
         col("img")("o_orderstatus").as("o_orderstatus"),
@@ -476,7 +481,7 @@ object Cdc {
         col("o_totalprice"), lit(1).as("sign"))
     val minusUpd = t.filter(col("type") === "UPDATE")
       .select(col("o_orderkey"), col("es"), col("ts"),
-        element_at(element_at(col("old"), 1), "o_totalprice").cast("double")
+        element_at(col("old_img"), "o_totalprice").cast("double")
           .as("o_totalprice"),
         lit(-1).as("sign"))
     val minusDel = t.filter(col("type") === "DELETE")
@@ -743,7 +748,7 @@ object Cdc {
     * materialized views.
     */
   private def cdcSummingMv(s: SparkSession, dir: String): DataFrame = {
-    val oldPrice = element_at(element_at(col("old"), 1), "o_totalprice")
+    val oldPrice = element_at(col("old_img"), "o_totalprice")
       .cast("double")
     val contrib = when(col("type") === "INSERT", col("o_totalprice"))
       .when(col("type") === "UPDATE", col("o_totalprice") - oldPrice)
@@ -1023,11 +1028,15 @@ object Cdc {
       .orderBy(col("es").desc, col("ts").desc, col("new_val").desc)
     val patches = parsed(s, dir)
       .filter(col("table") === "orders" && col("type") === "UPDATE")
+      .select(col("es"), col("ts"), col("old"),
+        posexplode(col("data")).as(Seq("pos", "img")))
+      // pair old[pos+1] with data[pos]: the old data[1]/old[1] spelling
+      // silently DROPPED rows 2+ of a multi-row UPDATE envelope
       .select(col("es"), col("ts"),
-        element_at(element_at(col("data"), 1), "o_orderkey").cast("long")
-          .as("o_orderkey"),
-        element_at(col("data"), 1).as("img"),
-        explode(map_keys(element_at(col("old"), 1))).as("col_name"))
+        element_at(col("img"), "o_orderkey").cast("long").as("o_orderkey"),
+        col("img"),
+        explode(map_keys(element_at(col("old"), col("pos") + 1)))
+          .as("col_name"))
       .select(col("o_orderkey"), col("col_name"), col("es"), col("ts"),
         element_at(col("img"), col("col_name")).as("new_val"))
       .withColumn("rn", row_number().over(wPatch))

@@ -159,13 +159,22 @@ object StreamOps {
     }
 
   /** Run a streaming DataFrame to completion into an in-memory table. */
-  private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame =
+    runToMemoryWithQuery(s, df, mode)._1
+
+  /** [[runToMemory]] also returning the (terminated) query handle — for
+    * the one consumer that reads recentProgress; previously a verbatim
+    * copy of the writeStream body that could drift from the shared
+    * checkpoint/trigger/await discipline.
+    */
+  private def runToMemoryWithQuery(s: SparkSession, df: DataFrame,
+      mode: String): (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val name = s"graft_mem_${nameCtr.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
       .option("checkpointLocation", fresh(s"${name}_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
     awaitBounded(q)
-    s.table(name)
+    (s.table(name), q)
   }
 
   /** One-time staged inputs (feed files, symlinked source dirs) — shared
@@ -178,7 +187,21 @@ object StreamOps {
     offsetLogDir(s, dir) // the broker's log exists before a consumer runs
     multiFeedDir(s, dir) // stream_cdc_scd2's two-file feed — without it
     // the first measured rep pays the envelope ETL inside the timing
+    backfillTailFeedDir(s, dir) // stream_backfill_tail's tail feed, same rule
     ()
+  }
+
+  /** stream_backfill_tail's staged tail feed (updates + deletes only) —
+    * derives deterministically from the fixture, staged cross-run and
+    * pre-created by [[prepareFixtures]] so the key's first measured rep
+    * never pays the envelope ETL inside the timing.
+    */
+  private def backfillTailFeedDir(s: SparkSession, dir: String): String = {
+    val feed = s"${graft.Scratch.streamStageRoot(dir)}/backfill_tail_feed"
+    graft.Scratch.staged(feed) {
+      Cdc.envelopesTail(s, dir).coalesce(1).write.mode("overwrite").text(feed)
+    }
+    feed
   }
 
   // ---- sources ----
@@ -534,7 +557,9 @@ object StreamOps {
     val s = stateSized(s0)
     val feed = feedDir(s, dir)
     val state = fresh("summing_state")
-    val oldPrice = element_at(element_at(col("old"), 1), "o_totalprice")
+    // per-row paired old image (typeMapOrders' old_img): element_at(old,
+    // 1) corrupted rows 2+ of a multi-row UPDATE envelope
+    val oldPrice = element_at(col("old_img"), "o_totalprice")
       .cast("double")
     val q = s.readStream.schema(Cdc.envelopeSchema).json(feed)
       .writeStream
@@ -667,22 +692,27 @@ object StreamOps {
     val state = fresh("offlog_state")
     val group = s"c${nameCtr.incrementAndGet()}_${System.nanoTime()}"
     // session 1: consume up to the high-water mark the consumer saw
-    val hwm0 = OffsetLog.endOffsetsAt(root, 0L)
-    mergeCdcTyped(logToTyped(
-      OffsetLog.read(s, root, OffsetLog.committed(root, group), hwm0)),
-      0L, state)
-    OffsetLog.commit(root, group, hwm0)
-    // process restart: position re-read from the durable commit manifest
-    val resumed = OffsetLog.committed(root, group)
-    mergeCdcTyped(logToTyped(OffsetLog.read(s, root, resumed)), 1L, state)
-    OffsetLog.commit(root, group, OffsetLog.endOffsets(root))
-    val offs = OffsetLog.committed(root, group).toSeq
-      .map { case (p, o) => (p.toLong, o) }
-      .toDF("partition", "committed_offset")
-    // the one-shot group's manifest is consumed (offs is a local Seq
-    // now) — delete it so the cross-run staged log root stays immutable
-    // instead of accumulating one _COMMIT file per bench run
-    OffsetLog.dropGroup(root, group)
+    // drop in finally: a failure between the first commit and the drop
+    // previously leaked one dead _COMMIT manifest per aborted run into
+    // the cross-run staged log root (which must stay immutable)
+    val offs =
+      try {
+        val hwm0 = OffsetLog.endOffsetsAt(root, 0L)
+        mergeCdcTyped(logToTyped(
+          OffsetLog.read(s, root, OffsetLog.committed(root, group), hwm0)),
+          0L, state)
+        OffsetLog.commit(root, group, hwm0)
+        // process restart: position re-read from the durable commit
+        // manifest
+        val resumed = OffsetLog.committed(root, group)
+        mergeCdcTyped(logToTyped(OffsetLog.read(s, root, resumed)), 1L, state)
+        OffsetLog.commit(root, group, OffsetLog.endOffsets(root))
+        // the one-shot group's manifest is consumed into a local Seq
+        // before the finally deletes it
+        OffsetLog.committed(root, group).toSeq
+          .map { case (p, o) => (p.toLong, o) }
+          .toDF("partition", "committed_offset")
+      } finally OffsetLog.dropGroup(root, group)
     readCdcState(s, state)
       .filter(col("type") =!= "DELETE")
       .groupBy(pmod(col("o_orderkey"), lit(offsetLogParts.toLong)).as("partition"))
@@ -924,13 +954,7 @@ object StreamOps {
       Cdc.ordersTyped(s0, dir).filter(col("type") === "INSERT")
         .select("o_orderkey", "o_totalprice", "es", "ts", "type"),
       0L, state)
-    // the tail feed derives deterministically from the fixture — stage
-    // it cross-run (the prepareFixtures charter: measured queries pay
-    // for the pipeline, not the staging)
-    val feed = s"${graft.Scratch.streamStageRoot(dir)}/backfill_tail_feed"
-    graft.Scratch.staged(feed) {
-      Cdc.envelopesTail(s0, dir).coalesce(1).write.mode("overwrite").text(feed)
-    }
+    val feed = backfillTailFeedDir(s0, dir)
     val q = s.readStream.schema(Cdc.envelopeSchema).json(feed)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1299,12 +1323,7 @@ object StreamOps {
     val dup = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    val name = s"graft_mem_${nameCtr.incrementAndGet()}"
-    val q = dup.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", fresh(s"${name}_ckpt"))
-      .trigger(Trigger.AvailableNow()).start()
-    awaitBounded(q)
+    val (_, q) = runToMemoryWithQuery(s, dup, "append")
     val stateRows = q.recentProgress
       .flatMap(p => p.stateOperators.map(o =>
         (o.operatorName, o.numRowsTotal)))
@@ -1557,6 +1576,22 @@ object StreamOps {
 
   // ---- oracles ----
 
+  /** The CDC-upsert END-STATE oracle (the change script's survivor set):
+    * shared verbatim by stream_cdc_upsert, stream_offset_log_dsv2 and
+    * stream_backfill_tail — three ingestion paths that must converge to
+    * the identical state by construction, previously three copies that
+    * could silently diverge on an algebra fix.
+    */
+  private val cdcUpsertEndStateOracle: String =
+    """SELECT o_orderkey,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS o_totalprice,
+        CAST(CASE WHEN o_orderkey % 3 = 0
+             THEN epoch_ms(o_orderdate) + 86400000
+             ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
+       FROM orders WHERE o_orderkey % 7 <> 0
+       ORDER BY o_orderkey"""
+
   private val offsetLogOracle: String =
     s"""WITH f AS (SELECT o_orderkey AS pk, o_totalprice FROM orders),
         ofs AS (SELECT pk % 4 AS partition,
@@ -1598,14 +1633,7 @@ object StreamOps {
                     THEN 'n-' || CAST(o_orderkey AS VARCHAR) END AS o_note
               FROM orders ORDER BY o_orderkey""")),
     QueryDef("stream_cdc_upsert", streamCdcUpsert,
-      Some("""SELECT o_orderkey,
-               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
-                    ELSE o_totalprice END AS o_totalprice,
-               CAST(CASE WHEN o_orderkey % 3 = 0
-                    THEN epoch_ms(o_orderdate) + 86400000
-                    ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
-              FROM orders WHERE o_orderkey % 7 <> 0
-              ORDER BY o_orderkey""")),
+      Some(cdcUpsertEndStateOracle)),
     // offsets = per-partition envelope counts (insert + update + delete
     // script membership); state = the stream_cdc_upsert end-state algebra
     // grouped by the log partition. The exactly-once variant converges
@@ -1628,26 +1656,12 @@ object StreamOps {
     // custom streaming source drains to the same end state as the
     // file-drop streaming upsert → shares its oracle verbatim
     QueryDef("stream_offset_log_dsv2", streamOffsetLogDsv2,
-      Some("""SELECT o_orderkey,
-               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
-                    ELSE o_totalprice END AS o_totalprice,
-               CAST(CASE WHEN o_orderkey % 3 = 0
-                    THEN epoch_ms(o_orderdate) + 86400000
-                    ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
-              FROM orders WHERE o_orderkey % 7 <> 0
-              ORDER BY o_orderkey""")),
+      Some(cdcUpsertEndStateOracle)),
     QueryDef("stream_quantile_mv", streamQuantileMv, None),
     // snapshot bootstrap + streamed tail must converge to the same end
     // state as the full-feed upsert (same oracle by construction)
     QueryDef("stream_backfill_tail", streamBackfillTail,
-      Some("""SELECT o_orderkey,
-               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
-                    ELSE o_totalprice END AS o_totalprice,
-               CAST(CASE WHEN o_orderkey % 3 = 0
-                    THEN epoch_ms(o_orderdate) + 86400000
-                    ELSE epoch_ms(o_orderdate) END AS BIGINT) AS version_es
-              FROM orders WHERE o_orderkey % 7 <> 0
-              ORDER BY o_orderkey""")),
+      Some(cdcUpsertEndStateOracle)),
     // same end-state algebra as the batch cdc_summing_mv — the oracle
     // restates the fold relationally with identical per-row decimal casts
     QueryDef("stream_summing_mv", streamSummingMv,

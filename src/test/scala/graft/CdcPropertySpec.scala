@@ -62,7 +62,7 @@ class CdcPropertySpec extends GraftSpec {
         val df = es.map(e => (e.key, e.es, e.seq,
             if (e.isDelete) "DELETE" else "INSERT", e.es.toDouble))
           .toDF("o_orderkey", "es", "ts", "type", "o_totalprice")
-          .withColumn("old", lit(null).cast("array<map<string,string>>"))
+          .withColumn("old_img", lit(null).cast("map<string,string>"))
         graft.operators.Cdc.deleteFoldOf(df)
           .as[(Long, Double)].collect().toSet
       }

@@ -58,9 +58,9 @@ class CdcSpec extends GraftSpec {
       (3L, 5L, 5L, "INSERT", 300.0), (3L, 8L, 8L, "UPDATE", 350.0))
     def typed(evs: Seq[(Long, Long, Long, String, Double)]) =
       evs.toDF("o_orderkey", "es", "ts", "type", "o_totalprice")
-        .withColumn("old", when(col("type") === "UPDATE",
-          array(map(lit("o_totalprice"), lit("300.0"))))
-          .otherwise(lit(null)).cast("array<map<string,string>>"))
+        .withColumn("old_img", when(col("type") === "UPDATE",
+          map(lit("o_totalprice"), lit("300.0")))
+          .otherwise(lit(null)).cast("map<string,string>"))
     def fold(evs: Seq[(Long, Long, Long, String, Double)]): Set[(Long, Double)] =
       Cdc.deleteFoldOf(typed(evs)).as[(Long, Double)].collect().toSet
     val results = Seq(events, events.reverse, events.sortBy(_._5))
