@@ -618,13 +618,24 @@ object Joins {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .collect() // O(|dimension|) — control-plane, never O(data)
       .flatMap { r =>
+        // a nation pointing at a missing region walks to UNKNOWN (the
+        // dictGet dirty-dimension default) instead of crashing the
+        // driver in Map.apply at plan time
+        val region = regionName.getOrElse(
+          r.getAs[Number](2).intValue, "UNKNOWN")
         Seq(lit(r.getAs[Number](0).intValue),
-          lit(s"${r.getString(1)}>${regionName(r.getAs[Number](2).intValue)}"))
+          lit(s"${r.getString(1)}>$region"))
       }.toSeq
     val pathDict = map(entries: _*)
     Tables.customer(s, dir)
       .select(col("c_custkey"),
-        element_at(pathDict, col("c_nationkey")).as("path"),
+        // miss default, matching the oracle's LEFT JOIN + coalesce: a
+        // customer with an unknown nation keeps its row with the
+        // UNKNOWN path (the dictGet contract) — the old inner-join
+        // oracle silently DROPPED such rows while Spark kept them with
+        // a NULL path
+        coalesce(element_at(pathDict, col("c_nationkey")),
+          lit("UNKNOWN")).as("path"),
         lit(2).as("depth"))
       .orderBy(col("c_custkey"))
   }
@@ -655,7 +666,15 @@ object Joins {
     }
     def ms(d: java.time.LocalDate): Long =
       d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-    val entries: Seq[Column] = (0 until 25).filterNot(_ == 13).flatMap { k =>
+    // key domain from the DIMENSION TABLE (the dictGet discipline), not
+    // a hardcoded 0..24: a fixture drop shipping more nations would
+    // leave their customers on the 0.0 miss default while the oracle's
+    // closed-form rate applies to ANY key — the asymmetric-guard class
+    // this family's docs forbid
+    val nationKeys = Tables.nation(s, dir)
+      .select(col("n_nationkey")).collect()
+      .map(_.getAs[Number](0).intValue).toSeq.sorted
+    val entries: Seq[Column] = nationKeys.filterNot(_ == 13).flatMap { k =>
       val ranges = (0 until 28).map { q =>
         struct(lit(ms(qStart(q))).as("from_ms"),
           lit(ms(qStart(q + 1))).as("to_ms"),
@@ -755,12 +774,16 @@ object Joins {
       .select(col("l_returnflag"), col("l_extendedprice"),
         when(pmod(col("l_orderkey"), lit(10)) < 9, 0L)
           .otherwise(pmod(col("l_orderkey"), lit(100))).as("k"))
-    // plain filter+project dim with naturally unique keys (custkey 1..100
-    // → k 0..99 bijectively): OptimizeSkewedJoin only matches
-    // SMJ(Sort(shuffle), Sort(shuffle)) — an aggregate between the dim's
-    // shuffle and the join would break the pattern
+    // plain filter+project dim with naturally unique keys (custkey
+    // 1..100 → k bijectively; BETWEEN, not <= — fixture custkeys start
+    // at 0, so <= 100 took 101 rows with custkey 0 AND 100 both mapping
+    // to k = 0, silently double-joining ~90% of the fact side — masked
+    // because the oracle mirrored the same off-by-one):
+    // OptimizeSkewedJoin only matches SMJ(Sort(shuffle), Sort(shuffle))
+    // — an aggregate between the dim's shuffle and the join would break
+    // the pattern
     val dim = Tables.customer(s, dir)
-      .filter(col("c_custkey") <= 100)
+      .filter(col("c_custkey").between(1, 100))
       .select(pmod(col("c_custkey"), lit(100)).as("k"),
         col("c_acctbal").as("dim_val"))
     fact.join(dim.hint("merge"), "k")
@@ -1001,7 +1024,7 @@ object Joins {
                    ELSE l_orderkey % 100 END AS k
                  FROM lineitem),
                d AS (SELECT c_custkey % 100 AS k, c_acctbal AS dim_val
-                 FROM customer WHERE c_custkey <= 100)
+                 FROM customer WHERE c_custkey BETWEEN 1 AND 100)
               SELECT l_returnflag, COUNT(*) AS n,
                 ${Det.oSum("l_extendedprice")} AS sum_price,
                 ${Det.oSum("dim_val")} AS sum_dim
@@ -1079,11 +1102,13 @@ object Joins {
               FROM customer LEFT JOIN nation ON n_nationkey = c_nationkey
               GROUP BY nation_name ORDER BY nation_name""")),
     QueryDef("dict_get_hierarchy", dictGetHierarchy,
-      Some("""SELECT c_custkey, n_name || '>' || r_name AS path,
+      Some("""SELECT c_custkey,
+               coalesce(n_name || '>' || coalesce(r_name, 'UNKNOWN'),
+                 'UNKNOWN') AS path,
                2 AS depth
               FROM customer
-              JOIN nation ON n_nationkey = c_nationkey
-              JOIN region ON r_regionkey = n_regionkey
+              LEFT JOIN nation ON n_nationkey = c_nationkey
+              LEFT JOIN region ON r_regionkey = n_regionkey
               ORDER BY c_custkey""")),
     QueryDef("join_star", joinStar,
       Some(s"""SELECT n_name,
