@@ -32,8 +32,9 @@ object Multimodal {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         col("text").cast("binary").as("blob"),
-        struct(lit("text/plain").as("mime"), col("lang").as("lang"),
-          col("n_chars").as("n_chars")).as("meta"))
+        // only mime survives the projection below — lang/n_chars rode
+        // the struct as dead fields
+        struct(lit("text/plain").as("mime")).as("meta"))
       .select(col("doc_id"),
         length(col("blob")).as("n_bytes"),
         sha2(col("blob"), 256).as("digest"),
@@ -107,9 +108,13 @@ object Multimodal {
     * codec, and return the normalized FFT spectrum inputs — the shared
     * preamble of mm_spectrogram and mm_mel_filterbank.
     */
-  private def spectrumInput(emb: scala.collection.Seq[Float])
+  private def spectrumInput(emb: scala.collection.Seq[java.lang.Float])
       : (Array[Double], Array[Double]) = {
-    val q = emb.map(x => quantizePcm16(x.toDouble)).toSeq
+    // a null element quantizes as silence (0.0) — the oracles' COALESCE
+    // semantics; unboxing it would instead NPE the whole task while the
+    // oracle happily produced rows for the same input
+    val q = emb.map(x =>
+      quantizePcm16(if (x == null) 0.0 else x.doubleValue)).toSeq
     val (_, _, _, smp) = wavDecode(wavEncode(q))
     val n = 64
     val re = new Array[Double](n); val im = new Array[Double](n)
@@ -164,11 +169,15 @@ object Multimodal {
       while (pos < blob.length && blob(pos).toChar.isWhitespace) pos += 1
       require(pos < blob.length && blob(pos).toChar.isDigit,
         "truncated P6 header")
-      var v = 0
+      var v = 0L
       while (pos < blob.length && blob(pos).toChar.isDigit) {
         v = v * 10 + (blob(pos) - '0'); pos += 1
+        // overflow guard: a hostile 2^32+8-style dimension string would
+        // otherwise wrap to a small Int and slip past the dimension
+        // sanity check below with forged geometry
+        require(v <= Int.MaxValue, s"P6 header int overflow: $v")
       }
-      v
+      v.toInt
     }
     val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
     require(maxVal == 255, s"unsupported maxval $maxVal")
@@ -314,6 +323,11 @@ object Multimodal {
     * silently diverge the modalities (the CosineSim header's rule).
     */
   private def grayImage(q: Seq[Int]): java.awt.image.BufferedImage = {
+    // the ppmEncode rule: any other length either truncates silently
+    // (the oracle aggregates ALL elements — a cross-engine split) or
+    // dies with an unnamed IndexOutOfBounds below
+    require(q.length == 64,
+      s"grayImage expects a 64-dim vector (8x8), got ${q.length}")
     val img = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val r = img.getRaster
@@ -586,31 +600,44 @@ object Multimodal {
   private[graft] def wavDecode(blob: Array[Byte]): (Int, Int, Int, Array[Int]) = {
     val bb = java.nio.ByteBuffer.wrap(blob)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // named parse errors, never BufferUnderflowException (the
+    // ppmDecodePixels loud-parser discipline): every multi-byte read is
+    // remaining()-guarded
+    def need(n: Int, what: String): Unit =
+      require(bb.remaining() >= n, s"truncated WAV: $what needs $n bytes")
     def str4(): String = {
+      need(4, "chunk id")
       val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
     }
     require(str4() == "RIFF", "not a RIFF container")
-    bb.getInt() // declared riff length
+    need(4, "riff length"); bb.getInt() // declared riff length
     require(str4() == "WAVE", "not a WAVE form")
     var rate = 0; var ch = 0; var bits = 0
     var data: Array[Int] = null
     while (bb.remaining() >= 8 && (data == null || rate == 0)) {
       val id = str4(); val len = bb.getInt()
+      require(len >= 0, s"negative WAV chunk length $len")
       // RIFF pads every odd-length chunk to a word boundary; the pad
       // byte is NOT counted in len, so every skip is len + (len & 1)
       val padded = len + (len & 1)
       if (id == "fmt ") {
+        need(16, "fmt chunk body")
         val end = bb.position() + padded
         bb.getShort() // audio format tag (1 = PCM)
         ch = bb.getShort(); rate = bb.getInt()
         bb.getInt(); bb.getShort() // byte rate, block align
         bits = bb.getShort()
-        bb.position(end)
+        bb.position(math.min(end, bb.limit()))
       } else if (id == "data") {
+        need(len, "data chunk body")
         data = Array.fill(len / 2)(bb.getShort().toInt)
         if ((len & 1) == 1 && bb.remaining() > 0) bb.get() // pad byte
-      } else bb.position(bb.position() + padded) // skip unknown chunk
+      } else bb.position(math.min(bb.position() + padded, bb.limit()))
     }
+    // a fmt-only container previously returned data = null and NPE'd the
+    // caller at smp.length — the one malformed shape the chunk walk
+    // itself cannot reject
+    require(data != null, "WAV container has no data chunk")
     (rate, ch, bits, data)
   }
 
@@ -726,7 +753,7 @@ object Multimodal {
         rows.map { r =>
           val n = 64
           val (re, im) =
-            spectrumInput(r.getAs[scala.collection.Seq[Float]]("embedding"))
+            spectrumInput(r.getAs[scala.collection.Seq[java.lang.Float]]("embedding"))
           // one-sided power spectrum, 6dp (bins 0..32)
           val mag = Array.tabulate(n / 2 + 1) { k =>
             BigDecimal(re(k) * re(k) + im(k) * im(k))
@@ -811,7 +838,7 @@ object Multimodal {
       .select(col("vec_id"), col("embedding"))
       .flatMap { r =>
         val (re, im) =
-          spectrumInput(r.getAs[scala.collection.Seq[Float]]("embedding"))
+          spectrumInput(r.getAs[scala.collection.Seq[java.lang.Float]]("embedding"))
         val mag = Array.tabulate(33)(k => re(k) * re(k) + im(k) * im(k))
         val id = r.getAs[Long]("vec_id")
         (0 until nMel).map { m =>
@@ -1114,7 +1141,11 @@ object Multimodal {
                -- COALESCE: an empty doc's list_aggregate is NULL while
                -- the Scala decoder's empty-blob sum is 0 (class-6 guard)
                CAST(COALESCE(list_aggregate(list_transform(
-                 regexp_extract_all(text, '.'), x -> unicode(x)), 'sum'), 0)
+                 -- [\s\S], not '.': RE2's dot skips newlines, so a
+                 -- multi-line document would drop its \n bytes from the
+                 -- checksum while the Spark side sums ALL utf-8 bytes
+                 regexp_extract_all(text, '[\s\S]'), x -> unicode(x)),
+                 'sum'), 0)
                  % 997 AS BIGINT) AS checksum,
                CAST(unicode(text) AS INTEGER) AS first_byte
               FROM documents ORDER BY doc_id""")),
