@@ -223,6 +223,13 @@ object Scratch {
     * stage; cross-process races remain possible but the driver harness
     * runs one JVM at a time.
     */
+  /** Durability caveat: the marker write is fsync'd but the build's own
+    * data files are not — on a PERSISTENT tmpdir a power loss can leave
+    * a durable marker over unflushed data pages. Process crashes are
+    * safe (the marker is written last); full power-loss durability
+    * would require fsyncing every build output, which the tmpfs-backed
+    * harness deliberately does not pay.
+    */
   def staged(path: String)(build: => Unit): String = {
     val lock = stageLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
@@ -269,7 +276,11 @@ object Scratch {
     * table, so the leak compounds.
     */
   def readManifest(path: String): String = {
-    val src = scala.io.Source.fromFile(path)
+    // UTF-8 explicitly: the write twin (writeDurable) always emits
+    // UTF-8, and the platform default in a C-locale container is
+    // ASCII — a non-ASCII path or text in a manifest would read back
+    // garbled under the default
+    val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
     try src.mkString finally src.close()
   }
 
@@ -284,10 +295,19 @@ object Scratch {
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
       .sortBy(_.getName)
 
-  /** A fresh tracked scratch dir under java.io.tmpdir. */
+  private val dirCtr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A fresh tracked scratch dir under java.io.tmpdir. The counter, not
+    * nanoTime alone: two threads inside one clock tick (platform tick
+    * can be ~100ns) would otherwise share a path and clobber each
+    * other's staging writes. mkdirs is CHECKED so an unwritable tmpdir
+    * fails here with the path in hand, not later in a Spark task.
+    */
   def dir(prefix: String): String = {
-    val d = s"${sys.props("java.io.tmpdir")}/graft_scratch/${prefix}_${System.nanoTime()}"
-    new java.io.File(d).mkdirs()
+    val d = s"${sys.props("java.io.tmpdir")}/graft_scratch/" +
+      s"${prefix}_${System.nanoTime()}_${dirCtr.incrementAndGet()}"
+    val f = new java.io.File(d)
+    require(f.mkdirs() || f.isDirectory, s"cannot create scratch dir $d")
     created.add(d)
     d
   }
@@ -329,8 +349,18 @@ object Scratch {
     */
   def versionedRoot(kind: String, sfDir: String, fp: String): String = {
     val base = new java.io.File(sfDir).getName.replace(".", "_")
+    // path TAG: distinct sfDirs can share a sanitized basename
+    // (…/v1/sf0.1 vs …/v2/sf0.1, or sf0.1 vs sf0_1 through the '.'
+    // replace above) — a sweep keyed on basename alone would GC the
+    // OTHER fixture's LIVE root mid-scan. The 8-hex FNV of the absolute
+    // path pins root and sweep to one directory identity; the basename
+    // stays in the name for human debuggability.
+    val abs = new java.io.File(sfDir).getAbsolutePath
+    var th = 0xcbf29ce484222325L
+    abs.foreach { c => th ^= c.toLong; th *= 0x100000001b3L }
+    val tag = f"${th & 0xffffffffL}%08x"
     val tmp = sys.props("java.io.tmpdir")
-    val prefix = s"graft_${kind}_${base}_"
+    val prefix = s"graft_${kind}_${base}_${tag}_"
     val name = s"$prefix$fp"
     // fp == "0" is fixtureFingerprint's listing-failure sentinel (the
     // driver may be mid-swap on the fixture dir): NEVER GC on it — a
@@ -338,12 +368,17 @@ object Scratch {
     // while queries read it, and the sentinel root itself stays small
     // because real fingerprints resume once the dir is listable again
     if (fp != "0" && gcDone.add(name)) {
-      // legacy shapes from before versioning: graft_<kind>_<fp-hex> and
-      // the unversioned shared graft_<kind> root
+      // legacy shapes: the pre-TAG per-basename roots
+      // (graft_<kind>_<base>_<fp-hex> — remainder pure hex, so a
+      // NEW-format sibling's "<tag>_<fp>" tail never matches), the
+      // pre-versioning graft_<kind>_<fp-hex>, and the shared
+      // graft_<kind> root
+      val legacyBase = s"graft_${kind}_${base}_"
       val legacy = ("^graft_" + kind + "_[0-9a-f]{1,16}$").r
       Option(new java.io.File(tmp).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(f => (isSupersededName(f.getName, prefix, name) ||
+          isSupersededName(f.getName, legacyBase, name) ||
           ((legacy.matches(f.getName) ||
             f.getName == s"graft_$kind") && f.getName != name)))
         .foreach(deleteRecursively)
@@ -411,7 +446,13 @@ object Scratch {
     * power loss. One implementation so a protocol fix lands everywhere.
     */
   def atomicPublish(path: java.nio.file.Path, content: String): Unit = {
-    val tmp = path.resolveSibling(s"${path.getFileName}.tmp")
+    // unique tmp sibling, not a fixed ".tmp": two concurrent publishers
+    // to the same path would interleave writes into one tmp file and
+    // atomically publish a BLEND of both payloads (the harness mains
+    // are sequential, but the primitive is advertised as universal)
+    val tmp = path.resolveSibling(
+      s"${path.getFileName}.tmp.${Thread.currentThread().getId}." +
+        s"${System.nanoTime()}")
     writeDurable(tmp, content)
     java.nio.file.Files.move(tmp, path,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -478,7 +519,12 @@ object Det {
   /** Exact order-independent sum of a double expression → double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
 
-  /** Deterministic average: exact decimal sum (as double) / count. */
+  /** Deterministic average: exact decimal sum (as double) / count of
+    * ALL rows — deliberately NOT AVG's non-null count (oAvg mirrors the
+    * same spelling, so the gate holds either way): callers averaging a
+    * NULLABLE expression must pre-filter, or nulls deflate the mean on
+    * both engines identically.
+    */
   def davg(c: Column): Column =
     sum(c.cast(DecimalType(30, 6))).cast("double") / count(lit(1))
 

@@ -48,6 +48,18 @@ class StateMaintenanceSpec extends GraftSpec {
       assert(live.exists(), "sentinel fingerprint must never GC")
       assert(sentinel.endsWith("_0"))
       graft.Scratch.deleteRecursively(live)
+      // DISTINCT sfDirs sharing a sanitized basename (…/a/sf0.1 vs
+      // …/b/sf0.1) must never sweep each other: the path TAG in the
+      // r12 name format pins the sweep to one directory identity
+      val sfDirB = s"$tmp/graft_vrt_src_b/sf0.1"
+      val curB = new java.io.File(
+        graft.Scratch.versionedRoot(kind, sfDirB, "cafe01"))
+      curB.mkdirs()
+      val curAgain = graft.Scratch.versionedRoot(kind, sfDir, "fffe13")
+      assert(curB.exists(),
+        "a same-basename root of a DIFFERENT sfDir must survive the sweep")
+      graft.Scratch.deleteRecursively(curB)
+      graft.Scratch.deleteRecursively(new java.io.File(curAgain))
     } finally Seq(new java.io.File(cur), other)
       .foreach(graft.Scratch.deleteRecursively)
   }
@@ -113,10 +125,15 @@ class StateMaintenanceSpec extends GraftSpec {
       new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_scratch")
     // the key staged its table under a fresh mutdel_<nanoTime> dir;
     // newest suffix = this run (parallel suites never share the prefix)
+    // scratch names are <prefix>_<nanoTime>_<counter> (the counter
+    // disambiguates same-tick calls) — order on the numeric pair
     val newest = Option(scratchRoot.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("mutdel_"))
-      .maxBy(_.getName.stripPrefix("mutdel_").toLong)
+      .maxBy { f =>
+        val parts = f.getName.stripPrefix("mutdel_").split('_')
+        (parts(0).toLong, parts.lift(1).map(_.toLong).getOrElse(0L))
+      }
     val entries = Scans.readLedgerEntries(s"$newest/t")
     assert(entries.nonEmpty,
       s"mutation_delete_where left no ledger under $newest/t")
