@@ -212,6 +212,10 @@ class AndBuf extends java.io.Serializable {
 class BitmapAndCard extends Aggregator[Array[Byte], AndBuf, Long] {
   override def zero: AndBuf = new AndBuf
   override def reduce(b: AndBuf, v: Array[Byte]): AndBuf = {
+    // skip NULL states (ClickHouse groupBitmapAnd semantics — e.g. a
+    // segment enriched via LEFT JOIN with no persisted state): wrapping
+    // null would NPE the whole aggregation stage
+    if (v == null) return b
     val bm = BitmapCodec.fromBytes(v)
     if (!b.seeded) { b.bm = bm; b.seeded = true }
     else BitmapCodec.andInPlace(b.bm, bm)
@@ -232,7 +236,8 @@ class BitmapAndCard extends Aggregator[Array[Byte], AndBuf, Long] {
 class BitmapOrCard extends Aggregator[Array[Byte], BitmapCodec.BM, Long] {
   override def zero: BitmapCodec.BM = new BitmapCodec.BM()
   override def reduce(b: BitmapCodec.BM, v: Array[Byte]): BitmapCodec.BM =
-    BitmapCodec.or(b, BitmapCodec.fromBytes(v))
+    // skip NULL states (the BitmapAndCard rule)
+    if (v == null) b else BitmapCodec.or(b, BitmapCodec.fromBytes(v))
   override def merge(a: BitmapCodec.BM, b: BitmapCodec.BM): BitmapCodec.BM =
     BitmapCodec.or(a, b)
   override def finish(b: BitmapCodec.BM): Long = BitmapCodec.cardinality(b)

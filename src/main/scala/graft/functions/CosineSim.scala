@@ -56,8 +56,13 @@ trait VectorKernel extends BinaryExpression {
     n
   }
 
-  protected def leftIsFloat: Boolean = elem(left.dataType).contains(FloatType)
-  protected def rightIsFloat: Boolean = elem(right.dataType).contains(FloatType)
+  // lazy vals, not defs: dataType is fixed after analysis, and the
+  // interpreted path reads these PER ELEMENT PER ROW — a def re-ran the
+  // pattern match and allocated an Option ~2·dim times per row
+  protected lazy val leftIsFloat: Boolean =
+    elem(left.dataType).contains(FloatType)
+  protected lazy val rightIsFloat: Boolean =
+    elem(right.dataType).contains(FloatType)
 
   protected def readLeft(x: ArrayData, i: Int): Double =
     if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)

@@ -20,6 +20,9 @@ class CountMin(val depth: Int, val width: Int)
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(b: Array[Long], x: String): Array[Long] = {
+    // NULL rows are skipped, not hashed (the sketch-aggregate norm —
+    // stringHash(null) would NPE the stage)
+    if (x == null) return b
     var r = 0
     while (r < depth) {
       b(r * width + CountMin.bucket(x, r, width)) += 1

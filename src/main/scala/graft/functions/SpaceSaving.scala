@@ -166,14 +166,20 @@ class SpaceSavingMergeState(capacity: Int, k: Int)
     // the builder's capacity: missing → the state wasn't persisted by
     // SpaceSavingState (reject), mismatched → the merge-tree error
     // bound no longer holds (reject).
-    val (sentinel, entries) =
-      state.partition(_.item == SpaceSavingState.Sentinel)
-    require(sentinel.nonEmpty,
+    // POSITIONAL check — finish() appends the sentinel LAST and parquet
+    // preserves array order: a DATA item whose string happens to equal
+    // the sentinel token (arbitrary binary-ish inputs, not just
+    // whitespace tokens) then still merges as data. The old
+    // partition()-by-item pulled such an entry out of the list and
+    // either aborted a valid merge or silently dropped its count.
+    val sentinel = state.lastOption
+    require(sentinel.exists(_.item == SpaceSavingState.Sentinel),
       "SpaceSavingMergeState fed a state without the capacity sentinel — " +
         "persist states with SpaceSavingState, not a truncating top-k")
-    require(sentinel.head.count == capacity.toLong,
+    require(sentinel.get.count == capacity.toLong,
       s"SpaceSavingMergeState(capacity=$capacity) fed a state built at " +
-        s"capacity ${sentinel.head.count} — capacities must match")
+        s"capacity ${sentinel.get.count} — capacities must match")
+    val entries = state.init
     val s = new SSBuf(capacity)
     entries.foreach(e => s.m.put(e.item, new SSBuf.Counter(e.count, e.error)))
     inner.merge(b, s)
