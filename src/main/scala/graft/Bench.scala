@@ -93,7 +93,12 @@ object Bench {
     // capture keeps only ~64 of 260+ entries of the stdout line, so
     // round-over-round per-query diffs need the at-rest copy
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration":$calObserved,"calibration_io":$ioObserved,"sf":${Json.q(sfDir)}}"""
-    if (only.isEmpty) {
+    // reps == 1 too, not just a full key set: a full run under
+    // SPARK_GRAFT_BENCH_REPS>1 would write MIN-of-reps floors into the
+    // baseline, and the next at-rest reps=1 run would flag short keys
+    // on pure min-vs-single sampling — the mixing the baseline
+    // semantics note above promises never happens
+    if (only.isEmpty && reps == 1) {
       try {
         new java.io.File("target").mkdirs()
         java.nio.file.Files.writeString(

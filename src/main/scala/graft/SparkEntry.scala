@@ -40,7 +40,16 @@ object SparkEntry {
   )
 
   /** Every implemented operator from SURVEY.md §2, one QueryDef each. */
-  lazy val defs: Seq[QueryDef] = modules.flatMap(_._2)
+  lazy val defs: Seq[QueryDef] = {
+    val ds = modules.flatMap(_._2)
+    // duplicate keys would COLLAPSE silently in the toMap below — and
+    // could pair one module's fn with ANOTHER module's oracle (queries
+    // keeps the last def, oracleSql the last def WITH an oracle): the
+    // gate would then compare module B's output against module A's SQL
+    val dup = ds.groupBy(_.key).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty, s"duplicate QueryDef keys: ${dup.toSeq.sorted}")
+    ds
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -22,7 +22,7 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: ${e.toString.take(500)}")
         // a failed key must not leave a STALE result from a previous run
         // for the local gate to pass on (observed once: an analysis
         // exception left the prior parquet in place and check.py

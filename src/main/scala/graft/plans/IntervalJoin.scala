@@ -117,9 +117,16 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] {
           // allocating a multi-GB per-row array. NULL-span rows (null
           // endpoint) take the TRUE branch: the sequence is NULL and
           // Explode drops the row — the pre-guard behavior, not an error
+          // BOTH bounds guarded: hi - lo <= cap-1 alone admits a REVERSED
+          // span (corrupt end < start), where Sequence's default -1 step
+          // still explodes |lo-hi|+1 buckets — and a large reversal is
+          // exactly the multi-GB allocation the guard exists to stop.
+          // GreaterThanOrEqual(hi, lo) rejects reversed rows into the
+          // same named error.
           val guarded = If(
-            Coalesce(Seq(LessThanOrEqual(Subtract(hi, lo),
-              Literal(cap - 1)), Literal(true))),
+            Coalesce(Seq(And(GreaterThanOrEqual(hi, lo),
+              LessThanOrEqual(Subtract(hi, lo),
+                Literal(cap - 1))), Literal(true))),
             seq,
             Cast(RaiseError(Literal(
               s"interval-join rewrite: a row spans more than $cap " +

@@ -133,7 +133,13 @@ object MvRouting {
     * re-registered — every projection of a mutated base is stale, so
     * the whole list goes.
     */
-  def invalidate(basePath: String): Unit = registry.remove(basePath)
+  def invalidate(basePath: String): Unit = synchronized {
+    // same lock as register: an unsynchronized remove could be undone
+    // by an in-flight register's read-modify-write, resurrecting a
+    // stale def for a mutated base (whose old parquet still exists, so
+    // targetExists would happily serve pre-mutation data)
+    registry.remove(basePath)
+  }
 
   /** Install the routing rule into a session at runtime (extraOptimizations
     * runs after the main optimizer batches; extensions-based injection is
@@ -286,18 +292,24 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
   private def applyRouting(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // EXACTLY one root path, and it is the registered base: a multi-root
     // scan (read.parquet(base, other)) only partially overlaps the MV —
-    // re-targeting it would silently drop the other roots' rows
+    // re-targeting it would silently drop the other roots' rows.
     // mvPath must still EXIST: the JVM-global registry can briefly point
     // at a root that Scratch.versionedRoot's supersession GC already
     // deleted (testdata swap re-fingerprints the root before stageMv
     // re-registers). Routing then would crash the query at the rewritten
     // scan; falling through to the base table is merely unrouted and
-    // always correct. One driver-side stat per candidate rewrite.
-    case agg: Aggregate
-        if baseScan(agg.child).exists { case (_, _, fs) =>
-          fs.location.rootPaths.length == 1 &&
-            defsFor(fs.location.rootPaths.head.toString).nonEmpty } =>
-      val (conds, subst, fs) = baseScan(agg.child).get
+    // always correct. baseScan runs ONCE per Aggregate (the match body
+    // owns both the guard and the rewrite — a guard-plus-get spelling
+    // walked the child twice per FixedPoint iteration).
+    case agg: Aggregate => routeOne(agg).getOrElse(agg)
+  }
+
+  private def routeOne(agg: Aggregate): Option[Aggregate] =
+    baseScan(agg.child).flatMap { case (conds, subst, fs) =>
+      if (fs.location.rootPaths.length != 1) None
+      else {
+        val defs = defsFor(fs.location.rootPaths.head.toString)
+        if (defs.isEmpty) None else {
       // inline pulled-out grouping aliases back into the Aggregate's own
       // expressions so template matching sees `GROUP BY date_trunc(…)`,
       // not the opaque `_groupingexpression` attribute. The Aggregate's
@@ -318,13 +330,14 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       // (latest registration first), vet ITS filter routability, and the
       // first successful rewrite wins — exactly the ClickHouse analyzer's
       // projection choice, with "can answer at all" as the criterion
-      defsFor(fs.location.rootPaths.head.toString).view
-        .filter(d => PathRegistry.targetExists(d.mvPath) &&
-          conds.forall(routableFilter(_, d)))
-        .flatMap(d => rewrite(agg, groupExprs, aggExprs, conds, d))
-        .headOption
-        .getOrElse(agg)
-  }
+          defs.view
+            .filter(d => PathRegistry.targetExists(d.mvPath) &&
+              conds.forall(routableFilter(_, d)))
+            .flatMap(d => rewrite(agg, groupExprs, aggExprs, conds, d))
+            .headOption
+        }
+      }
+    }
 
   private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], filterConds: Seq[Expression],

@@ -55,7 +55,12 @@ private[graft] object PathRegistry {
     try {
       val u = new java.net.URI(noTrail)
       val path = u.getPath
-      if (path == null || path.isEmpty || u.getScheme == null) noTrail
+      if (path == null || path.isEmpty || u.getScheme == null)
+        // ABSOLUTIZE scheme-less paths: a registration keyed by a
+        // relative path could otherwise never meet the absolute file:/
+        // rendering HadoopFsRelation.rootPaths produces, and routing
+        // would silently never fire for it
+        new java.io.File(noTrail).getAbsolutePath
       else if (u.getScheme == "file") path
       else u.getScheme + "://" + Option(u.getAuthority).getOrElse("") + path
     } catch {
@@ -64,6 +69,12 @@ private[graft] object PathRegistry {
     }
   }
 
-  def targetExists(p: String): Boolean =
-    new java.io.File(canonical(p)).exists()
+  def targetExists(p: String): Boolean = {
+    val c = canonical(p)
+    // a remote scheme+authority key cannot be probed with java.io.File
+    // (always false — routing would silently never fire for hdfs/s3
+    // targets). The existence check exists to catch LOCALLY GC'd
+    // scratch roots, so non-local targets are assumed live.
+    if (c.contains("://")) true else new java.io.File(c).exists()
+  }
 }

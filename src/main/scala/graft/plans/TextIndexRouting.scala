@@ -210,11 +210,22 @@ object RouteTokenFilterToIndex extends Rule[LogicalPlan] {
             val admitted =
               files.filter(file => admits(d.blooms.get(normFile(file))))
             if (admitted.length == files.length) f // nothing to prune
-            else if (admitted.isEmpty)
+            else if (admitted.isEmpty) {
               // no file can contain the token: nothing is opened at
-              // all. SAME output attributes, so the Filter above (kept
-              // for uniformity) and everything else resolve unchanged.
-              Filter(cond, LocalRelation(rel.output))
+              // all. The child's column-pruning Project (if any) is
+              // RE-APPLIED over the empty relation — replacing the
+              // whole child with LocalRelation(rel.output) widened the
+              // Filter's output schema mid-optimization, breaking the
+              // transformUp output contract for parents resolved
+              // against the pruned schema (the non-empty branch below
+              // always preserved it)
+              val empty = LocalRelation(rel.output)
+              val newChild = child match {
+                case Project(projList, _) => Project(projList, empty)
+                case _ => empty
+              }
+              Filter(cond, newChild)
+            }
             else {
               // pruned scan of the admitted files only; original
               // exprIds restored by aliasing (ProjectionRouting

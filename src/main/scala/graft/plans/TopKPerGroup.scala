@@ -46,15 +46,12 @@ object TopKPerGroupStrategy extends SparkStrategy {
   // Window keys, never a custom node, so without this the byte-equality
   // group map AND the hash exchange would split -0.0 and 0.0 into two
   // groups (up to 2k rows emitted for one SQL group)
-  private def normalizeKey(e: Expression): Expression = e.dataType match {
-    case org.apache.spark.sql.types.FloatType |
-         org.apache.spark.sql.types.DoubleType =>
-      // the same wrapper NormalizeFloatingNumbers.normalize produces
-      // for scalar float/double keys (its normalize() is private[sql])
-      org.apache.spark.sql.catalyst.expressions.KnownFloatingPointNormalized(
-        NormalizeNaNAndZero(e))
-    case _ => e
-  }
+  private def normalizeKey(e: Expression): Expression =
+    // Spark's OWN normalizer via the Bridge — it RECURSES into
+    // structs/arrays, where the previous scalar-only wrapper left a
+    // float nested in a struct group key un-normalized (still splitting
+    // -0.0/0.0 into two groups for exactly the complex-key case)
+    org.apache.spark.sql.graft.Bridge.normalizeFloats(e)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(k, g, o, child) =>

@@ -21,4 +21,26 @@ object Bridge {
     */
   def observationPeek(o: org.apache.spark.sql.Observation)
       : Map[String, Any] = o.getOrEmpty
+
+  /** Spark's OWN float-key normalization (`NormalizeFloatingNumbers.
+    * normalize` is `private[sql]`), recursion into structs/arrays
+    * included — a hand-rolled scalar-only wrapper misses floats NESTED
+    * in a struct group key, splitting -0.0/0.0 (or NaN bit patterns)
+    * into two groups.
+    */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.types._
+    def hasFloat(dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType => true
+      case s: StructType => s.exists(f => hasFloat(f.dataType))
+      case a: ArrayType => hasFloat(a.elementType)
+      case m: MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+      case _ => false
+    }
+    if (hasFloat(e.dataType))
+      org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+        .normalize(e)
+    else e
+  }
 }

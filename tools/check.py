@@ -36,6 +36,13 @@ def main():
     keys_path_early = f"{out_dir}/keys.json"
     if os.path.exists(keys_path_early):
         known |= set(json.load(open(keys_path_early)))
+    else:
+        # legacy dump without keys.json: the dir scan below checks
+        # rows-only keys, so their names are valid filters too — without
+        # this a registered rows-only key passed as a filter was
+        # rejected with exit 2 despite its result dir existing
+        known |= {os.path.basename(d.rstrip("/"))
+                  for d in glob.glob(f"{out_dir}/*/")}
     unknown = only - known
     if unknown:
         print(f"[FAIL] unknown keys: {sorted(unknown)}")
@@ -55,8 +62,15 @@ def main():
             print(f"[FAIL] {key}: oracle sql error: {e}")
             n_bad += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({res_glob!r})").fetch_arrow_table()
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({res_glob!r})").fetch_arrow_table()
+        except Exception as e:
+            # a truncated/corrupt result file must fail THIS key, not
+            # abort the gate before the summary line the driver parses
+            print(f"[FAIL] {key}: spark result unreadable: {e}")
+            n_bad += 1
+            continue
         # The driver's comparator (pandas sort_values -> factorize) crashes
         # on non-scalar cells (TypeError: unhashable type 'numpy.ndarray'),
         # so ANY list/struct/map-typed result column means the key ships
@@ -129,7 +143,12 @@ def main():
             # Keep the strict pass as the primary signal but fall back
             # to the sorted compare, loudly, instead of failing a key
             # the real gate would pass.
-            skey = lambda r: tuple(repr(r[c]) for c in wcols)
+            # normalize -0.0 -> 0.0 in the sort key: the values are ==
+            # but their reprs differ, which would misalign the two
+            # sorted lists and fail a key the driver's pandas
+            # comparator (where -0.0 == 0.0) passes
+            norm = lambda v: 0.0 if isinstance(v, float) and v == 0.0 else v
+            skey = lambda r: tuple(repr(norm(r[c])) for c in wcols)
             if first_diff(sorted(w, key=skey), sorted(g, key=skey)) is None:
                 # counted in n_warn (surfaced in the exit summary):
                 # driver-green, but silent accumulation of tie-order
@@ -168,8 +187,13 @@ def main():
             print(f"[FAIL] {key}: rows-only key produced no result parquet")
             n_bad += 1
             continue
-        t = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        try:
+            t = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        except Exception as e:
+            print(f"[FAIL] {key}: rows-only result unreadable: {e}")
+            n_bad += 1
+            continue
         n = t.num_rows
         schema = t.schema
         nested = [f.name for f in schema if pa_is_nested(f.type)]
