@@ -347,18 +347,23 @@ object Scratch {
     * need `fp` for their own keys (ensureBucketed's catalog table names)
     * stat the fixture directory once, not twice, per call.
     */
-  def versionedRoot(kind: String, sfDir: String, fp: String): String = {
-    val base = new java.io.File(sfDir).getName.replace(".", "_")
-    // path TAG: distinct sfDirs can share a sanitized basename
-    // (…/v1/sf0.1 vs …/v2/sf0.1, or sf0.1 vs sf0_1 through the '.'
-    // replace above) — a sweep keyed on basename alone would GC the
-    // OTHER fixture's LIVE root mid-scan. The 8-hex FNV of the absolute
-    // path pins root and sweep to one directory identity; the basename
-    // stays in the name for human debuggability.
+  /** 8-hex FNV tag of a directory's ABSOLUTE path — the identity token
+    * baked into staged-root AND catalog-table names: distinct sfDirs
+    * can share a sanitized basename (…/v1/sf0.1 vs …/v2/sf0.1, or
+    * sf0.1 vs sf0_1 through the '.' sanitizer), and a supersession
+    * sweep keyed on basename alone would drop the OTHER fixture's LIVE
+    * artifacts mid-read.
+    */
+  def pathTag(sfDir: String): String = {
     val abs = new java.io.File(sfDir).getAbsolutePath
     var th = 0xcbf29ce484222325L
     abs.foreach { c => th ^= c.toLong; th *= 0x100000001b3L }
-    val tag = f"${th & 0xffffffffL}%08x"
+    f"${th & 0xffffffffL}%08x"
+  }
+
+  def versionedRoot(kind: String, sfDir: String, fp: String): String = {
+    val base = new java.io.File(sfDir).getName.replace(".", "_")
+    val tag = pathTag(sfDir)
     val tmp = sys.props("java.io.tmpdir")
     val prefix = s"graft_${kind}_${base}_${tag}_"
     val name = s"$prefix$fp"

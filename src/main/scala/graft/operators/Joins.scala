@@ -366,7 +366,12 @@ object Joins {
     // a testdata swap at the same path must resolve to different catalog
     // tables, or tableExists serves stale bucketed copies of the old drop
     val fp = graft.Scratch.fixtureFingerprint(dir)
-    val (tl, to) = (s"graft_li_b_${sf}_$fp", s"graft_ord_b_${sf}_$fp")
+    // path tag (the versionedRoot/Stats rule): without it the
+    // supersession drop below would key on basename alone and DROP the
+    // live bucketed tables of a same-basename sibling sfDir
+    val tag = graft.Scratch.pathTag(dir)
+    val (tl, to) =
+      (s"graft_li_b_${sf}_${tag}_$fp", s"graft_ord_b_${sf}_${tag}_$fp")
     // pass the fingerprint through: versionedRoot would otherwise stat
     // the fixture dir a second time on this measured joinBucketed path
     val base = graft.Scratch.versionedRoot("bucketed", dir, fp)
@@ -393,6 +398,12 @@ object Joins {
         // accumulate one pair per testdata swap for the JVM's lifetime
         s.catalog.listTables().collect().map(_.name)
           .filter(n =>
+            graft.Scratch
+              .isSupersededName(n, s"graft_li_b_${sf}_${tag}_", tl) ||
+            graft.Scratch
+              .isSupersededName(n, s"graft_ord_b_${sf}_${tag}_", to) ||
+            // pre-tag legacy names (pure-hex remainder; a tagged name's
+            // "tag_fp" tail never matches this clause)
             graft.Scratch.isSupersededName(n, s"graft_li_b_${sf}_", tl) ||
             graft.Scratch.isSupersededName(n, s"graft_ord_b_${sf}_", to))
           .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))

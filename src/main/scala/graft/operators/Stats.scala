@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  private val statStageLock = new Object
+
   /** External catalog tables over the fixture parquet, ANALYZEd with
     * table + all-column stats — once per (session, sfDir). O(1 scan) per
     * table, the amortized "background statistics" cost of the posture.
@@ -23,8 +25,12 @@ object Stats {
     // at CREATE, so two sfDirs sharing a basename (or a testdata swap at
     // the same path) must resolve to different catalog tables
     val fp = graft.Scratch.fixtureFingerprint(dir)
+    // path tag (the versionedRoot rule): without it the supersession
+    // sweep below would key on basename alone and DROP the live stat
+    // tables of a different sfDir sharing this one's sanitized basename
+    val tag = graft.Scratch.pathTag(dir)
     val names = Seq("customer", "orders", "nation", "region")
-      .map(t => t -> s"graft_stat_${t}_${sf}_$fp").toMap
+      .map(t => t -> s"graft_stat_${t}_${sf}_${tag}_$fp").toMap
     // fp == "0" is fixtureFingerprint's listing-failure sentinel (the
     // driver may be mid-swap): proceeding would both register tables
     // under the sentinel name AND sweep every LIVE-fingerprint stat
@@ -32,6 +38,12 @@ object Stats {
     // exact hazard ensureBucketed's guard documents. Fail loudly.
     require(fp != "0",
       s"fixture dir $dir is unlistable/mid-swap — refusing to (re)build stat tables")
+    // ONE catalog enumeration for all four tables (computed lazily so
+    // the steady-state path never pays it), and one JVM-wide lock (the
+    // ensureBucketed discipline): two sessions racing the staging
+    // branch would otherwise both sweep and both pay the full ANALYZE
+    lazy val catalogNames = s.catalog.listTables().collect().map(_.name)
+    Stats.statStageLock.synchronized {
     names.foreach { case (t, tn) =>
       if (!s.catalog.tableExists(tn)) {
         // drop SUPERSEDED-fingerprint twins, only on the staging branch
@@ -41,9 +53,14 @@ object Stats {
         // inside the measured stats-key paths): a testdata swap
         // otherwise accumulates stale tables dangling at overwritten
         // locations for the JVM's lifetime
-        s.catalog.listTables().collect().map(_.name)
+        // both prefixes: the tagged format's sweep, plus the pre-tag
+        // legacy names (whose remainder is pure hex — a tagged name's
+        // "tag_fp" tail never matches, so the legacy clause is safe)
+        catalogNames
           .filter(n => graft.Scratch
-            .isSupersededName(n, s"graft_stat_${t}_${sf}_", tn))
+            .isSupersededName(n, s"graft_stat_${t}_${sf}_${tag}_", tn) ||
+            graft.Scratch
+              .isSupersededName(n, s"graft_stat_${t}_${sf}_", tn))
           .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
         s.sql(s"CREATE TABLE IF NOT EXISTS $tn USING parquet " +
           s"LOCATION '$dir/$t.parquet'")
@@ -61,6 +78,7 @@ object Stats {
         .stats.exists(_.rowCount.isDefined)
       if (!hasStats)
         s.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
     }
     names
   }

@@ -72,9 +72,12 @@ object OffsetLog {
     */
   def append(root: String, epoch: Long, records: DataFrame,
       seq: org.apache.spark.sql.Column): Unit = {
+    // SINGLE PRODUCER per log root, like commit()'s per-group contract:
+    // the offset assignment + _ENDS rewrite is a read-modify-write, so
+    // two concurrent appends would assign duplicate offsets and the
+    // last _ENDS publish would silently drop the other epoch's ranges.
     val s = records.sparkSession
     import s.implicits._
-    if (records.isEmpty) return
     val ends = endOffsets(root)
     val base = ends.toSeq.toDF("p", "base")
     val w = Window.partitionBy(col("p")).orderBy(seq)
@@ -100,6 +103,14 @@ object OffsetLog {
       .agg(min(col("offset")).as("a"), (max(col("offset")) + 1).as("b"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assigned.unpersist()
+    // empty-epoch no-op decided from the CACHED frame's ranges, not a
+    // records.isEmpty pre-pass (which re-ran the source lineage once
+    // more before the persist): remove the just-written empty seg dir
+    // and publish nothing
+    if (ranges.isEmpty) {
+      graft.Scratch.deleteRecursively(new java.io.File(s"$root/seg=$epoch"))
+      return
+    }
     val lines = endsHistory(root).map { case (e, p, a, b) => s"$e $p $a $b" } ++
       ranges.map { case (p, a, b) => s"$epoch $p $a $b" }
     atomicWrite(endsFile(root), lines.mkString("\n"))
@@ -113,8 +124,17 @@ object OffsetLog {
       until: Map[Int, Long] = Map.empty): DataFrame = {
     import s.implicits._
     val hist = endsHistory(root)
+    // an until SNAPSHOT that omits a partition means the consumer's
+    // poll saw NOTHING for it — bound it at 0 (no rows), not MaxValue:
+    // the unbounded default is only for the until-less "read everything"
+    // call. The DSv2 connector patched this at its own call site; the
+    // shared primitive must agree or an as-of read leaks
+    // post-snapshot partitions (degrading exactly-once to
+    // at-least-once where the merge happens to be idempotent).
+    def untilOf(p: Int): Long =
+      if (until.isEmpty) Long.MaxValue else until.getOrElse(p, 0L)
     val epochs = hist.filter { case (_, p, a, b) =>
-      b > from.getOrElse(p, 0L) && a < until.getOrElse(p, Long.MaxValue)
+      b > from.getOrElse(p, 0L) && a < untilOf(p)
     }.map(_._1).distinct.sorted
       // retention guard (the liveSegments rule): _ENDS remembers
       // truncated epochs by design, so a consumer positioned below the
@@ -127,7 +147,7 @@ object OffsetLog {
         .limit(0)
     val parts = hist.map(_._2).distinct
     val boundsDf = parts.map(p => (p, from.getOrElse(p, 0L),
-      until.getOrElse(p, Long.MaxValue))).toDF("p", "from", "until")
+      untilOf(p))).toDF("p", "from", "until")
     // explicit schema: json inference would cost a second full pass
     val recSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("offset",
@@ -193,8 +213,11 @@ object OffsetLog {
   def liveSegments(root: String, from: Map[Int, Long],
       until: Map[Int, Long] = Map.empty): Seq[(Long, Int)] =
     endsHistory(root).collect {
+      // same absent-partition snapshot rule as read(): a non-empty
+      // until that omits p bounds it at 0
       case (e, p, a, b) if b > from.getOrElse(p, 0L) &&
-          a < until.getOrElse(p, Long.MaxValue) &&
+          a < (if (until.isEmpty) Long.MaxValue
+               else until.getOrElse(p, 0L)) &&
           new java.io.File(s"$root/seg=$e/p=$p").exists() => (e, p)
     }.sorted
 
