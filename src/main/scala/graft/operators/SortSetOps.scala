@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,23 @@ object SortSetOps {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** The ranked-orders scaffold shared by topk_per_group's window twin
+    * and the OFFSET variant — one Window spec, select list, and
+    * presentation order, parameterized only by the rank predicate (the
+    * topKPerGroupOf rule applied to the window pair).
+    */
+  private def rankedOrders(s: SparkSession, dir: String,
+      keep: Column): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(keep)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
   /** ClickHouse `LIMIT n BY k OFFSET m` — the offset variant of
     * LIMIT-k-BY-group: skip the first m ranked rows per group, keep the
     * next n (here m=2, n=3 → ranks 3..5). Same single-shuffle window
@@ -46,16 +63,8 @@ object SortSetOps {
     * group key, per-group sort, row_number filter m+1..m+n; the offset
     * adds nothing to shuffle volume.
     */
-  private def topkPerGroupOffset(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") >= 3 && col("rn") <= 5)
-      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
-        col("o_totalprice"))
-      .orderBy(col("o_orderpriority"), col("rn"))
-  }
+  private def topkPerGroupOffset(s: SparkSession, dir: String): DataFrame =
+    rankedOrders(s, dir, col("rn") >= 3 && col("rn") <= 5)
 
   /** The same LIMIT-k-BY-group semantics on the custom physical operator
     * ([[graft.plans.TopKPerGroupExec]]): partial bounded-heap top-k

@@ -52,17 +52,30 @@ object Windows {
     */
   private def winNtile(s: SparkSession, dir: String): DataFrame = {
     val k = 10
+    // partition count from the SESSION's shuffle parallelism, not a
+    // hardcoded 32: the offsets algebra is partition-count agnostic
+    // (range partitioning is globally ordered, so global rn is
+    // identical at any P), and a fixed 32 would funnel a 100 TB sort
+    // through 32 tasks — the very bottleneck this formulation removes.
+    // The O(P²) broadcast NLJ below stays trivial to P ~ 10⁴.
+    val nParts = math.max(1, s.conf.get("spark.sql.shuffle.partitions",
+      "32").toInt)
     val local = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_acctbal"))
-      .repartitionByRange(32, col("c_acctbal").desc, col("c_custkey"))
+      .repartitionByRange(nParts, col("c_acctbal").desc, col("c_custkey"))
       .sortWithinPartitions(col("c_acctbal").desc, col("c_custkey"))
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
       .withColumn("lrn",
-        (col("mid").bitwiseAND(lit((1L << 33) - 1)) + 1).as("lrn"))
+        col("mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
       .drop("mid")
       .localCheckpoint()
+    // O(P) rows, localCheckpointed: THREE consumers below (both NLJ
+    // sides + total) would otherwise each re-embed the counts aggregate
+    // subtree — a full scan+shuffle of the checkpointed table per copy
+    // if ReuseExchange ever fails to unify them (AQE stage boundaries)
     val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val offs = counts.as("a")
       .join(broadcast(counts.as("b")), col("b.pid") < col("a.pid"), "left")
       .groupBy(col("a.pid").as("pid"))
@@ -391,12 +404,14 @@ object Windows {
                 ORDER BY us, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
+    // the grand-total subquery rides Det.oSum (ONE definition point of
+    // the decimal-sum spelling); the window-sum spelling stays inline
+    // because oSum emits an aggregate, not an OVER clause
     QueryDef("win_share", winShare,
-      Some("""WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+      Some(s"""WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
                   OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS st,
-                (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
-                   AS DOUBLE) FROM orders) AS gt
+                (SELECT ${Det.oSum("o_totalprice")} FROM orders) AS gt
                 FROM orders)
               SELECT o_orderkey, o_orderstatus, o_totalprice,
                 o_totalprice / st AS share_of_status,
