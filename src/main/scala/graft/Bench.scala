@@ -111,6 +111,19 @@ object Bench {
       }
     }
     println(line)
+    // per-key map re-emitted as SHORT chunk lines, slowest keys LAST
+    // (r13: the driver's artifact keeps a byte TAIL of stdout, so the
+    // one big "queries" line above always truncates mid-map — BENCH_r12
+    // preserved ~6 of 450 per-key times). ~25-key lines at millisecond
+    // precision put the heavy keys — the ones round-over-round
+    // adjudication needs — nearest the end, just above the summary
+    // lines, so the surviving suffix is self-sufficient.
+    val chunks = results.toSeq.sortBy(_._2).grouped(25).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val cq = c.map { case (k, v) =>
+        Json.q(k) + ":" + math.rint(v * 1000) / 1000 }.mkString("{", ",", "}")
+      println(s"""{"metric":"bench_chunk","i":${i + 1},"n_chunks":${chunks.size},"queries":$cq}""")
+    }
     // standing regression guard (VERDICT r5 task 8, load-normalized per
     // VERDICT r9 finding 1): every overlapping key >1.5x the previous
     // run's time AFTER scaling the threshold by the calibration ratio

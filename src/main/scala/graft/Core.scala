@@ -377,7 +377,17 @@ object Scratch {
       // (graft_<kind>_<base>_<fp-hex> — remainder pure hex, so a
       // NEW-format sibling's "<tag>_<fp>" tail never matches), the
       // pre-versioning graft_<kind>_<fp-hex>, and the shared
-      // graft_<kind> root
+      // graft_<kind> root.
+      // ONE-TIME MIGRATION, single-JVM assumption (r12 ADVICE,
+      // documented as accepted): the legacyBase arm sweeps ANY
+      // pure-hex-remainder root sharing this sanitized basename —
+      // including the LIVE legacy-format root of a DIFFERENT sfDir with
+      // the same basename, if an OLDER build (pre-path-tag) were still
+      // running against it concurrently. The harness runs one build per
+      // host, so mixed-version concurrent operation doesn't occur; once
+      // every root on a host is tag-format (first run of this build),
+      // the arm matches nothing ever again. Removing it would leak one
+      // legacy root per (kind, basename) forever instead.
       val legacyBase = s"graft_${kind}_${base}_"
       val legacy = ("^graft_" + kind + "_[0-9a-f]{1,16}$").r
       Option(new java.io.File(tmp).listFiles())

@@ -176,6 +176,27 @@ object Cdc {
   private def ordersTypedUncached(s: SparkSession, dir: String): DataFrame =
     typeMapOrders(parsed(s, dir))
 
+  /** The old image PAIRED with exploded row `pos` — `old[pos+1]` (a
+    * multi-row Canal UPDATE envelope carries data[i] ↔ old[i]), guarded
+    * for the malformed-envelope case (r12 ADVICE): under the harness's
+    * ANSI-on Spark 4 default a bare `element_at(old, pos + 1)` throws a
+    * task-level INVALID_ARRAY_INDEX when an envelope carries fewer old
+    * images than data rows. A null `old` (INSERT/DELETE envelopes)
+    * stays a null image; a short NON-null old[] raises a NAMED error
+    * (the loud-parser discipline) carrying both lengths instead of an
+    * undiagnosable ANSI exception three operators downstream. Requires
+    * `old` and the posexplode alias `pos` in scope.
+    */
+  private def oldImgAt: Column =
+    when(col("old").isNull, lit(null))
+      .when(size(col("old")) > col("pos"),
+        element_at(col("old"), col("pos") + 1))
+      .otherwise(raise_error(concat(
+        lit("malformed canal envelope: old[] carries "),
+        size(col("old")).cast("string"),
+        lit(" images but data[] row index is "),
+        col("pos").cast("string"))))
+
   /** The type-map transform itself, applicable to any envelope-schema
     * DataFrame — shared by the batch operators and the streaming
     * foreachBatch pipeline (same plan fragment both ways, which is what
@@ -192,7 +213,7 @@ object Cdc {
         // envelope carries data[i] ↔ old[i] (the cdcOldDiff pos rule) —
         // consumers that read element_at(old, 1) computed wrong deltas
         // for every exploded row after the first
-        element_at(col("old"), col("pos") + 1).as("old_img"),
+        oldImgAt.as("old_img"),
         col("img")("o_orderkey").cast("long").as("o_orderkey"),
         col("img")("o_custkey").cast("long").as("o_custkey"),
         col("img")("o_orderstatus").as("o_orderstatus"),
@@ -708,8 +729,7 @@ object Cdc {
         col("type") === "UPDATE")
       .select(posexplode(col("data")).as(Seq("pos", "img")), col("old"))
       .select(col("img"),
-        explode(element_at(col("old"), col("pos") + 1))
-          .as(Seq("col_name", "old_str")))
+        explode(oldImgAt).as(Seq("col_name", "old_str")))
       .withColumn("new_str", element_at(col("img"), col("col_name")))
       .groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_changes"),
@@ -1035,8 +1055,7 @@ object Cdc {
       .select(col("es"), col("ts"),
         element_at(col("img"), "o_orderkey").cast("long").as("o_orderkey"),
         col("img"),
-        explode(map_keys(element_at(col("old"), col("pos") + 1)))
-          .as("col_name"))
+        explode(map_keys(oldImgAt)).as("col_name"))
       .select(col("o_orderkey"), col("col_name"), col("es"), col("ts"),
         element_at(col("img"), col("col_name")).as("new_val"))
       .withColumn("rn", row_number().over(wPatch))

@@ -111,9 +111,16 @@ object Fns {
         // invariant), so (cents + 5) div 10 rounds without any
         // double-round — round(double, 1) was the class-3 midpoint
         // split (Spark rounds the shortest decimal string, DuckDB the
-        // exact binary value; every price ending in .x5 sits on it)
-        (expr("""((cast(cast(l_extendedprice as decimal(30,2)) * 100
-             as bigint) + 5) div 10)""").cast("double") / 10.0)
+        // exact binary value; every price ending in .x5 sits on it).
+        // Sign-explicit (r12 ADVICE): round |cents| and reapply the
+        // sign, so negatives get HALF_UP away-from-zero on BOTH engines
+        // — a bare (cents + 5) div 10 rounded negatives toward
+        // +infinity, and the two spellings even disagreed with each
+        // other there (Spark div truncates toward zero, DuckDB //
+        // floors); non-negative operands make the two divisions equal
+        (expr("""((case when l_extendedprice < 0 then -1 else 1 end) *
+             ((abs(cast(cast(l_extendedprice as decimal(30,2)) * 100
+               as bigint)) + 5) div 10))""").cast("double") / 10.0)
           .as("price_r1"),
         floor(col("l_extendedprice")).as("price_floor"),
         // round to 6dp BEFORE ceil: 0.07*100 is 7.000000000000001 in
@@ -1445,8 +1452,11 @@ object Fns {
     QueryDef("fn_math", fnMath,
       Some("""SELECT l_orderkey, l_linenumber,
                abs(l_quantity - 25) AS qty_dev,
-               CAST((CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
-                   AS BIGINT) + 5) // 10 AS DOUBLE) / 10.0 AS price_r1,
+               -- sign-explicit HALF_UP over |cents| (mirrors the Spark
+               -- side: // on non-negative operands == Spark's div)
+               CAST((CASE WHEN l_extendedprice < 0 THEN -1 ELSE 1 END) *
+                 ((abs(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+                   AS BIGINT)) + 5) // 10) AS DOUBLE) / 10.0 AS price_r1,
                CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
                CAST(ceil(round(l_discount * 100, 6)) AS BIGINT)
                  AS disc_pct_ceil,

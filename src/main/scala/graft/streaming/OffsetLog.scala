@@ -78,6 +78,17 @@ object OffsetLog {
     // last _ENDS publish would silently drop the other epoch's ranges.
     val s = records.sparkSession
     import s.implicits._
+    // monotonic-epoch contract, ENFORCED (r12 ADVICE): an epoch that
+    // already published _ENDS ranges must never be re-appended — the
+    // seg-dir overwrite would orphan those ranges (empty source: the
+    // dir is deleted under them, and read()'s epoch list still includes
+    // the epoch; non-empty: offsets would re-base on the epoch's OWN
+    // published ends, double-counting every record). A crash-retry
+    // BETWEEN seg write and _ENDS publish remains legal: such an epoch
+    // has no _ENDS entry yet, which is exactly what this checks.
+    require(!endsHistory(root).exists(_._1 == epoch),
+      s"offset-log epoch $epoch at $root already published _ENDS " +
+        "ranges — re-appending a committed epoch would corrupt the log")
     val ends = endOffsets(root)
     val base = ends.toSeq.toDF("p", "base")
     val w = Window.partitionBy(col("p")).orderBy(seq)
