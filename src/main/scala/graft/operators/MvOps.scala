@@ -244,6 +244,49 @@ object MvOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Aggregate FILTER clauses routed through the SAME rule (the r13
+    * generalization — the r12 verdict's top task): `sum(x) FILTER
+    * (WHERE p)` with p over GROUPING keys only — ClickHouse's
+    * `sumIf`/`countIf` over a dimension condition, the most common real
+    * projection-query spelling — routes as `sum(CASE WHEN p' THEN
+    * partial END)` over the MV (p' remapped exactly like the routed
+    * WHERE). Sound because a grouping-key predicate admits WHOLE
+    * groups: every MV partial row is entirely inside or outside the
+    * filtered set, and the monoids all skip nulls. count FILTER gains a
+    * Coalesce-to-0 (a group whose rows are all gated out counts 0, not
+    * null); sum/min/max go null on both sides. Covers the plain-column
+    * gate and the expression-key gate (date_trunc month matched
+    * semantically). PlanShapeSpec asserts the MV scan, bit-identity vs
+    * the unrouted plan, and the negative gate (a row-level FILTER
+    * predicate must fall through to the base).
+    *
+    * Scale notes: same O(groups)-instead-of-O(rows) win as mv_route —
+    * and conditional aggregates are how dashboards actually spell
+    * per-dimension breakdowns, so without this the single most common
+    * sumIf query full-scanned the 100 TB fact table.
+    */
+  private def mvRouteFilterClause(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("""sum(cast(l_quantity as decimal(30,6)))
+                filter (where l_linestatus = 'F')""")
+          .cast("double").as("sum_qty_f"),
+        expr("count(1) filter (where l_linestatus = 'F')").as("n_f"),
+        expr("min(l_extendedprice) filter (where l_linestatus = 'O')")
+          .as("min_price_o"),
+        expr("max(l_extendedprice) filter (where l_linestatus = 'O')")
+          .as("max_price_o"),
+        expr("""sum(cast(l_extendedprice as decimal(30,6))) filter
+                (where date_trunc('month', l_shipdate) =
+                       timestamp'1995-03-01 00:00:00')""")
+          .cast("double").as("sum_price_mar95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** EXPRESSION grouping key routed through the SAME rule (the r12
     * generalization closing the r11 verdict's last routing-coverage
     * item): `GROUP BY date_trunc('month', ts)` — the ClickHouse
@@ -847,6 +890,22 @@ object MvOps {
     // the same way mv_cascade's oracle does. l_shipdate nulls (none in
     // the fixture, but unpinned order is a latent flake) sort last on
     // both sides.
+    // FILTER-clause oracle: DuckDB's FILTER has identical null
+    // semantics (sum/min/max null over an empty filtered set, count 0)
+    QueryDef("mv_route_filter_clause", mvRouteFilterClause,
+      Some("""SELECT l_returnflag,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+                  FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS sum_qty_f,
+                COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+                MIN(l_extendedprice) FILTER (WHERE l_linestatus = 'O')
+                  AS min_price_o,
+                MAX(l_extendedprice) FILTER (WHERE l_linestatus = 'O')
+                  AS max_price_o,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                  FILTER (WHERE date_trunc('month', l_shipdate) =
+                    TIMESTAMP '1995-03-01') AS DOUBLE) AS sum_price_mar95,
+                COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("mv_route_expr_key", mvRouteExprKey,
       Some(s"""SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
                   AS ship_mon,

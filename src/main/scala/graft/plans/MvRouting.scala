@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, DecimalDivideWithOverflowCheck, EqualTo, EvalMode, Expression, If, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, EvalMode, Expression, If, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -32,8 +32,12 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   *     grouping tuple, so the distinct value set of any grouping key is
   *     preserved), or `avg(cast(col as decimal(30,6)))` (rewritten to
   *     the routed sum/count through Average's OWN decimal divide tree,
-  *     so the result is bit-identical) — no FILTER clause on any of
-  *     them, and no other DISTINCT,
+  *     so the result is bit-identical) — each optionally under a
+  *     `FILTER (WHERE p)` whose p references GROUPING keys only
+  *     (ClickHouse sumIf/countIf over a dimension condition: p admits
+  *     whole groups, so gating each partial on the remapped p' inside
+  *     the aggregate is exact; a row-level FILTER predicate blocks
+  *     routing) — and no other DISTINCT,
   *   - the aggregate sits on the base scan through at most column-pruning
   *     Projects and Filters whose predicates reference MV GROUPING keys
   *     only — grouping columns or registered grouping-expression subtrees
@@ -270,6 +274,39 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       masked.references.forall(a => mv.groupCols(a.name))
   }
 
+  /** Remap a grouping-key-only condition (vetted by [[routableFilter]])
+    * from base attrs onto the MV's attrs: grouping-EXPRESSION subtrees
+    * first (their internal attrs are NOT grouping columns — the
+    * bare-attr case must never see them; replacement is the
+    * materialized MV column), then bare grouping attrs by name. None
+    * when the MV parquet is missing a referenced column
+    * (mis-registration falls through instead of crashing the query).
+    * Shared by the routed pre-aggregation Filter and the aggregate
+    * FILTER-clause gate — one remap, one soundness argument.
+    */
+  private def remapCondToMv(c: Expression, mv: MvDef,
+      mvAttr: Map[String, AttributeReference]): Option[Expression] = {
+    var ok = true
+    // the template match is bound once per node via unapply — the
+    // remap + semanticEquals per call is not free driver work
+    object ExprKey {
+      def unapply(e: Expression): Option[String] = exprTarget(e, mv)
+    }
+    val r = c.transform {
+      case ExprKey(mvCol) =>
+        mvAttr.get(mvCol) match {
+          case Some(ma) => ma
+          case None => ok = false; Literal(true)
+        }
+      case a: AttributeReference =>
+        mvAttr.get(a.name) match {
+          case Some(ma) => ma
+          case None => ok = false; a
+        }
+    }
+    if (ok) Some(r) else None
+  }
+
   /** The Det.dsum shape: cast(col as decimal(30,6)) summed. */
   private def dsumSource(e: Expression): Option[String] = e match {
     case c: Cast if c.dataType == DecimalType(30, 6) => c.child match {
@@ -363,7 +400,26 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       mvPlan.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
 
     def rewriteAggFn(ae: AggregateExpression): Option[Expression] = {
-      if (ae.filter.nonEmpty) return None
+      // FILTER (WHERE p) routes when p is a GROUPING-KEY-only predicate
+      // (r12 verdict task 1 — ClickHouse sumIf/countIf served from a
+      // projection): such a p admits WHOLE groups, so every MV partial
+      // row is entirely inside or entirely outside the filtered set,
+      // and gating each partial on the remapped p' inside the routed
+      // aggregate (CASE WHEN p' THEN partial END — nulls are skipped by
+      // every monoid here) re-aggregates exactly the filtered base
+      // rows. A row-level predicate fails routableFilter and blocks the
+      // whole rewrite, as before — it cannot be answered
+      // post-aggregation.
+      val filterGate: Option[Expression] = ae.filter match {
+        case None => None
+        case Some(f) =>
+          if (!routableFilter(f, mv)) return None
+          Some(remapCondToMv(f, mv, mvAttr).getOrElse(return None))
+      }
+      def gated(partial: Expression): Expression = filterGate match {
+        case None => partial
+        case Some(p) => If(p, partial, Literal(null, partial.dataType))
+      }
       def bareAttr(e: Expression): Option[String] = e match {
         case a: AttributeReference => Some(a.name)
         case _ => None
@@ -387,7 +443,11 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       if (ae.isDistinct) return ae.aggregateFunction match {
         case c: Count => c.children match {
           case Seq(child) =>
-            keyAttr(child).map(a => ae.copy(aggregateFunction = Count(Seq(a))))
+            // distinct ignores nulls, so the filter gate composes: the
+            // gated key is null exactly on the groups p excludes
+            keyAttr(child).map(a =>
+              ae.copy(aggregateFunction = Count(Seq(gated(a))),
+                filter = None))
           case _ => None
         }
         case _ => None
@@ -396,7 +456,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
         case s: Sum =>
           dsumSource(s.child).flatMap(mv.sumMap.get)
             .flatMap(mvAttr.get)
-            .map(a => ae.copy(aggregateFunction = s.copy(child = a)))
+            .map(a => ae.copy(aggregateFunction = s.copy(child = gated(a)),
+              filter = None))
             .orElse {
               // PLAIN sum over an integral base column (the r11 verdict
               // gap: a user's bare `sum(bigint_col)` full-scanned the
@@ -413,7 +474,9 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
                       .contains(a.dataType) =>
                   mv.sumLongMap.get(a.name).flatMap(mvAttr.get)
                     .filter(_.dataType == LongType)
-                    .map(p => ae.copy(aggregateFunction = s.copy(child = p)))
+                    .map(p => ae.copy(
+                      aggregateFunction = s.copy(child = gated(p)),
+                      filter = None))
                 case _ => None
               }
             }
@@ -427,11 +490,13 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
         case m: Min =>
           bareAttr(m.child).flatMap(mv.minMap.get).flatMap(mvAttr.get)
             .orElse(keyAttr(m.child))
-            .map(a => ae.copy(aggregateFunction = Min(a)))
+            .map(a => ae.copy(aggregateFunction = Min(gated(a)),
+              filter = None))
         case m: Max =>
           bareAttr(m.child).flatMap(mv.maxMap.get).flatMap(mvAttr.get)
             .orElse(keyAttr(m.child))
-            .map(a => ae.copy(aggregateFunction = Max(a)))
+            .map(a => ae.copy(aggregateFunction = Max(gated(a)),
+              filter = None))
         // NON-NULL arguments only: count(x) skips rows where ANY child
         // is null, so it equals the group row count exactly when every
         // child is provably non-null — a non-null literal, or a base
@@ -439,15 +504,23 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
         // contract; nullable columns never route because the MV stores
         // no per-column non-null counts). And only under a GROUP BY: a
         // grouping-less count over an empty base is 0 unrouted but NULL
-        // routed (Sum over the empty MV).
+        // routed (Sum over the empty MV) — EXCEPT when a filter gate is
+        // present, whose Coalesce-to-0 wrapper (needed anyway: a group
+        // whose every MV row is gated out must count 0, not null)
+        // covers the empty-base case too.
         case c: Count
-            if groupExprs.nonEmpty && c.children.forall {
-              case Literal(v, _) => v != null
-              case a: AttributeReference => mv.notNullCols(a.name)
-              case _ => false
-            } =>
-          mvAttr.get(mv.countCol)
-            .map(a => ae.copy(aggregateFunction = Sum(a)))
+            if (groupExprs.nonEmpty || filterGate.isDefined) &&
+              c.children.forall {
+                case Literal(v, _) => v != null
+                case a: AttributeReference => mv.notNullCols(a.name)
+                case _ => false
+              } =>
+          mvAttr.get(mv.countCol).map { a =>
+            val routed =
+              ae.copy(aggregateFunction = Sum(gated(a)), filter = None)
+            if (filterGate.isEmpty) routed
+            else Coalesce(Seq(routed, Literal(0L)))
+          }
         // avg over the dsum shape routes as the sum/count ratio — but
         // REPLICATING Average's own evaluation tree bit-for-bit (Spark
         // 4.1 Average.evaluateExpression for DecimalType is
@@ -470,13 +543,20 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
               case _ => None
             }
           } yield {
-            val sumAgg =
-              AggregateExpression(Sum(sumAttr), ae.mode, isDistinct = false)
+            val sumAgg = AggregateExpression(Sum(gated(sumAttr)), ae.mode,
+              isDistinct = false)
             // ONE count instance shared by the zero-guard and the divide
             // (same resultId → one physical buffer)
-            val cntAgg =
-              AggregateExpression(Sum(cntAttr), ae.mode, isDistinct = false)
-            If(EqualTo(cntAgg, Literal(0L)), Literal(null, resType),
+            val cntAgg = AggregateExpression(Sum(gated(cntAttr)), ae.mode,
+              isDistinct = false)
+            // under a filter gate, a fully-gated-out group sums to NULL,
+            // not 0 — coerce the zero-guard's probe so avg FILTER over
+            // zero matching rows yields null through the guard branch
+            // (the unfiltered tree is byte-identical to before)
+            val zeroProbe: Expression =
+              if (filterGate.isEmpty) cntAgg
+              else Coalesce(Seq(cntAgg, Literal(0L)))
+            If(EqualTo(zeroProbe, Literal(0L)), Literal(null, resType),
               DecimalDivideWithOverflowCheck(sumAgg,
                 Cast(cntAgg, DecimalType(20, 0)), resType, null,
                 nullOnOverflow = av.evalMode != EvalMode.ANSI))
@@ -523,30 +603,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     val newChild: LogicalPlan =
       if (filterConds.isEmpty) mvPlan
       else {
-        val remapped = filterConds.map { c =>
-          var ok = true
-          // grouping-expression subtrees first (their internal attrs are
-          // NOT grouping columns — the bare-attr case must never see
-          // them); replacement is the materialized MV column. The
-          // template match is bound once per node via unapply — the
-          // remap + semanticEquals per call is not free driver work.
-          object ExprKey {
-            def unapply(e: Expression): Option[String] = exprTarget(e, mv)
-          }
-          val r = c.transform {
-            case ExprKey(mvCol) =>
-              mvAttr.get(mvCol) match {
-                case Some(ma) => ma
-                case None => ok = false; Literal(true)
-              }
-            case a: AttributeReference =>
-              mvAttr.get(a.name) match {
-                case Some(ma) => ma
-                case None => ok = false; a
-              }
-          }
-          if (ok) Some(r) else None
-        }
+        val remapped = filterConds.map(remapCondToMv(_, mv, mvAttr))
         if (remapped.exists(_.isEmpty)) return None
         Filter(remapped.map(_.get)
           .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)),

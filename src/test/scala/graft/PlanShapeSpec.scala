@@ -433,6 +433,66 @@ class PlanShapeSpec extends GraftSpec {
       "routed min/max/avg diverged from the base-table plan")
   }
 
+  test("mv_route_filter_clause routes grouping-key FILTER aggregates, bit-identical") {
+    val p = plan("mv_route_filter_clause")
+    assert(p.contains("graft_mv"),
+      s"FILTER-clause aggregate not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed query must not also scan the fact table:\n${p.take(800)}")
+    // bit-identity vs the unrouted plan: gating exact partials on a
+    // whole-group predicate must be EQUAL, not approximately so
+    val routed = SparkEntry.queries("mv_route_filter_clause")(spark, sf)
+      .collect()
+    val unrouted = Tables.lineitem(spark, sf) // plain session: rule never armed
+      .groupBy(col("l_returnflag"))
+      .agg(
+        org.apache.spark.sql.functions.expr(
+          """sum(cast(l_quantity as decimal(30,6)))
+             filter (where l_linestatus = 'F')""")
+          .cast("double").as("sum_qty_f"),
+        org.apache.spark.sql.functions.expr(
+          "count(1) filter (where l_linestatus = 'F')").as("n_f"),
+        org.apache.spark.sql.functions.expr(
+          "min(l_extendedprice) filter (where l_linestatus = 'O')")
+          .as("min_price_o"),
+        org.apache.spark.sql.functions.expr(
+          "max(l_extendedprice) filter (where l_linestatus = 'O')")
+          .as("max_price_o"),
+        org.apache.spark.sql.functions.expr(
+          """sum(cast(l_extendedprice as decimal(30,6))) filter
+             (where date_trunc('month', l_shipdate) =
+                    timestamp'1995-03-01 00:00:00')""")
+          .cast("double").as("sum_price_mar95"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    assert(unrouted.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(routed.toSeq == unrouted.collect().toSeq,
+      "routed FILTER-clause aggregates diverged from the base-table plan")
+    // negative gate: a ROW-LEVEL FILTER predicate (non-grouping column)
+    // cannot be answered post-aggregation and must fall through
+    graft.operators.MvOps.ensureMv(spark, sf)
+    try {
+      val rowLevel = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.expr(
+          "count(1) filter (where l_quantity > 25)").as("n_big"))
+      assert(rowLevel.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"),
+        "row-level FILTER predicate must not route")
+      // and a FILTER over a filterable predicate does not unblock an
+      // otherwise-uncoverable aggregate riding in the same Aggregate
+      val mixed = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.expr(
+          "sum(l_discount) filter (where l_linestatus = 'F')").as("s"))
+      assert(mixed.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"),
+        "uncovered aggregate under a routable FILTER must not route")
+    } finally graft.plans.MvRouting.disable(spark)
+  }
+
   test("fixture invariant: o_totalprice is exact cents at every staged SF") {
     // win_zscore's integer-cents moments and agg_group_array_last's
     // decimal(20,2) formatting rest on prices being exactly 2dp; an
