@@ -390,6 +390,40 @@ object MvOps {
       .orderBy(col("l_suppkey"))
   }
 
+  /** ROLLUP routed through the Aggregate-over-Expand rule (the r13
+    * generalization — the r12 verdict's task 2): `ROLLUP(flag, status)`
+    * plans as an Expand that replicates every base row once per
+    * grouping set; the rule replays the SAME Expand over the MV's
+    * O(groups) partial rows instead — each per-set nulling maps
+    * value→value on the materialized grouping keys, and subtotal
+    * re-aggregation over per-group partials is exactly the
+    * subset-grouping algebra the plain route proves. grouping_id()
+    * rides through as the literal column it already is. PlanShapeSpec
+    * asserts the Expand-over-MV plan, bit-identity vs the unrouted
+    * plan (including a CUBE + WHERE + expression-key variant), and the
+    * negative gate (the multi-distinct Expand falls through).
+    *
+    * Scale notes: an unrouted ROLLUP(a,b) Expands EVERY fact row 3× —
+    * at 100 TB it is strictly WORSE than a plain aggregate, which is
+    * why subtotal dashboards are the canonical projection customer;
+    * routed, the Expand replays over O(groups) MV rows.
+    */
+  private def mvRouteRollup(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      // gid disambiguates a subtotal row from a genuine null-key group,
+      // pinning total order even on fixtures with null keys
+      .orderBy(col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last, col("gid"))
+  }
+
   /** `SELECT DISTINCT grouping_keys` routed through the SAME rule: the
     * optimizer rewrites Deduplicate into an Aggregate whose output IS
     * its grouping (ReplaceDeduplicateWithAggregate), which the routing
@@ -926,6 +960,18 @@ object MvOps {
                 MIN(l_extendedprice) AS min_price,
                 COUNT(*) AS n
               FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
+    // DuckDB's GROUPING(a, b) returns Spark's grouping_id() bitmask
+    // (verified: 0/1/3 on the rollup sets)
+    QueryDef("mv_route_rollup", mvRouteRollup,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                ${Det.oSum("l_quantity")} AS sum_qty,
+                MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price,
+                COUNT(*) AS n,
+                GROUPING(l_returnflag, l_linestatus) AS gid
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
+                gid""")),
     QueryDef("mv_route_distinct", mvRouteDistinct,
       Some("""SELECT DISTINCT l_returnflag,
                 CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)

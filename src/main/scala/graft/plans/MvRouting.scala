@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, EvalMode, Expression, If, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, EvalMode, ExprId, Expression, If, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
@@ -338,6 +338,11 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     // always correct. baseScan runs ONCE per Aggregate (the match body
     // owns both the guard and the rewrite — a guard-plus-get spelling
     // walked the child twice per FixedPoint iteration).
+    // ROLLUP/CUBE/GROUPING SETS arrive as Aggregate-over-Expand (the
+    // r12 verdict task 2 shape) — matched FIRST (more specific); every
+    // other Aggregate takes the plain route.
+    case agg: Aggregate if agg.child.isInstanceOf[Expand] =>
+      routeExpand(agg, agg.child.asInstanceOf[Expand]).getOrElse(agg)
     case agg: Aggregate => routeOne(agg).getOrElse(agg)
   }
 
@@ -376,6 +381,182 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       }
     }
 
+  /** Rewrite ONE AggregateExpression into its exact MV-partials form
+    * over `mvAttr` (the scan attrs of the MV artifact) — the shared
+    * algebra of the plain-Aggregate rewrite and the Aggregate-over-
+    * Expand (ROLLUP/CUBE/GROUPING SETS) rewrite. `hasGrouping` gates
+    * the count-as-sum route (a grouping-less count over an empty base
+    * is 0 unrouted but NULL routed; under Expand it is always true).
+    */
+  private def rewriteAggFn(ae: AggregateExpression, mv: MvDef,
+    mvAttr: Map[String, AttributeReference],
+    hasGrouping: Boolean): Option[Expression] = {
+    // FILTER (WHERE p) routes when p is a GROUPING-KEY-only predicate
+    // (r12 verdict task 1 — ClickHouse sumIf/countIf served from a
+    // projection): such a p admits WHOLE groups, so every MV partial
+    // row is entirely inside or entirely outside the filtered set,
+    // and gating each partial on the remapped p' inside the routed
+    // aggregate (CASE WHEN p' THEN partial END — nulls are skipped by
+    // every monoid here) re-aggregates exactly the filtered base
+    // rows. A row-level predicate fails routableFilter and blocks the
+    // whole rewrite, as before — it cannot be answered
+    // post-aggregation.
+    val filterGate: Option[Expression] = ae.filter match {
+      case None => None
+      case Some(f) =>
+        if (!routableFilter(f, mv)) return None
+        Some(remapCondToMv(f, mv, mvAttr).getOrElse(return None))
+    }
+    def gated(partial: Expression): Expression = filterGate match {
+      case None => partial
+      case Some(p) => If(p, partial, Literal(null, partial.dataType))
+    }
+    def bareAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // the MV attribute standing in for a GROUPING key — a grouping
+    // column by name or a registered grouping-expression match
+    def keyAttr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if mv.groupCols(a.name) => mvAttr.get(a.name)
+      case other => exprTarget(other, mv).flatMap(mvAttr.get)
+    }
+    // DISTINCT routes ONLY as COUNT(DISTINCT grouping-key): the MV
+    // holds exactly one row per distinct grouping tuple (and a row
+    // exists iff ≥1 base row does), so the distinct value set of any
+    // grouping key within any grouping SUBSET is identical on base
+    // and MV — the count stays a Count(distinct) over the MV column,
+    // which is also empty-base-safe (0 on both sides, no group-by
+    // guard needed). Note the single-distinct-group restriction is
+    // enforced upstream by Spark itself: RewriteDistinctAggregates
+    // mangles multi-distinct plans before this rule ever sees them,
+    // and the mangled shape simply fails baseScan — sound fallthrough.
+    if (ae.isDistinct) return ae.aggregateFunction match {
+      case c: Count => c.children match {
+        case Seq(child) =>
+          // distinct ignores nulls, so the filter gate composes: the
+          // gated key is null exactly on the groups p excludes
+          keyAttr(child).map(a =>
+            ae.copy(aggregateFunction = Count(Seq(gated(a))),
+              filter = None))
+        case _ => None
+      }
+      case _ => None
+    }
+    ae.aggregateFunction match {
+      case s: Sum =>
+        dsumSource(s.child).flatMap(mv.sumMap.get)
+          .flatMap(mvAttr.get)
+          .map(a => ae.copy(aggregateFunction = s.copy(child = gated(a)),
+            filter = None))
+          .orElse {
+            // PLAIN sum over an integral base column (the r11 verdict
+            // gap: a user's bare `sum(bigint_col)` full-scanned the
+            // fact table). Sum over byte/short/int/long evaluates in
+            // LongType — exactly the MV's bigint partial type — so
+            // the routed Sum(partial) keeps the original result type
+            // and exact-monoid re-aggregation is bit-identical. The
+            // partial attr's type is CHECKED, not assumed: a
+            // mis-registered decimal partial would silently widen the
+            // result type and break parent resolution.
+            s.child match {
+              case a: AttributeReference
+                  if Seq(ByteType, ShortType, IntegerType, LongType)
+                    .contains(a.dataType) =>
+                mv.sumLongMap.get(a.name).flatMap(mvAttr.get)
+                  .filter(_.dataType == LongType)
+                  .map(p => ae.copy(
+                    aggregateFunction = s.copy(child = gated(p)),
+                    filter = None))
+              case _ => None
+            }
+          }
+      // min-of-mins / max-of-maxes over a grouping subset is exact
+      // (idempotent commutative monoid), and the MV stores the base
+      // column's NATIVE type, so the rewritten Min/Max's result type
+      // is identical to the original's — parent exprIds keep resolving.
+      // A GROUPING key itself also routes (keyAttr): min over base
+      // rows of g = min over the distinct g values present = min over
+      // MV rows (nulls ignored identically on both sides).
+      case m: Min =>
+        bareAttr(m.child).flatMap(mv.minMap.get).flatMap(mvAttr.get)
+          .orElse(keyAttr(m.child))
+          .map(a => ae.copy(aggregateFunction = Min(gated(a)),
+            filter = None))
+      case m: Max =>
+        bareAttr(m.child).flatMap(mv.maxMap.get).flatMap(mvAttr.get)
+          .orElse(keyAttr(m.child))
+          .map(a => ae.copy(aggregateFunction = Max(gated(a)),
+            filter = None))
+      // NON-NULL arguments only: count(x) skips rows where ANY child
+      // is null, so it equals the group row count exactly when every
+      // child is provably non-null — a non-null literal, or a base
+      // column the registration DECLARED not-null (the NOT NULL DDL
+      // contract; nullable columns never route because the MV stores
+      // no per-column non-null counts). And only under a GROUP BY: a
+      // grouping-less count over an empty base is 0 unrouted but NULL
+      // routed (Sum over the empty MV) — EXCEPT when a filter gate is
+      // present, whose Coalesce-to-0 wrapper (needed anyway: a group
+      // whose every MV row is gated out must count 0, not null)
+      // covers the empty-base case too.
+      case c: Count
+          if (hasGrouping || filterGate.isDefined) &&
+            c.children.forall {
+              case Literal(v, _) => v != null
+              case a: AttributeReference => mv.notNullCols(a.name)
+              case _ => false
+            } =>
+        mvAttr.get(mv.countCol).map { a =>
+          val routed =
+            ae.copy(aggregateFunction = Sum(gated(a)), filter = None)
+          if (filterGate.isEmpty) routed
+          else Coalesce(Seq(routed, Literal(0L)))
+        }
+      // avg over the dsum shape routes as the sum/count ratio — but
+      // REPLICATING Average's own evaluation tree bit-for-bit (Spark
+      // 4.1 Average.evaluateExpression for DecimalType is
+      // If(count=0, null, DecimalDivideWithOverflowCheck(sum,
+      // count.cast(LongDecimal), resultType, ctx, !ansi)) — the
+      // quotient is produced directly at the result scale, HALF_UP).
+      // The routed Sum of MV partials equals the base sum exactly
+      // (decimal addition is associative-exact) and Sum(n_rows)
+      // equals the base count, so feeding the SAME divide expression
+      // the same operand values yields a bit-identical average. A
+      // plain Divide would round at a different intermediate scale.
+      case av: Average =>
+        for {
+          base <- dsumSource(av.child)
+          sumCol <- mv.sumMap.get(base)
+          sumAttr <- mvAttr.get(sumCol)
+          cntAttr <- mvAttr.get(mv.countCol)
+          resType <- av.dataType match {
+            case d: DecimalType => Some(d)
+            case _ => None
+          }
+        } yield {
+          val sumAgg = AggregateExpression(Sum(gated(sumAttr)), ae.mode,
+            isDistinct = false)
+          // ONE count instance shared by the zero-guard and the divide
+          // (same resultId → one physical buffer)
+          val cntAgg = AggregateExpression(Sum(gated(cntAttr)), ae.mode,
+            isDistinct = false)
+          // under a filter gate, a fully-gated-out group sums to NULL,
+          // not 0 — coerce the zero-guard's probe so avg FILTER over
+          // zero matching rows yields null through the guard branch
+          // (the unfiltered tree is byte-identical to before)
+          val zeroProbe: Expression =
+            if (filterGate.isEmpty) cntAgg
+            else Coalesce(Seq(cntAgg, Literal(0L)))
+          If(EqualTo(zeroProbe, Literal(0L)), Literal(null, resType),
+            DecimalDivideWithOverflowCheck(sumAgg,
+              Cast(cntAgg, DecimalType(20, 0)), resType, null,
+              nullOnOverflow = av.evalMode != EvalMode.ANSI))
+        }
+      case _ => None
+    }
+  }
+
+
   private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], filterConds: Seq[Expression],
       mv: MvDef): Option[Aggregate] = {
@@ -399,178 +580,13 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     val mvAttr: Map[String, AttributeReference] =
       mvPlan.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
 
-    def rewriteAggFn(ae: AggregateExpression): Option[Expression] = {
-      // FILTER (WHERE p) routes when p is a GROUPING-KEY-only predicate
-      // (r12 verdict task 1 — ClickHouse sumIf/countIf served from a
-      // projection): such a p admits WHOLE groups, so every MV partial
-      // row is entirely inside or entirely outside the filtered set,
-      // and gating each partial on the remapped p' inside the routed
-      // aggregate (CASE WHEN p' THEN partial END — nulls are skipped by
-      // every monoid here) re-aggregates exactly the filtered base
-      // rows. A row-level predicate fails routableFilter and blocks the
-      // whole rewrite, as before — it cannot be answered
-      // post-aggregation.
-      val filterGate: Option[Expression] = ae.filter match {
-        case None => None
-        case Some(f) =>
-          if (!routableFilter(f, mv)) return None
-          Some(remapCondToMv(f, mv, mvAttr).getOrElse(return None))
-      }
-      def gated(partial: Expression): Expression = filterGate match {
-        case None => partial
-        case Some(p) => If(p, partial, Literal(null, partial.dataType))
-      }
-      def bareAttr(e: Expression): Option[String] = e match {
-        case a: AttributeReference => Some(a.name)
-        case _ => None
-      }
-      // the MV attribute standing in for a GROUPING key — a grouping
-      // column by name or a registered grouping-expression match
-      def keyAttr(e: Expression): Option[AttributeReference] = e match {
-        case a: AttributeReference if mv.groupCols(a.name) => mvAttr.get(a.name)
-        case other => exprTarget(other, mv).flatMap(mvAttr.get)
-      }
-      // DISTINCT routes ONLY as COUNT(DISTINCT grouping-key): the MV
-      // holds exactly one row per distinct grouping tuple (and a row
-      // exists iff ≥1 base row does), so the distinct value set of any
-      // grouping key within any grouping SUBSET is identical on base
-      // and MV — the count stays a Count(distinct) over the MV column,
-      // which is also empty-base-safe (0 on both sides, no group-by
-      // guard needed). Note the single-distinct-group restriction is
-      // enforced upstream by Spark itself: RewriteDistinctAggregates
-      // mangles multi-distinct plans before this rule ever sees them,
-      // and the mangled shape simply fails baseScan — sound fallthrough.
-      if (ae.isDistinct) return ae.aggregateFunction match {
-        case c: Count => c.children match {
-          case Seq(child) =>
-            // distinct ignores nulls, so the filter gate composes: the
-            // gated key is null exactly on the groups p excludes
-            keyAttr(child).map(a =>
-              ae.copy(aggregateFunction = Count(Seq(gated(a))),
-                filter = None))
-          case _ => None
-        }
-        case _ => None
-      }
-      ae.aggregateFunction match {
-        case s: Sum =>
-          dsumSource(s.child).flatMap(mv.sumMap.get)
-            .flatMap(mvAttr.get)
-            .map(a => ae.copy(aggregateFunction = s.copy(child = gated(a)),
-              filter = None))
-            .orElse {
-              // PLAIN sum over an integral base column (the r11 verdict
-              // gap: a user's bare `sum(bigint_col)` full-scanned the
-              // fact table). Sum over byte/short/int/long evaluates in
-              // LongType — exactly the MV's bigint partial type — so
-              // the routed Sum(partial) keeps the original result type
-              // and exact-monoid re-aggregation is bit-identical. The
-              // partial attr's type is CHECKED, not assumed: a
-              // mis-registered decimal partial would silently widen the
-              // result type and break parent resolution.
-              s.child match {
-                case a: AttributeReference
-                    if Seq(ByteType, ShortType, IntegerType, LongType)
-                      .contains(a.dataType) =>
-                  mv.sumLongMap.get(a.name).flatMap(mvAttr.get)
-                    .filter(_.dataType == LongType)
-                    .map(p => ae.copy(
-                      aggregateFunction = s.copy(child = gated(p)),
-                      filter = None))
-                case _ => None
-              }
-            }
-        // min-of-mins / max-of-maxes over a grouping subset is exact
-        // (idempotent commutative monoid), and the MV stores the base
-        // column's NATIVE type, so the rewritten Min/Max's result type
-        // is identical to the original's — parent exprIds keep resolving.
-        // A GROUPING key itself also routes (keyAttr): min over base
-        // rows of g = min over the distinct g values present = min over
-        // MV rows (nulls ignored identically on both sides).
-        case m: Min =>
-          bareAttr(m.child).flatMap(mv.minMap.get).flatMap(mvAttr.get)
-            .orElse(keyAttr(m.child))
-            .map(a => ae.copy(aggregateFunction = Min(gated(a)),
-              filter = None))
-        case m: Max =>
-          bareAttr(m.child).flatMap(mv.maxMap.get).flatMap(mvAttr.get)
-            .orElse(keyAttr(m.child))
-            .map(a => ae.copy(aggregateFunction = Max(gated(a)),
-              filter = None))
-        // NON-NULL arguments only: count(x) skips rows where ANY child
-        // is null, so it equals the group row count exactly when every
-        // child is provably non-null — a non-null literal, or a base
-        // column the registration DECLARED not-null (the NOT NULL DDL
-        // contract; nullable columns never route because the MV stores
-        // no per-column non-null counts). And only under a GROUP BY: a
-        // grouping-less count over an empty base is 0 unrouted but NULL
-        // routed (Sum over the empty MV) — EXCEPT when a filter gate is
-        // present, whose Coalesce-to-0 wrapper (needed anyway: a group
-        // whose every MV row is gated out must count 0, not null)
-        // covers the empty-base case too.
-        case c: Count
-            if (groupExprs.nonEmpty || filterGate.isDefined) &&
-              c.children.forall {
-                case Literal(v, _) => v != null
-                case a: AttributeReference => mv.notNullCols(a.name)
-                case _ => false
-              } =>
-          mvAttr.get(mv.countCol).map { a =>
-            val routed =
-              ae.copy(aggregateFunction = Sum(gated(a)), filter = None)
-            if (filterGate.isEmpty) routed
-            else Coalesce(Seq(routed, Literal(0L)))
-          }
-        // avg over the dsum shape routes as the sum/count ratio — but
-        // REPLICATING Average's own evaluation tree bit-for-bit (Spark
-        // 4.1 Average.evaluateExpression for DecimalType is
-        // If(count=0, null, DecimalDivideWithOverflowCheck(sum,
-        // count.cast(LongDecimal), resultType, ctx, !ansi)) — the
-        // quotient is produced directly at the result scale, HALF_UP).
-        // The routed Sum of MV partials equals the base sum exactly
-        // (decimal addition is associative-exact) and Sum(n_rows)
-        // equals the base count, so feeding the SAME divide expression
-        // the same operand values yields a bit-identical average. A
-        // plain Divide would round at a different intermediate scale.
-        case av: Average =>
-          for {
-            base <- dsumSource(av.child)
-            sumCol <- mv.sumMap.get(base)
-            sumAttr <- mvAttr.get(sumCol)
-            cntAttr <- mvAttr.get(mv.countCol)
-            resType <- av.dataType match {
-              case d: DecimalType => Some(d)
-              case _ => None
-            }
-          } yield {
-            val sumAgg = AggregateExpression(Sum(gated(sumAttr)), ae.mode,
-              isDistinct = false)
-            // ONE count instance shared by the zero-guard and the divide
-            // (same resultId → one physical buffer)
-            val cntAgg = AggregateExpression(Sum(gated(cntAttr)), ae.mode,
-              isDistinct = false)
-            // under a filter gate, a fully-gated-out group sums to NULL,
-            // not 0 — coerce the zero-guard's probe so avg FILTER over
-            // zero matching rows yields null through the guard branch
-            // (the unfiltered tree is byte-identical to before)
-            val zeroProbe: Expression =
-              if (filterGate.isEmpty) cntAgg
-              else Coalesce(Seq(cntAgg, Literal(0L)))
-            If(EqualTo(zeroProbe, Literal(0L)), Literal(null, resType),
-              DecimalDivideWithOverflowCheck(sumAgg,
-                Cast(cntAgg, DecimalType(20, 0)), resType, null,
-                nullOnOverflow = av.evalMode != EvalMode.ANSI))
-          }
-        case _ => None
-      }
-    }
-
     // explicit recursion, NOT transformUp/Down: an AggregateExpression is
     // rewritten as a whole (its internal base attributes disappear with
     // it), a bare attribute is only legal if it is a grouping column, and
     // any shape we can't prove equivalent aborts the whole rewrite
     def rw(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => rewriteAggFn(ae)
+      case ae: AggregateExpression =>
+        rewriteAggFn(ae, mv, mvAttr, groupExprs.nonEmpty)
       case a: AttributeReference =>
         if (mv.groupCols(a.name)) mvAttr.get(a.name) else None
       case other =>
@@ -615,5 +631,177 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     val newGroup = groupNames.map(n => mvAttr.getOrElse(n, return None))
     Some(agg.copy(groupingExpressions = newGroup,
       aggregateExpressions = newAggExprs.map(_.get), child = newChild))
+  }
+
+  /** ROLLUP / CUBE / GROUPING SETS routing (the r12 verdict's task 2):
+    * the optimizer plans them as Aggregate-over-Expand — the Expand
+    * replicates each input row once per grouping set, nulling the keys
+    * absent from that set and tagging each copy with a grouping-id
+    * literal. When every non-literal Expand position is a function of
+    * the MV's grouping tuple (a grouping column or a registered
+    * grouping-expression template) and every aggregate rewrites to MV
+    * partials, the SAME Expand replayed over the MV is exact: each MV
+    * partial row stands for its full-granularity group, the per-set
+    * nulling maps value→value (null→null), and subtotal re-aggregation
+    * over per-group partials is the subset-grouping algebra the plain
+    * route already proves. Anything else — including the
+    * RewriteDistinctAggregates multi-distinct Expand, whose per-set
+    * nulled DISTINCT-argument columns are not grouping keys and whose
+    * aggregates filter on the gid — fails a guard and falls through.
+    *
+    * Scale notes: a ROLLUP over a 100 TB fact table Expands EVERY base
+    * row per grouping set (3× the scan for rollup(a,b)); routed, the
+    * Expand replays over O(groups) MV rows — subtotal hierarchies are
+    * exactly what ClickHouse serves from projections.
+    */
+  private def routeExpand(agg: Aggregate, e: Expand): Option[Aggregate] =
+    baseScan(e.child).flatMap { case (conds, subst, fs) =>
+      if (fs.location.rootPaths.length != 1) None
+      else {
+        defsFor(fs.location.rootPaths.head.toString).view
+          .filter(d => PathRegistry.targetExists(d.mvPath) &&
+            conds.forall(routableFilter(_, d)))
+          .flatMap(d => rewriteExpand(agg, e, conds, subst, d))
+          .headOption
+      }
+    }
+
+  private def rewriteExpand(agg: Aggregate, e: Expand,
+      filterConds: Seq[Expression],
+      subst: Map[ExprId, Expression],
+      mv: MvDef): Option[Aggregate] = {
+    val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
+      .queryExecution.analyzed
+    val mvAttr: Map[String, AttributeReference] =
+      mvPlan.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+    val mvAttrIds = mvPlan.output.map(_.exprId).toSet
+
+    val nPos = e.output.length
+    if (e.projections.exists(_.length != nPos)) return None
+    def isNullLit(x: Expression) = x match {
+      case Literal(null, _) => true
+      case _ => false
+    }
+
+    // classify each Expand output position:
+    //   - all-literal (the grouping-id column, all-null set keys): kept
+    //     VERBATIM — a pure function of the grouping-set choice;
+    //   - grouping-mapped (per-row value is one shared base expression
+    //     or a null literal): the base expression must resolve to an MV
+    //     grouping column / registered template, and the new projection
+    //     emits the MV attr (null where the set nulls it);
+    //   - passthrough (identical non-key expression in EVERY row — the
+    //     aggregate inputs): DROPPED; aggregates over them rewrite to
+    //     MV partials that ride fresh passthrough positions instead.
+    // A per-set-nulled position that is NOT a grouping key (the
+    // multi-distinct Expand shape) aborts the rewrite.
+    val oldToNew = scala.collection.mutable.Map[ExprId, AttributeReference]()
+    val newOutput = scala.collection.mutable.ArrayBuffer[AttributeReference]()
+    val newRows = Array.fill(e.projections.length)(
+      scala.collection.mutable.ArrayBuffer[Expression]())
+
+    (0 until nPos).foreach { i =>
+      val oldOut = e.output(i) match {
+        case a: AttributeReference => a
+        case _ => return None
+      }
+      val vals = e.projections.map(row => applySubst(row(i), subst))
+      if (vals.forall(_.isInstanceOf[Literal])) {
+        val na = oldOut.newInstance()
+        oldToNew(oldOut.exprId) = na
+        newOutput += na
+        vals.zipWithIndex.foreach { case (v, j) => newRows(j) += v }
+      } else {
+        val nonNull = vals.filterNot(isNullLit)
+        val base = nonNull.head
+        if (!nonNull.forall(_.semanticEquals(base))) return None
+        if (!base.deterministic) return None
+        val mvCol: Option[AttributeReference] = (base match {
+          case a: AttributeReference if mv.groupCols(a.name) => Some(a.name)
+          case other => exprTarget(other, mv)
+        }).flatMap(mvAttr.get)
+        mvCol match {
+          case Some(ma) =>
+            // the copy keeps the base type (a mis-registered MV column
+            // of another type would silently change the output schema)
+            if (ma.dataType != oldOut.dataType) return None
+            val na = oldOut.newInstance()
+            oldToNew(oldOut.exprId) = na
+            newOutput += na
+            vals.zipWithIndex.foreach { case (v, j) =>
+              newRows(j) +=
+                (if (isNullLit(v)) Literal(null, ma.dataType) else ma)
+            }
+          case None =>
+            // non-key position: only the uniform-passthrough shape can
+            // be dropped soundly; per-set nulling of a non-key column
+            // (multi-distinct Expand) has no MV story
+            if (vals.exists(isNullLit)) return None
+            ()
+        }
+      }
+    }
+
+    // MV attrs needed by the rewritten aggregates ride NEW passthrough
+    // positions (same expression in every projection row), allocated on
+    // demand so only referenced partials cross the Expand
+    val passAttr = scala.collection.mutable.Map[ExprId, AttributeReference]()
+    def passthroughOf(ma: AttributeReference): AttributeReference =
+      passAttr.getOrElseUpdate(ma.exprId, {
+        val na = AttributeReference(ma.name, ma.dataType)()
+        newOutput += na
+        newRows.foreach(_ += ma)
+        na
+      })
+    def substMvToExpand(ex: Expression): Expression = ex.transformUp {
+      case a: AttributeReference if mvAttrIds(a.exprId) => passthroughOf(a)
+    }
+
+    def rwTop(ex: Expression): Option[Expression] = ex match {
+      case ae: AggregateExpression =>
+        // an aggregate referencing a per-set-nulled Expand COPY (e.g.
+        // min over the nulled key column, or the multi-distinct
+        // rewrite's gid-filtered aggregates) must NOT resolve by name
+        // to the MV's un-nulled value — its per-set null semantics have
+        // no partial form here, so the whole rewrite aborts
+        if (ae.references.exists(r => oldToNew.contains(r.exprId))) None
+        else rewriteAggFn(ae, mv, mvAttr, hasGrouping = true)
+          .map(substMvToExpand)
+      case a: AttributeReference => oldToNew.get(a.exprId)
+      case other =>
+        val kids = other.children.map(rwTop)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    val newAggExprs = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        oldToNew.get(a.exprId).map(na => Alias(na, a.name)(exprId = a.exprId))
+      case al: Alias =>
+        rwTop(al.child).map(c => Alias(c, al.name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (newAggExprs.exists(_.isEmpty)) return None
+
+    val newGrouping: Seq[Expression] = agg.groupingExpressions.map {
+      case a: AttributeReference => oldToNew.getOrElse(a.exprId, return None)
+      case _ => return None
+    }
+
+    // the routed WHERE (collected below the original Expand) filters
+    // whole groups, so it applies to the MV BEFORE the replayed Expand
+    val mvChild: LogicalPlan =
+      if (filterConds.isEmpty) mvPlan
+      else {
+        val remapped = filterConds.map(remapCondToMv(_, mv, mvAttr))
+        if (remapped.exists(_.isEmpty)) return None
+        Filter(remapped.map(_.get).reduce(And(_, _)), mvPlan)
+      }
+
+    Some(agg.copy(groupingExpressions = newGrouping,
+      aggregateExpressions = newAggExprs.map(_.get),
+      child = Expand(newRows.map(_.toSeq).toIndexedSeq,
+        newOutput.toSeq, mvChild)))
   }
 }

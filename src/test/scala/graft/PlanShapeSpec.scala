@@ -493,6 +493,70 @@ class PlanShapeSpec extends GraftSpec {
     } finally graft.plans.MvRouting.disable(spark)
   }
 
+  test("mv_route_rollup replays the Expand over the MV, bit-identical") {
+    val p = plan("mv_route_rollup")
+    assert(p.contains("graft_mv"),
+      s"rollup not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed rollup must not also scan the fact table:\n${p.take(800)}")
+    assert(p.contains("Expand"),
+      "the routed plan must keep the grouping-sets Expand (now over MV rows)")
+    // bit-identity vs the unrouted plan
+    val routed = SparkEntry.queries("mv_route_rollup")(spark, sf).collect()
+    val unrouted = Tables.lineitem(spark, sf) // plain session: rule never armed
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+        org.apache.spark.sql.functions.min(col("l_extendedprice")).as("min_price"),
+        org.apache.spark.sql.functions.max(col("l_extendedprice")).as("max_price"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.grouping_id().as("gid"))
+      .orderBy(col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last, col("gid"))
+    assert(unrouted.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(routed.toSeq == unrouted.collect().toSeq,
+      "routed rollup diverged from the base-table plan")
+    // CUBE + routed WHERE + expression grouping key through the same
+    // rule, and the multi-distinct negative gate, on the shared session
+    graft.operators.MvOps.ensureMv(spark, sf)
+    try {
+      def cubeQ(route: Boolean) = {
+        val df = Tables.lineitem(spark, sf)
+          .filter(col("l_linestatus") === "F")
+          .cube(col("l_returnflag"),
+            org.apache.spark.sql.functions.date_trunc("month",
+              col("l_shipdate")).as("mon"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            org.apache.spark.sql.functions.grouping_id().as("gid"))
+          .orderBy(col("l_returnflag").asc_nulls_last,
+            col("mon").asc_nulls_last, col("gid"))
+        val pp = df.queryExecution.executedPlan.toString
+        assert(pp.contains("graft_mv") == route &&
+          pp.contains("lineitem.parquet") == !route,
+          s"cube routing expected=$route:\n${pp.take(800)}")
+        df.collect().toSeq
+      }
+      val on = cubeQ(route = true)
+      graft.plans.MvRouting.disable(spark)
+      val off = cubeQ(route = false)
+      assert(on == off, "routed cube diverged from the base-table plan")
+      graft.plans.MvRouting.enable(spark)
+      // the RewriteDistinctAggregates Expand (multi-distinct over
+      // NON-key columns) must fall through — its per-set-nulled
+      // distinct args are not grouping keys
+      val md = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.countDistinct(
+          col("l_partkey")).as("d1"),
+          org.apache.spark.sql.functions.countDistinct(
+            col("l_suppkey")).as("d2"))
+      assert(md.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"),
+        "multi-distinct Expand must fall through to the base scan")
+    } finally graft.plans.MvRouting.disable(spark)
+  }
+
   test("fixture invariant: o_totalprice is exact cents at every staged SF") {
     // win_zscore's integer-cents moments and agg_group_array_last's
     // decimal(20,2) formatting rest on prices being exactly 2dp; an
