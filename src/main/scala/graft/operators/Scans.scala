@@ -627,6 +627,44 @@ object Scans {
       .reduce(_ unionByName _).orderBy(col("probe"))
   }
 
+  /** Delimiter-bounded LIKE and `has_token` served from the SAME token
+    * index (the r13 generalization — r12 verdict task 4): `text LIKE
+    * '% tok %'` is the spelling real users type first, and ClickHouse's
+    * tokenbf serves it for the same reason ours can — a LIKE match
+    * contains " tok " literally, so the whitespace tokenizer already
+    * indexed `tok` for that file (LIKE-match ⊆ token-containment, no
+    * false negatives; the original filter stays above the pruned scan).
+    * `has_token(text, 'tok')` — registered as both a Column helper and
+    * a SQL temp function — is sugar expanding to the canonical
+    * array_contains(split(…)) tree, so it routes with zero new rule
+    * machinery. Probes cover present and absent tokens through all
+    * three spellings; the UNBOUNDED `'%tok%'` negative gate (must stay
+    * unrouted — a substring can hide inside a longer token) lives in
+    * PlanShapeSpec alongside the partial-admission pruning proof.
+    */
+  private def scanTextIndexLike(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation
+    val root = ensureTextIndex(s, dir)
+    graft.plans.TextIndexRouting.registerHasToken(s)
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n_matched"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(tag).as("probe"), col("n_matched"), col("sum_chars"))
+    def like(tok: String): DataFrame =
+      agg(s.read.parquet(root).filter(col("text").like(s"% $tok %")),
+        s"like:$tok")
+    def hasTok(tok: String): DataFrame =
+      agg(s.read.parquet(root)
+        .filter(graft.plans.TextIndexRouting.hasToken(col("text"), tok)),
+        s"tok:$tok")
+    def hasTokSql(tok: String): DataFrame =
+      agg(s.read.parquet(root).filter(expr(s"has_token(text, '$tok')")),
+        s"toksql:$tok")
+    Seq(like("dup"), like("quantum"), hasTok("dup"), hasTok("quantum"),
+      hasTokSql("spark"), hasTokSql("quantum"))
+      .reduce(_ unionByName _).orderBy(col("probe"))
+  }
+
   /** Token-index APPEND end-to-end (the r12 maintenance task): build
     * the layout + index over HALF the corpus, append the other half as
     * NEW files (admitted-always while unindexed — sound, pruning-dead),
@@ -2304,6 +2342,28 @@ object Scans {
                 ON list_contains(string_split(text, ' '), t1)
                 OR list_contains(string_split(text, ' '), t2)
               GROUP BY 1 ORDER BY 1""")),
+    // LIKE probes use DuckDB's LIKE (same delimiter-bounded pattern);
+    // token probes the list_contains twin — values must agree because
+    // routing only prunes files, never changes the filter
+    QueryDef("scan_text_index_like", scanTextIndexLike,
+      Some("""WITH lp AS (SELECT 'dup' AS t UNION ALL SELECT 'quantum'),
+                tp AS (SELECT 'dup' AS t UNION ALL SELECT 'quantum'),
+                sp AS (SELECT 'spark' AS t UNION ALL SELECT 'quantum'),
+                u AS (
+                  SELECT 'like:' || t AS probe, doc_id, n_chars
+                  FROM lp LEFT JOIN documents
+                    ON text LIKE '% ' || t || ' %'
+                  UNION ALL
+                  SELECT 'tok:' || t, doc_id, n_chars
+                  FROM tp LEFT JOIN documents
+                    ON list_contains(string_split(text, ' '), t)
+                  UNION ALL
+                  SELECT 'toksql:' || t, doc_id, n_chars
+                  FROM sp LEFT JOIN documents
+                    ON list_contains(string_split(text, ' '), t))
+              SELECT probe, COUNT(doc_id) AS n_matched,
+                CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+              FROM u GROUP BY probe ORDER BY probe""")),
     // full-corpus oracle: initial-half build + appended-half index must
     // serve exactly what one-shot indexing of everything serves
     QueryDef("scan_text_index_append", scanTextIndexAppend,

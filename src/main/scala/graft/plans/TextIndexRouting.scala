@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayContains, AttributeReference, Expression, Literal, Or, StringSplit, XxHash64}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayContains, AttributeReference, Contains, Expression, Like, Literal, Or, StringSplit, XxHash64}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -82,6 +82,35 @@ object TextIndexRouting {
     * finally (see MvRouting.disable).
     */
   def disable(s: SparkSession): Unit = s.conf.set(EnabledKey, "false")
+
+  /** ClickHouse `hasToken(text, 'tok')` surface — sugar that BUILDS the
+    * canonical token-membership expression (array_contains over the
+    * single-space split), so it routes through the index rule with no
+    * extra machinery and keeps exactly the tokenizer the index build
+    * used (whitespace — ours; ClickHouse's splits on non-alphanumeric,
+    * a registration-level choice either way).
+    */
+  def hasToken(text: Column, tok: String): Column =
+    org.apache.spark.sql.functions.array_contains(
+      org.apache.spark.sql.functions.split(text, " ", -1), tok)
+
+  /** SQL spelling of [[hasToken]]: registers a `has_token(text, 'tok')`
+    * temp function on the session that expands to the SAME canonical
+    * expression tree — `expr("has_token(text, 'err')")` and the SQL
+    * parser both route identically to the Column form.
+    */
+  def registerHasToken(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "has_token",
+      exprs => exprs match {
+        case Seq(t, tok) =>
+          ArrayContains(StringSplit(t,
+            Literal(UTF8String.fromString(" "), StringType), Literal(-1)),
+            tok)
+        case _ => throw new IllegalArgumentException(
+          "has_token(text, token) takes exactly 2 arguments")
+      },
+      "built-in")
 
   /** Canonical file key: `input_file_name()` (index build) renders
     * `file:///p` while `FileIndex.inputFiles` (rule time) renders
@@ -170,9 +199,20 @@ object RouteTokenFilterToIndex extends Rule[LogicalPlan] {
   }
 
   /** The routable token-membership conjunct:
-    * `array_contains(split(textCol, ' ', -1), 'literal-token')` with the
-    * single-space separator the index build tokenized on. Anything else
-    * (regex separators, column probes, LIKE) never routes.
+    * `array_contains(split(textCol, ' ', -1), 'literal-token')` with
+    * the single-space separator the index build tokenized on, or a
+    * DELIMITER-BOUNDED LIKE — `textCol LIKE '% tok %'` (r13, the
+    * spelling real users type first; ClickHouse's tokenbf serves the
+    * same shape). Soundness of the LIKE route: a matching row contains
+    * the literal substring " tok " — tok bounded by single spaces on
+    * BOTH sides — so the whitespace tokenizer the index build ran
+    * yields `tok` as a whole token of that row, and the file's bloom
+    * necessarily admits it (LIKE-match ⊆ token-containment; the
+    * original filter stays above the pruned scan either way). An
+    * UNBOUNDED substring LIKE (`'%tok%'`) must NEVER route: the
+    * substring can hide inside a longer token the bloom never saw as
+    * `tok`. Anything else (regex separators, column probes, escapes,
+    * `_` wildcards) never routes.
     */
   private def tokenProbe(c: Expression, textCol: String): Option[String] =
     c match {
@@ -188,8 +228,43 @@ object RouteTokenFilterToIndex extends Rule[LogicalPlan] {
           if a.name == textCol && sep.toString == " " && tok != null &&
             tok.toString.nonEmpty =>
         Some(tok.toString)
+      case Like(a: AttributeReference, Literal(pat: UTF8String, StringType),
+          escapeChar)
+          if a.name == textCol && escapeChar == '\\' && pat != null =>
+        likeBoundedToken(pat.toString)
+      // the main optimizer's LikeSimplification rewrites
+      // `LIKE '% tok %'` (no inner wildcards) into
+      // Contains(text, " tok ") BEFORE extraOptimizations run, so the
+      // simplified form is what this rule usually sees; a direct
+      // `col.contains(" tok ")` probe is the same shape. The needle is
+      // a LITERAL here (wildcards were consumed or never existed), so
+      // only the space-bounded single-token contract needs checking.
+      case Contains(a: AttributeReference,
+          Literal(pat: UTF8String, StringType))
+          if a.name == textCol && pat != null => {
+        val p = pat.toString
+        if (p.length >= 3 && p.startsWith(" ") && p.endsWith(" ")) {
+          val tok = p.substring(1, p.length - 1)
+          if (tok.nonEmpty && !tok.contains(' ')) Some(tok) else None
+        } else None
+      }
       case _ => None
     }
+
+  /** `% tok %` → tok, for a tok that is a single whole token: no LIKE
+    * metacharacters (`%` would widen the match, `_` matches any char —
+    * including the delimiter itself), no escape char (an escaped
+    * wildcard changes meaning), no space (the bloom indexes single
+    * tokens; a multi-word phrase would need per-word probes), and
+    * non-empty (`'%  %'` matches a double space — not a token at all).
+    */
+  private def likeBoundedToken(p: String): Option[String] =
+    if (p.length >= 5 && p.startsWith("% ") && p.endsWith(" %")) {
+      val tok = p.substring(2, p.length - 2)
+      if (tok.nonEmpty && !tok.exists(ch =>
+          ch == '%' || ch == '_' || ch == '\\' || ch == ' ')) Some(tok)
+      else None
+    } else None
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(TextIndexRouting.EnabledKey, "false") != "true")

@@ -909,6 +909,81 @@ class PlanShapeSpec extends GraftSpec {
     TextIndexRouting.disable(s)
   }
 
+  test("bounded LIKE / has_token route via the token index; substring LIKE stays unrouted") {
+    import graft.plans.TextIndexRouting
+    import graft.operators.Scans
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val s = graft.Sessions.isolatedClone(spark) // rule isolation
+    val root = s"${graft.Scratch.dir("textidxlike")}/t"
+    // INNER tokens (space on both sides in the text) so the bounded
+    // LIKE actually matches — two single-row files, disjoint vocab
+    Seq((1L, "pre alpha post")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    Seq((2L, "pre gamma post")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    assert(Scans.appendTextIndex(s, root) == 2)
+    TextIndexRouting.register(TextIndexRouting.TextIndexDef(
+      root, "text", Scans.TextIndexBits, Scans.parseIndex(root)))
+    TextIndexRouting.enable(s)
+    TextIndexRouting.registerHasToken(s)
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.flatMap(_.relation.location.inputFiles)
+        .map(TextIndexRouting.normFile).toSet
+    def admits(tok: String): Set[String] = {
+      val pos = TextIndexRouting.tokenPositions(tok, Scans.TextIndexBits)
+      Scans.parseIndex(root).collect {
+        case (f, b) if pos.forall(b.contains) => f
+      }.toSet
+    }
+    val fAlpha = admits("alpha")
+    val all = s.read.parquet(root).inputFiles
+      .map(TextIndexRouting.normFile).toSet
+    assert(fAlpha.size == 1, s"fixture degenerate: $fAlpha")
+    // delimiter-bounded LIKE prunes to the token's file (and matches)
+    val like = s.read.parquet(root).filter(col("text").like("% alpha %"))
+    assert(scanned(like) == fAlpha, s"bounded LIKE must prune: ${scanned(like)}")
+    assert(like.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // both has_token spellings prune identically
+    assert(scanned(s.read.parquet(root).filter(
+      TextIndexRouting.hasToken(col("text"), "alpha"))) == fAlpha,
+      "has_token Column form must prune")
+    assert(scanned(s.read.parquet(root).filter(
+      org.apache.spark.sql.functions.expr("has_token(text, 'alpha')")))
+      == fAlpha, "has_token SQL form must prune")
+    // a bare contains of a space-bounded needle is the same contract
+    assert(scanned(s.read.parquet(root).filter(
+      col("text").contains(" alpha "))) == fAlpha,
+      "space-bounded contains must prune")
+    // absent token: no file opened at all
+    val none = s.read.parquet(root).filter(col("text").like("% omega %"))
+    assert(none.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.isEmpty, "absent bounded-LIKE token must open no file")
+    assert(none.count() == 0)
+    // NEGATIVE GATES — every unbounded/wildcarded shape must admit all:
+    // substring LIKE can hide inside a longer token ("alphabet")
+    assert(scanned(s.read.parquet(root).filter(
+      col("text").like("%alpha%"))) == all,
+      "substring LIKE must never prune")
+    // one-sided bound is still a substring on the open side
+    assert(scanned(s.read.parquet(root).filter(
+      col("text").like("% alpha%"))) == all,
+      "half-bounded LIKE must never prune")
+    // _ matches ANY char, including the delimiter
+    assert(scanned(s.read.parquet(root).filter(
+      col("text").like("% alph_ %"))) == all,
+      "wildcarded token must never prune")
+    // multi-word needles are not single tokens
+    assert(scanned(s.read.parquet(root).filter(
+      col("text").contains(" alpha post "))) == all,
+      "multi-word contains must never prune")
+    TextIndexRouting.disable(s)
+    TextIndexRouting.invalidate(root)
+  }
+
   test("scan_text_index_routed: absent-token probe arm opens no file") {
     val df = SparkEntry.queries("scan_text_index_routed")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
