@@ -525,6 +525,131 @@ object MvOps {
       .orderBy(col("probe"), col("event_type").asc_nulls_last) // class-13 pin
   }
 
+  /** INCREMENTAL (delta-fold) MV refresh wired to the mutation path —
+    * the r12 verdict's task 3, closing mvRouteStale's own scale note:
+    * after an `ALTER … DELETE` the MV is refreshed by folding the
+    * mutation's SIGNED delta into the existing partials instead of
+    * re-aggregating the whole base. The timeline:
+    *   1. `pre_mutation`: routed against mv1 (plan-asserted).
+    *   2. The pre-image partials of ONLY the admitted partitions are
+    *      aggregated and eagerly materialized BEFORE the staged swap
+    *      (O(δ) rows; a require proves the read opened no unadmitted
+    *      partition file).
+    *   3. The mutation lands; the machinery invalidates every
+    *      registration on the base (require-proven).
+    *   4. The post-image partials of the same partitions are aggregated
+    *      (O(δ) again) and the fold mv2 = γ(mv1 ∪ post ∪ −pre) runs
+    *      over O(groups + δ) partial rows — decimal sum states and
+    *      bigint counts form an abelian GROUP, so signed folding is
+    *      exact; groups whose count reaches 0 are dropped (the MV
+    *      invariant: one row per PRESENT grouping tuple, which the
+    *      grouping-key-stats and distinct routes rely on).
+    *   5. A require gates the fold bit-for-bit against a full rebuild
+    *      (test scaffolding — the production refresh path never scans
+    *      the base), mv2 is re-registered, and `post_refresh` routes
+    *      against it (plan-asserted). The oracle reproduces both probes
+    *      from raw events.
+    *
+    * Scale notes: the refresh costs one aggregate over the MUTATED
+    * partitions (which the mutation itself already rewrote — same
+    * pruned I/O class) plus an O(groups + δ) fold; min/max partials are
+    * deliberately absent from this registration — they are idempotent,
+    * not invertible, so a delete cannot fold them (a min/max MV under
+    * DELETE needs the rebuild path mvRouteStale proves).
+    */
+  private def mvRefreshIncremental(s0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val scratch = graft.Scratch.dir("mvrefresh")
+    val root = s"$scratch/base_t" // greppable in plan text (the stale-key rule)
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("day").parquet(root)
+    val cut = Scans.dayPartitionCutoff(root, 7)._2
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(30, 6))).as("sum_value_state"),
+        count(lit(1)).as("n_rows"))
+    def registerMv(path: String): Unit =
+      MvRouting.register(MvRouting.MvDef(
+        basePath = root, mvPath = path, groupCols = Set("event_type"),
+        sumMap = Map("value" -> "sum_value_state"), countCol = "n_rows"))
+    partials(s.read.parquet(root)).write.parquet(s"$scratch/mv1")
+    registerMv(s"$scratch/mv1")
+    MvRouting.enable(s)
+    // eager snapshot per probe, proving WHICH artifact it scanned (the
+    // mvRouteStale pattern — O(event_types) driver rows)
+    def snap(probe: String, mustScan: String, mustNotScan: String)
+        : Seq[Row] = {
+      val df = s.read.parquet(root).groupBy(col("event_type"))
+        .agg(graft.Det.dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains(mustScan) && !p.contains(mustNotScan),
+        s"$probe probe must scan $mustScan and not $mustNotScan")
+      df.collect().toIndexedSeq
+        .map(r => Row(probe, r.getString(0), r.getDouble(1), r.getLong(2)))
+    }
+    val pre = snap("pre_mutation", "mv1", "base_t")
+    // admitted-partition read used by BOTH delta legs: day >= cut,
+    // resolved to explicit partition dirs so the delta job cannot even
+    // list the rest of the base
+    val admit = Scans.dayAdmit(d => !d.isBefore(cut))
+    def touchedDirs = Scans.dayDirs(root)
+      .filter(f => admit(f.getName.drop(4)))
+    def touchedRead(): DataFrame = {
+      val dirs = touchedDirs
+      require(dirs.nonEmpty, "mutation admits no partition — fixture broke")
+      s.read.option("basePath", root)
+        .parquet(dirs.map(_.getPath).toIndexedSeq: _*)
+    }
+    // the O(δ) proof: strictly fewer partitions than the base, and the
+    // delta read's file list stays inside them
+    require(touchedDirs.length <
+      graft.Scratch.listPartitionDirs(root, "day=").length,
+      "delta must cover a strict subset of partitions")
+    require(touchedRead().inputFiles.forall(f =>
+      touchedDirs.exists(d => f.contains("/" + d.getName + "/"))),
+      "delta read listed files outside the mutated partitions")
+    // pre-image partials MUST materialize before the swap deletes them
+    val preDelta = partials(touchedRead()).localCheckpoint(true)
+    Scans.mutatePartitions(s, root, "day", admit,
+      _.filter(col("event_type") =!= "click"),
+      s"ALTER TABLE t DELETE WHERE day >= $cut AND event_type = 'click'")
+    require(MvRouting.forPath(root).isEmpty,
+      "mutation machinery must have invalidated the MV registration")
+    val postDelta = partials(touchedRead()).localCheckpoint(true)
+    // the signed fold: decimal sum states and counts negate exactly
+    val folded = s.read.parquet(s"$scratch/mv1")
+      .unionByName(postDelta)
+      .unionByName(preDelta.select(col("event_type"),
+        (-col("sum_value_state")).as("sum_value_state"),
+        (-col("n_rows")).as("n_rows")))
+      .groupBy(col("event_type"))
+      .agg(sum(col("sum_value_state")).cast(DecimalType(38, 6))
+          .as("sum_value_state"),
+        sum(col("n_rows")).as("n_rows"))
+      .filter(col("n_rows") > 0)
+    folded.write.parquet(s"$scratch/mv2")
+    // refresh-correctness gate (scaffolding — the refresh itself never
+    // ran this): the fold must equal a full rebuild bit-for-bit
+    def canon(df: DataFrame) = df
+      .orderBy(col("event_type").asc_nulls_last).collect().toSeq
+    require(canon(s.read.parquet(s"$scratch/mv2")) ==
+      canon(partials(s.read.parquet(root))),
+      "delta-folded MV diverged from the full rebuild")
+    registerMv(s"$scratch/mv2")
+    val refreshed = snap("post_refresh", "mv2", "base_t")
+    val schema = StructType(Seq(
+      StructField("probe", StringType), StructField("event_type", StringType),
+      StructField("sum_value", DoubleType), StructField("n", LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize((pre ++ refreshed).toList, 1), schema)
+      .orderBy(col("probe"), col("event_type").asc_nulls_last) // class-13 pin
+  }
+
   /** Stage the two event layouts (idempotent per sfDir): the BASE copy
     * range-clustered + sorted on day (serves time predicates via file
     * min/max stats), the PROJECTION the same rows range-clustered +
@@ -995,6 +1120,23 @@ object MvOps {
     // pre_mutation aggregates the full table; post_mutation/post_refresh
     // both aggregate the DELETE's survivor set (refresh only changes
     // which artifact serves the values, never the values)
+    // pre_mutation aggregates the full table; post_refresh serves the
+    // DELETE's survivor set from the delta-folded MV (null-day clicks
+    // survive — the predicate is UNKNOWN for them, the DELETE contract)
+    QueryDef("mv_refresh_incremental", mvRefreshIncremental,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_type, value FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e)
+              SELECT 'pre_mutation' AS probe, event_type,
+                ${Det.oSum("value")} AS sum_value, COUNT(*) AS n
+              FROM e GROUP BY event_type
+              UNION ALL
+              SELECT 'post_refresh', event_type,
+                ${Det.oSum("value")}, COUNT(*)
+              FROM e, m
+              WHERE day IS NULL OR NOT (day >= cut AND event_type = 'click')
+              GROUP BY event_type
+              ORDER BY probe, event_type NULLS LAST""")),
     QueryDef("mv_route_stale", mvRouteStale,
       Some(s"""WITH e AS (SELECT event_type, value FROM events)
               SELECT 'pre_mutation' AS probe, event_type,

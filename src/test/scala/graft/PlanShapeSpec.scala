@@ -827,6 +827,29 @@ class PlanShapeSpec extends GraftSpec {
       "non-deleted groups must be untouched by the mutation")
   }
 
+  test("mv_refresh_incremental: delta fold equals rebuild; delete visible") {
+    // the key's own requires prove the hard parts (delta read confined
+    // to mutated partitions, fold bit-equal to a full rebuild, probes
+    // scanning mv1/mv2 by plan text); here the VALUE timeline
+    val rows = SparkEntry.queries("mv_refresh_incremental")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    def of(probe: String) = rows.filter(_._1 == probe)
+      .map(t => (t._2, t._3, t._4)).toSeq
+    val pre = of("pre_mutation")
+    val post = of("post_refresh")
+    val preClick = pre.find(_._1 == "click")
+    val postClick = post.find(_._1 == "click")
+    assert(preClick.isDefined,
+      "fixture must contain click events for the delete to be observable")
+    // clicks in the mutated (recent) partitions are deleted; clicks in
+    // older partitions survive — the refreshed MV must show the drop
+    assert(postClick.forall(_._3 < preClick.get._3),
+      s"click count must shrink: pre=$preClick post=$postClick")
+    assert(pre.filter(_._1 != "click") == post.filter(_._1 != "click"),
+      "non-deleted groups must be untouched by the delta fold")
+  }
+
   test("token index OR routing prunes to the union; append maintains the index") {
     import graft.plans.TextIndexRouting
     import graft.operators.Scans
