@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, EvalMode, ExprId, Expression, If, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
@@ -348,10 +348,14 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
 
   private def routeOne(agg: Aggregate): Option[Aggregate] =
     baseScan(agg.child).flatMap { case (conds, subst, fs) =>
-      if (fs.location.rootPaths.length != 1) None
-      else {
-        val defs = defsFor(fs.location.rootPaths.head.toString)
-        if (defs.isEmpty) None else {
+      val roots = fs.location.rootPaths.map(_.toString).toSeq
+      // candidate projections come from the FIRST registered root; a
+      // multi-root scan (read.parquet(base, tail)) routes PER ROOT via
+      // mvChildFor — registered roots read their MV, the rest get a
+      // synthesized partial aggregate (r12 verdict task 6)
+      val defs = roots.iterator.map(defsFor).find(_.nonEmpty)
+        .getOrElse(Vector.empty)
+      if (defs.isEmpty) None else {
       // inline pulled-out grouping aliases back into the Aggregate's own
       // expressions so template matching sees `GROUP BY date_trunc(…)`,
       // not the opaque `_groupingexpression` attribute. The Aggregate's
@@ -372,14 +376,141 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       // (latest registration first), vet ITS filter routability, and the
       // first successful rewrite wins — exactly the ClickHouse analyzer's
       // projection choice, with "can answer at all" as the criterion
-          defs.view
-            .filter(d => PathRegistry.targetExists(d.mvPath) &&
-              conds.forall(routableFilter(_, d)))
-            .flatMap(d => rewrite(agg, groupExprs, aggExprs, conds, d))
-            .headOption
-        }
+        defs.view
+          .filter(d => PathRegistry.targetExists(d.mvPath) &&
+            conds.forall(routableFilter(_, d)))
+          .flatMap(d => mvChildFor(d, roots).flatMap(child =>
+            rewrite(agg, groupExprs, aggExprs, conds, d, child)))
+          .headOption
       }
     }
+
+  /** The child plan the rewrite re-targets. Single root: the MV scan.
+    * MULTI-ROOT scan (r12 verdict task 6 — `read.parquet(base, tail)`,
+    * the MV'd-history-plus-hot-tail layout): a Union of per-root legs,
+    * each projected to the def's covered columns in one canonical
+    * order — a root carrying a registration of the SAME shape reads
+    * its MV; every other root gets a SYNTHESIZED partial aggregate
+    * (exactly the MV-build aggregate, inlined). Sound because the
+    * rewritten aggregates are monoid merges over partials: any
+    * partition of the base rows into legs that each produce exact
+    * per-group partials re-aggregates to the same final — including
+    * count(DISTINCT key) (distinct over the union of per-leg key sets
+    * dedups across legs) and the routed grouping-key filter (applied
+    * above the Union, it admits whole groups identically per leg).
+    *
+    * Scale notes: the registered history root reads O(groups) MV rows;
+    * only the tail root pays a scan — and that scan is the partial
+    * (map-side-combinable) aggregate, so the union shuffles O(groups)
+    * rows per leg, never tail rows.
+    */
+  private def mvChildFor(d: MvDef, roots: Seq[String]): Option[LogicalPlan] = {
+    val mvPlan = SparkSession.active.read.parquet(d.mvPath)
+      .queryExecution.analyzed
+    if (roots.length == 1) return Some(mvPlan)
+    val known: Set[String] =
+      d.groupCols ++ d.exprGroupCols.map(_._2) ++ Seq(d.countCol) ++
+        d.sumMap.values ++ d.minMap.values ++ d.maxMap.values ++
+        d.sumLongMap.values
+    val target = mvPlan.output.collect {
+      case a: AttributeReference if known(a.name) => a
+    }
+    if (target.isEmpty) return None
+    val legs = roots.map { r =>
+      defsFor(r).find(x => PathRegistry.targetExists(x.mvPath) &&
+          sameShape(x, d)) match {
+        case Some(x) => mvLeg(x, target)
+        case None => synthesizeLeg(r, d, target)
+      }
+    }
+    if (legs.exists(_.isEmpty)) None
+    else Some(Union(legs.map(_.get)))
+  }
+
+  /** Two registrations answer the same queries the same way iff their
+    * whole column surface matches; expression templates are compared
+    * semantically after the by-name remap (different analyzed
+    * instances never share exprIds).
+    */
+  private def sameShape(a: MvDef, b: MvDef): Boolean =
+    a.groupCols == b.groupCols && a.sumMap == b.sumMap &&
+      a.countCol == b.countCol && a.minMap == b.minMap &&
+      a.maxMap == b.maxMap && a.sumLongMap == b.sumLongMap &&
+      a.notNullCols == b.notNullCols &&
+      a.exprGroupCols.map(_._2) == b.exprGroupCols.map(_._2) &&
+      a.exprGroupCols.zip(b.exprGroupCols).forall {
+        case ((t1, _), (t2, _)) => matchesTemplate(t1, t2)
+      }
+
+  /** A registered root's MV scan projected to the canonical column
+    * list (by name, type-checked — Union is positional).
+    */
+  private def mvLeg(x: MvDef, target: Seq[AttributeReference])
+      : Option[LogicalPlan] = {
+    val p = SparkSession.active.read.parquet(x.mvPath)
+      .queryExecution.analyzed
+    val byName = p.output.map(a => a.name -> a).toMap
+    val cols = target.map(t =>
+      byName.get(t.name).filter(_.dataType == t.dataType))
+    if (cols.exists(_.isEmpty)) None
+    else Some(Project(cols.map(_.get), p))
+  }
+
+  /** An UNREGISTERED root's leg: the MV-build aggregate synthesized
+    * from the registration's own maps, producing the canonical columns
+    * in order — per-group partials that merge exactly with the MV legs
+    * (the same monoid family the MVs store). A target column the def
+    * cannot derive (or a type drift) aborts the whole multi-root route.
+    */
+  private def synthesizeLeg(root: String, d: MvDef,
+      target: Seq[AttributeReference]): Option[LogicalPlan] = {
+    val scan = SparkSession.active.read.parquet(root)
+      .queryExecution.analyzed
+    val byName = scan.output.map(a => a.name -> a).toMap
+    def remapTemplate(t: Expression): Option[Expression] = {
+      var ok = true
+      val r = t.transform {
+        case a: AttributeReference => byName.getOrElse(a.name, { ok = false; a })
+      }
+      if (ok) Some(r) else None
+    }
+    val sumInv = d.sumMap.map(_.swap)
+    val minInv = d.minMap.map(_.swap)
+    val maxInv = d.maxMap.map(_.swap)
+    val sumLongInv = d.sumLongMap.map(_.swap)
+    val exprInv = d.exprGroupCols.map { case (t, c) => c -> t }.toMap
+    def aggE(f: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateFunction): Expression =
+      AggregateExpression(f, org.apache.spark.sql.catalyst.expressions
+        .aggregate.Complete, isDistinct = false)
+    // (expression, isGroupingKey) per target column
+    val cols: Seq[Option[(Expression, Boolean)]] = target.map { tc =>
+      val n = tc.name
+      if (d.groupCols(n)) byName.get(n).map(a => (a: Expression, true))
+      else if (exprInv.contains(n))
+        remapTemplate(exprInv(n)).map(e => (e, true))
+      else if (n == d.countCol)
+        Some((aggE(Count(Seq(Literal(1)))), false))
+      else if (sumInv.contains(n)) byName.get(sumInv(n)).map(a =>
+        (aggE(Sum(Cast(a, DecimalType(30, 6)))), false))
+      else if (sumLongInv.contains(n)) byName.get(sumLongInv(n)).map(a =>
+        (aggE(Sum(a)), false))
+      else if (minInv.contains(n)) byName.get(minInv(n)).map(a =>
+        (aggE(Min(a)), false))
+      else if (maxInv.contains(n)) byName.get(maxInv(n)).map(a =>
+        (aggE(Max(a)), false))
+      else None
+    }
+    if (cols.exists(_.isEmpty)) return None
+    val named = target.zip(cols.map(_.get)).map { case (tc, (e, _)) =>
+      Alias(e, tc.name)()
+    }
+    // positional type equality with the MV legs — a drifted base schema
+    // (e.g. a double where the MV summed an int) must abort, not union
+    if (named.map(_.dataType) != target.map(_.dataType)) return None
+    Some(Aggregate(cols.map(_.get).collect { case (e, true) => e },
+      named, scan))
+  }
 
   /** Rewrite ONE AggregateExpression into its exact MV-partials form
     * over `mvAttr` (the scan attrs of the MV artifact) — the shared
@@ -559,7 +690,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], filterConds: Seq[Expression],
-      mv: MvDef): Option[Aggregate] = {
+      mv: MvDef, mvChild: LogicalPlan): Option[Aggregate] = {
     // each grouping expression resolves to an MV column: a bare attr
     // must be a registered grouping column; anything else must match a
     // registered grouping-EXPRESSION template (the MV stores its value
@@ -573,10 +704,11 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       }
     }
 
-    // fresh resolved MV scan; exprIds are new, output aliases keep the
+    // the caller-supplied re-target plan (the fresh MV scan, or the
+    // multi-root Union of legs — either way its output carries the
+    // MV-schema column names); exprIds are new, output aliases keep the
     // ORIGINAL exprIds so parent operators still resolve
-    val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
-      .queryExecution.analyzed
+    val mvPlan = mvChild
     val mvAttr: Map[String, AttributeReference] =
       mvPlan.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
 

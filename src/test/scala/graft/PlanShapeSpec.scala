@@ -827,6 +827,34 @@ class PlanShapeSpec extends GraftSpec {
       "non-deleted groups must be untouched by the mutation")
   }
 
+  test("mv_route_multi_root: registered root reads MV, tail root scans, coexisting") {
+    val df = SparkEntry.queries("mv_route_multi_root")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_mv"),
+      s"history root must be served from the MV:\n${p.take(1000)}")
+    assert(p.contains("lineitem_tail"),
+      s"tail root must still be scanned (fallthrough leg):\n${p.take(1000)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"registered base parquet must NOT be scanned:\n${p.take(1000)}")
+    // bit-identity vs the unrouted union (plain session — never armed)
+    val extra = p.linesIterator.find(_.contains("lineitem_tail"))
+    assert(extra.isDefined)
+    val routed = df.collect()
+    val base = Tables.lineitem(spark, sf)
+    val tail = base.filter(col("l_orderkey") % 97 === 0)
+    val unrouted = base.unionByName(tail)
+      .groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+        org.apache.spark.sql.functions.min(col("l_extendedprice"))
+          .as("min_price"),
+        org.apache.spark.sql.functions.max(col("l_extendedprice"))
+          .as("max_price"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    assert(routed.toSeq == unrouted.collect().toSeq,
+      "multi-root routed values diverged from the plain union")
+  }
+
   test("mv_refresh_incremental: delta fold equals rebuild; delete visible") {
     // the key's own requires prove the hard parts (delta read confined
     // to mutated partitions, fold bit-equal to a full rebuild, probes
