@@ -665,6 +665,36 @@ object Scans {
       .reduce(_ unionByName _).orderBy(col("probe"))
   }
 
+  /** MULTI-ROOT token-index routing (r13 — the mv_route_multi_root
+    * twin): `read.parquet(history, tail)` where only the history layout
+    * carries a `_TEXTIDX` — the ingest shape where yesterday's
+    * consolidated corpus is indexed and today's arrivals are not yet.
+    * Admission is per file: history files consult their blooms, tail
+    * files are absent from the merged map and admitted ALWAYS (the
+    * same rule that protects post-build appends), so an absent-token
+    * probe prunes the indexed history to zero files while still
+    * scanning the tail. The original filter stays above the pruned
+    * scan — bloom precision costs I/O, never correctness; the oracle
+    * proves values over the full union. The partial-pruning plan proof
+    * lives in PlanShapeSpec's controlled-vocabulary case.
+    */
+  private def scanTextIndexMultiRoot(s0: SparkSession, dir: String)
+      : DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation
+    val root = ensureTextIndex(s, dir) // indexed history
+    val tail = s"${graft.Scratch.dir("txtmulti")}/docs_tail" // unindexed
+    Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      .write.parquet(tail)
+    def probe(tok: String): DataFrame =
+      s.read.parquet(root, tail)
+        .filter(array_contains(split(col("text"), " "), tok))
+        .agg(count(lit(1)).as("n_matched"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(tok).as("probe"), col("n_matched"), col("sum_chars"))
+    Seq("dup", "quantum").map(probe).reduce(_ unionByName _)
+      .orderBy(col("probe"))
+  }
+
   /** Token-index APPEND end-to-end (the r12 maintenance task): build
     * the layout + index over HALF the corpus, append the other half as
     * NEW files (admitted-always while unindexed — sound, pruning-dead),
@@ -2342,6 +2372,18 @@ object Scans {
                 ON list_contains(string_split(text, ' '), t1)
                 OR list_contains(string_split(text, ' '), t2)
               GROUP BY 1 ORDER BY 1""")),
+    // union-of-roots semantics: history once plus the tail slice once
+    QueryDef("scan_text_index_multi_root", scanTextIndexMultiRoot,
+      Some("""WITH u AS (SELECT doc_id, text, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id, text, n_chars FROM documents
+                WHERE doc_id % 5 = 0),
+              p AS (SELECT 'dup' AS probe UNION ALL SELECT 'quantum')
+              SELECT probe, COUNT(doc_id) AS n_matched,
+                CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+              FROM p LEFT JOIN u
+                ON list_contains(string_split(text, ' '), probe)
+              GROUP BY probe ORDER BY probe""")),
     // LIKE probes use DuckDB's LIKE (same delimiter-bounded pattern);
     // token probes the list_contains twin — values must agree because
     // routing only prunes files, never changes the filter

@@ -145,14 +145,32 @@ object RouteTokenFilterToIndex extends Rule[LogicalPlan] {
 
   /** The registered base relation under the Filter, tolerating one
     * column-pruning Project (the ProjectionRouting pattern).
+    *
+    * MULTI-ROOT scans route too (r13 — the MvRouting task-6 twin):
+    * admission is PER FILE against the bloom of whichever index covers
+    * it, and a file under an unregistered root is simply absent from
+    * the merged map — admitted always, the same rule that already
+    * protects files appended after an index build. Registered roots
+    * must agree on (textCol, bits) or nothing routes (one probe, one
+    * hash geometry). The `read.parquet(history, tail)` shape thus
+    * prunes the indexed history while always scanning the hot tail.
     */
   private def baseRel(p: LogicalPlan)
       : Option[(LogicalRelation, HadoopFsRelation, TextIndexDef)] = {
     def of(l: LogicalRelation) = l.relation match {
-      // EXACTLY one root path: a multi-root scan only partially
-      // overlaps the index — pruning it wholesale could drop rows
-      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
-        forPath(fs.location.rootPaths.head.toString).map(d => (l, fs, d))
+      case fs: HadoopFsRelation =>
+        val roots = fs.location.rootPaths.map(_.toString).toSeq
+        val defs = roots.flatMap(forPath(_).toSeq)
+        if (defs.isEmpty) None
+        else if (defs.exists(d => d.textCol != defs.head.textCol ||
+            d.bits != defs.head.bits)) None
+        else if (defs.lengthCompare(1) == 0 && roots.lengthCompare(1) == 0)
+          Some((l, fs, defs.head))
+        else Some((l, fs, TextIndexDef(roots.head, defs.head.textCol,
+          defs.head.bits,
+          // file keys are absolute normalized paths — disjoint across
+          // roots, so a plain union is exact
+          defs.iterator.flatMap(_.blooms).toMap)))
       case _ => None
     }
     p match {

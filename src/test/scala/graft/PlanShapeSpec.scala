@@ -1035,6 +1035,65 @@ class PlanShapeSpec extends GraftSpec {
     TextIndexRouting.invalidate(root)
   }
 
+  test("multi-root token scan: indexed root prunes, unindexed tail always scans") {
+    import graft.plans.TextIndexRouting
+    import graft.operators.Scans
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val s = graft.Sessions.isolatedClone(spark) // rule isolation
+    val base = graft.Scratch.dir("textidxmulti")
+    val hist = s"$base/hist"
+    val tail = s"$base/tail"
+    Seq((1L, "pre alpha post")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(hist)
+    Seq((2L, "pre gamma post")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(hist)
+    Seq((3L, "pre delta post")).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(tail) // NO index — the hot arrivals root
+    assert(Scans.appendTextIndex(s, hist) == 2)
+    TextIndexRouting.register(TextIndexRouting.TextIndexDef(
+      hist, "text", Scans.TextIndexBits, Scans.parseIndex(hist)))
+    TextIndexRouting.enable(s)
+    def tokFilter(t: String) = org.apache.spark.sql.functions.array_contains(
+      org.apache.spark.sql.functions.split(col("text"), " "), t)
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.flatMap(_.relation.location.inputFiles)
+        .map(TextIndexRouting.normFile).toSet
+    def admits(tok: String): Set[String] = {
+      val pos = TextIndexRouting.tokenPositions(tok, Scans.TextIndexBits)
+      Scans.parseIndex(hist).collect {
+        case (f, b) if pos.forall(b.contains) => f
+      }.toSet
+    }
+    val fAlpha = admits("alpha")
+    val tailFiles = s.read.parquet(tail).inputFiles
+      .map(TextIndexRouting.normFile).toSet
+    val all = s.read.parquet(hist, tail).inputFiles
+      .map(TextIndexRouting.normFile).toSet
+    assert(fAlpha.size == 1 && tailFiles.size == 1)
+    // present token: its history file + the whole unindexed tail
+    val dfA = s.read.parquet(hist, tail).filter(tokFilter("alpha"))
+    assert(scanned(dfA) == (fAlpha ++ tailFiles),
+      s"expected ${fAlpha ++ tailFiles}, scanned ${scanned(dfA)}")
+    assert(dfA.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // absent token: history fully pruned, tail still scanned (it could
+    // hold anything — it was never indexed)
+    val dfO = s.read.parquet(hist, tail).filter(tokFilter("omega"))
+    assert(scanned(dfO) == tailFiles,
+      s"absent token must scan only the tail: ${scanned(dfO)}")
+    assert(dfO.count() == 0)
+    // the tail's own token matches through the always-admitted files
+    val dfD = s.read.parquet(hist, tail).filter(tokFilter("delta"))
+    assert(dfD.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // negative gate: disabled → everything scans
+    TextIndexRouting.disable(s)
+    assert(scanned(s.read.parquet(hist, tail).filter(tokFilter("omega")))
+      == all, "disabled rule must leave the multi-root scan untouched")
+    TextIndexRouting.invalidate(hist)
+  }
+
   test("scan_text_index_routed: absent-token probe arm opens no file") {
     val df = SparkEntry.queries("scan_text_index_routed")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
