@@ -379,8 +379,14 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
         defs.view
           .filter(d => PathRegistry.targetExists(d.mvPath) &&
             conds.forall(routableFilter(_, d)))
-          .flatMap(d => mvChildFor(d, roots).flatMap(child =>
-            rewrite(agg, groupExprs, aggExprs, conds, d, child)))
+          // mvChildFor is BY-NAME into rewrite: the MV parquet is only
+          // listed/read after the cheap grouping-key match succeeds —
+          // with several projections per base, the wrong ones (tried
+          // latest-first) must fail on driver metadata alone, not pay a
+          // file-listing + footer read each (measured 2× on mv_route)
+          .flatMap(d =>
+            rewrite(agg, groupExprs, aggExprs, conds, d,
+              mvChildFor(d, roots)))
           .headOption
       }
     }
@@ -690,7 +696,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], filterConds: Seq[Expression],
-      mv: MvDef, mvChild: LogicalPlan): Option[Aggregate] = {
+      mv: MvDef, mvChild: => Option[LogicalPlan]): Option[Aggregate] = {
     // each grouping expression resolves to an MV column: a bare attr
     // must be a registered grouping column; anything else must match a
     // registered grouping-EXPRESSION template (the MV stores its value
@@ -706,9 +712,11 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
 
     // the caller-supplied re-target plan (the fresh MV scan, or the
     // multi-root Union of legs — either way its output carries the
-    // MV-schema column names); exprIds are new, output aliases keep the
-    // ORIGINAL exprIds so parent operators still resolve
-    val mvPlan = mvChild
+    // MV-schema column names), evaluated ONLY NOW that the cheap
+    // grouping-key match has succeeded (by-name param — see routeOne);
+    // exprIds are new, output aliases keep the ORIGINAL exprIds so
+    // parent operators still resolve
+    val mvPlan = mvChild.getOrElse(return None)
     val mvAttr: Map[String, AttributeReference] =
       mvPlan.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
 
