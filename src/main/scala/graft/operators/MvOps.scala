@@ -525,6 +525,29 @@ object MvOps {
       .orderBy(col("probe"), col("event_type").asc_nulls_last) // class-13 pin
   }
 
+  /** GROUPING-LESS global aggregate routed through the SAME rule (r13):
+    * `SELECT count(*), sum(x), min(x), max(x) FROM t` — the single most
+    * common SQL statement there is — now routes to O(groups) MV rows.
+    * The piece that previously blocked it: a routed count is a Sum over
+    * MV partials, which is NULL over an empty base where count is 0 —
+    * closed by the same Coalesce-to-0 the FILTER gate needed anyway
+    * (grouped no-gate counts keep the unwrapped tree). The grouping-key
+    * distinct count also routes without a GROUP BY (the MV's key-tuple
+    * set is the base's). PlanShapeSpec asserts the MV scan and
+    * bit-identity vs the unrouted plan.
+    */
+  private def mvRouteGlobal(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(col("l_partkey")).as("n_pk"),
+        countDistinct(col("l_linestatus")).as("n_status"))
+  }
+
   /** MULTI-ROOT union scan routed PER ROOT (the r13 generalization —
     * r12 verdict task 6): `read.parquet(history, tail)` where only
     * `history` carries a registration — the MV'd-consolidated-history-
@@ -1156,6 +1179,14 @@ object MvOps {
     // pre_mutation aggregates the full table; post_mutation/post_refresh
     // both aggregate the DELETE's survivor set (refresh only changes
     // which artifact serves the values, never the values)
+    QueryDef("mv_route_global", mvRouteGlobal,
+      Some(s"""SELECT COUNT(*) AS n,
+                ${Det.oSum("l_quantity")} AS sum_qty,
+                MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price,
+                COUNT(l_partkey) AS n_pk,
+                COUNT(DISTINCT l_linestatus) AS n_status
+              FROM lineitem""")),
     // union-of-roots semantics: every history row once plus every tail
     // row once (duplicates across roots are DISTINCT rows — a
     // multi-root read concatenates, exactly like UNION ALL)

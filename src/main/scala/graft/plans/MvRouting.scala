@@ -630,15 +630,16 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       // child is provably non-null — a non-null literal, or a base
       // column the registration DECLARED not-null (the NOT NULL DDL
       // contract; nullable columns never route because the MV stores
-      // no per-column non-null counts). And only under a GROUP BY: a
-      // grouping-less count over an empty base is 0 unrouted but NULL
-      // routed (Sum over the empty MV) — EXCEPT when a filter gate is
-      // present, whose Coalesce-to-0 wrapper (needed anyway: a group
-      // whose every MV row is gated out must count 0, not null)
-      // covers the empty-base case too.
+      // no per-column non-null counts). The Coalesce-to-0 wrapper
+      // covers both null-producing routed shapes a plain Sum has that
+      // Count does not: a GROUPING-LESS count over an empty base
+      // (r13 — `SELECT count(*), sum(x) FROM t`, the most common query
+      // of all, now routes) and a filter gate excluding every row of a
+      // group. Under a GROUP BY with no gate the Sum can never be null
+      // (every output group has ≥1 MV row), so that tree is kept
+      // byte-identical to prior rounds.
       case c: Count
-          if (hasGrouping || filterGate.isDefined) &&
-            c.children.forall {
+          if c.children.forall {
               case Literal(v, _) => v != null
               case a: AttributeReference => mv.notNullCols(a.name)
               case _ => false
@@ -646,7 +647,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
         mvAttr.get(mv.countCol).map { a =>
           val routed =
             ae.copy(aggregateFunction = Sum(gated(a)), filter = None)
-          if (filterGate.isEmpty) routed
+          if (filterGate.isEmpty && hasGrouping) routed
           else Coalesce(Seq(routed, Literal(0L)))
         }
       // avg over the dsum shape routes as the sum/count ratio — but

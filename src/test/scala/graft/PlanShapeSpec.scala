@@ -827,6 +827,55 @@ class PlanShapeSpec extends GraftSpec {
       "non-deleted groups must be untouched by the mutation")
   }
 
+  test("mv_route_global routes the grouping-less aggregate, bit-identical") {
+    val df = SparkEntry.queries("mv_route_global")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_mv"),
+      s"global aggregate not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed query must not also scan the fact table:\n${p.take(800)}")
+    val unrouted = Tables.lineitem(spark, sf) // plain session: rule never armed
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        org.apache.spark.sql.functions.min(col("l_extendedprice"))
+          .as("min_price"),
+        org.apache.spark.sql.functions.max(col("l_extendedprice"))
+          .as("max_price"),
+        org.apache.spark.sql.functions.count(col("l_partkey")).as("n_pk"),
+        org.apache.spark.sql.functions.countDistinct(col("l_linestatus"))
+          .as("n_status"))
+    assert(unrouted.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(df.collect().toSeq == unrouted.collect().toSeq,
+      "routed global aggregate diverged from the base-table plan")
+    // empty-base edge of the Coalesce-to-0 count: routed global count
+    // over an empty registered base must be 0, not null
+    val s = graft.Sessions.isolatedClone(spark)
+    val scratch = graft.Scratch.dir("mvglobal")
+    Tables.lineitem(s, sf).filter(lit(false))
+      .select(col("l_returnflag"), col("l_quantity"))
+      .repartition(1) // force one (empty, schema-bearing) part file
+      .write.parquet(s"$scratch/empty_base_t")
+    Tables.lineitem(s, sf).filter(lit(false))
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
+      .repartition(1)
+      .write.parquet(s"$scratch/empty_mv_t")
+    graft.plans.MvRouting.register(graft.plans.MvRouting.MvDef(
+      basePath = s"$scratch/empty_base_t", mvPath = s"$scratch/empty_mv_t",
+      groupCols = Set("l_returnflag"), sumMap = Map.empty,
+      countCol = "n_rows"))
+    graft.plans.MvRouting.enable(s)
+    val emptyCount = s.read.parquet(s"$scratch/empty_base_t")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val ep = emptyCount.queryExecution.executedPlan.toString
+    assert(ep.contains("empty_mv_t") && !ep.contains("empty_base_t"),
+      s"empty-base probe must still route:\n${ep.take(600)}")
+    assert(emptyCount.collect().head.getLong(0) == 0L,
+      "routed grouping-less count over an empty base must be 0, not null")
+  }
+
   test("mv_route_multi_root: registered root reads MV, tail root scans, coexisting") {
     val df = SparkEntry.queries("mv_route_multi_root")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
