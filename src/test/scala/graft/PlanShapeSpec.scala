@@ -904,6 +904,70 @@ class PlanShapeSpec extends GraftSpec {
       "multi-root routed values diverged from the plain union")
   }
 
+  test("multi-root with BOTH roots registered unions the two MV scans") {
+    import graft.plans.MvRouting
+    import org.apache.spark.sql.types.DecimalType
+    val s = graft.Sessions.isolatedClone(spark)
+    val scratch = graft.Scratch.dir("mvmulti2")
+    def stage(tag: String, pred: org.apache.spark.sql.Column)
+        : (String, String) = {
+      val base = s"$scratch/base_$tag"
+      val mv = s"$scratch/mv_$tag"
+      Tables.lineitem(s, sf).filter(pred)
+        .select(col("l_returnflag"), col("l_quantity"))
+        .write.parquet(base)
+      s.read.parquet(base).groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.sum(
+          col("l_quantity").cast(DecimalType(30, 6))).as("sum_qty_state"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
+        .write.parquet(mv)
+      MvRouting.register(MvRouting.MvDef(
+        basePath = base, mvPath = mv, groupCols = Set("l_returnflag"),
+        sumMap = Map("l_quantity" -> "sum_qty_state"), countCol = "n_rows"))
+      (base, mv)
+    }
+    val (baseA, _) = stage("hist_a", col("l_orderkey") % 2 === 0)
+    val (baseB, _) = stage("hist_b", col("l_orderkey") % 2 === 1)
+    MvRouting.enable(s)
+    val df = s.read.parquet(baseA, baseB)
+      .groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("mv_hist_a") && p.contains("mv_hist_b"),
+      s"both registered roots must serve their MVs:\n${p.take(900)}")
+    assert(!p.contains("base_hist_a") && !p.contains("base_hist_b"),
+      s"neither base may be scanned:\n${p.take(900)}")
+    // values equal the full-lineitem aggregate (the two bases partition it)
+    val expect = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(df.collect().toSeq == expect.toSeq,
+      "two-MV union diverged from the full base aggregate")
+  }
+
+  test("avg FILTER routes through Average's divide tree, bit-identical") {
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    def q(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.expr(
+          """avg(cast(l_quantity as decimal(30,6)))
+             filter (where l_linestatus = 'F')""").cast("double")
+          .as("avg_qty_f"))
+        .orderBy(col("l_returnflag"))
+    val routed = q(s)
+    val p = routed.queryExecution.executedPlan.toString
+    assert(p.contains("graft_mv") && !p.contains("lineitem.parquet"),
+      s"avg FILTER must route:\n${p.take(700)}")
+    assert(routed.collect().toSeq == q(spark).collect().toSeq,
+      "routed avg FILTER diverged from the base plan")
+  }
+
   test("mv_refresh_incremental: delta fold equals rebuild; delete visible") {
     // the key's own requires prove the hard parts (delta read confined
     // to mutated partitions, fold bit-equal to a full rebuild, probes
