@@ -247,6 +247,13 @@ object Scans {
     dropped.foreach { d =>
       graft.Scratch.deleteRecursively(d)
     }
+    // freshness contract (r13): TTL expiry changes the base's visible
+    // row set exactly like an ALTER DELETE, so it must flow through the
+    // same invalidation hub applyIssued uses — today's callers expire
+    // only their own unregistered scratch roots (O(1) no-op), but a
+    // registered base TTL'd through this machinery must never leave a
+    // routed aggregate serving pre-expiry partials
+    if (dropped.nonEmpty) graft.plans.Routing.invalidateBase(root)
     (cutoff, dropped.map(_.getName).toSeq)
   }
 
