@@ -96,6 +96,15 @@ object MvRouting {
       sumLongMap: Map[String, String] = Map.empty,
       notNullCols: Set[String] = Set.empty,
       exprGroupCols: Seq[(Expression, String)] = Nil,
+      // registration-time fingerprint of the base's FILE LIST
+      // (PathRegistry.fileFingerprint) — the out-of-band-change
+      // sentinel: the rule only routes while the scan's current file
+      // set still matches, so an append/overwrite that bypassed the
+      // mutation machinery (a plain write.mode("append") on the base)
+      // makes every routed query FALL THROUGH instead of serving stale
+      // partials. None disables the guard (and register() fills it
+      // automatically). Refreshing the MV re-registers and re-arms.
+      baseFingerprint: Option[(Long, Long)] = None,
       // projection NAME (ClickHouse projections are named): registering
       // a def REPLACES any prior def with the same name on the same
       // base, whatever its mvPath — a rebuild under a fresh staged path
@@ -119,8 +128,17 @@ object MvRouting {
     * aggregate) would serve pre-rebuild data with no error anywhere.
     */
   def register(d: MvDef): Unit = synchronized {
-    val cur = registry.forPath(d.basePath).getOrElse(Vector.empty)
-    registry.put(d.basePath, d +: cur.filterNot(_.name == d.name))
+    // snapshot the base's file list unless the caller already did: one
+    // listing per registration (rare), bought back as zero-I/O
+    // staleness detection on every routed query
+    val d2 =
+      if (d.baseFingerprint.isDefined) d
+      else d.copy(baseFingerprint =
+        scala.util.Try(PathRegistry.fileFingerprint(
+          SparkSession.active.read.parquet(d.basePath).inputFiles.toSeq))
+          .toOption)
+    val cur = registry.forPath(d2.basePath).getOrElse(Vector.empty)
+    registry.put(d2.basePath, d2 +: cur.filterNot(_.name == d2.name))
   }
 
   /** The latest-registered projection, if any (presence probe — the
@@ -353,9 +371,30 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       // multi-root scan (read.parquet(base, tail)) routes PER ROOT via
       // mvChildFor — registered roots read their MV, the rest get a
       // synthesized partial aggregate (r12 verdict task 6)
-      val defs = roots.iterator.map(defsFor).find(_.nonEmpty)
-        .getOrElse(Vector.empty)
+      val regRoot = roots.find(r => defsFor(r).nonEmpty)
+      val defs = regRoot.map(defsFor).getOrElse(Vector.empty)
       if (defs.isEmpty) None else {
+      // CURRENT per-root file fingerprints, computed from the listing
+      // the scan's file index already materialized (zero extra I/O):
+      // a def whose registration-time snapshot no longer matches is
+      // STALE — some writer changed the base outside the mutation
+      // machinery (plain append/overwrite) — and must not route
+      lazy val allFiles = fs.location.inputFiles.toSeq
+      lazy val fpByRoot: Map[String, (Long, Long)] =
+        if (roots.lengthCompare(1) == 0)
+          Map(roots.head -> PathRegistry.fileFingerprint(allFiles))
+        else roots.map { r =>
+          // a root can BE a single parquet file (the fixture tables are
+          // one-file "directories"): exact match, not just dir prefix
+          val cr = PathRegistry.canonical(r)
+          val crSlash = cr + "/"
+          r -> PathRegistry.fileFingerprint(allFiles.filter { f =>
+            val cf = PathRegistry.canonical(f)
+            cf == cr || cf.startsWith(crSlash)
+          })
+        }.toMap
+      def fresh(d: MvDef, root: String): Boolean =
+        d.baseFingerprint.forall(_ == fpByRoot(root))
       // inline pulled-out grouping aliases back into the Aggregate's own
       // expressions so template matching sees `GROUP BY date_trunc(…)`,
       // not the opaque `_groupingexpression` attribute. The Aggregate's
@@ -378,6 +417,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       // projection choice, with "can answer at all" as the criterion
         defs.view
           .filter(d => PathRegistry.targetExists(d.mvPath) &&
+            fresh(d, regRoot.get) &&
             conds.forall(routableFilter(_, d)))
           // mvChildFor is BY-NAME into rewrite: the MV parquet is only
           // listed/read after the cheap grouping-key match succeeds —
@@ -386,7 +426,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
           // file-listing + footer read each (measured 2× on mv_route)
           .flatMap(d =>
             rewrite(agg, groupExprs, aggExprs, conds, d,
-              mvChildFor(d, roots)))
+              mvChildFor(d, roots, fresh)))
           .headOption
       }
     }
@@ -410,7 +450,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     * (map-side-combinable) aggregate, so the union shuffles O(groups)
     * rows per leg, never tail rows.
     */
-  private def mvChildFor(d: MvDef, roots: Seq[String]): Option[LogicalPlan] = {
+  private def mvChildFor(d: MvDef, roots: Seq[String],
+      fresh: (MvDef, String) => Boolean): Option[LogicalPlan] = {
     val mvPlan = SparkSession.active.read.parquet(d.mvPath)
       .queryExecution.analyzed
     if (roots.length == 1) return Some(mvPlan)
@@ -423,8 +464,10 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     }
     if (target.isEmpty) return None
     val legs = roots.map { r =>
+      // a stale same-shape registration (out-of-band change on THAT
+      // root) falls to the synthesized base leg — correct, just unrouted
       defsFor(r).find(x => PathRegistry.targetExists(x.mvPath) &&
-          sameShape(x, d)) match {
+          sameShape(x, d) && fresh(x, r)) match {
         case Some(x) => mvLeg(x, target)
         case None => synthesizeLeg(r, d, target)
       }

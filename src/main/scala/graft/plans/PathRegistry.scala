@@ -69,6 +69,26 @@ private[graft] object PathRegistry {
     }
   }
 
+  /** Order-independent fingerprint of a scan's FILE LIST — (count, sum
+    * of per-name FNV hashes over canonicalized paths). The staleness
+    * sentinel behind registration-time snapshots: parquet writers emit
+    * fresh UUID part names on every append/overwrite, so any
+    * out-of-band change to a base's visible files changes this value.
+    * O(files) driver arithmetic over a listing the scan has already
+    * materialized — no extra I/O at rule time.
+    */
+  def fileFingerprint(files: Iterable[String]): (Long, Long) = {
+    var n = 0L
+    var h = 0L
+    files.foreach { f =>
+      var th = 0xcbf29ce484222325L
+      canonical(f).foreach { c => th ^= c.toLong; th *= 0x100000001b3L }
+      n += 1
+      h += th // commutative sum — listing order is irrelevant
+    }
+    (n, h)
+  }
+
   def targetExists(p: String): Boolean = {
     val c = canonical(p)
     // a remote scheme+authority key cannot be probed with java.io.File

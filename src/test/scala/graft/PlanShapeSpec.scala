@@ -968,6 +968,63 @@ class PlanShapeSpec extends GraftSpec {
       "routed avg FILTER diverged from the base plan")
   }
 
+  test("out-of-band append to a registered base unroutes until re-registration") {
+    import graft.plans.MvRouting
+    import org.apache.spark.sql.types.DecimalType
+    val s = graft.Sessions.isolatedClone(spark)
+    val scratch = graft.Scratch.dir("mvoob")
+    val base = s"$scratch/oob_base_t"
+    val mv = s"$scratch/oob_mv_t"
+    Tables.lineitem(s, sf).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .write.parquet(base)
+    def buildRegister(): Unit = {
+      s.read.parquet(base).groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.sum(
+          col("l_quantity").cast(DecimalType(30, 6))).as("sum_qty_state"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(mv)
+      MvRouting.register(MvRouting.MvDef(
+        basePath = base, mvPath = mv, groupCols = Set("l_returnflag"),
+        sumMap = Map("l_quantity" -> "sum_qty_state"), countCol = "n_rows"))
+    }
+    buildRegister()
+    MvRouting.enable(s)
+    def q() = s.read.parquet(base).groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    val p0 = q().queryExecution.executedPlan.toString
+    assert(p0.contains("oob_mv_t") && !p0.contains("oob_base_t"),
+      s"registered base must route before the append:\n${p0.take(600)}")
+    // the out-of-band write: a plain append that NEVER touches the
+    // mutation machinery — no invalidation hub call anywhere
+    Tables.lineitem(s, sf).filter(col("l_orderkey") % 3 === 1)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .write.mode("append").parquet(base)
+    val df1 = q()
+    val p1 = df1.queryExecution.executedPlan.toString
+    assert(p1.contains("oob_base_t") && !p1.contains("oob_mv_t"),
+      s"stale registration must fall through to the base:\n${p1.take(600)}")
+    // fallen-through values include the appended rows (correctness of
+    // the fallback, not just its plan shape)
+    val expect = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 3 === 0 || col("l_orderkey") % 3 === 1)
+      .groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(df1.collect().toSeq == expect.toSeq)
+    // refresh + re-register re-arms routing on the new file set
+    buildRegister()
+    val df2 = q()
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(p2.contains("oob_mv_t") && !p2.contains("oob_base_t"),
+      s"re-registration must resume routing:\n${p2.take(600)}")
+    assert(df2.collect().toSeq == expect.toSeq,
+      "re-routed values must equal the refreshed base")
+  }
+
   test("mv_refresh_incremental: delta fold equals rebuild; delete visible") {
     // the key's own requires prove the hard parts (delta read confined
     // to mutated partitions, fold bit-equal to a full rebuild, probes
