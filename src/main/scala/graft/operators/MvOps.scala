@@ -801,6 +801,14 @@ object MvOps {
       java.nio.file.Files.move(java.nio.file.Paths.get(staged),
         java.nio.file.Paths.get(p))
     }
+    // the rebuild's final step: RE-REGISTER on the mutated file set.
+    // The staged swaps changed both layouts' files, so the r13
+    // fingerprint sentinel correctly treats the pre-mutation
+    // registration as stale — exactly like ClickHouse, where the
+    // projection becomes servable again once the mutation has
+    // materialized it
+    graft.plans.ProjectionRouting.register(graft.plans.ProjectionRouting
+      .ProjDef(basePath, "day", altPath, "user_id"))
     val base = s.read.parquet(basePath)
     def userProbe(uid: Long, tag: String) =
       base.filter(col("user_id") === uid)

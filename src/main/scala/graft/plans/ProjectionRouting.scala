@@ -36,13 +36,28 @@ object ProjectionRouting {
     *                 stay on the base layout)
     * @param altPath  projection path: same rows clustered by altCol
     * @param altCol   the projection's cluster key
+    * @param baseFingerprint registration-time file-list fingerprint of
+    *                 the base layout (the MvRouting out-of-band-change
+    *                 sentinel — worse here, since a stale projection
+    *                 serves wrong ROWS): the rule only re-targets while
+    *                 the scan's current file set still matches; filled
+    *                 by register() when absent
     */
   case class ProjDef(basePath: String, baseCol: String,
-      altPath: String, altCol: String)
+      altPath: String, altCol: String,
+      baseFingerprint: Option[(Long, Long)] = None)
 
   private val registry = new PathRegistry[ProjDef]
 
-  def register(d: ProjDef): Unit = registry.put(d.basePath, d)
+  def register(d: ProjDef): Unit = {
+    val d2 =
+      if (d.baseFingerprint.isDefined) d
+      else d.copy(baseFingerprint =
+        scala.util.Try(PathRegistry.fileFingerprint(
+          SparkSession.active.read.parquet(d.basePath).inputFiles.toSeq))
+          .toOption)
+    registry.put(d2.basePath, d2)
+  }
 
   def forPath(p: String): Option[ProjDef] = registry.forPath(p)
 
@@ -85,7 +100,14 @@ object RouteFilterToProjection extends Rule[LogicalPlan] {
         // only partially overlaps the projection — swapping it wholesale
         // to altPath would silently drop the other roots' rows
         case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
-          forPath(fs.location.rootPaths.head.toString).map(d => (l, d))
+          forPath(fs.location.rootPaths.head.toString)
+            // staleness sentinel: an out-of-band append/overwrite on the
+            // base (never routed through the mutation hub) changes its
+            // file set — the un-rebuilt projection must NOT serve rows.
+            // Zero extra I/O: the scan's listing is already materialized.
+            .filter(_.baseFingerprint.forall(_ ==
+              PathRegistry.fileFingerprint(fs.location.inputFiles.toSeq)))
+            .map(d => (l, d))
         case _ => None
       }
     p match {
