@@ -880,6 +880,13 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     // A per-set-nulled position that is NOT a grouping key (the
     // multi-distinct Expand shape) aborts the rewrite.
     val oldToNew = scala.collection.mutable.Map[ExprId, AttributeReference]()
+    // grouping-mapped positions that are NULLED in at least one set —
+    // the per-set null makes them unsafe INSIDE aggregate functions
+    // (their value is not the base column's for subtotal copies); an
+    // un-nulled grouping-mapped position (e.g. a filter column that is
+    // an MV key but not part of THIS query's grouping sets) stays the
+    // base value in every copy and routes fine
+    val nulledCopies = scala.collection.mutable.Set[ExprId]()
     val newOutput = scala.collection.mutable.ArrayBuffer[AttributeReference]()
     val newRows = Array.fill(e.projections.length)(
       scala.collection.mutable.ArrayBuffer[Expression]())
@@ -911,6 +918,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
             if (ma.dataType != oldOut.dataType) return None
             val na = oldOut.newInstance()
             oldToNew(oldOut.exprId) = na
+            if (vals.exists(isNullLit)) nulledCopies += oldOut.exprId
             newOutput += na
             vals.zipWithIndex.foreach { case (v, j) =>
               newRows(j) +=
@@ -943,12 +951,16 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
 
     def rwTop(ex: Expression): Option[Expression] = ex match {
       case ae: AggregateExpression =>
-        // an aggregate referencing a per-set-nulled Expand COPY (e.g.
+        // an aggregate referencing a per-set-NULLED Expand copy (e.g.
         // min over the nulled key column, or the multi-distinct
         // rewrite's gid-filtered aggregates) must NOT resolve by name
         // to the MV's un-nulled value — its per-set null semantics have
-        // no partial form here, so the whole rewrite aborts
-        if (ae.references.exists(r => oldToNew.contains(r.exprId))) None
+        // no partial form here, so the whole rewrite aborts. A
+        // reference to an UN-nulled grouping-mapped position (a FILTER
+        // on an MV key outside this query's grouping sets) is the base
+        // value in every copy and resolves by name exactly.
+        if (ae.references.exists(r => nulledCopies.contains(r.exprId)))
+          None
         else rewriteAggFn(ae, mv, mvAttr, hasGrouping = true)
           .map(substMvToExpand)
       case a: AttributeReference => oldToNew.get(a.exprId)

@@ -542,6 +542,48 @@ class PlanShapeSpec extends GraftSpec {
       val off = cubeQ(route = false)
       assert(on == off, "routed cube diverged from the base-table plan")
       graft.plans.MvRouting.enable(spark)
+      // FILTER clause inside a rollup: the gate column (an MV key that
+      // is NOT part of this query's grouping sets) rides an un-nulled
+      // passthrough position, so the nulled-copy guard must not fire
+      def rollupFilterQ(route: Boolean) = {
+        val df = Tables.lineitem(spark, sf)
+          .rollup(col("l_returnflag"))
+          .agg(org.apache.spark.sql.functions.expr(
+            "count(1) filter (where l_linestatus = 'F')").as("n_f"),
+            org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_last)
+        val pp = df.queryExecution.executedPlan.toString
+        assert(pp.contains("graft_mv") == route &&
+          pp.contains("lineitem.parquet") == !route,
+          s"rollup-FILTER routing expected=$route:\n${pp.take(800)}")
+        df.collect().toSeq
+      }
+      val fOn = rollupFilterQ(route = true)
+      graft.plans.MvRouting.disable(spark)
+      val fOff = rollupFilterQ(route = false)
+      assert(fOn == fOff, "routed rollup-FILTER diverged from the base plan")
+      graft.plans.MvRouting.enable(spark)
+      // a FILTER on the rolled-up key itself ALSO routes: the analyzer
+      // resolves aggregate-internal references to the UN-nulled
+      // passthrough (original-row SQL semantics — the subtotal row
+      // still counts every base 'R' row, verified against DuckDB), so
+      // the nulled-copy guard correctly stays out of the way
+      def keyGateQ(route: Boolean) = {
+        val df = Tables.lineitem(spark, sf)
+          .rollup(col("l_returnflag"))
+          .agg(org.apache.spark.sql.functions.expr(
+            "count(1) filter (where l_returnflag = 'R')").as("n_r"))
+          .orderBy(col("l_returnflag").asc_nulls_last)
+        assert(df.queryExecution.executedPlan.toString
+          .contains("graft_mv") == route,
+          s"key-gated rollup FILTER routing expected=$route")
+        df.collect().toSeq
+      }
+      val kOn = keyGateQ(route = true)
+      graft.plans.MvRouting.disable(spark)
+      val kOff = keyGateQ(route = false)
+      assert(kOn == kOff, "key-gated rollup FILTER diverged from base plan")
+      graft.plans.MvRouting.enable(spark) // re-arm for the negative gate
       // the RewriteDistinctAggregates Expand (multi-distinct over
       // NON-key columns) must fall through — its per-set-nulled
       // distinct args are not grouping keys
