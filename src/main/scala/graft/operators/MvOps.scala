@@ -25,11 +25,12 @@ object MvOps {
   // new testdata drop must re-key the staged path (stale-replay guard)
   private def mvPath(dir: String): String = {
     val sf = new java.io.File(dir).getName
-    // rfls4: the r12 schema adds the ship_mon expression grouping key —
-    // staged() is keyed by path with a completion marker, so a schema
-    // change MUST re-key the dir or an old scratch root would serve the
-    // narrow MV and silently unroute every expression-keyed query
-    s"${graft.Scratch.versionedRoot("mv", dir)}/lineitem_rfls4_$sf"
+    // rfls5: the r13 schema adds the sum_rev_state expression-sum
+    // partial (rfls4 added ship_mon) — staged() is keyed by path with a
+    // completion marker, so a schema change MUST re-key the dir or an
+    // old scratch root would serve the narrow MV and silently unroute
+    // every expression-summed query
+    s"${graft.Scratch.versionedRoot("mv", dir)}/lineitem_rfls5_$sf"
   }
 
   /** The registered grouping-expression template: `date_trunc('month',
@@ -46,6 +47,29 @@ object MvOps {
       case e => e
     }
 
+  /** A SUMMAND template for MvDef.sumExprMap, derived from the
+    * OPTIMIZED plan: the query side arrives constant-folded (the
+    * parser's `1 - l_discount` and the DSL's `lit(1) - col(…)` both
+    * reduce to a bare 1.0 literal), so an analyzed-only template with
+    * its foldable casts intact would never semanticEquals-match.
+    */
+  private[graft] def summandTemplate(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    df.queryExecution.optimizedPlan.expressions.head match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+
+  /** The TPC-H revenue summand — `cast(l_extendedprice *
+    * (1 - l_discount) as decimal(30,6))`, the Det.dsum discipline that
+    * makes an expression sum an exact decimal monoid.
+    */
+  private def revenueSummand(s: SparkSession, dir: String)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    summandTemplate(Tables.lineitem(s, dir)
+      .select((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(30, 6))))
+
   /** Stage + register the MV (idempotent per sfDir; deterministic
     * content) WITHOUT installing the routing rule anywhere — the
     * Bench warm-up wants exactly this (pay the one-time write off the
@@ -59,7 +83,7 @@ object MvOps {
     // until the next testdata drop (the no-accumulation charter)
     val sfName = new java.io.File(dir).getName
     Seq("lineitem_rfls_", "lineitem_rfls2_", "lineitem_rfls3_",
-        "lineitem_supp_").foreach { old =>
+        "lineitem_rfls4_", "lineitem_supp_").foreach { old =>
       graft.Scratch.deleteRecursively(new java.io.File(
         s"${new java.io.File(path).getParent}/$old$sfName"))
     }
@@ -85,7 +109,12 @@ object MvOps {
           // integral columns (exact monoid; Sum over int/long evaluates
           // in LongType, so the partial IS the original result type)
           sum(col("l_partkey")).as("sum_pk_state"),
-          sum(col("l_linenumber").cast("bigint")).as("sum_ln_state"))
+          sum(col("l_linenumber").cast("bigint")).as("sum_ln_state"),
+          // EXPRESSION-valued partial (r13): the TPC-H revenue summand,
+          // summed per group in exact decimal — routes any
+          // semantically-equal sum(cast(price*(1-disc) as dec(30,6)))
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(30, 6))).as("sum_rev_state"))
         .write.mode("overwrite").parquet(path)
     }
     MvRouting.register(MvRouting.MvDef(
@@ -106,6 +135,8 @@ object MvOps {
       // GROUP BY date_trunc('month', l_shipdate) routes to the
       // materialized ship_mon key (matched semantically, any spelling)
       exprGroupCols = Seq(shipMonTemplate(s, dir) -> "ship_mon"),
+      // the revenue-expression sum partial (any equal spelling routes)
+      sumExprMap = Seq(revenueSummand(s, dir) -> "sum_rev_state"),
       name = "by_flag"))
     // SECOND projection on the same base (ClickHouse tables carry
     // several; the rule picks per query): the by-supplier rollup, which
@@ -523,6 +554,37 @@ object MvOps {
     s.createDataFrame(
       s.sparkContext.parallelize((pre ++ post ++ refreshed).toList, 1), schema)
       .orderBy(col("probe"), col("event_type").asc_nulls_last) // class-13 pin
+  }
+
+  /** EXPRESSION-valued sum routed through the SAME rule (r13): the MV
+    * stores `sum(cast(l_extendedprice * (1 - l_discount) as
+    * decimal(30,6)))` per group — the TPC-H REVENUE summand, the
+    * expression every pricing dashboard aggregates — and any
+    * semantically-equal spelling (DSL `lit(1) - col`, SQL
+    * `1 - l_discount`; both constant-fold to the same tree) routes to
+    * the partial. Exact for the sumMap reason: the summand is cast to
+    * decimal BEFORE summation (the Det.dsum discipline), so per-group
+    * partials form an exact monoid. PlanShapeSpec asserts the MV scan,
+    * bit-identity (including an avg over the same summand through
+    * Average's divide tree), and the negative gate — a sum of an
+    * UNREGISTERED expression (price * (1 + tax)) falls through.
+    *
+    * Scale notes: same O(groups) economics; the point is covering what
+    * users actually sum — derived measures, not raw columns.
+    */
+  private def mvRouteSumExpr(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        expr("""sum(cast(l_extendedprice * (1 - l_discount)
+                as decimal(30,6)))
+                filter (where l_linestatus = 'F')""")
+          .cast("double").as("revenue_f"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** GROUPING-LESS global aggregate routed through the SAME rule (r13):
@@ -1187,6 +1249,17 @@ object MvOps {
     // pre_mutation aggregates the full table; post_mutation/post_refresh
     // both aggregate the DELETE's survivor set (refresh only changes
     // which artifact serves the values, never the values)
+    QueryDef("mv_route_sum_expr", mvRouteSumExpr,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                ${Det.oSum("l_extendedprice * (1 - l_discount)")}
+                  AS revenue,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(30,6)))
+                  FILTER (WHERE l_linestatus = 'F') AS DOUBLE)
+                  AS revenue_f,
+                COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
     QueryDef("mv_route_global", mvRouteGlobal,
       Some(s"""SELECT COUNT(*) AS n,
                 ${Det.oSum("l_quantity")} AS sum_qty,

@@ -96,6 +96,18 @@ object MvRouting {
       sumLongMap: Map[String, String] = Map.empty,
       notNullCols: Set[String] = Set.empty,
       exprGroupCols: Seq[(Expression, String)] = Nil,
+      // EXPRESSION-valued decimal sum partials (the TPC-H revenue
+      // shape — ClickHouse projections store sum(expression) all the
+      // time): each entry pairs an ANALYZED+OPTIMIZED template of the
+      // SUMMAND — the full Sum child, i.e.
+      // cast(l_extendedprice * (1 - l_discount) as decimal(30,6)) —
+      // with the MV column holding its per-group decimal sum. Matched
+      // semantically against the query's (optimizer-constant-folded)
+      // Sum child; exact for the same decimal-monoid reason as sumMap.
+      // Registration contract: derive the template from the OPTIMIZED
+      // plan (MvOps.summandTemplate) so literal folding matches the
+      // query side.
+      sumExprMap: Seq[(Expression, String)] = Nil,
       // registration-time fingerprint of the base's FILE LIST
       // (PathRegistry.fileFingerprint) — the out-of-band-change
       // sentinel: the rule only routes while the scan's current file
@@ -268,6 +280,14 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
 
   private def exprTarget(e: Expression, mv: MvDef): Option[String] =
     mv.exprGroupCols.collectFirst {
+      case (tmpl, mvCol) if matchesTemplate(e, tmpl) => mvCol
+    }
+
+  /** The MV column holding the per-group decimal sum of a SUMMAND
+    * expression (sumExprMap template match).
+    */
+  private def exprSumTarget(e: Expression, mv: MvDef): Option[String] =
+    mv.sumExprMap.collectFirst {
       case (tmpl, mvCol) if matchesTemplate(e, tmpl) => mvCol
     }
 
@@ -458,7 +478,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     val known: Set[String] =
       d.groupCols ++ d.exprGroupCols.map(_._2) ++ Seq(d.countCol) ++
         d.sumMap.values ++ d.minMap.values ++ d.maxMap.values ++
-        d.sumLongMap.values
+        d.sumLongMap.values ++ d.sumExprMap.map(_._2)
     val target = mvPlan.output.collect {
       case a: AttributeReference if known(a.name) => a
     }
@@ -488,6 +508,10 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       a.notNullCols == b.notNullCols &&
       a.exprGroupCols.map(_._2) == b.exprGroupCols.map(_._2) &&
       a.exprGroupCols.zip(b.exprGroupCols).forall {
+        case ((t1, _), (t2, _)) => matchesTemplate(t1, t2)
+      } &&
+      a.sumExprMap.map(_._2) == b.sumExprMap.map(_._2) &&
+      a.sumExprMap.zip(b.sumExprMap).forall {
         case ((t1, _), (t2, _)) => matchesTemplate(t1, t2)
       }
 
@@ -528,6 +552,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     val maxInv = d.maxMap.map(_.swap)
     val sumLongInv = d.sumLongMap.map(_.swap)
     val exprInv = d.exprGroupCols.map { case (t, c) => c -> t }.toMap
+    val exprSumInv = d.sumExprMap.map { case (t, c) => c -> t }.toMap
     def aggE(f: org.apache.spark.sql.catalyst.expressions.aggregate
         .AggregateFunction): Expression =
       AggregateExpression(f, org.apache.spark.sql.catalyst.expressions
@@ -542,6 +567,9 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
         Some((aggE(Count(Seq(Literal(1)))), false))
       else if (sumInv.contains(n)) byName.get(sumInv(n)).map(a =>
         (aggE(Sum(Cast(a, DecimalType(30, 6)))), false))
+      else if (exprSumInv.contains(n))
+        // the summand template already carries its dec(30,6) cast
+        remapTemplate(exprSumInv(n)).map(e => (aggE(Sum(e)), false))
       else if (sumLongInv.contains(n)) byName.get(sumLongInv(n)).map(a =>
         (aggE(Sum(a)), false))
       else if (minInv.contains(n)) byName.get(minInv(n)).map(a =>
@@ -651,6 +679,19 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
               case _ => None
             }
           }
+          .orElse {
+            // EXPRESSION-valued decimal sum (r13): the whole summand —
+            // any deterministic expression of base columns cast to
+            // decimal(30,6) — matches a registered template and routes
+            // to its per-group partial. The partial's type is checked
+            // against the Sum's own result type (dec(38,6)) so a
+            // mis-registration falls through instead of changing the
+            // output schema.
+            exprSumTarget(s.child, mv).flatMap(mvAttr.get)
+              .filter(_.dataType == s.dataType)
+              .map(p => ae.copy(aggregateFunction = s.copy(child = gated(p)),
+                filter = None))
+          }
       // min-of-mins / max-of-maxes over a grouping subset is exact
       // (idempotent commutative monoid), and the MV stores the base
       // column's NATIVE type, so the rewritten Min/Max's result type
@@ -706,8 +747,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       // plain Divide would round at a different intermediate scale.
       case av: Average =>
         for {
-          base <- dsumSource(av.child)
-          sumCol <- mv.sumMap.get(base)
+          sumCol <- dsumSource(av.child).flatMap(mv.sumMap.get)
+            .orElse(exprSumTarget(av.child, mv))
           sumAttr <- mvAttr.get(sumCol)
           cntAttr <- mvAttr.get(mv.countCol)
           resType <- av.dataType match {

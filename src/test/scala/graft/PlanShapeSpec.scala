@@ -869,6 +869,44 @@ class PlanShapeSpec extends GraftSpec {
       "non-deleted groups must be untouched by the mutation")
   }
 
+  test("mv_route_sum_expr routes expression-valued sums, bit-identical") {
+    val df = SparkEntry.queries("mv_route_sum_expr")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_mv"),
+      s"expression sum not routed to the MV:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed query must not also scan the fact table:\n${p.take(800)}")
+    // bit-identity incl. the SQL spelling (1 - l_discount) and an avg
+    // over the same summand through Average's divide tree
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    def q(sess: org.apache.spark.sql.SparkSession) = {
+      Tables.lineitem(sess, sf).createOrReplaceTempView("li_sumexpr")
+      sess.sql(
+        """SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+             CAST(AVG(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(30,6))) AS DOUBLE) AS avg_revenue,
+             COUNT(1) AS n
+           FROM li_sumexpr GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }
+    val routed = q(s)
+    val rp = routed.queryExecution.executedPlan.toString
+    assert(rp.contains("graft_mv") && !rp.contains("lineitem.parquet"),
+      s"SQL-spelled expression sum/avg must route:\n${rp.take(800)}")
+    assert(routed.collect().toSeq == q(spark).collect().toSeq,
+      "routed expression sum/avg diverged from the base plan")
+    // negative gate: an UNREGISTERED expression must fall through
+    val other = Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1) + col("l_tax")))
+        .as("charge"))
+    assert(other.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "an unregistered summand expression must not route")
+  }
+
   test("mv_route_global routes the grouping-less aggregate, bit-identical") {
     val df = SparkEntry.queries("mv_route_global")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
