@@ -883,8 +883,14 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     baseScan(e.child).flatMap { case (conds, subst, fs) =>
       if (fs.location.rootPaths.length != 1) None
       else {
+        // the same out-of-band staleness sentinel as routeOne (r13
+        // review find: the Expand path initially bypassed it — a plain
+        // append plus a ROLLUP query would have served stale partials)
+        lazy val curFp =
+          PathRegistry.fileFingerprint(fs.location.inputFiles.toSeq)
         defsFor(fs.location.rootPaths.head.toString).view
           .filter(d => PathRegistry.targetExists(d.mvPath) &&
+            d.baseFingerprint.forall(_ == curFp) &&
             conds.forall(routableFilter(_, d)))
           .flatMap(d => rewriteExpand(agg, e, conds, subst, d))
           .headOption

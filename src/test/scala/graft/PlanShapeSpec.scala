@@ -1077,6 +1077,13 @@ class PlanShapeSpec extends GraftSpec {
     val p0 = q().queryExecution.executedPlan.toString
     assert(p0.contains("oob_mv_t") && !p0.contains("oob_base_t"),
       s"registered base must route before the append:\n${p0.take(600)}")
+    // the rollup path must route pre-append too (it shares the sentinel)
+    def rollupQ() = s.read.parquet(base)
+      .rollup(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+    assert(rollupQ().queryExecution.executedPlan.toString
+      .contains("oob_mv_t"), "rollup must route before the append")
     // the out-of-band write: a plain append that NEVER touches the
     // mutation machinery — no invalidation hub call anywhere
     Tables.lineitem(s, sf).filter(col("l_orderkey") % 3 === 1)
@@ -1086,6 +1093,11 @@ class PlanShapeSpec extends GraftSpec {
     val p1 = df1.queryExecution.executedPlan.toString
     assert(p1.contains("oob_base_t") && !p1.contains("oob_mv_t"),
       s"stale registration must fall through to the base:\n${p1.take(600)}")
+    // …and the EXPAND path must fall through identically (review find:
+    // it initially bypassed the sentinel)
+    val rp1 = rollupQ().queryExecution.executedPlan.toString
+    assert(rp1.contains("oob_base_t") && !rp1.contains("oob_mv_t"),
+      s"stale registration must unroute the rollup too:\n${rp1.take(600)}")
     // fallen-through values include the appended rows (correctness of
     // the fallback, not just its plan shape)
     val expect = Tables.lineitem(spark, sf)
