@@ -771,6 +771,123 @@ object MvOps {
       .orderBy(col("probe"), col("event_type").asc_nulls_last) // class-13 pin
   }
 
+  /** APPEND-delta MV refresh — the insert-side complement of
+    * [[mvRefreshIncremental]], completing the r13 freshness story: the
+    * file-fingerprint sentinel DETECTS an out-of-band append (routing
+    * falls through, correct but unrouted), and this is the O(new files)
+    * way back. The MV artifact carries an `_MVFILES` manifest listing
+    * exactly the base files its partials aggregate (the _TEXTIDX
+    * pattern — O(files) metadata beside the artifact, never in the
+    * registry); the refresh diffs the current listing against it,
+    * aggregates ONLY the new files, and folds mv2 = γ(mv1 ∪ delta).
+    * Under pure INSERTS every partial folds — decimal sums and counts
+    * add, and min/max (excluded from the DELETE-side fold because they
+    * are not invertible) fold fine here because inserts only ever
+    * extend the value set. Timeline probes: `pre_append` routed to mv1,
+    * `post_append` fallen through to the base (the sentinel at work,
+    * values already correct), `post_refresh` routed to mv2; a
+    * scaffolding require gates the fold bit-equal to a full rebuild,
+    * and another proves the delta read opened ONLY appended files.
+    *
+    * Scale notes: the refresh reads O(appended files) — the day's
+    * arrivals, never the 100 TB base — plus O(groups) MV rows; the
+    * manifest republish is one atomic O(files) metadata write.
+    */
+  private def mvRefreshAppend(s0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val scratch = graft.Scratch.dir("mvappend")
+    val base = s"$scratch/app_base_t" // greppable in plan text
+    Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .write.parquet(base)
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast(DecimalType(30, 6)))
+          .as("sum_qty_state"),
+        count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price_state"),
+        max(col("l_extendedprice")).as("max_price_state"))
+    def registerMv(path: String): Unit =
+      MvRouting.register(MvRouting.MvDef(
+        basePath = base, mvPath = path, groupCols = Set("l_returnflag"),
+        sumMap = Map("l_quantity" -> "sum_qty_state"), countCol = "n_rows",
+        minMap = Map("l_extendedprice" -> "min_price_state"),
+        maxMap = Map("l_extendedprice" -> "max_price_state")))
+    def filesOf(): Seq[String] = s.read.parquet(base).inputFiles.toSeq
+      .map(graft.plans.TextIndexRouting.normFile).sorted
+    partials(s.read.parquet(base)).write.parquet(s"$scratch/mv1")
+    graft.Scratch.atomicPublish(
+      java.nio.file.Paths.get(s"$scratch/mv1/_MVFILES"),
+      filesOf().mkString("\n"))
+    registerMv(s"$scratch/mv1")
+    MvRouting.enable(s)
+    def snap(probe: String, mustScan: String, mustNotScan: String)
+        : Seq[Row] = {
+      val df = s.read.parquet(base).groupBy(col("l_returnflag"))
+        .agg(graft.Det.dsum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains(mustScan) && !p.contains(mustNotScan),
+        s"$probe probe must scan $mustScan and not $mustNotScan")
+      df.collect().toIndexedSeq.map(r => Row(probe, r.getString(0),
+        r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    }
+    val pre = snap("pre_append", "mv1", "app_base_t")
+    // the OUT-OF-BAND append: a plain write that never touches the
+    // mutation machinery — only the fingerprint sentinel sees it
+    Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 1)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("append").parquet(base)
+    val fallen = snap("post_append", "app_base_t", "mv1")
+    // O(new files) refresh: diff the listing against the manifest
+    val known = graft.Scratch.readManifest(s"$scratch/mv1/_MVFILES")
+      .linesIterator.filter(_.nonEmpty).toSet
+    val all = filesOf()
+    val newFiles = all.filterNot(known)
+    require(newFiles.nonEmpty && newFiles.size < all.size,
+      s"append must add a strict subset of files " +
+        s"(${newFiles.size} of ${all.size} new)")
+    val deltaSrc = s.read.parquet(newFiles: _*)
+    require(deltaSrc.inputFiles.map(graft.plans.TextIndexRouting.normFile)
+        .forall(newFiles.contains),
+      "append refresh read a file outside the appended set")
+    val folded = s.read.parquet(s"$scratch/mv1")
+      .unionByName(partials(deltaSrc))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("sum_qty_state")).cast(DecimalType(38, 6))
+          .as("sum_qty_state"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("min_price_state")).as("min_price_state"),
+        max(col("max_price_state")).as("max_price_state"))
+    folded.write.parquet(s"$scratch/mv2")
+    graft.Scratch.atomicPublish(
+      java.nio.file.Paths.get(s"$scratch/mv2/_MVFILES"),
+      all.mkString("\n"))
+    // refresh-correctness gate (scaffolding — the refresh itself never
+    // ran this): the fold must equal a full rebuild bit-for-bit
+    def canon(df: DataFrame) = df
+      .orderBy(col("l_returnflag").asc_nulls_last).collect().toSeq
+    require(canon(s.read.parquet(s"$scratch/mv2")) ==
+      canon(partials(s.read.parquet(base))),
+      "append-folded MV diverged from the full rebuild")
+    registerMv(s"$scratch/mv2")
+    val post = snap("post_refresh", "mv2", "app_base_t")
+    val schema = StructType(Seq(
+      StructField("probe", StringType),
+      StructField("l_returnflag", StringType),
+      StructField("sum_qty", DoubleType),
+      StructField("min_price", DoubleType),
+      StructField("max_price", DoubleType),
+      StructField("n", LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize((pre ++ fallen ++ post).toList, 1), schema)
+      .orderBy(col("probe"), col("l_returnflag").asc_nulls_last)
+  }
+
   /** Stage the two event layouts (idempotent per sfDir): the BASE copy
     * range-clustered + sorted on day (serves time predicates via file
     * min/max stats), the PROJECTION the same rows range-clustered +
@@ -1283,6 +1400,27 @@ object MvOps {
                 MAX(l_extendedprice) AS max_price,
                 COUNT(*) AS n
               FROM u GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    // pre_append = the %3==0 slice; post_append (fallen through) and
+    // post_refresh (routed to the folded MV) both = the %3 IN (0,1) set
+    QueryDef("mv_refresh_append", mvRefreshAppend,
+      Some(s"""WITH pre AS (SELECT l_returnflag, l_quantity, l_extendedprice
+                 FROM lineitem WHERE l_orderkey % 3 = 0),
+               post AS (SELECT l_returnflag, l_quantity, l_extendedprice
+                 FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
+              SELECT 'pre_append' AS probe, l_returnflag,
+                ${Det.oSum("l_quantity")} AS sum_qty,
+                MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price, COUNT(*) AS n
+              FROM pre GROUP BY l_returnflag
+              UNION ALL
+              SELECT 'post_append', l_returnflag, ${Det.oSum("l_quantity")},
+                MIN(l_extendedprice), MAX(l_extendedprice), COUNT(*)
+              FROM post GROUP BY l_returnflag
+              UNION ALL
+              SELECT 'post_refresh', l_returnflag, ${Det.oSum("l_quantity")},
+                MIN(l_extendedprice), MAX(l_extendedprice), COUNT(*)
+              FROM post GROUP BY l_returnflag
+              ORDER BY probe, l_returnflag NULLS LAST""")),
     // pre_mutation aggregates the full table; post_refresh serves the
     // DELETE's survivor set from the delta-folded MV (null-day clicks
     // survive — the predicate is UNKNOWN for them, the DELETE contract)

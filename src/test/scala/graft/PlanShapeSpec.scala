@@ -1117,6 +1117,32 @@ class PlanShapeSpec extends GraftSpec {
       "re-routed values must equal the refreshed base")
   }
 
+  test("mv_refresh_append: sentinel falls through, O(new files) fold re-arms") {
+    // the key's own requires prove the hard parts (delta read confined
+    // to APPENDED files, fold bit-equal to a full rebuild, probes
+    // plan-asserted mv1 → base → mv2); here the VALUE timeline
+    val rows = SparkEntry.queries("mv_refresh_append")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    def of(probe: String) = rows.filter(_._1 == probe)
+      .map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq
+    val pre = of("pre_append")
+    val fallen = of("post_append")
+    val post = of("post_refresh")
+    assert(fallen == post,
+      "fallen-through and refreshed-MV values must agree (same data)")
+    assert(pre.map(_._5).sum < post.map(_._5).sum,
+      "the append must be visible in the row counts")
+    // min can only decrease and max only increase under inserts
+    pre.zip(post.filter(p => pre.exists(_._1 == p._1))).foreach {
+      case ((g1, _, mn1, mx1, _), (g2, _, mn2, mx2, _)) if g1 == g2 =>
+        assert(mn2 <= mn1 && mx2 >= mx1,
+          s"insert fold must widen min/max for $g1")
+      case _ => ()
+    }
+  }
+
   test("mv_refresh_incremental: delta fold equals rebuild; delete visible") {
     // the key's own requires prove the hard parts (delta read confined
     // to mutated partitions, fold bit-equal to a full rebuild, probes
