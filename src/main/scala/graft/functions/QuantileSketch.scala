@@ -240,6 +240,47 @@ class QuantileState(delta: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** [[QuantileState]]'s read-side twin: the same weighted-point fold,
+  * finishing with ONE quantile estimate instead of the centroid list —
+  * the `-Merge` combinator to QuantileState's `-State`. This is the
+  * aggregate the MV routing rule substitutes for `percentile_approx`
+  * over a registered sketch projection: exploded (mean, weight) state
+  * rows fold back through the same t-digest rule and the requested
+  * quantile is read off the merged digest. Same rank-error bound
+  * O(q(1−q)/δ) and the same order-sensitivity-at-the-margin, so routed
+  * keys are rows-only (SketchSpec asserts the bound on the ROUTED
+  * result).
+  */
+class QuantileMerge(delta: Int, q: Double)
+    extends Aggregator[(Double, Long), QSketch, Double] {
+
+  override def zero: QSketch = new QSketch(delta)
+
+  override def reduce(b: QSketch, in: (Double, Long)): QSketch = {
+    b.insert(in._1, in._2)
+    if (b.pm.length >= 4 * delta) b.compact()
+    b
+  }
+
+  override def merge(a: QSketch, b: QSketch): QSketch = {
+    b.compact()
+    var i = 0
+    while (i < b.means.length) {
+      a.pm += b.means(i)
+      a.pw += b.weights(i)
+      i += 1
+    }
+    a.compact()
+    a
+  }
+
+  override def finish(b: QSketch): Double = b.quantile(q)
+
+  override def bufferEncoder: Encoder[QSketch] =
+    Encoders.javaSerialization(classOf[QSketch])
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
 object QuantileState {
   /** Rebuild a sketch from persisted state rows and read quantiles. */
   def quantileOf(state: Seq[(Double, Long)], delta: Int,

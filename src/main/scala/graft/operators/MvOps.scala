@@ -77,6 +77,17 @@ object MvOps {
     */
   private[graft] def stageMv(s: SparkSession, dir: String): Unit = {
     val path = mvPath(dir)
+    // BUILD-time base fingerprint, captured from the very listing the MV
+    // builds aggregate (the r13 ADVICE finding-3 contract): register()'s
+    // auto-fill snapshots the CURRENT listing, which could re-arm the
+    // sentinel around partials built before an out-of-band base change.
+    // Here the staged roots are keyed by the fixture fingerprint, so a
+    // changed base re-keys and rebuilds — ensure-time equals build-time —
+    // but the explicit capture keeps the contract visible and correct
+    // even if the versioning scheme ever changes.
+    val baseDf = Tables.lineitem(s, dir)
+    val baseFp = scala.util.Try(graft.plans.PathRegistry
+      .fileFingerprint(baseDf.inputFiles.toSeq)).toOption
     // pre-r12 narrow-schema MVs live as SIBLING subdirs inside the same
     // fingerprint-versioned root, which the supersession GC only sweeps
     // on a fixture change — reap them here or they leak on shared tmp
@@ -87,6 +98,38 @@ object MvOps {
       graft.Scratch.deleteRecursively(new java.io.File(
         s"${new java.io.File(path).getParent}/$old$sfName"))
     }
+    // QUANTILE-SKETCH projection (r14 — VERDICT r13 task 2): per-(flag,
+    // status) t-digest state over l_extendedprice, EXPLODED to one row
+    // per (group, centroid) — the layout MvDef.quantileMap routes
+    // `percentile_approx` into. δ=200 keeps the artifact O(groups × δ)
+    // rows at ANY fact scale while bounding rank error at ~q(1−q)/200.
+    // Registered FIRST so it is tried LAST (latest-first walk): it can
+    // only answer quantile shapes, and every other def must get first
+    // refusal exactly as before.
+    val qtlPath = s"${new java.io.File(path).getParent}/lineitem_qtl1_$sfName"
+    graft.Scratch.staged(qtlPath) {
+      val qagg = udaf(new graft.functions.QuantileState(200))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").cast("double").as("v"), lit(1L).as("w"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(qagg(col("v"), col("w")).as("state"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          explode(col("state")).as("c"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("c._1").as("m"), col("c._2").as("w"))
+        .write.mode("overwrite").parquet(qtlPath)
+    }
+    MvRouting.register(MvRouting.MvDef(
+      basePath = s"$dir/lineitem.parquet", mvPath = qtlPath,
+      groupCols = Set("l_returnflag", "l_linestatus"),
+      sumMap = Map.empty,
+      // no scalar partials live here — "" can never resolve in the MV
+      // schema, so every count/sum/min/max route refuses by construction
+      countCol = "",
+      quantileMap = Map("l_extendedprice" -> (("m", "w", 200))),
+      baseFingerprint = baseFp,
+      name = "quantiles"))
     graft.Scratch.staged(path) {
       // ship_mon is a GROUPING key, not just a stored column: the MV is
       // one granularity finer than before (rf × ls × month ≈ 500 rows at
@@ -130,13 +173,20 @@ object MvOps {
       sumLongMap = Map("l_partkey" -> "sum_pk_state",
         "l_linenumber" -> "sum_ln_state"),
       // the NOT NULL declaration (fixture invariant asserted by
-      // PlanShapeSpec): count(l_partkey) then routes as count(*)
-      notNullCols = Set("l_partkey", "l_linenumber"),
+      // PlanShapeSpec for every member): count(col) over one routes as
+      // count(*), and avg routes only for summands reading declared
+      // columns (the r13 ADVICE finding-2 gate) — l_quantity for the
+      // minmax avg, l_extendedprice/l_discount for the revenue-summand
+      // avg. l_tax and l_shipdate stay deliberately UNdeclared (the
+      // negative gates route nothing through them).
+      notNullCols = Set("l_partkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount"),
       // GROUP BY date_trunc('month', l_shipdate) routes to the
       // materialized ship_mon key (matched semantically, any spelling)
       exprGroupCols = Seq(shipMonTemplate(s, dir) -> "ship_mon"),
       // the revenue-expression sum partial (any equal spelling routes)
       sumExprMap = Seq(revenueSummand(s, dir) -> "sum_rev_state"),
+      baseFingerprint = baseFp,
       name = "by_flag"))
     // SECOND projection on the same base (ClickHouse tables carry
     // several; the rule picks per query): the by-supplier rollup, which
@@ -162,6 +212,7 @@ object MvOps {
       countCol = "n_rows",
       minMap = Map("l_extendedprice" -> "min_price_state"),
       maxMap = Map("l_extendedprice" -> "max_price_state"),
+      baseFingerprint = baseFp,
       name = "by_supplier"))
   }
 
@@ -512,16 +563,24 @@ object MvOps {
       .withColumn("day", to_date(col("ts")))
       .select(col("day"), col("event_id"), col("event_type"), col("value"))
       .write.partitionBy("day").parquet(root)
-    def buildMv(path: String): Unit =
-      s.read.parquet(root).groupBy(col("event_type"))
+    // buildMv returns the BUILD-time fingerprint of the very listing it
+    // aggregated (the r13 ADVICE finding-3 contract) — registration
+    // passes it explicitly instead of leaning on register()'s
+    // current-listing auto-fill
+    def buildMv(path: String): (Long, Long) = {
+      val src = s.read.parquet(root)
+      src.groupBy(col("event_type"))
         .agg(sum(col("value").cast(DecimalType(30, 6))).as("sum_value_state"),
           count(lit(1)).as("n_rows"))
         .write.mode("overwrite").parquet(path)
-    def registerMv(path: String): Unit =
+      graft.plans.PathRegistry.fileFingerprint(src.inputFiles.toSeq)
+    }
+    def registerMv(path: String, fp: (Long, Long)): Unit =
       MvRouting.register(MvRouting.MvDef(
         basePath = root, mvPath = path, groupCols = Set("event_type"),
-        sumMap = Map("value" -> "sum_value_state"), countCol = "n_rows"))
-    buildMv(s"$scratch/mv1"); registerMv(s"$scratch/mv1")
+        sumMap = Map("value" -> "sum_value_state"), countCol = "n_rows",
+        baseFingerprint = Some(fp)))
+    registerMv(s"$scratch/mv1", buildMv(s"$scratch/mv1"))
     MvRouting.enable(s)
     // eager snapshot per probe: O(event_types) rows — bounded driver
     // metadata, and the ONLY way to pin a probe's values to its point
@@ -546,7 +605,7 @@ object MvOps {
     require(MvRouting.forPath(root).isEmpty,
       "mutation machinery must have invalidated the MV registration")
     val post = snap("post_mutation", "base_t", "mv1") // fell through
-    buildMv(s"$scratch/mv2"); registerMv(s"$scratch/mv2")
+    registerMv(s"$scratch/mv2", buildMv(s"$scratch/mv2"))
     val refreshed = snap("post_refresh", "mv2", "base_t") // routed again
     val schema = StructType(Seq(
       StructField("probe", StringType), StructField("event_type", StringType),
@@ -646,6 +705,74 @@ object MvOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** STAR-JOIN aggregate routed to the fact-side projection (r14 — the
+    * r13 verdict's top task): `γ_{dim attr}(lineitem ⋈ supplier)` — the
+    * single most common OLAP spelling there is — re-targets the FACT
+    * side at the by-supplier MV because the join key (l_suppkey) is
+    * that projection's grouping column and every aggregate reads
+    * covered fact columns. The dim side and the join algorithm are
+    * untouched; the routed join meets O(suppliers) partial rows instead
+    * of the fact table. Sound by the eager-aggregation equivalence
+    * (every fact row of a suppkey group meets the same supplier rows,
+    * so partials replicate exactly as the rows they stand for — see
+    * RouteAggregateToMv.routeJoin). PlanShapeSpec asserts the supplier
+    * MV scan + the supplier dim scan coexist (and lineitem.parquet is
+    * gone), bit-identity vs the unrouted plan, and the negative gates
+    * (dim-side aggregate, non-grouping join key, outer join, row-level
+    * fact filter — all fall through).
+    *
+    * Scale notes: at 100 TB this is THE projection payoff — the fact
+    * scan disappears from every star rollup whose join key is a
+    * maintained grouping column; the rewritten join's fact side is
+    * O(groups), which AQE then broadcasts.
+    */
+  private def mvRouteJoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** `percentile_approx` served from the t-digest sketch projection
+    * (r14 — the r13 verdict's task 2): the query is a PLAIN
+    * percentile_approx over the fact table; the routing rule rewrites
+    * it into a QuantileMerge fold of the exploded centroid rows the
+    * "quantiles" projection stores — O(groups × δ) rows instead of the
+    * fact scan, the ClickHouse quantileTDigestState/-Merge dashboard
+    * path. The estimate is a t-digest read, NOT bit-equal to Spark's
+    * GK sketch (both are valid approximations), so the key is
+    * rows-only: SketchSpec asserts the routed plan reads the sketch MV
+    * and bounds the routed estimates' rank error against exact
+    * percentiles. The coarser grouping (flag only) exercises subset
+    * re-merging of per-(flag, status) digests.
+    *
+    * Scale notes: an unrouted p95 is a full scan + per-group sketch
+    * build over 100 TB; routed it folds O(groups × δ) centroid rows —
+    * this is why percentile dashboards are the canonical sketch-MV
+    * customer.
+    */
+  private def mvRouteQuantile(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+          .as("p90"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+          .as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** INCREMENTAL (delta-fold) MV refresh wired to the mutation path —
     * the r12 verdict's task 3, closing mvRouteStale's own scale note:
     * after an `ALTER … DELETE` the MV is refreshed by folding the
@@ -693,12 +820,20 @@ object MvOps {
       .groupBy(col("event_type"))
       .agg(sum(col("value").cast(DecimalType(30, 6))).as("sum_value_state"),
         count(lit(1)).as("n_rows"))
-    def registerMv(path: String): Unit =
+    // build-time fingerprint per artifact (the r13 ADVICE finding-3
+    // contract): mv1's is the pre-mutation listing its partials
+    // aggregated; mv2's is the post-mutation listing the fold's delta
+    // legs correspond to — each captured from the read that fed the
+    // respective build, never auto-filled at registration
+    def registerMv(path: String, fp: (Long, Long)): Unit =
       MvRouting.register(MvRouting.MvDef(
         basePath = root, mvPath = path, groupCols = Set("event_type"),
-        sumMap = Map("value" -> "sum_value_state"), countCol = "n_rows"))
-    partials(s.read.parquet(root)).write.parquet(s"$scratch/mv1")
-    registerMv(s"$scratch/mv1")
+        sumMap = Map("value" -> "sum_value_state"), countCol = "n_rows",
+        baseFingerprint = Some(fp)))
+    val mv1Src = s.read.parquet(root)
+    partials(mv1Src).write.parquet(s"$scratch/mv1")
+    registerMv(s"$scratch/mv1",
+      graft.plans.PathRegistry.fileFingerprint(mv1Src.inputFiles.toSeq))
     MvRouting.enable(s)
     // eager snapshot per probe, proving WHICH artifact it scanned (the
     // mvRouteStale pattern — O(event_types) driver rows)
@@ -761,7 +896,8 @@ object MvOps {
     require(canon(s.read.parquet(s"$scratch/mv2")) ==
       canon(partials(s.read.parquet(root))),
       "delta-folded MV diverged from the full rebuild")
-    registerMv(s"$scratch/mv2")
+    registerMv(s"$scratch/mv2", graft.plans.PathRegistry.fileFingerprint(
+      s.read.parquet(root).inputFiles.toSeq))
     val refreshed = snap("post_refresh", "mv2", "base_t")
     val schema = StructType(Seq(
       StructField("probe", StringType), StructField("event_type", StringType),
@@ -809,19 +945,24 @@ object MvOps {
         count(lit(1)).as("n_rows"),
         min(col("l_extendedprice")).as("min_price_state"),
         max(col("l_extendedprice")).as("max_price_state"))
-    def registerMv(path: String): Unit =
+    // build-time fingerprint from the same listing the _MVFILES manifest
+    // records (ADVICE finding 3: never auto-fill at registration)
+    def registerMv(path: String, files: Seq[String]): Unit =
       MvRouting.register(MvRouting.MvDef(
         basePath = base, mvPath = path, groupCols = Set("l_returnflag"),
         sumMap = Map("l_quantity" -> "sum_qty_state"), countCol = "n_rows",
         minMap = Map("l_extendedprice" -> "min_price_state"),
-        maxMap = Map("l_extendedprice" -> "max_price_state")))
+        maxMap = Map("l_extendedprice" -> "max_price_state"),
+        baseFingerprint = Some(
+          graft.plans.PathRegistry.fileFingerprint(files))))
     def filesOf(): Seq[String] = s.read.parquet(base).inputFiles.toSeq
       .map(graft.plans.TextIndexRouting.normFile).sorted
+    val mv1Files = filesOf()
     partials(s.read.parquet(base)).write.parquet(s"$scratch/mv1")
     graft.Scratch.atomicPublish(
       java.nio.file.Paths.get(s"$scratch/mv1/_MVFILES"),
-      filesOf().mkString("\n"))
-    registerMv(s"$scratch/mv1")
+      mv1Files.mkString("\n"))
+    registerMv(s"$scratch/mv1", mv1Files)
     MvRouting.enable(s)
     def snap(probe: String, mustScan: String, mustNotScan: String)
         : Seq[Row] = {
@@ -874,7 +1015,7 @@ object MvOps {
     require(canon(s.read.parquet(s"$scratch/mv2")) ==
       canon(partials(s.read.parquet(base))),
       "append-folded MV diverged from the full rebuild")
-    registerMv(s"$scratch/mv2")
+    registerMv(s"$scratch/mv2", all)
     val post = snap("post_refresh", "mv2", "app_base_t")
     val schema = StructType(Seq(
       StructField("probe", StringType),
@@ -1377,6 +1518,17 @@ object MvOps {
                 COUNT(*) AS n
               FROM lineitem GROUP BY l_returnflag, l_linestatus
               ORDER BY l_returnflag, l_linestatus""")),
+    QueryDef("mv_route_join", mvRouteJoin,
+      Some(s"""SELECT s_nationkey,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price,
+                COUNT(*) AS n
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey ORDER BY s_nationkey""")),
+    // t-digest estimate — rows-only by design (SketchSpec bounds the
+    // routed estimates' rank error and asserts the sketch-MV scan)
+    QueryDef("mv_route_quantile", mvRouteQuantile, None),
     QueryDef("mv_route_global", mvRouteGlobal,
       Some(s"""SELECT COUNT(*) AS n,
                 ${Det.oSum("l_quantity")} AS sum_qty,

@@ -1,12 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, EvalMode, ExprId, Expression, If, Literal, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, EvalMode, ExprId, Expression, If, Literal, NamedExpression, PlanExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
 
 /** ClickHouse-projection-style materialized-view routing, Spark-first: a
   * pre-aggregated MV registered against a base table path, and a Catalyst
@@ -72,8 +73,17 @@ object MvRouting {
     * @param notNullCols base columns the registration DECLARES non-null
     *                  (the NOT NULL DDL contract): `count(col)` over one
     *                  equals `count(*)` per group and routes to
-    *                  sum(countCol); columns that may hold nulls must
-    *                  never be declared or the routed count overcounts
+    *                  sum(countCol), and `avg(summand)` routes only when
+    *                  every column the summand reads is declared here
+    *                  (the routed average divides by sum(countCol) =
+    *                  count(*), which equals AVG's own non-null count
+    *                  only when the summand is never null — r13 ADVICE
+    *                  finding 2). Columns that may hold nulls must never
+    *                  be declared or the routed count/avg overcounts.
+    *                  The declaration binds the REGISTERED base only:
+    *                  multi-root scans never route declaration-gated
+    *                  aggregates, because a co-scanned tail root carries
+    *                  no such contract (r13 ADVICE finding 1)
     * @param exprGroupCols EXPRESSION grouping keys the MV stores
     *                  materialized (the ClickHouse `GROUP BY
     *                  toStartOfMonth(ts)` projection shape): each entry
@@ -106,16 +116,42 @@ object MvRouting {
       // Sum child; exact for the same decimal-monoid reason as sumMap.
       // Registration contract: derive the template from the OPTIMIZED
       // plan (MvOps.summandTemplate) so literal folding matches the
-      // query side.
+      // query side; and for the avg route the summand must be NULL-FREE
+      // given non-null inputs (no division, no null-producing CASE, no
+      // overflowing cast) — avg gates on the summand's INPUT columns
+      // being declared notNullCols, which only implies a non-null
+      // summand under that null-strictness contract.
       sumExprMap: Seq[(Expression, String)] = Nil,
-      // registration-time fingerprint of the base's FILE LIST
+      // APPROX-QUANTILE state partials (r14, VERDICT r13 task 2 — the
+      // ClickHouse quantileTDigestState projection): base column →
+      // (meanCol, weightCol, delta) where the MV artifact stores the
+      // per-group t-digest EXPLODED — one row per (grouping tuple,
+      // centroid), meanCol/weightCol the centroid fields, delta the
+      // compression the sketch was built with. A def carrying this map
+      // is QUANTILE-ONLY: `percentile_approx(col, q, acc)` rewrites to
+      // a QuantileMerge fold of O(groups × δ) centroid rows (rank error
+      // O(q(1−q)/δ) — an estimate, never bit-equal to GK, so routed
+      // keys are rows-only with a SketchSpec bound); every OTHER
+      // aggregate refuses to route through it, because the exploded
+      // layout holds MULTIPLE rows per grouping tuple and a row exists
+      // only for groups with ≥1 NON-NULL value — sum/count partials
+      // do not live here. Grouping-key-only reads (the filter remap,
+      // bare key outputs) stay sound over the exploded rows.
+      quantileMap: Map[String, (String, String, Int)] = Map.empty,
+      // BUILD-time fingerprint of the base's FILE LIST
       // (PathRegistry.fileFingerprint) — the out-of-band-change
       // sentinel: the rule only routes while the scan's current file
       // set still matches, so an append/overwrite that bypassed the
       // mutation machinery (a plain write.mode("append") on the base)
       // makes every routed query FALL THROUGH instead of serving stale
-      // partials. None disables the guard (and register() fills it
-      // automatically). Refreshing the MV re-registers and re-arms.
+      // partials. Capture it from the listing the MV build actually
+      // aggregated and pass it explicitly; register()'s auto-fill
+      // snapshots the base's CURRENT listing, which is only safe when
+      // registration immediately follows the build — registering an
+      // artifact built BEFORE an out-of-band base change would
+      // otherwise re-arm the sentinel around stale partials (r13
+      // ADVICE finding 3). None disables the guard. Refreshing the MV
+      // re-registers and re-arms.
       baseFingerprint: Option[(Long, Long)] = None,
       // projection NAME (ClickHouse projections are named): registering
       // a def REPLACES any prior def with the same name on the same
@@ -204,7 +240,7 @@ object MvRouting {
   def disable(s: SparkSession): Unit = s.conf.set(EnabledKey, "false")
 }
 
-object RouteAggregateToMv extends Rule[LogicalPlan] {
+object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
   import MvRouting._
 
   /** The base scan under an Aggregate, peeling column-pruning Projects
@@ -381,7 +417,10 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     // other Aggregate takes the plain route.
     case agg: Aggregate if agg.child.isInstanceOf[Expand] =>
       routeExpand(agg, agg.child.asInstanceOf[Expand]).getOrElse(agg)
-    case agg: Aggregate => routeOne(agg).getOrElse(agg)
+    // the plain scan shape first (cheaper match), then the star-join
+    // shape (r14): γ(fact ⋈ dim) served from the fact-side partials
+    case agg: Aggregate =>
+      routeOne(agg).orElse(routeJoin(agg)).getOrElse(agg)
   }
 
   private def routeOne(agg: Aggregate): Option[Aggregate] =
@@ -396,23 +435,14 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       if (defs.isEmpty) None else {
       // CURRENT per-root file fingerprints, computed from the listing
       // the scan's file index already materialized (zero extra I/O):
-      // a def whose registration-time snapshot no longer matches is
-      // STALE — some writer changed the base outside the mutation
-      // machinery (plain append/overwrite) — and must not route
-      lazy val allFiles = fs.location.inputFiles.toSeq
+      // a def whose build-time snapshot no longer matches is STALE —
+      // some writer changed the base outside the mutation machinery
+      // (plain append/overwrite) — and must not route. Memoized on the
+      // FileIndex instance (r13 ADVICE finding 4): the FixedPoint batch
+      // re-runs this rule over the same plan, and O(files) hashing per
+      // iteration per def is real driver work at 10^6 files.
       lazy val fpByRoot: Map[String, (Long, Long)] =
-        if (roots.lengthCompare(1) == 0)
-          Map(roots.head -> PathRegistry.fileFingerprint(allFiles))
-        else roots.map { r =>
-          // a root can BE a single parquet file (the fixture tables are
-          // one-file "directories"): exact match, not just dir prefix
-          val cr = PathRegistry.canonical(r)
-          val crSlash = cr + "/"
-          r -> PathRegistry.fileFingerprint(allFiles.filter { f =>
-            val cf = PathRegistry.canonical(f)
-            cf == cr || cf.startsWith(crSlash)
-          })
-        }.toMap
+        PathRegistry.fingerprintsByRoot(fs.location)
       def fresh(d: MvDef, root: String): Boolean =
         d.baseFingerprint.forall(_ == fpByRoot(root))
       // inline pulled-out grouping aliases back into the Aggregate's own
@@ -446,10 +476,224 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
           // file-listing + footer read each (measured 2× on mv_route)
           .flatMap(d =>
             rewrite(agg, groupExprs, aggExprs, conds, d,
-              mvChildFor(d, roots, fresh)))
+              mvChildFor(d, roots, fresh),
+              multiRoot = roots.lengthCompare(1) > 0))
           .headOption
       }
     }
+
+  /** STAR-JOIN aggregate routing (r14 — VERDICT r13 task 1): rewrite
+    * γ_G(fact ⋈ dim) into γ_G(MV ⋈ dim) when the fact side of an INNER
+    * equi-join is a registered single-root base, every fact-side
+    * reference in the join keys / grouping / predicates is an MV
+    * GROUPING column (or a registered grouping-expression subtree), and
+    * every aggregate reads only fact columns the MV covers.
+    *
+    * Soundness (eager-aggregation equivalence — Yan & Larson VLDB'95,
+    * with the MV standing in for the eager aggregate): an MV partial
+    * row stands for the set of fact rows sharing its grouping tuple;
+    * because the join keys are part of that tuple, EVERY fact row of
+    * the group meets exactly the same dim rows, so joining the partial
+    * to dim replicates it precisely as many times as each fact row is
+    * replicated unrouted — and the rewritten aggregates are monoid
+    * merges over partials, which are replication-compatible (each
+    * replica of a partial stands for the same replica-set of fact
+    * rows). Dim attributes pass through VERBATIM, matched by exprId
+    * (never by name, so a dim column sharing an MV column's name can't
+    * be captured); aggregates that read the dim side never route — a
+    * dim value appears once per MV row but once per FACT row unrouted,
+    * so only replication-invariant fact reads are exact. Predicates
+    * mixing dim attrs with fact GROUPING attrs are whole-(group ×
+    * dim-row) predicates and remap soundly; any fact reference outside
+    * the grouping tuple aborts.
+    *
+    * Scale notes: the single most common OLAP spelling — γ(fact ⋈ dim)
+    * BY dim attribute — previously full-scanned the 100 TB fact table
+    * to re-derive per-key partials a maintained join view already
+    * holds; routed, the join's fact side is O(groups) MV rows, the dim
+    * side and join algorithm are untouched, and AQE broadcasts
+    * whichever side is now small. Multi-root fact scans and non-inner
+    * joins fall through (sound, merely unrouted).
+    */
+  private def routeJoin(agg: Aggregate): Option[Aggregate] = {
+    // peel aliasing Projects / Filters between the Aggregate and the
+    // Join — the baseScan discipline one level up (PullOutGrouping
+    // Expressions lands dim-expression grouping keys exactly here)
+    def walk(p: LogicalPlan): Option[(Seq[Expression],
+        Map[ExprId, Expression], Join)] = p match {
+      case j: Join => Some((Nil, Map.empty, j))
+      case Project(projList, child) if projList.forall {
+          case _: AttributeReference => true
+          case a: Alias => a.child.deterministic
+          case _ => false
+        } =>
+        walk(child).map { case (cs, sub, j) =>
+          (cs, sub ++ projList.collect {
+            case a: Alias => a.exprId -> applySubst(a.child, sub)
+          }, j)
+        }
+      case Filter(cond, child) =>
+        walk(child).map { case (cs, sub, j) =>
+          (applySubst(cond, sub) +: cs, sub, j)
+        }
+      case _ => None
+    }
+    walk(agg.child).flatMap { case (aboveConds0, subst, join) =>
+      // INNER with a condition only: outer joins change the
+      // dangling-row story, and a condition-less inner join is the
+      // cross product this library bans plan-wide anyway
+      if (join.joinType != Inner || join.condition.isEmpty) return None
+      def factInfo(side: LogicalPlan) = baseScan(side).filter {
+        case (_, _, fs) =>
+          fs.location.rootPaths.lengthCompare(1) == 0 &&
+            defsFor(fs.location.rootPaths.head.toString).nonEmpty
+      }
+      val leftInfo = factInfo(join.left)
+      val factOnLeft = leftInfo.isDefined
+      // a self-join (both sides registered) routes the LEFT leg only —
+      // sound: the right leg stays a base scan
+      val info = leftInfo.orElse(factInfo(join.right))
+      info.flatMap { case (factConds, factSubst, fs) =>
+        val dimPlan = if (factOnLeft) join.right else join.left
+        val dimIds = dimPlan.outputSet
+        val root = fs.location.rootPaths.head.toString
+        // resolve above-join aliases, then fact-side scan aliases, so
+        // every surviving fact reference is a BASE attribute by name
+        def resolve(e: Expression): Expression =
+          applySubst(applySubst(e, subst), factSubst)
+        val joinConds =
+          splitConjunctivePredicates(join.condition.get).map(resolve)
+        // walk applied `subst` when collecting; fact aliases remain
+        val aboveConds = aboveConds0.map(applySubst(_, factSubst))
+        val groupExprs = agg.groupingExpressions.map(resolve)
+        val aggExprs = agg.aggregateExpressions.map { ne =>
+          resolve(ne) match {
+            case al: Alias if al.exprId == ne.exprId => al
+            case a: AttributeReference if a.exprId == ne.exprId => a
+            case other => Alias(other, ne.name)(exprId = ne.exprId)
+          }
+        }
+        // every routed predicate must be deterministic and
+        // subquery-free (the routableFilter vet, sides-aware)
+        if (!(joinConds ++ aboveConds ++ factConds).forall(c =>
+            c.deterministic &&
+              !c.exists(_.isInstanceOf[PlanExpression[_]]))) return None
+        lazy val curFp = PathRegistry.fingerprintsByRoot(fs.location)(root)
+        defsFor(root).view.flatMap { d =>
+          rewriteJoin(groupExprs, aggExprs, joinConds, aboveConds,
+            factConds, d, dimIds, dimPlan, factOnLeft, join, curFp)
+            .map(newChild => agg.copy(
+              groupingExpressions = newChild._1,
+              aggregateExpressions = newChild._2,
+              child = newChild._3))
+        }.headOption
+      }
+    }
+  }
+
+  /** One projection's attempt at the join rewrite: (new grouping, new
+    * aggregate list, new child) or None — the first def that answers
+    * wins (routeJoin walks latest-first, the routeOne convention).
+    */
+  private def rewriteJoin(groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], joinConds: Seq[Expression],
+      aboveConds: Seq[Expression], factConds: Seq[Expression],
+      mv: MvDef,
+      dimIds: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      dimPlan: LogicalPlan, factOnLeft: Boolean, join: Join,
+      curFp: (Long, Long))
+      : Option[(Seq[Expression], Seq[NamedExpression], LogicalPlan)] = {
+    // quantile-only defs hold no scalar partials to merge through a join
+    if (mv.quantileMap.nonEmpty) return None
+    if (!PathRegistry.targetExists(mv.mvPath)) return None
+    if (!mv.baseFingerprint.forall(_ == curFp)) return None
+    // fact-side-only filters collected below the join must be
+    // grouping-key-only (whole-group predicates, the routableFilter
+    // argument verbatim — their references are fact attrs by
+    // construction, so the by-name check is safe here)
+    if (!factConds.forall(routableFilter(_, mv))) return None
+    // CHEAP pre-vet before touching the MV parquet (the mvChildFor
+    // by-name lesson): every fact-side attribute the join keys,
+    // grouping, or kept predicates reference must be an MV grouping
+    // column or feed a registered grouping-expression template —
+    // non-matching defs must fail on driver metadata alone
+    val tmplInputs: Set[String] =
+      mv.exprGroupCols.iterator.flatMap(_._1.references.map(_.name)).toSet
+    def factRefsOk(e: Expression): Boolean =
+      e.references.forall(r => dimIds.contains(r) ||
+        mv.groupCols(r.name) || tmplInputs(r.name))
+    if (!(joinConds ++ aboveConds ++ groupExprs).forall(factRefsOk))
+      return None
+
+    val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
+      .queryExecution.analyzed
+    val mvAttr: Map[String, AttributeReference] =
+      mvPlan.output.map(a =>
+        a.name -> a.asInstanceOf[AttributeReference]).toMap
+
+    // the one rewrite walk, shared by grouping keys, predicates and
+    // aggregate output expressions: dim attrs pass by exprId, fact
+    // grouping attrs / registered expression subtrees map to MV attrs,
+    // AggregateExpressions go through rewriteAggFn (dim-referencing
+    // ones block), anything else recurses or aborts
+    def rw(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression =>
+        if (ae.references.exists(dimIds.contains)) None
+        else rewriteAggFn(ae, mv, mvAttr,
+          hasGrouping = groupExprs.nonEmpty, mvPlan, multiRoot = false)
+      case a: AttributeReference if dimIds.contains(a) => Some(a)
+      case a: AttributeReference =>
+        if (mv.groupCols(a.name)) mvAttr.get(a.name) else None
+      case other =>
+        val factOnly = other.references.nonEmpty &&
+          other.references.forall(r => !dimIds.contains(r))
+        (if (factOnly) exprTarget(other, mv).flatMap(mvAttr.get) else None)
+          .orElse {
+            val kids = other.children.map(rw)
+            if (kids.forall(_.isDefined))
+              Some(other.withNewChildren(kids.map(_.get)))
+            else None
+          }
+    }
+
+    val newAggExprs = aggExprs.map {
+      case a: AttributeReference if dimIds.contains(a) => Some(a)
+      case a: AttributeReference
+          if mv.groupCols(a.name) && mvAttr.contains(a.name) =>
+        Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+      case al: Alias =>
+        rw(al.child).map(c => Alias(c, al.name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (newAggExprs.exists(_.isEmpty)) return None
+
+    val newGroup = groupExprs.map { g0 =>
+      val g = g0 match { case al: Alias => al.child; case x => x }
+      rw(g).getOrElse(return None)
+    }
+    val newJoinCond = joinConds.map(rw(_).getOrElse(return None))
+      .reduce(And(_, _))
+    val newAbove = aboveConds.map(rw(_).getOrElse(return None))
+
+    // fact-only filters prune the MV BEFORE the join (strictly fewer
+    // partial rows meet the dim side)
+    val mvSide: LogicalPlan =
+      if (factConds.isEmpty) mvPlan
+      else {
+        val remapped = factConds.map(remapCondToMv(_, mv, mvAttr))
+        if (remapped.exists(_.isEmpty)) return None
+        Filter(remapped.map(_.get).reduce(And(_, _)), mvPlan)
+      }
+    // side order and the user's join hints survive (a broadcast hint on
+    // the dim side keeps meaning exactly what it meant)
+    val newJoin =
+      if (factOnLeft) Join(mvSide, dimPlan, Inner, Some(newJoinCond), join.hint)
+      else Join(dimPlan, mvSide, Inner, Some(newJoinCond), join.hint)
+    val newChild: LogicalPlan =
+      if (newAbove.isEmpty) newJoin
+      else Filter(newAbove.reduce(And(_, _)), newJoin)
+    Some((newGroup, newAggExprs.map(_.get), newChild))
+  }
 
   /** The child plan the rewrite re-targets. Single root: the MV scan.
     * MULTI-ROOT scan (r12 verdict task 6 — `read.parquet(base, tail)`,
@@ -478,7 +722,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     val known: Set[String] =
       d.groupCols ++ d.exprGroupCols.map(_._2) ++ Seq(d.countCol) ++
         d.sumMap.values ++ d.minMap.values ++ d.maxMap.values ++
-        d.sumLongMap.values ++ d.sumExprMap.map(_._2)
+        d.sumLongMap.values ++ d.sumExprMap.map(_._2) ++
+        d.quantileMap.values.flatMap { case (m, w, _) => Seq(m, w) }
     val target = mvPlan.output.collect {
       case a: AttributeReference if known(a.name) => a
     }
@@ -513,7 +758,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       a.sumExprMap.map(_._2) == b.sumExprMap.map(_._2) &&
       a.sumExprMap.zip(b.sumExprMap).forall {
         case ((t1, _), (t2, _)) => matchesTemplate(t1, t2)
-      }
+      } &&
+      a.quantileMap == b.quantileMap
 
   /** A registered root's MV scan projected to the canonical column
     * list (by name, type-checked — Union is positional).
@@ -598,7 +844,17 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     */
   private def rewriteAggFn(ae: AggregateExpression, mv: MvDef,
     mvAttr: Map[String, AttributeReference],
-    hasGrouping: Boolean): Option[Expression] = {
+    hasGrouping: Boolean,
+    // the plan whose output mvAttr indexes — the quantile route builds
+    // its ScalaAggregator template by analyzing against it, so the
+    // rewritten expression's children carry the SAME exprIds
+    mvPlan: LogicalPlan,
+    // multi-root Union child (r13 ADVICE finding 1): declaration-gated
+    // routes (count over notNullCols, avg) are blocked — the NOT NULL
+    // contract was declared for the registered base only, and a tail
+    // root with NULLs in the declared column would make the routed
+    // Sum-of-per-leg-count(*) partials overcount vs the base scan
+    multiRoot: Boolean): Option[Expression] = {
     // FILTER (WHERE p) routes when p is a GROUPING-KEY-only predicate
     // (r12 verdict task 1 — ClickHouse sumIf/countIf served from a
     // projection): such a p admits WHOLE groups, so every MV partial
@@ -628,6 +884,53 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     def keyAttr(e: Expression): Option[AttributeReference] = e match {
       case a: AttributeReference if mv.groupCols(a.name) => mvAttr.get(a.name)
       case other => exprTarget(other, mv).flatMap(mvAttr.get)
+    }
+    // QUANTILE-ONLY def (quantileMap registered — see MvDef scaladoc):
+    // percentile_approx over a registered column rewrites to a
+    // QuantileMerge fold of the exploded centroid rows; EVERY other
+    // aggregate — including the distinct/min/max grouping-KEY routes,
+    // which over this layout would miss groups whose quantile column is
+    // all-null — refuses, so mixed queries fall through whole. FILTER
+    // gates don't compose with a typed fold's inputs, DISTINCT has no
+    // sketch meaning, and a multi-root tail has no centroid partials to
+    // synthesize — all blocked.
+    if (mv.quantileMap.nonEmpty) {
+      if (ae.isDistinct || ae.filter.isDefined || multiRoot) return None
+      return ae.aggregateFunction match {
+        case ap: ApproximatePercentile =>
+          for {
+            q <- ap.percentageExpression match {
+              case Literal(d: Double, DoubleType) => Some(d)
+              case _ => None // array-of-percentiles / non-literal: fall through
+            }
+            srcName <- ap.child match {
+              case a: AttributeReference => Some(a.name)
+              case Cast(a: AttributeReference, DoubleType, _, _) => Some(a.name)
+              case _ => None
+            }
+            cols <- mv.quantileMap.get(srcName)
+            mAttr <- mvAttr.get(cols._1)
+            wAttr <- mvAttr.get(cols._2)
+            // the routed estimate is a DOUBLE; only the double-returning
+            // percentile_approx spelling keeps the output schema intact
+            if mAttr.dataType == DoubleType && wAttr.dataType == LongType &&
+              ae.dataType == DoubleType
+          } yield {
+            // template trick: analyze the merge aggregate AGAINST mvPlan
+            // itself, so the ScalaAggregator's children resolve to the
+            // very attributes mvAttr carries — no remap needed, and the
+            // analyzer binds the encoders
+            val qagg = org.apache.spark.sql.functions.udaf(
+              new graft.functions.QuantileMerge(cols._3, q))
+            org.apache.spark.sql.graft.Bridge
+              .ofRows(SparkSession.active, mvPlan)
+              .agg(qagg(org.apache.spark.sql.functions.col(cols._1),
+                org.apache.spark.sql.functions.col(cols._2)).as("q"))
+              .queryExecution.analyzed.asInstanceOf[Aggregate]
+              .aggregateExpressions.head.asInstanceOf[Alias].child
+          }
+        case _ => None
+      }
     }
     // DISTINCT routes ONLY as COUNT(DISTINCT grouping-key): the MV
     // holds exactly one row per distinct grouping tuple (and a row
@@ -725,7 +1028,13 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       case c: Count
           if c.children.forall {
               case Literal(v, _) => v != null
-              case a: AttributeReference => mv.notNullCols(a.name)
+              // the NOT NULL declaration binds the registered base only:
+              // under a multi-root Union a tail root could hold NULLs in
+              // the declared column, so only literal-children counts
+              // (count(*) / count(1) — null-free by construction on any
+              // root) route there (r13 ADVICE finding 1)
+              case a: AttributeReference =>
+                !multiRoot && mv.notNullCols(a.name)
               case _ => false
             } =>
         mvAttr.get(mv.countCol).map { a =>
@@ -745,7 +1054,18 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       // equals the base count, so feeding the SAME divide expression
       // the same operand values yields a bit-identical average. A
       // plain Divide would round at a different intermediate scale.
-      case av: Average =>
+      // The routed average divides Sum(partials) by Sum(countCol) =
+      // count(*), but AVG's own denominator is the NON-NULL count of
+      // the summand — equal only when the summand is provably never
+      // null. Gate on every column the summand reads being DECLARED
+      // notNullCols (r13 ADVICE finding 2; registered summand
+      // expressions are null-strict by the sumExprMap contract, so
+      // non-null inputs imply a non-null summand), and never under a
+      // multi-root Union (the declaration binds the registered base
+      // only — finding 1).
+      case av: Average
+          if !multiRoot && av.child.references.nonEmpty &&
+            av.child.references.forall(r => mv.notNullCols(r.name)) =>
         for {
           sumCol <- dsumSource(av.child).flatMap(mv.sumMap.get)
             .orElse(exprSumTarget(av.child, mv))
@@ -781,7 +1101,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], filterConds: Seq[Expression],
-      mv: MvDef, mvChild: => Option[LogicalPlan]): Option[Aggregate] = {
+      mv: MvDef, mvChild: => Option[LogicalPlan],
+      multiRoot: Boolean): Option[Aggregate] = {
     // each grouping expression resolves to an MV column: a bare attr
     // must be a registered grouping column; anything else must match a
     // registered grouping-EXPRESSION template (the MV stores its value
@@ -811,7 +1132,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
     // any shape we can't prove equivalent aborts the whole rewrite
     def rw(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression =>
-        rewriteAggFn(ae, mv, mvAttr, groupExprs.nonEmpty)
+        rewriteAggFn(ae, mv, mvAttr, groupExprs.nonEmpty, mvPlan, multiRoot)
       case a: AttributeReference =>
         if (mv.groupCols(a.name)) mvAttr.get(a.name) else None
       case other =>
@@ -885,9 +1206,10 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
       else {
         // the same out-of-band staleness sentinel as routeOne (r13
         // review find: the Expand path initially bypassed it — a plain
-        // append plus a ROLLUP query would have served stale partials)
-        lazy val curFp =
-          PathRegistry.fileFingerprint(fs.location.inputFiles.toSeq)
+        // append plus a ROLLUP query would have served stale partials);
+        // memoized on the FileIndex instance like routeOne's
+        lazy val curFp = PathRegistry.fingerprintsByRoot(fs.location)(
+          fs.location.rootPaths.head.toString)
         defsFor(fs.location.rootPaths.head.toString).view
           .filter(d => PathRegistry.targetExists(d.mvPath) &&
             d.baseFingerprint.forall(_ == curFp) &&
@@ -1008,7 +1330,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] {
         // value in every copy and resolves by name exactly.
         if (ae.references.exists(r => nulledCopies.contains(r.exprId)))
           None
-        else rewriteAggFn(ae, mv, mvAttr, hasGrouping = true)
+        else rewriteAggFn(ae, mv, mvAttr, hasGrouping = true, mvPlan,
+            multiRoot = false)
           .map(substMvToExpand)
       case a: AttributeReference => oldToNew.get(a.exprId)
       case other =>

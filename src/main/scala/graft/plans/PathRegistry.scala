@@ -89,6 +89,52 @@ private[graft] object PathRegistry {
     (n, h)
   }
 
+  // ---- per-FileIndex fingerprint memo (r13 ADVICE finding 4) ----
+  // The routing rules live in a FixedPoint optimizer batch, so each rule
+  // re-runs over the same plan until quiescence — recomputing the O(files)
+  // fingerprint per iteration (and per registered def) is pure waste at
+  // the 10^6-file scale the docs target. Keyed by the FileIndex INSTANCE
+  // under IDENTITY, never equals(): InMemoryFileIndex.equals compares
+  // rootPaths only, so an equals-keyed memo would serve the PRE-append
+  // fingerprint for a fresh post-append listing of the same root and
+  // blind the out-of-band-change sentinel. Sound because a FileIndex's
+  // listing is materialized at construction and immutable thereafter
+  // (nothing in this library calls FileIndex.refresh()). Bounded FIFO so
+  // per-query FileIndex instances cannot accumulate.
+  private val fpCache = new java.util.IdentityHashMap[AnyRef, AnyRef]()
+  private val fpOrder = new java.util.ArrayDeque[AnyRef]()
+  private val fpCacheMax = 64
+
+  /** Per-root file fingerprints of a scan, memoized on the FileIndex
+    * instance: single-root scans map their one root to the fingerprint
+    * of the whole listing; multi-root scans split the listing per root
+    * (a root can BE a single parquet file — the fixture tables are
+    * one-file "directories" — so exact match, not just dir prefix).
+    */
+  def fingerprintsByRoot(
+      loc: org.apache.spark.sql.execution.datasources.FileIndex)
+      : Map[String, (Long, Long)] = fpCache.synchronized {
+    val hit = fpCache.get(loc)
+    if (hit != null) return hit.asInstanceOf[Map[String, (Long, Long)]]
+    val roots = loc.rootPaths.map(_.toString)
+    val files = loc.inputFiles.toSeq
+    val v: Map[String, (Long, Long)] =
+      if (roots.lengthCompare(1) == 0)
+        Map(roots.head -> fileFingerprint(files))
+      else roots.map { r =>
+        val cr = canonical(r)
+        val crSlash = cr + "/"
+        r -> fileFingerprint(files.filter { f =>
+          val cf = canonical(f)
+          cf == cr || cf.startsWith(crSlash)
+        })
+      }.toMap
+    fpCache.put(loc, v)
+    fpOrder.addLast(loc)
+    while (fpCache.size > fpCacheMax) fpCache.remove(fpOrder.pollFirst())
+    v
+  }
+
   def targetExists(p: String): Boolean = {
     val c = canonical(p)
     // a remote scheme+authority key cannot be probed with java.io.File

@@ -36,12 +36,18 @@ object ProjectionRouting {
     *                 stay on the base layout)
     * @param altPath  projection path: same rows clustered by altCol
     * @param altCol   the projection's cluster key
-    * @param baseFingerprint registration-time file-list fingerprint of
-    *                 the base layout (the MvRouting out-of-band-change
-    *                 sentinel — worse here, since a stale projection
-    *                 serves wrong ROWS): the rule only re-targets while
-    *                 the scan's current file set still matches; filled
-    *                 by register() when absent
+    * @param baseFingerprint BUILD-time file-list fingerprint of the base
+    *                 layout (the MvRouting out-of-band-change sentinel —
+    *                 worse here, since a stale projection serves wrong
+    *                 ROWS): the rule only re-targets while the scan's
+    *                 current file set still matches. Capture it from the
+    *                 listing the projection build actually read and pass
+    *                 it explicitly; register()'s auto-fill snapshots the
+    *                 base's CURRENT listing, which is only safe when
+    *                 registration immediately follows the build — an
+    *                 artifact built BEFORE an out-of-band base change
+    *                 would otherwise re-arm the sentinel around stale
+    *                 rows (r13 ADVICE finding 3).
     */
   case class ProjDef(basePath: String, baseCol: String,
       altPath: String, altCol: String,
@@ -104,9 +110,12 @@ object RouteFilterToProjection extends Rule[LogicalPlan] {
             // staleness sentinel: an out-of-band append/overwrite on the
             // base (never routed through the mutation hub) changes its
             // file set — the un-rebuilt projection must NOT serve rows.
-            // Zero extra I/O: the scan's listing is already materialized.
-            .filter(_.baseFingerprint.forall(_ ==
-              PathRegistry.fileFingerprint(fs.location.inputFiles.toSeq)))
+            // Zero extra I/O: the scan's listing is already materialized,
+            // and the per-FileIndex memo makes the O(files) hash a
+            // one-time cost per scan instead of per FixedPoint iteration.
+            .filter(d => PathRegistry.fingerprintsByRoot(fs.location)
+              .get(fs.location.rootPaths.head.toString)
+              .forall(cur => d.baseFingerprint.forall(_ == cur)))
             .map(d => (l, d))
         case _ => None
       }

@@ -26,7 +26,7 @@ class AllQueriesSmokeSpec extends GraftSpec {
       "stream_quantile_mv", "agg_topk_state",
       "vec_kmeans_train", "sim_ivf_trained_knn",
       "udaf_kmv_intersect", "ml_quality_filter",
-      "tok_bpe_train")
+      "tok_bpe_train", "mv_route_quantile")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}; " +
         s"stale documented entries: ${documented -- rowsOnly}")
@@ -168,7 +168,10 @@ class AllQueriesSmokeSpec extends GraftSpec {
     "udaf_typed", "udaf_uniq_upto", "udf_scalar",
     "agg_quantile_state", "agg_topk_state", "udaf_bitmap",
     "udaf_bitmap_and", "udaf_cm_sketch", "udaf_kmv_intersect",
-    "udaf_sketch_topk")
+    "udaf_sketch_topk",
+    // the ROUTED plan substitutes the QuantileMerge typed fold for
+    // percentile_approx — the sketch-state exception class above
+    "mv_route_quantile")
 
   /** The plan-string substring check alone is BLIND to udaf()-wrapped
     * typed Aggregators: ScalaAggregator renders as the aggregator's own

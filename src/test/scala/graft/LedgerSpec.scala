@@ -39,6 +39,8 @@ class LedgerSpec extends AnyFunSuite {
     "ml_quality_filter",    // iterated GD weights — accuracy/descent tests
     "tok_bpe_train",        // iterated merge fixpoint — golden merge-table
                             // test vs independent reimplementation
+    "mv_route_quantile",    // routed t-digest estimate ≠ GK sketch —
+                            // SketchSpec rank bound on the ROUTED result
   )
 
   private val ledgerRe =

@@ -631,9 +631,12 @@ class PlanShapeSpec extends GraftSpec {
     assert(!p.contains("lineitem.parquet"),
       s"routed query must not also scan the fact table:\n${p.take(800)}")
     // fixture invariant behind the registration's NOT NULL declaration
-    // (count(l_partkey) routes as count(*) ONLY if this holds)
+    // (count(col) routes as count(*) and avg routes at all ONLY if this
+    // holds for every declared member)
     assert(Tables.lineitem(spark, sf)
-      .filter(col("l_partkey").isNull || col("l_linenumber").isNull)
+      .filter(col("l_partkey").isNull || col("l_linenumber").isNull ||
+        col("l_quantity").isNull || col("l_extendedprice").isNull ||
+        col("l_discount").isNull)
       .count() == 0L, "notNullCols declaration violated by the fixture")
     // bit-identity vs the unrouted plan: bigint partials are an exact
     // monoid, so re-aggregation must be EQUAL, not approximately so
@@ -658,7 +661,7 @@ class PlanShapeSpec extends GraftSpec {
     // count over a column NOT declared non-null (no per-column non-null
     // counts in the MV — routing it could overcount)
     val cnt = Tables.lineitem(s, sf).groupBy(col("l_returnflag"))
-      .agg(org.apache.spark.sql.functions.count(col("l_quantity")).as("n"))
+      .agg(org.apache.spark.sql.functions.count(col("l_tax")).as("n"))
       .queryExecution.executedPlan.toString
     assert(cnt.contains("lineitem.parquet"),
       s"count over an undeclared column must stay unrouted:\n${cnt.take(500)}")
@@ -1115,6 +1118,178 @@ class PlanShapeSpec extends GraftSpec {
       s"re-registration must resume routing:\n${p2.take(600)}")
     assert(df2.collect().toSeq == expect.toSeq,
       "re-routed values must equal the refreshed base")
+  }
+
+  test("mv_route_join routes the star join's fact side to the MV, bit-identical") {
+    val df = SparkEntry.queries("mv_route_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_supp1_"),
+      s"fact side not routed to the supplier MV:\n${p.take(1000)}")
+    assert(p.contains("supplier.parquet"),
+      s"the dim side must still be scanned verbatim:\n${p.take(1000)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"the fact table must NOT be scanned:\n${p.take(1000)}")
+    // bit-identity vs the unrouted plan (plain session — never armed)
+    def unroutedQ(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          org.apache.spark.sql.functions.min(col("l_extendedprice"))
+            .as("min_price"),
+          org.apache.spark.sql.functions.max(col("l_extendedprice"))
+            .as("max_price"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+    val control = unroutedQ(spark)
+    assert(control.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(df.collect().toSeq == control.collect().toSeq,
+      "routed star-join aggregate diverged from the base-table plan")
+    // dim-side filter rides the dim scan and the route still fires
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    def dimFiltered(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") < 13)
+        .groupBy(col("s_nationkey"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+    val dfF = dimFiltered(s)
+    val pF = dfF.queryExecution.executedPlan.toString
+    assert(pF.contains("lineitem_supp1_") && !pF.contains("lineitem.parquet"),
+      s"dim-filtered star join must still route:\n${pF.take(900)}")
+    assert(dfF.collect().toSeq == dimFiltered(spark).collect().toSeq,
+      "routed dim-filtered star join diverged from the base plan")
+    // negative gates, each must fall through to the fact scan:
+    // (a) an aggregate reading the DIM side is replication-sensitive
+    val dimAgg = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(Det.dsum(col("s_acctbal")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(dimAgg.contains("lineitem.parquet"),
+      s"dim-side aggregate must not route:\n${dimAgg.take(700)}")
+    // (b) a join key outside the MV's grouping tuple has no partials
+    val wrongKey = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_partkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(Det.dsum(col("l_extendedprice")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(wrongKey.contains("lineitem.parquet"),
+      s"non-grouping join key must not route:\n${wrongKey.take(700)}")
+    // (c) outer joins change the dangling-row story
+    val outer = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("s_nationkey"))
+      .agg(Det.dsum(col("l_extendedprice")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(outer.contains("lineitem.parquet"),
+      s"outer join must not route:\n${outer.take(700)}")
+    // (d) a row-level FACT filter cannot be answered post-aggregation
+    val rowLevel = Tables.lineitem(s, sf)
+      .filter(col("l_quantity") > 25)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(rowLevel.contains("lineitem.parquet"),
+      s"row-level fact filter must not route:\n${rowLevel.take(700)}")
+  }
+
+  test("multi-root declaration-gated aggregates fall through (r13 ADVICE 1)") {
+    // the NOT NULL contract binds the registered base only: a co-scanned
+    // tail root could hold NULLs in the declared column, so count(col)
+    // and avg must NOT route through the multi-root Union — while
+    // count(*) (null-free on any root) keeps routing
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    val tail = s"${graft.Scratch.dir("mvmulti3")}/lineitem_tail3"
+    Tables.lineitem(s, sf).filter(col("l_orderkey") % 101 === 0)
+      .write.parquet(tail)
+    def multi = s.read.parquet(s"$sf/lineitem.parquet", tail)
+    val declaredCount = multi.groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.count(col("l_partkey")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(declaredCount.contains("lineitem.parquet"),
+      s"multi-root count(declared col) must not route:\n${declaredCount.take(700)}")
+    val avgQ = multi.groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.avg(col("l_quantity")
+        .cast(org.apache.spark.sql.types.DecimalType(30, 6))).as("a"))
+      .queryExecution.executedPlan.toString
+    assert(avgQ.contains("lineitem.parquet"),
+      s"multi-root avg must not route:\n${avgQ.take(700)}")
+    // control: the declaration-free shapes still route per root
+    val ok = multi.groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("l_quantity")).as("s"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(ok.contains("graft_mv") && ok.contains("lineitem_tail3") &&
+      !ok.contains("lineitem.parquet"),
+      s"declaration-free multi-root shapes must keep routing:\n${ok.take(900)}")
+  }
+
+  test("avg routing gates on the summand's non-null declaration (r13 ADVICE 2)") {
+    // an MV with a sum partial for a column NOT declared notNullCols:
+    // sum routes (null-skipping on both sides), avg must NOT (its
+    // denominator would be count(*) instead of the non-null count)
+    import graft.plans.MvRouting
+    import org.apache.spark.sql.types.DecimalType
+    val s = graft.Sessions.isolatedClone(spark)
+    val scratch = graft.Scratch.dir("mvavggate")
+    val base = s"$scratch/ag_base_t"
+    val mv = s"$scratch/ag_mv_t"
+    // inject real NULLs so a mis-route would be a VALUE divergence too
+    Tables.lineitem(s, sf)
+      .select(col("l_returnflag"),
+        org.apache.spark.sql.functions.when(col("l_orderkey") % 5 === 0,
+          org.apache.spark.sql.functions.lit(null)
+            .cast("double")).otherwise(col("l_quantity")).as("v"))
+      .write.parquet(base)
+    s.read.parquet(base).groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.sum(
+        col("v").cast(DecimalType(30, 6))).as("sum_v_state"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
+      .write.parquet(mv)
+    MvRouting.register(MvRouting.MvDef(
+      basePath = base, mvPath = mv, groupCols = Set("l_returnflag"),
+      sumMap = Map("v" -> "sum_v_state"), countCol = "n_rows"))
+    MvRouting.enable(s)
+    val sumQ = s.read.parquet(base).groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("v")).as("s"))
+    val sp = sumQ.queryExecution.executedPlan.toString
+    assert(sp.contains("ag_mv_t") && !sp.contains("ag_base_t"),
+      s"null-skipping sum must still route:\n${sp.take(600)}")
+    val avgQ = s.read.parquet(base).groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.avg(
+        col("v").cast(DecimalType(30, 6))).cast("double").as("a"))
+      .orderBy(col("l_returnflag"))
+    val ap = avgQ.queryExecution.executedPlan.toString
+    assert(ap.contains("ag_base_t") && !ap.contains("ag_mv_t"),
+      s"avg over an undeclared (nullable) column must not route:\n${ap.take(600)}")
+    // and the fallen-through avg is the TRUE null-skipping average —
+    // what the blocked route would have gotten wrong
+    val expect = s.read.parquet(base).filter(col("v").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg((Det.dsum(col("v")) /
+        org.apache.spark.sql.functions.count(lit(1))).as("a"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // AVG's decimal divide rounds at scale 10 while the reference is a
+    // double quotient — compare within 1e-8, far below the ~0.2 gap a
+    // count(*)-denominator mis-route would produce on this fixture
+    avgQ.collect().foreach { r =>
+      val e = expect(r.getString(0))
+      assert(math.abs(r.getDouble(1) - e) < 1e-8,
+        s"${r.getString(0)}: unrouted avg ${r.getDouble(1)} != " +
+          s"null-skipping mean $e")
+    }
   }
 
   test("mv_refresh_append: sentinel falls through, O(new files) fold re-arms") {

@@ -410,4 +410,58 @@ class SketchSpec extends GraftSpec {
       assert(math.abs(rank - 0.5) <= 0.02, s"$g p50 rank $rank")
     }
   }
+
+  test("mv_route_quantile: percentile_approx served from the sketch MV, rank-bounded") {
+    import spark.implicits._
+    // the ROUTED result: plan must read the exploded t-digest projection,
+    // never the fact table — the no-oracle key's named correctness test
+    val df = SparkEntry.queries("mv_route_quantile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_qtl1_"),
+      s"percentile_approx not routed to the sketch MV:\n${p.take(900)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"routed quantile must not scan the fact table:\n${p.take(900)}")
+    val rows = df.as[(String, Double, Double, Double)].collect()
+    assert(rows.length == 3) // l_returnflag ∈ {A, N, R}
+    // rank-error bound on the ROUTED estimates vs exact order statistics
+    // (δ=200 → bound well inside 3% at the median, tails tighter by k1)
+    val exact = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    rows.foreach { case (g, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99, s"$g quantiles out of order")
+      val vs = exact(g)
+      for ((q, est) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+        val rank = vs.count(_ <= est).toDouble / vs.length
+        assert(math.abs(rank - q) <= 0.03, s"$g q=$q rank=$rank est=$est")
+      }
+    }
+    // negative gates on an armed session: shapes the sketch MV cannot
+    // serve exactly/at all must stay on the fact table
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    // (a) a column with no registered sketch
+    val other = Tables.lineitem(s, sf).groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p"))
+      .queryExecution.executedPlan.toString
+    assert(other.contains("lineitem.parquet"),
+      s"unregistered quantile column must not route:\n${other.take(600)}")
+    // (b) a MIXED query (quantile + count): the scalar defs can't serve
+    // the percentile, the sketch def refuses everything else — whole
+    // query falls through rather than half-routing
+    val mixed = Tables.lineitem(s, sf).groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+        .as("p"), count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(mixed.contains("lineitem.parquet"),
+      s"mixed quantile+count must fall through whole:\n${mixed.take(600)}")
+    // (c) DISTINCT / FILTER forms have no sketch semantics
+    val filtered = Tables.lineitem(s, sf).groupBy(col("l_returnflag"))
+      .agg(expr("""percentile_approx(l_extendedprice, 0.5, 1000)
+                   filter (where l_linestatus = 'F')""").as("p"))
+      .queryExecution.executedPlan.toString
+    assert(filtered.contains("lineitem.parquet"),
+      s"FILTERed percentile must not route:\n${filtered.take(600)}")
+  }
 }
