@@ -89,6 +89,16 @@ object Bench {
     val qs = results.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
     val (total, nOk, nFailed) = summarize(results)
+    // load ratios computed BEFORE the record write, because record
+    // adoption is now gated on them (VERDICT r13 task 3): a loaded
+    // run's inflated per-key times must never become the standing
+    // at-rest baseline — that masked real regressions for a round.
+    val cpuRatio =
+      if (prevCal > 0) math.max(1.0, calObserved / prevCal) else 1.0
+    val ioRatio =
+      if (prevCalIo > 0) math.max(1.0, ioObserved / prevCalIo) else 1.0
+    val medRatio = medianRatio(prev, results)
+    val adopt = adoptRecord(cpuRatio, ioRatio, medRatio)
     // full per-query map also persisted to a file: the driver's tail
     // capture keeps only ~64 of 260+ entries of the stdout line, so
     // round-over-round per-query diffs need the at-rest copy
@@ -98,7 +108,7 @@ object Bench {
     // baseline, and the next at-rest reps=1 run would flag short keys
     // on pure min-vs-single sampling — the mixing the baseline
     // semantics note above promises never happens
-    if (only.isEmpty && reps == 1) {
+    if (only.isEmpty && reps == 1 && adopt) {
       try {
         new java.io.File("target").mkdirs()
         java.nio.file.Files.writeString(
@@ -109,6 +119,12 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] bench_queries.json not written: $e")
       }
+    } else if (only.isEmpty && reps == 1) {
+      // say so on stderr AND in the parseable summary line below — a
+      // silently-kept old record would read as "this run was adopted"
+      System.err.println(s"[bench] record NOT adopted (loaded run: " +
+        s"cpu=$cpuRatio io=$ioRatio median=$medRatio) — " +
+        "target/bench_queries.json keeps the prior at-rest baseline")
     }
     println(line)
     // per-key map re-emitted as SHORT chunk lines, slowest keys LAST
@@ -138,20 +154,16 @@ object Bench {
     // r10 driver run proved uniform load can be purely I/O-side
     // (checkpoint fsyncs, staged-swap writes inflated 10–40× while the
     // CPU probe read 1.0) — a single-resource probe under-normalizes.
-    val cpuRatio =
-      if (prevCal > 0) math.max(1.0, calObserved / prevCal) else 1.0
-    val ioRatio =
-      if (prevCalIo > 0) math.max(1.0, ioObserved / prevCalIo) else 1.0
-    // distribution-based load estimate (the r11 driver run's lesson:
+    // (cpuRatio/ioRatio computed above, pre-write; medRatio is the
+    // distribution-based load estimate — the r11 driver run's lesson:
     // bracketed probes read 1.2×/1.0× while mid-run load inflated keys
     // up to 13.7× — min-of-3 probes at the run's ends are blind to load
-    // that arrives between them). median(now/prev) over all overlapping
+    // that arrives between them. median(now/prev) over all overlapping
     // keys needs no probe model: uniform host load shifts the whole
     // distribution (median tracks it); a genuine code regression moves
     // only its own keys (median stays ≈1, so they still flag — robust
     // while fewer than half the keys regress, which a real code change
-    // always satisfies).
-    val medRatio = medianRatio(prev, results)
+    // always satisfies.)
     val calRatio = math.max(math.max(cpuRatio, ioRatio), medRatio)
     val regs = regressions(prev, results, calRatio)
     // cap the printed list at the worst 20: the driver's tail capture
@@ -169,12 +181,26 @@ object Bench {
     // tail): flag count, worst ratio, and all load ratios, so a loaded
     // run self-identifies even if the key list is truncated away
     val maxRatio = regs.headOption.map { case (_, o, n) => n / o }.getOrElse(1.0)
-    println(s"""{"metric":"bench_regressions_summary","n_flagged":${regs.size},"shown":${shown.size},"max_ratio":$maxRatio,"cal_cpu_ratio":$cpuRatio,"cal_io_ratio":$ioRatio,"median_key_ratio":$medRatio,"calibration_sec":$calObserved,"calibration_io_sec":$ioObserved}""")
+    println(s"""{"metric":"bench_regressions_summary","n_flagged":${regs.size},"shown":${shown.size},"max_ratio":$maxRatio,"cal_cpu_ratio":$cpuRatio,"cal_io_ratio":$ioRatio,"median_key_ratio":$medRatio,"calibration_sec":$calObserved,"calibration_io_sec":$ioObserved,"record_adopted":${only.isEmpty && reps == 1 && adopt}}""")
     // compact line LAST: the driver's tail capture truncates long lines
     // from the front, so the parseable summary must be short and final
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"failed":$nFailed,"sf":${Json.q(sfDir)}}""")
     spark.stop()
   }
+
+  /** Record-adoption gate (VERDICT r13 task 3): a full reps=1 run may
+    * only overwrite the standing at-rest baseline when its OWN load
+    * signals say it ran at rest — every calibration ratio ≤ 1.1 (the
+    * probes and the per-key median all read ≈1.0 on an unloaded host;
+    * the driver's loaded runs read 1.5–10×). A loaded run keeps the
+    * prior record and says so, instead of inflating the baselines the
+    * regression guard diffs against — which masked a real 2× for a
+    * round. With no prior record every ratio defaults to 1.0, so the
+    * first run always seeds the baseline. Unit-tested.
+    */
+  private[graft] def adoptRecord(cpuRatio: Double, ioRatio: Double,
+      medRatio: Double): Boolean =
+    cpuRatio <= 1.1 && ioRatio <= 1.1 && medRatio <= 1.1
 
   /** (total over successful queries, #ok, #failed) — the -1 failure
     * sentinel must never pollute the summed total (unit-tested).

@@ -21,6 +21,22 @@ import org.apache.spark.sql.types.DecimalType
   */
 object MvOps {
 
+  /** Scaffolding gate for the refresh operators' bit-equal
+    * full-rebuild proof (VERDICT r13 "what's wrong" 2): the proof is a
+    * FULL BASE re-aggregation — exactly the O(base) job the delta/
+    * append refresh exists to avoid — so it must not ride the measured
+    * operator path. Default OFF; StateMaintenanceSpec's named test
+    * flips it on and runs every refresh key with the proof armed, and
+    * `-Dgraft.refresh.proof=1` (or SPARK_GRAFT_REFRESH_PROOF=1) arms
+    * it for ad-hoc runs. Correctness of the refresh VALUES stays
+    * independently gated by each key's DuckDB oracle either way — the
+    * proof adds the bit-equality claim against the rebuild, not the
+    * only correctness signal.
+    */
+  @volatile private[graft] var refreshProofGate: Boolean =
+    sys.props.get("graft.refresh.proof").contains("1") ||
+      sys.env.get("SPARK_GRAFT_REFRESH_PROOF").contains("1")
+
   // fingerprint-versioned: the MV content derives from lineitem, so a
   // new testdata drop must re-key the staged path (stale-replay guard)
   private def mvPath(dir: String): String = {
@@ -889,13 +905,19 @@ object MvOps {
         sum(col("n_rows")).as("n_rows"))
       .filter(col("n_rows") > 0)
     folded.write.parquet(s"$scratch/mv2")
-    // refresh-correctness gate (scaffolding — the refresh itself never
-    // ran this): the fold must equal a full rebuild bit-for-bit
-    def canon(df: DataFrame) = df
-      .orderBy(col("event_type").asc_nulls_last).collect().toSeq
-    require(canon(s.read.parquet(s"$scratch/mv2")) ==
-      canon(partials(s.read.parquet(root))),
-      "delta-folded MV diverged from the full rebuild")
+    // refresh-correctness PROOF (env/test-gated — see refreshProofGate):
+    // the fold must equal a full rebuild bit-for-bit. Gated because the
+    // rebuild is the O(base) scan the refresh exists to avoid — at
+    // 100 TB the production path ends at the fold above; the proof runs
+    // in StateMaintenanceSpec's named test, and the key's oracle gates
+    // the served values regardless.
+    if (refreshProofGate) {
+      def canon(df: DataFrame) = df
+        .orderBy(col("event_type").asc_nulls_last).collect().toSeq
+      require(canon(s.read.parquet(s"$scratch/mv2")) ==
+        canon(partials(s.read.parquet(root))),
+        "delta-folded MV diverged from the full rebuild")
+    }
     registerMv(s"$scratch/mv2", graft.plans.PathRegistry.fileFingerprint(
       s.read.parquet(root).inputFiles.toSeq))
     val refreshed = snap("post_refresh", "mv2", "base_t")
@@ -1008,13 +1030,15 @@ object MvOps {
     graft.Scratch.atomicPublish(
       java.nio.file.Paths.get(s"$scratch/mv2/_MVFILES"),
       all.mkString("\n"))
-    // refresh-correctness gate (scaffolding — the refresh itself never
-    // ran this): the fold must equal a full rebuild bit-for-bit
-    def canon(df: DataFrame) = df
-      .orderBy(col("l_returnflag").asc_nulls_last).collect().toSeq
-    require(canon(s.read.parquet(s"$scratch/mv2")) ==
-      canon(partials(s.read.parquet(base))),
-      "append-folded MV diverged from the full rebuild")
+    // refresh-correctness PROOF (env/test-gated — the mvRefreshIncremental
+    // rationale: the rebuild is the O(base) scan the append-fold avoids)
+    if (refreshProofGate) {
+      def canon(df: DataFrame) = df
+        .orderBy(col("l_returnflag").asc_nulls_last).collect().toSeq
+      require(canon(s.read.parquet(s"$scratch/mv2")) ==
+        canon(partials(s.read.parquet(base))),
+        "append-folded MV diverged from the full rebuild")
+    }
     registerMv(s"$scratch/mv2", all)
     val post = snap("post_refresh", "mv2", "app_base_t")
     val schema = StructType(Seq(
@@ -1027,6 +1051,131 @@ object MvOps {
     s.createDataFrame(
       s.sparkContext.parallelize((pre ++ fallen ++ post).toList, 1), schema)
       .orderBy(col("probe"), col("l_returnflag").asc_nulls_last)
+  }
+
+  /** min/max MV refresh under DELETE via PER-PARTITION partials (r14 —
+    * VERDICT r13 task 4): min/max are idempotent but NOT invertible, so
+    * the signed-delta fold (mvRefreshIncremental) deliberately excludes
+    * them; the scale-safe alternative is partials at (group × partition)
+    * granularity — ClickHouse's per-part min/max statistics, the
+    * meta_parts layout. A pruned DELETE then refreshes by recomputing
+    * ONLY the admitted partitions' partial rows (the same pruned I/O
+    * class the mutation itself paid) and SPLICING:
+    * mv2 = mv1[un-admitted days] ∪ partials(mutated days). Un-admitted
+    * partitions' bytes are untouched by the prune (mutatePartitions'
+    * contract), so their partials stay exact with no inversion anywhere.
+    * Routing stays sound over multiple rows per group because every
+    * routed aggregate is a monoid merge (min-of-mins, max-of-maxes,
+    * sum, count) and the grouping-key routes need only "a row exists
+    * iff ≥1 base row does", which holds per (group, partition).
+    * Probes: pre_mutation routed to mv1 WITH min/max aggregates
+    * (plan-asserted), post_refresh routed to the spliced mv2; requires
+    * prove the refresh read a strict subset of partitions and no file
+    * outside them; the bit-equal full-rebuild proof is gated like the
+    * other refreshes (refreshProofGate — StateMaintenanceSpec arms it).
+    *
+    * Scale notes: refresh cost = O(mutated partitions) data +
+    * O(groups × partitions) MV metadata rows; history is never
+    * re-scanned and nothing needs min/max to be invertible.
+    */
+  private def mvRefreshMinmax(s0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val scratch = graft.Scratch.dir("mvminmax")
+    val root = s"$scratch/base_t" // greppable in plan text (stale-key rule)
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("day").parquet(root)
+    val cut = Scans.dayPartitionCutoff(root, 7)._2
+    // per-(group × partition) partials — day is part of the artifact's
+    // key so a partition's rows can be REPLACED instead of inverted
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast(DecimalType(30, 6))).as("sum_value_state"),
+        count(lit(1)).as("n_rows"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+    def registerMv(path: String, fp: (Long, Long)): Unit =
+      MvRouting.register(MvRouting.MvDef(
+        basePath = root, mvPath = path, groupCols = Set("event_type"),
+        sumMap = Map("value" -> "sum_value_state"), countCol = "n_rows",
+        minMap = Map("value" -> "min_v"),
+        maxMap = Map("value" -> "max_v"),
+        baseFingerprint = Some(fp)))
+    val mv1Src = s.read.parquet(root)
+    partials(mv1Src).write.parquet(s"$scratch/mv1")
+    registerMv(s"$scratch/mv1",
+      graft.plans.PathRegistry.fileFingerprint(mv1Src.inputFiles.toSeq))
+    MvRouting.enable(s)
+    // eager snapshot per probe, proving WHICH artifact it scanned (the
+    // mvRouteStale pattern — O(event_types) driver rows)
+    def snap(probe: String, mustScan: String, mustNotScan: String)
+        : Seq[Row] = {
+      val df = s.read.parquet(root).groupBy(col("event_type"))
+        .agg(graft.Det.dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains(mustScan) && !p.contains(mustNotScan),
+        s"$probe probe must scan $mustScan and not $mustNotScan")
+      df.collect().toIndexedSeq.map(r => Row(probe, r.getString(0),
+        r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    }
+    val pre = snap("pre_mutation", "mv1", "base_t")
+    val admit = Scans.dayAdmit(d => !d.isBefore(cut))
+    def touchedDirs = Scans.dayDirs(root)
+      .filter(f => admit(f.getName.drop(4)))
+    def touchedRead(): DataFrame = {
+      val dirs = touchedDirs
+      require(dirs.nonEmpty, "mutation admits no partition — fixture broke")
+      s.read.option("basePath", root)
+        .parquet(dirs.map(_.getPath).toIndexedSeq: _*)
+    }
+    // the O(δ) proof: strictly fewer partitions than the base
+    require(touchedDirs.length <
+      graft.Scratch.listPartitionDirs(root, "day=").length,
+      "refresh must cover a strict subset of partitions")
+    Scans.mutatePartitions(s, root, "day", admit,
+      _.filter(col("event_type") =!= "click"),
+      s"ALTER TABLE t DELETE WHERE day >= $cut AND event_type = 'click'")
+    require(MvRouting.forPath(root).isEmpty,
+      "mutation machinery must have invalidated the MV registration")
+    // recompute ONLY the mutated partitions' partial rows (post-image)
+    val post = partials(touchedRead()).localCheckpoint(true)
+    require(touchedRead().inputFiles.forall(f =>
+      touchedDirs.exists(d => f.contains("/" + d.getName + "/"))),
+      "refresh read listed files outside the mutated partitions")
+    // the SPLICE: un-admitted days' rows byte-identical from mv1
+    // (admitted = day >= cut; null-day rows are never admitted)
+    val spliced = s.read.parquet(s"$scratch/mv1")
+      .filter(col("day").isNull ||
+        col("day") < lit(cut.toString).cast("date"))
+      .unionByName(post)
+    spliced.write.parquet(s"$scratch/mv2")
+    // refresh-correctness PROOF (env/test-gated — the refreshProofGate
+    // rationale: the rebuild is the O(base) scan the splice avoids)
+    if (refreshProofGate) {
+      def canon(df: DataFrame) = df
+        .orderBy(col("event_type").asc_nulls_last,
+          col("day").asc_nulls_last).collect().toSeq
+      require(canon(s.read.parquet(s"$scratch/mv2")) ==
+        canon(partials(s.read.parquet(root))),
+        "spliced min/max MV diverged from the full rebuild")
+    }
+    registerMv(s"$scratch/mv2", graft.plans.PathRegistry.fileFingerprint(
+      s.read.parquet(root).inputFiles.toSeq))
+    val refreshed = snap("post_refresh", "mv2", "base_t")
+    val schema = StructType(Seq(
+      StructField("probe", StringType), StructField("event_type", StringType),
+      StructField("sum_value", DoubleType),
+      StructField("min_value", DoubleType),
+      StructField("max_value", DoubleType), StructField("n", LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize((pre ++ refreshed).toList, 1), schema)
+      .orderBy(col("probe"), col("event_type").asc_nulls_last) // class-13 pin
   }
 
   /** Stage the two event layouts (idempotent per sfDir): the BASE copy
@@ -1586,6 +1735,26 @@ object MvOps {
               UNION ALL
               SELECT 'post_refresh', event_type,
                 ${Det.oSum("value")}, COUNT(*)
+              FROM e, m
+              WHERE day IS NULL OR NOT (day >= cut AND event_type = 'click')
+              GROUP BY event_type
+              ORDER BY probe, event_type NULLS LAST""")),
+    // pre_mutation aggregates the full table; post_refresh serves the
+    // DELETE's survivor set (incl. exact min/max) from the SPLICED
+    // per-partition-partial MV (null-day clicks survive — the DELETE
+    // predicate is UNKNOWN for them)
+    QueryDef("mv_refresh_minmax", mvRefreshMinmax,
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_type, value FROM events),
+               m AS (SELECT max(day) - 7 AS cut FROM e)
+              SELECT 'pre_mutation' AS probe, event_type,
+                ${Det.oSum("value")} AS sum_value,
+                MIN(value) AS min_value, MAX(value) AS max_value,
+                COUNT(*) AS n
+              FROM e GROUP BY event_type
+              UNION ALL
+              SELECT 'post_refresh', event_type,
+                ${Det.oSum("value")}, MIN(value), MAX(value), COUNT(*)
               FROM e, m
               WHERE day IS NULL OR NOT (day >= cut AND event_type = 'click')
               GROUP BY event_type

@@ -103,6 +103,18 @@ class AllQueriesSmokeSpec extends GraftSpec {
       == 2.0)
   }
 
+  test("bench record adoption: loaded runs keep the prior at-rest baseline") {
+    // at rest (all ratios ≈ 1, incl. the no-prior-record default) → adopt
+    assert(Bench.adoptRecord(1.0, 1.0, 1.0))
+    assert(Bench.adoptRecord(1.1, 1.05, 1.02))
+    // any single load signal past 1.1 blocks adoption — the r13 driver
+    // run (cpu 1.5–2×, io 3–10×, median ≈2×) must never become the
+    // baseline the next run's regression guard diffs against
+    assert(!Bench.adoptRecord(1.54, 1.0, 1.0))
+    assert(!Bench.adoptRecord(1.0, 3.2, 1.0))
+    assert(!Bench.adoptRecord(1.0, 1.0, 2.0))
+  }
+
   test("bench prev-map parse: queries extracted, garbage disables guard") {
     val dir = java.nio.file.Files.createTempDirectory("benchprev")
     val good = dir.resolve("good.json")

@@ -465,4 +465,23 @@ class StateMaintenanceSpec extends GraftSpec {
     assert(m(5L) == 105.0, "untouched bucket corrupted")
     assert(m.size == 15)
   }
+
+  test("refresh proof gate: every mv refresh bit-equals its full rebuild") {
+    // The operators' in-line full-rebuild proof is OFF by default (it is
+    // the O(base) scan the refreshes exist to avoid — VERDICT r13 item
+    // 7); THIS is the named test that arms it and runs each refresh key
+    // end-to-end, so the bit-equality claim stays continuously asserted
+    // without riding the measured bench path. The keys' own requires
+    // fire on any divergence.
+    assert(!graft.operators.MvOps.refreshProofGate,
+      "proof gate must default OFF so bench measures staging+fold only")
+    graft.operators.MvOps.refreshProofGate = true
+    try {
+      Seq("mv_refresh_incremental", "mv_refresh_append",
+          "mv_refresh_minmax").foreach { key =>
+        val n = SparkEntry.queries(key)(spark, sf).count()
+        assert(n > 0, s"$key returned no rows under the armed proof gate")
+      }
+    } finally graft.operators.MvOps.refreshProofGate = false
+  }
 }
