@@ -634,6 +634,46 @@ object Scans {
       .reduce(_ unionByName _).orderBy(col("probe"))
   }
 
+  /** CONJUNCTIVE token probes routed through the SAME rule (r14 —
+    * VERDICT r13 task 6): `has_token(t,'a') AND has_token(t,'b')` — the
+    * multi-keyword ALL-of search shape — admits the INTERSECTION of the
+    * per-token bloom-admitted file sets, a strictly smaller (never
+    * larger) set than either single-token admission: a row matching the
+    * conjunction contains BOTH tokens, so its file's bloom admits both,
+    * and intersecting admissions can drop no matching file. Probe pairs
+    * cover the three plan classes at this corpus: present∧present (both
+    * admit everywhere → full scan), present∧absent and absent∧absent
+    * (the empty intersection → the LocalRelation fast path, no file
+    * opened). The original filter stays above the pruned scan — bloom
+    * precision costs I/O, never correctness — and the oracle proves
+    * values. The strict-subset pruning proof (admitted(AND) smaller
+    * than EITHER single admission) lives in PlanShapeSpec's
+    * controlled-vocabulary case, alongside the mixed AND/OR
+    * unindexable-leg fallbacks.
+    *
+    * Scale notes: conjunctive probes are the COMMON refinement query
+    * over a log lake ("error AND timeout"), and intersection is where a
+    * token index earns compound returns — each extra conjunct can only
+    * shrink the files opened, at zero extra index I/O (positions are
+    * computed once per token at predicate build).
+    */
+  private def scanTextIndexRoutedAnd(s0: SparkSession, dir: String)
+      : DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation
+    val root = ensureTextIndex(s, dir)
+    graft.plans.TextIndexRouting.registerHasToken(s)
+    def probe(t1: String, t2: String): DataFrame =
+      s.read.parquet(root)
+        .filter(expr(s"has_token(text, '$t1') AND has_token(text, '$t2')"))
+        .agg(count(lit(1)).as("n_matched"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(s"$t1&$t2").as("probe"), col("n_matched"),
+          col("sum_chars"))
+    Seq(("dup", "spark"), ("dup", "quantum"), ("quantum", "flibber"))
+      .map { case (a, b) => probe(a, b) }
+      .reduce(_ unionByName _).orderBy(col("probe"))
+  }
+
   /** Delimiter-bounded LIKE and `has_token` served from the SAME token
     * index (the r13 generalization — r12 verdict task 4): `text LIKE
     * '% tok %'` is the spelling real users type first, and ClickHouse's
@@ -2369,6 +2409,18 @@ object Scans {
               FROM p LEFT JOIN documents
                 ON list_contains(string_split(text, ' '), probe)
               GROUP BY probe ORDER BY probe""")),
+    // routing is value-invisible (the original filter stays above the
+    // pruned scan), so the oracle is the plain conjunction over documents
+    QueryDef("scan_text_index_routed_and", scanTextIndexRoutedAnd,
+      Some("""WITH p AS (SELECT 'dup' AS t1, 'spark' AS t2 UNION ALL
+                SELECT 'dup', 'quantum' UNION ALL
+                SELECT 'quantum', 'flibber')
+              SELECT t1 || '&' || t2 AS probe, COUNT(doc_id) AS n_matched,
+                CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+              FROM p LEFT JOIN documents
+                ON list_contains(string_split(text, ' '), t1)
+                AND list_contains(string_split(text, ' '), t2)
+              GROUP BY 1 ORDER BY 1""")),
     QueryDef("scan_text_index_routed_or", scanTextIndexRoutedOr,
       Some("""WITH p AS (SELECT 'dup' AS t1, 'spark' AS t2 UNION ALL
                 SELECT 'dup', 'quantum' UNION ALL

@@ -615,6 +615,184 @@ object StreamOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** STREAMING MV MAINTENANCE (r14 — VERDICT r13 task 5, ClickHouse's
+    * actual MV trigger point): the foreachBatch CDC merge that maintains
+    * the BASE table also folds each micro-batch's SIGNED delta into the
+    * registered aggregate MV and re-registers it against the new base
+    * version — so a routed dashboard query stays served from O(groups)
+    * partials at every epoch, with zero window where routing could read
+    * stale state (each registration carries the new base's build-time
+    * fingerprint; the sentinel unroutes anything else).
+    *
+    * Two-epoch protocol (deterministic batch boundaries — one stream
+    * RUN per epoch, the checkpoint resumes): epoch 1 delivers the
+    * INSERT snapshot; epoch 2 the UPDATE/DELETE tail. Per micro-batch:
+    *   1. latest-image merge into a versioned base store (the
+    *      stream_cdc_upsert (es, ts)-desc algebra, carrying o_custkey),
+    *      live rows published as `smm_base/v=<batch>`;
+    *   2. ΔMV = γ_{o_custkey}(signed contributions) — INSERT +price/+1,
+    *      UPDATE +(new−old)/0, DELETE −price/−1 (the streamSummingMv
+    *      decimal-exact algebra) — folded into the prior MV version:
+    *      mv_new = γ(mv_old ∪ ΔMV), groups at 0 live orders dropped
+    *      (the one-row-per-present-group MV invariant);
+    *   3. MvRouting.register(base_v → mv_v) with the fingerprint of the
+    *      just-published base files.
+    * After each epoch a PLAIN aggregate over the published base is
+    * probed: a require proves it scanned `smm_mv` and not `smm_base`
+    * (the snap discipline), and the values — epoch 1 = the insert
+    * snapshot, epoch 2 = the fully-applied live set — hash against the
+    * DuckDB oracle. History never replays: each epoch shuffles only its
+    * deltas plus O(customers) state rows.
+    *
+    * Scale notes: this is the freshness story mvRouteStale's
+    * invalidate-then-refresh lacks for streams — the O(δ) fold rides
+    * the SAME micro-batch that changed the base, so the MV is never
+    * stale and never rebuilt; state and MV are both O(keys), and the
+    * probe's routed scan is O(groups) regardless of stream length.
+    */
+  private def streamMvMaintain(s0: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MvRouting
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val s = stateSized(s0)
+    val root = fresh("stream_mv")
+    val feed = s"$root/feed"
+    new java.io.File(feed).mkdirs()
+    val stateDir = s"$root/merge_state" // tombstone-bearing merge state
+    val baseDir = s"$root/smm_base"     // live-rows base, versioned
+    val mvDir = s"$root/smm_mv"         // folded MV, versioned
+    // epoch feeds re-serialized from the parsed envelopes (the
+    // offsetLogDir to_json discipline): epoch 1 = the INSERT snapshot
+    val recs = graft.operators.Cdc.parsed(s0, dir)
+      .filter(col("table") === "orders" && !col("isDdl"))
+      .withColumn("value", to_json(struct(col("id"), col("database"),
+        col("table"), col("pkNames"), col("isDdl"), col("type"),
+        col("es"), col("ts"), col("sql"), col("mysqlType"), col("data"),
+        col("old"))))
+    recs.filter(col("type") === "INSERT").select("value")
+      .coalesce(1).write.mode("append").text(feed)
+
+    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      val ss = batch.sparkSession
+      val t = graft.operators.Cdc.typeMapOrders(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // 1. latest-image merge (es, ts desc — stream_cdc_upsert's rule),
+        // tombstones kept in merge_state, live rows published per version
+        val typed = t.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("es"), col("ts"), col("type"))
+        val prevDirs = stateVersionsBelow(stateDir, batchId)
+        val prevState =
+          if (prevDirs.isEmpty) typed.limit(0)
+          else ss.read.parquet(s"$stateDir/v=${prevDirs.max}")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey"))
+          .orderBy(col("es").desc, col("ts").desc)
+        val merged = prevState.unionByName(typed)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        val baseV = s"$baseDir/v=$batchId"
+        merged.filter(col("type") =!= "DELETE")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(baseV)
+        merged.unpersist()
+        gcStateVersions(stateDir, prevDirs)
+        // 2. the signed MV delta (streamSummingMv's exact algebra)
+        val oldPrice = element_at(col("old_img"), "o_totalprice")
+          .cast("double")
+        val contrib = when(col("type") === "INSERT", col("o_totalprice"))
+          .when(col("type") === "UPDATE", col("o_totalprice") - oldPrice)
+          .otherwise(-col("o_totalprice"))
+        val deltas = t.groupBy(col("o_custkey"))
+          .agg(sum(contrib.cast(org.apache.spark.sql.types
+              .DecimalType(30, 6))).cast(org.apache.spark.sql.types
+              .DecimalType(38, 6)).as("spend_state"),
+            sum(when(col("type") === "INSERT", 1L)
+              .when(col("type") === "DELETE", -1L).otherwise(0L))
+              .as("n_live"))
+        val mvPrevDirs = stateVersionsBelow(mvDir, batchId)
+        val mvPrev =
+          if (mvPrevDirs.isEmpty) deltas.limit(0)
+          else ss.read.parquet(s"$mvDir/v=${mvPrevDirs.max}")
+        val mvV = s"$mvDir/v=$batchId"
+        mvPrev.unionByName(deltas)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("spend_state")).cast(org.apache.spark.sql.types
+              .DecimalType(38, 6)).as("spend_state"),
+            sum(col("n_live")).as("n_live"))
+          .filter(col("n_live") > 0)
+          .write.mode("overwrite").parquet(mvV)
+        gcStateVersions(mvDir, mvPrevDirs)
+        // 3. re-register against the NEW base version, fingerprinted
+        // from the files just published — the routing registry is the
+        // micro-batch's last write, so there is no stale window at all
+        MvRouting.register(MvRouting.MvDef(
+          basePath = baseV, mvPath = mvV, groupCols = Set("o_custkey"),
+          sumMap = Map("o_totalprice" -> "spend_state"),
+          countCol = "n_live",
+          baseFingerprint = Some(graft.plans.PathRegistry.fileFingerprint(
+            ss.read.parquet(baseV).inputFiles.toSeq))))
+      } finally { t.unpersist(false); () }
+    }
+
+    def runEpoch(): Unit = {
+      val q = s.readStream.schema(graft.operators.Cdc.envelopeSchema)
+        .json(feed)
+        .writeStream
+        .foreachBatch(applyBatch _)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      awaitBounded(q)
+    }
+
+    MvRouting.enable(s)
+    // routed probe over the CURRENT base version: plan-asserted to read
+    // the MV (the mvRouteStale snap discipline), values snapshotted
+    // eagerly — O(customers) driver rows
+    def probe(epoch: String): Seq[Row] = {
+      val versions = graft.Scratch.listPartitionDirs(baseDir, "v=")
+        .map(_.getName.drop(2).toLong)
+      require(versions.nonEmpty, s"$epoch: no base version published")
+      val df = s.read.parquet(s"$baseDir/v=${versions.max}")
+        .groupBy(col("o_custkey"))
+        .agg(graft.Det.dsum(col("o_totalprice")).as("spend"),
+          count(lit(1)).as("n_orders"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains("smm_mv") && !p.contains("smm_base"),
+        s"$epoch probe must be served from the maintained MV, " +
+          s"not the base:\n${p.take(500)}")
+      df.collect().toIndexedSeq
+        .map(r => Row(epoch, r.getLong(0), r.getDouble(1), r.getLong(2)))
+    }
+
+    try {
+      runEpoch()
+      val e1 = probe("epoch1")
+      // epoch 2: the UPDATE/DELETE tail lands as new feed files; the
+      // resumed stream processes ONLY them (checkpointed position)
+      recs.filter(col("type") =!= "INSERT").select("value")
+        .coalesce(1).write.mode("append").text(feed)
+      runEpoch()
+      val e2 = probe("epoch2")
+      val schema = StructType(Seq(
+        StructField("probe", StringType),
+        StructField("o_custkey", LongType),
+        StructField("spend", DoubleType),
+        StructField("n_orders", LongType)))
+      s.createDataFrame(
+        s.sparkContext.parallelize((e1 ++ e2).toList, 1), schema)
+        .orderBy(col("probe"), col("o_custkey"))
+    } finally {
+      // the versioned base paths are nanoTime-fresh per invocation:
+      // without this the JVM-global registry grows one entry per bench
+      // rep forever (the scanTextIndexAppend sweep rule)
+      graft.Scratch.listPartitionDirs(baseDir, "v=")
+        .foreach(d => MvRouting.invalidate(d.getPath))
+    }
+  }
+
   /** The CDC feed as a partitioned OFFSET LOG ([[OffsetLog]]), staged
     * once per (JVM, sfDir): epoch 0 = the INSERT snapshot, epoch 1 = the
     * UPDATE/DELETE tail — partition = pk % 4 (the Canal→Kafka pk-hash
@@ -1634,6 +1812,24 @@ object StreamOps {
               FROM orders ORDER BY o_orderkey""")),
     QueryDef("stream_cdc_upsert", streamCdcUpsert,
       Some(cdcUpsertEndStateOracle)),
+    // epoch 1 = the INSERT snapshot (all orders at original price);
+    // epoch 2 = the fully-applied live set — the stream_cdc_upsert
+    // end-state algebra rolled up by customer. Both probes are served
+    // from the per-batch-maintained MV (require-proven in the key).
+    QueryDef("stream_mv_maintain", streamMvMaintain,
+      Some(s"""WITH e2 AS (SELECT o_custkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                      ELSE o_totalprice END AS price
+               FROM orders WHERE o_orderkey % 7 <> 0)
+              SELECT 'epoch1' AS probe, o_custkey,
+                ${graft.Det.oSum("o_totalprice")} AS spend,
+                COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+              UNION ALL
+              SELECT 'epoch2', o_custkey, ${graft.Det.oSum("price")},
+                COUNT(*)
+              FROM e2 GROUP BY o_custkey
+              ORDER BY probe, o_custkey""")),
     // offsets = per-partition envelope counts (insert + update + delete
     // script membership); state = the stream_cdc_upsert end-state algebra
     // grouped by the log partition. The exactly-once variant converges

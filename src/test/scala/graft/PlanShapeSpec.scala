@@ -1423,6 +1423,82 @@ class PlanShapeSpec extends GraftSpec {
     TextIndexRouting.disable(s)
   }
 
+  test("token index AND routing intersects admissions strictly below either token") {
+    import graft.plans.TextIndexRouting
+    import graft.operators.Scans
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val s = graft.Sessions.isolatedClone(spark) // rule isolation
+    val root = s"${graft.Scratch.dir("textidxand")}/t"
+    // OVERLAPPING vocabularies so the intersection is non-empty AND
+    // strictly smaller than BOTH single-token admissions:
+    //   red  → {f1, f2}, blue → {f1, f3}, red∧blue → {f1}
+    Seq((1L, "red blue")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    Seq((2L, "red green")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    Seq((3L, "amber blue")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    assert(Scans.appendTextIndex(s, root) == 3)
+    TextIndexRouting.register(TextIndexRouting.TextIndexDef(
+      root, "text", Scans.TextIndexBits, Scans.parseIndex(root)))
+    TextIndexRouting.enable(s)
+    TextIndexRouting.registerHasToken(s)
+    def tokFilter(t: String) = org.apache.spark.sql.functions.array_contains(
+      org.apache.spark.sql.functions.split(col("text"), " "), t)
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.flatMap(_.relation.location.inputFiles)
+        .map(TextIndexRouting.normFile).toSet
+    def admits(tok: String): Set[String] = {
+      val pos = TextIndexRouting.tokenPositions(tok, Scans.TextIndexBits)
+      Scans.parseIndex(root).collect {
+        case (f, b) if pos.forall(b.contains) => f
+      }.toSet
+    }
+    val fRed = admits("red"); val fBlue = admits("blue")
+    assert(fRed.size == 2 && fBlue.size == 2 && (fRed intersect fBlue).size == 1,
+      s"fixture degenerate: red→$fRed blue→$fBlue")
+    // the VERDICT r13 task-6 proof: AND admission strictly below EITHER
+    // single-token admission, and exactly the intersection
+    val and2 = s.read.parquet(root)
+      .filter(tokFilter("red") && tokFilter("blue"))
+    val got = scanned(and2)
+    assert(got == (fRed intersect fBlue),
+      s"AND must admit the intersection: $got")
+    assert(got.size < fRed.size && got.size < fBlue.size,
+      "AND admission must be strictly smaller than either token's")
+    assert(and2.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the has_token SQL spelling routes identically
+    val andSql = s.read.parquet(root).filter(
+      org.apache.spark.sql.functions.expr(
+        "has_token(text, 'red') AND has_token(text, 'blue')"))
+    assert(scanned(andSql) == (fRed intersect fBlue),
+      "has_token AND spelling must prune like the canonical tree")
+    // present∧absent: intersection with the empty admission opens no file
+    val none = s.read.parquet(root)
+      .filter(tokFilter("red") && tokFilter("omega"))
+    assert(none.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.isEmpty, "present∧absent must open no file")
+    assert(none.count() == 0)
+    // mixed AND/OR with one unindexable leg falls back SOUNDLY:
+    // (a) AND over an opaque-legged OR: the OR admits everything, the
+    //     And keeps the token conjunct alone — superset of matches
+    assert(scanned(s.read.parquet(root).filter(tokFilter("red") &&
+      (tokFilter("blue") ||
+        org.apache.spark.sql.functions.length(col("text")) > 100))) == fRed,
+      "AND over an opaque-legged OR must fall back to the token conjunct")
+    // (b) OR over an AND leg: every disjunct prunable → union of the
+    //     AND-leg intersection with the other token's admission
+    assert(scanned(s.read.parquet(root).filter(
+      (tokFilter("red") && tokFilter("blue")) || tokFilter("green")))
+      == ((fRed intersect fBlue) ++ admits("green")),
+      "OR over an AND leg must union the leg admissions")
+    TextIndexRouting.disable(s)
+  }
+
   test("bounded LIKE / has_token route via the token index; substring LIKE stays unrouted") {
     import graft.plans.TextIndexRouting
     import graft.operators.Scans
