@@ -636,6 +636,9 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // grouping attrs / registered expression subtrees map to MV attrs,
     // AggregateExpressions go through rewriteAggFn (dim-referencing
     // ones block), anything else recurses or aborts
+    // every MV-attr substitution is TYPE-CHECKED (the rewriteExpand
+    // discipline): a type-drifted mis-registration must fall through,
+    // never silently change the query's output schema
     def rw(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression =>
         if (ae.references.exists(dimIds.contains)) None
@@ -643,11 +646,16 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
           hasGrouping = groupExprs.nonEmpty, mvPlan, multiRoot = false)
       case a: AttributeReference if dimIds.contains(a) => Some(a)
       case a: AttributeReference =>
-        if (mv.groupCols(a.name)) mvAttr.get(a.name) else None
+        if (mv.groupCols(a.name))
+          mvAttr.get(a.name).filter(_.dataType == a.dataType)
+        else None
       case other =>
         val factOnly = other.references.nonEmpty &&
           other.references.forall(r => !dimIds.contains(r))
-        (if (factOnly) exprTarget(other, mv).flatMap(mvAttr.get) else None)
+        (if (factOnly)
+          exprTarget(other, mv).flatMap(mvAttr.get)
+            .filter(_.dataType == other.dataType)
+        else None)
           .orElse {
             val kids = other.children.map(rw)
             if (kids.forall(_.isDefined))
@@ -659,7 +667,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     val newAggExprs = aggExprs.map {
       case a: AttributeReference if dimIds.contains(a) => Some(a)
       case a: AttributeReference
-          if mv.groupCols(a.name) && mvAttr.contains(a.name) =>
+          if mv.groupCols(a.name) && mvAttr.get(a.name)
+            .exists(_.dataType == a.dataType) =>
         Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
       case al: Alias =>
         rw(al.child).map(c => Alias(c, al.name)(exprId = al.exprId))
@@ -1134,22 +1143,30 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       case ae: AggregateExpression =>
         rewriteAggFn(ae, mv, mvAttr, groupExprs.nonEmpty, mvPlan, multiRoot)
       case a: AttributeReference =>
-        if (mv.groupCols(a.name)) mvAttr.get(a.name) else None
+        // type-checked (r14 hardening, the rewriteExpand discipline): a
+        // type-drifted mis-registration falls through instead of
+        // silently changing the query's output schema
+        if (mv.groupCols(a.name))
+          mvAttr.get(a.name).filter(_.dataType == a.dataType)
+        else None
       case other =>
         // a grouping-EXPRESSION occurrence maps to its materialized MV
         // column as a whole — checked BEFORE recursing, because its
         // internal attributes (e.g. the raw timestamp) are not grouping
         // columns and recursion would wrongly abort
-        exprTarget(other, mv).flatMap(mvAttr.get).orElse {
-          val kids = other.children.map(rw)
-          if (kids.forall(_.isDefined))
-            Some(other.withNewChildren(kids.map(_.get)))
-          else None
-        }
+        exprTarget(other, mv).flatMap(mvAttr.get)
+          .filter(_.dataType == other.dataType)
+          .orElse {
+            val kids = other.children.map(rw)
+            if (kids.forall(_.isDefined))
+              Some(other.withNewChildren(kids.map(_.get)))
+            else None
+          }
     }
 
     val newAggExprs = aggExprs.map {
-      case a: AttributeReference if mv.groupCols(a.name) && mvAttr.contains(a.name) =>
+      case a: AttributeReference if mv.groupCols(a.name) && mvAttr.get(a.name)
+          .exists(_.dataType == a.dataType) =>
         Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
       case al: Alias =>
         rw(al.child).map(c => Alias(c, al.name)(exprId = al.exprId))

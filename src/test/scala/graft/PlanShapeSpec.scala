@@ -1120,6 +1120,117 @@ class PlanShapeSpec extends GraftSpec {
       "re-routed values must equal the refreshed base")
   }
 
+  test("routing fuzz: armed and unarmed sessions agree on random query shapes") {
+    // The r14 adversarial-review campaign's standing invariant, fuzzed:
+    // TRANSPARENT ROUTING NEVER CHANGES VALUES. Random (grouping, filter,
+    // aggregates, groupBy-vs-rollup, plain-vs-join) shapes drawn from
+    // pools that mix routable and must-NOT-route members — whichever way
+    // each shape routes (or refuses), the armed session's rows must be
+    // bit-identical to the unarmed session's. This is the negative-gate
+    // coverage the per-shape tests can't enumerate: a rule that fired on
+    // a shape it cannot answer exactly shows up here as a value split,
+    // whatever the shape.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+    import org.apache.spark.sql.types.DecimalType
+    val F = org.apache.spark.sql.functions
+    val s = graft.Sessions.isolatedClone(spark) // armed
+    graft.operators.MvOps.ensureMv(s, sf)
+    val aggPool: Vector[(String, Column)] = Vector(
+      "dsum_qty" -> Det.dsum(col("l_quantity")),
+      "n" -> F.count(lit(1)),
+      "n_pk" -> F.count(col("l_partkey")),       // declared non-null → routes
+      "n_tax" -> F.count(col("l_tax")),          // undeclared → must block
+      "min_price" -> F.min(col("l_extendedprice")),
+      "max_price" -> F.max(col("l_extendedprice")),
+      "avg_qty" -> F.avg(col("l_quantity").cast(DecimalType(30, 6)))
+        .cast("double"),
+      "sum_pk" -> F.sum(col("l_partkey")),       // bigint partial → routes
+      "sum_dbl" -> F.sum(col("l_quantity")),     // plain double → must block
+      "nd_status" -> F.countDistinct(col("l_linestatus")), // key distinct
+      "nd_pk" -> F.countDistinct(col("l_partkey")),        // must block
+      "rev" -> Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+      "charge" -> Det.dsum(col("l_extendedprice") * (lit(1) + col("l_tax"))),
+      "min_flag" -> F.min(col("l_returnflag")))  // grouping-key min
+    val groupPool: Vector[Seq[Column]] = Vector(
+      Seq(col("l_returnflag")),
+      Seq(col("l_returnflag"), col("l_linestatus")),
+      Seq(F.date_trunc("month", col("l_shipdate"))),   // expression key
+      Seq(F.date_trunc("year", col("l_shipdate"))),    // unregistered unit
+      Seq(col("l_suppkey")),                           // second projection
+      Seq(col("l_shipdate")),                          // non-groupable
+      Seq())                                           // global
+    val filterPool: Vector[Option[Column]] = Vector(
+      None,
+      Some(col("l_linestatus") === "F"),               // grouping-col filter
+      Some(col("l_quantity") > 25),                    // row-level → block
+      Some(F.date_trunc("month", col("l_shipdate")) ===
+        F.to_timestamp(lit("1995-03-01 00:00:00"))))   // expr-key filter
+    val shapeGen = for {
+      g <- Gen.choose(0, groupPool.length - 1)
+      f <- Gen.choose(0, filterPool.length - 1)
+      nAgg <- Gen.choose(1, 3)
+      aggs <- Gen.pick(nAgg, aggPool.indices)
+      rollup <- Gen.oneOf(true, false)
+      joined <- Gen.oneOf(true, false)
+    } yield (g, f, aggs.toSeq.sorted, rollup, joined)
+    def run(sess: SparkSession, shape: (Int, Int, Seq[Int], Boolean, Boolean))
+        : (String, Seq[org.apache.spark.sql.Row]) = {
+      val (g, f, aggIdx, rollupMode, joined) = shape
+      val keys = groupPool(g).zipWithIndex.map { case (c, i) => c.as(s"g$i") }
+      val aggs = aggIdx.map(i => aggPool(i)._2.as(aggPool(i)._1))
+      val base0 = Tables.lineitem(sess, sf)
+      val base = if (joined)
+        base0.join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+      else base0
+      val filtered = filterPool(f).map(base.filter).getOrElse(base)
+      val df: DataFrame =
+        if (keys.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
+        else if (rollupMode)
+          filtered.rollup(keys: _*)
+            .agg(aggs.head, (aggs.tail :+ F.grouping_id().as("gid")): _*)
+            .orderBy(keys.indices.map(i =>
+              col(s"g$i").asc_nulls_last) :+ col("gid"): _*)
+        else filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+          .orderBy(keys.indices.map(i => col(s"g$i").asc_nulls_last): _*)
+      (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+    }
+    var routedCount = 0
+    def check(tag: String, shape: (Int, Int, Seq[Int], Boolean, Boolean))
+        : Boolean = {
+      val (armedPlan, armed) = run(s, shape)
+      val (controlPlan, control) = run(spark, shape)
+      assert(!controlPlan.contains("graft_mv"),
+        s"$tag: control session unexpectedly armed")
+      assert(armed == control,
+        s"$tag: routed values diverged for shape $shape\n" +
+          s"armed=${armed.take(3)}\ncontrol=${control.take(3)}\n" +
+          s"plan=${armedPlan.take(600)}")
+      armedPlan.contains("graft_mv") && !armedPlan.contains("lineitem.parquet")
+    }
+    (1 to 30).foreach { i =>
+      if (check(s"seed $i",
+          shapeGen.pureApply(Gen.Parameters.default, Seed(i.toLong))))
+        routedCount += 1
+    }
+    // the fuzz is mostly-blocking by design (that is the point — it
+    // hammers the negative gates), so non-vacuousness is anchored by
+    // DETERMINISTIC must-route shapes through the same harness: plain,
+    // rollup, and star-join spellings (agg indices: dsum_qty, n,
+    // min_price, max_price over flag / flag+status / joined-suppkey)
+    assert(check("fixed plain", (0, 1, Seq(0, 1), false, false)),
+      "known-routable plain shape failed to route")
+    assert(check("fixed rollup", (1, 0, Seq(0, 4, 5), true, false)),
+      "known-routable rollup shape failed to route")
+    assert(check("fixed join", (4, 0, Seq(4, 5), false, true)),
+      "known-routable star-join shape failed to route")
+    // …and the random draws must still land SOME routed shapes
+    assert(routedCount >= 1, s"0 of 30 random shapes routed — " +
+      "pools or rule coverage regressed")
+  }
+
   test("mv_route_join routes the star join's fact side to the MV, bit-identical") {
     val df = SparkEntry.queries("mv_route_join")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
