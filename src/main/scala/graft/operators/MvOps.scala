@@ -756,6 +756,38 @@ object MvOps {
       .orderBy(col("s_nationkey"))
   }
 
+  /** DEEP star join routed (r14 follow-through on the same task): the
+    * fact sits BELOW the top join — `γ_{n_name}((lineitem ⋈ supplier) ⋈
+    * nation)`, the canonical TPC-H 3-way star every revenue-by-region
+    * dashboard spells — and the rule flattens the inner-join tree,
+    * swaps the fact scan for the by-supplier MV, and reassembles the
+    * joins left-deep with each condition at the first level its
+    * references allow (never creating a cross level; any such shape
+    * falls through). Same eager-aggregation soundness as mv_route_join:
+    * the join keys along the fact path are MV grouping columns, dim
+    * subtrees pass verbatim by exprId. PlanShapeSpec asserts the MV
+    * scan + BOTH dim scans coexist, the fact parquet is gone,
+    * bit-identity, and the snowflake negative gate (a mid-tree join on
+    * a non-grouping fact column falls through).
+    *
+    * Scale notes: the 3-way star is where the routed plan's economics
+    * compound — O(suppliers) partials ⋈ supplier ⋈ nation is three
+    * broadcast-sized inputs where the unrouted plan shuffled the
+    * 100 TB fact through two joins.
+    */
+  private def mvRouteJoinDeep(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+  }
+
   /** `percentile_approx` served from the t-digest sketch projection
     * (r14 — the r13 verdict's task 2): the query is a PLAIN
     * percentile_approx over the fact table; the routing rule rewrites
@@ -1675,6 +1707,15 @@ object MvOps {
                 COUNT(*) AS n
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               GROUP BY s_nationkey ORDER BY s_nationkey""")),
+    QueryDef("mv_route_join_deep", mvRouteJoinDeep,
+      Some(s"""SELECT n_name,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                MAX(l_extendedprice) AS max_price,
+                COUNT(*) AS n
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
     // t-digest estimate — rows-only by design (SketchSpec bounds the
     // routed estimates' rank error and asserts the sketch-MV scan)
     QueryDef("mv_route_quantile", mvRouteQuantile, None),

@@ -549,20 +549,39 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
             defsFor(fs.location.rootPaths.head.toString).nonEmpty
       }
       val leftInfo = factInfo(join.left)
-      val factOnLeft = leftInfo.isDefined
       // a self-join (both sides registered) routes the LEFT leg only —
-      // sound: the right leg stays a base scan
-      val info = leftInfo.orElse(factInfo(join.right))
-      info.flatMap { case (factConds, factSubst, fs) =>
+      // sound: the right leg stays a base scan. FACT AT THE TOP JOIN
+      // preserves the original side order and the user's join hints;
+      // a fact sitting DEEPER in an inner-join tree (the snowflake /
+      // 3-way star shape) goes through flattenToFact + left-deep
+      // reassembly instead (hints lost there — noted, AQE re-picks).
+      val topInfo = leftInfo.orElse(factInfo(join.right)).map { info =>
+        val factOnLeft = leftInfo.isDefined
         val dimPlan = if (factOnLeft) join.right else join.left
-        val dimIds = dimPlan.outputSet
+        val mk = (mvSide: LogicalPlan, conds: Seq[Expression]) =>
+          Some(if (factOnLeft)
+            Join(mvSide, dimPlan, Inner,
+              Some(conds.reduce(And(_, _))), join.hint)
+          else Join(dimPlan, mvSide, Inner,
+            Some(conds.reduce(And(_, _))), join.hint)): Option[LogicalPlan]
+        (info, Seq(dimPlan), mk,
+          splitConjunctivePredicates(join.condition.get))
+      }.orElse {
+        flattenToFact(join).map { case (fc, fsub, fs, dims, pot) =>
+          val mk = (mvSide: LogicalPlan, conds: Seq[Expression]) =>
+            reassembleJoins(mvSide, dims, conds)
+          ((fc, fsub, fs), dims, mk, pot)
+        }
+      }
+      topInfo.flatMap { case ((factConds, factSubst, fs), dims, mkChild,
+          rawJoinConds) =>
+        val dimIds = dims.map(_.outputSet).reduce(_ ++ _)
         val root = fs.location.rootPaths.head.toString
         // resolve above-join aliases, then fact-side scan aliases, so
         // every surviving fact reference is a BASE attribute by name
         def resolve(e: Expression): Expression =
           applySubst(applySubst(e, subst), factSubst)
-        val joinConds =
-          splitConjunctivePredicates(join.condition.get).map(resolve)
+        val joinConds = rawJoinConds.map(resolve)
         // walk applied `subst` when collecting; fact aliases remain
         val aboveConds = aboveConds0.map(applySubst(_, factSubst))
         val groupExprs = agg.groupingExpressions.map(resolve)
@@ -581,7 +600,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         lazy val curFp = PathRegistry.fingerprintsByRoot(fs.location)(root)
         defsFor(root).view.flatMap { d =>
           rewriteJoin(groupExprs, aggExprs, joinConds, aboveConds,
-            factConds, d, dimIds, dimPlan, factOnLeft, join, curFp)
+            factConds, d, dimIds, mkChild, curFp)
             .map(newChild => agg.copy(
               groupingExpressions = newChild._1,
               aggregateExpressions = newChild._2,
@@ -589,6 +608,97 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         }.headOption
       }
     }
+  }
+
+  /** The registered fact scan located DEEPER than the top join (r14 —
+    * the 3-way star / snowflake shape `γ((fact ⋈ dim1) ⋈ dim2)`):
+    * depth-first descent through INNER-with-condition joins and the
+    * usual aliasing Projects / Filters on the fact path, returning
+    * (fact baseScan triple, sibling dim subtrees innermost-first, the
+    * pooled join/filter conditions met along the way). Sibling subtrees
+    * are kept VERBATIM (their internals never rewritten); only the
+    * fact-path Projects feed the substitution map, built bottom-up so
+    * values arrive fully resolved. Anything else on the path — outer
+    * joins, condition-less joins, non-aliasing Projects — aborts.
+    */
+  private def flattenToFact(p: LogicalPlan): Option[(Seq[Expression],
+      Map[ExprId, Expression], HadoopFsRelation, Seq[LogicalPlan],
+      Seq[Expression])] = {
+    // inner result: (factConds, factSubst, fs, dims, pooledConds)
+    def go(q: LogicalPlan): Option[(Seq[Expression],
+        Map[ExprId, Expression], HadoopFsRelation, Seq[LogicalPlan],
+        Seq[Expression])] = q match {
+      case j @ Join(l, r, Inner, Some(cond), _) =>
+        val conds = splitConjunctivePredicates(cond)
+        def asFact(side: LogicalPlan, sibling: LogicalPlan) =
+          baseScan(side).collect {
+            case (fc, fsub, fs)
+                if fs.location.rootPaths.lengthCompare(1) == 0 &&
+                  defsFor(fs.location.rootPaths.head.toString).nonEmpty =>
+              (fc, fsub, fs, Seq(sibling), conds)
+          }
+        def deeper(side: LogicalPlan, sibling: LogicalPlan) =
+          go(side).map { case (fc, fsub, fs, dims, pot) =>
+            (fc, fsub, fs, dims :+ sibling, pot ++ conds)
+          }
+        asFact(l, r).orElse(asFact(r, l))
+          .orElse(deeper(l, r)).orElse(deeper(r, l))
+      case Project(projList, child) if projList.forall {
+          case _: AttributeReference => true
+          case a: Alias => a.child.deterministic
+          case _ => false
+        } =>
+        go(child).map { case (fc, fsub, fs, dims, pot) =>
+          val grown = fsub ++ projList.collect {
+            case a: Alias => a.exprId -> applySubst(a.child, fsub)
+          }
+          (fc, grown, fs, dims, pot)
+        }
+      case Filter(cond, child) =>
+        // a mid-tree filter joins the condition pool — inner joins let
+        // predicates float freely above their references
+        go(child).map { case (fc, fsub, fs, dims, pot) =>
+          (fc, fsub, fs, dims, cond +: pot)
+        }
+      case _ => None
+    }
+    // the TOP-join REGISTERED-fact case is routeJoin's hint-preserving
+    // path; this function only answers when the registered fact sits
+    // strictly deeper (an UNREGISTERED top-level scan — a dim — must
+    // not suppress the descent)
+    def registered(side: LogicalPlan): Boolean = baseScan(side).exists {
+      case (_, _, fs) =>
+        fs.location.rootPaths.lengthCompare(1) == 0 &&
+          defsFor(fs.location.rootPaths.head.toString).nonEmpty
+    }
+    p match {
+      case Join(l, r, Inner, Some(_), _)
+          if registered(l) || registered(r) => None
+      case _ => go(p)
+    }
+  }
+
+  /** Left-deep reassembly of the routed join tree: dims innermost-first
+    * over the (possibly pre-filtered) MV side, each rewritten condition
+    * placed at the FIRST level where all its references are available —
+    * the createOrderedJoin discipline. A level left with no condition
+    * would be the cross product the library bans, so it aborts the
+    * route instead (sound fallthrough); leftover conditions likewise.
+    */
+  private def reassembleJoins(mvSide: LogicalPlan, dims: Seq[LogicalPlan],
+      conds: Seq[Expression]): Option[LogicalPlan] = {
+    var cur = mvSide
+    var remaining = conds
+    var ok = true
+    dims.foreach { d =>
+      val avail = cur.outputSet ++ d.outputSet
+      val (now, later) = remaining.partition(_.references.subsetOf(avail))
+      if (now.isEmpty) ok = false
+      cur = Join(cur, d, Inner, now.reduceOption(And(_, _)),
+        org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      remaining = later
+    }
+    if (ok && remaining.isEmpty) Some(cur) else None
   }
 
   /** One projection's attempt at the join rewrite: (new grouping, new
@@ -600,7 +710,10 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       aboveConds: Seq[Expression], factConds: Seq[Expression],
       mv: MvDef,
       dimIds: org.apache.spark.sql.catalyst.expressions.AttributeSet,
-      dimPlan: LogicalPlan, factOnLeft: Boolean, join: Join,
+      // builds the routed join tree from (possibly pre-filtered MV side,
+      // rewritten join conditions): the top-fact path preserves the
+      // original sides + hints, the deep path reassembles left-deep
+      mkChild: (LogicalPlan, Seq[Expression]) => Option[LogicalPlan],
       curFp: (Long, Long))
       : Option[(Seq[Expression], Seq[NamedExpression], LogicalPlan)] = {
     // quantile-only defs hold no scalar partials to merge through a join
@@ -680,8 +793,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       val g = g0 match { case al: Alias => al.child; case x => x }
       rw(g).getOrElse(return None)
     }
-    val newJoinCond = joinConds.map(rw(_).getOrElse(return None))
-      .reduce(And(_, _))
+    val newJoinConds = joinConds.map(rw(_).getOrElse(return None))
     val newAbove = aboveConds.map(rw(_).getOrElse(return None))
 
     // fact-only filters prune the MV BEFORE the join (strictly fewer
@@ -693,11 +805,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         if (remapped.exists(_.isEmpty)) return None
         Filter(remapped.map(_.get).reduce(And(_, _)), mvPlan)
       }
-    // side order and the user's join hints survive (a broadcast hint on
-    // the dim side keeps meaning exactly what it meant)
-    val newJoin =
-      if (factOnLeft) Join(mvSide, dimPlan, Inner, Some(newJoinCond), join.hint)
-      else Join(dimPlan, mvSide, Inner, Some(newJoinCond), join.hint)
+    val newJoin = mkChild(mvSide, newJoinConds).getOrElse(return None)
     val newChild: LogicalPlan =
       if (newAbove.isEmpty) newJoin
       else Filter(newAbove.reduce(And(_, _)), newJoin)

@@ -1314,6 +1314,64 @@ class PlanShapeSpec extends GraftSpec {
       s"row-level fact filter must not route:\n${rowLevel.take(700)}")
   }
 
+  test("mv_route_join_deep routes the 3-way star's fact leg, bit-identical") {
+    val df = SparkEntry.queries("mv_route_join_deep")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_supp1_"),
+      s"deep fact leg not routed to the supplier MV:\n${p.take(1000)}")
+    assert(p.contains("supplier.parquet") && p.contains("nation.parquet"),
+      s"both dim scans must survive verbatim:\n${p.take(1000)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"the fact table must NOT be scanned:\n${p.take(1000)}")
+    // bit-identity vs the unrouted plan (plain session — never armed)
+    def q(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(sess, sf),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          org.apache.spark.sql.functions.max(col("l_extendedprice"))
+            .as("max_price"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+    val control = q(spark)
+    assert(control.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(df.collect().toSeq == control.collect().toSeq,
+      "routed 3-way star diverged from the base-table plan")
+    // negative gates on an armed session
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    // (a) mid-tree join key outside the MV grouping tuple
+    val wrongKey = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_partkey") === col("s_suppkey"))
+      .join(Tables.nation(s, sf), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sp"))
+      .queryExecution.executedPlan.toString
+    assert(wrongKey.contains("lineitem.parquet"),
+      s"non-grouping deep join key must not route:\n${wrongKey.take(700)}")
+    // (b) an outer join on the fact path blocks the deep route. The
+    // upper join is keyed on a FACT column so nothing above
+    // null-rejects the supplier side — otherwise EliminateOuterJoin
+    // legitimately converts LEFT→INNER in the main batches and routing
+    // the resulting all-inner tree is CORRECT (verified: the s_nationkey
+    // spelling routes with bit-identical values).
+    val outer = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .join(Tables.nation(s, sf),
+        (col("l_suppkey") % 25) === col("n_nationkey").cast("bigint"))
+      .groupBy(col("n_name"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(outer.contains("lineitem.parquet"),
+      s"surviving outer join on the fact path must not route:\n${outer.take(700)}")
+  }
+
   test("multi-root declaration-gated aggregates fall through (r13 ADVICE 1)") {
     // the NOT NULL contract binds the registered base only: a co-scanned
     // tail root could hold NULLs in the declared column, so count(col)
