@@ -1210,6 +1210,118 @@ object MvOps {
       .orderBy(col("probe"), col("event_type").asc_nulls_last) // class-13 pin
   }
 
+  /** APPEND-delta refresh of the QUANTILE sketch MV (r14 — closing the
+    * loop mv_route_quantile opened: the sketch projection routes but
+    * could not yet refresh): t-digest states are MERGEABLE (Agarwal et
+    * al. PODS'12 — concatenate + re-compact equals a one-pass build
+    * within the sketch's rank error), so under pure INSERTS the refresh
+    * is mv2 = fold(mv1 centroids ∪ centroids(new files)) through the
+    * SAME aggregator — O(groups × δ) state rows plus O(appended files)
+    * data, never the base. This is exactly AggregatingMergeTree's
+    * quantileTDigestState insert semantics. Timeline probes (the
+    * mvRefreshAppend discipline): `pre_append` routed to qmv1
+    * (plan-required), `post_append` fallen through to the base (the
+    * fingerprint sentinel at work — served by Spark's own GK sketch,
+    * correct either way), `post_refresh` routed to the folded qmv2. A
+    * require proves the delta read opened ONLY appended files
+    * (manifest-diffed, the _MVFILES pattern). Estimates are bounded
+    * summaries (t-digest routed, GK fallen-through), so the key is
+    * rows-only: SketchSpec bounds every probe's rank error against
+    * exact order statistics of the probe's own row set.
+    *
+    * Scale notes: a percentile dashboard over an appending 100 TB fact
+    * table costs O(day's files) + O(groups × δ) per refresh and
+    * O(groups × δ) per query — the base is scanned exactly once per
+    * file, ever.
+    */
+  private def mvRefreshQuantile(s0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val scratch = graft.Scratch.dir("mvqrefresh")
+    val base = s"$scratch/qr_base_t" // greppable in plan text
+    val delta = 200
+    Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .write.parquet(base)
+    val qagg = udaf(new graft.functions.QuantileState(delta))
+    // exploded centroid layout (the stageMv quantile-projection shape)
+    def sketch(df: DataFrame): DataFrame = df
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("v"), lit(1L).as("w"))
+      .groupBy(col("l_returnflag"))
+      .agg(qagg(col("v"), col("w")).as("state"))
+      .select(col("l_returnflag"), explode(col("state")).as("c"))
+      .select(col("l_returnflag"), col("c._1").as("m"), col("c._2").as("w"))
+    def registerMv(path: String, files: Seq[String]): Unit =
+      MvRouting.register(MvRouting.MvDef(
+        basePath = base, mvPath = path, groupCols = Set("l_returnflag"),
+        sumMap = Map.empty, countCol = "",
+        quantileMap = Map("l_extendedprice" -> (("m", "w", delta))),
+        baseFingerprint = Some(
+          graft.plans.PathRegistry.fileFingerprint(files))))
+    def filesOf(): Seq[String] = s.read.parquet(base).inputFiles.toSeq
+      .map(graft.plans.TextIndexRouting.normFile).sorted
+    val mv1Files = filesOf()
+    sketch(s.read.parquet(base)).write.parquet(s"$scratch/qmv1")
+    graft.Scratch.atomicPublish(
+      java.nio.file.Paths.get(s"$scratch/qmv1/_MVFILES"),
+      mv1Files.mkString("\n"))
+    registerMv(s"$scratch/qmv1", mv1Files)
+    MvRouting.enable(s)
+    def snap(probe: String, mustScan: String, mustNotScan: String)
+        : Seq[Row] = {
+      val df = s.read.parquet(base).groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+            .as("p90"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains(mustScan) && !p.contains(mustNotScan),
+        s"$probe probe must scan $mustScan and not $mustNotScan")
+      df.collect().toIndexedSeq.map(r => Row(probe, r.getString(0),
+        r.getDouble(1), r.getDouble(2)))
+    }
+    val pre = snap("pre_append", "qmv1", "qr_base_t")
+    // the OUT-OF-BAND append — only the fingerprint sentinel sees it
+    Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 1)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .write.mode("append").parquet(base)
+    val fallen = snap("post_append", "qr_base_t", "qmv1")
+    // O(new files) refresh: manifest-diff, sketch ONLY the delta,
+    // fold old + new centroid rows through the same aggregator
+    val known = graft.Scratch.readManifest(s"$scratch/qmv1/_MVFILES")
+      .linesIterator.filter(_.nonEmpty).toSet
+    val all = filesOf()
+    val newFiles = all.filterNot(known)
+    require(newFiles.nonEmpty && newFiles.size < all.size,
+      s"append must add a strict subset of files " +
+        s"(${newFiles.size} of ${all.size} new)")
+    val deltaSrc = s.read.parquet(newFiles: _*)
+    require(deltaSrc.inputFiles.map(graft.plans.TextIndexRouting.normFile)
+        .forall(newFiles.contains),
+      "quantile refresh read a file outside the appended set")
+    s.read.parquet(s"$scratch/qmv1")
+      .unionByName(sketch(deltaSrc))
+      .groupBy(col("l_returnflag"))
+      .agg(qagg(col("m"), col("w")).as("state"))
+      .select(col("l_returnflag"), explode(col("state")).as("c"))
+      .select(col("l_returnflag"), col("c._1").as("m"), col("c._2").as("w"))
+      .write.parquet(s"$scratch/qmv2")
+    graft.Scratch.atomicPublish(
+      java.nio.file.Paths.get(s"$scratch/qmv2/_MVFILES"),
+      all.mkString("\n"))
+    registerMv(s"$scratch/qmv2", all)
+    val post = snap("post_refresh", "qmv2", "qr_base_t")
+    val schema = StructType(Seq(
+      StructField("probe", StringType),
+      StructField("l_returnflag", StringType),
+      StructField("p50", DoubleType), StructField("p90", DoubleType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize((pre ++ fallen ++ post).toList, 1), schema)
+      .orderBy(col("probe"), col("l_returnflag").asc_nulls_last)
+  }
+
   /** Stage the two event layouts (idempotent per sfDir): the BASE copy
     * range-clustered + sorted on day (serves time predicates via file
     * min/max stats), the PROJECTION the same rows range-clustered +
@@ -1719,6 +1831,9 @@ object MvOps {
     // t-digest estimate — rows-only by design (SketchSpec bounds the
     // routed estimates' rank error and asserts the sketch-MV scan)
     QueryDef("mv_route_quantile", mvRouteQuantile, None),
+    // sketch estimates on every probe (t-digest routed, GK fallen
+    // through) — rows-only; SketchSpec bounds each probe's rank error
+    QueryDef("mv_refresh_quantile", mvRefreshQuantile, None),
     QueryDef("mv_route_global", mvRouteGlobal,
       Some(s"""SELECT COUNT(*) AS n,
                 ${Det.oSum("l_quantity")} AS sum_qty,

@@ -41,6 +41,9 @@ class LedgerSpec extends AnyFunSuite {
                             // test vs independent reimplementation
     "mv_route_quantile",    // routed t-digest estimate ≠ GK sketch —
                             // SketchSpec rank bound on the ROUTED result
+    "mv_refresh_quantile",  // sketch estimates on every probe (t-digest
+                            // routed, GK fallen through) — SketchSpec
+                            // rank bounds per probe
   )
 
   private val ledgerRe =

@@ -437,6 +437,34 @@ class SketchSpec extends GraftSpec {
         assert(math.abs(rank - q) <= 0.03, s"$g q=$q rank=$rank est=$est")
       }
     }
+    // refresh loop (mv_refresh_quantile): the key's own requires prove
+    // pre→qmv1 / post_append→base / post_refresh→qmv2 plan shapes and
+    // the O(new-files)-only delta read; here the VALUE contract — every
+    // probe's estimates rank-bounded against exact order statistics of
+    // the probe's OWN row set (slice pre-append, full set after)
+    val refreshRows = SparkEntry.queries("mv_refresh_quantile")(spark, sf)
+      .as[(String, String, Double, Double)].collect()
+    assert(refreshRows.map(_._1).distinct.sorted.toSeq ==
+      Seq("post_append", "post_refresh", "pre_append"))
+    val slice = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    val full = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 3 === 0 || col("l_orderkey") % 3 === 1)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    refreshRows.foreach { case (probe, g, p50, p90) =>
+      assert(p50 <= p90, s"$probe/$g quantiles out of order")
+      val vs = if (probe == "pre_append") slice(g) else full(g)
+      for ((q, est) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+        val rank = vs.count(_ <= est).toDouble / vs.length
+        assert(math.abs(rank - q) <= 0.03,
+          s"$probe/$g q=$q rank=$rank est=$est")
+      }
+    }
     // negative gates on an armed session: shapes the sketch MV cannot
     // serve exactly/at all must stay on the fact table
     val s = graft.Sessions.isolatedClone(spark)
