@@ -1668,6 +1668,75 @@ class PlanShapeSpec extends GraftSpec {
     TextIndexRouting.disable(s)
   }
 
+  test("token index fuzz: random predicate trees, armed and unarmed agree") {
+    // The routing-fuzz invariant applied to the token index: PRUNING
+    // NEVER CHANGES VALUES. Random boolean trees over token probes
+    // (present and absent), delimiter-bounded LIKEs, opaque legs, and
+    // NOT nodes — whichever legs the rule prunes on (And intersects, Or
+    // unions or disables, Not/opaque disable their subtree), the armed
+    // session's rows must equal the unarmed session's. This hammers the
+    // soundness rules the per-shape tests can't enumerate: a predicate
+    // compiler bug that pruned a file containing a matching row shows
+    // up here as a missing doc_id.
+    import graft.plans.TextIndexRouting
+    import graft.operators.Scans
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val s = graft.Sessions.isolatedClone(spark) // armed
+    val root = s"${graft.Scratch.dir("textidxfuzz")}/t"
+    Seq((1L, "z red blue z"), (2L, "z red green z"),
+        (3L, "z amber blue z"), (4L, "z green hawk z"))
+      .zipWithIndex.foreach { case ((id, txt), _) =>
+        Seq((id, txt)).toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(root)
+      }
+    assert(Scans.appendTextIndex(s, root) == 4)
+    TextIndexRouting.register(TextIndexRouting.TextIndexDef(
+      root, "text", Scans.TextIndexBits, Scans.parseIndex(root)))
+    TextIndexRouting.enable(s)
+    val toks = Vector("red", "blue", "green", "amber", "hawk",
+      "omega", "psi") // last two absent everywhere
+    val F = org.apache.spark.sql.functions
+    def leafGen: Gen[Column] = Gen.frequency(
+      4 -> Gen.choose(0, toks.length - 1).map(i =>
+        F.array_contains(F.split(col("text"), " "), toks(i))),
+      2 -> Gen.choose(0, toks.length - 1).map(i =>
+        col("text").like(s"% ${toks(i)} %")),
+      1 -> Gen.choose(5, 20).map(k => F.length(col("text")) > k))
+    def treeGen(depth: Int): Gen[Column] =
+      if (depth <= 0) leafGen
+      else Gen.frequency(
+        2 -> leafGen,
+        2 -> (for { a <- treeGen(depth - 1); b <- treeGen(depth - 1) }
+          yield a && b),
+        2 -> (for { a <- treeGen(depth - 1); b <- treeGen(depth - 1) }
+          yield a || b),
+        1 -> treeGen(depth - 1).map(!_))
+    def scannedCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.map(_.relation.location.inputFiles.length).sum
+    var prunedCount = 0
+    (1 to 40).foreach { i =>
+      val tree = treeGen(3).pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val armed = s.read.parquet(root).filter(tree)
+      val plain = spark.read.parquet(root).filter(tree)
+      assert(scannedCount(plain) == 4,
+        s"seed $i: unarmed session unexpectedly pruned")
+      if (scannedCount(armed) < 4) prunedCount += 1
+      val a = armed.collect().map(_.getLong(0)).sorted.toSeq
+      val p = plain.collect().map(_.getLong(0)).sorted.toSeq
+      assert(a == p, s"seed $i: pruned values diverged — armed=$a plain=$p")
+    }
+    // non-vacuousness: the pools guarantee plenty of prunable draws
+    assert(prunedCount >= 5,
+      s"only $prunedCount of 40 trees pruned — pool or rule regressed")
+    TextIndexRouting.disable(s)
+  }
+
   test("bounded LIKE / has_token route via the token index; substring LIKE stays unrouted") {
     import graft.plans.TextIndexRouting
     import graft.operators.Scans
