@@ -788,6 +788,39 @@ object MvOps {
       .orderBy(col("n_name"))
   }
 
+  /** ROLLUP over a STAR JOIN routed (r14 follow-through): `ROLLUP(
+    * s_nationkey, l_returnflag)` over lineitem ⋈ supplier — the
+    * subtotal dashboard over a star schema — plans as Aggregate-over-
+    * Expand-over-Join; the rule composes the two rewrites: the fact
+    * side swaps for the by-supplier MV (eager aggregation) and the
+    * Expand replays over the routed join with dim grouping-set
+    * positions verbatim and fact positions mapped to MV keys
+    * (subset-grouping algebra). grouping_id() rides through as the
+    * literal it already is. PlanShapeSpec asserts Expand-over-MV-join,
+    * bit-identity, and the dim-aggregate negative gate.
+    *
+    * Scale notes: unrouted, the ROLLUP expands the full joined fact
+    * stream once per grouping set; routed it expands O(groups × dim
+    * matches) rows. l_returnflag is NOT a by-supplier grouping column,
+    * so this query also proves the def-choice walk: only the flag MV
+    * can't answer (no suppkey), only the supplier MV can't answer (no
+    * returnflag)… neither alone covers both keys — the query uses
+    * l_suppkey as the fact-side rollup key instead, which the supplier
+    * MV holds.
+    */
+  private def mvRouteJoinRollup(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("s_nationkey"), col("l_suppkey"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("s_nationkey").asc_nulls_last,
+        col("l_suppkey").asc_nulls_last, col("gid"))
+  }
+
   /** `percentile_approx` served from the t-digest sketch projection
     * (r14 — the r13 verdict's task 2): the query is a PLAIN
     * percentile_approx over the fact table; the routing rule rewrites
@@ -1834,6 +1867,17 @@ object MvOps {
     // sketch estimates on every probe (t-digest routed, GK fallen
     // through) — rows-only; SketchSpec bounds each probe's rank error
     QueryDef("mv_refresh_quantile", mvRefreshQuantile, None),
+    // DuckDB's GROUPING(a, b) returns Spark's grouping_id() bitmask
+    // (the mv_route_rollup precedent)
+    QueryDef("mv_route_join_rollup", mvRouteJoinRollup,
+      Some(s"""SELECT s_nationkey, l_suppkey,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                COUNT(*) AS n,
+                GROUPING(s_nationkey, l_suppkey) AS gid
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY ROLLUP(s_nationkey, l_suppkey)
+              ORDER BY s_nationkey NULLS LAST, l_suppkey NULLS LAST,
+                gid""")),
     QueryDef("mv_route_global", mvRouteGlobal,
       Some(s"""SELECT COUNT(*) AS n,
                 ${Det.oSum("l_quantity")} AS sum_qty,

@@ -416,7 +416,9 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // r12 verdict task 2 shape) — matched FIRST (more specific); every
     // other Aggregate takes the plain route.
     case agg: Aggregate if agg.child.isInstanceOf[Expand] =>
-      routeExpand(agg, agg.child.asInstanceOf[Expand]).getOrElse(agg)
+      routeExpand(agg, agg.child.asInstanceOf[Expand])
+        .orElse(routeExpandJoin(agg, agg.child.asInstanceOf[Expand]))
+        .getOrElse(agg)
     // the plain scan shape first (cheaper match), then the star-join
     // shape (r14): γ(fact ⋈ dim) served from the fact-side partials
     case agg: Aggregate =>
@@ -515,10 +517,46 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     * whichever side is now small. Multi-root fact scans and non-inner
     * joins fall through (sound, merely unrouted).
     */
-  private def routeJoin(agg: Aggregate): Option[Aggregate] = {
-    // peel aliasing Projects / Filters between the Aggregate and the
-    // Join — the baseScan discipline one level up (PullOutGrouping
-    // Expressions lands dim-expression grouping keys exactly here)
+  /** A located, fully-resolved routable join under an Aggregate (or
+    * under its Expand): everything the per-def rewrite needs, shared by
+    * [[routeJoin]] and [[routeExpandJoin]].
+    *
+    * @param substAll  alias substitution composing the above-join
+    *                  Projects with the fact-side scan aliases — one
+    *                  applySubst pass resolves any expression down to
+    *                  base/dim attributes
+    * @param aboveConds Filters collected between the consumer and the
+    *                  join (resolved)
+    * @param factConds Filters below the join on the fact side (resolved
+    *                  base-attr predicates — the baseScan triple)
+    * @param fs        the fact scan's relation
+    * @param dimIds    union of every dim subtree's output (side
+    *                  membership is decided by exprId, never name)
+    * @param mkChild   assembles the routed join from (pre-filtered MV
+    *                  side, rewritten join conditions)
+    * @param joinConds the join conditions along the located path
+    *                  (resolved, conjunct-split)
+    */
+  private case class JoinSite(substAll: Map[ExprId, Expression],
+      aboveConds: Seq[Expression], factConds: Seq[Expression],
+      fs: HadoopFsRelation,
+      dimIds: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      mkChild: (LogicalPlan, Seq[Expression]) => Option[LogicalPlan],
+      joinConds: Seq[Expression]) {
+    def resolve(e: Expression): Expression = applySubst(e, substAll)
+  }
+
+  /** Locate the routable join under `child` (the plan below an
+    * Aggregate or an Expand): peel aliasing Projects / Filters — the
+    * baseScan discipline one level up; PullOutGroupingExpressions lands
+    * expression grouping keys exactly here — then find the registered
+    * fact side, at the top join (side order + the user's join hints
+    * preserved) or deeper via flattenToFact + left-deep reassembly
+    * (hints lost there — noted, AQE re-picks). None when no routable
+    * join exists or a routed predicate is non-deterministic /
+    * subquery-bearing.
+    */
+  private def locateJoin(child: LogicalPlan): Option[JoinSite] = {
     def walk(p: LogicalPlan): Option[(Seq[Expression],
         Map[ExprId, Expression], Join)] = p match {
       case j: Join => Some((Nil, Map.empty, j))
@@ -538,7 +576,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         }
       case _ => None
     }
-    walk(agg.child).flatMap { case (aboveConds0, subst, join) =>
+    walk(child).flatMap { case (aboveConds0, subst, join) =>
       // INNER with a condition only: outer joins change the
       // dangling-row story, and a condition-less inner join is the
       // cross product this library bans plan-wide anyway
@@ -550,11 +588,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       }
       val leftInfo = factInfo(join.left)
       // a self-join (both sides registered) routes the LEFT leg only —
-      // sound: the right leg stays a base scan. FACT AT THE TOP JOIN
-      // preserves the original side order and the user's join hints;
-      // a fact sitting DEEPER in an inner-join tree (the snowflake /
-      // 3-way star shape) goes through flattenToFact + left-deep
-      // reassembly instead (hints lost there — noted, AQE re-picks).
+      // sound: the right leg stays a base scan
       val topInfo = leftInfo.orElse(factInfo(join.right)).map { info =>
         val factOnLeft = leftInfo.isDefined
         val dimPlan = if (factOnLeft) join.right else join.left
@@ -575,40 +609,47 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       }
       topInfo.flatMap { case ((factConds, factSubst, fs), dims, mkChild,
           rawJoinConds) =>
-        val dimIds = dims.map(_.outputSet).reduce(_ ++ _)
-        val root = fs.location.rootPaths.head.toString
-        // resolve above-join aliases, then fact-side scan aliases, so
-        // every surviving fact reference is a BASE attribute by name
-        def resolve(e: Expression): Expression =
-          applySubst(applySubst(e, subst), factSubst)
-        val joinConds = rawJoinConds.map(resolve)
-        // walk applied `subst` when collecting; fact aliases remain
-        val aboveConds = aboveConds0.map(applySubst(_, factSubst))
-        val groupExprs = agg.groupingExpressions.map(resolve)
-        val aggExprs = agg.aggregateExpressions.map { ne =>
-          resolve(ne) match {
-            case al: Alias if al.exprId == ne.exprId => al
-            case a: AttributeReference if a.exprId == ne.exprId => a
-            case other => Alias(other, ne.name)(exprId = ne.exprId)
-          }
-        }
+        // one composed substitution: above-join alias values resolved
+        // through the fact-side aliases, then the fact aliases
+        // themselves — a single applySubst pass equals the former
+        // two-pass resolve
+        val substAll = subst.map { case (k, v) =>
+          k -> applySubst(v, factSubst)
+        } ++ factSubst
+        val site = JoinSite(substAll,
+          aboveConds0.map(applySubst(_, factSubst)), factConds, fs,
+          dims.map(_.outputSet).reduce(_ ++ _), mkChild,
+          rawJoinConds.map(applySubst(_, substAll)))
         // every routed predicate must be deterministic and
         // subquery-free (the routableFilter vet, sides-aware)
-        if (!(joinConds ++ aboveConds ++ factConds).forall(c =>
-            c.deterministic &&
-              !c.exists(_.isInstanceOf[PlanExpression[_]]))) return None
-        lazy val curFp = PathRegistry.fingerprintsByRoot(fs.location)(root)
-        defsFor(root).view.flatMap { d =>
-          rewriteJoin(groupExprs, aggExprs, joinConds, aboveConds,
-            factConds, d, dimIds, mkChild, curFp)
-            .map(newChild => agg.copy(
-              groupingExpressions = newChild._1,
-              aggregateExpressions = newChild._2,
-              child = newChild._3))
-        }.headOption
+        if (!(site.joinConds ++ site.aboveConds ++ site.factConds)
+            .forall(c => c.deterministic &&
+              !c.exists(_.isInstanceOf[PlanExpression[_]]))) None
+        else Some(site)
       }
     }
   }
+
+  private def routeJoin(agg: Aggregate): Option[Aggregate] =
+    locateJoin(agg.child).flatMap { site =>
+      val root = site.fs.location.rootPaths.head.toString
+      val groupExprs = agg.groupingExpressions.map(site.resolve)
+      val aggExprs = agg.aggregateExpressions.map { ne =>
+        site.resolve(ne) match {
+          case al: Alias if al.exprId == ne.exprId => al
+          case a: AttributeReference if a.exprId == ne.exprId => a
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }
+      }
+      lazy val curFp = PathRegistry.fingerprintsByRoot(site.fs.location)(root)
+      defsFor(root).view.flatMap { d =>
+        rewriteJoin(groupExprs, aggExprs, site, d, curFp)
+          .map(newChild => agg.copy(
+            groupingExpressions = newChild._1,
+            aggregateExpressions = newChild._2,
+            child = newChild._3))
+      }.headOption
+    }
 
   /** The registered fact scan located DEEPER than the top join (r14 —
     * the 3-way star / snowflake shape `γ((fact ⋈ dim1) ⋈ dim2)`):
@@ -701,42 +742,94 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     if (ok && remaining.isEmpty) Some(cur) else None
   }
 
+  /** The VALUE-expression rewriter shared by the join routes (and their
+    * Expand flavor): dim attrs pass by exprId, fact grouping attrs /
+    * registered expression subtrees map to MV attrs (type-checked — a
+    * type-drifted mis-registration falls through, never changes the
+    * output schema), anything else recurses or aborts. No aggregates
+    * here — rewriteJoin's own walk layers rewriteAggFn on top.
+    */
+  private def rwValue(mv: MvDef, mvAttr: Map[String, AttributeReference],
+      dimIds: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      (e: Expression): Option[Expression] = e match {
+    case a: AttributeReference if dimIds.contains(a) => Some(a)
+    case a: AttributeReference =>
+      if (mv.groupCols(a.name))
+        mvAttr.get(a.name).filter(_.dataType == a.dataType)
+      else None
+    case other =>
+      val factOnly = other.references.nonEmpty &&
+        other.references.forall(r => !dimIds.contains(r))
+      (if (factOnly)
+        exprTarget(other, mv).flatMap(mvAttr.get)
+          .filter(_.dataType == other.dataType)
+      else None)
+        .orElse {
+          val kids = other.children.map(rwValue(mv, mvAttr, dimIds))
+          if (kids.forall(_.isDefined))
+            Some(other.withNewChildren(kids.map(_.get)))
+          else None
+        }
+  }
+
+  /** Cheap per-def vetting + the routed JOIN CHILD shared by the plain
+    * and Expand join routes: freshness/staleness gates, fact-side
+    * filters vetted grouping-key-only and remapped onto the MV (pruning
+    * partial rows BEFORE the join), join/above conditions rewritten
+    * through [[rwValue]], the tree assembled by the site's mkChild, and
+    * surviving above-filters re-applied on top. None = this def cannot
+    * answer; the caller walks the next one.
+    */
+  private def buildJoinChild(site: JoinSite, mv: MvDef,
+      mvAttr: Map[String, AttributeReference], mvPlan: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val rv = rwValue(mv, mvAttr, site.dimIds) _
+    val newJoinConds = site.joinConds.map(c => rv(c).getOrElse(return None))
+    val newAbove = site.aboveConds.map(c => rv(c).getOrElse(return None))
+    val mvSide: LogicalPlan =
+      if (site.factConds.isEmpty) mvPlan
+      else {
+        val remapped = site.factConds.map(remapCondToMv(_, mv, mvAttr))
+        if (remapped.exists(_.isEmpty)) return None
+        Filter(remapped.map(_.get).reduce(And(_, _)), mvPlan)
+      }
+    val newJoin = site.mkChild(mvSide, newJoinConds).getOrElse(return None)
+    Some(if (newAbove.isEmpty) newJoin
+    else Filter(newAbove.reduce(And(_, _)), newJoin))
+  }
+
+  /** Per-def STATIC gates for a join route, cheap driver metadata only
+    * (the mvChildFor by-name lesson — non-matching defs must fail
+    * before any MV parquet I/O): quantile-only defs never serve joins,
+    * the artifact must exist and be fresh, fact-side filters must be
+    * grouping-key-only, and every fact attribute the given expressions
+    * reference must be an MV grouping column or feed a registered
+    * grouping-expression template.
+    */
+  private def joinDefGates(site: JoinSite, mv: MvDef, curFp: (Long, Long),
+      vetted: Seq[Expression]): Boolean = {
+    if (mv.quantileMap.nonEmpty) return false
+    if (!PathRegistry.targetExists(mv.mvPath)) return false
+    if (!mv.baseFingerprint.forall(_ == curFp)) return false
+    if (!site.factConds.forall(routableFilter(_, mv))) return false
+    val tmplInputs: Set[String] =
+      mv.exprGroupCols.iterator.flatMap(_._1.references.map(_.name)).toSet
+    def factRefsOk(e: Expression): Boolean =
+      e.references.forall(r => site.dimIds.contains(r) ||
+        mv.groupCols(r.name) || tmplInputs(r.name))
+    (site.joinConds ++ site.aboveConds ++ vetted).forall(factRefsOk)
+  }
+
   /** One projection's attempt at the join rewrite: (new grouping, new
     * aggregate list, new child) or None — the first def that answers
     * wins (routeJoin walks latest-first, the routeOne convention).
     */
   private def rewriteJoin(groupExprs: Seq[Expression],
-      aggExprs: Seq[NamedExpression], joinConds: Seq[Expression],
-      aboveConds: Seq[Expression], factConds: Seq[Expression],
-      mv: MvDef,
-      dimIds: org.apache.spark.sql.catalyst.expressions.AttributeSet,
-      // builds the routed join tree from (possibly pre-filtered MV side,
-      // rewritten join conditions): the top-fact path preserves the
-      // original sides + hints, the deep path reassembles left-deep
-      mkChild: (LogicalPlan, Seq[Expression]) => Option[LogicalPlan],
+      aggExprs: Seq[NamedExpression], site: JoinSite, mv: MvDef,
       curFp: (Long, Long))
       : Option[(Seq[Expression], Seq[NamedExpression], LogicalPlan)] = {
-    // quantile-only defs hold no scalar partials to merge through a join
-    if (mv.quantileMap.nonEmpty) return None
-    if (!PathRegistry.targetExists(mv.mvPath)) return None
-    if (!mv.baseFingerprint.forall(_ == curFp)) return None
-    // fact-side-only filters collected below the join must be
-    // grouping-key-only (whole-group predicates, the routableFilter
-    // argument verbatim — their references are fact attrs by
-    // construction, so the by-name check is safe here)
-    if (!factConds.forall(routableFilter(_, mv))) return None
-    // CHEAP pre-vet before touching the MV parquet (the mvChildFor
-    // by-name lesson): every fact-side attribute the join keys,
-    // grouping, or kept predicates reference must be an MV grouping
-    // column or feed a registered grouping-expression template —
-    // non-matching defs must fail on driver metadata alone
-    val tmplInputs: Set[String] =
-      mv.exprGroupCols.iterator.flatMap(_._1.references.map(_.name)).toSet
-    def factRefsOk(e: Expression): Boolean =
-      e.references.forall(r => dimIds.contains(r) ||
-        mv.groupCols(r.name) || tmplInputs(r.name))
-    if (!(joinConds ++ aboveConds ++ groupExprs).forall(factRefsOk))
-      return None
+    if (!joinDefGates(site, mv, curFp, groupExprs)) return None
+    val dimIds = site.dimIds
 
     val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
       .queryExecution.analyzed
@@ -749,19 +842,16 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // grouping attrs / registered expression subtrees map to MV attrs,
     // AggregateExpressions go through rewriteAggFn (dim-referencing
     // ones block), anything else recurses or aborts
-    // every MV-attr substitution is TYPE-CHECKED (the rewriteExpand
-    // discipline): a type-drifted mis-registration must fall through,
-    // never silently change the query's output schema
+    // the one rewrite walk for grouping keys and aggregate output
+    // expressions: AggregateExpressions through rewriteAggFn
+    // (dim-referencing ones block — a dim value appears once per MV row
+    // but once per FACT row unrouted), values through rwValue
     def rw(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression =>
         if (ae.references.exists(dimIds.contains)) None
         else rewriteAggFn(ae, mv, mvAttr,
           hasGrouping = groupExprs.nonEmpty, mvPlan, multiRoot = false)
-      case a: AttributeReference if dimIds.contains(a) => Some(a)
-      case a: AttributeReference =>
-        if (mv.groupCols(a.name))
-          mvAttr.get(a.name).filter(_.dataType == a.dataType)
-        else None
+      case a: AttributeReference => rwValue(mv, mvAttr, dimIds)(a)
       case other =>
         val factOnly = other.references.nonEmpty &&
           other.references.forall(r => !dimIds.contains(r))
@@ -770,6 +860,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
             .filter(_.dataType == other.dataType)
         else None)
           .orElse {
+            // recurse through rw, not rwValue: a nested
+            // AggregateExpression (sum(x) + 1) must keep rewriting
             val kids = other.children.map(rw)
             if (kids.forall(_.isDefined))
               Some(other.withNewChildren(kids.map(_.get)))
@@ -793,22 +885,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       val g = g0 match { case al: Alias => al.child; case x => x }
       rw(g).getOrElse(return None)
     }
-    val newJoinConds = joinConds.map(rw(_).getOrElse(return None))
-    val newAbove = aboveConds.map(rw(_).getOrElse(return None))
-
-    // fact-only filters prune the MV BEFORE the join (strictly fewer
-    // partial rows meet the dim side)
-    val mvSide: LogicalPlan =
-      if (factConds.isEmpty) mvPlan
-      else {
-        val remapped = factConds.map(remapCondToMv(_, mv, mvAttr))
-        if (remapped.exists(_.isEmpty)) return None
-        Filter(remapped.map(_.get).reduce(And(_, _)), mvPlan)
-      }
-    val newJoin = mkChild(mvSide, newJoinConds).getOrElse(return None)
-    val newChild: LogicalPlan =
-      if (newAbove.isEmpty) newJoin
-      else Filter(newAbove.reduce(And(_, _)), newJoin)
+    val newChild = buildJoinChild(site, mv, mvAttr, mvPlan)
+      .getOrElse(return None)
     Some((newGroup, newAggExprs.map(_.get), newChild))
   }
 
@@ -1344,10 +1422,49 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
+  /** ROLLUP/CUBE over a STAR JOIN (r14): the Expand sits over the join
+    * instead of the scan; grouping-set positions may then be DIM
+    * attributes (replayed VERBATIM — the fact-side swap leaves every
+    * joined row's dim values untouched) or fact grouping columns
+    * (mapped to MV attrs exactly as the plain route), aggregates
+    * rewrite to partials riding fresh passthroughs, and the new Expand
+    * replays over the routed join child from [[buildJoinChild]]. Sound
+    * by composing the two proofs: each (MV partial × dim row) stands
+    * for its fact-join rows (eager aggregation), and subtotal
+    * re-aggregation over exact per-group partials is the
+    * subset-grouping algebra the plain Expand route proves.
+    *
+    * Scale notes: an unrouted ROLLUP(a,b) over fact ⋈ dim expands the
+    * joined 100 TB stream once per grouping set; routed, the Expand
+    * replays over O(groups × dim matches) rows — the subtotal
+    * dashboard over a star schema, the single most projection-worthy
+    * query shape there is.
+    */
+  private def routeExpandJoin(agg: Aggregate, e: Expand): Option[Aggregate] =
+    locateJoin(e.child).flatMap { site =>
+      val root = site.fs.location.rootPaths.head.toString
+      lazy val curFp =
+        PathRegistry.fingerprintsByRoot(site.fs.location)(root)
+      defsFor(root).view
+        .filter(d => joinDefGates(site, d, curFp, Nil))
+        .flatMap(d => rewriteExpand(agg, e, Nil, site.substAll, d,
+          site.dimIds,
+          Some((mp, ma) => buildJoinChild(site, d, ma, mp))))
+        .headOption
+    }
+
   private def rewriteExpand(agg: Aggregate, e: Expand,
       filterConds: Seq[Expression],
       subst: Map[ExprId, Expression],
-      mv: MvDef): Option[Aggregate] = {
+      mv: MvDef,
+      // join flavor (routeExpandJoin): dim-side attr set — dim-mapped
+      // Expand positions replay verbatim; empty for the plain route
+      dimIds: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+        org.apache.spark.sql.catalyst.expressions.AttributeSet.empty,
+      // join flavor: builds the routed child below the new Expand from
+      // (mvPlan, mvAttr); None = the plain filterConds-over-mvPlan build
+      buildChild: Option[(LogicalPlan, Map[String, AttributeReference]) =>
+        Option[LogicalPlan]] = None): Option[Aggregate] = {
     val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
       .queryExecution.analyzed
     val mvAttr: Map[String, AttributeReference] =
@@ -1401,6 +1518,21 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         val base = nonNull.head
         if (!nonNull.forall(_.semanticEquals(base))) return None
         if (!base.deterministic) return None
+        // DIM-mapped position (join flavor only): a pure dim-side value
+        // survives the fact swap verbatim — emit the expression itself
+        // per row (typed null where the set nulls it). Per-set-nulled
+        // dim copies stay unsafe inside aggregates (nulledCopies).
+        if (base.references.nonEmpty &&
+            base.references.forall(dimIds.contains)) {
+          val na = oldOut.newInstance()
+          oldToNew(oldOut.exprId) = na
+          if (vals.exists(isNullLit)) nulledCopies += oldOut.exprId
+          newOutput += na
+          vals.zipWithIndex.foreach { case (v, j) =>
+            newRows(j) +=
+              (if (isNullLit(v)) Literal(null, oldOut.dataType) else base)
+          }
+        } else {
         val mvCol: Option[AttributeReference] = (base match {
           case a: AttributeReference if mv.groupCols(a.name) => Some(a.name)
           case other => exprTarget(other, mv)
@@ -1424,6 +1556,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
             // (multi-distinct Expand) has no MV story
             if (vals.exists(isNullLit)) return None
             ()
+        }
         }
       }
     }
@@ -1453,7 +1586,11 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         // reference to an UN-nulled grouping-mapped position (a FILTER
         // on an MV key outside this query's grouping sets) is the base
         // value in every copy and resolves by name exactly.
-        if (ae.references.exists(r => nulledCopies.contains(r.exprId)))
+        // …and in the join flavor, an aggregate reading the DIM side
+        // (through an identity passthrough keeping the dim exprId) is
+        // replication-sensitive — blocked, the rewriteJoin rule
+        if (ae.references.exists(r => nulledCopies.contains(r.exprId) ||
+            dimIds.contains(r)))
           None
         else rewriteAggFn(ae, mv, mvAttr, hasGrouping = true, mvPlan,
             multiRoot = false)
@@ -1481,14 +1618,19 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     // the routed WHERE (collected below the original Expand) filters
-    // whole groups, so it applies to the MV BEFORE the replayed Expand
-    val mvChild: LogicalPlan =
-      if (filterConds.isEmpty) mvPlan
-      else {
-        val remapped = filterConds.map(remapCondToMv(_, mv, mvAttr))
-        if (remapped.exists(_.isEmpty)) return None
-        Filter(remapped.map(_.get).reduce(And(_, _)), mvPlan)
-      }
+    // whole groups, so it applies to the MV BEFORE the replayed Expand;
+    // the join flavor delegates to buildJoinChild (fact filters + the
+    // reassembled join + surviving above-filters) instead
+    val mvChild: LogicalPlan = buildChild match {
+      case Some(f) => f(mvPlan, mvAttr).getOrElse(return None)
+      case None =>
+        if (filterConds.isEmpty) mvPlan
+        else {
+          val remapped = filterConds.map(remapCondToMv(_, mv, mvAttr))
+          if (remapped.exists(_.isEmpty)) return None
+          Filter(remapped.map(_.get).reduce(And(_, _)), mvPlan)
+        }
+    }
 
     Some(agg.copy(groupingExpressions = newGrouping,
       aggregateExpressions = newAggExprs.map(_.get),

@@ -1372,6 +1372,52 @@ class PlanShapeSpec extends GraftSpec {
       s"surviving outer join on the fact path must not route:\n${outer.take(700)}")
   }
 
+  test("mv_route_join_rollup replays the Expand over the routed join, bit-identical") {
+    val df = SparkEntry.queries("mv_route_join_rollup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_supp1_") && p.contains("supplier.parquet"),
+      s"rollup-join not routed (MV + dim must coexist):\n${p.take(1000)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"the fact table must NOT be scanned:\n${p.take(1000)}")
+    assert(p.contains("Expand"),
+      "the routed plan must keep the grouping-sets Expand (now over the join)")
+    def q(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .rollup(col("s_nationkey"), col("l_suppkey"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.grouping_id().as("gid"))
+        .orderBy(col("s_nationkey").asc_nulls_last,
+          col("l_suppkey").asc_nulls_last, col("gid"))
+    val control = q(spark)
+    assert(control.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(df.collect().toSeq == control.collect().toSeq,
+      "routed rollup-join diverged from the base-table plan")
+    // negative gates on an armed session
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    // (a) a dim-side aggregate is replication-sensitive under the swap
+    val dimAgg = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("s_nationkey"))
+      .agg(Det.dsum(col("s_acctbal")).as("sa"))
+      .queryExecution.executedPlan.toString
+    assert(dimAgg.contains("lineitem.parquet"),
+      s"dim aggregate under a rollup-join must not route:\n${dimAgg.take(700)}")
+    // (b) a rolled-up FACT column outside the MV grouping tuple
+    val wrongKey = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("s_nationkey"), col("l_partkey"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(wrongKey.contains("lineitem.parquet"),
+      s"non-grouping fact rollup key must not route:\n${wrongKey.take(700)}")
+  }
+
   test("multi-root declaration-gated aggregates fall through (r13 ADVICE 1)") {
     // the NOT NULL contract binds the registered base only: a co-scanned
     // tail root could hold NULLs in the declared column, so count(col)
