@@ -788,6 +788,37 @@ object MvOps {
       .orderBy(col("n_name"))
   }
 
+  /** Replication-INVARIANT dim aggregates over a routed star join
+    * (r14): `GROUP BY s_nationkey → max(s_acctbal), min(s_name),
+    * count(DISTINCT s_suppkey)` alongside fact partials — the full
+    * dashboard row. Sound because the routed join changes only
+    * MULTIPLICITIES (each joined dim row appears once per MV partial
+    * instead of once per fact row), never the dim value set per group:
+    * idempotent (min/max) and set-based (DISTINCT) aggregates pass
+    * VERBATIM, while sum/avg/plain-count over dim values stay blocked
+    * (PlanShapeSpec's negative gates). The same argument already
+    * covers `SELECT DISTINCT dim_attr FROM fact ⋈ dim`, plan-asserted
+    * in the spec.
+    *
+    * Scale notes: same O(groups)-fact-side economics as mv_route_join —
+    * the point is COVERAGE of what a real per-dimension summary row
+    * actually selects (a max balance, a name, a member count, and the
+    * fact measures, in one query).
+    */
+  private def mvRouteJoinDim(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(max(col("s_acctbal")).as("max_bal"),
+        min(col("s_name")).as("min_name"),
+        countDistinct(col("s_suppkey")).as("n_supp"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** ROLLUP over a STAR JOIN routed (r14 follow-through): `ROLLUP(
     * s_nationkey, l_returnflag)` over lineitem ⋈ supplier — the
     * subtotal dashboard over a star schema — plans as Aggregate-over-
@@ -1867,6 +1898,15 @@ object MvOps {
     // sketch estimates on every probe (t-digest routed, GK fallen
     // through) — rows-only; SketchSpec bounds each probe's rank error
     QueryDef("mv_refresh_quantile", mvRefreshQuantile, None),
+    QueryDef("mv_route_join_dim", mvRouteJoinDim,
+      Some(s"""SELECT s_nationkey,
+                MAX(s_acctbal) AS max_bal,
+                MIN(s_name) AS min_name,
+                COUNT(DISTINCT s_suppkey) AS n_supp,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                COUNT(*) AS n
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey ORDER BY s_nationkey""")),
     // DuckDB's GROUPING(a, b) returns Spark's grouping_id() bitmask
     // (the mv_route_rollup precedent)
     QueryDef("mv_route_join_rollup", mvRouteJoinRollup,

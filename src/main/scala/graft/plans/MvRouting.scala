@@ -845,8 +845,27 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // the one rewrite walk for grouping keys and aggregate output
     // expressions: AggregateExpressions through rewriteAggFn
     // (dim-referencing ones block — a dim value appears once per MV row
-    // but once per FACT row unrouted), values through rwValue
+    // but once per FACT row unrouted — EXCEPT the replication-invariant
+    // family below), values through rwValue
     def rw(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression
+          if ae.references.nonEmpty &&
+            ae.references.forall(dimIds.contains) =>
+        // an ALL-dim aggregate passes VERBATIM when its function is
+        // REPLICATION-INVARIANT: the routed join presents each joined
+        // dim row once per MV partial instead of once per fact row,
+        // which changes multiplicities but never the dim VALUE SET per
+        // group — so idempotent (min/max) and set-based (DISTINCT)
+        // aggregates are exact, while sum/count/avg over dim values
+        // stay blocked (they weight by multiplicity). A dim-only
+        // FILTER clause rides along (row-level on the join, evaluated
+        // identically per joined row). This is the
+        // `GROUP BY n_name → max(s_acctbal)` dashboard shape.
+        ae.aggregateFunction match {
+          case _: Min | _: Max => Some(ae)
+          case _: Count if ae.isDistinct => Some(ae)
+          case _ => None
+        }
       case ae: AggregateExpression =>
         if (ae.references.exists(dimIds.contains)) None
         else rewriteAggFn(ae, mv, mvAttr,

@@ -1372,6 +1372,59 @@ class PlanShapeSpec extends GraftSpec {
       s"surviving outer join on the fact path must not route:\n${outer.take(700)}")
   }
 
+  test("mv_route_join_dim: replication-invariant dim aggregates route, weighted ones block") {
+    val df = SparkEntry.queries("mv_route_join_dim")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_supp1_") && p.contains("supplier.parquet") &&
+      !p.contains("lineitem.parquet"),
+      s"dim-aggregate star join not routed:\n${p.take(1000)}")
+    def q(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(org.apache.spark.sql.functions.max(col("s_acctbal")).as("max_bal"),
+          org.apache.spark.sql.functions.min(col("s_name")).as("min_name"),
+          org.apache.spark.sql.functions.countDistinct(col("s_suppkey"))
+            .as("n_supp"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+    val control = q(spark)
+    assert(control.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(df.collect().toSeq == control.collect().toSeq,
+      "routed dim aggregates diverged from the base-table plan")
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    // DISTINCT over a dim attribute through the join routes too
+    // (ReplaceDeduplicateWithAggregate → grouping-only aggregate)
+    def distinctQ(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey")).distinct().orderBy(col("s_nationkey"))
+    val dd = distinctQ(s)
+    val dp = dd.queryExecution.executedPlan.toString
+    assert(dp.contains("lineitem_supp1_") && !dp.contains("lineitem.parquet"),
+      s"DISTINCT dim attr over the join must route:\n${dp.take(700)}")
+    assert(dd.collect().toSeq == distinctQ(spark).collect().toSeq,
+      "routed DISTINCT-over-join diverged from the base plan")
+    // negative gates: multiplicity-WEIGHTED dim aggregates must block
+    for ((tag, c) <- Seq(
+        "sum" -> org.apache.spark.sql.functions.sum(col("s_acctbal")),
+        "avg" -> org.apache.spark.sql.functions.avg(col("s_acctbal")),
+        "count" -> org.apache.spark.sql.functions.count(col("s_name")))) {
+      val neg = Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey")).agg(c.as("x"))
+        .queryExecution.executedPlan.toString
+      assert(neg.contains("lineitem.parquet"),
+        s"weighted dim aggregate '$tag' must not route:\n${neg.take(500)}")
+    }
+  }
+
   test("mv_route_join_rollup replays the Expand over the routed join, bit-identical") {
     val df = SparkEntry.queries("mv_route_join_rollup")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
