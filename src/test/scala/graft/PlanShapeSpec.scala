@@ -182,6 +182,26 @@ class PlanShapeSpec extends GraftSpec {
       val gp = groupingFiltered.queryExecution.executedPlan.toString
       assert(gp.contains("graft_mv") && !gp.contains("lineitem.parquet"),
         s"grouping-column filter must route to the MV:\n${gp.take(800)}")
+      // HAVING sits ABOVE the Aggregate and must survive routing
+      // untouched — post-aggregation predicates are orthogonal to the
+      // partial rewrite (r14 lock-in)
+      val having = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .filter(col("n") > 10)
+        .orderBy(col("l_returnflag"))
+      val hp = having.queryExecution.executedPlan.toString
+      assert(hp.contains("graft_mv") && !hp.contains("lineitem.parquet"),
+        s"HAVING over a routable aggregate must still route:\n${hp.take(700)}")
+      graft.plans.MvRouting.disable(spark)
+      val hOff = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .filter(col("n") > 10)
+        .orderBy(col("l_returnflag")).collect().toSeq
+      graft.plans.MvRouting.enable(spark)
+      assert(having.collect().toSeq == hOff,
+        "routed HAVING diverged from the base plan")
     } finally graft.plans.MvRouting.disable(spark)
   }
 
