@@ -819,6 +819,41 @@ object MvOps {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Aggregate FILTER clauses over DIM conditions routed through the
+    * star join (r14): `sum(l_extendedprice) FILTER (WHERE s_acctbal >
+    * 0)` grouped by s_nationkey — ClickHouse `sumIf` over a dimension
+    * predicate THROUGH the join, the segmentation spelling every
+    * cross-table dashboard uses. Sound because the gate reads the DIM
+    * side only: its value is identical for an MV partial and for every
+    * fact row the partial stands for (per joined row), so gating
+    * partials (`CASE WHEN p THEN partial END`, p verbatim) re-aggregates
+    * exactly the gated base rows. Covers the decimal sum, count, and
+    * min/max gates plus an ungated control column; a FACT row-level
+    * gate in the same spot is negative-gated in PlanShapeSpec.
+    *
+    * Scale notes: same O(groups)-fact-side economics — the point is
+    * that conditional measures over dim segments, the most common
+    * cross-table dashboard row, no longer force the 100 TB fact scan.
+    */
+  private def mvRouteJoinFilter(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        expr("""sum(cast(l_extendedprice as decimal(30,6)))
+                filter (where s_acctbal > 0)""")
+          .cast("double").as("sum_price_pos"),
+        expr("count(1) filter (where s_acctbal > 0)").as("n_pos"),
+        expr("min(l_extendedprice) filter (where s_acctbal <= 0)")
+          .as("min_price_neg"),
+        expr("max(l_extendedprice) filter (where s_acctbal <= 0)")
+          .as("max_price_neg"),
+        count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** ROLLUP over a STAR JOIN routed (r14 follow-through): `ROLLUP(
     * s_nationkey, l_returnflag)` over lineitem ⋈ supplier — the
     * subtotal dashboard over a star schema — plans as Aggregate-over-
@@ -1898,6 +1933,20 @@ object MvOps {
     // sketch estimates on every probe (t-digest routed, GK fallen
     // through) — rows-only; SketchSpec bounds each probe's rank error
     QueryDef("mv_refresh_quantile", mvRefreshQuantile, None),
+    // DuckDB FILTER semantics match Spark's (sum/min/max null over an
+    // empty gated set, count 0) — the mv_route_filter_clause precedent
+    QueryDef("mv_route_join_filter", mvRouteJoinFilter,
+      Some("""SELECT s_nationkey,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                  FILTER (WHERE s_acctbal > 0) AS DOUBLE) AS sum_price_pos,
+                COUNT(*) FILTER (WHERE s_acctbal > 0) AS n_pos,
+                MIN(l_extendedprice) FILTER (WHERE s_acctbal <= 0)
+                  AS min_price_neg,
+                MAX(l_extendedprice) FILTER (WHERE s_acctbal <= 0)
+                  AS max_price_neg,
+                COUNT(*) AS n
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey ORDER BY s_nationkey""")),
     QueryDef("mv_route_join_dim", mvRouteJoinDim,
       Some(s"""SELECT s_nationkey,
                 MAX(s_acctbal) AS max_bal,

@@ -849,27 +849,37 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // family below), values through rwValue
     def rw(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression
-          if ae.references.nonEmpty &&
-            ae.references.forall(dimIds.contains) =>
-        // an ALL-dim aggregate passes VERBATIM when its function is
+          if ae.aggregateFunction.references.nonEmpty &&
+            ae.aggregateFunction.references.forall(dimIds.contains) =>
+        // an ALL-dim aggregate FUNCTION passes VERBATIM when it is
         // REPLICATION-INVARIANT: the routed join presents each joined
         // dim row once per MV partial instead of once per fact row,
         // which changes multiplicities but never the dim VALUE SET per
         // group — so idempotent (min/max) and set-based (DISTINCT)
         // aggregates are exact, while sum/count/avg over dim values
-        // stay blocked (they weight by multiplicity). A dim-only
-        // FILTER clause rides along (row-level on the join, evaluated
-        // identically per joined row). This is the
-        // `GROUP BY n_name → max(s_acctbal)` dashboard shape.
-        ae.aggregateFunction match {
+        // stay blocked (they weight by multiplicity). A FILTER clause
+        // (if any) must be all-dim too, riding along verbatim
+        // (row-level on the join, evaluated identically per joined
+        // row). This is the `GROUP BY n_name → max(s_acctbal)`
+        // dashboard shape. Classification is by the FUNCTION's refs —
+        // a fact-function aggregate whose FILTER reads dim columns
+        // belongs to the partial-rewrite case below.
+        if (!ae.filter.forall(f => f.deterministic &&
+            f.references.forall(dimIds.contains) &&
+            !f.exists(_.isInstanceOf[PlanExpression[_]]))) None
+        else ae.aggregateFunction match {
           case _: Min | _: Max => Some(ae)
           case _: Count if ae.isDistinct => Some(ae)
           case _ => None
         }
       case ae: AggregateExpression =>
-        if (ae.references.exists(dimIds.contains)) None
+        // the aggregate FUNCTION must read fact columns only; the
+        // FILTER clause may additionally be all-dim (rides verbatim —
+        // rewriteAggFn's dimIds gate) or grouping-key-only (remapped)
+        if (ae.aggregateFunction.references.exists(dimIds.contains)) None
         else rewriteAggFn(ae, mv, mvAttr,
-          hasGrouping = groupExprs.nonEmpty, mvPlan, multiRoot = false)
+          hasGrouping = groupExprs.nonEmpty, mvPlan, multiRoot = false,
+          dimIds = dimIds)
       case a: AttributeReference => rwValue(mv, mvAttr, dimIds)(a)
       case other =>
         val factOnly = other.references.nonEmpty &&
@@ -1068,7 +1078,18 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // contract was declared for the registered base only, and a tail
     // root with NULLs in the declared column would make the routed
     // Sum-of-per-leg-count(*) partials overcount vs the base scan
-    multiRoot: Boolean): Option[Expression] = {
+    multiRoot: Boolean,
+    // join-route flavor (rewriteJoin ONLY — the Expand flavor must NOT
+    // pass this: its passthrough machinery lifts MV attrs, not dim
+    // attrs, across the replayed Expand): a FILTER clause referencing
+    // dim columns EXCLUSIVELY is kept VERBATIM as the partial's gate —
+    // evaluated per joined row, its value is identical for an MV
+    // partial and for every fact row the partial stands for (the gate
+    // reads nothing fact-side), so gating partials is exact. This is
+    // ClickHouse sumIf over a dimension condition THROUGH the join.
+    dimIds: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+      org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
+      : Option[Expression] = {
     // FILTER (WHERE p) routes when p is a GROUPING-KEY-only predicate
     // (r12 verdict task 1 — ClickHouse sumIf/countIf served from a
     // projection): such a p admits WHOLE groups, so every MV partial
@@ -1081,6 +1102,13 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // post-aggregation.
     val filterGate: Option[Expression] = ae.filter match {
       case None => None
+      case Some(f)
+          if f.deterministic && f.references.nonEmpty &&
+            f.references.forall(dimIds.contains) &&
+            !f.exists(_.isInstanceOf[PlanExpression[_]]) =>
+        // join flavor: an ALL-dim gate rides VERBATIM (see the dimIds
+        // param note) — dim attrs survive the fact-side swap untouched
+        Some(f)
       case Some(f) =>
         if (!routableFilter(f, mv)) return None
         Some(remapCondToMv(f, mv, mvAttr).getOrElse(return None))

@@ -1445,6 +1445,61 @@ class PlanShapeSpec extends GraftSpec {
     }
   }
 
+  test("mv_route_join_filter: dim-condition FILTER gates route, fact row-level gates block") {
+    val df = SparkEntry.queries("mv_route_join_filter")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_supp1_") && p.contains("supplier.parquet") &&
+      !p.contains("lineitem.parquet"),
+      s"dim-gated star join not routed:\n${p.take(1000)}")
+    def q(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(
+          org.apache.spark.sql.functions.expr(
+            """sum(cast(l_extendedprice as decimal(30,6)))
+               filter (where s_acctbal > 0)""")
+            .cast("double").as("sum_price_pos"),
+          org.apache.spark.sql.functions.expr(
+            "count(1) filter (where s_acctbal > 0)").as("n_pos"),
+          org.apache.spark.sql.functions.expr(
+            "min(l_extendedprice) filter (where s_acctbal <= 0)")
+            .as("min_price_neg"),
+          org.apache.spark.sql.functions.expr(
+            "max(l_extendedprice) filter (where s_acctbal <= 0)")
+            .as("max_price_neg"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+    val control = q(spark)
+    assert(control.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(df.collect().toSeq == control.collect().toSeq,
+      "routed dim-gated aggregates diverged from the base-table plan")
+    // negative gates on an armed session
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    // (a) a FACT row-level gate has no partial form
+    val factGate = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "count(1) filter (where l_quantity > 25)").as("n"))
+      .queryExecution.executedPlan.toString
+    assert(factGate.contains("lineitem.parquet"),
+      s"fact row-level FILTER gate must not route:\n${factGate.take(600)}")
+    // (b) a MIXED dim+fact-row gate blocks too
+    val mixedGate = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "count(1) filter (where s_acctbal > 0 and l_quantity > 25)").as("n"))
+      .queryExecution.executedPlan.toString
+    assert(mixedGate.contains("lineitem.parquet"),
+      s"mixed dim+fact-row FILTER gate must not route:\n${mixedGate.take(600)}")
+  }
+
   test("mv_route_join_rollup replays the Expand over the routed join, bit-identical") {
     val df = SparkEntry.queries("mv_route_join_rollup")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
