@@ -1172,7 +1172,13 @@ class PlanShapeSpec extends GraftSpec {
       "nd_pk" -> F.countDistinct(col("l_partkey")),        // must block
       "rev" -> Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
       "charge" -> Det.dsum(col("l_extendedprice") * (lit(1) + col("l_tax"))),
-      "min_flag" -> F.min(col("l_returnflag")))  // grouping-key min
+      "min_flag" -> F.min(col("l_returnflag")),  // grouping-key min
+      // FILTER clauses: a grouping-key gate (routable) and a row-level
+      // gate (must block) — r14 widened gates across two routes
+      "sum_f" -> F.expr("""sum(cast(l_quantity as decimal(30,6)))
+                           filter (where l_linestatus = 'F')""")
+        .cast("double"),
+      "n_big" -> F.expr("count(1) filter (where l_quantity > 25)"))
     val groupPool: Vector[Seq[Column]] = Vector(
       Seq(col("l_returnflag")),
       Seq(col("l_returnflag"), col("l_linestatus")),
@@ -1840,6 +1846,71 @@ class PlanShapeSpec extends GraftSpec {
       == ((fRed intersect fBlue) ++ admits("green")),
       "OR over an AND leg must union the leg admissions")
     TextIndexRouting.disable(s)
+  }
+
+  test("interval-join rewrite fuzz: bucketed plan equals the naive join") {
+    // The transparent-rewrite invariant applied to IntervalJoinRewrite:
+    // for random interval data (zero-length, touching, nested, long
+    // spans) and random predicate SPELLINGS (direction, strictness,
+    // conjunct order, an extra same-side conjunct), the bucketed
+    // equi-join must return exactly the naive BroadcastNestedLoopJoin's
+    // pairs — the count-once bucket arithmetic and the shape detector
+    // are the code under test.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    import graft.plans.IntervalJoinRewrite
+    val s = graft.Sessions.isolatedClone(spark)
+    IntervalJoinRewrite.install(s)
+    s.conf.set(IntervalJoinRewrite.WidthConf, "100")
+    try {
+      val rowGen = for {
+        start <- Gen.choose(0L, 1000L)
+        len <- Gen.frequency(3 -> Gen.choose(0L, 300L), 1 -> Gen.const(0L))
+      } yield (start, start + len)
+      val dataGen = for {
+        na <- Gen.choose(20, 60)
+        nb <- Gen.choose(20, 60)
+        as <- Gen.listOfN(na, rowGen)
+        bs <- Gen.listOfN(nb, rowGen)
+        spelling <- Gen.choose(0, 3)
+      } yield (as, bs, spelling)
+      (1 to 10).foreach { i =>
+        val (as, bs, spelling) =
+          dataGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+        def pairs(sess: org.apache.spark.sql.SparkSession,
+            expectRewrite: Boolean): Set[(Long, Long)] = {
+          import sess.implicits._
+          val a = as.zipWithIndex
+            .map { case ((st, en), id) => (id.toLong, st, en) }
+            .toDF("a_id", "a_s", "a_e")
+          val b = bs.zipWithIndex
+            .map { case ((st, en), id) => (id.toLong, st, en) }
+            .toDF("b_id", "b_s", "b_e")
+          val cond = spelling match {
+            case 0 => col("a_s") < col("b_e") && col("b_s") < col("a_e")
+            case 1 => col("b_e") > col("a_s") && col("a_e") > col("b_s")
+            case 2 => col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+            // an extra same-side conjunct rides along as a refinement
+            case _ => col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+              col("a_s") >= 0L
+          }
+          val df = a.join(b, cond)
+          val p = df.queryExecution.executedPlan.toString
+          assert(p.contains("BroadcastNestedLoopJoin") != expectRewrite,
+            s"seed $i spelling $spelling: expectRewrite=$expectRewrite\n" +
+              p.take(500))
+          df.select(col("a_id"), col("b_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        val rewritten = pairs(s, expectRewrite = true)
+        val naive = pairs(spark, expectRewrite = false)
+        assert(rewritten == naive,
+          s"seed $i spelling $spelling: rewrite diverged — " +
+            s"only-rewritten=${(rewritten -- naive).take(3)} " +
+            s"only-naive=${(naive -- rewritten).take(3)}")
+      }
+    } finally s.conf.unset(IntervalJoinRewrite.WidthConf)
   }
 
   test("token index fuzz: random predicate trees, armed and unarmed agree") {
