@@ -98,7 +98,15 @@ object Bench {
     val ioRatio =
       if (prevCalIo > 0) math.max(1.0, ioObserved / prevCalIo) else 1.0
     val medRatio = medianRatio(prev, results)
-    val adopt = adoptRecord(cpuRatio, ioRatio, medRatio)
+    // -Dgraft.bench.forceAdopt=1 is the explicit RE-BASELINE escape
+    // hatch (r14 ADVICE finding 4): a legitimate code change that slows
+    // a majority of keys past 1.1× would otherwise read median>1.1
+    // against the stale record forever — the gate could never re-adopt
+    // and regression diffs would stay pinned to pre-change code. The
+    // flag is deliberate-operator-only (never set by the driver), so
+    // the accidental-loaded-run protection stays intact by default.
+    val adopt = adoptDecision(cpuRatio, ioRatio, medRatio,
+      sys.props.get("graft.bench.forceAdopt").contains("1"))
     // full per-query map also persisted to a file: the driver's tail
     // capture keeps only ~64 of 260+ entries of the stdout line, so
     // round-over-round per-query diffs need the at-rest copy
@@ -201,6 +209,13 @@ object Bench {
   private[graft] def adoptRecord(cpuRatio: Double, ioRatio: Double,
       medRatio: Double): Boolean =
     cpuRatio <= 1.1 && ioRatio <= 1.1 && medRatio <= 1.1
+
+  /** The full adoption decision: the calibration gate, or the explicit
+    * operator override (unit-tested; see the forceAdopt call-site note).
+    */
+  private[graft] def adoptDecision(cpuRatio: Double, ioRatio: Double,
+      medRatio: Double, force: Boolean): Boolean =
+    force || adoptRecord(cpuRatio, ioRatio, medRatio)
 
   /** (total over successful queries, #ok, #failed) — the -1 failure
     * sentinel must never pollute the summed total (unit-tested).

@@ -230,6 +230,56 @@ object MvOps {
       maxMap = Map("l_extendedprice" -> "max_price_state"),
       baseFingerprint = baseFp,
       name = "by_supplier"))
+    // JOIN VIEW (r15 — VERDICT r14 task 1): γ_{rf, s_nationkey}
+    // (lineitem ⋈ supplier), partials aggregated over the JOINED rows —
+    // the artifact the routeJoinView rule collapses a matching
+    // Aggregate-over-Join onto with no query-time join. Dim columns
+    // (s_nationkey) are grouping columns of the view; dim-valued
+    // partials (s_acctbal sums/min/max, replication included) are
+    // exactly what the fact-side swap can never serve. The dim's own
+    // build-time fingerprint rides in the joinSpec — a supplier update
+    // changes joined partials without touching the lineitem listing.
+    val dimDf = Tables.supplier(s, dir)
+    val dimFp = scala.util.Try(graft.plans.PathRegistry
+      .fileFingerprint(dimDf.inputFiles.toSeq)).toOption
+    val path3 = s"${new java.io.File(path).getParent}/lineitem_jv1_$sfName"
+    graft.Scratch.staged(path3) {
+      Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_returnflag"), col("s_nationkey"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+            .as("sum_price_state"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price_state"),
+          max(col("l_extendedprice")).as("max_price_state"),
+          sum(col("s_acctbal").cast(DecimalType(30, 6)))
+            .as("sum_bal_state"),
+          min(col("s_acctbal")).as("min_bal_state"),
+          max(col("s_acctbal")).as("max_bal_state"))
+        .write.mode("overwrite").parquet(path3)
+    }
+    MvRouting.register(MvRouting.MvDef(
+      basePath = s"$dir/lineitem.parquet", mvPath = path3,
+      groupCols = Set("l_returnflag", "s_nationkey"),
+      sumMap = Map("l_extendedprice" -> "sum_price_state",
+        "s_acctbal" -> "sum_bal_state"),
+      countCol = "n_rows",
+      minMap = Map("l_extendedprice" -> "min_price_state",
+        "s_acctbal" -> "min_bal_state"),
+      maxMap = Map("l_extendedprice" -> "max_price_state",
+        "s_acctbal" -> "max_bal_state"),
+      // fixture invariants (PlanShapeSpec asserts them for every
+      // declared member): count(col)/avg route through these only
+      notNullCols = Set("l_extendedprice", "s_acctbal"),
+      baseFingerprint = baseFp,
+      name = "join_view",
+      joinSpec = Some(MvRouting.JoinViewSpec(
+        dimPath = s"$dir/supplier.parquet",
+        factKeys = Seq("l_suppkey"), dimKeys = Seq("s_suppkey"),
+        dimCols = Set("s_nationkey"),
+        dimFingerprint = dimFp))))
   }
 
   /** Stage + register + install the routing rule on `s`. Callers own
@@ -756,6 +806,40 @@ object MvOps {
       .orderBy(col("s_nationkey"))
   }
 
+  /** STAR-JOIN aggregate answered from the JOIN VIEW with NO query-time
+    * join (r15 — the r14 verdict's top task): the query spells
+    * `γ_{s_nationkey}(lineitem ⋈ supplier)` with aggregates on BOTH
+    * sides — sum/min over s_acctbal is a DIM-side aggregate the
+    * fact-side swap can never serve (replication-sensitive through a
+    * query-time join) — and the rule collapses the whole
+    * Aggregate-over-Join onto the registered γ(lineitem ⋈ supplier)
+    * view: grouping key and every partial come from the view's stored
+    * columns, join multiplicity is baked in at build time, and the
+    * routed plan contains NO join node at all (PlanShapeSpec asserts
+    * exactly that, plus bit-identity vs the unrouted plan and the
+    * negative gates: uncovered dim attr, missing key pair, outer
+    * spelling, stale dim fingerprint).
+    *
+    * Scale notes: the fact-side swap still paid a join (O(groups) MV ⋈
+    * dim); the view route is a bare O(groups) scan + re-aggregation —
+    * at 100 TB the star dashboard becomes a metadata-sized read with
+    * no shuffle and no broadcast whatsoever.
+    */
+  private def mvRouteJoinView(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+        Det.dsum(col("s_acctbal")).as("sum_bal"),
+        min(col("s_acctbal")).as("min_bal"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** DEEP star join routed (r14 follow-through on the same task): the
     * fact sits BELOW the top join — `γ_{n_name}((lineitem ⋈ supplier) ⋈
     * nation)`, the canonical TPC-H 3-way star every revenue-by-region
@@ -898,7 +982,12 @@ object MvOps {
     * rows-only: SketchSpec asserts the routed plan reads the sketch MV
     * and bounds the routed estimates' rank error against exact
     * percentiles. The coarser grouping (flag only) exercises subset
-    * re-merging of per-(flag, status) digests.
+    * re-merging of per-(flag, status) digests. The probes request
+    * accuracy=200 — exactly the registered δ — because the route
+    * honors the accuracy CONTRACT (r14 ADVICE finding 3): a request
+    * tighter than the sketch's ~1/δ rank bound (e.g. the 10000
+    * default) falls through to the exact base scan instead of being
+    * silently served a looser estimate.
     *
     * Scale notes: an unrouted p95 is a full scan + per-group sketch
     * build over 100 TB; routed it folds O(groups × δ) centroid rows —
@@ -911,11 +1000,11 @@ object MvOps {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(200))
           .as("p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(200))
           .as("p90"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(200))
           .as("p99"))
       .orderBy(col("l_returnflag"))
   }
@@ -1371,9 +1460,9 @@ object MvOps {
     def snap(probe: String, mustScan: String, mustNotScan: String)
         : Seq[Row] = {
       val df = s.read.parquet(base).groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(200))
             .as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(200))
             .as("p90"))
       val p = df.queryExecution.executedPlan.toString
       require(p.contains(mustScan) && !p.contains(mustNotScan),
@@ -1914,6 +2003,15 @@ object MvOps {
       Some(s"""SELECT s_nationkey,
                 ${Det.oSum("l_extendedprice")} AS sum_price,
                 MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price,
+                COUNT(*) AS n
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey ORDER BY s_nationkey""")),
+    QueryDef("mv_route_join_view", mvRouteJoinView,
+      Some(s"""SELECT s_nationkey,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                ${Det.oSum("s_acctbal")} AS sum_bal,
+                MIN(s_acctbal) AS min_bal,
                 MAX(l_extendedprice) AS max_price,
                 COUNT(*) AS n
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

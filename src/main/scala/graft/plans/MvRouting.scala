@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, EvalMode, ExprId, Expression, If, Literal, NamedExpression, PlanExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, EvalMode, ExprId, Expression, If, IsNotNull, Literal, NamedExpression, PlanExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, Union}
@@ -131,7 +131,10 @@ object MvRouting {
       // is QUANTILE-ONLY: `percentile_approx(col, q, acc)` rewrites to
       // a QuantileMerge fold of O(groups × δ) centroid rows (rank error
       // O(q(1−q)/δ) — an estimate, never bit-equal to GK, so routed
-      // keys are rows-only with a SketchSpec bound); every OTHER
+      // keys are rows-only with a SketchSpec bound), and ONLY when the
+      // requested acc ≤ δ — the route honors the accuracy contract
+      // (promised error 1/acc must be no tighter than the sketch's
+      // ~1/δ; a tighter request falls through to the base); every OTHER
       // aggregate refuses to route through it, because the exploded
       // layout holds MULTIPLE rows per grouping tuple and a row exists
       // only for groups with ≥1 NON-NULL value — sum/count partials
@@ -160,7 +163,45 @@ object MvRouting {
       // the stale artifact (which still exists on disk) whenever the
       // rebuilt schema stops covering some aggregate. Distinct
       // projections on one base must use distinct names.
-      name: String = "default")
+      name: String = "default",
+      // JOIN VIEW declaration (r15 — VERDICT r14 task 1): when set, the
+      // artifact is γ(fact ⋈_keys dim) — its partials were aggregated
+      // over the JOINED row stream, groupCols may include DIM columns
+      // (joinSpec.dimCols), and join multiplicity is baked into every
+      // partial. Such a def is served EXCLUSIVELY by the join-view
+      // route ([[RouteAggregateToMv.routeJoinView]]), which collapses a
+      // matching Aggregate-over-Join to an aggregate over the view scan
+      // with NO query-time join; every single-table route (plain,
+      // Expand, fact-side join swap) refuses it — a plain fact
+      // aggregate served from joined partials would weight each fact
+      // row by its dim-match count and silently drop dangling rows.
+      joinSpec: Option[JoinViewSpec] = None,
+      // stored ROW COUNT of the MV artifact, captured at build/register
+      // time (parquet footer metadata — O(files), no data read): the
+      // COST signal for projection choice. When several defs can answer
+      // a query, the walk tries them smallest-first (ClickHouse's
+      // analyzer picks by estimated read cost the same way); None sorts
+      // last. Purely a tie-breaker among SERVABLE defs — every gate
+      // still runs per def, and any servable def yields identical
+      // values (exact-monoid partials), so ordering never changes
+      // results, only which O(groups) artifact is scanned.
+      rows: Option[Long] = None)
+
+  /** The join-view contract of an [[MvDef]] (r15): the view was built
+    * as γ(fact ⋈ dim) over an INNER equi-join on the (positionally
+    * paired) key columns. A query joins compatibly iff its join
+    * carries EXACTLY the registered key equalities (extra conjuncts
+    * over STORED view columns are group-constant and remap as view
+    * filters; a missing pair means a coarser join with different
+    * multiplicities — refused). `dimCols` are the dim-side columns the
+    * view stores as grouping columns; `dimFingerprint` is the dim
+    * table's build-time file fingerprint — the same out-of-band-change
+    * sentinel the fact side carries, because a dim row update changes
+    * joined partials without touching the fact listing.
+    */
+  case class JoinViewSpec(dimPath: String, factKeys: Seq[String],
+      dimKeys: Seq[String], dimCols: Set[String],
+      dimFingerprint: Option[(Long, Long)] = None)
 
   private val registry = new PathRegistry[Vector[MvDef]]
 
@@ -179,15 +220,34 @@ object MvRouting {
     // snapshot the base's file list unless the caller already did: one
     // listing per registration (rare), bought back as zero-I/O
     // staleness detection on every routed query
-    val d2 =
+    val d1 =
       if (d.baseFingerprint.isDefined) d
       else d.copy(baseFingerprint =
         scala.util.Try(PathRegistry.fileFingerprint(
           SparkSession.active.read.parquet(d.basePath).inputFiles.toSeq))
           .toOption)
+    // capture the artifact's stored row count for cost-based projection
+    // choice (parquet footer metadata only — a count() over a bare scan
+    // is answered from row-group counts, no column I/O); one job per
+    // registration, bought back as smallest-first def ordering on every
+    // routed query. Try: a not-yet-written artifact just sorts last.
+    val d2 =
+      if (d1.rows.isDefined) d1
+      else d1.copy(rows = scala.util.Try(
+        SparkSession.active.read.parquet(d1.mvPath).count()).toOption)
     val cur = registry.forPath(d2.basePath).getOrElse(Vector.empty)
     registry.put(d2.basePath, d2 +: cur.filterNot(_.name == d2.name))
   }
+
+  /** Candidate walk order (r15 — VERDICT r14 task 5): smallest stored
+    * artifact first (the ClickHouse cost rule), stable so equal/unknown
+    * sizes keep the latest-registration-first convention. Value-neutral
+    * by the exact-partial algebra — every servable def answers
+    * identically — so this only picks WHICH O(groups) artifact is
+    * scanned.
+    */
+  private[graft] def byCost(defs: Vector[MvDef]): Vector[MvDef] =
+    defs.sortBy(_.rows.getOrElse(Long.MaxValue))
 
   /** The latest-registered projection, if any (presence probe — the
     * routing rule itself iterates [[defsFor]]).
@@ -422,7 +482,8 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // the plain scan shape first (cheaper match), then the star-join
     // shape (r14): γ(fact ⋈ dim) served from the fact-side partials
     case agg: Aggregate =>
-      routeOne(agg).orElse(routeJoin(agg)).getOrElse(agg)
+      routeOne(agg).orElse(routeJoinView(agg)).orElse(routeJoin(agg))
+        .getOrElse(agg)
   }
 
   private def routeOne(agg: Aggregate): Option[Aggregate] =
@@ -467,8 +528,9 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       // (latest registration first), vet ITS filter routability, and the
       // first successful rewrite wins — exactly the ClickHouse analyzer's
       // projection choice, with "can answer at all" as the criterion
-        defs.view
-          .filter(d => PathRegistry.targetExists(d.mvPath) &&
+        byCost(defs).view
+          .filter(d => d.joinSpec.isEmpty &&
+            PathRegistry.targetExists(d.mvPath) &&
             fresh(d, regRoot.get) &&
             conds.forall(routableFilter(_, d)))
           // mvChildFor is BY-NAME into rewrite: the MV parquet is only
@@ -542,7 +604,11 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       fs: HadoopFsRelation,
       dimIds: org.apache.spark.sql.catalyst.expressions.AttributeSet,
       mkChild: (LogicalPlan, Seq[Expression]) => Option[LogicalPlan],
-      joinConds: Seq[Expression]) {
+      joinConds: Seq[Expression],
+      // the raw dim subtrees, innermost-first (verbatim — the join-view
+      // route inspects the single-dim case; everything else treats them
+      // opaquely through mkChild/dimIds)
+      dims: Seq[LogicalPlan]) {
     def resolve(e: Expression): Expression = applySubst(e, substAll)
   }
 
@@ -619,7 +685,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         val site = JoinSite(substAll,
           aboveConds0.map(applySubst(_, factSubst)), factConds, fs,
           dims.map(_.outputSet).reduce(_ ++ _), mkChild,
-          rawJoinConds.map(applySubst(_, substAll)))
+          rawJoinConds.map(applySubst(_, substAll)), dims)
         // every routed predicate must be deterministic and
         // subquery-free (the routableFilter vet, sides-aware)
         if (!(site.joinConds ++ site.aboveConds ++ site.factConds)
@@ -642,7 +708,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         }
       }
       lazy val curFp = PathRegistry.fingerprintsByRoot(site.fs.location)(root)
-      defsFor(root).view.flatMap { d =>
+      byCost(defsFor(root)).view.flatMap { d =>
         rewriteJoin(groupExprs, aggExprs, site, d, curFp)
           .map(newChild => agg.copy(
             groupingExpressions = newChild._1,
@@ -650,6 +716,133 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
             child = newChild._3))
       }.headOption
     }
+
+  /** JOIN-VIEW routing (r15 — VERDICT r14 task 1): answer a star-join
+    * aggregate from the maintained JOIN VIEW with NO query-time join.
+    * When γ_G(fact ⋈_θ dim) is queried and a registered def declares
+    * the SAME join (joinSpec: dim path, inner equi-join keys) with its
+    * partials aggregated over the joined rows (the mv_join_incremental
+    * algebra — γ(fact ⋈ dim) maintained by the CDC delta rules), the
+    * whole Aggregate-over-Join collapses to an aggregate over the view
+    * scan: grouping keys (fact AND dim attrs) map to stored view
+    * columns, aggregates — including ones over DIM columns, which the
+    * fact-side swap can never serve — rewrite to the view's partials,
+    * and the join disappears from the plan entirely.
+    *
+    * Soundness: the view's row set is exactly γ over the SAME joined
+    * stream the query aggregates — the registered key equalities must
+    * all be present in the query's join (a missing pair = a coarser
+    * join with different multiplicities → refuse), extra conjuncts and
+    * dim/fact/above filters must reference only STORED view columns
+    * (group-constant ⇒ they filter whole partial rows identically —
+    * the routableFilter algebra), and IsNotNull on a registered join
+    * key is implied by the inner equi-join itself and drops. Dim
+    * multiplicity is baked into the partials at build time, so
+    * sum/count over either side re-aggregate exactly; freshness is
+    * double-gated on the FACT and DIM build-time file fingerprints —
+    * a dim update changes joined partials without touching the fact
+    * listing, which is why [[JoinViewSpec.dimFingerprint]] exists.
+    * By-name resolution against the view schema is only sound when a
+    * name belongs to exactly one side — enforced by the schema
+    * disjointness gate.
+    *
+    * Scale notes: this beats the fact-side swap precisely where the
+    * swap still paid a join — the routed plan is a bare O(groups) view
+    * scan + re-aggregation, no broadcast, no shuffle of dim rows; at
+    * 100 TB the dashboard γ(fact ⋈ dim) becomes a metadata-sized read.
+    * Tried BEFORE the swap route for exactly that reason.
+    */
+  private def routeJoinView(agg: Aggregate): Option[Aggregate] =
+    locateJoin(agg.child).flatMap { site =>
+      if (site.dims.lengthCompare(1) != 0) return None
+      val factRoot = site.fs.location.rootPaths.head.toString
+      val viewDefs = byCost(defsFor(factRoot).filter(_.joinSpec.isDefined))
+      if (viewDefs.isEmpty) return None
+      dimBase(site.dims.head).flatMap { case (dimConds, dimFs) =>
+        val dimRoot = dimFs.location.rootPaths.head.toString
+        // by-name side resolution demands schema-disjoint sides
+        val factNames = site.fs.schema.fieldNames.toSet
+        if (dimFs.schema.fieldNames.exists(factNames)) return None
+        lazy val factFp =
+          PathRegistry.fingerprintsByRoot(site.fs.location)(factRoot)
+        lazy val dimFp =
+          PathRegistry.fingerprintsByRoot(dimFs.location)(dimRoot)
+        val groupExprs = agg.groupingExpressions.map(site.resolve)
+        val aggExprs = agg.aggregateExpressions.map { ne =>
+          site.resolve(ne) match {
+            case al: Alias if al.exprId == ne.exprId => al
+            case a: AttributeReference if a.exprId == ne.exprId => a
+            case other => Alias(other, ne.name)(exprId = ne.exprId)
+          }
+        }
+        // a join conjunct that IS a registered key equality (bare attr
+        // = bare attr, one side each — resolved fact attrs, verbatim
+        // dim attrs)
+        def asKeyPair(c: Expression): Option[(String, String)] = c match {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            if (site.dimIds.contains(a) && !site.dimIds.contains(b))
+              Some((b.name, a.name))
+            else if (site.dimIds.contains(b) && !site.dimIds.contains(a))
+              Some((a.name, b.name))
+            else None
+          case _ => None
+        }
+        viewDefs.view.flatMap { d =>
+          val js = d.joinSpec.get
+          val keyPairs = js.factKeys.zip(js.dimKeys).toSet
+          def impliedNotNull(c: Expression): Boolean = c match {
+            // IsNotNull on a registered join key: implied by the view's
+            // own inner equi-join (EqualTo never matches null keys)
+            case IsNotNull(a: AttributeReference) =>
+              if (site.dimIds.contains(a)) js.dimKeys.contains(a.name)
+              else js.factKeys.contains(a.name)
+            case _ => false
+          }
+          val (matched, extras) =
+            site.joinConds.partition(c => asKeyPair(c).exists(keyPairs))
+          val conds = (extras ++ site.factConds ++ dimConds ++
+            site.aboveConds).filterNot(impliedNotNull)
+          if (PathRegistry.canonical(js.dimPath) !=
+              PathRegistry.canonical(dimRoot)) None
+          // mis-registration guard: every declared dim column must be a
+          // stored grouping column, or by-name remaps could fabricate
+          else if (!js.dimCols.subsetOf(d.groupCols)) None
+          else if (!PathRegistry.targetExists(d.mvPath)) None
+          else if (!d.baseFingerprint.forall(_ == factFp)) None
+          else if (!js.dimFingerprint.forall(_ == dimFp)) None
+          // EVERY registered pair must appear in the query's join
+          else if (matched.flatMap(asKeyPair).toSet != keyPairs) None
+          else if (!conds.forall(routableFilter(_, d))) None
+          else rewrite(agg, groupExprs, aggExprs, conds, d,
+            Some(SparkSession.active.read.parquet(d.mvPath)
+              .queryExecution.analyzed),
+            multiRoot = false)
+        }.headOption
+      }
+    }
+
+  /** The dim subtree the join-view route accepts: column-pruning
+    * Projects / Filters over a single-root scan — STRICTER than
+    * baseScan (no aliases: a computed dim column has no stored view
+    * column to map to; such shapes fall through to the fact-side swap,
+    * which replays dim subtrees verbatim). Returns (dim filter
+    * conditions, the scan).
+    */
+  private def dimBase(p: LogicalPlan)
+      : Option[(Seq[Expression], HadoopFsRelation)] = p match {
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation
+          if fs.location.rootPaths.lengthCompare(1) == 0 =>
+        Some((Nil, fs))
+      case _ => None
+    }
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      dimBase(child)
+    case Filter(cond, child) =>
+      dimBase(child).map { case (cs, fs) => (cond +: cs, fs) }
+    case _ => None
+  }
 
   /** The registered fact scan located DEEPER than the top join (r14 —
     * the 3-way star / snowflake shape `γ((fact ⋈ dim1) ⋈ dim2)`):
@@ -809,6 +1002,10 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
   private def joinDefGates(site: JoinSite, mv: MvDef, curFp: (Long, Long),
       vetted: Seq[Expression]): Boolean = {
     if (mv.quantileMap.nonEmpty) return false
+    // a JOIN-VIEW def never serves the fact-side swap: its partials
+    // carry the view's join multiplicity already — swapping them into
+    // a query-time join would apply the dim replication twice
+    if (mv.joinSpec.isDefined) return false
     if (!PathRegistry.targetExists(mv.mvPath)) return false
     if (!mv.baseFingerprint.forall(_ == curFp)) return false
     if (!site.factConds.forall(routableFilter(_, mv))) return false
@@ -1151,6 +1348,21 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
               case _ => None
             }
             cols <- mv.quantileMap.get(srcName)
+            // the ACCURACY argument is a precision CONTRACT, not a
+            // hint: percentile_approx(col, q, acc) promises rank error
+            // ≤ 1/acc, while the registered δ-compression t-digest only
+            // bounds error at ~q(1−q)/δ ≤ 1/δ. Serve the route ONLY
+            // when the request is no tighter than the sketch delivers —
+            // acc ≤ δ — so a query asking acc=10000 against a δ=200
+            // projection falls through to the exact base scan instead
+            // of silently getting a materially looser estimate (r14
+            // ADVICE finding 3). Non-literal accuracy never routes.
+            acc <- ap.accuracyExpression match {
+              case Literal(a: Int, IntegerType) => Some(a.toLong)
+              case Literal(a: Long, LongType) => Some(a)
+              case _ => None
+            }
+            if acc <= cols._3.toLong
             mAttr <- mvAttr.get(cols._1)
             wAttr <- mvAttr.get(cols._2)
             // the routed estimate is a DOUBLE; only the double-returning
@@ -1345,6 +1557,19 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       aggExprs: Seq[NamedExpression], filterConds: Seq[Expression],
       mv: MvDef, mvChild: => Option[LogicalPlan],
       multiRoot: Boolean): Option[Aggregate] = {
+    // QUANTILE-ONLY defs may serve a query ONLY through the quantile
+    // branch of rewriteAggFn: the exploded centroid MV has NO row for a
+    // group whose sketch column is all-NULL (empty t-digest state →
+    // explode drops it), so a bare-grouping-key query (SELECT DISTINCT
+    // key / GROUP BY key with no aggregate at all — no
+    // AggregateExpression anywhere, so rewriteAggFn never runs) would
+    // silently LOSE such groups. Any present AggregateExpression either
+    // routes through the quantile branch or aborts the rewrite, so
+    // "≥1 aggregate present" is exactly "the quantile branch vetted
+    // this query" at every successful exit (r14 ADVICE finding 2).
+    if (mv.quantileMap.nonEmpty &&
+        !aggExprs.exists(_.exists(_.isInstanceOf[AggregateExpression])))
+      return None
     // each grouping expression resolves to an MV column: a bare attr
     // must be a registered grouping column; anything else must match a
     // registered grouping-EXPRESSION template (the MV stores its value
@@ -1460,8 +1685,9 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         // memoized on the FileIndex instance like routeOne's
         lazy val curFp = PathRegistry.fingerprintsByRoot(fs.location)(
           fs.location.rootPaths.head.toString)
-        defsFor(fs.location.rootPaths.head.toString).view
-          .filter(d => PathRegistry.targetExists(d.mvPath) &&
+        byCost(defsFor(fs.location.rootPaths.head.toString)).view
+          .filter(d => d.joinSpec.isEmpty &&
+            PathRegistry.targetExists(d.mvPath) &&
             d.baseFingerprint.forall(_ == curFp) &&
             conds.forall(routableFilter(_, d)))
           .flatMap(d => rewriteExpand(agg, e, conds, subst, d))
@@ -1492,7 +1718,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       val root = site.fs.location.rootPaths.head.toString
       lazy val curFp =
         PathRegistry.fingerprintsByRoot(site.fs.location)(root)
-      defsFor(root).view
+      byCost(defsFor(root)).view
         .filter(d => joinDefGates(site, d, curFp, Nil))
         .flatMap(d => rewriteExpand(agg, e, Nil, site.substAll, d,
           site.dimIds,
@@ -1512,6 +1738,13 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       // (mvPlan, mvAttr); None = the plain filterConds-over-mvPlan build
       buildChild: Option[(LogicalPlan, Map[String, AttributeReference]) =>
         Option[LogicalPlan]] = None): Option[Aggregate] = {
+    // quantile-only defs never serve aggregate-free grouping-set
+    // queries — the rewrite() gate's rationale verbatim (the exploded
+    // centroid MV drops all-NULL-sketch groups); checked BEFORE the MV
+    // parquet read, per the static-gates-first discipline
+    if (mv.quantileMap.nonEmpty && !agg.aggregateExpressions
+        .exists(_.exists(_.isInstanceOf[AggregateExpression])))
+      return None
     val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
       .queryExecution.analyzed
     val mvAttr: Map[String, AttributeReference] =
@@ -1545,6 +1778,15 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // an MV key but not part of THIS query's grouping sets) stays the
     // base value in every copy and routes fine
     val nulledCopies = scala.collection.mutable.Set[ExprId]()
+    // Expand output exprId → the SHARED substituted base expression of
+    // its non-literal position (grouping-mapped, dim-mapped and dropped
+    // passthrough alike). rwTop inlines aggregate-internal references
+    // through this map BEFORE rewriteAggFn — mirroring routeOne's
+    // applySubst discipline — so a Project-below-Expand alias shadowing
+    // a registered base-column name (`upper(s_name) AS l_quantity`)
+    // arrives at rewriteAggFn as the expression it IS, not as a name
+    // that silently matches the fact partial (r14 ADVICE finding 1).
+    val posVal = scala.collection.mutable.Map[ExprId, Expression]()
     val newOutput = scala.collection.mutable.ArrayBuffer[AttributeReference]()
     val newRows = Array.fill(e.projections.length)(
       scala.collection.mutable.ArrayBuffer[Expression]())
@@ -1573,6 +1815,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
             base.references.forall(dimIds.contains)) {
           val na = oldOut.newInstance()
           oldToNew(oldOut.exprId) = na
+          posVal(oldOut.exprId) = base
           if (vals.exists(isNullLit)) nulledCopies += oldOut.exprId
           newOutput += na
           vals.zipWithIndex.foreach { case (v, j) =>
@@ -1591,6 +1834,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
             if (ma.dataType != oldOut.dataType) return None
             val na = oldOut.newInstance()
             oldToNew(oldOut.exprId) = na
+            posVal(oldOut.exprId) = base
             if (vals.exists(isNullLit)) nulledCopies += oldOut.exprId
             newOutput += na
             vals.zipWithIndex.foreach { case (v, j) =>
@@ -1602,6 +1846,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
             // be dropped soundly; per-set nulling of a non-key column
             // (multi-distinct Expand) has no MV story
             if (vals.exists(isNullLit)) return None
+            posVal(oldOut.exprId) = base
             ()
         }
         }
@@ -1629,19 +1874,38 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         // min over the nulled key column, or the multi-distinct
         // rewrite's gid-filtered aggregates) must NOT resolve by name
         // to the MV's un-nulled value — its per-set null semantics have
-        // no partial form here, so the whole rewrite aborts. A
-        // reference to an UN-nulled grouping-mapped position (a FILTER
-        // on an MV key outside this query's grouping sets) is the base
-        // value in every copy and resolves by name exactly.
-        // …and in the join flavor, an aggregate reading the DIM side
-        // (through an identity passthrough keeping the dim exprId) is
-        // replication-sensitive — blocked, the rewriteJoin rule
-        if (ae.references.exists(r => nulledCopies.contains(r.exprId) ||
-            dimIds.contains(r)))
+        // no partial form here, so the whole rewrite aborts. Every
+        // other reference is INLINED through posVal first (the routeOne
+        // applySubst discipline — r14 ADVICE finding 1): an alias
+        // shadowing a registered base-column name becomes the
+        // expression it stands for, so rewriteAggFn's by-name lookups
+        // only ever see genuine base-scan attributes. A reference whose
+        // position carried per-set literals (the gid column) has no
+        // base value and aborts; and in the join flavor, an aggregate
+        // whose INLINED form reads the DIM side — whether through an
+        // identity passthrough keeping the dim exprId or an alias of a
+        // dim expression — is replication-sensitive and blocked (the
+        // rewriteJoin rule; the Expand passthrough machinery lifts MV
+        // attrs, not dim attrs).
+        if (ae.references.exists(r => nulledCopies.contains(r.exprId)))
           None
-        else rewriteAggFn(ae, mv, mvAttr, hasGrouping = true, mvPlan,
-            multiRoot = false)
-          .map(substMvToExpand)
+        else if (!ae.references.forall(r => posVal.contains(r.exprId)))
+          None
+        else {
+          val inlined = ae.transformUp {
+            case a: AttributeReference if posVal.contains(a.exprId) =>
+              posVal(a.exprId)
+          }.asInstanceOf[AggregateExpression]
+          // post-inline vet: no dim-side reads. (An IDENTITY
+          // passthrough inlines to itself — the Expand output IS the
+          // base attribute there, so "still references an Expand
+          // output" is not a violation; only dim reads are.)
+          if (inlined.references.exists(dimIds.contains))
+            None
+          else rewriteAggFn(inlined, mv, mvAttr, hasGrouping = true,
+              mvPlan, multiRoot = false)
+            .map(substMvToExpand)
+        }
       case a: AttributeReference => oldToNew.get(a.exprId)
       case other =>
         val kids = other.children.map(rwTop)

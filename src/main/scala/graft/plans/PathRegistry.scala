@@ -99,8 +99,17 @@ private[graft] object PathRegistry {
   // fingerprint for a fresh post-append listing of the same root and
   // blind the out-of-band-change sentinel. Sound because a FileIndex's
   // listing is materialized at construction and immutable thereafter
-  // (nothing in this library calls FileIndex.refresh()). Bounded FIFO so
-  // per-query FileIndex instances cannot accumulate.
+  // (nothing in this library calls FileIndex.refresh()). CAVEAT (r14
+  // ADVICE finding 5): Spark ITSELF can refresh a CACHED/CATALOG-TABLE
+  // FileIndex in place (REFRESH TABLE, insert-triggered refreshByPath),
+  // after which an identity-keyed memo would serve the pre-change
+  // fingerprint. That shape cannot reach this cache today — every
+  // routing def is registered against a PATH-based read
+  // (spark.read.parquet), whose InMemoryFileIndex is built fresh per
+  // DataFrame and is never the CatalogFileIndex the refresh machinery
+  // mutates. If catalog-table routing is ever added, key this memo on
+  // (identity, listing epoch) instead. Bounded FIFO so per-query
+  // FileIndex instances cannot accumulate.
   private val fpCache = new java.util.IdentityHashMap[AnyRef, AnyRef]()
   private val fpOrder = new java.util.ArrayDeque[AnyRef]()
   private val fpCacheMax = 64

@@ -113,6 +113,13 @@ class AllQueriesSmokeSpec extends GraftSpec {
     assert(!Bench.adoptRecord(1.54, 1.0, 1.0))
     assert(!Bench.adoptRecord(1.0, 3.2, 1.0))
     assert(!Bench.adoptRecord(1.0, 1.0, 2.0))
+    // the explicit re-baseline escape hatch (-Dgraft.bench.forceAdopt=1,
+    // r14 ADVICE finding 4): force overrides every blocked signal —
+    // a code change slowing most keys past 1.1× can still re-baseline —
+    // while force=false leaves the gate's verdict untouched
+    assert(Bench.adoptDecision(1.54, 3.2, 2.0, force = true))
+    assert(!Bench.adoptDecision(1.54, 1.0, 1.0, force = false))
+    assert(Bench.adoptDecision(1.0, 1.0, 1.0, force = false))
   }
 
   test("bench prev-map parse: queries extracted, garbage disables guard") {

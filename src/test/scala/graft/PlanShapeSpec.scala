@@ -1257,15 +1257,21 @@ class PlanShapeSpec extends GraftSpec {
       "pools or rule coverage regressed")
   }
 
-  test("mv_route_join routes the star join's fact side to the MV, bit-identical") {
+  test("mv_route_join routes the star join, bit-identical (view capture r15)") {
     val df = SparkEntry.queries("mv_route_join")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("lineitem_supp1_"),
-      s"fact side not routed to the supplier MV:\n${p.take(1000)}")
-    assert(p.contains("supplier.parquet"),
-      s"the dim side must still be scanned verbatim:\n${p.take(1000)}")
+    // r15: this fully-covered shape is now captured by the JOIN VIEW
+    // (tried before the fact-side swap — no query-time join at all);
+    // the swap route's single-level plan proof lives in
+    // mv_route_join_dim/_filter, whose shapes the view refuses
+    assert(p.contains("lineitem_jv1_"),
+      s"star join not collapsed onto the join view:\n${p.take(1000)}")
+    assert(!p.contains("supplier.parquet"),
+      s"the view route must not scan the dim at all:\n${p.take(1000)}")
     assert(!p.contains("lineitem.parquet"),
       s"the fact table must NOT be scanned:\n${p.take(1000)}")
+    assert(!p.contains("Join"),
+      s"the routed plan must contain NO join node:\n${p.take(1000)}")
     // bit-identity vs the unrouted plan (plain session — never armed)
     def unroutedQ(sess: org.apache.spark.sql.SparkSession) =
       Tables.lineitem(sess, sf)
@@ -1299,19 +1305,24 @@ class PlanShapeSpec extends GraftSpec {
         .orderBy(col("s_nationkey"))
     val dfF = dimFiltered(s)
     val pF = dfF.queryExecution.executedPlan.toString
-    assert(pF.contains("lineitem_supp1_") && !pF.contains("lineitem.parquet"),
+    // the dim filter reads a STORED view column — it remaps onto the
+    // view scan and the join-free route still fires
+    assert(pF.contains("lineitem_jv1_") && !pF.contains("lineitem.parquet"),
       s"dim-filtered star join must still route:\n${pF.take(900)}")
     assert(dfF.collect().toSeq == dimFiltered(spark).collect().toSeq,
       "routed dim-filtered star join diverged from the base plan")
     // negative gates, each must fall through to the fact scan:
-    // (a) an aggregate reading the DIM side is replication-sensitive
+    // (a) an aggregate reading a dim column with NO stored partial is
+    // refused by the view (unregistered) AND the swap (replication-
+    // sensitive through a query-time join) — s_acctbal itself now has
+    // view partials by design, so probe an unregistered dim column
     val dimAgg = Tables.lineitem(s, sf)
       .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_nationkey"))
-      .agg(Det.dsum(col("s_acctbal")).as("s"))
+      .agg(Det.dsum(col("s_suppkey")).as("s"))
       .queryExecution.executedPlan.toString
     assert(dimAgg.contains("lineitem.parquet"),
-      s"dim-side aggregate must not route:\n${dimAgg.take(700)}")
+      s"unregistered dim-side aggregate must not route:\n${dimAgg.take(700)}")
     // (b) a join key outside the MV's grouping tuple has no partials
     val wrongKey = Tables.lineitem(s, sf)
       .join(Tables.supplier(s, sf), col("l_partkey") === col("s_suppkey"))
@@ -1338,6 +1349,150 @@ class PlanShapeSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(rowLevel.contains("lineitem.parquet"),
       s"row-level fact filter must not route:\n${rowLevel.take(700)}")
+  }
+
+  test("mv_route_join_view: star aggregate served join-free, negative gates hold") {
+    val df = SparkEntry.queries("mv_route_join_view")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_jv1_"),
+      s"not served from the join view:\n${p.take(1000)}")
+    assert(!p.contains("lineitem.parquet") && !p.contains("supplier.parquet"),
+      s"view route must scan neither base table:\n${p.take(1000)}")
+    assert(!p.contains("Join"),
+      s"the routed plan must contain NO join node:\n${p.take(1000)}")
+    // bit-identity vs the unrouted plan — including the DIM-side sum
+    // the fact-side swap can never serve
+    def q(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          Det.dsum(col("s_acctbal")).as("sum_bal"),
+          org.apache.spark.sql.functions.min(col("s_acctbal")).as("min_bal"),
+          org.apache.spark.sql.functions.max(col("l_extendedprice"))
+            .as("max_price"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+    val control = q(spark)
+    assert(control.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(df.collect().toSeq == control.collect().toSeq,
+      "join-view route diverged from the base-table join plan")
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    // grouping by BOTH sides' stored keys stays join-free too
+    val both = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_returnflag"), col("s_nationkey"))
+      .agg(Det.dsum(col("s_acctbal")).as("sum_bal"))
+      .queryExecution.executedPlan.toString
+    assert(both.contains("lineitem_jv1_") && !both.contains("Join"),
+      s"two-sided grouping must stay view-served:\n${both.take(700)}")
+    // negative gates:
+    // (a) an UNCOVERED dim grouping attr: the view refuses (s_name is
+    // not stored); the fact-side swap still serves the fact aggregate
+    // with the dim replayed verbatim — the fallback HIERARCHY
+    val uncovered = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sp"))
+      .queryExecution.executedPlan.toString
+    assert(uncovered.contains("lineitem_supp1_") &&
+      uncovered.contains("supplier.parquet") &&
+      !uncovered.contains("lineitem_jv1_"),
+      s"uncovered dim attr must fall back to the swap route:\n${
+        uncovered.take(900)}")
+    // ...and when the swap is blocked too (dim-side sum), all the way
+    // to the base tables
+    val uncovered2 = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(Det.dsum(col("s_acctbal")).as("sb"))
+      .queryExecution.executedPlan.toString
+    assert(uncovered2.contains("lineitem.parquet"),
+      s"uncovered grouping + dim sum must reach the base:\n${
+        uncovered2.take(700)}")
+    // (b) an EXTRA join conjunct outside stored columns: the joined
+    // row set differs from the view's unless the extra is group-
+    // constant — l_partkey is no stored column, so nothing may route
+    val extraKey = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("l_partkey") === col("s_nationkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(Det.dsum(col("s_acctbal")).as("sb"))
+      .queryExecution.executedPlan.toString
+    assert(extraKey.contains("lineitem.parquet"),
+      s"extra non-stored join conjunct must not route:\n${
+        extraKey.take(700)}")
+    // (c) the null-safe spelling (<=>) keeps NULL key matches the
+    // inner EqualTo view never saw — the view refuses; the swap may
+    // still serve the fact side (condition re-evaluated verbatim)
+    val nullSafe = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") <=> col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(Det.dsum(col("s_acctbal")).as("sb"))
+      .queryExecution.executedPlan.toString
+    assert(!nullSafe.contains("lineitem_jv1_"),
+      s"null-safe join spelling must not hit the view:\n${
+        nullSafe.take(700)}")
+  }
+
+  test("mv_route_join_view: a stale DIM fingerprint unroutes the view") {
+    // scratch fact+dim so the dim can be mutated out-of-band: the FACT
+    // listing never changes, so only the dimFingerprint sentinel can
+    // catch the update — exactly the window JoinViewSpec.dimFingerprint
+    // exists for
+    val s = graft.Sessions.isolatedClone(spark)
+    val scratch = graft.Scratch.dir("jvstale")
+    val factP = s"$scratch/jvs_fact"
+    val dimP = s"$scratch/jvs_dim"
+    Tables.lineitem(s, sf).limit(2000)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+      .write.parquet(factP)
+    Tables.supplier(s, sf).select(col("s_suppkey"), col("s_nationkey"))
+      .write.parquet(dimP)
+    val mvP = s"$scratch/jvs_view"
+    s.read.parquet(factP)
+      .join(s.read.parquet(dimP), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+        .as("sum_price_state"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
+      .write.parquet(mvP)
+    graft.plans.MvRouting.register(graft.plans.MvRouting.MvDef(
+      basePath = factP, mvPath = mvP, groupCols = Set("s_nationkey"),
+      sumMap = Map("l_extendedprice" -> "sum_price_state"),
+      countCol = "n_rows",
+      baseFingerprint = Some(graft.plans.PathRegistry.fileFingerprint(
+        s.read.parquet(factP).inputFiles.toSeq)),
+      name = "jvs_view",
+      joinSpec = Some(graft.plans.MvRouting.JoinViewSpec(
+        dimPath = dimP, factKeys = Seq("l_suppkey"),
+        dimKeys = Seq("s_suppkey"), dimCols = Set("s_nationkey"),
+        dimFingerprint = Some(graft.plans.PathRegistry.fileFingerprint(
+          s.read.parquet(dimP).inputFiles.toSeq))))))
+    graft.plans.MvRouting.enable(s)
+    try {
+      def q() = s.read.parquet(factP)
+        .join(s.read.parquet(dimP), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      val before = q().queryExecution.executedPlan.toString
+      assert(before.contains("jvs_view") && !before.contains("jvs_fact"),
+        s"fresh view must serve:\n${before.take(700)}")
+      // OUT-OF-BAND dim update: plain append — fact listing untouched
+      Tables.supplier(s, sf).limit(1)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .write.mode("append").parquet(dimP)
+      val after = q().queryExecution.executedPlan.toString
+      assert(after.contains("jvs_fact") && !after.contains("jvs_view"),
+        s"stale dim fingerprint must unroute the view:\n${after.take(700)}")
+    } finally graft.plans.MvRouting.invalidate(factP)
   }
 
   test("mv_route_join_deep routes the 3-way star's fact leg, bit-identical") {
@@ -1433,8 +1588,12 @@ class PlanShapeSpec extends GraftSpec {
         .select(col("s_nationkey")).distinct().orderBy(col("s_nationkey"))
     val dd = distinctQ(s)
     val dp = dd.queryExecution.executedPlan.toString
-    assert(dp.contains("lineitem_supp1_") && !dp.contains("lineitem.parquet"),
-      s"DISTINCT dim attr over the join must route:\n${dp.take(700)}")
+    // r15: the join VIEW captures this bare-key shape first (its
+    // grouping tuple covers s_nationkey, so the distinct set is the
+    // view's own key set — join-free); either artifact is a route
+    assert(dp.contains("lineitem_jv1_") && !dp.contains("lineitem.parquet") &&
+      !dp.contains("Join"),
+      s"DISTINCT dim attr over the join must route join-free:\n${dp.take(700)}")
     assert(dd.collect().toSeq == distinctQ(spark).collect().toSeq,
       "routed DISTINCT-over-join diverged from the base plan")
     // negative gates: multiplicity-WEIGHTED dim aggregates must block
