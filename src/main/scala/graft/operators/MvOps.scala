@@ -1510,6 +1510,149 @@ object MvOps {
       .orderBy(col("probe"), col("l_returnflag").asc_nulls_last)
   }
 
+  /** MUTATION-safe quantile sketch MV via (group × partition) centroid
+    * granularity (r15 — VERDICT r14 task 3): t-digests are mergeable
+    * but NOT invertible, so a DELETE can't subtract from a per-group
+    * sketch — the scale-safe layout is the mv_refresh_minmax one
+    * applied to centroids: one exploded t-digest per (event_type, day),
+    * the day being the partition key the mutation machinery prunes on.
+    * A pruned `ALTER … DELETE WHERE day >= cut AND type='click'` then
+    * refreshes by RE-SKETCHING only the admitted partitions (the same
+    * pruned I/O class the mutation itself paid) and SPLICING:
+    * qmv2 = qmv1[day < cut] ∪ sketch(mutated days). Un-admitted days'
+    * bytes are untouched by the prune (mutatePartitions' contract), so
+    * their centroid rows stay exact verbatim; routing's QuantileMerge
+    * fold re-compacts the per-day digests per group, which equals a
+    * one-pass build within the sketch's rank bound (Agarwal et al.
+    * PODS'12 mergeability). Requires prove the re-sketch covered a
+    * strict subset of partitions and opened no file outside them.
+    * Probes: `pre_mutation` routed to qdmv1 (plan-required),
+    * `post_refresh` routed to the spliced qdmv2 — estimates, so the
+    * key is rows-only; SketchSpec bounds every probe's rank error
+    * against exact order statistics of the probe-time row set.
+    *
+    * Scale notes: refresh cost = O(mutated partitions) data +
+    * O(groups × days × δ) centroid metadata; history is never
+    * re-scanned and nothing needs the sketch to be invertible — the
+    * exact trade ClickHouse makes by keeping -State columns per part.
+    */
+  private def mvRefreshQuantileDelete(s0: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val scratch = graft.Scratch.dir("mvqdelete")
+    val root = s"$scratch/qd_base_t" // greppable in plan text
+    val delta = 200
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_type"), col("value"))
+      .write.partitionBy("day").parquet(root)
+    val cut = Scans.dayPartitionCutoff(root, 7)._2
+    val qagg = udaf(new graft.functions.QuantileState(delta))
+    // exploded centroids at (group × partition) granularity — day rides
+    // in the artifact so a partition's rows can be REPLACED, never
+    // inverted
+    def sketch(df: DataFrame): DataFrame = df
+      .select(col("event_type"), col("day"),
+        col("value").cast("double").as("v"), lit(1L).as("w"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(qagg(col("v"), col("w")).as("state"))
+      .select(col("event_type"), col("day"), explode(col("state")).as("c"))
+      .select(col("event_type"), col("day"),
+        col("c._1").as("m"), col("c._2").as("w"))
+    def registerMv(path: String, fp: (Long, Long)): Unit =
+      MvRouting.register(MvRouting.MvDef(
+        basePath = root, mvPath = path, groupCols = Set("event_type"),
+        sumMap = Map.empty, countCol = "",
+        quantileMap = Map("value" -> (("m", "w", delta))),
+        baseFingerprint = Some(fp)))
+    val mv1Src = s.read.parquet(root)
+    sketch(mv1Src).write.parquet(s"$scratch/qdmv1")
+    registerMv(s"$scratch/qdmv1",
+      graft.plans.PathRegistry.fileFingerprint(mv1Src.inputFiles.toSeq))
+    MvRouting.enable(s)
+    def snap(probe: String, mustScan: String, mustNotScan: String)
+        : Seq[Row] = {
+      val df = s.read.parquet(root).groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(delta))
+            .as("p50"),
+          percentile_approx(col("value"), lit(0.9), lit(delta))
+            .as("p90"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains(mustScan) && !p.contains(mustNotScan),
+        s"$probe probe must scan $mustScan and not $mustNotScan")
+      df.collect().toIndexedSeq.map(r => Row(probe, r.getString(0),
+        r.getDouble(1), r.getDouble(2)))
+    }
+    val pre = snap("pre_mutation", "qdmv1", "qd_base_t")
+    val admit = Scans.dayAdmit(d => !d.isBefore(cut))
+    def touchedDirs = Scans.dayDirs(root)
+      .filter(f => admit(f.getName.drop(4)))
+    def touchedRead(): DataFrame = {
+      val dirs = touchedDirs
+      require(dirs.nonEmpty, "mutation admits no partition — fixture broke")
+      s.read.option("basePath", root)
+        .parquet(dirs.map(_.getPath).toIndexedSeq: _*)
+    }
+    // the O(δ) proof: strictly fewer partitions than the base
+    require(touchedDirs.length <
+      graft.Scratch.listPartitionDirs(root, "day=").length,
+      "refresh must cover a strict subset of partitions")
+    Scans.mutatePartitions(s, root, "day", admit,
+      _.filter(col("event_type") =!= "click"),
+      s"ALTER TABLE t DELETE WHERE day >= $cut AND event_type = 'click'")
+    require(MvRouting.forPath(root).isEmpty,
+      "mutation machinery must have invalidated the MV registration")
+    // RE-SKETCH only the mutated partitions (post-image)
+    val post = sketch(touchedRead()).localCheckpoint(true)
+    require(touchedRead().inputFiles.forall(f =>
+      touchedDirs.exists(d => f.contains("/" + d.getName + "/"))),
+      "refresh read listed files outside the mutated partitions")
+    // the SPLICE: un-admitted days' centroid rows byte-identical from
+    // qmv1 (admitted = day >= cut; null-day rows are never admitted)
+    s.read.parquet(s"$scratch/qdmv1")
+      .filter(col("day").isNull ||
+        col("day") < lit(cut.toString).cast("date"))
+      .unionByName(post)
+      .write.parquet(s"$scratch/qdmv2")
+    // refresh-correctness PROOF (env/test-gated): the EXACT invariant a
+    // splice owes — un-admitted days' centroid rows survive VERBATIM
+    // (multiset-equal to qmv1's), admitted days' rows are exactly the
+    // freshly-sketched post-image. (A quantile-READ comparison against
+    // a full re-sketch would be the wrong gate: t-digest builds are
+    // input-order-sensitive within rank error, so even two full builds
+    // differ — SketchSpec's rank bound covers estimate quality.)
+    if (refreshProofGate) {
+      def canon(df: DataFrame) = df
+        .select(col("event_type"), col("day").cast("string"),
+          col("m"), col("w"))
+        .collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+      require(canon(s.read.parquet(s"$scratch/qdmv2")
+          .filter(col("day").isNull ||
+            col("day") < lit(cut.toString).cast("date"))) ==
+        canon(s.read.parquet(s"$scratch/qdmv1")
+          .filter(col("day").isNull ||
+            col("day") < lit(cut.toString).cast("date"))),
+        "splice altered un-admitted days' centroid rows")
+      require(canon(s.read.parquet(s"$scratch/qdmv2")
+          .filter(col("day") >= lit(cut.toString).cast("date"))) ==
+        canon(post),
+        "spliced admitted-day rows diverged from the post-image sketch")
+    }
+    registerMv(s"$scratch/qdmv2", graft.plans.PathRegistry.fileFingerprint(
+      s.read.parquet(root).inputFiles.toSeq))
+    val refreshed = snap("post_refresh", "qdmv2", "qd_base_t")
+    val schema = StructType(Seq(
+      StructField("probe", StringType),
+      StructField("event_type", StringType),
+      StructField("p50", DoubleType), StructField("p90", DoubleType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize((pre ++ refreshed).toList, 1), schema)
+      .orderBy(col("probe"), col("event_type").asc_nulls_last)
+  }
+
   /** Stage the two event layouts (idempotent per sfDir): the BASE copy
     * range-clustered + sorted on day (serves time predicates via file
     * min/max stats), the PROJECTION the same rows range-clustered +
@@ -2031,6 +2174,9 @@ object MvOps {
     // sketch estimates on every probe (t-digest routed, GK fallen
     // through) — rows-only; SketchSpec bounds each probe's rank error
     QueryDef("mv_refresh_quantile", mvRefreshQuantile, None),
+    // estimates again (t-digest splice) — rows-only; SketchSpec bounds
+    // pre- and post-mutation probes against exact order statistics
+    QueryDef("mv_refresh_quantile_delete", mvRefreshQuantileDelete, None),
     // DuckDB FILTER semantics match Spark's (sum/min/max null over an
     // empty gated set, count 0) — the mv_route_filter_clause precedent
     QueryDef("mv_route_join_filter", mvRouteJoinFilter,

@@ -26,7 +26,8 @@ class AllQueriesSmokeSpec extends GraftSpec {
       "stream_quantile_mv", "agg_topk_state",
       "vec_kmeans_train", "sim_ivf_trained_knn",
       "udaf_kmv_intersect", "ml_quality_filter",
-      "tok_bpe_train", "mv_route_quantile", "mv_refresh_quantile")
+      "tok_bpe_train", "mv_route_quantile", "mv_refresh_quantile",
+      "mv_refresh_quantile_delete")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}; " +
         s"stale documented entries: ${documented -- rowsOnly}")

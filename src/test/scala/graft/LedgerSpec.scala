@@ -44,6 +44,9 @@ class LedgerSpec extends AnyFunSuite {
     "mv_refresh_quantile",  // sketch estimates on every probe (t-digest
                             // routed, GK fallen through) — SketchSpec
                             // rank bounds per probe
+    "mv_refresh_quantile_delete", // t-digest splice under a pruned
+                            // DELETE — SketchSpec rank-bounds both
+                            // probes vs exact order statistics
   )
 
   private val ledgerRe =

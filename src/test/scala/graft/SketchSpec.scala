@@ -411,6 +411,42 @@ class SketchSpec extends GraftSpec {
     }
   }
 
+  test("mv_refresh_quantile_delete: spliced sketch rank-bounded pre and post mutation") {
+    import spark.implicits._
+    // the key's own requires prove pre→qdmv1 / post_refresh→qdmv2 plan
+    // shapes, the strict-subset partition read, and (when the proof
+    // gate is armed) verbatim survival of un-admitted centroid rows;
+    // here the VALUE contract — each probe rank-bounded against exact
+    // order statistics of the probe-time row set
+    val rows = SparkEntry.queries("mv_refresh_quantile_delete")(spark, sf)
+      .as[(String, String, Double, Double)].collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq ==
+      Seq("post_refresh", "pre_mutation"))
+    val ev = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
+        col("event_type"), col("value").cast("double").as("v"))
+    val cut = ev.agg(org.apache.spark.sql.functions
+      .date_sub(org.apache.spark.sql.functions.max(col("day")), 7))
+      .collect()(0).getDate(0)
+    val pre = ev.select(col("event_type"), col("v"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    val post = ev.filter(!(col("event_type") === "click" &&
+        col("day") >= org.apache.spark.sql.functions.lit(cut)))
+      .select(col("event_type"), col("v"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    rows.foreach { case (probe, g, p50, p90) =>
+      assert(p50 <= p90, s"$probe/$g quantiles out of order")
+      val vs = if (probe == "pre_mutation") pre(g) else post(g)
+      for ((q, est) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+        val rank = vs.count(_ <= est).toDouble / vs.length
+        assert(math.abs(rank - q) <= 0.03,
+          s"$probe/$g q=$q rank=$rank est=$est")
+      }
+    }
+  }
+
   test("mv_route_quantile: percentile_approx served from the sketch MV, rank-bounded") {
     import spark.implicits._
     // the ROUTED result: plan must read the exploded t-digest projection,
