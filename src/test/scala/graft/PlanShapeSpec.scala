@@ -1193,6 +1193,17 @@ class PlanShapeSpec extends GraftSpec {
       Some(col("l_quantity") > 25),                    // row-level → block
       Some(F.date_trunc("month", col("l_shipdate")) ===
         F.to_timestamp(lit("1995-03-01 00:00:00"))))   // expr-key filter
+    // DIM-side draws, live only when `joined` (r15 — join-view shapes):
+    // s_acctbal partials are registered on the join view (view-routes,
+    // join-free); s_suppkey/s_name aggregates have no stored partial
+    // (must block or fall back to the swap route — either way values
+    // must hold)
+    val dimAggPool: Vector[(String, Column)] = Vector(
+      "sum_bal" -> Det.dsum(col("s_acctbal")),
+      "min_bal" -> F.min(col("s_acctbal")),
+      "max_bal" -> F.max(col("s_acctbal")),
+      "sum_skey" -> Det.dsum(col("s_suppkey")),
+      "n_name" -> F.count(col("s_name")))
     val shapeGen = for {
       g <- Gen.choose(0, groupPool.length - 1)
       f <- Gen.choose(0, filterPool.length - 1)
@@ -1200,12 +1211,23 @@ class PlanShapeSpec extends GraftSpec {
       aggs <- Gen.pick(nAgg, aggPool.indices)
       rollup <- Gen.oneOf(true, false)
       joined <- Gen.oneOf(true, false)
-    } yield (g, f, aggs.toSeq.sorted, rollup, joined)
-    def run(sess: SparkSession, shape: (Int, Int, Seq[Int], Boolean, Boolean))
+      // 0 = fact-only; 1 = group by the dim key; 2 = add a dim agg;
+      // 3 = both (all inert unless joined)
+      dimMode <- Gen.choose(0, 3)
+      dIdx <- Gen.choose(0, dimAggPool.length - 1)
+    } yield (g, f, aggs.toSeq.sorted, rollup, joined, dimMode, dIdx)
+    def run(sess: SparkSession,
+        shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int))
         : (String, Seq[org.apache.spark.sql.Row]) = {
-      val (g, f, aggIdx, rollupMode, joined) = shape
-      val keys = groupPool(g).zipWithIndex.map { case (c, i) => c.as(s"g$i") }
-      val aggs = aggIdx.map(i => aggPool(i)._2.as(aggPool(i)._1))
+      val (g, f, aggIdx, rollupMode, joined, dimMode, dIdx) = shape
+      val keyCols =
+        if (joined && (dimMode == 1 || dimMode == 3)) Seq(col("s_nationkey"))
+        else groupPool(g)
+      val keys = keyCols.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
+      val aggs = aggIdx.map(i => aggPool(i)._2.as(aggPool(i)._1)) ++
+        (if (joined && dimMode >= 2)
+          Seq(dimAggPool(dIdx)._2.as(dimAggPool(dIdx)._1))
+        else Nil)
       val base0 = Tables.lineitem(sess, sf)
       val base = if (joined)
         base0.join(Tables.supplier(sess, sf),
@@ -1224,7 +1246,8 @@ class PlanShapeSpec extends GraftSpec {
       (df.queryExecution.executedPlan.toString, df.collect().toSeq)
     }
     var routedCount = 0
-    def check(tag: String, shape: (Int, Int, Seq[Int], Boolean, Boolean))
+    def check(tag: String,
+        shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int))
         : Boolean = {
       val (armedPlan, armed) = run(s, shape)
       val (controlPlan, control) = run(spark, shape)
@@ -1246,12 +1269,20 @@ class PlanShapeSpec extends GraftSpec {
     // DETERMINISTIC must-route shapes through the same harness: plain,
     // rollup, and star-join spellings (agg indices: dsum_qty, n,
     // min_price, max_price over flag / flag+status / joined-suppkey)
-    assert(check("fixed plain", (0, 1, Seq(0, 1), false, false)),
+    assert(check("fixed plain", (0, 1, Seq(0, 1), false, false, 0, 0)),
       "known-routable plain shape failed to route")
-    assert(check("fixed rollup", (1, 0, Seq(0, 4, 5), true, false)),
+    assert(check("fixed rollup", (1, 0, Seq(0, 4, 5), true, false, 0, 0)),
       "known-routable rollup shape failed to route")
-    assert(check("fixed join", (4, 0, Seq(4, 5), false, true)),
+    assert(check("fixed join", (4, 0, Seq(4, 5), false, true, 0, 0)),
       "known-routable star-join shape failed to route")
+    // join-VIEW anchor: dim grouping + dim partials — must route (the
+    // view path is a graft_mv child) and must carry no join at all
+    val (jvPlan, _) = run(s, (0, 0, Seq(1, 4, 5), false, true, 3, 0))
+    assert(jvPlan.contains("lineitem_jv1_") && !jvPlan.contains("Join"),
+      s"known view-routable shape failed to route join-free:\n${
+        jvPlan.take(600)}")
+    assert(check("fixed join view", (0, 0, Seq(1, 4, 5), false, true, 3, 0)),
+      "view-routable shape not counted as routed")
     // …and the random draws must still land SOME routed shapes
     assert(routedCount >= 1, s"0 of 30 random shapes routed — " +
       "pools or rule coverage regressed")
@@ -1349,6 +1380,64 @@ class PlanShapeSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(rowLevel.contains("lineitem.parquet"),
       s"row-level fact filter must not route:\n${rowLevel.take(700)}")
+  }
+
+  test("cost-based projection choice: the smallest servable artifact wins") {
+    // two projections answer the same query; the LATEST-registered one
+    // is the BIGGER artifact — latest-first would scan it, the r15 cost
+    // rule (stored row count, captured at registration) must pick the
+    // smaller. Value-neutral by the exact-partial algebra, so the
+    // bit-identity assert doubles as the soundness proof.
+    val s = graft.Sessions.isolatedClone(spark)
+    val scratch = graft.Scratch.dir("mvcost")
+    val base = s"$scratch/cost_base"
+    Tables.lineitem(s, sf).limit(4000)
+      .select(col("l_returnflag"), col("l_suppkey"), col("l_quantity"))
+      .write.parquet(base)
+    val fp = Some(graft.plans.PathRegistry.fileFingerprint(
+      s.read.parquet(base).inputFiles.toSeq))
+    def stage(path: String, keys: Seq[String]): Unit =
+      s.read.parquet(base)
+        .groupBy(keys.map(col): _*)
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .as("sum_qty_state"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
+        .write.parquet(path)
+    stage(s"$scratch/cost_small", Seq("l_returnflag"))
+    stage(s"$scratch/cost_big", Seq("l_returnflag", "l_suppkey"))
+    def register(path: String, keys: Set[String], nm: String): Unit =
+      graft.plans.MvRouting.register(graft.plans.MvRouting.MvDef(
+        basePath = base, mvPath = path, groupCols = keys,
+        sumMap = Map("l_quantity" -> "sum_qty_state"),
+        countCol = "n_rows", baseFingerprint = fp, name = nm))
+    register(s"$scratch/cost_small", Set("l_returnflag"), "small")
+    register(s"$scratch/cost_big",
+      Set("l_returnflag", "l_suppkey"), "big") // latest = bigger
+    graft.plans.MvRouting.enable(s)
+    try {
+      def q(sess: org.apache.spark.sql.SparkSession) =
+        sess.read.parquet(base).groupBy(col("l_returnflag"))
+          .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+            org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      val routed = q(s)
+      val p = routed.queryExecution.executedPlan.toString
+      assert(p.contains("cost_small") && !p.contains("cost_big") &&
+        !p.contains("cost_base"),
+        s"smallest servable projection must serve:\n${p.take(700)}")
+      assert(routed.collect().toSeq == q(spark).collect().toSeq,
+        "cost-chosen projection diverged from the base plan")
+      // a query only the FINER (bigger) projection covers still routes
+      // to it — cost orders candidates, it never skips the only server
+      val fine = s.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(Det.dsum(col("l_quantity")).as("sum_qty"))
+        .queryExecution.executedPlan.toString
+      assert(fine.contains("cost_big") && !fine.contains("cost_base"),
+        s"finer-only query must still route to the big MV:\n${
+          fine.take(700)}")
+    } finally graft.plans.MvRouting.invalidate(base)
   }
 
   test("mv_route_join_view: star aggregate served join-free, negative gates hold") {
@@ -2118,7 +2207,11 @@ class PlanShapeSpec extends GraftSpec {
           yield a && b),
         2 -> (for { a <- treeGen(depth - 1); b <- treeGen(depth - 1) }
           yield a || b),
-        1 -> treeGen(depth - 1).map(!_))
+        1 -> treeGen(depth - 1).map(!_),
+        // NOT-in-AND (r15 task 6): the positive leg must keep pruning
+        // while the negated subtree rides above the pruned scan
+        2 -> (for { a <- leafGen; b <- treeGen(depth - 1) }
+          yield a && !b))
     def scannedCount(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collect {
         case f: FileSourceScanExec => f
@@ -2139,6 +2232,61 @@ class PlanShapeSpec extends GraftSpec {
     assert(prunedCount >= 5,
       s"only $prunedCount of 40 trees pruned — pool or rule regressed")
     TextIndexRouting.disable(s)
+  }
+
+  test("NOT legs inside AND: positive-leg pruning survives (r15 task 6)") {
+    // `tok AND NOT other` must still prune on tok's bloom admission —
+    // dropping the un-analyzable NOT conjunct only admits MORE files
+    // (sound); a NOT leg may never prune by itself (a bloom can prove
+    // presence-possibility, never row-level absence), and NOT pushed
+    // through De Morgan (NOT(a OR b) → AND(NOT a, NOT b)) must leave
+    // the whole filter unpruned rather than misprune.
+    import graft.plans.TextIndexRouting
+    import graft.operators.Scans
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val s = graft.Sessions.isolatedClone(spark)
+    val root = s"${graft.Scratch.dir("textidxnot")}/t"
+    Seq((1L, "z alpha beta z")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    Seq((2L, "z alpha delta z")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    Seq((3L, "z gamma delta z")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(root)
+    assert(Scans.appendTextIndex(s, root) == 3)
+    TextIndexRouting.register(TextIndexRouting.TextIndexDef(
+      root, "text", Scans.TextIndexBits, Scans.parseIndex(root)))
+    TextIndexRouting.enable(s)
+    def tok(t: String) = org.apache.spark.sql.functions.array_contains(
+      org.apache.spark.sql.functions.split(col("text"), " "), t)
+    def scannedN(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.map(_.relation.location.inputFiles.length).sum
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      // alpha admits files 1,2 — the NOT leg rides above the pruned scan
+      val q1 = s.read.parquet(root).filter(tok("alpha") && !tok("beta"))
+      assert(scannedN(q1) == 2,
+        s"positive leg must prune despite the NOT conjunct: ${scannedN(q1)}")
+      assert(ids(q1) == Seq(2L))
+      // deeper: NOT over an OR (optimizer De-Morgans it into two NOT
+      // conjuncts) — the positive leg still prunes alone
+      val q2 = s.read.parquet(root)
+        .filter(tok("delta") && !(tok("beta") || tok("gamma")))
+      assert(scannedN(q2) == 2,
+        s"delta leg must prune under De-Morganed NOTs: ${scannedN(q2)}")
+      assert(ids(q2) == Seq(2L))
+      // a lone NOT never prunes — and never misprunes (all files, and
+      // the file whose rows ALL match stays admitted)
+      val q3 = s.read.parquet(root).filter(!tok("alpha"))
+      assert(scannedN(q3) == 3, "a lone NOT leg must not prune")
+      assert(ids(q3) == Seq(3L))
+    } finally {
+      TextIndexRouting.disable(s)
+      TextIndexRouting.invalidate(root)
+    }
   }
 
   test("bounded LIKE / has_token route via the token index; substring LIKE stays unrouted") {
