@@ -143,6 +143,19 @@ private class OffsetLogMicroBatchStream(root: String, group: Option[String])
       : Array[InputPartition] = {
     val from = start.asInstanceOf[LogOffsets].pos
     val until = end.asInstanceOf[LogOffsets].pos
+    // failOnDataLoss (r15 DSv2 review — the Kafka source's contract):
+    // if retention deleted segments the checkpointed position still
+    // needs, records are unrecoverable — silently planning around the
+    // missing dirs would resume with a GAP the checkpoint never
+    // records. Fail loudly instead (no opt-out: the log's truncate
+    // contract says the floor never passes a committed position, so
+    // reaching this is always an operational error worth stopping on).
+    val lost = OffsetLog.lostRanges(root, from)
+    if (lost.nonEmpty)
+      throw new IllegalStateException(
+        s"graftlog($root): retention truncated past the checkpointed " +
+          s"position — lost (partition, from, until) ranges: " +
+          s"${lost.mkString(", ")}")
     // a partition ABSENT from the batch's end-offset snapshot is NOT
     // part of this batch (it appeared after the cap was taken): plan
     // nothing for it — reading it to MaxValue would consume data whose

@@ -232,6 +232,22 @@ object OffsetLog {
           new java.io.File(s"$root/seg=$e/p=$p").exists() => (e, p)
     }.sorted
 
+  /** Offset ranges a consumer positioned at `from` can NEVER read
+    * because retention already deleted their segment dirs — Kafka's
+    * data-loss detection (r15 DSv2 review): a truncated segment whose
+    * end is above the consumer's position means records in
+    * [max(start, from), end) are gone. Empty iff the truncate contract
+    * (floor ≤ every consumer's committed position) was respected.
+    * Returns (partition, lostFrom, lostUntil) triples.
+    */
+  def lostRanges(root: String, from: Map[Int, Long])
+      : Seq[(Int, Long, Long)] =
+    endsHistory(root).collect {
+      case (e, p, a, b) if b > from.getOrElse(p, 0L) &&
+          !new java.io.File(s"$root/seg=$e/p=$p").exists() =>
+        (p, math.max(a, from.getOrElse(p, 0L)), b)
+    }.sorted
+
   /** Log RETENTION (Kafka's segment deletion): drop every segment epoch
     * whose ranges lie wholly below `floor` on every partition — the
     * low-water mark, normally min over all consumer groups' committed

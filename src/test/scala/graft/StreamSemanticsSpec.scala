@@ -421,6 +421,69 @@ class StreamSemanticsSpec extends GraftSpec {
       "no record lost or duplicated across the resume")
   }
 
+  test("graftlog streaming: resume over retention — clean below floor, loud past it") {
+    // the r15 DSv2 adversarial scenario: the log MUTATES (retention
+    // truncates segments) between checkpointed runs. Contract-
+    // respecting truncation (floor ≤ the checkpointed position) must
+    // resume cleanly — only the tail, no duplicate, no crash; a
+    // contract-VIOLATING truncation (segments the checkpoint still
+    // needs are gone) must fail LOUDLY instead of silently resuming
+    // with a gap — the Kafka failOnDataLoss contract.
+    import graft.streaming.OffsetLog
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = graft.Scratch.dir("graft_offlog_trunc_test")
+    val root = s"$base/log"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.lang.Long]())
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").option("path", root).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.add(b.count())
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    apKv(root)(0L, (0L until 6L).map(k => (k, s"a$k")))
+    drain() // run 1 consumes epoch 0 fully; checkpoint = end of epoch 0
+    // contract-respecting retention: floor = the consumed position
+    val dropped = OffsetLog.truncate(root, OffsetLog.endOffsetsAt(root, 0L))
+    assert(dropped == Seq(0L), s"epoch 0 must be reclaimable: $dropped")
+    apKv(root)(1L, (6L until 10L).map(k => (k, s"b$k")))
+    drain() // resume over the truncated log: tail only
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.map(_.longValue).sum == 10,
+      s"retention below the checkpoint must not change delivery: $seen")
+    val rows = spark.read.parquet(out)
+      .select("p", "offset", "value").as[(Int, Long, String)].collect()
+    assert(rows.length == 10 && rows.toSet.size == 10,
+      "no record lost or duplicated across the retention resume")
+    // contract-VIOLATING retention: delete epoch 1's segments although
+    // the NEXT run's checkpoint… is already past them — so append an
+    // epoch 2 the checkpoint has NOT consumed, then truncate it away
+    apKv(root)(2L, (10L until 14L).map(k => (k, s"c$k")))
+    (2L to 2L).foreach { e =>
+      graft.Scratch.deleteRecursively(new java.io.File(s"$root/seg=$e"))
+    }
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graftlog").option("path", root).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rootCauseChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).toSeq
+    assert(rootCauseChain(ex).exists(_.contains("truncated past")),
+      s"data loss must fail loudly, got: ${rootCauseChain(ex)}")
+  }
+
   test("exactly-once offsets: position and state share one atomic commit") {
     import graft.streaming.{OffsetLog, StreamOps}
     import org.apache.spark.sql.types._
