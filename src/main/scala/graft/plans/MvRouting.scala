@@ -205,6 +205,20 @@ object MvRouting {
 
   private val registry = new PathRegistry[Vector[MvDef]]
 
+  // mvPath → stored row count (see register()); swept of dead paths
+  // once it grows past the bound so per-invocation scratch artifacts
+  // (stream_mv_maintain's per-batch MV versions) can't accumulate a
+  // JVM-lifetime entry each (the no-accumulation charter)
+  private val rowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def sweepRowsCache(): Unit =
+    if (rowsCache.size > 256) {
+      val it = rowsCache.keySet.iterator
+      while (it.hasNext) {
+        if (!PathRegistry.targetExists(it.next())) it.remove()
+      }
+    }
+
   /** Register a projection. MULTIPLE projections can coexist per base
     * table (ClickHouse allows several per MergeTree table; the analyzer
     * picks whichever answers the query): the rule tries defs
@@ -216,7 +230,15 @@ object MvRouting {
     * to it (e.g. after the rebuilt schema stopped covering some
     * aggregate) would serve pre-rebuild data with no error anywhere.
     */
-  def register(d: MvDef): Unit = synchronized {
+  def register(d: MvDef): Unit = register(d, countRows = true)
+
+  /** `countRows = false` skips the stored-row-count capture: for
+    * per-micro-batch registrations of throwaway artifact versions
+    * (stream_mv_maintain), the count job is pure per-batch tax — the
+    * base carries a single def there, so cost ordering never consults
+    * the hint (None sorts last, trivially).
+    */
+  def register(d: MvDef, countRows: Boolean): Unit = synchronized {
     // snapshot the base's file list unless the caller already did: one
     // listing per registration (rare), bought back as zero-I/O
     // staleness detection on every routed query
@@ -228,13 +250,21 @@ object MvRouting {
           .toOption)
     // capture the artifact's stored row count for cost-based projection
     // choice (parquet footer metadata only — a count() over a bare scan
-    // is answered from row-group counts, no column I/O); one job per
-    // registration, bought back as smallest-first def ordering on every
-    // routed query. Try: a not-yet-written artifact just sorts last.
+    // is answered from row-group counts, no column I/O), MEMOIZED per
+    // artifact path: fixtures re-register idempotently per key
+    // invocation (ensureMv runs 4 registrations per caller), and a
+    // count job per re-registration was a measured per-key bench tax.
+    // Staged artifact paths are content-stable (fingerprint-keyed
+    // roots; rebuilds land under fresh paths), so a path's count never
+    // changes while it exists. Try: a not-yet-written artifact just
+    // sorts last.
+    sweepRowsCache()
     val d2 =
-      if (d1.rows.isDefined) d1
-      else d1.copy(rows = scala.util.Try(
-        SparkSession.active.read.parquet(d1.mvPath).count()).toOption)
+      if (d1.rows.isDefined || !countRows) d1
+      else d1.copy(rows = Option(rowsCache.computeIfAbsent(d1.mvPath,
+        _ => scala.util.Try(
+          SparkSession.active.read.parquet(d1.mvPath).count())
+          .toOption.map(Long.box).orNull)).map(Long.unbox))
     val cur = registry.forPath(d2.basePath).getOrElse(Vector.empty)
     registry.put(d2.basePath, d2 +: cur.filterNot(_.name == d2.name))
   }

@@ -437,6 +437,11 @@ object StreamOps {
         .withColumn("bucket", pmod(col("o_orderkey"), lit(cdcStateBuckets)).cast("int"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
+        // one task → one file per bucket dir: without this the
+        // partitionBy write fans out (shuffle partitions × buckets)
+        // files, and the commit's per-file staging renames dominate
+        // micro-batch latency (measured ~2× on the merge phase)
+        .repartition(col("bucket"))
       val target = s"$state/v=$batchId"
       offsets match {
         case None =>
@@ -710,6 +715,11 @@ object StreamOps {
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .withColumn("bucket",
             pmod(col("o_orderkey"), lit(cdcStateBuckets)).cast("int"))
+          // one task → one file per touched bucket: the publish is
+          // O(touched · |state|/buckets) rows, and the dynamic
+          // overwrite's per-file staging commit is the cost driver at
+          // micro-batch cadence
+          .repartition(col("bucket"))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket").parquet(baseDir)
@@ -750,7 +760,8 @@ object StreamOps {
           sumMap = Map("o_totalprice" -> "spend_state"),
           countCol = "n_live",
           baseFingerprint = Some(graft.plans.PathRegistry.fileFingerprint(
-            ss.read.parquet(baseDir).inputFiles.toSeq))))
+            ss.read.parquet(baseDir).inputFiles.toSeq))),
+          countRows = false) // single-def base — the cost hint is unused
     } finally { t.unpersist(false); () }
   }
 
