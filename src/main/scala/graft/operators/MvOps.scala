@@ -971,6 +971,36 @@ object MvOps {
         col("l_suppkey").asc_nulls_last, col("gid"))
   }
 
+  /** ROLLUP over the star join served from the JOIN VIEW with no
+    * query-time join (r15, composing mv_route_join_view with the
+    * Expand replay proof): subtotals over (l_returnflag, s_nationkey)
+    * — one key per SIDE of the join — replay the Expand over the
+    * γ(lineitem ⋈ supplier) view's O(groups) rows; the dim-side sum
+    * (s_acctbal) rides the view's partials through every grouping set.
+    * PlanShapeSpec asserts the routed plan holds the view scan, no
+    * join node, and neither base table; bit-identity vs the unrouted
+    * plan.
+    *
+    * Scale notes: unrouted, ROLLUP(a, dim.b) over fact ⋈ dim expands
+    * the joined 100 TB stream once per grouping set; routed it expands
+    * O(groups) view rows — the subtotal star dashboard at metadata
+    * cost, with even the join gone.
+    */
+  private def mvRouteJoinViewRollup(s0: SparkSession, dir: String)
+      : DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("l_returnflag"), col("s_nationkey"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+        Det.dsum(col("s_acctbal")).as("sum_bal"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("l_returnflag").asc_nulls_last,
+        col("s_nationkey").asc_nulls_last, col("gid"))
+  }
+
   /** `percentile_approx` served from the t-digest sketch projection
     * (r14 — the r13 verdict's task 2): the query is a PLAIN
     * percentile_approx over the fact table; the routing rule rewrites
@@ -2210,6 +2240,16 @@ object MvOps {
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               GROUP BY ROLLUP(s_nationkey, l_suppkey)
               ORDER BY s_nationkey NULLS LAST, l_suppkey NULLS LAST,
+                gid""")),
+    QueryDef("mv_route_join_view_rollup", mvRouteJoinViewRollup,
+      Some(s"""SELECT l_returnflag, s_nationkey,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                ${Det.oSum("s_acctbal")} AS sum_bal,
+                COUNT(*) AS n,
+                GROUPING(l_returnflag, s_nationkey) AS gid
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY ROLLUP(l_returnflag, s_nationkey)
+              ORDER BY l_returnflag NULLS LAST, s_nationkey NULLS LAST,
                 gid""")),
     QueryDef("mv_route_global", mvRouteGlobal,
       Some(s"""SELECT COUNT(*) AS n,

@@ -507,6 +507,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // other Aggregate takes the plain route.
     case agg: Aggregate if agg.child.isInstanceOf[Expand] =>
       routeExpand(agg, agg.child.asInstanceOf[Expand])
+        .orElse(routeExpandJoinView(agg, agg.child.asInstanceOf[Expand]))
         .orElse(routeExpandJoin(agg, agg.child.asInstanceOf[Expand]))
         .getOrElse(agg)
     // the plain scan shape first (cheaper match), then the star-join
@@ -784,27 +785,74 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def routeJoinView(agg: Aggregate): Option[Aggregate] =
     locateJoin(agg.child).flatMap { site =>
-      if (site.dims.lengthCompare(1) != 0) return None
-      val factRoot = site.fs.location.rootPaths.head.toString
-      val viewDefs = byCost(defsFor(factRoot).filter(_.joinSpec.isDefined))
-      if (viewDefs.isEmpty) return None
-      dimBase(site.dims.head).flatMap { case (dimConds, dimFs) =>
+      val groupExprs = agg.groupingExpressions.map(site.resolve)
+      val aggExprs = agg.aggregateExpressions.map { ne =>
+        site.resolve(ne) match {
+          case al: Alias if al.exprId == ne.exprId => al
+          case a: AttributeReference if a.exprId == ne.exprId => a
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }
+      }
+      joinViewCandidates(site).flatMap { case (d, conds) =>
+        rewrite(agg, groupExprs, aggExprs, conds, d,
+          Some(SparkSession.active.read.parquet(d.mvPath)
+            .queryExecution.analyzed),
+          multiRoot = false)
+      }.nextOption()
+    }
+
+  /** ROLLUP / CUBE over a star join served from the JOIN VIEW with no
+    * query-time join (r15, composing the two r15/r14 proofs): when the
+    * located join matches a registered view, [[rewriteExpand]]'s PLAIN
+    * flavor replays the Expand over the view scan directly — dim
+    * grouping positions resolve through mv.groupCols exactly like fact
+    * keys (the view stores them materialized), dim-column aggregates
+    * ride the view's partials via the posVal inlining, and per-set
+    * subtotal re-aggregation over exact per-group partials is the
+    * subset-grouping algebra the plain Expand route proves. Tried
+    * BEFORE the fact-side-swap Expand flavor: the routed plan replays
+    * the Expand over O(groups) view rows with no join and no dim scan
+    * at all.
+    */
+  private def routeExpandJoinView(agg: Aggregate, e: Expand)
+      : Option[Aggregate] =
+    locateJoin(e.child).flatMap { site =>
+      joinViewCandidates(site).flatMap { case (d, conds) =>
+        // dimIds deliberately EMPTY: in the view flavor dim attributes
+        // are NOT replayed verbatim — they resolve to stored view
+        // columns by name, the same path fact grouping keys take
+        rewriteExpand(agg, e, conds, site.substAll, d)
+      }.nextOption()
+    }
+
+  /** The static join-view vetting shared by the plain and Expand
+    * flavors: every registered view def whose spec matches the located
+    * site — single dim subtree of the registered dim path, schema-
+    * disjoint sides, fresh fact AND dim fingerprints, every registered
+    * key equality present in the query's join — paired with the
+    * residual conditions to route (extra join conjuncts, fact/dim/above
+    * filters; IsNotNull on registered join keys dropped as implied by
+    * the view's own inner equi-join), each vetted grouping-column-only
+    * against that def. Lazy: defs are walked smallest-first and the
+    * caller's rewrite consumes the first that answers.
+    */
+  private def joinViewCandidates(site: JoinSite)
+      : Iterator[(MvDef, Seq[Expression])] = {
+    if (site.dims.lengthCompare(1) != 0) return Iterator.empty
+    val factRoot = site.fs.location.rootPaths.head.toString
+    val viewDefs = byCost(defsFor(factRoot).filter(_.joinSpec.isDefined))
+    if (viewDefs.isEmpty) return Iterator.empty
+    dimBase(site.dims.head) match {
+      case None => Iterator.empty
+      case Some((dimConds, dimFs)) =>
         val dimRoot = dimFs.location.rootPaths.head.toString
         // by-name side resolution demands schema-disjoint sides
         val factNames = site.fs.schema.fieldNames.toSet
-        if (dimFs.schema.fieldNames.exists(factNames)) return None
+        if (dimFs.schema.fieldNames.exists(factNames)) return Iterator.empty
         lazy val factFp =
           PathRegistry.fingerprintsByRoot(site.fs.location)(factRoot)
         lazy val dimFp =
           PathRegistry.fingerprintsByRoot(dimFs.location)(dimRoot)
-        val groupExprs = agg.groupingExpressions.map(site.resolve)
-        val aggExprs = agg.aggregateExpressions.map { ne =>
-          site.resolve(ne) match {
-            case al: Alias if al.exprId == ne.exprId => al
-            case a: AttributeReference if a.exprId == ne.exprId => a
-            case other => Alias(other, ne.name)(exprId = ne.exprId)
-          }
-        }
         // a join conjunct that IS a registered key equality (bare attr
         // = bare attr, one side each — resolved fact attrs, verbatim
         // dim attrs)
@@ -817,7 +865,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
             else None
           case _ => None
         }
-        viewDefs.view.flatMap { d =>
+        viewDefs.iterator.flatMap { d =>
           val js = d.joinSpec.get
           val keyPairs = js.factKeys.zip(js.dimKeys).toSet
           def impliedNotNull(c: Expression): Boolean = c match {
@@ -843,13 +891,10 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
           // EVERY registered pair must appear in the query's join
           else if (matched.flatMap(asKeyPair).toSet != keyPairs) None
           else if (!conds.forall(routableFilter(_, d))) None
-          else rewrite(agg, groupExprs, aggExprs, conds, d,
-            Some(SparkSession.active.read.parquet(d.mvPath)
-              .queryExecution.analyzed),
-            multiRoot = false)
-        }.headOption
-      }
+          else Some((d, conds))
+        }
     }
+  }
 
   /** The dim subtree the join-view route accepts: column-pruning
     * Projects / Filters over a single-root scan — STRICTER than

@@ -1529,6 +1529,51 @@ class PlanShapeSpec extends GraftSpec {
         nullSafe.take(700)}")
   }
 
+  test("mv_route_join_view_rollup: Expand replays over the view, join-free") {
+    val df = SparkEntry.queries("mv_route_join_view_rollup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_jv1_"),
+      s"rollup not served from the join view:\n${p.take(1000)}")
+    assert(!p.contains("lineitem.parquet") && !p.contains("supplier.parquet"),
+      s"view rollup must scan neither base table:\n${p.take(1000)}")
+    assert(!p.contains("Join"),
+      s"the routed rollup plan must contain NO join node:\n${p.take(1000)}")
+    assert(p.contains("Expand"),
+      s"the grouping-set replay must keep its Expand:\n${p.take(1000)}")
+    // bit-identity vs the unrouted plan
+    def q(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .rollup(col("l_returnflag"), col("s_nationkey"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          Det.dsum(col("s_acctbal")).as("sum_bal"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.grouping_id().as("gid"))
+        .orderBy(col("l_returnflag").asc_nulls_last,
+          col("s_nationkey").asc_nulls_last, col("gid"))
+    val control = q(spark)
+    assert(control.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(df.collect().toSeq == control.collect().toSeq,
+      "view-served rollup diverged from the base-table join plan")
+    // negative gate: a rollup key outside the view's grouping tuple
+    // falls back to the SWAP Expand route (join + dim scan kept)
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    val outside = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("s_nationkey"), col("l_suppkey"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sp"))
+      .queryExecution.executedPlan.toString
+    assert(outside.contains("lineitem_supp1_") &&
+      outside.contains("supplier.parquet") &&
+      !outside.contains("lineitem_jv1_"),
+      s"uncovered rollup key must fall back to the swap Expand route:\n${
+        outside.take(900)}")
+  }
+
   test("mv_route_join_view: a stale DIM fingerprint unroutes the view") {
     // scratch fact+dim so the dim can be mutated out-of-band: the FACT
     // listing never changes, so only the dimFingerprint sentinel can
@@ -1782,14 +1827,18 @@ class PlanShapeSpec extends GraftSpec {
     // negative gates on an armed session
     val s = graft.Sessions.isolatedClone(spark)
     graft.operators.MvOps.ensureMv(s, sf)
-    // (a) a dim-side aggregate is replication-sensitive under the swap
+    // (a) a dim-side aggregate is replication-sensitive under the swap;
+    // r15: s_acctbal now carries JOIN-VIEW partials (the rollup-over-
+    // view route serves it join-free — proven in its own test), so the
+    // must-not-route probe uses a dim column with NO stored partial
     val dimAgg = Tables.lineitem(s, sf)
       .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
       .rollup(col("s_nationkey"))
-      .agg(Det.dsum(col("s_acctbal")).as("sa"))
+      .agg(Det.dsum(col("s_suppkey")).as("sa"))
       .queryExecution.executedPlan.toString
     assert(dimAgg.contains("lineitem.parquet"),
-      s"dim aggregate under a rollup-join must not route:\n${dimAgg.take(700)}")
+      s"unregistered dim aggregate under a rollup-join must not route:\n${
+        dimAgg.take(700)}")
     // (b) a rolled-up FACT column outside the MV grouping tuple
     val wrongKey = Tables.lineitem(s, sf)
       .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
