@@ -1215,11 +1215,16 @@ class PlanShapeSpec extends GraftSpec {
       // 3 = both (all inert unless joined)
       dimMode <- Gen.choose(0, 3)
       dIdx <- Gen.choose(0, dimAggPool.length - 1)
-    } yield (g, f, aggs.toSeq.sorted, rollup, joined, dimMode, dIdx)
+      // dim-side WHERE (inert unless joined): a stored-column filter
+      // (view-remappable) vs an unstored one (must block or fall back)
+      dimFilter <- Gen.choose(0, 2)
+    } yield (g, f, aggs.toSeq.sorted, rollup, joined, dimMode, dIdx,
+      dimFilter)
     def run(sess: SparkSession,
-        shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int))
+        shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int, Int))
         : (String, Seq[org.apache.spark.sql.Row]) = {
-      val (g, f, aggIdx, rollupMode, joined, dimMode, dIdx) = shape
+      val (g, f, aggIdx, rollupMode, joined, dimMode, dIdx, dimFilter) =
+        shape
       val keyCols =
         if (joined && (dimMode == 1 || dimMode == 3)) Seq(col("s_nationkey"))
         else groupPool(g)
@@ -1233,7 +1238,11 @@ class PlanShapeSpec extends GraftSpec {
         base0.join(Tables.supplier(sess, sf),
           col("l_suppkey") === col("s_suppkey"))
       else base0
-      val filtered = filterPool(f).map(base.filter).getOrElse(base)
+      val base1 =
+        if (!joined || dimFilter == 0) base
+        else if (dimFilter == 1) base.filter(col("s_nationkey") < 13)
+        else base.filter(col("s_acctbal") > 0) // partial-col: not a key
+      val filtered = filterPool(f).map(base1.filter).getOrElse(base1)
       val df: DataFrame =
         if (keys.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
         else if (rollupMode)
@@ -1247,7 +1256,7 @@ class PlanShapeSpec extends GraftSpec {
     }
     var routedCount = 0
     def check(tag: String,
-        shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int))
+        shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int, Int))
         : Boolean = {
       val (armedPlan, armed) = run(s, shape)
       val (controlPlan, control) = run(spark, shape)
@@ -1269,19 +1278,19 @@ class PlanShapeSpec extends GraftSpec {
     // DETERMINISTIC must-route shapes through the same harness: plain,
     // rollup, and star-join spellings (agg indices: dsum_qty, n,
     // min_price, max_price over flag / flag+status / joined-suppkey)
-    assert(check("fixed plain", (0, 1, Seq(0, 1), false, false, 0, 0)),
+    assert(check("fixed plain", (0, 1, Seq(0, 1), false, false, 0, 0, 0)),
       "known-routable plain shape failed to route")
-    assert(check("fixed rollup", (1, 0, Seq(0, 4, 5), true, false, 0, 0)),
+    assert(check("fixed rollup", (1, 0, Seq(0, 4, 5), true, false, 0, 0, 0)),
       "known-routable rollup shape failed to route")
-    assert(check("fixed join", (4, 0, Seq(4, 5), false, true, 0, 0)),
+    assert(check("fixed join", (4, 0, Seq(4, 5), false, true, 0, 0, 0)),
       "known-routable star-join shape failed to route")
     // join-VIEW anchor: dim grouping + dim partials — must route (the
     // view path is a graft_mv child) and must carry no join at all
-    val (jvPlan, _) = run(s, (0, 0, Seq(1, 4, 5), false, true, 3, 0))
+    val (jvPlan, _) = run(s, (0, 0, Seq(1, 4, 5), false, true, 3, 0, 1))
     assert(jvPlan.contains("lineitem_jv1_") && !jvPlan.contains("Join"),
       s"known view-routable shape failed to route join-free:\n${
         jvPlan.take(600)}")
-    assert(check("fixed join view", (0, 0, Seq(1, 4, 5), false, true, 3, 0)),
+    assert(check("fixed join view", (0, 0, Seq(1, 4, 5), false, true, 3, 0, 1)),
       "view-routable shape not counted as routed")
     // …and the random draws must still land SOME routed shapes
     assert(routedCount >= 1, s"0 of 30 random shapes routed — " +
@@ -1479,6 +1488,26 @@ class PlanShapeSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(both.contains("lineitem_jv1_") && !both.contains("Join"),
       s"two-sided grouping must stay view-served:\n${both.take(700)}")
+    // an aggregate FILTER on a stored dim GROUP column gates partials
+    // through the view — group-constant, so exact (the sumIf-through-
+    // the-join dashboard shape), still join-free
+    def gatedQ(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.expr(
+          """sum(cast(l_extendedprice as decimal(30,6)))
+             filter (where s_nationkey < 13)""").cast("double").as("sp"),
+          org.apache.spark.sql.functions
+            .expr("count(1) filter (where s_nationkey >= 13)").as("nn"))
+        .orderBy(col("l_returnflag"))
+    val gated = gatedQ(s)
+    val gp = gated.queryExecution.executedPlan.toString
+    assert(gp.contains("lineitem_jv1_") && !gp.contains("Join"),
+      s"dim-key FILTER gates must ride the view join-free:\n${gp.take(800)}")
+    assert(gated.collect().toSeq == gatedQ(spark).collect().toSeq,
+      "view-served FILTER gates diverged from the base plan")
     // negative gates:
     // (a) an UNCOVERED dim grouping attr: the view refuses (s_name is
     // not stored); the fact-side swap still serves the fact aggregate
