@@ -1683,6 +1683,147 @@ object MvOps {
       .orderBy(col("probe"), col("event_type").asc_nulls_last)
   }
 
+  /** APPEND-delta refresh of the JOIN VIEW (r15, unasked — closing the
+    * freshness loop routeJoinView opened the same way mvRefreshAppend
+    * closed the plain projection's): V = γ(fact ⋈ dim) is maintained
+    * under fact appends by the mv_join_incremental delta algebra's
+    * insert term, ΔV = γ(Δfact ⋈ dim), folded into the standing
+    * partials — mv2 = γ(mv1 ∪ ΔV) — because dim is UNCHANGED (the
+    * joinSpec dim fingerprint still matches; a dim change has no
+    * O(δ) story here and correctly leaves the view unroutable until
+    * rebuilt). Timeline probes (the mvRefreshAppend discipline):
+    * `pre_append` routed to the view (plan-required, join-free),
+    * `post_append` fallen through to the real join (the FACT
+    * fingerprint sentinel at work — values already correct),
+    * `post_refresh` routed to the folded view. Requires prove the
+    * delta read opened ONLY appended fact files; the armed proof gate
+    * asserts the fold bit-equals a full γ(fact ⋈ dim) rebuild (exact
+    * decimal/count/min monoids — inserts only ever extend value sets).
+    *
+    * Scale notes: the refresh joins O(appended files) fact rows
+    * against the dim (broadcast-sized here; at 100 TB it is the same
+    * day's-arrivals ⋈ dim every ingest pipeline already pays) plus an
+    * O(groups) partial fold — the standing 100 TB fact history is
+    * never re-joined, which is exactly the ClickHouse MV-with-JOIN
+    * insert semantics done with the correct delta term.
+    */
+  private def mvRefreshJoinView(s0: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val scratch = graft.Scratch.dir("mvjvrefresh")
+    val fact = s"$scratch/jvr_fact_t" // greppable in plan text
+    val dimPath = s"$dir/supplier.parquet"
+    Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+      .write.parquet(fact)
+    def partials(df: DataFrame): DataFrame = df
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+          .as("sum_price_state"),
+        count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price_state"))
+    val dimFp = scala.util.Try(graft.plans.PathRegistry.fileFingerprint(
+      Tables.supplier(s, dir).inputFiles.toSeq)).toOption
+    def registerMv(path: String, files: Seq[String]): Unit =
+      MvRouting.register(MvRouting.MvDef(
+        basePath = fact, mvPath = path, groupCols = Set("s_nationkey"),
+        sumMap = Map("l_extendedprice" -> "sum_price_state"),
+        countCol = "n_rows",
+        minMap = Map("l_extendedprice" -> "min_price_state"),
+        baseFingerprint = Some(
+          graft.plans.PathRegistry.fileFingerprint(files)),
+        name = "jvr_view",
+        joinSpec = Some(MvRouting.JoinViewSpec(
+          dimPath = dimPath, factKeys = Seq("l_suppkey"),
+          dimKeys = Seq("s_suppkey"), dimCols = Set("s_nationkey"),
+          dimFingerprint = dimFp))))
+    def filesOf(): Seq[String] = s.read.parquet(fact).inputFiles.toSeq
+      .map(graft.plans.TextIndexRouting.normFile).sorted
+    val mv1Files = filesOf()
+    partials(s.read.parquet(fact)).write.parquet(s"$scratch/jvr_mv1")
+    graft.Scratch.atomicPublish(
+      java.nio.file.Paths.get(s"$scratch/jvr_mv1/_MVFILES"),
+      mv1Files.mkString("\n"))
+    registerMv(s"$scratch/jvr_mv1", mv1Files)
+    MvRouting.enable(s)
+    def snap(probe: String, mustScan: String, mustNotScan: String)
+        : Seq[Row] = {
+      val df = s.read.parquet(fact)
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(graft.Det.dsum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains(mustScan) && !p.contains(mustNotScan),
+        s"$probe probe must scan $mustScan and not $mustNotScan")
+      if (mustScan.contains("mv"))
+        require(!p.contains("Join"),
+          s"$probe routed probe must be join-free:\n${p.take(400)}")
+      df.collect().toIndexedSeq.map(r => Row(probe, r.getInt(0),
+        r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    }
+    val pre = snap("pre_append", "jvr_mv1", "jvr_fact_t")
+    // the OUT-OF-BAND fact append — only the fingerprint sentinel
+    // sees it; the dim is untouched (its fingerprint stays valid)
+    Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 1)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+      .write.mode("append").parquet(fact)
+    val fallen = snap("post_append", "jvr_fact_t", "jvr_mv")
+    // ΔV = γ(Δfact ⋈ dim): manifest-diff the fact listing, join ONLY
+    // the appended files against the dim, fold into the standing view
+    val known = graft.Scratch.readManifest(s"$scratch/jvr_mv1/_MVFILES")
+      .linesIterator.filter(_.nonEmpty).toSet
+    val all = filesOf()
+    val newFiles = all.filterNot(known)
+    require(newFiles.nonEmpty && newFiles.size < all.size,
+      s"append must add a strict subset of fact files " +
+        s"(${newFiles.size} of ${all.size} new)")
+    val deltaSrc = s.read.parquet(newFiles: _*)
+    require(deltaSrc.inputFiles.map(graft.plans.TextIndexRouting.normFile)
+        .forall(newFiles.contains),
+      "join-view refresh read a fact file outside the appended set")
+    s.read.parquet(s"$scratch/jvr_mv1")
+      .unionByName(partials(deltaSrc))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(col("sum_price_state")).cast(DecimalType(38, 6))
+          .as("sum_price_state"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("min_price_state")).as("min_price_state"))
+      .write.parquet(s"$scratch/jvr_mv2")
+    graft.Scratch.atomicPublish(
+      java.nio.file.Paths.get(s"$scratch/jvr_mv2/_MVFILES"),
+      all.mkString("\n"))
+    if (refreshProofGate) {
+      def canon(df: DataFrame) = df
+        .orderBy(col("s_nationkey").asc_nulls_last).collect().toSeq
+      require(canon(s.read.parquet(s"$scratch/jvr_mv2")) ==
+        canon(partials(s.read.parquet(fact))
+          .select(col("s_nationkey"),
+            col("sum_price_state").cast(DecimalType(38, 6))
+              .as("sum_price_state"),
+            col("n_rows"), col("min_price_state"))),
+        "append-folded join view diverged from the full rebuild")
+    }
+    registerMv(s"$scratch/jvr_mv2", all)
+    val post = snap("post_refresh", "jvr_mv2", "jvr_fact_t")
+    val schema = StructType(Seq(
+      StructField("probe", StringType),
+      StructField("s_nationkey",
+        org.apache.spark.sql.types.IntegerType),
+      StructField("sum_price", DoubleType),
+      StructField("min_price", DoubleType),
+      StructField("n", LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize((pre ++ fallen ++ post).toList, 1), schema)
+      .orderBy(col("probe"), col("s_nationkey"))
+  }
+
   /** Stage the two event layouts (idempotent per sfDir): the BASE copy
     * range-clustered + sorted on day (serves time predicates via file
     * min/max stats), the PROJECTION the same rows range-clustered +
@@ -2251,6 +2392,29 @@ object MvOps {
               GROUP BY ROLLUP(l_returnflag, s_nationkey)
               ORDER BY l_returnflag NULLS LAST, s_nationkey NULLS LAST,
                 gid""")),
+    QueryDef("mv_refresh_join_view", mvRefreshJoinView,
+      Some(s"""WITH f0 AS (SELECT l_suppkey, l_extendedprice FROM lineitem
+                 WHERE l_orderkey % 3 = 0),
+               f1 AS (SELECT l_suppkey, l_extendedprice FROM lineitem
+                 WHERE l_orderkey % 3 <> 2)
+              SELECT 'pre_append' AS probe, s_nationkey,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                MIN(l_extendedprice) AS min_price, COUNT(*) AS n
+              FROM f0 JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey
+              UNION ALL
+              SELECT 'post_append', s_nationkey,
+                ${Det.oSum("l_extendedprice")}, MIN(l_extendedprice),
+                COUNT(*)
+              FROM f1 JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey
+              UNION ALL
+              SELECT 'post_refresh', s_nationkey,
+                ${Det.oSum("l_extendedprice")}, MIN(l_extendedprice),
+                COUNT(*)
+              FROM f1 JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey
+              ORDER BY probe, s_nationkey""")),
     QueryDef("mv_route_global", mvRouteGlobal,
       Some(s"""SELECT COUNT(*) AS n,
                 ${Det.oSum("l_quantity")} AS sum_qty,

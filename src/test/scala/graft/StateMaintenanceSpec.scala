@@ -617,7 +617,8 @@ class StateMaintenanceSpec extends GraftSpec {
     graft.operators.MvOps.refreshProofGate = true
     try {
       Seq("mv_refresh_incremental", "mv_refresh_append",
-          "mv_refresh_minmax", "mv_refresh_quantile_delete")
+          "mv_refresh_minmax", "mv_refresh_quantile_delete",
+          "mv_refresh_join_view")
         .foreach { key =>
         val n = SparkEntry.queries(key)(spark, sf).count()
         assert(n > 0, s"$key returned no rows under the armed proof gate")
