@@ -1824,6 +1824,181 @@ object MvOps {
       .orderBy(col("probe"), col("s_nationkey"))
   }
 
+  /** DIM-side delta refresh of the JOIN VIEW with ZERO fact I/O (r15 —
+    * the case mvRefreshJoinView explicitly left open: "a dim change
+    * has no O(δ) story here"). It does, once the fact side keeps its
+    * partials at JOIN-KEY granularity: alongside V = γ_G(fact ⋈ dim)
+    * the build stages K = γ_{joinkey}(fact) — the classic two-level
+    * summary-delta decomposition (Yan-Larson-style): V is
+    * derivable as γ_G(K ⋈ dim) because the join key is K's grain and
+    * the dim is unique per key, so a dim UPDATE folds with no fact
+    * scan at all. Given the CDC old/new images of the changed dim rows
+    * (captured here before the in-place dim rewrite, exactly what a
+    * changelog delivers), the affected groups are old_G ∪ new_G of the
+    * changed rows — every supplier that moved INTO or OUT OF a group
+    * names both endpoints — and the refresh recomputes ONLY those
+    * groups from K ⋈ dim′ restricted to them, splicing unaffected
+    * view rows verbatim. min/count/sum all survive because the
+    * recompute is from exact per-key partials, not signed arithmetic —
+    * no non-invertibility trap (the reason a signed ±fold was NOT
+    * chosen: MIN cannot retract).
+    *
+    * Timeline probes (the mvRefreshAppend discipline): `pre_mutation`
+    * routed join-free to the view; `post_mutation` fallen to the real
+    * join (the DIM fingerprint sentinel — the fact listing never
+    * changed); `post_refresh` routed to the spliced view re-registered
+    * under the new dim fingerprint. Requires prove the recompute read
+    * NO fact file (only K and the dim) and that the splice kept a
+    * strict subset of groups untouched; the armed proof gate asserts
+    * the spliced view bit-equals a full γ(fact ⋈ dim′) rebuild.
+    *
+    * Scale notes: at 100 TB the dim update is the common freshness
+    * event (a supplier re-homed, a product re-categorized) and the
+    * naive answer — rebuild γ(fact ⋈ dim) — re-joins the whole fact
+    * history. Here the refresh cost is O(|K| restricted to affected
+    * groups ⋈ dim′) + O(affected groups): driver-metadata-sized for a
+    * targeted UPDATE, with the 100 TB fact untouched on disk. K itself
+    * is fact-append-maintainable by the mvRefreshAppend fold (same
+    * single-table algebra), so the two artifacts together give the
+    * join view an O(δ) story under BOTH sides' changes.
+    */
+  private def mvRefreshJoinViewDim(s0: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val scratch = graft.Scratch.dir("mvjvdim")
+    val fact = s"$scratch/jvd_fact_t" // greppable in plan text
+    val dimPath = s"$scratch/jvd_dim_t"
+    Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+      .write.parquet(fact)
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("int")
+        .as("s_nationkey"))
+      .write.parquet(dimPath)
+    // K = γ_{l_suppkey}(fact): the join-key-grain fact partials that
+    // make the dim side foldable — built ONCE, never rebuilt here
+    val kmv = s"$scratch/jvd_kmv"
+    s.read.parquet(fact).groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+          .cast(DecimalType(38, 6)).as("sum_price_state"),
+        count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price_state"))
+      .write.parquet(kmv)
+    // V = γ_G(K ⋈ dim) ≡ γ_G(fact ⋈ dim): join key is K's grain, dim
+    // unique per key — the derivation the armed proof gate re-checks
+    def viewFrom(dim: DataFrame): DataFrame = s.read.parquet(kmv)
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(col("sum_price_state")).cast(DecimalType(38, 6))
+          .as("sum_price_state"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("min_price_state")).as("min_price_state"))
+    val factFp = graft.plans.PathRegistry.fileFingerprint(
+      s.read.parquet(fact).inputFiles.toSeq)
+    def registerMv(path: String): Unit = MvRouting.register(MvRouting.MvDef(
+      basePath = fact, mvPath = path, groupCols = Set("s_nationkey"),
+      sumMap = Map("l_extendedprice" -> "sum_price_state"),
+      countCol = "n_rows",
+      minMap = Map("l_extendedprice" -> "min_price_state"),
+      baseFingerprint = Some(factFp),
+      name = "jvd_view",
+      joinSpec = Some(MvRouting.JoinViewSpec(
+        dimPath = dimPath, factKeys = Seq("l_suppkey"),
+        dimKeys = Seq("s_suppkey"), dimCols = Set("s_nationkey"),
+        dimFingerprint = scala.util.Try(graft.plans.PathRegistry
+          .fileFingerprint(s.read.parquet(dimPath).inputFiles.toSeq))
+          .toOption))))
+    viewFrom(s.read.parquet(dimPath)).write.parquet(s"$scratch/jvd_mv1")
+    registerMv(s"$scratch/jvd_mv1")
+    MvRouting.enable(s)
+    def snap(probe: String, mustScan: String, mustNotScan: String)
+        : Seq[Row] = {
+      val df = s.read.parquet(fact)
+        .join(s.read.parquet(dimPath),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(graft.Det.dsum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains(mustScan) && !p.contains(mustNotScan),
+        s"$probe probe must scan $mustScan and not $mustNotScan")
+      if (mustScan.contains("mv"))
+        require(!p.contains("Join"),
+          s"$probe routed probe must be join-free:\n${p.take(400)}")
+      df.collect().toIndexedSeq.map(r => Row(probe, r.getInt(0),
+        r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    }
+    val pre = snap("pre_mutation", "jvd_mv1", "jvd_fact_t")
+    // Δdim CAPTURE — the CDC old/new images, read BEFORE the rewrite
+    // (exactly what a changelog hands a maintenance job); O(changed
+    // keys) control-plane rows
+    val changed = col("s_suppkey") % 10 === 0
+    val delta = s.read.parquet(dimPath).filter(changed)
+      .select(col("s_suppkey"), col("s_nationkey").as("old_nk"),
+        ((col("s_nationkey") + 1) % 25).cast("int").as("new_nk"))
+      .collect().toIndexedSeq
+    require(delta.nonEmpty, "dim mutation matched no rows — fixture broke")
+    val affected = delta.flatMap(r => Seq(r.getInt(1), r.getInt(2))).toSet
+    // the OUT-OF-BAND dim UPDATE, rewritten in place — only the dim
+    // fingerprint sentinel sees it; the fact listing is untouched
+    val dim2 = s.read.parquet(dimPath)
+      .select(col("s_suppkey"),
+        when(changed, (col("s_nationkey") + 1) % 25)
+          .otherwise(col("s_nationkey")).cast("int").as("s_nationkey"))
+      .localCheckpoint(true)
+    graft.Scratch.deleteRecursively(new java.io.File(dimPath))
+    dim2.write.parquet(dimPath)
+    val fallen = snap("post_mutation", "jvd_fact_t", "jvd_mv")
+    // the REFRESH: recompute ONLY the affected groups from K ⋈ dim′ —
+    // zero fact I/O, require-proven on the actual file listing
+    val recompute = viewFrom(s.read.parquet(dimPath)
+      .filter(col("s_nationkey").isin(affected.toSeq: _*)))
+    val refreshFiles = recompute.inputFiles.toIndexedSeq
+    require(refreshFiles.forall(!_.contains("jvd_fact_t")),
+      "dim-side refresh read a fact file — the zero-fact-I/O contract broke")
+    require(refreshFiles.exists(_.contains("jvd_kmv")),
+      "dim-side refresh must read the join-key fact partials")
+    val unaffected = s.read.parquet(s"$scratch/jvd_mv1")
+      .filter(!col("s_nationkey").isin(affected.toSeq: _*))
+    // the splice must leave a strict subset untouched, or the
+    // "targeted update" framing is vacuous for this fixture
+    require(unaffected.count() > 0,
+      "dim mutation touched every group — fixture broke")
+    unaffected.unionByName(recompute).write.parquet(s"$scratch/jvd_mv2")
+    if (refreshProofGate) {
+      def canon(df: DataFrame) = df
+        .select(col("s_nationkey"),
+          col("sum_price_state").cast(DecimalType(38, 6))
+            .as("sum_price_state"),
+          col("n_rows"), col("min_price_state"))
+        .orderBy(col("s_nationkey").asc_nulls_last).collect().toSeq
+      val full = s.read.parquet(fact)
+        .join(s.read.parquet(dimPath),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+            .as("sum_price_state"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price_state"))
+      require(canon(s.read.parquet(s"$scratch/jvd_mv2")) == canon(full),
+        "dim-spliced join view diverged from the full rebuild")
+    }
+    registerMv(s"$scratch/jvd_mv2") // dimFingerprint re-read = the new dim
+    val post = snap("post_refresh", "jvd_mv2", "jvd_fact_t")
+    val schema = StructType(Seq(
+      StructField("probe", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("sum_price", DoubleType),
+      StructField("min_price", DoubleType),
+      StructField("n", LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize((pre ++ fallen ++ post).toList, 1), schema)
+      .orderBy(col("probe"), col("s_nationkey"))
+  }
+
   /** Stage the two event layouts (idempotent per sfDir): the BASE copy
     * range-clustered + sorted on day (serves time predicates via file
     * min/max stats), the PROJECTION the same rows range-clustered +
@@ -2413,6 +2588,32 @@ object MvOps {
                 ${Det.oSum("l_extendedprice")}, MIN(l_extendedprice),
                 COUNT(*)
               FROM f1 JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey
+              ORDER BY probe, s_nationkey""")),
+    QueryDef("mv_refresh_join_view_dim", mvRefreshJoinViewDim,
+      Some(s"""WITH f AS (SELECT l_suppkey, l_extendedprice FROM lineitem
+                 WHERE l_orderkey % 3 = 0),
+               dim0 AS (SELECT s_suppkey, s_nationkey FROM supplier),
+               dim1 AS (SELECT s_suppkey,
+                 CASE WHEN s_suppkey % 10 = 0
+                   THEN (s_nationkey + 1) % 25
+                   ELSE s_nationkey END AS s_nationkey FROM supplier)
+              SELECT 'pre_mutation' AS probe, s_nationkey,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                MIN(l_extendedprice) AS min_price, COUNT(*) AS n
+              FROM f JOIN dim0 ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey
+              UNION ALL
+              SELECT 'post_mutation', s_nationkey,
+                ${Det.oSum("l_extendedprice")}, MIN(l_extendedprice),
+                COUNT(*)
+              FROM f JOIN dim1 ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey
+              UNION ALL
+              SELECT 'post_refresh', s_nationkey,
+                ${Det.oSum("l_extendedprice")}, MIN(l_extendedprice),
+                COUNT(*)
+              FROM f JOIN dim1 ON l_suppkey = s_suppkey
               GROUP BY s_nationkey
               ORDER BY probe, s_nationkey""")),
     QueryDef("mv_route_global", mvRouteGlobal,
