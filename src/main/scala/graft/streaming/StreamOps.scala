@@ -969,6 +969,182 @@ object StreamOps {
     }
   }
 
+  /** One micro-batch of streaming JOIN-VIEW maintenance (r15 — closing
+    * the loop for V = γ(fact ⋈ dim) the way [[mvMaintainBatch]] closed
+    * it for the single-table MV): the ingest stream appends fact rows
+    * while a registered join view serves γ(fact ⋈ dim) probes
+    * join-free, so every batch must land the rows AND fold
+    * ΔV = γ(Δbatch ⋈ dim) — mv_join_incremental's insert term, the
+    * same delta mvRefreshJoinView folds for out-of-band appends, here
+    * riding the micro-batch itself so the view is never stale. Steps:
+    *   1. the batch's rows land under `factDir/batch=<id>` via an
+    *      OVERWRITE of that one partition dir — an at-least-once
+    *      replay rewrites identical content instead of duplicating
+    *      rows (the reason a bare append-mode write would break the
+    *      V = γ(fact ⋈ dim) equation on replay).
+    *   2. ΔV joins ONLY the in-flight batch rows against the dim —
+    *      the standing fact history is never re-joined or re-read.
+    *   3. the versioned fold: MV versions < batchId union ΔV,
+    *      re-aggregated into `v=batchId` (sum/count/min — all monoids
+    *      under insert-only deltas), GC with the one-version replay
+    *      margin. A replayed batch re-reads the same `< batchId`
+    *      version and overwrites `v=batchId` with identical content.
+    *   4. re-registration of the joinSpec def against the CURRENT fact
+    *      listing (the dim fingerprint rides along unchanged) — the
+    *      registry is the batch's last write, so a routed probe is
+    *      never stale and a torn batch merely unroutes (fingerprint
+    *      mismatch → the probe falls back to the real join, correct
+    *      values either way).
+    * Driven directly (no stream) by StateMaintenanceSpec's replay test
+    * and by [[streamJoinViewMaintain]]'s foreachBatch.
+    *
+    * Scale notes: per-batch cost is O(Δbatch ⋈ dim) + O(groups) — the
+    * arrivals-times-dim join every streaming ingest already pays —
+    * and the probe's routed scan stays O(groups) regardless of stream
+    * length; the 100 TB fact history participates in neither.
+    */
+  private[graft] def joinViewMaintainBatch(batch: DataFrame,
+      batchId: Long, factDir: String, dimPath: String, mvDir: String,
+      dimFp: Option[(Long, Long)]): Unit = {
+    import graft.plans.MvRouting
+    import org.apache.spark.sql.types.DecimalType
+    val ss = batch.sparkSession
+    val rows = batch.select(col("l_suppkey"), col("l_extendedprice"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 1. content-idempotent landing of this batch's fact rows
+      rows.coalesce(1).write.mode("overwrite")
+        .parquet(s"$factDir/batch=$batchId")
+      // 2. ΔV = γ(Δbatch ⋈ dim) — batch rows only, never the history
+      def partials(df: DataFrame): DataFrame = df
+        .join(ss.read.parquet(dimPath)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+            .cast(DecimalType(38, 6)).as("sum_price_state"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price_state"))
+      val dV = partials(rows)
+      // 3. versioned fold with the replay margin
+      val prevDirs = stateVersionsBelow(mvDir, batchId)
+      val prev =
+        if (prevDirs.isEmpty) dV.limit(0)
+        else ss.read.parquet(s"$mvDir/v=${prevDirs.max}")
+      prev.unionByName(dV)
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("sum_price_state")).cast(DecimalType(38, 6))
+            .as("sum_price_state"),
+          sum(col("n_rows")).as("n_rows"),
+          min(col("min_price_state")).as("min_price_state"))
+        .write.mode("overwrite").parquet(s"$mvDir/v=$batchId")
+      gcStateVersions(mvDir, prevDirs)
+      // 4. the registry is the batch's last write
+      MvRouting.register(MvRouting.MvDef(
+        basePath = factDir, mvPath = s"$mvDir/v=$batchId",
+        groupCols = Set("s_nationkey"),
+        sumMap = Map("l_extendedprice" -> "sum_price_state"),
+        countCol = "n_rows",
+        minMap = Map("l_extendedprice" -> "min_price_state"),
+        baseFingerprint = Some(graft.plans.PathRegistry.fileFingerprint(
+          ss.read.parquet(factDir).inputFiles.toSeq)),
+        name = "sjv_view",
+        joinSpec = Some(MvRouting.JoinViewSpec(
+          dimPath = dimPath, factKeys = Seq("l_suppkey"),
+          dimKeys = Seq("s_suppkey"), dimCols = Set("s_nationkey"),
+          dimFingerprint = dimFp))),
+        countRows = false) // per-batch throwaway version — no cost tax
+    } finally { rows.unpersist(false); () }
+  }
+
+  /** STREAMING JOIN-VIEW MAINTENANCE (r15): the ingest stream keeps a
+    * γ(fact ⋈ dim) join view fresh per micro-batch — each batch lands
+    * its fact rows, folds ΔV = γ(Δbatch ⋈ dim) via
+    * [[joinViewMaintainBatch]], and re-registers, so an
+    * Aggregate-over-Join probe is served JOIN-FREE from the view at
+    * every epoch (plan-required: the view scanned, the fact dir not,
+    * no Join node in the routed plan). Two epochs of lineitem arrivals
+    * (the mod-3 split mvRefreshJoinView uses); after each, the probe's
+    * values hash against DuckDB recomputing the join-aggregate over
+    * exactly the rows delivered so far. This is the ClickHouse
+    * MV-over-JOIN insert semantics with the CORRECT delta term (new
+    * rows joined against the whole dim), riding Structured Streaming's
+    * foreachBatch with versioned replay-safe folds.
+    */
+  private def streamJoinViewMaintain(s0: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.plans.MvRouting
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+    val s = stateSized(s0)
+    val root = fresh("stream_jv")
+    val feed = s"$root/feed"
+    new java.io.File(feed).mkdirs()
+    val factDir = s"$root/sjv_fact_t" // greppable in plan text
+    val mvDir = s"$root/sjv_mv"
+    val dimPath = s"$dir/supplier.parquet"
+    val dimFp = scala.util.Try(graft.plans.PathRegistry.fileFingerprint(
+      graft.Tables.supplier(s0, dir).inputFiles.toSeq)).toOption
+    def publishEpoch(m: Int): Unit =
+      graft.Tables.lineitem(s0, dir).filter(col("l_orderkey") % 3 === m)
+        .select(to_json(struct(col("l_suppkey"), col("l_extendedprice")))
+          .as("value"))
+        .coalesce(1).write.mode("append").text(feed)
+    def runEpoch(): Unit = {
+      val schema = StructType(Seq(
+        StructField("l_suppkey", LongType),
+        StructField("l_extendedprice", DoubleType)))
+      val q = s.readStream.schema(schema).json(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          joinViewMaintainBatch(batch, batchId, factDir, dimPath, mvDir,
+            dimFp)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      awaitBounded(q)
+    }
+    MvRouting.enable(s)
+    def probe(epoch: String): Seq[Row] = {
+      val df = s.read.parquet(factDir)
+        .join(graft.Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(graft.Det.dsum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains("sjv_mv") && !p.contains("sjv_fact_t"),
+        s"$epoch probe must be served from the maintained join view, " +
+          s"not the fact:\n${p.take(500)}")
+      require(!p.contains("Join"),
+        s"$epoch routed probe must be join-free:\n${p.take(400)}")
+      df.collect().toIndexedSeq.map(r => Row(epoch, r.getInt(0),
+        r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    }
+    try {
+      publishEpoch(0)
+      runEpoch()
+      val e1 = probe("epoch1")
+      publishEpoch(1)
+      runEpoch()
+      val e2 = probe("epoch2")
+      val schema = StructType(Seq(
+        StructField("probe", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("sum_price", DoubleType),
+        StructField("min_price", DoubleType),
+        StructField("n", LongType)))
+      s.createDataFrame(
+        s.sparkContext.parallelize((e1 ++ e2).toList, 1), schema)
+        .orderBy(col("probe"), col("s_nationkey"))
+    } finally {
+      // nanoTime-fresh fact root per invocation — drop the
+      // registration or the JVM-global registry grows per bench rep
+      MvRouting.invalidate(factDir)
+    }
+  }
+
   /** The CDC feed as a partitioned OFFSET LOG ([[OffsetLog]]), staged
     * once per (JVM, sfDir): epoch 0 = the INSERT snapshot, epoch 1 = the
     * UPDATE/DELETE tail — partition = pk % 4 (the Canal→Kafka pk-hash
@@ -2026,6 +2202,26 @@ object StreamOps {
               SELECT 'epoch2', 'zzz9', CAST(0 AS BIGINT),
                 CAST(0 AS BIGINT)
               ORDER BY epoch, tok""")),
+    // per-epoch join-aggregate over exactly the rows delivered so far
+    // (mod-3 split) — the probe is MV-routed in Spark; the oracle
+    // recomputes the real join from the raw tables
+    QueryDef("stream_join_view_maintain", streamJoinViewMaintain,
+      Some(s"""WITH f0 AS (SELECT l_suppkey, l_extendedprice
+                 FROM lineitem WHERE l_orderkey % 3 = 0),
+               f01 AS (SELECT l_suppkey, l_extendedprice
+                 FROM lineitem WHERE l_orderkey % 3 <> 2)
+              SELECT 'epoch1' AS probe, s_nationkey,
+                ${graft.Det.oSum("l_extendedprice")} AS sum_price,
+                MIN(l_extendedprice) AS min_price, COUNT(*) AS n
+              FROM f0 JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey
+              UNION ALL
+              SELECT 'epoch2', s_nationkey,
+                ${graft.Det.oSum("l_extendedprice")},
+                MIN(l_extendedprice), COUNT(*)
+              FROM f01 JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey
+              ORDER BY probe, s_nationkey""")),
     // offsets = per-partition envelope counts (insert + update + delete
     // script membership); state = the stream_cdc_upsert end-state algebra
     // grouped by the log partition. The exactly-once variant converges

@@ -625,4 +625,57 @@ class StateMaintenanceSpec extends GraftSpec {
       }
     } finally graft.operators.MvOps.refreshProofGate = false
   }
+
+  test("joinViewMaintainBatch: replay-idempotent landing + fold; routed probe join-free") {
+    import spark.implicits._
+    val root = graft.Scratch.dir("graft_jvmaint_test")
+    val factDir = s"$root/tjv_fact_t"
+    val mvDir = s"$root/tjv_mv"
+    val dimPath = s"$root/tjv_dim"
+    // tiny dim: 4 suppliers over 2 nations
+    Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("s_suppkey", "s_nationkey").write.parquet(dimPath)
+    val dimFp = Some(graft.plans.PathRegistry.fileFingerprint(
+      spark.read.parquet(dimPath).inputFiles.toSeq))
+    def batch(rows: Seq[(Long, Double)]) =
+      rows.toDF("l_suppkey", "l_extendedprice")
+    val b1 = Seq((2L, 5.0), (3L, 7.0), (4L, 1.0))
+    try {
+      StreamOps.joinViewMaintainBatch(batch(Seq((1L, 10.0), (3L, 20.0))),
+        0L, factDir, dimPath, mvDir, dimFp)
+      StreamOps.joinViewMaintainBatch(batch(b1), 1L, factDir, dimPath,
+        mvDir, dimFp)
+      def canonMv() = spark.read.parquet(s"$mvDir/v=1")
+        .orderBy("s_nationkey").collect().toSeq
+      def canonFact() = spark.read.parquet(factDir)
+        .orderBy("l_suppkey", "l_extendedprice").collect().toSeq
+      val mv1 = canonMv()
+      val fact1 = canonFact()
+      // at-least-once replay of batch 1: the landing OVERWRITES its own
+      // batch dir (no duplicate rows) and the fold re-reads versions
+      // < 1 only — both must reproduce identical content
+      StreamOps.joinViewMaintainBatch(batch(b1), 1L, factDir, dimPath,
+        mvDir, dimFp)
+      assert(canonMv() == mv1, "replayed fold diverged")
+      assert(canonFact() == fact1, "replayed landing duplicated fact rows")
+      // the re-registered view serves the probe join-free and exact
+      val s2 = graft.Sessions.isolatedClone(spark)
+      graft.plans.MvRouting.enable(s2)
+      val df = s2.read.parquet(factDir)
+        .join(s2.read.parquet(dimPath),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("tjv_mv") && !p.contains("tjv_fact_t"),
+        s"probe must be served from the join view:\n${p.take(600)}")
+      assert(!p.contains("Join"),
+        s"routed probe must be join-free:\n${p.take(400)}")
+      val m = df.collect()
+        .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      assert(m(0) == ((15.0, 2L)) && m(1) == ((28.0, 3L)),
+        s"routed values diverged from recompute: $m")
+    } finally graft.plans.MvRouting.invalidate(factDir)
+  }
 }
