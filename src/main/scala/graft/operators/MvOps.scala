@@ -275,11 +275,61 @@ object MvOps {
       notNullCols = Set("l_extendedprice", "s_acctbal"),
       baseFingerprint = baseFp,
       name = "join_view",
-      joinSpec = Some(MvRouting.JoinViewSpec(
+      joinSpecs = Seq(MvRouting.JoinViewSpec(
         dimPath = s"$dir/supplier.parquet",
         factKeys = Seq("l_suppkey"), dimKeys = Seq("s_suppkey"),
         dimCols = Set("s_nationkey"),
         dimFingerprint = dimFp))))
+    // TWO-DIM STAR VIEW (r15 follow-through): γ_{s_nationkey, p_brand}
+    // (lineitem ⋈ supplier ⋈ part) — one JoinViewSpec PER DIM. The
+    // vetting demands the query join the SAME dim set over the same
+    // keys (count + membership by canonical path): a single-dim query
+    // must never be served from two-dim partials (they carry BOTH
+    // joins' multiplicities) and vice versa — PlanShapeSpec holds the
+    // negative gates. The part-side measure (p_retailprice sums,
+    // replication included) is again what no fact-side swap can serve.
+    val partFp = scala.util.Try(graft.plans.PathRegistry
+      .fileFingerprint(Tables.part(s, dir).inputFiles.toSeq)).toOption
+    val path4 = s"${new java.io.File(path).getParent}/lineitem_jv2_$sfName"
+    graft.Scratch.staged(path4) {
+      Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("s_nationkey"), col("p_brand"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+            .as("sum_price_state"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price_state"),
+          max(col("l_extendedprice")).as("max_price_state"),
+          sum(col("p_retailprice").cast(DecimalType(30, 6)))
+            .as("sum_retail_state"))
+        .write.mode("overwrite").parquet(path4)
+    }
+    MvRouting.register(MvRouting.MvDef(
+      basePath = s"$dir/lineitem.parquet", mvPath = path4,
+      groupCols = Set("s_nationkey", "p_brand"),
+      sumMap = Map("l_extendedprice" -> "sum_price_state",
+        "p_retailprice" -> "sum_retail_state"),
+      countCol = "n_rows",
+      minMap = Map("l_extendedprice" -> "min_price_state"),
+      maxMap = Map("l_extendedprice" -> "max_price_state"),
+      notNullCols = Set("l_extendedprice", "p_retailprice"),
+      baseFingerprint = baseFp,
+      name = "join_view_star",
+      joinSpecs = Seq(
+        MvRouting.JoinViewSpec(
+          dimPath = s"$dir/supplier.parquet",
+          factKeys = Seq("l_suppkey"), dimKeys = Seq("s_suppkey"),
+          dimCols = Set("s_nationkey"),
+          dimFingerprint = dimFp),
+        MvRouting.JoinViewSpec(
+          dimPath = s"$dir/part.parquet",
+          factKeys = Seq("l_partkey"), dimKeys = Seq("p_partkey"),
+          dimCols = Set("p_brand"),
+          dimFingerprint = partFp))))
   }
 
   /** Stage + register + install the routing rule on `s`. Callers own
@@ -838,6 +888,41 @@ object MvOps {
         max(col("l_extendedprice")).as("max_price"),
         count(lit(1)).as("n"))
       .orderBy(col("s_nationkey"))
+  }
+
+  /** TWO-DIM STAR served from the JOIN VIEW with no query-time join
+    * (r15 follow-through — [[MvRouting.JoinViewSpec]] generalized to
+    * one spec per dim): `γ_{s_nationkey, p_brand}(lineitem ⋈ supplier
+    * ⋈ part)` — the canonical two-dimension dashboard cell — collapses
+    * onto the registered star view: both dims' grouping attrs resolve
+    * to stored view columns, fact AND part-side measures rewrite to
+    * partials, and the routed plan scans O(nations × brands) view rows
+    * with ZERO joins and NEITHER dim opened. The vetting is dim-SET
+    * exact (count + membership by canonical path + every key pair of
+    * every dim): a query joining only one of the two dims falls
+    * through — two-dim partials carry both joins' multiplicities —
+    * and PlanShapeSpec holds that negative gate plus bit-identity.
+    *
+    * Scale notes: the N-dim star is the shape BI tools emit all day;
+    * unrouted it shuffles the 100 TB fact through two joins, routed it
+    * is a metadata-sized view scan. The per-dim fingerprint sentinels
+    * keep each dim's update-freshness story independent.
+    */
+  private def mvRouteJoinViewStar(s0: SparkSession, dir: String)
+      : DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    ensureMv(s, dir)
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(s, dir),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("s_nationkey"), col("p_brand"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+        Det.dsum(col("p_retailprice")).as("sum_retail"),
+        min(col("l_extendedprice")).as("min_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"), col("p_brand"))
   }
 
   /** DEEP star join routed (r14 follow-through on the same task): the
@@ -1737,7 +1822,7 @@ object MvOps {
         baseFingerprint = Some(
           graft.plans.PathRegistry.fileFingerprint(files)),
         name = "jvr_view",
-        joinSpec = Some(MvRouting.JoinViewSpec(
+        joinSpecs = Seq(MvRouting.JoinViewSpec(
           dimPath = dimPath, factKeys = Seq("l_suppkey"),
           dimKeys = Seq("s_suppkey"), dimCols = Set("s_nationkey"),
           dimFingerprint = dimFp))))
@@ -1904,7 +1989,7 @@ object MvOps {
       minMap = Map("l_extendedprice" -> "min_price_state"),
       baseFingerprint = Some(factFp),
       name = "jvd_view",
-      joinSpec = Some(MvRouting.JoinViewSpec(
+      joinSpecs = Seq(MvRouting.JoinViewSpec(
         dimPath = dimPath, factKeys = Seq("l_suppkey"),
         dimKeys = Seq("s_suppkey"), dimCols = Set("s_nationkey"),
         dimFingerprint = scala.util.Try(graft.plans.PathRegistry
@@ -2505,6 +2590,17 @@ object MvOps {
                 COUNT(*) AS n
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               GROUP BY s_nationkey ORDER BY s_nationkey""")),
+    QueryDef("mv_route_join_view_star", mvRouteJoinViewStar,
+      Some(s"""SELECT s_nationkey, p_brand,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                ${Det.oSum("p_retailprice")} AS sum_retail,
+                MIN(l_extendedprice) AS min_price,
+                COUNT(*) AS n
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN part ON l_partkey = p_partkey
+              GROUP BY s_nationkey, p_brand
+              ORDER BY s_nationkey, p_brand""")),
     QueryDef("mv_route_join_deep", mvRouteJoinDeep,
       Some(s"""SELECT n_name,
                 ${Det.oSum("l_extendedprice")} AS sum_price,

@@ -164,10 +164,11 @@ object MvRouting {
       // rebuilt schema stops covering some aggregate. Distinct
       // projections on one base must use distinct names.
       name: String = "default",
-      // JOIN VIEW declaration (r15 — VERDICT r14 task 1): when set, the
-      // artifact is γ(fact ⋈_keys dim) — its partials were aggregated
-      // over the JOINED row stream, groupCols may include DIM columns
-      // (joinSpec.dimCols), and join multiplicity is baked into every
+      // JOIN VIEW declaration (r15 — VERDICT r14 task 1): when
+      // non-empty, the artifact is γ(fact ⋈_keys dim₁ ⋈ … ⋈ dimₙ), one
+      // spec per STAR dim — its partials were aggregated over the
+      // JOINED row stream, groupCols may include DIM columns (the
+      // specs' dimCols), and join multiplicity is baked into every
       // partial. Such a def is served EXCLUSIVELY by the join-view
       // route ([[RouteAggregateToMv.routeJoinView]]), which collapses a
       // matching Aggregate-over-Join to an aggregate over the view scan
@@ -175,7 +176,7 @@ object MvRouting {
       // Expand, fact-side join swap) refuses it — a plain fact
       // aggregate served from joined partials would weight each fact
       // row by its dim-match count and silently drop dangling rows.
-      joinSpec: Option[JoinViewSpec] = None,
+      joinSpecs: Seq[JoinViewSpec] = Nil,
       // stored ROW COUNT of the MV artifact, captured at build/register
       // time (parquet footer metadata — O(files), no data read): the
       // COST signal for projection choice. When several defs can answer
@@ -187,17 +188,22 @@ object MvRouting {
       // results, only which O(groups) artifact is scanned.
       rows: Option[Long] = None)
 
-  /** The join-view contract of an [[MvDef]] (r15): the view was built
-    * as γ(fact ⋈ dim) over an INNER equi-join on the (positionally
-    * paired) key columns. A query joins compatibly iff its join
-    * carries EXACTLY the registered key equalities (extra conjuncts
-    * over STORED view columns are group-constant and remap as view
-    * filters; a missing pair means a coarser join with different
-    * multiplicities — refused). `dimCols` are the dim-side columns the
-    * view stores as grouping columns; `dimFingerprint` is the dim
-    * table's build-time file fingerprint — the same out-of-band-change
-    * sentinel the fact side carries, because a dim row update changes
-    * joined partials without touching the fact listing.
+  /** ONE DIM of an [[MvDef]] join-view contract (r15): the view was
+    * built as γ(fact ⋈ dim₁ ⋈ … ⋈ dimₙ) — a STAR, every dim joined to
+    * the fact over an INNER equi-join on the (positionally paired) key
+    * columns, one `JoinViewSpec` per dim in [[MvDef.joinSpecs]]. A
+    * query joins compatibly iff it joins the SAME dim set (matched by
+    * canonical path) and its join carries EXACTLY the registered key
+    * equalities of every dim (extra conjuncts over STORED view columns
+    * are group-constant and remap as view filters; a missing pair or a
+    * missing/extra dim means different join multiplicities — refused;
+    * dim-to-dim equalities are never key pairs — a snowflake chain
+    * falls through to the fact-side swap). `dimCols` are this dim's
+    * columns the view stores as grouping columns; `dimFingerprint` is
+    * the dim table's build-time file fingerprint — the same
+    * out-of-band-change sentinel the fact side carries, because a dim
+    * row update changes joined partials without touching the fact
+    * listing.
     */
   case class JoinViewSpec(dimPath: String, factKeys: Seq[String],
       dimKeys: Seq[String], dimCols: Set[String],
@@ -560,7 +566,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       // first successful rewrite wins — exactly the ClickHouse analyzer's
       // projection choice, with "can answer at all" as the criterion
         byCost(defs).view
-          .filter(d => d.joinSpec.isEmpty &&
+          .filter(d => d.joinSpecs.isEmpty &&
             PathRegistry.targetExists(d.mvPath) &&
             fresh(d, regRoot.get) &&
             conds.forall(routableFilter(_, d)))
@@ -826,73 +832,123 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   /** The static join-view vetting shared by the plain and Expand
-    * flavors: every registered view def whose spec matches the located
-    * site — single dim subtree of the registered dim path, schema-
-    * disjoint sides, fresh fact AND dim fingerprints, every registered
-    * key equality present in the query's join — paired with the
-    * residual conditions to route (extra join conjuncts, fact/dim/above
-    * filters; IsNotNull on registered join keys dropped as implied by
-    * the view's own inner equi-join), each vetted grouping-column-only
-    * against that def. Lazy: defs are walked smallest-first and the
-    * caller's rewrite consumes the first that answers.
+    * flavors: every registered view def whose specs match the located
+    * site — the SAME dim set (each located dim subtree a plain scan of
+    * a registered dim path; matched by canonical path, count and
+    * membership — a missing OR extra dim means different join
+    * multiplicities), pairwise schema-disjoint sides, fresh fact AND
+    * per-dim fingerprints, every registered key equality of every dim
+    * present in the query's join — paired with the residual conditions
+    * to route (extra join conjuncts, fact/dim/above filters; IsNotNull
+    * on registered join keys dropped as implied by the view's own
+    * inner equi-joins), each vetted grouping-column-only against that
+    * def. Dim-to-dim equalities (both sides dim attrs — a snowflake
+    * chain) are never key pairs: they land in the extras and must be
+    * routable as stored-column filters or the def is refused. Lazy:
+    * defs are walked smallest-first and the caller's rewrite consumes
+    * the first that answers.
     */
   private def joinViewCandidates(site: JoinSite)
       : Iterator[(MvDef, Seq[Expression])] = {
-    if (site.dims.lengthCompare(1) != 0) return Iterator.empty
+    if (site.dims.isEmpty) return Iterator.empty
     val factRoot = site.fs.location.rootPaths.head.toString
-    val viewDefs = byCost(defsFor(factRoot).filter(_.joinSpec.isDefined))
+    val viewDefs = byCost(defsFor(factRoot).filter(_.joinSpecs.nonEmpty))
     if (viewDefs.isEmpty) return Iterator.empty
-    dimBase(site.dims.head) match {
-      case None => Iterator.empty
-      case Some((dimConds, dimFs)) =>
-        val dimRoot = dimFs.location.rootPaths.head.toString
-        // by-name side resolution demands schema-disjoint sides
-        val factNames = site.fs.schema.fieldNames.toSet
-        if (dimFs.schema.fieldNames.exists(factNames)) return Iterator.empty
-        lazy val factFp =
-          PathRegistry.fingerprintsByRoot(site.fs.location)(factRoot)
-        lazy val dimFp =
-          PathRegistry.fingerprintsByRoot(dimFs.location)(dimRoot)
-        // a join conjunct that IS a registered key equality (bare attr
-        // = bare attr, one side each — resolved fact attrs, verbatim
-        // dim attrs)
-        def asKeyPair(c: Expression): Option[(String, String)] = c match {
-          case EqualTo(a: AttributeReference, b: AttributeReference) =>
-            if (site.dimIds.contains(a) && !site.dimIds.contains(b))
-              Some((b.name, a.name))
-            else if (site.dimIds.contains(b) && !site.dimIds.contains(a))
-              Some((a.name, b.name))
-            else None
-          case _ => None
-        }
-        viewDefs.iterator.flatMap { d =>
-          val js = d.joinSpec.get
-          val keyPairs = js.factKeys.zip(js.dimKeys).toSet
-          def impliedNotNull(c: Expression): Boolean = c match {
-            // IsNotNull on a registered join key: implied by the view's
-            // own inner equi-join (EqualTo never matches null keys)
-            case IsNotNull(a: AttributeReference) =>
-              if (site.dimIds.contains(a)) js.dimKeys.contains(a.name)
-              else js.factKeys.contains(a.name)
-            case _ => false
+    // every dim subtree must be a plain dim base; one failure refuses
+    // the site for every def
+    val located0 = site.dims.map(dimBase)
+    if (located0.exists(_.isEmpty)) return Iterator.empty
+    case class LocatedDim(conds: Seq[Expression], fs: HadoopFsRelation,
+        canon: String,
+        out: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+    val located = located0.flatten.zip(site.dims).map {
+      case ((cs, fs), dp) =>
+        LocatedDim(cs, fs,
+          PathRegistry.canonical(fs.location.rootPaths.head.toString),
+          dp.outputSet)
+    }
+    // two dims over one root would make the by-path spec matching (and
+    // by-name column resolution) ambiguous — refuse
+    if (located.map(_.canon).distinct.lengthCompare(located.size) != 0)
+      return Iterator.empty
+    // by-name side resolution demands PAIRWISE schema-disjoint sides
+    val nameSets = site.fs.schema.fieldNames.toSet +:
+      located.map(_.fs.schema.fieldNames.toSet)
+    val disjoint = nameSets.indices.forall { i =>
+      (i + 1 until nameSets.size).forall(j =>
+        !nameSets(i).exists(nameSets(j)))
+    }
+    if (!disjoint) return Iterator.empty
+    lazy val factFp =
+      PathRegistry.fingerprintsByRoot(site.fs.location)(factRoot)
+    val dimFpMemo =
+      scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    def dimFpOf(i: Int): (Long, Long) = dimFpMemo.getOrElseUpdate(i,
+      PathRegistry.fingerprintsByRoot(located(i).fs.location)(
+        located(i).fs.location.rootPaths.head.toString))
+    // a join conjunct that IS a registered key equality (bare fact attr
+    // = bare dim attr — resolved fact attrs, verbatim dim attrs),
+    // attributed to the dim whose subtree owns the dim-side attr
+    def asKeyPair(c: Expression): Option[(String, String, Int)] = {
+      def side(f: AttributeReference, dAttr: AttributeReference) =
+        if (!site.dimIds.contains(f) && site.dimIds.contains(dAttr))
+          located.indexWhere(_.out.contains(dAttr)) match {
+            case -1 => None
+            case i => Some((f.name, dAttr.name, i))
           }
-          val (matched, extras) =
-            site.joinConds.partition(c => asKeyPair(c).exists(keyPairs))
-          val conds = (extras ++ site.factConds ++ dimConds ++
-            site.aboveConds).filterNot(impliedNotNull)
-          if (PathRegistry.canonical(js.dimPath) !=
-              PathRegistry.canonical(dimRoot)) None
-          // mis-registration guard: every declared dim column must be a
-          // stored grouping column, or by-name remaps could fabricate
-          else if (!js.dimCols.subsetOf(d.groupCols)) None
-          else if (!PathRegistry.targetExists(d.mvPath)) None
-          else if (!d.baseFingerprint.forall(_ == factFp)) None
-          else if (!js.dimFingerprint.forall(_ == dimFp)) None
-          // EVERY registered pair must appear in the query's join
-          else if (matched.flatMap(asKeyPair).toSet != keyPairs) None
-          else if (!conds.forall(routableFilter(_, d))) None
-          else Some((d, conds))
+        else None
+      c match {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          side(a, b).orElse(side(b, a))
+        case _ => None
+      }
+    }
+    viewDefs.iterator.flatMap { d =>
+      val specs = d.joinSpecs
+      val specCanon = specs.map(s => PathRegistry.canonical(s.dimPath))
+      // the SAME dim set, matched by canonical path: count + membership
+      if (specs.lengthCompare(located.size) != 0) None
+      else if (specCanon.distinct.lengthCompare(specCanon.size) != 0) None
+      else if (specCanon.sorted != located.map(_.canon).sorted) None
+      else {
+        val dimIdx = located.map(_.canon).zipWithIndex.toMap
+        def specDim(sp: JoinViewSpec): Int =
+          dimIdx(PathRegistry.canonical(sp.dimPath))
+        // declared (factKey, dimKey, dim) triples across ALL specs
+        val keyTriples = specs.flatMap { sp =>
+          sp.factKeys.zip(sp.dimKeys).map { case (f, k) =>
+            (f, k, specDim(sp)) }
+        }.toSet
+        def impliedNotNull(c: Expression): Boolean = c match {
+          // IsNotNull on a registered join key: implied by the view's
+          // own inner equi-join (EqualTo never matches null keys)
+          case IsNotNull(a: AttributeReference) =>
+            if (site.dimIds.contains(a))
+              located.indexWhere(_.out.contains(a)) match {
+                case -1 => false
+                case i => specs.exists(sp =>
+                  specDim(sp) == i && sp.dimKeys.contains(a.name))
+              }
+            else specs.exists(_.factKeys.contains(a.name))
+          case _ => false
         }
+        val (matched, extras) =
+          site.joinConds.partition(c => asKeyPair(c).exists(keyTriples))
+        val conds = (extras ++ site.factConds ++
+          located.flatMap(_.conds) ++
+          site.aboveConds).filterNot(impliedNotNull)
+        // mis-registration guard: every declared dim column must be a
+        // stored grouping column, or by-name remaps could fabricate
+        if (!specs.forall(_.dimCols.subsetOf(d.groupCols))) None
+        else if (!PathRegistry.targetExists(d.mvPath)) None
+        else if (!d.baseFingerprint.forall(_ == factFp)) None
+        else if (!specs.forall(sp =>
+          sp.dimFingerprint.forall(_ == dimFpOf(specDim(sp))))) None
+        // EVERY registered pair of EVERY dim must appear in the join
+        else if (matched.flatMap(asKeyPair).toSet != keyTriples) None
+        else if (!conds.forall(routableFilter(_, d))) None
+        else Some((d, conds))
+      }
     }
   }
 
@@ -1080,7 +1136,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     // a JOIN-VIEW def never serves the fact-side swap: its partials
     // carry the view's join multiplicity already — swapping them into
     // a query-time join would apply the dim replication twice
-    if (mv.joinSpec.isDefined) return false
+    if (mv.joinSpecs.nonEmpty) return false
     if (!PathRegistry.targetExists(mv.mvPath)) return false
     if (!mv.baseFingerprint.forall(_ == curFp)) return false
     if (!site.factConds.forall(routableFilter(_, mv))) return false
@@ -1761,7 +1817,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         lazy val curFp = PathRegistry.fingerprintsByRoot(fs.location)(
           fs.location.rootPaths.head.toString)
         byCost(defsFor(fs.location.rootPaths.head.toString)).view
-          .filter(d => d.joinSpec.isEmpty &&
+          .filter(d => d.joinSpecs.isEmpty &&
             PathRegistry.targetExists(d.mvPath) &&
             d.baseFingerprint.forall(_ == curFp) &&
             conds.forall(routableFilter(_, d)))

@@ -1049,7 +1049,7 @@ object StreamOps {
         baseFingerprint = Some(graft.plans.PathRegistry.fileFingerprint(
           ss.read.parquet(factDir).inputFiles.toSeq)),
         name = "sjv_view",
-        joinSpec = Some(MvRouting.JoinViewSpec(
+        joinSpecs = Seq(MvRouting.JoinViewSpec(
           dimPath = dimPath, factKeys = Seq("l_suppkey"),
           dimKeys = Seq("s_suppkey"), dimCols = Set("s_nationkey"),
           dimFingerprint = dimFp))),

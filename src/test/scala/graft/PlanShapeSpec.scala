@@ -1204,6 +1204,14 @@ class PlanShapeSpec extends GraftSpec {
       "max_bal" -> F.max(col("s_acctbal")),
       "sum_skey" -> Det.dsum(col("s_suppkey")),
       "n_name" -> F.count(col("s_name")))
+    // PART-side draws, live only when `joined2` (r15 — two-dim star
+    // shapes): p_retailprice sums are stored on the star view jv2
+    // (view-routes when the dim SET matches exactly); min/count over
+    // unstored part columns must block or fall back
+    val partAggPool: Vector[(String, Column)] = Vector(
+      "sum_retail" -> Det.dsum(col("p_retailprice")),
+      "min_retail" -> F.min(col("p_retailprice")),
+      "n_psize" -> F.count(col("p_size")))
     val shapeGen = for {
       g <- Gen.choose(0, groupPool.length - 1)
       f <- Gen.choose(0, filterPool.length - 1)
@@ -1218,25 +1226,43 @@ class PlanShapeSpec extends GraftSpec {
       // dim-side WHERE (inert unless joined): a stored-column filter
       // (view-remappable) vs an unstored one (must block or fall back)
       dimFilter <- Gen.choose(0, 2)
+      // second STAR dim (part): alone it is a single-dim join no view
+      // covers; with `joined` it is the two-dim star jv2 may serve —
+      // dim-SET-exact vetting fuzzed from both sides
+      joined2 <- Gen.oneOf(true, false)
+      pIdx <- Gen.choose(0, partAggPool.length - 1)
     } yield (g, f, aggs.toSeq.sorted, rollup, joined, dimMode, dIdx,
-      dimFilter)
+      dimFilter, joined2, pIdx)
     def run(sess: SparkSession,
-        shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int, Int))
+        shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int, Int,
+          Boolean, Int))
         : (String, Seq[org.apache.spark.sql.Row]) = {
-      val (g, f, aggIdx, rollupMode, joined, dimMode, dIdx, dimFilter) =
-        shape
+      val (g, f, aggIdx, rollupMode, joined, dimMode, dIdx, dimFilter,
+        joined2, pIdx) = shape
       val keyCols =
-        if (joined && (dimMode == 1 || dimMode == 3)) Seq(col("s_nationkey"))
+        if (joined && joined2 && (dimMode == 1 || dimMode == 3))
+          Seq(col("s_nationkey"), col("p_brand"))
+        else if (joined && (dimMode == 1 || dimMode == 3))
+          Seq(col("s_nationkey"))
+        else if (joined2 && (dimMode == 1 || dimMode == 3))
+          Seq(col("p_brand"))
         else groupPool(g)
       val keys = keyCols.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
       val aggs = aggIdx.map(i => aggPool(i)._2.as(aggPool(i)._1)) ++
         (if (joined && dimMode >= 2)
           Seq(dimAggPool(dIdx)._2.as(dimAggPool(dIdx)._1))
+        else Nil) ++
+        (if (joined2 && dimMode >= 2)
+          Seq(partAggPool(pIdx)._2.as(partAggPool(pIdx)._1))
         else Nil)
-      val base0 = Tables.lineitem(sess, sf)
-      val base = if (joined)
-        base0.join(Tables.supplier(sess, sf),
+      val base00 = Tables.lineitem(sess, sf)
+      val base0 = if (joined)
+        base00.join(Tables.supplier(sess, sf),
           col("l_suppkey") === col("s_suppkey"))
+      else base00
+      val base = if (joined2)
+        base0.join(Tables.part(sess, sf),
+          col("l_partkey") === col("p_partkey"))
       else base0
       val base1 =
         if (!joined || dimFilter == 0) base
@@ -1256,7 +1282,8 @@ class PlanShapeSpec extends GraftSpec {
     }
     var routedCount = 0
     def check(tag: String,
-        shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int, Int))
+        shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int, Int,
+          Boolean, Int))
         : Boolean = {
       val (armedPlan, armed) = run(s, shape)
       val (controlPlan, control) = run(spark, shape)
@@ -1278,20 +1305,35 @@ class PlanShapeSpec extends GraftSpec {
     // DETERMINISTIC must-route shapes through the same harness: plain,
     // rollup, and star-join spellings (agg indices: dsum_qty, n,
     // min_price, max_price over flag / flag+status / joined-suppkey)
-    assert(check("fixed plain", (0, 1, Seq(0, 1), false, false, 0, 0, 0)),
+    assert(check("fixed plain",
+      (0, 1, Seq(0, 1), false, false, 0, 0, 0, false, 0)),
       "known-routable plain shape failed to route")
-    assert(check("fixed rollup", (1, 0, Seq(0, 4, 5), true, false, 0, 0, 0)),
+    assert(check("fixed rollup",
+      (1, 0, Seq(0, 4, 5), true, false, 0, 0, 0, false, 0)),
       "known-routable rollup shape failed to route")
-    assert(check("fixed join", (4, 0, Seq(4, 5), false, true, 0, 0, 0)),
+    assert(check("fixed join",
+      (4, 0, Seq(4, 5), false, true, 0, 0, 0, false, 0)),
       "known-routable star-join shape failed to route")
     // join-VIEW anchor: dim grouping + dim partials — must route (the
     // view path is a graft_mv child) and must carry no join at all
-    val (jvPlan, _) = run(s, (0, 0, Seq(1, 4, 5), false, true, 3, 0, 1))
+    val (jvPlan, _) = run(s,
+      (0, 0, Seq(1, 4, 5), false, true, 3, 0, 1, false, 0))
     assert(jvPlan.contains("lineitem_jv1_") && !jvPlan.contains("Join"),
       s"known view-routable shape failed to route join-free:\n${
         jvPlan.take(600)}")
-    assert(check("fixed join view", (0, 0, Seq(1, 4, 5), false, true, 3, 0, 1)),
+    assert(check("fixed join view",
+      (0, 0, Seq(1, 4, 5), false, true, 3, 0, 1, false, 0)),
       "view-routable shape not counted as routed")
+    // TWO-DIM STAR anchor (r15): both dims joined, grouped by both
+    // stored dim keys — must collapse onto jv2 with no join at all
+    val (jv2Plan, _) = run(s,
+      (0, 0, Seq(1, 4, 5), false, true, 1, 0, 0, true, 0))
+    assert(jv2Plan.contains("lineitem_jv2_") && !jv2Plan.contains("Join"),
+      s"known star-view-routable shape failed to route join-free:\n${
+        jv2Plan.take(600)}")
+    assert(check("fixed star view",
+      (0, 0, Seq(1, 4, 5), false, true, 1, 0, 0, true, 0)),
+      "star-view-routable shape not counted as routed")
     // …and the random draws must still land SOME routed shapes
     assert(routedCount >= 1, s"0 of 30 random shapes routed — " +
       "pools or rule coverage regressed")
@@ -1558,6 +1600,89 @@ class PlanShapeSpec extends GraftSpec {
         nullSafe.take(700)}")
   }
 
+  test("mv_route_join_view_star: two-dim star join-free; dim-SET-exact gates") {
+    val df = SparkEntry.queries("mv_route_join_view_star")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_jv2_"),
+      s"not served from the two-dim star view:\n${p.take(1000)}")
+    assert(!p.contains("lineitem.parquet") &&
+      !p.contains("supplier.parquet") && !p.contains("part.parquet"),
+      s"star-view route must open NO base table:\n${p.take(1000)}")
+    assert(!p.contains("Join"),
+      s"the routed plan must contain NO join node:\n${p.take(1000)}")
+    // bit-identity vs the unrouted two-join plan — including the
+    // part-side sum no fact-side swap can serve
+    def q(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.part(sess, sf),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("s_nationkey"), col("p_brand"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          Det.dsum(col("p_retailprice")).as("sum_retail"),
+          org.apache.spark.sql.functions.min(col("l_extendedprice"))
+            .as("min_price"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"), col("p_brand"))
+    val control = q(spark)
+    assert(control.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "control query unexpectedly routed — bit-equality check is vacuous")
+    assert(df.collect().toSeq == control.collect().toSeq,
+      "star-view route diverged from the base-table join plan")
+    val s = graft.Sessions.isolatedClone(spark)
+    graft.operators.MvOps.ensureMv(s, sf)
+    // grouping a SUBSET (one dim's attr) with BOTH dims still joined
+    // stays view-served: the dim set matches, the key subsets
+    val subset = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(s, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(Det.dsum(col("p_retailprice")).as("sum_retail"))
+      .queryExecution.executedPlan.toString
+    assert(subset.contains("lineitem_jv2_") && !subset.contains("Join"),
+      s"subset grouping over both dims must stay view-served:\n${
+        subset.take(700)}")
+    // negative gates — the dim-set vetting is EXACT both ways:
+    // (a) a single-dim query must never read two-dim partials (they
+    // carry BOTH joins' multiplicities); no def covers part alone, so
+    // this reaches the base tables
+    val oneDim = Tables.lineitem(s, sf)
+      .join(Tables.part(s, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(Det.dsum(col("p_retailprice")).as("sum_retail"))
+      .queryExecution.executedPlan.toString
+    assert(oneDim.contains("lineitem.parquet") &&
+      !oneDim.contains("lineitem_jv2_"),
+      s"single-dim query must not be served from the star view:\n${
+        oneDim.take(700)}")
+    // (b) the supplier-only spelling routes to the SINGLE-dim view,
+    // never the star — count mismatch refuses jv2 before jv1 answers
+    val jv1q = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(Det.dsum(col("s_acctbal")).as("sum_bal"))
+      .queryExecution.executedPlan.toString
+    assert(jv1q.contains("lineitem_jv1_") && !jv1q.contains("lineitem_jv2_"),
+      s"supplier-only join must be served by the single-dim view:\n${
+        jv1q.take(700)}")
+    // (c) an EXTRA dim (three joins): membership mismatch — neither
+    // view may serve; the uncovered l_partkey join key also blocks the
+    // fact-side swap, so the plan keeps real joins
+    val threeDim = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(s, sf), col("l_partkey") === col("p_partkey"))
+      .join(Tables.nation(s, sf), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_brand"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .queryExecution.executedPlan.toString
+    assert(!threeDim.contains("lineitem_jv2_") &&
+      !threeDim.contains("lineitem_jv1_") &&
+      threeDim.contains("lineitem.parquet"),
+      s"an extra dim must refuse every view:\n${threeDim.take(700)}")
+  }
+
   test("mv_route_join_view_rollup: Expand replays over the view, join-free") {
     val df = SparkEntry.queries("mv_route_join_view_rollup")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
@@ -1633,7 +1758,7 @@ class PlanShapeSpec extends GraftSpec {
       baseFingerprint = Some(graft.plans.PathRegistry.fileFingerprint(
         s.read.parquet(factP).inputFiles.toSeq)),
       name = "jvs_view",
-      joinSpec = Some(graft.plans.MvRouting.JoinViewSpec(
+      joinSpecs = Seq(graft.plans.MvRouting.JoinViewSpec(
         dimPath = dimP, factKeys = Seq("l_suppkey"),
         dimKeys = Seq("s_suppkey"), dimCols = Set("s_nationkey"),
         dimFingerprint = Some(graft.plans.PathRegistry.fileFingerprint(
