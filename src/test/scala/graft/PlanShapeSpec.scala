@@ -1726,6 +1726,29 @@ class PlanShapeSpec extends GraftSpec {
       !outside.contains("lineitem_jv1_"),
       s"uncovered rollup key must fall back to the swap Expand route:\n${
         outside.take(900)}")
+    // TWO-DIM star ROLLUP (r15): the Expand flavor shares the dim-SET-
+    // exact vetting — ROLLUP over both dims' stored attrs collapses
+    // onto jv2, Expand kept, both joins gone, bit-identical
+    def q2(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sf)
+        .join(Tables.supplier(sess, sf),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.part(sess, sf),
+          col("l_partkey") === col("p_partkey"))
+        .rollup(col("s_nationkey"), col("p_brand"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          Det.dsum(col("p_retailprice")).as("sum_retail"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.grouping_id().as("gid"))
+        .orderBy(col("s_nationkey").asc_nulls_last,
+          col("p_brand").asc_nulls_last, col("gid"))
+    val star = q2(s)
+    val sp = star.queryExecution.executedPlan.toString
+    assert(sp.contains("lineitem_jv2_") && !sp.contains("Join") &&
+      sp.contains("Expand") && !sp.contains("part.parquet"),
+      s"two-dim star rollup must ride jv2 join-free:\n${sp.take(900)}")
+    assert(star.collect().toSeq == q2(spark).collect().toSeq,
+      "star-view rollup diverged from the base-table plan")
   }
 
   test("mv_route_join_view: a stale DIM fingerprint unroutes the view") {
