@@ -2019,8 +2019,13 @@ object MvOps {
     val pre = snap("pre_mutation", "jvd_mv1", "jvd_fact_t")
     // Δdim CAPTURE — the CDC old/new images, read BEFORE the rewrite
     // (exactly what a changelog hands a maintenance job); O(changed
-    // keys) control-plane rows
-    val changed = col("s_suppkey") % 10 === 0
+    // keys) control-plane rows. The predicate is SCALE-INVARIANT in
+    // the number of affected GROUPS (3 suppliers → ≤6 of ≥10 groups at
+    // every SF): a row-count predicate like `% 10 = 0` touches O(SF)
+    // suppliers whose old∪new nations cover all 25 at sf0.1, and the
+    // strict-subset require below rightly refuses such a "targeted"
+    // update
+    val changed = col("s_suppkey") <= 3
     val delta = s.read.parquet(dimPath).filter(changed)
       .select(col("s_suppkey"), col("s_nationkey").as("old_nk"),
         ((col("s_nationkey") + 1) % 25).cast("int").as("new_nk"))
@@ -2691,7 +2696,7 @@ object MvOps {
                  WHERE l_orderkey % 3 = 0),
                dim0 AS (SELECT s_suppkey, s_nationkey FROM supplier),
                dim1 AS (SELECT s_suppkey,
-                 CASE WHEN s_suppkey % 10 = 0
+                 CASE WHEN s_suppkey <= 3
                    THEN (s_nationkey + 1) % 25
                    ELSE s_nationkey END AS s_nationkey FROM supplier)
               SELECT 'pre_mutation' AS probe, s_nationkey,
