@@ -890,6 +890,107 @@ object MvOps {
       .orderBy(col("s_nationkey"))
   }
 
+  /** SNOWFLAKE CHAIN served from the JOIN VIEW with no query-time join
+    * (r15 follow-through): `γ_{n_name}(fact ⋈ supplier ⋈ nation)` —
+    * the canonical TPC-H revenue-by-nation shape, with nation joined
+    * to SUPPLIER (s_nationkey = n_nationkey), not to the fact. The
+    * spec's `factKeys` names the INNER side of each link, which for a
+    * snowflake child is another dim's column: supplier links on
+    * (l_suppkey, s_suppkey), nation on (s_nationkey, n_nationkey).
+    * The vetting matches the declared link set exactly — same dim set
+    * by canonical path, every pair present, pairwise schema-disjoint
+    * sides — so the whole two-hop join collapses onto the view scan:
+    * no join, no supplier, no nation in the routed plan. Negative
+    * gates inline: dropping the nation hop (dim-set mismatch) and an
+    * uncovered grouping attr (n_regionkey) both fall through to the
+    * real join. Where the fact-side swap on this shape still pays both
+    * joins against O(suppliers) partials (mv_route_join_deep), the
+    * snowflake VIEW is a bare O(nations) scan.
+    *
+    * Scale notes: dimension chains are how real schemas normalize
+    * (supplier → nation → region); at 100 TB the chain view turns the
+    * two-hop broadcast cascade into a metadata-sized read, with the
+    * per-dim fingerprint sentinels keeping every hop's freshness
+    * independent.
+    */
+  private def mvRouteJoinViewSnowflake(s0: SparkSession, dir: String)
+      : DataFrame = {
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val scratch = graft.Scratch.dir("mvjvsnow")
+    val fact = s"$scratch/jvsn_fact_t" // greppable in plan text
+    Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+      .write.parquet(fact)
+    def joined(df: DataFrame): DataFrame = df
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, dir),
+        col("s_nationkey") === col("n_nationkey"))
+    joined(s.read.parquet(fact))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+          .as("sum_price_state"),
+        count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price_state"))
+      .write.parquet(s"$scratch/jvsn_mv")
+    val supFp = scala.util.Try(graft.plans.PathRegistry.fileFingerprint(
+      Tables.supplier(s, dir).inputFiles.toSeq)).toOption
+    val natFp = scala.util.Try(graft.plans.PathRegistry.fileFingerprint(
+      Tables.nation(s, dir).inputFiles.toSeq)).toOption
+    MvRouting.register(MvRouting.MvDef(
+      basePath = fact, mvPath = s"$scratch/jvsn_mv",
+      groupCols = Set("n_name"),
+      sumMap = Map("l_extendedprice" -> "sum_price_state"),
+      countCol = "n_rows",
+      minMap = Map("l_extendedprice" -> "min_price_state"),
+      baseFingerprint = Some(graft.plans.PathRegistry.fileFingerprint(
+        s.read.parquet(fact).inputFiles.toSeq)),
+      name = "jvsn_view",
+      joinSpecs = Seq(
+        MvRouting.JoinViewSpec(
+          dimPath = s"$dir/supplier.parquet",
+          factKeys = Seq("l_suppkey"), dimKeys = Seq("s_suppkey"),
+          dimCols = Set.empty, dimFingerprint = supFp),
+        MvRouting.JoinViewSpec(
+          dimPath = s"$dir/nation.parquet",
+          // the SNOWFLAKE link: the inner side is supplier's column
+          factKeys = Seq("s_nationkey"), dimKeys = Seq("n_nationkey"),
+          dimCols = Set("n_name"), dimFingerprint = natFp))))
+    MvRouting.enable(s)
+    val df = joined(s.read.parquet(fact))
+      .groupBy(col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+    val p = df.queryExecution.executedPlan.toString
+    require(p.contains("jvsn_mv") && !p.contains("jvsn_fact_t"),
+      s"snowflake probe must be served from the view:\n${p.take(600)}")
+    require(!p.contains("Join") && !p.contains("supplier.parquet") &&
+      !p.contains("nation.parquet"),
+      s"routed snowflake plan must carry no join and no dim scan:\n${
+        p.take(600)}")
+    // negative gate: dropping the nation hop is a DIFFERENT join — the
+    // dim-set vetting must refuse the view and fall to the real join
+    val oneHop = s.read.parquet(fact)
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(graft.Det.dsum(col("l_extendedprice")).as("sp"))
+      .queryExecution.executedPlan.toString
+    require(oneHop.contains("jvsn_fact_t") && !oneHop.contains("jvsn_mv"),
+      s"one-hop join must not read snowflake partials:\n${oneHop.take(600)}")
+    // negative gate: an uncovered nation attr (n_regionkey not stored)
+    val uncovered = joined(s.read.parquet(fact))
+      .groupBy(col("n_regionkey"))
+      .agg(graft.Det.dsum(col("l_extendedprice")).as("sp"))
+      .queryExecution.executedPlan.toString
+    require(uncovered.contains("jvsn_fact_t") &&
+      !uncovered.contains("jvsn_mv"),
+      s"uncovered grouping attr must fall through:\n${uncovered.take(600)}")
+    df
+  }
+
   /** TWO-DIM STAR served from the JOIN VIEW with no query-time join
     * (r15 follow-through — [[MvRouting.JoinViewSpec]] generalized to
     * one spec per dim): `γ_{s_nationkey, p_brand}(lineitem ⋈ supplier
@@ -2595,6 +2696,17 @@ object MvOps {
                 COUNT(*) AS n
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               GROUP BY s_nationkey ORDER BY s_nationkey""")),
+    QueryDef("mv_route_join_view_snowflake", mvRouteJoinViewSnowflake,
+      Some(s"""WITH f AS (SELECT l_suppkey, l_extendedprice FROM lineitem
+                 WHERE l_orderkey % 3 = 0)
+              SELECT n_name,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                MIN(l_extendedprice) AS min_price,
+                COUNT(*) AS n
+              FROM f
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
     QueryDef("mv_route_join_view_star", mvRouteJoinViewStar,
       Some(s"""SELECT s_nationkey, p_brand,
                 ${Det.oSum("l_extendedprice")} AS sum_price,

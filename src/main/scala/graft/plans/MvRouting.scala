@@ -189,21 +189,24 @@ object MvRouting {
       rows: Option[Long] = None)
 
   /** ONE DIM of an [[MvDef]] join-view contract (r15): the view was
-    * built as γ(fact ⋈ dim₁ ⋈ … ⋈ dimₙ) — a STAR, every dim joined to
-    * the fact over an INNER equi-join on the (positionally paired) key
-    * columns, one `JoinViewSpec` per dim in [[MvDef.joinSpecs]]. A
-    * query joins compatibly iff it joins the SAME dim set (matched by
-    * canonical path) and its join carries EXACTLY the registered key
-    * equalities of every dim (extra conjuncts over STORED view columns
-    * are group-constant and remap as view filters; a missing pair or a
-    * missing/extra dim means different join multiplicities — refused;
-    * dim-to-dim equalities are never key pairs — a snowflake chain
-    * falls through to the fact-side swap). `dimCols` are this dim's
-    * columns the view stores as grouping columns; `dimFingerprint` is
-    * the dim table's build-time file fingerprint — the same
-    * out-of-band-change sentinel the fact side carries, because a dim
-    * row update changes joined partials without touching the fact
-    * listing.
+    * built as γ(fact ⋈ dim₁ ⋈ … ⋈ dimₙ) — a STAR or SNOWFLAKE, every
+    * dim joined over an INNER equi-join on the (positionally paired)
+    * key columns, one `JoinViewSpec` per dim in [[MvDef.joinSpecs]].
+    * `factKeys` names the INNER side of this dim's link: fact columns
+    * for a star dim, or another dim's columns for a snowflake child
+    * (e.g. nation declares `factKeys = Seq("s_nationkey")` against
+    * supplier — names are unambiguous because the vetting demands
+    * pairwise schema-disjoint sides). A query joins compatibly iff it
+    * joins the SAME dim set (matched by canonical path) and its join
+    * carries EXACTLY the registered key equalities of every dim (extra
+    * conjuncts over STORED view columns are group-constant and remap
+    * as view filters; a missing pair or a missing/extra dim means
+    * different join multiplicities — refused). `dimCols` are this
+    * dim's columns the view stores as grouping columns;
+    * `dimFingerprint` is the dim table's build-time file fingerprint —
+    * the same out-of-band-change sentinel the fact side carries,
+    * because a dim row update changes joined partials without touching
+    * the fact listing.
     */
   case class JoinViewSpec(dimPath: String, factKeys: Seq[String],
       dimKeys: Seq[String], dimCols: Set[String],
@@ -842,11 +845,12 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     * to route (extra join conjuncts, fact/dim/above filters; IsNotNull
     * on registered join keys dropped as implied by the view's own
     * inner equi-joins), each vetted grouping-column-only against that
-    * def. Dim-to-dim equalities (both sides dim attrs — a snowflake
-    * chain) are never key pairs: they land in the extras and must be
-    * routable as stored-column filters or the def is refused. Lazy:
-    * defs are walked smallest-first and the caller's rewrite consumes
-    * the first that answers.
+    * def. A dim-to-dim equality is a key pair when a spec DECLARES it
+    * (the snowflake link — its inner side another dim's column);
+    * undeclared ones land in the extras and must be routable as
+    * stored-column filters or the def is refused. Lazy: defs are
+    * walked smallest-first and the caller's rewrite consumes the first
+    * that answers.
     */
   private def joinViewCandidates(site: JoinSite)
       : Iterator[(MvDef, Seq[Expression])] = {
@@ -854,18 +858,25 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     val factRoot = site.fs.location.rootPaths.head.toString
     val viewDefs = byCost(defsFor(factRoot).filter(_.joinSpecs.nonEmpty))
     if (viewDefs.isEmpty) return Iterator.empty
-    // every dim subtree must be a plain dim base; one failure refuses
-    // the site for every def
-    val located0 = site.dims.map(dimBase)
-    if (located0.exists(_.isEmpty)) return Iterator.empty
-    case class LocatedDim(conds: Seq[Expression], fs: HadoopFsRelation,
-        canon: String,
+    // every dim subtree EXPLODES to its leaf dim bases — the optimizer
+    // is free to pre-join dims (ReorderJoin turns fact ⋈ sup ⋈ nat
+    // into fact ⋈ (sup ⋈ nat) whenever the dim-dim join looks cheap),
+    // and a snowflake chain arrives nested by construction. Dim-
+    // internal INNER join conds and filters join the matchable pool:
+    // over inner joins an equality constrains the joined stream
+    // identically whether spelled in ON or WHERE
+    val exploded = site.dims.map(dimLeaves)
+    if (exploded.exists(_.isEmpty)) return Iterator.empty
+    val nestedConds = exploded.flatMap(_.get._1)
+    if (!nestedConds.forall(c => c.deterministic &&
+        !c.exists(_.isInstanceOf[PlanExpression[_]])))
+      return Iterator.empty
+    case class LocatedDim(fs: HadoopFsRelation, canon: String,
         out: org.apache.spark.sql.catalyst.expressions.AttributeSet)
-    val located = located0.flatten.zip(site.dims).map {
-      case ((cs, fs), dp) =>
-        LocatedDim(cs, fs,
-          PathRegistry.canonical(fs.location.rootPaths.head.toString),
-          dp.outputSet)
+    val located = exploded.flatMap(_.get._2).map { case (fs, out) =>
+      LocatedDim(fs,
+        PathRegistry.canonical(fs.location.rootPaths.head.toString),
+        out)
     }
     // two dims over one root would make the by-path spec matching (and
     // by-name column resolution) ambiguous — refuse
@@ -886,21 +897,26 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
     def dimFpOf(i: Int): (Long, Long) = dimFpMemo.getOrElseUpdate(i,
       PathRegistry.fingerprintsByRoot(located(i).fs.location)(
         located(i).fs.location.rootPaths.head.toString))
-    // a join conjunct that IS a registered key equality (bare fact attr
-    // = bare dim attr — resolved fact attrs, verbatim dim attrs),
-    // attributed to the dim whose subtree owns the dim-side attr
-    def asKeyPair(c: Expression): Option[(String, String, Int)] = {
-      def side(f: AttributeReference, dAttr: AttributeReference) =
-        if (!site.dimIds.contains(f) && site.dimIds.contains(dAttr))
+    // a join conjunct that COULD be a registered key equality of some
+    // dim: bare attr = bare attr, the dim side owned by that dim's
+    // subtree and the INNER side living outside it — a fact attr (the
+    // star link) or another dim's attr (the SNOWFLAKE link, e.g.
+    // supplier.s_nationkey = nation.n_nationkey). Both attributions of
+    // a dim-to-dim equality are returned; the declared triples decide
+    def keyPairCandidates(c: Expression): Seq[(String, String, Int)] = {
+      def cand(inner: AttributeReference, dAttr: AttributeReference) =
+        if (site.dimIds.contains(dAttr))
           located.indexWhere(_.out.contains(dAttr)) match {
-            case -1 => None
-            case i => Some((f.name, dAttr.name, i))
+            case -1 => Nil
+            case i if !located(i).out.contains(inner) =>
+              Seq((inner.name, dAttr.name, i))
+            case _ => Nil
           }
-        else None
+        else Nil
       c match {
         case EqualTo(a: AttributeReference, b: AttributeReference) =>
-          side(a, b).orElse(side(b, a))
-        case _ => None
+          cand(a, b) ++ cand(b, a)
+        case _ => Nil
       }
     }
     viewDefs.iterator.flatMap { d =>
@@ -921,22 +937,30 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         }.toSet
         def impliedNotNull(c: Expression): Boolean = c match {
           // IsNotNull on a registered join key: implied by the view's
-          // own inner equi-join (EqualTo never matches null keys)
+          // own inner equi-join (EqualTo never matches null keys). A
+          // dim attr is a key when it is its own spec's dimKey OR the
+          // inner side of ANOTHER spec's link (the snowflake parent)
           case IsNotNull(a: AttributeReference) =>
             if (site.dimIds.contains(a))
               located.indexWhere(_.out.contains(a)) match {
                 case -1 => false
                 case i => specs.exists(sp =>
-                  specDim(sp) == i && sp.dimKeys.contains(a.name))
+                  (specDim(sp) == i && sp.dimKeys.contains(a.name)) ||
+                    (specDim(sp) != i && sp.factKeys.contains(a.name)))
               }
             else specs.exists(_.factKeys.contains(a.name))
           case _ => false
         }
-        val (matched, extras) =
-          site.joinConds.partition(c => asKeyPair(c).exists(keyTriples))
-        val conds = (extras ++ site.factConds ++
-          located.flatMap(_.conds) ++
-          site.aboveConds).filterNot(impliedNotNull)
+        // conjunctions split first: pushed-down constraints arrive as
+        // single AND-ed Filter conditions (e.g. the join-inferred
+        // isnotnull pair), and both the key-pair match and the
+        // implied-not-null drop work conjunct-wise
+        val (matched, extras) = (site.joinConds ++ nestedConds)
+          .flatMap(splitConjunctivePredicates)
+          .partition(c => keyPairCandidates(c).exists(keyTriples))
+        val conds = (extras ++ (site.factConds ++ site.aboveConds)
+          .flatMap(splitConjunctivePredicates))
+          .filterNot(impliedNotNull)
         // mis-registration guard: every declared dim column must be a
         // stored grouping column, or by-name remaps could fabricate
         if (!specs.forall(_.dimCols.subsetOf(d.groupCols))) None
@@ -945,12 +969,43 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         else if (!specs.forall(sp =>
           sp.dimFingerprint.forall(_ == dimFpOf(specDim(sp))))) None
         // EVERY registered pair of EVERY dim must appear in the join
-        else if (matched.flatMap(asKeyPair).toSet != keyTriples) None
+        else if (matched.flatMap(c =>
+          keyPairCandidates(c).filter(keyTriples)).toSet != keyTriples)
+          None
         else if (!conds.forall(routableFilter(_, d))) None
         else Some((d, conds))
       }
     }
   }
+
+  /** Explode a dim subtree to its LEAF dim bases: INNER joins recurse
+    * into both sides (pooling their conditions — a pre-joined dim pair
+    * or a snowflake chain arrives exactly so), attr-only Projects
+    * peel, Filters pool their condition, and every leaf must satisfy
+    * [[dimBase]]. Returns (pooled conditions, leaves with their
+    * subtree output sets); None on any outer/condition-less-join/
+    * aliasing shape — those fall through to the fact-side swap, which
+    * replays dim subtrees verbatim.
+    */
+  private def dimLeaves(p: LogicalPlan): Option[(Seq[Expression],
+      Seq[(HadoopFsRelation,
+        org.apache.spark.sql.catalyst.expressions.AttributeSet)])] =
+    p match {
+      case Join(l, r, Inner, cond, _) =>
+        for {
+          (cl, ll) <- dimLeaves(l)
+          (cr, lr) <- dimLeaves(r)
+        } yield (cond.map(splitConjunctivePredicates).getOrElse(Nil) ++
+          cl ++ cr, ll ++ lr)
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        dimLeaves(child)
+      case Filter(cond, child) =>
+        dimLeaves(child).map { case (cs, ls) => (cond +: cs, ls) }
+      case other => dimBase(other).map { case (cs, fs) =>
+        (cs, Seq((fs, other.outputSet)))
+      }
+    }
 
   /** The dim subtree the join-view route accepts: column-pruning
     * Projects / Filters over a single-root scan — STRICTER than
