@@ -957,38 +957,58 @@ object MvOps {
           factKeys = Seq("s_nationkey"), dimKeys = Seq("n_nationkey"),
           dimCols = Set("n_name"), dimFingerprint = natFp))))
     MvRouting.enable(s)
-    val df = joined(s.read.parquet(fact))
-      .groupBy(col("n_name"))
-      .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
-        min(col("l_extendedprice")).as("min_price"),
-        count(lit(1)).as("n"))
-      .orderBy(col("n_name"))
-    val p = df.queryExecution.executedPlan.toString
-    require(p.contains("jvsn_mv") && !p.contains("jvsn_fact_t"),
-      s"snowflake probe must be served from the view:\n${p.take(600)}")
-    require(!p.contains("Join") && !p.contains("supplier.parquet") &&
-      !p.contains("nation.parquet"),
-      s"routed snowflake plan must carry no join and no dim scan:\n${
-        p.take(600)}")
-    // negative gate: dropping the nation hop is a DIFFERENT join — the
-    // dim-set vetting must refuse the view and fall to the real join
-    val oneHop = s.read.parquet(fact)
-      .join(Tables.supplier(s, dir),
-        col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_nationkey"))
-      .agg(graft.Det.dsum(col("l_extendedprice")).as("sp"))
-      .queryExecution.executedPlan.toString
-    require(oneHop.contains("jvsn_fact_t") && !oneHop.contains("jvsn_mv"),
-      s"one-hop join must not read snowflake partials:\n${oneHop.take(600)}")
-    // negative gate: an uncovered nation attr (n_regionkey not stored)
-    val uncovered = joined(s.read.parquet(fact))
-      .groupBy(col("n_regionkey"))
-      .agg(graft.Det.dsum(col("l_extendedprice")).as("sp"))
-      .queryExecution.executedPlan.toString
-    require(uncovered.contains("jvsn_fact_t") &&
-      !uncovered.contains("jvsn_mv"),
-      s"uncovered grouping attr must fall through:\n${uncovered.take(600)}")
-    df
+    try {
+      val df = joined(s.read.parquet(fact))
+        .groupBy(col("n_name"))
+        .agg(Det.dsum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains("jvsn_mv") && !p.contains("jvsn_fact_t"),
+        s"snowflake probe must be served from the view:\n${p.take(600)}")
+      require(!p.contains("Join") && !p.contains("supplier.parquet") &&
+        !p.contains("nation.parquet"),
+        s"routed snowflake plan must carry no join and no dim scan:\n${
+          p.take(600)}")
+      // the PRE-JOINED spelling — fact ⋈ (supplier ⋈ nation), the
+      // shape ReorderJoin builds and users write — must route too:
+      // the dim subtree arrives capped by a pruning Project, which is
+      // exactly what the leaf-output ownership test exists for
+      val nested = s.read.parquet(fact)
+        .join(Tables.supplier(s, dir)
+            .join(Tables.nation(s, dir),
+              col("s_nationkey") === col("n_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"))
+        .agg(graft.Det.dsum(col("l_extendedprice")).as("sp"))
+        .queryExecution.executedPlan.toString
+      require(nested.contains("jvsn_mv") && !nested.contains("Join"),
+        s"pre-joined dim spelling must route join-free:\n${
+          nested.take(600)}")
+      // negative gate: dropping the nation hop is a DIFFERENT join —
+      // the dim-set vetting must refuse the view, fall to the real join
+      val oneHop = s.read.parquet(fact)
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(graft.Det.dsum(col("l_extendedprice")).as("sp"))
+        .queryExecution.executedPlan.toString
+      require(oneHop.contains("jvsn_fact_t") && !oneHop.contains("jvsn_mv"),
+        s"one-hop join must not read snowflake partials:\n${oneHop.take(600)}")
+      // negative gate: an uncovered nation attr (n_regionkey unstored)
+      val uncovered = joined(s.read.parquet(fact))
+        .groupBy(col("n_regionkey"))
+        .agg(graft.Det.dsum(col("l_extendedprice")).as("sp"))
+        .queryExecution.executedPlan.toString
+      require(uncovered.contains("jvsn_fact_t") &&
+        !uncovered.contains("jvsn_mv"),
+        s"uncovered grouping attr must fall through:\n${uncovered.take(600)}")
+      df
+    } finally
+      // nanoTime-fresh fact root per invocation: drop the registration
+      // or the JVM-global registry grows one def per bench rep
+      MvRouting.invalidate(fact)
   }
 
   /** TWO-DIM STAR served from the JOIN VIEW with no query-time join
@@ -1998,6 +2018,10 @@ object MvOps {
     }
     registerMv(s"$scratch/jvr_mv2", all)
     val post = snap("post_refresh", "jvr_mv2", "jvr_fact_t")
+    // nanoTime-fresh fact root per invocation: drop the registration or
+    // the JVM-global registry grows one def per bench rep (probes above
+    // are eagerly collected, so nothing routes after this)
+    MvRouting.invalidate(fact)
     val schema = StructType(Seq(
       StructField("probe", StringType),
       StructField("s_nationkey",
@@ -2179,6 +2203,10 @@ object MvOps {
     }
     registerMv(s"$scratch/jvd_mv2") // dimFingerprint re-read = the new dim
     val post = snap("post_refresh", "jvd_mv2", "jvd_fact_t")
+    // nanoTime-fresh fact root per invocation: drop the registration or
+    // the JVM-global registry grows one def per bench rep (probes above
+    // are eagerly collected, so nothing routes after this)
+    MvRouting.invalidate(fact)
     val schema = StructType(Seq(
       StructField("probe", StringType),
       StructField("s_nationkey", IntegerType),

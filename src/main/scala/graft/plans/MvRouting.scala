@@ -899,26 +899,36 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         located(i).fs.location.rootPaths.head.toString))
     // a join conjunct that COULD be a registered key equality of some
     // dim: bare attr = bare attr, the dim side owned by that dim's
-    // subtree and the INNER side living outside it — a fact attr (the
-    // star link) or another dim's attr (the SNOWFLAKE link, e.g.
-    // supplier.s_nationkey = nation.n_nationkey). Both attributions of
-    // a dim-to-dim equality are returned; the declared triples decide
+    // LEAF subtree and the INNER side living outside it — a fact attr
+    // (the star link) or another dim's attr (the SNOWFLAKE link, e.g.
+    // supplier.s_nationkey = nation.n_nationkey). Ownership tests the
+    // leaf outputs, NOT site.dimIds: a pre-joined dim pair arrives
+    // capped by a pruning Project whose output drops the link keys, so
+    // the subtree-top ids would blind-spot exactly the nested shape
+    // the explode exists for. Both attributions of a dim-to-dim
+    // equality are returned; the declared triples decide
     def keyPairCandidates(c: Expression): Seq[(String, String, Int)] = {
       def cand(inner: AttributeReference, dAttr: AttributeReference) =
-        if (site.dimIds.contains(dAttr))
-          located.indexWhere(_.out.contains(dAttr)) match {
-            case -1 => Nil
-            case i if !located(i).out.contains(inner) =>
-              Seq((inner.name, dAttr.name, i))
-            case _ => Nil
-          }
-        else Nil
+        located.indexWhere(_.out.contains(dAttr)) match {
+          case -1 => Nil
+          case i if !located(i).out.contains(inner) =>
+            Seq((inner.name, dAttr.name, i))
+          case _ => Nil
+        }
       c match {
         case EqualTo(a: AttributeReference, b: AttributeReference) =>
           cand(a, b) ++ cand(b, a)
         case _ => Nil
       }
     }
+    // def-independent: conjunctions split once (pushed-down constraints
+    // arrive AND-ed), candidates computed once — the per-def walk only
+    // filters them against its declared triples
+    val pooledConds = (site.joinConds ++ nestedConds)
+      .flatMap(splitConjunctivePredicates)
+    val pooledCands = pooledConds.map(c => c -> keyPairCandidates(c))
+    val residualBase = (site.factConds ++ site.aboveConds)
+      .flatMap(splitConjunctivePredicates)
     viewDefs.iterator.flatMap { d =>
       val specs = d.joinSpecs
       val specCanon = specs.map(s => PathRegistry.canonical(s.dimPath))
@@ -939,27 +949,22 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
           // IsNotNull on a registered join key: implied by the view's
           // own inner equi-join (EqualTo never matches null keys). A
           // dim attr is a key when it is its own spec's dimKey OR the
-          // inner side of ANOTHER spec's link (the snowflake parent)
+          // inner side of ANOTHER spec's link (the snowflake parent);
+          // ownership by leaf output, the keyPairCandidates rationale
           case IsNotNull(a: AttributeReference) =>
-            if (site.dimIds.contains(a))
-              located.indexWhere(_.out.contains(a)) match {
-                case -1 => false
-                case i => specs.exists(sp =>
-                  (specDim(sp) == i && sp.dimKeys.contains(a.name)) ||
-                    (specDim(sp) != i && sp.factKeys.contains(a.name)))
-              }
-            else specs.exists(_.factKeys.contains(a.name))
+            located.indexWhere(_.out.contains(a)) match {
+              case -1 => specs.exists(_.factKeys.contains(a.name))
+              case i => specs.exists(sp =>
+                (specDim(sp) == i && sp.dimKeys.contains(a.name)) ||
+                  (specDim(sp) != i && sp.factKeys.contains(a.name)))
+            }
           case _ => false
         }
-        // conjunctions split first: pushed-down constraints arrive as
-        // single AND-ed Filter conditions (e.g. the join-inferred
-        // isnotnull pair), and both the key-pair match and the
-        // implied-not-null drop work conjunct-wise
-        val (matched, extras) = (site.joinConds ++ nestedConds)
-          .flatMap(splitConjunctivePredicates)
-          .partition(c => keyPairCandidates(c).exists(keyTriples))
-        val conds = (extras ++ (site.factConds ++ site.aboveConds)
-          .flatMap(splitConjunctivePredicates))
+        val (matchedC, extrasC) =
+          pooledCands.partition { case (_, cs) => cs.exists(keyTriples) }
+        val matched = matchedC.flatMap { case (_, cs) =>
+          cs.filter(keyTriples) }
+        val conds = (extrasC.map(_._1) ++ residualBase)
           .filterNot(impliedNotNull)
         // mis-registration guard: every declared dim column must be a
         // stored grouping column, or by-name remaps could fabricate
@@ -969,9 +974,7 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
         else if (!specs.forall(sp =>
           sp.dimFingerprint.forall(_ == dimFpOf(specDim(sp))))) None
         // EVERY registered pair of EVERY dim must appear in the join
-        else if (matched.flatMap(c =>
-          keyPairCandidates(c).filter(keyTriples)).toSet != keyTriples)
-          None
+        else if (matched.toSet != keyTriples) None
         else if (!conds.forall(routableFilter(_, d))) None
         else Some((d, conds))
       }
@@ -991,12 +994,13 @@ object RouteAggregateToMv extends Rule[LogicalPlan] with PredicateHelper {
       Seq[(HadoopFsRelation,
         org.apache.spark.sql.catalyst.expressions.AttributeSet)])] =
     p match {
-      case Join(l, r, Inner, cond, _) =>
+      // condition-less inner joins (cross products) fall to the
+      // dimBase case below and refuse — the plan-wide cross ban
+      case Join(l, r, Inner, Some(cond), _) =>
         for {
           (cl, ll) <- dimLeaves(l)
           (cr, lr) <- dimLeaves(r)
-        } yield (cond.map(splitConjunctivePredicates).getOrElse(Nil) ++
-          cl ++ cr, ll ++ lr)
+        } yield (splitConjunctivePredicates(cond) ++ cl ++ cr, ll ++ lr)
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         dimLeaves(child)

@@ -554,20 +554,36 @@ object StreamOps {
         graft.Scratch.deleteRecursively(new java.io.File(state, s"v=$v"))
       }
 
-  private[graft] def mergeSummingState(deltas: DataFrame, batchId: Long,
-      state: String): Unit = {
+  /** The versioned replay-margin fold in ONE place (it had grown four
+    * inline copies — the gcStateVersions history lesson): read the
+    * latest version strictly below `batchId` (empty-shaped `deltas`
+    * when none), let `fold` combine prev ∪ deltas, overwrite
+    * `v=batchId`, and GC superseded versions with the one-version
+    * replay margin. A replayed batch re-reads the same `< batchId`
+    * version and rewrites identical content — the at-least-once rule
+    * every consumer relies on. `prevMap` re-shapes the stored prev
+    * version to the delta schema (the quantile MV explodes its sketch
+    * state before re-folding).
+    */
+  private[graft] def foldVersionedState(deltas: DataFrame, batchId: Long,
+      state: String, fold: DataFrame => DataFrame,
+      prevMap: DataFrame => DataFrame = identity): Unit = {
     val ss = deltas.sparkSession
     val prevDirs = stateVersionsBelow(state, batchId)
     val prev =
       if (prevDirs.isEmpty) deltas.limit(0)
-      else ss.read.parquet(s"$state/v=${prevDirs.max}")
-    prev.unionByName(deltas)
-      .groupBy(col("o_custkey"))
-      .agg(sum(col("spend_state")).as("spend_state"),
-        sum(col("orders_state")).as("orders_state"))
+      else prevMap(ss.read.parquet(s"$state/v=${prevDirs.max}"))
+    fold(prev.unionByName(deltas))
       .write.mode("overwrite").parquet(s"$state/v=$batchId")
     gcStateVersions(state, prevDirs)
   }
+
+  private[graft] def mergeSummingState(deltas: DataFrame, batchId: Long,
+      state: String): Unit =
+    foldVersionedState(deltas, batchId, state,
+      _.groupBy(col("o_custkey"))
+        .agg(sum(col("spend_state")).as("spend_state"),
+          sum(col("orders_state")).as("orders_state")))
 
   private def streamSummingMv(s0: SparkSession, dir: String): DataFrame = {
     val s = stateSized(s0)
@@ -737,19 +753,13 @@ object StreamOps {
           sum(when(col("type") === "INSERT", 1L)
             .when(col("type") === "DELETE", -1L).otherwise(0L))
             .as("n_live"))
-      val mvPrevDirs = stateVersionsBelow(mvDir, batchId)
-      val mvPrev =
-        if (mvPrevDirs.isEmpty) deltas.limit(0)
-        else ss.read.parquet(s"$mvDir/v=${mvPrevDirs.max}")
       val mvV = s"$mvDir/v=$batchId"
-      mvPrev.unionByName(deltas)
-        .groupBy(col("o_custkey"))
-        .agg(sum(col("spend_state")).cast(org.apache.spark.sql.types
-            .DecimalType(38, 6)).as("spend_state"),
-          sum(col("n_live")).as("n_live"))
-        .filter(col("n_live") > 0)
-        .write.mode("overwrite").parquet(mvV)
-      gcStateVersions(mvDir, mvPrevDirs)
+      foldVersionedState(deltas, batchId, mvDir,
+        _.groupBy(col("o_custkey"))
+          .agg(sum(col("spend_state")).cast(org.apache.spark.sql.types
+              .DecimalType(38, 6)).as("spend_state"),
+            sum(col("n_live")).as("n_live"))
+          .filter(col("n_live") > 0))
       // 4. re-register the STABLE base root against the new MV version,
       // fingerprinted from the files just published — the routing
       // registry is the micro-batch's last write, so there is no stale
@@ -1027,18 +1037,12 @@ object StreamOps {
           min(col("l_extendedprice")).as("min_price_state"))
       val dV = partials(rows)
       // 3. versioned fold with the replay margin
-      val prevDirs = stateVersionsBelow(mvDir, batchId)
-      val prev =
-        if (prevDirs.isEmpty) dV.limit(0)
-        else ss.read.parquet(s"$mvDir/v=${prevDirs.max}")
-      prev.unionByName(dV)
-        .groupBy(col("s_nationkey"))
-        .agg(sum(col("sum_price_state")).cast(DecimalType(38, 6))
-            .as("sum_price_state"),
-          sum(col("n_rows")).as("n_rows"),
-          min(col("min_price_state")).as("min_price_state"))
-        .write.mode("overwrite").parquet(s"$mvDir/v=$batchId")
-      gcStateVersions(mvDir, prevDirs)
+      foldVersionedState(dV, batchId, mvDir,
+        _.groupBy(col("s_nationkey"))
+          .agg(sum(col("sum_price_state")).cast(DecimalType(38, 6))
+              .as("sum_price_state"),
+            sum(col("n_rows")).as("n_rows"),
+            min(col("min_price_state")).as("min_price_state")))
       // 4. the registry is the batch's last write
       MvRouting.register(MvRouting.MvDef(
         basePath = factDir, mvPath = s"$mvDir/v=$batchId",
@@ -1359,22 +1363,17 @@ object StreamOps {
     val q = eventsStream(s, dir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
         val deltas = batch
           .select(col("event_type"), col("value").cast("double").as("m"),
             lit(1L).as("w"))
-        val prevDirs = stateVersionsBelow(state, batchId)
-        val prev =
-          if (prevDirs.isEmpty) deltas.limit(0)
-          else ss.read.parquet(s"$state/v=${prevDirs.max}")
-            .select(col("event_type"), explode(col("state")).as("c"))
+        foldVersionedState(deltas, batchId, state,
+          _.groupBy(col("event_type"))
+            .agg(qagg(col("m"), col("w")).as("state")),
+          prevMap = _.select(col("event_type"),
+              explode(col("state")).as("c"))
             .select(col("event_type"), col("c._1").as("m"),
-              col("c._2").as("w"))
-        prev.unionByName(deltas)
-          .groupBy(col("event_type"))
-          .agg(qagg(col("m"), col("w")).as("state"))
-          .write.mode("overwrite").parquet(s"$state/v=$batchId")
-        gcStateVersions(state, prevDirs) // one-version replay margin
+              col("c._2").as("w")))
+        ()
       }
       .option("checkpointLocation", fresh("q_mv_ckpt"))
       .trigger(Trigger.AvailableNow()).start()
