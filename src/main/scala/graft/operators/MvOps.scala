@@ -2218,6 +2218,180 @@ object MvOps {
       .orderBy(col("probe"), col("s_nationkey"))
   }
 
+  /** DIM-side delta refresh for the N-DIM STAR VIEW with zero fact I/O
+    * (r15 — [[mvRefreshJoinViewDim]]'s K-decomposition generalized to
+    * multi-key grain): K = γ_{l_suppkey, l_partkey}(fact) — fact
+    * partials at the grain of ALL join keys — derives the star view
+    * V = γ_{s_nationkey, p_brand}(K ⋈ supplier ⋈ part) exactly, so a
+    * targeted UPDATE on EITHER dim folds without reading the fact: the
+    * affected groups are old ∪ new group values of the changed dim
+    * rows (CDC images), the refresh recomputes only those groups from
+    * K ⋈ dim′ ⋈ otherDim restricted to them, and unaffected view rows
+    * splice verbatim. One K artifact serves every dim's update path —
+    * the reason the grain is the full join-key tuple.
+    *
+    * Probes: `pre_mutation` routed join-free; `post_mutation` fallen
+    * (the SUPPLIER fingerprint sentinel — part's stays valid, fact
+    * untouched); `post_refresh` routed to the spliced view under the
+    * new supplier fingerprint. Requires prove zero fact files read and
+    * a strict-subset splice; the armed proof gate bit-equals the full
+    * γ(fact ⋈ sup′ ⋈ part) rebuild.
+    *
+    * Scale notes: |K| is the distinct join-key-tuple count — bounded
+    * by the fact but typically orders smaller, and REUSED across
+    * refreshes of every dim; at 100 TB a supplier re-homing costs
+    * O(K rows in affected groups ⋈ dims), the fact stays cold. K
+    * itself maintains under fact appends by the mvRefreshAppend fold.
+    */
+  private def mvRefreshJoinViewStarDim(s0: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+    val s = graft.Sessions.isolatedClone(s0) // rule isolation — the mvRoute rationale
+    val scratch = graft.Scratch.dir("mvjvsd")
+    val fact = s"$scratch/jvsd_fact_t" // greppable in plan text
+    val supPath = s"$scratch/jvsd_sup_t"
+    Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_suppkey"), col("l_partkey"), col("l_extendedprice"))
+      .write.parquet(fact)
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("int")
+        .as("s_nationkey"))
+      .write.parquet(supPath)
+    // K at the FULL join-key grain — one artifact, every dim's path
+    val kmv = s"$scratch/jvsd_kmv"
+    s.read.parquet(fact).groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+          .cast(DecimalType(38, 6)).as("sum_price_state"),
+        count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price_state"))
+      .write.parquet(kmv)
+    def viewFrom(sup: DataFrame): DataFrame = s.read.parquet(kmv)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("s_nationkey"), col("p_brand"))
+      .agg(sum(col("sum_price_state")).cast(DecimalType(38, 6))
+          .as("sum_price_state"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("min_price_state")).as("min_price_state"))
+    val factFp = graft.plans.PathRegistry.fileFingerprint(
+      s.read.parquet(fact).inputFiles.toSeq)
+    val partFp = scala.util.Try(graft.plans.PathRegistry.fileFingerprint(
+      Tables.part(s, dir).inputFiles.toSeq)).toOption
+    def registerMv(path: String): Unit = MvRouting.register(MvRouting.MvDef(
+      basePath = fact, mvPath = path,
+      groupCols = Set("s_nationkey", "p_brand"),
+      sumMap = Map("l_extendedprice" -> "sum_price_state"),
+      countCol = "n_rows",
+      minMap = Map("l_extendedprice" -> "min_price_state"),
+      baseFingerprint = Some(factFp),
+      name = "jvsd_view",
+      joinSpecs = Seq(
+        MvRouting.JoinViewSpec(
+          dimPath = supPath,
+          factKeys = Seq("l_suppkey"), dimKeys = Seq("s_suppkey"),
+          dimCols = Set("s_nationkey"),
+          dimFingerprint = scala.util.Try(graft.plans.PathRegistry
+            .fileFingerprint(s.read.parquet(supPath).inputFiles.toSeq))
+            .toOption),
+        MvRouting.JoinViewSpec(
+          dimPath = s"$dir/part.parquet",
+          factKeys = Seq("l_partkey"), dimKeys = Seq("p_partkey"),
+          dimCols = Set("p_brand"), dimFingerprint = partFp))))
+    viewFrom(s.read.parquet(supPath)).write.parquet(s"$scratch/jvsd_mv1")
+    registerMv(s"$scratch/jvsd_mv1")
+    MvRouting.enable(s)
+    def snap(probe: String, mustScan: String, mustNotScan: String)
+        : Seq[Row] = {
+      val df = s.read.parquet(fact)
+        .join(s.read.parquet(supPath),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("s_nationkey"), col("p_brand"))
+        .agg(graft.Det.dsum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains(mustScan) && !p.contains(mustNotScan),
+        s"$probe probe must scan $mustScan and not $mustNotScan")
+      if (mustScan.contains("mv"))
+        require(!p.contains("Join"),
+          s"$probe routed probe must be join-free:\n${p.take(400)}")
+      df.collect().toIndexedSeq.map(r => Row(probe, r.getInt(0),
+        r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    }
+    val pre = snap("pre_mutation", "jvsd_mv1", "jvsd_fact_t")
+    // Δdim CAPTURE before the rewrite — scale-invariant in affected
+    // GROUPS (three suppliers at every SF, the jvd lesson)
+    val changed = col("s_suppkey") <= 3
+    val delta = s.read.parquet(supPath).filter(changed)
+      .select(col("s_suppkey"), col("s_nationkey").as("old_nk"),
+        ((col("s_nationkey") + 1) % 25).cast("int").as("new_nk"))
+      .collect().toIndexedSeq
+    require(delta.nonEmpty, "dim mutation matched no rows — fixture broke")
+    val affected = delta.flatMap(r => Seq(r.getInt(1), r.getInt(2))).toSet
+    val sup2 = s.read.parquet(supPath)
+      .select(col("s_suppkey"),
+        when(changed, (col("s_nationkey") + 1) % 25)
+          .otherwise(col("s_nationkey")).cast("int").as("s_nationkey"))
+      .localCheckpoint(true)
+    graft.Scratch.deleteRecursively(new java.io.File(supPath))
+    sup2.write.parquet(supPath)
+    val fallen = snap("post_mutation", "jvsd_fact_t", "jvsd_mv")
+    // recompute ONLY the affected (s_nationkey, *) groups from
+    // K ⋈ sup′ ⋈ part — zero fact I/O, require-proven
+    val recompute = viewFrom(s.read.parquet(supPath)
+      .filter(col("s_nationkey").isin(affected.toSeq: _*)))
+    val refreshFiles = recompute.inputFiles.toIndexedSeq
+    require(refreshFiles.forall(!_.contains("jvsd_fact_t")),
+      "star dim refresh read a fact file — the zero-fact-I/O contract broke")
+    require(refreshFiles.exists(_.contains("jvsd_kmv")),
+      "star dim refresh must read the join-key fact partials")
+    val unaffected = s.read.parquet(s"$scratch/jvsd_mv1")
+      .filter(!col("s_nationkey").isin(affected.toSeq: _*))
+    require(unaffected.count() > 0,
+      "dim mutation touched every group — fixture broke")
+    unaffected.unionByName(recompute).write.parquet(s"$scratch/jvsd_mv2")
+    if (refreshProofGate) {
+      def canon(df: DataFrame) = df
+        .select(col("s_nationkey"), col("p_brand"),
+          col("sum_price_state").cast(DecimalType(38, 6))
+            .as("sum_price_state"),
+          col("n_rows"), col("min_price_state"))
+        .orderBy(col("s_nationkey").asc_nulls_last,
+          col("p_brand").asc_nulls_last).collect().toSeq
+      val full = s.read.parquet(fact)
+        .join(s.read.parquet(supPath),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("s_nationkey"), col("p_brand"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+            .as("sum_price_state"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price_state"))
+      require(canon(s.read.parquet(s"$scratch/jvsd_mv2")) == canon(full),
+        "star dim splice diverged from the full rebuild")
+    }
+    registerMv(s"$scratch/jvsd_mv2") // supplier fingerprint re-read
+    val post = snap("post_refresh", "jvsd_mv2", "jvsd_fact_t")
+    // nanoTime-fresh fact root: drop the registration (probes above
+    // are eagerly collected, so nothing routes after this)
+    MvRouting.invalidate(fact)
+    val schema = StructType(Seq(
+      StructField("probe", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("p_brand", StringType),
+      StructField("sum_price", DoubleType),
+      StructField("min_price", DoubleType),
+      StructField("n", LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize((pre ++ fallen ++ post).toList, 1), schema)
+      .orderBy(col("probe"), col("s_nationkey"), col("p_brand"))
+  }
+
   /** Stage the two event layouts (idempotent per sfDir): the BASE copy
     * range-clustered + sorted on day (serves time predicates via file
     * min/max stats), the PROJECTION the same rows range-clustered +
@@ -2857,6 +3031,38 @@ object MvOps {
               FROM f JOIN dim1 ON l_suppkey = s_suppkey
               GROUP BY s_nationkey
               ORDER BY probe, s_nationkey""")),
+    QueryDef("mv_refresh_join_view_star_dim", mvRefreshJoinViewStarDim,
+      Some(s"""WITH f AS (SELECT l_suppkey, l_partkey, l_extendedprice
+                 FROM lineitem WHERE l_orderkey % 3 = 0),
+               sup0 AS (SELECT s_suppkey, s_nationkey FROM supplier),
+               sup1 AS (SELECT s_suppkey,
+                 CASE WHEN s_suppkey <= 3
+                   THEN (s_nationkey + 1) % 25
+                   ELSE s_nationkey END AS s_nationkey FROM supplier)
+              SELECT 'pre_mutation' AS probe, s_nationkey, p_brand,
+                ${Det.oSum("l_extendedprice")} AS sum_price,
+                MIN(l_extendedprice) AS min_price, COUNT(*) AS n
+              FROM f
+              JOIN sup0 ON l_suppkey = s_suppkey
+              JOIN part ON l_partkey = p_partkey
+              GROUP BY s_nationkey, p_brand
+              UNION ALL
+              SELECT 'post_mutation', s_nationkey, p_brand,
+                ${Det.oSum("l_extendedprice")}, MIN(l_extendedprice),
+                COUNT(*)
+              FROM f
+              JOIN sup1 ON l_suppkey = s_suppkey
+              JOIN part ON l_partkey = p_partkey
+              GROUP BY s_nationkey, p_brand
+              UNION ALL
+              SELECT 'post_refresh', s_nationkey, p_brand,
+                ${Det.oSum("l_extendedprice")}, MIN(l_extendedprice),
+                COUNT(*)
+              FROM f
+              JOIN sup1 ON l_suppkey = s_suppkey
+              JOIN part ON l_partkey = p_partkey
+              GROUP BY s_nationkey, p_brand
+              ORDER BY probe, s_nationkey, p_brand""")),
     QueryDef("mv_route_global", mvRouteGlobal,
       Some(s"""SELECT COUNT(*) AS n,
                 ${Det.oSum("l_quantity")} AS sum_qty,

@@ -618,7 +618,8 @@ class StateMaintenanceSpec extends GraftSpec {
     try {
       Seq("mv_refresh_incremental", "mv_refresh_append",
           "mv_refresh_minmax", "mv_refresh_quantile_delete",
-          "mv_refresh_join_view", "mv_refresh_join_view_dim")
+          "mv_refresh_join_view", "mv_refresh_join_view_dim",
+          "mv_refresh_join_view_star_dim")
         .foreach { key =>
         val n = SparkEntry.queries(key)(spark, sf).count()
         assert(n > 0, s"$key returned no rows under the armed proof gate")
