@@ -1203,7 +1203,10 @@ class PlanShapeSpec extends GraftSpec {
       "min_bal" -> F.min(col("s_acctbal")),
       "max_bal" -> F.max(col("s_acctbal")),
       "sum_skey" -> Det.dsum(col("s_suppkey")),
-      "n_name" -> F.count(col("s_name")))
+      "n_name" -> F.count(col("s_name")),
+      // avg over a declared-NOT-NULL dim partial: routes as sum/count
+      "avg_bal" -> F.avg(col("s_acctbal").cast(DecimalType(30, 6)))
+        .cast("double"))
     // PART-side draws, live only when `joined2` (r15 — two-dim star
     // shapes): p_retailprice sums are stored on the star view jv2
     // (view-routes when the dim SET matches exactly); min/count over
@@ -1231,14 +1234,19 @@ class PlanShapeSpec extends GraftSpec {
       // dim-SET-exact vetting fuzzed from both sides
       joined2 <- Gen.oneOf(true, false)
       pIdx <- Gen.choose(0, partAggPool.length - 1)
+      // SNOWFLAKE hop (nation via supplier, live only when `joined`):
+      // NO registered def on the shared fixture covers nation, so
+      // every such draw must refuse all views and fall back with
+      // identical values — the chain-matching code fuzzed negative
+      joined3 <- Gen.oneOf(true, false)
     } yield (g, f, aggs.toSeq.sorted, rollup, joined, dimMode, dIdx,
-      dimFilter, joined2, pIdx)
+      dimFilter, joined2, pIdx, joined3)
     def run(sess: SparkSession,
         shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int, Int,
-          Boolean, Int))
+          Boolean, Int, Boolean))
         : (String, Seq[org.apache.spark.sql.Row]) = {
       val (g, f, aggIdx, rollupMode, joined, dimMode, dIdx, dimFilter,
-        joined2, pIdx) = shape
+        joined2, pIdx, joined3) = shape
       val keyCols =
         if (joined && joined2 && (dimMode == 1 || dimMode == 3))
           Seq(col("s_nationkey"), col("p_brand"))
@@ -1260,10 +1268,14 @@ class PlanShapeSpec extends GraftSpec {
         base00.join(Tables.supplier(sess, sf),
           col("l_suppkey") === col("s_suppkey"))
       else base00
-      val base = if (joined2)
+      val base1x = if (joined2)
         base0.join(Tables.part(sess, sf),
           col("l_partkey") === col("p_partkey"))
       else base0
+      val base = if (joined && joined3)
+        base1x.join(Tables.nation(sess, sf),
+          col("s_nationkey") === col("n_nationkey"))
+      else base1x
       val base1 =
         if (!joined || dimFilter == 0) base
         else if (dimFilter == 1) base.filter(col("s_nationkey") < 13)
@@ -1283,7 +1295,7 @@ class PlanShapeSpec extends GraftSpec {
     var routedCount = 0
     def check(tag: String,
         shape: (Int, Int, Seq[Int], Boolean, Boolean, Int, Int, Int,
-          Boolean, Int))
+          Boolean, Int, Boolean))
         : Boolean = {
       val (armedPlan, armed) = run(s, shape)
       val (controlPlan, control) = run(spark, shape)
@@ -1306,33 +1318,39 @@ class PlanShapeSpec extends GraftSpec {
     // rollup, and star-join spellings (agg indices: dsum_qty, n,
     // min_price, max_price over flag / flag+status / joined-suppkey)
     assert(check("fixed plain",
-      (0, 1, Seq(0, 1), false, false, 0, 0, 0, false, 0)),
+      (0, 1, Seq(0, 1), false, false, 0, 0, 0, false, 0, false)),
       "known-routable plain shape failed to route")
     assert(check("fixed rollup",
-      (1, 0, Seq(0, 4, 5), true, false, 0, 0, 0, false, 0)),
+      (1, 0, Seq(0, 4, 5), true, false, 0, 0, 0, false, 0, false)),
       "known-routable rollup shape failed to route")
     assert(check("fixed join",
-      (4, 0, Seq(4, 5), false, true, 0, 0, 0, false, 0)),
+      (4, 0, Seq(4, 5), false, true, 0, 0, 0, false, 0, false)),
       "known-routable star-join shape failed to route")
     // join-VIEW anchor: dim grouping + dim partials — must route (the
     // view path is a graft_mv child) and must carry no join at all
     val (jvPlan, _) = run(s,
-      (0, 0, Seq(1, 4, 5), false, true, 3, 0, 1, false, 0))
+      (0, 0, Seq(1, 4, 5), false, true, 3, 0, 1, false, 0, false))
     assert(jvPlan.contains("lineitem_jv1_") && !jvPlan.contains("Join"),
       s"known view-routable shape failed to route join-free:\n${
         jvPlan.take(600)}")
     assert(check("fixed join view",
-      (0, 0, Seq(1, 4, 5), false, true, 3, 0, 1, false, 0)),
+      (0, 0, Seq(1, 4, 5), false, true, 3, 0, 1, false, 0, false)),
       "view-routable shape not counted as routed")
+    // dim-side AVG anchor: avg(s_acctbal) routes as the view's
+    // sum/count partials (s_acctbal is declared NOT NULL on jv1)
+    val (avgPlan, _) = run(s,
+      (0, 0, Seq(1), false, true, 3, 5, 0, false, 0, false))
+    assert(avgPlan.contains("lineitem_jv1_") && !avgPlan.contains("Join"),
+      s"dim avg shape failed to route join-free:\n${avgPlan.take(600)}")
     // TWO-DIM STAR anchor (r15): both dims joined, grouped by both
     // stored dim keys — must collapse onto jv2 with no join at all
     val (jv2Plan, _) = run(s,
-      (0, 0, Seq(1, 4, 5), false, true, 1, 0, 0, true, 0))
+      (0, 0, Seq(1, 4, 5), false, true, 1, 0, 0, true, 0, false))
     assert(jv2Plan.contains("lineitem_jv2_") && !jv2Plan.contains("Join"),
       s"known star-view-routable shape failed to route join-free:\n${
         jv2Plan.take(600)}")
     assert(check("fixed star view",
-      (0, 0, Seq(1, 4, 5), false, true, 1, 0, 0, true, 0)),
+      (0, 0, Seq(1, 4, 5), false, true, 1, 0, 0, true, 0, false)),
       "star-view-routable shape not counted as routed")
     // …and the random draws must still land SOME routed shapes
     assert(routedCount >= 1, s"0 of 30 random shapes routed — " +
