@@ -828,60 +828,71 @@ object LlmText {
     * as characters + a `</w>` end marker and grow as merges land),
     * collects the single argmax pair (ties: count DESC, left ASC,
     * right ASC — the merge sequence is a pure function of the corpus),
-    * and applies the merge as a map-side leftmost-first HOF fold.
-    * Iterated fixpoint → not SQL-expressible → rows-only; LlmOpsSpec
-    * pins the whole merge table against an independent driver-side
+    * and applies the merge as a leftmost-first fold over the collected
+    * vocabulary. Iterated fixpoint → not SQL-expressible → rows-only;
+    * VectorTextSpec pins the whole merge table against an independent
     * reimplementation at sf0.001.
     *
     * Scale notes: the 100 TB pass is the ONE word-frequency rollup
     * (map-side combined); every training round then touches only the
-    * compressed word DOMAIN (vocab-capped, ≤3k rows here, ~10⁷ real
-    * corpora), never the corpus — the SentencePiece discipline. Per
-    * round: one explode+hash-agg on the domain, a 1-row collect, a
-    * codegen'd fold; `localCheckpoint` keeps the 12-round lineage flat.
+    * compressed word DOMAIN (vocab-capped at 3000 rows by the limit —
+    * bounded driver metadata, the same class as the trained-codebook
+    * collects), never the corpus — the SentencePiece discipline. The
+    * 12 merge rounds run driver-side over that bounded domain: the
+    * prior shape re-planned, re-codegen'd and localCheckpoint'd a
+    * 12-round Spark loop over ≤3000 rows, paying ~13 s of pure
+    * scheduling/compilation overhead for work that is O(vocab × len)
+    * integers (optimization guide §1.2: fix the algorithm's shape —
+    * cluster passes for corpus-scale work, driver arithmetic for
+    * bounded domains).
     */
   private def tokBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chars = filter(split(col("w"), ""), x => length(x) > 0)
-    var cur = Tables.documents(s, dir)
+    // the one corpus-scale pass (unchanged): word-frequency rollup,
+    // vocab-capped ordered by (freq DESC, word ASC) — Spark-side so the
+    // heavy explode/agg stays distributed and map-side combined
+    val vocab: Array[(String, Long)] = Tables.documents(s, dir)
       .select(explode(toks(lower(col("text")))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(3000)
-      .select(col("w"), col("freq"),
-        concat(chars, array(lit("</w>"))).as("syms"))
-      .localCheckpoint()
+      .as[(String, Long)].collect()
+    // symbol sequences start as characters + the </w> end marker
+    var seqs: Array[(Array[String], Long)] = vocab.map { case (w, f) =>
+      (w.map(_.toString).toArray :+ "</w>", f)
+    }
     val merges =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var step = 1
     while (step <= 12) {
-      val top = cur
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, size(syms) - 1),
-               i -> struct(element_at(syms, i) AS l,
-                           element_at(syms, i + 1) AS r))""")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        .collect()
-      if (top.nonEmpty) {
-        val (a, b, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      // corpus-weighted adjacent-pair counts over the domain
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+      seqs.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (pc.nonEmpty) {
+        // ties: count DESC, left ASC, right ASC — the corpus is ASCII,
+        // where Scala string order equals Spark's UTF8 binary order
+        val ((a, b), cnt) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
         merges += ((step, a, b, a + b, cnt))
-        val la = lit(a); val lb = lit(b)
-        // leftmost-first greedy application: fold the symbol list,
-        // replacing a trailing `a` by `ab` whenever `b` arrives (the
-        // canonical BPE scan order; "aaa" + (a,a) → ["aa","a"])
-        val mergedSyms = aggregate(
-          col("syms"),
-          array().cast("array<string>"),
-          (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === la && x === lb,
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(la, lb))))
-            .otherwise(concat(acc, array(x))))
-        cur = cur.withColumn("syms", mergedSyms).localCheckpoint()
+        // leftmost-first greedy application, spelled as the trailing
+        // fold the HOF version used (equivalent to the scan-skip form:
+        // a merged symbol a+b can never itself equal `a`, so a fresh
+        // merge never immediately re-merges; "aaa" + (a,a) → ["aa","a"])
+        seqs = seqs.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc(acc.length - 1) = a + b
+            else acc += x
+          }
+          (acc.toArray, f)
+        }
       }
       step += 1
     }

@@ -515,36 +515,49 @@ object LlmVector {
   private[graft] def kmeansTrain(s: SparkSession, dir: String, k: Int,
       maxRounds: Int): (Seq[Seq[Double]], Seq[Double]) = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    val e0 = Tables.embeddings(s, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("v"))
+    // parallelize the per-round map work: a small fixture parquet
+    // arrives as ONE input split, serializing every round's
+    // argmin+explode+partial-agg on a single core (measured 0.5 s/round
+    // at sf0.1 — guide §2.5 input skew). Round work should track the
+    // session's parallelism; guarded so a real corpus that already has
+    // ≥ that many splits never pays a shrink. Results are unaffected:
+    // every downstream fold is order-independent (decimal sums).
+    val par = s.sparkContext.defaultParallelism
+    val e = (if (e0.rdd.getNumPartitions < par) e0.repartition(par) else e0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: IndexedSeq[Seq[Double]] = e.filter(col("vec_id") < k)
       .orderBy(col("vec_id")).select(col("v"))
       .collect().map(_.getSeq[Double](0).toIndexedSeq: Seq[Double]).toIndexedSeq
     val sses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    graft.functions.GraftFunctions.register(s)
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      // ONE job, ONE shuffle per round: the k-way argmin is a MAP-SIDE
-      // expression over the literal codebook (array_min on
-      // struct(d2, cid) — lexicographic struct order is the tie-break),
-      // so no crossJoin row blow-up and no per-vector window shuffle;
-      // the only shuffle is the (list, dim) moment aggregation. New
-      // centroids are the decimal means; SSE w.r.t. the centroids the
-      // round ASSIGNED AGAINST (the Lloyd's objective) falls out of the
-      // same moments driver-side: Σ‖x−c‖² = Σx² − 2c·Σx + n·c² per dim.
-      graft.functions.GraftFunctions.register(s)
-      val candidates = array(cents.zipWithIndex.map { case (c, i) =>
-        // codebook as exact literals: Double.toString is the shortest
-        // round-trip representation, so CAST(string AS DOUBLE) restores
-        // the same bit pattern; l2_sq_native folds in the same order as
-        // the HOF formulation it replaces (bit-identical, allocation-free)
-        struct(expr(s"l2_sq_native(v, array(${
-          c.map(x => s"CAST('$x' AS DOUBLE)").mkString(", ")}))")
-          .as("d2"), lit(i).as("cid"))
-      }: _*)
-      val moments = e
-        .withColumn("cid", array_min(candidates).getField("cid"))
+      // ONE job, ONE shuffle per round: the k-way argmin stays a
+      // MAP-SIDE expression (array_min over struct(d2, cid) —
+      // lexicographic struct order is the tie-break), so no crossJoin
+      // row blow-up and no per-vector window shuffle; the only shuffle
+      // is the (list, dim) moment aggregation. The codebook rides in as
+      // ONE BROADCAST ROW (array<struct<cid, cvec>>) unfolded by a
+      // transform lambda, not as per-round literals: the literal
+      // spelling changed the generated code every round, so all
+      // maxRounds paid a fresh whole-stage-codegen compile (guide §1.2
+      // "per-task work" — ~0.4 s/round at any scale); with constant
+      // plan text the codegen cache compiles once and every later
+      // round reuses it. d2 is bit-identical either way: broadcast
+      // doubles arrive exactly and l2_sq_native folds in the same
+      // order. New centroids are the decimal means; SSE w.r.t. the
+      // centroids the round ASSIGNED AGAINST (the Lloyd's objective)
+      // falls out of the same moments driver-side:
+      // Σ‖x−c‖² = Σx² − 2c·Σx + n·c² per dim.
+      val cdf = broadcast(Seq(
+        cents.zipWithIndex.map { case (c, i) => (i, c) }).toDF("cb"))
+      val moments = e.crossJoin(cdf)
+        .withColumn("cid", array_min(expr(
+          "transform(cb, c -> struct(l2_sq_native(v, c._2) AS d2, c._1 AS cid))"))
+          .getField("cid"))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(count(lit(1)).as("n"), Det.dsum(col("x")).as("sx"),
